@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query and total wall-clock seconds.
+
+Each query is materialized with a count-style action (collect for small
+results) so the full DAG executes; timings include Catalyst planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family (full suite via
+# BENCH_ALL=1). Kept stable across rounds for comparability.
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "rank_orders",
+    "asof_join",
+    "range_join",
+    "cube_priority_status",
+]
+
+
+def main() -> None:
+    from dynamic_etl_pipeline_thesis_ii_spark.queries import all_queries
+    from dynamic_etl_pipeline_thesis_ii_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = list(qs) if os.environ.get("BENCH_ALL") else [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers with one tiny action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

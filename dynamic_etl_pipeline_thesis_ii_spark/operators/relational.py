@@ -1,0 +1,92 @@
+"""Classic relational operators the reference lacks but a complete engine
+must expose (SURVEY.md §2.3 "Notably absent" / §7.3 step 7).
+
+The reference's only integration mechanism is an O(n·m) ML similarity
+join (``validator/join.py`` in the reference); real equi/semi/anti joins,
+as-of joins, range joins and per-group top-k are provided here as native
+DataFrame compositions so Catalyst picks broadcast/SMJ/hash strategies
+and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | Sequence[str],
+              left_time: str, right_time: str,
+              right_values: Sequence[str], suffix: str = "",
+              right_on: str | Sequence[str] | None = None) -> DataFrame:
+    """As-of join: for each left row, attach the right row with the
+    greatest ``right_time`` <= ``left_time`` within the same key group.
+
+    Scale-first implementation: instead of an inequality join (which
+    Spark plans as a broadcast-nested-loop or explodes candidates), the
+    two sides are unioned with a side marker and a single window pass
+    carries the most recent right-side values forward. One shuffle on
+    the key, O(n log n), no pair materialization — survives 100 TB where
+    a theta-join would not.
+
+    ``right_time`` values must be unique per key (pre-aggregate the right
+    side if not) so the result is deterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
+
+    left_cols = left.columns
+    lhs = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+    )
+    # Key columns carry real values on both sides; all other left columns
+    # are null-padded on the right.
+    key_map = dict(zip(keys, rkeys))
+    rhs = right.select(
+        *[(F.col(key_map[c]).alias(c) if c in key_map
+           else F.lit(None).cast(left.schema[c].dataType).alias(c))
+          for c in left_cols],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    )
+
+    merged = lhs.unionByName(rhs)
+    # Right rows (__side=0) sort before left rows at the same timestamp,
+    # so an exactly-equal right_time is visible to the left row (<= semantics).
+    w = (Window.partitionBy(*keys).orderBy(F.col("__t").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for v in right_values:
+        merged = merged.withColumn(f"__r_{v}", F.last(f"__r_{v}", ignorenulls=True).over(w))
+
+    out = merged.filter(F.col("__side") == 1).drop("__t", "__side")
+    for v in right_values:
+        out = out.withColumnRenamed(f"__r_{v}", f"{v}{suffix}")
+    return out
+
+
+def range_join(fact: DataFrame, bands: DataFrame, value_col: str,
+               lo_col: str, hi_col: str) -> DataFrame:
+    """Band/range join: match fact rows to ``[lo, hi)`` intervals.
+
+    The band table is expected to be small (broadcast) — Spark plans a
+    BroadcastNestedLoopJoin which is fine for a dimension-sized interval
+    table; for huge interval tables, bucket both sides first.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond, "inner")
+
+
+def top_k_per_group(df: DataFrame, partition_cols: Sequence[str],
+                    order_by: Sequence[Column], k: int,
+                    rank_col: str = "rn") -> DataFrame:
+    """Per-group top-k via a ranking window — map-side partial top-k is
+    handled by Spark's WindowGroupLimit pushdown (rank filter pushdown),
+    so this does not sort whole groups at scale."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))

@@ -1,0 +1,53 @@
+"""Query suite: every implemented operator exposed as a (spark_fn, oracle_sql)
+pair, keyed by a stable name. The driver contract (``__spark_entry__.py``)
+re-exports these.
+
+Float determinism strategy (cross-engine hash parity with DuckDB):
+- sums of doubles go through ``DECIMAL(18,4)`` casts so aggregation is
+  exact and order-independent in both engines;
+- averages are ``exact_decimal_sum / count`` evaluated in double — one
+  deterministic division;
+- window/stat outputs are rounded to a precision far above the engines'
+  accumulated float error.
+"""
+
+from dynamic_etl_pipeline_thesis_ii_spark.queries.relational_suite import (
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.queries.feature_suite import (
+    FEATURE_ORACLES,
+    FEATURE_QUERIES,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.queries.cleaning_suite import (
+    CLEANING_ORACLES,
+    CLEANING_QUERIES,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.queries.dataops_suite import (
+    DATAOPS_ORACLES,
+    DATAOPS_QUERIES,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.queries.integration_suite import (
+    INTEGRATION_ORACLES,
+    INTEGRATION_QUERIES,
+)
+
+
+def all_queries():
+    out = {}
+    out.update(RELATIONAL_QUERIES)
+    out.update(FEATURE_QUERIES)
+    out.update(CLEANING_QUERIES)
+    out.update(DATAOPS_QUERIES)
+    out.update(INTEGRATION_QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    out.update(RELATIONAL_ORACLES)
+    out.update(FEATURE_ORACLES)
+    out.update(CLEANING_ORACLES)
+    out.update(DATAOPS_ORACLES)
+    out.update(INTEGRATION_ORACLES)
+    return out

@@ -1,0 +1,60 @@
+"""Named-table catalog over a directory of parquet files.
+
+The reference pipes ``List[pd.DataFrame]`` between stages
+(``pipeline.py:11-26`` in the reference); our equivalent unit is a named
+lazy DataFrame resolved from a catalog. Reads are plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition pruning for free on every downstream query.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.dataset as pa_ds
+import pyarrow.types as pa_types
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+class Catalog:
+    """Lazily resolves named tables from a scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            df = self.spark.read.parquet(path)
+            # TIMESTAMP(NANOS) columns arrive as nanosecond longs (see
+            # session.py nanosAsLong); convert to TimestampType at
+            # microsecond precision — matches DuckDB's read of the same
+            # file. Detection is schema-only (pyarrow footer read).
+            for field in pa_ds.dataset(path).schema:
+                if pa_types.is_timestamp(field.type) and field.type.unit == "ns":
+                    df = df.withColumn(
+                        field.name,
+                        F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                    )
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Expose every table as a temp view for the SQL surface."""
+        for name in TABLES:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.table(name).createOrReplaceTempView(name)
