@@ -64,9 +64,10 @@ def _values_close(a, b):
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
-    sdf = spark_df.toPandas()
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
+    # collect() preserves null vs NaN (toPandas() would fold both to NaN)
+    collected = spark_df.collect()
+    s_cols = spark_df.columns
+    s_rows = [tuple(row) for row in collected]
 
     res = con.execute(sql)
     o_cols = [d[0] for d in res.description]
