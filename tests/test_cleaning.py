@@ -1,0 +1,142 @@
+"""Cleaning engine behavior tests (parity with reference
+transform/tests/test_data_cleaning.py cases: relationship validations,
+imputation strategies, column deletion, edge cases)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators.cleaning import (
+    clean_dataframe,
+    match_column_rule,
+    DEFAULT_CONFIG,
+)
+
+TS = datetime.datetime(2024, 1, 2)
+
+
+def _bars(spark, rows):
+    cols = ["ticker", "ts", "open", "high", "low", "close", "volume", "vwap"]
+    return spark.createDataFrame([dict(zip(cols, r)) for r in rows],
+                                 "ticker string, ts timestamp, open double, high double,"
+                                 " low double, close double, volume double, vwap double")
+
+
+def test_rule_specificity():
+    assert match_column_rule("ticker", DEFAULT_CONFIG)["pattern"] == "^ticker$"
+    assert match_column_rule("close", DEFAULT_CONFIG)["validations"] == ["positive"]
+    assert match_column_rule("anything_else", DEFAULT_CONFIG)["pattern"] == ".*"
+    assert match_column_rule("balance_sheet_totalAssets", DEFAULT_CONFIG)["dtype"] == "auto"
+
+
+def test_high_low_violation_drops_row(spark):
+    df = _bars(spark, [
+        ("A", TS, 10.0, 12.0, 9.0, 11.0, 100.0, 10.5),   # valid
+        ("A", TS, 10.0, 9.5, 9.0, 11.0, 100.0, 9.2),     # high < close → drop
+    ])
+    out, _ = clean_dataframe(df)
+    assert out.count() == 1
+
+
+def test_vwap_out_of_range_set_null(spark):
+    df = _bars(spark, [
+        ("A", TS, 10.0, 12.0, 9.0, 11.0, 100.0, 20.0),   # vwap > high → null
+        ("A", TS, 10.0, 12.0, 9.0, 11.0, 100.0, 10.0),   # in range → kept
+    ])
+    out, _ = clean_dataframe(df)
+    vals = [r["vwap"] for r in out.orderBy("vwap").collect()]
+    assert vals == [None, 10.0] or vals == [10.0, None]
+
+
+def test_positive_validation_drops_negative_close(spark):
+    df = _bars(spark, [
+        ("A", TS, 10.0, 12.0, 9.0, -1.0, 100.0, 10.0),
+        ("A", TS, 10.0, 12.0, 9.0, 11.0, 100.0, 10.0),
+    ])
+    out, _ = clean_dataframe(df)
+    assert out.count() == 1
+
+
+def test_future_date_dropped(spark):
+    df = _bars(spark, [
+        ("A", datetime.datetime(2124, 1, 1), 10.0, 12.0, 9.0, 11.0, 100.0, 10.0),
+        ("A", TS, 10.0, 12.0, 9.0, 11.0, 100.0, 10.0),
+    ])
+    out, _ = clean_dataframe(df)
+    assert out.count() == 1
+
+
+def test_all_null_column_deleted(spark):
+    df = spark.createDataFrame(
+        [("A", TS, 1.0, None), ("A", TS, 2.0, None)],
+        "ticker string, ts timestamp, close double, extra double")
+    out, report = clean_dataframe(df)
+    assert "extra" not in out.columns
+    assert [d["column"] for d in report["clean"]["null_handling"]["columns_deleted"]] == ["extra"]
+
+
+def test_deletion_disabled_keeps_column(spark):
+    df = spark.createDataFrame(
+        [("A", TS), (None, TS)], "ticker string, ts timestamp")
+    out, _ = clean_dataframe(df, global_threshold_override=0.1)
+    # ticker rule forbids deletion → constant-imputed instead
+    assert "ticker" in out.columns
+    assert {r["ticker"] for r in out.collect()} == {"A", "UNKNOWN"}
+
+
+def test_normal_imputation_fills_all_nulls(spark):
+    rows = [("A", TS, float(i), None if i % 3 == 0 else float(100 + i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "ticker string, ts timestamp, close double, vwap double")
+    config = {**DEFAULT_CONFIG, "relationship_validations": []}
+    out, report = clean_dataframe(df, config, seed=7)
+    got = out.select("vwap").collect()
+    assert all(r["vwap"] is not None for r in got)
+    assert report["clean"]["null_handling"]["columns_imputed"]["vwap"]["method"] == "normal_distribution"
+    # imputed values should sit near the observed mean (~115)
+    imputed = [r["vwap"] for r in got if not (100 <= r["vwap"] <= 130)]
+    assert len(imputed) < 10
+
+
+def test_zero_std_imputes_mean(spark):
+    df = spark.createDataFrame(
+        [("A", TS, 5.0), ("A", TS, 5.0), ("A", TS, None)],
+        "ticker string, ts timestamp, vwap double")
+    config = {**DEFAULT_CONFIG, "relationship_validations": []}
+    out, _ = clean_dataframe(df, config)
+    assert sorted(r["vwap"] for r in out.collect()) == [5.0, 5.0, 5.0]
+
+
+def test_epoch_imputation_for_timestamp(spark):
+    df = spark.createDataFrame(
+        [("A", TS, 1.0), ("A", None, 2.0)],
+        "ticker string, ts timestamp, close double")
+    out, _ = clean_dataframe(df)
+    got = sorted(r["ts"] for r in out.collect())
+    assert got[0] == datetime.datetime(1970, 1, 1)
+
+
+def test_int_rule_rounds_to_long(spark):
+    df = spark.createDataFrame(
+        [("A", TS, 10.6), ("A", TS, 10.2)],
+        "ticker string, ts timestamp, volume double")
+    out, _ = clean_dataframe(df)
+    assert dict(out.dtypes)["volume"] == "bigint"
+    assert sorted(r["volume"] for r in out.collect()) == [10, 11]
+
+
+def test_empty_dataframe(spark):
+    df = spark.createDataFrame([], "ticker string, ts timestamp, close double")
+    out, _ = clean_dataframe(df)
+    assert out.count() == 0
+
+
+def test_string_coercion_of_mixed(spark):
+    df = spark.createDataFrame([("A", TS, "12.5"), ("A", TS, "bad")],
+                               "ticker string, ts timestamp, close string")
+    out, _ = clean_dataframe(df)
+    # float rule coerces; 'bad' → null → normal-imputed from single value 12.5
+    vals = sorted(r["close"] for r in out.collect())
+    assert vals[0] == 12.5 and len(vals) == 2
