@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-data-pipeline extension (not in the reference): brute-force
+cosine top-k as the exact baseline, and a sign-bit LSH bucketed variant
+as the scale path (the bucketing hyperplanes are the first ``b``
+coordinate axes — a deterministic, engine-portable random-hyperplane
+LSH). All dot products are JVM-side ``zip_with``/``aggregate`` — no
+Python in the hot path.
+
+Scale notes: brute-force is O(|Q|·|C|) — fine for small query sets
+against bucketed candidates; the LSH variant shuffles once on the
+bucket id, so each query only scans its own bucket (~|C|/2^b rows).
+For 100 TB embeddings stores, raise ``b`` and add multi-probe by
+flipping low-margin bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,
+                     q_id: str = "q_id", c_id: str = "c_id",
+                     q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Exact top-k by cosine for each query vector. The candidate side
+    streams through a broadcast of the (small) query set; ranking uses a
+    window over rounded cosine (6dp) with id tie-break for determinism."""
+    joined = candidates.crossJoin(F.broadcast(queries))
+    scored = joined.withColumn(
+        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
+                              F.col(c_vec).cast("array<double>")), 6))
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "cos", "rank"))
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-bit LSH bucket: bit d = 1 iff vec[d] >= 0, d < bits."""
+    out = F.lit(0)
+    for d in range(bits):
+        out = out + F.when(F.element_at(vec, d + 1) >= 0, F.lit(1 << d)).otherwise(0)
+    return out
+
+
+def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int, bits: int = 6,
+             q_id: str = "q_id", c_id: str = "c_id",
+             q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Approximate top-k: candidates pre-bucketed by sign-bit LSH; each
+    query searches only its own bucket. One equi-join shuffle on the
+    bucket id instead of a cross product."""
+    qb = queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
+    cb = candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
+    joined = cb.join(F.broadcast(qb), "bucket")
+    scored = joined.withColumn(
+        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
+                              F.col(c_vec).cast("array<double>")), 6))
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "bucket", c_id, "cos", "rank"))
+
+
+def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.9,
+                         bits: int = 6) -> DataFrame:
+    """Embedding near-duplicate pairs: sign-bucket blocking, then exact
+    cosine within buckets (id_a < id_b, cosine >= threshold)."""
+    b = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"),
+                  sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    pairs = (b.alias("x").join(b.alias("y"),
+                               (F.col("x.bucket") == F.col("y.bucket"))
+                               & (F.col("x.id") < F.col("y.id")))
+             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                     F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos")))
+    return pairs.filter(F.col("cos") >= threshold)

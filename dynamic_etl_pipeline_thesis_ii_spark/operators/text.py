@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language identification, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs) built from
+engine-portable primitives so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32, normalize_text
+
+# Tiny per-language stopword sets for the n-gram/stopword-hit heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "que", "pour"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: alphanumeric runs + punctuation marks
+    each count as one token (a regex stand-in for BPE tokenizers)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    toks = tokens(col)
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), stops))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword features + a composite score in
+    [0,1] (the reference has no text-quality stage; formula documented
+    here is the oracle contract)."""
+    n_chars = F.length(col)
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    mean_word_len = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tokens, F.lit(1)).cast("double"), 6)
+    stop_ratio = F.round(
+        stopword_hits(col, "en").cast("double") / F.lit(len(LANG_STOPWORDS["en"])), 6)
+    score = F.round(
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.3) * stop_ratio, 6)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": punct_ratio,
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit argmax over the language table; ties break by
+    language code order (deterministic); no hits → 'und'."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        # alphabetical iteration + strict > : earliest language wins ties
+        h = stopword_hits(col, lang)
+        cond = h > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive rolling hash over word hashes:
+    acc = (acc * 131 + hash32(word)) mod 1e9+7 — integer-exact in any
+    engine, stable under whitespace normalization."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + hash32(t)) % F.lit(1000000007),
+    )

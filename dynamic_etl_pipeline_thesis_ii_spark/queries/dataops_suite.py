@@ -1,4 +1,388 @@
-"""dataops_suite — filled in as operators land."""
+"""Training-data-pipeline operator suite: dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), ANN similarity search (brute-force + sign-bit
+LSH), text analysis (quality, language-ID, fingerprint), multimodal
+binary plumbing.
 
-DATAOPS_QUERIES = {}
-DATAOPS_ORACLES = {}
+The synthetic documents are random word salads with no real near-dups,
+so the corpus is augmented with deterministic perturbed/exact copies in
+BOTH engines — every operator then has guaranteed positives to find.
+All hashing is md5-derived integer arithmetic → bit-exact parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+from dynamic_etl_pipeline_thesis_ii_spark.operators import multimodal as M
+from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as S
+from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+# ---------------------------------------------------------------------------
+# corpora
+# ---------------------------------------------------------------------------
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies (every 10th doc + 3 extra words)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    pert = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extra padding tokens")).alias("text")))
+    return docs.unionByName(pert)
+
+
+_SQL_NEARDUP = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra padding tokens' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _exactdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 7th doc (whitespace-case noise)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    copies = (docs.filter(F.col("doc_id") % 7 == 0)
+              .select((F.col("doc_id") + 200000).alias("doc_id"),
+                      F.upper(F.col("text")).alias("text")))
+    return docs.unionByName(copies)
+
+
+_SQL_EXACTDUP = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_H32 = D.SQL_HASH32
+_NORM = D.SQL_NORMALIZE
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    out = D.dedup_exact(_exactdup_corpus(spark, sf_dir))
+    return out.select("doc_id")
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {_SQL_EXACTDUP}
+SELECT min(doc_id) AS doc_id FROM corpus
+GROUP BY {_NORM.format(x='text')}
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_neardup_corpus(spark, sf_dir),
+                               k=3, n_hashes=16, bands=4)
+
+
+def _sql_minhash_lsh(k: int = 3, n_hashes: int = 16, bands: int = 4) -> str:
+    # Mirrors minhash_signatures: unnest once, hash once, 16 min() aggs.
+    sh = D.SQL_WORD_SHINGLES("text", k)
+    h = D.SQL_HASH32.format(x="s")
+    r = n_hashes // bands
+    mins = ", ".join(
+        f"min(({2 * i + 1} * h + {12345 * i + 17}) % {D.H32_PRIME}) AS m{i}"
+        for i in range(n_hashes))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, [{', '.join(f'm{b * r + j}' for j in range(r))}] AS slc FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH {_SQL_NEARDUP},
+ex AS (SELECT doc_id AS id, unnest({sh}) AS s FROM corpus),
+hashed AS (SELECT id, {h} AS h FROM ex),
+sigs AS (SELECT id, {mins} FROM hashed GROUP BY id),
+banded AS (
+  {band_rows}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.slc = b.slc AND a.id < b.id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(_neardup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _sql_simhash() -> str:
+    # Mirrors simhash_fingerprints: unnest once, md5 once per shingle,
+    # 64 conditional-sum bit counters in one GROUP BY.
+    sh = D.SQL_WORD_SHINGLES("text", 1)
+    hlo = _H32.format(x="s")
+    hhi = "(('0x' || substr(md5(s), 9, 8))::bigint)"
+    bit_sums = ", ".join(
+        f"sum(({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) AS c{j}"
+        for j in range(64))
+    fold = " + ".join(
+        f"CASE WHEN 2 * c{j} > n THEN "
+        + ("-9223372036854775807 - 1" if j == 63 else f"(1::BIGINT << {j})")
+        + " ELSE 0 END"
+        for j in range(64))
+    return f"""
+WITH {_SQL_NEARDUP},
+ex AS (SELECT doc_id AS id, unnest({sh}) AS s FROM corpus),
+hashed AS (SELECT id, {hlo} AS lo, {hhi} AS hi FROM ex),
+counts AS (SELECT id, count(*) AS n, {bit_sums} FROM hashed GROUP BY id),
+fp AS (SELECT id, cast({fold} AS bigint) AS sim FROM counts),
+banded AS (
+  SELECT id, sim, b AS band, (sim >> (b * 16)) & 65535 AS key
+  FROM fp, range(0, 4) t(b)
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+) WHERE hamming <= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(_neardup_corpus(spark, sf_dir),
+                           k=3, threshold=0.4, max_df=100)
+
+
+def _sql_jaccard() -> str:
+    sh = D.SQL_WORD_SHINGLES("text", 3)
+    return f"""
+WITH {_SQL_NEARDUP},
+docs AS (SELECT doc_id AS id, {sh} AS sh FROM corpus),
+nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+exploded AS (SELECT id, unnest(sh) AS s FROM nz),
+rare AS (SELECT s FROM exploded GROUP BY s HAVING count(*) <= 100),
+blocked AS (SELECT e.id, e.s FROM exploded e JOIN rare r ON e.s = r.s),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM blocked a JOIN blocked b ON a.s = b.s AND a.id < b.id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(x.sh, y.sh))::double
+        / len(list_distinct(list_concat(x.sh, y.sh)))::double, 6) AS jaccard
+FROM cand JOIN nz x ON cand.id_a = x.id JOIN nz y ON cand.id_b = y.id
+WHERE round(len(list_intersect(x.sh, y.sh))::double
+      / len(list_distinct(list_concat(x.sh, y.sh)))::double, 6) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.brute_force_topk(queries, cands, k=3)
+
+
+_SQL_COS = ("round(list_dot_product(qv, cv) / "
+            "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)")
+
+ORACLE_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT q_id, c_id, {_SQL_COS} AS cos FROM q, c)
+SELECT q_id, c_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank FROM s
+) WHERE rank <= 3
+"""
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.lsh_topk(queries, cands, k=2, bits=6)
+
+
+_SQL_BUCKET = ("(" + " + ".join(
+    f"CASE WHEN v[{d+1}] >= 0 THEN {1 << d} ELSE 0 END" for d in range(6)) + ")")
+
+ORACLE_ANN_LSH_BUCKET = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_SQL_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM e),
+s AS (SELECT q_id, c.bucket AS bucket, c_id, {_SQL_COS} AS cos
+      FROM q JOIN c ON q.bucket = c.bucket)
+SELECT q_id, bucket, c_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank FROM s
+) WHERE rank <= 2
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Near-dup vectors: embeddings ∪ perturbed copies (x + 0.05)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    pert = (emb.filter(F.col("vec_id") % 10 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform(F.col("embedding").cast("array<double>"),
+                                lambda x: x + F.lit(0.05)).alias("embedding")))
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")) \
+                .unionByName(pert)
+    return S.cosine_neardup_pairs(corpus, threshold=0.8, bits=6)
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x + 0.05)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+b AS (SELECT vec_id AS id, v, {_SQL_BUCKET} AS bucket FROM corpus)
+SELECT x.id AS id_a, y.id AS id_b,
+  round(list_dot_product(x.v, y.v) /
+        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+WHERE round(list_dot_product(x.v, y.v) /
+      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    feats = T.quality_features(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+_SQL_TOKENS = f"string_split({_NORM.format(x='text')}, ' ')"
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+    length(text) AS n_chars,
+    len({_SQL_TOKENS}) AS n_tokens,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(list_intersect(list_distinct({_SQL_TOKENS}),
+        ['the','and','of','to','a','in','is','that','for','it'])) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+  cast(n_chars AS bigint) AS n_chars,
+  cast(n_tokens AS bigint) AS n_tokens,
+  round(n_punct::double / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(cast(list_sum(list_transform(toks, x -> length(x))) AS double)
+        / greatest(n_tokens, 1)::double, 6) AS mean_word_len,
+  round(stop_hits::double / 10, 6) AS stopword_ratio,
+  round(0.4 * least(n_tokens::double / 100.0, 1.0)
+      + 0.3 * (1.0 - least(round(n_punct::double / greatest(n_chars, 1), 6) * 5, 1.0))
+      + 0.3 * round(stop_hits::double / 10, 6), 6) AS quality_score
+FROM t
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    hit_exprs = {
+        lang: (f"len(list_intersect(list_distinct({_SQL_TOKENS}), "
+               f"[{', '.join(repr(w) for w in T.LANG_STOPWORDS[lang])}]))")
+        for lang in sorted(T.LANG_STOPWORDS)
+    }
+    hits_cols = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    langs = sorted(T.LANG_STOPWORDS)
+    max_h = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    chain = " ".join(f"WHEN h_{la} = mx THEN '{la}'" for la in langs[:-1])
+    return f"""
+WITH h AS (SELECT doc_id, lang, {hits_cols} FROM documents),
+m AS (SELECT *, {max_h} AS mx FROM h)
+SELECT doc_id, lang,
+  CASE WHEN mx = 0 THEN 'und' {chain} ELSE '{langs[-1]}' END AS pred_lang
+FROM m
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"),
+                       T.token_count(F.col("text")).alias("n_tokens"),
+                       T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform({_SQL_TOKENS},
+      s -> {_H32.format(x='s')})),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp,
+  cast(len({_SQL_TOKENS}) AS bigint) AS n_tokens,
+  cast(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bigint) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    media = M.attach_media(docs)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.element_at("feat", 1).alias("f_len"),
+        F.element_at("feat", 2).alias("f_first"),
+        F.element_at("feat", 3).alias("f_last"),
+        F.element_at("feat", 4).alias("f_checksum"),
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  cast(octet_length(text::BLOB) AS bigint) AS n_bytes,
+  cast(octet_length(text::BLOB) AS double) AS f_len,
+  cast(ascii(substr(text, 1, 1)) AS double) AS f_first,
+  cast(ascii(substr(text, length(text), 1)) AS double) AS f_last,
+  cast(cast(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+      i -> ascii(substr(text, i::int, 1)))) AS bigint) % 256 AS double) AS f_checksum
+FROM documents
+"""
+
+
+DATAOPS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "embedding_neardup": q_embedding_neardup,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+DATAOPS_ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_simhash": _sql_simhash(),
+    "dedup_ngram_jaccard": _sql_jaccard(),
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "ann_lsh_bucket": ORACLE_ANN_LSH_BUCKET,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_lang_id": _sql_lang_id(),
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+}
