@@ -1,4 +1,229 @@
-"""integration_suite — filled in as operators land."""
+"""Integration-engine suite: schema-matched union (U1-U6), similarity
+join (J1-J6) and the two-stage orchestrator (J7-J8) over fixtures
+derived from the synthetic tables.
 
-INTEGRATION_QUERIES = {}
-INTEGRATION_ORACLES = {}
+The 26 pair features and the calibrated logistic score are generated
+from ONE formula template in two SQL dialects
+(``operators/similarity_join.feature_sql``), so the DuckDB oracle runs
+numerically identical math — the differential check covers the formulas
+themselves, not just the plumbing. Greedy assignment and the full
+orchestrator are order-dependent sequential algorithms (reference
+``join.py:724-767``) — not SQL-expressible, so those queries take the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.config import EngineConfig
+from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity_join as SJ
+from dynamic_etl_pipeline_thesis_ii_spark.operators import union_engine as U
+from dynamic_etl_pipeline_thesis_ii_spark.operators.integration import integrate
+from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+CFG = EngineConfig()  # balanced profile
+
+# ---------------------------------------------------------------------------
+# union engine
+# ---------------------------------------------------------------------------
+
+def _union_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two 'API views' of customers: canonical names vs stripped names
+    + one unmappable extra column (loyalty_tier)."""
+    cust = Catalog(spark, sf_dir).customer
+    a = cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment")
+    b = (cust.filter(F.col("c_custkey") % 3 == 0)
+         .select((F.col("c_custkey") + 500000).alias("custkey"),
+                 F.col("c_name").alias("name"),
+                 (F.col("c_acctbal") + 1.0).alias("acctbal"),
+                 F.col("c_nationkey").alias("nationkey"),
+                 F.concat(F.lit("tier_"), (F.col("c_custkey") % 4).cast("string"))
+                  .alias("loyalty_tier")))
+    return a, b
+
+
+def q_union_schema_match(spark, sf_dir):
+    a, b = _union_fixture(spark, sf_dir)
+    groups, ops = U.sequential_union([a, b], CFG)
+    assert len(groups) == 1, f"expected one union group, got {len(groups)}"
+    return groups[0]
+
+
+ORACLE_UNION_SCHEMA_MATCH = """
+SELECT c_custkey, c_name, c_acctbal, c_nationkey, c_mktsegment,
+       NULL AS loyalty_tier
+FROM customer
+UNION
+SELECT c_custkey + 500000, c_name, c_acctbal + 1.0, c_nationkey,
+       NULL AS c_mktsegment, 'tier_' || cast(c_custkey % 4 AS varchar)
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+def q_union_version_split(spark, sf_dir):
+    """A joined-shaped frame with _x/_y pairs splits into two versions."""
+    orders = Catalog(spark, sf_dir).orders
+    joined_shape = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice_x"),
+        (F.col("o_totalprice") * 2).alias("totalprice_y"))
+    vx, vy = U.version_split(joined_shape)
+    return (vx.withColumn("version", F.lit("x"))
+            .unionByName(vy.withColumn("version", F.lit("y"))))
+
+
+ORACLE_UNION_VERSION_SPLIT = """
+SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice,
+       'x' AS version
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice * 2, 'y' FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity join
+# ---------------------------------------------------------------------------
+
+_SJ_COLS = ["cust", "mon", "price", "pri"]  # candidate_pairs order
+
+
+def _sj_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Side A: first 2001 orders. Side B: the same entities through a
+    'different API' — perturbed price, shifted ids. Ground truth: each
+    A row should match its B copy."""
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    a = orders.select(
+        F.col("o_orderkey").alias("id_a"),
+        F.col("o_custkey").cast("double").alias("cust"),
+        F.month("o_orderdate").cast("double").alias("mon"),
+        F.col("o_totalprice").alias("price"),
+        F.length("o_orderpriority").cast("double").alias("pri"))
+    b = orders.select(
+        (F.col("o_orderkey") + 1000000).alias("id_b"),
+        F.col("o_custkey").cast("double").alias("cust"),
+        F.month("o_orderdate").cast("double").alias("mon"),
+        (F.col("o_totalprice") * 1.0001).alias("price"),
+        F.length("o_orderpriority").cast("double").alias("pri"))
+    return a, b
+
+
+_SQL_SJ_SIDES = """
+A AS (
+  SELECT o_orderkey AS id_a, o_custkey::DOUBLE AS cust,
+         month(o_orderdate)::DOUBLE AS mon, o_totalprice AS price,
+         length(o_orderpriority)::DOUBLE AS pri
+  FROM orders WHERE o_orderkey <= 2000
+),
+B AS (
+  SELECT o_orderkey + 1000000 AS id_b, o_custkey::DOUBLE AS cust,
+         month(o_orderdate)::DOUBLE AS mon, o_totalprice * 1.0001 AS price,
+         length(o_orderpriority)::DOUBLE AS pri
+  FROM orders WHERE o_orderkey <= 2000
+),
+p AS (
+  SELECT id_a, id_b,
+         a.cust AS a_cust, a.mon AS a_mon, a.price AS a_price, a.pri AS a_pri,
+         b.cust AS b_cust, b.mon AS b_mon, b.price AS b_price, b.pri AS b_pri
+  FROM A a JOIN B b ON floor(a.price / 1000) = floor(b.price / 1000)
+)
+"""
+
+
+def _sj_pairs(spark, sf_dir) -> DataFrame:
+    a, b = _sj_sides(spark, sf_dir)
+    return SJ.candidate_pairs(a, b, _SJ_COLS,
+                              block1=F.floor(F.col("price") / 1000),
+                              block2=F.floor(F.col("price") / 1000))
+
+
+def q_simjoin_pair_features(spark, sf_dir):
+    """Blocked candidate pairs with all 26 features + probability."""
+    feats = SJ.pair_features(_sj_pairs(spark, sf_dir), _SJ_COLS, CFG)
+    return SJ.score_pairs(feats, _SJ_COLS, CFG)
+
+
+def _oracle_pair_features() -> str:
+    fs = SJ.feature_sql(_SJ_COLS, "duckdb", cfg=CFG)
+    feat_cols = ", ".join(f"round({sql}, 6) AS {name}" for name, sql in fs.items())
+    prob = SJ.score_sql(_SJ_COLS, CFG)
+    return f"""
+WITH {_SQL_SJ_SIDES},
+f AS (SELECT id_a, id_b,
+             a_cust, a_mon, a_price, a_pri, b_cust, b_mon, b_price, b_pri,
+             {feat_cols}
+      FROM p)
+SELECT *, round({prob}, 6) AS prob FROM f
+"""
+
+
+def q_simjoin_matches_topk(spark, sf_dir):
+    """Threshold at 0.44 then two-sided top-K (K=5, balanced) — the
+    scalable assignment (windows, no driver state)."""
+    scored = q_simjoin_pair_features(spark, sf_dir)
+    cands = scored.filter(F.col("prob") >= CFG.join_row_threshold)
+    return SJ.assign_topk(cands, CFG.max_matches_per_row).select("id_a", "id_b", "prob")
+
+
+def _oracle_matches_topk() -> str:
+    base = _oracle_pair_features()
+    return f"""
+WITH scored AS ({base}),
+cand AS (SELECT id_a, id_b, prob FROM scored WHERE prob >= {CFG.join_row_threshold}),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY id_a ORDER BY prob DESC, id_b) AS ra,
+    row_number() OVER (PARTITION BY id_b ORDER BY prob DESC, id_a) AS rb
+  FROM cand
+)
+SELECT id_a, id_b, prob FROM ranked
+WHERE ra <= {CFG.max_matches_per_row} AND rb <= {CFG.max_matches_per_row}
+"""
+
+
+def q_simjoin_full(spark, sf_dir):
+    """Full J1-J6 pass with exact greedy assignment and retention gate.
+    Greedy is sequential (reference join.py:724-767) — rows-only check."""
+    a, b = _sj_sides(spark, sf_dir)
+    joined, report = SJ.similarity_join(
+        a, b, "id_a", "id_b", CFG,
+        block1=F.floor(F.col("price") / 1000),
+        block2=F.floor(F.col("price") / 1000))
+    assert joined is not None, f"similarity join failed: {report}"
+    return joined.select("id_a", "id_b", "cust_x", "cust_y", "price_x", "price_y")
+
+
+def q_integrate_pipeline(spark, sf_dir):
+    """Full union->join->split orchestration over three API views:
+    two union-compatible customer frames + one orders frame (joins with
+    neither — no numeric-name overlap, grand-mean-padded features score
+    below threshold). Rows-only check (driver-side control flow)."""
+    a, b = _union_fixture(spark, sf_dir)
+    orders = Catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") < 200) \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    outputs, reports = integrate([a.filter(F.col("c_custkey") < 200),
+                                  b.filter(F.col("custkey") < 500200),
+                                  orders], CFG)
+    # stable summary: one row per output frame with row/col counts
+    rows = [(i, out.count(), len(out.columns)) for i, out in enumerate(outputs)]
+    return spark.createDataFrame(rows, ["output_idx", "n_rows", "n_cols"])
+
+
+INTEGRATION_QUERIES = {
+    "union_schema_match": q_union_schema_match,
+    "union_version_split": q_union_version_split,
+    "simjoin_pair_features": q_simjoin_pair_features,
+    "simjoin_matches_topk": q_simjoin_matches_topk,
+    "simjoin_full": q_simjoin_full,
+    "integrate_pipeline": q_integrate_pipeline,
+}
+
+INTEGRATION_ORACLES = {
+    "union_schema_match": ORACLE_UNION_SCHEMA_MATCH,
+    "union_version_split": ORACLE_UNION_VERSION_SPLIT,
+    "simjoin_pair_features": _oracle_pair_features(),
+    "simjoin_matches_topk": _oracle_matches_topk(),
+}
