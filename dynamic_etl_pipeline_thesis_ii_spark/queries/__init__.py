@@ -31,6 +31,10 @@ from dynamic_etl_pipeline_thesis_ii_spark.queries.integration_suite import (
     INTEGRATION_ORACLES,
     INTEGRATION_QUERIES,
 )
+from dynamic_etl_pipeline_thesis_ii_spark.queries.sources_suite import (
+    SOURCES_ORACLES,
+    SOURCES_QUERIES,
+)
 
 
 def all_queries():
@@ -40,6 +44,7 @@ def all_queries():
     out.update(CLEANING_QUERIES)
     out.update(DATAOPS_QUERIES)
     out.update(INTEGRATION_QUERIES)
+    out.update(SOURCES_QUERIES)
     return out
 
 
@@ -50,4 +55,5 @@ def all_oracles():
     out.update(CLEANING_ORACLES)
     out.update(DATAOPS_ORACLES)
     out.update(INTEGRATION_ORACLES)
+    out.update(SOURCES_ORACLES)
     return out

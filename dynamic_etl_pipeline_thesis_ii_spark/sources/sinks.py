@@ -1,0 +1,70 @@
+"""Sinks (reference S13–S15, SURVEY.md §2.1).
+
+The reference writes per-output CSVs (``validator/validator.py:507-566``)
+and SQLite tables with append/replace/fail modes + row-count verification
+(``transform/load.py:24-218``), plus per-run JSON artifact reports
+(``backend/app/services/pipeline_service.py:130-239``).
+
+Spark-first equivalents: parquet is the primary format (columnar,
+splittable, predicate-pushdown-able — CSV is offered for parity only);
+``if_exists`` maps onto Spark save modes; verification re-reads the
+written data lazily (a count, not a full materialization)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODES = {"append": "append", "replace": "overwrite", "fail": "error"}
+
+
+class SinkError(RuntimeError):
+    pass
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                if_exists: str = "replace", verify: bool = True,
+                partition_by: Optional[list[str]] = None) -> dict:
+    """Write one frame with reference ``if_exists`` semantics
+    (``transform/load.py:143-150``) and optional row-count verification
+    (``load.py:282-286``). Returns a load report dict."""
+    if if_exists not in _MODES:
+        raise SinkError(f"invalid if_exists: {if_exists!r} (append|replace|fail)")
+    t0 = time.perf_counter()
+    writer = df.write.mode(_MODES[if_exists]).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    report = {"path": path, "format": fmt, "mode": if_exists,
+              "elapsed_sec": round(time.perf_counter() - t0, 3)}
+    if verify:
+        reader = df.sparkSession.read
+        back = (reader.option("header", "true").csv(path) if fmt == "csv"
+                else reader.format(fmt).load(path))
+        report["rows_written"] = back.count()
+    return report
+
+
+def save_outputs(dfs: Iterable[DataFrame], out_dir: str, prefix: str = "result",
+                 fmt: str = "parquet") -> list[dict]:
+    """Per-output numbered sink (``validator/validator.py:507-566``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    return [write_table(df, os.path.join(out_dir, f"{prefix}_{i}"), fmt=fmt)
+            for i, df in enumerate(dfs)]
+
+
+def write_run_artifacts(out_dir: str, reports: dict) -> str:
+    """Per-run JSON artifact report
+    (``pipeline_service.py:130-239``): one ``report.json`` holding the
+    stage reports (validation/transformation/enrichment)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "report.json")
+    with open(path, "w") as f:
+        json.dump(reports, f, indent=2, default=str)
+    return path

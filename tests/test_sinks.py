@@ -1,0 +1,63 @@
+"""Sink semantics (reference transform/load.py, validator/validator.py:507-566)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dynamic_etl_pipeline_thesis_ii_spark.sources import sinks as S
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+
+
+def test_write_replace_and_verify(spark, small, tmp_path):
+    p = str(tmp_path / "t1")
+    rep = S.write_table(small, p, if_exists="replace")
+    assert rep["rows_written"] == 2
+    rep2 = S.write_table(small, p, if_exists="replace")
+    assert rep2["rows_written"] == 2  # replace, not append
+
+
+def test_write_append(spark, small, tmp_path):
+    p = str(tmp_path / "t2")
+    S.write_table(small, p, if_exists="append")
+    rep = S.write_table(small, p, if_exists="append")
+    assert rep["rows_written"] == 4
+
+
+def test_write_fail_mode(spark, small, tmp_path):
+    p = str(tmp_path / "t3")
+    S.write_table(small, p, if_exists="fail")
+    with pytest.raises(Exception):
+        S.write_table(small, p, if_exists="fail")
+
+
+def test_write_invalid_mode(spark, small, tmp_path):
+    with pytest.raises(S.SinkError):
+        S.write_table(small, str(tmp_path / "t4"), if_exists="upsert")
+
+
+def test_write_csv_roundtrip(spark, small, tmp_path):
+    p = str(tmp_path / "t5")
+    rep = S.write_table(small, p, fmt="csv")
+    assert rep["rows_written"] == 2
+
+
+def test_save_outputs_numbering(spark, small, tmp_path):
+    reports = S.save_outputs([small, small.limit(1)], str(tmp_path / "out"))
+    assert len(reports) == 2
+    assert reports[0]["path"].endswith("result_0")
+    assert reports[1]["rows_written"] == 1
+
+
+def test_run_artifacts(tmp_path):
+    path = S.write_run_artifacts(str(tmp_path / "run"), {"stage": "ok", "n": 3})
+    with open(path) as f:
+        data = json.load(f)
+    assert data == {"stage": "ok", "n": 3}
+    assert os.path.basename(path) == "report.json"
