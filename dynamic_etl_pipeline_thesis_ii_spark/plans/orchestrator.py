@@ -1,0 +1,238 @@
+"""Pipeline orchestrator (reference entry points A/B — SURVEY.md §3).
+
+``Pipeline.run(query)`` reproduces the reference's four-stage lifecycle
+(``pipeline.py:8-34``, ``backend/app/services/pipeline_service.py:100-280``)
+on Spark:
+
+1. **Plan**   — planner (rule-based default, LLM-pluggable) → typed
+   ExecutionPlan → semantic scoring → parameter validation.
+2. **Fetch**  — a pluggable ``Fetcher`` executes each request and
+   returns a DataFrame (the shipped ``FixtureFetcher`` synthesizes
+   deterministic API-shaped frames from the testdata tables — the
+   network client slot in an online deployment).
+3. **Integrate** — union/similarity-join orchestration
+   (:mod:`operators.integration`).
+4. **Transform** — cleaning + keyword->DSL enrichment per output.
+5. **Publish** — sinks + run-artifact report; per-stage progress
+   events via callback (the reference streams them over WebSocket).
+
+Everything between fetch and publish is LAZY — one Spark action per
+output at the sink, so Catalyst optimizes each output's whole pipeline
+as a single plan.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.config import EngineConfig
+from dynamic_etl_pipeline_thesis_ii_spark.functions.compiler import apply_features
+from dynamic_etl_pipeline_thesis_ii_spark.functions.dsl import validate_dsl
+from dynamic_etl_pipeline_thesis_ii_spark.functions.registry import FEATURE_REGISTRY
+from dynamic_etl_pipeline_thesis_ii_spark.operators.cleaning import clean_dataframe
+from dynamic_etl_pipeline_thesis_ii_spark.operators.integration import integrate
+from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import (
+    APIResult,
+    ExecutionPlan,
+    ExecutionResults,
+    PlannerResponse,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.plans.planner import (
+    RulePlanner,
+    SemanticValidator,
+    to_execution_plan,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.plans.validators import (
+    OutputValidator,
+    ParameterValidator,
+)
+
+ProgressFn = Callable[[str, dict], None]
+
+# X2 deterministic fallback: enrichment keyword -> default DSL params
+# (the reference's LLM translator fills the same defaults from its
+# prompt; transform/llm_translator.py:21-146)
+_DSL_DEFAULTS: dict[str, dict[str, Any]] = {
+    "sma": {"on": "close", "window": 20},
+    "ema": {"on": "close", "window": 20},
+    "rsi": {},
+    "macd": {},
+    "stoch": {},
+    "rolling_vol": {"on": "close", "window": 20},
+    "atr": {},
+    "bbands": {},
+    "obv": {},
+    "ret": {"on": "close"},
+    "zscore": {"on": "close", "window": 20},
+    "rolling_avg": {"on": "close", "window": 20},
+}
+
+
+def translate_keywords(keywords: list[str]) -> dict:
+    """Deterministic keyword->DSL translation (X2 fallback)."""
+    feats = [{"name": k, "params": dict(_DSL_DEFAULTS.get(k, {}))}
+             for k in keywords if k in FEATURE_REGISTRY["features"]]
+    return {"features": feats}
+
+
+class Fetcher(Protocol):
+    def fetch(self, request) -> DataFrame: ...
+
+
+class FixtureFetcher:
+    """Offline executor: deterministic API-shaped frames from the
+    testdata tables. Bars derive from `events` (value walk per ticker,
+    one row per date); indicators from daily event averages."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def _daily(self) -> DataFrame:
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+        ev = Catalog(self.spark, self.sf_dir).events
+        return (ev.groupBy(F.col("ts").cast("date").alias("timestamp"))
+                .agg(F.round(F.avg("value"), 4).alias("base"),
+                     F.sum("user_id").alias("vol")))
+
+    def fetch(self, request) -> DataFrame:
+        params = request.parameters
+        ticker = params.get("ticker") or params.get("symbol") or "ECON"
+        # per-ticker deterministic price offset so the two API sides of
+        # one ticker agree while tickers differ
+        offset = float(sum(ord(c) for c in ticker) % 97)
+        d = self._daily()
+        is_econ = (params.get("endpoint_type") == "economic_indicator"
+                   or request.endpoint_name in ("REAL_GDP", "CPI",
+                                                "FEDERAL_FUNDS_RATE"))
+        if is_econ:
+            return d.select("timestamp",
+                            F.round(F.col("base") / 10, 4).alias("value"))
+        noise = 0.0 if request.api_name == "polygon" else 0.0001
+        base = F.col("base") + F.lit(offset)
+        return d.select(
+            F.lit(ticker).alias("ticker"), "timestamp",
+            F.round(base * (1.0 + noise), 4).alias("open"),
+            F.round(base * (1.01 + noise), 4).alias("high"),
+            F.round(base * (0.99 - noise), 4).alias("low"),
+            F.round(base * (1.001 + noise), 4).alias("close"),
+            F.col("vol").cast("double").alias("volume"))
+
+
+class Pipeline:
+    """End-to-end engine driver with per-stage progress events."""
+
+    def __init__(self, spark: SparkSession, fetcher: Fetcher,
+                 cfg: Optional[EngineConfig] = None,
+                 planner=None, progress: Optional[ProgressFn] = None):
+        self.spark = spark
+        self.fetcher = fetcher
+        self.cfg = cfg or EngineConfig()
+        self.planner = planner or RulePlanner()
+        self.param_validator = ParameterValidator()
+        self.semantic_validator = SemanticValidator()
+        self.output_validator = OutputValidator()
+        self.progress = progress or (lambda stage, info: None)
+
+    # -- stage 1: plan -----------------------------------------------------
+    def plan(self, query: str) -> tuple[PlannerResponse, ExecutionPlan]:
+        resp = self.planner.analyze(query)
+        self.progress("plan", {"proceed": resp.proceed,
+                               "n_requests": len(resp.api_requests)})
+        if not resp.proceed:
+            return resp, ExecutionPlan()
+        plan = to_execution_plan(resp)
+        plan = self.semantic_validator.validate_plan(plan, resp.semantic_keywords)
+        plan = self.param_validator.validate_plan(plan)
+        self.progress("validate_plan", {
+            "statuses": [r.validation_status for r in plan.ranked_requests]})
+        return resp, plan
+
+    # -- stage 2: fetch ----------------------------------------------------
+    def execute(self, plan: ExecutionPlan) -> ExecutionResults:
+        t0 = time.perf_counter()
+        results, failed = [], []
+        for req in plan.ranked_requests:
+            if req.validation_status == "ERROR":
+                failed.append(req)
+                results.append(APIResult(req.api_name, req.endpoint_name,
+                                         "FAILED", used_parameters=req.parameters,
+                                         error_message="; ".join(req.validation_errors)))
+                continue
+            try:
+                df = self.fetcher.fetch(req)
+                results.append(APIResult(req.api_name, req.endpoint_name,
+                                         "SUCCESS", data=df,
+                                         used_parameters=req.parameters))
+            except Exception as exc:  # noqa: BLE001 — reference degrades per-request
+                failed.append(req)
+                results.append(APIResult(req.api_name, req.endpoint_name,
+                                         "FAILED", used_parameters=req.parameters,
+                                         error_message=str(exc)))
+        ok = sum(1 for r in results if r.status == "SUCCESS")
+        overall = ("COMPLETE" if ok == len(results) and results else
+                   "PARTIAL" if ok else "FAILED")
+        out = ExecutionResults(results=results, failed_requests=failed,
+                               overall_status=overall,
+                               execution_time_ms=int((time.perf_counter() - t0) * 1000))
+        self.progress("fetch", {"overall": overall, "ok": ok,
+                                "total": len(results)})
+        return out
+
+    # -- full run ----------------------------------------------------------
+    def run(self, query: str) -> dict:
+        resp, plan = self.plan(query)
+        if not resp.proceed:
+            return {"status": "rejected", "reason": "non-finance query",
+                    "outputs": [], "reports": {}}
+
+        execution = self.execute(plan)
+        frames = [r.data for r in execution.results if r.status == "SUCCESS"]
+        if not frames:
+            return {"status": "failed", "reason": "all requests failed",
+                    "outputs": [], "reports": {}}
+
+        val_reports = [self.output_validator.validate_dataset(
+            r.data, resp.features.native, r.api_name, r.endpoint_name,
+            r.used_parameters.get("ticker") or r.used_parameters.get("symbol"))
+            for r in execution.results if r.status == "SUCCESS"]
+        self.progress("validate_output", {
+            "passed": sum(1 for v in val_reports if v.validation_passed),
+            "total": len(val_reports)})
+
+        outputs, integration_ops = integrate(frames, self.cfg)
+        self.progress("integrate", {"n_groups": len(outputs)})
+
+        dsl = translate_keywords(resp.features.enrichment)
+        dsl, dsl_errors = validate_dsl(dsl, FEATURE_REGISTRY)
+        transformed = []
+        transform_reports = []
+        for i, out in enumerate(outputs):
+            cleaned, clean_report = clean_dataframe(out)
+            if dsl and dsl["features"]:
+                cleaned = apply_features(cleaned, dsl, entity_col="ticker",
+                                         ts_col="timestamp")
+            transformed.append(cleaned)
+            transform_reports.append(clean_report)
+        self.progress("transform", {"n_outputs": len(transformed),
+                                    "dsl_errors": dsl_errors or []})
+
+        return {
+            "status": "complete",
+            "outputs": transformed,
+            "reports": {
+                "plan": {"tickers": resp.tickers,
+                         "enrichment": resp.features.enrichment,
+                         "statuses": [r.validation_status
+                                      for r in plan.ranked_requests]},
+                "execution": {"overall": execution.overall_status,
+                              "time_ms": execution.execution_time_ms},
+                "output_validation": [v.__dict__ for v in val_reports],
+                "integration": integration_ops,
+                "transform": transform_reports,
+            },
+        }

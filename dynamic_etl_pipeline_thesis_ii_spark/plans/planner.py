@@ -1,0 +1,199 @@
+"""Deterministic rule-based planner (reference Q1,
+``LLM_Ingestor/query_analyzer.py``).
+
+The reference routes natural-language queries with an LLM whose prompt
+encodes deterministic routing rules (both-APIs-for-stock, quarterly
+default for fundamentals, 30-day default window, economic-keyword
+routing). This planner implements those RULES directly, so the engine is
+fully testable offline; an LLM planner can be plugged in behind the same
+``Planner`` protocol and must emit the same ``PlannerResponse`` contract.
+
+Also here: Q3's semantic plan validation — the reference scores
+cosine(MiniLM(query keywords), MiniLM(endpoint description)) with a 0.7
+threshold, emitting non-blocking WARNINGs (``endpoint_validator.py``).
+Our default scorer is a deterministic token-overlap similarity with a
+pluggable embedding hook.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional, Protocol
+
+from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import (
+    APIRequest,
+    ExecutionPlan,
+    FeatureSpec,
+    PlannedRequest,
+    PlannerResponse,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.plans.registry import registry
+
+# common English words that look like tickers
+_NOT_TICKERS = {
+    "A", "I", "THE", "AND", "OR", "FOR", "WITH", "LAST", "DAYS", "DAY",
+    "GET", "SHOW", "ME", "OF", "TO", "FROM", "IN", "ON", "VS", "US",
+    "GDP", "CPI", "EPS", "PE", "ETF", "IPO", "OHLCV", "SMA", "EMA",
+    "RSI", "MACD", "ATR", "OBV", "API", "YOY", "QOQ",
+}
+
+_TICKER_RE = re.compile(r"\$?\b([A-Z]{1,5})\b")
+_DATE_RE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
+
+# enrichment keyword -> feature-registry name (transform/registry.yaml names)
+ENRICHMENT_KEYWORDS = {
+    "sma": "sma", "moving average": "sma", "ema": "ema", "macd": "macd",
+    "rsi": "rsi", "stochastic": "stoch", "volatility": "rolling_vol",
+    "atr": "atr", "bollinger": "bbands", "obv": "obv", "return": "ret",
+    "returns": "ret", "lag": "lag", "z-score": "zscore", "zscore": "zscore",
+    "momentum": "earnings_momentum", "yoy": "yoy_growth",
+    "qoq": "qoq_growth", "margin": "net_margin",
+    "current ratio": "current_ratio", "free cash flow": "free_cash_flow",
+}
+
+_ECONOMIC = [
+    (("treasury", "yield curve"), ("polygon", "TREASURY_YIELD")),
+    (("inflation",), ("polygon", "INFLATION")),
+    (("cpi", "consumer price"), ("alpha_vantage", "CPI")),
+    (("gdp",), ("alpha_vantage", "REAL_GDP")),
+    (("fed funds", "federal funds"), ("alpha_vantage", "FEDERAL_FUNDS_RATE")),
+]
+
+_FUNDAMENTAL = [
+    (("income statement", "revenue", "net income"), "INCOME_STATEMENT"),
+    (("balance sheet", "assets", "liabilities"), "BALANCE_SHEET"),
+    (("cash flow",), "CASH_FLOW"),
+    (("earnings", "eps", "surprise"), "EARNINGS"),
+]
+
+_FINANCE_HINTS = (
+    "stock", "price", "bar", "ohlc", "ticker", "share", "market",
+    "trading", "volume", "close", "open",
+)
+
+
+class Planner(Protocol):
+    def analyze(self, query: str) -> PlannerResponse: ...
+
+
+class RulePlanner:
+    """Deterministic keyword/regex router."""
+
+    def __init__(self, reg=registry):
+        self.registry = reg
+
+    def analyze(self, query: str) -> PlannerResponse:
+        q = query.strip()
+        ql = q.lower()
+        tickers = [t for t in _TICKER_RE.findall(q) if t not in _NOT_TICKERS]
+        tickers = list(dict.fromkeys(tickers))
+        dates = _DATE_RE.findall(q)
+
+        enrichment = [feat for kw, feat in ENRICHMENT_KEYWORDS.items()
+                      if kw in ql]
+        enrichment = list(dict.fromkeys(enrichment))
+
+        requests: list[PlannedRequest] = []
+        keywords: list[str] = []
+
+        # economic indicators (no ticker needed)
+        for kws, (api, ep) in _ECONOMIC:
+            if any(k in ql for k in kws):
+                requests.append(PlannedRequest(
+                    api, ep, {}, reasoning=f"economic keyword {kws[0]!r}"))
+                keywords.append(kws[0])
+
+        # fundamentals / earnings per ticker
+        fundamental_eps = [ep for kws, ep in _FUNDAMENTAL
+                           if any(k in ql for k in kws)]
+        for ticker in tickers:
+            for ep in fundamental_eps:
+                requests.append(PlannedRequest(
+                    "alpha_vantage", ep, {"ticker": ticker},
+                    reasoning="fundamental keyword"))
+        if fundamental_eps:
+            keywords.extend(ep.lower() for ep in fundamental_eps)
+
+        # stock bars: the reference's both-APIs rule — every bar request
+        # is routed to polygon AND alpha_vantage so the integration
+        # stage can reconcile the two (query_analyzer.py routing rules)
+        wants_bars = bool(tickers) and (
+            not fundamental_eps or any(h in ql for h in _FINANCE_HINTS))
+        if wants_bars:
+            params: dict = {}
+            if len(dates) >= 1:
+                params["from"] = dates[0]
+            if len(dates) >= 2:
+                params["to"] = dates[1]
+            timespan = ("week" if "weekly" in ql else
+                        "month" if "monthly" in ql else
+                        "minute" if "intraday" in ql else "day")
+            av_ep = ("TIME_SERIES_WEEKLY" if timespan == "week" else
+                     "TIME_SERIES_MONTHLY" if timespan == "month" else
+                     "TIME_SERIES_INTRADAY" if timespan == "minute" else
+                     "TIME_SERIES_DAILY")
+            for ticker in tickers:
+                requests.append(PlannedRequest(
+                    "polygon", "get_aggs",
+                    {"ticker": ticker, "timespan": timespan, **params},
+                    reasoning="stock bars (polygon side)"))
+                requests.append(PlannedRequest(
+                    "alpha_vantage", av_ep, {"ticker": ticker, **params},
+                    reasoning="stock bars (alpha_vantage side)"))
+            keywords.append("stock bars")
+
+        proceed = bool(requests)
+        return PlannerResponse(
+            proceed=proceed,
+            features=FeatureSpec(
+                native=(["open", "high", "low", "close", "volume"]
+                        if wants_bars else
+                        ["value"] if any(r.api_name for r in requests) else []),
+                enrichment=enrichment),
+            semantic_keywords=keywords or ([ql] if proceed else []),
+            api_requests=requests,
+            tickers=tickers)
+
+
+def to_execution_plan(resp: PlannerResponse) -> ExecutionPlan:
+    """PlannerResponse -> ExecutionPlan (``ingestor.py:174-184``)."""
+    return ExecutionPlan(ranked_requests=[
+        APIRequest(api_name=r.api_name, endpoint_name=r.endpoint_name,
+                   parameters=dict(r.parameters))
+        for r in resp.api_requests])
+
+
+def token_similarity(a: str, b: str) -> float:
+    """Deterministic stand-in for embedding cosine: Jaccard over word
+    sets (pluggable — swap for a real encoder via SemanticValidator)."""
+    ta, tb = set(re.findall(r"[a-z]+", a.lower())), set(re.findall(r"[a-z]+", b.lower()))
+    if not ta or not tb:
+        return 0.0
+    return len(ta & tb) / len(ta | tb)
+
+
+class SemanticValidator:
+    """Q3: score keywords vs endpoint description; below-threshold =>
+    non-blocking WARNING (``endpoint_validator.py:34-88``)."""
+
+    def __init__(self, reg=registry, threshold: float = 0.2,
+                 scorer: Optional[Callable[[str, str], float]] = None):
+        self.registry = reg
+        self.threshold = threshold
+        self.scorer = scorer or token_similarity
+
+    def validate_plan(self, plan: ExecutionPlan, keywords: list[str]
+                      ) -> ExecutionPlan:
+        text = " ".join(keywords)
+        for req in plan.ranked_requests:
+            spec = self.registry.get_endpoint_spec(req.api_name, req.endpoint_name)
+            if spec is None:
+                continue
+            score = self.scorer(text, spec.description)
+            req.semantic_score = round(score, 4)
+            if score < self.threshold:
+                req.validation_warnings.append(
+                    f"semantic score {score:.2f} below {self.threshold}")
+                if req.validation_status == "PENDING":
+                    req.validation_status = "WARNING"
+        return plan

@@ -1,0 +1,216 @@
+"""Typed endpoint registry (reference ``LLM_Ingestor/api_registry.py``).
+
+The registry is the engine's *query surface contract*: every routable
+endpoint declares its parameter schemas (type, aliases, valid values,
+defaults, format, range), a data category, and the features its frames
+carry. The planner routes against the compact manifest; the parameter
+validator enforces the schemas; the reverse index answers
+"which endpoints produce feature X".
+
+Endpoint selection mirrors the reference's two providers
+(``api_registry.py:65-1338``) with a representative subset per data
+category — the machinery (not the full 40-endpoint census) is the
+capability being reproduced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Optional
+
+
+class ParameterType(str, Enum):
+    STRING = "string"
+    INTEGER = "integer"
+    FLOAT = "float"
+    DATE = "date"
+    ENUM = "enum"
+    BOOLEAN = "boolean"
+
+
+@dataclass
+class ParameterSchema:
+    name: str
+    type: ParameterType
+    required: bool = False
+    aliases: list[str] = field(default_factory=list)
+    valid_values: Optional[list[str]] = None
+    default_value: Any = None
+    format: Optional[str] = None
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    description: str = ""
+
+
+@dataclass
+class EndpointSpec:
+    name: str
+    description: str
+    data_category: str  # stock_bars | snapshot | economic_indicator | fundamental | earnings
+    parameters: list[ParameterSchema] = field(default_factory=list)
+    provides: list[str] = field(default_factory=list)  # canonical feature names
+
+
+@dataclass
+class APISpec:
+    name: str
+    endpoints: dict[str, EndpointSpec] = field(default_factory=dict)
+
+    def add(self, ep: EndpointSpec) -> None:
+        self.endpoints[ep.name] = ep
+
+
+def _ticker(required: bool = True) -> ParameterSchema:
+    return ParameterSchema("ticker", ParameterType.STRING, required=required,
+                           aliases=["symbol"], description="instrument symbol")
+
+
+def _date_param(name: str, required: bool = False) -> ParameterSchema:
+    return ParameterSchema(name, ParameterType.DATE, required=required,
+                           format="YYYY-MM-DD")
+
+
+OHLCV = ["open", "high", "low", "close", "volume"]
+
+
+def _build_polygon() -> APISpec:
+    api = APISpec("polygon")
+    api.add(EndpointSpec(
+        "get_aggs", "aggregate OHLCV bars for a ticker over a date range",
+        "stock_bars",
+        [_ticker(),
+         ParameterSchema("multiplier", ParameterType.INTEGER, required=True,
+                         default_value=1),
+         ParameterSchema("timespan", ParameterType.ENUM, required=True,
+                         default_value="day",
+                         valid_values=["minute", "hour", "day", "week",
+                                       "month", "quarter", "year"]),
+         _date_param("from"), _date_param("to"),
+         ParameterSchema("limit", ParameterType.INTEGER, min_value=1,
+                         max_value=50000)],
+        OHLCV + ["vwap", "transactions"]))
+    api.add(EndpointSpec(
+        "get_previous_close_agg", "previous trading day OHLCV for a ticker",
+        "stock_bars", [_ticker()], OHLCV + ["vwap"]))
+    api.add(EndpointSpec(
+        "get_grouped_daily_aggs", "one day of OHLCV for every ticker",
+        "stock_bars", [_date_param("date", required=True)], OHLCV))
+    api.add(EndpointSpec(
+        "SNAPSHOT_TICKER", "latest day snapshot for one ticker",
+        "snapshot", [_ticker()], OHLCV + ["vwap", "prev_close"]))
+    api.add(EndpointSpec(
+        "FULL_MARKET_SNAPSHOT", "latest snapshot for all tickers",
+        "snapshot", [], OHLCV + ["vwap", "prev_close"]))
+    api.add(EndpointSpec(
+        "TREASURY_YIELD", "US treasury yield curve time series",
+        "economic_indicator",
+        [ParameterSchema("maturity", ParameterType.ENUM, default_value="10year",
+                         valid_values=["3month", "2year", "5year", "7year",
+                                       "10year", "30year"]),
+         ParameterSchema("limit", ParameterType.INTEGER),
+         ParameterSchema("sort", ParameterType.STRING)],
+        ["value"]))
+    api.add(EndpointSpec(
+        "INFLATION", "US inflation rate time series", "economic_indicator",
+        [ParameterSchema("limit", ParameterType.INTEGER),
+         ParameterSchema("sort", ParameterType.STRING)],
+        ["value"]))
+    return api
+
+
+def _build_alpha_vantage() -> APISpec:
+    api = APISpec("alpha_vantage")
+    api.add(EndpointSpec(
+        "TIME_SERIES_DAILY", "daily OHLCV time series", "stock_bars",
+        [_ticker(),
+         ParameterSchema("outputsize", ParameterType.ENUM, default_value="compact",
+                         valid_values=["compact", "full"])],
+        OHLCV))
+    api.add(EndpointSpec(
+        "TIME_SERIES_DAILY_ADJUSTED", "daily adjusted OHLCV", "stock_bars",
+        [_ticker()],
+        OHLCV + ["adjusted_close", "dividend_amount", "split_coefficient"]))
+    api.add(EndpointSpec(
+        "TIME_SERIES_INTRADAY", "intraday OHLCV bars", "stock_bars",
+        [_ticker(),
+         ParameterSchema("interval", ParameterType.ENUM, default_value="5min",
+                         aliases=["timespan"],
+                         valid_values=["1min", "5min", "15min", "30min", "60min"])],
+        OHLCV))
+    api.add(EndpointSpec(
+        "TIME_SERIES_WEEKLY", "weekly OHLCV time series", "stock_bars",
+        [_ticker()], OHLCV))
+    api.add(EndpointSpec(
+        "TIME_SERIES_MONTHLY", "monthly OHLCV time series", "stock_bars",
+        [_ticker()], OHLCV))
+    for name, desc in [("INCOME_STATEMENT", "annual and quarterly income statements"),
+                       ("BALANCE_SHEET", "annual and quarterly balance sheets"),
+                       ("CASH_FLOW", "annual and quarterly cash flow statements")]:
+        api.add(EndpointSpec(name, desc, "fundamental", [_ticker()],
+                             [name.lower() + "_*"]))
+    api.add(EndpointSpec(
+        "EARNINGS", "quarterly and annual EPS history with surprises",
+        "earnings", [_ticker()],
+        ["earnings_reportedEPS", "earnings_estimatedEPS", "earnings_surprise",
+         "earnings_surprisePercentage"]))
+    api.add(EndpointSpec(
+        "OVERVIEW", "company profile and key ratios", "fundamental",
+        [_ticker()], ["MarketCapitalization", "PERatio", "EPS"]))
+    api.add(EndpointSpec(
+        "REAL_GDP", "real US GDP series", "economic_indicator",
+        [ParameterSchema("interval", ParameterType.ENUM, default_value="annual",
+                         valid_values=["annual", "quarterly"])],
+        ["value"]))
+    api.add(EndpointSpec(
+        "CPI", "consumer price index series", "economic_indicator",
+        [ParameterSchema("interval", ParameterType.ENUM, default_value="monthly",
+                         valid_values=["monthly", "semiannual"])],
+        ["value"]))
+    api.add(EndpointSpec(
+        "FEDERAL_FUNDS_RATE", "federal funds rate series", "economic_indicator",
+        [ParameterSchema("interval", ParameterType.ENUM, default_value="monthly",
+                         valid_values=["daily", "weekly", "monthly"])],
+        ["value"]))
+    return api
+
+
+class EndpointRegistry:
+    """Lookup + manifest + reverse feature index
+    (``api_registry.py:1345-1449``)."""
+
+    def __init__(self) -> None:
+        self.apis: dict[str, APISpec] = {
+            a.name: a for a in (_build_polygon(), _build_alpha_vantage())}
+        self._feature_index: dict[str, list[tuple[str, str]]] = {}
+        for api in self.apis.values():
+            for ep in api.endpoints.values():
+                for feat in ep.provides:
+                    self._feature_index.setdefault(feat, []).append((api.name, ep.name))
+
+    def get_endpoint_spec(self, api_name: str, endpoint_name: str
+                          ) -> Optional[EndpointSpec]:
+        api = self.apis.get(api_name)
+        return api.endpoints.get(endpoint_name) if api else None
+
+    def endpoints_for_feature(self, feature: str) -> list[tuple[str, str]]:
+        return list(self._feature_index.get(feature, []))
+
+    def by_category(self, category: str) -> list[tuple[str, str]]:
+        return [(a.name, e.name) for a in self.apis.values()
+                for e in a.endpoints.values() if e.data_category == category]
+
+    def manifest(self) -> list[dict]:
+        """Compact description for a planner prompt (LLM or rule-based)."""
+        return [{
+            "api": a.name, "endpoint": e.name, "category": e.data_category,
+            "description": e.description,
+            "parameters": [{
+                "name": p.name, "type": p.type.value, "required": p.required,
+                **({"values": p.valid_values} if p.valid_values else {}),
+                **({"default": p.default_value} if p.default_value is not None else {}),
+            } for p in e.parameters],
+        } for a in self.apis.values() for e in a.endpoints.values()]
+
+
+registry = EndpointRegistry()

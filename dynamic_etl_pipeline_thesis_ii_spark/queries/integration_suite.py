@@ -212,7 +212,25 @@ def q_integrate_pipeline(spark, sf_dir):
     return spark.createDataFrame(rows, ["output_idx", "n_rows", "n_cols"])
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """Full NL-query lifecycle: rule planner -> typed plan -> parameter
+    validation -> offline fetch -> union integration -> clean -> DSL
+    enrichment. Rows-only check (LLM-free deterministic run of the
+    reference's entry-point-B flow, pipeline.py:8-34)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    result = pipe.run("Get AAPL daily stock prices with 20-day SMA and RSI")
+    assert result["status"] == "complete", result
+    out = result["outputs"][0]
+    return out.select("ticker", "timestamp", "close", "sma_close_20",
+                      "rsi_close_14")
+
+
 INTEGRATION_QUERIES = {
+    "pipeline_e2e": q_pipeline_e2e,
     "union_schema_match": q_union_schema_match,
     "union_version_split": q_union_version_split,
     "simjoin_pair_features": q_simjoin_pair_features,

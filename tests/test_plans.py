@@ -1,0 +1,241 @@
+"""Planner-rim tests (reference ``LLM_Ingestor/test.py`` routing cases,
+parameter/output validation, end-to-end pipeline run)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import APIRequest, ExecutionPlan
+from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+    FixtureFetcher,
+    Pipeline,
+    translate_keywords,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.plans.planner import (
+    RulePlanner,
+    SemanticValidator,
+    to_execution_plan,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.plans.registry import registry
+from dynamic_etl_pipeline_thesis_ii_spark.plans.validators import (
+    OutputValidator,
+    ParameterValidator,
+)
+
+P = RulePlanner()
+
+
+# ---------------------------------------------------------------------------
+# routing (Q1)
+# ---------------------------------------------------------------------------
+
+def _endpoints(resp):
+    return {(r.api_name, r.endpoint_name) for r in resp.api_requests}
+
+
+def test_route_stock_bars_both_apis():
+    resp = P.analyze("Get AAPL daily stock prices for the last month")
+    assert resp.proceed and resp.tickers == ["AAPL"]
+    assert ("polygon", "get_aggs") in _endpoints(resp)
+    assert ("alpha_vantage", "TIME_SERIES_DAILY") in _endpoints(resp)
+
+
+def test_route_multiple_tickers():
+    resp = P.analyze("Compare MSFT and GOOG stock close")
+    assert set(resp.tickers) == {"MSFT", "GOOG"}
+    assert len([r for r in resp.api_requests
+                if r.endpoint_name == "get_aggs"]) == 2
+
+
+def test_route_weekly_frequency():
+    resp = P.analyze("TSLA weekly stock bars")
+    assert ("alpha_vantage", "TIME_SERIES_WEEKLY") in _endpoints(resp)
+    aggs = [r for r in resp.api_requests if r.endpoint_name == "get_aggs"]
+    assert aggs[0].parameters["timespan"] == "week"
+
+
+def test_route_date_range():
+    resp = P.analyze("IBM stock from 2024-01-05 to 2024-01-25")
+    aggs = [r for r in resp.api_requests if r.endpoint_name == "get_aggs"][0]
+    assert aggs.parameters["from"] == "2024-01-05"
+    assert aggs.parameters["to"] == "2024-01-25"
+
+
+def test_route_economic_no_ticker():
+    resp = P.analyze("Show me US inflation and treasury yields")
+    assert ("polygon", "INFLATION") in _endpoints(resp)
+    assert ("polygon", "TREASURY_YIELD") in _endpoints(resp)
+    assert resp.tickers == []
+
+
+def test_route_fundamentals():
+    resp = P.analyze("AMZN balance sheet and income statement")
+    eps = _endpoints(resp)
+    assert ("alpha_vantage", "BALANCE_SHEET") in eps
+    assert ("alpha_vantage", "INCOME_STATEMENT") in eps
+
+
+def test_route_enrichment_keywords():
+    resp = P.analyze("NVDA stock with 20-day SMA, RSI and bollinger bands")
+    assert {"sma", "rsi", "bbands"} <= set(resp.features.enrichment)
+
+
+def test_route_non_finance_rejected():
+    resp = P.analyze("what is the capital of france")
+    assert not resp.proceed and resp.api_requests == []
+
+
+# ---------------------------------------------------------------------------
+# parameter validation (Q4)
+# ---------------------------------------------------------------------------
+
+def _validate_one(api, ep, params, today=date(2024, 6, 1)):
+    v = ParameterValidator(today=today)
+    return v.validate_request(APIRequest(api, ep, params))
+
+
+def test_param_unknown_endpoint():
+    req = _validate_one("polygon", "NOPE", {})
+    assert req.validation_status == "ERROR"
+
+
+def test_param_default_filling():
+    req = _validate_one("polygon", "get_aggs", {"ticker": "AAPL"})
+    assert req.parameters["timespan"] == "day"
+    assert req.parameters["multiplier"] == 1
+    assert req.validation_status == "WARNING"  # defaults noted
+
+
+def test_param_future_date_clamped():
+    req = _validate_one("polygon", "get_aggs",
+                        {"ticker": "AAPL", "from": "2099-01-01"})
+    assert req.parameters["from"] == "2024-06-01"
+    assert any("future" in w for w in req.validation_warnings)
+
+
+def test_param_bad_date_error():
+    req = _validate_one("polygon", "get_aggs",
+                        {"ticker": "AAPL", "from": "01/02/2024"})
+    assert req.validation_status == "ERROR"
+
+
+def test_param_enum_check():
+    req = _validate_one("alpha_vantage", "TIME_SERIES_INTRADAY",
+                        {"ticker": "AAPL", "interval": "7min"})
+    assert req.validation_status == "ERROR"
+
+
+def test_param_polygon_enrichment():
+    req = _validate_one("polygon", "get_aggs",
+                        {"ticker": "AAPL", "date": "2024-01-05"})
+    assert req.parameters["endpoint_type"] == 0
+    assert req.parameters["from"] == "2024-01-05"
+
+
+def test_param_polygon_economic_enrichment():
+    req = _validate_one("polygon", "TREASURY_YIELD", {"sort": "asc"})
+    assert req.parameters["endpoint_type"] == "economic_indicator"
+    assert req.parameters["indicator"] == "TREASURY_YIELD"
+    assert req.parameters["limit"] == 30
+    assert req.parameters["sort"] == "date.asc"
+
+
+def test_param_av_enrichment():
+    req = _validate_one("alpha_vantage", "TIME_SERIES_INTRADAY",
+                        {"ticker": "MSFT", "timespan": "15min"})
+    assert req.parameters["function"] == "TIME_SERIES_INTRADAY"
+    assert req.parameters["symbol"] == "MSFT"
+    assert req.parameters["interval"] == "15min"
+
+
+# ---------------------------------------------------------------------------
+# semantic scoring (Q3)
+# ---------------------------------------------------------------------------
+
+def test_semantic_warning_nonblocking():
+    plan = ExecutionPlan([APIRequest("polygon", "TREASURY_YIELD", {})])
+    out = SemanticValidator().validate_plan(plan, ["chocolate recipes"])
+    req = out.ranked_requests[0]
+    assert req.semantic_score == 0.0
+    assert req.validation_status == "WARNING"
+    assert req.validation_warnings
+
+
+def test_semantic_match_passes():
+    plan = ExecutionPlan([APIRequest("polygon", "TREASURY_YIELD", {})])
+    out = SemanticValidator().validate_plan(plan, ["treasury yield"])
+    assert out.ranked_requests[0].semantic_score > 0.2
+
+
+# ---------------------------------------------------------------------------
+# output validation (Q5)
+# ---------------------------------------------------------------------------
+
+def test_output_exact_alias_fuzzy_missing():
+    ov = OutputValidator()
+    rep = ov.validate_columns(
+        ["Open Price", "h", "closes", "volume"],
+        ["open", "high", "close", "volume", "vwap"],
+        "polygon", "get_aggs", "AAPL")
+    assert "volume" in rep.found_features
+    assert "high" in rep.found_features          # alias 'h'
+    assert any(f["feature"] == "close" for f in rep.fuzzy_matched_features)
+    assert "vwap" in rep.missing_features
+    assert not rep.validation_passed
+
+
+def test_output_empty_columns():
+    rep = OutputValidator().validate_columns([], ["open"], "p", "e")
+    assert rep.missing_features == ["open"] and not rep.validation_passed
+
+
+# ---------------------------------------------------------------------------
+# registry surface (Q2)
+# ---------------------------------------------------------------------------
+
+def test_registry_lookup_and_manifest():
+    assert registry.get_endpoint_spec("polygon", "get_aggs") is not None
+    assert registry.get_endpoint_spec("polygon", "nope") is None
+    man = registry.manifest()
+    assert any(m["endpoint"] == "TIME_SERIES_DAILY" for m in man)
+    assert ("polygon", "get_aggs") in registry.endpoints_for_feature("vwap") or \
+           ("polygon", "get_aggs") in registry.endpoints_for_feature("open")
+    assert len(registry.by_category("economic_indicator")) >= 4
+
+
+def test_translate_keywords_dsl():
+    dsl = translate_keywords(["sma", "rsi", "unknown_thing"])
+    names = [f["name"] for f in dsl["features"]]
+    assert names == ["sma", "rsi"]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline (offline fetcher)
+# ---------------------------------------------------------------------------
+
+def test_pipeline_end_to_end(spark, sf_dir):
+    events = []
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir),
+                    progress=lambda stage, info: events.append(stage))
+    result = pipe.run("Get AAPL daily stock prices with 20-day SMA and RSI")
+    assert result["status"] == "complete"
+    assert events[:2] == ["plan", "validate_plan"]
+    assert "integrate" in events and "transform" in events
+    outputs = result["outputs"]
+    assert len(outputs) >= 1
+    df = outputs[0]
+    cols = df.columns
+    assert "sma_close_20" in cols and "rsi_close_14" in cols
+    rows = df.orderBy("timestamp").collect()
+    assert len(rows) >= 25
+    # SMA null for the first 19 rows, populated after
+    assert rows[0]["sma_close_20"] is None
+    assert rows[-1]["sma_close_20"] is not None
+
+
+def test_pipeline_rejects_non_finance(spark, sf_dir):
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    result = pipe.run("bake me a cake")
+    assert result["status"] == "rejected"
