@@ -1,0 +1,138 @@
+"""Streaming operators: windowed OHLCV rollup, stateful dedup,
+sessionization (SURVEY.md §2.9 — a capability extension; the reference
+has no data-plane streaming).
+
+Design: streams carry the same canonical bar/event schemas as the batch
+engine; every operator is expressed on the streaming DataFrame API so
+the SAME code path (Catalyst incrementalization) handles both. Event
+time + watermark bound state; all aggregations are partial-aggregatable
+(min/max/sum/count/min_by/max_by), so state per (key, window) is O(1)
+regardless of input volume — the property that keeps a 100 TB/day
+stream's state bounded.
+
+Testing uses file sources + ``trigger(availableNow)`` — deterministic,
+no timing races (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TICK_SCHEMA = StructType([
+    StructField("ticker", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("price", DoubleType()),
+    StructField("size", LongType()),
+])
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def read_tick_stream(spark: SparkSession, path: str,
+                     fmt: str = "json",
+                     schema: StructType = TICK_SCHEMA,
+                     max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """File-based tick stream (the production slot for Kafka/Kinesis —
+    swap ``format``; the downstream operators are source-agnostic)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_ohlcv(ticks: DataFrame, window: str = "1 hour",
+                   watermark: str = "2 hours",
+                   ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window OHLCV rollup with late-data handling.
+
+    open/close come from ``min_by``/``max_by`` on event time — partial
+    aggregatable, so map-side combine applies and per-window state stays
+    constant-size. The watermark drops events later than its horizon and
+    lets completed windows emit + evict."""
+    w = ticks.withWatermark(ts_col, watermark)
+    return (w.groupBy(F.window(ts_col, window).alias("win"), "ticker")
+            .agg(F.min_by("price", ts_col).alias("open"),
+                 F.max("price").alias("high"),
+                 F.min("price").alias("low"),
+                 F.max_by("price", ts_col).alias("close"),
+                 F.sum("size").alias("volume"),
+                 F.count(F.lit(1)).alias("ticks"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "ticker", "open", "high", "low", "close",
+                    "volume", "ticks"))
+
+
+def sliding_vwap(ticks: DataFrame, window: str = "1 hour",
+                 slide: str = "15 minutes", watermark: str = "2 hours",
+                 ts_col: str = "ts") -> DataFrame:
+    """Sliding-window VWAP: overlapping windows, one state entry per
+    (ticker, window) — sliding windows multiply state by
+    window/slide, which the watermark still bounds."""
+    w = ticks.withWatermark(ts_col, watermark)
+    return (w.groupBy(F.window(ts_col, window, slide).alias("win"), "ticker")
+            .agg((F.sum(F.col("price") * F.col("size"))
+                  / F.sum("size")).alias("vwap"),
+                 F.sum("size").alias("volume"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "ticker", F.round("vwap", 6).alias("vwap"), "volume"))
+
+
+def stateful_dedup(events: DataFrame, keys: list[str],
+                   watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Exactly-once-per-key dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` evicts seen-keys older than the
+    watermark horizon, so state never grows unboundedly (the batch
+    engine's exact dedup A5, made streamable)."""
+    return events.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "1 hour", ts_col: str = "ts",
+                    key: str = "user_id") -> DataFrame:
+    """Session windows (dynamic-gap sessionization): a session closes
+    after ``gap`` of inactivity per key. Native ``session_window`` —
+    state merges adjacent events server-side, no Python."""
+    w = events.withWatermark(ts_col, watermark)
+    return (w.groupBy(F.session_window(ts_col, gap).alias("win"), key)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    key, "n_events", "total_value"))
+
+
+def run_available_now(stream: DataFrame, query_name: str,
+                      output_mode: str = "append",
+                      checkpoint_dir: Optional[str] = None):
+    """Drain everything currently available into an in-memory table and
+    stop — deterministic test/batch-backfill execution of a streaming
+    plan (Trigger.AvailableNow preserves watermark semantics across
+    restarts, unlike the deprecated Trigger.Once)."""
+    writer = (stream.writeStream.format("memory")
+              .queryName(query_name).outputMode(output_mode)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,117 @@
+"""Streaming operator tests: file source + availableNow trigger =
+deterministic; every streaming result is cross-checked against the
+equivalent batch computation on the same data."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.streaming import ops as S
+
+
+def _write_json(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def tick_dir(tmp_path):
+    rows = []
+    for m, (price, size) in enumerate([(10.0, 5), (11.0, 3), (9.5, 2),
+                                       (10.5, 4), (12.0, 1), (8.0, 6)]):
+        rows.append({"ticker": "AAPL", "ts": f"2024-01-01T10:{m:02d}:00.000Z",
+                     "price": price, "size": size})
+    # second hour + second ticker
+    rows.append({"ticker": "AAPL", "ts": "2024-01-01T11:30:00.000Z",
+                 "price": 20.0, "size": 7})
+    rows.append({"ticker": "MSFT", "ts": "2024-01-01T10:15:00.000Z",
+                 "price": 100.0, "size": 10})
+    d = str(tmp_path / "ticks")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    return d
+
+
+def test_windowed_ohlcv(spark, tick_dir):
+    stream = S.read_tick_stream(spark, tick_dir)
+    assert stream.isStreaming
+    out = S.windowed_ohlcv(stream, window="1 hour", watermark="2 hours")
+    S.run_available_now(out, "ohlcv_test", output_mode="complete")
+    got = {(r["ticker"], r["window_start"].hour): r
+           for r in spark.table("ohlcv_test").collect()}
+    aapl10 = got[("AAPL", 10)]
+    assert aapl10["open"] == 10.0   # earliest tick
+    assert aapl10["close"] == 8.0   # latest tick
+    assert aapl10["high"] == 12.0 and aapl10["low"] == 8.0
+    assert aapl10["volume"] == 21 and aapl10["ticks"] == 6
+    assert got[("AAPL", 11)]["open"] == 20.0
+    assert got[("MSFT", 10)]["volume"] == 10
+
+
+def test_sliding_vwap_matches_batch(spark, tick_dir):
+    stream = S.read_tick_stream(spark, tick_dir)
+    out = S.sliding_vwap(stream, window="1 hour", slide="30 minutes")
+    S.run_available_now(out, "vwap_test", output_mode="complete")
+    got = spark.table("vwap_test")
+    batch = spark.read.schema(S.TICK_SCHEMA).json(tick_dir)
+    expected = (batch.groupBy(F.window("ts", "1 hour", "30 minutes"), "ticker")
+                .agg((F.sum(F.col("price") * F.col("size")) / F.sum("size")).alias("v"))
+                .count())
+    assert got.count() == expected
+    # spot-check one full window
+    row = got.filter((F.col("ticker") == "AAPL")
+                     & (F.col("window_start") == "2024-01-01 10:00:00")).first()
+    batch_vwap = round((10*5 + 11*3 + 9.5*2 + 10.5*4 + 12*1 + 8*6) / 21, 6)
+    assert row["vwap"] == batch_vwap
+
+
+def test_stateful_dedup(spark, tmp_path):
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T10:00:05.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},   # dup within watermark
+        {"event_id": 2, "ts": "2024-01-01T10:01:00.000Z", "user_id": 2,
+         "event_type": "view", "value": 2.0},
+    ]
+    d = str(tmp_path / "events")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = S.read_tick_stream(spark, d, schema=S.EVENT_SCHEMA)
+    out = S.stateful_dedup(stream, ["event_id"], watermark="1 hour")
+    S.run_available_now(out, "dedup_test",
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    got = spark.table("dedup_test").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_session_windows(spark, tmp_path):
+    rows = [
+        # user 1: two sessions separated by > 30 min
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:10:00.000Z", "user_id": 1,
+         "event_type": "view", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T12:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 3.0},
+        # user 2: one session
+        {"event_id": 4, "ts": "2024-01-01T10:05:00.000Z", "user_id": 2,
+         "event_type": "click", "value": 4.0},
+    ]
+    d = str(tmp_path / "sess")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = S.read_tick_stream(spark, d, schema=S.EVENT_SCHEMA)
+    out = S.session_windows(stream, gap="30 minutes")
+    S.run_available_now(out, "sess_test", output_mode="complete")
+    got = spark.table("sess_test").collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    first = min(by_user[1], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2 and first["total_value"] == 3.0
+    assert len(by_user[2]) == 1
