@@ -18,6 +18,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one representative per operator family (full suite via
 # BENCH_ALL=1). Kept stable across rounds for comparability.
 HEADLINE = [
+    # relational core
     "pricing_summary",
     "top_revenue_orders",
     "regional_revenue",
@@ -25,6 +26,22 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "cube_priority_status",
+    # window/feature engine
+    "feat_trend",
+    "feat_ema",
+    # cleaning engine
+    "clean_pipeline",
+    # dedup / similarity / text (training-data ops)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    # integration engine
+    "union_schema_match",
+    "simjoin_matches_topk",
+    # full NL-query lifecycle
+    "pipeline_e2e",
 ]
 
 

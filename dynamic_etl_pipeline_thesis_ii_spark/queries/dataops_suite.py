@@ -153,24 +153,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _sql_jaccard() -> str:
+    # Mirrors jaccard_pairs: count-based Jaccard over the df-capped
+    # shingle universe — |A∩B| from the pair group count, no arrays.
     sh = D.SQL_WORD_SHINGLES("text", 3)
     return f"""
 WITH {_SQL_NEARDUP},
-docs AS (SELECT doc_id AS id, {sh} AS sh FROM corpus),
-nz AS (SELECT * FROM docs WHERE len(sh) > 0),
-exploded AS (SELECT id, unnest(sh) AS s FROM nz),
-rare AS (SELECT s FROM exploded GROUP BY s HAVING count(*) <= 100),
-blocked AS (SELECT e.id, e.s FROM exploded e JOIN rare r ON e.s = r.s),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM blocked a JOIN blocked b ON a.s = b.s AND a.id < b.id
+ex AS (SELECT doc_id AS id, unnest({sh}) AS s FROM corpus),
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+capped AS (SELECT e.id, e.s FROM ex e JOIN rare r ON e.s = r.s),
+sized AS (SELECT id, s, count(*) OVER (PARTITION BY id) AS size FROM capped),
+counts AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.size AS size_a, b.size AS size_b,
+         count(*) AS inter
+  FROM sized a JOIN sized b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id, a.size, b.size
 )
 SELECT id_a, id_b,
-  round(len(list_intersect(x.sh, y.sh))::double
-        / len(list_distinct(list_concat(x.sh, y.sh)))::double, 6) AS jaccard
-FROM cand JOIN nz x ON cand.id_a = x.id JOIN nz y ON cand.id_b = y.id
-WHERE round(len(list_intersect(x.sh, y.sh))::double
-      / len(list_distinct(list_concat(x.sh, y.sh)))::double, 6) >= 0.4
+       round(inter::double / (size_a + size_b - inter), 6) AS jaccard
+FROM counts
+WHERE round(inter::double / (size_a + size_b - inter), 6) >= 0.4
 """
 
 
