@@ -289,7 +289,149 @@ FROM fin
 """
 
 
+def _stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial-statement-shaped frame (balance_sheet_* / cash_flow_* /
+    income_statement_* columns) derived from customer balances — the
+    input shape of the R1-R4 ratio features."""
+    b = F.col("c_acctbal")
+    k = F.col("c_custkey")
+    cust = Catalog(spark, sf_dir).customer
+    return cust.select(
+        k.alias("ckey"),
+        (b * 10).alias("balance_sheet_totalCurrentAssets"),
+        (b * 4).alias("balance_sheet_totalCurrentLiabilities"),
+        (b * 2).alias("balance_sheet_inventory"),
+        F.when(k % 3 == 0, None).otherwise(b).alias("balance_sheet_longTermDebt"),
+        (b / 2).alias("balance_sheet_shortTermDebt"),
+        (b * 6).alias("balance_sheet_totalShareholderEquity"),
+        (b * 12).alias("balance_sheet_totalAssets"),
+        (b * 3).alias("cash_flow_operatingCashflow"),
+        F.when(k % 5 == 0, None).otherwise(b).alias("cash_flow_capitalExpenditures"),
+        (b / 4).alias("cash_flow_dividendPayout"),
+        (b * 2).alias("cash_flow_netIncome"),
+        (b * 5).alias("income_statement_grossProfit"),
+        (b * 9).alias("income_statement_totalRevenue"),
+        (b * 4).alias("income_statement_operatingIncome"),
+        (b * 2).alias("income_statement_netIncome"),
+        (b * 4.5).alias("income_statement_ebitda"),
+        (b / 2).alias("income_statement_researchAndDevelopment"),
+        (b * 4).alias("income_statement_ebit"),
+        (b / 8).alias("income_statement_interestExpense"),
+    )
+
+
+_SQL_STMT = """
+stmt AS (
+  SELECT c_custkey AS ckey,
+    c_acctbal * 10 AS bs_tca, c_acctbal * 4 AS bs_tcl,
+    c_acctbal * 2 AS bs_inv,
+    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bs_ltd,
+    c_acctbal / 2 AS bs_std, c_acctbal * 6 AS bs_tse,
+    c_acctbal * 12 AS bs_ta,
+    c_acctbal * 3 AS cf_ocf,
+    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS cf_capex,
+    c_acctbal / 4 AS cf_div, c_acctbal * 2 AS cf_ni,
+    c_acctbal * 5 AS is_gp, c_acctbal * 9 AS is_rev,
+    c_acctbal * 4 AS is_oi, c_acctbal * 2 AS is_ni,
+    c_acctbal * 4.5 AS is_ebitda, c_acctbal / 2 AS is_rd,
+    c_acctbal * 4 AS is_ebit, c_acctbal / 8 AS is_int
+  FROM customer
+)
+"""
+
+_RATIO_FEATURES = [
+    "current_ratio", "quick_ratio", "debt_to_equity", "debt_to_assets",
+    "working_capital", "equity_ratio", "free_cash_flow",
+    "operating_cash_margin", "capex_intensity", "dividend_payout_ratio",
+    "cash_conversion_ratio", "gross_margin", "operating_margin",
+    "net_margin", "ebitda_margin", "rd_intensity", "interest_coverage",
+]
+
+
+def q_feat_fundamental_ratios(spark, sf_dir):
+    """R1/R2/R4 row-wise fundamental ratios through the DSL path."""
+    dsl, errors = validate_dsl(
+        {"features": [{"name": n, "params": {}} for n in _RATIO_FEATURES]},
+        FEATURE_REGISTRY)
+    assert not errors, errors
+    df = apply_features(_stmt(spark, sf_dir), dsl, entity_col=None, ts_col="ckey")
+    return df.select("ckey", *[
+        F.round(F.col(n), 6).alias(n) for n in _RATIO_FEATURES])
+
+
+ORACLE_FEAT_RATIOS = f"""
+WITH {_SQL_STMT}
+SELECT ckey,
+  round(bs_tca / nullif(bs_tcl, 0), 6) AS current_ratio,
+  round((bs_tca - bs_inv) / nullif(bs_tcl, 0), 6) AS quick_ratio,
+  round((coalesce(bs_ltd, 0) + coalesce(bs_std, 0)) / nullif(bs_tse, 0), 6) AS debt_to_equity,
+  round((coalesce(bs_ltd, 0) + coalesce(bs_std, 0)) / nullif(bs_ta, 0), 6) AS debt_to_assets,
+  round(bs_tca - bs_tcl, 6) AS working_capital,
+  round(bs_tse / nullif(bs_ta, 0), 6) AS equity_ratio,
+  round(cf_ocf - coalesce(cf_capex, 0), 6) AS free_cash_flow,
+  round(cf_ocf / nullif(cf_ni, 0), 6) AS operating_cash_margin,
+  round(cf_capex / nullif(cf_ocf, 0), 6) AS capex_intensity,
+  round(cf_div / nullif(cf_ocf, 0), 6) AS dividend_payout_ratio,
+  round(cf_ocf / nullif(cf_ni, 0), 6) AS cash_conversion_ratio,
+  round(is_gp / nullif(is_rev, 0), 6) AS gross_margin,
+  round(is_oi / nullif(is_rev, 0), 6) AS operating_margin,
+  round(is_ni / nullif(is_rev, 0), 6) AS net_margin,
+  round(is_ebitda / nullif(is_rev, 0), 6) AS ebitda_margin,
+  round(is_rd / nullif(is_rev, 0), 6) AS rd_intensity,
+  round(is_ebit / nullif(is_int, 0), 6) AS interest_coverage
+FROM stmt
+"""
+
+
+def q_feat_earnings(spark, sf_dir):
+    """R3 + W18: earnings beat/accuracy and rolling surprise features."""
+    ev = Catalog(spark, sf_dir).events
+    earn = ev.select(
+        "event_id", "user_id", "ts",
+        (F.col("value") / 10).alias("earnings_reportedEPS"),
+        (F.col("value") / 10 + F.when(F.col("event_id") % 2 == 0, 0.5)
+         .otherwise(-0.5)).alias("earnings_estimatedEPS"),
+        (F.col("value") - 50).alias("earnings_surprise"),
+        (F.col("value") / 5 - 10).alias("earnings_surprisePercentage"))
+    dsl, errors = validate_dsl({"features": [
+        {"name": "earnings_beat", "params": {}},
+        {"name": "forecast_accuracy", "params": {}},
+        {"name": "avg_surprise", "params": {"window": 4}},
+        {"name": "earnings_momentum", "params": {"window": 4}},
+    ]}, FEATURE_REGISTRY)
+    assert not errors, errors
+    df = apply_features(earn, dsl, entity_col="user_id", ts_col="ts")
+    return df.select(
+        "event_id", "user_id", "ts",
+        F.col("earnings_beat"),
+        F.round("forecast_accuracy", 6).alias("forecast_accuracy"),
+        F.round("avg_surprise__4", 6).alias("avg_surprise_4"),
+        F.round("earnings_momentum__4", 6).alias("earnings_momentum_4"))
+
+
+ORACLE_FEAT_EARNINGS = """
+WITH earn AS (
+  SELECT event_id, user_id, ts,
+    value / 10 AS rep,
+    value / 10 + CASE WHEN event_id % 2 = 0 THEN 0.5 ELSE -0.5 END AS est,
+    value - 50 AS surprise,
+    value / 5 - 10 AS surprise_pct
+  FROM events
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN rep > est THEN 1 ELSE 0 END AS earnings_beat,
+  round(abs(est - rep), 6) AS forecast_accuracy,
+  round(avg(surprise_pct) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg_surprise_4,
+  round(avg(surprise) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS earnings_momentum_4
+FROM earn
+"""
+
+
 FEATURE_QUERIES = {
+    "feat_fundamental_ratios": q_feat_fundamental_ratios,
+    "feat_earnings": q_feat_earnings,
     "feat_trend": q_feat_trend,
     "feat_bbands_zscore": q_feat_bbands_zscore,
     "feat_rsi": q_feat_rsi,
@@ -302,6 +444,8 @@ FEATURE_QUERIES = {
 }
 
 FEATURE_ORACLES = {
+    "feat_fundamental_ratios": ORACLE_FEAT_RATIOS,
+    "feat_earnings": ORACLE_FEAT_EARNINGS,
     "feat_trend": ORACLE_FEAT_TREND,
     "feat_bbands_zscore": ORACLE_FEAT_BBANDS_ZSCORE,
     "feat_rsi": ORACLE_FEAT_RSI,
