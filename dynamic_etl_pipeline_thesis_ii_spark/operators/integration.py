@@ -39,6 +39,33 @@ from dynamic_etl_pipeline_thesis_ii_spark.operators import union_engine as U
 
 _ROW_ID = "__row_id"
 
+# column names that identify rows of an entity-keyed time series
+_KEY_HINTS = ("ticker", "symbol", "ts", "timestamp", "date", "id", "key")
+
+
+def detect_join_keys(df1: DataFrame, df2: DataFrame) -> list[str]:
+    """Shared key-like columns (SURVEY §2.3: the reference's similarity
+    join solves what is really an equi-join problem — same-ticker
+    same-date rows from two APIs; when both sides carry key-named
+    columns, a hash/broadcast equi-join is the right physical plan)."""
+    shared = set(df1.columns) & set(df2.columns)
+    return sorted(c for c in shared
+                  if any(h == c.lower() or c.lower().endswith("_" + h)
+                         or c.lower().endswith(h) and h in ("key", "id")
+                         for h in _KEY_HINTS))
+
+
+def key_equijoin(df1: DataFrame, df2: DataFrame, keys: list[str]) -> DataFrame:
+    """Equi-join on detected keys with _x/_y suffixing of the non-key
+    shared columns — same output contract as the similarity join's
+    materialization, but a native hash/broadcast join (Catalyst picks)."""
+    shared = (set(df1.columns) & set(df2.columns)) - set(keys)
+    a = df1.select(*keys, *[F.col(c).alias(f"{c}_x" if c in shared else c)
+                            for c in df1.columns if c not in keys])
+    b = df2.select(*keys, *[F.col(c).alias(f"{c}_y" if c in shared else c)
+                            for c in df2.columns if c not in keys])
+    return a.join(b, on=keys, how="inner")
+
 
 def with_row_id(df: DataFrame, id_col: str = _ROW_ID) -> DataFrame:
     """Deterministic synthetic row id: row_number over all columns
@@ -47,6 +74,29 @@ def with_row_id(df: DataFrame, id_col: str = _ROW_ID) -> DataFrame:
     so we define order by content.)"""
     w = Window.orderBy(*[F.col(c) for c in sorted(df.columns)])
     return df.withColumn(id_col, F.row_number().over(w))
+
+
+def _join_pair(gi: DataFrame, gj: DataFrame, cfg: EngineConfig,
+               ) -> tuple[Optional[DataFrame], dict]:
+    """Join two groups: equi-join fast path on detected keys (retention-
+    gated like the similarity path), else the 26-feature similarity
+    join. Returns (joined | None, report)."""
+    keys = detect_join_keys(gi, gj)
+    if keys:
+        joined = key_equijoin(gi, gj, keys)
+        n_matched = joined.count()
+        ret = SJ.retention(n_matched, gi.count(), gj.count())
+        if ret >= cfg.join_retention_threshold:
+            return joined, {"status": "joined", "method": "equi",
+                            "keys": keys, "retention": ret}
+        # keys exist but don't line up — fall through to similarity
+    a = with_row_id(gi, "__ida")
+    b = with_row_id(gj, "__idb")
+    joined, rep = SJ.similarity_join(a, b, "__ida", "__idb", cfg)
+    if joined is not None:
+        joined = joined.drop("__ida_x", "__idb_y", "__ida", "__idb")
+        rep = {**rep, "method": "similarity"}
+    return joined, rep
 
 
 def _best_partner_join(groups: list[DataFrame], cfg: EngineConfig,
@@ -59,20 +109,19 @@ def _best_partner_join(groups: list[DataFrame], cfg: EngineConfig,
     for i in range(len(groups)):
         if used[i]:
             continue
-        best_j, best_ret, best_df = None, -1.0, None
-        gi = with_row_id(groups[i], "__ida")
+        best_j, best_ret, best_df, best_rep = None, -1.0, None, None
         for j in range(i + 1, len(groups)):
             if used[j]:
                 continue
-            gj = with_row_id(groups[j], "__idb")
-            joined, rep = SJ.similarity_join(gi, gj, "__ida", "__idb", cfg)
+            joined, rep = _join_pair(groups[i], groups[j], cfg)
             if joined is not None and rep["retention"] > best_ret:
-                best_j, best_ret, best_df = j, rep["retention"], joined
+                best_j, best_ret, best_df, best_rep = j, rep["retention"], joined, rep
         if best_j is not None:
             used[i] = used[best_j] = True
-            out.append(best_df.drop("__ida_x", "__idb_y", "__ida", "__idb"))
+            out.append(best_df)
             reports.append({"operation": "join_stage1", "left": i,
-                            "right": best_j, "retention": best_ret})
+                            "right": best_j, "retention": best_ret,
+                            "method": best_rep.get("method")})
             any_joined = True
         else:
             used[i] = True
@@ -91,17 +140,16 @@ def _join_the_joined(frames: list[DataFrame], cfg: EngineConfig,
             continue
         used[i] = True
         merged = None
-        fi = with_row_id(frames[i], "__ida")
         for j in range(i + 1, len(frames)):
             if used[j]:
                 continue
-            fj = with_row_id(frames[j], "__idb")
-            joined, rep = SJ.similarity_join(fi, fj, "__ida", "__idb", cfg)
+            joined, rep = _join_pair(frames[i], frames[j], cfg)
             if joined is not None:
                 used[j] = True
-                merged = joined.drop("__ida_x", "__idb_y", "__ida", "__idb")
+                merged = joined
                 reports.append({"operation": "join_stage2", "left": i,
-                                "right": j, "retention": rep["retention"]})
+                                "right": j, "retention": rep["retention"],
+                                "method": rep.get("method")})
                 break
         out.append(merged if merged is not None else frames[i])
     return out

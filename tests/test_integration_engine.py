@@ -183,6 +183,37 @@ def test_profiles_move_thresholds():
     assert EngineConfig(quality_profile="nope").quality_profile == "balanced"
 
 
+def test_detect_join_keys(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.integration import (
+        detect_join_keys,
+    )
+    a = _mk(spark, [(1, "T", 1.0)], ["c_custkey", "ticker", "open"])
+    b = _mk(spark, [(1, "T", 2.0)], ["c_custkey", "ticker", "rev"])
+    assert detect_join_keys(a, b) == ["c_custkey", "ticker"]
+    c = _mk(spark, [(1.0,)], ["open"])
+    assert detect_join_keys(a, c) == []
+
+
+def test_integrate_equijoin_fast_path(spark):
+    """Union-incompatible frames sharing key columns take the native
+    equi-join, not the similarity join."""
+    bars = _mk(spark, [("AAPL", 1, 10.0, 11.0), ("AAPL", 2, 11.0, 12.0),
+                       ("MSFT", 1, 20.0, 21.0)],
+               ["ticker", "ts", "open_px", "close_px"])
+    funds = _mk(spark, [("AAPL", 1, 5.0, 7.0, 9.0, 11.0, 13.0, 1.0, 2.0, 3.0),
+                        ("AAPL", 2, 6.0, 8.0, 9.5, 11.5, 13.5, 1.1, 2.1, 3.1),
+                        ("MSFT", 1, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)],
+                ["ticker", "ts", "revenue_m", "ebitda_m", "assets_m",
+                 "liab_m", "equity_m", "eps_q", "dps_q", "capex_m"])
+    outputs, reports = integrate([bars, funds], CFG)
+    joins = [r for r in reports if r["operation"] == "join_stage1"]
+    assert joins and joins[0]["method"] == "equi"
+    assert len(outputs) == 1
+    out = outputs[0]
+    assert out.count() == 3
+    assert {"ticker", "ts", "open_px", "revenue_m"} <= set(out.columns)
+
+
 def test_integrate_early_termination(spark):
     a = _mk(spark, [(1, 1.0)], ["key", "value"])
     b = _mk(spark, [(2, 2.0)], ["key", "value"])
