@@ -82,3 +82,76 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             })
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB — real implementation would librosa-decode to PCM.
+    fake=True derives a deterministic 2-dim feature from the bytes."""
+    if not fake:
+        raise NotImplementedError("audio decoding requires librosa; not available here")
+    if payload is None or len(payload) == 0:
+        return [0.0, 0.0]
+    return [float(len(payload)), float(sum(payload[:8]) % 97)]
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  ) -> DataFrame:
+    """Binary -> binary image resize kernel (1:1 rows). The resize body
+    is STUBBED as a deterministic truncate-or-pad of the payload to
+    width*height bytes — the schema contract (payload stays BinaryType,
+    dims recorded as metadata) and batch shape are the real thing."""
+    target = width * height
+
+    out_schema = StructType(MEDIA_SCHEMA.fields + [
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                None if p is None else
+                (bytes(p[:target]) if len(p) >= target
+                 else bytes(p) + b"\x00" * (target - len(p)))
+                for p in pdf["payload"]]
+            out = pdf.copy()
+            out["payload"] = resized
+            out["n_bytes"] = [len(p) if p is not None else 0 for p in resized]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling as a 1->N mapInPandas kernel: each payload
+    yields up to ``max_frames`` evenly-spaced 'frames' (STUB: fixed-size
+    byte slices stand in for real ffmpeg frame extraction). Demonstrates
+    the row-expanding batch shape — output batches are not 1:1 with
+    input batches, which is exactly what mapInPandas (vs pandas_udf)
+    exists for."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        kernel, schema=FRAME_SCHEMA)

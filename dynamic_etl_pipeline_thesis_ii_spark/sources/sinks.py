@@ -59,6 +59,24 @@ def save_outputs(dfs: Iterable[DataFrame], out_dir: str, prefix: str = "result",
             for i, df in enumerate(dfs)]
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 16, sort_cols: Optional[list[str]] = None,
+                   if_exists: str = "replace") -> None:
+    """Bucketed managed table (scale path for co-located joins): two
+    tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle — at 100 TB, pre-bucketing fact tables on their
+    join keys removes the dominant exchange from every downstream join.
+    (Parquet-file bucketing requires saveAsTable — plain ``save`` paths
+    cannot record bucket metadata.)"""
+    if if_exists not in _MODES:
+        raise SinkError(f"invalid if_exists: {if_exists!r}")
+    writer = (df.write.mode(_MODES[if_exists]).format("parquet")
+              .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_run_artifacts(out_dir: str, reports: dict) -> str:
     """Per-run JSON artifact report
     (``pipeline_service.py:130-239``): one ``report.json`` holding the
