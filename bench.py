@@ -54,8 +54,13 @@ def main() -> None:
     qs = all_queries()
     names = list(qs) if os.environ.get("BENCH_ALL") else [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM + parquet footers with one tiny action.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm the JVM + parquet footers with one tiny action, and the
+    # Python UDF workers with one tiny applyInPandas (worker spawn is
+    # ~100ms x cores otherwise charged to the first pandas-path query).
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    region.count()
+    region.groupBy("r_regionkey").applyInPandas(
+        lambda pdf: pdf, schema=region.schema).count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -282,7 +282,16 @@ def apply_features(df: DataFrame, dsl: dict, entity_col: str | None = "ticker",
                 fields.append(StructField(oname, DoubleType(), True))
         schema = StructType(fields)
         fn = _make_pandas_fn(via_pandas, entity, orders, schema)
-        grouped = out.groupBy(entity) if entity else out.groupBy(F.lit(1).alias("__g"))
+        if entity:
+            # Pin the shuffle width before the Python stage: AQE
+            # coalesces small-byte shuffles to a couple of partitions,
+            # which serializes the (per-row-expensive) pandas kernels.
+            # An explicit user repartition is exempt from coalescing.
+            width = out.sparkSession.sparkContext.defaultParallelism
+            out = out.repartition(width, F.col(entity))
+            grouped = out.groupBy(entity)
+        else:
+            grouped = out.groupBy(F.lit(1).alias("__g"))
         out = grouped.applyInPandas(fn, schema=schema)
 
     return out
