@@ -90,3 +90,44 @@ def top_k_per_group(df: DataFrame, partition_cols: Sequence[str],
     w = Window.partitionBy(*partition_cols).orderBy(*order_by)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= k))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: the (skewed) left side gets a random
+    salt in [0, n_salts); the right side is replicated n_salts times
+    with every salt value, and the join runs on (key, salt). A hot key's
+    rows spread over n_salts tasks instead of one straggler.
+
+    AQE's skew-join split handles most cases automatically; explicit
+    salting remains necessary when a single KEY VALUE (not partition)
+    dominates — AQE can split partitions, not keys, for joins that must
+    co-group all rows of a key (e.g. followed by a groupBy on the key).
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    salted_r = right.withColumn("__salt", salts)
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg(df: DataFrame, key: str, agg_exprs: dict[str, str],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate on
+    (key, salt), then final aggregate on key. Only decomposable
+    aggregates (sum/count/min/max) qualify — avg must be expressed as
+    sum/count by the caller. Spark's hash aggregate already does
+    map-side partial aggregation; explicit salting additionally splits
+    the REDUCE side when one key owns most rows."""
+    decomposable = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for fn in agg_exprs.values():
+        if fn not in decomposable:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    salted = df.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(*[
+        (F.count(F.lit(1)) if fn == "count" else decomposable[fn](c))
+        .alias(f"__p_{c}") for c, fn in agg_exprs.items()])
+    final = partial.groupBy(key).agg(*[
+        decomposable[fn](f"__p_{c}").alias(f"{fn}_{c}")
+        for c, fn in agg_exprs.items()])
+    return final
