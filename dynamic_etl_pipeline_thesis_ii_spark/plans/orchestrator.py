@@ -128,11 +128,13 @@ class Pipeline:
 
     def __init__(self, spark: SparkSession, fetcher: Fetcher,
                  cfg: Optional[EngineConfig] = None,
-                 planner=None, progress: Optional[ProgressFn] = None):
+                 planner=None, translator=None,
+                 progress: Optional[ProgressFn] = None):
         self.spark = spark
         self.fetcher = fetcher
         self.cfg = cfg or EngineConfig()
         self.planner = planner or RulePlanner()
+        self.translator = translator  # e.g. plans.llm.LLMTranslator
         self.param_validator = ParameterValidator()
         self.semantic_validator = SemanticValidator()
         self.output_validator = OutputValidator()
@@ -207,7 +209,10 @@ class Pipeline:
         outputs, integration_ops = integrate(frames, self.cfg)
         self.progress("integrate", {"n_groups": len(outputs)})
 
-        dsl = translate_keywords(resp.features.enrichment)
+        if self.translator is not None:
+            dsl = self.translator.translate(resp.features.enrichment)
+        else:
+            dsl = translate_keywords(resp.features.enrichment)
         dsl, dsl_errors = validate_dsl(dsl, FEATURE_REGISTRY)
         transformed = []
         transform_reports = []

@@ -121,6 +121,52 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     key, "n_events", "total_value"))
 
 
+def streaming_ema(ticks: DataFrame, span: int = 20,
+                  key: str = "ticker", ts_col: str = "ts",
+                  value_col: str = "price") -> DataFrame:
+    """Custom stateful operator: per-key streaming EMA via
+    ``applyInPandasWithState`` — the escape hatch for operators Spark's
+    built-in streaming aggregates can't express (EMA is recursive:
+    y_t = (1-a)·y_{t-1} + a·x_t, so each batch needs the previous
+    batch's final value).
+
+    State per key is ONE float (the running EMA) — constant regardless
+    of stream length; exactly the batch engine's ewm(adjust=False)
+    semantics (functions/compiler pandas path), so a stream fully
+    drained equals the batch computation on the same data."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    alpha = 2.0 / (span + 1.0)
+    out_schema = StructType([
+        StructField(key, StringType()),
+        StructField(ts_col, TimestampType()),
+        StructField(value_col, DoubleType()),
+        StructField("ema", DoubleType()),
+    ])
+    state_schema = StructType([StructField("ema", DoubleType())])
+
+    def fn(group_key, batches, state: "GroupState"):
+        import pandas as pd
+        prev = state.get[0] if state.exists else None
+        frames = []
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            emas = []
+            for x in pdf[value_col]:
+                prev = x if prev is None else (1 - alpha) * prev + alpha * x
+                emas.append(prev)
+            frames.append(pd.DataFrame({
+                key: group_key[0], ts_col: pdf[ts_col],
+                value_col: pdf[value_col], "ema": emas}))
+        state.update((float(prev),))
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            columns=[key, ts_col, value_col, "ema"])
+
+    return ticks.groupBy(key).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
 def run_available_now(stream: DataFrame, query_name: str,
                       output_mode: str = "append",
                       checkpoint_dir: Optional[str] = None):

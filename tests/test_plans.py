@@ -239,3 +239,46 @@ def test_pipeline_rejects_non_finance(spark, sf_dir):
     pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
     result = pipe.run("bake me a cake")
     assert result["status"] == "rejected"
+
+
+# ---------------------------------------------------------------------------
+# LLM rim (prompt contract + strict parse + fallback)
+# ---------------------------------------------------------------------------
+
+def test_llm_planner_roundtrip():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.llm import LLMPlanner
+
+    def fake_complete(system, user):
+        assert "get_aggs" in system and "proceed" in system
+        return '''{"proceed": true,
+                   "features": {"native": ["close"], "enrichment": ["sma"]},
+                   "semantic_keywords": ["stock bars"],
+                   "tickers": ["AAPL"],
+                   "api_requests": [{"api_name": "polygon",
+                                     "endpoint_name": "get_aggs",
+                                     "parameters": {"ticker": "AAPL"}}]}'''
+
+    resp = LLMPlanner(fake_complete).analyze("AAPL bars")
+    assert resp.tickers == ["AAPL"]
+    assert resp.api_requests[0].endpoint_name == "get_aggs"
+    assert resp.features.enrichment == ["sma"]
+
+
+def test_llm_planner_falls_back_on_garbage():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.llm import LLMPlanner
+    resp = LLMPlanner(lambda s, u: "not json at all").analyze(
+        "MSFT daily stock prices")
+    assert resp.proceed and resp.tickers == ["MSFT"]  # rule fallback
+
+
+def test_llm_translator_validates_registry():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.llm import LLMTranslator
+    good = LLMTranslator(lambda s, u:
+        '{"features": [{"name": "sma", "params": {"on": "close", "window": 10}}]}')
+    dsl = good.translate(["sma"])
+    assert dsl["features"][0]["params"]["window"] == 10
+    # unknown feature from the model -> validator rejects -> fallback
+    bad = LLMTranslator(lambda s, u:
+        '{"features": [{"name": "not_a_feature", "params": {}}]}')
+    dsl = bad.translate(["rsi"])
+    assert dsl["features"][0]["name"] == "rsi"

@@ -115,3 +115,56 @@ def test_session_windows(spark, tmp_path):
     first = min(by_user[1], key=lambda r: r["session_start"])
     assert first["n_events"] == 2 and first["total_value"] == 3.0
     assert len(by_user[2]) == 1
+
+
+def test_streaming_ema_matches_batch_recursion(spark, tmp_path):
+    """Stateful EMA across MULTIPLE micro-batches (maxFilesPerTrigger=1
+    forces one batch per file, so state must carry between batches)
+    equals the batch ewm(adjust=False) recursion on the same data."""
+    rows1 = [{"ticker": "AAPL", "ts": f"2024-01-01T10:{m:02d}:00.000Z",
+              "price": float(10 + m), "size": 1} for m in range(5)]
+    rows2 = [{"ticker": "AAPL", "ts": f"2024-01-01T11:{m:02d}:00.000Z",
+              "price": float(30 + m), "size": 1} for m in range(5)]
+    d = str(tmp_path / "ema_ticks")
+    p0, p1 = os.path.join(d, "part-0.json"), os.path.join(d, "part-1.json")
+    _write_json(p0, rows1)
+    _write_json(p1, rows2)
+    # the file source orders micro-batches by mtime — make it explicit
+    os.utime(p0, (1000000000, 1000000000))
+    os.utime(p1, (1000000100, 1000000100))
+    stream = S.read_tick_stream(spark, d, max_files_per_trigger=1)
+    out = S.streaming_ema(stream, span=4)
+    S.run_available_now(out, "ema_test", checkpoint_dir=str(tmp_path / "ck"))
+    got = {r["ts"]: r["ema"]
+           for r in spark.table("ema_test").collect()}
+    assert len(got) == 10
+
+    import pandas as pd
+    prices = pd.Series([r["price"] for r in rows1 + rows2])
+    expected = prices.ewm(span=4, adjust=False).mean()
+    ordered = [got[k] for k in sorted(got)]
+    for g, e in zip(ordered, expected):
+        assert abs(g - e) < 1e-9
+
+
+def test_windowed_rollup_feeds_feature_dsl(spark, tick_dir, tmp_path):
+    """The streaming OHLCV rollup output lands in the same canonical bar
+    schema the feature DSL consumes — stream rollup -> batch table ->
+    sma through the registry/validator/compiler path."""
+    from dynamic_etl_pipeline_thesis_ii_spark.functions.compiler import apply_features
+    from dynamic_etl_pipeline_thesis_ii_spark.functions.dsl import validate_dsl
+    from dynamic_etl_pipeline_thesis_ii_spark.functions.registry import FEATURE_REGISTRY
+
+    stream = S.read_tick_stream(spark, tick_dir)
+    out = S.windowed_ohlcv(stream, window="30 minutes", watermark="2 hours")
+    S.run_available_now(out, "bars_for_dsl", output_mode="complete")
+    bars = spark.table("bars_for_dsl").withColumnRenamed("window_start", "ts")
+    dsl, errors = validate_dsl(
+        {"features": [{"name": "sma", "params": {"on": "close", "window": 2}}]},
+        FEATURE_REGISTRY)
+    assert not errors
+    enriched = apply_features(bars, dsl, entity_col="ticker", ts_col="ts")
+    rows = enriched.filter(F.col("ticker") == "AAPL").orderBy("ts").collect()
+    assert "sma_close_2" in enriched.columns
+    assert rows[0]["sma_close_2"] is None          # min_periods guard
+    assert rows[1]["sma_close_2"] is not None
