@@ -308,6 +308,37 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 """
 
 
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation windows absent from the reference (SURVEY
+    §2.5 'Absent: ranking window functions ... lead'): rank, dense_rank,
+    ntile, lead, first_value over one per-customer window."""
+    from pyspark.sql import Window
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("top_orderkey"))
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       lead(o_orderkey, 1) OVER w AS next_orderkey,
+       first_value(o_orderkey) OVER w AS top_orderkey
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_asof_join — for each event, the customer's most recent order-day at
 # or before the event time. Implemented as union + one window pass (one
@@ -382,6 +413,7 @@ RELATIONAL_QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "rank_orders": q_rank_orders,
+    "window_rank_functions": q_window_rank_functions,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
 }
@@ -398,6 +430,7 @@ RELATIONAL_ORACLES = {
     "set_intersect": ORACLE_SET_INTERSECT,
     "set_except": ORACLE_SET_EXCEPT,
     "rank_orders": ORACLE_RANK_ORDERS,
+    "window_rank_functions": ORACLE_WINDOW_RANK,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
 }
