@@ -131,3 +131,21 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: dict[str, str],
         decomposable[fn](f"__p_{c}").alias(f"{fn}_{c}")
         for c, fn in agg_exprs.items()])
     return final
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization (SURVEY §2.5 'sessionization absent;
+    expose'): a session breaks after ``gap_seconds`` of inactivity per
+    key. One window pass: flag gap-breaks with lag(), running-sum the
+    flags into a per-key session index. Single shuffle on the key —
+    no self-join, no explode; the streaming twin is
+    streaming/ops.session_windows."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return (df.withColumn("__new", new_session)
+            .withColumn("session_id",
+                        F.sum("__new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("__new"))

@@ -339,6 +339,63 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream: 30-minute inactivity
+    gap per user, then per-session aggregates."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.relational import sessionize
+    ev = Catalog(spark, sf_dir).events
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 _dsum("value", "total_value")))
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (continuous interpolation) — the
+    distribution-summary aggregate family."""
+    ev = Catalog(spark, sf_dir).events
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+                 F.round(F.min("value"), 6).alias("vmin"),
+                 F.round(F.max("value"), 6).alias("vmax")))
+
+
+ORACLE_GROUP_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_asof_join — for each event, the customer's most recent order-day at
 # or before the event time. Implemented as union + one window pass (one
@@ -414,6 +471,8 @@ RELATIONAL_QUERIES = {
     "set_except": q_set_except,
     "rank_orders": q_rank_orders,
     "window_rank_functions": q_window_rank_functions,
+    "sessionize_events": q_sessionize_events,
+    "group_percentiles": q_group_percentiles,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
 }
@@ -431,6 +490,8 @@ RELATIONAL_ORACLES = {
     "set_except": ORACLE_SET_EXCEPT,
     "rank_orders": ORACLE_RANK_ORDERS,
     "window_rank_functions": ORACLE_WINDOW_RANK,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
 }
