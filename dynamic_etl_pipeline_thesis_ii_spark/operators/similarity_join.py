@@ -216,7 +216,10 @@ def align_numeric(df1: DataFrame, df2: DataFrame,
         out = df.select(*keep, *[F.col(c).cast("double").alias(c) for c in have])
         if missing:
             means = out.select(*[F.avg(c).alias(c) for c in have]).first()
-            grand = sum(v for v in means if v is not None) / len(have)
+            present = [v for v in means if v is not None]
+            # pandas mean().mean() skips all-null columns in the outer
+            # mean — divide by the non-null count, not len(have)
+            grand = (sum(present) / len(present)) if present else 0.0
             out = out.withColumns({c: F.lit(grand) for c in missing})
         return out.select(*keep, *all_cols)
 
