@@ -167,6 +167,26 @@ def streaming_ema(ticks: DataFrame, span: int = 20,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+def interval_join(left: DataFrame, right: DataFrame,
+                  key: str = "ticker", ts_col: str = "ts",
+                  band_seconds: int = 300,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join within a time band: right-side rows
+    within ``band_seconds`` BEFORE each left row, same key. Both sides
+    carry watermarks + the time-range predicate, so Spark can bound the
+    join state and evict rows past the horizon — the two conditions
+    stream-stream joins require for finite state."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}")
+           - F.expr(f"INTERVAL {band_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now(stream: DataFrame, query_name: str,
                       output_mode: str = "append",
                       checkpoint_dir: Optional[str] = None):

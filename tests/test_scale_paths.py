@@ -140,3 +140,24 @@ def test_simjoin_throughput_smoke(spark):
     assert kept >= a.count() * 0.7  # most true twins survive (narrow buckets
     # trade recall for pair count: width 100 vs perturbation up to 30)
     assert n / dt > 100_000, f"throughput {n/dt:.0f} pairs/s"
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF ANN recall@3 vs brute force on the synthetic embeddings."""
+    from pyspark.sql import functions as F
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    exact = {(r["q_id"], r["c_id"])
+             for r in SIM.brute_force_topk(queries, cands, k=3).collect()}
+    approx = {(r["q_id"], r["c_id"])
+              for r in SIM.ivf_topk(queries, cands, k=3, n_clusters=8,
+                                    n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # random noise vectors: coarse quantizer
+    # every query still returns a full top-k from its probed clusters
+    assert len(approx) == len(exact)

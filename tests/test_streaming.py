@@ -168,3 +168,24 @@ def test_windowed_rollup_feeds_feature_dsl(spark, tick_dir, tmp_path):
     assert "sma_close_2" in enriched.columns
     assert rows[0]["sma_close_2"] is None          # min_periods guard
     assert rows[1]["sma_close_2"] is not None
+
+
+def test_interval_join_matches_batch(spark, tick_dir, tmp_path):
+    """Stream-stream band join (both sides watermarked, time-range
+    predicate) equals the batch band join on the same files."""
+    ticks = S.read_tick_stream(spark, tick_dir)
+    quotes = S.read_tick_stream(spark, tick_dir)  # self-join shape
+    out = S.interval_join(ticks, quotes, band_seconds=120)
+    pairs = out.select(F.col("l.ts").alias("lts"), F.col("r.ts").alias("rts"),
+                       F.col("l.ticker").alias("tk"))
+    S.run_available_now(pairs, "ij_test", checkpoint_dir=str(tmp_path / "ck2"))
+    got = spark.table("ij_test").count()
+
+    batch = spark.read.schema(S.TICK_SCHEMA).json(tick_dir)
+    b = batch.alias("l").join(
+        batch.alias("r"),
+        (F.col("l.ticker") == F.col("r.ticker"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 120 SECONDS")),
+        "inner").count()
+    assert got == b > 0
