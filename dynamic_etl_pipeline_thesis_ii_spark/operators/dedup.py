@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-MERSENNE = (1 << 61) - 1
 H32_PRIME = 4294967311  # smallest prime > 2^32
 
 

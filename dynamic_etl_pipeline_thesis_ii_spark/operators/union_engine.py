@@ -41,6 +41,21 @@ def name_similarity(a: str, b: str) -> float:
     return SequenceMatcher(None, a.lower().strip(), b.lower().strip()).ratio()
 
 
+def trigram_scorer(a: str, b: str) -> float:
+    """Deterministic semantic-scorer implementation: Jaccard over
+    padded character trigrams — a dependency-free stand-in for the
+    reference's FinBERT+XGBoost head (``union.py:82-104``). Plug any
+    embedding model in through the same SemanticScorer signature."""
+    def grams(s: str) -> set[str]:
+        s = s.lower().strip()
+        if not s:
+            return set()
+        s = f"  {s} "
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb) if ga and gb else 0.0
+
+
 def hybrid_score(a: str, b: str, cfg: EngineConfig,
                  semantic_scorer: Optional[SemanticScorer] = None) -> float:
     """0.85·string + 0.15·semantic (``union.py:86-112``); semantic

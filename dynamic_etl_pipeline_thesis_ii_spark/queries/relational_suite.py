@@ -339,6 +339,29 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+def q_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS through the engine's SQL surface — the
+    catalog registers every table as a temp view and the query runs via
+    spark.sql, proving the declarative surface end to end."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(f"""
+        SELECT o_orderpriority, o_orderstatus,
+               {_sql_dsum('o_totalprice', 'sum_price')},
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """)
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderpriority, o_orderstatus,
+       {_sql_dsum('o_totalprice', 'sum_price')},
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization of the event stream: 30-minute inactivity
     gap per user, then per-session aggregates."""
@@ -472,6 +495,7 @@ RELATIONAL_QUERIES = {
     "rank_orders": q_rank_orders,
     "window_rank_functions": q_window_rank_functions,
     "sessionize_events": q_sessionize_events,
+    "grouping_sets_sql": q_grouping_sets_sql,
     "group_percentiles": q_group_percentiles,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -491,6 +515,7 @@ RELATIONAL_ORACLES = {
     "rank_orders": ORACLE_RANK_ORDERS,
     "window_rank_functions": ORACLE_WINDOW_RANK,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "grouping_sets_sql": ORACLE_GROUPING_SETS,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

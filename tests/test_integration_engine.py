@@ -220,3 +220,18 @@ def test_integrate_early_termination(spark):
     outputs, reports = integrate([a, b], CFG)
     assert len(outputs) == 1
     assert any(r["operation"] == "early_termination" for r in reports)
+
+
+def test_trigram_scorer_behaves():
+    assert U.trigram_scorer("close", "close") == 1.0
+    assert U.trigram_scorer("close_price", "closeprice") > 0.5
+    assert U.trigram_scorer("close", "volume") < 0.2
+    assert U.trigram_scorer("", "") == 0.0
+
+
+def test_union_with_trigram_semantic_scorer(spark):
+    a = spark.createDataFrame([(1, 10.0)], ["cust_key", "acct_bal"])
+    b = spark.createDataFrame([(2, 20.0)], ["custkey", "acctbal"])
+    ok, cov, mapping = U.check_compatibility(
+        a, b, CFG, semantic_scorer=U.trigram_scorer)
+    assert ok and mapping == {"custkey": "cust_key", "acctbal": "acct_bal"}
