@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import date
 
 import pytest
+from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import APIRequest, ExecutionPlan
 from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
@@ -282,3 +283,27 @@ def test_llm_translator_validates_registry():
         '{"features": [{"name": "not_a_feature", "params": {}}]}')
     dsl = bad.translate(["rsi"])
     assert dsl["features"][0]["name"] == "rsi"
+
+
+def test_pipeline_multi_ticker_with_economic(spark, sf_dir):
+    """Two tickers + an economic indicator: bars union into per-ticker
+    rows, the indicator frame stays its own output; enrichment applies
+    per ticker."""
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    result = pipe.run("Compare AAPL and MSFT daily stock prices with RSI, "
+                      "plus US inflation")
+    assert result["status"] == "complete"
+    outputs = result["outputs"]
+    # the indicator frame shares `timestamp` with the bar group, so the
+    # equi fast path date-joins it onto the bars -> one merged output
+    assert len(outputs) == 1
+    bars = outputs[0]
+    assert "value" in bars.columns  # indicator joined in by date
+    tickers = {r["ticker"] for r in bars.select("ticker").distinct().collect()}
+    assert tickers == {"AAPL", "MSFT"}
+    assert "rsi_close_14" in bars.columns
+    # per-ticker windows: each ticker has its own warmup nulls
+    for t in tickers:
+        rows = bars.filter(F.col("ticker") == t).orderBy("timestamp").collect()
+        assert rows[0]["rsi_close_14"] is None
+        assert rows[-1]["rsi_close_14"] is not None
