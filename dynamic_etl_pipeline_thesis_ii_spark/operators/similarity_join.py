@@ -292,6 +292,43 @@ def score_pairs(feats: DataFrame, cols: Sequence[str],
     return feats.withColumn("prob", F.round(prob, round_dp))
 
 
+def drop_nan_features(feats: DataFrame,
+                      feature_names: Sequence[str] = tuple(FEATURE_NAMES),
+                      ) -> DataFrame:
+    """P8 (``join.py:406-409``): drop candidate pairs whose feature
+    vector contains NaN/null — one filter, pushed into the scan."""
+    cond = None
+    for name in feature_names:
+        c = F.col(name).isNotNull() & ~F.isnan(F.col(name))
+        cond = c if cond is None else (cond & c)
+    return feats.filter(cond)
+
+
+def score_pairs_with_model(feats: DataFrame, predict_proba,
+                           feature_names: Sequence[str] = tuple(FEATURE_NAMES),
+                           round_dp: int = 6) -> DataFrame:
+    """X4: an ML model as the pair scorer. ``predict_proba`` is any
+    picklable callable mapping an (n, 26) float ndarray to (n,) match
+    probabilities (XGBoost booster, sklearn classifier, hand-rolled
+    logistic — the reference broadcasts an XGBoost booster,
+    ``join.py:670-709``). The model travels in the UDF closure
+    (cloudpickle — handles arbitrary callables; Spark ships the closure
+    once per executor) and scores whole Arrow batches — one model call
+    per batch, never per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score_batch(*cols):
+        import numpy as np
+        X = np.column_stack([c.to_numpy(dtype=float) for c in cols])
+        return pd.Series(np.asarray(predict_proba(X), dtype=float))
+
+    score_batch = pandas_udf(_score_batch, "double")
+
+    prob = score_batch(*[F.col(c) for c in feature_names])
+    return feats.withColumn("prob", F.round(prob, round_dp))
+
+
 def assign_topk(cands: DataFrame, max_matches: int,
                 id1: str = "id_a", id2: str = "id_b") -> DataFrame:
     """Scalable limited many-to-many: keep a pair iff it ranks within

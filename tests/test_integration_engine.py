@@ -235,3 +235,31 @@ def test_union_with_trigram_semantic_scorer(spark):
     ok, cov, mapping = U.check_compatibility(
         a, b, CFG, semantic_scorer=U.trigram_scorer)
     assert ok and mapping == {"custkey": "cust_key", "acctbal": "acct_bal"}
+
+
+def test_drop_nan_features(spark):
+    a = _mk(spark, [(1, 1.0, 2.0)], ["id_a", "x", "y"])
+    b = _mk(spark, [(2, 1.0, 2.0), (3, float("nan"), 5.0)],
+            ["id_b", "x", "y"])
+    feats = SJ.pair_features(SJ.candidate_pairs(a, b, ["x", "y"]),
+                             ["x", "y"], CFG)
+    kept = SJ.drop_nan_features(feats).select("id_b").collect()
+    assert {r["id_b"] for r in kept} == {2}
+
+
+def test_score_pairs_with_model_broadcast(spark):
+    """An injected model callable scores Arrow batches; a hand-rolled
+    logistic over n_close/absdiff_mean separates match from noise."""
+    import numpy as np
+
+    def model(X):
+        # columns follow FEATURE_NAMES order: absdiff_mean=0, n_close=24
+        return 1.0 / (1.0 + np.exp(-(3.0 * X[:, 24] - X[:, 0] - 2.0)))
+
+    a = _mk(spark, [(1, 5.0, 7.0)], ["id_a", "x", "y"])
+    b = _mk(spark, [(2, 5.0, 7.0), (3, 900.0, -60.0)], ["id_b", "x", "y"])
+    feats = SJ.pair_features(SJ.candidate_pairs(a, b, ["x", "y"]),
+                             ["x", "y"], CFG)
+    scored = SJ.score_pairs_with_model(feats, model)
+    probs = {r["id_b"]: r["prob"] for r in scored.collect()}
+    assert probs[2] > 0.9 and probs[3] < 0.2
