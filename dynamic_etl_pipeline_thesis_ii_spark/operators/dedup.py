@@ -279,6 +279,59 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# cluster resolution
+# ---------------------------------------------------------------------------
+
+def min_label_components(pairs: DataFrame, max_iter: int = 20,
+                         ) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, component)
+    with component = the smallest doc id reachable — the step that turns
+    pairwise matches into dedup groups (keep one doc per component).
+
+    Pregel-lite min-label propagation: each iteration joins labels
+    across edges and keeps the per-node minimum, converging in
+    O(graph diameter) rounds — near-dup clusters are shallow (stars /
+    short chains), so 3-5 rounds typical. Each round is one shuffle
+    join + one aggregate; the frontier is checked with a count action
+    and iteration stops at a fixed point. For billion-edge graphs swap
+    in large-star/small-star; the contract stays (id, component)."""
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("comp", F.col("id")))
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges["dst"] == labels["id"])
+                        .groupBy("src").agg(F.min("comp").alias("ncomp")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["id"] == neighbor_min["src"], "left")
+                      .select(labels["id"],
+                              F.least("comp", F.coalesce("ncomp", "comp"))
+                              .alias("comp"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document of every near-dup cluster (documents
+    in no cluster pass through) — the end-to-end dedup contract."""
+    comp = min_label_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("comp")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 

@@ -147,6 +147,35 @@ SELECT id_a, id_b, hamming FROM (
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster resolution: MinHash-LSH candidate pairs folded
+    into connected components (id -> smallest reachable id). Spark side
+    is iterative min-label propagation; the oracle computes the same
+    fixed point with a recursive transitive-closure CTE (tractable at
+    the smoke pair counts)."""
+    pairs = D.minhash_lsh_pairs(_neardup_corpus(spark, sf_dir),
+                                k=3, n_hashes=16, bands=4)
+    return D.min_label_components(pairs).withColumnRenamed("comp", "component")
+
+
+def _sql_components() -> str:
+    base = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE pairs AS ({base}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.jaccard_pairs(_neardup_corpus(spark, sf_dir),
                            k=3, threshold=0.4, max_df=100)
@@ -365,6 +394,7 @@ DATAOPS_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "embedding_neardup": q_embedding_neardup,
@@ -379,6 +409,7 @@ DATAOPS_ORACLES = {
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_simhash": _sql_simhash(),
     "dedup_ngram_jaccard": _sql_jaccard(),
+    "dedup_components": _sql_components(),
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_lsh_bucket": ORACLE_ANN_LSH_BUCKET,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,

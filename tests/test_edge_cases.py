@@ -72,3 +72,29 @@ def test_text_features_on_degenerate(spark):
     feats = T.quality_features(F.col("text"))
     out = docs.select("doc_id", *[v.alias(k) for k, v in feats.items()]).collect()
     assert len(out) == 3  # no division-by-zero crashes
+
+
+def test_min_label_components_chain_and_star(spark):
+    """A 4-chain, a 3-star and a singleton edge resolve to min-id
+    components (propagation must cross multiple hops)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (10, 12),            # star around 10
+         (20, 21)],                     # single edge
+        ["id_a", "id_b"])
+    comp = {r["id"]: r["comp"]
+            for r in D.min_label_components(pairs).collect()}
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4))
+    assert all(comp[i] == 10 for i in (10, 11, 12))
+    assert comp[20] == comp[21] == 20
+
+
+def test_dedup_by_components_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  ["id_a", "id_b"])
+    kept = {r["doc_id"]
+            for r in D.dedup_by_components(docs, pairs).collect()}
+    assert kept == {1, 10, 99}  # one per cluster + untouched doc
