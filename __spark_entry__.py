@@ -33,9 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The driver may hand us a vanilla session; the synthetic
-            # parquet needs nanos-as-long to be readable.
+            # parquet needs nanos-as-long to be readable, and the
+            # default 200 shuffle partitions schedule 400-task stages
+            # over kilobyte inputs (painful for iterative operators).
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
             return fn(spark, sf_dir)
         return run
 
