@@ -93,3 +93,43 @@ def fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 131 + hash32(t)) % F.lit(1000000007),
     )
+
+
+def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Repetition/diversity signals — the standard spam/boilerplate
+    filters for training corpora:
+
+    - ``distinct_token_ratio``: |unique tokens| / |tokens|
+    - ``rep_2gram``: 1 − |unique 2-grams| / |2-gram slots| (high →
+      repeated phrases)
+    - ``token_entropy``: Shannon entropy (nats) of the token
+      distribution — low entropy = keyword stuffing
+
+    Entropy needs per-(doc, token) counts: one explode + two hash
+    aggregates, all codegen; ratios are pure expressions."""
+    from pyspark.sql import DataFrame, Window
+
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6)
+         .alias("distinct_token_ratio"),
+        F.when(n_tok >= 2,
+               F.round(1 - F.size(F.array_distinct(
+                   F.expr(f"transform(sequence(1, size(split(trim(regexp_replace("
+                          f"lower({text_col}), '\\\\s+', ' ')), ' ')) - 1), "
+                          f"i -> concat_ws(' ', element_at(split(trim(regexp_replace("
+                          f"lower({text_col}), '\\\\s+', ' ')), ' '), i), "
+                          f"element_at(split(trim(regexp_replace(lower({text_col}), "
+                          f"'\\\\s+', ' ')), ' '), i + 1)))")))
+                   / (n_tok - 1), 6))
+         .otherwise(0.0).alias("rep_2gram"))
+
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    counts = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = counts.withColumn("n", F.sum("c").over(Window.partitionBy(id_col)))
+    ent = (n.withColumn("term", -(F.col("c") / F.col("n"))
+                        * F.log(F.col("c") / F.col("n")))
+           .groupBy(id_col).agg(F.round(F.sum("term"), 6).alias("token_entropy")))
+    return base.join(ent, id_col)

@@ -341,6 +341,37 @@ FROM m
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition/diversity spam signals per document."""
+    docs = Catalog(spark, sf_dir).documents
+    return T.repetition_features(docs)
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents
+),
+base AS (
+  SELECT doc_id,
+    round(len(list_distinct(toks))::double / greatest(n, 1), 6) AS distinct_token_ratio,
+    CASE WHEN n >= 2 THEN round(1 - len(list_distinct(
+        list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])))::double
+        / (n - 1), 6)
+    ELSE 0.0 END AS rep_2gram
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, tok, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt),
+ent AS (
+  SELECT doc_id, round(sum(-(c::double / n) * ln(c::double / n)), 6) AS token_entropy
+  FROM tot GROUP BY doc_id
+)
+SELECT base.doc_id, distinct_token_ratio, rep_2gram, token_entropy
+FROM base JOIN ent ON base.doc_id = ent.doc_id
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"),
@@ -401,6 +432,7 @@ DATAOPS_QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -416,5 +448,6 @@ DATAOPS_ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": _sql_lang_id(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_repetition": ORACLE_TEXT_REPETITION,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }
