@@ -59,6 +59,29 @@ def save_outputs(dfs: Iterable[DataFrame], out_dir: str, prefix: str = "result",
             for i, df in enumerate(dfs)]
 
 
+def append_new_keys(df: DataFrame, path: str, key_cols: list[str],
+                    fmt: str = "parquet") -> dict:
+    """Idempotent append: only rows whose key is absent from the sink
+    are written (left-anti join against the existing data), so
+    re-running an ingestion batch never duplicates rows — the batch
+    twin of streaming dropDuplicatesWithinWatermark. The anti-join
+    reads only the key columns of the existing data (column pruning);
+    at scale, partition the sink by a key prefix so the probe prunes
+    partitions too."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.format(fmt).load(path).select(*key_cols)
+        fresh = df.join(existing, on=key_cols, how="left_anti")
+        mode = "append"
+    except Exception:  # noqa: BLE001 — first write: nothing to probe
+        fresh = df
+        mode = "overwrite"
+    report = write_table(fresh, path, fmt=fmt,
+                         if_exists="append" if mode == "append" else "replace")
+    report["mode"] = "idempotent_append"
+    return report
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 16, sort_cols: Optional[list[str]] = None,
                    if_exists: str = "replace") -> None:

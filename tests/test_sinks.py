@@ -61,3 +61,19 @@ def test_run_artifacts(tmp_path):
         data = json.load(f)
     assert data == {"stage": "ok", "n": 3}
     assert os.path.basename(path) == "report.json"
+
+
+def test_append_new_keys_idempotent(spark, tmp_path):
+    p = str(tmp_path / "idem")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    r1 = S.append_new_keys(df1, p, ["k"])
+    assert r1["rows_written"] == 2
+    # re-running the same batch adds nothing
+    r2 = S.append_new_keys(df1, p, ["k"])
+    assert r2["rows_written"] == 2
+    # a batch with one new and one seen key adds only the new row
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], ["k", "v"])
+    r3 = S.append_new_keys(df2, p, ["k"])
+    assert r3["rows_written"] == 3
+    back = spark.read.parquet(p)
+    assert sorted(r["k"] for r in back.collect()) == [1, 2, 3]
