@@ -420,6 +420,68 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation (flagship composition)
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation over the near-dup corpus:
+    quality-score filter -> predicted-language filter -> canonical-doc
+    near-dup resolution (MinHash-LSH pairs -> connected components ->
+    keep the lowest-id doc per cluster). One lazy composition of the
+    text, dedup and graph operators; the only iterative part is the
+    component loop."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    scored = corpus.select("doc_id", "text",
+                           feats["quality_score"].alias("quality_score"),
+                           T.lang_id(F.col("text")).alias("pred_lang"))
+    kept = scored.filter((F.col("quality_score") >= 0.5)
+                         & (F.col("pred_lang") == "en"))
+    pairs = D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4)
+    canonical = D.dedup_by_components(kept, pairs)
+    return canonical.select("doc_id", "quality_score", "pred_lang")
+
+
+def _sql_corpus_curation() -> str:
+    # nested WITH blocks: each stage's oracle fragment runs as its own
+    # derived CTE over the shared corpus definition
+    quality = ORACLE_TEXT_QUALITY.replace("FROM documents", "FROM corpus")
+    # corpus has no `lang` ground-truth column — drop it from the
+    # lang-id fragment (it outputs doc_id, pred_lang only here)
+    lang = (_sql_lang_id().replace("FROM documents", "FROM corpus")
+            .replace("doc_id, lang,", "doc_id,"))
+    pairs = _sql_minhash_lsh().replace(f"WITH {_SQL_NEARDUP},", "WITH ")
+    return f"""
+WITH RECURSIVE {_SQL_NEARDUP},
+q AS ({quality}),
+l AS ({lang}),
+kept AS (
+  SELECT q.doc_id, q.quality_score, l.pred_lang
+  FROM q JOIN l ON q.doc_id = l.doc_id
+  WHERE q.quality_score >= 0.5 AND l.pred_lang = 'en'
+),
+pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT k.doc_id, k.quality_score, k.pred_lang
+FROM kept k
+LEFT JOIN comp c ON k.doc_id = c.id
+WHERE c.id IS NULL OR c.component = k.doc_id
+"""
+
+
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -433,6 +495,7 @@ DATAOPS_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
+    "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -449,5 +512,6 @@ DATAOPS_ORACLES = {
     "text_lang_id": _sql_lang_id(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_repetition": ORACLE_TEXT_REPETITION,
+    "corpus_curation": _sql_corpus_curation(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }
