@@ -40,8 +40,9 @@ HEADLINE = [
     # integration engine
     "union_schema_match",
     "simjoin_matches_topk",
-    # full NL-query lifecycle
+    # full NL-query lifecycle + corpus curation composition
     "pipeline_e2e",
+    "corpus_curation",
 ]
 
 
