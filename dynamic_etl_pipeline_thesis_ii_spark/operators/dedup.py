@@ -283,18 +283,45 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def min_label_components(pairs: DataFrame, max_iter: int = 20,
-                         ) -> DataFrame:
+                         driver_threshold: int = 5_000_000) -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     with component = the smallest doc id reachable — the step that turns
     pairwise matches into dedup groups (keep one doc per component).
 
-    Pregel-lite min-label propagation: each iteration joins labels
-    across edges and keeps the per-node minimum, converging in
-    O(graph diameter) rounds — near-dup clusters are shallow (stars /
-    short chains), so 3-5 rounds typical. Each round is one shuffle
-    join + one aggregate; the frontier is checked with a count action
-    and iteration stops at a fixed point. For billion-edge graphs swap
-    in large-star/small-star; the contract stays (id, component)."""
+    Hybrid execution: the pair list is the SMALL side of dedup (LSH has
+    already collapsed the corpus), so below ``driver_threshold`` edges
+    the components come from a driver-side union-find over the collected
+    pairs (microseconds, zero extra jobs). Above it, Pregel-lite
+    min-label propagation: each round is one shuffle join + aggregate,
+    converging in O(graph diameter) rounds with a fixed-point probe
+    every other round. For billion-edge graphs swap in
+    large-star/small-star; the contract stays (id, component)."""
+    # one action: fetch up to threshold+1 pairs; a full result means the
+    # graph is big -> fall through to the distributed loop (recomputing
+    # the pair plan once — the rare branch)
+    rows = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                # min-id root so component == smallest reachable id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r[0], r[1])}
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(x, find(x)) for x in sorted(nodes)], ["id", "comp"])
+
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst"))))
@@ -303,7 +330,7 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
               .withColumn("comp", F.col("id")))
     edges = edges.persist()
     labels = labels.persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (edges.join(labels, edges["dst"] == labels["id"])
                         .groupBy("src").agg(F.min("comp").alias("ncomp")))
         new_labels = (labels.join(neighbor_min,
@@ -312,13 +339,20 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
                               F.least("comp", F.coalesce("ncomp", "comp"))
                               .alias("comp"))
                       .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        # convergence probe only every other round (near-dup clusters
+        # are shallow — most runs finish in 2-3 rounds, and each probe
+        # is a full job): odd rounds just roll forward
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                       .filter(F.col("n.comp") != F.col("o.comp")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels.unpersist()
+            labels = new_labels
     return labels.select("id", "comp")
 
 

@@ -82,11 +82,15 @@ def test_min_label_components_chain_and_star(spark):
          (10, 11), (10, 12),            # star around 10
          (20, 21)],                     # single edge
         ["id_a", "id_b"])
-    comp = {r["id"]: r["comp"]
-            for r in D.min_label_components(pairs).collect()}
-    assert all(comp[i] == 1 for i in (1, 2, 3, 4))
-    assert all(comp[i] == 10 for i in (10, 11, 12))
-    assert comp[20] == comp[21] == 20
+    # both execution paths must agree: driver union-find (default) and
+    # the distributed min-label loop (forced via driver_threshold=0)
+    for thr in (5_000_000, 0):
+        comp = {r["id"]: r["comp"]
+                for r in D.min_label_components(
+                    pairs, driver_threshold=thr).collect()}
+        assert all(comp[i] == 1 for i in (1, 2, 3, 4)), thr
+        assert all(comp[i] == 10 for i in (10, 11, 12)), thr
+        assert comp[20] == comp[21] == 20, thr
 
 
 def test_dedup_by_components_keeps_canonical(spark):
