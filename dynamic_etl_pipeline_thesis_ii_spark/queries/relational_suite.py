@@ -396,6 +396,50 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape): daily value sums per event type as columns.
+    Explicit pivot values keep the schema deterministic (no extra
+    distinct-scan job, stable column order)."""
+    ev = Catalog(spark, sf_dir).events
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy(F.col("ts").cast("date").alias("day"))
+            .pivot("event_type", types)
+            .agg(F.sum(_dec("value")).cast("double"))
+            .select("day", *[F.round(F.col(t), 6).alias(f"sum_{t}")
+                             for t in types]))
+
+
+ORACLE_PIVOT_EVENT_VALUES = """
+SELECT ts::DATE AS day,
+  round(cast(sum(CASE WHEN event_type = 'click' THEN cast(value as decimal(18,4)) END) as double), 6) AS sum_click,
+  round(cast(sum(CASE WHEN event_type = 'error' THEN cast(value as decimal(18,4)) END) as double), 6) AS sum_error,
+  round(cast(sum(CASE WHEN event_type = 'purchase' THEN cast(value as decimal(18,4)) END) as double), 6) AS sum_purchase,
+  round(cast(sum(CASE WHEN event_type = 'signup' THEN cast(value as decimal(18,4)) END) as double), 6) AS sum_signup,
+  round(cast(sum(CASE WHEN event_type = 'view' THEN cast(value as decimal(18,4)) END) as double), 6) AS sum_view
+FROM events GROUP BY ts::DATE
+"""
+
+
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column with a
+    declared schema (from_json — no inference scan) and aggregate on
+    the extracted field."""
+    ev = Catalog(spark, sf_dir).events
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "struct<k:bigint>").getField("k"))
+    return (parsed.groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count(F.when(F.col("k").isNull(), 1)).alias("null_props")))
+
+
+ORACLE_JSON_EXTRACTION = """
+SELECT event_type,
+       sum(cast(json_extract(props, '$.k') as bigint)) AS sum_k,
+       count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS null_props
+FROM events GROUP BY event_type
+"""
+
+
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (continuous interpolation) — the
     distribution-summary aggregate family."""
@@ -497,6 +541,8 @@ RELATIONAL_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "grouping_sets_sql": q_grouping_sets_sql,
     "group_percentiles": q_group_percentiles,
+    "pivot_event_values": q_pivot_event_values,
+    "json_extraction": q_json_extraction,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
 }
@@ -517,6 +563,8 @@ RELATIONAL_ORACLES = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "grouping_sets_sql": ORACLE_GROUPING_SETS,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
+    "pivot_event_values": ORACLE_PIVOT_EVENT_VALUES,
+    "json_extraction": ORACLE_JSON_EXTRACTION,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
 }
