@@ -420,6 +420,31 @@ FROM events GROUP BY ts::DATE
 """
 
 
+def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (long reshape, inverse of pivot): wide OHLC-ish columns
+    melt into (key, metric, value) rows via the native unpivot operator
+    (a Generate node — no shuffle, no union-of-selects)."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("event_type") == "click")
+    wide = ev.select("event_id",
+                     F.col("value").alias("open"),
+                     (F.col("value") * 1.01).alias("high"),
+                     (F.col("value") * 0.99).alias("low"))
+    return wide.unpivot("event_id", ["open", "high", "low"],
+                        "metric", "metric_value")
+
+
+ORACLE_UNPIVOT_OHLC = """
+SELECT event_id, metric, metric_value FROM (
+  SELECT event_id, 'open' AS metric, value AS metric_value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, 'high', value * 1.01 FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, 'low', value * 0.99 FROM events WHERE event_type = 'click'
+)
+"""
+
+
 def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the JSON props column with a
     declared schema (from_json — no inference scan) and aggregate on
@@ -542,6 +567,7 @@ RELATIONAL_QUERIES = {
     "grouping_sets_sql": q_grouping_sets_sql,
     "group_percentiles": q_group_percentiles,
     "pivot_event_values": q_pivot_event_values,
+    "unpivot_ohlc": q_unpivot_ohlc,
     "json_extraction": q_json_extraction,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -564,6 +590,7 @@ RELATIONAL_ORACLES = {
     "grouping_sets_sql": ORACLE_GROUPING_SETS,
     "group_percentiles": ORACLE_GROUP_PERCENTILES,
     "pivot_event_values": ORACLE_PIVOT_EVENT_VALUES,
+    "unpivot_ohlc": ORACLE_UNPIVOT_OHLC,
     "json_extraction": ORACLE_JSON_EXTRACTION,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
