@@ -431,7 +431,9 @@ def q_corpus_curation(spark, sf_dir):
     keep the lowest-id doc per cluster). One lazy composition of the
     text, dedup and graph operators; the only iterative part is the
     component loop."""
-    corpus = _neardup_corpus(spark, sf_dir)
+    # both branches (quality/lang scoring and pair generation) scan the
+    # corpus — persist the small text frame so it reads/normalizes once
+    corpus = _neardup_corpus(spark, sf_dir).persist()
     feats = T.quality_features(F.col("text"))
     scored = corpus.select("doc_id", "text",
                            feats["quality_score"].alias("quality_score"),
