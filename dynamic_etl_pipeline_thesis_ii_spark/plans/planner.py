@@ -103,13 +103,15 @@ class RulePlanner:
                     api, ep, {}, reasoning=f"economic keyword {kws[0]!r}"))
                 keywords.append(kws[0])
 
-        # fundamentals / earnings per ticker
+        # fundamentals / earnings per ticker; quarterly is the default
+        # period unless the query says annual (reference routing rules)
         fundamental_eps = [ep for kws, ep in _FUNDAMENTAL
                            if any(k in ql for k in kws)]
+        period = "annual" if ("annual" in ql or "yearly" in ql) else "quarterly"
         for ticker in tickers:
             for ep in fundamental_eps:
                 requests.append(PlannedRequest(
-                    "alpha_vantage", ep, {"ticker": ticker},
+                    "alpha_vantage", ep, {"ticker": ticker, "period": period},
                     reasoning="fundamental keyword"))
         if fundamental_eps:
             keywords.extend(ep.lower() for ep in fundamental_eps)

@@ -307,3 +307,14 @@ def test_pipeline_multi_ticker_with_economic(spark, sf_dir):
         rows = bars.filter(F.col("ticker") == t).orderBy("timestamp").collect()
         assert rows[0]["rsi_close_14"] is None
         assert rows[-1]["rsi_close_14"] is not None
+
+
+def test_route_fundamentals_quarterly_default():
+    resp = P.analyze("AMZN balance sheet")
+    req = [r for r in resp.api_requests
+           if r.endpoint_name == "BALANCE_SHEET"][0]
+    assert req.parameters["period"] == "quarterly"
+    resp2 = P.analyze("AMZN annual balance sheet")
+    req2 = [r for r in resp2.api_requests
+            if r.endpoint_name == "BALANCE_SHEET"][0]
+    assert req2.parameters["period"] == "annual"
