@@ -100,8 +100,8 @@ def q_clean_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CLEAN_NULL_PROFILE = f"""
 WITH {_SQL_DIRTY}
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
-       sum(CASE WHEN sparse IS NULL THEN 1 ELSE 0 END) AS sparse_nulls,
+       cast(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) as bigint) AS props_nulls,
+       cast(sum(CASE WHEN sparse IS NULL THEN 1 ELSE 0 END) as bigint) AS sparse_nulls,
        round(avg(CASE WHEN sparse IS NULL THEN 1.0 ELSE 0.0 END), 6) AS sparse_null_ratio
 FROM dup
 """

@@ -385,8 +385,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT user_id, ts, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -459,7 +459,7 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACTION = """
 SELECT event_type,
-       sum(cast(json_extract(props, '$.k') as bigint)) AS sum_k,
+       cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) AS sum_k,
        count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS null_props
 FROM events GROUP BY event_type
 """

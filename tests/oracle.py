@@ -63,7 +63,47 @@ def _values_close(a, b):
     return a == b
 
 
+# Spark dtype (base name) -> acceptable Arrow type prefixes for the DuckDB
+# side. Catches the HUGEINT class of driver hash-fails locally: DuckDB's
+# integer sum() is HUGEINT (arrow decimal128(38,0)) while Spark emits BIGINT —
+# values compare equal via fetchall() but the driver's value-hash differs.
+_TYPE_COMPAT = {
+    "tinyint": ("int", "uint"),
+    "smallint": ("int", "uint"),
+    "int": ("int", "uint"),
+    "bigint": ("int", "uint"),
+    "float": ("float", "halffloat"),
+    "double": ("double",),
+    "string": ("string", "large_string"),
+    "date": ("date",),
+    "timestamp": ("timestamp",),
+    "boolean": ("bool",),
+    "decimal": ("decimal",),
+}
+
+
+def _check_types(spark_df, con, sql: str, name: str) -> None:
+    try:
+        schema = con.execute(
+            f"SELECT * FROM ({sql}) oracle_t LIMIT 0").arrow().schema
+    except Exception:
+        return  # some dialect constructs don't nest; value compare still runs
+    arrow_types = {f.name: str(f.type) for f in schema}
+    bad = []
+    for col, dtype in spark_df.dtypes:
+        base = dtype.split("(")[0]
+        allowed = _TYPE_COMPAT.get(base)
+        atype = arrow_types.get(col)
+        if allowed is None or atype is None:
+            continue  # arrays/maps/structs or column-name mismatch (checked later)
+        if not atype.startswith(allowed):
+            bad.append(f"{col}: spark={dtype} oracle_arrow={atype}")
+    assert not bad, (
+        f"[{name}] result-type mismatch (driver hash would differ): " + "; ".join(bad))
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
+    _check_types(spark_df, con, sql, name)
     # collect() preserves null vs NaN (toPandas() would fold both to NaN)
     collected = spark_df.collect()
     s_cols = spark_df.columns
