@@ -27,8 +27,8 @@ HEADLINE = [
     "range_join",
     "cube_priority_status",
     # window/feature engine
-    "feat_trend",
-    "feat_ema",
+    "feat_trend_bands",
+    "feat_ema_family",
     # cleaning engine
     "clean_pipeline",
     # dedup / similarity / text (training-data ops)
@@ -36,7 +36,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
-    "text_quality",
+    "text_metrics",
     # integration engine
     "union_schema_match",
     "simjoin_matches_topk",

@@ -285,10 +285,21 @@ WHERE round(list_dot_product(x.v, y.v) /
 # text analysis
 # ---------------------------------------------------------------------------
 
-def q_text_quality(spark, sf_dir):
+def q_text_metrics(spark, sf_dir):
+    """All per-document text analyses in one scan: quality scoring,
+    language-ID, fingerprint/token counts, repetition/entropy signals.
+    One shuffle total (the entropy aggregate inside repetition_features);
+    everything else is pure column expressions."""
     docs = Catalog(spark, sf_dir).documents
     feats = T.quality_features(F.col("text"))
-    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+    base = docs.select(
+        "doc_id", "lang",
+        *[v.alias(k) for k, v in feats.items()],
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+    rep = T.repetition_features(docs)
+    return base.join(rep, "doc_id")
 
 
 _SQL_TOKENS = f"string_split({_NORM.format(x='text')}, ' ')"
@@ -317,11 +328,6 @@ FROM t
 """
 
 
-def q_text_lang_id(spark, sf_dir):
-    docs = Catalog(spark, sf_dir).documents
-    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
-
-
 def _sql_lang_id() -> str:
     hit_exprs = {
         lang: (f"len(list_intersect(list_distinct({_SQL_TOKENS}), "
@@ -339,12 +345,6 @@ SELECT doc_id, lang,
   CASE WHEN mx = 0 THEN 'und' {chain} ELSE '{langs[-1]}' END AS pred_lang
 FROM m
 """
-
-
-def q_text_repetition(spark, sf_dir):
-    """Repetition/diversity spam signals per document."""
-    docs = Catalog(spark, sf_dir).documents
-    return T.repetition_features(docs)
 
 
 ORACLE_TEXT_REPETITION = f"""
@@ -372,21 +372,26 @@ FROM base JOIN ent ON base.doc_id = ent.doc_id
 """
 
 
-def q_text_fingerprint(spark, sf_dir):
-    docs = Catalog(spark, sf_dir).documents
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"),
-                       T.token_count(F.col("text")).alias("n_tokens"),
-                       T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
-
-
 ORACLE_TEXT_FINGERPRINT = f"""
 SELECT doc_id,
   list_reduce(list_prepend(0::BIGINT, list_transform({_SQL_TOKENS},
       s -> {_H32.format(x='s')})),
     (acc, x) -> (acc * 131 + x) % 1000000007) AS fp,
-  cast(len({_SQL_TOKENS}) AS bigint) AS n_tokens,
   cast(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bigint) AS n_bpe_tokens
 FROM documents
+"""
+
+
+ORACLE_TEXT_METRICS = f"""
+SELECT q.doc_id, l.lang, l.pred_lang,
+       q.n_chars, q.n_tokens, q.punct_ratio, q.mean_word_len,
+       q.stopword_ratio, q.quality_score,
+       f.fp, f.n_bpe_tokens,
+       r.distinct_token_ratio, r.rep_2gram, r.token_entropy
+FROM ({ORACLE_TEXT_QUALITY}) q
+JOIN ({_sql_lang_id()}) l ON q.doc_id = l.doc_id
+JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON q.doc_id = f.doc_id
+JOIN ({ORACLE_TEXT_REPETITION}) r ON q.doc_id = r.doc_id
 """
 
 
@@ -493,10 +498,7 @@ DATAOPS_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "embedding_neardup": q_embedding_neardup,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "text_fingerprint": q_text_fingerprint,
-    "text_repetition": q_text_repetition,
+    "text_metrics": q_text_metrics,
     "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
 }
@@ -510,10 +512,7 @@ DATAOPS_ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_lsh_bucket": ORACLE_ANN_LSH_BUCKET,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
-    "text_quality": ORACLE_TEXT_QUALITY,
-    "text_lang_id": _sql_lang_id(),
-    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
-    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_metrics": ORACLE_TEXT_METRICS,
     "corpus_curation": _sql_corpus_curation(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

@@ -61,16 +61,20 @@ def _apply(spark, sf_dir, features, round4=(), exact=()):
     return df.select(*sel)
 
 
-# --- rolling aggregates -----------------------------------------------------
+# --- rolling aggregates (W1, W6, W8, W13, W14, W17 in one pass) -------------
 
-def q_feat_trend(spark, sf_dir):
+def q_feat_trend_bands(spark, sf_dir):
     return _apply(spark, sf_dir, [
         {"name": "sma", "params": {"on": "close", "window": 5}},
         {"name": "rolling_avg", "params": {"on": "close", "window": 3}},
         {"name": "rolling_max", "params": {"on": "close", "window": 5}},
         {"name": "rolling_min", "params": {"on": "close", "window": 5}},
         {"name": "rolling_vol", "params": {"on": "close", "window": 5}},
-    ], round4=["sma_close_5", "rolling_avg_close_3", "rolling_vol_close_5"],
+        {"name": "bbands", "params": {"on": "close", "window": 5, "std_dev": 2}},
+        {"name": "zscore", "params": {"on": "close", "window": 5}},
+    ], round4=["sma_close_5", "rolling_avg_close_3", "rolling_vol_close_5",
+               "bbands_bband_upper", "bbands_bband_middle", "bbands_bband_lower",
+               "zscore_close_5"],
        exact=["rolling_max_close_5", "rolling_min_close_5"])
 
 
@@ -86,14 +90,6 @@ FROM fin
 WINDOW w5 AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        w3 AS ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
-
-
-def q_feat_bbands_zscore(spark, sf_dir):
-    return _apply(spark, sf_dir, [
-        {"name": "bbands", "params": {"on": "close", "window": 5, "std_dev": 2}},
-        {"name": "zscore", "params": {"on": "close", "window": 5}},
-    ], round4=["bbands_bband_upper", "bbands_bband_middle", "bbands_bband_lower",
-               "zscore_close_5"])
 
 
 ORACLE_FEAT_BBANDS_ZSCORE = f"""
@@ -113,10 +109,12 @@ FROM b
 """
 
 
-def q_feat_rsi(spark, sf_dir):
+def q_feat_oscillators(spark, sf_dir):
+    """W4 (RSI) + W5 (stochastic) in one pass."""
     return _apply(spark, sf_dir, [
         {"name": "rsi", "params": {"on": "close", "window": 14}},
-    ], round4=["rsi_close_14"])
+        {"name": "stoch", "params": {"k_window": 5, "d_window": 3}},
+    ], round4=["rsi_close_14", "stoch_stoch_k", "stoch_stoch_d"])
 
 
 ORACLE_FEAT_RSI = f"""
@@ -138,12 +136,6 @@ WINDOW w AS ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 """
 
 
-def q_feat_stoch(spark, sf_dir):
-    return _apply(spark, sf_dir, [
-        {"name": "stoch", "params": {"k_window": 5, "d_window": 3}},
-    ], round4=["stoch_stoch_k", "stoch_stoch_d"])
-
-
 ORACLE_FEAT_STOCH = f"""
 WITH {_SQL_FIN}, k AS (
   SELECT event_id, user_id, ts,
@@ -161,16 +153,22 @@ WINDOW w3 AS ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
-# --- row-wise + cumulative --------------------------------------------------
+# --- row-wise + cumulative + calendar ---------------------------------------
 
-def q_feat_momentum(spark, sf_dir):
+def q_feat_momentum_calendar(spark, sf_dir):
+    """W10-W12, W16, W9 (OBV) + W15 (calendar flags) in one pass."""
     return _apply(spark, sf_dir, [
         {"name": "ret", "params": {"on": "close", "periods": 1, "method": "log"}},
         {"name": "pct_change", "params": {"on": "close", "periods": 3}},
         {"name": "lag", "params": {"on": "close", "periods": 2}},
         {"name": "diff", "params": {"on": "close", "periods": 1}},
         {"name": "obv", "params": {}},
-    ], round4=["obv"], exact=["ret_close", "pct_change_close", "lag_close", "diff_close"])
+        {"name": "session_flags", "params": {}},
+    ], round4=["obv"],
+       exact=["ret_close", "pct_change_close", "lag_close", "diff_close",
+              "session_flags_dow", "session_flags_month", "session_flags_week",
+              "session_flags_hour", "session_flags_is_month_start",
+              "session_flags_is_month_end"])
 
 
 ORACLE_FEAT_MOMENTUM = f"""
@@ -193,14 +191,6 @@ FROM s
 """
 
 
-def q_feat_session_flags(spark, sf_dir):
-    return _apply(spark, sf_dir, [
-        {"name": "session_flags", "params": {}},
-    ], exact=["session_flags_dow", "session_flags_month", "session_flags_week",
-              "session_flags_hour", "session_flags_is_month_start",
-              "session_flags_is_month_end"])
-
-
 ORACLE_FEAT_SESSION_FLAGS = """
 SELECT event_id, user_id, ts,
   cast(isodow(ts) - 1 AS integer) AS session_flags_dow,
@@ -213,12 +203,15 @@ FROM events
 """
 
 
-# --- recursive EMA family ---------------------------------------------------
+# --- recursive EMA family (W2, W3, W7 — one applyInPandas pass) -------------
 
-def q_feat_ema(spark, sf_dir):
+def q_feat_ema_family(spark, sf_dir):
     return _apply(spark, sf_dir, [
         {"name": "ema", "params": {"on": "close", "window": 5}},
-    ], round4=["ema_close_5"])
+        {"name": "macd", "params": {"on": "close", "fast_period": 6,
+                                    "slow_period": 13, "signal_period": 4}},
+        {"name": "atr", "params": {"window": 5}},
+    ], round4=["ema_close_5", "macd_macd", "macd_signal", "macd_hist", "atr__5"])
 
 
 ORACLE_FEAT_EMA = f"""
@@ -232,14 +225,6 @@ SELECT event_id, user_id, ts,
         THEN list_reduce(hist, (acc, x) -> (2.0/6.0) * x + (1 - 2.0/6.0) * acc) END, 4) + 0.0 AS ema_close_5
 FROM l
 """
-
-
-def q_feat_macd_atr(spark, sf_dir):
-    return _apply(spark, sf_dir, [
-        {"name": "macd", "params": {"on": "close", "fast_period": 6,
-                                    "slow_period": 13, "signal_period": 4}},
-        {"name": "atr", "params": {"window": 5}},
-    ], round4=["macd_macd", "macd_signal", "macd_hist", "atr__5"])
 
 
 ORACLE_FEAT_MACD_ATR = f"""
@@ -429,30 +414,50 @@ FROM earn
 """
 
 
+def _join_oracles(left_sql: str, right_sql: str, right_cols: list[str]) -> str:
+    """Join two per-(event_id) oracle fragments into one result — the
+    merged Spark query computes both feature families in a single pass,
+    so the oracle composes the already-verified per-family SQL."""
+    sel = ", ".join(f"b.{c}" for c in right_cols)
+    return (f"SELECT a.*, {sel} FROM ({left_sql}) a "
+            f"JOIN ({right_sql}) b ON a.event_id = b.event_id")
+
+
+ORACLE_FEAT_TREND_BANDS = _join_oracles(
+    ORACLE_FEAT_TREND, ORACLE_FEAT_BBANDS_ZSCORE,
+    ["bbands_bband_upper", "bbands_bband_middle", "bbands_bband_lower",
+     "zscore_close_5"])
+
+ORACLE_FEAT_OSCILLATORS = _join_oracles(
+    ORACLE_FEAT_RSI, ORACLE_FEAT_STOCH, ["stoch_stoch_k", "stoch_stoch_d"])
+
+ORACLE_FEAT_MOMENTUM_CALENDAR = _join_oracles(
+    ORACLE_FEAT_MOMENTUM, ORACLE_FEAT_SESSION_FLAGS,
+    ["session_flags_dow", "session_flags_month", "session_flags_week",
+     "session_flags_hour", "session_flags_is_month_start",
+     "session_flags_is_month_end"])
+
+ORACLE_FEAT_EMA_FAMILY = _join_oracles(
+    ORACLE_FEAT_EMA, ORACLE_FEAT_MACD_ATR,
+    ["macd_macd", "macd_signal", "macd_hist", "atr__5"])
+
+
 FEATURE_QUERIES = {
     "feat_fundamental_ratios": q_feat_fundamental_ratios,
     "feat_earnings": q_feat_earnings,
-    "feat_trend": q_feat_trend,
-    "feat_bbands_zscore": q_feat_bbands_zscore,
-    "feat_rsi": q_feat_rsi,
-    "feat_stoch": q_feat_stoch,
-    "feat_momentum": q_feat_momentum,
-    "feat_session_flags": q_feat_session_flags,
-    "feat_ema": q_feat_ema,
-    "feat_macd_atr": q_feat_macd_atr,
+    "feat_trend_bands": q_feat_trend_bands,
+    "feat_oscillators": q_feat_oscillators,
+    "feat_momentum_calendar": q_feat_momentum_calendar,
+    "feat_ema_family": q_feat_ema_family,
     "feat_custom": q_feat_custom,
 }
 
 FEATURE_ORACLES = {
     "feat_fundamental_ratios": ORACLE_FEAT_RATIOS,
     "feat_earnings": ORACLE_FEAT_EARNINGS,
-    "feat_trend": ORACLE_FEAT_TREND,
-    "feat_bbands_zscore": ORACLE_FEAT_BBANDS_ZSCORE,
-    "feat_rsi": ORACLE_FEAT_RSI,
-    "feat_stoch": ORACLE_FEAT_STOCH,
-    "feat_momentum": ORACLE_FEAT_MOMENTUM,
-    "feat_session_flags": ORACLE_FEAT_SESSION_FLAGS,
-    "feat_ema": ORACLE_FEAT_EMA,
-    "feat_macd_atr": ORACLE_FEAT_MACD_ATR,
+    "feat_trend_bands": ORACLE_FEAT_TREND_BANDS,
+    "feat_oscillators": ORACLE_FEAT_OSCILLATORS,
+    "feat_momentum_calendar": ORACLE_FEAT_MOMENTUM_CALENDAR,
+    "feat_ema_family": ORACLE_FEAT_EMA_FAMILY,
     "feat_custom": ORACLE_FEAT_CUSTOM,
 }

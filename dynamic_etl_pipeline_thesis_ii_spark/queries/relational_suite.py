@@ -256,34 +256,31 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 # ---------------------------------------------------------------------------
-# q_set_intersect / q_set_except — set ops (SURVEY.md §2.7 "Absent").
+# q_set_ops — INTERSECT/EXCEPT set ops (SURVEY.md §2.7 "Absent").
 # ---------------------------------------------------------------------------
 
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT in one result, tagged by `op`."""
     c = Catalog(spark, sf_dir)
     cust_nations = c.customer.select(F.col("c_nationkey").alias("nationkey"))
     supp_nations = c.supplier.select(F.col("s_nationkey").alias("nationkey"))
-    return cust_nations.intersect(supp_nations)
+    inter = cust_nations.intersect(supp_nations).withColumn("op", F.lit("intersect"))
+    exc = cust_nations.subtract(supp_nations).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
 
 
-ORACLE_SET_INTERSECT = """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey AS nationkey FROM supplier
-"""
-
-
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = Catalog(spark, sf_dir)
-    cust_nations = c.customer.select(F.col("c_nationkey").alias("nationkey"))
-    supp_nations = c.supplier.select(F.col("s_nationkey").alias("nationkey"))
-    return cust_nations.subtract(supp_nations)
-
-
-ORACLE_SET_EXCEPT = """
-SELECT c_nationkey AS nationkey FROM customer
-EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+ORACLE_SET_OPS = """
+SELECT 'intersect' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except', nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
 """
 
 
@@ -559,8 +556,7 @@ RELATIONAL_QUERIES = {
     "distinct_agg": q_distinct_agg,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
+    "set_ops": q_set_ops,
     "rank_orders": q_rank_orders,
     "window_rank_functions": q_window_rank_functions,
     "sessionize_events": q_sessionize_events,
@@ -582,8 +578,7 @@ RELATIONAL_ORACLES = {
     "distinct_agg": ORACLE_DISTINCT_AGG,
     "semi_join": ORACLE_SEMI_JOIN,
     "anti_join": ORACLE_ANTI_JOIN,
-    "set_intersect": ORACLE_SET_INTERSECT,
-    "set_except": ORACLE_SET_EXCEPT,
+    "set_ops": ORACLE_SET_OPS,
     "rank_orders": ORACLE_RANK_ORDERS,
     "window_rank_functions": ORACLE_WINDOW_RANK,
     "sessionize_events": ORACLE_SESSIONIZE,

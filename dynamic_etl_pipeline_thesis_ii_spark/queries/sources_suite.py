@@ -167,24 +167,94 @@ FROM events WHERE event_type = 'signup'
 """
 
 
+# ---------------------------------------------------------------------------
+# consolidated registry entries: the per-adapter transforms above are
+# unioned (superset schema, `part`/`mode` tag) so the whole sources
+# family fits the driver's correctness window in 3 entries while every
+# adapter still contributes verified rows.
+# ---------------------------------------------------------------------------
+
+def q_src_parse_normalize(spark, sf_dir):
+    """S3 (Polygon bar parse) + F4 (AV header clean) + S5 (indicator
+    normalize) — one result, tagged by `part`, schemas unioned by name."""
+    bars = q_src_parse_bars(spark, sf_dir).withColumn("part", F.lit("bars"))
+    av = q_src_av_headers(spark, sf_dir).withColumn("part", F.lit("av"))
+    ind = q_src_indicator_normalize(spark, sf_dir).withColumn("part", F.lit("indicator"))
+    return (bars.unionByName(av, allowMissingColumns=True)
+            .unionByName(ind, allowMissingColumns=True))
+
+
+ORACLE_SRC_PARSE_NORMALIZE = f"""
+SELECT part, ticker, timestamp, open, high, low, close, volume, vwap,
+       transactions, adjusted_close, value
+FROM (
+  SELECT 'bars' AS part, ticker, timestamp, open, high, low, close, volume,
+         vwap, transactions, NULL AS adjusted_close, NULL AS value
+  FROM ({ORACLE_SRC_PARSE_BARS})
+  UNION ALL
+  SELECT 'av', NULL, timestamp, open, NULL, NULL, NULL, volume,
+         NULL, NULL, adjusted_close, NULL
+  FROM ({ORACLE_SRC_AV_HEADERS})
+  UNION ALL
+  SELECT 'indicator', NULL, timestamp, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, value
+  FROM ({ORACLE_SRC_INDICATOR})
+)
+"""
+
+
+def q_src_window_trim(spark, sf_dir):
+    """S8/P9/O3: the three requested-window trim modes (explicit range,
+    tail-N, frequency map), tagged by `mode`."""
+    rng = q_src_window_trim_range(spark, sf_dir).withColumn("mode", F.lit("range"))
+    tail = q_src_window_trim_tail(spark, sf_dir).withColumn("mode", F.lit("tail"))
+    freq = q_src_window_trim_freq(spark, sf_dir).withColumn("mode", F.lit("freq"))
+    return rng.unionByName(tail).unionByName(freq)
+
+
+ORACLE_SRC_WINDOW_TRIM = f"""
+SELECT 'range' AS mode, timestamp, value FROM ({ORACLE_SRC_WINDOW_RANGE})
+UNION ALL
+SELECT 'tail', timestamp, value FROM ({ORACLE_SRC_WINDOW_TAIL})
+UNION ALL
+SELECT 'freq', timestamp, value FROM ({ORACLE_SRC_WINDOW_FREQ})
+"""
+
+
+def q_src_flatten_prefix(spark, sf_dir):
+    """S4 (snapshot flatten) + S9 (statement prefixing), tagged by `part`."""
+    snap = q_src_snapshot_flatten(spark, sf_dir).withColumn("part", F.lit("snapshot"))
+    stmt = q_src_statement_prefix(spark, sf_dir).withColumn("part", F.lit("statement"))
+    return snap.unionByName(stmt, allowMissingColumns=True)
+
+
+ORACLE_SRC_FLATTEN_PREFIX = f"""
+SELECT part, ticker, open, high, low, close, volume, vwap, prev_close,
+       timestamp, income_statement_totalRevenue, income_statement_netIncome,
+       reportedCurrency, period
+FROM (
+  SELECT 'snapshot' AS part, ticker, open, high, low, close, volume, vwap,
+         prev_close, timestamp, NULL AS income_statement_totalRevenue,
+         NULL AS income_statement_netIncome, NULL AS reportedCurrency,
+         NULL AS period
+  FROM ({ORACLE_SRC_SNAPSHOT_FLATTEN})
+  UNION ALL
+  SELECT 'statement', ticker, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, income_statement_totalRevenue, income_statement_netIncome,
+         reportedCurrency, period
+  FROM ({ORACLE_SRC_STATEMENT_PREFIX})
+)
+"""
+
+
 SOURCES_QUERIES = {
-    "src_parse_bars": q_src_parse_bars,
-    "src_snapshot_flatten": q_src_snapshot_flatten,
-    "src_indicator_normalize": q_src_indicator_normalize,
-    "src_window_trim_range": q_src_window_trim_range,
-    "src_window_trim_tail": q_src_window_trim_tail,
-    "src_window_trim_freq": q_src_window_trim_freq,
-    "src_statement_prefix": q_src_statement_prefix,
-    "src_av_headers": q_src_av_headers,
+    "src_parse_normalize": q_src_parse_normalize,
+    "src_window_trim": q_src_window_trim,
+    "src_flatten_prefix": q_src_flatten_prefix,
 }
 
 SOURCES_ORACLES = {
-    "src_parse_bars": ORACLE_SRC_PARSE_BARS,
-    "src_snapshot_flatten": ORACLE_SRC_SNAPSHOT_FLATTEN,
-    "src_indicator_normalize": ORACLE_SRC_INDICATOR,
-    "src_window_trim_range": ORACLE_SRC_WINDOW_RANGE,
-    "src_window_trim_tail": ORACLE_SRC_WINDOW_TAIL,
-    "src_window_trim_freq": ORACLE_SRC_WINDOW_FREQ,
-    "src_statement_prefix": ORACLE_SRC_STATEMENT_PREFIX,
-    "src_av_headers": ORACLE_SRC_AV_HEADERS,
+    "src_parse_normalize": ORACLE_SRC_PARSE_NORMALIZE,
+    "src_window_trim": ORACLE_SRC_WINDOW_TRIM,
+    "src_flatten_prefix": ORACLE_SRC_FLATTEN_PREFIX,
 }
