@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import re
+import zlib
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -186,8 +187,13 @@ def clean_dataframe(df: DataFrame, config: dict | str | None = None,
                 mean = stats.get(f"mean_{c}")
                 std = stats.get(f"std_{c}")
                 if mean is not None:
+                    # distinct deterministic seed per column — identical
+                    # seeds would draw the same z-sequence for every
+                    # imputed column (perfectly correlated fills; the
+                    # reference's np.random draws are independent)
+                    col_seed = seed + (zlib.crc32(c.encode()) % 100003)
                     fill = (F.lit(mean) if std in (None, 0.0)
-                            else F.randn(seed) * F.lit(std) + F.lit(mean))
+                            else F.randn(col_seed) * F.lit(std) + F.lit(mean))
                     impute_exprs[c] = F.when(col.isNull(), fill).otherwise(col)
             elif strategy == "unix_epoch" and dtypes[c] == "timestamp":
                 impute_exprs[c] = F.coalesce(col, F.lit("1970-01-01 00:00:00").cast("timestamp"))

@@ -68,9 +68,14 @@ def find_column_mapping(cols_a: list[str], cols_b: list[str], cfg: EngineConfig,
                         semantic_scorer: Optional[SemanticScorer] = None,
                         ) -> tuple[dict[str, str], float]:
     """For each column of B, the best column of A with score >= threshold.
-    Returns ({col_b: col_a}, mean matched score) (``union.py:115-148``)."""
-    mapping: dict[str, str] = {}
-    scores: list[float] = []
+    Returns ({col_b: col_a}, mean matched score) (``union.py:115-148``).
+
+    The mapping is made INJECTIVE: when several B columns tie to the same
+    A column (e.g. 'price' and 'prices'), only the best-scoring B column
+    keeps the mapping — pandas tolerates the duplicate labels a
+    many-to-one rename produces, but Spark's rename would yield ambiguous
+    column references, so the weaker candidates stay unmapped instead."""
+    best_for_b: dict[str, tuple[str, float]] = {}
     for col_b in cols_b:
         best, best_score = None, 0.0
         for col_a in cols_a:
@@ -78,8 +83,14 @@ def find_column_mapping(cols_a: list[str], cols_b: list[str], cfg: EngineConfig,
             if s > best_score and s >= cfg.union_threshold:
                 best, best_score = col_a, s
         if best is not None:
-            mapping[col_b] = best
-            scores.append(best_score)
+            best_for_b[col_b] = (best, best_score)
+    # injective resolution: one winning col_b per target col_a
+    winner: dict[str, tuple[str, float]] = {}
+    for col_b, (col_a, score) in best_for_b.items():
+        if col_a not in winner or score > winner[col_a][1]:
+            winner[col_a] = (col_b, score)
+    mapping = {col_b: col_a for col_a, (col_b, _) in winner.items()}
+    scores = [s for _, (_, s) in winner.items()]
     return mapping, (sum(scores) / len(scores) if scores else 0.0)
 
 
@@ -104,8 +115,15 @@ def execute_union(df1: DataFrame, df2: DataFrame,
                   mapping: dict[str, str]) -> DataFrame:
     """Rename df2 per mapping, pad missing columns with null on both
     sides, vertical concat with df1's column order first
-    (``union.py:219-264``). Narrow op — no shuffle."""
-    df2 = df2.withColumnsRenamed(mapping)
+    (``union.py:219-264``). Narrow op — no shuffle.
+
+    Renames that would collide with an existing (unrenamed) df2 column
+    are skipped — the source column then unions as its own padded
+    column rather than producing an ambiguous reference."""
+    renamed_away = set(mapping)
+    safe = {src: dst for src, dst in mapping.items()
+            if src == dst or dst not in set(df2.columns) - renamed_away}
+    df2 = df2.withColumnsRenamed(safe)
     out_cols = list(df1.columns) + [c for c in df2.columns if c not in df1.columns]
     a = df1.select(*[F.col(c) if c in df1.columns else F.lit(None).alias(c)
                      for c in out_cols])

@@ -59,6 +59,17 @@ def save_outputs(dfs: Iterable[DataFrame], out_dir: str, prefix: str = "result",
             for i, df in enumerate(dfs)]
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check through the JVM Hadoop
+    FileSystem (works for local paths, HDFS, s3a, ... — os.path only
+    covers local)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def append_new_keys(df: DataFrame, path: str, key_cols: list[str],
                     fmt: str = "parquet") -> dict:
     """Idempotent append: only rows whose key is absent from the sink
@@ -67,13 +78,18 @@ def append_new_keys(df: DataFrame, path: str, key_cols: list[str],
     twin of streaming dropDuplicatesWithinWatermark. The anti-join
     reads only the key columns of the existing data (column pruning);
     at scale, partition the sink by a key prefix so the probe prunes
-    partitions too."""
+    partitions too.
+
+    Only a genuinely-missing sink path is treated as "first write" — any
+    other probe failure (permissions, corrupt footer, transient IO) is
+    re-raised rather than silently overwriting an existing sink with
+    just the current batch."""
     spark = df.sparkSession
-    try:
+    if _path_exists(spark, path):
         existing = spark.read.format(fmt).load(path).select(*key_cols)
         fresh = df.join(existing, on=key_cols, how="left_anti")
         mode = "append"
-    except Exception:  # noqa: BLE001 — first write: nothing to probe
+    else:  # first write: nothing to probe
         fresh = df
         mode = "overwrite"
     report = write_table(fresh, path, fmt=fmt,

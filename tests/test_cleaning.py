@@ -140,3 +140,39 @@ def test_string_coercion_of_mixed(spark):
     # float rule coerces; 'bad' → null → normal-imputed from single value 12.5
     vals = sorted(r["close"] for r in out.collect())
     assert vals[0] == 12.5 and len(vals) == 2
+
+
+def test_imputed_columns_draw_independent_noise(spark):
+    """Per-column seeds: two columns imputed on the same rows must not
+    receive identical z-draws (perfectly correlated fills)."""
+    import datetime
+    rows = [("A", TS + datetime.timedelta(seconds=i),
+             None if i % 2 == 0 else 10.0 + (i % 7),
+             None if i % 2 == 0 else 20.0 + 3.0 * (i % 5))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "ticker string, ts timestamp, a double, b double")
+    config = {
+        "version": 1,
+        "global_settings": {"default_null_threshold": 0.9,
+                            "default_allow_column_deletion": False,
+                            "default_imputation_strategy": "auto",
+                            "remove_duplicates": False},
+        "column_rules": [
+            {"pattern": "^[ab]$", "dtype": "float",
+             "imputation_strategy": "normal_distribution"},
+            {"pattern": ".*", "dtype": "auto", "imputation_strategy": "none"},
+        ],
+        "relationship_validations": [],
+    }
+    out, _ = clean_dataframe(df, config, seed=42)
+    import statistics
+    obs_a = [10.0 + (i % 7) for i in range(40) if i % 2 == 1]
+    obs_b = [20.0 + 3.0 * (i % 5) for i in range(40) if i % 2 == 1]
+    ma, sa = statistics.mean(obs_a), statistics.stdev(obs_a)
+    mb, sb = statistics.mean(obs_b), statistics.stdev(obs_b)
+    imputed_ts = {TS + datetime.timedelta(seconds=i) for i in range(40) if i % 2 == 0}
+    zs = [(((r["a"] - ma) / sa), ((r["b"] - mb) / sb))
+          for r in out.collect() if r["ts"] in imputed_ts]
+    assert len(zs) == 20
+    # with a shared seed every pair would be elementwise identical
+    assert any(abs(za - zb) > 1e-9 for za, zb in zs)

@@ -263,3 +263,33 @@ def test_score_pairs_with_model_broadcast(spark):
     scored = SJ.score_pairs_with_model(feats, model)
     probs = {r["id_b"]: r["prob"] for r in scored.collect()}
     assert probs[2] > 0.9 and probs[3] < 0.2
+
+
+def test_mapping_is_injective_and_union_survives_near_duplicate_names(spark):
+    """'price' and 'prices' in df2 both map best to df1's 'price'; the
+    mapping must keep only the better candidate so the rename never
+    produces duplicate/ambiguous column names (ADVICE r01)."""
+    cfg = EngineConfig()
+    df1 = spark.createDataFrame([(1, 10.0)], ["id", "price"])
+    df2 = spark.createDataFrame([(2, 11.0, 12.0)], ["id", "price", "prices"])
+    mapping, _ = U.find_column_mapping(df1.columns, df2.columns, cfg)
+    assert list(mapping.values()).count("price") == 1
+    ok, _, mapping = U.check_compatibility(df1, df2, cfg)
+    out = U.execute_union(df1, df2, mapping)
+    assert out.columns.count("price") == 1
+    assert out.count() == 2  # materializes without AMBIGUOUS_REFERENCE
+    groups, _ = U.sequential_union([df1, df2], cfg)
+    for g in groups:
+        g.collect()
+
+
+def test_execute_union_skips_rename_colliding_with_existing_column(spark):
+    """A mapping whose target name already exists (unrenamed) in df2
+    must not be applied blindly — the source column unions as itself."""
+    cfg = EngineConfig()
+    df1 = spark.createDataFrame([(10.0,)], ["price"])
+    df2 = spark.createDataFrame([(9.0, 11.0)], ["price", "cost"])
+    out = U.execute_union(df1, df2, {"cost": "price"})
+    assert out.columns.count("price") == 1
+    assert out.columns.count("cost") == 1  # rename skipped, kept as-is
+    out.collect()

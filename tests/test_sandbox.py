@@ -51,3 +51,28 @@ def test_must_assign_series():
 def test_blocked(code):
     with pytest.raises(SandboxViolation):
         run_sandboxed(code, G)
+
+# --- attribute-allowlist hardening (pd/np proxied roots) --------------------
+
+@pytest.mark.parametrize("code", [
+    # module traversal to the OS through a non-dunder chain
+    "series = pd.io.common.os.system('id') * g['close']",
+    # pickle-based code execution
+    "series = pd.read_pickle('/tmp/x.pkl')",
+    "pd.to_pickle(g, '/tmp/x.pkl')\nseries = g['close']",
+    # string-evaluating pandas entry points (bypass AST screening)
+    "series = g.eval('close * 2')",
+    "series = g.query('close > 1')['close']",
+    # disallowed np attribute (submodule)
+    "series = np.lib.utils * g['close']",
+])
+def test_blocked_attribute_vectors(code):
+    with pytest.raises(SandboxViolation):
+        run_sandboxed(code, G)
+
+
+def test_allowed_pd_np_surface_still_works():
+    out = run_sandboxed(
+        "tmp = pd.concat([g['close'], g['volume']], axis=1)\n"
+        "series = pd.Series(np.clip(np.array(tmp.sum(axis=1)), 0, 25))", G)
+    assert list(out) == [11.0, 22.0, 25.0]

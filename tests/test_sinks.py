@@ -77,3 +77,16 @@ def test_append_new_keys_idempotent(spark, tmp_path):
     assert r3["rows_written"] == 3
     back = spark.read.parquet(p)
     assert sorted(r["k"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_append_new_keys_raises_on_broken_existing_sink(spark, tmp_path):
+    """A probe failure on an EXISTING sink must raise, never silently
+    overwrite the sink with only the current batch (data loss)."""
+    p = tmp_path / "broken"
+    p.mkdir()
+    (p / "part-00000.parquet").write_bytes(b"this is not a parquet footer")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(Exception):
+        S.append_new_keys(df, str(p), ["k"])
+    # the broken-but-existing sink was not replaced
+    assert (p / "part-00000.parquet").read_bytes().startswith(b"this is not")
