@@ -151,12 +151,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      k: int = 3, n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      k: int = 3, n_hashes: int = 16, bands: int = 4,
+                      max_bucket: int | None = 2000) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     rows-per-band r = n_hashes/bands; two docs collide if any band's
     signature slice matches exactly. One shuffle on (band, slice); pair
     explosion happens only inside buckets.
+
+    ``max_bucket`` is the hot-bucket guard (same role as ``max_df`` in
+    :func:`jaccard_pairs`): a boilerplate-heavy real corpus can put
+    thousands of docs in one (band, signature) bucket, and the self-join
+    then explodes O(b²) pairs inside it. Buckets larger than the cap are
+    dropped — near-identical boilerplate is better handled by exact
+    dedup first, and a >cap bucket contributes cap²/2-scale pairs of
+    almost no ranking value. ``None`` disables the guard.
     Returns distinct (id_a < id_b) candidate pairs.
     """
     r = n_hashes // bands
@@ -169,6 +178,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             for b in range(bands)
         ])).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    if max_bucket is not None:
+        # window on the same (band, slice) keys the join shuffles on —
+        # the exchange is shared, so the guard costs no extra shuffle
+        banded = (banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))
+            .filter(F.col("__bn") <= max_bucket).drop("__bn"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -253,11 +268,15 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, shingle_k: int = 1) -> DataFrame:
+                  max_hamming: int = 3, shingle_k: int = 1,
+                  max_bucket: int | None = 2000) -> DataFrame:
     """Near-dup pairs by SimHash with banded blocking: the 64-bit
     fingerprint splits into four 16-bit bands; hamming distance <= 3
     guarantees at least one band matches exactly (pigeonhole), so the
     join is an equi-join on (band, band-key) — no quadratic pair scan.
+
+    ``max_bucket`` drops (band, key) buckets above the cap — the same
+    hot-bucket guard as :func:`minhash_lsh_pairs` (``None`` disables).
     """
     docs = simhash_fingerprints(df, text_col, id_col, k=shingle_k)
     banded = docs.select(
@@ -268,6 +287,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             for b in range(4)
         ])).alias("bk"),
     ).select("id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        banded = (banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
+            .filter(F.col("__bn") <= max_bucket).drop("__bn"))
     pairs = (banded.alias("a").join(
                 banded.alias("b"),
                 (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
@@ -282,8 +305,69 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # cluster resolution
 # ---------------------------------------------------------------------------
 
+def star_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the billion-edge scale path: converges in O(log n) rounds
+    versus O(graph diameter) for plain min-label propagation, with two
+    shuffles per round.
+
+    large-star: every node u sends its neighbors v > u to
+    m(u) = min(Γ(u) ∪ {u}); small-star: u and its neighbors v < u attach
+    to m(u). At the fixed point the graph is a star forest, so
+    m(u) = the smallest reachable id. Contract: (id, comp) — identical
+    to :func:`min_label_components`."""
+    # symmetric directed edge list (u, v); kept symmetric each round.
+    # Each round ends in an EAGER localCheckpoint: iterative graph
+    # algorithms must truncate lineage or every round re-derives all
+    # prior rounds (exponential plan growth). On a cluster with flaky
+    # executors swap localCheckpoint for a reliable checkpoint dir.
+    e0 = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (e0.unionByName(e0.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+             .distinct().localCheckpoint())
+
+    def min_nbr(E: DataFrame) -> DataFrame:
+        return E.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    def symmetrize(em: DataFrame) -> DataFrame:
+        und = em.filter(F.col("a") != F.col("b")).distinct()
+        return (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionByName(und.select(F.col("b").alias("u"),
+                                        F.col("a").alias("v"))).distinct())
+
+    labels = None
+    for _ in range(max_iter):
+        mn = min_nbr(edges)
+        # large-star: (v, m(u)) for v in Γ(u), v > u
+        big = (edges.join(mn, "u").filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        edges2 = symmetrize(big).localCheckpoint()
+        mn2 = min_nbr(edges2)
+        # small-star: (v, m(u)) for v in Γ(u), v < u, plus (u, m(u))
+        small = (edges2.join(mn2, "u").filter(F.col("v") < F.col("u"))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .unionByName(mn2.select(F.col("u").alias("a"),
+                                         F.col("m").alias("b"))))
+        new_edges = symmetrize(small).localCheckpoint()
+        new_labels = min_nbr(new_edges).localCheckpoint()
+        if labels is not None:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
+                       .filter(F.col("n.m") != F.col("o.m")).count())
+        else:
+            changed = -1
+        edges, labels = new_edges, new_labels
+        if changed == 0:
+            break
+    # a node that became a pure component root keeps (root, root) via the
+    # small-star (u, m) emission, so every input id gets a row.
+    return labels.select(F.col("u").alias("id"), F.col("m").alias("comp"))
+
+
 def min_label_components(pairs: DataFrame, max_iter: int = 20,
-                         driver_threshold: int = 5_000_000) -> DataFrame:
+                         driver_threshold: int = 5_000_000,
+                         distributed: str = "star") -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     with component = the smallest doc id reachable — the step that turns
     pairwise matches into dedup groups (keep one doc per component).
@@ -291,11 +375,13 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
     Hybrid execution: the pair list is the SMALL side of dedup (LSH has
     already collapsed the corpus), so below ``driver_threshold`` edges
     the components come from a driver-side union-find over the collected
-    pairs (microseconds, zero extra jobs). Above it, Pregel-lite
-    min-label propagation: each round is one shuffle join + aggregate,
-    converging in O(graph diameter) rounds with a fixed-point probe
-    every other round. For billion-edge graphs swap in
-    large-star/small-star; the contract stays (id, component)."""
+    pairs (microseconds, zero extra jobs). Above it, the distributed
+    path: ``distributed="star"`` (default) runs large-star/small-star
+    contraction (:func:`star_components`, O(log n) rounds — the
+    billion-edge path); ``distributed="propagation"`` keeps Pregel-lite
+    min-label propagation (one shuffle join + aggregate per round,
+    O(graph diameter) rounds, fine for the shallow clusters near-dup
+    graphs produce). The contract stays (id, component)."""
     # one action: fetch up to threshold+1 pairs; a full result means the
     # graph is big -> fall through to the distributed loop (recomputing
     # the pair plan once — the rare branch)
@@ -321,6 +407,9 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
         spark = pairs.sparkSession
         return spark.createDataFrame(
             [(x, find(x)) for x in sorted(nodes)], ["id", "comp"])
+
+    if distributed == "star":
+        return star_components(pairs)
 
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),

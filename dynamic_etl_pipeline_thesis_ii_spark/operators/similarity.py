@@ -122,6 +122,56 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int, bits: int = 6,
             .select(q_id, "bucket", c_id, "cos", "rank"))
 
 
+def lsh_topk_multiprobe(queries: DataFrame, candidates: DataFrame, k: int,
+                        bits: int = 8, probe_dims: int = 3,
+                        q_id: str = "q_id", c_id: str = "c_id",
+                        q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Multi-probe sign-bit LSH top-k (perturbation-set style): each
+    query searches its own bucket plus every bucket reachable by
+    flipping any subset of its ``probe_dims`` lowest-margin sign bits —
+    the dimensions where ``|q[d]|`` is smallest are exactly the bits a
+    true near neighbor is most likely to disagree on, and real flips
+    cluster there, so 2^probe_dims targeted probes recover what would
+    otherwise need all C(bits, h) hamming-h buckets.
+
+    Candidates stay bucketed ONCE (one shuffle, reusable across query
+    batches); the probe list is 2^probe_dims rows per query, exploded
+    and broadcast into the bucket join — the scan still touches only
+    ~2^probe_dims/2^bits of the corpus. Each candidate lives in exactly
+    one bucket, so probes never produce duplicate (query, candidate)
+    pairs."""
+    cb = candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
+    base = queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
+    # (margin, dim) pairs sorted ascending -> the probe_dims lowest-margin
+    # dims; probe buckets XOR any subset of those sign bits
+    margins = F.array(*[
+        F.struct(F.abs(F.element_at(F.col(q_vec), d + 1)).cast("double").alias("m"),
+                 F.lit(d).alias("d"))
+        for d in range(bits)])
+    lows = F.slice(F.array_sort(margins), 1, probe_dims)
+
+    def bitval(j: int):  # 2^(dim of the j-th lowest margin)
+        return F.pow(F.lit(2.0), F.element_at(lows, j + 1)["d"]).cast("int")
+
+    probe_cols = []
+    for mask in range(1 << probe_dims):
+        x = F.col("bucket")
+        for j in range(probe_dims):
+            if mask & (1 << j):
+                x = x.bitwiseXOR(bitval(j))
+        probe_cols.append(x)
+    qp = (base.withColumn("probe", F.explode(F.array_distinct(F.array(*probe_cols))))
+          .select(q_id, q_vec, F.col("probe").alias("bucket")))
+    joined = cb.join(F.broadcast(qp), "bucket")
+    scored = joined.withColumn(
+        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
+                              F.col(c_vec).cast("array<double>")), 6))
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "cos", "rank"))
+
+
 def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", threshold: float = 0.9,
                          bits: int = 6) -> DataFrame:

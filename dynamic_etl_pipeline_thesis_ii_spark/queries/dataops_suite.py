@@ -86,8 +86,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                k=3, n_hashes=16, bands=4)
 
 
-def _sql_minhash_lsh(k: int = 3, n_hashes: int = 16, bands: int = 4) -> str:
-    # Mirrors minhash_signatures: unnest once, hash once, 16 min() aggs.
+def _sql_minhash_lsh(k: int = 3, n_hashes: int = 16, bands: int = 4,
+                     max_bucket: int = 2000) -> str:
+    # Mirrors minhash_signatures: unnest once, hash once, 16 min() aggs;
+    # `capped` mirrors the hot-bucket guard (drop buckets > max_bucket).
     sh = D.SQL_WORD_SHINGLES("text", k)
     h = D.SQL_HASH32.format(x="s")
     r = n_hashes // bands
@@ -104,9 +106,13 @@ hashed AS (SELECT id, {h} AS h FROM ex),
 sigs AS (SELECT id, {mins} FROM hashed GROUP BY id),
 banded AS (
   {band_rows}
+),
+capped AS (
+  SELECT id, band, slc FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, slc) <= {max_bucket}
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.slc = b.slc AND a.id < b.id
+FROM capped a JOIN capped b ON a.band = b.band AND a.slc = b.slc AND a.id < b.id
 """
 
 
@@ -137,11 +143,15 @@ fp AS (SELECT id, cast({fold} AS bigint) AS sim FROM counts),
 banded AS (
   SELECT id, sim, b AS band, (sim >> (b * 16)) & 65535 AS key
   FROM fp, range(0, 4) t(b)
+),
+capped AS (
+  SELECT id, sim, band, key FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= 2000
 )
 SELECT id_a, id_b, hamming FROM (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          bit_count(xor(a.sim, b.sim)) AS hamming
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ) WHERE hamming <= 3
 """

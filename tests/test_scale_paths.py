@@ -161,3 +161,95 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.5, recall  # random noise vectors: coarse quantizer
     # every query still returns a full top-k from its probed clusters
     assert len(approx) == len(exact)
+
+
+def _degenerate_corpus(spark, n_same=1200, n_normal=30):
+    """1200 identical boilerplate docs (one degenerate LSH bucket) plus a
+    few genuinely near-dup docs in healthy buckets."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+              for i in range(n_same)]
+    normal = [(10_000 + i,
+               f"unique document number {i} about topic {i % 5} with extra words "
+               f"alpha beta gamma delta epsilon zeta")
+              for i in range(n_normal)]
+    # one true near-dup pair in a small bucket
+    normal.append((20_000, "unique document number 0 about topic 0 with extra words "
+                           "alpha beta gamma delta epsilon zeta padding"))
+    return spark.createDataFrame(boiler + normal, ["doc_id", "text"])
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import minhash_lsh_pairs
+    corpus = _degenerate_corpus(spark)
+    # uncapped: the identical block alone would yield ~720k pairs;
+    # capped: the degenerate bucket is dropped, healthy buckets survive
+    capped = minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4, max_bucket=100)
+    rows = capped.collect()
+    assert len(rows) < 1000
+    assert not any(r["id_a"] < 1200 and r["id_b"] < 1200 for r in rows)
+    assert any({r["id_a"], r["id_b"]} == {10_000, 20_000} for r in rows)
+
+
+def test_simhash_hot_bucket_cap_bounds_pairs(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import simhash_pairs
+    corpus = _degenerate_corpus(spark)
+    capped = simhash_pairs(corpus, max_hamming=3, max_bucket=100)
+    rows = capped.collect()
+    assert len(rows) < 2000
+    assert not any(r["id_a"] < 1200 and r["id_b"] < 1200 for r in rows)
+
+
+def test_lsh_multiprobe_recall(spark, sf_dir):
+    """Multi-probe LSH: perturbed copies of corpus vectors must find
+    their source as top-1 with recall >= 0.95, strictly beating the
+    single-bucket probe at the same `bits`."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+    emb = Catalog(spark, sf_dir).embeddings
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").cast("array<double>").alias("c_vec"))
+    # queries = corpus vectors + small shift: flips a few low-margin
+    # sign bits, exactly the failure mode multi-probe recovers
+    queries = (emb.filter(F.col("vec_id") < 60)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.transform(F.col("embedding").cast("array<double>"),
+                                   lambda x: x + F.lit(0.02)).alias("q_vec")))
+    n_q = queries.count()
+
+    def recall_top1(df):
+        hits = df.filter((F.col("rank") == 1)
+                         & (F.col("q_id") == F.col("c_id"))).count()
+        return hits / n_q
+
+    single = recall_top1(SIM.lsh_topk(queries, cands, k=1, bits=8)
+                         .select("q_id", "c_id", "rank"))
+    multi = recall_top1(SIM.lsh_topk_multiprobe(queries, cands, k=1,
+                                                bits=8, probe_dims=4))
+    assert multi >= 0.95, (single, multi)
+    assert multi >= single
+
+
+def test_star_components_equivalent_to_union_find(spark):
+    """large-star/small-star contraction agrees with the driver-side
+    union-find ground truth and with min-label propagation on random
+    graphs (several densities/seeds)."""
+    import random
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+    for seed, n_nodes, n_edges, check_prop in [(2, 200, 300, False),
+                                               (3, 30, 24, True)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        truth = {(r["id"], r["comp"])
+                 for r in D.min_label_components(pairs).collect()}  # union-find
+        star = {(r["id"], r["comp"])
+                for r in D.star_components(pairs, max_iter=30).collect()}
+        assert star == truth, f"seed={seed}"
+        if check_prop:
+            prop = {(r["id"], r["comp"])
+                    for r in D.min_label_components(
+                        pairs, driver_threshold=0,
+                        distributed="propagation").collect()}
+            assert prop == truth, f"seed={seed}"
