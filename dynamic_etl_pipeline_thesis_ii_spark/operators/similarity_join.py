@@ -276,10 +276,15 @@ def candidate_pairs(df1: DataFrame, df2: DataFrame, cols: Sequence[str],
 def pair_features(pairs: DataFrame, cols: Sequence[str],
                   cfg: Optional[EngineConfig] = None,
                   round_dp: int = 6) -> DataFrame:
-    """Append the 26 feature columns (native expressions, codegen)."""
+    """Append the 26 feature columns (native expressions, codegen).
+
+    ``+ 0.0`` after the round normalizes IEEE ``-0.0`` to ``0.0`` so the
+    bitwise driver hash matches the oracle (same discipline as
+    ``queries/feature_suite.py``); the oracle template mirrors it."""
     sqls = feature_sql(cols, "spark", cfg=cfg)
     return pairs.withColumns({
-        name: F.round(F.expr(sql), round_dp) for name, sql in sqls.items()
+        name: F.round(F.expr(sql), round_dp) + F.lit(0.0)
+        for name, sql in sqls.items()
     })
 
 
@@ -289,7 +294,7 @@ def score_pairs(feats: DataFrame, cols: Sequence[str],
                 round_dp: int = 6) -> DataFrame:
     cfg = cfg or EngineConfig()
     prob = score_expr if score_expr is not None else F.expr(score_sql(cols, cfg))
-    return feats.withColumn("prob", F.round(prob, round_dp))
+    return feats.withColumn("prob", F.round(prob, round_dp) + F.lit(0.0))
 
 
 def drop_nan_features(feats: DataFrame,

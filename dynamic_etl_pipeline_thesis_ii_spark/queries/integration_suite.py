@@ -148,7 +148,9 @@ def q_simjoin_pair_features(spark, sf_dir):
 
 def _oracle_pair_features() -> str:
     fs = SJ.feature_sql(_SJ_COLS, "duckdb", cfg=CFG)
-    feat_cols = ", ".join(f"round({sql}, 6) AS {name}" for name, sql in fs.items())
+    # "+ 0.0" mirrors pair_features' -0.0 normalization (bitwise hash gate).
+    feat_cols = ", ".join(f"round({sql}, 6) + 0.0 AS {name}"
+                          for name, sql in fs.items())
     prob = SJ.score_sql(_SJ_COLS, CFG)
     return f"""
 WITH {_SQL_SJ_SIDES},
@@ -156,7 +158,7 @@ f AS (SELECT id_a, id_b,
              a_cust, a_mon, a_price, a_pri, b_cust, b_mon, b_price, b_pri,
              {feat_cols}
       FROM p)
-SELECT *, round({prob}, 6) AS prob FROM f
+SELECT *, round({prob}, 6) + 0.0 AS prob FROM f
 """
 
 
