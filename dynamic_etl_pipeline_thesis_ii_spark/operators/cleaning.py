@@ -116,12 +116,22 @@ def _is_numeric(spark_type: str) -> bool:
 
 def clean_dataframe(df: DataFrame, config: dict | str | None = None,
                     global_threshold_override: float | None = None,
-                    seed: int = 42) -> tuple[DataFrame, dict]:
+                    seed: int = 42,
+                    sort: bool | str = True) -> tuple[DataFrame, dict]:
     """Clean ``df`` per config; returns (cleaned lazy DataFrame, report).
 
     The report carries rule matches, dtype targets, null profiles and
     the deletion/imputation decisions (row counts are left to the caller
     — counting forces an extra action).
+
+    ``sort`` controls the final (ticker, ts) ordering: ``True`` (default)
+    is a global ``orderBy`` for reference parity (pandas stable sort,
+    ``transform/transform.py``); ``"within"`` is ``sortWithinPartitions``
+    for when only per-entity order matters downstream (windows re-shuffle
+    by entity anyway); ``False`` skips it entirely — pass this when the
+    consumer is a partitioned sink or any re-shuffling operator, so a
+    100 TB table does not pay a full Exchange+Sort for an ordering the
+    next stage destroys.
     """
     if config is None or isinstance(config, str):
         config = load_cleaning_config(config)
@@ -255,10 +265,11 @@ def clean_dataframe(df: DataFrame, config: dict | str | None = None,
             report["clean"]["validations_applied"]["__rel__"] = \
                 report["clean"]["validations_applied"].get("__rel__", []) + [rel.get("name")]
 
-    # 7. stable sort on (ticker, ts) when present.
+    # 7. stable sort on (ticker, ts) when present (see ``sort`` above).
     sort_cols = [c for c in ("ticker", "ts") if c in d.columns]
-    if sort_cols:
-        d = d.orderBy(*sort_cols)
+    if sort_cols and sort:
+        d = (d.sortWithinPartitions(*sort_cols) if sort == "within"
+             else d.orderBy(*sort_cols))
 
     report["clean"]["final_columns"] = list(d.columns)
     return d, report

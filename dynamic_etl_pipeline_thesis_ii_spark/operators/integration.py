@@ -68,12 +68,20 @@ def key_equijoin(df1: DataFrame, df2: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def with_row_id(df: DataFrame, id_col: str = _ROW_ID) -> DataFrame:
-    """Deterministic synthetic row id: row_number over all columns
-    sorted by name. (The reference uses positional indices of the
-    pandas frames — positions are not stable in a distributed setting,
-    so we define order by content.)"""
-    w = Window.orderBy(*[F.col(c) for c in sorted(df.columns)])
-    return df.withColumn(id_col, F.row_number().over(w))
+    """Deterministic synthetic row id, fully distributed: a 64-bit
+    content hash over all columns plus a ``row_number`` *within* the
+    (tiny) hash-collision group to disambiguate duplicates. The window
+    partitions by the hash, so the plan contains no single-partition
+    exchange — identical ids on both evaluation passes (candidate
+    scoring and materialization) without caching. (The reference uses
+    positional indices of the pandas frames — positions are not stable
+    in a distributed setting, so we define identity by content;
+    ``validator/join.py`` relies on ``reset_index`` positions.)"""
+    cols = [F.col(c) for c in sorted(df.columns)]
+    h = F.xxhash64(*cols)
+    w = Window.partitionBy(h).orderBy(*cols)
+    return df.withColumn(
+        id_col, F.format_string("%d#%d", h, F.row_number().over(w)))
 
 
 def _join_pair(gi: DataFrame, gj: DataFrame, cfg: EngineConfig,
