@@ -37,6 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # default 200 shuffle partitions schedule 400-task stages
             # over kilobyte inputs (painful for iterative operators).
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # tz-naive parquet timestamps load as session-UTC TIMESTAMP,
+            # not TIMESTAMP_NTZ (the Catalog also normalizes, but raw
+            # spark.read paths should agree).
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+                           "false")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -4,6 +4,11 @@ JSON line with per-query and total wall-clock seconds.
 
 Each query is materialized with a count-style action (collect for small
 results) so the full DAG executes; timings include Catalyst planning.
+
+Each query runs $BENCH_REPEAT times (default 3) and reports the per-query
+MINIMUM — run-to-run variance on a shared box swamps real deltas
+otherwise; min-of-N is the standard stable estimator for wall-clock
+microbenchmarks. The headline total is the sum of per-query minimums.
 """
 
 from __future__ import annotations
@@ -63,15 +68,19 @@ def main() -> None:
     region.groupBy("r_regionkey").applyInPandas(
         lambda pdf: pdf, schema=region.schema).count()
 
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 3)
+        best, n = float("inf"), 0
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}s min-of-{repeat} ({n} rows)",
+              file=sys.stderr)
+    total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -266,6 +266,9 @@ def clean_dataframe(df: DataFrame, config: dict | str | None = None,
                 report["clean"]["validations_applied"].get("__rel__", []) + [rel.get("name")]
 
     # 7. stable sort on (ticker, ts) when present (see ``sort`` above).
+    if sort not in (True, False, "within"):
+        raise ValueError(
+            f"sort must be True, False or 'within', got {sort!r}")
     sort_cols = [c for c in ("ticker", "ts") if c in d.columns]
     if sort_cols and sort:
         d = (d.sortWithinPartitions(*sort_cols) if sort == "within"

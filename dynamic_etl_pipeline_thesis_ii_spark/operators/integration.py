@@ -21,9 +21,11 @@ The driver-side loops iterate over <= max_dataframes groups (10), i.e.
 O(100) pair evaluations of LAZY plans — each evaluation triggers the
 similarity join's blocked pair scoring, which is where the data-scale
 work happens (and where blocking keeps 100 TB inputs from going
-quadratic). Row ids for the pair scoring are synthesized per group with
-a deterministic ``row_number`` over all columns when the caller does
-not name an id column.
+quadratic). Row ids for the pair scoring are synthesized per group,
+when the caller does not name an id column, as a 64-bit ``xxhash64``
+content hash plus a ``row_number`` within each hash-collision group —
+distributed (no single-partition window) and stable across
+repartitioning.
 """
 
 from __future__ import annotations

@@ -142,7 +142,12 @@ def sessionize(df: DataFrame, key: str, ts_col: str,
     no self-join, no explode; the streaming twin is
     streaming/ops.session_windows."""
     w = Window.partitionBy(key).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # cast through "timestamp" first: NTZ -> BIGINT is not a valid cast,
+    # while NTZ -> TIMESTAMP -> BIGINT (epoch seconds) is, and the double
+    # cast is an identity for columns that are already TimestampType or
+    # epoch-seconds numerics.
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return (df.withColumn("__new", new_session)
             .withColumn("session_id",

@@ -122,8 +122,9 @@ def q_dedup_simhash(spark, sf_dir):
 
 def _sql_simhash() -> str:
     # Mirrors simhash_fingerprints: unnest once, md5 once per shingle,
-    # 64 conditional-sum bit counters in one GROUP BY.
-    sh = D.SQL_WORD_SHINGLES("text", 1)
+    # 64 conditional-sum bit counters in one GROUP BY. Bigram shingles
+    # in lockstep with simhash_pairs' shingle_k=2 default.
+    sh = D.SQL_WORD_SHINGLES("text", 2)
     hlo = _H32.format(x="s")
     hhi = "(('0x' || substr(md5(s), 9, 8))::bigint)"
     bit_sums = ", ".join(

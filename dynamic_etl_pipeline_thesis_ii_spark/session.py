@@ -42,6 +42,12 @@ _DEFAULTS: dict[str, str] = {
     # rejects by default; read as long and let the Catalog convert
     # (sources/registry.py) to TimestampType at microsecond precision.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps written without isAdjustedToUTC would otherwise
+    # load as TIMESTAMP_NTZ, a second timestamp type downstream operators
+    # would have to handle. Load them as session-UTC TimestampType — the
+    # same interpretation DuckDB applies to the same file. The Catalog
+    # additionally normalizes NTZ for sessions built without this conf.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

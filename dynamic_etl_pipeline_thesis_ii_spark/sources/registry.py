@@ -34,16 +34,27 @@ class Catalog:
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             df = self.spark.read.parquet(path)
-            # TIMESTAMP(NANOS) columns arrive as nanosecond longs (see
-            # session.py nanosAsLong); convert to TimestampType at
-            # microsecond precision — matches DuckDB's read of the same
-            # file. Detection is schema-only (pyarrow footer read).
+            # Normalize every parquet timestamp flavor to one session-UTC
+            # TimestampType so downstream operators see a single type
+            # (matches DuckDB's read of the same file). Detection is
+            # schema-only (pyarrow footer read):
+            #  - TIMESTAMP(NANOS) arrives as nanosecond longs (see
+            #    session.py nanosAsLong) -> truncate to micros.
+            #  - tz-naive us/ms/s timestamps would load as TIMESTAMP_NTZ
+            #    under default confs -> cast to TimestampType (session is
+            #    UTC, so wall-clock is preserved). No-op when session.py's
+            #    inferTimestampNTZ=false already loaded TimestampType.
             for field in pa_ds.dataset(path).schema:
-                if pa_types.is_timestamp(field.type) and field.type.unit == "ns":
+                if not pa_types.is_timestamp(field.type):
+                    continue
+                if field.type.unit == "ns":
                     df = df.withColumn(
                         field.name,
                         F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
                     )
+                elif field.type.tz is None:
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 
