@@ -1,0 +1,336 @@
+"""HTTP source clients (S1/S2/S6) against canned JSON/CSV fixtures.
+
+No live network anywhere: a recording FakeTransport returns fixture
+bodies shaped like the real Polygon / Alpha Vantage responses (see
+reference ``LLM_Ingestor/polygon_client.py`` /
+``alpha_vantage_client.py`` and ``transform/tests/dataframes/*.csv``
+for the shapes). The tests drive the full client path — route dispatch,
+retry/backoff, error/rate-limit sniffing — through the shared adapters
+(``parse_bars`` / ``flatten_snapshot`` / ``clean_av_headers`` /
+``prefix_statement`` / ``parse_earnings``), i.e. the same lazy plans
+the fixture-fed suite already verifies against DuckDB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import APIRequest
+from dynamic_etl_pipeline_thesis_ii_spark.sources.http_clients import (
+    AlphaVantageHttpClient,
+    HttpError,
+    HttpFetcher,
+    PolygonHttpClient,
+    RetryingTransport,
+)
+
+
+class FakeTransport:
+    """Returns canned bodies in order; records every (url, params)."""
+
+    def __init__(self, *bodies):
+        self.bodies = list(bodies)
+        self.calls: list[tuple[str, dict]] = []
+
+    def get(self, url, params):
+        self.calls.append((url, dict(params)))
+        body = self.bodies.pop(0)
+        if isinstance(body, Exception):
+            raise body
+        return body if isinstance(body, str) else json.dumps(body)
+
+
+def _req(api, endpoint, **params):
+    return APIRequest(api_name=api, endpoint_name=endpoint, parameters=params)
+
+
+# ---------------------------------------------------------------------------
+# retry / backoff
+
+
+def test_retrying_transport_retries_then_succeeds(monkeypatch):
+    attempts, sleeps = [], []
+
+    class Resp:
+        text = "ok"
+        def raise_for_status(self):
+            pass
+
+    def fake_get(url, params=None, timeout=None):
+        attempts.append(url)
+        if len(attempts) < 3:
+            raise ConnectionError("boom")
+        return Resp()
+
+    import requests
+    monkeypatch.setattr(requests, "get", fake_get)
+    t = RetryingTransport(base_delay=2.0, sleep=sleeps.append)
+    assert t.get("http://x", {}) == "ok"
+    assert len(attempts) == 3
+    assert sleeps == [2.0, 4.0]  # exponential backoff schedule
+
+
+def test_retrying_transport_raises_after_max_attempts(monkeypatch):
+    sleeps = []
+
+    def fake_get(url, params=None, timeout=None):
+        raise ConnectionError("down")
+
+    import requests
+    monkeypatch.setattr(requests, "get", fake_get)
+    t = RetryingTransport(base_delay=1.0, sleep=sleeps.append)
+    with pytest.raises(HttpError, match="after 3 attempts"):
+        t.get("http://x", {})
+    assert sleeps == [1.0, 2.0]  # no sleep after the final failure
+
+
+# ---------------------------------------------------------------------------
+# Polygon routes
+
+
+POLYGON_AGGS = {
+    "ticker": "AAPL", "status": "OK",
+    "results": [
+        {"t": 1704153600000, "o": 187.15, "h": 188.44, "l": 183.89,
+         "c": 185.64, "v": 82488700.0, "vw": 185.9465, "n": 1008871},
+        {"t": 1704240000000, "o": 184.22, "h": 185.88, "l": 183.43,
+         "c": 184.25, "v": 58414460.0, "vw": 184.3226, "n": 656853},
+    ],
+}
+
+
+def test_polygon_get_aggs_parses_bars(spark):
+    t = FakeTransport(POLYGON_AGGS)
+    client = PolygonHttpClient(spark, "test-key", transport=t)
+    df = client.fetch(_req("polygon", "get_aggs", ticker="AAPL",
+                           multiplier=1, timespan="day",
+                           **{"from": "2024-01-01", "to": "2024-01-03"}))
+    url, params = t.calls[0]
+    assert url.endswith("/v2/aggs/ticker/AAPL/range/1/day/2024-01-01/2024-01-03")
+    assert params["apiKey"] == "test-key"
+    rows = df.orderBy("timestamp").collect()
+    assert df.columns[0] == "ticker" and "timestamp" in df.columns
+    assert [r["ticker"] for r in rows] == ["AAPL", "AAPL"]
+    assert rows[0]["timestamp"] == dt.date(2024, 1, 2)  # epoch-ms -> date
+    assert rows[0]["open"] == 187.15 and rows[0]["transactions"] == 1008871
+
+
+def test_polygon_grouped_daily_keeps_per_row_tickers(spark):
+    body = {"results": [
+        {"T": "AAPL", "t": 1704240000000, "o": 1.0, "h": 2.0, "l": 0.5,
+         "c": 1.5, "v": 10.0},
+        {"T": "MSFT", "t": 1704240000000, "o": 3.0, "h": 4.0, "l": 2.5,
+         "c": 3.5, "v": 20.0},
+    ]}
+    t = FakeTransport(body)
+    client = PolygonHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("polygon", "get_grouped_daily_aggs",
+                           date="2024-01-03"))
+    assert t.calls[0][0].endswith("/v2/aggs/grouped/locale/us/market/stocks/2024-01-03")
+    assert sorted(r["ticker"] for r in df.collect()) == ["AAPL", "MSFT"]
+
+
+def test_polygon_snapshot_flattens(spark):
+    body = {"tickers": [{
+        "ticker": "AAPL", "updated": 1704240000000,
+        "day": {"o": 184.22, "h": 185.88, "l": 183.43, "c": 184.25,
+                "v": 58414460.0, "vw": 184.3226},
+        "prevDay": {"c": 185.64},
+    }]}
+    t = FakeTransport(body)
+    client = PolygonHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("polygon", "SNAPSHOT_TICKER", ticker="AAPL"))
+    assert t.calls[0][0].endswith("/tickers/AAPL")
+    row = df.collect()[0]
+    assert row["open"] == 184.22 and row["prev_close"] == 185.64
+    assert row["timestamp"] == dt.date(2024, 1, 3)
+
+
+def test_polygon_economic_indicator(spark):
+    body = {"results": [
+        {"date": "2024-02-01", "value": 3.1},
+        {"date": "2024-01-01", "value": 3.4},
+    ]}
+    t = FakeTransport(body)
+    client = PolygonHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("polygon", "INFLATION"))
+    assert t.calls[0][0].endswith("/fed/v1/inflation")
+    vals = [r["value"] for r in df.collect()]
+    assert vals == [3.4, 3.1]  # ascending timestamp sort
+
+
+def test_polygon_unknown_endpoint_raises(spark):
+    client = PolygonHttpClient(spark, "k", transport=FakeTransport())
+    with pytest.raises(ValueError, match="Unknown polygon endpoint"):
+        client.fetch(_req("polygon", "nope"))
+
+
+# ---------------------------------------------------------------------------
+# Alpha Vantage routes
+
+
+AV_DAILY = {
+    "Meta Data": {"1. Information": "Daily Prices", "2. Symbol": "IBM"},
+    "Time Series (Daily)": {
+        "2024-01-03": {"1. open": "160.10", "2. high": "161.10",
+                       "3. low": "159.25", "4. close": "160.10",
+                       "5. volume": "3742000"},
+        "2024-01-02": {"1. open": "162.83", "2. high": "163.31",
+                       "3. low": "160.39", "4. close": "160.85",
+                       "5. volume": "3955993"},
+    },
+}
+
+
+def test_av_daily_time_series_route_and_parse(spark):
+    t = FakeTransport(AV_DAILY)
+    client = AlphaVantageHttpClient(spark, "av-key", transport=t)
+    df = client.fetch(_req("alpha_vantage", "TIME_SERIES_DAILY",
+                           ticker="IBM", outputsize="full"))
+    _, params = t.calls[0]
+    assert params["function"] == "TIME_SERIES_DAILY"
+    assert params["symbol"] == "IBM" and params["outputsize"] == "full"
+    assert params["apikey"] == "av-key"
+    rows = df.collect()
+    # '1. open' -> 'open' via clean_av_headers; strings -> double
+    assert rows[0]["timestamp"] == dt.date(2024, 1, 2)
+    assert rows[0]["open"] == 162.83 and rows[0]["volume"] == 3955993.0
+    assert rows[0]["ticker"] == "IBM"
+
+
+def test_av_timespan_fallback_routes_intraday(spark):
+    body = {"Meta Data": {}, "Time Series (5min)": {
+        "2024-01-02 10:00:00": {"1. open": "1.0", "2. high": "2.0",
+                                "3. low": "0.5", "4. close": "1.5",
+                                "5. volume": "100"}}}
+    t = FakeTransport(body)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(APIRequest(
+        api_name="alpha_vantage", endpoint_name="stock_bars",
+        parameters={"ticker": "IBM", "timespan": "5min", "function": ""}))
+    _, params = t.calls[0]
+    assert params["function"] == "TIME_SERIES_INTRADAY"
+    assert params["interval"] == "5min"
+    assert params["outputsize"] == "compact"
+    assert df.count() == 1
+
+
+def test_av_unsupported_timespan_raises(spark):
+    client = AlphaVantageHttpClient(spark, "k", transport=FakeTransport())
+    with pytest.raises(ValueError, match="Unsupported timespan"):
+        client.fetch(APIRequest(api_name="alpha_vantage",
+                                endpoint_name="stock_bars",
+                                parameters={"ticker": "IBM",
+                                            "timespan": "fortnight",
+                                            "function": ""}))
+
+
+AV_BALANCE_SHEET = {
+    "symbol": "AMZN",
+    "quarterlyReports": [
+        {"fiscalDateEnding": "2024-03-31", "reportedCurrency": "USD",
+         "totalAssets": "530977000000", "totalLiabilities": "310119000000",
+         "totalShareholderEquity": "220858000000"},
+        {"fiscalDateEnding": "2023-12-31", "reportedCurrency": "USD",
+         "totalAssets": "527854000000", "totalLiabilities": "325979000000",
+         "totalShareholderEquity": "201875000000"},
+    ],
+}
+
+
+def test_av_balance_sheet_prefixes_metrics(spark):
+    t = FakeTransport(AV_BALANCE_SHEET)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("alpha_vantage", "BALANCE_SHEET", ticker="AMZN"))
+    assert t.calls[0][1]["function"] == "BALANCE_SHEET"
+    rows = df.collect()
+    assert "balance_sheet_totalAssets" in df.columns
+    assert rows[0]["ticker"] == "AMZN" and rows[0]["period"] == "quarterly"
+    assert rows[0]["timestamp"] == dt.date(2023, 12, 31)
+    assert rows[0]["balance_sheet_totalAssets"] == 527854000000.0
+    assert rows[0]["reportedCurrency"] == "USD"  # identity column unprefixed
+
+
+def test_av_earnings_prefix_and_reported_date(spark):
+    body = {"symbol": "AMZN", "quarterlyEarnings": [
+        {"fiscalDateEnding": "2024-03-31", "reportedDate": "2024-04-30",
+         "reportedEPS": "0.98", "estimatedEPS": "0.83",
+         "surprise": "0.15", "surprisePercentage": "18.07"}]}
+    t = FakeTransport(body)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("alpha_vantage", "EARNINGS", ticker="AMZN"))
+    row = df.collect()[0]
+    assert row["earnings_reportedEPS"] == 0.98
+    assert row["earnings_surprisePercentage"] == 18.07
+    assert row["reportedDate"] == dt.date(2024, 4, 30)
+
+
+def test_av_economic_series(spark):
+    body = {"name": "CPI", "data": [
+        {"date": "2024-02-01", "value": "310.326"},
+        {"date": "2024-01-01", "value": "309.685"}]}
+    t = FakeTransport(body)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("alpha_vantage", "CPI", interval="monthly"))
+    assert t.calls[0][1]["interval"] == "monthly"
+    vals = [r["value"] for r in df.collect()]
+    assert vals == [309.685, 310.326]
+
+
+def test_av_csv_calendar_route(spark):
+    csv_text = ("symbol,name,reportDate,fiscalDateEnding,estimate,currency\n"
+                "AMZN,Amazon.com Inc,2024-04-30,2024-03-31,0.83,USD\n"
+                "IBM,IBM Corp,2024-04-24,2024-03-31,1.59,USD\n")
+    t = FakeTransport(csv_text)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("alpha_vantage", "EARNINGS_CALENDAR",
+                           horizon="3month"))
+    assert t.calls[0][1]["datatype"] == "csv"
+    assert t.calls[0][1]["horizon"] == "3month"
+    assert df.count() == 2 and "estimate" in df.columns
+
+
+def test_av_overview_single_row(spark):
+    body = {"Symbol": "IBM", "MarketCapitalization": "170000000000",
+            "PERatio": "22.5", "EPS": "8.15"}
+    t = FakeTransport(body)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("alpha_vantage", "OVERVIEW", ticker="IBM"))
+    row = df.collect()[0]
+    assert row["PERatio"] == 22.5 and df.count() == 1
+
+
+def test_av_error_message_raises(spark):
+    t = FakeTransport({"Error Message": "Invalid API call."})
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    with pytest.raises(ValueError, match="Alpha Vantage API Error"):
+        client.fetch(_req("alpha_vantage", "TIME_SERIES_DAILY", ticker="IBM"))
+
+
+def test_av_rate_limit_note_warns(spark):
+    body = dict(AV_DAILY)
+    body["Note"] = ("Thank you for using Alpha Vantage! Our standard API "
+                    "call frequency is 25 requests per day.")
+    t = FakeTransport(body)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    with pytest.warns(UserWarning, match="rate limit"):
+        df = client.fetch(_req("alpha_vantage", "TIME_SERIES_DAILY",
+                               ticker="IBM"))
+    assert df.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# fetcher dispatch + orchestrator plumbing
+
+
+def test_http_fetcher_dispatches_by_api_name(spark):
+    fetcher = HttpFetcher(spark, transport=FakeTransport(POLYGON_AGGS))
+    df = fetcher.fetch(_req("polygon", "get_aggs", ticker="AAPL",
+                            multiplier=1, timespan="day",
+                            **{"from": "2024-01-01", "to": "2024-01-03"}))
+    assert df.count() == 2
+    with pytest.raises(ValueError, match="Unknown api_name"):
+        fetcher.fetch(_req("nope", "x"))
