@@ -116,6 +116,42 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     writer.saveAsTable(table)
 
 
+def write_jdbc(df: DataFrame, url: str, table: str,
+               if_exists: str = "replace", driver: Optional[str] = None,
+               verify: bool = True,
+               properties: Optional[dict[str, str]] = None) -> dict:
+    """JDBC sink (S14 — reference ``transform/load.py:24-218``): the
+    reference loads frames into SQLite with append/replace/fail modes
+    and post-write row-count verification; here the same contract goes
+    through Spark's JDBC writer, so any JDBC database works (tested
+    against Derby embedded, which ships in Spark's own classpath —
+    SQLite itself has no JDBC driver jar in this environment).
+
+    Each partition writes over its own connection — at scale the
+    parallel-writer count is the frame's partition count; coalesce
+    first when the target can't take that many sessions. Verification
+    is a lazy ``read.jdbc`` count, not a full materialization."""
+    if if_exists not in _MODES:
+        raise SinkError(f"invalid if_exists: {if_exists!r} (append|replace|fail)")
+    t0 = time.perf_counter()
+
+    def _opts(rw):
+        rw = rw.option("url", url).option("dbtable", table)
+        if driver:
+            rw = rw.option("driver", driver)
+        for k, v in (properties or {}).items():
+            rw = rw.option(k, v)
+        return rw
+
+    _opts(df.write.mode(_MODES[if_exists]).format("jdbc")).save()
+    report = {"url": url, "table": table, "mode": if_exists,
+              "elapsed_sec": round(time.perf_counter() - t0, 3)}
+    if verify:
+        back = _opts(df.sparkSession.read.format("jdbc")).load()
+        report["rows_written"] = back.count()
+    return report
+
+
 def write_run_artifacts(out_dir: str, reports: dict) -> str:
     """Per-run JSON artifact report
     (``pipeline_service.py:130-239``): one ``report.json`` holding the

