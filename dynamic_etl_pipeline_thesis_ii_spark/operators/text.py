@@ -95,6 +95,45 @@ def fingerprint(col: Column) -> Column:
     )
 
 
+# PII patterns restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB) so the scrub is exactly oracle-checkable. Order matters:
+# emails first (they contain dots+digits), SSN-shaped before phone.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[\w.+-]+@[\w-]+\.[\w.-]+"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_scrub(col: Column,
+              patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+              ) -> dict[str, Column]:
+    """PII redaction for training corpora: each pattern is counted on
+    the progressively-scrubbed text (so a match consumed by an earlier
+    pattern is never double-counted) and replaced with its ``<TAG>``
+    placeholder. Pure ``regexp_replace``/``regexp_extract_all`` column
+    expressions — whole-stage codegen, one scan, no UDFs."""
+    scrubbed = col
+    total: Column = F.lit(0)
+    for tag, pattern in patterns:
+        total = total + F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), 0))
+        scrubbed = F.regexp_replace(scrubbed, pattern, f"<{tag}>")
+    return {"text_scrubbed": scrubbed, "pii_count": total.cast("long")}
+
+
+def SQL_PII_SCRUB(x: str,
+                  patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+                  ) -> tuple[str, str]:
+    """DuckDB twin of :func:`pii_scrub`: (scrubbed_expr, count_expr)."""
+    scrubbed = x
+    counts = []
+    for tag, pattern in patterns:
+        counts.append(f"len(regexp_extract_all({scrubbed}, '{pattern}'))")
+        scrubbed = f"regexp_replace({scrubbed}, '{pattern}', '<{tag}>', 'g')"
+    return scrubbed, "(" + " + ".join(counts) + ")"
+
+
 def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
     """Repetition/diversity signals — the standard spam/boilerplate
     filters for training corpora:

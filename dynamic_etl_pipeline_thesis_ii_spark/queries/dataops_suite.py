@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
 from dynamic_etl_pipeline_thesis_ii_spark.operators import multimodal as M
+from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
 from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as S
 from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
 from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
@@ -437,6 +438,100 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# PII scrub + deterministic sampling
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX = (" contact a.b@mail.com tel 555-123-4567"
+               " ip 10.0.0.1 ssn 123-45-6789")
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction over a corpus with injected contact lines (the
+    synthetic documents carry none): every 5th doc gains an email,
+    phone, IPv4 and SSN-shaped token; the scrub replaces each with its
+    placeholder and counts redactions. Pure regexp column expressions —
+    one scan at any scale."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    injected = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")))
+    cols = T.pii_scrub(F.col("text"))
+    return injected.select(
+        "doc_id",
+        cols["text_scrubbed"].alias("text_scrubbed"),
+        cols["pii_count"].alias("pii_count"))
+
+
+def _sql_pii_scrub() -> str:
+    scrubbed, count = T.SQL_PII_SCRUB("text")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{_PII_SUFFIX}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {scrubbed} AS text_scrubbed,
+       cast({count} AS bigint) AS pii_count
+FROM corpus
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language hash sampling: en at 50%, de at 25%,
+    everything else at 10% — the same rows come back on every engine
+    and every re-run (no RNG state, no shuffle)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return SA.stratified_hash_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, key_col="doc_id",
+        default_rate=0.1, salt="s1")
+
+
+def _sql_sample_stratified() -> str:
+    bucket = SA.SQL_BUCKET("doc_id", "s1")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {bucket} < CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000
+                 ELSE 100000 END
+"""
+
+
+_MIX_SHARES = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_sample_mix_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing: downsample four sources toward a
+    40/30/20/10 mixture. One tiny count aggregate, then a shuffle-free
+    deterministic-hash filter scan; kept rows are engine-exact."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return SA.rebalance_mix(docs, "source", _MIX_SHARES,
+                            key_col="doc_id", salt="mix")
+
+
+def _sql_sample_mix_rebalance() -> str:
+    bucket = SA.SQL_BUCKET("doc_id", "mix")
+    shares = ", ".join(f"('{g}', {s}::DOUBLE)"
+                       for g, s in sorted(_MIX_SHARES.items()))
+    # identical float formula as rebalance_mix: t* = min(n/share),
+    # rate = share * t* / n, threshold = floor(rate * mod)
+    return f"""
+WITH base AS (SELECT doc_id, source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+shares(source, share) AS (VALUES {shares}),
+counts AS (SELECT source, count(*)::BIGINT AS n FROM base GROUP BY source),
+t AS (SELECT min(n / share) AS t_star FROM counts JOIN shares USING (source)),
+rates AS (
+  SELECT source, share * (SELECT t_star FROM t) / n AS rate
+  FROM counts JOIN shares USING (source)
+)
+SELECT b.doc_id, b.source
+FROM base b JOIN rates r ON b.source = r.source
+WHERE {bucket} < floor(r.rate * 1000000)
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus curation (flagship composition)
 # ---------------------------------------------------------------------------
 
@@ -510,6 +605,9 @@ DATAOPS_QUERIES = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "embedding_neardup": q_embedding_neardup,
     "text_metrics": q_text_metrics,
+    "text_pii_scrub": q_text_pii_scrub,
+    "sample_stratified": q_sample_stratified,
+    "sample_mix_rebalance": q_sample_mix_rebalance,
     "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
 }
@@ -524,6 +622,9 @@ DATAOPS_ORACLES = {
     "ann_lsh_bucket": ORACLE_ANN_LSH_BUCKET,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "text_metrics": ORACLE_TEXT_METRICS,
+    "text_pii_scrub": _sql_pii_scrub(),
+    "sample_stratified": _sql_sample_stratified(),
+    "sample_mix_rebalance": _sql_sample_mix_rebalance(),
     "corpus_curation": _sql_corpus_curation(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

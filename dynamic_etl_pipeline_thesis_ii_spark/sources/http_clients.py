@@ -174,6 +174,13 @@ class PolygonHttpClient:
             return A.parse_bars(
                 _json_frame(self.spark, payload.get("results", [])),
                 ticker=ticker)
+        if name == "get_daily_open_close_agg":
+            # one flat object, long names already (open/high/low/close/...)
+            payload = self._get_json(f"/v1/open-close/{ticker}/{p['date']}",
+                                     {})
+            return A.simple_json_row(
+                self.spark, {k: v for k, v in payload.items()
+                             if not isinstance(v, (dict, list))})
         if name == "get_grouped_daily_aggs":
             payload = self._get_json(
                 f"/v2/aggs/grouped/locale/us/market/stocks/{p['date']}", {})
@@ -275,6 +282,8 @@ class AlphaVantageHttpClient:
                 return self._parse_statement(data, fn, p)
             if fn == "EARNINGS":
                 return self._parse_earnings(data, p)
+            if fn == "EARNINGS_ESTIMATES":
+                return self._parse_earnings_estimates(data, p)
             return A.simple_json_row(
                 self.spark, {k: v for k, v in data.items()
                              if not isinstance(v, (dict, list))})
@@ -354,6 +363,38 @@ class AlphaVantageHttpClient:
         if ticker:
             df = df.select(F.lit(ticker).alias("ticker"), *df.columns)
         return A.parse_earnings(df, period=period).orderBy("timestamp")
+
+    def _parse_earnings_estimates(self, data: Mapping[str, Any],
+                                  p: Mapping[str, Any]) -> DataFrame:
+        """Estimates come as several period-keyed lists; each becomes a
+        period-tagged frame, unioned by name with missing columns nulled
+        (``alpha_vantage_client.py:558-593``)."""
+        ticker = data.get("symbol") or p.get("ticker") or p.get("symbol")
+        frames = []
+        for key, value in data.items():
+            if not (isinstance(value, list) and value):
+                continue
+            lk = key.lower()
+            period = ("annual" if "annual" in lk
+                      else "quarterly" if "quarter" in lk else key)
+            df = _json_frame(self.spark, value)
+            for date_col in ("fiscalDateEnding", "fiscalDate"):
+                if date_col in df.columns:
+                    df = (df.withColumnRenamed(date_col, "timestamp")
+                          .withColumn("timestamp", F.to_date("timestamp")))
+                    break
+            df = df.withColumns(
+                {c: F.col(c).try_cast("double") for c in df.columns
+                 if c not in ("timestamp", "period")})
+            frames.append(df.withColumn("period", F.lit(period)))
+        if not frames:
+            return self.spark.range(0).drop("id")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        if ticker:
+            out = out.select(F.lit(ticker).alias("ticker"), *out.columns)
+        return out.orderBy("timestamp", "period")
 
     def _parse_economic(self, data: Mapping[str, Any],
                         p: Mapping[str, Any]) -> DataFrame:

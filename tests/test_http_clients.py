@@ -334,3 +334,103 @@ def test_http_fetcher_dispatches_by_api_name(spark):
     assert df.count() == 2
     with pytest.raises(ValueError, match="Unknown api_name"):
         fetcher.fetch(_req("nope", "x"))
+
+
+# ---------------------------------------------------------------------------
+# full pipeline over HTTP (canned transport): NL query -> plan -> fetch
+# -> parse -> integrate -> clean -> enrich
+
+
+class RoutingFakeTransport:
+    """Dispatches by URL instead of call order: polygon agg routes get a
+    Polygon-shaped body, the Alpha Vantage base URL gets an AV-shaped
+    daily series. 40 days of bars on both sides, slightly offset."""
+
+    def __init__(self):
+        import datetime as dt
+        self.calls = []
+        self.days = [dt.date(2024, 1, 1) + dt.timedelta(days=i)
+                     for i in range(40)]
+
+    def get(self, url, params):
+        self.calls.append((url, dict(params)))
+        if "/v2/aggs/" in url:
+            epoch = dt.date(1970, 1, 1)
+            return json.dumps({"results": [
+                {"t": (d - epoch).days * 86_400_000,
+                 "o": 100.0 + i, "h": 101.0 + i, "l": 99.0 + i,
+                 "c": 100.5 + i, "v": 1000.0 + i, "vw": 100.2 + i, "n": 10}
+                for i, d in enumerate(self.days)]})
+        series = {d.isoformat(): {"1. open": str(100.01 + i),
+                                  "2. high": str(101.01 + i),
+                                  "3. low": str(99.01 + i),
+                                  "4. close": str(100.51 + i),
+                                  "5. volume": str(1001 + i)}
+                  for i, d in enumerate(self.days)}
+        return json.dumps({"Meta Data": {"2. Symbol": "AAPL"},
+                           "Time Series (Daily)": series})
+
+
+def test_pipeline_end_to_end_over_http(spark):
+    """The FixtureFetcher e2e test, with the fetch stage swapped for the
+    live-HTTP client path (canned transport): proves a user with real
+    API keys gets the same plan->integrate->transform lifecycle."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import Pipeline
+
+    transport = RoutingFakeTransport()
+    fetcher = HttpFetcher(spark, polygon_api_key="pk",
+                          alpha_vantage_api_key="ak", transport=transport)
+    events = []
+    pipe = Pipeline(spark, fetcher,
+                    progress=lambda stage, info: events.append(stage))
+    result = pipe.run("Get AAPL daily stock prices from 2024-01-01 to "
+                      "2024-02-09 with 20-day SMA")
+    assert result["status"] == "complete"
+    assert result["reports"]["execution"]["overall"] == "COMPLETE"
+    # both API sides were actually fetched over the transport
+    assert any("/v2/aggs/" in u for u, _ in transport.calls)
+    assert any(p.get("function") == "TIME_SERIES_DAILY"
+               for _, p in transport.calls)
+    assert "integrate" in events and "transform" in events
+    outputs = result["outputs"]
+    assert outputs and "sma_close_20" in outputs[0].columns
+    rows = outputs[0].orderBy("timestamp").collect()
+    assert len(rows) >= 40
+    assert rows[-1]["sma_close_20"] is not None
+
+
+def test_polygon_daily_open_close(spark):
+    body = {"status": "OK", "from": "2024-01-03", "symbol": "AAPL",
+            "open": 184.22, "high": 185.88, "low": 183.43, "close": 184.25,
+            "volume": 58414460, "afterHours": 184.6, "preMarket": 184.0}
+    t = FakeTransport(body)
+    client = PolygonHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("polygon", "get_daily_open_close_agg",
+                           ticker="AAPL", date="2024-01-03"))
+    assert t.calls[0][0].endswith("/v1/open-close/AAPL/2024-01-03")
+    row = df.collect()[0]
+    assert row["open"] == 184.22 and row["afterHours"] == 184.6
+    assert df.count() == 1
+
+
+def test_av_earnings_estimates_multi_list(spark):
+    body = {
+        "symbol": "IBM",
+        "annualEarningsEstimates": [
+            {"fiscalDateEnding": "2024-12-31", "estimatedEPS": "9.5",
+             "numberOfAnalysts": "12"}],
+        "quarterlyEarningsEstimates": [
+            {"fiscalDateEnding": "2024-03-31", "estimatedEPS": "1.6",
+             "numberOfAnalysts": "10"},
+            {"fiscalDateEnding": "2024-06-30", "estimatedEPS": "2.1"}],
+    }
+    t = FakeTransport(body)
+    client = AlphaVantageHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("alpha_vantage", "EARNINGS_ESTIMATES",
+                           ticker="IBM"))
+    rows = df.orderBy("timestamp", "period").collect()
+    assert [r["period"] for r in rows] == ["quarterly", "quarterly", "annual"]
+    assert rows[0]["estimatedEPS"] == 1.6
+    assert rows[0]["ticker"] == "IBM"
+    # second quarterly row lacks numberOfAnalysts -> null via unionByName
+    assert rows[1]["numberOfAnalysts"] is None

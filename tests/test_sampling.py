@@ -1,0 +1,114 @@
+"""Deterministic sampling + PII scrub unit tests (oracle parity is
+covered by test_oracle_parity; these pin the operator invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
+from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return Catalog(spark, sf_dir).documents.select("doc_id", "lang", "source")
+
+
+def test_hash_sample_bounds(spark, docs):
+    n = docs.count()
+    assert SA.hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert SA.hash_sample(docs, 1.0, "doc_id").count() == n
+    mid = SA.hash_sample(docs, 0.5, "doc_id").count()
+    assert 0.35 * n < mid < 0.65 * n
+    with pytest.raises(ValueError, match="rate"):
+        SA.hash_sample(docs, 1.5, "doc_id")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    a = {r["doc_id"] for r in SA.hash_sample(docs, 0.3, "doc_id").collect()}
+    b = {r["doc_id"]
+         for r in SA.hash_sample(docs.repartition(13), 0.3, "doc_id").collect()}
+    assert a == b
+    salted = {r["doc_id"]
+              for r in SA.hash_sample(docs, 0.3, "doc_id", salt="x").collect()}
+    assert salted != a  # independent draw
+
+
+def test_hash_sample_rates_are_nested(spark, docs):
+    """Same salt -> lower rate is a strict subset of a higher rate
+    (threshold monotonicity), so refreshing a sample only adds rows."""
+    small = {r["doc_id"] for r in SA.hash_sample(docs, 0.2, "doc_id").collect()}
+    large = {r["doc_id"] for r in SA.hash_sample(docs, 0.6, "doc_id").collect()}
+    assert small <= large
+
+
+def test_stratified_rates_respected(spark, docs):
+    out = SA.stratified_hash_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0}, key_col="doc_id",
+        default_rate=0.5)
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    totals = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    assert by_lang["en"] == totals["en"]       # rate 1.0 keeps all
+    assert "de" not in by_lang                 # rate 0.0 drops all
+    for lang, n in totals.items():
+        if lang not in ("en", "de") and n >= 20:
+            assert 0.2 * n < by_lang.get(lang, 0) < 0.8 * n
+
+
+def test_rebalance_mix_hits_target_proportions(spark, docs):
+    shares = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    out = SA.rebalance_mix(docs, "source", shares, key_col="doc_id")
+    got = {r["source"]: r["count"]
+           for r in out.groupBy("source").count().collect()}
+    assert set(got) <= set(shares)  # strata outside the target drop
+    total = sum(got.values())
+    assert total > 0
+    for src, share in shares.items():
+        # hash sampling is exact-threshold, not exact-count: allow the
+        # binomial wiggle around the target share
+        assert abs(got.get(src, 0) / total - share) < 0.15
+
+
+def test_rebalance_mix_precomputed_counts_equivalent(spark, docs):
+    shares = {"src0": 0.5, "src1": 0.5}
+    counts = {r["source"]: r["count"]
+              for r in docs.filter(F.col("source").isin("src0", "src1"))
+              .groupBy("source").count().collect()}
+    a = {r["doc_id"]
+         for r in SA.rebalance_mix(docs, "source", shares,
+                                   key_col="doc_id").collect()}
+    b = {r["doc_id"]
+         for r in SA.rebalance_mix(docs, "source", shares, key_col="doc_id",
+                                   counts=counts).collect()}
+    assert a == b
+
+
+def test_pii_scrub_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io call 555-123-4567 or 555.123.4567 "
+             "host 192.168.0.1 ssn 123-45-6789 done")],
+        ["id", "text"])
+    cols = T.pii_scrub(F.col("text"))
+    row = df.select(cols["text_scrubbed"].alias("t"),
+                    cols["pii_count"].alias("n")).collect()[0]
+    assert row["n"] == 5
+    assert row["t"] == ("mail <EMAIL> call <PHONE> or <PHONE> "
+                        "host <IPV4> ssn <SSN> done")
+
+
+def test_pii_scrub_no_double_count(spark):
+    """An email's digits must not be re-counted by later patterns, and
+    clean text passes through untouched with count 0."""
+    df = spark.createDataFrame(
+        [(1, "reach 123-45-6789@corp.example.net today"),
+         (2, "no pii here at all")], ["id", "text"])
+    cols = T.pii_scrub(F.col("text"))
+    rows = {r["id"]: r for r in
+            df.select("id", cols["text_scrubbed"].alias("t"),
+                      cols["pii_count"].alias("n")).collect()}
+    assert rows[1]["n"] == 1 and rows[1]["t"] == "reach <EMAIL> today"
+    assert rows[2]["n"] == 0 and rows[2]["t"] == "no pii here at all"
