@@ -155,26 +155,44 @@ class Pipeline:
         return resp, plan
 
     # -- stage 2: fetch ----------------------------------------------------
-    def execute(self, plan: ExecutionPlan) -> ExecutionResults:
+    def execute(self, plan: ExecutionPlan,
+                max_concurrency: int = 4) -> ExecutionResults:
+        """Run every validated request through the fetcher. Requests are
+        independent, and for HTTP fetchers the latency is network-bound
+        (plan construction is lazy Spark either way), so they fan out on
+        a small driver-side thread pool — a 20-ticker plan pays ~5
+        round-trip latencies instead of 20. Result order matches plan
+        order regardless of completion order; failures degrade
+        per-request exactly as in the sequential reference loop
+        (``ingestor.py:201-298``). ``max_concurrency=1`` restores
+        strictly sequential execution (e.g. for strict rate limits)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.perf_counter()
-        results, failed = [], []
-        for req in plan.ranked_requests:
+
+        def one(req) -> APIResult:
             if req.validation_status == "ERROR":
-                failed.append(req)
-                results.append(APIResult(req.api_name, req.endpoint_name,
-                                         "FAILED", used_parameters=req.parameters,
-                                         error_message="; ".join(req.validation_errors)))
-                continue
+                return APIResult(req.api_name, req.endpoint_name,
+                                 "FAILED", used_parameters=req.parameters,
+                                 error_message="; ".join(req.validation_errors))
             try:
                 df = self.fetcher.fetch(req)
-                results.append(APIResult(req.api_name, req.endpoint_name,
-                                         "SUCCESS", data=df,
-                                         used_parameters=req.parameters))
+                return APIResult(req.api_name, req.endpoint_name,
+                                 "SUCCESS", data=df,
+                                 used_parameters=req.parameters)
             except Exception as exc:  # noqa: BLE001 — reference degrades per-request
-                failed.append(req)
-                results.append(APIResult(req.api_name, req.endpoint_name,
-                                         "FAILED", used_parameters=req.parameters,
-                                         error_message=str(exc)))
+                return APIResult(req.api_name, req.endpoint_name,
+                                 "FAILED", used_parameters=req.parameters,
+                                 error_message=str(exc))
+
+        reqs = plan.ranked_requests
+        if max_concurrency > 1 and len(reqs) > 1:
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                results = list(pool.map(one, reqs))
+        else:
+            results = [one(r) for r in reqs]
+        failed = [req for req, res in zip(reqs, results)
+                  if res.status == "FAILED"]
         ok = sum(1 for r in results if r.status == "SUCCESS")
         overall = ("COMPLETE" if ok == len(results) and results else
                    "PARTIAL" if ok else "FAILED")

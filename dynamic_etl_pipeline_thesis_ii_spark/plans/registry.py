@@ -97,6 +97,38 @@ def _build_polygon() -> APISpec:
         "get_grouped_daily_aggs", "one day of OHLCV for every ticker",
         "stock_bars", [_date_param("date", required=True)], OHLCV))
     api.add(EndpointSpec(
+        "get_daily_open_close_agg", "open/close for one ticker on one day",
+        "stock_bars", [_ticker(), _date_param("date", required=True)],
+        OHLCV + ["afterHours", "preMarket"]))
+    api.add(EndpointSpec(
+        "SHORT_INTEREST", "reported short interest per ticker",
+        "short_data",
+        [_ticker(required=False), _date_param("settlement_date"),
+         ParameterSchema("days_to_cover", ParameterType.FLOAT),
+         ParameterSchema("avg_daily_volume", ParameterType.INTEGER),
+         ParameterSchema("limit", ParameterType.INTEGER)],
+        ["short_interest", "days_to_cover", "avg_daily_volume"]))
+    api.add(EndpointSpec(
+        "SHORT_VOLUME", "daily short volume per ticker", "short_data",
+        [_ticker(required=False), _date_param("date"),
+         ParameterSchema("short_volume_ratio", ParameterType.FLOAT),
+         ParameterSchema("limit", ParameterType.INTEGER)],
+        ["short_volume", "short_volume_ratio", "total_volume"]))
+    api.add(EndpointSpec(
+        "UNIFIED_SNAPSHOT", "unified snapshot across asset classes",
+        "snapshot",
+        [_ticker(required=False),
+         ParameterSchema("limit", ParameterType.INTEGER)],
+        OHLCV + ["last_trade", "last_quote"]))
+    api.add(EndpointSpec(
+        "TOP_MARKET_MOVERS", "top gainers or losers of the day", "snapshot",
+        [ParameterSchema("direction", ParameterType.ENUM,
+                         default_value="gainers",
+                         valid_values=["gainers", "losers"]),
+         ParameterSchema("include_otc", ParameterType.BOOLEAN,
+                         default_value=False)],
+        OHLCV + ["todaysChangePerc"]))
+    api.add(EndpointSpec(
         "SNAPSHOT_TICKER", "latest day snapshot for one ticker",
         "snapshot", [_ticker()], OHLCV + ["vwap", "prev_close"]))
     api.add(EndpointSpec(
@@ -142,8 +174,15 @@ def _build_alpha_vantage() -> APISpec:
         "TIME_SERIES_WEEKLY", "weekly OHLCV time series", "stock_bars",
         [_ticker()], OHLCV))
     api.add(EndpointSpec(
+        "TIME_SERIES_WEEKLY_ADJUSTED", "weekly adjusted OHLCV", "stock_bars",
+        [_ticker()], OHLCV + ["adjusted_close", "dividend_amount"]))
+    api.add(EndpointSpec(
         "TIME_SERIES_MONTHLY", "monthly OHLCV time series", "stock_bars",
         [_ticker()], OHLCV))
+    api.add(EndpointSpec(
+        "TIME_SERIES_MONTHLY_ADJUSTED", "monthly adjusted OHLCV",
+        "stock_bars", [_ticker()],
+        OHLCV + ["adjusted_close", "dividend_amount"]))
     for name, desc in [("INCOME_STATEMENT", "annual and quarterly income statements"),
                        ("BALANCE_SHEET", "annual and quarterly balance sheets"),
                        ("CASH_FLOW", "annual and quarterly cash flow statements")]:
@@ -155,8 +194,38 @@ def _build_alpha_vantage() -> APISpec:
         ["earnings_reportedEPS", "earnings_estimatedEPS", "earnings_surprise",
          "earnings_surprisePercentage"]))
     api.add(EndpointSpec(
+        "EARNINGS_ESTIMATES", "analyst EPS estimates by period", "earnings",
+        [_ticker()], ["estimatedEPS", "numberOfAnalysts"]))
+    api.add(EndpointSpec(
         "OVERVIEW", "company profile and key ratios", "fundamental",
         [_ticker()], ["MarketCapitalization", "PERatio", "EPS"]))
+    api.add(EndpointSpec(
+        "ETF_PROFILE", "ETF holdings and profile", "fundamental",
+        [_ticker()], ["net_assets", "net_expense_ratio"]))
+    for name, desc, fields in [
+            ("DIVIDENDS", "dividend history for a symbol",
+             ["ex_dividend_date", "amount"]),
+            ("SPLITS", "split history for a symbol",
+             ["effective_date", "split_factor"]),
+            ("SHARES_OUTSTANDING", "shares outstanding history",
+             ["shares_outstanding"])]:
+        api.add(EndpointSpec(name, desc, "fundamental", [_ticker()], fields))
+    api.add(EndpointSpec(
+        "LISTING_STATUS", "active/delisted listings CSV", "calendar",
+        [_date_param("date"),
+         ParameterSchema("state", ParameterType.ENUM, default_value="active",
+                         valid_values=["active", "delisted"])],
+        ["symbol", "name", "exchange", "assetType", "status"]))
+    api.add(EndpointSpec(
+        "EARNINGS_CALENDAR", "upcoming earnings CSV", "calendar",
+        [_ticker(required=False),
+         ParameterSchema("horizon", ParameterType.ENUM,
+                         default_value="3month",
+                         valid_values=["3month", "6month", "12month"])],
+        ["symbol", "reportDate", "estimate"]))
+    api.add(EndpointSpec(
+        "IPO_CALENDAR", "upcoming IPOs CSV", "calendar", [],
+        ["symbol", "ipoDate", "priceRangeLow", "priceRangeHigh"]))
     api.add(EndpointSpec(
         "REAL_GDP", "real US GDP series", "economic_indicator",
         [ParameterSchema("interval", ParameterType.ENUM, default_value="annual",
@@ -172,6 +241,25 @@ def _build_alpha_vantage() -> APISpec:
         [ParameterSchema("interval", ParameterType.ENUM, default_value="monthly",
                          valid_values=["daily", "weekly", "monthly"])],
         ["value"]))
+    api.add(EndpointSpec(
+        "REAL_GDP_PER_CAPITA", "real GDP per capita series",
+        "economic_indicator", [], ["value"]))
+    api.add(EndpointSpec(
+        "TREASURY_YIELD", "treasury yield series", "economic_indicator",
+        [ParameterSchema("interval", ParameterType.ENUM,
+                         default_value="monthly",
+                         valid_values=["daily", "weekly", "monthly"]),
+         ParameterSchema("maturity", ParameterType.ENUM,
+                         default_value="10year",
+                         valid_values=["3month", "2year", "5year", "7year",
+                                       "10year", "30year"])],
+        ["value"]))
+    for name, desc in [("INFLATION", "annual inflation rate series"),
+                       ("RETAIL_SALES", "monthly retail sales series"),
+                       ("DURABLES", "durable goods orders series"),
+                       ("UNEMPLOYMENT", "monthly unemployment rate series"),
+                       ("NONFARM_PAYROLL", "monthly nonfarm payroll series")]:
+        api.add(EndpointSpec(name, desc, "economic_indicator", [], ["value"]))
     return api
 
 

@@ -318,3 +318,43 @@ def test_route_fundamentals_quarterly_default():
     req2 = [r for r in resp2.api_requests
             if r.endpoint_name == "BALANCE_SHEET"][0]
     assert req2.parameters["period"] == "annual"
+
+
+def test_execute_fans_out_and_preserves_order(spark, sf_dir):
+    """Concurrent fetch returns results in plan order with per-request
+    failure degradation identical to the sequential path."""
+    import threading
+    import time as _time
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import (
+        APIRequest, ExecutionPlan)
+
+    seen_threads = set()
+
+    class SlowFetcher:
+        def fetch(self, req):
+            seen_threads.add(threading.get_ident())
+            _time.sleep(0.1)
+            if req.parameters.get("boom"):
+                raise RuntimeError("kaput")
+            return FixtureFetcher(spark, sf_dir).fetch(req)
+
+    reqs = [APIRequest("polygon", "get_aggs", {"ticker": t})
+            for t in ("AAA", "BBB", "CCC")]
+    reqs.append(APIRequest("polygon", "get_aggs", {"ticker": "DDD",
+                                                   "boom": True}))
+    pipe = Pipeline(spark, SlowFetcher())
+    t0 = _time.perf_counter()
+    out = pipe.execute(ExecutionPlan(ranked_requests=reqs))
+    elapsed = _time.perf_counter() - t0
+    assert [r.status for r in out.results] == ["SUCCESS"] * 3 + ["FAILED"]
+    assert [r.used_parameters.get("ticker") for r in out.results] == [
+        "AAA", "BBB", "CCC", "DDD"]
+    assert out.overall_status == "PARTIAL"
+    assert len(out.failed_requests) == 1
+    assert len(seen_threads) > 1          # genuinely fanned out
+    assert elapsed < 0.35                 # 4 x 0.1s sleeps overlapped
+
+    seq = pipe.execute(ExecutionPlan(ranked_requests=reqs),
+                       max_concurrency=1)
+    assert [r.status for r in seq.results] == [r.status for r in out.results]

@@ -314,3 +314,17 @@ def test_clean_sort_modes_plan(spark):
 
     with pytest.raises(ValueError, match="sort must be"):
         clean_dataframe(df, sort="none")
+
+
+def test_hash_sampling_is_single_scan_no_shuffle(spark, sf_dir):
+    """Deterministic hash sampling must stay a narrow filter over the
+    scan: no Exchange in the executed plan, and only the selected
+    columns read from parquet (column pruning)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    out = SA.stratified_hash_sample(docs, "lang", {"en": 0.5},
+                                    key_col="doc_id", default_rate=0.1)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "text" not in plan  # untouched wide column never scanned
