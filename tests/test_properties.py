@@ -94,3 +94,88 @@ def test_future_dates_always_clamped(d):
         {"ticker": "AAPL", "from": d.strftime("%Y-%m-%d")}))
     parsed = req.parameters["from"]
     assert parsed <= today.strftime("%Y-%m-%d")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub pattern design (driver-side `re` mirrors the Java/RE2 subset
+# the patterns restrict themselves to)
+
+
+import re
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators.text import PII_PATTERNS
+
+
+def _scrub_py(text: str) -> str:
+    for tag, pattern in PII_PATTERNS:
+        text = re.sub(pattern, f"<{tag}>", text)
+    return text
+
+
+pii_text_st = st.text(
+    alphabet=st.sampled_from("abc012.-+@ \n<>EMALPHONSIV"), max_size=60)
+
+
+@given(pii_text_st)
+@settings(max_examples=300, deadline=None)
+def test_pii_scrub_idempotent(text):
+    """Scrubbing twice equals scrubbing once: no placeholder (or text
+    containing placeholder fragments) may re-match any PII pattern —
+    the property that makes the operator safe to re-run on partially
+    scrubbed corpora."""
+    once = _scrub_py(text)
+    assert _scrub_py(once) == once
+
+
+@given(st.lists(st.sampled_from(
+    ["a.b@x.io", "555-123-4567", "10.0.0.1", "123-45-6789"]),
+    min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_pii_scrub_removes_every_injected_token(tokens):
+    scrubbed = _scrub_py("start " + " pad ".join(tokens) + " end")
+    assert "@" not in scrubbed
+    assert not re.search(r"\d{3}[-.]", scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling arithmetic (same md5 bucket as the engine)
+
+
+import hashlib
+import math
+
+
+def _bucket_py(key, salt="", mod=1_000_000):
+    h = hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8]
+    return int(h, 16) % mod
+
+
+@given(st.lists(st.integers(0, 10**9), max_size=60, unique=True),
+       st.floats(0, 1, allow_nan=False), st.floats(0, 1, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_hash_sample_threshold_monotone(keys, r1, r2):
+    """rate1 <= rate2 => kept(rate1) is a subset of kept(rate2) for the
+    same salt — the refresh-only-adds-rows property."""
+    lo, hi = sorted((r1, r2))
+    t_lo, t_hi = math.floor(lo * 1_000_000), math.floor(hi * 1_000_000)
+    kept_lo = {k for k in keys if _bucket_py(k) < t_lo}
+    kept_hi = {k for k in keys if _bucket_py(k) < t_hi}
+    assert kept_lo <= kept_hi
+
+
+@given(st.dictionaries(st.sampled_from("abcd"), st.integers(1, 10**6),
+                       min_size=1),
+       st.dictionaries(st.sampled_from("abcd"),
+                       st.floats(0.01, 1, allow_nan=False), min_size=1))
+@settings(max_examples=200, deadline=None)
+def test_rebalance_rates_always_feasible(counts, shares):
+    """T* = min(n_g / share_g) guarantees every per-stratum rate lands
+    in [0, 1]: the rebalancer can always hit the target mix by pure
+    downsampling, never needing to upsample."""
+    groups = [g for g in shares if g in counts]
+    if not groups:
+        return
+    t_star = min(counts[g] / shares[g] for g in groups)
+    for g in groups:
+        rate = shares[g] * t_star / counts[g]
+        assert 0.0 <= rate <= 1.0 + 1e-9

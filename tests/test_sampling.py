@@ -112,3 +112,18 @@ def test_pii_scrub_no_double_count(spark):
                       cols["pii_count"].alias("n")).collect()}
     assert rows[1]["n"] == 1 and rows[1]["t"] == "reach <EMAIL> today"
     assert rows[2]["n"] == 0 and rows[2]["t"] == "no pii here at all"
+
+
+def test_bucket_matches_driver_side_md5(spark):
+    """The Spark-side bucket (conv(substr(md5)) % mod) equals the plain
+    md5 arithmetic the property tests and oracles use — pins the
+    cross-engine hash contract."""
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in (0, 1, 42, 99991)], ["k"])
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", (SA._bucket(F.col("k"), "s", SA.DEFAULT_MOD)).alias("b")
+    ).collect()}
+    for k in (0, 1, 42, 99991):
+        h = hashlib.md5(f"{k}s".encode()).hexdigest()[:8]
+        assert got[k] == int(h, 16) % SA.DEFAULT_MOD
