@@ -2,18 +2,31 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-The decode step is STUBBED (image/audio libraries are not available in
-this environment): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake feature vector is derived from the bytes. The Spark-side plumbing —
-schema handling, partition-sized Arrow batches, UDF signatures — is real
-and tested; swapping in PIL/librosa later only changes the kernel body.
+Decode support is tiered by what this environment can honestly do:
+
+- REAL, stdlib-only decoders for PPM/PGM images (pure byte parsing +
+  numpy) and PCM WAV audio (``wave`` module) — parse, feature-extract
+  and nearest-neighbor resize with no external libraries;
+- payloads in other formats (JPEG/PNG/MP3/...) raise
+  NotImplementedError unless ``fake=True`` (PIL/librosa are not
+  available in this sandbox; swapping them in later only changes the
+  kernel body);
+- ``fake=True`` derives a deterministic feature vector from the raw
+  bytes, used by the oracle-checked plumbing tests.
+
+The Spark-side plumbing — schema handling, partition-sized Arrow
+batches, UDF signatures, 1->N row expansion — is real and tested
+throughout.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import io
+import struct
+import wave
+from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,16 +58,66 @@ def attach_media(df: DataFrame, text_col: str = "text",
     )
 
 
+def parse_netpbm(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
+    """Parse binary netpbm images — P6 (PPM, RGB) or P5 (PGM, gray) with
+    maxval < 256 — into (width, height, HxWxC uint8 array). Pure byte
+    parsing (header tokens with ``#`` comment support) + one
+    ``np.frombuffer``. Returns None if the payload is not netpbm."""
+    if payload is None or payload[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header = magic + 3 ASCII tokens (w, h, maxval); '#' starts a
+    # comment running to end-of-line; a single whitespace ends the header
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval >= 256 or w <= 0 or h <= 0:
+        return None
+    i += 1  # single whitespace after maxval
+    raster = payload[i:i + w * h * channels]
+    if len(raster) != w * h * channels:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+    return w, h, arr
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB — real implementation would PIL-decode and resize.
-    fake=True derives a deterministic 4-dim feature from the bytes."""
-    if not fake:
-        raise NotImplementedError("image decoding requires PIL; not available here")
-    if payload is None or len(payload) == 0:
-        return [0.0, 0.0, 0.0, 0.0]
-    n = len(payload)
-    return [float(n), float(payload[0]), float(payload[-1]),
-            float(sum(payload[:16]) % 256)]
+    """Image decode + feature extraction.
+
+    REAL for netpbm (P6/P5): ``[width, height, mean_c1..mean_cN]`` from
+    the decoded raster. Other formats need PIL (absent here) and raise
+    NotImplementedError. ``fake=True`` derives a deterministic 4-dim
+    feature from the raw bytes instead of decoding."""
+    if fake:
+        if payload is None or len(payload) == 0:
+            return [0.0, 0.0, 0.0, 0.0]
+        n = len(payload)
+        return [float(n), float(payload[0]), float(payload[-1]),
+                float(sum(payload[:16]) % 256)]
+    parsed = parse_netpbm(payload)
+    if parsed is not None:
+        w, h, arr = parsed
+        means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+        return [float(w), float(h)] + [round(float(m), 6) for m in means]
+    raise NotImplementedError(
+        "non-netpbm image decoding requires PIL; not available here")
 
 
 FEATURE_SCHEMA = StructType([
@@ -85,21 +148,59 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB — real implementation would librosa-decode to PCM.
-    fake=True derives a deterministic 2-dim feature from the bytes."""
-    if not fake:
-        raise NotImplementedError("audio decoding requires librosa; not available here")
-    if payload is None or len(payload) == 0:
-        return [0.0, 0.0]
-    return [float(len(payload)), float(sum(payload[:8]) % 97)]
+    """Audio decode + feature extraction.
+
+    REAL for PCM WAV (stdlib ``wave``): ``[duration_sec, sample_rate,
+    n_channels, rms]`` with RMS computed over the int16 samples.
+    Compressed formats need librosa (absent here) and raise
+    NotImplementedError. ``fake=True`` derives a deterministic 2-dim
+    byte feature instead."""
+    if fake:
+        if payload is None or len(payload) == 0:
+            return [0.0, 0.0]
+        return [float(len(payload)), float(sum(payload[:8]) % 97)]
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload)) as wav:
+            rate, channels = wav.getframerate(), wav.getnchannels()
+            n_frames, width = wav.getnframes(), wav.getsampwidth()
+            frames = wav.readframes(n_frames)
+        duration = n_frames / float(rate) if rate else 0.0
+        if width == 2 and frames:
+            samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+            rms = float(np.sqrt(np.mean(samples ** 2)))
+        else:  # non-16-bit PCM: amplitude stats over raw bytes
+            samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+            rms = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
+        return [round(duration, 6), float(rate), float(channels),
+                round(rms, 6)]
+    raise NotImplementedError(
+        "non-WAV audio decoding requires librosa; not available here")
+
+
+def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for P6/P5 payloads, re-encoded to
+    the same format; raises NotImplementedError for other formats
+    (PIL territory)."""
+    parsed = parse_netpbm(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "non-netpbm image resize requires PIL; not available here")
+    w, h, arr = parsed
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = arr[rows][:, cols]
+    magic = b"P6" if arr.shape[2] == 3 else b"P5"
+    return (magic + b"\n" + f"{width} {height}\n255\n".encode()
+            + out.tobytes())
 
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   ) -> DataFrame:
-    """Binary -> binary image resize kernel (1:1 rows). The resize body
-    is STUBBED as a deterministic truncate-or-pad of the payload to
-    width*height bytes — the schema contract (payload stays BinaryType,
-    dims recorded as metadata) and batch shape are the real thing."""
+    """Binary -> binary image resize kernel (1:1 rows). netpbm payloads
+    get the REAL nearest-neighbor resize; anything else falls back to a
+    deterministic truncate-or-pad of the payload to width*height bytes
+    (the PIL slot). Either way the schema contract (payload stays
+    BinaryType, dims recorded as metadata) and batch shape hold."""
     target = width * height
 
     out_schema = StructType(MEDIA_SCHEMA.fields + [
@@ -107,13 +208,18 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
         StructField("height", LongType(), True),
     ])
 
+    def one(p):
+        if p is None:
+            return None
+        try:
+            return resize_netpbm(bytes(p), width, height)
+        except NotImplementedError:
+            return (bytes(p[:target]) if len(p) >= target
+                    else bytes(p) + b"\x00" * (target - len(p)))
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                None if p is None else
-                (bytes(p[:target]) if len(p) >= target
-                 else bytes(p) + b"\x00" * (target - len(p)))
-                for p in pdf["payload"]]
+            resized = [one(p) for p in pdf["payload"]]
             out = pdf.copy()
             out["payload"] = resized
             out["n_bytes"] = [len(p) if p is not None else 0 for p in resized]
