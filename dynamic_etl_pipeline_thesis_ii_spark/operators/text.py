@@ -7,7 +7,7 @@ engine-portable primitives so every operator is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32, normalize_text
@@ -132,6 +132,66 @@ def SQL_PII_SCRUB(x: str,
         counts.append(f"len(regexp_extract_all({scrubbed}, '{pattern}'))")
         scrubbed = f"regexp_replace({scrubbed}, '{pattern}', '<{tag}>', 'g')"
     return scrubbed, "(" + " + ".join(counts) + ")"
+
+
+def token_rows(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Explode normalized whitespace tokens to (id, token) rows — the
+    shared first stage of the corpus-statistics operators below. One
+    narrow scan; everything downstream is hash aggregates."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != ""))
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5):
+    """Per-document top-k TF-IDF terms — the classic corpus-relevance
+    signal for boilerplate detection and topic sampling.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); score = tf * idf, rounded
+    to 6 dp BEFORE ranking so the (score desc, term asc) order — and
+    therefore the selected rows — is engine-exact. Three hash
+    aggregates + one broadcastable doc-count literal; the per-doc
+    ranking window shuffles on the document id, which is the natural
+    partitioning of every downstream consumer."""
+    toks = token_rows(df, text_col, id_col)
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select("id", "tok").distinct()
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(dfreq, "tok")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * (F.log((n_docs + 1) / (F.col("df") + 1))
+                                 + F.lit(1.0)), 6)))
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(),
+                                         F.col("tok").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "rank", "tok", "tf", "df", "tfidf"))
+
+
+def vocab_oov(df, text_col: str = "text", id_col: str = "doc_id",
+              vocab_size: int = 1000):
+    """Vocabulary induction + per-document OOV rate: the top
+    ``vocab_size`` corpus tokens (by count, term-asc tie-break) form
+    the vocab; each document reports its fraction of out-of-vocab
+    token OCCURRENCES. The induced vocab is a count aggregate + top-k
+    (broadcastable at any realistic vocab size); the per-doc pass is
+    one aggregate over the exploded tokens with a broadcast semi-join
+    against the vocab."""
+    toks = token_rows(df, text_col, id_col)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # global top-V via orderBy+limit -> TakeOrderedAndProject (per-
+    # partition top-V + single merge), NOT a single-partition window
+    vocab = (counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+             .limit(vocab_size).select("tok"))
+    flagged = toks.join(F.broadcast(vocab.withColumn("__in", F.lit(1))),
+                        "tok", "left")
+    return (flagged.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum(F.when(F.col("__in").isNull(), 1)
+                               .otherwise(0)) / F.count(F.lit(1)), 6)
+                 .alias("oov_rate")))
 
 
 def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):

@@ -532,6 +532,59 @@ WHERE {bucket} < floor(r.rate * 1000000)
 
 
 # ---------------------------------------------------------------------------
+# corpus statistics: TF-IDF + vocabulary/OOV
+# ---------------------------------------------------------------------------
+
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (scores rounded before ranking
+    so row selection is engine-exact)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return T.tfidf_top_terms(docs, k=3)
+
+
+def _sql_tfidf() -> str:
+    toks = f"SELECT doc_id AS id, unnest(string_split({_NORM.format(x='text')}, ' ')) AS tok FROM documents"
+    return f"""
+WITH toks AS (SELECT * FROM ({toks}) WHERE tok <> ''),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (SELECT id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY id, tok),
+dfreq AS (SELECT tok, count(DISTINCT id)::BIGINT AS df FROM toks GROUP BY tok),
+scored AS (
+  SELECT tf.id, tf.tok, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)::DOUBLE) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT id, tok, tf, df, tfidf,
+         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT id, rank, tok, tf, df, tfidf FROM ranked WHERE rank <= 3
+"""
+
+
+def q_text_vocab_oov(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the induced
+    top-200-token corpus vocabulary."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return T.vocab_oov(docs, vocab_size=200)
+
+
+def _sql_vocab_oov() -> str:
+    toks = f"SELECT doc_id AS id, unnest(string_split({_NORM.format(x='text')}, ' ')) AS tok FROM documents"
+    return f"""
+WITH toks AS (SELECT * FROM ({toks}) WHERE tok <> ''),
+counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM counts ORDER BY n DESC, tok ASC LIMIT 200)
+SELECT t.id, count(*)::BIGINT AS n_tokens,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus curation (flagship composition)
 # ---------------------------------------------------------------------------
 
@@ -606,6 +659,8 @@ DATAOPS_QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "text_metrics": q_text_metrics,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_tfidf_topterms": q_text_tfidf,
+    "text_vocab_oov": q_text_vocab_oov,
     "sample_stratified": q_sample_stratified,
     "sample_mix_rebalance": q_sample_mix_rebalance,
     "corpus_curation": q_corpus_curation,
@@ -623,6 +678,8 @@ DATAOPS_ORACLES = {
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_pii_scrub": _sql_pii_scrub(),
+    "text_tfidf_topterms": _sql_tfidf(),
+    "text_vocab_oov": _sql_vocab_oov(),
     "sample_stratified": _sql_sample_stratified(),
     "sample_mix_rebalance": _sql_sample_mix_rebalance(),
     "corpus_curation": _sql_corpus_curation(),

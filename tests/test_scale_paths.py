@@ -328,3 +328,16 @@ def test_hash_sampling_is_single_scan_no_shuffle(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "text" not in plan  # untouched wide column never scanned
+
+
+def test_vocab_induction_uses_take_ordered(spark, sf_dir):
+    """vocab_oov's global top-V must compile to TakeOrderedAndProject
+    (per-partition top-V + one merge), never a single-partition ranking
+    window."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import vocab_oov
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    out = vocab_oov(docs, vocab_size=100)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan, plan
