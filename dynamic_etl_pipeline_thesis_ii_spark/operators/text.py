@@ -194,6 +194,33 @@ def vocab_oov(df, text_col: str = "text", id_col: str = "doc_id",
                  .alias("oov_rate")))
 
 
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability under the corpus's own
+    (add-one-smoothed) unigram distribution — the standard cheap LM
+    quality score: gibberish and boilerplate-heavy documents sit in the
+    tails. P(tok) = (count(tok)+1) / (total+|V|); the per-token log is
+    rounded to 6 dp before averaging so the mean is engine-exact.
+
+    Two hash aggregates (corpus counts, per-doc mean) joined on the
+    token — the count table is skew-free (token cardinality), and the
+    final aggregate shuffles on the doc id."""
+    toks = token_rows(df, text_col, id_col)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(F.sum("n").alias("total"),
+                        F.count(F.lit(1)).alias("v")).first()
+    total, v = totals["total"] or 0, totals["v"] or 0
+    logp = F.round(F.log((F.col("n") + 1) / F.lit(float(total + v))), 6)
+    return (toks.join(counts.withColumn("logp", logp).select("tok", "logp"),
+                      "tok")
+            .groupBy("id")
+            # the mean is rounded one notch coarser (4 dp) than the
+            # per-token logps (6 dp): float summation ORDER differs per
+            # engine, and a 6-dp boundary sits within that error for
+            # ~1/1e6 docs
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("logp"), 4).alias("mean_logprob")))
+
+
 def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
     """Repetition/diversity signals — the standard spam/boilerplate
     filters for training corpora:

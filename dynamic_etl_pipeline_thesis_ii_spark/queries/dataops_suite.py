@@ -584,6 +584,29 @@ GROUP BY t.id
 """
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Mean add-one-smoothed unigram log-probability per document."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return T.unigram_logprob(docs)
+
+
+def _sql_unigram_logprob() -> str:
+    toks = f"SELECT doc_id AS id, unnest(string_split({_NORM.format(x='text')}, ' ')) AS tok FROM documents"
+    return f"""
+WITH toks AS (SELECT * FROM ({toks}) WHERE tok <> ''),
+counts AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS v FROM counts),
+logp AS (
+  SELECT tok, round(ln((n + 1) / (tot.total + tot.v)::DOUBLE), 6) AS logp
+  FROM counts CROSS JOIN tot
+)
+SELECT t.id, count(*)::BIGINT AS n_tokens,
+       round(avg(l.logp), 4) AS mean_logprob
+FROM toks t JOIN logp l ON t.tok = l.tok
+GROUP BY t.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation (flagship composition)
 # ---------------------------------------------------------------------------
@@ -661,6 +684,7 @@ DATAOPS_QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "text_tfidf_topterms": q_text_tfidf,
     "text_vocab_oov": q_text_vocab_oov,
+    "text_unigram_logprob": q_text_unigram_logprob,
     "sample_stratified": q_sample_stratified,
     "sample_mix_rebalance": q_sample_mix_rebalance,
     "corpus_curation": q_corpus_curation,
@@ -680,6 +704,7 @@ DATAOPS_ORACLES = {
     "text_pii_scrub": _sql_pii_scrub(),
     "text_tfidf_topterms": _sql_tfidf(),
     "text_vocab_oov": _sql_vocab_oov(),
+    "text_unigram_logprob": _sql_unigram_logprob(),
     "sample_stratified": _sql_sample_stratified(),
     "sample_mix_rebalance": _sql_sample_mix_rebalance(),
     "corpus_curation": _sql_corpus_curation(),
