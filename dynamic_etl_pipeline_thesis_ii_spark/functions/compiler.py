@@ -127,6 +127,26 @@ def _compile_native(name: str, params: dict, req: dict, ctx: _Ctx,
         k_line = ctx.temp(F.lit(100.0) * (cl - low_k) / _nullif0(high_k - low_k))
         d_line = ctx.rolling(F.avg, k_line, dw)
         return {f"{name}_stoch_k": k_line, f"{name}_stoch_d": d_line}
+    if name == "willr":
+        hi, lo, cl = F.col(p["high"]), F.col(p["low"]), F.col(p["close"])
+        n = p["window"]
+        high_n = ctx.temp(ctx.rolling(F.max, hi, n))
+        low_n = ctx.rolling(F.min, lo, n)
+        return {f"willr_{n}":
+                F.lit(-100.0) * (high_n - cl) / _nullif0(high_n - low_n)}
+    if name == "cci":
+        # CCI with the per-row-SMA mean-deviation simplification (the
+        # textbook deviation-from-current-window-SMA needs a nested
+        # window no SQL engine expresses); contract mirrored exactly in
+        # the DuckDB oracle.
+        hi, lo, cl = F.col(p["high"]), F.col(p["low"]), F.col(p["close"])
+        n = p["window"]
+        tp = ctx.temp((hi + lo + cl) / F.lit(3.0))
+        sma_tp = ctx.temp(ctx.rolling(F.avg, tp, n))
+        dev = ctx.temp(F.abs(tp - sma_tp))
+        md = ctx.rolling(F.avg, dev, n)
+        return {f"cci_{n}":
+                (tp - sma_tp) / _nullif0(F.lit(0.015) * md)}
     if name == "obv":
         cl, vol = F.col(p["close"]), F.col(p["volume"])
         signed = ctx.temp(
@@ -268,8 +288,12 @@ def apply_features(df: DataFrame, dsl: dict, entity_col: str | None = "ticker",
         ctx.outputs.update(_compile_native(req["name"], req["params"], req, ctx, ts_col))
 
     out = df
-    if ctx.temps:
-        out = out.withColumns(ctx.temps)
+    # temps apply sequentially, not in one withColumns batch: a WINDOW
+    # over an earlier temp (e.g. cci's rolling avg over the typical
+    # price) is an unsupported lateral-alias reference when batched;
+    # Catalyst collapses the chained Projects either way.
+    for tname, texpr in ctx.temps.items():
+        out = out.withColumn(tname, texpr)
     if ctx.outputs:
         out = out.withColumns(ctx.outputs)
     if ctx.temps:

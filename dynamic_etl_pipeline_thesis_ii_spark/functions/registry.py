@@ -49,6 +49,18 @@ FEATURE_REGISTRY: dict[str, Any] = {
             "k_window": _p("int", required=False, default=14),
             "d_window": _p("int", required=False, default=3),
         }},
+        "willr": {"params": {
+            "high": _p("string", default="high"),
+            "low": _p("string", default="low"),
+            "close": _p("string", default="close"),
+            "window": _p("int", required=False, default=14),
+        }},
+        "cci": {"params": {
+            "high": _p("string", default="high"),
+            "low": _p("string", default="low"),
+            "close": _p("string", default="close"),
+            "window": _p("int", required=False, default=20),
+        }},
         # Volatility
         "rolling_vol": {"params": {
             "on": _p("string", allowed=_OHLC_V + ["ret"]), "window": _p("int")}},

@@ -431,6 +431,42 @@ ORACLE_FEAT_TREND_BANDS = _join_oracles(
 ORACLE_FEAT_OSCILLATORS = _join_oracles(
     ORACLE_FEAT_RSI, ORACLE_FEAT_STOCH, ["stoch_stoch_k", "stoch_stoch_d"])
 
+
+# --- W-extensions: Williams %R + CCI (beyond the reference's registry) ------
+
+def q_feat_extra_oscillators(spark, sf_dir):
+    """willr/cci through the same DSL -> validator -> compiler path."""
+    return _apply(spark, sf_dir, [
+        {"name": "willr", "params": {"window": 5}},
+        {"name": "cci", "params": {"window": 5}},
+    ], round4=["willr_5", "cci_5"])
+
+
+ORACLE_FEAT_EXTRA_OSC = f"""
+WITH {_SQL_FIN}, hl AS (
+  SELECT event_id, user_id, ts, close,
+    CASE WHEN count(high) OVER w >= 5 THEN max(high) OVER w END AS high_5,
+    CASE WHEN count(low) OVER w >= 5 THEN min(low) OVER w END AS low_5,
+    (high + low + close) / 3.0 AS tp
+  FROM fin
+  WINDOW w AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), sm AS (
+  SELECT *, CASE WHEN count(tp) OVER w >= 5 THEN avg(tp) OVER w END AS sma_tp
+  FROM hl
+  WINDOW w AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), dv AS (
+  SELECT *, abs(tp - sma_tp) AS dev FROM sm
+), md AS (
+  SELECT *, CASE WHEN count(dev) OVER w >= 5 THEN avg(dev) OVER w END AS mdev
+  FROM dv
+  WINDOW w AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+  round(-100.0 * (high_5 - close) / nullif(high_5 - low_5, 0), 4) + 0.0 AS willr_5,
+  round((tp - sma_tp) / nullif(0.015 * mdev, 0), 4) + 0.0 AS cci_5
+FROM md
+"""
+
 ORACLE_FEAT_MOMENTUM_CALENDAR = _join_oracles(
     ORACLE_FEAT_MOMENTUM, ORACLE_FEAT_SESSION_FLAGS,
     ["session_flags_dow", "session_flags_month", "session_flags_week",
@@ -447,6 +483,7 @@ FEATURE_QUERIES = {
     "feat_earnings": q_feat_earnings,
     "feat_trend_bands": q_feat_trend_bands,
     "feat_oscillators": q_feat_oscillators,
+    "feat_extra_oscillators": q_feat_extra_oscillators,
     "feat_momentum_calendar": q_feat_momentum_calendar,
     "feat_ema_family": q_feat_ema_family,
     "feat_custom": q_feat_custom,
@@ -457,6 +494,7 @@ FEATURE_ORACLES = {
     "feat_earnings": ORACLE_FEAT_EARNINGS,
     "feat_trend_bands": ORACLE_FEAT_TREND_BANDS,
     "feat_oscillators": ORACLE_FEAT_OSCILLATORS,
+    "feat_extra_oscillators": ORACLE_FEAT_EXTRA_OSC,
     "feat_momentum_calendar": ORACLE_FEAT_MOMENTUM_CALENDAR,
     "feat_ema_family": ORACLE_FEAT_EMA_FAMILY,
     "feat_custom": ORACLE_FEAT_CUSTOM,
