@@ -127,3 +127,26 @@ def test_bucket_matches_driver_side_md5(spark):
     for k in (0, 1, 42, 99991):
         h = hashlib.md5(f"{k}s".encode()).hexdigest()[:8]
         assert got[k] == int(h, 16) % SA.DEFAULT_MOD
+
+
+def test_pii_scrub_null_text_propagates(spark):
+    """Null text stays null (scrubbed and count) in both engines —
+    null-propagation is the cross-engine contract, not a silent 0."""
+    df = spark.createDataFrame([(1, None), (2, "x")], "id long, text string")
+    cols = T.pii_scrub(F.col("text"))
+    rows = {r["id"]: r for r in
+            df.select("id", cols["text_scrubbed"].alias("t"),
+                      cols["pii_count"].alias("n")).collect()}
+    assert rows[1]["t"] is None and rows[1]["n"] is None
+    assert rows[2]["t"] == "x" and rows[2]["n"] == 0
+
+
+def test_text_stats_ops_on_empty_frame(spark):
+    """tfidf / vocab_oov / unigram_logprob return empty (not error) on
+    an empty corpus."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        tfidf_top_terms, unigram_logprob, vocab_oov)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_top_terms(empty).count() == 0
+    assert vocab_oov(empty).count() == 0
+    assert unigram_logprob(empty).count() == 0

@@ -277,3 +277,38 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
              .agg(F.max_by(F.col("r.price"), F.col("r.ts")).alias("r_price"))
              .collect()}
     assert got == batch
+
+
+def test_text_quality_composes_on_stream(spark, tmp_path):
+    """Batch text operators are pure column expressions, so the SAME
+    code path runs on a stream unchanged — drained results equal the
+    batch computation."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        lang_id, quality_features)
+
+    rows = [{"doc_id": 1, "text": "the cat and the dog sat for it"},
+            {"doc_id": 2, "text": "der hund ist nicht ein tier, und das!"},
+            {"doc_id": 3, "text": "zz qq xx"}]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+
+    def enrich(df):
+        feats = quality_features(F.col("text"))
+        return df.select("doc_id",
+                         feats["quality_score"].alias("q"),
+                         lang_id(F.col("text")).alias("lang"))
+
+    stream = enrich(spark.readStream.schema(schema).json(d))
+    assert stream.isStreaming
+    S.run_available_now(stream, "text_stream")
+    got = {r["doc_id"]: (r["q"], r["lang"])
+           for r in spark.table("text_stream").collect()}
+    batch = {r["doc_id"]: (r["q"], r["lang"])
+             for r in enrich(spark.read.schema(schema).json(d)).collect()}
+    assert got == batch
+    assert got[1][1] == "en" and got[2][1] == "de" and got[3][1] == "und"
