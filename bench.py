@@ -36,11 +36,13 @@ HEADLINE = [
     "feat_ema_family",
     # cleaning engine
     "clean_pipeline",
-    # dedup / similarity / text (training-data ops)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
+    # dedup / similarity / text (training-data ops); the *_pairs/_topk
+    # entries are tagged unions of the former dedup_minhash_lsh /
+    # dedup_simhash / dedup_ngram_jaccard / ann_cosine_topk /
+    # ann_lsh_bucket queries (registry consolidated to the driver's
+    # 50-entry window), so their timings cover the same work combined.
+    "dedup_neardup_pairs",
+    "ann_topk",
     "text_metrics",
     # integration engine
     "union_schema_match",

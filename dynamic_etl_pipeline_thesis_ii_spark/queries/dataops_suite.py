@@ -438,6 +438,71 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# merged registry entries (the driver gate records only the first 50
+# registry entries — same-family queries union/join into one tagged
+# result so every oracle-backed operator stays inside the window)
+# ---------------------------------------------------------------------------
+
+def q_dedup_neardup_pairs(spark, sf_dir):
+    """All four near-dup detectors (MinHash-LSH, SimHash, n-gram
+    Jaccard, embedding-cosine) in one tagged union — one registry entry
+    covering D2/D3/D4/N3; each branch is the unchanged single-method
+    pipeline."""
+    null_metric = F.lit(None).cast("double").alias("metric")
+    mh = (q_dedup_minhash_lsh(spark, sf_dir)
+          .select(F.lit("minhash").alias("method"), "id_a", "id_b",
+                  null_metric))
+    sh = (q_dedup_simhash(spark, sf_dir)
+          .select(F.lit("simhash").alias("method"), "id_a", "id_b",
+                  F.col("hamming").cast("double").alias("metric")))
+    ja = (q_dedup_ngram_jaccard(spark, sf_dir)
+          .select(F.lit("jaccard").alias("method"), "id_a", "id_b",
+                  F.col("jaccard").cast("double").alias("metric")))
+    em = (q_embedding_neardup(spark, sf_dir)
+          .select(F.lit("embedding").alias("method"), "id_a", "id_b",
+                  F.col("cos").cast("double").alias("metric")))
+    return mh.unionByName(sh).unionByName(ja).unionByName(em)
+
+
+def _sql_neardup_pairs() -> str:
+    return f"""
+SELECT 'minhash' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS metric
+FROM ({_sql_minhash_lsh()})
+UNION ALL
+SELECT 'simhash', id_a, id_b, hamming::DOUBLE FROM ({_sql_simhash()})
+UNION ALL
+SELECT 'jaccard', id_a, id_b, jaccard::DOUBLE FROM ({_sql_jaccard()})
+UNION ALL
+SELECT 'embedding', id_a, id_b, cos::DOUBLE FROM ({ORACLE_EMBEDDING_NEARDUP})
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force and LSH-bucketed ANN in one tagged union (N1/N2);
+    bucket is null on the brute branch."""
+    br = (q_ann_cosine_topk(spark, sf_dir)
+          .select(F.lit("brute").alias("method"), "q_id",
+                  F.lit(None).cast("long").alias("bucket"),
+                  "c_id", "cos", "rank"))
+    ls = (q_ann_lsh_bucket(spark, sf_dir)
+          .select(F.lit("lsh").alias("method"), "q_id",
+                  F.col("bucket").cast("long").alias("bucket"),
+                  "c_id", "cos", "rank"))
+    return br.unionByName(ls)
+
+
+def _sql_ann_topk() -> str:
+    return f"""
+SELECT 'brute' AS method, q_id, CAST(NULL AS BIGINT) AS bucket,
+       c_id, cos, rank
+FROM ({ORACLE_ANN_COSINE_TOPK})
+UNION ALL
+SELECT 'lsh', q_id, bucket::BIGINT, c_id, cos, rank
+FROM ({ORACLE_ANN_LSH_BUCKET})
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrub + deterministic sampling
 # ---------------------------------------------------------------------------
 
@@ -590,6 +655,42 @@ def q_text_unigram_logprob(spark, sf_dir):
     return T.unigram_logprob(docs)
 
 
+def q_text_corpus_stats(spark, sf_dir):
+    """Vocabulary/OOV + unigram-LM scoring joined per document (T4+T5
+    in one registry entry; shared doc-id key)."""
+    oov = q_text_vocab_oov(spark, sf_dir)
+    lp = q_text_unigram_logprob(spark, sf_dir).select("id", "mean_logprob")
+    return oov.join(lp, "id")
+
+
+def _sql_corpus_stats() -> str:
+    return f"""
+SELECT v.id, v.n_tokens, v.oov_rate, l.mean_logprob
+FROM ({_sql_vocab_oov()}) v JOIN ({_sql_unigram_logprob()}) l ON v.id = l.id
+"""
+
+
+def q_sample_deterministic(spark, sf_dir):
+    """Stratified hash sampling + domain-mix rebalancing as one tagged
+    union (SM2+SM3); each branch is the unchanged single-op pipeline."""
+    st = (q_sample_stratified(spark, sf_dir)
+          .select(F.lit("stratified").alias("tag"), "doc_id",
+                  F.col("lang").alias("stratum")))
+    mx = (q_sample_mix_rebalance(spark, sf_dir)
+          .select(F.lit("mix").alias("tag"), "doc_id",
+                  F.col("source").alias("stratum")))
+    return st.unionByName(mx)
+
+
+def _sql_sample_deterministic() -> str:
+    return f"""
+SELECT 'stratified' AS tag, doc_id, lang AS stratum
+FROM ({_sql_sample_stratified()})
+UNION ALL
+SELECT 'mix', doc_id, source FROM ({_sql_sample_mix_rebalance()})
+"""
+
+
 def _sql_unigram_logprob() -> str:
     toks = f"SELECT doc_id AS id, unnest(string_split({_NORM.format(x='text')}, ' ')) AS tok FROM documents"
     return f"""
@@ -673,40 +774,28 @@ WHERE c.id IS NULL OR c.component = k.doc_id
 
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_neardup_pairs": q_dedup_neardup_pairs,
     "dedup_components": q_dedup_components,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_bucket": q_ann_lsh_bucket,
-    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
     "text_metrics": q_text_metrics,
     "text_pii_scrub": q_text_pii_scrub,
     "text_tfidf_topterms": q_text_tfidf,
-    "text_vocab_oov": q_text_vocab_oov,
-    "text_unigram_logprob": q_text_unigram_logprob,
-    "sample_stratified": q_sample_stratified,
-    "sample_mix_rebalance": q_sample_mix_rebalance,
+    "text_corpus_stats": q_text_corpus_stats,
+    "sample_deterministic": q_sample_deterministic,
     "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
 }
 
 DATAOPS_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
-    "dedup_minhash_lsh": _sql_minhash_lsh(),
-    "dedup_simhash": _sql_simhash(),
-    "dedup_ngram_jaccard": _sql_jaccard(),
+    "dedup_neardup_pairs": _sql_neardup_pairs(),
     "dedup_components": _sql_components(),
-    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
-    "ann_lsh_bucket": ORACLE_ANN_LSH_BUCKET,
-    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "ann_topk": _sql_ann_topk(),
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_pii_scrub": _sql_pii_scrub(),
     "text_tfidf_topterms": _sql_tfidf(),
-    "text_vocab_oov": _sql_vocab_oov(),
-    "text_unigram_logprob": _sql_unigram_logprob(),
-    "sample_stratified": _sql_sample_stratified(),
-    "sample_mix_rebalance": _sql_sample_mix_rebalance(),
+    "text_corpus_stats": _sql_corpus_stats(),
+    "sample_deterministic": _sql_sample_deterministic(),
     "corpus_curation": _sql_corpus_curation(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

@@ -110,11 +110,15 @@ FROM b
 
 
 def q_feat_oscillators(spark, sf_dir):
-    """W4 (RSI) + W5 (stochastic) in one pass."""
+    """W4 (RSI) + W5 (stochastic) + the willr/cci extensions in one
+    pass (one registry entry; the driver gate caps at 50)."""
     return _apply(spark, sf_dir, [
         {"name": "rsi", "params": {"on": "close", "window": 14}},
         {"name": "stoch", "params": {"k_window": 5, "d_window": 3}},
-    ], round4=["rsi_close_14", "stoch_stoch_k", "stoch_stoch_d"])
+        {"name": "willr", "params": {"window": 5}},
+        {"name": "cci", "params": {"window": 5}},
+    ], round4=["rsi_close_14", "stoch_stoch_k", "stoch_stoch_d",
+               "willr_5", "cci_5"])
 
 
 ORACLE_FEAT_RSI = f"""
@@ -428,19 +432,7 @@ ORACLE_FEAT_TREND_BANDS = _join_oracles(
     ["bbands_bband_upper", "bbands_bband_middle", "bbands_bband_lower",
      "zscore_close_5"])
 
-ORACLE_FEAT_OSCILLATORS = _join_oracles(
-    ORACLE_FEAT_RSI, ORACLE_FEAT_STOCH, ["stoch_stoch_k", "stoch_stoch_d"])
-
-
 # --- W-extensions: Williams %R + CCI (beyond the reference's registry) ------
-
-def q_feat_extra_oscillators(spark, sf_dir):
-    """willr/cci through the same DSL -> validator -> compiler path."""
-    return _apply(spark, sf_dir, [
-        {"name": "willr", "params": {"window": 5}},
-        {"name": "cci", "params": {"window": 5}},
-    ], round4=["willr_5", "cci_5"])
-
 
 ORACLE_FEAT_EXTRA_OSC = f"""
 WITH {_SQL_FIN}, hl AS (
@@ -467,6 +459,14 @@ SELECT event_id, user_id, ts,
 FROM md
 """
 
+
+ORACLE_FEAT_OSCILLATORS = _join_oracles(
+    _join_oracles(ORACLE_FEAT_RSI, ORACLE_FEAT_STOCH,
+                  ["stoch_stoch_k", "stoch_stoch_d"]),
+    ORACLE_FEAT_EXTRA_OSC, ["willr_5", "cci_5"])
+
+
+
 ORACLE_FEAT_MOMENTUM_CALENDAR = _join_oracles(
     ORACLE_FEAT_MOMENTUM, ORACLE_FEAT_SESSION_FLAGS,
     ["session_flags_dow", "session_flags_month", "session_flags_week",
@@ -483,7 +483,6 @@ FEATURE_QUERIES = {
     "feat_earnings": q_feat_earnings,
     "feat_trend_bands": q_feat_trend_bands,
     "feat_oscillators": q_feat_oscillators,
-    "feat_extra_oscillators": q_feat_extra_oscillators,
     "feat_momentum_calendar": q_feat_momentum_calendar,
     "feat_ema_family": q_feat_ema_family,
     "feat_custom": q_feat_custom,
@@ -494,7 +493,6 @@ FEATURE_ORACLES = {
     "feat_earnings": ORACLE_FEAT_EARNINGS,
     "feat_trend_bands": ORACLE_FEAT_TREND_BANDS,
     "feat_oscillators": ORACLE_FEAT_OSCILLATORS,
-    "feat_extra_oscillators": ORACLE_FEAT_EXTRA_OSC,
     "feat_momentum_calendar": ORACLE_FEAT_MOMENTUM_CALENDAR,
     "feat_ema_family": ORACLE_FEAT_EMA_FAMILY,
     "feat_custom": ORACLE_FEAT_CUSTOM,
