@@ -341,3 +341,21 @@ def test_vocab_induction_uses_take_ordered(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
+    """Catch-all scale guard over EVERY registered query: no
+    CartesianProduct anywhere, and no SinglePartition exchange except
+    for queries whose RESULT is a single global-aggregate row (their
+    final reduce is one partition by construction)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.queries import all_queries
+
+    single_row_aggregates = {"clean_null_profile"}
+    violations = []
+    for name, q in all_queries().items():
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "SinglePartition" in plan and name not in single_row_aggregates:
+            violations.append((name, "SinglePartition"))
+    assert not violations, violations
