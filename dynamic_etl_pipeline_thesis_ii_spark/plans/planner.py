@@ -71,6 +71,21 @@ _FINANCE_HINTS = (
     "trading", "volume", "close", "open",
 )
 
+# company-name inference (reference query_analyzer.py:144-145 prompt
+# rule: "Microsoft" -> MSFT, "Apple" -> AAPL, ...)
+_COMPANY_TICKERS = {
+    "apple": "AAPL", "microsoft": "MSFT", "amazon": "AMZN",
+    "google": "GOOGL", "alphabet": "GOOGL", "meta": "META",
+    "facebook": "META", "tesla": "TSLA", "netflix": "NFLX",
+    "uber": "UBER", "nvidia": "NVDA", "ibm": "IBM",
+}
+
+# default baskets when the query names no instrument (reference
+# query_analyzer.py:184-185 and :248 prompt rules)
+_DEFAULT_BARS_BASKET = ["AAPL", "AMZN", "GOOGL", "MSFT", "META",
+                        "TSLA", "NFLX", "UBER"]
+_DEFAULT_FUNDAMENTALS_BASKET = ["AAPL", "IBM", "AMZN"]
+
 
 class Planner(Protocol):
     def analyze(self, query: str) -> PlannerResponse: ...
@@ -86,12 +101,22 @@ class RulePlanner:
         q = query.strip()
         ql = q.lower()
         tickers = [t for t in _TICKER_RE.findall(q) if t not in _NOT_TICKERS]
+        tickers += [t for name, t in _COMPANY_TICKERS.items() if name in ql]
         tickers = list(dict.fromkeys(tickers))
         dates = _DATE_RE.findall(q)
 
         enrichment = [feat for kw, feat in ENRICHMENT_KEYWORDS.items()
                       if kw in ql]
         enrichment = list(dict.fromkeys(enrichment))
+
+        # default baskets (reference prompt rules, query_analyzer.py:184,
+        # :248): a stock/fundamentals query naming no instrument still
+        # routes — over the documented default basket
+        if not tickers:
+            if any(any(k in ql for k in kws) for kws, _ in _FUNDAMENTAL):
+                tickers = list(_DEFAULT_FUNDAMENTALS_BASKET)
+            elif any(h in ql for h in _FINANCE_HINTS):
+                tickers = list(_DEFAULT_BARS_BASKET)
 
         requests: list[PlannedRequest] = []
         keywords: list[str] = []

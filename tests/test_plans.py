@@ -363,3 +363,25 @@ def test_execute_fans_out_and_preserves_order(spark, sf_dir):
     seq = pipe.execute(ExecutionPlan(ranked_requests=reqs),
                        max_concurrency=1)
     assert [r.status for r in seq.results] == [r.status for r in out.results]
+
+
+def test_planner_company_name_inference():
+    resp = RulePlanner().analyze("Get Microsoft and Tesla daily prices")
+    assert resp.tickers == ["MSFT", "TSLA"]
+    assert any(r.endpoint_name == "get_aggs"
+               and r.parameters["ticker"] == "MSFT"
+               for r in resp.api_requests)
+
+
+def test_planner_default_baskets():
+    bars = RulePlanner().analyze("show me daily stock prices")
+    assert bars.proceed and len(bars.tickers) == 8
+    assert "AAPL" in bars.tickers and "UBER" in bars.tickers
+
+    fund = RulePlanner().analyze("show me some income statements")
+    assert fund.tickers == ["AAPL", "IBM", "AMZN"]
+    assert all(r.endpoint_name == "INCOME_STATEMENT"
+               for r in fund.api_requests)
+
+    cake = RulePlanner().analyze("bake me a cake")
+    assert not cake.proceed  # no hints -> still rejected
