@@ -385,3 +385,26 @@ def test_planner_default_baskets():
 
     cake = RulePlanner().analyze("bake me a cake")
     assert not cake.proceed  # no hints -> still rejected
+
+
+def test_cli_entry_point(spark, sf_dir, tmp_path, capsys):
+    """Entry point B: the __main__ CLI runs the full lifecycle offline
+    and sinks outputs + report.json."""
+    import json as _json
+
+    from dynamic_etl_pipeline_thesis_ii_spark.__main__ import main
+
+    out_dir = str(tmp_path / "run")
+    rc = main([
+        "Get AAPL daily stock prices with 20-day SMA", "--quiet",
+        "--sf-dir", sf_dir, "--out", out_dir])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "complete" and summary["n_outputs"] >= 1
+    import os as _os
+    assert _os.path.exists(_os.path.join(out_dir, "report.json"))
+    back = spark.read.parquet(_os.path.join(out_dir, "result_0"))
+    assert "sma_close_20" in back.columns and back.count() > 0
+
+    rc_rejected = main(["bake me a cake", "--quiet"])
+    assert rc_rejected == 1
