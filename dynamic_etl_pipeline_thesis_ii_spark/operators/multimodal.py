@@ -128,15 +128,34 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_features(media: DataFrame, batch_hint: int = 1024,
+                     mode: str = "fake") -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow streams
     partition-sized batches; the kernel never materializes more than one
     batch of payloads, so executor memory is bounded by batch size, not
-    partition size."""
+    partition size.
+
+    ``mode="fake"`` (default, used by the oracle-checked plumbing
+    queries) derives deterministic byte features; ``mode="real"``
+    dispatches per kind to the REAL decoders (netpbm images, PCM WAV
+    audio) and falls back to the byte features for formats those can't
+    parse."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
+
+    def one(kind, payload):
+        if mode == "real" and payload is not None:
+            try:
+                p = bytes(payload)
+                return (decode_audio(p) if kind == "audio"
+                        else decode_image(p))
+            except NotImplementedError:
+                pass
+        return decode_image(payload, fake=True)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image(p, fake=True) for p in pdf["payload"]]
+            feats = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

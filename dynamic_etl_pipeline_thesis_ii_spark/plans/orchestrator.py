@@ -80,6 +80,10 @@ def translate_keywords(keywords: list[str]) -> dict:
 
 
 class Fetcher(Protocol):
+    """Pluggable fetch slot. Implementations: :class:`FixtureFetcher`
+    (offline, below) and ``sources.http_clients.HttpFetcher`` (live
+    Polygon/Alpha Vantage over a retrying transport)."""
+
     def fetch(self, request) -> DataFrame: ...
 
 

@@ -163,3 +163,20 @@ def test_resize_images_mixed_formats(spark):
     w, h, arr = M.parse_netpbm(bytes(out[1]["payload"]))
     assert (w, h) == (2, 2) and arr[0, 0].tolist() == [1, 2, 3]
     assert len(out[2]["payload"]) == 4  # opaque fallback: truncate to w*h
+
+
+def test_extract_features_real_mode(spark):
+    """extract_features(mode='real') decodes netpbm/WAV payloads and
+    falls back to byte features for opaque formats, per row."""
+    rows = [(1, "image", bytearray(_ppm(4, 2, lambda x, y: (9, 9, 9))), "x", 1),
+            (2, "audio", bytearray(_wav(seconds=0.125)), "x", 1),
+            (3, "image", bytearray(b"JPEGISH"), "x", 7)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, n_bytes long")
+    got = {r["media_id"]: r["feat"]
+           for r in M.extract_features(media, mode="real").collect()}
+    assert got[1] == [4.0, 2.0, 9.0, 9.0, 9.0]      # real PPM decode
+    assert got[2][1] == 8000.0                       # real WAV decode
+    assert got[3] == [7.0, 74.0, 72.0, float(sum(b"JPEGISH") % 256)]  # fallback
+    with pytest.raises(ValueError, match="mode"):
+        M.extract_features(media, mode="nope")
