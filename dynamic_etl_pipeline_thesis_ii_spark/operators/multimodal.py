@@ -22,7 +22,6 @@ throughout.
 from __future__ import annotations
 
 import io
-import struct
 import wave
 from typing import Iterator, Optional
 
