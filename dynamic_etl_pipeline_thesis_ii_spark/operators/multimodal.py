@@ -148,7 +148,9 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                 p = bytes(payload)
                 return (decode_audio(p) if kind == "audio"
                         else decode_image(p))
-            except NotImplementedError:
+            except Exception:  # noqa: BLE001 — one undecodable file
+                # (wrong format, truncated WAV, malformed header) must
+                # fall back, never fail the whole job
                 pass
         return decode_image(payload, fake=True)
 

@@ -101,7 +101,9 @@ class RulePlanner:
         q = query.strip()
         ql = q.lower()
         tickers = [t for t in _TICKER_RE.findall(q) if t not in _NOT_TICKERS]
-        tickers += [t for name, t in _COMPANY_TICKERS.items() if name in ql]
+        # whole-word matching only: 'metals' must not infer META
+        tickers += [t for name, t in _COMPANY_TICKERS.items()
+                    if re.search(rf"\b{name}\b", ql)]
         tickers = list(dict.fromkeys(tickers))
         dates = _DATE_RE.findall(q)
 

@@ -28,6 +28,7 @@ Design notes:
 
 from __future__ import annotations
 
+import datetime
 import json
 import time
 import warnings
@@ -157,22 +158,37 @@ class PolygonHttpClient:
         merged["apiKey"] = self.api_key
         return json.loads(self.transport.get(self.base_url + path, merged))
 
+    @staticmethod
+    def _bar_records(payload: Mapping[str, Any]) -> list[dict]:
+        """Polygon agg rows, with the short 'T' (ticker) key renamed
+        BEFORE the frame exists — 'T' and 't' collide under Spark's
+        case-insensitive column resolution (prev-close and grouped-daily
+        rows carry both)."""
+        return [{("ticker" if k == "T" else k): v for k, v in r.items()}
+                for r in payload.get("results", [])]
+
     def fetch(self, request) -> DataFrame:
         name = request.endpoint_name
         p = dict(request.parameters)
         ticker = p.get("ticker") or p.get("symbol")
         if name == "get_aggs":
+            # the planner only sets from/to when the query names dates;
+            # default to the reference's 30-day window ending today
+            end = p.get("to") or datetime.date.today().isoformat()
+            start = p.get("from") or (
+                datetime.date.fromisoformat(end)
+                - datetime.timedelta(days=30)).isoformat()
             payload = self._get_json(
                 f"/v2/aggs/ticker/{ticker}/range/{p.get('multiplier', 1)}"
-                f"/{p.get('timespan', 'day')}/{p['from']}/{p['to']}",
+                f"/{p.get('timespan', 'day')}/{start}/{end}",
                 {"limit": p.get("limit")})
             return A.parse_bars(
-                _json_frame(self.spark, payload.get("results", [])),
+                _json_frame(self.spark, self._bar_records(payload)),
                 ticker=ticker)
         if name == "get_previous_close_agg":
             payload = self._get_json(f"/v2/aggs/ticker/{ticker}/prev", {})
             return A.parse_bars(
-                _json_frame(self.spark, payload.get("results", [])),
+                _json_frame(self.spark, self._bar_records(payload)),
                 ticker=ticker)
         if name == "get_daily_open_close_agg":
             # one flat object, long names already (open/high/low/close/...)
@@ -184,19 +200,20 @@ class PolygonHttpClient:
         if name == "get_grouped_daily_aggs":
             payload = self._get_json(
                 f"/v2/aggs/grouped/locale/us/market/stocks/{p['date']}", {})
-            # grouped rows carry their own "T" (ticker) short key; rename
-            # it before the frame exists — "T" and "t" would otherwise
-            # collide under Spark's case-insensitive column resolution.
-            records = [{("ticker" if k == "T" else k): v for k, v in r.items()}
-                       for r in payload.get("results", [])]
-            return A.parse_bars(_json_frame(self.spark, records))
+            return A.parse_bars(_json_frame(self.spark,
+                                            self._bar_records(payload)))
         if name in ("SNAPSHOT_TICKER", "FULL_MARKET_SNAPSHOT"):
             path = "/v2/snapshot/locale/us/markets/stocks/tickers"
             if name == "SNAPSHOT_TICKER":
                 path += f"/{ticker}"
             payload = self._get_json(path, {})
-            return A.flatten_snapshot(
-                _json_frame(self.spark, payload.get("tickers", [])))
+            # full snapshot returns a 'tickers' list; the single-ticker
+            # endpoint returns one singular 'ticker' object
+            rows = payload.get("tickers")
+            if rows is None:
+                one = payload.get("ticker")
+                rows = [one] if one else []
+            return A.flatten_snapshot(_json_frame(self.spark, rows))
         if name in POLYGON_INDICATOR_SLUGS:
             slug = POLYGON_INDICATOR_SLUGS[name]
             payload = self._get_json(
@@ -205,7 +222,14 @@ class PolygonHttpClient:
                  if k not in ("endpoint_type", "indicator")})
             records = payload.get("results") or payload.get("data") or []
             return A.normalize_indicator(_json_frame(self.spark, records))
-        raise ValueError(f"Unknown polygon endpoint: {name}")
+        # registry-only endpoints (SHORT_INTEREST, SHORT_VOLUME,
+        # UNIFIED_SNAPSHOT, TOP_MARKET_MOVERS) mirror the reference,
+        # whose client's endpoint_mapping also cannot serve them
+        # (polygon_client.py:44-58) — the plan validates but fetch
+        # degrades per-request.
+        raise ValueError(
+            f"polygon endpoint {name!r} has no live fetch route "
+            "(registry-only, matching the reference client's coverage)")
 
 
 class AlphaVantageHttpClient:
@@ -407,8 +431,26 @@ class AlphaVantageHttpClient:
         return A.trim_requested_window(df, p)
 
     def _parse_csv(self, text: str, p: Mapping[str, Any]) -> DataFrame:
-        """Calendar/listing CSV passthrough (``alpha_vantage_client.py:422-433``)."""
+        """Calendar/listing CSV passthrough (``alpha_vantage_client.py:422-433``).
+
+        Alpha Vantage serves error and rate-limit responses as JSON
+        bodies even on CSV endpoints — sniff those before parsing so a
+        bad key raises instead of flowing downstream as a one-column
+        garbage frame."""
+        body = text.lstrip()
+        if body.startswith("{"):
+            data = json.loads(body)
+            if "Error Message" in data:
+                raise ValueError(
+                    f"Alpha Vantage API Error: {data['Error Message']}")
+            note = data.get("Note", "") + data.get("Information", "")
+            raise ValueError(
+                f"Alpha Vantage returned JSON for a CSV endpoint: {note!r}")
         pdf = pd.read_csv(StringIO(text))
+        if pdf.empty:  # header-only CSV (e.g. a quiet IPO calendar)
+            return self.spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in pdf.columns)
+                or "value string")
         df = self.spark.createDataFrame(pdf)
         ticker = p.get("ticker") or p.get("symbol")
         if ticker and "symbol" not in df.columns and "ticker" not in df.columns:

@@ -130,7 +130,11 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     Each partition writes over its own connection — at scale the
     parallel-writer count is the frame's partition count; coalesce
     first when the target can't take that many sessions. Verification
-    is a lazy ``read.jdbc`` count, not a full materialization."""
+    is a lazy ``read.jdbc`` count, not a full materialization;
+    ``rows_written`` is the TOTAL row count readable in the table after
+    the write (the reference's post-load verification semantics,
+    ``load.py:282-286``) — under ``append`` that is prior rows + this
+    batch, not the batch size."""
     if if_exists not in _MODES:
         raise SinkError(f"invalid if_exists: {if_exists!r} (append|replace|fail)")
     t0 = time.perf_counter()

@@ -190,23 +190,21 @@ def interval_join(left: DataFrame, right: DataFrame,
 def streaming_asof_join(left: DataFrame, right: DataFrame,
                         key: str = "ticker", ts_col: str = "ts",
                         band_seconds: int = 300, watermark: str = "1 hour",
-                        grain: str = "1 second",
                         right_prefix: str = "r_") -> DataFrame:
-    """Stream-stream AS-OF join: for every left row, attach the LATEST
-    right row with the same key within ``band_seconds`` before it — the
-    streaming twin of the batch ``asof_join`` query.
+    """Stream-stream AS-OF join: for every distinct left row, attach the
+    LATEST right row with the same key within ``band_seconds`` before it
+    — the streaming twin of the batch ``asof_join`` query.
 
     Composition of two chained stateful operators (supported in append
     mode since Spark 3.5): a banded stream-stream inner join (same
     watermark + time-range bounds as :func:`interval_join`, so join
-    state is evictable), then a windowed ``max_by`` aggregation that
-    reduces each left row's candidate set to the newest right row. The
-    per-left-row group is (left columns, ``window(l.ts, grain)``) — the
-    tumbling window supplies the event-time column the downstream
-    stateful aggregation needs to emit+evict on watermark passage; with
-    the default 1-second grain it is semantically per-left-row. Right
-    columns come back ``right_prefix``-renamed (done BEFORE the join so
-    the two same-schema streams never produce ambiguous names)."""
+    state is evictable), then a ``max_by`` aggregation grouped on the
+    left columns — the watermarked ``l.ts`` among them is the event-time
+    clock the downstream stateful aggregation emits+evicts on. Exactly
+    identical left rows therefore collapse to one output row (the batch
+    ``asof_join`` preserves such duplicates). Right columns come back
+    ``right_prefix``-renamed (done BEFORE the join so the two
+    same-schema streams never produce ambiguous names)."""
     rts = right_prefix + ts_col
     r = right.select([F.col(c).alias(right_prefix + c) for c in right.columns])
     l = left.withWatermark(ts_col, watermark)

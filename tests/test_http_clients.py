@@ -164,7 +164,7 @@ def test_polygon_economic_indicator(spark):
 
 def test_polygon_unknown_endpoint_raises(spark):
     client = PolygonHttpClient(spark, "k", transport=FakeTransport())
-    with pytest.raises(ValueError, match="Unknown polygon endpoint"):
+    with pytest.raises(ValueError, match="no live fetch route"):
         client.fetch(_req("polygon", "nope"))
 
 
@@ -434,3 +434,74 @@ def test_av_earnings_estimates_multi_list(spark):
     assert rows[0]["ticker"] == "IBM"
     # second quarterly row lacks numberOfAnalysts -> null via unionByName
     assert rows[1]["numberOfAnalysts"] is None
+
+
+# ---------------------------------------------------------------------------
+# live-API response-shape regressions (review findings): shapes the
+# earlier fixtures got wrong vs the real services
+
+
+def test_polygon_get_aggs_defaults_window_when_dateless(spark):
+    """Planner omits from/to for dateless queries; the client must
+    default to a 30-day window instead of KeyError'ing."""
+    t = FakeTransport(POLYGON_AGGS)
+    client = PolygonHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("polygon", "get_aggs", ticker="AAPL",
+                           multiplier=1, timespan="day"))
+    url, _ = t.calls[0]
+    parts = url.rsplit("/", 2)
+    start, end = dt.date.fromisoformat(parts[1]), dt.date.fromisoformat(parts[2])
+    assert (end - start).days == 30
+    assert df.count() == 2
+
+
+def test_polygon_prev_close_with_T_key(spark):
+    """/prev rows carry both 'T' (ticker) and 't' (epoch) — must not
+    collide under case-insensitive resolution."""
+    body = {"results": [{"T": "AAPL", "t": 1704240000000, "o": 1.0,
+                         "h": 2.0, "l": 0.5, "c": 1.5, "v": 10.0}]}
+    client = PolygonHttpClient(spark, "k", transport=FakeTransport(body))
+    row = client.fetch(_req("polygon", "get_previous_close_agg",
+                            ticker="AAPL")).collect()[0]
+    assert row["ticker"] == "AAPL" and row["close"] == 1.5
+
+
+def test_polygon_single_ticker_snapshot_singular_key(spark):
+    """The single-ticker snapshot returns {'ticker': {...}}, not a
+    'tickers' list."""
+    body = {"status": "OK", "ticker": {
+        "ticker": "AAPL", "updated": 1704240000000,
+        "day": {"o": 1.0, "h": 2.0, "l": 0.5, "c": 1.5, "v": 10.0,
+                "vw": 1.2},
+        "prevDay": {"c": 1.4}}}
+    client = PolygonHttpClient(spark, "k", transport=FakeTransport(body))
+    row = client.fetch(_req("polygon", "SNAPSHOT_TICKER",
+                            ticker="AAPL")).collect()[0]
+    assert row["prev_close"] == 1.4
+
+
+def test_polygon_registry_only_endpoint_clear_error(spark):
+    client = PolygonHttpClient(spark, "k", transport=FakeTransport())
+    with pytest.raises(ValueError, match="registry-only"):
+        client.fetch(_req("polygon", "TOP_MARKET_MOVERS"))
+
+
+def test_av_csv_route_sniffs_json_error_bodies(spark):
+    client = AlphaVantageHttpClient(
+        spark, "k", transport=FakeTransport({"Error Message": "bad key"}))
+    with pytest.raises(ValueError, match="Alpha Vantage API Error"):
+        client.fetch(_req("alpha_vantage", "LISTING_STATUS"))
+
+    client2 = AlphaVantageHttpClient(
+        spark, "k", transport=FakeTransport(
+            {"Information": "rate limited, slow down"}))
+    with pytest.raises(ValueError, match="JSON for a CSV endpoint"):
+        client2.fetch(_req("alpha_vantage", "IPO_CALENDAR"))
+
+
+def test_av_csv_header_only_returns_empty_frame(spark):
+    client = AlphaVantageHttpClient(
+        spark, "k",
+        transport=FakeTransport("symbol,ipoDate,priceRangeLow\n"))
+    df = client.fetch(_req("alpha_vantage", "IPO_CALENDAR"))
+    assert df.count() == 0 and "symbol" in df.columns

@@ -180,3 +180,15 @@ def test_extract_features_real_mode(spark):
     assert got[3] == [7.0, 74.0, 72.0, float(sum(b"JPEGISH") % 256)]  # fallback
     with pytest.raises(ValueError, match="mode"):
         M.extract_features(media, mode="nope")
+
+
+def test_real_mode_corrupt_payloads_fall_back(spark):
+    """A RIFF/WAVE header with garbage inside (wave.Error) or a
+    truncated 16-bit body must fall back to byte features, not fail
+    the job."""
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"garbage-not-a-chunk"
+    rows = [(1, "audio", bytearray(bad_wav), "x", len(bad_wav))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string, n_bytes long")
+    feat = M.extract_features(media, mode="real").collect()[0]["feat"]
+    assert feat == M.decode_image(bad_wav, fake=True)  # byte fallback
