@@ -156,7 +156,11 @@ def _compile_native(name: str, params: dict, req: dict, ctx: _Ctx,
     if name == "ret":
         prev = F.lag(col, p["periods"]).over(ctx.w)
         if p["method"] == "log":
-            return single(F.log(col / prev))
+            # guard both operands: prev=0 is an ANSI divide-by-zero and
+            # ln of a non-positive ratio is undefined — null instead
+            # (mirrored in the SQL oracle)
+            return single(F.when((col > 0) & (prev > 0),
+                                 F.log(col / prev)))
         return single(col / _nullif0(prev) - 1)
     if name == "lag":
         return single(F.lag(col, p["periods"]).over(ctx.w))

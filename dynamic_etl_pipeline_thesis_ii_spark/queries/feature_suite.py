@@ -185,7 +185,7 @@ WITH {_SQL_FIN}, s AS (
   FROM fin
 )
 SELECT event_id, user_id, ts,
-  ln(close / prev1) AS ret_close,
+  CASE WHEN close > 0 AND prev1 > 0 THEN ln(close / prev1) END AS ret_close,
   close / nullif(prev3, 0) - 1 AS pct_change_close,
   prev2 AS lag_close,
   close - prev1 AS diff_close,
@@ -345,29 +345,32 @@ def q_feat_fundamental_ratios(spark, sf_dir):
     assert not errors, errors
     df = apply_features(_stmt(spark, sf_dir), dsl, entity_col=None, ts_col="ckey")
     return df.select("ckey", *[
-        F.round(F.col(n), 6).alias(n) for n in _RATIO_FEATURES])
+        # + 0.0 normalizes -0.0 (negative ratios can round to zero at
+        # larger SFs; DuckDB and Spark disagree on the sign bit)
+        (F.round(F.col(n), 6) + F.lit(0.0)).alias(n)
+        for n in _RATIO_FEATURES])
 
 
 ORACLE_FEAT_RATIOS = f"""
 WITH {_SQL_STMT}
 SELECT ckey,
-  round(bs_tca / nullif(bs_tcl, 0), 6) AS current_ratio,
-  round((bs_tca - bs_inv) / nullif(bs_tcl, 0), 6) AS quick_ratio,
-  round((coalesce(bs_ltd, 0) + coalesce(bs_std, 0)) / nullif(bs_tse, 0), 6) AS debt_to_equity,
-  round((coalesce(bs_ltd, 0) + coalesce(bs_std, 0)) / nullif(bs_ta, 0), 6) AS debt_to_assets,
-  round(bs_tca - bs_tcl, 6) AS working_capital,
-  round(bs_tse / nullif(bs_ta, 0), 6) AS equity_ratio,
-  round(cf_ocf - coalesce(cf_capex, 0), 6) AS free_cash_flow,
-  round(cf_ocf / nullif(cf_ni, 0), 6) AS operating_cash_margin,
-  round(cf_capex / nullif(cf_ocf, 0), 6) AS capex_intensity,
-  round(cf_div / nullif(cf_ocf, 0), 6) AS dividend_payout_ratio,
-  round(cf_ocf / nullif(cf_ni, 0), 6) AS cash_conversion_ratio,
-  round(is_gp / nullif(is_rev, 0), 6) AS gross_margin,
-  round(is_oi / nullif(is_rev, 0), 6) AS operating_margin,
-  round(is_ni / nullif(is_rev, 0), 6) AS net_margin,
-  round(is_ebitda / nullif(is_rev, 0), 6) AS ebitda_margin,
-  round(is_rd / nullif(is_rev, 0), 6) AS rd_intensity,
-  round(is_ebit / nullif(is_int, 0), 6) AS interest_coverage
+  round(bs_tca / nullif(bs_tcl, 0), 6) + 0.0 AS current_ratio,
+  round((bs_tca - bs_inv) / nullif(bs_tcl, 0), 6) + 0.0 AS quick_ratio,
+  round((coalesce(bs_ltd, 0) + coalesce(bs_std, 0)) / nullif(bs_tse, 0), 6) + 0.0 AS debt_to_equity,
+  round((coalesce(bs_ltd, 0) + coalesce(bs_std, 0)) / nullif(bs_ta, 0), 6) + 0.0 AS debt_to_assets,
+  round(bs_tca - bs_tcl, 6) + 0.0 AS working_capital,
+  round(bs_tse / nullif(bs_ta, 0), 6) + 0.0 AS equity_ratio,
+  round(cf_ocf - coalesce(cf_capex, 0), 6) + 0.0 AS free_cash_flow,
+  round(cf_ocf / nullif(cf_ni, 0), 6) + 0.0 AS operating_cash_margin,
+  round(cf_capex / nullif(cf_ocf, 0), 6) + 0.0 AS capex_intensity,
+  round(cf_div / nullif(cf_ocf, 0), 6) + 0.0 AS dividend_payout_ratio,
+  round(cf_ocf / nullif(cf_ni, 0), 6) + 0.0 AS cash_conversion_ratio,
+  round(is_gp / nullif(is_rev, 0), 6) + 0.0 AS gross_margin,
+  round(is_oi / nullif(is_rev, 0), 6) + 0.0 AS operating_margin,
+  round(is_ni / nullif(is_rev, 0), 6) + 0.0 AS net_margin,
+  round(is_ebitda / nullif(is_rev, 0), 6) + 0.0 AS ebitda_margin,
+  round(is_rd / nullif(is_rev, 0), 6) + 0.0 AS rd_intensity,
+  round(is_ebit / nullif(is_int, 0), 6) + 0.0 AS interest_coverage
 FROM stmt
 """
 
@@ -393,9 +396,9 @@ def q_feat_earnings(spark, sf_dir):
     return df.select(
         "event_id", "user_id", "ts",
         F.col("earnings_beat"),
-        F.round("forecast_accuracy", 6).alias("forecast_accuracy"),
-        F.round("avg_surprise__4", 6).alias("avg_surprise_4"),
-        F.round("earnings_momentum__4", 6).alias("earnings_momentum_4"))
+        (F.round("forecast_accuracy", 6) + F.lit(0.0)).alias("forecast_accuracy"),
+        (F.round("avg_surprise__4", 6) + F.lit(0.0)).alias("avg_surprise_4"),
+        (F.round("earnings_momentum__4", 6) + F.lit(0.0)).alias("earnings_momentum_4"))
 
 
 ORACLE_FEAT_EARNINGS = """
@@ -409,11 +412,11 @@ WITH earn AS (
 )
 SELECT event_id, user_id, ts,
   CASE WHEN rep > est THEN 1 ELSE 0 END AS earnings_beat,
-  round(abs(est - rep), 6) AS forecast_accuracy,
+  round(abs(est - rep), 6) + 0.0 AS forecast_accuracy,
   round(avg(surprise_pct) OVER (PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg_surprise_4,
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) + 0.0 AS avg_surprise_4,
   round(avg(surprise) OVER (PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS earnings_momentum_4
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) + 0.0 AS earnings_momentum_4
 FROM earn
 """
 

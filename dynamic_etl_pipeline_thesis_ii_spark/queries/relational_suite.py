@@ -64,8 +64,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum("l_quantity", "sum_qty"),
             _dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # money sums round at 2dp: the exact-decimal -> double
+            # conversion differs by 1 ulp between engines at 1e9-plus
+            # magnitudes (16 significant digits exceeds double), which
+            # flips the 6dp driver hash at sf0.1
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
@@ -77,8 +81,8 @@ ORACLE_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        {_sql_dsum('l_quantity', 'sum_qty')},
        {_sql_dsum('l_extendedprice', 'sum_base_price')},
-       cast(sum({_SQL_DISC_PRICE}) as double) AS sum_disc_price,
-       cast(sum({_SQL_DISC_PRICE} * cast(1.0 + l_tax as decimal(8,4))) as double) AS sum_charge,
+       round(cast(sum({_SQL_DISC_PRICE}) as double), 2) AS sum_disc_price,
+       round(cast(sum({_SQL_DISC_PRICE} * cast(1.0 + l_tax as decimal(8,4))) as double), 2) AS sum_charge,
        count(*) AS count_order,
        round(cast(sum(cast(l_quantity as decimal(18,4))) as double) / count(*), 6) AS avg_qty,
        round(cast(sum(cast(l_extendedprice as decimal(18,4))) as double) / count(*), 6) AS avg_price
