@@ -322,7 +322,10 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rnk"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
         F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
         F.first("o_orderkey").over(w).alias("top_orderkey"))
 
 
@@ -331,7 +334,10 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        rank() OVER w AS rnk,
        dense_rank() OVER w AS drnk,
        ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) + 0.0 AS pct_rnk,
+       round(cume_dist() OVER w, 6) + 0.0 AS cume,
        lead(o_orderkey, 1) OVER w AS next_orderkey,
+       lag(o_orderkey, 1) OVER w AS prev_orderkey,
        first_value(o_orderkey) OVER w AS top_orderkey
 FROM orders
 WHERE o_custkey < 300
