@@ -77,13 +77,19 @@ def rebalance_mix(df: DataFrame, strata_col: str,
     One tiny count aggregate (or pass ``counts`` precomputed), then one
     shuffle-free filter scan. Thresholds are floored integer bucket
     bounds computed with the exact formula the SQL oracle uses, so the
-    kept row set is engine-exact, not just approximately sized."""
+    kept row set is engine-exact, not just approximately sized.
+
+    Target strata with zero input rows are *excluded* from the ``t*``
+    minimum (they can never be filled, so they don't force the whole
+    output empty) — the same semantics as the SQL twin, whose
+    ``counts JOIN shares`` simply drops absent strata."""
     if counts is None:
         rows = (df.filter(F.col(strata_col).isin(list(target_shares)))
                 .groupBy(strata_col).count().collect())
         counts = {r[strata_col]: r["count"] for r in rows}
-    t_star = min((counts.get(g, 0) / share
-                  for g, share in target_shares.items() if share > 0),
+    t_star = min((counts[g] / share
+                  for g, share in target_shares.items()
+                  if share > 0 and counts.get(g)),
                  default=0.0)
     rates = {g: (share * t_star / counts[g]) if counts.get(g) else 0.0
              for g, share in target_shares.items()}

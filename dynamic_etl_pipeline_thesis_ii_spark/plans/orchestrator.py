@@ -160,7 +160,7 @@ class Pipeline:
 
     # -- stage 2: fetch ----------------------------------------------------
     def execute(self, plan: ExecutionPlan,
-                max_concurrency: int = 4) -> ExecutionResults:
+                max_concurrency: Optional[int] = None) -> ExecutionResults:
         """Run every validated request through the fetcher. Requests are
         independent, and for HTTP fetchers the latency is network-bound
         (plan construction is lazy Spark either way), so they fan out on
@@ -168,10 +168,18 @@ class Pipeline:
         round-trip latencies instead of 20. Result order matches plan
         order regardless of completion order; failures degrade
         per-request exactly as in the sequential reference loop
-        (``ingestor.py:201-298``). ``max_concurrency=1`` restores
-        strictly sequential execution (e.g. for strict rate limits)."""
+        (``ingestor.py:201-298``).
+
+        When ``max_concurrency`` is not given, the fetcher's own
+        ``max_concurrency`` attribute decides (default 4): live HTTP
+        fetchers advertise 1, because free-tier vendors (Alpha Vantage:
+        5 req/min) answer concurrent bursts with HTTP-200 rate-limit
+        notes that would degrade into per-request parse failures.
+        ``max_concurrency=1`` is strictly sequential."""
         from concurrent.futures import ThreadPoolExecutor
 
+        if max_concurrency is None:
+            max_concurrency = getattr(self.fetcher, "max_concurrency", 4)
         t0 = time.perf_counter()
 
         def one(req) -> APIResult:

@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 from dynamic_etl_pipeline_thesis_ii_spark.sources import adapters as A
 
 POLYGON_BASE_URL = "https://api.polygon.io"
+# economic indicators live on a dedicated host in the reference client
+# (``polygon_client.py:33``: fed_base_url = "https://api.massive.com/fed/v1")
+POLYGON_FED_BASE_URL = "https://api.massive.com/fed/v1"
 ALPHA_VANTAGE_BASE_URL = "https://www.alphavantage.co/query"
 
 # reference ``polygon_client.py:232-247`` (_resolve_indicator_slug)
@@ -147,16 +150,20 @@ class PolygonHttpClient:
 
     def __init__(self, spark: SparkSession, api_key: str,
                  transport: Optional[Transport] = None,
-                 base_url: str = POLYGON_BASE_URL):
+                 base_url: str = POLYGON_BASE_URL,
+                 fed_base_url: str = POLYGON_FED_BASE_URL):
         self.spark = spark
         self.api_key = api_key
         self.transport = transport or RetryingTransport()
         self.base_url = base_url.rstrip("/")
+        self.fed_base_url = fed_base_url.rstrip("/")
 
-    def _get_json(self, path: str, params: Mapping[str, Any]) -> dict:
+    def _get_json(self, path: str, params: Mapping[str, Any],
+                  base: Optional[str] = None) -> dict:
         merged = {k: v for k, v in params.items() if v is not None}
         merged["apiKey"] = self.api_key
-        return json.loads(self.transport.get(self.base_url + path, merged))
+        return json.loads(
+            self.transport.get((base or self.base_url) + path, merged))
 
     @staticmethod
     def _bar_records(payload: Mapping[str, Any]) -> list[dict]:
@@ -217,9 +224,10 @@ class PolygonHttpClient:
         if name in POLYGON_INDICATOR_SLUGS:
             slug = POLYGON_INDICATOR_SLUGS[name]
             payload = self._get_json(
-                f"/fed/v1/{slug}",
+                f"/{slug}",
                 {k: v for k, v in p.items()
-                 if k not in ("endpoint_type", "indicator")})
+                 if k not in ("endpoint_type", "indicator")},
+                base=self.fed_base_url)
             records = payload.get("results") or payload.get("data") or []
             return A.normalize_indicator(_json_frame(self.spark, records))
         # registry-only endpoints (SHORT_INTEREST, SHORT_VOLUME,
@@ -263,8 +271,11 @@ class AlphaVantageHttpClient:
         if "Error Message" in data:
             raise ValueError(
                 f"Alpha Vantage API Error: {data['Error Message']}")
-        note = data.get("Note", "")
-        if "API call frequency" in note:
+        # rate-limit messages arrive as HTTP-200 bodies keyed 'Note'
+        # (legacy) or 'Information' (newer tiers) — sniff both so a
+        # throttled burst surfaces as a warning, not a parse failure
+        note = data.get("Note", "") + data.get("Information", "")
+        if "API call frequency" in note or "rate limit" in note.lower():
             warnings.warn(f"Alpha Vantage rate limit hit: {note}",
                           stacklevel=3)
         return data
@@ -311,7 +322,8 @@ class AlphaVantageHttpClient:
             return A.simple_json_row(
                 self.spark, {k: v for k, v in data.items()
                              if not isinstance(v, (dict, list))})
-        return self._parse_time_series(self._fetch_time_series(fn, p), p)
+        return self._parse_time_series(self._fetch_time_series(fn, p), p,
+                                       fn=fn)
 
     def _fetch_time_series(self, fn: str, p: Mapping[str, Any]) -> dict:
         params: dict[str, Any] = {
@@ -332,9 +344,15 @@ class AlphaVantageHttpClient:
 
     # -- parse side (S7/S9/S10 via adapters) ------------------------------
     def _parse_time_series(self, data: Mapping[str, Any],
-                           p: Mapping[str, Any]) -> DataFrame:
+                           p: Mapping[str, Any],
+                           fn: str = "") -> DataFrame:
         """``'Time Series (...)': {date: {'1. open': ...}}`` -> bars frame
-        through ``clean_av_headers`` (``alpha_vantage_client.py:301-353``)."""
+        through ``clean_av_headers`` (``alpha_vantage_client.py:301-353``).
+
+        Daily/weekly/monthly series truncate to dates (mirroring the
+        reference's ``.dt.date``); intraday keeps full timestamp
+        precision — date truncation would collapse every bar of a day
+        onto one value and break ordering."""
         ts_key = next((k for k in data if "Time Series" in k), None)
         if ts_key is None:
             if data.get("Meta Data"):
@@ -343,7 +361,11 @@ class AlphaVantageHttpClient:
                 f"Could not find time series data key: {list(data)}")
         rows = [{"timestamp": ts, **vals} for ts, vals in data[ts_key].items()]
         df = A.clean_av_headers(_json_frame(self.spark, rows))
-        df = df.withColumn("timestamp", F.to_date("timestamp"))
+        intraday = (fn == "TIME_SERIES_INTRADAY"
+                    or "Intraday" in ts_key or "min)" in ts_key)
+        df = df.withColumn("timestamp",
+                           F.to_timestamp("timestamp") if intraday
+                           else F.to_date("timestamp"))
         df = df.withColumns({c: F.col(c).try_cast("double")
                              for c in _AV_BAR_NUMERICS if c in df.columns})
         ticker = p.get("ticker") or p.get("symbol")
@@ -461,7 +483,14 @@ class AlphaVantageHttpClient:
 class HttpFetcher:
     """Live implementation of the orchestrator's ``Fetcher`` protocol:
     dispatches each ``APIRequest`` to the client named by
-    ``request.api_name``. Drop-in replacement for ``FixtureFetcher``."""
+    ``request.api_name``. Drop-in replacement for ``FixtureFetcher``.
+
+    Advertises ``max_concurrency = 1`` so the orchestrator runs live
+    requests sequentially by default — free-tier rate limits (Alpha
+    Vantage: 5 req/min) turn concurrent bursts into HTTP-200 throttle
+    notes. Callers with paid keys can raise it per-instance."""
+
+    max_concurrency = 1
 
     def __init__(self, spark: SparkSession,
                  polygon_api_key: str = "", alpha_vantage_api_key: str = "",

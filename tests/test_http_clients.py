@@ -505,3 +505,69 @@ def test_av_csv_header_only_returns_empty_frame(spark):
         transport=FakeTransport("symbol,ipoDate,priceRangeLow\n"))
     df = client.fetch(_req("alpha_vantage", "IPO_CALENDAR"))
     assert df.count() == 0 and "symbol" in df.columns
+
+
+# ---------------------------------------------------------------------------
+# round-5 advice fixes: fed host, intraday precision, Information sniff,
+# live-fetcher concurrency
+
+
+def test_polygon_fed_indicators_use_dedicated_host(spark):
+    """Economic indicators live on the reference's dedicated fed host
+    (polygon_client.py:33), not the aggregates base URL."""
+    body = {"results": [{"date": "2024-01-01", "value": 3.4}]}
+    t = FakeTransport(body)
+    client = PolygonHttpClient(spark, "k", transport=t)
+    client.fetch(_req("polygon", "CPI"))
+    url, _ = t.calls[0]
+    assert url == "https://api.massive.com/fed/v1/inflation/cpi"
+    # aggregates still hit the main host
+    t2 = FakeTransport(POLYGON_AGGS)
+    client2 = PolygonHttpClient(spark, "k", transport=t2)
+    client2.fetch(_req("polygon", "get_previous_close_agg", ticker="AAPL"))
+    assert t2.calls[0][0].startswith("https://api.polygon.io/")
+
+
+def test_av_intraday_keeps_timestamp_precision(spark):
+    """Intraday series must not collapse to dates — each bar of the day
+    keeps its own timestamp and sorts deterministically."""
+    body = {"Meta Data": {}, "Time Series (5min)": {
+        "2024-01-02 10:05:00": {"1. open": "2.0", "2. high": "2.5",
+                                "3. low": "1.5", "4. close": "2.2",
+                                "5. volume": "200"},
+        "2024-01-02 10:00:00": {"1. open": "1.0", "2. high": "2.0",
+                                "3. low": "0.5", "4. close": "1.5",
+                                "5. volume": "100"}}}
+    client = AlphaVantageHttpClient(spark, "k", transport=FakeTransport(body))
+    rows = client.fetch(_req("alpha_vantage", "TIME_SERIES_INTRADAY",
+                             ticker="IBM", interval="5min")).collect()
+    stamps = [r["timestamp"] for r in rows]
+    assert stamps == sorted(stamps) and len(set(stamps)) == 2
+    assert stamps[0] == dt.datetime(2024, 1, 2, 10, 0, 0)
+    assert rows[0]["close"] == 1.5 and rows[1]["close"] == 2.2
+    # daily series still truncate to dates (reference .dt.date parity)
+    daily = AlphaVantageHttpClient(
+        spark, "k", transport=FakeTransport(AV_DAILY))
+    drow = daily.fetch(_req("alpha_vantage", "TIME_SERIES_DAILY",
+                            ticker="IBM")).collect()[0]
+    assert drow["timestamp"] == dt.date(2024, 1, 2)
+
+
+def test_av_information_key_rate_limit_warns(spark):
+    """Newer AV tiers send throttle messages under 'Information', not
+    'Note' — both must surface as a warning, not a parse failure."""
+    body = dict(AV_DAILY)
+    body["Information"] = ("You have reached the rate limit for your "
+                           "free API key.")
+    client = AlphaVantageHttpClient(spark, "k", transport=FakeTransport(body))
+    with pytest.warns(UserWarning, match="rate limit"):
+        df = client.fetch(_req("alpha_vantage", "TIME_SERIES_DAILY",
+                               ticker="IBM"))
+    assert df.count() == 2
+
+
+def test_http_fetcher_advertises_sequential_concurrency(spark):
+    """Live fetchers default the orchestrator to sequential execution
+    (free-tier rate limits); fixture fetchers keep the 4-way fan-out."""
+    fetcher = HttpFetcher(spark, transport=FakeTransport())
+    assert fetcher.max_concurrency == 1

@@ -365,6 +365,32 @@ def test_execute_fans_out_and_preserves_order(spark, sf_dir):
     assert [r.status for r in seq.results] == [r.status for r in out.results]
 
 
+def test_execute_respects_fetcher_advertised_concurrency(spark, sf_dir):
+    """A fetcher advertising max_concurrency=1 (live HTTP, free-tier
+    rate limits) runs sequentially when execute() isn't given an
+    explicit override."""
+    import threading
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.contracts import (
+        APIRequest, ExecutionPlan)
+
+    seen_threads = set()
+
+    class SequentialFetcher:
+        max_concurrency = 1
+
+        def fetch(self, req):
+            seen_threads.add(threading.get_ident())
+            return FixtureFetcher(spark, sf_dir).fetch(req)
+
+    reqs = [APIRequest("polygon", "get_aggs", {"ticker": t})
+            for t in ("AAA", "BBB", "CCC")]
+    out = Pipeline(spark, SequentialFetcher()).execute(
+        ExecutionPlan(ranked_requests=reqs))
+    assert [r.status for r in out.results] == ["SUCCESS"] * 3
+    assert seen_threads == {threading.get_ident()}  # never left the driver
+
+
 def test_planner_company_name_inference():
     resp = RulePlanner().analyze("Get Microsoft and Tesla daily prices")
     assert resp.tickers == ["MSFT", "TSLA"]

@@ -73,6 +73,23 @@ def test_rebalance_mix_hits_target_proportions(spark, docs):
         assert abs(got.get(src, 0) / total - share) < 0.15
 
 
+def test_rebalance_mix_absent_stratum_is_skipped(spark, docs):
+    """A target stratum with zero input rows must not zero out t* (and
+    thus empty the whole output) — it is dropped from the min, exactly
+    as the SQL oracle's ``counts JOIN shares`` drops it."""
+    shares = {"src0": 0.5, "src1": 0.4, "no_such_source": 0.1}
+    out = SA.rebalance_mix(docs, "source", shares, key_col="doc_id")
+    got = {r["source"]: r["count"]
+           for r in out.groupBy("source").count().collect()}
+    assert got and "no_such_source" not in got
+    # present strata keep their relative 0.5 : 0.4 mix
+    total = sum(got.values())
+    assert abs(got.get("src0", 0) / total - 5 / 9) < 0.15
+    # all-absent targets -> empty output, not a crash
+    empty = SA.rebalance_mix(docs, "source", {"nope": 1.0}, key_col="doc_id")
+    assert empty.count() == 0
+
+
 def test_rebalance_mix_precomputed_counts_equivalent(spark, docs):
     shares = {"src0": 0.5, "src1": 0.5}
     counts = {r["source"]: r["count"]
