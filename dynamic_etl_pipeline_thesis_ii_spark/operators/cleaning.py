@@ -28,10 +28,41 @@ from __future__ import annotations
 import json
 import re
 import zlib
-from typing import Any
+from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import SQL_HASH32, hash32
+
+_TWO_PI = 6.283185307179586  # double(2*pi), written identically in SQL
+
+
+def deterministic_normal(key: Column, tag: str, seed: int) -> Column:
+    """Standard-normal deviate from a *hash*, not an RNG: Box–Muller over
+    two uniforms derived from md5 of (row key, column tag, seed). No RNG
+    state, no partition sensitivity — the same row draws the same value
+    on any engine, so imputed values are exactly oracle-checkable
+    (:func:`SQL_NORMAL` is the DuckDB twin). The md5 primitive is the
+    one already shared with the sampling/dedup oracles."""
+    def u(salt: str) -> Column:
+        h = hash32(F.concat(key.cast("string"),
+                            F.lit(f"|{tag}|{seed}|{salt}")))
+        # +0.5 keeps u strictly inside (0, 1) — ln(0) is the only hazard
+        return (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return (F.sqrt(F.lit(-2.0) * F.log(u("u1")))
+            * F.cos(F.lit(_TWO_PI) * u("u2")))
+
+
+def SQL_NORMAL(key: str, tag: str, seed: int) -> str:
+    """DuckDB twin of :func:`deterministic_normal` (same hash, same
+    Box–Muller arithmetic, same literal 2*pi)."""
+    def u(salt: str) -> str:
+        h = SQL_HASH32.format(
+            x=f"({key})::VARCHAR || '|{tag}|{seed}|{salt}'")
+        return f"(({h})::DOUBLE + 0.5) / 4294967296.0"
+    return (f"(sqrt(-2.0 * ln({u('u1')})) * "
+            f"cos({_TWO_PI!r} * {u('u2')}))")
 
 DEFAULT_CONFIG: dict[str, Any] = {
     "version": 1,
@@ -117,12 +148,19 @@ def _is_numeric(spark_type: str) -> bool:
 def clean_dataframe(df: DataFrame, config: dict | str | None = None,
                     global_threshold_override: float | None = None,
                     seed: int = 42,
-                    sort: bool | str = True) -> tuple[DataFrame, dict]:
+                    sort: bool | str = True,
+                    impute_key_col: Optional[str] = None) -> tuple[DataFrame, dict]:
     """Clean ``df`` per config; returns (cleaned lazy DataFrame, report).
 
     The report carries rule matches, dtype targets, null profiles and
     the deletion/imputation decisions (row counts are left to the caller
     — counting forces an extra action).
+
+    ``impute_key_col`` names a stable row-key column: when given,
+    normal-distribution imputation draws its deviates with the
+    hash-based :func:`deterministic_normal` (engine-exact, DuckDB-
+    reproducible, partition-invariant) instead of seeded ``randn``
+    (reproducible across runs but engine- and partitioning-specific).
 
     ``sort`` controls the final (ticker, ts) ordering: ``True`` (default)
     is a global ``orderBy`` for reference parity (pandas stable sort,
@@ -197,13 +235,23 @@ def clean_dataframe(df: DataFrame, config: dict | str | None = None,
                 mean = stats.get(f"mean_{c}")
                 std = stats.get(f"std_{c}")
                 if mean is not None:
-                    # distinct deterministic seed per column — identical
-                    # seeds would draw the same z-sequence for every
-                    # imputed column (perfectly correlated fills; the
-                    # reference's np.random draws are independent)
-                    col_seed = seed + (zlib.crc32(c.encode()) % 100003)
-                    fill = (F.lit(mean) if std in (None, 0.0)
-                            else F.randn(col_seed) * F.lit(std) + F.lit(mean))
+                    if std in (None, 0.0):
+                        fill = F.lit(mean)
+                    elif impute_key_col is not None:
+                        # hash-based draw keyed on (row key, column):
+                        # engine-exact, so the fill is oracle-checkable;
+                        # 6dp round absorbs libm ulp differences
+                        fill = F.round(
+                            deterministic_normal(F.col(impute_key_col), c, seed)
+                            * F.lit(std) + F.lit(mean), 6)
+                    else:
+                        # distinct deterministic seed per column —
+                        # identical seeds would draw the same z-sequence
+                        # for every imputed column (perfectly correlated
+                        # fills; the reference's np.random draws are
+                        # independent)
+                        col_seed = seed + (zlib.crc32(c.encode()) % 100003)
+                        fill = F.randn(col_seed) * F.lit(std) + F.lit(mean)
                     impute_exprs[c] = F.when(col.isNull(), fill).otherwise(col)
             elif strategy == "unix_epoch" and dtypes[c] == "timestamp":
                 impute_exprs[c] = F.coalesce(col, F.lit("1970-01-01 00:00:00").cast("timestamp"))

@@ -4,9 +4,11 @@ config-driven cleaner and compared against a SQL oracle that replays the
 same steps — dedup, constant imputation, positive / non-negative /
 no-future-dates row filters, null-ratio column deletion, int rounding.
 
-Random (normal-distribution) imputation is inherently unhashable →
-rows-only driver check + distributional unit tests (mirrors the
-reference's own test strategy, test_data_cleaning.py:337-357).
+Normal-distribution imputation is oracle-backed too: the cleaner's
+``impute_key_col`` mode draws hash-based Box–Muller deviates (no RNG
+state), so the SQL twin reproduces the exact imputed values — stronger
+than the reference's own distributional-only test strategy
+(test_data_cleaning.py:337-357).
 """
 
 from __future__ import annotations
@@ -108,8 +110,10 @@ FROM dup
 
 
 def q_clean_impute_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded normal-distribution imputation — rows-only driver check
-    (random draws are not SQL-reproducible)."""
+    """Normal-distribution imputation with hash-based Box–Muller draws
+    (``impute_key_col``): the imputed *values* are deterministic per row
+    key, partition-invariant, and exactly reproduced by the SQL oracle —
+    not just distributionally plausible."""
     config = {
         "version": 1,
         "global_settings": {"default_null_threshold": 0.9,
@@ -123,8 +127,23 @@ def q_clean_impute_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "relationship_validations": [],
     }
-    cleaned, _ = clean_dataframe(_dirty(spark, sf_dir), config, seed=42)
+    cleaned, _ = clean_dataframe(_dirty(spark, sf_dir), config, seed=42,
+                                 impute_key_col="event_id")
     return cleaned.select("event_id", "sparse")
+
+
+def _sql_clean_impute_normal() -> str:
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.cleaning import SQL_NORMAL
+    z = SQL_NORMAL("event_id", "sparse", 42)
+    return f"""
+WITH {_SQL_DIRTY},
+stats AS (SELECT avg(sparse) AS mu, stddev_samp(sparse) AS sd FROM dup)
+SELECT event_id,
+       CASE WHEN sparse IS NULL
+            THEN round({z} * sd + mu, 6)
+            ELSE sparse END AS sparse
+FROM dup, stats
+"""
 
 
 CLEANING_QUERIES = {
@@ -136,4 +155,5 @@ CLEANING_QUERIES = {
 CLEANING_ORACLES = {
     "clean_pipeline": ORACLE_CLEAN_PIPELINE,
     "clean_null_profile": ORACLE_CLEAN_NULL_PROFILE,
+    "clean_impute_normal": _sql_clean_impute_normal(),
 }

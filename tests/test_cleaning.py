@@ -176,3 +176,49 @@ def test_imputed_columns_draw_independent_noise(spark):
     assert len(zs) == 20
     # with a shared seed every pair would be elementwise identical
     assert any(abs(za - zb) > 1e-9 for za, zb in zs)
+
+
+def test_deterministic_imputation_partition_invariant(spark):
+    """impute_key_col mode: the imputed value is a pure function of the
+    row key — identical across repartitionings and runs, decorrelated
+    across columns, and approximately N(mean, std)."""
+    n = 400
+    rows = [(i, None if i % 4 == 0 else 50.0 + (i % 11),
+             None if i % 4 == 0 else 9.0 + 0.5 * (i % 13))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, a double, b double")
+    config = {
+        "version": 1,
+        "global_settings": {"default_null_threshold": 0.9,
+                            "default_allow_column_deletion": False,
+                            "default_imputation_strategy": "auto",
+                            "remove_duplicates": False},
+        "column_rules": [
+            {"pattern": "^[ab]$", "dtype": "float",
+             "imputation_strategy": "normal_distribution"},
+            {"pattern": ".*", "dtype": "auto", "imputation_strategy": "none"},
+        ],
+        "relationship_validations": [],
+    }
+    out1, _ = clean_dataframe(df, config, seed=42, impute_key_col="k")
+    out2, _ = clean_dataframe(df.repartition(17), config, seed=42,
+                              impute_key_col="k")
+    got1 = {r["k"]: (r["a"], r["b"]) for r in out1.collect()}
+    got2 = {r["k"]: (r["a"], r["b"]) for r in out2.collect()}
+    assert got1 == got2  # exact, not approximate
+    # different seed -> different draws
+    out3, _ = clean_dataframe(df, config, seed=7, impute_key_col="k")
+    got3 = {r["k"]: (r["a"], r["b"]) for r in out3.collect()}
+    assert got1 != got3
+    # columns decorrelated + distribution sane
+    import statistics
+    obs_a = [50.0 + (i % 11) for i in range(n) if i % 4 != 0]
+    ma, sa = statistics.mean(obs_a), statistics.stdev(obs_a)
+    imp_a = [got1[i][0] for i in range(n) if i % 4 == 0]
+    za = [(v - ma) / sa for v in imp_a]
+    assert abs(statistics.mean(za)) < 0.35          # ~N(0,1) mean
+    assert 0.6 < statistics.stdev(za) < 1.4         # ~N(0,1) spread
+    obs_b = [9.0 + 0.5 * (i % 13) for i in range(n) if i % 4 != 0]
+    mb, sb = statistics.mean(obs_b), statistics.stdev(obs_b)
+    zb = [(got1[i][1] - mb) / sb for i in range(n) if i % 4 == 0]
+    assert any(abs(x - y) > 1e-9 for x, y in zip(za, zb))
