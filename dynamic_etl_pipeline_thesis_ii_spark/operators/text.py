@@ -144,25 +144,37 @@ def token_rows(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 5):
+                    k: int = 5, broadcast_vocab: bool = True):
     """Per-document top-k TF-IDF terms — the classic corpus-relevance
     signal for boilerplate detection and topic sampling.
 
     idf = ln((N+1)/(df+1)) + 1 (smoothed); score = tf * idf, rounded
     to 6 dp BEFORE ranking so the (score desc, term asc) order — and
-    therefore the selected rows — is engine-exact. Three hash
-    aggregates + one broadcastable doc-count literal; the per-doc
-    ranking window shuffles on the document id, which is the natural
-    partitioning of every downstream consumer."""
+    therefore the selected rows — is engine-exact.
+
+    Scale shape: three hash aggregates; the doc count N is a LAZY
+    1-row scalar reduce cross-joined in via broadcast (no eager job at
+    construction). The ``tf ⋈ df`` join keys on the token — a classic
+    hot-key join (stopwords) — so the vocab-sized df side broadcasts by
+    default, turning it into a skew-immune map-side join; set
+    ``broadcast_vocab=False`` for corpora whose vocabulary outgrows the
+    broadcast budget and rely on AQE skew-join splitting instead. The
+    per-doc ranking window shuffles on the document id, which is the
+    natural partitioning of every downstream consumer."""
     toks = token_rows(df, text_col, id_col)
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (toks.select("id", "tok").distinct()
              .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
     scored = (tf.join(dfreq, "tok")
+              .crossJoin(F.broadcast(n_docs))
               .withColumn("tfidf", F.round(
-                  F.col("tf") * (F.log((n_docs + 1) / (F.col("df") + 1))
-                                 + F.lit(1.0)), 6)))
+                  F.col("tf") * (F.log((F.col("__n_docs") + 1)
+                                       / (F.col("df") + 1))
+                                 + F.lit(1.0)), 6))
+              .drop("__n_docs"))
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(),
                                          F.col("tok").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -194,24 +206,33 @@ def vocab_oov(df, text_col: str = "text", id_col: str = "doc_id",
                  .alias("oov_rate")))
 
 
-def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                    broadcast_vocab: bool = True):
     """Per-document mean unigram log-probability under the corpus's own
     (add-one-smoothed) unigram distribution — the standard cheap LM
     quality score: gibberish and boilerplate-heavy documents sit in the
     tails. P(tok) = (count(tok)+1) / (total+|V|); the per-token log is
     rounded to 6 dp before averaging so the mean is engine-exact.
 
-    Two hash aggregates (corpus counts, per-doc mean) joined on the
-    token — the count table is skew-free (token cardinality), and the
-    final aggregate shuffles on the doc id."""
+    Scale shape: two hash aggregates (corpus counts, per-doc mean); the
+    (total, |V|) normalizer is a LAZY 1-row scalar reduce cross-joined
+    via broadcast — no eager job at construction. The tokens ⋈ logp
+    join keys on the token (stopword hot keys), so the vocab-sized logp
+    side broadcasts by default — skew-immune; ``broadcast_vocab=False``
+    falls back to a shuffle join under AQE skew splitting for
+    outsized vocabularies. The final aggregate shuffles on the doc
+    id."""
     toks = token_rows(df, text_col, id_col)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     totals = counts.agg(F.sum("n").alias("total"),
-                        F.count(F.lit(1)).alias("v")).first()
-    total, v = totals["total"] or 0, totals["v"] or 0
-    logp = F.round(F.log((F.col("n") + 1) / F.lit(float(total + v))), 6)
-    return (toks.join(counts.withColumn("logp", logp).select("tok", "logp"),
-                      "tok")
+                        F.count(F.lit(1)).alias("v"))
+    logp = F.round(F.log((F.col("n") + 1)
+                         / (F.col("total") + F.col("v")).cast("double")), 6)
+    logp_tbl = (counts.crossJoin(F.broadcast(totals))
+                .withColumn("logp", logp).select("tok", "logp"))
+    if broadcast_vocab:
+        logp_tbl = F.broadcast(logp_tbl)
+    return (toks.join(logp_tbl, "tok")
             .groupBy("id")
             # the mean is rounded one notch coarser (4 dp) than the
             # per-token logps (6 dp): float summation ORDER differs per
