@@ -124,6 +124,12 @@ FEATURE_SCHEMA = StructType([
     StructField("kind", StringType(), True),
     StructField("n_bytes", LongType(), True),
     StructField("feat", ArrayType(DoubleType()), True),
+    # decode provenance: which decoder actually produced ``feat`` —
+    # 'netpbm' / 'wav' (real parses) or 'fake' (deterministic byte
+    # features: fake mode, or real mode's undecodable-payload fallback).
+    # Without this a downstream consumer cannot tell a real feature
+    # from a placeholder.
+    StructField("decoder", StringType(), True),
 ])
 
 
@@ -138,7 +144,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
     queries) derives deterministic byte features; ``mode="real"``
     dispatches per kind to the REAL decoders (netpbm images, PCM WAV
     audio) and falls back to the byte features for formats those can't
-    parse."""
+    parse. Every row's ``decoder`` column records which path produced
+    its features, so fallbacks are visible, not silent."""
     if mode not in ("fake", "real"):
         raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
 
@@ -146,22 +153,24 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
         if mode == "real" and payload is not None:
             try:
                 p = bytes(payload)
-                return (decode_audio(p) if kind == "audio"
-                        else decode_image(p))
+                if kind == "audio":
+                    return decode_audio(p), "wav"
+                return decode_image(p), "netpbm"
             except Exception:  # noqa: BLE001 — one undecodable file
                 # (wrong format, truncated WAV, malformed header) must
                 # fall back, never fail the whole job
                 pass
-        return decode_image(payload, fake=True)
+        return decode_image(payload, fake=True), "fake"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
+            done = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["n_bytes"],
-                "feat": feats,
+                "feat": [f for f, _ in done],
+                "decoder": [d for _, d in done],
             })
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)

@@ -421,6 +421,7 @@ def q_multimodal_features(spark, sf_dir):
         F.element_at("feat", 2).alias("f_first"),
         F.element_at("feat", 3).alias("f_last"),
         F.element_at("feat", 4).alias("f_checksum"),
+        "decoder",
     )
 
 
@@ -432,7 +433,8 @@ SELECT doc_id AS media_id,
   cast(ascii(substr(text, 1, 1)) AS double) AS f_first,
   cast(ascii(substr(text, length(text), 1)) AS double) AS f_last,
   cast(cast(list_sum(list_transform(range(1, least(length(text), 16) + 1),
-      i -> ascii(substr(text, i::int, 1)))) AS bigint) % 256 AS double) AS f_checksum
+      i -> ascii(substr(text, i::int, 1)))) AS bigint) % 256 AS double) AS f_checksum,
+  'fake' AS decoder
 FROM documents
 """
 

@@ -173,11 +173,19 @@ def test_extract_features_real_mode(spark):
             (3, "image", bytearray(b"JPEGISH"), "x", 7)]
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, mime string, n_bytes long")
-    got = {r["media_id"]: r["feat"]
-           for r in M.extract_features(media, mode="real").collect()}
+    rows = {r["media_id"]: r
+            for r in M.extract_features(media, mode="real").collect()}
+    got = {k: r["feat"] for k, r in rows.items()}
     assert got[1] == [4.0, 2.0, 9.0, 9.0, 9.0]      # real PPM decode
     assert got[2][1] == 8000.0                       # real WAV decode
     assert got[3] == [7.0, 74.0, 72.0, float(sum(b"JPEGISH") % 256)]  # fallback
+    # decode provenance: real parses name their decoder, the JPEG-ish
+    # payload is visibly a fallback — not silently fake
+    assert {k: r["decoder"] for k, r in rows.items()} == {
+        1: "netpbm", 2: "wav", 3: "fake"}
+    # fake mode labels everything fake
+    assert {r["decoder"] for r in M.extract_features(media).collect()} \
+        == {"fake"}
     with pytest.raises(ValueError, match="mode"):
         M.extract_features(media, mode="nope")
 
@@ -190,5 +198,6 @@ def test_real_mode_corrupt_payloads_fall_back(spark):
     rows = [(1, "audio", bytearray(bad_wav), "x", len(bad_wav))]
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, mime string, n_bytes long")
-    feat = M.extract_features(media, mode="real").collect()[0]["feat"]
-    assert feat == M.decode_image(bad_wav, fake=True)  # byte fallback
+    row = M.extract_features(media, mode="real").collect()[0]
+    assert row["feat"] == M.decode_image(bad_wav, fake=True)  # byte fallback
+    assert row["decoder"] == "fake"  # provenance records the fallback
