@@ -55,8 +55,30 @@ _ECONOMIC = [
     (("treasury", "yield curve"), ("polygon", "TREASURY_YIELD")),
     (("inflation",), ("polygon", "INFLATION")),
     (("cpi", "consumer price"), ("alpha_vantage", "CPI")),
+    (("gdp per capita",), ("alpha_vantage", "REAL_GDP_PER_CAPITA")),
     (("gdp",), ("alpha_vantage", "REAL_GDP")),
     (("fed funds", "federal funds"), ("alpha_vantage", "FEDERAL_FUNDS_RATE")),
+    (("unemployment",), ("alpha_vantage", "UNEMPLOYMENT")),
+    (("retail sales",), ("alpha_vantage", "RETAIL_SALES")),
+    (("durable goods", "durables"), ("alpha_vantage", "DURABLES")),
+    (("nonfarm", "payroll"), ("alpha_vantage", "NONFARM_PAYROLL")),
+]
+
+# ticker-optional market-data routes (short_data / snapshot / calendar
+# categories — reference api_registry.py:224-481, :1270-1338)
+_MARKET_DATA = [
+    (("short interest",), ("polygon", "SHORT_INTEREST")),
+    (("short volume",), ("polygon", "SHORT_VOLUME")),
+    (("top gainers", "top losers", "market movers", "biggest movers"),
+     ("polygon", "TOP_MARKET_MOVERS")),
+    (("ipo calendar", "upcoming ipo", "upcoming ipos"),
+     ("alpha_vantage", "IPO_CALENDAR")),
+    (("earnings calendar", "upcoming earnings"),
+     ("alpha_vantage", "EARNINGS_CALENDAR")),
+    (("listing status", "delisted"), ("alpha_vantage", "LISTING_STATUS")),
+    (("dividend history", "dividends"), ("alpha_vantage", "DIVIDENDS")),
+    (("split history", "stock splits"), ("alpha_vantage", "SPLITS")),
+    (("shares outstanding",), ("alpha_vantage", "SHARES_OUTSTANDING")),
 ]
 
 _FUNDAMENTAL = [
@@ -111,10 +133,24 @@ class RulePlanner:
                       if kw in ql]
         enrichment = list(dict.fromkeys(enrichment))
 
+        # market-data routes resolve FIRST (most-specific keywords):
+        # 'earnings calendar' must win over the fundamental 'earnings'
+        # match, 'gdp per capita' over 'gdp', and a movers/snapshot
+        # query must not drag in the default bars basket
+        md_hits: list[tuple[str, str, str]] = []  # (keyword, api, ep)
+        for kws, (api, ep) in _MARKET_DATA:
+            hit = next((k for k in kws if k in ql), None)
+            if hit is not None:
+                md_hits.append((hit, api, ep))
+        if "snapshot" in ql:
+            md_hits.append(("snapshot", "polygon",
+                            "SNAPSHOT_TICKER" if tickers
+                            else "FULL_MARKET_SNAPSHOT"))
+
         # default baskets (reference prompt rules, query_analyzer.py:184,
         # :248): a stock/fundamentals query naming no instrument still
         # routes — over the documented default basket
-        if not tickers:
+        if not tickers and not md_hits:
             if any(any(k in ql for k in kws) for kws, _ in _FUNDAMENTAL):
                 tickers = list(_DEFAULT_FUNDAMENTALS_BASKET)
             elif any(h in ql for h in _FINANCE_HINTS):
@@ -123,17 +159,45 @@ class RulePlanner:
         requests: list[PlannedRequest] = []
         keywords: list[str] = []
 
-        # economic indicators (no ticker needed)
+        # economic indicators (no ticker needed); a keyword contained in
+        # an already-matched longer keyword is suppressed ('gdp' inside
+        # 'gdp per capita')
+        matched_kws: list[str] = [h for h, _, _ in md_hits]
         for kws, (api, ep) in _ECONOMIC:
-            if any(k in ql for k in kws):
+            hit = next((k for k in kws if k in ql), None)
+            if hit is None or any(hit != m and hit in m for m in matched_kws):
+                continue
+            matched_kws.append(hit)
+            requests.append(PlannedRequest(
+                api, ep, {}, reasoning=f"economic keyword {hit!r}"))
+            keywords.append(hit)
+
+        # short_data / snapshot / calendar / corporate-actions routes
+        for hit, api, ep in md_hits:
+            params: dict = {}
+            if ep == "TOP_MARKET_MOVERS":
+                params["direction"] = ("losers" if "losers" in ql
+                                       else "gainers")
+            if tickers and ep in ("SHORT_INTEREST", "SHORT_VOLUME",
+                                  "EARNINGS_CALENDAR", "SNAPSHOT_TICKER",
+                                  "DIVIDENDS", "SPLITS",
+                                  "SHARES_OUTSTANDING"):
+                for ticker in tickers:
+                    requests.append(PlannedRequest(
+                        api, ep, {"ticker": ticker, **params},
+                        reasoning=f"market-data keyword {hit!r}"))
+            else:
                 requests.append(PlannedRequest(
-                    api, ep, {}, reasoning=f"economic keyword {kws[0]!r}"))
-                keywords.append(kws[0])
+                    api, ep, params,
+                    reasoning=f"market-data keyword {hit!r}"))
+            keywords.append(hit)
 
         # fundamentals / earnings per ticker; quarterly is the default
         # period unless the query says annual (reference routing rules)
         fundamental_eps = [ep for kws, ep in _FUNDAMENTAL
-                           if any(k in ql for k in kws)]
+                           if any(k in ql and not any(
+                               k != m and k in m for m in matched_kws)
+                               for k in kws)]
         period = "annual" if ("annual" in ql or "yearly" in ql) else "quarterly"
         for ticker in tickers:
             for ep in fundamental_eps:
@@ -147,7 +211,8 @@ class RulePlanner:
         # is routed to polygon AND alpha_vantage so the integration
         # stage can reconcile the two (query_analyzer.py routing rules)
         wants_bars = bool(tickers) and (
-            not fundamental_eps or any(h in ql for h in _FINANCE_HINTS))
+            not (fundamental_eps or md_hits)
+            or any(h in ql for h in _FINANCE_HINTS))
         if wants_bars:
             params: dict = {}
             if len(dates) >= 1:

@@ -29,6 +29,220 @@ P = RulePlanner()
 
 
 # ---------------------------------------------------------------------------
+# endpoint census parity (Q2): the engine registry must carry every
+# endpoint the reference registry carries, with matching required-
+# parameter sets, parameter vocabularies (name-or-alias) and enum
+# domains. REFERENCE_CENSUS is a literal snapshot of the reference's
+# specs (LLM_Ingestor/api_registry.py:65-560 Polygon, :567-1338 Alpha
+# Vantage): {(api, endpoint): (required, all_params, {param: enum})}.
+# ---------------------------------------------------------------------------
+
+REFERENCE_CENSUS = {
+    ("polygon", "get_aggs"): (
+        ["ticker"], ["ticker", "multiplier", "timespan", "from", "to"],
+        {"timespan": ["minute", "hour", "day", "week", "month", "quarter",
+                      "year"]}),
+    ("polygon", "get_previous_close_agg"): (["ticker"], ["ticker"], {}),
+    ("polygon", "get_daily_open_close_agg"): (
+        ["ticker", "date"], ["ticker", "date"], {}),
+    ("polygon", "get_grouped_daily_aggs"): (["date"], ["date"], {}),
+    ("polygon", "SHORT_INTEREST"): (
+        [], ["ticker", "days_to_cover", "settlement_date",
+             "avg_daily_volume", "limit", "sort"], {}),
+    ("polygon", "SHORT_VOLUME"): (
+        [], ["ticker", "date", "short_volume_ratio", "total_volume",
+             "limit", "sort"], {}),
+    ("polygon", "UNIFIED_SNAPSHOT"): (
+        [], ["ticker", "type", "order", "limit", "sort"],
+        {"type": ["stocks", "options", "indices", "crypto", "fx",
+                  "commodities"],
+         "order": ["asc", "desc"]}),
+    ("polygon", "SNAPSHOT_TICKER"): (["ticker"], ["ticker"], {}),
+    ("polygon", "FULL_MARKET_SNAPSHOT"): (
+        [], ["tickers", "include_otc"], {}),
+    ("polygon", "TOP_MARKET_MOVERS"): (
+        ["direction"], ["direction", "include_otc"],
+        {"direction": ["gainers", "losers"]}),
+    ("polygon", "TREASURY_YIELD"): ([], ["date", "limit", "sort"], {}),
+    ("polygon", "INFLATION"): ([], ["date", "limit", "sort"], {}),
+    ("alpha_vantage", "TIME_SERIES_INTRADAY"): (
+        ["ticker"], ["ticker", "timespan", "outputsize"],
+        {"timespan": ["1min", "5min", "15min", "30min", "60min"],
+         "outputsize": ["compact", "full"]}),
+    ("alpha_vantage", "TIME_SERIES_DAILY"): (
+        ["ticker"], ["ticker", "outputsize"],
+        {"outputsize": ["compact", "full"]}),
+    ("alpha_vantage", "TIME_SERIES_DAILY_ADJUSTED"): (
+        ["ticker"], ["ticker", "outputsize"],
+        {"outputsize": ["compact", "full"]}),
+    ("alpha_vantage", "TIME_SERIES_WEEKLY"): (
+        ["ticker"], ["ticker", "outputsize"],
+        {"outputsize": ["compact", "full"]}),
+    ("alpha_vantage", "TIME_SERIES_WEEKLY_ADJUSTED"): (
+        ["ticker"], ["ticker"], {}),
+    ("alpha_vantage", "TIME_SERIES_MONTHLY"): (
+        ["ticker"], ["ticker", "outputsize"],
+        {"outputsize": ["compact", "full"]}),
+    ("alpha_vantage", "TIME_SERIES_MONTHLY_ADJUSTED"): (
+        ["ticker"], ["ticker"], {}),
+    ("alpha_vantage", "REAL_GDP"): (
+        [], ["interval", "datatype"],
+        {"interval": ["quarterly", "annual"], "datatype": ["json", "csv"]}),
+    ("alpha_vantage", "REAL_GDP_PER_CAPITA"): (
+        [], ["datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "TREASURY_YIELD"): (
+        [], ["interval", "maturity", "datatype"],
+        {"interval": ["daily", "weekly", "monthly"],
+         "maturity": ["3month", "2year", "5year", "7year", "10year",
+                      "30year"],
+         "datatype": ["json", "csv"]}),
+    ("alpha_vantage", "FEDERAL_FUNDS_RATE"): (
+        [], ["interval", "datatype"],
+        {"interval": ["daily", "weekly", "monthly"],
+         "datatype": ["json", "csv"]}),
+    ("alpha_vantage", "CPI"): (
+        [], ["interval", "datatype"],
+        {"interval": ["monthly", "semiannual"],
+         "datatype": ["json", "csv"]}),
+    ("alpha_vantage", "INFLATION"): (
+        [], ["datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "RETAIL_SALES"): (
+        [], ["datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "DURABLES"): (
+        [], ["datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "UNEMPLOYMENT"): (
+        [], ["datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "NONFARM_PAYROLL"): (
+        [], ["datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "OVERVIEW"): (["symbol"], ["symbol"], {}),
+    ("alpha_vantage", "ETF_PROFILE"): (["symbol"], ["symbol"], {}),
+    ("alpha_vantage", "DIVIDENDS"): (
+        ["symbol"], ["symbol", "datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "SPLITS"): (
+        ["symbol"], ["symbol", "datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "INCOME_STATEMENT"): (
+        ["symbol"], ["symbol", "period"],
+        {"period": ["quarterly", "annual"]}),
+    ("alpha_vantage", "BALANCE_SHEET"): (
+        ["symbol"], ["symbol", "period"],
+        {"period": ["quarterly", "annual"]}),
+    ("alpha_vantage", "CASH_FLOW"): (
+        ["symbol"], ["symbol", "period"],
+        {"period": ["quarterly", "annual"]}),
+    ("alpha_vantage", "SHARES_OUTSTANDING"): (
+        ["symbol"], ["symbol", "datatype"], {"datatype": ["json", "csv"]}),
+    ("alpha_vantage", "EARNINGS"): (
+        ["symbol"], ["symbol", "period"],
+        {"period": ["quarterly", "annual"]}),
+    ("alpha_vantage", "EARNINGS_ESTIMATES"): (["symbol"], ["symbol"], {}),
+    ("alpha_vantage", "LISTING_STATUS"): (
+        [], ["date", "state"], {"state": ["active", "delisted"]}),
+    ("alpha_vantage", "EARNINGS_CALENDAR"): (
+        [], ["symbol", "horizon"],
+        {"horizon": ["3month", "6month", "12month"]}),
+    ("alpha_vantage", "IPO_CALENDAR"): ([], [], {}),
+}
+
+
+def _resolve(spec, name):
+    """Find the engine parameter accepting ``name`` (name or alias)."""
+    for p in spec.parameters:
+        if name == p.name or name in p.aliases:
+            return p
+    return None
+
+
+def test_endpoint_census_matches_reference():
+    """Every reference endpoint (42: 12 Polygon + 30 Alpha Vantage)
+    resolves in the engine registry with the same required-parameter
+    set, parameter vocabulary and enum domains."""
+    assert len(REFERENCE_CENSUS) == 42
+    problems = []
+    for (api, ep), (req, params, enums) in REFERENCE_CENSUS.items():
+        spec = registry.get_endpoint_spec(api, ep)
+        if spec is None:
+            problems.append((api, ep, "missing endpoint"))
+            continue
+        for name in params:
+            p = _resolve(spec, name)
+            if p is None:
+                problems.append((api, ep, f"missing param {name}"))
+            elif name in enums and sorted(p.valid_values or []) != sorted(enums[name]):
+                problems.append((api, ep, f"enum mismatch {name}"))
+        # required sets match exactly (modulo name/alias resolution)
+        for name in req:
+            p = _resolve(spec, name)
+            if p is not None and not p.required:
+                problems.append((api, ep, f"{name} should be required"))
+        ref_required_accept = set()
+        for name in req:
+            p = _resolve(spec, name)
+            if p is not None:
+                ref_required_accept.add(p.name)
+        for p in spec.parameters:
+            if p.required and p.name not in ref_required_accept:
+                problems.append((api, ep, f"{p.name} over-required"))
+    assert not problems, problems
+
+
+def test_census_categories_all_planner_routable():
+    """At least one NL query routes to an endpoint of every data
+    category in the registry — no category is registry-only."""
+    category_queries = {
+        "stock_bars": "Get AAPL daily stock prices",
+        "snapshot": "Show today's top market movers",
+        "short_data": "Short interest for TSLA",
+        "economic_indicator": "US unemployment rate trend",
+        "fundamental": "Show the AMZN balance sheet",
+        "earnings": "MSFT earnings surprises",
+        "calendar": "What's on the IPO calendar?",
+    }
+    categories = {e.data_category for a in registry.apis.values()
+                  for e in a.endpoints.values()}
+    assert categories <= set(category_queries), (
+        "category missing a routing query")
+    for cat, query in category_queries.items():
+        resp = P.analyze(query)
+        routed = {registry.get_endpoint_spec(r.api_name, r.endpoint_name)
+                  .data_category
+                  for r in resp.api_requests
+                  if registry.get_endpoint_spec(r.api_name, r.endpoint_name)}
+        assert resp.proceed and cat in routed, (cat, query, routed)
+
+
+def test_market_data_routes_parameters():
+    """Movers carry a validated direction; ticker-scoped market-data
+    routes carry the ticker; specific keywords suppress generic ones."""
+    movers = P.analyze("show me today's top losers in the market")
+    reqs = [r for r in movers.api_requests
+            if r.endpoint_name == "TOP_MARKET_MOVERS"]
+    assert reqs and reqs[0].parameters["direction"] == "losers"
+    # a movers query must not drag in the default bars basket
+    assert not any(r.endpoint_name == "get_aggs" for r in movers.api_requests)
+
+    si = P.analyze("short interest for TSLA")
+    si_reqs = [r for r in si.api_requests
+               if r.endpoint_name == "SHORT_INTEREST"]
+    assert si_reqs and si_reqs[0].parameters["ticker"] == "TSLA"
+
+    cal = P.analyze("show the earnings calendar")
+    eps = {r.endpoint_name for r in cal.api_requests}
+    assert "EARNINGS_CALENDAR" in eps and "EARNINGS" not in eps
+
+    gdp = P.analyze("US real GDP per capita history")
+    eps = {r.endpoint_name for r in gdp.api_requests}
+    assert "REAL_GDP_PER_CAPITA" in eps and "REAL_GDP" not in eps
+
+    snap = P.analyze("latest market snapshot for AAPL")
+    assert any(r.endpoint_name == "SNAPSHOT_TICKER"
+               and r.parameters.get("ticker") == "AAPL"
+               for r in snap.api_requests)
+    full = P.analyze("full market snapshot")
+    assert any(r.endpoint_name == "FULL_MARKET_SNAPSHOT"
+               for r in full.api_requests)
+
+
+# ---------------------------------------------------------------------------
 # routing (Q1)
 # ---------------------------------------------------------------------------
 
@@ -103,10 +317,17 @@ def test_param_unknown_endpoint():
 
 
 def test_param_default_filling():
-    req = _validate_one("polygon", "get_aggs", {"ticker": "AAPL"})
-    assert req.parameters["timespan"] == "day"
-    assert req.parameters["multiplier"] == 1
-    assert req.validation_status == "WARNING"  # defaults noted
+    """Defaults are enriched for REQUIRED params only (reference
+    parameter_validator.py:37-49); optional params with defaults — like
+    get_aggs' timespan/multiplier since the census parity pass — are
+    left to the fetch route's own defaults."""
+    req = _validate_one("polygon", "TOP_MARKET_MOVERS", {})
+    assert req.parameters["direction"] == "gainers"   # required+default
+    assert req.validation_status == "WARNING"         # default noted
+
+    bars = _validate_one("polygon", "get_aggs", {"ticker": "AAPL"})
+    assert bars.validation_status != "ERROR"
+    assert "timespan" not in bars.parameters          # optional: not enriched
 
 
 def test_param_future_date_clamped():
