@@ -151,12 +151,14 @@ class PolygonHttpClient:
     def __init__(self, spark: SparkSession, api_key: str,
                  transport: Optional[Transport] = None,
                  base_url: str = POLYGON_BASE_URL,
-                 fed_base_url: str = POLYGON_FED_BASE_URL):
+                 fed_base_url: str = POLYGON_FED_BASE_URL,
+                 max_pages: int = 10):
         self.spark = spark
         self.api_key = api_key
         self.transport = transport or RetryingTransport()
         self.base_url = base_url.rstrip("/")
         self.fed_base_url = fed_base_url.rstrip("/")
+        self.max_pages = max_pages
 
     def _get_json(self, path: str, params: Mapping[str, Any],
                   base: Optional[str] = None) -> dict:
@@ -174,6 +176,24 @@ class PolygonHttpClient:
         return [{("ticker" if k == "T" else k): v for k, v in r.items()}
                 for r in payload.get("results", [])]
 
+    def _get_paged(self, path: str, params: Mapping[str, Any]) -> list[dict]:
+        """GET + follow ``next_url`` cursors, concatenating page records.
+
+        Responses over the per-request limit (50k bars for aggregates)
+        arrive paged; the reference client never paginates, silently
+        truncating long requests. Cursor URLs are absolute — re-request
+        them verbatim (plus the api key) up to ``max_pages``, so a
+        runaway cursor chain is bounded, not followed forever."""
+        payload = self._get_json(path, params)
+        records = self._bar_records(payload)
+        pages = 1
+        while payload.get("next_url") and pages < self.max_pages:
+            payload = json.loads(self.transport.get(
+                payload["next_url"], {"apiKey": self.api_key}))
+            records += self._bar_records(payload)
+            pages += 1
+        return records
+
     def fetch(self, request) -> DataFrame:
         name = request.endpoint_name
         p = dict(request.parameters)
@@ -185,13 +205,12 @@ class PolygonHttpClient:
             start = p.get("from") or (
                 datetime.date.fromisoformat(end)
                 - datetime.timedelta(days=30)).isoformat()
-            payload = self._get_json(
+            records = self._get_paged(
                 f"/v2/aggs/ticker/{ticker}/range/{p.get('multiplier', 1)}"
                 f"/{p.get('timespan', 'day')}/{start}/{end}",
                 {"limit": p.get("limit")})
-            return A.parse_bars(
-                _json_frame(self.spark, self._bar_records(payload)),
-                ticker=ticker)
+            return A.parse_bars(_json_frame(self.spark, records),
+                                ticker=ticker)
         if name == "get_previous_close_agg":
             payload = self._get_json(f"/v2/aggs/ticker/{ticker}/prev", {})
             return A.parse_bars(

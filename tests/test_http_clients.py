@@ -566,6 +566,38 @@ def test_av_information_key_rate_limit_warns(spark):
     assert df.count() == 2
 
 
+def test_polygon_get_aggs_follows_next_url_pagination(spark):
+    """>50k-bar responses arrive paged via next_url cursors; the client
+    unions all pages (bounded by max_pages) instead of silently
+    truncating to page one."""
+    def page(i, with_next):
+        body = {"ticker": "AAPL", "results": [
+            {"t": 1704153600000 + i * 86_400_000, "o": 1.0 + i,
+             "h": 2.0 + i, "l": 0.5 + i, "c": 1.5 + i, "v": 10.0}]}
+        if with_next:
+            body["next_url"] = (
+                f"https://api.polygon.io/v2/aggs/cursor/page{i + 1}")
+        return body
+
+    t = FakeTransport(page(0, True), page(1, True), page(2, False))
+    client = PolygonHttpClient(spark, "k", transport=t)
+    df = client.fetch(_req("polygon", "get_aggs", ticker="AAPL",
+                           **{"from": "2024-01-01", "to": "2024-06-01"}))
+    rows = df.orderBy("timestamp").collect()
+    assert [r["close"] for r in rows] == [1.5, 2.5, 3.5]  # all 3 pages
+    # cursor URLs re-requested verbatim, with the api key attached
+    assert t.calls[1][0] == "https://api.polygon.io/v2/aggs/cursor/page1"
+    assert t.calls[1][1] == {"apiKey": "k"}
+    assert len(t.calls) == 3
+
+    # runaway cursor chains are bounded by max_pages
+    t2 = FakeTransport(*[page(i, True) for i in range(5)])
+    capped = PolygonHttpClient(spark, "k", transport=t2, max_pages=2)
+    df2 = capped.fetch(_req("polygon", "get_aggs", ticker="AAPL",
+                            **{"from": "2024-01-01", "to": "2024-06-01"}))
+    assert df2.count() == 2 and len(t2.calls) == 2
+
+
 def test_http_fetcher_advertises_sequential_concurrency(spark):
     """Live fetchers default the orchestrator to sequential execution
     (free-tier rate limits); fixture fetchers keep the 4-way fan-out."""
