@@ -9,6 +9,16 @@ Each query runs $BENCH_REPEAT times (default 3) and reports the per-query
 MINIMUM — run-to-run variance on a shared box swamps real deltas
 otherwise; min-of-N is the standard stable estimator for wall-clock
 microbenchmarks. The headline total is the sum of per-query minimums.
+
+The output also carries a ``scale_probe`` section (disable with
+BENCH_SCALE=0): the near-dup detectors' CANDIDATE generation measured
+on the documents corpus replicated 1x/2x/4x (replica texts re-salted
+per word so replicas are not near-dups of each other — growth in
+candidates then reflects blocking behavior, not constructed dups).
+Sub-quadratic candidate growth across the factors is the direct
+evidence that the banded/blocked join strategies hold as the corpus
+scales; a broken blocking shows up as candidates growing ~f² instead
+of ~f.
 """
 
 from __future__ import annotations
@@ -53,6 +63,52 @@ HEADLINE = [
 ]
 
 
+def scale_probe(spark, factors: list[int]) -> dict:
+    """Candidate-pair counts + wall time for each near-dup blocking
+    strategy at growing corpus multiples. Filters/verification are
+    disabled (max_hamming=64, threshold=0) so the count is the
+    CANDIDATE stage — the part that can go quadratic.
+
+    Expected shapes: jaccard exactly linear (df-capped shingle
+    blocking), minhash ~linear (band-signature collisions), simhash
+    superlinear-but-bounded — its 16-bit band keys have a chance-
+    collision term ~N²/2^16 that the max_bucket cap truncates once
+    buckets saturate (visible in the recorded ratios)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    base = Catalog(spark, SF_DIR).documents.select("doc_id", "text")
+    methods = {
+        "minhash": lambda d: D.minhash_lsh_pairs(d),
+        "simhash": lambda d: D.simhash_pairs(d, max_hamming=64),
+        "jaccard": lambda d: D.jaccard_pairs(d, threshold=0.0),
+    }
+    out: dict[str, list] = {m: [] for m in methods}
+    for f in factors:
+        # replica i appends "~i" to every word: replicas share no
+        # shingles with each other, so the corpus at factor f has ~f x
+        # the base corpus's near-dup structure — linear, not quadratic
+        reps = [base.select(
+                    (F.col("doc_id") * f + i).alias("doc_id"),
+                    (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+                     if i else F.col("text")).alias("text"))
+                for i in range(f)]
+        corpus = reps[0]
+        for r in reps[1:]:
+            corpus = corpus.unionAll(r)
+        corpus = corpus.persist()
+        n = corpus.count()
+        for m, fn in methods.items():
+            t0 = time.perf_counter()
+            c = fn(corpus).count()
+            out[m].append({"factor": f, "n_docs": n, "candidates": c,
+                           "sec": round(time.perf_counter() - t0, 3)})
+        corpus.unpersist()
+    return out
+
+
 def main() -> None:
     from dynamic_etl_pipeline_thesis_ii_spark.queries import all_queries
     from dynamic_etl_pipeline_thesis_ii_spark.session import get_spark
@@ -84,14 +140,26 @@ def main() -> None:
               file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    result: dict = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    if os.environ.get("BENCH_SCALE", "1") != "0":
+        factors = [int(x) for x in
+                   os.environ.get("BENCH_SCALE_FACTORS", "1,2,4").split(",")]
+        probe = scale_probe(spark, factors)
+        for m, rows in probe.items():
+            print(f"# scale_probe {m}: " + "  ".join(
+                f"x{r['factor']}: {r['candidates']} cand in {r['sec']}s"
+                for r in rows), file=sys.stderr)
+        result["scale_probe"] = probe
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
