@@ -509,3 +509,57 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return (counts.withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, min_overlap: int = 1,
+                        max_bench_df: int = 100) -> DataFrame:
+    """Train/eval contamination check: (corpus doc, benchmark doc) pairs
+    sharing at least ``min_overlap`` distinct k-word shingles — the
+    standard n-gram decontamination step of LLM training pipelines
+    (GPT-3 used 13-gram overlap; default here is k=5 for the short
+    synthetic docs).
+
+    Output: ``(id_a, id_b, overlap)`` with ``id_a`` from the corpus,
+    ``id_b`` from the benchmark, ``overlap`` = number of shared distinct
+    shingles.
+
+    Scale design: the benchmark side is always tiny relative to a
+    100 TB corpus (eval suites are MBs), so its shingle table is
+    BROADCAST — the corpus side is a single scan + broadcast hash join
+    with no corpus shuffle at all; the only shuffle is the pair-count
+    aggregation, keyed on (corpus id, benchmark id), which is uniform.
+    Shingles appearing in more than ``max_bench_df`` benchmark docs are
+    stop-shingles (boilerplate) and excluded, bounding per-corpus-row
+    fan-out by ``max_bench_df``.
+    """
+    c = shingle_rows(corpus, text_col, id_col, k) \
+        .withColumnRenamed("id", "id_a")
+    b = (shingle_rows(benchmark, text_col, id_col, k)
+         .withColumnRenamed("id", "id_b")
+         .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+         .filter(F.col("__df") <= max_bench_df)
+         .select("id_b", "s"))
+    return (c.join(F.broadcast(b), "s")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("overlap"))
+            .filter(F.col("overlap") >= min_overlap))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5, min_overlap: int = 1,
+                  max_bench_df: int = 100) -> DataFrame:
+    """Drop corpus docs flagged by :func:`contamination_pairs` (left
+    anti-join on the flagged id set — the removal step of
+    decontamination)."""
+    flagged = (contamination_pairs(corpus, benchmark, text_col, id_col,
+                                   k, min_overlap, max_bench_df)
+               .select(F.col("id_a").alias("__flag")).distinct())
+    return corpus.join(flagged, corpus[id_col] == flagged["__flag"],
+                       "left_anti")

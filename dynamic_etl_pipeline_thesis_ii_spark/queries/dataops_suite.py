@@ -440,16 +440,65 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _contam_corpora(spark, sf_dir):
+    """benchmark = every 13th doc; corpus = the rest ∪ planted
+    contaminated copies (every 39th doc's text + trailing noise) —
+    guaranteed positives, deterministically reproduced in the oracle."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    planted = (docs.filter(F.col("doc_id") % 39 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" trailing noise words appended"))
+                       .alias("text")))
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).unionByName(planted)
+    return corpus, bench
+
+
+def q_dedup_contamination(spark, sf_dir):
+    corpus, bench = _contam_corpora(spark, sf_dir)
+    return D.contamination_pairs(corpus, bench, k=5, min_overlap=3)
+
+
+def _sql_contamination(k: int = 5, min_overlap: int = 3,
+                       max_bench_df: int = 100) -> str:
+    # Mirrors contamination_pairs: benchmark-side df cap, equi-join on
+    # shingle, pair-count aggregate with the min_overlap floor.
+    sh = D.SQL_WORD_SHINGLES("text", k)
+    return f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         text || ' trailing noise words appended' AS text
+  FROM documents WHERE doc_id % 39 = 0
+),
+cx AS (SELECT doc_id AS id_a, unnest({sh}) AS s FROM corpus),
+bx AS (SELECT doc_id AS id_b, unnest({sh}) AS s FROM bench),
+rare AS (SELECT s FROM bx GROUP BY s HAVING count(*) <= {max_bench_df}),
+bdf AS (SELECT b.id_b, b.s FROM bx b JOIN rare r ON b.s = r.s)
+SELECT cx.id_a, bdf.id_b, count(*) AS overlap
+FROM cx JOIN bdf ON cx.s = bdf.s
+GROUP BY cx.id_a, bdf.id_b
+HAVING count(*) >= {min_overlap}
+"""
+
+
+# ---------------------------------------------------------------------------
 # merged registry entries (the driver gate records only the first 50
 # registry entries — same-family queries union/join into one tagged
 # result so every oracle-backed operator stays inside the window)
 # ---------------------------------------------------------------------------
 
 def q_dedup_neardup_pairs(spark, sf_dir):
-    """All four near-dup detectors (MinHash-LSH, SimHash, n-gram
-    Jaccard, embedding-cosine) in one tagged union — one registry entry
-    covering D2/D3/D4/N3; each branch is the unchanged single-method
-    pipeline."""
+    """All five near-dup/overlap detectors (MinHash-LSH, SimHash,
+    n-gram Jaccard, embedding-cosine, benchmark contamination) in one
+    tagged union — one registry entry covering D2/D3/D4/N3/D7; each
+    branch is the unchanged single-method pipeline."""
     null_metric = F.lit(None).cast("double").alias("metric")
     mh = (q_dedup_minhash_lsh(spark, sf_dir)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
@@ -463,7 +512,10 @@ def q_dedup_neardup_pairs(spark, sf_dir):
     em = (q_embedding_neardup(spark, sf_dir)
           .select(F.lit("embedding").alias("method"), "id_a", "id_b",
                   F.col("cos").cast("double").alias("metric")))
-    return mh.unionByName(sh).unionByName(ja).unionByName(em)
+    ct = (q_dedup_contamination(spark, sf_dir)
+          .select(F.lit("contam").alias("method"), "id_a", "id_b",
+                  F.col("overlap").cast("double").alias("metric")))
+    return mh.unionByName(sh).unionByName(ja).unionByName(em).unionByName(ct)
 
 
 def _sql_neardup_pairs() -> str:
@@ -476,6 +528,8 @@ UNION ALL
 SELECT 'jaccard', id_a, id_b, jaccard::DOUBLE FROM ({_sql_jaccard()})
 UNION ALL
 SELECT 'embedding', id_a, id_b, cos::DOUBLE FROM ({ORACLE_EMBEDDING_NEARDUP})
+UNION ALL
+SELECT 'contam', id_a, id_b, overlap::DOUBLE FROM ({_sql_contamination()})
 """
 
 

@@ -1,0 +1,79 @@
+"""Benchmark decontamination: n-gram overlap detection between a corpus
+and a held-out benchmark set (the GPT-3-style 13-gram check, here with
+configurable k). Pairs must be exact and deterministic; the benchmark
+side must broadcast (a 100 TB corpus never shuffles for this check)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+DOC_SCHEMA = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+
+
+@pytest.fixture()
+def corpora(spark):
+    bench = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+    ], DOC_SCHEMA)
+    corpus = spark.createDataFrame([
+        # contains bench-1's opening 5-grams verbatim
+        (10, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+        # clean doc, no 5-gram overlap
+        (11, "completely unrelated sentence about distributed query engines"),
+        # contains a bench-2 span
+        (12, "pack my box with five dozen liquor jugs right now thanks"),
+    ], DOC_SCHEMA)
+    return corpus, bench
+
+
+def test_contamination_pairs_exact(spark, corpora):
+    corpus, bench = corpora
+    pairs = {(r["id_a"], r["id_b"]): r["overlap"]
+             for r in D.contamination_pairs(corpus, bench, k=5,
+                                            min_overlap=1).collect()}
+    assert set(pairs) == {(10, 1), (12, 2)}
+    # bench-1 has 6 distinct 5-grams, all present in doc 10
+    assert pairs[(10, 1)] == 6
+    # bench-2 has 6 distinct 5-grams, all present in doc 12
+    assert pairs[(12, 2)] == 6
+
+
+def test_contamination_min_overlap_floor(spark, corpora):
+    corpus, bench = corpora
+    out = D.contamination_pairs(corpus, bench, k=5, min_overlap=7)
+    assert out.count() == 0
+
+
+def test_decontaminate_removes_flagged(spark, corpora):
+    corpus, bench = corpora
+    kept = {r["doc_id"]
+            for r in D.decontaminate(corpus, bench, k=5).collect()}
+    assert kept == {11}
+
+
+def test_bench_stop_shingle_cap(spark):
+    # a shingle present in >max_bench_df benchmark docs is boilerplate
+    # and must not generate pairs
+    bench = spark.createDataFrame(
+        [(i, "shared legal disclaimer boilerplate text here") for i in range(5)],
+        DOC_SCHEMA)
+    corpus = spark.createDataFrame(
+        [(100, "shared legal disclaimer boilerplate text here too")], DOC_SCHEMA)
+    assert D.contamination_pairs(corpus, bench, k=5,
+                                 max_bench_df=4).count() == 0
+    assert D.contamination_pairs(corpus, bench, k=5,
+                                 max_bench_df=5).count() == 5
+
+
+def test_benchmark_side_broadcasts(spark, corpora):
+    corpus, bench = corpora
+    plan = D.contamination_pairs(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
