@@ -1,0 +1,103 @@
+"""Token-budget sequence packing: assign documents to fixed-size
+training chunks (no reference counterpart — a training-data extension,
+the concatenate-and-split step that turns a curated corpus into
+fixed-length LM training sequences).
+
+Semantics: documents are laid out in a deterministic stream order and
+the stream is split every ``budget`` tokens; a document's chunk is the
+chunk its first token lands in (``chunk = floor(start_offset /
+budget)``) — the standard document-concatenation packing used by LM
+data loaders, not bin-packing (which needs a sequential greedy state
+that neither SQL nor a distributed engine can express without a serial
+scan).
+
+Scale design: a single global stream order would need a
+single-partition window, so the stream is SHARDED — docs hash into
+``n_buckets`` independent streams and each bucket packs its own chunks
+``(bucket, chunk)``. The cumulative-offset window partitions by
+bucket (uniform md5-derived key, no skew), which is exactly how a
+1000-executor packing job runs: each bucket is an independent output
+shard. Order within a bucket is (hash, id) — deterministic,
+engine-portable, and reproduced bit-for-bit by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+    SQL_HASH32, SQL_NORMALIZE, hash32,
+)
+from dynamic_etl_pipeline_thesis_ii_spark.operators.text import token_count
+
+
+def pack_chunks(df: DataFrame, budget: int, id_col: str = "doc_id",
+                text_col: str = "text", n_buckets: int = 8,
+                tokens_col: str | None = None,
+                salt: str = "pack") -> DataFrame:
+    """Assign each document a ``(bucket, chunk)`` packing slot.
+
+    Output: ``(id, bucket, chunk, n_tokens, offset)`` where ``offset``
+    is the document's start position in its bucket's token stream and
+    ``chunk = floor(offset / budget)``.
+
+    ``tokens_col`` uses a precomputed token count; otherwise
+    whitespace tokens of ``text_col`` are counted inline (one scan
+    either way).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    ident = F.col(id_col)
+    n_tok = (F.col(tokens_col) if tokens_col
+             else token_count(F.col(text_col))).cast("long")
+    h = hash32(F.concat(ident.cast("string"), F.lit(salt)))
+    base = df.select(ident.alias("id"), n_tok.alias("n_tokens"),
+                     (h % n_buckets).alias("bucket"), h.alias("__h"))
+    w = (Window.partitionBy("bucket").orderBy("__h", "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (base.withColumn("offset", offset)
+            .withColumn("chunk", (F.col("offset") / budget)
+                        .cast("long"))
+            .select("id", "bucket", "chunk", "n_tokens", "offset"))
+
+
+def SQL_PACK_CHUNKS(budget: int, n_buckets: int = 8,
+                    salt: str = "pack",
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pack_chunks` (same hash, same order, same
+    offset arithmetic)."""
+    h = SQL_HASH32.format(x=f"({id_col})::VARCHAR || '{salt}'")
+    ntok = f"len(string_split({SQL_NORMALIZE.format(x=text_col)}, ' '))"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {ntok}::BIGINT AS n_tokens,
+         {h} % {n_buckets} AS bucket, {h} AS __h
+  FROM {table}
+),
+off AS (
+  SELECT id, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+             ORDER BY __h, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS "offset"
+  FROM base
+)
+SELECT id, bucket, ("offset" // {budget})::BIGINT AS chunk, n_tokens,
+       "offset"
+FROM off
+"""
+
+
+def chunk_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-chunk fill statistics: docs per chunk, token sum, and fill
+    ratio vs the budget (the packing-efficiency metric a data loader
+    cares about). One hash aggregate over the packed frame."""
+    return (packed.groupBy("bucket", "chunk")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens"))
+            .withColumn("fill", F.round(F.col("tokens") / budget, 6)))

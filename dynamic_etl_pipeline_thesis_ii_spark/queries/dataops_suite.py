@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
 from dynamic_etl_pipeline_thesis_ii_spark.operators import multimodal as M
+from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
 from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
 from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as S
 from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
@@ -726,24 +727,44 @@ FROM ({_sql_vocab_oov()}) v JOIN ({_sql_unigram_logprob()}) l ON v.id = l.id
 """
 
 
+def q_sample_pack_chunks(spark, sf_dir):
+    """Token-budget sequence packing (PK1) over the documents table:
+    8 independent bucket streams, 2000-token chunks."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return PK.pack_chunks(docs, budget=2000, n_buckets=8)
+
+
 def q_sample_deterministic(spark, sf_dir):
-    """Stratified hash sampling + domain-mix rebalancing as one tagged
-    union (SM2+SM3); each branch is the unchanged single-op pipeline."""
+    """Stratified hash sampling + domain-mix rebalancing + token-budget
+    packing as one tagged union (SM2+SM3+PK1); each branch is the
+    unchanged single-op pipeline. ``val`` carries the pack branch's
+    token offset (null on the sampling branches)."""
+    null_val = F.lit(None).cast("long").alias("val")
     st = (q_sample_stratified(spark, sf_dir)
           .select(F.lit("stratified").alias("tag"), "doc_id",
-                  F.col("lang").alias("stratum")))
+                  F.col("lang").alias("stratum"), null_val))
     mx = (q_sample_mix_rebalance(spark, sf_dir)
           .select(F.lit("mix").alias("tag"), "doc_id",
-                  F.col("source").alias("stratum")))
-    return st.unionByName(mx)
+                  F.col("source").alias("stratum"), null_val))
+    pk = (q_sample_pack_chunks(spark, sf_dir)
+          .select(F.lit("pack").alias("tag"), F.col("id").alias("doc_id"),
+                  F.format_string("b%d/c%d", "bucket", "chunk")
+                  .alias("stratum"),
+                  F.col("offset").alias("val")))
+    return st.unionByName(mx).unionByName(pk)
 
 
 def _sql_sample_deterministic() -> str:
     return f"""
-SELECT 'stratified' AS tag, doc_id, lang AS stratum
+SELECT 'stratified' AS tag, doc_id, lang AS stratum,
+       CAST(NULL AS BIGINT) AS val
 FROM ({_sql_sample_stratified()})
 UNION ALL
-SELECT 'mix', doc_id, source FROM ({_sql_sample_mix_rebalance()})
+SELECT 'mix', doc_id, source, CAST(NULL AS BIGINT)
+FROM ({_sql_sample_mix_rebalance()})
+UNION ALL
+SELECT 'pack', id, printf('b%d/c%d', bucket, chunk), "offset"
+FROM ({PK.SQL_PACK_CHUNKS(budget=2000, n_buckets=8)})
 """
 
 

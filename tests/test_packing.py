@@ -1,0 +1,85 @@
+"""Token-budget sequence packing: offset/chunk arithmetic, bucket
+sharding (no single-partition window), determinism under
+repartitioning, and fill statistics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
+
+DOC_SCHEMA = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i % 7))))
+            for i in range(40)]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_offsets_are_exclusive_cumsums(spark, docs):
+    packed = PK.pack_chunks(docs, budget=20, n_buckets=4).collect()
+    by_bucket = {}
+    for r in sorted(packed, key=lambda r: (r["bucket"], r["offset"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        run = 0
+        for r in rows:
+            assert r["offset"] == run
+            assert r["chunk"] == run // 20
+            run += r["n_tokens"]
+
+
+def test_every_doc_packed_once(spark, docs):
+    packed = PK.pack_chunks(docs, budget=20, n_buckets=4)
+    assert packed.count() == 40
+    assert packed.select("id").distinct().count() == 40
+
+
+def test_deterministic_under_repartition(spark, docs):
+    a = sorted(map(tuple, PK.pack_chunks(docs, budget=20, n_buckets=4)
+                   .collect()))
+    b = sorted(map(tuple, PK.pack_chunks(docs.repartition(13), budget=20,
+                                         n_buckets=4).collect()))
+    assert a == b
+
+
+def test_tokens_col_shortcut_matches_inline_count(spark, docs):
+    pre = docs.withColumn("n", F.size(F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")))
+    a = sorted(map(tuple, PK.pack_chunks(docs, budget=20, n_buckets=4)
+                   .collect()))
+    b = sorted(map(tuple, PK.pack_chunks(pre, budget=20, n_buckets=4,
+                                         tokens_col="n").collect()))
+    assert a == b
+
+
+def test_chunk_stats_fill(spark, docs):
+    packed = PK.pack_chunks(docs, budget=20, n_buckets=4)
+    stats = PK.chunk_stats(packed, budget=20)
+    rows = stats.collect()
+    assert sum(r["n_docs"] for r in rows) == 40
+    for r in rows:
+        assert abs(r["fill"] - r["tokens"] / 20) < 1e-9
+
+
+def test_no_single_partition_window(spark, docs):
+    plan = PK.pack_chunks(docs, budget=20, n_buckets=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError):
+        PK.pack_chunks(docs, budget=0)
+    with pytest.raises(ValueError):
+        PK.pack_chunks(docs, budget=10, n_buckets=0)
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert PK.pack_chunks(empty, budget=10).count() == 0
