@@ -168,16 +168,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     almost no ranking value. ``None`` disables the guard.
     Returns distinct (id_a < id_b) candidate pairs.
     """
-    r = n_hashes // bands
-    docs = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    banded = docs.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.slice("sig", b * r + 1, r).alias("slice"))
-            for b in range(bands)
-        ])).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    banded = minhash_band_keys(df, text_col, id_col, k, n_hashes, bands)
     if max_bucket is not None:
         # window on the same (band, slice) keys the join shuffles on —
         # the exchange is shared, so the guard costs no extra shuffle
@@ -563,3 +554,86 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                .select(F.col("id_a").alias("__flag")).distinct())
     return corpus.join(flagged, corpus[id_col] == flagged["__flag"],
                        "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs corpus snapshot)
+# ---------------------------------------------------------------------------
+
+def content_keys(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, key) content-hash rows — the snapshot a corpus maintains
+    between ingest batches so later batches can dedup against history
+    without rereading the corpus. Persist this (one long per doc) and
+    feed it back as ``seen`` in :func:`incremental_exact`."""
+    return df.select(F.col(id_col).alias("id"),
+                     hash32(normalize_text(F.col(text_col))).alias("key"))
+
+
+def incremental_exact(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact incremental dedup: drop new docs whose normalized content
+    was already ingested (anti-join on the snapshot's ``key`` column),
+    then exact-dedup within the batch itself (min-id keep).
+
+    Scale design: two shuffles on the uniform 32-bit content hash — the
+    anti-join against the snapshot and the within-batch min-id window.
+    The snapshot side carries one long per historical doc, so even a
+    billion-doc history is a few GB and AQE will often broadcast it for
+    a small incremental batch.
+    """
+    keyed = new_docs.withColumn("__k", hash32(normalize_text(F.col(text_col))))
+    fresh = keyed.join(seen.select(F.col("key").alias("__k")).distinct(),
+                       "__k", "left_anti")
+    keep = F.min(id_col).over(Window.partitionBy("__k"))
+    return (fresh.withColumn("__keep", keep)
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__k", "__keep"))
+
+
+def minhash_band_keys(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band, slice) LSH band rows — the near-dup snapshot format:
+    a corpus persists its band table; an incremental batch probes it
+    for bucket collisions instead of re-pairing the whole corpus."""
+    r = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    return sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.slice("sig", b * r + 1, r).alias("slice"))
+            for b in range(bands)
+        ])).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"),
+             F.col("bs.slice").alias("slice"))
+
+
+def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              n_hashes: int = 16, bands: int = 4,
+                              max_bucket: int | None = 2000) -> DataFrame:
+    """Near-dup candidates BETWEEN a new batch and the corpus snapshot:
+    band the batch with the same LSH parameters and equi-join against
+    the persisted band table. Output (id_new, id_seen) distinct pairs.
+
+    Unlike :func:`minhash_lsh_pairs` this never self-joins the corpus —
+    cost scales with the batch size, not the corpus size, which is what
+    makes continuous ingest of a 100 TB corpus tractable. The hot-bucket
+    cap applies to the snapshot side (boilerplate buckets)."""
+    nb = minhash_band_keys(new_docs, text_col, id_col, k, n_hashes, bands)
+    sb = seen_bands
+    if max_bucket is not None:
+        sb = (sb.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))
+            .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+    return (nb.alias("n").join(
+                sb.alias("s"),
+                (F.col("n.band") == F.col("s.band"))
+                & (F.col("n.slice") == F.col("s.slice")))
+            .select(F.col("n.id").alias("id_new"),
+                    F.col("s.id").alias("id_seen"))
+            .distinct())

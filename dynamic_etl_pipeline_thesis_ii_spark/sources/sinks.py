@@ -165,3 +165,46 @@ def write_run_artifacts(out_dir: str, reports: dict) -> str:
     with open(path, "w") as f:
         json.dump(reports, f, indent=2, default=str)
     return path
+
+
+def write_shards(df: DataFrame, path: str, n_shards: int,
+                 key_col: str, fmt: str = "parquet",
+                 max_records_per_file: Optional[int] = None,
+                 if_exists: str = "replace") -> dict:
+    """Balanced shard writer for curated training corpora: exactly
+    ``n_shards`` output partitions, each a deterministic hash slice of
+    ``key_col`` — re-running the job reproduces the same doc→shard
+    assignment, and downstream loaders can address shards individually.
+
+    Scale design: one round-robin-free `repartition(n_shards, shard)`
+    shuffle keyed on the md5-derived shard id (uniform — no skewed
+    shards even when ``key_col`` values cluster), optionally capped by
+    ``maxRecordsPerFile`` so a hot shard still splits into
+    loader-friendly files. The shard id is persisted as a column so a
+    reader can verify placement without re-hashing.
+    """
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32
+    if n_shards <= 0:
+        raise SinkError(f"n_shards must be positive, got {n_shards}")
+    if if_exists not in _MODES:
+        raise SinkError(f"invalid if_exists: {if_exists!r} (append|replace|fail)")
+    t0 = time.perf_counter()
+    sharded = (df.withColumn("shard", (hash32(F.col(key_col).cast("string"))
+                                       % n_shards).cast("int"))
+               .repartition(n_shards, "shard"))
+    writer = sharded.write.mode(_MODES[if_exists]).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").save(path)
+    back = df.sparkSession.read.format(fmt).load(path)
+    per_shard = {int(r["shard"]): r["n"] for r in
+                 back.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    return {"path": path, "format": fmt, "n_shards": n_shards,
+            "rows_written": sum(per_shard.values()),
+            "shard_rows": per_shard,
+            "elapsed_sec": round(time.perf_counter() - t0, 3)}

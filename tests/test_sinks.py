@@ -132,3 +132,45 @@ def test_jdbc_roundtrip_values(spark, small, derby_url):
     back = (spark.read.format("jdbc")
             .option("url", derby_url).option("dbtable", "people").load())
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_write_shards_balanced_and_deterministic(spark, tmp_path):
+    df = spark.range(200).selectExpr("id AS doc_id",
+                                     "concat('doc ', id) AS text")
+    p = str(tmp_path / "shards")
+    rep = S.write_shards(df, p, n_shards=4, key_col="doc_id")
+    assert rep["rows_written"] == 200
+    assert set(rep["shard_rows"]) == {0, 1, 2, 3}
+    # md5-derived shard key distributes uniformly: no empty/hot shard
+    assert min(rep["shard_rows"].values()) > 20
+    # shard directories exist on disk
+    names = {d for d in os.listdir(p) if d.startswith("shard=")}
+    assert names == {"shard=0", "shard=1", "shard=2", "shard=3"}
+    # deterministic assignment: rewriting yields identical placement
+    rep2 = S.write_shards(df, str(tmp_path / "shards2"), n_shards=4,
+                          key_col="doc_id")
+    assert rep2["shard_rows"] == rep["shard_rows"]
+
+
+def test_write_shards_validation(spark, tmp_path):
+    df = spark.range(5).selectExpr("id AS doc_id")
+    with pytest.raises(S.SinkError):
+        S.write_shards(df, str(tmp_path / "x"), n_shards=0, key_col="doc_id")
+    with pytest.raises(S.SinkError):
+        S.write_shards(df, str(tmp_path / "x"), n_shards=2,
+                       key_col="doc_id", if_exists="upsert")
+
+
+def test_write_shards_max_records_per_file(spark, tmp_path):
+    df = spark.range(100).selectExpr("id AS doc_id",
+                                     "concat('doc ', id) AS text")
+    p = str(tmp_path / "shards3")
+    S.write_shards(df, p, n_shards=2, key_col="doc_id",
+                   max_records_per_file=10)
+    # every data file respects the cap
+    for shard_dir in (d for d in os.listdir(p) if d.startswith("shard=")):
+        files = [f for f in os.listdir(os.path.join(p, shard_dir))
+                 if f.endswith(".parquet")]
+        for f in files:
+            n = spark.read.parquet(os.path.join(p, shard_dir, f)).count()
+            assert n <= 10
