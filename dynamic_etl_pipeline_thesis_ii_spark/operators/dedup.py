@@ -132,7 +132,8 @@ def SQL_MINHASH(x: str, k: int, n_hashes: int) -> str:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       k: int = 3, n_hashes: int = 16) -> DataFrame:
+                       k: int = 3, n_hashes: int = 16,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(id, sig) per document with at least one shingle — the scale path.
 
     Explode shingles to rows, md5 ONCE per shingle, then one hash-aggregate
@@ -140,8 +141,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     end; the equivalent higher-order-function formulation
     (:func:`minhash_signature`) is interpreted per array element and
     measured ~20x slower.
+
+    ``shingles`` accepts a pre-exploded (id, s) frame (usually a
+    persisted :func:`shingle_rows` shared with :func:`jaccard_pairs`)
+    so multi-method pipelines shingle the corpus once.
     """
-    ex = shingle_rows(df, text_col, id_col, k)
+    ex = shingles if shingles is not None \
+        else shingle_rows(df, text_col, id_col, k)
     hashed = ex.select("id", hash32(F.col("s")).alias("h"))
     mins = [F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(12345 * i + 17))
                   % F.lit(H32_PRIME)).alias(f"m{i}")
@@ -152,7 +158,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_hashes: int = 16, bands: int = 4,
-                      max_bucket: int | None = 2000) -> DataFrame:
+                      max_bucket: int | None = 2000,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     rows-per-band r = n_hashes/bands; two docs collide if any band's
@@ -168,7 +175,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     almost no ranking value. ``None`` disables the guard.
     Returns distinct (id_a < id_b) candidate pairs.
     """
-    banded = minhash_band_keys(df, text_col, id_col, k, n_hashes, bands)
+    banded = minhash_band_keys(df, text_col, id_col, k, n_hashes, bands,
+                               shingles)
     if max_bucket is not None:
         # window on the same (band, slice) keys the join shuffles on —
         # the exchange is shared, so the guard costs no extra shuffle
@@ -458,7 +466,8 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3, threshold: float = 0.5,
-                  max_df: int = 100) -> DataFrame:
+                  max_df: int = 100,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """k-shingle Jaccard over the document-frequency-capped shingle
     universe (count-based — no array materialization).
 
@@ -475,7 +484,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # groupBy+rejoin): the whole prelude is ONE linear pipeline, so the
     # two self-join branches are identical subplans and Spark's
     # ReuseExchange computes the (expensive) shingle explode once.
-    sized = (shingle_rows(df, text_col, id_col, k)
+    ex = shingles if shingles is not None \
+        else shingle_rows(df, text_col, id_col, k)
+    sized = (ex
              .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
              .filter(F.col("df") <= max_df)
              .withColumn("size", F.count(F.lit(1)).over(Window.partitionBy("id")))
@@ -594,12 +605,13 @@ def incremental_exact(new_docs: DataFrame, seen: DataFrame,
 
 def minhash_band_keys(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      n_hashes: int = 16, bands: int = 4,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """(id, band, slice) LSH band rows — the near-dup snapshot format:
     a corpus persists its band table; an incremental batch probes it
     for bucket collisions instead of re-pairing the whole corpus."""
     r = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, shingles)
     return sigs.select(
         "id",
         F.explode(F.array(*[

@@ -83,7 +83,7 @@ off AS (
   SELECT id, bucket, n_tokens,
          coalesce(sum(n_tokens) OVER (PARTITION BY bucket
              ORDER BY __h, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
            AS "offset"
   FROM base
 )

@@ -501,13 +501,19 @@ def q_dedup_neardup_pairs(spark, sf_dir):
     tagged union — one registry entry covering D2/D3/D4/N3/D7; each
     branch is the unchanged single-method pipeline."""
     null_metric = F.lit(None).cast("double").alias("metric")
-    mh = (q_dedup_minhash_lsh(spark, sf_dir)
+    # minhash and jaccard both consume k=3 shingles of the same corpus:
+    # explode + NGram once, persist, feed both branches
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh3 = D.shingle_rows(corpus, "text", "doc_id", 3).persist()
+    mh = (D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,
+                              shingles=sh3)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
                   null_metric))
     sh = (q_dedup_simhash(spark, sf_dir)
           .select(F.lit("simhash").alias("method"), "id_a", "id_b",
                   F.col("hamming").cast("double").alias("metric")))
-    ja = (q_dedup_ngram_jaccard(spark, sf_dir)
+    ja = (D.jaccard_pairs(corpus, k=3, threshold=0.4, max_df=100,
+                          shingles=sh3)
           .select(F.lit("jaccard").alias("method"), "id_a", "id_b",
                   F.col("jaccard").cast("double").alias("metric")))
     em = (q_embedding_neardup(spark, sf_dir)
