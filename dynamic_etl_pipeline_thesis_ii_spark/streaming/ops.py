@@ -275,3 +275,38 @@ def run_available_now(stream: DataFrame, query_name: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+DOC_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("text", StringType()),
+])
+
+
+def streaming_incremental_dedup(docs: DataFrame, seen_keys: DataFrame,
+                                watermark: str = "1 hour",
+                                ts_col: str = "ts",
+                                text_col: str = "text") -> DataFrame:
+    """Continuous corpus ingest dedup: the streaming face of
+    ``operators.dedup.incremental_exact``. New documents drop when
+    their normalized content hash already exists in the persisted
+    corpus snapshot (stream-static LEFT ANTI join — the static side is
+    re-read per micro-batch, so snapshot updates between batches are
+    picked up), then dedup within the stream itself via
+    ``dropDuplicatesWithinWatermark`` on the same content key (bounded
+    seen-key state, evicted past the watermark horizon).
+
+    ``seen_keys`` is a static frame with a ``key`` column — the output
+    of ``operators.dedup.content_keys`` over the existing corpus."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hash32, normalize_text,
+    )
+    keyed = docs.withColumn(
+        "__k", hash32(normalize_text(F.col(text_col))))
+    fresh = keyed.join(
+        seen_keys.select(F.col("key").alias("__k")).distinct(),
+        "__k", "left_anti")
+    return (fresh.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__k"])
+            .drop("__k"))

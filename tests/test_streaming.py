@@ -312,3 +312,42 @@ def test_text_quality_composes_on_stream(spark, tmp_path):
              for r in enrich(spark.read.schema(schema).json(d)).collect()}
     assert got == batch
     assert got[1][1] == "en" and got[2][1] == "de" and got[3][1] == "und"
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "already ingested document one"),
+         (2, "already ingested document two")],
+        "doc_id long, text string")
+    seen = D.content_keys(corpus)
+
+    rows = [
+        # dup of snapshot doc 1 (case/whitespace noise)
+        {"doc_id": 10, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "Already  INGESTED document one"},
+        {"doc_id": 11, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "a brand new document"},
+        # in-stream dup of 11
+        {"doc_id": 12, "ts": "2024-01-01T10:02:00.000Z",
+         "text": "a  brand NEW document"},
+        {"doc_id": 13, "ts": "2024-01-01T10:03:00.000Z",
+         "text": "another new document"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d))
+    out = S.streaming_incremental_dedup(stream, seen)
+    S.run_available_now(out, "inc_dedup_test",
+                        checkpoint_dir=str(tmp_path / "ckpt_inc"))
+    kept = {r["doc_id"] for r in spark.table("inc_dedup_test").collect()}
+    assert kept == {11, 13}
+
+    # batch equivalence: same rows through the batch operator
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string")
+    batch_kept = {r["doc_id"]
+                  for r in D.incremental_exact(batch, seen).collect()}
+    assert batch_kept == kept
