@@ -73,17 +73,28 @@ def scale_probe(spark, factors: list[int]) -> dict:
     blocking), minhash ~linear (band-signature collisions), simhash
     superlinear-but-bounded — its 16-bit band keys have a chance-
     collision term ~N²/2^16 that the max_bucket cap truncates once
-    buckets saturate (visible in the recorded ratios)."""
+    buckets saturate (visible in the recorded ratios). contam (corpus
+    vs fixed benchmark set) and pack (rows out = docs in) must both be
+    exactly linear — the benchmark side is constant and broadcast, and
+    packing is one windowed scan."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
     from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
 
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
+
     base = Catalog(spark, SF_DIR).documents.select("doc_id", "text")
+    # fixed small benchmark set (every 13th base doc): contamination
+    # cost must stay linear in the corpus with the bench side constant
+    bench_set = base.filter(F.col("doc_id") % 13 == 0).persist()
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),
         "simhash": lambda d: D.simhash_pairs(d, max_hamming=64),
         "jaccard": lambda d: D.jaccard_pairs(d, threshold=0.0),
+        "contam": lambda d: D.contamination_pairs(d, bench_set, k=5,
+                                                  min_overlap=1),
+        "pack": lambda d: PK.pack_chunks(d, budget=2000, n_buckets=8),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:
@@ -106,6 +117,7 @@ def scale_probe(spark, factors: list[int]) -> dict:
             out[m].append({"factor": f, "n_docs": n, "candidates": c,
                            "sec": round(time.perf_counter() - t0, 3)})
         corpus.unpersist()
+    bench_set.unpersist()
     return out
 
 
