@@ -34,6 +34,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-vector norms precomputed BEFORE the pair join:
+    the higher-order-function passes are interpreted per element, so
+    evaluating each vector's norm once per VECTOR instead of once per
+    PAIR drops 2 of the 3 array passes from the per-pair hot path
+    (same arithmetic, bit-identical result)."""
+    return dot(a, b) / (na * nb)
+
+
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_clusters: int = 16, n_probe: int = 2, seed: int = 42,
              q_id: str = "q_id", c_id: str = "c_id",
@@ -68,12 +77,17 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
                                           F.col("__cluster"))
     probes = (q_scored.withColumn("__pr", F.row_number().over(wq))
               .filter(F.col("__pr") <= n_probe)
-              .select(q_id, q_vec, "__cluster"))
+              .withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>")))
+              .select(q_id, q_vec, "__qn", "__cluster"))
 
-    joined = probes.join(bucketed, "__cluster")
+    joined = probes.join(
+        bucketed.withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>"))),
+        "__cluster")
     scored = joined.withColumn(
-        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
-                              F.col(c_vec).cast("array<double>")), 6))
+        "cos", F.round(cosine_prenormed(
+            F.col(q_vec).cast("array<double>"),
+            F.col(c_vec).cast("array<double>"),
+            F.col("__qn"), F.col("__cn")), 6))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -86,10 +100,14 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,
     """Exact top-k by cosine for each query vector. The candidate side
     streams through a broadcast of the (small) query set; ranking uses a
     window over rounded cosine (6dp) with id tie-break for determinism."""
-    joined = candidates.crossJoin(F.broadcast(queries))
+    qn = queries.withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>")))
+    cn = candidates.withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>")))
+    joined = cn.crossJoin(F.broadcast(qn))
     scored = joined.withColumn(
-        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
-                              F.col(c_vec).cast("array<double>")), 6))
+        "cos", F.round(cosine_prenormed(
+            F.col(q_vec).cast("array<double>"),
+            F.col(c_vec).cast("array<double>"),
+            F.col("__qn"), F.col("__cn")), 6))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -110,12 +128,16 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int, bits: int = 6,
     """Approximate top-k: candidates pre-bucketed by sign-bit LSH; each
     query searches only its own bucket. One equi-join shuffle on the
     bucket id instead of a cross product."""
-    qb = queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
-    cb = candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
+    qb = (queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
+          .withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>"))))
+    cb = (candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
+          .withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>"))))
     joined = cb.join(F.broadcast(qb), "bucket")
     scored = joined.withColumn(
-        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
-                              F.col(c_vec).cast("array<double>")), 6))
+        "cos", F.round(cosine_prenormed(
+            F.col(q_vec).cast("array<double>"),
+            F.col(c_vec).cast("array<double>"),
+            F.col("__qn"), F.col("__cn")), 6))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -140,8 +162,10 @@ def lsh_topk_multiprobe(queries: DataFrame, candidates: DataFrame, k: int,
     ~2^probe_dims/2^bits of the corpus. Each candidate lives in exactly
     one bucket, so probes never produce duplicate (query, candidate)
     pairs."""
-    cb = candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
-    base = queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
+    cb = (candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
+          .withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>"))))
+    base = (queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
+            .withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>"))))
     # (margin, dim) pairs sorted ascending -> the probe_dims lowest-margin
     # dims; probe buckets XOR any subset of those sign bits
     margins = F.array(*[
@@ -161,11 +185,13 @@ def lsh_topk_multiprobe(queries: DataFrame, candidates: DataFrame, k: int,
                 x = x.bitwiseXOR(bitval(j))
         probe_cols.append(x)
     qp = (base.withColumn("probe", F.explode(F.array_distinct(F.array(*probe_cols))))
-          .select(q_id, q_vec, F.col("probe").alias("bucket")))
+          .select(q_id, q_vec, "__qn", F.col("probe").alias("bucket")))
     joined = cb.join(F.broadcast(qp), "bucket")
     scored = joined.withColumn(
-        "cos", F.round(cosine(F.col(q_vec).cast("array<double>"),
-                              F.col(c_vec).cast("array<double>")), 6))
+        "cos", F.round(cosine_prenormed(
+            F.col(q_vec).cast("array<double>"),
+            F.col(c_vec).cast("array<double>"),
+            F.col("__qn"), F.col("__cn")), 6))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -179,10 +205,13 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     cosine within buckets (id_a < id_b, cosine >= threshold)."""
     b = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"),
-                  sign_bucket(F.col(vec_col), bits).alias("bucket"))
+                  sign_bucket(F.col(vec_col), bits).alias("bucket"),
+                  l2norm(F.col(vec_col).cast("array<double>")).alias("n"))
     pairs = (b.alias("x").join(b.alias("y"),
                                (F.col("x.bucket") == F.col("y.bucket"))
                                & (F.col("x.id") < F.col("y.id")))
              .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-                     F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos")))
+                     F.round(cosine_prenormed(
+                         F.col("x.v"), F.col("y.v"),
+                         F.col("x.n"), F.col("y.n")), 6).alias("cos")))
     return pairs.filter(F.col("cos") >= threshold)
