@@ -74,9 +74,11 @@ def scale_probe(spark, factors: list[int]) -> dict:
     superlinear-but-bounded — its 16-bit band keys have a chance-
     collision term ~N²/2^16 that the max_bucket cap truncates once
     buckets saturate (visible in the recorded ratios). contam (corpus
-    vs fixed benchmark set) and pack (rows out = docs in) must both be
-    exactly linear — the benchmark side is constant and broadcast, and
-    packing is one windowed scan."""
+    vs fixed benchmark set) must show FLAT candidate counts and wall
+    time — the replicas are word-salted so only the unsalted replica
+    overlaps the fixed bench set, and the broadcast probe never
+    shuffles the corpus; pack's rows out = docs in, exactly linear
+    (one windowed scan)."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D

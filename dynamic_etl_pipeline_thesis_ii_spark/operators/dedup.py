@@ -581,6 +581,20 @@ def content_keys(df: DataFrame, text_col: str = "text",
                      hash32(normalize_text(F.col(text_col))).alias("key"))
 
 
+def snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
+                   text_col: str = "text") -> DataFrame:
+    """New docs whose normalized content hash is NOT in the snapshot's
+    ``key`` column (left anti-join), with the content hash retained as
+    ``__k``. The single definition of "already ingested" shared by the
+    batch (:func:`incremental_exact`) and streaming
+    (``streaming.ops.streaming_incremental_dedup``) paths — the two
+    must never diverge on the key or the snapshots they write/read
+    stop interoperating."""
+    keyed = new_docs.withColumn("__k", hash32(normalize_text(F.col(text_col))))
+    return keyed.join(seen.select(F.col("key").alias("__k")).distinct(),
+                      "__k", "left_anti")
+
+
 def incremental_exact(new_docs: DataFrame, seen: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -594,9 +608,7 @@ def incremental_exact(new_docs: DataFrame, seen: DataFrame,
     billion-doc history is a few GB and AQE will often broadcast it for
     a small incremental batch.
     """
-    keyed = new_docs.withColumn("__k", hash32(normalize_text(F.col(text_col))))
-    fresh = keyed.join(seen.select(F.col("key").alias("__k")).distinct(),
-                       "__k", "left_anti")
+    fresh = snapshot_fresh(new_docs, seen, text_col)
     keep = F.min(id_col).over(Window.partitionBy("__k"))
     return (fresh.withColumn("__keep", keep)
             .filter(F.col(id_col) == F.col("__keep"))
@@ -634,10 +646,17 @@ def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
 
     Unlike :func:`minhash_lsh_pairs` this never self-joins the corpus —
     cost scales with the batch size, not the corpus size, which is what
-    makes continuous ingest of a 100 TB corpus tractable. The hot-bucket
-    cap applies to the snapshot side (boilerplate buckets)."""
+    makes continuous ingest of a 100 TB corpus tractable: the snapshot
+    is first semi-joined to the batch's (band, slice) probe keys (a
+    broadcast of a few rows per batch doc), so both the hot-bucket cap
+    and the pair join only ever touch snapshot rows in probed buckets.
+    The cap applies to the snapshot side (boilerplate buckets); bucket
+    counts on the pruned set equal full-table counts because pruning
+    keeps or drops whole buckets."""
     nb = minhash_band_keys(new_docs, text_col, id_col, k, n_hashes, bands)
-    sb = seen_bands
+    probe_keys = nb.select("band", "slice").distinct()
+    sb = seen_bands.join(F.broadcast(probe_keys), ["band", "slice"],
+                         "left_semi")
     if max_bucket is not None:
         sb = (sb.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))

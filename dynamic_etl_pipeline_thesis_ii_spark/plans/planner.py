@@ -178,11 +178,20 @@ class RulePlanner:
             if ep == "TOP_MARKET_MOVERS":
                 params["direction"] = ("losers" if "losers" in ql
                                        else "gainers")
-            if tickers and ep in ("SHORT_INTEREST", "SHORT_VOLUME",
-                                  "EARNINGS_CALENDAR", "SNAPSHOT_TICKER",
-                                  "DIVIDENDS", "SPLITS",
-                                  "SHARES_OUTSTANDING"):
-                for ticker in tickers:
+            # routes whose registry spec REQUIRES a ticker fall back to
+            # the default basket when the query names none — otherwise
+            # the plan would fail parameter validation unconditionally
+            # (the optional-ticker routes just go un-filtered)
+            route_tickers = tickers
+            if not route_tickers and ep in ("DIVIDENDS", "SPLITS",
+                                            "SHARES_OUTSTANDING"):
+                route_tickers = list(_DEFAULT_BARS_BASKET)
+            if route_tickers and ep in ("SHORT_INTEREST", "SHORT_VOLUME",
+                                        "EARNINGS_CALENDAR",
+                                        "SNAPSHOT_TICKER",
+                                        "DIVIDENDS", "SPLITS",
+                                        "SHARES_OUTSTANDING"):
+                for ticker in route_tickers:
                     requests.append(PlannedRequest(
                         api, ep, {"ticker": ticker, **params},
                         reasoning=f"market-data keyword {hit!r}"))

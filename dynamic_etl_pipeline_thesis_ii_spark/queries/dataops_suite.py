@@ -502,7 +502,11 @@ def q_dedup_neardup_pairs(spark, sf_dir):
     branch is the unchanged single-method pipeline."""
     null_metric = F.lit(None).cast("double").alias("metric")
     # minhash and jaccard both consume k=3 shingles of the same corpus:
-    # explode + NGram once, persist, feed both branches
+    # explode + NGram once, persist, feed both branches. The cache is
+    # never explicitly unpersisted (consumers are lazy), but repeated
+    # invocations build the identical canonical plan, so Spark's
+    # CacheManager reuses ONE cached entry rather than accumulating
+    # copies; storage level is the default MEMORY_AND_DISK (evictable).
     corpus = _neardup_corpus(spark, sf_dir)
     sh3 = D.shingle_rows(corpus, "text", "doc_id", 3).persist()
     mh = (D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,

@@ -183,7 +183,12 @@ class PolygonHttpClient:
         arrive paged; the reference client never paginates, silently
         truncating long requests. Cursor URLs are absolute — re-request
         them verbatim (plus the api key) up to ``max_pages``, so a
-        runaway cursor chain is bounded, not followed forever."""
+        runaway cursor chain is bounded, not followed forever.
+
+        Note Polygon's ``limit`` parameter is a PER-PAGE size, not a
+        total-result cap (vendor semantics): a request with limit=100
+        over a long range returns up to ``max_pages * 100`` records.
+        Callers wanting a hard total cap should slice the result."""
         payload = self._get_json(path, params)
         records = self._bar_records(payload)
         pages = 1

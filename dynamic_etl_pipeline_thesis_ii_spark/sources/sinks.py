@@ -200,7 +200,14 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").save(path)
-    back = df.sparkSession.read.format(fmt).load(path)
+    # read-back verification mirrors the writer's options (header for
+    # CSV); note rows_written counts everything AT the path, so in
+    # append mode it includes rows from earlier runs — same semantics
+    # as write_table's verify.
+    reader = df.sparkSession.read
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    back = reader.format(fmt).load(path)
     per_shard = {int(r["shard"]): r["n"] for r in
                  back.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
                  .collect()}

@@ -300,13 +300,9 @@ def streaming_incremental_dedup(docs: DataFrame, seen_keys: DataFrame,
     ``seen_keys`` is a static frame with a ``key`` column — the output
     of ``operators.dedup.content_keys`` over the existing corpus."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
-        hash32, normalize_text,
+        snapshot_fresh,
     )
-    keyed = docs.withColumn(
-        "__k", hash32(normalize_text(F.col(text_col))))
-    fresh = keyed.join(
-        seen_keys.select(F.col("key").alias("__k")).distinct(),
-        "__k", "left_anti")
+    fresh = snapshot_fresh(docs, seen_keys, text_col)
     return (fresh.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__k"])
             .drop("__k"))

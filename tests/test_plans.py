@@ -242,6 +242,20 @@ def test_market_data_routes_parameters():
                for r in full.api_requests)
 
 
+def test_ticker_required_routes_fall_back_to_basket():
+    """DIVIDENDS/SPLITS/SHARES_OUTSTANDING require a ticker in the
+    registry; a query naming none must route over the default basket
+    instead of planning an unsatisfiable request."""
+    for query, ep in [("show me the dividend history", "DIVIDENDS"),
+                      ("recent stock splits", "SPLITS"),
+                      ("shares outstanding over time",
+                       "SHARES_OUTSTANDING")]:
+        resp = P.analyze(query)
+        reqs = [r for r in resp.api_requests if r.endpoint_name == ep]
+        assert reqs, (query, [r.endpoint_name for r in resp.api_requests])
+        assert all(r.parameters.get("ticker") for r in reqs), (query, reqs)
+
+
 # ---------------------------------------------------------------------------
 # routing (Q1)
 # ---------------------------------------------------------------------------

@@ -174,3 +174,13 @@ def test_write_shards_max_records_per_file(spark, tmp_path):
         for f in files:
             n = spark.read.parquet(os.path.join(p, shard_dir, f)).count()
             assert n <= 10
+
+
+def test_write_shards_csv_rowcount_excludes_headers(spark, tmp_path):
+    df = spark.range(30).selectExpr("id AS doc_id", "concat('d', id) AS text")
+    rep = S.write_shards(df, str(tmp_path / "csvsh"), n_shards=3,
+                         key_col="doc_id", fmt="csv",
+                         max_records_per_file=5)
+    # many small files -> many header lines; counts must still be exact
+    assert rep["rows_written"] == 30
+    assert sum(rep["shard_rows"].values()) == 30
