@@ -280,3 +280,61 @@ def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
                         * F.log(F.col("c") / F.col("n")))
            .groupBy(id_col).agg(F.round(F.sum("term"), 6).alias("token_entropy")))
     return base.join(ent, id_col)
+
+
+# ---------------------------------------------------------------------------
+# document normalization (pre-dedup cleanup)
+# ---------------------------------------------------------------------------
+
+# common named entities; applied AFTER tag removal so '&lt;b&gt;' does
+# not become a live tag. RE2-safe patterns (no backreferences) so the
+# same regexes run in the DuckDB oracle.
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+# 1:1 unicode punctuation folds (curly quotes, dashes, ellipsis, NBSP)
+_UNICODE_FROM = "‘’“”–—… "
+_UNICODE_TO = "''\"\"--. "
+
+
+def strip_html(col: Column) -> Column:
+    """Remove script/style blocks, then all tags, then decode common
+    entities — the minimum de-markup a crawled corpus needs before
+    shingling. Pure ``regexp_replace`` chain, one scan."""
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    return out
+
+
+def fold_unicode(col: Column) -> Column:
+    """Fold typographic unicode punctuation to ASCII equivalents
+    (curly quotes, en/em dashes, ellipsis, NBSP) — one ``translate``
+    pass; unmapped characters pass through untouched."""
+    return F.translate(col, _UNICODE_FROM, _UNICODE_TO)
+
+
+def normalize_doc(col: Column) -> Column:
+    """Full document normalization: strip markup, fold unicode
+    punctuation, collapse whitespace, trim. The canonical pre-dedup
+    cleanup — run BEFORE shingling/hashing so markup and typography
+    differences don't defeat near-dup detection."""
+    return F.trim(F.regexp_replace(fold_unicode(strip_html(col)),
+                                   r"\s+", " "))
+
+
+def SQL_NORMALIZE_DOC(x: str) -> str:
+    """DuckDB twin of :func:`normalize_doc` (same regexes — RE2-safe —
+    same entity order, same translate fold)."""
+    out = f"regexp_replace({x}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        sql_rep = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{sql_rep}')"
+    sql_to = _UNICODE_TO.replace("'", "''")
+    out = f"translate({out}, '{_UNICODE_FROM}', '{sql_to}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

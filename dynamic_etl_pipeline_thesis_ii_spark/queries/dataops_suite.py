@@ -577,36 +577,67 @@ _PII_SUFFIX = (" contact a.b@mail.com tel 555-123-4567"
                " ip 10.0.0.1 ssn 123-45-6789")
 
 
+_HTML_WRAP_PRE = '<p class="body">'
+_HTML_WRAP_POST = ('</p><script type="text/js">var x = "<b>";</script>'
+                   ' &amp; more&nbsp;“quoted”…')
+
+
 def q_text_pii_scrub(spark, sf_dir):
-    """PII redaction over a corpus with injected contact lines (the
-    synthetic documents carry none): every 5th doc gains an email,
-    phone, IPv4 and SSN-shaped token; the scrub replaces each with its
-    placeholder and counts redactions. Pure regexp column expressions —
-    one scan at any scale."""
+    """Text rewriting ops in one tagged union: PII redaction (every 5th
+    doc gains injected contact tokens; each is replaced with its
+    placeholder and counted) and document normalization (every 7th doc
+    is wrapped in HTML markup + typographic unicode; strip/fold/collapse
+    recovers clean text, metric = chars removed). Pure regexp/translate
+    column expressions — one scan per branch at any scale."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     injected = docs.withColumn(
         "text", F.when(F.col("doc_id") % 5 == 0,
                        F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
         .otherwise(F.col("text")))
     cols = T.pii_scrub(F.col("text"))
-    return injected.select(
-        "doc_id",
-        cols["text_scrubbed"].alias("text_scrubbed"),
-        cols["pii_count"].alias("pii_count"))
+    pii = injected.select(
+        F.lit("pii").alias("op"), "doc_id",
+        cols["text_scrubbed"].alias("text_out"),
+        cols["pii_count"].cast("long").alias("metric"))
+
+    marked = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.lit(_HTML_WRAP_PRE), F.col("text"),
+                                F.lit(_HTML_WRAP_POST)))
+        .otherwise(F.col("text")))
+    norm = marked.select(
+        F.lit("norm").alias("op"), "doc_id",
+        T.normalize_doc(F.col("text")).alias("text_out"),
+        (F.length("text") - F.length(T.normalize_doc(F.col("text"))))
+        .cast("long").alias("metric"))
+    return pii.unionByName(norm)
 
 
 def _sql_pii_scrub() -> str:
     scrubbed, count = T.SQL_PII_SCRUB("text")
+    norm = T.SQL_NORMALIZE_DOC("text")
+    pre = _HTML_WRAP_PRE.replace("'", "''")
+    post = _HTML_WRAP_POST.replace("'", "''")
     return f"""
 WITH corpus AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 THEN text || '{_PII_SUFFIX}'
               ELSE text END AS text
   FROM documents
+),
+marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{pre}' || text || '{post}'
+              ELSE text END AS text
+  FROM documents
 )
-SELECT doc_id, {scrubbed} AS text_scrubbed,
-       cast({count} AS bigint) AS pii_count
+SELECT 'pii' AS op, doc_id, {scrubbed} AS text_out,
+       cast({count} AS bigint) AS metric
 FROM corpus
+UNION ALL
+SELECT 'norm', doc_id, {norm},
+       cast(length(text) - length({norm}) AS bigint)
+FROM marked
 """
 
 

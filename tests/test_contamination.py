@@ -77,3 +77,36 @@ def test_benchmark_side_broadcasts(spark, corpora):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# document normalization (strip_html / fold_unicode / normalize_doc)
+# ---------------------------------------------------------------------------
+
+def _norm_one(spark, s):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+    from pyspark.sql import functions as F
+    return spark.createDataFrame([(s,)], "t string") \
+        .select(T.normalize_doc(F.col("t")).alias("n")).first()["n"]
+
+
+def test_normalize_doc_strips_markup(spark):
+    got = _norm_one(spark, '<p class="x">Hello &amp; “world”</p>'
+                           '<script>var a = "<b>";</script> bye…')
+    assert got == 'Hello & "world" bye.'
+
+
+def test_normalize_doc_style_block_and_entities(spark):
+    got = _norm_one(spark, '<style>p { color: red; }</style>'
+                           'a &lt;tag&gt; stays&nbsp;text – ok')
+    # decoded entities must NOT become live tags (decode after strip)
+    assert got == "a <tag> stays text - ok"
+
+
+def test_normalize_doc_idempotent_on_clean_text(spark):
+    clean = "plain text with no markup - already clean."
+    assert _norm_one(spark, clean) == clean
+
+
+def test_normalize_doc_collapses_whitespace(spark):
+    assert _norm_one(spark, "  a\t\tb\n\nc  ") == "a b c"
