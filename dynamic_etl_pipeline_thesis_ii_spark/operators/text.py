@@ -338,3 +338,42 @@ def SQL_NORMALIZE_DOC(x: str) -> str:
     sql_to = _UNICODE_TO.replace("'", "''")
     out = f"translate({out}, '{_UNICODE_FROM}', '{sql_to}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# unicode script detection
+# ---------------------------------------------------------------------------
+
+# \x{...} range syntax parses identically in Java regex (Spark) and RE2
+# (DuckDB), so the pattern strings are shared verbatim with the oracle.
+SCRIPT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+)
+
+
+def script_ratios(col: Column) -> dict[str, Column]:
+    """Per-script character ratios (latin/cyrillic/cjk/arabic over total
+    chars) — the writing-system signal multilingual pipelines route on
+    before (or instead of) stopword language-ID: a CJK document scores
+    zero on every Latin stopword list, but its script ratio identifies
+    it in one regexp pass. Pure column expressions."""
+    n = F.greatest(F.length(col), F.lit(1))
+    return {
+        f"{name}_ratio": F.round(
+            F.size(F.regexp_extract_all(col, F.lit(pat), 0)) / n, 6)
+        for name, pat in SCRIPT_PATTERNS
+    }
+
+
+def SQL_SCRIPT_RATIOS(x: str) -> dict[str, str]:
+    """DuckDB twin of :func:`script_ratios` (same patterns, same
+    rounding)."""
+    return {
+        f"{name}_ratio": (
+            f"round(len(regexp_extract_all({x}, '{pat}'))::double"
+            f" / greatest(length({x}), 1), 6)")
+        for name, pat in SCRIPT_PATTERNS
+    }

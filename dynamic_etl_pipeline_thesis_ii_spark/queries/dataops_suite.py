@@ -305,12 +305,14 @@ def q_text_metrics(spark, sf_dir):
     everything else is pure column expressions."""
     docs = Catalog(spark, sf_dir).documents
     feats = T.quality_features(F.col("text"))
+    scripts = T.script_ratios(F.col("text"))
     base = docs.select(
         "doc_id", "lang",
         *[v.alias(k) for k, v in feats.items()],
         T.lang_id(F.col("text")).alias("pred_lang"),
         T.fingerprint(F.col("text")).alias("fp"),
-        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        *[v.alias(k) for k, v in scripts.items()])
     rep = T.repetition_features(docs)
     return base.join(rep, "doc_id")
 
@@ -395,15 +397,21 @@ FROM documents
 """
 
 
+_SQL_SCRIPTS = ", ".join(
+    f"{expr} AS {name}"
+    for name, expr in T.SQL_SCRIPT_RATIOS("text").items())
+
 ORACLE_TEXT_METRICS = f"""
 SELECT q.doc_id, l.lang, l.pred_lang,
        q.n_chars, q.n_tokens, q.punct_ratio, q.mean_word_len,
        q.stopword_ratio, q.quality_score,
        f.fp, f.n_bpe_tokens,
+       s.latin_ratio, s.cyrillic_ratio, s.cjk_ratio, s.arabic_ratio,
        r.distinct_token_ratio, r.rep_2gram, r.token_entropy
 FROM ({ORACLE_TEXT_QUALITY}) q
 JOIN ({_sql_lang_id()}) l ON q.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON q.doc_id = f.doc_id
+JOIN (SELECT doc_id, {_SQL_SCRIPTS} FROM documents) s ON q.doc_id = s.doc_id
 JOIN ({ORACLE_TEXT_REPETITION}) r ON q.doc_id = r.doc_id
 """
 

@@ -110,3 +110,21 @@ def test_normalize_doc_idempotent_on_clean_text(spark):
 
 def test_normalize_doc_collapses_whitespace(spark):
     assert _norm_one(spark, "  a\t\tb\n\nc  ") == "a b c"
+
+
+def test_script_ratios_multiscript(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+    from pyspark.sql import functions as F
+    rows = [("latin only text",), ("Привет мир",), ("日本語のテキスト",),
+            ("مرحبا بالعالم",), ("",)]
+    df = spark.createDataFrame(rows, "t string")
+    r = T.script_ratios(F.col("t"))
+    out = df.select("t", *[v.alias(k) for k, v in r.items()]).collect()
+    by = {row["t"]: row for row in out}
+    assert by["latin only text"]["latin_ratio"] > 0.8
+    assert by["Привет мир"]["cyrillic_ratio"] > 0.8
+    assert by["日本語のテキスト"]["cjk_ratio"] > 0.9
+    assert by["مرحبا بالعالم"]["arabic_ratio"] > 0.8
+    empty = by[""]
+    assert all(empty[k] == 0.0 for k in
+               ("latin_ratio", "cyrillic_ratio", "cjk_ratio", "arabic_ratio"))
