@@ -840,11 +840,12 @@ GROUP BY t.id
 
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation over the near-dup corpus:
-    quality-score filter -> predicted-language filter -> canonical-doc
-    near-dup resolution (MinHash-LSH pairs -> connected components ->
-    keep the lowest-id doc per cluster). One lazy composition of the
-    text, dedup and graph operators; the only iterative part is the
-    component loop."""
+    quality-score filter -> predicted-language filter -> benchmark
+    decontamination (drop docs sharing 5-grams with the held-out
+    benchmark subset) -> canonical-doc near-dup resolution (MinHash-LSH
+    pairs -> connected components -> keep the lowest-id doc per
+    cluster). One lazy composition of the text, dedup and graph
+    operators; the only iterative part is the component loop."""
     # both branches (quality/lang scoring and pair generation) scan the
     # corpus — persist the small text frame so it reads/normalizes once
     corpus = _neardup_corpus(spark, sf_dir).persist()
@@ -854,8 +855,11 @@ def q_corpus_curation(spark, sf_dir):
                            T.lang_id(F.col("text")).alias("pred_lang"))
     kept = scored.filter((F.col("quality_score") >= 0.5)
                          & (F.col("pred_lang") == "en"))
+    bench = (Catalog(spark, sf_dir).documents
+             .filter(F.col("doc_id") % 13 == 0).select("doc_id", "text"))
+    decon = D.decontaminate(kept, bench, k=5, min_overlap=3)
     pairs = D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4)
-    canonical = D.dedup_by_components(kept, pairs)
+    canonical = D.dedup_by_components(decon, pairs)
     return canonical.select("doc_id", "quality_score", "pred_lang")
 
 
@@ -868,6 +872,8 @@ def _sql_corpus_curation() -> str:
     lang = (_sql_lang_id().replace("FROM documents", "FROM corpus")
             .replace("doc_id, lang,", "doc_id,"))
     pairs = _sql_minhash_lsh().replace(f"WITH {_SQL_NEARDUP},", "WITH ")
+    sh5 = D.SQL_WORD_SHINGLES("text", 5)
+    sh5c = D.SQL_WORD_SHINGLES("c.text", 5)
     return f"""
 WITH RECURSIVE {_SQL_NEARDUP},
 q AS ({quality}),
@@ -876,6 +882,26 @@ kept AS (
   SELECT q.doc_id, q.quality_score, l.pred_lang
   FROM q JOIN l ON q.doc_id = l.doc_id
   WHERE q.quality_score >= 0.5 AND l.pred_lang = 'en'
+),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+kx AS (
+  SELECT k.doc_id AS id_a, unnest({sh5c}) AS s
+  FROM kept k JOIN corpus c ON k.doc_id = c.doc_id
+),
+bx AS (SELECT doc_id AS id_b, unnest({sh5}) AS s FROM bench),
+brare AS (SELECT s FROM bx GROUP BY s HAVING count(*) <= 100),
+bdf AS (SELECT b.id_b, b.s FROM bx b JOIN brare r ON b.s = r.s),
+flagged AS (
+  SELECT DISTINCT id_a FROM (
+    SELECT kx.id_a, bdf.id_b
+    FROM kx JOIN bdf ON kx.s = bdf.s
+    GROUP BY kx.id_a, bdf.id_b
+    HAVING count(*) >= 3)
+),
+decon AS (
+  SELECT k.* FROM kept k
+  LEFT JOIN flagged f ON k.doc_id = f.id_a
+  WHERE f.id_a IS NULL
 ),
 pairs AS ({pairs}),
 edges AS (
@@ -892,7 +918,7 @@ comp AS (
   FROM reach GROUP BY src
 )
 SELECT k.doc_id, k.quality_score, k.pred_lang
-FROM kept k
+FROM decon k
 LEFT JOIN comp c ON k.doc_id = c.id
 WHERE c.id IS NULL OR c.component = k.doc_id
 """
