@@ -71,3 +71,26 @@ def test_lsh_pairs_unchanged_by_band_key_refactor(spark, corpus):
     pairs = {(r["id_a"], r["id_b"])
              for r in D.minhash_lsh_pairs(docs, k=2).collect()}
     assert (1, 4) in pairs
+
+
+def test_snapshot_roundtrip_through_parquet(spark, corpus, tmp_path):
+    """The operational loop: persist the content-key and band-table
+    snapshots to parquet after an ingest run, read them back in the
+    next run, and dedup the new batch against them."""
+    keys_path = str(tmp_path / "seen_keys")
+    bands_path = str(tmp_path / "seen_bands")
+    D.content_keys(corpus).write.parquet(keys_path)
+    D.minhash_band_keys(corpus, k=2).write.parquet(bands_path)
+
+    seen = spark.read.parquet(keys_path)
+    bands = spark.read.parquet(bands_path)
+    batch = spark.createDataFrame([
+        (30, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (31, "a wholly new document body"),
+    ], DOC_SCHEMA)
+    kept = {r["doc_id"] for r in D.incremental_exact(batch, seen).collect()}
+    assert kept == {31}
+    pairs = {(r["id_new"], r["id_seen"])
+             for r in D.incremental_neardup_pairs(batch, bands,
+                                                  k=2).collect()}
+    assert (30, 1) in pairs
