@@ -97,11 +97,63 @@ def parse_netpbm(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     return w, h, arr
 
 
+def parse_bmp(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
+    """Parse uncompressed 24-bit BMP (BITMAPINFOHEADER or longer,
+    bottom-up or top-down) into (width, height, HxWx3 uint8 RGB array).
+    Pure byte parsing: little-endian header fields, 4-byte row padding,
+    BGR->RGB swap. Returns None if the payload is not a BMP this
+    decoder handles."""
+    if payload is None or payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, height = h < 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    data = payload[offset:offset + stride * height]
+    if len(data) != stride * height:
+        return None
+    rows = (np.frombuffer(data, dtype=np.uint8)
+            .reshape(height, stride)[:, :w * 3].reshape(height, w, 3))
+    if not top_down:
+        rows = rows[::-1]
+    return w, height, rows[..., ::-1].copy()
+
+
+def write_bmp(arr: "np.ndarray") -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP — the inverse of :func:`parse_bmp`."""
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    pad = stride - w * 3
+    bgr = arr[..., ::-1][::-1]  # RGB->BGR, bottom-up row order
+    body = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    size = 54 + len(body)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + body
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Image decode + feature extraction.
 
-    REAL for netpbm (P6/P5): ``[width, height, mean_c1..mean_cN]`` from
-    the decoded raster. Other formats need PIL (absent here) and raise
+    REAL for netpbm (P6/P5) and uncompressed 24-bit BMP:
+    ``[width, height, mean_c1..mean_cN]`` from the decoded raster.
+    Other formats need PIL (absent here) and raise
     NotImplementedError. ``fake=True`` derives a deterministic 4-dim
     feature from the raw bytes instead of decoding."""
     if fake:
@@ -110,13 +162,13 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         n = len(payload)
         return [float(n), float(payload[0]), float(payload[-1]),
                 float(sum(payload[:16]) % 256)]
-    parsed = parse_netpbm(payload)
+    parsed = parse_netpbm(payload) or parse_bmp(payload)
     if parsed is not None:
         w, h, arr = parsed
         means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
         return [float(w), float(h)] + [round(float(m), 6) for m in means]
     raise NotImplementedError(
-        "non-netpbm image decoding requires PIL; not available here")
+        "non-netpbm/BMP image decoding requires PIL; not available here")
 
 
 FEATURE_SCHEMA = StructType([
@@ -155,7 +207,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                 p = bytes(payload)
                 if kind == "audio":
                     return decode_audio(p), "wav"
-                return decode_image(p), "netpbm"
+                name = "netpbm" if p[:2] in (b"P6", b"P5") else "bmp"
+                return decode_image(p), name
             except Exception:  # noqa: BLE001 — one undecodable file
                 # (wrong format, truncated WAV, malformed header) must
                 # fall back, never fail the whole job
@@ -223,13 +276,28 @@ def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
             + out.tobytes())
 
 
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for uncompressed 24-bit BMP
+    payloads, re-encoded as BMP; raises NotImplementedError for other
+    formats (PIL territory)."""
+    parsed = parse_bmp(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "non-BMP image resize requires PIL; not available here")
+    w, h, arr = parsed
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return write_bmp(arr[rows][:, cols])
+
+
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   ) -> DataFrame:
-    """Binary -> binary image resize kernel (1:1 rows). netpbm payloads
-    get the REAL nearest-neighbor resize; anything else falls back to a
-    deterministic truncate-or-pad of the payload to width*height bytes
-    (the PIL slot). Either way the schema contract (payload stays
-    BinaryType, dims recorded as metadata) and batch shape hold."""
+    """Binary -> binary image resize kernel (1:1 rows). netpbm and
+    24-bit BMP payloads get the REAL nearest-neighbor resize; anything
+    else falls back to a deterministic truncate-or-pad of the payload
+    to width*height bytes (the PIL slot). Either way the schema
+    contract (payload stays BinaryType, dims recorded as metadata) and
+    batch shape hold."""
     target = width * height
 
     out_schema = StructType(MEDIA_SCHEMA.fields + [
@@ -240,11 +308,14 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
     def one(p):
         if p is None:
             return None
-        try:
-            return resize_netpbm(bytes(p), width, height)
-        except NotImplementedError:
-            return (bytes(p[:target]) if len(p) >= target
-                    else bytes(p) + b"\x00" * (target - len(p)))
+        b = bytes(p)
+        for real in (resize_netpbm, resize_bmp):
+            try:
+                return real(b, width, height)
+            except NotImplementedError:
+                continue
+        return (b[:target] if len(b) >= target
+                else b + b"\x00" * (target - len(b)))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -201,3 +201,84 @@ def test_real_mode_corrupt_payloads_fall_back(spark):
     row = M.extract_features(media, mode="real").collect()[0]
     assert row["feat"] == M.decode_image(bad_wav, fake=True)  # byte fallback
     assert row["decoder"] == "fake"  # provenance records the fallback
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib BMP decoder
+# ---------------------------------------------------------------------------
+
+def _bmp_3x2():
+    import numpy as np
+    # 3x2 RGB: distinct per-pixel values; w=3 exercises row padding
+    arr = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    return arr, M.write_bmp(arr)
+
+
+def test_bmp_roundtrip_identity():
+    import numpy as np
+    arr, payload = _bmp_3x2()
+    parsed = M.parse_bmp(payload)
+    assert parsed is not None
+    w, h, back = parsed
+    assert (w, h) == (3, 2)
+    assert np.array_equal(back, arr)
+
+
+def test_bmp_top_down_variant():
+    import numpy as np
+    arr, payload = _bmp_3x2()
+    # flip the height sign to declare top-down, and reorder the raster
+    # rows accordingly (top-down stores row 0 first, no flip)
+    h = (-2).to_bytes(4, "little", signed=True)
+    stride = (3 * 3 + 3) // 4 * 4
+    body = b"".join(arr[r, :, ::-1].tobytes() + b"\x00" * (stride - 9)
+                    for r in range(2))
+    payload_td = payload[:22] + h + payload[26:54] + body
+    parsed = M.parse_bmp(payload_td)
+    assert parsed is not None
+    w, hh, back = parsed
+    assert (w, hh) == (3, 2)
+    assert np.array_equal(back, arr)
+
+
+def test_bmp_decode_features():
+    import numpy as np
+    arr, payload = _bmp_3x2()
+    feats = M.decode_image(payload)
+    assert feats[:2] == [3.0, 2.0]
+    means = arr.reshape(-1, 3).mean(axis=0)
+    assert feats[2:] == [round(float(m), 6) for m in means]
+
+
+def test_bmp_rejects_non_bmp():
+    assert M.parse_bmp(b"NOTABMP" + b"\x00" * 60) is None
+    assert M.parse_bmp(b"BM" + b"\x00" * 10) is None  # truncated
+
+
+def test_resize_bmp_real():
+    import numpy as np
+    arr, payload = _bmp_3x2()
+    out = M.resize_bmp(payload, 6, 4)
+    w, h, back = M.parse_bmp(out)
+    assert (w, h) == (6, 4)
+    # nearest-neighbor: top-left pixel preserved
+    assert np.array_equal(back[0, 0], arr[0, 0])
+
+
+def test_extract_features_real_mode_bmp_provenance(spark):
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+    _, payload = _bmp_3x2()
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+    media = spark.createDataFrame(
+        [(1, "image", "image/bmp", len(payload), bytearray(payload))],
+        schema)
+    row = M.extract_features(media, mode="real").first()
+    assert row["decoder"] == "bmp"
+    assert row["feat"][:2] == [3.0, 2.0]
