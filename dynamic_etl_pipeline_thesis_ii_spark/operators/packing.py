@@ -51,8 +51,11 @@ def pack_chunks(df: DataFrame, budget: int, id_col: str = "doc_id",
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     ident = F.col(id_col)
-    n_tok = (F.col(tokens_col) if tokens_col
-             else token_count(F.col(text_col))).cast("long")
+    # null text (or null precomputed count) packs as a zero-length doc,
+    # not a NULL that would poison the cumulative offsets
+    n_tok = F.coalesce(
+        (F.col(tokens_col) if tokens_col
+         else token_count(F.col(text_col))).cast("long"), F.lit(0))
     h = hash32(F.concat(ident.cast("string"), F.lit(salt)))
     base = df.select(ident.alias("id"), n_tok.alias("n_tokens"),
                      (h % n_buckets).alias("bucket"), h.alias("__h"))
@@ -72,7 +75,8 @@ def SQL_PACK_CHUNKS(budget: int, n_buckets: int = 8,
     """DuckDB twin of :func:`pack_chunks` (same hash, same order, same
     offset arithmetic)."""
     h = SQL_HASH32.format(x=f"({id_col})::VARCHAR || '{salt}'")
-    ntok = f"len(string_split({SQL_NORMALIZE.format(x=text_col)}, ' '))"
+    ntok = (f"coalesce(len(string_split("
+            f"{SQL_NORMALIZE.format(x=text_col)}, ' ')), 0)")
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {ntok}::BIGINT AS n_tokens,

@@ -102,3 +102,15 @@ def test_dedup_by_components_keeps_canonical(spark):
     kept = {r["doc_id"]
             for r in D.dedup_by_components(docs, pairs).collect()}
     assert kept == {1, 10, 99}  # one per cluster + untouched doc
+
+
+def test_null_text_produces_zero_shingles_not_a_crash(spark):
+    """A 100 TB corpus has null text rows; every shingle-based operator
+    must treat them as zero-shingle docs, not fail the job (the JVM
+    NGram UDF throws on null arrays without the coalesce guard)."""
+    docs = spark.createDataFrame([(1, "a b c d e"), (2, None)], DOC_SCHEMA)
+    assert D.shingle_rows(docs, "text", "doc_id", 2) \
+        .filter(F.col("id") == 2).count() == 0
+    assert D.minhash_lsh_pairs(docs, k=2).count() == 0
+    assert D.contamination_pairs(docs, docs.limit(1), k=2).count() >= 1
+    assert D.jaccard_pairs(docs, k=2, threshold=0.1).count() == 0

@@ -83,3 +83,13 @@ def test_validation(spark, docs):
 def test_empty_input(spark):
     empty = spark.createDataFrame([], DOC_SCHEMA)
     assert PK.pack_chunks(empty, budget=10).count() == 0
+
+
+def test_null_text_packs_as_zero_tokens(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, None), (3, "d e")],
+                               DOC_SCHEMA)
+    rows = {r["id"]: r for r in PK.pack_chunks(df, budget=4,
+                                               n_buckets=1).collect()}
+    assert rows[2]["n_tokens"] == 0
+    total = sum(r["n_tokens"] for r in rows.values())
+    assert max(r["offset"] + r["n_tokens"] for r in rows.values()) == total
