@@ -78,8 +78,12 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame
         F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))),
                 " ").alias("__w"))
     ng = NGram(n=k, inputCol="__w", outputCol="__ng")
+    # the s != '' filter matters only at k=1, where the null->'' doc
+    # would otherwise emit one empty shingle (and pair every null doc
+    # with every other); k>=2 never produces an empty n-gram
     return (ng.transform(words)
-            .select("id", F.explode(F.array_distinct("__ng")).alias("s")))
+            .select("id", F.explode(F.array_distinct("__ng")).alias("s"))
+            .filter(F.col("s") != ""))
 
 
 def SQL_WORD_SHINGLES(x: str, k: int) -> str:

@@ -107,7 +107,9 @@ def parse_bmp(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         return None
     offset = int.from_bytes(payload[10:14], "little")
     hdr_size = int.from_bytes(payload[14:18], "little")
-    if hdr_size < 40:
+    # pixel data must start after the file header (14) + info header;
+    # a smaller offset would decode header bytes as pixels
+    if hdr_size < 40 or offset < 14 + hdr_size:
         return None
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
@@ -177,8 +179,8 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), True),
     StructField("feat", ArrayType(DoubleType()), True),
     # decode provenance: which decoder actually produced ``feat`` —
-    # 'netpbm' / 'wav' (real parses) or 'fake' (deterministic byte
-    # features: fake mode, or real mode's undecodable-payload fallback).
+    # 'netpbm' / 'bmp' / 'wav' (real parses) or 'fake' (deterministic
+    # byte features: fake mode, or real mode's undecodable fallback).
     # Without this a downstream consumer cannot tell a real feature
     # from a placeholder.
     StructField("decoder", StringType(), True),
@@ -194,7 +196,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
 
     ``mode="fake"`` (default, used by the oracle-checked plumbing
     queries) derives deterministic byte features; ``mode="real"``
-    dispatches per kind to the REAL decoders (netpbm images, PCM WAV
+    dispatches per kind to the REAL decoders (netpbm/BMP images, PCM WAV
     audio) and falls back to the byte features for formats those can't
     parse. Every row's ``decoder`` column records which path produced
     its features, so fallbacks are visible, not silent."""

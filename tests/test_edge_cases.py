@@ -114,3 +114,12 @@ def test_null_text_produces_zero_shingles_not_a_crash(spark):
     assert D.minhash_lsh_pairs(docs, k=2).count() == 0
     assert D.contamination_pairs(docs, docs.limit(1), k=2).count() >= 1
     assert D.jaccard_pairs(docs, k=2, threshold=0.1).count() == 0
+
+
+def test_k1_null_docs_do_not_pair(spark):
+    docs = spark.createDataFrame([(1, None), (2, None), (3, "x y")],
+                                 DOC_SCHEMA)
+    # at k=1 a null doc must yield zero shingles, not one '' shingle
+    assert D.shingle_rows(docs, "text", "doc_id", 1) \
+        .filter(F.col("id").isin(1, 2)).count() == 0
+    assert D.jaccard_pairs(docs, k=1, threshold=0.1).count() == 0

@@ -282,3 +282,10 @@ def test_extract_features_real_mode_bmp_provenance(spark):
     row = M.extract_features(media, mode="real").first()
     assert row["decoder"] == "bmp"
     assert row["feat"][:2] == [3.0, 2.0]
+
+
+def test_bmp_rejects_offset_inside_header():
+    _, payload = _bmp_3x2()
+    # rewrite the pixel-data offset to point inside the header
+    bad = payload[:10] + (0).to_bytes(4, "little") + payload[14:]
+    assert M.parse_bmp(bad) is None
