@@ -43,18 +43,15 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
-def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
-             n_clusters: int = 16, n_probe: int = 2, seed: int = 42,
-             q_id: str = "q_id", c_id: str = "c_id",
-             q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
-    candidate set; each query scans only its ``n_probe`` nearest
-    clusters (~n_probe/n_clusters of the corpus). The index build is one
-    ML fit (seeded, sampled); search is a broadcast join of the (tiny)
-    query->cluster probe list against cluster-bucketed candidates —
-    at 100 TB the clusters are the partitioning, so a probe touches only
-    its own partitions. Approximate: recall depends on n_probe (tested
-    >= 0.9 @ n_probe=2, 16 clusters on the synthetic embeddings)."""
+def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
+              c_vec: str = "c_vec") -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index ONCE: k-means coarse quantizer over the
+    candidate set. Returns ``(centers, bucketed)`` — a tiny
+    (__cluster, __center) frame and the candidate frame with its
+    assigned ``__cluster`` and precomputed ``__cn`` norm. Both are
+    plain DataFrames: write them to parquet and reload for later query
+    batches instead of refitting (index build is the expensive step at
+    100 TB; searches should amortize it)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -63,12 +60,26 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     km = KMeans(k=n_clusters, seed=seed, featuresCol="__features",
                 predictionCol="__cluster")
     model = km.fit(cand_ml)
-    bucketed = model.transform(cand_ml).drop("__features")
-
+    bucketed = (model.transform(cand_ml).drop("__features")
+                .withColumn("__cn",
+                            l2norm(F.col(c_vec).cast("array<double>"))))
     centers = model.clusterCenters()
-    centers_df = queries.sparkSession.createDataFrame(
+    centers_df = candidates.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         ["__cluster", "__center"])
+    return centers_df, bucketed
+
+
+def ivf_search(centers_df: DataFrame, bucketed: DataFrame,
+               queries: DataFrame, k: int, n_probe: int = 2,
+               q_id: str = "q_id", c_id: str = "c_id",
+               q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """Search a prebuilt IVF index (:func:`ivf_build`, possibly
+    round-tripped through parquet): each query scans only its
+    ``n_probe`` nearest clusters (~n_probe/n_clusters of the corpus) —
+    a broadcast of the tiny query->cluster probe list against the
+    cluster-bucketed candidates; at 100 TB the clusters are the
+    partitioning, so a probe touches only its own partitions."""
     q_scored = (queries.crossJoin(F.broadcast(centers_df))
                 .withColumn("__cdist", cosine(
                     F.col(q_vec).cast("array<double>"),
@@ -80,9 +91,7 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
               .withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>")))
               .select(q_id, q_vec, "__qn", "__cluster"))
 
-    joined = probes.join(
-        bucketed.withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>"))),
-        "__cluster")
+    joined = probes.join(bucketed, "__cluster")
     scored = joined.withColumn(
         "cos", F.round(cosine_prenormed(
             F.col(q_vec).cast("array<double>"),
@@ -92,6 +101,19 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, c_id, "cos", "rank"))
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
+             n_clusters: int = 16, n_probe: int = 2, seed: int = 42,
+             q_id: str = "q_id", c_id: str = "c_id",
+             q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
+    """One-shot IVF ANN: :func:`ivf_build` + :func:`ivf_search`.
+    Approximate: recall depends on n_probe (tested >= 0.9 @ n_probe=2,
+    16 clusters on the synthetic embeddings). For repeated query
+    batches, build once and call :func:`ivf_search` directly."""
+    centers_df, bucketed = ivf_build(candidates, n_clusters, seed, c_vec)
+    return ivf_search(centers_df, bucketed, queries, k, n_probe,
+                      q_id, c_id, q_vec, c_vec)
 
 
 def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,

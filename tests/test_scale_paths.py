@@ -393,3 +393,32 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
         if n_single > scalar_reduce_budget.get(name, 0):
             violations.append((name, f"SinglePartition x{n_single}"))
     assert not violations, violations
+
+
+def test_ivf_index_reuse_and_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """ivf_build once -> ivf_search many times; the index survives a
+    parquet round-trip (the 100 TB amortization story: fit is the
+    expensive step, searches reuse it)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+
+    direct = {(r["q_id"], r["rank"]): r["c_id"]
+              for r in SIM.ivf_topk(queries, cands, k=3, n_clusters=8,
+                                    n_probe=2).collect()}
+
+    centers, bucketed = SIM.ivf_build(cands, n_clusters=8)
+    centers.write.parquet(str(tmp_path / "centers"))
+    bucketed.write.parquet(str(tmp_path / "bucketed"))
+    centers2 = spark.read.parquet(str(tmp_path / "centers"))
+    bucketed2 = spark.read.parquet(str(tmp_path / "bucketed"))
+    reloaded = {(r["q_id"], r["rank"]): r["c_id"]
+                for r in SIM.ivf_search(centers2, bucketed2, queries,
+                                        k=3, n_probe=2).collect()}
+    assert reloaded == direct
