@@ -461,11 +461,29 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
 
 
 def dedup_by_components(df: DataFrame, pairs: DataFrame,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id document of every near-dup cluster (documents
-    in no cluster pass through) — the end-to-end dedup contract."""
+                        id_col: str = "doc_id",
+                        score: DataFrame | None = None) -> DataFrame:
+    """Keep ONE document per near-dup cluster (documents in no cluster
+    pass through) — the end-to-end dedup contract.
+
+    Default canonical = lowest id. Pass ``score`` — an ``(id, score)``
+    frame covering the docs appearing in ``pairs`` — to keep the
+    HIGHEST-score doc instead (ties → lowest id; docs missing from
+    ``score`` rank last). Quality-aware keep is the curation-grade
+    policy: near-dup copies differ (boilerplate-wrapped vs clean
+    crawls), so keep the best copy, not the earliest id. The ranking
+    window partitions by component — cluster-sized groups, never a
+    global sort — and the drop set is component-membership-sized, tiny
+    next to the corpus the anti-join prunes."""
     comp = min_label_components(pairs)
-    drop = comp.filter(F.col("id") != F.col("comp")).select("id")
+    if score is None:
+        drop = comp.filter(F.col("id") != F.col("comp")).select("id")
+    else:
+        w = Window.partitionBy("comp").orderBy(
+            F.col("score").desc_nulls_last(), F.col("id").asc())
+        drop = (comp.join(score, "id", "left")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > 1).select("id"))
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
 
 

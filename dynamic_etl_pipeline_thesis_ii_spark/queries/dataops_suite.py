@@ -843,9 +843,10 @@ def q_corpus_curation(spark, sf_dir):
     quality-score filter -> predicted-language filter -> benchmark
     decontamination (drop docs sharing 5-grams with the held-out
     benchmark subset) -> canonical-doc near-dup resolution (MinHash-LSH
-    pairs -> connected components -> keep the lowest-id doc per
-    cluster). One lazy composition of the text, dedup and graph
-    operators; the only iterative part is the component loop."""
+    pairs -> connected components -> keep the HIGHEST-quality doc per
+    cluster, ties to the lowest id). One lazy composition of the text,
+    dedup and graph operators; the only iterative part is the component
+    loop."""
     # both branches (quality/lang scoring and pair generation) scan the
     # corpus — persist the small text frame so it reads/normalizes once
     corpus = _neardup_corpus(spark, sf_dir).persist()
@@ -859,7 +860,11 @@ def q_corpus_curation(spark, sf_dir):
              .filter(F.col("doc_id") % 13 == 0).select("doc_id", "text"))
     decon = D.decontaminate(kept, bench, k=5, min_overlap=3)
     pairs = D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4)
-    canonical = D.dedup_by_components(decon, pairs)
+    # quality-aware keep: score every corpus doc (clusters may span the
+    # quality/lang filter, so the ranking sees pre-filter scores too)
+    score = scored.select(F.col("doc_id").alias("id"),
+                          F.col("quality_score").alias("score"))
+    canonical = D.dedup_by_components(decon, pairs, score=score)
     return canonical.select("doc_id", "quality_score", "pred_lang")
 
 
@@ -916,11 +921,17 @@ reach(src, dst) AS (
 comp AS (
   SELECT src AS id, least(src, min(dst)) AS component
   FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.id, row_number() OVER (
+    PARTITION BY c.component
+    ORDER BY q.quality_score DESC NULLS LAST, c.id ASC) AS rn
+  FROM comp c LEFT JOIN q ON c.id = q.doc_id
 )
 SELECT k.doc_id, k.quality_score, k.pred_lang
 FROM decon k
-LEFT JOIN comp c ON k.doc_id = c.id
-WHERE c.id IS NULL OR c.component = k.doc_id
+LEFT JOIN ranked r ON k.doc_id = r.id
+WHERE r.id IS NULL OR r.rn = 1
 """
 
 

@@ -104,6 +104,24 @@ def test_dedup_by_components_keeps_canonical(spark):
     assert kept == {1, 10, 99}  # one per cluster + untouched doc
 
 
+def test_dedup_by_components_quality_keep(spark):
+    """score= flips the canonical from lowest-id to highest-score
+    (ties -> lowest id; docs missing from score rank last)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 20, 21, 99)],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"])
+    # cluster {1,2,3}: 3 wins on score; {10,11}: tie -> 10 wins;
+    # {20,21}: 20 unscored ranks last -> 21 wins; 99 untouched.
+    score = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (10, 0.7), (11, 0.7), (21, 0.1)],
+        ["id", "score"])
+    kept = {r["doc_id"] for r in
+            D.dedup_by_components(docs, pairs, score=score).collect()}
+    assert kept == {3, 10, 21, 99}
+
+
 def test_null_text_produces_zero_shingles_not_a_crash(spark):
     """A 100 TB corpus has null text rows; every shingle-based operator
     must treat them as zero-shingle docs, not fail the job (the JVM
