@@ -71,9 +71,11 @@ def scale_probe(spark, factors: list[int]) -> dict:
 
     Expected shapes: jaccard exactly linear (df-capped shingle
     blocking), minhash ~linear (band-signature collisions), simhash
-    superlinear-but-bounded — its 16-bit band keys have a chance-
-    collision term ~N²/2^16 that the max_bucket cap truncates once
-    buckets saturate (visible in the recorded ratios). contam (corpus
+    (default 4x16-bit banding) superlinear-but-bounded — 16-bit band
+    keys have a chance-collision term ~N²/2^16 that the max_bucket cap
+    truncates once buckets saturate; simhash_wide (the corpus-scale
+    n_blocks=6 banding, ~32-bit keys) must stay ~linear — the chance
+    term drops to ~N²/2^32. contam (corpus
     vs fixed benchmark set) must show FLAT candidate counts and wall
     time — the replicas are word-salted so only the unsalted replica
     overlaps the fixed bench set, and the broadcast probe never
@@ -92,7 +94,10 @@ def scale_probe(spark, factors: list[int]) -> dict:
     bench_set = base.filter(F.col("doc_id") % 13 == 0).persist()
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),
-        "simhash": lambda d: D.simhash_pairs(d, max_hamming=64),
+        "simhash": lambda d: D.simhash_pairs(d, max_hamming=64,
+                                             key_blocks=1),
+        "simhash_wide": lambda d: D.simhash_pairs(d, max_hamming=64,
+                                                  n_blocks=6, key_blocks=3),
         "jaccard": lambda d: D.jaccard_pairs(d, threshold=0.0),
         "contam": lambda d: D.contamination_pairs(d, bench_set, k=5,
                                                   min_overlap=1),

@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -277,11 +279,26 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_k: int = 2,
-                  max_bucket: int | None = 2000) -> DataFrame:
-    """Near-dup pairs by SimHash with banded blocking: the 64-bit
-    fingerprint splits into four 16-bit bands; hamming distance <= 3
-    guarantees at least one band matches exactly (pigeonhole), so the
-    join is an equi-join on (band, band-key) — no quadratic pair scan.
+                  max_bucket: int | None = 2000,
+                  n_blocks: int = 4,
+                  key_blocks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash with banded blocking (Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
+    fingerprint into ``n_blocks`` blocks and key each band on a
+    combination of ``n_blocks - max_hamming`` blocks — a pair within
+    ``max_hamming`` differing bits has at least that many untouched
+    blocks, so some band key matches exactly (pigeonhole) and the join
+    stays an equi-join on (band, key), never a quadratic pair scan.
+
+    ``n_blocks`` trades band-table size against random-collision rate:
+    the default 4 (four bands keyed on one 16-bit block each) is the
+    cheapest complete scheme, but unrelated fingerprints collide on a
+    16-bit key at rate 2^-16 — a quadratic candidate term that
+    dominates beyond ~10M docs. ``n_blocks=6`` (C(6,3)=20 bands keyed
+    on three blocks, ~32-bit keys) cuts the random rate to ~2^-32 for
+    5x the band-table rows — the setting to use at corpus scale. Any
+    complete scheme returns the SAME final pair set (candidates are
+    exact-hamming verified); only the candidate volume differs.
 
     ``max_bucket`` drops (band, key) buckets above the cap — the same
     hot-bucket guard as :func:`minhash_lsh_pairs` (``None`` disables).
@@ -292,15 +309,43 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     while bigrams keep candidate counts in the low thousands with the
     same banding; this mirrors standard SimHash practice of shingling
     features rather than bag-of-words.
+
+    ``key_blocks`` overrides the blocks-per-key count (default
+    ``n_blocks - max_hamming``, the completeness bound) — measurement
+    harnesses set ``max_hamming=64`` to count raw candidates and pass
+    ``key_blocks`` explicitly to pin the banding under test.
     """
+    if not 2 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
+    pick = n_blocks - max_hamming if key_blocks is None else key_blocks
+    if not 1 <= pick <= n_blocks:
+        raise ValueError(
+            f"blocks per band key must be in [1, {n_blocks}], got {pick} "
+            f"(n_blocks={n_blocks}, max_hamming={max_hamming}; pass "
+            f"key_blocks explicitly when max_hamming >= n_blocks)")
     docs = simhash_fingerprints(df, text_col, id_col, k=shingle_k)
+    # block b covers widths[b] bits starting at offsets[b] (LSB-first);
+    # bands enumerate the (n_blocks - max_hamming)-block combinations in
+    # itertools order — for n_blocks=4/max_hamming=3 this is exactly the
+    # four single 16-bit blocks the DuckDB oracle mirrors.
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block_val(b: int) -> Column:
+        return (F.shiftright(F.col("sim"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)))
+
+    entries = []
+    for i, combo in enumerate(combinations(range(n_blocks), pick)):
+        key: Column | None = None
+        for b in combo:
+            key = block_val(b) if key is None else (
+                F.shiftleft(key, widths[b]).bitwiseOR(block_val(b)))
+        entries.append(F.struct(F.lit(i).alias("band"),
+                                key.cast("long").alias("key")))
     banded = docs.select(
-        "id", "sim",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright(F.col("sim"), b * 16).bitwiseAND(F.lit(65535)).alias("key"))
-            for b in range(4)
-        ])).alias("bk"),
+        "id", "sim", F.explode(F.array(*entries)).alias("bk"),
     ).select("id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
         banded = (banded.withColumn(

@@ -199,6 +199,43 @@ def test_simhash_hot_bucket_cap_bounds_pairs(spark):
     assert not any(r["id_a"] < 1200 and r["id_b"] < 1200 for r in rows)
 
 
+def test_simhash_wide_banding_same_pairs_fewer_candidates(spark, sf_dir):
+    """Every complete block scheme (n_blocks > max_hamming) is exact:
+    the verified pair set must be IDENTICAL across n_blocks=4/6/8
+    (uncapped), while the wide schemes' band keys are ~32 bits so the
+    candidate stage sheds the N²/2^16 chance-collision term — the knob
+    that keeps simhash sub-quadratic at corpus scale."""
+    import pytest
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import simhash_pairs
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+    corpus = (Catalog(spark, sf_dir).documents
+              .select("doc_id", "text").persist())
+    try:
+        sets = []
+        for m in (4, 6, 8):
+            sets.append({(r["id_a"], r["id_b"]) for r in
+                         simhash_pairs(corpus, max_hamming=3,
+                                       max_bucket=None, n_blocks=m)
+                         .select("id_a", "id_b").collect()})
+        assert sets[0] == sets[1] == sets[2]
+        assert sets[0]  # non-vacuous: the corpus has near-dups
+
+        # candidate stage (verification off via max_hamming=64,
+        # banding pinned with key_blocks): wide keys collide less
+        def cands(nb, kb):
+            return (simhash_pairs(corpus, max_hamming=64, max_bucket=None,
+                                  n_blocks=nb, key_blocks=kb).count())
+        assert cands(6, 3) < cands(4, 1)
+    finally:
+        corpus.unpersist()
+
+    with pytest.raises(ValueError):
+        simhash_pairs(corpus, n_blocks=1)
+    with pytest.raises(ValueError):
+        simhash_pairs(corpus, max_hamming=64)  # needs explicit key_blocks
+
+
 def test_lsh_multiprobe_recall(spark, sf_dir):
     """Multi-probe LSH: perturbed copies of corpus vectors must find
     their source as top-1 with recall >= 0.95, strictly beating the
