@@ -70,6 +70,88 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
+# The Gopher rule set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) — the
+# standard hand-tuned keep/drop gate web corpora are filtered with.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """Per-rule boolean flags + the conjunction ``gopher_pass``.
+
+    Token-level rules run on the normalized whitespace tokens (shared
+    with every other text operator); line-level rules (bullets,
+    ellipsis endings) split the RAW text on newlines, which
+    normalization would destroy. Pure column expressions throughout —
+    thresholds compare doubles derived from identical integer counts on
+    both engines, so the flags are oracle-exact with no rounding
+    ladder."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_tok_d = F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_wl = (F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+               / n_tok_d)
+    n_symbol = (F.regexp_count(col, F.lit("#"))
+                + F.regexp_count(col, F.lit(r"\.\.\."))
+                + F.regexp_count(col, F.lit("…")))
+    lines = F.split(col, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stops = F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    rules = {
+        "g_word_count": (n_tok >= 50) & (n_tok <= 100_000),
+        "g_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "g_symbol_ratio": n_symbol / n_tok_d <= 0.1,
+        "g_bullet_lines": n_bullet / n_lines <= 0.9,
+        "g_ellipsis_lines": n_ell_end / n_lines <= 0.3,
+        "g_alpha_words": n_alpha / n_tok_d >= 0.8,
+        "g_stopwords": stops >= 2,
+    }
+    gate = F.lit(True)
+    for r in rules.values():
+        gate = gate & r
+    rules["gopher_pass"] = gate
+    return rules
+
+
+def SQL_GOPHER_RULES(x: str) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_rules` (same counts, same
+    thresholds, same null propagation)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import SQL_NORMALIZE
+    toks = f"string_split({SQL_NORMALIZE.format(x=x)}, ' ')"
+    n_tok = f"len({toks})"
+    n_tok_d = f"greatest({n_tok}, 1)::double"
+    mean_wl = (f"(list_sum(list_transform({toks}, t -> length(t)))::double"
+               f" / {n_tok_d})")
+    n_symbol = (f"(len(regexp_extract_all({x}, '#'))"
+                f" + len(regexp_extract_all({x}, '\\.\\.\\.'))"
+                f" + len(regexp_extract_all({x}, '…')))")
+    lines = f"string_split({x}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)::double"
+    n_bullet = (f"len(list_filter({lines},"
+                f" l -> regexp_matches(l, '^\\s*[-*•]')))")
+    n_ell_end = (f"len(list_filter({lines},"
+                 f" l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))")
+    n_alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))"
+    stop_list = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    stops = f"len(list_intersect(list_distinct({toks}), {stop_list}))"
+    rules = {
+        "g_word_count": f"({n_tok} >= 50 AND {n_tok} <= 100000)",
+        "g_mean_word_len": f"({mean_wl} >= 3.0 AND {mean_wl} <= 10.0)",
+        "g_symbol_ratio": f"({n_symbol} / {n_tok_d} <= 0.1)",
+        "g_bullet_lines": f"({n_bullet} / {n_lines} <= 0.9)",
+        "g_ellipsis_lines": f"({n_ell_end} / {n_lines} <= 0.3)",
+        "g_alpha_words": f"({n_alpha} / {n_tok_d} >= 0.8)",
+        "g_stopwords": f"({stops} >= 2)",
+    }
+    rules["gopher_pass"] = "(" + " AND ".join(rules.values()) + ")"
+    return rules
+
+
 def lang_id(col: Column) -> Column:
     """Stopword-hit argmax over the language table; ties break by
     language code order (deterministic); no hits → 'und'."""

@@ -128,3 +128,32 @@ def test_script_ratios_multiscript(spark):
     empty = by[""]
     assert all(empty[k] == 0.0 for k in
                ("latin_ratio", "cyrillic_ratio", "cjk_ratio", "arabic_ratio"))
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule trips on its designed failure mode and the
+    gate is the conjunction."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    good = ("the quick brown fox jumps over the lazy dog and runs away "
+            "to have fun with friends near that old barn every morning "
+            "before anyone wakes and the day begins with light falling "
+            "over quiet fields where nothing much ever seems to happen "
+            "but small things keep moving along just fine somehow too")
+    short = "the dog and that cat have fun with toys"          # <50 words
+    hashy = "the " + "# " * 40 + ("and that to have with be of word " * 8)
+    bullets = "\n".join("- item one of the list that we have" for _ in range(10))
+    numeric = ("the 111 222 333 444 555 666 777 888 999 000 " * 9
+               + "and that have with be of")
+    rows = [(1, good), (2, short), (3, hashy), (4, bullets), (5, numeric)]
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    r = T.gopher_rules(F.col("t"))
+    out = {row["doc_id"]: row for row in
+           df.select("doc_id", *[v.alias(k) for k, v in r.items()]).collect()}
+
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["g_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["g_symbol_ratio"] is False
+    assert out[4]["g_bullet_lines"] is False
+    assert out[5]["g_alpha_words"] is False
