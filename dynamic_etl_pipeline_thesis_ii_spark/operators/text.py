@@ -324,6 +324,60 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                  F.round(F.avg("logp"), 4).alias("mean_logprob")))
 
 
+def lm_quality_buckets(scores, score_col: str = "mean_logprob",
+                       group_col: str | None = None, id_col: str = "id",
+                       cuts: tuple[float, float] = (1 / 3, 2 / 3)):
+    """CCNet-style head/middle/tail quality split: rank documents by an
+    LM score (:func:`unigram_logprob`'s ``mean_logprob``) and cut at
+    corpus fractions — CCNet buckets per language, so pass
+    ``group_col`` (the split runs independently per group).
+
+    Engine-exact and scale-safe by construction: instead of a global
+    percent_rank sort over the corpus, aggregate to the COMPACT
+    (group, score) value table (scores are 4-dp rounded, so distinct
+    values are bounded far below the doc count), compute each value's
+    cumulative doc fraction with a window over that small table, and
+    broadcast the value->bucket map back onto the corpus. Docs sharing
+    a score share a bucket (value-based cut — deterministic, no
+    tie-break ambiguity); a doc lands in 'head' when the fraction of
+    docs scoring >= its value is <= cuts[0], 'middle' through cuts[1],
+    else 'tail'."""
+    g = F.col(group_col) if group_col else F.lit("(all)")
+    s = scores.withColumn("__g", g)
+    vals = s.groupBy("__g", score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__g").orderBy(F.col(score_col).desc())
+    vals = (vals.withColumn("__cum", F.sum("__c").over(w))
+            .withColumn("__n", F.sum("__c").over(Window.partitionBy("__g")))
+            .withColumn("__cf", F.col("__cum") / F.col("__n")))
+    bucket = (F.when(F.col("__cf") <= cuts[0], "head")
+              .when(F.col("__cf") <= cuts[1], "middle")
+              .otherwise("tail"))
+    cutmap = vals.select("__g", score_col, bucket.alias("lm_bucket"))
+    return (s.join(F.broadcast(cutmap), ["__g", score_col])
+            .drop("__g"))
+
+
+def SQL_LM_BUCKETS(scores_cte: str, score: str = "mean_logprob",
+                   group: str = "__g",
+                   cuts: tuple[float, float] = (1 / 3, 2 / 3)) -> str:
+    """DuckDB twin of :func:`lm_quality_buckets`: same value-table
+    cumulative fraction, same cuts. ``scores_cte`` names a CTE with
+    (``group``, ``score``) columns; returns a joinable
+    (group, score, lm_bucket) SELECT."""
+    return f"""
+SELECT {group}, {score},
+  CASE WHEN cum::double / n <= {cuts[0]!r} THEN 'head'
+       WHEN cum::double / n <= {cuts[1]!r} THEN 'middle'
+       ELSE 'tail' END AS lm_bucket
+FROM (
+  SELECT {group}, {score},
+    sum(c) OVER (PARTITION BY {group} ORDER BY {score} DESC) AS cum,
+    sum(c) OVER (PARTITION BY {group}) AS n
+  FROM (SELECT {group}, {score}, count(*) AS c
+        FROM {scores_cte} GROUP BY 1, 2))
+"""
+
+
 def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
     """Repetition/diversity signals — the standard spam/boilerplate
     filters for training corpora:

@@ -772,17 +772,34 @@ def q_text_unigram_logprob(spark, sf_dir):
 
 
 def q_text_corpus_stats(spark, sf_dir):
-    """Vocabulary/OOV + unigram-LM scoring joined per document (T4+T5
-    in one registry entry; shared doc-id key)."""
+    """Vocabulary/OOV + unigram-LM scoring + CCNet-style per-language
+    head/middle/tail quality bucket, joined per document (T4+T5+T9 in
+    one registry entry; shared doc-id key)."""
     oov = q_text_vocab_oov(spark, sf_dir)
     lp = q_text_unigram_logprob(spark, sf_dir).select("id", "mean_logprob")
-    return oov.join(lp, "id")
+    lang = (Catalog(spark, sf_dir).documents
+            .select(F.col("doc_id").alias("id"), "lang"))
+    # bucket the compact (id, score, lang) frame BEFORE joining oov, so
+    # only the score lineage — not the whole stats join — feeds both the
+    # row side and the cutmap side of the bucketing self-join; a 100 TB
+    # deployment persists this score frame between the two uses
+    bucketed = T.lm_quality_buckets(lp.join(lang, "id"), group_col="lang")
+    return oov.join(bucketed, "id").select(
+        "id", "n_tokens", "oov_rate", "mean_logprob", "lang", "lm_bucket")
 
 
 def _sql_corpus_stats() -> str:
+    buckets = T.SQL_LM_BUCKETS("stats", group="lang")
     return f"""
-SELECT v.id, v.n_tokens, v.oov_rate, l.mean_logprob
-FROM ({_sql_vocab_oov()}) v JOIN ({_sql_unigram_logprob()}) l ON v.id = l.id
+WITH stats AS (
+  SELECT v.id, v.n_tokens, v.oov_rate, l.mean_logprob, d.lang
+  FROM ({_sql_vocab_oov()}) v
+  JOIN ({_sql_unigram_logprob()}) l ON v.id = l.id
+  JOIN documents d ON v.id = d.doc_id
+)
+SELECT s.id, s.n_tokens, s.oov_rate, s.mean_logprob, s.lang, b.lm_bucket
+FROM stats s
+JOIN ({buckets}) b ON s.lang = b.lang AND s.mean_logprob = b.mean_logprob
 """
 
 

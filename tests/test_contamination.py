@@ -157,3 +157,20 @@ def test_gopher_rules_flags(spark):
     assert out[3]["g_symbol_ratio"] is False
     assert out[4]["g_bullet_lines"] is False
     assert out[5]["g_alpha_words"] is False
+
+
+def test_lm_quality_buckets_value_based_cuts(spark):
+    """Buckets cut at cumulative doc fractions per group; docs sharing
+    a score share a bucket."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+
+    rows = ([(i, "en", -2.0 - i) for i in range(9)]         # distinct scores
+            + [(100, "de", -1.0), (101, "de", -1.0), (102, "de", -5.0)])
+    df = spark.createDataFrame(rows, "id int, lang string, mean_logprob double")
+    out = {r["id"]: r["lm_bucket"] for r in
+           T.lm_quality_buckets(df, group_col="lang").collect()}
+    # en: 9 docs, thirds by rank (higher score = better = head)
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # de: the tied pair covers 2/3 of docs -> both 'middle'; last 'tail'
+    assert out[100] == out[101] == "middle" and out[102] == "tail"
