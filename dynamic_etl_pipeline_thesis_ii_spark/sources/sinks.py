@@ -170,7 +170,8 @@ def write_run_artifacts(out_dir: str, reports: dict) -> str:
 def write_shards(df: DataFrame, path: str, n_shards: int,
                  key_col: str, fmt: str = "parquet",
                  max_records_per_file: Optional[int] = None,
-                 if_exists: str = "replace") -> dict:
+                 if_exists: str = "replace",
+                 shuffle_salt: Optional[str] = None) -> dict:
     """Balanced shard writer for curated training corpora: exactly
     ``n_shards`` output partitions, each a deterministic hash slice of
     ``key_col`` — re-running the job reproduces the same doc→shard
@@ -182,6 +183,14 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     ``maxRecordsPerFile`` so a hot shard still splits into
     loader-friendly files. The shard id is persisted as a column so a
     reader can verify placement without re-hashing.
+
+    ``shuffle_salt`` additionally orders rows WITHIN each shard by the
+    salted key hash — the deterministic corpus shuffle training runs
+    need (a different salt draws an independent permutation per epoch;
+    re-running with the same salt reproduces byte-identical shards).
+    Sharding already hash-scatters docs across shards, so the within-
+    shard sort completes the permutation with zero extra shuffles — a
+    ``sortWithinPartitions``, never a global ``orderBy``.
     """
     from pyspark.sql import functions as F
 
@@ -194,6 +203,14 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     sharded = (df.withColumn("shard", (hash32(F.col(key_col).cast("string"))
                                        % n_shards).cast("int"))
                .repartition(n_shards, "shard"))
+    if shuffle_salt is not None:
+        order = hash32(F.concat(F.col(key_col).cast("string"),
+                                F.lit(shuffle_salt)))
+        # lead with the partition column: partitionBy() writes require
+        # an ordering on it and would otherwise insert their own
+        # (non-stable) sort on top, destroying the permutation
+        sharded = sharded.sortWithinPartitions(
+            F.col("shard"), order, F.col(key_col))
     writer = sharded.write.mode(_MODES[if_exists]).format(fmt)
     if fmt == "csv":
         writer = writer.option("header", "true")

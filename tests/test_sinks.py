@@ -184,3 +184,27 @@ def test_write_shards_csv_rowcount_excludes_headers(spark, tmp_path):
     # many small files -> many header lines; counts must still be exact
     assert rep["rows_written"] == 30
     assert sum(rep["shard_rows"].values()) == 30
+
+
+def test_write_shards_epoch_shuffle(spark, tmp_path):
+    """shuffle_salt orders rows within each shard by a salted hash:
+    same salt reproduces the file order byte-for-byte, a different
+    salt draws a different permutation, and shard placement (salt-
+    independent) never changes."""
+    df = spark.range(300).selectExpr("id AS doc_id",
+                                     "concat('doc ', id) AS text")
+
+    def shard0_order(path, salt):
+        S.write_shards(df, path, n_shards=4, key_col="doc_id",
+                       shuffle_salt=salt)
+        back = spark.read.parquet(path)
+        return [r["doc_id"] for r in
+                back.filter("shard = 0").toLocalIterator()]
+
+    a = shard0_order(str(tmp_path / "e1"), "epoch-1")
+    b = shard0_order(str(tmp_path / "e1b"), "epoch-1")
+    c = shard0_order(str(tmp_path / "e2"), "epoch-2")
+    assert a == b                       # reproducible
+    assert sorted(a) == sorted(c)       # same shard membership
+    assert a != c                       # different epoch order
+    assert a != sorted(a)               # actually shuffled
