@@ -387,6 +387,12 @@ def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
       repeated phrases)
     - ``token_entropy``: Shannon entropy (nats) of the token
       distribution — low entropy = keyword stuffing
+    - ``dup_line_fraction`` / ``dup_line_char_fraction``: the Gopher
+      repetition signals (Rae et al. Table A1) — the share of LINES
+      that repeat an earlier line, by count and by character mass
+      (boilerplate navigation/footer spam repeats whole lines; a line
+      occurring c times contributes c−1 duplicates and (c−1)·len
+      duplicated chars, i.e. total − distinct on raw newline splits)
 
     Entropy needs per-(doc, token) counts: one explode + two hash
     aggregates, all codegen; ratios are pure expressions."""
@@ -394,8 +400,18 @@ def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
 
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
+    lines = F.split(F.col(text_col), "\n")
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dist_chars = F.aggregate(dlines, F.lit(0), lambda a, l: a + F.length(l))
     base = df.select(
         F.col(id_col),
+        F.round((F.size(lines) - F.size(dlines))
+                / F.greatest(F.size(lines), F.lit(1)).cast("double"), 6)
+         .alias("dup_line_fraction"),
+        F.round((line_chars - dist_chars)
+                / F.greatest(line_chars, F.lit(1)).cast("double"), 6)
+         .alias("dup_line_char_fraction"),
         F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6)
          .alias("distinct_token_ratio"),
         F.when(n_tok >= 2,

@@ -366,10 +366,19 @@ FROM m
 
 ORACLE_TEXT_REPETITION = f"""
 WITH t AS (
-  SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents
+  SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n,
+         string_split(text, chr(10)) AS lines,
+         list_distinct(string_split(text, chr(10))) AS dlines
+  FROM documents
 ),
 base AS (
   SELECT doc_id,
+    round((len(lines) - len(dlines))::double
+          / greatest(len(lines), 1), 6) AS dup_line_fraction,
+    round((list_sum(list_transform(lines, l -> length(l)))
+           - list_sum(list_transform(dlines, l -> length(l))))::double
+          / greatest(list_sum(list_transform(lines, l -> length(l))), 1), 6)
+      AS dup_line_char_fraction,
     round(len(list_distinct(toks))::double / greatest(n, 1), 6) AS distinct_token_ratio,
     CASE WHEN n >= 2 THEN round(1 - len(list_distinct(
         list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])))::double
@@ -384,7 +393,8 @@ ent AS (
   SELECT doc_id, round(sum(-(c::double / n) * ln(c::double / n)), 6) AS token_entropy
   FROM tot GROUP BY doc_id
 )
-SELECT base.doc_id, distinct_token_ratio, rep_2gram, token_entropy
+SELECT base.doc_id, dup_line_fraction, dup_line_char_fraction,
+       distinct_token_ratio, rep_2gram, token_entropy
 FROM base JOIN ent ON base.doc_id = ent.doc_id
 """
 
@@ -416,6 +426,7 @@ SELECT q.doc_id, l.lang, l.pred_lang,
        g.g_word_count, g.g_mean_word_len, g.g_symbol_ratio,
        g.g_bullet_lines, g.g_ellipsis_lines, g.g_alpha_words,
        g.g_stopwords, g.gopher_pass,
+       r.dup_line_fraction, r.dup_line_char_fraction,
        r.distinct_token_ratio, r.rep_2gram, r.token_entropy
 FROM ({ORACLE_TEXT_QUALITY}) q
 JOIN ({_sql_lang_id()}) l ON q.doc_id = l.doc_id

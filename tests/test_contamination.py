@@ -174,3 +174,19 @@ def test_lm_quality_buckets_value_based_cuts(spark):
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
     # de: the tied pair covers 2/3 of docs -> both 'middle'; last 'tail'
     assert out[100] == out[101] == "middle" and out[102] == "tail"
+
+
+def test_dup_line_fractions(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+
+    rows = [(1, "alpha\nbeta\ngamma"),              # no dup lines
+            (2, "nav bar\nbody text here\nnav bar"),  # 1 of 3 repeats
+            (3, "x\nx\nx\nx")]                      # 3 of 4 repeat
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in T.repetition_features(df).collect()}
+    assert out[1]["dup_line_fraction"] == 0.0
+    assert abs(out[2]["dup_line_fraction"] - 1 / 3) < 1e-6
+    # doc 2: 7 of 28 line-chars are the repeated 'nav bar'
+    assert abs(out[2]["dup_line_char_fraction"] - 7 / 28) < 1e-6
+    assert out[3]["dup_line_fraction"] == 0.75
+    assert out[3]["dup_line_char_fraction"] == 0.75
