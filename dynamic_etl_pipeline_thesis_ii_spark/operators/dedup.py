@@ -311,18 +311,21 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     features rather than bag-of-words.
 
     ``key_blocks`` overrides the blocks-per-key count (default
-    ``n_blocks - max_hamming``, the completeness bound) — measurement
-    harnesses set ``max_hamming=64`` to count raw candidates and pass
-    ``key_blocks`` explicitly to pin the banding under test.
+    ``n_blocks - max_hamming``, the completeness bound, floored at 1
+    single-block keys when ``max_hamming >= n_blocks`` — candidate
+    recall is then banding-limited, the pre-generalization behavior;
+    raise ``n_blocks`` above ``max_hamming`` for a complete scheme).
+    Measurement harnesses set ``max_hamming=64`` to count raw
+    candidates and pass ``key_blocks`` explicitly to pin the banding
+    under test.
     """
     if not 2 <= n_blocks <= 64:
         raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
-    pick = n_blocks - max_hamming if key_blocks is None else key_blocks
+    pick = (max(1, n_blocks - max_hamming) if key_blocks is None
+            else key_blocks)
     if not 1 <= pick <= n_blocks:
         raise ValueError(
-            f"blocks per band key must be in [1, {n_blocks}], got {pick} "
-            f"(n_blocks={n_blocks}, max_hamming={max_hamming}; pass "
-            f"key_blocks explicitly when max_hamming >= n_blocks)")
+            f"key_blocks must be in [1, {n_blocks}], got {pick}")
     docs = simhash_fingerprints(df, text_col, id_col, k=shingle_k)
     # block b covers widths[b] bits starting at offsets[b] (LSB-first);
     # bands enumerate the (n_blocks - max_hamming)-block combinations in
@@ -464,6 +467,12 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
         nodes = {x for r in rows for x in (r[0], r[1])}
+        if not nodes:
+            # empty pair list (clean corpus): schemaless createDataFrame
+            # would raise CANNOT_INFER_EMPTY_SCHEMA — derive the typed
+            # empty frame from the pair schema instead
+            return pairs.select(F.col("id_a").alias("id"),
+                                F.col("id_a").alias("comp")).limit(0)
         spark = pairs.sparkSession
         return spark.createDataFrame(
             [(x, find(x)) for x in sorted(nodes)], ["id", "comp"])
@@ -524,10 +533,16 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     if score is None:
         drop = comp.filter(F.col("id") != F.col("comp")).select("id")
     else:
+        # collapse to one score per clustered id BEFORE ranking: a score
+        # frame with duplicate ids (e.g. built by a fanning-out join)
+        # would otherwise rank the same id twice and the rn>1 copy would
+        # drop the cluster WINNER too; max() makes the collapse
+        # deterministic
+        scored = (comp.join(score, "id", "left")
+                  .groupBy("id", "comp").agg(F.max("score").alias("score")))
         w = Window.partitionBy("comp").orderBy(
             F.col("score").desc_nulls_last(), F.col("id").asc())
-        drop = (comp.join(score, "id", "left")
-                .withColumn("__rn", F.row_number().over(w))
+        drop = (scored.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") > 1).select("id"))
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
 

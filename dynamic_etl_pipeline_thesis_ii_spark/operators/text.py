@@ -36,10 +36,20 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
 
 
+def word_list_hits(toks: Column, words: list[str]) -> Column:
+    """Count of DISTINCT words from ``words`` present in ``toks``."""
+    return F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
-    toks = tokens(col)
-    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-    return F.size(F.array_intersect(F.array_distinct(toks), stops))
+    return word_list_hits(tokens(col), LANG_STOPWORDS[lang])
+
+
+def mean_word_len(toks: Column) -> Column:
+    """Unrounded mean token length (callers round per their contract)."""
+    return (F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"))
 
 
 def quality_features(col: Column) -> dict[str, Column]:
@@ -51,9 +61,7 @@ def quality_features(col: Column) -> dict[str, Column]:
     n_tokens = F.size(toks)
     n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
     punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
-    mean_word_len = F.round(
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-        / F.greatest(n_tokens, F.lit(1)).cast("double"), 6)
+    mean_wl = F.round(mean_word_len(toks), 6)
     stop_ratio = F.round(
         stopword_hits(col, "en").cast("double") / F.lit(len(LANG_STOPWORDS["en"])), 6)
     score = F.round(
@@ -64,7 +72,7 @@ def quality_features(col: Column) -> dict[str, Column]:
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
         "punct_ratio": punct_ratio,
-        "mean_word_len": mean_word_len,
+        "mean_word_len": mean_wl,
         "stopword_ratio": stop_ratio,
         "quality_score": score,
     }
@@ -90,8 +98,7 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     toks = tokens(col)
     n_tok = F.size(toks)
     n_tok_d = F.greatest(n_tok, F.lit(1)).cast("double")
-    mean_wl = (F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
-               / n_tok_d)
+    mean_wl = mean_word_len(toks)
     n_symbol = (F.regexp_count(col, F.lit("#"))
                 + F.regexp_count(col, F.lit(r"\.\.\."))
                 + F.regexp_count(col, F.lit("…")))
@@ -100,8 +107,7 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
     n_ell_end = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stops = F.size(F.array_intersect(
-        F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    stops = word_list_hits(toks, GOPHER_STOPWORDS)
     rules = {
         "g_word_count": (n_tok >= 50) & (n_tok <= 100_000),
         "g_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
@@ -325,7 +331,7 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def lm_quality_buckets(scores, score_col: str = "mean_logprob",
-                       group_col: str | None = None, id_col: str = "id",
+                       group_col: str | None = None,
                        cuts: tuple[float, float] = (1 / 3, 2 / 3)):
     """CCNet-style head/middle/tail quality split: rank documents by an
     LM score (:func:`unigram_logprob`'s ``mean_logprob``) and cut at

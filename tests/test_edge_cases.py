@@ -122,6 +122,31 @@ def test_dedup_by_components_quality_keep(spark):
     assert kept == {3, 10, 21, 99}
 
 
+def test_dedup_by_components_score_fanout_safe(spark):
+    """Duplicate ids in the score frame (a fanned-out join upstream)
+    must not rank an id against itself and drop the cluster winner."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    score = spark.createDataFrame(
+        [(1, 0.9), (1, 0.9), (2, 0.5)], ["id", "score"])
+    kept = {r["doc_id"] for r in
+            D.dedup_by_components(docs, pairs, score=score).collect()}
+    assert kept == {1}
+
+
+def test_dedup_by_components_empty_pairs(spark):
+    """Zero near-dup candidates (a clean corpus) passes everything
+    through instead of crashing on an un-inferable empty frame."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2, 3)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    for score in (None, docs.selectExpr("doc_id AS id", "1.0 AS score")):
+        kept = {r["doc_id"] for r in
+                D.dedup_by_components(docs, pairs, score=score).collect()}
+        assert kept == {1, 2, 3}
+
+
 def test_null_text_produces_zero_shingles_not_a_crash(spark):
     """A 100 TB corpus has null text rows; every shingle-based operator
     must treat them as zero-shingle docs, not fail the job (the JVM

@@ -233,7 +233,11 @@ def test_simhash_wide_banding_same_pairs_fewer_candidates(spark, sf_dir):
     with pytest.raises(ValueError):
         simhash_pairs(corpus, n_blocks=1)
     with pytest.raises(ValueError):
-        simhash_pairs(corpus, max_hamming=64)  # needs explicit key_blocks
+        simhash_pairs(corpus, key_blocks=0)
+    # max_hamming >= n_blocks floors to single-block keys (banding-
+    # limited recall, the pre-generalization behavior), not an error
+    assert simhash_pairs(corpus, max_hamming=64).columns == [
+        "id_a", "id_b", "hamming"]
 
 
 def test_lsh_multiprobe_recall(spark, sf_dir):
