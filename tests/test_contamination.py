@@ -190,3 +190,29 @@ def test_dup_line_fractions(spark):
     assert abs(out[2]["dup_line_char_fraction"] - 7 / 28) < 1e-6
     assert out[3]["dup_line_fraction"] == 0.75
     assert out[3]["dup_line_char_fraction"] == 0.75
+
+
+def test_lm_buckets_monotone_and_exhaustive(spark):
+    """Invariant sweep on a seeded random score table: buckets
+    partition every group, and scores are strictly ordered ACROSS
+    buckets (ties always share a bucket by construction)."""
+    import random
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice(["en", "de", "fr"]),
+             round(rng.uniform(-8.0, -2.0), 2))   # 2dp -> plenty of ties
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id int, lang string, mean_logprob double")
+    out = T.lm_quality_buckets(df, group_col="lang").collect()
+    assert len(out) == 600
+    by = {}
+    for r in out:
+        by.setdefault((r["lang"], r["lm_bucket"]), []).append(r["mean_logprob"])
+    for lang in ("en", "de", "fr"):
+        head = by.get((lang, "head"), [])
+        mid = by.get((lang, "middle"), [])
+        tail = by.get((lang, "tail"), [])
+        assert head and mid and tail
+        assert min(head) > max(mid) and min(mid) > max(tail)
