@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 from typing import Mapping, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import SQL_HASH32, hash32
@@ -95,3 +95,55 @@ def rebalance_mix(df: DataFrame, strata_col: str,
              for g, share in target_shares.items()}
     return stratified_hash_sample(df, strata_col, rates, key_col,
                                   default_rate=0.0, salt=salt, mod=mod)
+
+
+def select_token_budget(df: DataFrame, budget: int,
+                        score_col: str, tokens_col: str,
+                        group_col: Optional[str] = None) -> DataFrame:
+    """Keep the highest-``score_col`` documents whose cumulative
+    ``tokens_col`` fits ``budget`` — the data-constrained-scaling
+    selection step ("give me the best N tokens"), per ``group_col``
+    when given (each group gets its own budget).
+
+    No global sort: scores are rounded upstream (4-6 dp), so documents
+    aggregate to a COMPACT (group, score) value table; a window over
+    that small table computes each value's cumulative token count in
+    score-descending order, and the kept-value set broadcasts back as a
+    semi-join. Documents sharing a score value are kept or dropped
+    TOGETHER (value-based cut — deterministic, engine-exact, may
+    undershoot the budget by up to one value clump rather than split a
+    tie arbitrarily)."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    g = F.col(group_col) if group_col else F.lit("(all)")
+    s = df.withColumn("__g", g)
+    vals = (s.groupBy("__g", score_col)
+            .agg(F.sum(tokens_col).alias("__t")))
+    w = Window.partitionBy("__g").orderBy(F.col(score_col).desc())
+    kept_vals = (vals.withColumn("__cum", F.sum("__t").over(w))
+                 .filter(F.col("__cum") <= budget)
+                 .select("__g", score_col))
+    return (s.join(F.broadcast(kept_vals), ["__g", score_col], "left_semi")
+            .drop("__g"))
+
+
+def SQL_SELECT_TOKEN_BUDGET(rows_cte: str, budget: int,
+                            score: str, tokens: str,
+                            group: Optional[str] = None) -> str:
+    """DuckDB twin of :func:`select_token_budget`: same value-table
+    cumulative cut. ``rows_cte`` names a CTE holding the docs; ``group``
+    is a column name of that CTE (or ``None`` for one global budget).
+    Returns a SELECT of the CTE's rows surviving the budget."""
+    gexpr = group if group else "'(all)'"
+    join_g = f"r.{group} = k.g" if group else "TRUE"
+    return f"""
+SELECT r.* FROM {rows_cte} r
+SEMI JOIN (
+  SELECT g, {score} FROM (
+    SELECT g, {score},
+           sum(t) OVER (PARTITION BY g ORDER BY {score} DESC) AS cum
+    FROM (SELECT {gexpr} AS g, {score}, sum({tokens}) AS t
+          FROM {rows_cte} GROUP BY 1, 2))
+  WHERE cum <= {budget}
+) k ON {join_g} AND r.{score} = k.{score}
+"""

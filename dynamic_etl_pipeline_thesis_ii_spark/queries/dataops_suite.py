@@ -821,11 +821,25 @@ def q_sample_pack_chunks(spark, sf_dir):
     return PK.pack_chunks(docs, budget=2000, n_buckets=8)
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Data-constrained selection (SM4): keep the best-quality docs per
+    language until a 20k-token budget fills — value-table cumulative
+    cut, no global sort."""
+    docs = Catalog(spark, sf_dir).documents
+    feats = T.quality_features(F.col("text"))
+    scored = docs.select("doc_id", "lang",
+                         feats["quality_score"].alias("q"),
+                         feats["n_tokens"].alias("n_tokens"))
+    return SA.select_token_budget(scored, budget=20_000, score_col="q",
+                                  tokens_col="n_tokens", group_col="lang")
+
+
 def q_sample_deterministic(spark, sf_dir):
     """Stratified hash sampling + domain-mix rebalancing + token-budget
-    packing as one tagged union (SM2+SM3+PK1); each branch is the
-    unchanged single-op pipeline. ``val`` carries the pack branch's
-    token offset (null on the sampling branches)."""
+    packing + per-language token-budget selection as one tagged union
+    (SM2+SM3+PK1+SM4); each branch is the unchanged single-op pipeline.
+    ``val`` carries the pack branch's token offset and the budget
+    branch's token count (null on the sampling branches)."""
     null_val = F.lit(None).cast("long").alias("val")
     st = (q_sample_stratified(spark, sf_dir)
           .select(F.lit("stratified").alias("tag"), "doc_id",
@@ -838,7 +852,23 @@ def q_sample_deterministic(spark, sf_dir):
                   F.format_string("b%d/c%d", "bucket", "chunk")
                   .alias("stratum"),
                   F.col("offset").alias("val")))
-    return st.unionByName(mx).unionByName(pk)
+    bg = (q_sample_token_budget(spark, sf_dir)
+          .select(F.lit("budget").alias("tag"), "doc_id",
+                  F.col("lang").alias("stratum"),
+                  F.col("n_tokens").alias("val")))
+    return st.unionByName(mx).unionByName(pk).unionByName(bg)
+
+
+def _sql_sample_token_budget() -> str:
+    budget_sel = SA.SQL_SELECT_TOKEN_BUDGET(
+        "rows0", 20_000, score="q", tokens="n_tokens", group="lang")
+    return f"""
+WITH rows0 AS (
+  SELECT q.doc_id, d.lang, q.quality_score AS q, q.n_tokens
+  FROM ({ORACLE_TEXT_QUALITY}) q JOIN documents d ON q.doc_id = d.doc_id
+)
+{budget_sel}
+"""
 
 
 def _sql_sample_deterministic() -> str:
@@ -852,6 +882,9 @@ FROM ({_sql_sample_mix_rebalance()})
 UNION ALL
 SELECT 'pack', id, printf('b%d/c%d', bucket, chunk), "offset"
 FROM ({PK.SQL_PACK_CHUNKS(budget=2000, n_buckets=8)})
+UNION ALL
+SELECT 'budget', doc_id, lang, n_tokens
+FROM ({_sql_sample_token_budget()})
 """
 
 

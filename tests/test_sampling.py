@@ -167,3 +167,32 @@ def test_text_stats_ops_on_empty_frame(spark):
     assert tfidf_top_terms(empty).count() == 0
     assert vocab_oov(empty).count() == 0
     assert unigram_logprob(empty).count() == 0
+
+
+def test_select_token_budget_value_cut(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
+
+    rows = [  # (id, group, score, tokens)
+        (1, "en", 0.9, 50), (2, "en", 0.8, 40), (3, "en", 0.7, 30),
+        (4, "en", 0.6, 100),
+        (10, "de", 0.9, 60), (11, "de", 0.9, 60), (12, "de", 0.5, 10),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, q double, t long")
+
+    def kept(budget, group="g"):
+        return {r["id"] for r in
+                SA.select_token_budget(df, budget, score_col="q",
+                                       tokens_col="t",
+                                       group_col=group).collect()}
+
+    # en: cumulative 50/90/120/220 -> budget 120 keeps top 3;
+    # de: the 0.9 tie clump is one value (120 tokens) -> kept whole,
+    #     then 0.5 would reach 130 > 120 -> dropped
+    assert kept(120) == {1, 2, 3, 10, 11}
+    assert kept(130) == {1, 2, 3, 10, 11, 12}
+    # budget 100: en keeps 50+40; de tie clump of 120 exceeds -> whole
+    # clump dropped (value-based cut never splits ties)
+    assert kept(100) == {1, 2}
+    assert kept(0) == set()
+    # global budget (no groups): strictly best-first across the corpus
+    assert kept(170, group=None) == {1, 10, 11}  # 0.9-clump = 170 tokens
