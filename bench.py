@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_neardup_pairs",
     "ann_topk",
     "text_metrics",
+    "text_corpus_stats",       # vocab/OOV + LM score + CCNet buckets
+    "sample_deterministic",    # stratified/mix/packing/token-budget
     # integration engine
     "union_schema_match",
     "simjoin_matches_topk",
