@@ -31,7 +31,9 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one representative per operator family (full suite via
-# BENCH_ALL=1). Kept stable across rounds for comparability.
+# BENCH_ALL=1). Existing entries are kept stable across rounds; new
+# entries are appended as new families land, so compare per-query
+# timings (the stable unit), not the headline total, across rounds.
 HEADLINE = [
     # relational core
     "pricing_summary",

@@ -97,6 +97,34 @@ def rebalance_mix(df: DataFrame, strata_col: str,
                                   default_rate=0.0, salt=salt, mod=mod)
 
 
+def cumulative_value_table(df: DataFrame, score_col: str,
+                           group_col: Optional[str],
+                           weight_col: Optional[str] = None,
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Shared skeleton of the value-based cut operators
+    (:func:`select_token_budget`, ``text.lm_quality_buckets``):
+    synthesize the group key, aggregate to the COMPACT (group, score)
+    value table (scores are rounded upstream, so distinct values are
+    bounded far below the row count) and window each value's
+    score-descending cumulative weight (row count, or ``weight_col``'s
+    sum). Returns ``(rows, vals)``: the input with its ``__g`` column,
+    and the value table with ``__cum`` / group-total ``__n``.
+
+    Rows with a NULL group or NULL score cannot be ranked: they carry
+    no usable (group, score) key and fall out of the equality join
+    every consumer performs — i.e. they are EXCLUDED from cut results.
+    Filter or impute upstream if they must survive."""
+    g = F.col(group_col) if group_col else F.lit("(all)")
+    s = df.withColumn("__g", g)
+    weight = (F.count(F.lit(1)) if weight_col is None
+              else F.sum(weight_col))
+    vals = s.groupBy("__g", score_col).agg(weight.alias("__w"))
+    w = Window.partitionBy("__g").orderBy(F.col(score_col).desc())
+    vals = (vals.withColumn("__cum", F.sum("__w").over(w))
+            .withColumn("__n", F.sum("__w").over(Window.partitionBy("__g"))))
+    return s, vals
+
+
 def select_token_budget(df: DataFrame, budget: int,
                         score_col: str, tokens_col: str,
                         group_col: Optional[str] = None) -> DataFrame:
@@ -112,17 +140,13 @@ def select_token_budget(df: DataFrame, budget: int,
     semi-join. Documents sharing a score value are kept or dropped
     TOGETHER (value-based cut — deterministic, engine-exact, may
     undershoot the budget by up to one value clump rather than split a
-    tie arbitrarily)."""
+    tie arbitrarily). Rows with a NULL group or score are excluded
+    (see :func:`cumulative_value_table`)."""
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
-    g = F.col(group_col) if group_col else F.lit("(all)")
-    s = df.withColumn("__g", g)
-    vals = (s.groupBy("__g", score_col)
-            .agg(F.sum(tokens_col).alias("__t")))
-    w = Window.partitionBy("__g").orderBy(F.col(score_col).desc())
-    kept_vals = (vals.withColumn("__cum", F.sum("__t").over(w))
-                 .filter(F.col("__cum") <= budget)
-                 .select("__g", score_col))
+    s, vals = cumulative_value_table(df, score_col, group_col,
+                                     weight_col=tokens_col)
+    kept_vals = vals.filter(F.col("__cum") <= budget).select("__g", score_col)
     return (s.join(F.broadcast(kept_vals), ["__g", score_col], "left_semi")
             .drop("__g"))
 

@@ -347,16 +347,14 @@ def lm_quality_buckets(scores, score_col: str = "mean_logprob",
     a score share a bucket (value-based cut — deterministic, no
     tie-break ambiguity); a doc lands in 'head' when the fraction of
     docs scoring >= its value is <= cuts[0], 'middle' through cuts[1],
-    else 'tail'."""
-    g = F.col(group_col) if group_col else F.lit("(all)")
-    s = scores.withColumn("__g", g)
-    vals = s.groupBy("__g", score_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.partitionBy("__g").orderBy(F.col(score_col).desc())
-    vals = (vals.withColumn("__cum", F.sum("__c").over(w))
-            .withColumn("__n", F.sum("__c").over(Window.partitionBy("__g")))
-            .withColumn("__cf", F.col("__cum") / F.col("__n")))
-    bucket = (F.when(F.col("__cf") <= cuts[0], "head")
-              .when(F.col("__cf") <= cuts[1], "middle")
+    else 'tail'. Docs with a NULL group or score are excluded (see
+    :func:`~.sampling.cumulative_value_table`)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        cumulative_value_table)
+    s, vals = cumulative_value_table(scores, score_col, group_col)
+    cf = F.col("__cum") / F.col("__n")
+    bucket = (F.when(cf <= cuts[0], "head")
+              .when(cf <= cuts[1], "middle")
               .otherwise("tail"))
     cutmap = vals.select("__g", score_col, bucket.alias("lm_bucket"))
     return (s.join(F.broadcast(cutmap), ["__g", score_col])

@@ -827,9 +827,12 @@ def q_sample_token_budget(spark, sf_dir):
     cut, no global sort."""
     docs = Catalog(spark, sf_dir).documents
     feats = T.quality_features(F.col("text"))
+    # the selection references its input twice (value table + semi-join
+    # left side) — persist the scored frame so the text featurization
+    # runs once, same convention as corpus_curation's shared frame
     scored = docs.select("doc_id", "lang",
                          feats["quality_score"].alias("q"),
-                         feats["n_tokens"].alias("n_tokens"))
+                         feats["n_tokens"].alias("n_tokens")).persist()
     return SA.select_token_budget(scored, budget=20_000, score_col="q",
                                   tokens_col="n_tokens", group_col="lang")
 
