@@ -658,6 +658,19 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 # incremental dedup (new batch vs corpus snapshot)
 # ---------------------------------------------------------------------------
 
+def _content_key(text_col: str) -> Column:
+    """Content hash of normalized text, with null text coalesced to ''
+    FIRST — the one key definition shared by :func:`content_keys`,
+    :func:`snapshot_fresh` and the streaming path. A null-text doc must
+    hash to a real key, not NULL: a NULL key never matches in the
+    anti-join (so empty docs would re-ingest every batch) while still
+    grouping together in the min-id window (collapsing distinct
+    null-text docs) — the '' coalesce makes both paths treat all
+    empty/null docs as exact duplicates of one another, consistent with
+    :func:`shingle_rows`'s null handling."""
+    return hash32(normalize_text(F.coalesce(F.col(text_col), F.lit(""))))
+
+
 def content_keys(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, key) content-hash rows — the snapshot a corpus maintains
@@ -665,7 +678,7 @@ def content_keys(df: DataFrame, text_col: str = "text",
     without rereading the corpus. Persist this (one long per doc) and
     feed it back as ``seen`` in :func:`incremental_exact`."""
     return df.select(F.col(id_col).alias("id"),
-                     hash32(normalize_text(F.col(text_col))).alias("key"))
+                     _content_key(text_col).alias("key"))
 
 
 def snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
@@ -677,7 +690,7 @@ def snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
     (``streaming.ops.streaming_incremental_dedup``) paths — the two
     must never diverge on the key or the snapshots they write/read
     stop interoperating."""
-    keyed = new_docs.withColumn("__k", hash32(normalize_text(F.col(text_col))))
+    keyed = new_docs.withColumn("__k", _content_key(text_col))
     return keyed.join(seen.select(F.col("key").alias("__k")).distinct(),
                       "__k", "left_anti")
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
-    SQL_HASH32, SQL_NORMALIZE, hash32,
+    SQL_HASH32, SQL_NORMALIZE, hash32, normalize_text,
 )
 from dynamic_etl_pipeline_thesis_ii_spark.operators.text import token_count
 
@@ -52,10 +52,15 @@ def pack_chunks(df: DataFrame, budget: int, id_col: str = "doc_id",
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     ident = F.col(id_col)
     # null text (or null precomputed count) packs as a zero-length doc,
-    # not a NULL that would poison the cumulative offsets
-    n_tok = F.coalesce(
-        (F.col(tokens_col) if tokens_col
-         else token_count(F.col(text_col))).cast("long"), F.lit(0))
+    # not a NULL that would poison the cumulative offsets; empty
+    # (non-null) text is ALSO zero tokens — split('', ' ') yields ['']
+    # and would otherwise charge one phantom token per empty doc
+    if tokens_col:
+        raw = F.col(tokens_col)
+    else:
+        raw = F.when(F.length(normalize_text(F.col(text_col))) == 0,
+                     F.lit(0)).otherwise(token_count(F.col(text_col)))
+    n_tok = F.coalesce(raw.cast("long"), F.lit(0))
     h = hash32(F.concat(ident.cast("string"), F.lit(salt)))
     base = df.select(ident.alias("id"), n_tok.alias("n_tokens"),
                      (h % n_buckets).alias("bucket"), h.alias("__h"))
@@ -75,8 +80,10 @@ def SQL_PACK_CHUNKS(budget: int, n_buckets: int = 8,
     """DuckDB twin of :func:`pack_chunks` (same hash, same order, same
     offset arithmetic)."""
     h = SQL_HASH32.format(x=f"({id_col})::VARCHAR || '{salt}'")
-    ntok = (f"coalesce(len(string_split("
-            f"{SQL_NORMALIZE.format(x=text_col)}, ' ')), 0)")
+    norm = SQL_NORMALIZE.format(x=text_col)
+    # empty normalized text = 0 tokens (same guard as pack_chunks)
+    ntok = (f"(CASE WHEN length({norm}) = 0 THEN 0 "
+            f"ELSE coalesce(len(string_split({norm}, ' ')), 0) END)")
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {ntok}::BIGINT AS n_tokens,

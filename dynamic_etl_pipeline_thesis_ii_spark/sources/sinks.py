@@ -173,15 +173,21 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
                  if_exists: str = "replace",
                  shuffle_salt: Optional[str] = None) -> dict:
     """Balanced shard writer for curated training corpora: exactly
-    ``n_shards`` output partitions, each a deterministic hash slice of
-    ``key_col`` — re-running the job reproduces the same doc→shard
-    assignment, and downstream loaders can address shards individually.
+    ``n_shards`` output shard DIRECTORIES (``shard=0..n-1`` via
+    ``partitionBy``), each a deterministic hash slice of ``key_col`` —
+    re-running the job reproduces the same doc→shard assignment, and
+    downstream loaders can address shards individually.
 
     Scale design: one round-robin-free `repartition(n_shards, shard)`
     shuffle keyed on the md5-derived shard id (uniform — no skewed
     shards even when ``key_col`` values cluster), optionally capped by
     ``maxRecordsPerFile`` so a hot shard still splits into
-    loader-friendly files. The shard id is persisted as a column so a
+    loader-friendly files. Note ``repartition`` HASH-partitions the
+    shard id, so distinct shard values can collide into one Spark task
+    (leaving others empty): directory placement stays exact, but writer
+    parallelism is ≤ ``n_shards``, not pinned to it — acceptable
+    because the write is one pass and ``partitionBy`` splits files per
+    directory regardless. The shard id is persisted as a column so a
     reader can verify placement without re-hashing.
 
     ``shuffle_salt`` additionally orders rows WITHIN each shard by the

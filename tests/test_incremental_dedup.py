@@ -94,3 +94,76 @@ def test_snapshot_roundtrip_through_parquet(spark, corpus, tmp_path):
              for r in D.incremental_neardup_pairs(batch, bands,
                                                   k=2).collect()}
     assert (30, 1) in pairs
+
+
+def test_null_and_empty_text_get_real_content_keys(spark, corpus):
+    """Null/empty text must hash to a REAL key ('' after coalesce), not
+    NULL: a NULL key never matches the snapshot anti-join, so empty docs
+    would re-ingest every batch while still collapsing inside the batch
+    window — the inconsistent half-dedup ADVICE flagged."""
+    batch0 = spark.createDataFrame([(60, None), (61, "")], DOC_SCHEMA)
+    keys = D.content_keys(batch0).collect()
+    assert all(r["key"] is not None for r in keys)
+    # null and empty normalize to the same content -> same key
+    assert len({r["key"] for r in keys}) == 1
+
+    # in-batch: all empty/null docs are exact dups of one another
+    kept0 = {r["doc_id"]
+             for r in D.incremental_exact(batch0,
+                                          D.content_keys(corpus)).collect()}
+    assert kept0 == {60}
+
+    # cross-batch: once an empty doc is in the snapshot, later empty
+    # docs are dropped (previously they leaked through forever)
+    seen = D.content_keys(corpus).unionByName(
+        D.content_keys(batch0.limit(1)))
+    batch1 = spark.createDataFrame([(70, None), (71, "fresh text")],
+                                   DOC_SCHEMA)
+    kept1 = {r["doc_id"] for r in D.incremental_exact(batch1, seen).collect()}
+    assert kept1 == {71}
+
+
+def test_multi_epoch_ingest_grows_snapshot(spark, corpus, tmp_path):
+    """Full operational cycle over three epochs: build the snapshot at
+    T0, ingest a batch at T1 (dedup + append the survivors' keys/bands
+    via append_new_keys), then ingest at T2 against the GROWN snapshot —
+    T2 must see T1's documents, both exactly and via the band table."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        append_new_keys,
+    )
+    keys_path = str(tmp_path / "keys")
+    bands_path = str(tmp_path / "bands")
+    append_new_keys(D.content_keys(corpus), keys_path, ["id"])
+    append_new_keys(D.minhash_band_keys(corpus, k=2), bands_path, ["id"])
+
+    # T1: one dup of corpus doc 1, one genuinely new doc
+    batch1 = spark.createDataFrame([
+        (40, "alpha beta gamma delta epsilon zeta"),
+        (41, "brand new tee one document body here"),
+    ], DOC_SCHEMA)
+    kept1 = D.incremental_exact(batch1, spark.read.parquet(keys_path))
+    assert {r["doc_id"] for r in kept1.collect()} == {41}
+    append_new_keys(D.content_keys(kept1), keys_path, ["id"])
+    append_new_keys(D.minhash_band_keys(kept1, k=2), bands_path, ["id"])
+
+    # T2: exact dup of the T1 doc, near-dup of the T1 doc, fresh doc
+    batch2 = spark.createDataFrame([
+        (50, "brand new tee one document body here"),
+        (51, "brand new tee one document body here with a tail"),
+        (52, "entirely fresh tee two content words"),
+    ], DOC_SCHEMA)
+    seen2 = spark.read.parquet(keys_path)
+    kept2 = {r["doc_id"]
+             for r in D.incremental_exact(batch2, seen2).collect()}
+    assert kept2 == {51, 52}
+    pairs = {(r["id_new"], r["id_seen"])
+             for r in D.incremental_neardup_pairs(
+                 batch2, spark.read.parquet(bands_path), k=2).collect()}
+    assert (51, 41) in pairs            # T2 sees the T1 doc
+    assert (50, 41) in pairs            # the exact dup collides too
+    assert all(idn != 52 for idn, _ in pairs)
+
+    # idempotence: re-appending the same survivors adds no rows
+    n_before = spark.read.parquet(keys_path).count()
+    append_new_keys(D.content_keys(kept1), keys_path, ["id"])
+    assert spark.read.parquet(keys_path).count() == n_before

@@ -93,3 +93,18 @@ def test_null_text_packs_as_zero_tokens(spark):
     assert rows[2]["n_tokens"] == 0
     total = sum(r["n_tokens"] for r in rows.values())
     assert max(r["offset"] + r["n_tokens"] for r in rows.values()) == total
+
+
+def test_empty_text_packs_as_zero_tokens(spark):
+    """Empty (non-null) text is 0 tokens, same as null — split('', ' ')
+    yields [''] and previously charged one phantom token per empty doc,
+    inflating offsets and chunk fill stats."""
+    df = spark.createDataFrame([(1, "a b c"), (2, ""), (3, "   "),
+                                (4, "d e")], DOC_SCHEMA)
+    rows = {r["id"]: r for r in PK.pack_chunks(df, budget=4,
+                                               n_buckets=1).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["n_tokens"] == 0     # whitespace-only normalizes to ''
+    total = sum(r["n_tokens"] for r in rows.values())
+    assert total == 5
+    assert max(r["offset"] + r["n_tokens"] for r in rows.values()) == total
