@@ -75,16 +75,17 @@ def scale_probe(spark, factors: list[int]) -> dict:
 
     Expected shapes: jaccard exactly linear (df-capped shingle
     blocking), minhash ~linear (band-signature collisions), simhash
-    (default 4x16-bit banding) superlinear-but-bounded — 16-bit band
-    keys have a chance-collision term ~N²/2^16 that the max_bucket cap
-    truncates once buckets saturate; simhash_wide (the corpus-scale
-    n_blocks=6 banding, ~32-bit keys) must stay ~linear — the chance
-    term drops to ~N²/2^32. contam (corpus
-    vs fixed benchmark set) must show FLAT candidate counts and wall
-    time — the replicas are word-salted so only the unsalted replica
-    overlaps the fixed bench set, and the broadcast probe never
-    shuffles the corpus; pack's rows out = docs in, exactly linear
-    (one windowed scan)."""
+    (the DEFAULT n_blocks=6 Manku banding as invoked by the query
+    suite, ~32-bit keys) ~linear — the chance-collision term is
+    ~N²/2^32; simhash_narrow (the opt-in 4x16-bit small-corpus fast
+    path) superlinear-but-bounded — 16-bit band keys have a
+    chance-collision term ~N²/2^16 that the max_bucket cap truncates
+    once buckets saturate, which is exactly why it is no longer the
+    default. contam (corpus vs fixed benchmark set) must show FLAT
+    candidate counts and wall time — the replicas are word-salted so
+    only the unsalted replica overlaps the fixed bench set, and the
+    broadcast probe never shuffles the corpus; pack's rows out = docs
+    in, exactly linear (one windowed scan)."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
@@ -98,10 +99,14 @@ def scale_probe(spark, factors: list[int]) -> dict:
     bench_set = base.filter(F.col("doc_id") % 13 == 0).persist()
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),
+        # max_hamming=64 disables verification to expose the candidate
+        # stage; key_blocks pins the banding under test (the floor rule
+        # would otherwise degrade 64-hamming runs to single-block keys)
         "simhash": lambda d: D.simhash_pairs(d, max_hamming=64,
-                                             key_blocks=1),
-        "simhash_wide": lambda d: D.simhash_pairs(d, max_hamming=64,
-                                                  n_blocks=6, key_blocks=3),
+                                             n_blocks=6, key_blocks=3),
+        "simhash_narrow": lambda d: D.simhash_pairs(d, max_hamming=64,
+                                                    n_blocks=4,
+                                                    key_blocks=1),
         "jaccard": lambda d: D.jaccard_pairs(d, threshold=0.0),
         "contam": lambda d: D.contamination_pairs(d, bench_set, k=5,
                                                   min_overlap=1),
@@ -171,8 +176,12 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALE", "1") != "0":
+        # 1/4/16: the 4x tier caught the narrow-simhash superlinearity
+        # in r5; the 16x tier (~88k docs at sf0.1) probes the
+        # saturation points of the jaccard df-cap and minhash band caps
+        # that a 4x corpus cannot reach
         factors = [int(x) for x in
-                   os.environ.get("BENCH_SCALE_FACTORS", "1,2,4").split(",")]
+                   os.environ.get("BENCH_SCALE_FACTORS", "1,4,16").split(",")]
         probe = scale_probe(spark, factors)
         for m, rows in probe.items():
             print(f"# scale_probe {m}: " + "  ".join(

@@ -280,7 +280,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_k: int = 2,
                   max_bucket: int | None = 2000,
-                  n_blocks: int = 4,
+                  n_blocks: int = 6,
                   key_blocks: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash with banded blocking (Manku et al.,
     "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
@@ -290,15 +290,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     blocks, so some band key matches exactly (pigeonhole) and the join
     stays an equi-join on (band, key), never a quadratic pair scan.
 
-    ``n_blocks`` trades band-table size against random-collision rate:
-    the default 4 (four bands keyed on one 16-bit block each) is the
-    cheapest complete scheme, but unrelated fingerprints collide on a
-    16-bit key at rate 2^-16 — a quadratic candidate term that
-    dominates beyond ~10M docs. ``n_blocks=6`` (C(6,3)=20 bands keyed
-    on three blocks, ~32-bit keys) cuts the random rate to ~2^-32 for
-    5x the band-table rows — the setting to use at corpus scale. Any
-    complete scheme returns the SAME final pair set (candidates are
-    exact-hamming verified); only the candidate volume differs.
+    ``n_blocks`` trades band-table size against random-collision rate.
+    The DEFAULT is 6 (C(6,3)=20 bands keyed on three blocks, ~32-bit
+    keys): unrelated fingerprints collide at rate ~2^-32, so the
+    candidate stage stays ~linear in the corpus — bench.py's
+    scale_probe measured 168→331→697 candidates at 1×/2×/4× docs.
+    ``n_blocks=4`` (four bands keyed on one 16-bit block each) is the
+    cheapest complete scheme — 4 band rows/doc instead of 20 — but its
+    2^-16 chance-collision term is quadratic (probe: 1,588→17,271 at
+    4× docs) and dominates beyond ~10M docs; use it only as a
+    small-corpus fast path. Any complete scheme returns the SAME final
+    pair set (candidates are exact-hamming verified); only the
+    candidate volume differs.
 
     ``max_bucket`` drops (band, key) buckets above the cap — the same
     hot-bucket guard as :func:`minhash_lsh_pairs` (``None`` disables).

@@ -11,6 +11,8 @@ All hashing is md5-derived integer arithmetic → bit-exact parity.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,13 +121,22 @@ FROM capped a JOIN capped b ON a.band = b.band AND a.slc = b.slc AND a.id < b.id
 
 
 def q_dedup_simhash(spark, sf_dir):
+    # default banding = the corpus-scale n_blocks=6 Manku scheme (the
+    # scale_probe-verified linear path); the oracle mirrors the same
+    # 20-band/3-block combinatorics below
     return D.simhash_pairs(_neardup_corpus(spark, sf_dir), max_hamming=3)
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(n_blocks: int = 6, max_hamming: int = 3,
+                 max_bucket: int = 2000) -> str:
     # Mirrors simhash_fingerprints: unnest once, md5 once per shingle,
     # 64 conditional-sum bit counters in one GROUP BY. Bigram shingles
-    # in lockstep with simhash_pairs' shingle_k=2 default.
+    # in lockstep with simhash_pairs' shingle_k=2 default. The banding
+    # arms are generated from the SAME combinatorics as simhash_pairs
+    # (itertools.combinations over n_blocks, pick = n_blocks -
+    # max_hamming, LSB-first block widths with the remainder on the
+    # first blocks) so candidate sets — not just verified pairs —
+    # match the engine bit-for-bit.
     sh = D.SQL_WORD_SHINGLES("text", 2)
     hlo = _H32.format(x="s")
     hhi = "(('0x' || substr(md5(s), 9, 8))::bigint)"
@@ -137,6 +148,22 @@ def _sql_simhash() -> str:
         + ("-9223372036854775807 - 1" if j == 63 else f"(1::BIGINT << {j})")
         + " ELSE 0 END"
         for j in range(64))
+    pick = max(1, n_blocks - max_hamming)
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block_sql(b: int) -> str:
+        return f"((sim >> {offsets[b]}) & {(1 << widths[b]) - 1})"
+
+    arms = []
+    for i, combo in enumerate(combinations(range(n_blocks), pick)):
+        key = None
+        for b in combo:
+            key = block_sql(b) if key is None else \
+                f"(({key} << {widths[b]}) | {block_sql(b)})"
+        arms.append(f"SELECT id, sim, {i} AS band, {key} AS key FROM fp")
+    band_rows = "\n  UNION ALL ".join(arms)
     return f"""
 WITH {_SQL_NEARDUP},
 ex AS (SELECT doc_id AS id, unnest({sh}) AS s FROM corpus),
@@ -144,19 +171,18 @@ hashed AS (SELECT id, {hlo} AS lo, {hhi} AS hi FROM ex),
 counts AS (SELECT id, count(*) AS n, {bit_sums} FROM hashed GROUP BY id),
 fp AS (SELECT id, cast({fold} AS bigint) AS sim FROM counts),
 banded AS (
-  SELECT id, sim, b AS band, (sim >> (b * 16)) & 65535 AS key
-  FROM fp, range(0, 4) t(b)
+  {band_rows}
 ),
 capped AS (
   SELECT id, sim, band, key FROM banded
-  QUALIFY count(*) OVER (PARTITION BY band, key) <= 2000
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}
 )
 SELECT id_a, id_b, hamming FROM (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          bit_count(xor(a.sim, b.sim)) AS hamming
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.key = b.key AND a.id < b.id
-) WHERE hamming <= 3
+) WHERE hamming <= {max_hamming}
 """
 
 
