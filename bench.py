@@ -64,6 +64,8 @@ HEADLINE = [
     # full NL-query lifecycle + corpus curation composition
     "pipeline_e2e",
     "corpus_curation",
+    # curate -> budget-select -> pack -> shard as one lazy DAG
+    "corpus_to_shards",
 ]
 
 
@@ -139,6 +141,9 @@ def scale_probe(spark, factors: list[int]) -> dict:
 
 def main() -> None:
     from dynamic_etl_pipeline_thesis_ii_spark.queries import all_queries
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.dataops_suite import (
+        release_shared_caches,
+    )
     from dynamic_etl_pipeline_thesis_ii_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -164,6 +169,9 @@ def main() -> None:
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop any shared frames the query persisted — executor memory
+        # stays flat across the headline instead of accumulating caches
+        release_shared_caches()
         print(f"# {name}: {timings[name]}s min-of-{repeat} ({n} rows)",
               file=sys.stderr)
     total = round(sum(timings.values()), 3)

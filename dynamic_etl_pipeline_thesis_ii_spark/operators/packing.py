@@ -76,14 +76,19 @@ def pack_chunks(df: DataFrame, budget: int, id_col: str = "doc_id",
 def SQL_PACK_CHUNKS(budget: int, n_buckets: int = 8,
                     salt: str = "pack",
                     table: str = "documents", id_col: str = "doc_id",
-                    text_col: str = "text") -> str:
+                    text_col: str = "text",
+                    tokens_col: str | None = None) -> str:
     """DuckDB twin of :func:`pack_chunks` (same hash, same order, same
-    offset arithmetic)."""
+    offset arithmetic). ``tokens_col`` mirrors the engine's precomputed
+    token-count path (``coalesce(col, 0)``, no text scan)."""
     h = SQL_HASH32.format(x=f"({id_col})::VARCHAR || '{salt}'")
-    norm = SQL_NORMALIZE.format(x=text_col)
-    # empty normalized text = 0 tokens (same guard as pack_chunks)
-    ntok = (f"(CASE WHEN length({norm}) = 0 THEN 0 "
-            f"ELSE coalesce(len(string_split({norm}, ' ')), 0) END)")
+    if tokens_col:
+        ntok = f"coalesce({tokens_col}, 0)"
+    else:
+        norm = SQL_NORMALIZE.format(x=text_col)
+        # empty normalized text = 0 tokens (same guard as pack_chunks)
+        ntok = (f"(CASE WHEN length({norm}) = 0 THEN 0 "
+                f"ELSE coalesce(len(string_split({norm}, ' ')), 0) END)")
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {ntok}::BIGINT AS n_tokens,

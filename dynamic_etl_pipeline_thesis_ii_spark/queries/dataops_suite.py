@@ -25,6 +25,33 @@ from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
 from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
 
 # ---------------------------------------------------------------------------
+# shared-cache tracking: several queries persist a frame two branches
+# consume (shingle base, scored corpus). The frames are returned lazily,
+# so the query function cannot unpersist before its consumer runs —
+# instead every persist is TRACKED here and harnesses release them
+# between queries (bench.py does; repeated un-released invocations stay
+# bounded anyway because Spark's CacheManager dedupes identical
+# canonical plans to one MEMORY_AND_DISK entry).
+# ---------------------------------------------------------------------------
+
+_SHARED_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SHARED_CACHES.append(df)
+    return df
+
+
+def release_shared_caches() -> None:
+    """Unpersist every shared frame the dataops queries persisted since
+    the last release. Call between queries in long-running harnesses;
+    blocking=False (the default) so release never stalls the caller."""
+    while _SHARED_CACHES:
+        _SHARED_CACHES.pop().unpersist()
+
+
+# ---------------------------------------------------------------------------
 # corpora
 # ---------------------------------------------------------------------------
 
@@ -557,13 +584,10 @@ def q_dedup_neardup_pairs(spark, sf_dir):
     branch is the unchanged single-method pipeline."""
     null_metric = F.lit(None).cast("double").alias("metric")
     # minhash and jaccard both consume k=3 shingles of the same corpus:
-    # explode + NGram once, persist, feed both branches. The cache is
-    # never explicitly unpersisted (consumers are lazy), but repeated
-    # invocations build the identical canonical plan, so Spark's
-    # CacheManager reuses ONE cached entry rather than accumulating
-    # copies; storage level is the default MEMORY_AND_DISK (evictable).
+    # explode + NGram once, persist (tracked — harnesses release via
+    # release_shared_caches between queries), feed both branches.
     corpus = _neardup_corpus(spark, sf_dir)
-    sh3 = D.shingle_rows(corpus, "text", "doc_id", 3).persist()
+    sh3 = _persist_tracked(D.shingle_rows(corpus, "text", "doc_id", 3))
     mh = (D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,
                               shingles=sh3)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
@@ -856,9 +880,10 @@ def q_sample_token_budget(spark, sf_dir):
     # the selection references its input twice (value table + semi-join
     # left side) — persist the scored frame so the text featurization
     # runs once, same convention as corpus_curation's shared frame
-    scored = docs.select("doc_id", "lang",
-                         feats["quality_score"].alias("q"),
-                         feats["n_tokens"].alias("n_tokens")).persist()
+    scored = _persist_tracked(
+        docs.select("doc_id", "lang",
+                    feats["quality_score"].alias("q"),
+                    feats["n_tokens"].alias("n_tokens")))
     return SA.select_token_budget(scored, budget=20_000, score_col="q",
                                   tokens_col="n_tokens", group_col="lang")
 
@@ -949,7 +974,7 @@ def q_corpus_curation(spark, sf_dir):
     loop."""
     # both branches (quality/lang scoring and pair generation) scan the
     # corpus — persist the small text frame so it reads/normalizes once
-    corpus = _neardup_corpus(spark, sf_dir).persist()
+    corpus = _persist_tracked(_neardup_corpus(spark, sf_dir))
     feats = T.quality_features(F.col("text"))
     scored = corpus.select("doc_id", "text",
                            feats["quality_score"].alias("quality_score"),
@@ -968,7 +993,11 @@ def q_corpus_curation(spark, sf_dir):
     return canonical.select("doc_id", "quality_score", "pred_lang")
 
 
-def _sql_corpus_curation() -> str:
+def _sql_corpus_curation_arms() -> str:
+    """The curation pipeline as reusable CTE arms (everything after
+    ``WITH RECURSIVE``, ending at ``ranked``): shared by the standalone
+    curation oracle and the corpus_to_shards composition, which extends
+    the same WITH list with selection/packing stages."""
     # nested WITH blocks: each stage's oracle fragment runs as its own
     # derived CTE over the shared corpus definition
     quality = ORACLE_TEXT_QUALITY.replace("FROM documents", "FROM corpus")
@@ -979,8 +1008,7 @@ def _sql_corpus_curation() -> str:
     pairs = _sql_minhash_lsh().replace(f"WITH {_SQL_NEARDUP},", "WITH ")
     sh5 = D.SQL_WORD_SHINGLES("text", 5)
     sh5c = D.SQL_WORD_SHINGLES("c.text", 5)
-    return f"""
-WITH RECURSIVE {_SQL_NEARDUP},
+    return f"""{_SQL_NEARDUP},
 q AS ({quality}),
 l AS ({lang}),
 kept AS (
@@ -1027,11 +1055,80 @@ ranked AS (
     PARTITION BY c.component
     ORDER BY q.quality_score DESC NULLS LAST, c.id ASC) AS rn
   FROM comp c LEFT JOIN q ON c.id = q.doc_id
-)
+)"""
+
+
+_SQL_CURATION_FINAL = """
 SELECT k.doc_id, k.quality_score, k.pred_lang
 FROM decon k
 LEFT JOIN ranked r ON k.doc_id = r.id
 WHERE r.id IS NULL OR r.rn = 1
+"""
+
+
+def _sql_corpus_curation() -> str:
+    return (f"WITH RECURSIVE {_sql_corpus_curation_arms()}"
+            f"{_SQL_CURATION_FINAL}")
+
+
+# ---------------------------------------------------------------------------
+# corpus -> shards (full production composition)
+# ---------------------------------------------------------------------------
+
+def q_corpus_to_shards(spark, sf_dir):
+    """The complete production path as ONE lazy DAG: curate
+    (quality -> lang -> decontaminate -> near-dup canonical keep) ->
+    per-language token-budget selection -> sequence packing ->
+    deterministic shard assignment. Returns the pre-sink frame
+    ``write_shards`` consumes verbatim — ``(id, bucket, chunk,
+    n_tokens, offset, shard)``; keeping the query pure (no write)
+    keeps it lazy, hashable and plan-guard clean, while composing the
+    four operator families in one DAG catches cross-operator schema
+    drift the per-operator queries cannot. The write itself is
+    exercised by ``test_sinks``/``test_dataops_compose``.
+
+    Scale shape: curation's broadcast/bucketed stages feed a compact
+    (group, score) value-table cut (no global sort), a
+    bucket-partitioned packing window (no single-partition stream) and
+    a scan-only shard hash — every stage is the unchanged scale path
+    of its operator."""
+    curated = q_corpus_curation(spark, sf_dir)
+    corpus = _neardup_corpus(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    toks = corpus.select("doc_id", feats["n_tokens"].alias("n_tokens"))
+    scored = curated.join(toks, "doc_id")
+    sel = SA.select_token_budget(scored, budget=15_000,
+                                 score_col="quality_score",
+                                 tokens_col="n_tokens",
+                                 group_col="pred_lang")
+    packed = PK.pack_chunks(sel, budget=512, id_col="doc_id",
+                            tokens_col="n_tokens", n_buckets=4)
+    # same doc->shard hash as sinks.write_shards (key cast to string,
+    # unsalted), so the frame can be handed to the writer verbatim and
+    # a reader can verify placement against this column
+    shard = (D.hash32(F.col("id").cast("string")) % 4).cast("int")
+    return packed.withColumn("shard", shard)
+
+
+def _sql_corpus_to_shards() -> str:
+    sel = SA.SQL_SELECT_TOKEN_BUDGET(
+        "scored", 15_000, score="quality_score", tokens="n_tokens",
+        group="pred_lang")
+    pack = PK.SQL_PACK_CHUNKS(budget=512, n_buckets=4, table="sel",
+                              id_col="doc_id", tokens_col="n_tokens")
+    shard = D.SQL_HASH32.format(x="(id)::VARCHAR")
+    return f"""
+WITH RECURSIVE {_sql_corpus_curation_arms()},
+curated AS ({_SQL_CURATION_FINAL}),
+scored AS (
+  SELECT c.doc_id, c.quality_score, c.pred_lang, q.n_tokens
+  FROM curated c JOIN q ON c.doc_id = q.doc_id
+),
+sel AS ({sel}),
+packed AS ({pack})
+SELECT id, bucket, chunk, n_tokens, "offset",
+       ({shard} % 4)::INT AS shard
+FROM packed
 """
 
 
@@ -1046,6 +1143,7 @@ DATAOPS_QUERIES = {
     "text_corpus_stats": q_text_corpus_stats,
     "sample_deterministic": q_sample_deterministic,
     "corpus_curation": q_corpus_curation,
+    "corpus_to_shards": q_corpus_to_shards,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1060,5 +1158,6 @@ DATAOPS_ORACLES = {
     "text_corpus_stats": _sql_corpus_stats(),
     "sample_deterministic": _sql_sample_deterministic(),
     "corpus_curation": _sql_corpus_curation(),
+    "corpus_to_shards": _sql_corpus_to_shards(),
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

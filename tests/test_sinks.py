@@ -208,3 +208,25 @@ def test_write_shards_epoch_shuffle(spark, tmp_path):
     assert sorted(a) == sorted(c)       # same shard membership
     assert a != c                       # different epoch order
     assert a != sorted(a)               # actually shuffled
+
+
+def test_corpus_to_shards_frame_writes_verbatim(spark, sf_dir, tmp_path):
+    """The corpus_to_shards registry query produces the exact pre-sink
+    frame write_shards consumes: its persisted `shard` column must
+    agree with the writer's directory placement (same unsalted hash),
+    and the end-to-end write round-trips every row."""
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.dataops_suite import (
+        q_corpus_to_shards, release_shared_caches,
+    )
+    frame = q_corpus_to_shards(spark, sf_dir)
+    try:
+        expected = {(r["id"], r["shard"]) for r in frame.collect()}
+        assert expected  # non-vacuous
+        rep = S.write_shards(frame.drop("shard"), str(tmp_path / "shards"),
+                             n_shards=4, key_col="id")
+        assert rep["rows_written"] == len(expected)
+        back = spark.read.parquet(str(tmp_path / "shards"))
+        got = {(r["id"], r["shard"]) for r in back.collect()}
+        assert got == expected
+    finally:
+        release_shared_caches()
