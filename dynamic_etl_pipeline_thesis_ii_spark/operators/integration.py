@@ -87,22 +87,28 @@ def with_row_id(df: DataFrame, id_col: str = _ROW_ID) -> DataFrame:
 
 
 def _join_pair(gi: DataFrame, gj: DataFrame, cfg: EngineConfig,
+               denominator: Optional[int] = None,
                ) -> tuple[Optional[DataFrame], dict]:
     """Join two groups: equi-join fast path on detected keys (retention-
     gated like the similarity path), else the 26-feature similarity
-    join. Returns (joined | None, report)."""
+    join. ``denominator`` is the orchestrator's GLOBAL retention
+    denominator (``validator.py:323-325``). Returns (joined | None,
+    report)."""
     keys = detect_join_keys(gi, gj)
     if keys:
         joined = key_equijoin(gi, gj, keys)
         n_matched = joined.count()
-        ret = SJ.retention(n_matched, gi.count(), gj.count())
+        denom = denominator if denominator is not None \
+            else min(gi.count(), gj.count())
+        ret = SJ.retention(n_matched, denom)
         if ret >= cfg.join_retention_threshold:
             return joined, {"status": "joined", "method": "equi",
                             "keys": keys, "retention": ret}
         # keys exist but don't line up — fall through to similarity
     a = with_row_id(gi, "__ida")
     b = with_row_id(gj, "__idb")
-    joined, rep = SJ.similarity_join(a, b, "__ida", "__idb", cfg)
+    joined, rep = SJ.similarity_join(a, b, "__ida", "__idb", cfg,
+                                     denominator=denominator)
     if joined is not None:
         joined = joined.drop("__ida_x", "__idb_y", "__ida", "__idb")
         rep = {**rep, "method": "similarity"}
@@ -110,58 +116,74 @@ def _join_pair(gi: DataFrame, gj: DataFrame, cfg: EngineConfig,
 
 
 def _best_partner_join(groups: list[DataFrame], cfg: EngineConfig,
-                       reports: list[dict]) -> tuple[list[DataFrame], bool]:
-    """Stage 1: each unused group i seeks its best-retention partner
-    j > i (``join.py:886-983``)."""
-    used = [False] * len(groups)
+                       reports: list[dict],
+                       denominator: Optional[int] = None,
+                       join_pair=None) -> tuple[list[DataFrame], bool]:
+    """Stage 1 (``join.py:886-983``): EVERY group i seeks its
+    best-retention partner among j > i. Partners are NOT consumed — the
+    reference tracks only exact (i, j) pairs, so one group may appear
+    in several stage-1 joins (its ``created_pairs`` set / "A dataframe
+    can appear in multiple joins" contract); ties keep the FIRST best
+    (strictly-greater comparison). Groups that never appear in any join
+    pass through AFTER the joined outputs, preserving the reference's
+    output order. ``join_pair`` is injectable for differential tests."""
+    jp = join_pair or (lambda a, b: _join_pair(a, b, cfg, denominator))
     out: list[DataFrame] = []
+    created: set[tuple[int, int]] = set()
     any_joined = False
     for i in range(len(groups)):
-        if used[i]:
-            continue
-        best_j, best_ret, best_df, best_rep = None, -1.0, None, None
+        best_j, best_ret, best_df, best_rep = None, 0.0, None, None
         for j in range(i + 1, len(groups)):
-            if used[j]:
+            if (i, j) in created or (j, i) in created:
                 continue
-            joined, rep = _join_pair(groups[i], groups[j], cfg)
+            joined, rep = jp(groups[i], groups[j])
             if joined is not None and rep["retention"] > best_ret:
-                best_j, best_ret, best_df, best_rep = j, rep["retention"], joined, rep
+                best_j, best_ret, best_df, best_rep = \
+                    j, rep["retention"], joined, rep
         if best_j is not None:
-            used[i] = used[best_j] = True
+            created.add((i, best_j))
             out.append(best_df)
             reports.append({"operation": "join_stage1", "left": i,
                             "right": best_j, "retention": best_ret,
                             "method": best_rep.get("method")})
             any_joined = True
-        else:
-            used[i] = True
-            out.append(groups[i])
+    appeared = {k for pair in created for k in pair}
+    for i, g in enumerate(groups):
+        if i not in appeared:
+            out.append(g)
+            reports.append({"operation": "join_stage1_passthrough",
+                            "group": i})
     return out, any_joined
 
 
 def _join_the_joined(frames: list[DataFrame], cfg: EngineConfig,
-                     reports: list[dict]) -> list[DataFrame]:
-    """Stage 2: pairwise over stage-1 outputs, first compatible wins,
-    each used at most once (``join.py:985-1053``)."""
+                     reports: list[dict],
+                     denominator: Optional[int] = None,
+                     join_pair=None) -> list[DataFrame]:
+    """Stage 2 (``join.py:985-1053``): pairwise over stage-1 outputs in
+    (i, j) scan order, first compatible wins, each output used at most
+    once; joined results come first, then untouched frames — the
+    reference's ``processed``-set semantics and output order."""
+    jp = join_pair or (lambda a, b: _join_pair(a, b, cfg, denominator))
     used = [False] * len(frames)
     out: list[DataFrame] = []
     for i in range(len(frames)):
         if used[i]:
             continue
-        used[i] = True
-        merged = None
         for j in range(i + 1, len(frames)):
             if used[j]:
                 continue
-            joined, rep = _join_pair(frames[i], frames[j], cfg)
+            joined, rep = jp(frames[i], frames[j])
             if joined is not None:
-                used[j] = True
-                merged = joined
+                used[i] = used[j] = True
+                out.append(joined)
                 reports.append({"operation": "join_stage2", "left": i,
                                 "right": j, "retention": rep["retention"],
                                 "method": rep.get("method")})
                 break
-        out.append(merged if merged is not None else frames[i])
+    for i, f in enumerate(frames):
+        if not used[i]:
+            out.append(f)
     return out
 
 
@@ -184,9 +206,15 @@ def integrate(dfs: list[DataFrame], cfg: Optional[EngineConfig] = None,
                         "reason": "all inputs unioned into one group"})
         return groups, reports
 
-    stage1, any_joined = _best_partner_join(groups, cfg, reports)
+    # fixed GLOBAL retention denominator for every stage-1/2 pair:
+    # min row count over the unioned groups (validator.py:323-325)
+    denominator = min(g.count() for g in groups)
+    reports.append({"operation": "join_denominator", "rows": denominator})
+
+    stage1, any_joined = _best_partner_join(groups, cfg, reports,
+                                            denominator)
     if any_joined and len(stage1) > 1:
-        stage2 = _join_the_joined(stage1, cfg, reports)
+        stage2 = _join_the_joined(stage1, cfg, reports, denominator)
     else:
         if not any_joined:
             reports.append({"operation": "skip_stage2",

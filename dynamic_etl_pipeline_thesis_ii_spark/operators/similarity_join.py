@@ -400,10 +400,17 @@ def similarity_join(df1: DataFrame, df2: DataFrame,
                     block1: Optional[Column] = None,
                     block2: Optional[Column] = None,
                     exact_greedy: bool = True,
+                    denominator: Optional[int] = None,
                     ) -> tuple[Optional[DataFrame], dict]:
     """One J1–J6 pass: align → pair → featurize → score → threshold →
     assign → retention gate → materialize. Returns (joined_df | None,
-    report)."""
+    report).
+
+    ``denominator`` overrides the retention denominator: the reference
+    fixes it GLOBALLY at ``min rows over all unioned groups``
+    (``validator.py:323-325``) for every stage-1/2 pair, which the
+    orchestrator passes through; standalone two-frame calls default to
+    ``min(n1, n2)`` (``join.py:789``)."""
     cfg = cfg or EngineConfig()
     a, b, cols = align_numeric(df1, df2, keep1=[id1], keep2=[id2])
     if not cols:
@@ -429,8 +436,9 @@ def similarity_join(df1: DataFrame, df2: DataFrame,
             return None, {"status": "no_matches"}
         matches = matches.select("id_a", "id_b", "prob")
 
-    n1, n2 = df1.count(), df2.count()
-    ret = retention(n_matched, n1, n2)
+    if denominator is None:
+        denominator = min(df1.count(), df2.count())
+    ret = retention(n_matched, denominator)
     if ret < cfg.join_retention_threshold:
         return None, {"status": "retention_below_threshold", "retention": ret}
     joined = materialize(df1, df2, matches, id1, id2)
