@@ -5,12 +5,13 @@ kernels.
 Decode support is tiered by what this environment can honestly do:
 
 - REAL, stdlib-only decoders for PPM/PGM images (pure byte parsing +
-  numpy) and PCM WAV audio (``wave`` module) — parse, feature-extract
-  and nearest-neighbor resize with no external libraries;
-- payloads in other formats (JPEG/PNG/MP3/...) raise
-  NotImplementedError unless ``fake=True`` (PIL/librosa are not
-  available in this sandbox; swapping them in later only changes the
-  kernel body);
+  numpy), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
+  (``zlib`` inflate + the five per-row filters) and PCM WAV audio
+  (``wave`` module) — parse, feature-extract and nearest-neighbor
+  resize with no external libraries;
+- payloads in other formats (JPEG/MP3/...) raise NotImplementedError
+  unless ``fake=True`` (PIL/librosa are not available in this sandbox;
+  swapping them in later only changes the kernel body);
 - ``fake=True`` derives a deterministic feature vector from the raw
   bytes, used by the oracle-checked plumbing tests.
 
@@ -23,6 +24,7 @@ from __future__ import annotations
 
 import io
 import wave
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -150,27 +152,128 @@ def write_bmp(arr: "np.ndarray") -> bytes:
     return header + body
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
+    """Parse non-interlaced 8-bit-depth PNG (grayscale / RGB /
+    gray+alpha / RGBA) into (width, height, HxWxC uint8 array) with
+    stdlib only: chunk walk, ``zlib`` inflate of the concatenated IDAT
+    stream, then the five per-row filters (none/sub/up/average/Paeth)
+    undone exactly per the PNG spec §9. Returns None for payloads this
+    decoder does not handle (palette, 16-bit, interlaced, non-PNG) —
+    callers fall through to the next decoder or the fake tier."""
+    if payload is None or payload[:8] != PNG_SIG:
+        return None
+    i, n = 8, len(payload)
+    w = h = channels = None
+    idat: list[bytes] = []
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if len(data) != length:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = data[8:13]
+            channels = _PNG_CHANNELS.get(color_type)
+            if (bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0
+                    or channels is None or w <= 0 or h <= 0):
+                return None
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + data + crc
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:      # up: uint8 array add wraps mod 256 (spec)
+            row += prev
+        elif ftype == 1:      # sub: sequential along the row
+            for x in range(channels, stride):
+                row[x] = (int(row[x]) + int(row[x - channels])) & 0xFF
+        elif ftype == 3:      # average (floor of left+up over 2)
+            for x in range(stride):
+                left = int(row[x - channels]) if x >= channels else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:      # Paeth predictor
+            for x in range(stride):
+                a = int(row[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = row
+        prev = out[y]
+    return w, h, out.reshape(h, w, channels)
+
+
+def write_png(arr: "np.ndarray") -> bytes:
+    """Encode an HxWxC uint8 array (C in 1/2/3/4) as a non-interlaced
+    8-bit PNG with filter-0 rows — the inverse of :func:`parse_png`,
+    stdlib only (``zlib`` deflate + crc32)."""
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Image decode + feature extraction.
 
-    REAL for netpbm (P6/P5) and uncompressed 24-bit BMP:
-    ``[width, height, mean_c1..mean_cN]`` from the decoded raster.
-    Other formats need PIL (absent here) and raise
-    NotImplementedError. ``fake=True`` derives a deterministic 4-dim
-    feature from the raw bytes instead of decoding."""
+    REAL for netpbm (P6/P5), uncompressed 24-bit BMP and non-interlaced
+    8-bit PNG: ``[width, height, mean_c1..mean_cN]`` from the decoded
+    raster. Remaining formats (JPEG, ...) need PIL (absent here) and
+    raise NotImplementedError. ``fake=True`` derives a deterministic
+    4-dim feature from the raw bytes instead of decoding."""
     if fake:
         if payload is None or len(payload) == 0:
             return [0.0, 0.0, 0.0, 0.0]
         n = len(payload)
         return [float(n), float(payload[0]), float(payload[-1]),
                 float(sum(payload[:16]) % 256)]
-    parsed = parse_netpbm(payload) or parse_bmp(payload)
+    parsed = parse_netpbm(payload) or parse_bmp(payload) or parse_png(payload)
     if parsed is not None:
         w, h, arr = parsed
         means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
         return [float(w), float(h)] + [round(float(m), 6) for m in means]
     raise NotImplementedError(
-        "non-netpbm/BMP image decoding requires PIL; not available here")
+        "non-netpbm/BMP/PNG image decoding requires PIL; not available here")
 
 
 FEATURE_SCHEMA = StructType([
@@ -179,10 +282,10 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), True),
     StructField("feat", ArrayType(DoubleType()), True),
     # decode provenance: which decoder actually produced ``feat`` —
-    # 'netpbm' / 'bmp' / 'wav' (real parses) or 'fake' (deterministic
-    # byte features: fake mode, or real mode's undecodable fallback).
-    # Without this a downstream consumer cannot tell a real feature
-    # from a placeholder.
+    # 'netpbm' / 'bmp' / 'png' / 'wav' (real parses) or 'fake'
+    # (deterministic byte features: fake mode, or real mode's
+    # undecodable fallback). Without this a downstream consumer cannot
+    # tell a real feature from a placeholder.
     StructField("decoder", StringType(), True),
 ])
 
@@ -209,7 +312,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                 p = bytes(payload)
                 if kind == "audio":
                     return decode_audio(p), "wav"
-                name = "netpbm" if p[:2] in (b"P6", b"P5") else "bmp"
+                name = ("netpbm" if p[:2] in (b"P6", b"P5")
+                        else "png" if p[:8] == PNG_SIG else "bmp")
                 return decode_image(p), name
             except Exception:  # noqa: BLE001 — one undecodable file
                 # (wrong format, truncated WAV, malformed header) must
@@ -292,12 +396,26 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
     return write_bmp(arr[rows][:, cols])
 
 
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for non-interlaced 8-bit PNG
+    payloads, re-encoded as PNG; raises NotImplementedError for other
+    formats (PIL territory)."""
+    parsed = parse_png(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "non-PNG image resize requires PIL; not available here")
+    w, h, arr = parsed
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return write_png(arr[rows][:, cols])
+
+
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   ) -> DataFrame:
-    """Binary -> binary image resize kernel (1:1 rows). netpbm and
-    24-bit BMP payloads get the REAL nearest-neighbor resize; anything
-    else falls back to a deterministic truncate-or-pad of the payload
-    to width*height bytes (the PIL slot). Either way the schema
+    """Binary -> binary image resize kernel (1:1 rows). netpbm, 24-bit
+    BMP and 8-bit PNG payloads get the REAL nearest-neighbor resize;
+    anything else falls back to a deterministic truncate-or-pad of the
+    payload to width*height bytes (the PIL slot). Either way the schema
     contract (payload stays BinaryType, dims recorded as metadata) and
     batch shape hold."""
     target = width * height
@@ -311,7 +429,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
         if p is None:
             return None
         b = bytes(p)
-        for real in (resize_netpbm, resize_bmp):
+        for real in (resize_netpbm, resize_bmp, resize_png):
             try:
                 return real(b, width, height)
             except NotImplementedError:

@@ -289,3 +289,137 @@ def test_bmp_rejects_offset_inside_header():
     # rewrite the pixel-data offset to point inside the header
     bad = payload[:10] + (0).to_bytes(4, "little") + payload[14:]
     assert M.parse_bmp(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib decoder)
+# ---------------------------------------------------------------------------
+
+def _rand_raster(h, w, c, seed=7):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_identity(channels):
+    import numpy as np
+    arr = _rand_raster(13, 9, channels)
+    parsed = M.parse_png(M.write_png(arr))
+    assert parsed is not None
+    w, h, back = parsed
+    assert (w, h) == (9, 13)
+    assert np.array_equal(back, arr)
+
+
+def test_png_all_five_filters_unfilter_correctly():
+    """Hand-build an IDAT stream whose five rows use filter types
+    0/1/2/3/4 (applying each filter to a known raster per PNG spec §9)
+    and assert the decoder recovers the raster exactly — write_png only
+    emits filter 0, so this is the only way to prove sub/up/average/
+    Paeth handling."""
+    import zlib
+
+    import numpy as np
+    h, w, c = 5, 7, 3
+    arr = _rand_raster(h, w, c, seed=42)
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(int)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=int)
+        for x in range(stride):
+            cur = flat[y][x]
+            left = flat[y][x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                out = cur
+            elif ftype == 1:
+                out = cur - left
+            elif ftype == 2:
+                out = cur - up
+            elif ftype == 3:
+                out = cur - ((left + up) >> 1)
+            else:
+                out = cur - paeth(left, up, ul)
+            raw.append(out & 0xFF)
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    png = (M.PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    parsed = M.parse_png(png)
+    assert parsed is not None
+    _, _, back = parsed
+    assert np.array_equal(back, arr)
+
+
+def test_png_rejects_unsupported_variants():
+    import numpy as np
+    arr = _rand_raster(4, 4, 3)
+    good = M.write_png(arr)
+    assert M.parse_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert M.parse_png(b"not a png") is None
+    # flip bit depth byte (IHDR data offset: 8 sig + 8 len/type + 8 w/h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    assert M.parse_png(bytes(bad_depth)) is None
+    # interlace flag on
+    bad_int = bytearray(good)
+    bad_int[28] = 1
+    assert M.parse_png(bytes(bad_int)) is None
+    # truncated IDAT payload
+    assert M.parse_png(good[:40]) is None
+
+
+def test_png_decode_features():
+    import numpy as np
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[..., 0] = 10
+    arr[..., 1] = 20
+    arr[..., 2] = 30
+    feats = M.decode_image(M.write_png(arr))
+    assert feats == [6.0, 4.0, 10.0, 20.0, 30.0]
+
+
+def test_resize_png_real():
+    import numpy as np
+    arr = _rand_raster(8, 8, 4)
+    out = M.resize_png(M.write_png(arr), 4, 2)
+    parsed = M.parse_png(out)
+    assert parsed is not None
+    w, h, back = parsed
+    assert (w, h) == (4, 2)
+    # nearest-neighbor: every output pixel is some input pixel
+    assert back.shape == (2, 4, 4)
+    assert np.array_equal(back[0, 0], arr[0, 0])
+
+
+def test_extract_features_real_mode_png_provenance(spark):
+    """A real PNG payload flows through mapInPandas real mode with
+    decoder='png' and raster-derived features — the NotImplementedError
+    surface is now JPEG/MP3 only."""
+    import numpy as np
+    arr = np.full((3, 5, 3), 128, dtype=np.uint8)
+    rows = [(1, "image", bytearray(M.write_png(arr)), "image/png",
+             len(M.write_png(arr))),
+            (2, "image", bytearray(b"not an image"), "application/x", 12)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.extract_features(media, mode="real").collect()}
+    assert got[1]["decoder"] == "png"
+    assert got[1]["feat"][:2] == [5.0, 3.0]
+    assert got[1]["feat"][2:] == [128.0, 128.0, 128.0]
+    assert got[2]["decoder"] == "fake"
