@@ -1096,7 +1096,10 @@ def q_corpus_to_shards(spark, sf_dir):
     corpus = _neardup_corpus(spark, sf_dir)
     feats = T.quality_features(F.col("text"))
     toks = corpus.select("doc_id", feats["n_tokens"].alias("n_tokens"))
-    scored = curated.join(toks, "doc_id")
+    # the budget selection consumes `scored` twice (value table +
+    # semi-join left side) and `scored` embeds the WHOLE curation
+    # pipeline — persist it (tracked) or curation runs twice
+    scored = _persist_tracked(curated.join(toks, "doc_id"))
     sel = SA.select_token_budget(scored, budget=15_000,
                                  score_col="quality_score",
                                  tokens_col="n_tokens",
