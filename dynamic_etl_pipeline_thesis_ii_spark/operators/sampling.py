@@ -97,6 +97,53 @@ def rebalance_mix(df: DataFrame, strata_col: str,
                                   default_rate=0.0, salt=salt, mod=mod)
 
 
+def split_assign(df: DataFrame, splits: Mapping[str, float], key_col: str,
+                 salt: str = "split", mod: int = DEFAULT_MOD) -> DataFrame:
+    """Deterministic train/valid/test assignment: append a ``split``
+    column chosen by the salted content hash against cumulative weight
+    thresholds — every engine and every re-run assigns each row to the
+    same split, rows never leak between splits when the corpus is
+    re-partitioned or appended to (a doc's assignment depends only on
+    its key), and changing ``salt`` draws an independent partition.
+    One narrow scan, no shuffle. ``splits`` maps split name to a
+    weight; weights are normalized, iteration over SORTED names makes
+    the threshold layout engine-exact."""
+    total = float(sum(splits.values()))
+    if total <= 0 or any(w < 0 for w in splits.values()):
+        raise ValueError(f"split weights must be non-negative with a "
+                         f"positive sum, got {splits}")
+    bucket = _bucket(F.col(key_col), salt, mod)
+    expr: Optional[Column] = None
+    cum = 0.0
+    names = sorted(splits)
+    for name in names[:-1]:
+        cum += splits[name] / total
+        thresh = int(math.floor(cum * mod))
+        step = F.when(bucket < thresh, F.lit(name))
+        expr = step if expr is None else expr.when(bucket < thresh,
+                                                   F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)
+
+
+def SQL_SPLIT_ASSIGN(splits: Mapping[str, float], key: str,
+                     salt: str = "split", mod: int = DEFAULT_MOD) -> str:
+    """DuckDB twin of :func:`split_assign`: the ``split`` CASE
+    expression (same hash, same cumulative floor thresholds)."""
+    total = float(sum(splits.values()))
+    bucket = SQL_BUCKET(key, salt, mod)
+    names = sorted(splits)
+    arms, cum = [], 0.0
+    for name in names[:-1]:
+        cum += splits[name] / total
+        arms.append(f"WHEN {bucket} < {int(math.floor(cum * mod))} "
+                    f"THEN '{name}'")
+    if not arms:
+        return f"'{names[-1]}'"
+    return f"(CASE {' '.join(arms)} ELSE '{names[-1]}' END)"
+
+
 def cumulative_value_table(df: DataFrame, score_col: str,
                            group_col: Optional[str],
                            weight_col: Optional[str] = None,

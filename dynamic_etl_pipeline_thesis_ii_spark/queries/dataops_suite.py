@@ -888,12 +888,17 @@ def q_sample_token_budget(spark, sf_dir):
                                   tokens_col="n_tokens", group_col="lang")
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
 def q_sample_deterministic(spark, sf_dir):
     """Stratified hash sampling + domain-mix rebalancing + token-budget
-    packing + per-language token-budget selection as one tagged union
-    (SM2+SM3+PK1+SM4); each branch is the unchanged single-op pipeline.
-    ``val`` carries the pack branch's token offset and the budget
-    branch's token count (null on the sampling branches)."""
+    packing + per-language token-budget selection + train/valid/test
+    split assignment as one tagged union (SM2+SM3+PK1+SM4+SM5); each
+    branch is the unchanged single-op pipeline. ``val`` carries the
+    pack branch's token offset and the budget branch's token count
+    (null on the sampling/split branches); the split branch's
+    ``stratum`` is the assigned split name."""
     null_val = F.lit(None).cast("long").alias("val")
     st = (q_sample_stratified(spark, sf_dir)
           .select(F.lit("stratified").alias("tag"), "doc_id",
@@ -910,7 +915,12 @@ def q_sample_deterministic(spark, sf_dir):
           .select(F.lit("budget").alias("tag"), "doc_id",
                   F.col("lang").alias("stratum"),
                   F.col("n_tokens").alias("val")))
-    return st.unionByName(mx).unionByName(pk).unionByName(bg)
+    sp = (SA.split_assign(Catalog(spark, sf_dir).documents.select("doc_id"),
+                          _SPLIT_WEIGHTS, key_col="doc_id", salt="cv")
+          .select(F.lit("split").alias("tag"), "doc_id",
+                  F.col("split").alias("stratum"), null_val))
+    return (st.unionByName(mx).unionByName(pk).unionByName(bg)
+            .unionByName(sp))
 
 
 def _sql_sample_token_budget() -> str:
@@ -939,6 +949,11 @@ FROM ({PK.SQL_PACK_CHUNKS(budget=2000, n_buckets=8)})
 UNION ALL
 SELECT 'budget', doc_id, lang, n_tokens
 FROM ({_sql_sample_token_budget()})
+UNION ALL
+SELECT 'split', doc_id,
+       {SA.SQL_SPLIT_ASSIGN(_SPLIT_WEIGHTS, "doc_id", salt="cv")},
+       CAST(NULL AS BIGINT)
+FROM documents
 """
 
 

@@ -171,7 +171,8 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
                  key_col: str, fmt: str = "parquet",
                  max_records_per_file: Optional[int] = None,
                  if_exists: str = "replace",
-                 shuffle_salt: Optional[str] = None) -> dict:
+                 shuffle_salt: Optional[str] = None,
+                 verify: bool = True) -> dict:
     """Balanced shard writer for curated training corpora: exactly
     ``n_shards`` output shard DIRECTORIES (``shard=0..n-1`` via
     ``partitionBy``), each a deterministic hash slice of ``key_col`` —
@@ -197,6 +198,12 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     Sharding already hash-scatters docs across shards, so the within-
     shard sort completes the permutation with zero extra shuffles — a
     ``sortWithinPartitions``, never a global ``orderBy``.
+
+    ``verify=False`` skips the read-back per-shard count: the verify
+    scans everything AT the path, so under ``append`` its cost grows
+    with the accumulated corpus, not this batch — high-frequency
+    append loops should disable it (or verify out-of-band) once the
+    sink is large.
     """
     from pyspark.sql import functions as F
 
@@ -223,6 +230,9 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").save(path)
+    if not verify:
+        return {"path": path, "format": fmt, "n_shards": n_shards,
+                "elapsed_sec": round(time.perf_counter() - t0, 3)}
     # read-back verification mirrors the writer's options (header for
     # CSV); note rows_written counts everything AT the path, so in
     # append mode it includes rows from earlier runs — same semantics

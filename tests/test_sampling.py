@@ -196,3 +196,53 @@ def test_select_token_budget_value_cut(spark):
     assert kept(0) == set()
     # global budget (no groups): strictly best-first across the corpus
     assert kept(170, group=None) == {1, 10, 11}  # 0.9-clump = 170 tokens
+
+
+# ---------------------------------------------------------------------------
+# train/valid/test split assignment
+# ---------------------------------------------------------------------------
+
+def test_split_assign_partitions_every_row_once(spark, docs):
+    out = SA.split_assign(docs, {"train": 0.9, "valid": 0.05,
+                                 "test": 0.05}, key_col="doc_id")
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert sum(counts.values()) == n           # total partition
+    assert counts.get("train", 0) > counts.get("valid", 0)
+    assert counts.get("train", 0) > 0.8 * n    # ~90% within hash noise
+
+
+def test_split_assign_weights_normalize(spark, docs):
+    a = SA.split_assign(docs, {"train": 0.9, "test": 0.1}, "doc_id")
+    b = SA.split_assign(docs, {"train": 9.0, "test": 1.0}, "doc_id")
+    assert ({(r["doc_id"], r["split"]) for r in a.collect()}
+            == {(r["doc_id"], r["split"]) for r in b.collect()})
+
+
+def test_split_assign_stable_under_subset_and_salted(spark, docs):
+    """A row's split depends only on (key, salt): filtering the corpus
+    never moves surviving rows between splits (append/re-run safety),
+    while a different salt draws an independent partition."""
+    full = {r["doc_id"]: r["split"] for r in
+            SA.split_assign(docs, {"train": 0.8, "test": 0.2},
+                            "doc_id").collect()}
+    sub = {r["doc_id"]: r["split"] for r in
+           SA.split_assign(docs.filter(F.col("doc_id") % 3 == 0),
+                           {"train": 0.8, "test": 0.2},
+                           "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    other = {r["doc_id"]: r["split"] for r in
+             SA.split_assign(docs, {"train": 0.8, "test": 0.2},
+                             "doc_id", salt="epoch2").collect()}
+    assert any(full[k] != other[k] for k in full)
+
+
+def test_split_assign_single_and_invalid(spark, docs):
+    only = SA.split_assign(docs.limit(5), {"train": 1.0}, "doc_id")
+    assert {r["split"] for r in only.collect()} == {"train"}
+    with pytest.raises(ValueError, match="weights"):
+        SA.split_assign(docs, {"a": 0.0, "b": 0.0}, "doc_id")
+    with pytest.raises(ValueError, match="weights"):
+        SA.split_assign(docs, {"a": -1.0, "b": 2.0}, "doc_id")
