@@ -6,12 +6,13 @@ Decode support is tiered by what this environment can honestly do:
 
 - REAL, stdlib-only decoders for PPM/PGM images (pure byte parsing +
   numpy), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-  (``zlib`` inflate + the five per-row filters) and PCM WAV audio
-  (``wave`` module) — parse, feature-extract and nearest-neighbor
-  resize with no external libraries;
-- payloads in other formats (JPEG/MP3/...) raise NotImplementedError
-  unless ``fake=True`` (PIL/librosa are not available in this sandbox;
-  swapping them in later only changes the kernel body);
+  (``zlib`` inflate + the five per-row filters), baseline JPEG
+  (huffman entropy decode + vectorized IDCT, ``operators/jpeg.py``)
+  and PCM WAV audio (``wave`` module) — parse, feature-extract and
+  nearest-neighbor resize with no external libraries;
+- payloads in remaining formats (MP3, progressive JPEG, ...) raise
+  NotImplementedError unless ``fake=True`` (librosa is not available
+  in this sandbox; swapping it in later only changes the kernel body);
 - ``fake=True`` derives a deterministic feature vector from the raw
   bytes, used by the oracle-checked plumbing tests.
 
@@ -256,10 +257,10 @@ def write_png(arr: "np.ndarray") -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Image decode + feature extraction.
 
-    REAL for netpbm (P6/P5), uncompressed 24-bit BMP and non-interlaced
-    8-bit PNG: ``[width, height, mean_c1..mean_cN]`` from the decoded
-    raster. Remaining formats (JPEG, ...) need PIL (absent here) and
-    raise NotImplementedError. ``fake=True`` derives a deterministic
+    REAL for netpbm (P6/P5), uncompressed 24-bit BMP, non-interlaced
+    8-bit PNG and baseline JPEG: ``[width, height, mean_c1..mean_cN]``
+    from the decoded raster. Remaining formats (progressive JPEG, ...)
+    need PIL (absent here) and raise NotImplementedError. ``fake=True`` derives a deterministic
     4-dim feature from the raw bytes instead of decoding."""
     if fake:
         if payload is None or len(payload) == 0:
@@ -267,13 +268,16 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         n = len(payload)
         return [float(n), float(payload[0]), float(payload[-1]),
                 float(sum(payload[:16]) % 256)]
-    parsed = parse_netpbm(payload) or parse_bmp(payload) or parse_png(payload)
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import parse_jpeg
+    parsed = (parse_netpbm(payload) or parse_bmp(payload)
+              or parse_png(payload) or parse_jpeg(payload))
     if parsed is not None:
         w, h, arr = parsed
         means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
         return [float(w), float(h)] + [round(float(m), 6) for m in means]
     raise NotImplementedError(
-        "non-netpbm/BMP/PNG image decoding requires PIL; not available here")
+        "image decoding beyond netpbm/BMP/PNG/baseline-JPEG requires "
+        "PIL; not available here")
 
 
 FEATURE_SCHEMA = StructType([
@@ -282,7 +286,7 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), True),
     StructField("feat", ArrayType(DoubleType()), True),
     # decode provenance: which decoder actually produced ``feat`` —
-    # 'netpbm' / 'bmp' / 'png' / 'wav' (real parses) or 'fake'
+    # 'netpbm' / 'bmp' / 'png' / 'jpeg' / 'wav' (real parses) or 'fake'
     # (deterministic byte features: fake mode, or real mode's
     # undecodable fallback). Without this a downstream consumer cannot
     # tell a real feature from a placeholder.
@@ -313,7 +317,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                 if kind == "audio":
                     return decode_audio(p), "wav"
                 name = ("netpbm" if p[:2] in (b"P6", b"P5")
-                        else "png" if p[:8] == PNG_SIG else "bmp")
+                        else "png" if p[:8] == PNG_SIG
+                        else "jpeg" if p[:2] == b"\xFF\xD8" else "bmp")
                 return decode_image(p), name
             except Exception:  # noqa: BLE001 — one undecodable file
                 # (wrong format, truncated WAV, malformed header) must
@@ -410,10 +415,29 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     return write_png(arr[rows][:, cols])
 
 
+def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for baseline JPEG payloads,
+    re-encoded as baseline 4:4:4 JPEG; raises NotImplementedError for
+    other formats (PIL territory)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
+        parse_jpeg, write_jpeg,
+    )
+    parsed = parse_jpeg(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "non-baseline-JPEG image resize requires PIL; not available here")
+    w, h, arr = parsed
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = arr[rows][:, cols]
+    return write_jpeg(out[..., 0] if out.shape[2] == 1 else out)
+
+
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   ) -> DataFrame:
     """Binary -> binary image resize kernel (1:1 rows). netpbm, 24-bit
-    BMP and 8-bit PNG payloads get the REAL nearest-neighbor resize;
+    BMP, 8-bit PNG and baseline JPEG payloads get the REAL
+    nearest-neighbor resize;
     anything else falls back to a deterministic truncate-or-pad of the
     payload to width*height bytes (the PIL slot). Either way the schema
     contract (payload stays BinaryType, dims recorded as metadata) and
@@ -429,7 +453,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
         if p is None:
             return None
         b = bytes(p)
-        for real in (resize_netpbm, resize_bmp, resize_png):
+        for real in (resize_netpbm, resize_bmp, resize_png, resize_jpeg):
             try:
                 return real(b, width, height)
             except NotImplementedError:

@@ -423,3 +423,90 @@ def test_extract_features_real_mode_png_provenance(spark):
     assert got[1]["feat"][:2] == [5.0, 3.0]
     assert got[1]["feat"][2:] == [128.0, 128.0, 128.0]
     assert got[2]["decoder"] == "fake"
+
+
+# ---------------------------------------------------------------------------
+# JPEG (stdlib baseline codec)
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    import numpy as np
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 255 / w), (yy * 255 / h),
+                     ((xx + yy) * 255 / (w + h))], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_roundtrip_within_tolerance(subsample):
+    """Lossy codec: round-trip must preserve dims exactly and pixels
+    within a small mean error at q90 (4:4:4 and 4:2:0 layouts — the
+    latter exercises the MCU interleave + chroma upsample path)."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    img = _gradient(24, 40)
+    enc = J.write_jpeg(img, quality=90, subsample=subsample)
+    parsed = J.parse_jpeg(enc)
+    assert parsed is not None
+    w, h, back = parsed
+    assert (w, h) == (40, 24) and back.shape == (24, 40, 3)
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    g = _gradient(17, 23)[..., 0]
+    parsed = J.parse_jpeg(J.write_jpeg(g, quality=85))
+    assert parsed is not None
+    assert (parsed[0], parsed[1]) == (23, 17)
+    assert parsed[2].shape == (17, 23, 1)
+    assert np.abs(parsed[2][..., 0].astype(int) - g.astype(int)).mean() < 3.0
+    # odd dims under 4:2:0 (chroma pad + final crop)
+    odd = _gradient(17, 23)
+    p2 = J.parse_jpeg(J.write_jpeg(odd, quality=85, subsample=True))
+    assert p2 is not None and (p2[0], p2[1]) == (23, 17)
+
+
+def test_jpeg_noise_stresses_entropy_paths():
+    """Random noise maximizes AC activity (ZRL runs, long codes) —
+    the entropy coder must survive and stay within quantization
+    error."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+    parsed = J.parse_jpeg(J.write_jpeg(noise, quality=95))
+    assert parsed is not None
+    assert np.abs(parsed[2].astype(int) - noise.astype(int)).mean() < 8.0
+
+
+def test_jpeg_rejects_unsupported():
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    assert J.parse_jpeg(None) is None
+    assert J.parse_jpeg(b"not a jpeg") is None
+    assert J.parse_jpeg(b"\xFF\xD8\xFF\xC2" + b"\x00" * 20) is None  # SOF2
+    good = J.write_jpeg(_gradient(8, 8))
+    assert J.parse_jpeg(good[:30]) is None  # truncated -> None, not raise
+
+
+def test_jpeg_decode_features_and_resize():
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    flat = np.full((16, 16, 3), 100, dtype=np.uint8)
+    feats = M.decode_image(J.write_jpeg(flat, quality=95))
+    assert feats[:2] == [16.0, 16.0]
+    assert all(abs(m - 100.0) < 2.0 for m in feats[2:])
+    out = M.resize_jpeg(J.write_jpeg(flat), 8, 4)
+    p = J.parse_jpeg(out)
+    assert p is not None and (p[0], p[1]) == (8, 4)
+
+
+def test_extract_features_real_mode_jpeg_provenance(spark):
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    payload = J.write_jpeg(_gradient(16, 24), quality=90)
+    rows = [(1, "image", bytearray(payload), "image/jpeg", len(payload))]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = M.extract_features(media, mode="real").collect()[0]
+    assert got["decoder"] == "jpeg"
+    assert got["feat"][:2] == [24.0, 16.0]
