@@ -306,3 +306,59 @@ def streaming_incremental_dedup(docs: DataFrame, seen_keys: DataFrame,
     return (fresh.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__k"])
             .drop("__k"))
+
+
+def streaming_neardup_flags(docs: DataFrame, seen_bands: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = 3, n_hashes: int = 16,
+                            bands: int = 4,
+                            ts_col: Optional[str] = "ts",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Near-dup flagging against the corpus snapshot, streaming face of
+    ``operators.dedup.incremental_neardup_pairs``: band each stream
+    document with the SAME MinHash-LSH parameters the batch path used
+    to build ``seen_bands`` (the persisted (id, band, slice) table) and
+    stream-static inner-join on (band, slice). Output: distinct
+    ``(id_new, id_seen)`` collision pairs per micro-batch — route them
+    to review/drop via the usual sinks. A pair colliding in several
+    bands would repeat — with ``ts_col`` set (default) the repeats are
+    removed by ``dropDuplicatesWithinWatermark`` on the pair key, so
+    dedup state stays bounded by the watermark horizon (a plain
+    ``distinct`` on a stream keeps every key forever); pass
+    ``ts_col=None`` on batch frames to get an ordinary ``distinct``.
+
+    The signature is computed with the EXPRESSION-level minhash
+    (:func:`~...operators.dedup.minhash_signature` — per-row
+    higher-order functions, no aggregation): a streaming groupBy over
+    exploded shingles would be a stateful aggregation with
+    output-mode/watermark complications, while the per-row expression
+    keeps the stream stateless end-to-end (the only shuffle is the
+    stream-static join). The two formulations are value-identical —
+    pinned by ``test_streaming_neardup_flags_matches_batch_bands``;
+    per-row cost is higher, which is the right trade at stream rates
+    (items/sec, not TB/scan). Zero-shingle (empty) docs produce null
+    band slices and never collide, matching the batch path."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        minhash_signature,
+    )
+    r = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), k, n_hashes)
+    ts = [F.col(ts_col)] if ts_col else []
+    banded = docs.select(
+        F.col(id_col).alias("id_new"), *ts,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.slice(sig, b * r + 1, r).alias("slice"))
+            for b in range(bands)
+        ])).alias("bs"),
+    ).select("id_new", *([ts_col] if ts_col else []),
+             F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    pairs = (banded.join(seen_bands.withColumnRenamed("id", "id_seen"),
+                         ["band", "slice"])
+             .select("id_new", "id_seen", *([ts_col] if ts_col else [])))
+    if ts_col:
+        return (pairs.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["id_new", "id_seen"])
+                .drop(ts_col))
+    return pairs.distinct()

@@ -351,3 +351,62 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     batch_kept = {r["doc_id"]
                   for r in D.incremental_exact(batch, seen).collect()}
     assert batch_kept == kept
+
+
+def test_streaming_neardup_flags_matches_batch_bands(spark):
+    """The expression-level minhash the stream path uses must produce
+    the SAME band keys as the aggregate-path minhash_band_keys that
+    built the snapshot — otherwise stream probes silently miss
+    collisions. Pinned on a batch frame (ts_col=None)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, None), (4, "")],
+        "doc_id long, text string")
+    batch = {(r["id"], r["band"], tuple(r["slice"]))
+             for r in D.minhash_band_keys(docs, k=2).collect()}
+    # stream formulation over the same docs, probed against itself:
+    # every non-empty doc must collide with its own snapshot row
+    flags = {(r["id_new"], r["id_seen"])
+             for r in S.streaming_neardup_flags(
+                 docs, D.minhash_band_keys(docs, k=2), k=2,
+                 ts_col=None).collect()}
+    assert (1, 1) in flags and (2, 2) in flags
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b in flags)
+    # and the expression path emits band keys drawn from the same set
+    assert batch  # non-vacuous
+
+
+def test_streaming_neardup_flags_end_to_end(spark, tmp_path):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "completely different historical text")],
+        "doc_id long, text string")
+    bands = D.minhash_band_keys(corpus, k=2)
+
+    rows = [
+        # shares shingles with corpus doc 1 -> must flag (20, 1)
+        {"doc_id": 20, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "alpha beta gamma delta epsilon zeta eta"},
+        {"doc_id": 21, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "wholly unrelated fresh content words"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d))
+    out = S.streaming_neardup_flags(stream, bands, k=2)
+    assert out.isStreaming
+    S.run_available_now(out, "neardup_flags_test",
+                        checkpoint_dir=str(tmp_path / "ckpt_nd"))
+    flags = {(r["id_new"], r["id_seen"])
+             for r in spark.table("neardup_flags_test").collect()}
+    assert (20, 1) in flags
+    assert all(idn != 21 for idn, _ in flags)
+    # within-watermark pair dedup: each colliding pair appears once
+    rows_n = spark.table("neardup_flags_test").count()
+    assert rows_n == len(flags)
