@@ -370,6 +370,89 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
         "non-WAV audio decoding requires librosa; not available here")
 
 
+def write_wav(samples: "np.ndarray", rate: int, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (1-D interleaved, or (n, channels)) as
+    a WAV payload — the inverse of :func:`decode_audio`'s parse, stdlib
+    ``wave`` only."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 2:
+        channels = arr.shape[1]
+        arr = arr.reshape(-1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wav:
+        wav.setnchannels(channels)
+        wav.setsampwidth(2)
+        wav.setframerate(rate)
+        wav.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """REAL linear-interpolation resample for 16-bit PCM WAV payloads,
+    re-encoded as WAV at ``target_rate``; raises NotImplementedError
+    for non-WAV/non-16-bit payloads (librosa territory)."""
+    if not (payload is not None and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"):
+        raise NotImplementedError(
+            "non-WAV audio resample requires librosa; not available here")
+    with wave.open(io.BytesIO(payload)) as wav:
+        rate, channels = wav.getframerate(), wav.getnchannels()
+        n_frames, width = wav.getnframes(), wav.getsampwidth()
+        frames = wav.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError(
+            "non-16-bit PCM resample requires librosa; not available here")
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
+    x = (np.frombuffer(frames, dtype="<i2")
+         .reshape(-1, channels).astype(np.float64))
+    n_in = x.shape[0]
+    n_out = max(1, int(round(n_in * target_rate / rate))) if n_in else 0
+    if n_in == 0:
+        return write_wav(np.zeros((0, channels), dtype="<i2"), target_rate,
+                         channels)
+    pos = np.linspace(0.0, n_in - 1, n_out)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo)[:, None]
+    y = x[lo] * (1.0 - frac) + x[hi] * frac
+    out = np.clip(np.round(y), -32768, 32767).astype("<i2")
+    return write_wav(out, target_rate, channels)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
+    """Binary -> binary audio resample kernel (1:1 rows), the audio
+    twin of :func:`resize_images`: 16-bit PCM WAV payloads get the REAL
+    linear-interp resample; anything else falls back to a deterministic
+    truncate-or-pad (the librosa slot). Schema contract: payload stays
+    BinaryType, the target rate is recorded as metadata."""
+    out_schema = StructType(MEDIA_SCHEMA.fields + [
+        StructField("sample_rate", LongType(), True),
+    ])
+
+    def one(p):
+        if p is None:
+            return None
+        b = bytes(p)
+        try:
+            return resample_wav(b, target_rate)
+        except Exception:  # noqa: BLE001 — undecodable: librosa slot
+            return b[:target_rate] if len(b) >= target_rate \
+                else b + b"\x00" * (target_rate - len(b))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resampled = [one(p) for p in pdf["payload"]]
+            out = pdf.copy()
+            out["payload"] = resampled
+            out["n_bytes"] = [len(p) if p is not None else 0
+                              for p in resampled]
+            out["sample_rate"] = target_rate
+            yield out
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
 def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resize for P6/P5 payloads, re-encoded to
     the same format; raises NotImplementedError for other formats

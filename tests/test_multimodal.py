@@ -510,3 +510,48 @@ def test_extract_features_real_mode_jpeg_provenance(spark):
     got = M.extract_features(media, mode="real").collect()[0]
     assert got["decoder"] == "jpeg"
     assert got["feat"][:2] == [24.0, 16.0]
+
+
+# ---------------------------------------------------------------------------
+# WAV writer + resample (audio real tier)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_resample():
+    import numpy as np
+    t = np.arange(800) / 8000.0
+    mono = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    payload = M.write_wav(mono, rate=8000)
+    dur, rate, ch, rms = M.decode_audio(payload)
+    assert (rate, ch) == (8000.0, 1.0)
+    assert abs(dur - 0.1) < 1e-6
+    assert abs(rms - 20000 / np.sqrt(2)) < 300  # sine RMS = A/sqrt(2)
+
+    up = M.resample_wav(payload, 16000)
+    dur2, rate2, ch2, rms2 = M.decode_audio(up)
+    assert (rate2, ch2) == (16000.0, 1.0)
+    assert abs(dur2 - 0.1) < 1e-3       # duration preserved
+    assert abs(rms2 - rms) < 500        # energy preserved by linear interp
+
+    stereo = np.stack([mono, -mono], axis=1)
+    down = M.resample_wav(M.write_wav(stereo, 8000), 4000)
+    d3, r3, c3, _ = M.decode_audio(down)
+    assert (r3, c3) == (4000.0, 2.0) and abs(d3 - 0.1) < 1e-3
+
+    with pytest.raises(NotImplementedError):
+        M.resample_wav(b"not audio", 8000)
+
+
+def test_resample_audio_kernel(spark):
+    import numpy as np
+    t = np.arange(400) / 8000.0
+    wav = M.write_wav((np.sin(2 * np.pi * 220 * t) * 1000).astype("<i2"),
+                      rate=8000)
+    rows = [(1, "audio", bytearray(wav), "audio/wav", len(wav)),
+            (2, "audio", bytearray(b"opaque-bytes"), "application/x", 12)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.resample_audio(media, target_rate=16000).collect()}
+    d, r, c, _ = M.decode_audio(bytes(got[1]["payload"]))
+    assert r == 16000.0 and abs(d - 0.05) < 1e-3
+    assert got[2]["n_bytes"] == 16000     # fallback pad to target bytes
+    assert got[1]["sample_rate"] == 16000

@@ -179,3 +179,72 @@ def test_rebalance_rates_always_feasible(counts, shares):
     for g in groups:
         rate = shares[g] * t_star / counts[g]
         assert 0.0 <= rate <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# image codec round-trip properties (lossless formats exact; JPEG dims)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import multimodal as M
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    parsed = M.parse_png(M.write_png(arr))
+    assert parsed is not None
+    assert (parsed[0], parsed[1]) == (w, h)
+    assert np.array_equal(parsed[2], arr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import multimodal as M
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    parsed = M.parse_bmp(M.write_bmp(arr))
+    assert parsed is not None
+    assert (parsed[0], parsed[1]) == (w, h)
+    assert np.array_equal(parsed[2], arr)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    quality=st.integers(min_value=50, max_value=98),
+    subsample=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_dims_and_bounded_error_property(h, w, quality, subsample,
+                                              seed):
+    """JPEG is lossy, so the property is: decode never fails on our own
+    encoder's output, dims are exact at every size (incl. 1x1 and odd
+    dims under 4:2:0), and pixel error stays within the quantization
+    regime."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(1, 1, 3))
+    arr = np.clip(base + rng.normal(0, 12, size=(h, w, 3)),
+                  0, 255).astype(np.uint8)
+    parsed = J.parse_jpeg(J.write_jpeg(arr, quality=quality,
+                                       subsample=subsample))
+    assert parsed is not None
+    assert (parsed[0], parsed[1]) == (w, h)
+    assert np.abs(parsed[2].astype(int) - arr.astype(int)).mean() < 24
