@@ -533,3 +533,78 @@ def SQL_SCRIPT_RATIOS(x: str) -> dict[str, str]:
             f" / greatest(length({x}), 1), 6)")
         for name, pat in SCRIPT_PATTERNS
     }
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate line removal
+# ---------------------------------------------------------------------------
+
+def remove_boilerplate_lines(df, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_line_df: int = 5,
+                             min_line_chars: int = 2):
+    """Corpus-level line dedup (the RefinedWeb/CCNet boilerplate pass):
+    a line whose normalized form appears in more than ``max_line_df``
+    places across the corpus is boilerplate (nav menus, footers,
+    cookie banners) and is dropped from every document; lines shorter
+    than ``min_line_chars`` after normalization are structure (blank
+    separators), never counted as boilerplate. Output: one row per
+    input document — ``(id, text_out, n_removed)`` with surviving
+    lines rejoined in original order (documents whose every line is
+    boilerplate keep an empty ``text_out`` rather than disappearing).
+
+    Scale shape: posexplode lines → ONE window count keyed on the
+    32-bit hash of the normalized line (hashing first keeps the
+    shuffle key fixed-width instead of shuffling full line text; a
+    2^-32 collision merges two unrelated lines' counts, which only
+    makes the conservative cap trip marginally earlier) → one groupBy
+    per doc to reassemble. Two shuffles total at any corpus size."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n")).alias("pos", "line"))
+    norm = normalize_text(F.col("line"))
+    counted = lines.withColumn("__n", F.length(norm)).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy(hash32(norm))))
+    keep = (F.col("__df") <= max_line_df) | (F.col("__n") < min_line_chars)
+    kept = counted.withColumn("__keep", keep)
+    return (kept.groupBy("id")
+            .agg(F.concat_ws("\n", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("__keep"),
+                                F.struct(F.col("pos"), F.col("line"))))),
+                     lambda s: s["line"])).alias("text_out"),
+                 F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+                  .cast("long").alias("n_removed")))
+
+
+def SQL_REMOVE_BOILERPLATE_LINES(table: str, max_line_df: int = 5,
+                                 min_line_chars: int = 2,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB twin of :func:`remove_boilerplate_lines` (same hash key,
+    same cap, same reassembly order)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_HASH32, SQL_NORMALIZE,
+    )
+    norm = SQL_NORMALIZE.format(x="line")
+    h = SQL_HASH32.format(x=norm)
+    return f"""
+SELECT id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_out,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+FROM (
+  SELECT id, pos, line,
+         (count(*) OVER (PARTITION BY {h}) <= {max_line_df}
+          OR length({norm}) < {min_line_chars}) AS keep
+  FROM (
+    SELECT {id_col} AS id,
+           unnest(range(1, len(string_split(coalesce({text_col}, ''),
+                                            chr(10))) + 1)) AS pos,
+           unnest(string_split(coalesce({text_col}, ''), chr(10))) AS line
+    FROM {table}
+  )
+)
+GROUP BY id
+"""

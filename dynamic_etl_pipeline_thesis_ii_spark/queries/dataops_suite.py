@@ -660,14 +660,20 @@ _HTML_WRAP_PRE = '<p class="body">'
 _HTML_WRAP_POST = ('</p><script type="text/js">var x = "<b>";</script>'
                    ' &amp; more&nbsp;“quoted”…')
 
+_FOOTER = "Subscribe to our newsletter for daily updates"
+
 
 def q_text_pii_scrub(spark, sf_dir):
     """Text rewriting ops in one tagged union: PII redaction (every 5th
     doc gains injected contact tokens; each is replaced with its
-    placeholder and counted) and document normalization (every 7th doc
+    placeholder and counted), document normalization (every 7th doc
     is wrapped in HTML markup + typographic unicode; strip/fold/collapse
-    recovers clean text, metric = chars removed). Pure regexp/translate
-    column expressions — one scan per branch at any scale."""
+    recovers clean text, metric = chars removed), and corpus-level
+    boilerplate line removal (every 3rd doc gains a shared footer line;
+    its corpus frequency trips the line-df cap and it is stripped from
+    every carrier, metric = lines removed). The first two branches are
+    pure column expressions; the lineclean branch is the two-shuffle
+    corpus pass of :func:`~...operators.text.remove_boilerplate_lines`."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     injected = docs.withColumn(
         "text", F.when(F.col("doc_id") % 5 == 0,
@@ -689,7 +695,16 @@ def q_text_pii_scrub(spark, sf_dir):
         T.normalize_doc(F.col("text")).alias("text_out"),
         (F.length("text") - F.length(T.normalize_doc(F.col("text"))))
         .cast("long").alias("metric"))
-    return pii.unionByName(norm)
+
+    footered = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(F.col("text"), F.lit("\n" + _FOOTER)))
+        .otherwise(F.col("text")))
+    lc = (T.remove_boilerplate_lines(footered, max_line_df=5)
+          .select(F.lit("lineclean").alias("op"),
+                  F.col("id").alias("doc_id"), "text_out",
+                  F.col("n_removed").alias("metric")))
+    return pii.unionByName(norm).unionByName(lc)
 
 
 def _sql_pii_scrub() -> str:
@@ -697,6 +712,7 @@ def _sql_pii_scrub() -> str:
     norm = T.SQL_NORMALIZE_DOC("text")
     pre = _HTML_WRAP_PRE.replace("'", "''")
     post = _HTML_WRAP_POST.replace("'", "''")
+    lineclean = T.SQL_REMOVE_BOILERPLATE_LINES("footered", max_line_df=5)
     return f"""
 WITH corpus AS (
   SELECT doc_id,
@@ -709,6 +725,12 @@ marked AS (
          CASE WHEN doc_id % 7 = 0 THEN '{pre}' || text || '{post}'
               ELSE text END AS text
   FROM documents
+),
+footered AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_FOOTER}'
+              ELSE text END AS text
+  FROM documents
 )
 SELECT 'pii' AS op, doc_id, {scrubbed} AS text_out,
        cast({count} AS bigint) AS metric
@@ -717,6 +739,9 @@ UNION ALL
 SELECT 'norm', doc_id, {norm},
        cast(length(text) - length({norm}) AS bigint)
 FROM marked
+UNION ALL
+SELECT 'lineclean', id, text_out, n_removed
+FROM ({lineclean})
 """
 
 

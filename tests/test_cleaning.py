@@ -222,3 +222,33 @@ def test_deterministic_imputation_partition_invariant(spark):
     mb, sb = statistics.mean(obs_b), statistics.stdev(obs_b)
     zb = [(got1[i][1] - mb) / sb for i in range(n) if i % 4 == 0]
     assert any(abs(x - y) > 1e-9 for x, y in zip(za, zb))
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Corpus-level line dedup: a line repeated beyond the cap drops
+    from EVERY carrier, short/blank lines are structure (never
+    boilerplate), order is preserved, all-boilerplate docs survive
+    with empty text, null text behaves as empty."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+    footer = "subscribe to the newsletter"
+    docs = spark.createDataFrame(
+        [(1, f"unique alpha\n\n{footer}\nunique beta"),
+         (2, f"{footer}\nunique gamma"),
+         (3, f"other text\n{footer}"),
+         (4, footer),              # all-boilerplate doc
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           remove_boilerplate_lines(docs, max_line_df=2).collect()}
+    assert out[1]["text_out"] == "unique alpha\n\nunique beta"  # blank kept
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text_out"] == "unique gamma"
+    assert out[3]["text_out"] == "other text"
+    assert out[4]["text_out"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["text_out"] == "" and out[5]["n_removed"] == 0
+    # below the cap nothing is removed
+    loose = {r["id"]: r["n_removed"] for r in
+             remove_boilerplate_lines(docs, max_line_df=10).collect()}
+    assert all(v == 0 for v in loose.values())
