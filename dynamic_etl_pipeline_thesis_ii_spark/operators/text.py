@@ -330,6 +330,83 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                  F.round(F.avg("logp"), 4).alias("mean_logprob")))
 
 
+def bigram_rows(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, w1, w2) consecutive-token pair rows — one scan via
+    arrays_zip of two shifted slices, no self-join. Docs with fewer
+    than two tokens produce no rows."""
+    words = F.split(normalize_text(F.coalesce(F.col(text_col),
+                                              F.lit(""))), " ")
+    ln = F.greatest(F.size(words) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(words, 1, ln).alias("w1"),
+                          F.slice(words, 2, ln).alias("w2"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(zipped).alias("bg"))
+            .select("id", F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean CONDITIONAL bigram log-probability with
+    add-one smoothing — the next step up from :func:`unigram_logprob`
+    in the CCNet-style LM-quality ladder (word-salad text scores like
+    its unigrams; real prose scores higher because its transitions
+    repeat): ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + |V|)`` with
+    ``c(w1·)`` the bigram-prefix count and ``|V|`` the distinct
+    continuation vocabulary. Per-pair logs are rounded to 6 dp before
+    averaging (4 dp), same engine-exactness discipline as the unigram
+    scorer. Output: ``(id, n_bigrams, mean_bigram_logprob)``; docs
+    with < 2 tokens have no rows — callers left-join.
+
+    Scale shape: one scan to pair rows, two hash aggregates (bigram
+    and prefix counts), a lazy 1-row |V| scalar broadcast, and the
+    pairs ⋈ logp join keyed on the bigram — unlike the unigram logp
+    table, the bigram table can exceed broadcast size at corpus scale,
+    so it stays a shuffle join on near-uniform (w1, w2) keys."""
+    pairs = bigram_rows(df, text_col, id_col)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = pairs.agg(F.countDistinct("w2").alias("v"))
+    logp = F.round(F.log((F.col("n2") + 1)
+                         / (F.col("n1") + F.col("v")).cast("double")), 6)
+    logp_tbl = (c2.join(c1, "w1").crossJoin(F.broadcast(v))
+                .withColumn("logp", logp)
+                .select("w1", "w2", "logp"))
+    return (pairs.join(logp_tbl, ["w1", "w2"])
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("logp"), 4).alias("mean_bigram_logprob")))
+
+
+def SQL_BIGRAM_LOGPROB(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same smoothing, same
+    rounding ladder; parallel unnest of the two shifted slices)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_NORMALIZE,
+    )
+    toks = f"string_split({SQL_NORMALIZE.format(x=text_col)}, ' ')"
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+bg AS (
+  SELECT id, unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*)::BIGINT AS n1 FROM bg GROUP BY w1),
+vv AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM bg),
+logp AS (
+  SELECT c2.w1, c2.w2,
+         round(ln((n2 + 1) / (n1 + vv.v)::DOUBLE), 6) AS logp
+  FROM c2 JOIN c1 USING (w1) CROSS JOIN vv
+)
+SELECT bg.id, count(*)::BIGINT AS n_bigrams,
+       round(avg(l.logp), 4) AS mean_bigram_logprob
+FROM bg JOIN logp l ON bg.w1 = l.w1 AND bg.w2 = l.w2
+GROUP BY bg.id
+"""
+
+
 def lm_quality_buckets(scores, score_col: str = "mean_logprob",
                        group_col: str | None = None,
                        cuts: tuple[float, float] = (1 / 3, 2 / 3)):

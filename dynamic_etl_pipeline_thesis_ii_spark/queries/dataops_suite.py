@@ -858,20 +858,25 @@ def q_text_unigram_logprob(spark, sf_dir):
 
 
 def q_text_corpus_stats(spark, sf_dir):
-    """Vocabulary/OOV + unigram-LM scoring + CCNet-style per-language
-    head/middle/tail quality bucket, joined per document (T4+T5+T9 in
-    one registry entry; shared doc-id key)."""
+    """Vocabulary/OOV + unigram-LM scoring + bigram-LM scoring +
+    CCNet-style per-language head/middle/tail quality bucket, joined
+    per document (T4+T5+T9+T11 in one registry entry; shared doc-id
+    key). The bigram join is LEFT: docs with < 2 tokens carry a null
+    bigram score."""
+    docs = Catalog(spark, sf_dir).documents
     oov = q_text_vocab_oov(spark, sf_dir)
     lp = q_text_unigram_logprob(spark, sf_dir).select("id", "mean_logprob")
-    lang = (Catalog(spark, sf_dir).documents
-            .select(F.col("doc_id").alias("id"), "lang"))
+    bi = T.bigram_logprob(docs.select("doc_id", "text")) \
+        .select("id", "mean_bigram_logprob")
+    lang = docs.select(F.col("doc_id").alias("id"), "lang")
     # bucket the compact (id, score, lang) frame BEFORE joining oov, so
     # only the score lineage — not the whole stats join — feeds both the
     # row side and the cutmap side of the bucketing self-join; a 100 TB
     # deployment persists this score frame between the two uses
     bucketed = T.lm_quality_buckets(lp.join(lang, "id"), group_col="lang")
-    return oov.join(bucketed, "id").select(
-        "id", "n_tokens", "oov_rate", "mean_logprob", "lang", "lm_bucket")
+    return oov.join(bucketed, "id").join(bi, "id", "left").select(
+        "id", "n_tokens", "oov_rate", "mean_logprob",
+        "mean_bigram_logprob", "lang", "lm_bucket")
 
 
 def _sql_corpus_stats() -> str:
@@ -883,9 +888,11 @@ WITH stats AS (
   JOIN ({_sql_unigram_logprob()}) l ON v.id = l.id
   JOIN documents d ON v.id = d.doc_id
 )
-SELECT s.id, s.n_tokens, s.oov_rate, s.mean_logprob, s.lang, b.lm_bucket
+SELECT s.id, s.n_tokens, s.oov_rate, s.mean_logprob,
+       bi.mean_bigram_logprob, s.lang, b.lm_bucket
 FROM stats s
 JOIN ({buckets}) b ON s.lang = b.lang AND s.mean_logprob = b.mean_logprob
+LEFT JOIN ({T.SQL_BIGRAM_LOGPROB()}) bi ON s.id = bi.id
 """
 
 

@@ -252,3 +252,27 @@ def test_remove_boilerplate_lines_semantics(spark):
     loose = {r["id"]: r["n_removed"] for r in
              remove_boilerplate_lines(docs, max_line_df=10).collect()}
     assert all(v == 0 for v in loose.values())
+
+
+def test_bigram_logprob_separates_prose_from_salad(spark):
+    """Repeated transitions score higher than shuffled ones: documents
+    built from one repeating phrase must beat word-salad documents
+    drawing from the same vocabulary; docs with < 2 tokens emit no
+    row."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        bigram_logprob,
+    )
+    phrase = "the quick brown fox jumps over the lazy dog"
+    words = phrase.split()
+    salad = " ".join(words[::-1] + words[1::2] + words[0::3])
+    docs = spark.createDataFrame(
+        [(1, " ".join([phrase] * 4)),
+         (2, " ".join([phrase] * 4)),
+         (3, salad),
+         (4, "single"), (5, "")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3}          # 4 and 5 have no bigrams
+    assert out[1]["mean_bigram_logprob"] == out[2]["mean_bigram_logprob"]
+    assert out[1]["mean_bigram_logprob"] > out[3]["mean_bigram_logprob"]
+    assert out[1]["n_bigrams"] == 4 * len(words) - 1

@@ -421,11 +421,13 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
     single_row_aggregates = {"clean_null_profile"}
     scalar_reduce_budget = {
         "text_tfidf_topterms": 1,   # lazy n_docs scalar for idf
-        # the lazy (total, |V|) LM normalizer appears twice: the score
-        # lineage feeds both the row side and the broadcast cutmap side
-        # of the CCNet bucketing self-join (deployments persist the
-        # score frame between the two uses); both are 1-row reduces
-        "text_corpus_stats": 2,
+        # the lazy (total, |V|) unigram normalizer appears twice (the
+        # score lineage feeds both the row side and the broadcast
+        # cutmap side of the CCNet bucketing self-join; deployments
+        # persist the score frame between the two uses) plus the
+        # bigram scorer's lazy |V| continuation-vocab scalar — all
+        # 1-row reduces
+        "text_corpus_stats": 3,
     }
     violations = []
     for name, q in all_queries().items():
