@@ -469,3 +469,20 @@ def test_ivf_index_reuse_and_parquet_roundtrip(spark, sf_dir, tmp_path):
                 for r in SIM.ivf_search(centers2, bucketed2, queries,
                                         k=3, n_probe=2).collect()}
     assert reloaded == direct
+
+
+def test_shared_caches_tracked_and_released(spark, sf_dir):
+    """Queries that persist shared frames register them; harnesses can
+    release between queries so executor memory stays flat — and a
+    release with nothing tracked is a no-op."""
+    from dynamic_etl_pipeline_thesis_ii_spark.queries import dataops_suite as DS
+    DS.release_shared_caches()            # clean slate, idempotent
+    assert not DS._SHARED_CACHES
+    df = DS.q_dedup_neardup_pairs(spark, sf_dir)
+    assert DS._SHARED_CACHES              # the shingle base registered
+    cached = DS._SHARED_CACHES[-1]
+    df.count()
+    assert cached.storageLevel.useMemory  # actually persisted
+    DS.release_shared_caches()
+    assert not DS._SHARED_CACHES
+    assert not cached.storageLevel.useMemory  # actually unpersisted
