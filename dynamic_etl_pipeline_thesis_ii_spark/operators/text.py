@@ -685,3 +685,117 @@ FROM (
 )
 GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# repeated-span removal (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+def remove_repeated_spans(df, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          k: int = 10, max_span_df: int = 2):
+    """Token-level exact-substring dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" step, approximated at
+    k-token granularity): any k-token window whose exact content
+    appears more than ``max_span_df`` times across the corpus is a
+    repeated span, and every token covered by at least one such window
+    is removed from its document. Output: ``(id, text_out,
+    n_removed)`` — surviving tokens rejoined in order; docs shorter
+    than ``k`` tokens pass through untouched.
+
+    Scale shape: posexplode tokens → per-doc window with ``k-1``
+    ``lead()``s builds each start position's k-gram (cluster-friendly:
+    partitions by doc id, never global) → ONE corpus shuffle keyed on
+    the 32-bit k-gram hash counts span frequency (incomplete tail
+    starts get a per-row unique key so they don't pile into one null
+    partition) → a per-doc ``max() over rows between -(k-1) and 0``
+    marks covered tokens → per-doc reassembly. Three shuffles total,
+    all on bounded or uniform keys."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(
+            F.coalesce(F.col(text_col), F.lit(""))), " "))
+        .alias("pos", "tok"))
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", j).over(wdoc)
+                                   for j in range(1, k)]
+    complete = gram_parts[-1].isNotNull()
+    gram = F.concat_ws(" ", *gram_parts)
+    # incomplete tail starts hash to a per-row unique key: a shared
+    # NULL key would funnel (k-1) rows per doc into one skew partition
+    gh = F.when(complete, hash32(gram)).otherwise(
+        hash32(F.concat_ws("#", F.col("id").cast("string"),
+                           F.col("pos").cast("string"), F.lit("tail"))))
+    grams = toks.withColumn("__complete", complete).withColumn("__gh", gh)
+    counted = grams.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__gh")))
+    freq_start = (F.col("__complete")
+                  & (F.col("__df") > max_span_df)).cast("int")
+    cover = Window.partitionBy("id").orderBy("pos") \
+        .rowsBetween(-(k - 1), 0)
+    flagged = counted.withColumn(
+        "__rm", F.max(freq_start).over(cover) == 1)
+    return (flagged.groupBy("id")
+            .agg(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(~F.col("__rm"),
+                                F.struct(F.col("pos"), F.col("tok"))))),
+                     lambda s: s["tok"])).alias("text_out"),
+                 F.sum(F.when(F.col("__rm"), 1).otherwise(0))
+                  .cast("long").alias("n_removed")))
+
+
+def SQL_REMOVE_REPEATED_SPANS(table: str, k: int = 10,
+                              max_span_df: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB twin of :func:`remove_repeated_spans` (same k-gram hash,
+    same coverage window, same reassembly)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_HASH32, SQL_NORMALIZE,
+    )
+    leads = ", ".join(f"lead(tok, {j}) OVER w AS t{j}"
+                      for j in range(1, k))
+    parts = ", ".join(["tok"] + [f"t{j}" for j in range(1, k)])
+    gram_hash = SQL_HASH32.format(x="concat_ws(' ', " + parts + ")")
+    tail_hash = SQL_HASH32.format(
+        x="(id)::VARCHAR || '#' || (pos)::VARCHAR || '#tail'")
+    return f"""
+SELECT id,
+       coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+                           ORDER BY pos), '') AS text_out,
+       sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM (
+  SELECT id, pos, tok,
+         max(freq) OVER (PARTITION BY id ORDER BY pos
+                         ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+           = 1 AS rm
+  FROM (
+    SELECT id, pos, tok,
+           CASE WHEN complete AND
+                     count(*) OVER (PARTITION BY gh) > {max_span_df}
+                THEN 1 ELSE 0 END AS freq
+    FROM (
+      SELECT id, pos, tok, complete,
+             CASE WHEN complete THEN {gram_hash}
+                  ELSE {tail_hash} END AS gh
+      FROM (
+        SELECT id, pos, tok, {leads},
+               t{k - 1} IS NOT NULL AS complete
+        FROM (
+          SELECT {id_col} AS id,
+                 unnest(range(1, len(string_split(
+                     {SQL_NORMALIZE.format(x=f"coalesce({text_col}, '')")},
+                     ' ')) + 1)) AS pos,
+                 unnest(string_split(
+                     {SQL_NORMALIZE.format(x=f"coalesce({text_col}, '')")},
+                     ' ')) AS tok
+          FROM {table}
+        )
+        WINDOW w AS (PARTITION BY id ORDER BY pos)
+      )
+    )
+  )
+)
+GROUP BY id
+"""

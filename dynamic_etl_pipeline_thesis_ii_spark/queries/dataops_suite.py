@@ -662,18 +662,25 @@ _HTML_WRAP_POST = ('</p><script type="text/js">var x = "<b>";</script>'
 
 _FOOTER = "Subscribe to our newsletter for daily updates"
 
+_SPAN = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+
 
 def q_text_pii_scrub(spark, sf_dir):
     """Text rewriting ops in one tagged union: PII redaction (every 5th
     doc gains injected contact tokens; each is replaced with its
     placeholder and counted), document normalization (every 7th doc
     is wrapped in HTML markup + typographic unicode; strip/fold/collapse
-    recovers clean text, metric = chars removed), and corpus-level
+    recovers clean text, metric = chars removed), corpus-level
     boilerplate line removal (every 3rd doc gains a shared footer line;
     its corpus frequency trips the line-df cap and it is stripped from
-    every carrier, metric = lines removed). The first two branches are
-    pure column expressions; the lineclean branch is the two-shuffle
-    corpus pass of :func:`~...operators.text.remove_boilerplate_lines`."""
+    every carrier, metric = lines removed), and token-level
+    repeated-span removal (every 11th doc gains a shared 10-token
+    phrase; its k-gram frequency trips the span-df cap and all covered
+    tokens drop, metric = tokens removed). The first two branches are
+    pure column expressions; lineclean/spanclean are the bounded-
+    shuffle corpus passes of
+    :func:`~...operators.text.remove_boilerplate_lines` /
+    :func:`~...operators.text.remove_repeated_spans`."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     injected = docs.withColumn(
         "text", F.when(F.col("doc_id") % 5 == 0,
@@ -704,7 +711,16 @@ def q_text_pii_scrub(spark, sf_dir):
           .select(F.lit("lineclean").alias("op"),
                   F.col("id").alias("doc_id"), "text_out",
                   F.col("n_removed").alias("metric")))
-    return pii.unionByName(norm).unionByName(lc)
+
+    spanned = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 11 == 0,
+                       F.concat(F.col("text"), F.lit(" " + _SPAN)))
+        .otherwise(F.col("text")))
+    sc = (T.remove_repeated_spans(spanned, k=8, max_span_df=5)
+          .select(F.lit("spanclean").alias("op"),
+                  F.col("id").alias("doc_id"), "text_out",
+                  F.col("n_removed").alias("metric")))
+    return pii.unionByName(norm).unionByName(lc).unionByName(sc)
 
 
 def _sql_pii_scrub() -> str:
@@ -713,6 +729,7 @@ def _sql_pii_scrub() -> str:
     pre = _HTML_WRAP_PRE.replace("'", "''")
     post = _HTML_WRAP_POST.replace("'", "''")
     lineclean = T.SQL_REMOVE_BOILERPLATE_LINES("footered", max_line_df=5)
+    spanclean = T.SQL_REMOVE_REPEATED_SPANS("spanned", k=8, max_span_df=5)
     return f"""
 WITH corpus AS (
   SELECT doc_id,
@@ -731,6 +748,12 @@ footered AS (
          CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_FOOTER}'
               ELSE text END AS text
   FROM documents
+),
+spanned AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' ' || '{_SPAN}'
+              ELSE text END AS text
+  FROM documents
 )
 SELECT 'pii' AS op, doc_id, {scrubbed} AS text_out,
        cast({count} AS bigint) AS metric
@@ -742,6 +765,9 @@ FROM marked
 UNION ALL
 SELECT 'lineclean', id, text_out, n_removed
 FROM ({lineclean})
+UNION ALL
+SELECT 'spanclean', id, text_out, n_removed
+FROM ({spanclean})
 """
 
 

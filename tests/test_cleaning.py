@@ -276,3 +276,32 @@ def test_bigram_logprob_separates_prose_from_salad(spark):
     assert out[1]["mean_bigram_logprob"] == out[2]["mean_bigram_logprob"]
     assert out[1]["mean_bigram_logprob"] > out[3]["mean_bigram_logprob"]
     assert out[1]["n_bigrams"] == 4 * len(words) - 1
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Token-level exact-substring dedup: a k-gram shared beyond the
+    cap drops every covered token in every carrier, unique text
+    survives, short docs (< k tokens) pass through, boundary tokens
+    around the span are kept."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        remove_repeated_spans,
+    )
+    phrase = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, f"start {phrase} end"),
+         (2, f"{phrase} trailing words here"),
+         (3, f"leading words {phrase}"),
+         (4, "a wholly unrelated document body"),
+         (5, "tiny doc")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           remove_repeated_spans(docs, k=5, max_span_df=2).collect()}
+    assert out[1]["text_out"] == "start end" and out[1]["n_removed"] == 5
+    assert out[2]["text_out"] == "trailing words here"
+    assert out[3]["text_out"] == "leading words"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["text_out"] == "tiny doc"     # < k tokens: untouched
+    # a cap above the span frequency removes nothing
+    loose = {r["id"]: r["n_removed"] for r in
+             remove_repeated_spans(docs, k=5, max_span_df=5).collect()}
+    assert all(v == 0 for v in loose.values())
