@@ -207,9 +207,21 @@ def integrate(dfs: list[DataFrame], cfg: Optional[EngineConfig] = None,
         return groups, reports
 
     # fixed GLOBAL retention denominator for every stage-1/2 pair:
-    # min row count over the unioned groups (validator.py:323-325)
+    # min row count over the unioned groups (validator.py:323-325).
+    # The reference's min INCLUDES empty groups, and check_compatibility
+    # returns retention 0.0 when the denominator is 0 (join.py:809) —
+    # so one empty group disables every join. Faithful but surprising:
+    # surface it loudly in the report instead of leaving only silently
+    # pass-through groups.
     denominator = min(g.count() for g in groups)
     reports.append({"operation": "join_denominator", "rows": denominator})
+    if denominator == 0:
+        reports.append({
+            "operation": "join_denominator_zero",
+            "reason": "an empty unioned group sets the global retention "
+                      "denominator to 0, so no stage-1/2 join can pass "
+                      "the gate (reference semantics, validator.py:324 "
+                      "+ join.py:809)"})
 
     stage1, any_joined = _best_partner_join(groups, cfg, reports,
                                             denominator)

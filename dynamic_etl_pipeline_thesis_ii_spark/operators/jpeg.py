@@ -29,9 +29,12 @@ _BASIS = np.array([[np.cos((2 * x + 1) * u * np.pi / 16)
                     for x in range(8)] for u in range(8)])
 
 # zig-zag order: zigzag[k] = (row, col) of the k-th coefficient
+# (ITU T.81 Fig. A.6: odd diagonals walk row-ascending, even diagonals
+# row-descending — (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),... — so the
+# within-diagonal key is r on odd sums, c on even sums)
 _ZIGZAG = sorted(((r, c) for r in range(8) for c in range(8)),
                  key=lambda rc: (rc[0] + rc[1],
-                                 rc[1] if (rc[0] + rc[1]) % 2 else rc[0]))
+                                 rc[0] if (rc[0] + rc[1]) % 2 else rc[1]))
 
 # Annex K Table K.1/K.2 base quantization tables (luma, chroma)
 _QL = np.array([
@@ -159,7 +162,8 @@ def parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     uint8, C in {1, 3}); None for non-JPEG or unsupported variants."""
     try:
         return _parse_jpeg(payload)
-    except (IndexError, ValueError, KeyError, ZeroDivisionError):
+    except (IndexError, ValueError, KeyError, ZeroDivisionError,
+            StopIteration, MemoryError):
         return None  # truncated / corrupt streams fall back, never raise
 
 
@@ -211,6 +215,10 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            # hostile/corrupt dims would otherwise allocate GB-scale
+            # planes before any entropy data is validated
+            if w * h > 1 << 26:  # 64M pixels
+                return None
             nc = seg[5]
             if nc not in (1, 3):
                 return None
@@ -228,7 +236,11 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                # SOS before SOF, or a component id absent from SOF —
+                # corrupt stream, not an exception path
+                comp = next((x for x in comps if x["id"] == cid), None)
+                if comp is None:
+                    return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
             data_pos = i + 2 + seg_len
             return _decode_scan(payload, data_pos, w, h, comps, scan,

@@ -541,6 +541,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 return real(b, width, height)
             except NotImplementedError:
                 continue
+            except Exception:  # noqa: BLE001 — a malformed payload that
+                # passed a decoder's magic check must fall back, never
+                # fail the whole mapInPandas task (same invariant as
+                # extract_features' kernel)
+                break
         return (b[:target] if len(b) >= target
                 else b + b"\x00" * (target - len(b)))
 

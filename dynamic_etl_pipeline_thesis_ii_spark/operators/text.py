@@ -345,7 +345,8 @@ def bigram_rows(df, text_col: str = "text", id_col: str = "doc_id"):
                     F.col("bg.w2").alias("w2")))
 
 
-def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                   pairs=None):
     """Per-document mean CONDITIONAL bigram log-probability with
     add-one smoothing — the next step up from :func:`unigram_logprob`
     in the CCNet-style LM-quality ladder (word-salad text scores like
@@ -357,12 +358,18 @@ def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     scorer. Output: ``(id, n_bigrams, mean_bigram_logprob)``; docs
     with < 2 tokens have no rows — callers left-join.
 
-    Scale shape: one scan to pair rows, two hash aggregates (bigram
-    and prefix counts), a lazy 1-row |V| scalar broadcast, and the
-    pairs ⋈ logp join keyed on the bigram — unlike the unigram logp
-    table, the bigram table can exceed broadcast size at corpus scale,
-    so it stays a shuffle join on near-uniform (w1, w2) keys."""
-    pairs = bigram_rows(df, text_col, id_col)
+    Scale shape: the pair frame feeds FOUR consumers (bigram counts,
+    prefix counts, the |V| scalar, and the final join's left side) —
+    pass ``pairs`` as a PERSISTED :func:`bigram_rows` frame so the
+    corpus scans/explodes once (q_text_corpus_stats does, via its
+    tracked-cache convention); unpersisted, each consumer re-derives
+    the explosion. Two hash aggregates, a lazy 1-row |V| scalar
+    broadcast, and the pairs ⋈ logp join keyed on the bigram — unlike
+    the unigram logp table, the bigram table can exceed broadcast size
+    at corpus scale, so it stays a shuffle join on near-uniform
+    (w1, w2) keys."""
+    if pairs is None:
+        pairs = bigram_rows(df, text_col, id_col)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     v = pairs.agg(F.countDistinct("w2").alias("v"))
@@ -635,15 +642,24 @@ def remove_boilerplate_lines(df, text_col: str = "text",
     shuffle key fixed-width instead of shuffling full line text; a
     2^-32 collision merges two unrelated lines' counts, which only
     makes the conservative cap trip marginally earlier) → one groupBy
-    per doc to reassemble. Two shuffles total at any corpus size."""
+    per doc to reassemble. Two shuffles total at any corpus size.
+    Short/blank lines — whose count is never consulted because the
+    keep-rule exempts them — get a per-row UNIQUE window key: keying
+    them on hash32('') would funnel every blank line in the corpus
+    into one skew partition (the same null-key trap
+    :func:`remove_repeated_spans` engineers away for tail grams)."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
                              "\n")).alias("pos", "line"))
     norm = normalize_text(F.col("line"))
-    counted = lines.withColumn("__n", F.length(norm)).withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy(hash32(norm))))
-    keep = (F.col("__df") <= max_line_df) | (F.col("__n") < min_line_chars)
+    structural = F.length(norm) < min_line_chars
+    key = F.when(~structural, hash32(norm)).otherwise(
+        hash32(F.concat_ws("#", F.col("id").cast("string"),
+                           F.col("pos").cast("string"), F.lit("blank"))))
+    counted = lines.withColumn("__s", structural).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy(key)))
+    keep = (F.col("__df") <= max_line_df) | F.col("__s")
     kept = counted.withColumn("__keep", keep)
     return (kept.groupBy("id")
             .agg(F.concat_ws("\n", F.transform(
@@ -659,13 +675,18 @@ def SQL_REMOVE_BOILERPLATE_LINES(table: str, max_line_df: int = 5,
                                  min_line_chars: int = 2,
                                  id_col: str = "doc_id",
                                  text_col: str = "text") -> str:
-    """DuckDB twin of :func:`remove_boilerplate_lines` (same hash key,
-    same cap, same reassembly order)."""
+    """DuckDB twin of :func:`remove_boilerplate_lines` (same hash key
+    incl. the unique-key exemption for structural lines, same cap,
+    same reassembly order)."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
         SQL_HASH32, SQL_NORMALIZE,
     )
     norm = SQL_NORMALIZE.format(x="line")
     h = SQL_HASH32.format(x=norm)
+    hu = SQL_HASH32.format(
+        x="(id)::VARCHAR || '#' || (pos)::VARCHAR || '#blank'")
+    key = (f"CASE WHEN length({norm}) >= {min_line_chars} "
+           f"THEN {h} ELSE {hu} END")
     return f"""
 SELECT id,
        coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
@@ -673,7 +694,7 @@ SELECT id,
        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
 FROM (
   SELECT id, pos, line,
-         (count(*) OVER (PARTITION BY {h}) <= {max_line_df}
+         (count(*) OVER (PARTITION BY {key}) <= {max_line_df}
           OR length({norm}) < {min_line_chars}) AS keep
   FROM (
     SELECT {id_col} AS id,

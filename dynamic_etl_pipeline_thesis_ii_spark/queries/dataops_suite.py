@@ -892,7 +892,11 @@ def q_text_corpus_stats(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     oov = q_text_vocab_oov(spark, sf_dir)
     lp = q_text_unigram_logprob(spark, sf_dir).select("id", "mean_logprob")
-    bi = T.bigram_logprob(docs.select("doc_id", "text")) \
+    # the pair frame feeds four consumers inside bigram_logprob —
+    # persist it (tracked) so the corpus explodes once
+    bg_pairs = _persist_tracked(
+        T.bigram_rows(docs.select("doc_id", "text")))
+    bi = T.bigram_logprob(docs, pairs=bg_pairs) \
         .select("id", "mean_bigram_logprob")
     lang = docs.select(F.col("doc_id").alias("id"), "lang")
     # bucket the compact (id, score, lang) frame BEFORE joining oov, so

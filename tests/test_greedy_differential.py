@@ -300,3 +300,32 @@ def test_global_denominator_used_for_retention(spark):
     # pair-min 3 — here they coincide; the report must carry the
     # global-denominator value exactly
     assert joins and joins[0]["retention"] == pytest.approx(1.0)
+
+
+def test_empty_group_zeroes_global_denominator(spark):
+    """Reference semantics (validator.py:324 + join.py:809): the global
+    denominator min INCLUDES empty groups, and retention at denominator
+    0 is 0.0 — so one empty union-incompatible group disables every
+    stage-1/2 join. The engine mirrors this and surfaces it with an
+    explicit report instead of silent pass-throughs."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.integration import (
+        integrate,
+    )
+    bars = spark.createDataFrame(
+        [("A", 1, 10.0, 11.0), ("A", 2, 11.0, 12.0), ("B", 1, 20.0, 2.0)],
+        ["ticker", "ts", "open_px", "close_px"])
+    funds = spark.createDataFrame(
+        [("A", 1, 5.0, 7.0, 9.0, 1.0, 2.0, 3.0, 4.0, 5.0),
+         ("B", 1, 1.0, 2.0, 3.0, 6.0, 7.0, 8.0, 9.0, 1.5)],
+        ["ticker", "ts", "revenue_m", "ebitda_m", "assets_m",
+         "liab_m", "equity_m", "eps_q", "dps_q", "capex_m"])
+    empty = spark.createDataFrame(
+        [], "zzz_a string, zzz_b string, zzz_c double, zzz_d double, "
+            "zzz_e double, zzz_f double, zzz_g double, zzz_h double")
+    outputs, reports = integrate([bars, funds, empty], CFG)
+    ops = [r["operation"] for r in reports]
+    assert "join_denominator_zero" in ops
+    assert "join_stage1" not in ops          # the equi-join is gated off
+    # drop the empty group and the same pair joins fine
+    outputs2, reports2 = integrate([bars, funds], CFG)
+    assert any(r["operation"] == "join_stage1" for r in reports2)

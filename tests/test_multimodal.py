@@ -555,3 +555,33 @@ def test_resample_audio_kernel(spark):
     assert r == 16000.0 and abs(d - 0.05) < 1e-3
     assert got[2]["n_bytes"] == 16000     # fallback pad to target bytes
     assert got[1]["sample_rate"] == 16000
+
+
+def test_jpeg_zigzag_is_canonical_t81():
+    """Pin the zig-zag table to ITU T.81 Fig. A.6 — encoder and decoder
+    share it, so a transposed table would still round-trip internally
+    while garbling every interchange with standards-compliant codecs."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import _ZIGZAG
+    canon = [
+        0, 1, 5, 6, 14, 15, 27, 28,
+        2, 4, 7, 13, 16, 26, 29, 42,
+        3, 8, 12, 17, 25, 30, 41, 43,
+        9, 11, 18, 24, 31, 40, 44, 53,
+        10, 19, 23, 32, 39, 45, 52, 54,
+        20, 22, 33, 38, 46, 51, 55, 60,
+        21, 34, 37, 47, 50, 56, 59, 61,
+        35, 36, 48, 49, 57, 58, 62, 63]
+    assert all(canon[r * 8 + c] == k for k, (r, c) in enumerate(_ZIGZAG))
+
+
+def test_jpeg_corrupt_streams_return_none_never_raise():
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    # SOS referencing a component id with no SOF seen (StopIteration
+    # path before the fix) — 1 component, id 1, tables 0, Ss/Se/Ah/Al
+    sos = b"\xFF\xDA" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 63, 0])
+    assert J.parse_jpeg(b"\xFF\xD8" + sos) is None
+    # hostile SOF dims (would allocate ~34 GB of planes)
+    sof = (b"\xFF\xC0" + (11).to_bytes(2, "big")
+           + bytes([8]) + (65535).to_bytes(2, "big")
+           + (65535).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    assert J.parse_jpeg(b"\xFF\xD8" + sof) is None
