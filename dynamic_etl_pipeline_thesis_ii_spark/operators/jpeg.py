@@ -394,12 +394,17 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
 
 
 def write_jpeg(arr: "np.ndarray", quality: int = 90,
-               subsample: bool = False) -> bytes:
+               subsample: bool = False,
+               restart_interval: int = 0) -> bytes:
     """Encode HxWx3 RGB (or HxWx1 / HxW grayscale) uint8 as baseline
     JPEG with quality-scaled Annex K tables. ``subsample=True`` emits
     4:2:0 (luma 2x2 per MCU, chroma 2x2-mean downsampled) — the common
     camera layout, and the fixture generator for the decoder's MCU
-    interleave / upsample path; default is 4:4:4."""
+    interleave / upsample path; default is 4:4:4.
+    ``restart_interval > 0`` emits a DRI segment and RSTn markers every
+    N MCUs with DC-prediction resets — camera files carry these for
+    error resilience, and it is the fixture generator for the
+    decoder's restart path."""
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, nc = arr.shape
@@ -445,6 +450,8 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
         ((0x00, _DC_L), (0x10, _AC_L), (0x01, _DC_C), (0x11, _AC_C))
     for tc, (bits, vals) in tables:
         out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -463,8 +470,17 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
         p = np.pad(plane, ((0, ph - plane.shape[0]),
                            (0, pw - plane.shape[1])), mode="edge")
         padded.append((p, q, samp))
+    mcu_idx = 0
     for my in range(my_max):
         for mx in range(mx_max):
+            if restart_interval and mcu_idx and \
+                    mcu_idx % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn (mod-8 cycle), reset DC
+                bw.flush()
+                out_rst = 0xD0 + ((mcu_idx // restart_interval - 1) % 8)
+                bw.out += bytes([0xFF, out_rst])
+                preds = [0] * ncomp
+            mcu_idx += 1
             for ci, (p, q, samp) in enumerate(padded):
                 tsel = 0 if ci == 0 else 1
                 for by in range(samp):
