@@ -1162,7 +1162,7 @@ def q_corpus_to_shards(spark, sf_dir):
     keeps it lazy, hashable and plan-guard clean, while composing the
     four operator families in one DAG catches cross-operator schema
     drift the per-operator queries cannot. The write itself is
-    exercised by ``test_sinks``/``test_dataops_compose``.
+    exercised by ``test_sinks.test_corpus_to_shards_frame_writes_verbatim``.
 
     Scale shape: curation's broadcast/bucketed stages feed a compact
     (group, score) value-table cut (no global sort), a

@@ -214,6 +214,39 @@ def q_integrate_pipeline(spark, sf_dir):
     return spark.createDataFrame(rows, ["output_idx", "n_rows", "n_cols"])
 
 
+def q_greedy_tail(spark, sf_dir):
+    """The two rows-only greedy/orchestration surfaces as ONE branch-tagged
+    entry (driver records only the first 50 registry entries — see
+    ``queries/__init__.all_queries``; folding these keeps the registry at
+    <= 49 so nothing silently drops out of CORRECTNESS_r{N}):
+
+    - branch='simjoin_full': J1-J6 with exact greedy assignment +
+      retention gate (reference join.py:724-767; order-dependent, not
+      SQL-expressible) — key = 'id_a:id_b', v1..v4 = cust_x, cust_y,
+      price_x, price_y;
+    - branch='integrate': J7-J8 union->join->split orchestration summary
+      — key = output index, v1..v2 = row/col counts.
+
+    Pair-for-pair fidelity of both branches is pinned by
+    ``tests/test_greedy_differential.py`` against a line-faithful
+    re-implementation of the reference algorithm."""
+    sj = q_simjoin_full(spark, sf_dir).select(
+        F.lit("simjoin_full").alias("branch"),
+        F.concat_ws(":", F.col("id_a"), F.col("id_b")).alias("key"),
+        F.col("cust_x").cast("double").alias("v1"),
+        F.col("cust_y").cast("double").alias("v2"),
+        F.col("price_x").cast("double").alias("v3"),
+        F.col("price_y").cast("double").alias("v4"))
+    integ = q_integrate_pipeline(spark, sf_dir).select(
+        F.lit("integrate").alias("branch"),
+        F.col("output_idx").cast("string").alias("key"),
+        F.col("n_rows").cast("double").alias("v1"),
+        F.col("n_cols").cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"))
+    return sj.unionByName(integ)
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """Full NL-query lifecycle: rule planner -> typed plan -> parameter
     validation -> offline fetch -> union integration -> clean -> DSL
@@ -237,8 +270,7 @@ INTEGRATION_QUERIES = {
     "union_version_split": q_union_version_split,
     "simjoin_pair_features": q_simjoin_pair_features,
     "simjoin_matches_topk": q_simjoin_matches_topk,
-    "simjoin_full": q_simjoin_full,
-    "integrate_pipeline": q_integrate_pipeline,
+    "greedy_tail": q_greedy_tail,
 }
 
 INTEGRATION_ORACLES = {

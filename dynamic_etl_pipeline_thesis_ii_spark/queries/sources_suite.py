@@ -176,29 +176,51 @@ FROM events WHERE event_type = 'signup'
 
 def q_src_parse_normalize(spark, sf_dir):
     """S3 (Polygon bar parse) + F4 (AV header clean) + S5 (indicator
-    normalize) — one result, tagged by `part`, schemas unioned by name."""
+    normalize) + S4 (snapshot flatten) + S9 (statement prefixing) — one
+    result, tagged by `part`, schemas unioned by name. The former
+    `src_flatten_prefix` entry's two parts were folded in here so the
+    registry stays under the driver's 50-entry recording window (see
+    ``queries/__init__.all_queries``)."""
     bars = q_src_parse_bars(spark, sf_dir).withColumn("part", F.lit("bars"))
     av = q_src_av_headers(spark, sf_dir).withColumn("part", F.lit("av"))
     ind = q_src_indicator_normalize(spark, sf_dir).withColumn("part", F.lit("indicator"))
-    return (bars.unionByName(av, allowMissingColumns=True)
-            .unionByName(ind, allowMissingColumns=True))
+    snap = q_src_snapshot_flatten(spark, sf_dir).withColumn("part", F.lit("snapshot"))
+    stmt = q_src_statement_prefix(spark, sf_dir).withColumn("part", F.lit("statement"))
+    out = bars
+    for piece in (av, ind, snap, stmt):
+        out = out.unionByName(piece, allowMissingColumns=True)
+    return out
 
 
 ORACLE_SRC_PARSE_NORMALIZE = f"""
 SELECT part, ticker, timestamp, open, high, low, close, volume, vwap,
-       transactions, adjusted_close, value
+       transactions, adjusted_close, value, prev_close,
+       income_statement_totalRevenue, income_statement_netIncome,
+       reportedCurrency, period
 FROM (
   SELECT 'bars' AS part, ticker, timestamp, open, high, low, close, volume,
-         vwap, transactions, NULL AS adjusted_close, NULL AS value
+         vwap, transactions, NULL AS adjusted_close, NULL AS value,
+         NULL AS prev_close, NULL AS income_statement_totalRevenue,
+         NULL AS income_statement_netIncome, NULL AS reportedCurrency,
+         NULL AS period
   FROM ({ORACLE_SRC_PARSE_BARS})
   UNION ALL
   SELECT 'av', NULL, timestamp, open, NULL, NULL, NULL, volume,
-         NULL, NULL, adjusted_close, NULL
+         NULL, NULL, adjusted_close, NULL, NULL, NULL, NULL, NULL, NULL
   FROM ({ORACLE_SRC_AV_HEADERS})
   UNION ALL
   SELECT 'indicator', NULL, timestamp, NULL, NULL, NULL, NULL, NULL,
-         NULL, NULL, NULL, value
+         NULL, NULL, NULL, value, NULL, NULL, NULL, NULL, NULL
   FROM ({ORACLE_SRC_INDICATOR})
+  UNION ALL
+  SELECT 'snapshot', ticker, timestamp, open, high, low, close, volume,
+         vwap, NULL, NULL, NULL, prev_close, NULL, NULL, NULL, NULL
+  FROM ({ORACLE_SRC_SNAPSHOT_FLATTEN})
+  UNION ALL
+  SELECT 'statement', ticker, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, income_statement_totalRevenue,
+         income_statement_netIncome, reportedCurrency, period
+  FROM ({ORACLE_SRC_STATEMENT_PREFIX})
 )
 """
 
@@ -221,40 +243,12 @@ SELECT 'freq', timestamp, value FROM ({ORACLE_SRC_WINDOW_FREQ})
 """
 
 
-def q_src_flatten_prefix(spark, sf_dir):
-    """S4 (snapshot flatten) + S9 (statement prefixing), tagged by `part`."""
-    snap = q_src_snapshot_flatten(spark, sf_dir).withColumn("part", F.lit("snapshot"))
-    stmt = q_src_statement_prefix(spark, sf_dir).withColumn("part", F.lit("statement"))
-    return snap.unionByName(stmt, allowMissingColumns=True)
-
-
-ORACLE_SRC_FLATTEN_PREFIX = f"""
-SELECT part, ticker, open, high, low, close, volume, vwap, prev_close,
-       timestamp, income_statement_totalRevenue, income_statement_netIncome,
-       reportedCurrency, period
-FROM (
-  SELECT 'snapshot' AS part, ticker, open, high, low, close, volume, vwap,
-         prev_close, timestamp, NULL AS income_statement_totalRevenue,
-         NULL AS income_statement_netIncome, NULL AS reportedCurrency,
-         NULL AS period
-  FROM ({ORACLE_SRC_SNAPSHOT_FLATTEN})
-  UNION ALL
-  SELECT 'statement', ticker, NULL, NULL, NULL, NULL, NULL, NULL,
-         NULL, NULL, income_statement_totalRevenue, income_statement_netIncome,
-         reportedCurrency, period
-  FROM ({ORACLE_SRC_STATEMENT_PREFIX})
-)
-"""
-
-
 SOURCES_QUERIES = {
     "src_parse_normalize": q_src_parse_normalize,
     "src_window_trim": q_src_window_trim,
-    "src_flatten_prefix": q_src_flatten_prefix,
 }
 
 SOURCES_ORACLES = {
     "src_parse_normalize": ORACLE_SRC_PARSE_NORMALIZE,
     "src_window_trim": ORACLE_SRC_WINDOW_TRIM,
-    "src_flatten_prefix": ORACLE_SRC_FLATTEN_PREFIX,
 }

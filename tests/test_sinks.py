@@ -190,7 +190,13 @@ def test_write_shards_epoch_shuffle(spark, tmp_path):
     """shuffle_salt orders rows within each shard by a salted hash:
     same salt reproduces the file order byte-for-byte, a different
     salt draws a different permutation, and shard placement (salt-
-    independent) never changes."""
+    independent) never changes.
+
+    The two inequality assertions are probabilistic: with ~75 rows in
+    shard 0 the chance a fresh salted-hash permutation equals another
+    (or the sorted order) is ~1/75! — astronomically below flake
+    territory, but a shrunk fixture (< ~10 rows/shard) would start to
+    matter; keep n=300/4 shards or larger."""
     df = spark.range(300).selectExpr("id AS doc_id",
                                      "concat('doc ', id) AS text")
 
