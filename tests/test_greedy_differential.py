@@ -241,6 +241,83 @@ def test_stage2_control_flow_matches_reference(name, n, table):
     assert norm == ref_out, f"{name}: {norm} != {ref_out}"
 
 
+# ---------------------------------------------------------------------------
+# seeded differential fuzz: random candidate sets / compat tables
+# ---------------------------------------------------------------------------
+
+# Probabilities come from a coarse grid so ties are FREQUENT (the
+# tie-handling paths are where greedy implementations usually diverge);
+# candidate generation order is (id_a, id_b)-sorted, matching the
+# engine's candidate generation, so capped modes compare order-exact.
+_PROB_GRID = [0.5, 0.6, 0.7, 0.7, 0.8, 0.8, 0.9]
+
+
+def _random_candidates(rng) -> list[tuple]:
+    n_a, n_b = rng.randint(1, 8), rng.randint(1, 8)
+    pairs = [(i, 100 + j) for i in range(n_a) for j in range(n_b)]
+    chosen = sorted(rng.sample(pairs, rng.randint(1, len(pairs))))
+    return [(i, j, rng.choice(_PROB_GRID)) for i, j in chosen]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_assign_greedy_fuzz_matches_reference(spark, seed):
+    """100 random candidate sets (5 per seed x 20 seeds): engine
+    assign_greedy == reference greedy under random caps 0-3, heavy
+    prob ties, one side saturating, sparse and dense blocks alike."""
+    import random
+    rng = random.Random(31_000 + seed)
+    for case in range(5):
+        cands = _random_candidates(rng)
+        cap = rng.choice([0, 1, 2, 3])
+        expected = ref_greedy_assign(cands, cap)
+        df = spark.createDataFrame(cands, ["id_a", "id_b", "prob"])
+        got = SJ.assign_greedy(df, max_matches=cap)
+        tag = f"seed={seed} case={case} cap={cap} cands={cands}"
+        if cap == 0:
+            assert sorted(got) == sorted(expected), tag
+        else:
+            assert got == expected, tag
+
+
+def _random_compat_table(rng) -> tuple[int, dict]:
+    """Random n and {(i, j) i<j: retention} with retention from a tie-
+    heavy grid; ~half of all pairs compatible on average."""
+    n = rng.randint(2, 6)
+    table = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < 0.5:
+                table[(i, j)] = rng.choice([0.3, 0.5, 0.5, 0.7, 0.7, 0.9])
+    return n, table
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_stage_control_flow_fuzz_matches_reference(seed):
+    """200 random compat tables (20 per seed x 10 seeds), each run
+    through BOTH stage-1 (best-partner, ties keep first, partners not
+    consumed) and stage-2 (first-compatible-wins) against the reference
+    re-implementation. Pure control flow — no Spark session needed."""
+    import random
+    rng = random.Random(77_000 + seed)
+    for case in range(20):
+        n, table = _random_compat_table(rng)
+
+        def compat(i, j):
+            return ((i, j) in table, table.get((i, j), 0.0))
+
+        tag = f"seed={seed} case={case} n={n} table={table}"
+        ref_out, _, ref_any = ref_stage1(n, compat)
+        got1, any_ok, _ = _engine_stage_runner(_best_partner_join, n, table)
+        norm1 = [g if isinstance(g, tuple) else ("solo", g) for g in got1]
+        assert norm1 == ref_out, f"stage1 {tag}: {norm1} != {ref_out}"
+        assert any_ok == ref_any, f"stage1 any_ok {tag}"
+
+        ref2 = ref_stage2(n, compat)
+        got2, _, _ = _engine_stage_runner(_join_the_joined, n, table)
+        norm2 = [g if isinstance(g, tuple) else ("solo", g) for g in got2]
+        assert norm2 == ref2, f"stage2 {tag}: {norm2} != {ref2}"
+
+
 def test_stage2_skipped_iff_no_stage1_join(spark):
     """``validator.py:353-391``: stage 2 runs only when at least one
     stage-1 join succeeded — integrate() must emit the skip report for
