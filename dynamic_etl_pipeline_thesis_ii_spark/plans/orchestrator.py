@@ -23,6 +23,7 @@ as a single plan.
 
 from __future__ import annotations
 
+import re
 import time
 from typing import Any, Callable, Optional, Protocol
 
@@ -271,3 +272,88 @@ class Pipeline:
                 "transform": transform_reports,
             },
         }
+
+    # -- dataops target: corpus curation -> training shards ----------------
+    def run_dataops(self, query: str, source_dir: str,
+                    output_path: str) -> dict:
+        """Plan-level training-data target: NL query -> typed dataops
+        plan -> curation composition (curate -> per-language token-
+        budget selection -> sequence packing -> shard assignment, the
+        same lazy DAG as the ``corpus_to_shards`` registry query) ->
+        ``write_shards`` with read-back verification.
+
+        The finance lifecycle (``run``) and this target share the
+        publish/report conventions; the composition itself is the
+        engine's unchanged scale path — the orchestrator only binds
+        NL-derived parameters and the sink."""
+        from dynamic_etl_pipeline_thesis_ii_spark.queries.dataops_suite import (
+            corpus_to_shards_frame,
+            release_shared_caches,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            write_shards,
+        )
+
+        plan = parse_dataops_query(query)
+        self.progress("plan", {"proceed": plan is not None,
+                               "target": "corpus_to_shards"})
+        if plan is None:
+            return {"status": "rejected", "reason": "not a dataops query",
+                    "outputs": [], "reports": {}}
+
+        frame = corpus_to_shards_frame(
+            self.spark, source_dir,
+            token_budget=plan["token_budget"], seq_len=plan["seq_len"],
+            n_shards=plan["n_shards"], n_buckets=plan["n_buckets"])
+        self.progress("curate", {"params": dict(plan)})
+        try:
+            # the frame's persisted `shard` column IS the writer's hash;
+            # drop it and let write_shards recompute + verify placement
+            sink_report = write_shards(
+                frame.drop("shard"), output_path,
+                n_shards=plan["n_shards"], key_col="id",
+                shuffle_salt=plan.get("shuffle_salt"), verify=True)
+        finally:
+            release_shared_caches()
+        self.progress("publish", {"rows": sink_report.get("rows_written"),
+                                  "path": output_path})
+        return {
+            "status": "complete",
+            "outputs": [frame],
+            "reports": {"plan": dict(plan), "sink": sink_report},
+        }
+
+
+# dataops NL routing: deterministic keyword/number extraction, mirroring
+# RulePlanner's style (rule-encoded routing, LLM-pluggable upstream)
+_DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
+                  "training corpus", "training data", "pack")
+_TOKEN_BUDGET_RE = re.compile(r"\b([\d][\d,_]*)\s*tokens?\b")
+_SEQ_LEN_RE = re.compile(
+    r"\b(?:sequence|seq|context)(?:\s+length)?\s+(?:of\s+)?(\d+)\b")
+_SHARDS_RE = re.compile(r"\b(\d+)\s+shards?\b")
+_EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
+
+
+def parse_dataops_query(query: str) -> Optional[dict]:
+    """NL corpus-curation query -> typed parameter dict, or None when
+    the query carries no dataops intent. Defaults match the
+    ``corpus_to_shards`` registry query (budget 15k, seq 512, 4
+    shards); ``epoch N`` binds a deterministic per-epoch shuffle
+    salt."""
+    ql = query.lower()
+    if not any(h in ql for h in _DATAOPS_HINTS):
+        return None
+    plan = {"target": "corpus_to_shards", "token_budget": 15_000,
+            "seq_len": 512, "n_shards": 4, "n_buckets": 4,
+            "shuffle_salt": None}
+    if m := _TOKEN_BUDGET_RE.search(ql):
+        plan["token_budget"] = int(re.sub(r"[,_]", "", m.group(1)))
+    if m := _SEQ_LEN_RE.search(ql):
+        plan["seq_len"] = int(m.group(1))
+    if m := _SHARDS_RE.search(ql):
+        plan["n_shards"] = int(m.group(1))
+        plan["n_buckets"] = max(4, plan["n_shards"])
+    if m := _EPOCH_RE.search(ql):
+        plan["shuffle_salt"] = f"epoch-{m.group(1)}"
+    return plan

@@ -1169,6 +1169,16 @@ def q_corpus_to_shards(spark, sf_dir):
     bucket-partitioned packing window (no single-partition stream) and
     a scan-only shard hash — every stage is the unchanged scale path
     of its operator."""
+    return corpus_to_shards_frame(spark, sf_dir)
+
+
+def corpus_to_shards_frame(spark, sf_dir, *, token_budget: int = 15_000,
+                           seq_len: int = 512, n_shards: int = 4,
+                           n_buckets: int = 4):
+    """Parameterized corpus->shards composition: the registry query
+    above pins the oracle-hashed defaults; the plan-level dataops
+    target (``plans/orchestrator.Pipeline.run_dataops``) drives the
+    same DAG with NL-derived parameters."""
     curated = q_corpus_curation(spark, sf_dir)
     corpus = _neardup_corpus(spark, sf_dir)
     feats = T.quality_features(F.col("text"))
@@ -1177,16 +1187,16 @@ def q_corpus_to_shards(spark, sf_dir):
     # semi-join left side) and `scored` embeds the WHOLE curation
     # pipeline — persist it (tracked) or curation runs twice
     scored = _persist_tracked(curated.join(toks, "doc_id"))
-    sel = SA.select_token_budget(scored, budget=15_000,
+    sel = SA.select_token_budget(scored, budget=token_budget,
                                  score_col="quality_score",
                                  tokens_col="n_tokens",
                                  group_col="pred_lang")
-    packed = PK.pack_chunks(sel, budget=512, id_col="doc_id",
-                            tokens_col="n_tokens", n_buckets=4)
+    packed = PK.pack_chunks(sel, budget=seq_len, id_col="doc_id",
+                            tokens_col="n_tokens", n_buckets=n_buckets)
     # same doc->shard hash as sinks.write_shards (key cast to string,
     # unsalted), so the frame can be handed to the writer verbatim and
     # a reader can verify placement against this column
-    shard = (D.hash32(F.col("id").cast("string")) % 4).cast("int")
+    shard = (D.hash32(F.col("id").cast("string")) % n_shards).cast("int")
     return packed.withColumn("shard", shard)
 
 

@@ -478,6 +478,69 @@ def test_pipeline_rejects_non_finance(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dataops target: NL query -> curation composition -> verified shards
+# ---------------------------------------------------------------------------
+
+def test_parse_dataops_query():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    p = parse_dataops_query(
+        "Curate the documents corpus to 12,000 tokens, "
+        "sequence length 256, into 8 shards for epoch 3")
+    assert p == {"target": "corpus_to_shards", "token_budget": 12_000,
+                 "seq_len": 256, "n_shards": 8, "n_buckets": 8,
+                 "shuffle_salt": "epoch-3"}
+    # defaults match the corpus_to_shards registry query
+    d = parse_dataops_query("dedup and shard the training corpus")
+    assert (d["token_budget"], d["seq_len"], d["n_shards"]) == (15_000, 512, 4)
+    assert d["shuffle_salt"] is None
+    assert parse_dataops_query("Get AAPL daily stock prices") is None
+
+
+def test_pipeline_dataops_end_to_end(spark, sf_dir, tmp_path):
+    """The orchestrator drives the corpus_to_shards composition end to
+    end: NL query -> typed dataops plan -> curate/select/pack DAG ->
+    write_shards(verify=True), artifacts verified on disk."""
+    events = []
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir),
+                    progress=lambda stage, info: events.append(stage))
+    out = str(tmp_path / "shards")
+    result = pipe.run_dataops(
+        "Curate and dedup the training corpus, pack to sequence "
+        "length 512 with 15000 tokens per language, write 4 shards",
+        sf_dir, out)
+    assert result["status"] == "complete"
+    assert events == ["plan", "curate", "publish"]
+    rep = result["reports"]["sink"]
+    assert rep["n_shards"] == 4 and rep["rows_written"] > 0
+    assert result["reports"]["plan"]["token_budget"] == 15_000
+
+    # on-disk artifacts == the composition's own pre-sink frame,
+    # including the shard placement the frame predicts
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.dataops_suite import (
+        q_corpus_to_shards, release_shared_caches,
+    )
+    try:
+        expected = {(r["id"], r["shard"])
+                    for r in q_corpus_to_shards(spark, sf_dir).collect()}
+    finally:
+        release_shared_caches()
+    back = spark.read.parquet(out)
+    got = {(r["id"], r["shard"]) for r in back.collect()}
+    assert got == expected
+    assert rep["rows_written"] == len(expected)
+
+
+def test_pipeline_dataops_rejects_non_dataops(spark, sf_dir, tmp_path):
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    result = pipe.run_dataops("bake me a cake", sf_dir,
+                              str(tmp_path / "never"))
+    assert result["status"] == "rejected"
+    assert not (tmp_path / "never").exists()
+
+
+# ---------------------------------------------------------------------------
 # LLM rim (prompt contract + strict parse + fallback)
 # ---------------------------------------------------------------------------
 
