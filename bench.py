@@ -87,10 +87,25 @@ def scale_probe(spark, factors: list[int]) -> dict:
     candidate counts and wall time — the replicas are word-salted so
     only the unsalted replica overlaps the fixed bench set, and the
     broadcast probe never shuffles the corpus; pack's rows out = docs
-    in, exactly linear (one windowed scan)."""
+    in, exactly linear (one windowed scan).
+
+    The corpus-shuffle text passes ride the same harness with rows-out
+    as the count: lineclean (boilerplate line removal — one window
+    count on the 32-bit line hash) and spanclean (repeated k-gram
+    removal — one corpus shuffle on the gram hash) emit exactly one
+    row per doc, so rows must be EXACTLY linear and wall time ~linear
+    (their shuffle keys are hashes, uniform at any corpus size; blank/
+    tail rows carry per-row unique keys so there is no null-key skew
+    partition to saturate). bigram emits one row per >=2-token doc
+    (~linear) and is probed through its self-contained path — four
+    corpus explosions instead of the query suite's one persisted pairs
+    frame, a constant-factor upper bound on the suite's cost with the
+    identical shuffle structure (pairs ⋈ logp on near-uniform bigram
+    keys)."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
     from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
@@ -113,6 +128,9 @@ def scale_probe(spark, factors: list[int]) -> dict:
         "contam": lambda d: D.contamination_pairs(d, bench_set, k=5,
                                                   min_overlap=1),
         "pack": lambda d: PK.pack_chunks(d, budget=2000, n_buckets=8),
+        "lineclean": lambda d: T.remove_boilerplate_lines(d),
+        "spanclean": lambda d: T.remove_repeated_spans(d),
+        "bigram": lambda d: T.bigram_logprob(d),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:
