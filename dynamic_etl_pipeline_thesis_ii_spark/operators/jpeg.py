@@ -1,20 +1,28 @@
-"""Baseline JPEG codec in stdlib + numpy — no PIL.
+"""JPEG codec in stdlib + numpy — no PIL.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-component sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0), restart
-markers, 0xFF00 byte stuffing. Encoder: 4:4:4 YCbCr (or grayscale)
-with the JPEG Annex K quantization + Huffman tables, quality-scaled
-per the IJG curve — enough to round-trip our own output and decode
-typical camera/tool baseline files; progressive (SOF2), arithmetic and
-12-bit variants are out of scope and return None so callers fall back.
+Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+spectral selection + successive approximation per T.81 G.2, control
+flow mirroring libjpeg's decode_mcu_{DC,AC}_{first,refine}), 8-bit,
+1 or 3 components, sampling factors in {1, 2} (4:4:4 / 4:2:2 /
+4:2:0), restart markers, 0xFF00 byte stuffing. Encoder: YCbCr (or
+grayscale) with the JPEG Annex K quantization + Huffman tables,
+quality-scaled per the IJG curve, baseline or progressive
+(``progressive=True`` — the standard DC-first/AC-band/refine scan
+script) — enough to round-trip both modes and decode typical camera/
+tool files; arithmetic and 12-bit variants return None so callers
+fall back.
 
 This exists because the multimodal tier (``operators/multimodal.py``)
 wants REAL decode provenance for the common training-data image
 formats, and the sandbox has no PIL: netpbm/BMP/PNG were pure byte
-plumbing, JPEG needs the actual entropy-decode + IDCT pipeline, which
-is ~300 lines of numpy below. The 8x8 IDCT is a pair of matrix
-multiplies (the orthonormal DCT-II basis), vectorized over all blocks
-of a component at once — no per-pixel Python in the hot loop.
+plumbing, JPEG needs the actual entropy-decode + IDCT pipeline.
+Entropy decode is inherently bit-serial Python; everything after it
+is batched numpy — both scan paths accumulate quantized coefficient
+planes and :func:`_finish` runs ONE fancy-index de-zig-zag plus ONE
+einsum (the 8x8 DCT-II basis matmul pair applied to every block of a
+component at once) per component, and the encoder's forward DCT is
+the same einsum in reverse. No per-block numpy calls remain in
+either direction.
 """
 
 from __future__ import annotations
@@ -35,6 +43,10 @@ _BASIS = np.array([[np.cos((2 * x + 1) * u * np.pi / 16)
 _ZIGZAG = sorted(((r, c) for r in range(8) for c in range(8)),
                  key=lambda rc: (rc[0] + rc[1],
                                  rc[0] if (rc[0] + rc[1]) % 2 else rc[1]))
+
+# flat natural-order index of the k-th zig-zag coefficient:
+# natural.reshape(64)[_ZZ_IDX[k]] == zigzag[k]
+_ZZ_IDX = np.array([r * 8 + c for r, c in _ZIGZAG])
 
 # Annex K Table K.1/K.2 base quantization tables (luma, chroma)
 _QL = np.array([
@@ -158,8 +170,9 @@ def _extend(v: int, t: int) -> int:
 
 
 def parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
-    """Decode a baseline-sequential JPEG into (width, height, HxWxC
-    uint8, C in {1, 3}); None for non-JPEG or unsupported variants."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JPEG into (width, height, HxWxC uint8, C in {1, 3}); None for
+    non-JPEG or unsupported variants (arithmetic, lossless, 12-bit)."""
     try:
         return _parse_jpeg(payload)
     except (IndexError, ValueError, KeyError, ZeroDivisionError,
@@ -176,6 +189,9 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     comps: list[dict] = []
     w = h = 0
     restart = 0
+    progressive = False
+    coefs: Optional[list[np.ndarray]] = None   # progressive accumulators
+    eobrun_box = [0]
     i, n = 2, len(payload)
     while i < n:
         if payload[i] != 0xFF:
@@ -184,9 +200,11 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         if marker == 0xD8:
             i += 2
             continue
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker == 0xD9:                      # EOI
+            break
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / lossless
+            return None  # arithmetic / lossless / differential
         seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
         seg = payload[i + 4:i + 2 + seg_len]
         if marker == 0xDB:                      # DQT
@@ -210,7 +228,8 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 (huff_ac if cls else huff_dc)[tid] = \
                     _huff_decode_table(bits, vals)
                 p += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -232,42 +251,85 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         elif marker == 0xDD:                    # DRI
             restart = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:                    # SOS -> entropy data
+            if not comps:
+                return None
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                # SOS before SOF, or a component id absent from SOF —
-                # corrupt stream, not an exception path
+                # a component id absent from SOF — corrupt stream,
+                # not an exception path
                 comp = next((x for x in comps if x["id"] == cid), None)
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
             data_pos = i + 2 + seg_len
-            return _decode_scan(payload, data_pos, w, h, comps, scan,
-                                qt, huff_dc, huff_ac, restart)
+            geom = _geometry(w, h, comps)
+            if not progressive:
+                coefs = _alloc_coefs(comps, geom)
+                _decode_baseline_scan(payload, data_pos, comps, scan,
+                                      huff_dc, huff_ac, restart, coefs,
+                                      geom)
+                return _finish(w, h, comps, coefs, qt, geom)
+            if coefs is None:
+                coefs = _alloc_coefs(comps, geom)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            eobrun_box[0] = 0
+            i = _decode_progressive_scan(
+                payload, data_pos, comps, scan, huff_dc, huff_ac,
+                restart, coefs, geom, ss, se, ahl >> 4, ahl & 0x0F,
+                eobrun_box)
+            continue
         i += 2 + seg_len
+    if progressive and coefs is not None:
+        return _finish(w, h, comps, coefs,
+                       qt, _geometry(w, h, comps))
     return None
 
 
-def _decode_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
-                 restart):
+def _geometry(w: int, h: int, comps: list[dict]) -> dict:
+    """MCU grid + per-component block dims. ``nb`` is the padded
+    (MCU-aligned) grid every coefficient array uses; ``nb_scan`` is the
+    tighter grid a NON-interleaved scan walks (T.81 A.2.2: blocks that
+    cover the component's own samples, not the MCU padding)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # per-component coefficient planes (in units of 8x8 blocks)
-    planes = [np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-              for c in comps]
+    nb = [(mcus_y * c["v"], mcus_x * c["h"]) for c in comps]
+    nb_scan = [(-(- (h * c["v"]) // (8 * vmax)),
+                -(- (w * c["h"]) // (8 * hmax))) for c in comps]
+    return {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x,
+            "mcus_y": mcus_y, "nb": nb, "nb_scan": nb_scan}
+
+
+def _alloc_coefs(comps: list[dict], geom: dict) -> list[np.ndarray]:
+    """Per-component QUANTIZED coefficient planes in zig-zag index
+    order: shape (blocks_y, blocks_x, 64), int32."""
+    return [np.zeros((by, bx, 64), dtype=np.int32)
+            for by, bx in geom["nb"]]
+
+
+def _skip_restart(reader: _BitReader) -> None:
+    reader.align()
+    d = reader.data
+    if d[reader.pos] == 0xFF and 0xD0 <= d[reader.pos + 1] <= 0xD7:
+        reader.pos += 2
+
+
+def _decode_baseline_scan(payload, pos, comps, scan, huff_dc, huff_ac,
+                          restart, coefs, geom):
+    """Baseline sequential scan: entropy-decode every MCU into the
+    zig-zag coefficient planes (the IDCT happens once, batched, in
+    :func:`_finish`)."""
     reader = _BitReader(payload, pos)
     pred = [0] * len(comps)
     mcu_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    for my in range(geom["mcus_y"]):
+        for mx in range(geom["mcus_x"]):
             if restart and mcu_idx and mcu_idx % restart == 0:
-                reader.align()
-                if payload[reader.pos] == 0xFF and \
-                        0xD0 <= payload[reader.pos + 1] <= 0xD7:
-                    reader.pos += 2
+                _skip_restart(reader)
                 pred = [0] * len(comps)
             for ci, (comp, td, ta) in enumerate(scan):
                 for by in range(comp["v"]):
@@ -275,22 +337,30 @@ def _decode_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
                         blk = _decode_block(reader, huff_dc[td],
                                             huff_ac[ta])
                         pred[ci] += blk[0]
-                        coeffs = np.zeros((8, 8))
-                        coeffs[0, 0] = pred[ci]
-                        for k in range(1, 64):
-                            coeffs[_ZIGZAG[k]] = blk[k]
-                        coeffs *= qt[comp["tq"]]
-                        spatial = _BASIS.T @ coeffs @ _BASIS
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+                        blk[0] = pred[ci]
+                        coefs[ci][my * comp["v"] + by,
+                                  mx * comp["h"] + bx] = blk
             mcu_idx += 1
-    # upsample each component to full size, crop, level-shift
+
+
+def _finish(w, h, comps, coefs, qt, geom):
+    """Dequantize + IDCT + upsample + color-convert, all components
+    batched: one fancy-index de-zig-zag and one einsum (the pair of
+    8x8 basis matmuls applied to EVERY block of a component at once)
+    per component — entropy decode is inherently bit-serial Python,
+    but nothing per-block happens after it."""
     out = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
-                      hmax // comp["h"], axis=1)
+        zz = coefs[ci]
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros((nby, nbx, 64))
+        nat[..., _ZZ_IDX] = zz
+        nat = nat.reshape(nby, nbx, 8, 8) * qt[comp["tq"]]
+        spatial = np.einsum("yu,BCuv,vx->BCyx", _BASIS.T, nat, _BASIS,
+                            optimize=True)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        p = np.repeat(np.repeat(plane, geom["vmax"] // comp["v"], axis=0),
+                      geom["hmax"] // comp["h"], axis=1)
         out.append(p[:h, :w] + 128.0)
     if len(out) == 1:
         arr = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
@@ -301,6 +371,163 @@ def _decode_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — T.81 G.2, control flow mirrors the
+# de-facto-canonical libjpeg decode_mcu_{DC,AC}_{first,refine}
+# ---------------------------------------------------------------------------
+
+def _decode_progressive_scan(payload, pos, comps, scan, huff_dc, huff_ac,
+                             restart, coefs, geom, ss, se, ah, al,
+                             eobrun_box) -> int:
+    """Decode one progressive scan into ``coefs`` and return the byte
+    offset of the next marker segment. Four scan kinds: DC first
+    (Ss=0, Ah=0; interleaved when ns>1), DC refine (Ss=0, Ah>0, one
+    bit per block), AC first and AC refine (Ss>0, single component,
+    non-interleaved block order)."""
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("corrupt progressive scan header")
+    reader = _BitReader(payload, pos)
+    ci_of = [comps.index(comp) for comp, _, _ in scan]
+
+    if ss == 0:                                  # DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        pred = [0] * len(comps)
+        unit = 0
+        if len(scan) > 1:                        # interleaved MCU walk
+            for my in range(geom["mcus_y"]):
+                for mx in range(geom["mcus_x"]):
+                    if restart and unit and unit % restart == 0:
+                        _skip_restart(reader)
+                        pred = [0] * len(comps)
+                    for si, (comp, td, _ta) in enumerate(scan):
+                        ci = ci_of[si]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                _dc_unit(reader, huff_dc.get(td), ah, al,
+                                         coefs[ci],
+                                         my * comp["v"] + by,
+                                         mx * comp["h"] + bx, pred, ci)
+                    unit += 1
+        else:
+            comp, td, _ta = scan[0]
+            ci = ci_of[0]
+            nby, nbx = geom["nb_scan"][ci]
+            for byx in range(nby * nbx):
+                if restart and byx and byx % restart == 0:
+                    _skip_restart(reader)
+                    pred = [0] * len(comps)
+                _dc_unit(reader, huff_dc.get(td), ah, al, coefs[ci],
+                         byx // nbx, byx % nbx, pred, ci)
+    else:                                        # AC scan: ns must be 1
+        if len(scan) != 1:
+            raise ValueError("interleaved AC progressive scan")
+        comp, _td, ta = scan[0]
+        ci = ci_of[0]
+        nby, nbx = geom["nb_scan"][ci]
+        table = huff_ac[ta]
+        plane = coefs[ci]
+        for byx in range(nby * nbx):
+            if restart and byx and byx % restart == 0:
+                _skip_restart(reader)
+                eobrun_box[0] = 0
+            blk = plane[byx // nbx, byx % nbx]
+            if ah == 0:
+                _ac_first(reader, table, blk, ss, se, al, eobrun_box)
+            else:
+                _ac_refine(reader, table, blk, ss, se, al, eobrun_box)
+
+    # advance to the next marker (skip any pad bits / stray RSTs)
+    p = reader.pos if reader.bit == 0 else reader.pos + 1
+    d = payload
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            if 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(d)
+
+
+def _dc_unit(reader, dc_table, ah, al, plane, by, bx, pred, ci):
+    if ah == 0:                                  # first pass: diff << Al
+        if dc_table is None:
+            raise ValueError("DC scan references missing huffman table")
+        t = reader.decode_symbol(dc_table)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        pred[ci] += diff
+        plane[by, bx, 0] = pred[ci] << al
+    else:                                        # refinement: one bit
+        if reader.read_bit():
+            plane[by, bx, 0] |= 1 << al
+
+
+def _ac_first(reader, table, blk, ss, se, al, eobrun_box):
+    if eobrun_box[0] > 0:
+        eobrun_box[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16                          # ZRL
+                continue
+            eobrun = (1 << r) - 1                # EOBn (this block counted)
+            if r:
+                eobrun += reader.read_bits(r)
+            eobrun_box[0] = eobrun
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, table, blk, ss, se, al, eobrun_box):
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun_box[0] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("refinement magnitude != 1")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r                  # EOBn; decremented below
+                if r:
+                    eobrun += reader.read_bits(r)
+                eobrun_box[0] = eobrun
+                break
+            # advance over r zero-history coefficients, reading a
+            # correction bit at every nonzero-history one on the way
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun_box[0] > 0:
+        while k <= se:                           # post-EOB correction bits
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun_box[0] -= 1
 
 
 def _decode_block(reader: _BitReader, dc_table: dict,
@@ -358,16 +585,19 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((q * s + 50) // 100, 1, 255)
 
 
-def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
+def _mag(v: int) -> tuple[int, int]:
+    """(bit length, appended-bits value) of a signed coefficient —
+    T.81 F.1.2.1 magnitude category coding."""
+    t = int(abs(v)).bit_length()
+    return (t, v if v >= 0 else v + (1 << t) - 1)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
                   dc_tab: dict, ac_tab: dict) -> int:
-    zz = np.array([int(coeffs[_ZIGZAG[k]]) for k in range(64)])
-    diff = zz[0] - pred
-
-    def mag(v: int) -> tuple[int, int]:
-        t = int(abs(v)).bit_length()
-        return (t, v if v >= 0 else v + (1 << t) - 1)
-
-    t, bits = mag(diff)
+    """Baseline emission of one block given its ZIG-ZAG-ordered
+    quantized coefficients."""
+    diff = int(zz[0]) - pred
+    t, bits = _mag(diff)
     code, length = dc_tab[t]
     bw.write(code, length)
     if t:
@@ -382,7 +612,7 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
             c, ln = ac_tab[0xF0]
             bw.write(c, ln)
             run -= 16
-        s, bits = mag(int(zz[k]))
+        s, bits = _mag(int(zz[k]))
         c, ln = ac_tab[(run << 4) | s]
         bw.write(c, ln)
         bw.write(bits, s)
@@ -395,16 +625,22 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
 
 def write_jpeg(arr: "np.ndarray", quality: int = 90,
                subsample: bool = False,
-               restart_interval: int = 0) -> bytes:
-    """Encode HxWx3 RGB (or HxWx1 / HxW grayscale) uint8 as baseline
-    JPEG with quality-scaled Annex K tables. ``subsample=True`` emits
-    4:2:0 (luma 2x2 per MCU, chroma 2x2-mean downsampled) — the common
+               restart_interval: int = 0,
+               progressive: bool = False) -> bytes:
+    """Encode HxWx3 RGB (or HxWx1 / HxW grayscale) uint8 as JPEG with
+    quality-scaled Annex K tables. ``subsample=True`` emits 4:2:0
+    (luma 2x2 per MCU, chroma 2x2-mean downsampled) — the common
     camera layout, and the fixture generator for the decoder's MCU
     interleave / upsample path; default is 4:4:4.
     ``restart_interval > 0`` emits a DRI segment and RSTn markers every
-    N MCUs with DC-prediction resets — camera files carry these for
-    error resilience, and it is the fixture generator for the
-    decoder's restart path."""
+    N MCUs with DC-prediction resets (baseline only; ignored for
+    progressive) — the fixture generator for the decoder's restart
+    path. ``progressive=True`` emits SOF2 with the standard
+    spectral-selection + successive-approximation scan script (DC
+    Al=1 → AC bands Al=2 → AC refine → DC refine → AC refine to
+    full precision) — the fixture generator for the progressive
+    decoder. The forward DCT is one einsum over all blocks of a
+    component; only entropy emission is per-block Python."""
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, nc = arr.shape
@@ -432,6 +668,24 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
         planes = [(y - 128.0, ql, lsamp), (cb - 128.0, qc, 1),
                   (cr - 128.0, qc, 1)]
 
+    # batched forward DCT: pad each plane to its MCU grid, quantize,
+    # and store zig-zag-ordered int coefficients (nby, nbx, 64)
+    mcu = 8 * lsamp
+    my_max, mx_max = -(-h // mcu), -(-w // mcu)
+    zzs: list[np.ndarray] = []
+    samps: list[int] = []
+    for plane, q, samp in planes:
+        ph, pw = my_max * 8 * samp, mx_max * 8 * samp
+        p = np.pad(plane, ((0, ph - plane.shape[0]),
+                           (0, pw - plane.shape[1])), mode="edge")
+        nby, nbx = ph // 8, pw // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coeffs = np.round(np.einsum("uy,BCyx,xv->BCuv", _BASIS, blocks,
+                                    _BASIS.T, optimize=True) / q)
+        zzs.append(coeffs.reshape(nby, nbx, 64)[..., _ZZ_IDX]
+                   .astype(np.int32))
+        samps.append(samp)
+
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
@@ -445,11 +699,21 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
     for c in range(ncomp):
         samp = (lsamp << 4) | lsamp if c == 0 else 0x11
         sof += bytes([c + 1, samp, 0 if c == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     tables = ((0x00, _DC_L), (0x10, _AC_L)) if gray else \
         ((0x00, _DC_L), (0x10, _AC_L), (0x01, _DC_C), (0x11, _AC_C))
     for tc, (bits, vals) in tables:
         out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+
+    enc_dc = [_huff_encode_table(*_DC_L), _huff_encode_table(*_DC_C)]
+    enc_ac = [_huff_encode_table(*_AC_L), _huff_encode_table(*_AC_C)]
+
+    if progressive:
+        _emit_progressive(out, seg, zzs, samps, w, h, my_max, mx_max,
+                          enc_dc, enc_ac, gray)
+        out += b"\xFF\xD9"
+        return bytes(out)
+
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
@@ -458,18 +722,8 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
-    enc_dc = [_huff_encode_table(*_DC_L), _huff_encode_table(*_DC_C)]
-    enc_ac = [_huff_encode_table(*_AC_L), _huff_encode_table(*_AC_C)]
     bw = _BitWriter()
     preds = [0] * ncomp
-    mcu = 8 * lsamp
-    my_max, mx_max = -(-h // mcu), -(-w // mcu)
-    padded = []
-    for plane, q, samp in planes:
-        ph, pw = my_max * 8 * samp, mx_max * 8 * samp
-        p = np.pad(plane, ((0, ph - plane.shape[0]),
-                           (0, pw - plane.shape[1])), mode="edge")
-        padded.append((p, q, samp))
     mcu_idx = 0
     for my in range(my_max):
         for mx in range(mx_max):
@@ -481,18 +735,203 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
                 bw.out += bytes([0xFF, out_rst])
                 preds = [0] * ncomp
             mcu_idx += 1
-            for ci, (p, q, samp) in enumerate(padded):
+            for ci in range(ncomp):
                 tsel = 0 if ci == 0 else 1
+                samp = samps[ci]
                 for by in range(samp):
                     for bx in range(samp):
-                        y0 = (my * samp + by) * 8
-                        x0 = (mx * samp + bx) * 8
-                        blk = p[y0:y0 + 8, x0:x0 + 8]
-                        coeffs = np.round((_BASIS @ blk @ _BASIS.T) / q)
-                        preds[ci] = _encode_block(bw, coeffs, preds[ci],
-                                                  enc_dc[tsel],
-                                                  enc_ac[tsel])
+                        preds[ci] = _encode_block(
+                            bw, zzs[ci][my * samp + by, mx * samp + bx],
+                            preds[ci], enc_dc[tsel], enc_ac[tsel])
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive emission — T.81 G.1, mirrors libjpeg encode_mcu_*_{first,
+# refine}; scan-wide EOB-run + buffered-correction-bit state
+# ---------------------------------------------------------------------------
+
+def _emit_progressive(out, seg, zzs, samps, w, h, my_max, mx_max,
+                      enc_dc, enc_ac, gray):
+    ncomp = len(zzs)
+    # tighter non-interleaved AC grids (padding blocks carry DC only)
+    hmax = vmax = max(samps)
+    nb_scan = [(-(-(h * samp) // (8 * vmax)), -(-(w * samp) // (8 * hmax)))
+               for samp in samps]
+
+    def sos(comp_ids_tables, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids_tables)])
+        for cid, tt in comp_ids_tables:
+            body += bytes([cid, tt])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1 (Td high nibble, Ta ignored)
+    out += sos([(c + 1, 0x00 if c == 0 else 0x10) for c in range(ncomp)],
+               0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(my_max):
+        for mx in range(mx_max):
+            for ci in range(ncomp):
+                samp = samps[ci]
+                for by in range(samp):
+                    for bx in range(samp):
+                        v = int(zzs[ci][my * samp + by,
+                                        mx * samp + bx, 0]) >> 1
+                        t, bits = _mag(v - preds[ci])
+                        preds[ci] = v
+                        code, ln = enc_dc[0 if ci == 0 else 1][t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(bits, t)
+    bw.flush()
+    out += bw.out
+
+    # scans 2..: AC first approximations (Al=2), band-split for luma
+    ac_first_scans = []
+    for ci in range(ncomp):
+        ac_first_scans += [(ci, 1, 5, 0, 2), (ci, 6, 63, 0, 2)]
+    for ci, ss, se, ah, al in ac_first_scans:
+        out += sos([(ci + 1, 0x00 if ci == 0 else 0x01)], ss, se, ah, al)
+        bw = _BitWriter()
+        _emit_ac_first_scan(bw, zzs[ci], nb_scan[ci], ss, se, al,
+                            enc_ac[0 if ci == 0 else 1])
+        bw.flush()
+        out += bw.out
+
+    # AC refine Al 2 -> 1
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0x00 if ci == 0 else 0x01)], 1, 63, 2, 1)
+        bw = _BitWriter()
+        _emit_ac_refine_scan(bw, zzs[ci], nb_scan[ci], 1, 63, 1,
+                             enc_ac[0 if ci == 0 else 1])
+        bw.flush()
+        out += bw.out
+
+    # DC refine (Ah=1, Al=0): one raw bit per block, interleaved
+    out += sos([(c + 1, 0x00) for c in range(ncomp)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(my_max):
+        for mx in range(mx_max):
+            for ci in range(ncomp):
+                samp = samps[ci]
+                for by in range(samp):
+                    for bx in range(samp):
+                        bw.write(int(zzs[ci][my * samp + by,
+                                             mx * samp + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # AC refine Al 1 -> 0 (full precision)
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0x00 if ci == 0 else 0x01)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _emit_ac_refine_scan(bw, zzs[ci], nb_scan[ci], 1, 63, 0,
+                             enc_ac[0 if ci == 0 else 1])
+        bw.flush()
+        out += bw.out
+
+
+def _emit_ac_first_scan(bw, zzplane, nb, ss, se, al, ac_tab):
+    nby, nbx = nb
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_tab[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for byx in range(nby * nbx):
+        blk = zzplane[byx // nbx, byx % nbx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s, bits = _mag(t if v >= 0 else -t)
+            code, ln = ac_tab[(r << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits, s)
+            r = 0
+        if r > 0:
+            # EOB0 per block: the Annex K tables carry no EOBn (r>0,
+            # s=0) symbols — those need custom progressive tables —
+            # so runs are never accumulated (decode still handles
+            # arbitrary EOBn from real encoders)
+            eobrun = 1
+            flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine_scan(bw, zzplane, nb, ss, se, al, ac_tab):
+    nby, nbx = nb
+    eobrun = 0
+    br: list[int] = []                  # correction bits pending a symbol
+
+    def emit_br():
+        nonlocal br
+        for b in br:
+            bw.write(b, 1)
+        br = []
+
+    def flush_eob():
+        # correction bits ride the EOBn symbol ONLY when a run is
+        # pending; otherwise they follow the next ZRL/newly-visible
+        # symbol (libjpeg emit_eobrun vs emit_buffered_bits split)
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_tab[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            emit_br()
+
+    for byx in range(nby * nbx):
+        blk = zzplane[byx // nbx, byx % nbx]
+        tvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        # index of the LAST newly-visible coefficient: runs beyond it
+        # ride the EOB run instead of ZRLs (libjpeg EOB tracking)
+        eob_k = max((k for k, t in zip(range(ss, se + 1), tvals)
+                     if t == 1), default=ss - 1)
+        r = 0
+        for k in range(ss, se + 1):
+            t = tvals[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                flush_eob()
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                emit_br()
+            if t > 1:                   # already visible: correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()                 # newly visible: (r, 1) + sign
+            code, ln = ac_tab[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+            emit_br()
+            r = 0
+        if r > 0 or br:
+            eobrun = 1                  # EOB0 per block (see AC-first)
+            flush_eob()
+    flush_eob()

@@ -6,13 +6,15 @@ Decode support is tiered by what this environment can honestly do:
 
 - REAL, stdlib-only decoders for PPM/PGM images (pure byte parsing +
   numpy), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-  (``zlib`` inflate + the five per-row filters), baseline JPEG
-  (huffman entropy decode + vectorized IDCT, ``operators/jpeg.py``)
-  and PCM WAV audio (``wave`` module) — parse, feature-extract and
-  nearest-neighbor resize with no external libraries;
-- payloads in remaining formats (MP3, progressive JPEG, ...) raise
-  NotImplementedError unless ``fake=True`` (librosa is not available
-  in this sandbox; swapping it in later only changes the kernel body);
+  (``zlib`` inflate + the five per-row filters), baseline AND
+  progressive JPEG (huffman entropy decode + batched IDCT,
+  ``operators/jpeg.py``) and PCM WAV audio (``wave`` module) — parse,
+  feature-extract and nearest-neighbor resize with no external
+  libraries;
+- payloads in remaining formats (MP3, arithmetic/12-bit JPEG, ...)
+  raise NotImplementedError unless ``fake=True`` (librosa is not
+  available in this sandbox; swapping it in later only changes the
+  kernel body);
 - ``fake=True`` derives a deterministic feature vector from the raw
   bytes, used by the oracle-checked plumbing tests.
 
@@ -200,6 +202,11 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         return None
+    # Unfilter cost note: none/up/sub are fully vectorized (sub is a
+    # per-channel-lane prefix sum — mod-256 distributes over addition);
+    # average/Paeth carry a true left-to-right data dependence (floor
+    # and argmin break linearity), so they run a per-PIXEL loop
+    # vectorized across channels — w iterations, not w*channels.
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -212,22 +219,33 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
             pass
         elif ftype == 2:      # up: uint8 array add wraps mod 256 (spec)
             row += prev
-        elif ftype == 1:      # sub: sequential along the row
-            for x in range(channels, stride):
-                row[x] = (int(row[x]) + int(row[x - channels])) & 0xFF
+        elif ftype == 1:      # sub == prefix sum along each channel lane
+            lanes = row.reshape(w, channels).astype(np.uint32)
+            row = (lanes.cumsum(axis=0, dtype=np.uint32) & 0xFF) \
+                .astype(np.uint8).reshape(stride)
         elif ftype == 3:      # average (floor of left+up over 2)
-            for x in range(stride):
-                left = int(row[x - channels]) if x >= channels else 0
-                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            cur = row.reshape(w, channels).astype(np.int32)
+            up = prev.reshape(w, channels).astype(np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            for xp in range(w):
+                left = (cur[xp] + ((left + up[xp]) >> 1)) & 0xFF
+                cur[xp] = left
+            row = cur.astype(np.uint8).reshape(stride)
         elif ftype == 4:      # Paeth predictor
-            for x in range(stride):
-                a = int(row[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+            cur = row.reshape(w, channels).astype(np.int32)
+            up = prev.reshape(w, channels).astype(np.int32)
+            a = np.zeros(channels, dtype=np.int32)   # left
+            c = np.zeros(channels, dtype=np.int32)   # upper-left
+            for xp in range(w):
+                b = up[xp]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(row[x]) + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                a = (cur[xp] + pred) & 0xFF
+                cur[xp] = a
+                c = b
+            row = cur.astype(np.uint8).reshape(stride)
         else:
             return None
         out[y] = row
@@ -258,10 +276,12 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Image decode + feature extraction.
 
     REAL for netpbm (P6/P5), uncompressed 24-bit BMP, non-interlaced
-    8-bit PNG and baseline JPEG: ``[width, height, mean_c1..mean_cN]``
-    from the decoded raster. Remaining formats (progressive JPEG, ...)
-    need PIL (absent here) and raise NotImplementedError. ``fake=True`` derives a deterministic
-    4-dim feature from the raw bytes instead of decoding."""
+    8-bit PNG, and baseline or progressive JPEG: ``[width, height,
+    mean_c1..mean_cN]`` from the decoded raster. Remaining formats
+    (arithmetic/12-bit JPEG, interlaced PNG, GIF/TIFF/WebP, ...) need
+    PIL (absent here) and raise NotImplementedError. ``fake=True``
+    derives a deterministic 4-dim feature from the raw bytes instead
+    of decoding."""
     if fake:
         if payload is None or len(payload) == 0:
             return [0.0, 0.0, 0.0, 0.0]
@@ -276,7 +296,7 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
         return [float(w), float(h)] + [round(float(m), 6) for m in means]
     raise NotImplementedError(
-        "image decoding beyond netpbm/BMP/PNG/baseline-JPEG requires "
+        "image decoding beyond netpbm/BMP/PNG/JPEG(SOF0/1/2) requires "
         "PIL; not available here")
 
 

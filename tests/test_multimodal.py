@@ -484,9 +484,115 @@ def test_jpeg_rejects_unsupported():
     from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
     assert J.parse_jpeg(None) is None
     assert J.parse_jpeg(b"not a jpeg") is None
-    assert J.parse_jpeg(b"\xFF\xD8\xFF\xC2" + b"\x00" * 20) is None  # SOF2
+    # corrupt SOF2 (zero components) -> None, not raise
+    assert J.parse_jpeg(b"\xFF\xD8\xFF\xC2" + b"\x00" * 20) is None
+    # arithmetic coding (SOF9) stays out of scope
+    assert J.parse_jpeg(b"\xFF\xD8\xFF\xC9" + b"\x00" * 20) is None
     good = J.write_jpeg(_gradient(8, 8))
     assert J.parse_jpeg(good[:30]) is None  # truncated -> None, not raise
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2: spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,subsample", [
+    ((16, 16, 1), False),    # gray, exact MCUs
+    ((24, 33, 3), False),    # RGB 4:4:4, ragged width
+    ((17, 30, 3), True),     # 4:2:0, both dims ragged
+    ((7, 5, 1), False),      # sub-MCU
+])
+def test_jpeg_progressive_equals_baseline_decode(shape, subsample):
+    """The progressive scan script (DC Al=1 -> AC bands Al=2 -> AC
+    refine -> DC refine -> AC refine to Al=0) carries EXACTLY the
+    same quantized coefficients as the baseline encoding, so the
+    decoded rasters must be bit-identical — any deviation means a
+    scan path dropped or misplaced refinement bits."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    rng = np.random.default_rng(5)
+    h, w, c = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.sin(yy / 5) * 60 + np.cos(xx / 7) * 60 + 128
+    arr = np.clip(base[..., None] + rng.normal(0, 12, shape),
+                  0, 255).astype(np.uint8)
+    bb = J.parse_jpeg(J.write_jpeg(arr, quality=90, subsample=subsample))
+    pp = J.parse_jpeg(J.write_jpeg(arr, quality=90, subsample=subsample,
+                                   progressive=True))
+    assert bb is not None and pp is not None
+    assert bb[:2] == pp[:2]
+    assert np.array_equal(bb[2], pp[2])
+
+
+def test_jpeg_progressive_roundtrip_within_tolerance():
+    """End-to-end: original -> progressive encode -> decode stays
+    within quantization error, and decode_image reports the real
+    'jpeg' provenance for SOF2 payloads."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    img = _gradient(24, 24)
+    dec = J.parse_jpeg(J.write_jpeg(img, quality=92, progressive=True))
+    assert dec is not None
+    assert np.abs(dec[2].astype(int) - img.astype(int)).mean() < 4.0
+    feats = M.decode_image(J.write_jpeg(img, quality=92, progressive=True))
+    assert feats[:2] == [24.0, 24.0]
+
+
+def test_jpeg_progressive_ac_scan_pairs_differential():
+    """AC first/refine encoder vs decoder, seeded random bands: the
+    decoded coefficient plane after each refinement scan must equal
+    the point-transformed truth at that scan's Al — the T.81 G.2
+    successive-approximation invariant."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    enc_ac = J._huff_encode_table(*J._AC_L)
+    dec_ac = J._huff_decode_table(*J._AC_L)
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        nblocks = int(rng.integers(1, 5))
+        full = np.zeros((1, nblocks, 64), np.int32)
+        mask = rng.random((1, nblocks, 64)) < rng.choice([0.05, 0.3, 0.8])
+        full[mask] = rng.integers(-40, 41, int(mask.sum()))
+        full[..., 0] = 0
+        # first scan at Al=2
+        bw = J._BitWriter()
+        J._emit_ac_first_scan(bw, full, (1, nblocks), 1, 63, 2, enc_ac)
+        bw.flush()
+        reader = J._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+        got = np.zeros_like(full)
+        eob = [0]
+        for b in range(nblocks):
+            J._ac_first(reader, dec_ac, got[0, b], 1, 63, 2, eob)
+        assert np.array_equal(
+            got, np.sign(full) * ((np.abs(full) >> 2) << 2))
+        # refine 2 -> 1 -> 0
+        for al in (1, 0):
+            bw = J._BitWriter()
+            J._emit_ac_refine_scan(bw, full, (1, nblocks), 1, 63, al,
+                                   enc_ac)
+            bw.flush()
+            reader = J._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+            eob = [0]
+            for b in range(nblocks):
+                J._ac_refine(reader, dec_ac, got[0, b], 1, 63, al, eob)
+            assert np.array_equal(
+                got, np.sign(full) * ((np.abs(full) >> al) << al))
+
+
+def test_jpeg_progressive_corrupt_never_raises():
+    """Truncations and bit flips anywhere in a progressive stream must
+    yield None or a decoded image — never an exception."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    img = _gradient(16, 16)
+    good = J.write_jpeg(img, quality=90, progressive=True)
+    for cut in range(2, len(good), 37):
+        J.parse_jpeg(good[:cut])         # must not raise
+    rng = np.random.default_rng(9)
+    for _ in range(40):
+        b = bytearray(good)
+        b[int(rng.integers(2, len(b)))] ^= int(rng.integers(1, 256))
+        J.parse_jpeg(bytes(b))           # must not raise
 
 
 def test_jpeg_decode_features_and_resize():
