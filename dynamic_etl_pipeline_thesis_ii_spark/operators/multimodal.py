@@ -5,12 +5,13 @@ kernels.
 Decode support is tiered by what this environment can honestly do:
 
 - REAL, stdlib-only decoders for PPM/PGM images (pure byte parsing +
-  numpy), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-  (``zlib`` inflate + the five per-row filters), baseline AND
+  numpy), uncompressed 24-bit BMP, 8-bit PNG (non-interlaced AND
+  Adam7; ``zlib`` inflate + the five per-row filters), baseline AND
   progressive JPEG (huffman entropy decode + batched IDCT,
-  ``operators/jpeg.py``) and PCM WAV audio (``wave`` module) — parse,
-  feature-extract and nearest-neighbor resize with no external
-  libraries;
+  ``operators/jpeg.py``), GIF87a/89a (variable-width LZW, interlace,
+  global/local palettes), uncompressed strip TIFF (both byte orders)
+  and PCM WAV audio (``wave`` module) — parse, feature-extract and
+  nearest-neighbor resize with no external libraries;
 - payloads in remaining formats (MP3, arithmetic/12-bit JPEG, ...)
   raise NotImplementedError unless ``fake=True`` (librosa is not
   available in this sandbox; swapping it in later only changes the
@@ -159,57 +160,27 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
 
 
-def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
-    """Parse non-interlaced 8-bit-depth PNG (grayscale / RGB /
-    gray+alpha / RGBA) into (width, height, HxWxC uint8 array) with
-    stdlib only: chunk walk, ``zlib`` inflate of the concatenated IDAT
-    stream, then the five per-row filters (none/sub/up/average/Paeth)
-    undone exactly per the PNG spec §9. Returns None for payloads this
-    decoder does not handle (palette, 16-bit, interlaced, non-PNG) —
-    callers fall through to the next decoder or the fake tier."""
-    if payload is None or payload[:8] != PNG_SIG:
-        return None
-    i, n = 8, len(payload)
-    w = h = channels = None
-    idat: list[bytes] = []
-    while i + 8 <= n:
-        length = int.from_bytes(payload[i:i + 4], "big")
-        ctype = payload[i + 4:i + 8]
-        data = payload[i + 8:i + 8 + length]
-        if len(data) != length:
-            return None
-        if ctype == b"IHDR":
-            if length != 13:
-                return None
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            bit_depth, color_type, comp, filt, interlace = data[8:13]
-            channels = _PNG_CHANNELS.get(color_type)
-            if (bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0
-                    or channels is None or w <= 0 or h <= 0):
-                return None
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        i += 12 + length  # len + type + data + crc
-    if w is None or not idat:
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int,
+                  channels: int) -> Optional[tuple["np.ndarray", int]]:
+    """Undo the five per-row filters for one (sub-)image of ``h``
+    scanlines of ``w`` pixels starting at byte ``pos``; returns the
+    (h, w*channels) array and the position after the last scanline.
+
+    Cost note: none/up/sub are fully vectorized (sub is a per-channel-
+    lane prefix sum — mod-256 distributes over addition); average/
+    Paeth carry a true left-to-right data dependence (floor and argmin
+    break linearity), so they run a per-PIXEL loop vectorized across
+    channels — w iterations, not w*channels."""
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) < pos + h * (stride + 1):
         return None
-    # Unfilter cost note: none/up/sub are fully vectorized (sub is a
-    # per-channel-lane prefix sum — mod-256 distributes over addition);
-    # average/Paeth carry a true left-to-right data dependence (floor
-    # and argmin break linearity), so they run a per-PIXEL loop
-    # vectorized across channels — w iterations, not w*channels.
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(h):
         ftype = raw[pos]
         row = np.frombuffer(raw, dtype=np.uint8, count=stride,
@@ -250,38 +221,475 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
             return None
         out[y] = row
         prev = out[y]
-    return w, h, out.reshape(h, w, channels)
+    return out, pos
 
 
-def write_png(arr: "np.ndarray") -> bytes:
-    """Encode an HxWxC uint8 array (C in 1/2/3/4) as a non-interlaced
-    8-bit PNG with filter-0 rows — the inverse of :func:`parse_png`,
-    stdlib only (``zlib`` deflate + crc32)."""
+def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
+    """Parse 8-bit-depth PNG (grayscale / RGB / gray+alpha / RGBA,
+    non-interlaced OR Adam7-interlaced) into (width, height, HxWxC
+    uint8 array) with stdlib only: chunk walk, ``zlib`` inflate of the
+    concatenated IDAT stream, then the five per-row filters (none/sub/
+    up/average/Paeth) undone exactly per the PNG spec §9 — for Adam7,
+    per pass (each pass is an independently-filtered sub-image,
+    spec §8.2). Returns None for payloads this decoder does not handle
+    (palette, 16-bit, non-PNG) — callers fall through to the next
+    decoder or the fake tier."""
+    if payload is None or payload[:8] != PNG_SIG:
+        return None
+    i, n = 8, len(payload)
+    w = h = channels = None
+    interlaced = False
+    idat: list[bytes] = []
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if len(data) != length:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = data[8:13]
+            channels = _PNG_CHANNELS.get(color_type)
+            interlaced = interlace == 1
+            if (bit_depth != 8 or comp != 0 or filt != 0
+                    or interlace not in (0, 1)
+                    or channels is None or w <= 0 or h <= 0):
+                return None
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + data + crc
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if not interlaced:
+        got = _png_unfilter(raw, 0, w, h, channels)
+        if got is None or got[1] != len(raw):
+            return None
+        return w, h, got[0].reshape(h, w, channels)
+    # Adam7: seven independently-filtered sub-images scattered back
+    # onto the (dy, dx) grids
+    out = np.empty((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        got = _png_unfilter(raw, pos, pw, ph, channels)
+        if got is None:
+            return None
+        sub, pos = got
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
+        return None
+    return w, h, out
+
+
+def write_png(arr: "np.ndarray", interlace: bool = False) -> bytes:
+    """Encode an HxWxC uint8 array (C in 1/2/3/4) as an 8-bit PNG with
+    filter-0 rows — the inverse of :func:`parse_png`, stdlib only
+    (``zlib`` deflate + crc32). ``interlace=True`` emits Adam7 pass
+    ordering (the decoder-fixture generator for interlaced files)."""
     h, w = arr.shape[:2]
     channels = arr.shape[2] if arr.ndim == 3 else 1
+    arr3 = arr.reshape(h, w, channels)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr3[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + sub[y].tobytes()
+                      for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr3[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (len(data).to_bytes(4, "big") + ctype + data
                 + zlib.crc32(ctype + data).to_bytes(4, "big"))
 
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, color_type, 0, 0, 0]))
+            + bytes([8, color_type, 0, 0, 1 if interlace else 0]))
     return (PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW-compressed, palette-indexed; first frame decoded
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    npix: int) -> Optional[bytes]:
+    """GIF-variant LZW (LSB-first variable-width codes, clear/EOI,
+    12-bit cap) -> index stream of at most ``npix`` pixels."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev: Optional[bytes] = None
+    pos_bit, total_bits = 0, len(data) * 8
+    while pos_bit + code_size <= total_bits and len(out) < npix:
+        bi = pos_bit >> 3
+        chunk = int.from_bytes(data[bi:bi + 4], "little")
+        code = (chunk >> (pos_bit & 7)) & ((1 << code_size) - 1)
+        pos_bit += code_size
+        if code == clear:
+            table = dict(base)
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]       # the KwKwK case
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:npix])
+
+
+def _gif_lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_decode` (real string-table LZW with
+    clear-on-full); the fixture generator for the GIF decoder."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for px in pixels:
+        wc = w + bytes([px])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # encoder is one insert ahead of the decoder, so it widens
+            # one entry later (at 2^n + 1, where the decoder widens at
+            # its own 2^n) — the codes stay in lockstep
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([px])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
+    """Decode the FIRST frame of a GIF87a/89a into (width, height,
+    HxWx3 uint8 RGB) with stdlib only: logical-screen + image
+    descriptors, global/local color tables, variable-width LZW,
+    optional interlaced row order. Extensions (GCE, comments,
+    application) are skipped; later frames ignored. None for non-GIF /
+    malformed payloads."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw = int.from_bytes(payload[6:8], "little")
+        sh = int.from_bytes(payload[8:10], "little")
+        packed = payload[10]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            ncol = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload[i:i + 3 * ncol],
+                                dtype=np.uint8).reshape(ncol, 3)
+            i += 3 * ncol
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x3B:                       # trailer
+                return None
+            if b == 0x21:                       # extension: skip sub-blocks
+                i += 2
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                continue
+            if b != 0x2C:                       # image descriptor expected
+                return None
+            w = int.from_bytes(payload[i + 5:i + 7], "little")
+            h = int.from_bytes(payload[i + 7:i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:                  # local color table
+                ncol = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload[i:i + 3 * ncol],
+                                    dtype=np.uint8).reshape(ncol, 3)
+                i += 3 * ncol
+            if pal is None or w <= 0 or h <= 0 or w * h > 1 << 26:
+                return None
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                n = payload[i]
+                data += payload[i + 1:i + 1 + n]
+                i += 1 + n
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            rows = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:                  # interlaced row order
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            if rows.max(initial=0) >= len(pal):
+                return None
+            return w, h, pal[rows]
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+def write_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a single-frame GIF89a with a
+    256-color uniform palette (nearest-color quantization) — the
+    inverse-modulo-quantization of :func:`parse_gif` and its fixture
+    generator. Gray input (HxW / HxWx1) uses an exact 256-gray
+    palette."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w = arr.shape[:2]
+    if arr.shape[2] == 1:
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        idx = arr[..., 0]
+    else:
+        # 6x7x6 uniform RGB cube (252 colors): index = 42r + 6g + b
+        r = (arr[..., 0].astype(int) * 6) // 256
+        g = (arr[..., 1].astype(int) * 7) // 256
+        b = (arr[..., 2].astype(int) * 6) // 256
+        idx = (r * 42 + g * 6 + b).astype(np.uint8)
+        rr, gg, bb = np.meshgrid(np.arange(6), np.arange(7), np.arange(6),
+                                 indexing="ij")
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:252, 0] = (rr.ravel() * 256 + 128) // 6
+        pal[:252, 1] = (gg.ravel() * 256 + 128) // 7
+        pal[:252, 2] = (bb.ravel() * 256 + 128) // 6
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])           # GCT, 256 entries
+    out += pal.tobytes()
+    out += b"\x2C" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    rows = idx
+    if interlace:
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        rows = idx[order]
+    lzw = _gif_lzw_encode(rows.tobytes(), 8)
+    out += bytes([8])                           # LZW min code size
+    for off in range(0, len(lzw), 255):
+        blockb = lzw[off:off + 255]
+        out += bytes([len(blockb)]) + blockb
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed strips, 8-bit gray / RGB, II + MM)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}            # BYTE, SHORT, LONG
+
+
+def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
+    """Decode a baseline uncompressed TIFF (8 bits/sample, 1 or 3
+    samples/pixel, chunky, any strip layout, little- or big-endian)
+    into (width, height, HxWxC uint8). Compressed / tiled / planar /
+    non-8-bit variants return None — callers fall through."""
+    if payload is None or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "little" if payload[:2] == b"II" else "big"
+    try:
+        ifd = int.from_bytes(payload[4:8], bo)
+        n = int.from_bytes(payload[ifd:ifd + 2], bo)
+        tags: dict[int, list[int]] = {}
+        for e in range(n):
+            off = ifd + 2 + 12 * e
+            tag = int.from_bytes(payload[off:off + 2], bo)
+            typ = int.from_bytes(payload[off + 2:off + 4], bo)
+            cnt = int.from_bytes(payload[off + 4:off + 8], bo)
+            size = _TIFF_TYPE_SIZE.get(typ)
+            if size is None:
+                continue
+            if size * cnt <= 4:
+                vals_raw = payload[off + 8:off + 8 + size * cnt]
+            else:
+                voff = int.from_bytes(payload[off + 8:off + 12], bo)
+                vals_raw = payload[voff:voff + size * cnt]
+            tags[tag] = [int.from_bytes(vals_raw[k * size:(k + 1) * size],
+                                        bo) for k in range(cnt)]
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8])
+        compression = tags.get(259, [1])[0]
+        planar = tags.get(284, [1])[0]
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if (not offsets or w <= 0 or h <= 0 or w * h > 1 << 26
+                or spp not in (1, 3) or any(b != 8 for b in bits)
+                or compression != 1 or planar != 1):
+            return None
+        if counts is None:
+            counts = [w * h * spp]
+        raw = b"".join(payload[o:o + c] for o, c in zip(offsets, counts))
+        if len(raw) < w * h * spp:
+            return None
+        arr = np.frombuffer(raw[:w * h * spp], dtype=np.uint8)
+        return w, h, arr.reshape(h, w, spp)
+    except (IndexError, ValueError):
+        return None
+
+
+def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0) -> bytes:
+    """Encode HxWxC uint8 (C in 1/3) as an uncompressed little-endian
+    TIFF — the inverse of :func:`parse_tiff`. ``rows_per_strip > 0``
+    splits the image into multiple strips (the decoder's multi-strip
+    fixture generator)."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    rps = rows_per_strip if rows_per_strip > 0 else h
+    strips = [arr[y:y + rps].tobytes() for y in range(0, h, rps)]
+    nstrips = len(strips)
+
+    # layout: header(8) | strip data | [bits-per-sample array]
+    #         | strip offset/count arrays | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bps_off = pos
+    if c == 3:
+        pos += 6                                 # 3 SHORTs
+    arrays_off = pos
+    ext: list[tuple[int, bytes]] = []
+    if nstrips > 2:                              # arrays spill out of IFD
+        off_arr = b"".join(o.to_bytes(4, "little") for o in strip_offsets)
+        cnt_arr = b"".join(len(s).to_bytes(4, "little") for s in strips)
+        ext = [(arrays_off, off_arr),
+               (arrays_off + len(off_arr), cnt_arr)]
+        pos += len(off_arr) + len(cnt_arr)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        size = _TIFF_TYPE_SIZE[typ]
+        body = val.to_bytes(size, "little") if size * cnt <= 4 \
+            else val.to_bytes(4, "little")
+        return (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little") + body.ljust(4, b"\x00"))
+
+    entries = [entry(256, 4, 1, w), entry(257, 4, 1, h)]
+    if c == 3:
+        entries.append(entry(258, 3, 3, bps_off))   # pointer to 3 SHORTs
+    else:
+        entries.append(entry(258, 3, 1, 8))
+    entries.append(entry(259, 3, 1, 1))             # uncompressed
+    entries.append(entry(262, 3, 1, 2 if c == 3 else 1))
+    if nstrips > 2:
+        entries.append(entry(273, 4, nstrips, ext[0][0]))
+    elif nstrips == 2:
+        # two LONGs don't fit inline; reuse the ext area
+        ext = [(arrays_off, b"".join(o.to_bytes(4, "little")
+                                     for o in strip_offsets)),
+               (arrays_off + 8, b"".join(len(s).to_bytes(4, "little")
+                                         for s in strips))]
+        ifd_off = arrays_off + 16
+        entries.append(entry(273, 4, 2, ext[0][0]))
+    else:
+        entries.append(entry(273, 4, 1, strip_offsets[0]))
+    entries.append(entry(277, 3, 1, c))
+    entries.append(entry(278, 4, 1, rps))
+    if nstrips > 2:
+        entries.append(entry(279, 4, nstrips, ext[1][0]))
+    elif nstrips == 2:
+        entries.append(entry(279, 4, 2, ext[1][0]))
+    else:
+        entries.append(entry(279, 4, 1, len(strips[0])))
+    entries.sort(key=lambda e: int.from_bytes(e[:2], "little"))
+
+    out = bytearray(b"II*\x00" + ifd_off.to_bytes(4, "little"))
+    for s in strips:
+        out += s
+    if c == 3:
+        out += (8).to_bytes(2, "little") * 3
+    for off, data in ext:
+        assert len(out) == off, (len(out), off)
+        out += data
+    out += len(entries).to_bytes(2, "little")
+    for e in entries:
+        out += e
+    out += b"\x00" * 4                           # no next IFD
+    return bytes(out)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Image decode + feature extraction.
 
-    REAL for netpbm (P6/P5), uncompressed 24-bit BMP, non-interlaced
-    8-bit PNG, and baseline or progressive JPEG: ``[width, height,
+    REAL for netpbm (P6/P5), uncompressed 24-bit BMP, 8-bit PNG
+    (non-interlaced or Adam7), baseline or progressive JPEG, GIF
+    (LZW, first frame) and uncompressed TIFF: ``[width, height,
     mean_c1..mean_cN]`` from the decoded raster. Remaining formats
-    (arithmetic/12-bit JPEG, interlaced PNG, GIF/TIFF/WebP, ...) need
-    PIL (absent here) and raise NotImplementedError. ``fake=True``
-    derives a deterministic 4-dim feature from the raw bytes instead
-    of decoding."""
+    (arithmetic/12-bit JPEG, palette PNG, WebP, ...) need PIL (absent
+    here) and raise NotImplementedError. ``fake=True`` derives a
+    deterministic 4-dim feature from the raw bytes instead of
+    decoding."""
     if fake:
         if payload is None or len(payload) == 0:
             return [0.0, 0.0, 0.0, 0.0]
@@ -290,14 +698,15 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
                 float(sum(payload[:16]) % 256)]
     from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import parse_jpeg
     parsed = (parse_netpbm(payload) or parse_bmp(payload)
-              or parse_png(payload) or parse_jpeg(payload))
+              or parse_png(payload) or parse_jpeg(payload)
+              or parse_gif(payload) or parse_tiff(payload))
     if parsed is not None:
         w, h, arr = parsed
         means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
         return [float(w), float(h)] + [round(float(m), 6) for m in means]
     raise NotImplementedError(
-        "image decoding beyond netpbm/BMP/PNG/JPEG(SOF0/1/2) requires "
-        "PIL; not available here")
+        "image decoding beyond netpbm/BMP/PNG/JPEG(SOF0/1/2)/GIF/TIFF "
+        "requires PIL; not available here")
 
 
 FEATURE_SCHEMA = StructType([
@@ -306,7 +715,8 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), True),
     StructField("feat", ArrayType(DoubleType()), True),
     # decode provenance: which decoder actually produced ``feat`` —
-    # 'netpbm' / 'bmp' / 'png' / 'jpeg' / 'wav' (real parses) or 'fake'
+    # 'netpbm' / 'bmp' / 'png' / 'jpeg' / 'gif' / 'tiff' / 'wav'
+    # (real parses) or 'fake'
     # (deterministic byte features: fake mode, or real mode's
     # undecodable fallback). Without this a downstream consumer cannot
     # tell a real feature from a placeholder.
@@ -338,7 +748,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                     return decode_audio(p), "wav"
                 name = ("netpbm" if p[:2] in (b"P6", b"P5")
                         else "png" if p[:8] == PNG_SIG
-                        else "jpeg" if p[:2] == b"\xFF\xD8" else "bmp")
+                        else "jpeg" if p[:2] == b"\xFF\xD8"
+                        else "gif" if p[:6] in (b"GIF87a", b"GIF89a")
+                        else "tiff" if p[:4] in (b"II*\x00", b"MM\x00*")
+                        else "bmp")
                 return decode_image(p), name
             except Exception:  # noqa: BLE001 — one undecodable file
                 # (wrong format, truncated WAV, malformed header) must
@@ -516,6 +929,34 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return write_png(arr[rows][:, cols])
+
+
+def resize_gif(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for GIF payloads, re-encoded as
+    single-frame GIF; raises NotImplementedError for other formats
+    (PIL territory)."""
+    parsed = parse_gif(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "non-GIF image resize requires PIL; not available here")
+    w, h, arr = parsed
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return write_gif(arr[rows][:, cols])
+
+
+def resize_tiff(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for uncompressed TIFF payloads,
+    re-encoded as TIFF; raises NotImplementedError for other formats
+    (PIL territory)."""
+    parsed = parse_tiff(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "non-TIFF image resize requires PIL; not available here")
+    w, h, arr = parsed
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return write_tiff(arr[rows][:, cols])
 
 
 def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:

@@ -376,12 +376,114 @@ def test_png_rejects_unsupported_variants():
     bad_depth = bytearray(good)
     bad_depth[24] = 16
     assert M.parse_png(bytes(bad_depth)) is None
-    # interlace flag on
+    # interlace flag flipped on a NON-interlaced stream: the Adam7
+    # pass layout no longer matches the scanline bytes -> corrupt
     bad_int = bytearray(good)
     bad_int[28] = 1
     assert M.parse_png(bytes(bad_int)) is None
     # truncated IDAT payload
     assert M.parse_png(good[:40]) is None
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_adam7_interlaced_roundtrip(channels):
+    """Adam7: seven independently-filtered sub-images must scatter
+    back losslessly, including sizes where trailing passes are
+    empty."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    for shape in [(13, 9), (8, 8), (1, 1), (2, 3), (16, 5), (1, 9)]:
+        arr = rng.integers(0, 256, (*shape, channels)).astype(np.uint8)
+        parsed = M.parse_png(M.write_png(arr, interlace=True))
+        assert parsed is not None, shape
+        assert parsed[:2] == (shape[1], shape[0])
+        assert np.array_equal(parsed[2], arr), shape
+
+
+def test_gif_roundtrip_and_interlace():
+    """Gray GIF round-trips exactly (identity palette); RGB is
+    quantized onto the 6x7x6 cube (bounded error); interlaced row
+    order deinterlaces to the same raster."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (17, 11)).astype(np.uint8)
+    for il in (False, True):
+        parsed = M.parse_gif(M.write_gif(g, interlace=il))
+        assert parsed is not None and parsed[:2] == (11, 17)
+        assert np.array_equal(parsed[2],
+                              np.repeat(g[..., None], 3, axis=2))
+    rgb = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    parsed = M.parse_gif(M.write_gif(rgb))
+    assert np.abs(parsed[2].astype(int) - rgb.astype(int)).max() <= 22
+
+
+def test_gif_lzw_fuzz_and_rejects():
+    """Seeded LZW encode/decode differential (incl. table-full clear
+    + code-width growth) and malformed-payload rejection."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode,
+    )
+    rng = np.random.default_rng(22)
+    for _ in range(60):
+        n = int(rng.integers(1, 6000))
+        alphabet = int(rng.choice([4, 16, 256]))
+        px = rng.integers(0, alphabet, n).astype(np.uint8).tobytes()
+        assert _gif_lzw_decode(_gif_lzw_encode(px, 8), 8, n) == px
+    assert M.parse_gif(None) is None
+    assert M.parse_gif(b"not a gif") is None
+    assert M.parse_gif(b"GIF89a" + b"\x00" * 4) is None
+    good = M.write_gif(np.zeros((4, 4), np.uint8))
+    assert M.parse_gif(good[:20]) is None  # truncated -> None, not raise
+
+
+def test_tiff_roundtrip_strips_and_endianness():
+    """Uncompressed TIFF round-trips exactly across gray/RGB and
+    single/dual/multi-strip layouts; big-endian files decode; the
+    compressed/PIL tier is rejected not raised."""
+    import numpy as np
+    rng = np.random.default_rng(23)
+    for shape, rps in [((9, 13, 3), 0), ((9, 13, 3), 2), ((16, 8, 1), 0),
+                       ((16, 8, 1), 5), ((5, 5, 3), 1), ((4, 4, 1), 2)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        parsed = M.parse_tiff(M.write_tiff(a, rows_per_strip=rps))
+        assert parsed is not None, (shape, rps)
+        assert parsed[:2] == (shape[1], shape[0])
+        assert np.array_equal(parsed[2], a.reshape(shape[0], shape[1], -1))
+    assert M.parse_tiff(None) is None
+    assert M.parse_tiff(b"II*\x00" + b"\x00" * 4) is None
+    # flip compression tag to LZW (5): unsupported -> None
+    enc = bytearray(M.write_tiff(np.zeros((3, 3, 3), np.uint8)))
+    i = enc.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert i > 0
+    enc[i + 8] = 5
+    assert M.parse_tiff(bytes(enc)) is None
+
+
+def test_gif_tiff_decode_features_resize_and_provenance(spark):
+    """decode_image dispatches to the real GIF/TIFF decoders, the
+    resize family re-encodes in-format, and extract_features names
+    the provenance."""
+    import numpy as np
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    for enc, kind in [(M.write_gif(flat), "gif"),
+                      (M.write_tiff(flat), "tiff")]:
+        feats = M.decode_image(enc)
+        assert feats[:2] == [8.0, 8.0]
+        assert all(abs(m - 77.0) < 1e-9 for m in feats[2:])
+    out = M.resize_gif(M.write_gif(flat), 4, 2)
+    assert M.parse_gif(out)[:2] == (4, 2)
+    out = M.resize_tiff(M.write_tiff(flat), 4, 2)
+    assert M.parse_tiff(out)[:2] == (4, 2)
+
+    rows = [(1, "image", bytearray(M.write_gif(flat)), "image/gif",
+             len(M.write_gif(flat))),
+            (2, "image", bytearray(M.write_tiff(flat)), "image/tiff",
+             len(M.write_tiff(flat)))]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["decoder"]
+           for r in M.extract_features(media, mode="real").collect()}
+    assert got == {1: "gif", 2: "tiff"}
 
 
 def test_png_decode_features():
