@@ -1,0 +1,132 @@
+"""URL / domain curation operators (CommonCrawl-style web-corpus
+hygiene): URL normalization, host + registered-domain extraction,
+domain blocklist filtering and canonical URL dedup.
+
+No reference counterpart (training-data extension, SURVEY §2.12): web
+corpora key their provenance, dedup and filtering decisions on the
+URL, and the same raw page arrives under dozens of surface forms
+(tracking params, fragments, default ports, mixed-case hosts). Every
+transform here is a pure column expression with a DuckDB SQL twin
+generated from the SAME rule table, so the driver's oracle checks the
+normalization semantics themselves, not just the plumbing.
+
+Scale notes: normalization/extraction are per-row expressions (one
+scan, whole-stage codegen); the blocklist filter broadcasts the
+(small) blocklist side; URL dedup is one shuffle on the normalized
+URL — the standard exact-dedup shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://authority prefix (case-insensitive match; the ONLY part of
+# a URL that is case-insensitive per RFC 3986 §6.2.2.1)
+_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+
+# ordered rewrite rules applied AFTER the scheme+host lowercase step.
+# (pattern, spark_replacement, duckdb_replacement) — patterns are
+# RE2-safe (no lookaround/backrefs) so Java and DuckDB agree.
+_URL_RULES: list[tuple[str, str, str]] = [
+    (r"#.*", "", ""),                                    # fragment
+    # tracking params; the captured delimiter survives so ?/& chains
+    # can be repaired by the cleanup rules below
+    (r"([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "$1", r"\1"),
+    (r"\?&", "?", "?"),                                  # ?&a -> ?a
+    (r"&&+", "&", "&"),                                  # a&&b -> a&b
+    (r"[?&]+$", "", ""),                                 # dangling ?/&
+    # default ports (scheme already lowercased)
+    (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2", r"\1\2"),
+    (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2", r"\1\2"),
+    (r"/+$", "", ""),                                    # trailing slash
+]
+
+# common country-code second-level domains for the naive registered-
+# domain cut (a full public-suffix list is a data file, not an
+# algorithm change — swap in via the `cc_slds` parameter)
+CC_SLDS = ("co.uk", "org.uk", "ac.uk", "co.jp", "com.au",
+           "co.nz", "com.br", "co.in")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+authority, drop fragment,
+    strip utm_*/fbclid/gclid tracking params (repairing the ?/&
+    chain), drop default ports and trailing slashes."""
+    out = F.concat(F.lower(F.regexp_extract(url, _PREFIX_RE, 1)),
+                   F.regexp_replace(url, _PREFIX_RE, ""))
+    for pat, repl, _ in _URL_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def SQL_NORMALIZE_URL(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url`, generated from the same
+    rule table."""
+    out = (f"lower(regexp_extract({expr}, '{_PREFIX_RE}', 1)) || "
+           f"regexp_replace({expr}, '{_PREFIX_RE}', '')")
+    for pat, _, repl in _URL_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
+
+
+def url_host(norm_url: Column) -> Column:
+    """Authority host of an already-normalized URL (port excluded)."""
+    return F.regexp_extract(norm_url, _HOST_RE, 1)
+
+
+def SQL_URL_HOST(expr: str) -> str:
+    return f"regexp_extract({expr}, '{_HOST_RE}', 1)"
+
+
+def registered_domain(host: Column,
+                      cc_slds: tuple[str, ...] = CC_SLDS) -> Column:
+    """Naive registered domain: last two labels, or last three when
+    the last two form a known ccSLD (``co.uk`` etc.); single-label
+    hosts pass through."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.when(n >= 2, F.concat_ws(".", F.element_at(parts, -2),
+                                       F.element_at(parts, -1))) \
+        .otherwise(host)
+    return F.when((n >= 3) & last2.isin(*cc_slds),
+                  F.concat_ws(".", F.element_at(parts, -3), last2)) \
+        .otherwise(last2)
+
+
+def SQL_REGISTERED_DOMAIN(host_expr: str,
+                          cc_slds: tuple[str, ...] = CC_SLDS) -> str:
+    slds = ", ".join(f"'{s}'" for s in cc_slds)
+    parts = f"string_split({host_expr}, '.')"
+    last2 = (f"CASE WHEN len({parts}) >= 2 THEN "
+             f"{parts}[-2] || '.' || {parts}[-1] ELSE {host_expr} END")
+    return (f"CASE WHEN len({parts}) >= 3 AND ({last2}) IN ({slds}) "
+            f"THEN {parts}[-3] || '.' || ({last2}) ELSE ({last2}) END")
+
+
+def domain_filter(df: DataFrame, blocked: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocked``
+    (column ``domain``). The blocklist side is broadcast — the corpus
+    is never shuffled."""
+    dom = registered_domain(url_host(normalize_url(F.col(url_col))))
+    return (df.withColumn("_dom", dom)
+            .join(F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
+                  "_dom", "left_anti")
+            .drop("_dom"))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Canonical-keep exact dedup on the NORMALIZED URL: the lowest id
+    per canonical URL survives. One shuffle on the normalized URL."""
+    norm = normalize_url(F.col(url_col))
+    keyed = df.withColumn("_norm_url", norm)
+    keep = (keyed.groupBy("_norm_url")
+            .agg(F.min(id_col).alias(id_col)))
+    return (keyed.join(keep, ["_norm_url", id_col], "left_semi")
+            .drop("_norm_url"))

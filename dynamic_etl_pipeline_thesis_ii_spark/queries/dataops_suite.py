@@ -22,6 +22,7 @@ from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
 from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
 from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as S
 from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+from dynamic_etl_pipeline_thesis_ii_spark.operators import web as WB
 from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
 
 # ---------------------------------------------------------------------------
@@ -676,7 +677,10 @@ def q_text_pii_scrub(spark, sf_dir):
     every carrier, metric = lines removed), and token-level
     repeated-span removal (every 11th doc gains a shared 10-token
     phrase; its k-gram frequency trips the span-df cap and all covered
-    tokens drop, metric = tokens removed). The first two branches are
+    tokens drop, metric = tokens removed), and URL curation (synthetic
+    raw URLs per doc; text_out = canonical URL, metric = survives
+    blocklist + is the min-id carrier of its URL — `operators/web.py`
+    semantics inside the hash check). The pii/norm/url branches are
     pure column expressions; lineclean/spanclean are the bounded-
     shuffle corpus passes of
     :func:`~...operators.text.remove_boilerplate_lines` /
@@ -720,7 +724,43 @@ def q_text_pii_scrub(spark, sf_dir):
           .select(F.lit("spanclean").alias("op"),
                   F.col("id").alias("doc_id"), "text_out",
                   F.col("n_removed").alias("metric")))
-    return pii.unionByName(norm).unionByName(lc).unionByName(sc)
+
+    # url branch: deterministic raw URLs synthesized from (source,
+    # doc_id) with mixed-case hosts, default ports, tracking params
+    # and fragments; text_out = the canonical URL, metric = 1 iff the
+    # doc survives domain blocklisting AND is the canonical (min-id)
+    # carrier of its URL — normalize + host + registered-domain +
+    # blocklist + url-dedup semantics all inside the hash check
+    from pyspark.sql.window import Window as _Win
+    src = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    host = (F.when(F.col("source") == "src5", F.lit("src5.CO.UK"))
+            .otherwise(F.concat(F.col("source"), F.lit(".Example"))))
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), host,
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&fbclid=x"),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("#sec"), (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.lit("")))
+    normed = src.withColumn("norm_url", WB.normalize_url(raw))
+    dom = WB.registered_domain(WB.url_host(F.col("norm_url")))
+    keep = ((~dom.isin(*_URL_BLOCKLIST))
+            & (F.col("doc_id")
+               == F.min("doc_id").over(_Win.partitionBy("norm_url"))))
+    url = normed.select(
+        F.lit("url").alias("op"), "doc_id",
+        F.col("norm_url").alias("text_out"),
+        keep.cast("long").alias("metric"))
+
+    return (pii.unionByName(norm).unionByName(lc).unionByName(sc)
+            .unionByName(url))
+
+
+_URL_BLOCKLIST = ("src2.example", "src5.co.uk")
 
 
 def _sql_pii_scrub() -> str:
@@ -730,6 +770,9 @@ def _sql_pii_scrub() -> str:
     post = _HTML_WRAP_POST.replace("'", "''")
     lineclean = T.SQL_REMOVE_BOILERPLATE_LINES("footered", max_line_df=5)
     spanclean = T.SQL_REMOVE_REPEATED_SPANS("spanned", k=8, max_span_df=5)
+    norm_url = WB.SQL_NORMALIZE_URL("url")
+    reg_dom = WB.SQL_REGISTERED_DOMAIN(WB.SQL_URL_HOST("norm_url"))
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
     return f"""
 WITH corpus AS (
   SELECT doc_id,
@@ -768,6 +811,28 @@ FROM ({lineclean})
 UNION ALL
 SELECT 'spanclean', id, text_out, n_removed
 FROM ({spanclean})
+UNION ALL
+SELECT 'url', doc_id, norm_url,
+       cast(({reg_dom}) NOT IN ({blocked})
+            AND doc_id = min(doc_id) OVER (PARTITION BY norm_url)
+            AS bigint)
+FROM (
+  SELECT doc_id, {norm_url} AS norm_url
+  FROM (
+    SELECT doc_id,
+           'HTTPS://WWW.' ||
+           CASE WHEN source = 'src5' THEN 'src5.CO.UK'
+                ELSE source || '.Example' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+           '/page/' || (doc_id % 40)::VARCHAR ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=feed&fbclid=x' || doc_id::VARCHAR
+                ELSE '' END ||
+           CASE WHEN doc_id % 2 = 0
+                THEN '#sec' || (doc_id % 7)::VARCHAR ELSE '' END AS url
+    FROM documents
+  )
+)
 """
 
 

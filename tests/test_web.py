@@ -1,0 +1,86 @@
+"""URL/domain curation operators: normalization semantics, registered-
+domain extraction, blocklist filtering and canonical URL dedup (the
+expression-level semantics are additionally hash-checked against
+DuckDB through the `text_pii_scrub` url branch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import web as W
+
+
+def _norm(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], ["url"])
+    return df.select(W.normalize_url(F.col("url")).alias("n")).first()["n"]
+
+
+def test_normalize_url_semantics(spark):
+    cases = {
+        # scheme+host lowercase; path case preserved
+        "HTTPS://WWW.Example.COM/Path/X": "https://www.example.com/Path/X",
+        # default ports stripped, non-default kept
+        "https://a.example:443/x": "https://a.example/x",
+        "http://a.example:80/x": "http://a.example/x",
+        "http://a.example:8080/x": "http://a.example:8080/x",
+        # fragments dropped
+        "https://a.example/x#top": "https://a.example/x",
+        # tracking params stripped with ?/& chain repair
+        "https://a.example/x?utm_source=f&id=1": "https://a.example/x?id=1",
+        "https://a.example/x?id=1&utm_a=1&utm_b=2": "https://a.example/x?id=1",
+        "https://a.example/x?gclid=9": "https://a.example/x",
+        "https://a.example/x?fbclid=1&id=2": "https://a.example/x?id=2",
+        # trailing slashes
+        "https://a.example/x/": "https://a.example/x",
+        "https://a.example/": "https://a.example",
+    }
+    for raw, want in cases.items():
+        assert _norm(spark, raw) == want, raw
+
+
+def test_registered_domain_cc_slds(spark):
+    rows = [("www.sub.site.co.uk",), ("www.example.com",), ("localhost",),
+            ("a.b.c.site.com.au",), ("example.org",)]
+    df = spark.createDataFrame(rows, ["host"])
+    got = [r["d"] for r in
+           df.select(W.registered_domain(F.col("host")).alias("d")).collect()]
+    assert got == ["site.co.uk", "example.com", "localhost",
+                   "site.com.au", "example.org"]
+
+
+def test_domain_filter_broadcast_anti_join(spark):
+    rows = [(1, "https://KEEP.example/a"),
+            (2, "https://bad.example/b?utm_x=1"),
+            (3, "https://sub.bad.example/c"),
+            (4, "https://ok.example/d")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    blocked = spark.createDataFrame([("bad.example",)], ["domain"])
+    out = W.domain_filter(df, blocked)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]
+    # the blocklist side must be broadcast — no corpus shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_url_dedup_canonical_keep(spark):
+    rows = [(5, "https://a.example/p?utm_source=x"),   # dup of 1 after norm
+            (1, "HTTPS://A.EXAMPLE/p"),
+            (3, "https://a.example/p#frag"),           # dup too
+            (2, "https://a.example/q")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(r["doc_id"] for r in W.url_dedup(df).collect())
+    assert kept == [1, 2]                              # min-id canonical
+    # idempotent
+    assert sorted(r["doc_id"]
+                  for r in W.url_dedup(W.url_dedup(df)).collect()) == [1, 2]
+
+
+def test_normalize_url_null_and_garbage(spark):
+    df = spark.createDataFrame([(None,), ("no scheme here",), ("",)],
+                               "url string")
+    got = df.select(W.normalize_url(F.col("url")).alias("n"),
+                    W.url_host(W.normalize_url(F.col("url"))).alias("h"))
+    rows = got.collect()
+    assert rows[0]["n"] is None
+    assert rows[1]["n"] == "no scheme here" and rows[1]["h"] == ""
+    assert rows[2]["n"] == "" and rows[2]["h"] == ""
