@@ -1,0 +1,182 @@
+"""Byte-pair-encoding tokenizer: corpus-trained merges + distributed
+apply (the real token-counting layer under the token-budget /
+packing / shard operators, which otherwise run on whitespace counts).
+
+No reference counterpart (training-data extension, SURVEY §2.12).
+Design follows the standard two-phase shape every production BPE
+trainer uses (Sennrich et al. 2016; GPT-2's bpe()):
+
+- **Train** operates on the WORD-FREQUENCY TABLE, never the corpus:
+  one distributed groupBy builds (word, count), the driver collects
+  only the top ``max_words`` rows (vocabulary-sized — bounded and
+  capped, NOT corpus-sized; the cap is the documented accuracy/memory
+  trade) and runs the classic merge loop there. At 100 TB the corpus
+  scan is the only distributed stage and it is one shuffle.
+- **Apply** broadcasts the merge ranks and tokenizes via an
+  Arrow-batched pandas UDF with a per-executor word cache — word
+  re-use makes the cache hit rate very high on natural text, so the
+  per-row cost is a dict lookup, not a merge loop.
+
+Determinism: merge ties (equal pair count) break on the
+lexicographically smaller pair, so the same corpus always yields the
+same merge table on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"                     # end-of-word marker (Sennrich-style)
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the lowercased corpus — the ONE distributed
+    stage of training. Punctuation splits off so merges learn word
+    shapes, not attached commas."""
+    words = F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                 F.lit(""))),
+                              r"[^a-z0-9']+"))
+    return (df.select(words.alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("count")))
+
+
+def _merge_loop(wc: list[tuple[str, int]],
+                n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge loop over a word-frequency dict (plain
+    Python, driver-side; O(n_merges x words) with incremental pair
+    recount on only the words containing the merged pair)."""
+    symseqs: list[list[str]] = [list(w) + [END] for w, _ in wc]
+    freqs = [c for _, c in wc]
+    # pair -> total count, and pair -> set of word indexes containing it
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, seq in enumerate(symseqs):
+        for a, b in zip(seq, seq[1:]):
+            pair_count[(a, b)] = pair_count.get((a, b), 0) + freqs[i]
+            pair_words.setdefault((a, b), set()).add(i)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_count:
+            break
+        # max count, ties -> lexicographically smaller pair (determinism)
+        best = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_count[best] <= 0:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for i in list(pair_words.get(best, ())):
+            seq, f = symseqs[i], freqs[i]
+            # remove old pair contributions of this word
+            for a, b in zip(seq, seq[1:]):
+                pair_count[(a, b)] -= f
+                if pair_count[(a, b)] <= 0:
+                    pair_count.pop((a, b), None)
+                ws = pair_words.get((a, b))
+                if ws is not None:
+                    ws.discard(i)
+                    if not ws:
+                        pair_words.pop((a, b), None)
+            # merge occurrences
+            out: list[str] = []
+            k = 0
+            while k < len(seq):
+                if (k + 1 < len(seq)
+                        and (seq[k], seq[k + 1]) == best):
+                    out.append(joined)
+                    k += 2
+                else:
+                    out.append(seq[k])
+                    k += 1
+            symseqs[i] = out
+            # re-add new pair contributions
+            for a, b in zip(out, out[1:]):
+                pair_count[(a, b)] = pair_count.get((a, b), 0) + f
+                pair_words.setdefault((a, b), set()).add(i)
+    return merges
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              n_merges: int = 200,
+              max_words: int = 100_000) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Only the top
+    ``max_words`` most frequent words reach the driver (the standard
+    capped-dictionary trade: tail words contribute negligibly to pair
+    counts; raise the cap for higher fidelity)."""
+    top = (word_counts(df, text_col)
+           .orderBy(F.desc("count"), "word").limit(max_words).collect())
+    return _merge_loop([(r["word"], r["count"]) for r in top], n_merges)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int],
+                cache: Optional[dict] = None) -> list[str]:
+    """GPT-2-style greedy-by-rank BPE of one word (plain Python; used
+    inside the pandas kernel and by tests)."""
+    if cache is not None and word in cache:
+        return cache[word]
+    seq = list(word) + [END]
+    while len(seq) > 1:
+        pairs = [(ranks.get((a, b), 1 << 60), idx)
+                 for idx, (a, b) in enumerate(zip(seq, seq[1:]))]
+        rank, idx = min(pairs)
+        if rank >= 1 << 60:
+            break
+        joined = seq[idx] + seq[idx + 1]
+        # merge EVERY occurrence of that pair (same order the trainer
+        # used), not just the first
+        best = (seq[idx], seq[idx + 1])
+        out: list[str] = []
+        k = 0
+        while k < len(seq):
+            if k + 1 < len(seq) and (seq[k], seq[k + 1]) == best:
+                out.append(joined)
+                k += 2
+            else:
+                out.append(seq[k])
+                k += 1
+        seq = out
+    if cache is not None:
+        cache[word] = seq
+    return seq
+
+
+def apply_bpe(df: DataFrame, merges: Iterable[tuple[str, str]],
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenize the corpus with a trained merge table: ``(id, tokens
+    array<string>, n_tokens)``. The merge ranks broadcast with the
+    closure; an Arrow-batched pandas UDF with a per-executor word
+    cache does the work — natural-text word reuse makes this a dict
+    lookup per word after warmup."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("tokens", ArrayType(StringType()), True),
+        StructField("n_tokens", LongType(), True),
+    ])
+
+    def kernel(batches):
+        import re
+        cache: dict = {}
+        splitter = re.compile(r"[^a-z0-9']+")
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                words = [w for w in splitter.split((text or "").lower())
+                         if w]
+                doc: list[str] = []
+                for w in words:
+                    doc.extend(encode_word(w, ranks, cache))
+                toks.append(doc)
+                counts.append(len(doc))
+            yield pd.DataFrame({"id": pdf[id_col], "tokens": toks,
+                                "n_tokens": counts})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)

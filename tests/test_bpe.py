@@ -1,0 +1,128 @@
+"""BPE trainer/apply: differential against a naive from-scratch
+reference implementation, classic-corpus sanity, apply parity and
+distributed-apply plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as B
+
+
+# -- naive reference: recount all pairs from scratch every iteration ----
+
+def ref_train(wc: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    seqs = {w: [*w, B.END] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            for pair in zip(seq, seq[1:]):
+                counts[pair] = counts.get(pair, 0) + wc[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, seq in seqs.items():
+            out, k = [], 0
+            while k < len(seq):
+                if k + 1 < len(seq) and (seq[k], seq[k + 1]) == best:
+                    out.append(seq[k] + seq[k + 1])
+                    k += 2
+                else:
+                    out.append(seq[k])
+                    k += 1
+            seqs[w] = out
+    return merges
+
+
+def ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential application of the merge list in training order."""
+    seq = [*word, B.END]
+    for a, b in merges:
+        out, k = [], 0
+        while k < len(seq):
+            if k + 1 < len(seq) and seq[k] == a and seq[k + 1] == b:
+                out.append(a + b)
+                k += 2
+            else:
+                out.append(seq[k])
+                k += 1
+        seq = out
+    return seq
+
+
+def test_merge_loop_matches_naive_reference():
+    """The incremental-recount trainer == the from-scratch reference
+    over seeded random word tables (ties included)."""
+    import random
+    rng = random.Random(17)
+    for trial in range(25):
+        n_words = rng.randint(2, 30)
+        wc = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+            wc[w] = rng.randint(1, 9)
+        n = rng.randint(1, 40)
+        got = B._merge_loop(sorted(wc.items()), n)
+        want = ref_train(wc, n)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_encode_word_matches_sequential_reference():
+    """Greedy-by-rank encode == sequential merge application (the
+    rank-consistency property of BPE merge tables)."""
+    import random
+    rng = random.Random(23)
+    for trial in range(25):
+        wc = {}
+        for _ in range(rng.randint(3, 25)):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            wc[w] = rng.randint(1, 9)
+        merges = ref_train(wc, rng.randint(1, 30))
+        ranks = {m: i for i, m in enumerate(merges)}
+        cache: dict = {}
+        for _ in range(30):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+            assert B.encode_word(w, ranks, cache) == ref_encode(w, merges)
+
+
+def test_train_bpe_classic_corpus(spark):
+    """Sennrich's canonical example: 'es' (from newest/widest class)
+    style high-frequency pairs surface first; training is
+    deterministic across runs."""
+    rows = [(0, "low low low low low"),
+            (1, "lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = B.train_bpe(df, n_merges=10)
+    assert merges == B.train_bpe(df, n_merges=10)   # deterministic
+    assert merges[:2] == [("e", "s"), ("es", "t")]  # 9 est occurrences
+    assert ("est", B.END) in merges[:3]
+
+
+def test_apply_bpe_distributed(spark):
+    rows = [(0, "low lower"), (1, "newest"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = B.train_bpe(
+        spark.createDataFrame([(0, "low low lower newest newest")],
+                              ["doc_id", "text"]), n_merges=8)
+    out = {r["id"]: (r["tokens"], r["n_tokens"])
+           for r in B.apply_bpe(df, merges).collect()}
+    ranks = {m: i for i, m in enumerate(merges)}
+    want0 = B.encode_word("low", ranks) + B.encode_word("lower", ranks)
+    assert out[0] == (want0, len(want0))
+    assert out[1][0] == B.encode_word("newest", ranks)
+    assert out[2] == ([], 0) and out[3] == ([], 0)
+    # tokens reassemble the normalized words exactly
+    joined = "".join(out[0][0]).replace(B.END, " ").strip()
+    assert joined == "low lower"
+
+
+def test_word_counts_normalization(spark):
+    df = spark.createDataFrame([(0, "The the, THE! cat's 9lives")],
+                               ["doc_id", "text"])
+    got = {r["word"]: r["count"]
+           for r in B.word_counts(df).collect()}
+    assert got == {"the": 3, "cat's": 1, "9lives": 1}
