@@ -237,3 +237,114 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                          F.col("x.v"), F.col("y.v"),
                          F.col("x.n"), F.col("y.n")), 6).alias("cos")))
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+#
+# The 100 TB memory story for similarity search: a 64-dim float vector
+# is 256 bytes; its PQ code is m small ints. Candidates are encoded
+# ONCE (one scan) and searches run against the CODES with a per-query
+# lookup table (ADC, Jegou et al. 2011) — the full vectors never enter
+# the search join. `pq_grid_codebooks` is a deterministic closed-form
+# codebook (engine-portable, used by the oracle-checked query branch);
+# `pq_train` learns a data-adapted one with per-subspace k-means
+# (pytest-covered — k-means is iterative, not SQL-expressible).
+
+def pq_grid_codebooks(dim: int, m: int = 4, k: int = 8,
+                      lo: float = -0.5, hi: float = 0.5) -> list:
+    """[m][k][dim/m] diagonal grid codebook: centroid j of every
+    subspace is the constant vector lo + (j+0.5)*(hi-lo)/k."""
+    dsub = dim // m
+    vals = [lo + (j + 0.5) * (hi - lo) / k for j in range(k)]
+    return [[[v] * dsub for v in vals] for _ in range(m)]
+
+
+def _subdist(sub: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of a subvector to a literal centroid,
+    rounded to 6 dp (the same cross-engine granularity the cosine
+    oracles use) so argmin choices are engine-portable."""
+    cvec = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.round(F.aggregate(
+        F.zip_with(sub, cvec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def pq_codes(vec: Column, codebooks: list) -> Column:
+    """array<int> of per-subspace nearest-centroid indexes (0-based;
+    ties take the lowest index on every engine)."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        dists = F.array(*[_subdist(sub, c) for c in codebooks[s]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut(qvec: Column, codebooks: list) -> Column:
+    """Per-query ADC lookup table: array<array<double>> of
+    [m][k] subspace-to-centroid squared distances."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    return F.array(*[
+        F.array(*[_subdist(F.slice(qvec, s * dsub + 1, dsub), c)
+                  for c in codebooks[s]])
+        for s in range(m)])
+
+
+def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
+            k: int, q_id: str = "q_id", q_vec: str = "q_vec",
+            c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+    """ADC top-k: candidates reduce to (id, codes) in one scan, the
+    (small) query side broadcasts with its lookup tables, and the
+    search join touches codes only. Output ``(q_id, c_id, adc, rank)``
+    with adc = approximate squared L2 distance, rank ascending."""
+    cand = candidates.select(
+        F.col(c_id).alias("c_id"),
+        pq_codes(F.col(c_vec).cast("array<double>"), codebooks)
+        .alias("codes"))
+    qs = queries.select(
+        F.col(q_id).alias("q_id"),
+        pq_lut(F.col(q_vec).cast("array<double>"), codebooks).alias("lut"))
+    adc = F.round(F.aggregate(
+        F.zip_with(F.col("lut"), F.col("codes"),
+                   lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
+                                           F.col("c_id").asc())
+    return (cand.join(F.broadcast(qs))
+            .select("q_id", "c_id", adc.alias("adc"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,
+             k: int = 8, sample: int = 10_000, iters: int = 10) -> list:
+    """Data-adapted PQ codebooks: per-subspace k-means on a driver-
+    side sample (bounded by ``sample`` — the standard practice; faiss
+    trains on samples too). Deterministic: the sample is the first
+    ``sample`` rows by id-hash order and init takes evenly-spaced
+    sorted points."""
+    import numpy as np
+
+    rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(sample).collect())
+    X = np.array([r["v"] for r in rows])
+    dsub = X.shape[1] // m
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        order = np.lexsort(sub.T[::-1])
+        init_idx = order[np.linspace(0, len(sub) - 1, k).astype(int)]
+        cent = sub[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                pts = sub[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(axis=0)
+        books.append([list(map(float, c)) for c in cent])
+    return books

@@ -624,9 +624,31 @@ SELECT 'contam', id_a, id_b, overlap::DOUBLE FROM ({_sql_contamination()})
 """
 
 
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC search (N4): candidates reduce to
+    4-subspace codes against the deterministic grid codebook, queries
+    broadcast their lookup tables, top-3 by asymmetric distance. The
+    ``cos`` slot carries -adc so the union schema and DESC ranking
+    direction line up with the cosine branches."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    books = S.pq_grid_codebooks(_PQ_DIM, m=_PQ_M, k=_PQ_K)
+    out = S.pq_topk(queries, cands, books, k=3)
+    return out.select("q_id", "c_id",
+                      (F.round(-F.col("adc"), 6) + F.lit(0.0)).alias("cos"),
+                      "rank")
+
+
 def q_ann_topk(spark, sf_dir):
-    """Brute-force and LSH-bucketed ANN in one tagged union (N1/N2);
-    bucket is null on the brute branch."""
+    """Brute-force, LSH-bucketed and PQ/ADC search in one tagged union
+    (N1/N2/N4); bucket is null off the lsh branch."""
     br = (q_ann_cosine_topk(spark, sf_dir)
           .select(F.lit("brute").alias("method"), "q_id",
                   F.lit(None).cast("long").alias("bucket"),
@@ -635,7 +657,54 @@ def q_ann_topk(spark, sf_dir):
           .select(F.lit("lsh").alias("method"), "q_id",
                   F.col("bucket").cast("long").alias("bucket"),
                   "c_id", "cos", "rank"))
-    return br.unionByName(ls)
+    pq = (q_ann_pq(spark, sf_dir)
+          .select(F.lit("pq").alias("method"), "q_id",
+                  F.lit(None).cast("long").alias("bucket"),
+                  "c_id", "cos", "rank"))
+    return br.unionByName(ls).unionByName(pq)
+
+
+def _sql_pq_branch() -> str:
+    """DuckDB twin of the PQ branch: per-subspace code = argmin over
+    the same grid centroids (6-dp rounded squared distances, first-
+    index tie-break), ADC = sum of the per-subspace LUT entries."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        pq_grid_codebooks,
+    )
+    books = pq_grid_codebooks(_PQ_DIM, m=_PQ_M, k=_PQ_K)
+    dsub = _PQ_DIM // _PQ_M
+
+    def dists(vec: str, s: int) -> str:
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        terms = []
+        for cent in books[s]:
+            c = cent[0]                      # grid centroid: constant vector
+            terms.append(
+                f"round(list_aggregate(list_transform({vec}[{lo}:{hi}], "
+                f"x -> (x - ({c!r})) * (x - ({c!r}))), 'sum'), 6)")
+        return "[" + ", ".join(terms) + "]"
+
+    code_cols = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) - 1 AS code{s}"
+        for s in range(_PQ_M))
+    dist_cols_c = ", ".join(f"{dists('cv', s)} AS d{s}"
+                            for s in range(_PQ_M))
+    lut_cols = ", ".join(f"{dists('qv', s)} AS l{s}" for s in range(_PQ_M))
+    adc = " + ".join(f"l{s}[code{s} + 1]" for s in range(_PQ_M))
+    return f"""
+SELECT q_id, c_id, round(-adc, 6) + 0.0 AS cos, rank
+FROM (
+  SELECT q_id, c_id, round({adc}, 6) AS adc,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round({adc}, 6) ASC, c_id ASC) AS rank
+  FROM (SELECT c_id, {code_cols} FROM (
+          SELECT vec_id AS c_id, {dist_cols_c}
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings))),
+       (SELECT q_id, {lut_cols} FROM (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 10))
+) WHERE rank <= 3
+"""
 
 
 def _sql_ann_topk() -> str:
@@ -646,6 +715,9 @@ FROM ({ORACLE_ANN_COSINE_TOPK})
 UNION ALL
 SELECT 'lsh', q_id, bucket::BIGINT, c_id, cos, rank
 FROM ({ORACLE_ANN_LSH_BUCKET})
+UNION ALL
+SELECT 'pq', q_id, CAST(NULL AS BIGINT), c_id, cos, rank
+FROM ({_sql_pq_branch()})
 """
 
 

@@ -163,6 +163,61 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(approx) == len(exact)
 
 
+def test_pq_codes_train_and_adc_search(spark, sf_dir):
+    """Product quantization: trained codebooks beat the closed-form
+    grid on quantization error, codes are deterministic and bounded,
+    ADC top-k is plan-shaped right (codes-only candidate side,
+    broadcast query side) and lands sane neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+    emb = Catalog(spark, sf_dir).embeddings
+    grid = SIM.pq_grid_codebooks(64, m=4, k=8)
+    trained = SIM.pq_train(emb, m=4, k=8, sample=300, iters=5)
+    assert trained == SIM.pq_train(emb, m=4, k=8, sample=300, iters=5)
+
+    # quantization error: mean squared reconstruction distance of the
+    # assigned centroid; the k-means books must beat the blind grid
+    X = np.array([r["embedding"] for r in
+                  emb.select("embedding").limit(300).collect()],
+                 dtype=np.float64)
+
+    def mse(books):
+        dsub = 64 // len(books)
+        total = 0.0
+        for s, book in enumerate(books):
+            sub = X[:, s * dsub:(s + 1) * dsub]
+            cent = np.array(book)
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).mean()
+        return total
+
+    assert mse(trained) < mse(grid) * 0.9
+
+    # codes bounded + deterministic
+    codes = emb.select(
+        SIM.pq_codes(F.col("embedding").cast("array<double>"),
+                     grid).alias("c")).collect()
+    assert all(0 <= v < 8 for r in codes for v in r["c"])
+
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    out = SIM.pq_topk(queries, cands, trained, k=3)
+    rows = out.collect()
+    assert len(rows) == 15                      # 5 queries x top-3
+    # self-match: with data-adapted codebooks a vector's own code is
+    # its ADC argmin (distance to own codes is the LUT minimum) for
+    # most queries; require at least 4 of 5
+    self_hits = sum(1 for r in rows if r["rank"] == 1
+                    and r["q_id"] == r["c_id"])
+    assert self_hits >= 4, self_hits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def _degenerate_corpus(spark, n_same=1200, n_normal=30):
     """1200 identical boilerplate docs (one degenerate LSH bucket) plus a
     few genuinely near-dup docs in healthy buckets."""
