@@ -698,6 +698,29 @@ def snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
                       "__k", "left_anti")
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions, the data-versioning
+    primitive under dataset releases: ``(doc_id, status)`` with status
+    in added / removed / changed / unchanged, judged on the SAME
+    normalized content key the exact/incremental dedup paths use
+    (:func:`_content_key` — whitespace/case noise is not a change).
+
+    Scale design: each side reduces to (id, 32-bit content key) in its
+    own scan, then ONE full-outer shuffle join on the id. No text
+    moves through the shuffle."""
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   _content_key(text_col).alias("__ko"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   _content_key(text_col).alias("__kn"))
+    status = (F.when(F.col("__ko").isNull(), F.lit("added"))
+              .when(F.col("__kn").isNull(), F.lit("removed"))
+              .when(F.col("__ko") == F.col("__kn"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (o.join(n, "doc_id", "full_outer")
+            .select("doc_id", status.alias("status")))
+
+
 def incremental_exact(new_docs: DataFrame, seen: DataFrame,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

@@ -102,15 +102,54 @@ _NORM = D.SQL_NORMALIZE
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    out = D.dedup_exact(_exactdup_corpus(spark, sf_dir))
-    return out.select("doc_id")
+    """Exact dedup (min-id keep per normalized content) + corpus
+    snapshot diff in one tagged union. The diff branch versions the
+    documents table against a deterministically-mutated successor
+    (every 13th doc removed, every 17th changed, every 19th gaining a
+    fresh +300000 twin) and must label every id added / removed /
+    changed / unchanged on the same content key the dedup uses."""
+    dd = (D.dedup_exact(_exactdup_corpus(spark, sf_dir))
+          .select(F.lit("dedup").alias("op"), "doc_id",
+                  F.lit("keep").alias("status")))
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 13 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 17 == 0,
+                              F.concat(F.col("text"), F.lit(" edited v2")))
+                       .otherwise(F.col("text"))))
+    added = (docs.filter(F.col("doc_id") % 19 == 0)
+             .select((F.col("doc_id") + 300000).alias("doc_id"),
+                     F.concat(F.lit("brand new "), F.col("text"))
+                     .alias("text")))
+    diff = (D.corpus_diff(docs, new.unionByName(added))
+            .select(F.lit("diff").alias("op"), "doc_id", "status"))
+    return dd.unionByName(diff)
 
 
 ORACLE_DEDUP_EXACT = f"""
-WITH {_SQL_EXACTDUP}
-SELECT min(doc_id) AS doc_id FROM corpus
+WITH {_SQL_EXACTDUP},
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' edited v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 300000, 'brand new ' || text
+  FROM documents WHERE doc_id % 19 = 0
+),
+ko AS (SELECT doc_id, {{h_old}} AS k FROM documents),
+kn AS (SELECT doc_id, {{h_new}} AS k FROM new)
+SELECT 'dedup' AS op, min(doc_id) AS doc_id, 'keep' AS status FROM corpus
 GROUP BY {_NORM.format(x='text')}
-"""
+UNION ALL
+SELECT 'diff', coalesce(ko.doc_id, kn.doc_id),
+       CASE WHEN ko.k IS NULL THEN 'added'
+            WHEN kn.k IS NULL THEN 'removed'
+            WHEN ko.k = kn.k THEN 'unchanged'
+            ELSE 'changed' END
+FROM ko FULL OUTER JOIN kn ON ko.doc_id = kn.doc_id
+""".format(h_old=_H32.format(x=_NORM.format(x="coalesce(text, '')")),
+           h_new=_H32.format(x=_NORM.format(x="coalesce(text, '')")))
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):

@@ -167,3 +167,35 @@ def test_multi_epoch_ingest_grows_snapshot(spark, corpus, tmp_path):
     n_before = spark.read.parquet(keys_path).count()
     append_new_keys(D.content_keys(kept1), keys_path, ["id"])
     assert spark.read.parquet(keys_path).count() == n_before
+
+
+def test_corpus_diff_statuses(spark):
+    """Snapshot diff: added/removed/changed/unchanged on the shared
+    content key — whitespace/case noise is NOT a change, null text
+    hashes to a real key, and both directions of id drift are seen."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    old = spark.createDataFrame([
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon"),
+        (3, "zeta eta"),
+        (4, None),
+        (5, "same text"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (1, "  ALPHA   beta GAMMA "),   # normalization noise: unchanged
+        (2, "delta epsilon REWRITTEN"), # changed
+        (4, ""),                        # null -> '' coalesce: unchanged
+        (5, "same text"),
+        (6, "arrived later"),           # added
+    ], "doc_id long, text string")      # 3 removed
+    got = {r["doc_id"]: r["status"]
+           for r in D.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "unchanged", 6: "added"}
+
+    # empty sides degrade to all-added / all-removed
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert {r["status"] for r in D.corpus_diff(empty, new).collect()} \
+        == {"added"}
+    assert {r["status"] for r in D.corpus_diff(old, empty).collect()} \
+        == {"removed"}
