@@ -1,0 +1,50 @@
+"""Trained quality classifier: weak-label bootstrap, separation on
+held-out docs, null handling and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import quality as Q
+
+_CLEAN = ("the quick brown fox jumps over the lazy dog and then runs "
+          "through the quiet field while the sun sets slowly over the "
+          "hills and the birds return to their nests for the evening "
+          "because the day is finally done and everyone can rest now "
+          "meanwhile the river keeps flowing past the old stone bridge "
+          "where children played during the long warm summer afternoons")
+_SALAD = "xq zzv kplm qrw 0x1f 0x2e ### ... ... ... ktj wvv 9913 zzqp"
+
+
+def _corpus(spark, n=40, offset=0):
+    rows = []
+    for i in range(n):
+        rows.append((offset + 2 * i, f"{_CLEAN} extra topic {i}"))
+        rows.append((offset + 2 * i + 1, f"{_SALAD} {i} " * 3))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_weak_labels_and_classifier_separation(spark):
+    train = Q.weak_labels_from_gopher(_corpus(spark, n=40))
+    # the gopher bootstrap labels clean prose 1.0, salad 0.0
+    labels = {r["doc_id"] % 2: r["label"] for r in train.collect()}
+    assert labels == {0: 1.0, 1: 0.0}
+
+    model = Q.train_quality_classifier(train, n_features=1 << 12)
+    held_out = _corpus(spark, n=10, offset=10_000)
+    scored = {r["id"]: r["quality_prob"]
+              for r in Q.score_quality(held_out, model).collect()}
+    clean = [v for k, v in scored.items() if k % 2 == 0]
+    salad = [v for k, v in scored.items() if k % 2 == 1]
+    assert min(clean) > max(salad)     # full separation on held-out
+    assert all(0.0 <= v <= 1.0 for v in scored.values())
+
+
+def test_score_quality_null_and_empty_text(spark):
+    train = Q.weak_labels_from_gopher(_corpus(spark, n=20))
+    model = Q.train_quality_classifier(train, n_features=1 << 12)
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id long, text string")
+    got = Q.score_quality(df, model).collect()
+    assert len(got) == 2               # nulls score, never crash
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in got)
