@@ -9,6 +9,13 @@ The fixture fetcher (default) derives deterministic API-shaped frames
 from the testdata tables, so the full lifecycle runs offline; pass
 ``--fetcher http`` with API keys in POLYGON_API_KEY /
 ALPHA_VANTAGE_API_KEY to ingest from the live services.
+
+``--dataops`` routes the query to the training-data target instead
+(curate -> token-budget select -> pack -> verified shards):
+
+    python -m dynamic_etl_pipeline_thesis_ii_spark \
+        "curate and dedup the corpus into 4 shards, sequence length 512" \
+        --dataops --sf-dir /root/testdata/sf0.001 --out /tmp/shards1
 """
 
 from __future__ import annotations
@@ -31,8 +38,13 @@ def main(argv: list[str] | None = None) -> int:
                     default="fixture")
     ap.add_argument("--out", default=None,
                     help="write outputs (parquet) + report.json here")
+    ap.add_argument("--dataops", action="store_true",
+                    help="route to the corpus->shards training-data "
+                         "target (requires --out)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
+    if args.dataops and not args.out:
+        ap.error("--dataops requires --out (the shard sink path)")
 
     from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
         FixtureFetcher, Pipeline)
@@ -53,7 +65,15 @@ def main(argv: list[str] | None = None) -> int:
 
     progress = (lambda stage, info: None) if args.quiet else (
         lambda stage, info: print(f"[{stage}] {info}", file=sys.stderr))
-    result = Pipeline(spark, fetcher, progress=progress).run(args.query)
+    pipe = Pipeline(spark, fetcher, progress=progress)
+    if args.dataops:
+        result = pipe.run_dataops(args.query, args.sf_dir, args.out)
+        summary = {"status": result["status"],
+                   "reports": result.get("reports", {}),
+                   "out": args.out}
+        print(json.dumps(summary, default=str))
+        return 0 if result["status"] == "complete" else 1
+    result = pipe.run(args.query)
 
     summary = {"status": result["status"],
                "n_outputs": len(result.get("outputs", [])),

@@ -732,3 +732,28 @@ def test_cli_entry_point(spark, sf_dir, tmp_path, capsys):
 
     rc_rejected = main(["bake me a cake", "--quiet"])
     assert rc_rejected == 1
+
+
+def test_cli_dataops_route(spark, sf_dir, tmp_path, capsys):
+    """--dataops routes the query to the corpus->shards target and
+    sinks verified shard directories."""
+    import json as _json
+    import os as _os
+
+    from dynamic_etl_pipeline_thesis_ii_spark.__main__ import main
+
+    out_dir = str(tmp_path / "shards")
+    rc = main(["curate and dedup the corpus into 4 shards",
+               "--dataops", "--quiet", "--sf-dir", sf_dir,
+               "--out", out_dir])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "complete"
+    assert summary["reports"]["sink"]["rows_written"] > 0
+    assert _os.path.isdir(_os.path.join(out_dir, "shard=0"))
+    back = spark.read.parquet(out_dir)
+    assert back.count() == summary["reports"]["sink"]["rows_written"]
+
+    # non-dataops query on the dataops route is rejected, not crashed
+    assert main(["get AAPL prices", "--dataops", "--quiet",
+                 "--sf-dir", sf_dir, "--out", str(tmp_path / "x")]) == 1
