@@ -330,6 +330,14 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(
             f"key_blocks must be in [1, {n_blocks}], got {pick}")
     docs = simhash_fingerprints(df, text_col, id_col, k=shingle_k)
+    # The band table self-joins below, and each side would otherwise
+    # recompute the WHOLE fingerprint pipeline (shingle explode + md5 +
+    # the 64-counter aggregate — the dominant cost of this operator).
+    # A lazy localCheckpoint materializes the tiny (id, sim) frame once
+    # on first action and both sides reuse it; same executor-loss
+    # caveat as the star_components checkpoints (swap for a reliable
+    # checkpoint dir on long-lived clusters).
+    docs = docs.localCheckpoint(eager=False)
     # block b covers widths[b] bits starting at offsets[b] (LSB-first);
     # bands enumerate the (n_blocks - max_hamming)-block combinations in
     # itertools order — for n_blocks=4/max_hamming=3 this is exactly the
