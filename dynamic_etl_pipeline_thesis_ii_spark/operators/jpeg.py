@@ -197,6 +197,9 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         if payload[i] != 0xFF:
             return None
         marker = payload[i + 1]
+        if marker == 0xFF:          # 0xFF fill byte before a marker
+            i += 1                  # (legal padding, T.81 B.1.1.2)
+            continue
         if marker == 0xD8:
             i += 2
             continue
@@ -439,11 +442,13 @@ def _decode_progressive_scan(payload, pos, comps, scan, huff_dc, huff_ac,
             else:
                 _ac_refine(reader, table, blk, ss, se, al, eobrun_box)
 
-    # advance to the next marker (skip any pad bits / stray RSTs)
+    # advance to the next marker (skip pad bits, stray RSTs, and 0xFF
+    # fill bytes — T.81 B.1.1.2 allows any number of 0xFF before a
+    # marker, so 0xFF 0xFF is padding, not a marker at the first 0xFF)
     p = reader.pos if reader.bit == 0 else reader.pos + 1
     d = payload
     while p + 1 < len(d):
-        if d[p] == 0xFF and d[p + 1] != 0x00:
+        if d[p] == 0xFF and d[p + 1] not in (0x00, 0xFF):
             if 0xD0 <= d[p + 1] <= 0xD7:
                 p += 2
                 continue

@@ -425,19 +425,29 @@ def _gif_lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """Destination row index, in storage order, of an interlaced
+    frame's scanlines (GIF89a appendix E four-pass layout)."""
+    return ([*range(0, h, 8)] + [*range(4, h, 8)]
+            + [*range(2, h, 4)] + [*range(1, h, 2)])
+
+
 def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     """Decode the FIRST frame of a GIF87a/89a into (width, height,
     HxWx3 uint8 RGB) with stdlib only: logical-screen + image
-    descriptors, global/local color tables, variable-width LZW,
-    optional interlaced row order. Extensions (GCE, comments,
-    application) are skipped; later frames ignored. None for non-GIF /
-    malformed payloads."""
+    descriptors (including frames positioned at a left/top offset
+    inside a larger logical screen — composited onto a background-
+    color canvas, as a viewer shows them), global/local color tables,
+    variable-width LZW, optional interlaced row order. Extensions
+    (GCE, comments, application) are skipped; later frames ignored.
+    None for non-GIF / malformed payloads."""
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
         sw = int.from_bytes(payload[6:8], "little")
         sh = int.from_bytes(payload[8:10], "little")
         packed = payload[10]
+        bg_index = payload[11]
         i = 13
         gct = None
         if packed & 0x80:
@@ -457,6 +467,8 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 continue
             if b != 0x2C:                       # image descriptor expected
                 return None
+            left = int.from_bytes(payload[i + 1:i + 3], "little")
+            top = int.from_bytes(payload[i + 3:i + 5], "little")
             w = int.from_bytes(payload[i + 5:i + 7], "little")
             h = int.from_bytes(payload[i + 7:i + 9], "little")
             ipacked = payload[i + 9]
@@ -467,7 +479,9 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 pal = np.frombuffer(payload[i:i + 3 * ncol],
                                     dtype=np.uint8).reshape(ncol, 3)
                 i += 3 * ncol
-            if pal is None or w <= 0 or h <= 0 or w * h > 1 << 26:
+            cw = max(sw, left + w)              # canvas; tolerate a
+            ch = max(sh, top + h)               # lying screen size
+            if pal is None or w <= 0 or h <= 0 or cw * ch > 1 << 26:
                 return None
             min_code = payload[i]
             i += 1
@@ -481,14 +495,18 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 return None
             rows = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
             if ipacked & 0x40:                  # interlaced row order
-                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
-                         + [*range(2, h, 4)] + [*range(1, h, 2)])
                 deinter = np.empty_like(rows)
-                deinter[order] = rows
+                deinter[_gif_interlace_order(h)] = rows
                 rows = deinter
             if rows.max(initial=0) >= len(pal):
                 return None
-            return w, h, pal[rows]
+            if (left, top, cw, ch) == (0, 0, w, h):
+                return w, h, pal[rows]
+            bg = (pal[bg_index] if gct is not None
+                  and bg_index < len(pal) else np.zeros(3, np.uint8))
+            canvas = np.broadcast_to(bg, (ch, cw, 3)).copy()
+            canvas[top:top + h, left:left + w] = pal[rows]
+            return cw, ch, canvas
         return None
     except (IndexError, ValueError):
         return None
@@ -527,9 +545,7 @@ def write_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
     out += bytes([0x40 if interlace else 0x00])
     rows = idx
     if interlace:
-        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
-                 + [*range(2, h, 4)] + [*range(1, h, 2)])
-        rows = idx[order]
+        rows = idx[_gif_interlace_order(h)]
     lzw = _gif_lzw_encode(rows.tobytes(), 8)
     out += bytes([8])                           # LZW min code size
     for off in range(0, len(lzw), 255):
@@ -886,102 +902,71 @@ def resample_audio(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
     return media.mapInPandas(kernel, schema=out_schema)
 
 
-def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for P6/P5 payloads, re-encoded to
-    the same format; raises NotImplementedError for other formats
-    (PIL territory)."""
-    parsed = parse_netpbm(payload)
+def _resize_via(parse_fn, write_fn, fmt: str, payload: bytes,
+                width: int, height: int) -> bytes:
+    """Shared scaffold of every per-format resize: parse (or raise the
+    PIL-slot NotImplementedError), nearest-neighbor index, re-encode
+    in the same format."""
+    parsed = parse_fn(payload)
     if parsed is None:
         raise NotImplementedError(
-            "non-netpbm image resize requires PIL; not available here")
+            f"non-{fmt} image resize requires PIL; not available here")
     w, h, arr = parsed
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
-    out = arr[rows][:, cols]
-    magic = b"P6" if arr.shape[2] == 3 else b"P5"
-    return (magic + b"\n" + f"{width} {height}\n255\n".encode()
-            + out.tobytes())
+    return write_fn(arr[rows][:, cols])
+
+
+def resize_netpbm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for P6/P5 payloads, re-encoded to
+    the same format."""
+    def write_pnm(out):
+        magic = b"P6" if out.shape[2] == 3 else b"P5"
+        return (magic + b"\n" + f"{width} {height}\n255\n".encode()
+                + out.tobytes())
+    return _resize_via(parse_netpbm, write_pnm, "netpbm", payload,
+                       width, height)
 
 
 def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for uncompressed 24-bit BMP
-    payloads, re-encoded as BMP; raises NotImplementedError for other
-    formats (PIL territory)."""
-    parsed = parse_bmp(payload)
-    if parsed is None:
-        raise NotImplementedError(
-            "non-BMP image resize requires PIL; not available here")
-    w, h, arr = parsed
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
-    return write_bmp(arr[rows][:, cols])
+    """REAL nearest-neighbor resize for uncompressed 24-bit BMP."""
+    return _resize_via(parse_bmp, write_bmp, "BMP", payload, width, height)
 
 
 def resize_png(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for non-interlaced 8-bit PNG
-    payloads, re-encoded as PNG; raises NotImplementedError for other
-    formats (PIL territory)."""
-    parsed = parse_png(payload)
-    if parsed is None:
-        raise NotImplementedError(
-            "non-PNG image resize requires PIL; not available here")
-    w, h, arr = parsed
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
-    return write_png(arr[rows][:, cols])
+    """REAL nearest-neighbor resize for 8-bit PNG (incl. Adam7 input;
+    output is non-interlaced)."""
+    return _resize_via(parse_png, write_png, "PNG", payload, width, height)
 
 
 def resize_gif(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for GIF payloads, re-encoded as
-    single-frame GIF; raises NotImplementedError for other formats
-    (PIL territory)."""
-    parsed = parse_gif(payload)
-    if parsed is None:
-        raise NotImplementedError(
-            "non-GIF image resize requires PIL; not available here")
-    w, h, arr = parsed
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
-    return write_gif(arr[rows][:, cols])
+    """REAL nearest-neighbor resize for GIF, re-encoded single-frame."""
+    return _resize_via(parse_gif, write_gif, "GIF", payload, width, height)
 
 
 def resize_tiff(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for uncompressed TIFF payloads,
-    re-encoded as TIFF; raises NotImplementedError for other formats
-    (PIL territory)."""
-    parsed = parse_tiff(payload)
-    if parsed is None:
-        raise NotImplementedError(
-            "non-TIFF image resize requires PIL; not available here")
-    w, h, arr = parsed
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
-    return write_tiff(arr[rows][:, cols])
+    """REAL nearest-neighbor resize for uncompressed TIFF."""
+    return _resize_via(parse_tiff, write_tiff, "TIFF", payload,
+                       width, height)
 
 
 def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resize for baseline JPEG payloads,
-    re-encoded as baseline 4:4:4 JPEG; raises NotImplementedError for
-    other formats (PIL territory)."""
+    """REAL nearest-neighbor resize for JPEG (baseline or progressive
+    input; output is baseline 4:4:4)."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
         parse_jpeg, write_jpeg,
     )
-    parsed = parse_jpeg(payload)
-    if parsed is None:
-        raise NotImplementedError(
-            "non-baseline-JPEG image resize requires PIL; not available here")
-    w, h, arr = parsed
-    rows = (np.arange(height) * h) // height
-    cols = (np.arange(width) * w) // width
-    out = arr[rows][:, cols]
-    return write_jpeg(out[..., 0] if out.shape[2] == 1 else out)
+    return _resize_via(
+        parse_jpeg,
+        lambda out: write_jpeg(out[..., 0] if out.shape[2] == 1 else out),
+        "JPEG", payload, width, height)
 
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   ) -> DataFrame:
     """Binary -> binary image resize kernel (1:1 rows). netpbm, 24-bit
-    BMP, 8-bit PNG and baseline JPEG payloads get the REAL
-    nearest-neighbor resize;
+    BMP, 8-bit PNG, JPEG, GIF and uncompressed TIFF payloads get the
+    REAL nearest-neighbor resize;
     anything else falls back to a deterministic truncate-or-pad of the
     payload to width*height bytes (the PIL slot). Either way the schema
     contract (payload stays BinaryType, dims recorded as metadata) and
@@ -997,7 +982,8 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
         if p is None:
             return None
         b = bytes(p)
-        for real in (resize_netpbm, resize_bmp, resize_png, resize_jpeg):
+        for real in (resize_netpbm, resize_bmp, resize_png, resize_jpeg,
+                     resize_gif, resize_tiff):
             try:
                 return real(b, width, height)
             except NotImplementedError:

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 
 def _stages(text_col: str, n_features: int):
-    from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import (
         HashingTF, NGram, RegexTokenizer, VectorAssembler,
     )
@@ -45,7 +44,10 @@ def weak_labels_from_gopher(df: DataFrame, text_col: str = "text") -> DataFrame:
     zero-human-label seed for a quality model)."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.text import gopher_rules
     flags = gopher_rules(F.col(text_col))
-    return df.withColumn("label", flags["gopher_pass"].cast("double"))
+    # null text -> null flags; a NULL label crashes LogisticRegression,
+    # and an empty/null doc is a fail by every gopher rule anyway
+    label = F.coalesce(flags["gopher_pass"].cast("double"), F.lit(0.0))
+    return df.withColumn("label", label)
 
 
 def train_quality_classifier(labeled: DataFrame, text_col: str = "text",

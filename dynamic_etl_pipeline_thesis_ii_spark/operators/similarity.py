@@ -324,13 +324,18 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,
              k: int = 8, sample: int = 10_000, iters: int = 10) -> list:
     """Data-adapted PQ codebooks: per-subspace k-means on a driver-
     side sample (bounded by ``sample`` — the standard practice; faiss
-    trains on samples too). Deterministic: the sample is the first
-    ``sample`` rows by id-hash order and init takes evenly-spaced
-    sorted points."""
+    trains on samples too). Deterministic across partition layouts:
+    the sample is the first ``sample`` rows in CONTENT-hash order (a
+    bare ``limit`` would take whichever partitions answered first),
+    and init takes evenly-spaced sorted points."""
     import numpy as np
 
     rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.col("v").cast("string")))
             .limit(sample).collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_train needs at least k={k} vectors, got {len(rows)}")
     X = np.array([r["v"] for r in rows])
     dsub = X.shape[1] // m
     books = []

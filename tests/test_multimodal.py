@@ -793,3 +793,63 @@ def test_jpeg_corrupt_streams_return_none_never_raise():
            + bytes([8]) + (65535).to_bytes(2, "big")
            + (65535).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
     assert J.parse_jpeg(b"\xFF\xD8" + sof) is None
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — both the header walker and the progressive between-scan
+    advance must treat 0xFF 0xFF as padding, not a marker."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    img = _gradient(16, 16)
+    for progressive in (False, True):
+        good = J.write_jpeg(img, quality=90, progressive=progressive)
+        ref = J.parse_jpeg(good)
+        # inject fill bytes before every marker segment AFTER SOI
+        padded = bytearray(good[:2])
+        i = 2
+        while i < len(good) - 1:
+            if good[i] == 0xFF and good[i + 1] not in (0x00,) and \
+                    not (0xD0 <= good[i + 1] <= 0xD7):
+                padded += b"\xFF\xFF"
+            padded.append(good[i])
+            i += 1
+        padded.append(good[-1])
+        got = J.parse_jpeg(bytes(padded))
+        assert got is not None, f"progressive={progressive}"
+        assert np.array_equal(got[2], ref[2])
+
+
+def test_gif_offset_frame_composites_on_canvas():
+    """A first frame positioned at (left, top) inside a larger logical
+    screen decodes as the full screen with the frame composited over
+    the background color — what a viewer shows."""
+    import numpy as np
+    flat = np.full((4, 6), 200, dtype=np.uint8)
+    enc = bytearray(M.write_gif(flat))
+    # logical screen 10x8, bg index 3; image descriptor at offset (2, 3)
+    enc[6:8] = (10).to_bytes(2, "little")
+    enc[8:10] = (8).to_bytes(2, "little")
+    enc[11] = 3
+    desc = 13 + 3 * 256            # header + 256-entry global palette
+    assert enc[desc] == 0x2C
+    enc[desc + 1:desc + 3] = (2).to_bytes(2, "little")
+    enc[desc + 3:desc + 5] = (3).to_bytes(2, "little")
+    w, h, arr = M.parse_gif(bytes(enc))
+    assert (w, h) == (10, 8)
+    assert (arr[3:7, 2:8] == 200).all()          # the frame
+    assert (arr[0, 0] == [3, 3, 3]).all()        # bg color (gray pal idx 3)
+
+
+def test_resize_images_real_path_covers_gif_and_tiff(spark):
+    """resize_images must really resize GIF/TIFF payloads (decode back
+    at the target size), not fall back to byte truncation."""
+    import numpy as np
+    flat = np.full((16, 16), 90, dtype=np.uint8)
+    rows = [(1, "image", bytearray(M.write_gif(flat)), "image/gif", 0),
+            (2, "image", bytearray(M.write_tiff(flat)), "image/tiff", 0)]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = {r["media_id"]: bytes(r["payload"])
+           for r in M.resize_images(media, width=8, height=4).collect()}
+    assert M.parse_gif(out[1])[:2] == (8, 4)
+    assert M.parse_tiff(out[2])[:2] == (8, 4)

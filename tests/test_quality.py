@@ -48,3 +48,15 @@ def test_score_quality_null_and_empty_text(spark):
     got = Q.score_quality(df, model).collect()
     assert len(got) == 2               # nulls score, never crash
     assert all(0.0 <= r["quality_prob"] <= 1.0 for r in got)
+
+
+def test_weak_labels_null_text_trains(spark):
+    """A null-text doc must get label 0.0 (not NULL, which crashes
+    LogisticRegression.fit) and training must succeed."""
+    base = _corpus(spark, n=20)
+    nulls = spark.createDataFrame([(9_999, None)],
+                                  "doc_id long, text string")
+    train = Q.weak_labels_from_gopher(base.unionByName(nulls))
+    assert train.filter("doc_id = 9999").first()["label"] == 0.0
+    model = Q.train_quality_classifier(train, n_features=1 << 12)
+    assert Q.score_quality(base.limit(2), model).count() == 2

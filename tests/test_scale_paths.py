@@ -541,3 +541,18 @@ def test_shared_caches_tracked_and_released(spark, sf_dir):
     DS.release_shared_caches()
     assert not DS._SHARED_CACHES
     assert not cached.storageLevel.useMemory  # actually unpersisted
+
+
+def test_pq_train_guards_and_layout_determinism(spark, sf_dir):
+    """pq_train must fail loudly below k vectors, and its sample is
+    content-hash ordered — the same corpus under a different partition
+    layout yields identical codebooks."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+    emb = Catalog(spark, sf_dir).embeddings
+    with _pytest.raises(ValueError, match="at least k"):
+        SIM.pq_train(emb.filter(F.col("vec_id") < 3), m=4, k=8)
+    a = SIM.pq_train(emb, m=4, k=8, sample=200, iters=3)
+    b = SIM.pq_train(emb.repartition(7), m=4, k=8, sample=200, iters=3)
+    assert a == b
