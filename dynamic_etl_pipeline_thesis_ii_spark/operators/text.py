@@ -820,3 +820,62 @@ FROM (
 )
 GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# T13: overlapping document chunking (RAG / context-window splitting)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df, size: int = 128, stride: int = 96,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into overlapping token windows — the
+    RAG-indexing / context-window-splitting primitive: chunk i covers
+    tokens [i*stride, i*stride + size). Output ``(id, chunk_idx,
+    chunk_text, n_tokens)``; the final chunk may be shorter, docs with
+    zero tokens produce no rows, and ``stride == size`` degrades to
+    disjoint chunks.
+
+    Scale shape: one narrow scan — tokenize, ``sequence`` the start
+    offsets, posexplode, ``slice`` per start. No shuffle, no UDF; the
+    1->N expansion is bounded by ceil(n_tokens / stride) rows per
+    doc."""
+    if not 0 < stride <= size:
+        raise ValueError(
+            f"need 0 < stride <= size, got stride={stride} size={size}")
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"),
+                     F.size(toks).alias("__n"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)),
+                        F.lit(stride))
+    ex = (base.select("id", "__toks", "__n",
+                      F.posexplode(starts).alias("chunk_idx", "__start"))
+          .filter(F.col("__start") < F.col("__n")))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(size))
+    return ex.select(
+        "id", "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(F.lit(size), F.col("__n") - F.col("__start"))
+        .cast("long").alias("n_tokens"))
+
+
+def SQL_CHUNK_DOCUMENTS(table: str, size: int, stride: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_NORMALIZE,
+    )
+    toks = (f"list_filter(string_split("
+            f"{SQL_NORMALIZE.format(x=f'coalesce({text_col}, ' + chr(39) * 2 + ')')}"
+            f", ' '), x -> x != '')")
+    return f"""
+SELECT id, (start // {stride})::INT AS chunk_idx,
+       array_to_string(t[start + 1:least(start + {size}, n)], ' ')
+         AS chunk_text,
+       least({size}, n - start)::BIGINT AS n_tokens
+FROM (
+  SELECT {id_col} AS id, {toks} AS t, len({toks}) AS n FROM {table}
+), unnest(range(0, greatest(n, 1), {stride})) AS u(start)
+WHERE start < n
+"""

@@ -1157,8 +1157,19 @@ def q_sample_deterministic(spark, sf_dir):
                           _SPLIT_WEIGHTS, key_col="doc_id", salt="cv")
           .select(F.lit("split").alias("tag"), "doc_id",
                   F.col("split").alias("stratum"), null_val))
+    # chunk branch (T13): overlapping token windows; stratum carries
+    # "c{idx}:{hash32(chunk_text)}" so chunk CONTENT and position are
+    # both inside the hash check, val = the chunk's token count
+    ck = (T.chunk_documents(Catalog(spark, sf_dir).documents,
+                            size=64, stride=48)
+          .select(F.lit("chunk").alias("tag"),
+                  F.col("id").alias("doc_id"),
+                  F.format_string("c%d:%d", F.col("chunk_idx"),
+                                  D.hash32(F.col("chunk_text")))
+                  .alias("stratum"),
+                  F.col("n_tokens").alias("val")))
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
-            .unionByName(sp))
+            .unionByName(sp).unionByName(ck))
 
 
 def _sql_sample_token_budget() -> str:
@@ -1192,6 +1203,12 @@ SELECT 'split', doc_id,
        {SA.SQL_SPLIT_ASSIGN(_SPLIT_WEIGHTS, "doc_id", salt="cv")},
        CAST(NULL AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'chunk', id,
+       'c' || chunk_idx::VARCHAR || ':'
+           || ({_H32.format(x='chunk_text')})::VARCHAR,
+       n_tokens
+FROM ({T.SQL_CHUNK_DOCUMENTS('documents', 64, 48)})
 """
 
 

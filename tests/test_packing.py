@@ -108,3 +108,40 @@ def test_empty_text_packs_as_zero_tokens(spark):
     total = sum(r["n_tokens"] for r in rows.values())
     assert total == 5
     assert max(r["offset"] + r["n_tokens"] for r in rows.values()) == total
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """T13: chunk i covers tokens [i*stride, i*stride+size); overlap
+    regions repeat verbatim, the tail chunk is short, stride==size is
+    disjoint, empty/null docs vanish."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        chunk_documents,
+    )
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, size=4, stride=3).collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    for v in got.values():
+        v.sort()
+    # doc 1: starts 0,3,6,9 -> 4 chunks, last is 1 token
+    assert got[1] == [(0, "w0 w1 w2 w3", 4), (1, "w3 w4 w5 w6", 4),
+                      (2, "w6 w7 w8 w9", 4), (3, "w9", 1)]
+    assert got[2] == [(0, "only three words", 3)]
+    assert 3 not in got and 4 not in got
+
+    # stride == size: disjoint cover, concatenation rebuilds the doc
+    disjoint = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(df.filter("doc_id = 1"),
+                                 size=5, stride=5).collect())
+    assert " ".join(t for _, t in disjoint) == words
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=4, stride=5)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=4, stride=0)
