@@ -12,10 +12,13 @@ Decode support is tiered by what this environment can honestly do:
   global/local palettes), uncompressed strip TIFF (both byte orders)
   and PCM WAV audio (``wave`` module) — parse, feature-extract and
   nearest-neighbor resize with no external libraries;
-- payloads in remaining formats (MP3, arithmetic/12-bit JPEG, ...)
-  raise NotImplementedError unless ``fake=True`` (librosa is not
-  available in this sandbox; swapping it in later only changes the
-  kernel body);
+- a REAL metadata tier for MPEG audio (MP1/MP2/MP3): frame-header
+  walk giving exact duration / sample-rate / channels / mean bitrate
+  (``parse_mp3_meta``, provenance ``mp3meta``) — the PCM samples
+  themselves, and remaining formats (arithmetic/12-bit JPEG, ogg,
+  ...), raise NotImplementedError unless ``fake=True`` (librosa is
+  not available in this sandbox; swapping it in later only changes
+  the kernel body);
 - ``fake=True`` derives a deterministic feature vector from the raw
   bytes, used by the oracle-checked plumbing tests.
 
@@ -761,7 +764,18 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
             try:
                 p = bytes(payload)
                 if kind == "audio":
-                    return decode_audio(p), "wav"
+                    try:
+                        return decode_audio(p), "wav"
+                    except NotImplementedError:
+                        meta = parse_mp3_meta(p)
+                        if meta is None:
+                            raise
+                        # metadata tier: same 4-dim shape as the WAV
+                        # features, bitrate in the RMS slot (PCM decode
+                        # is librosa territory); provenance says so
+                        return [meta["duration_sec"],
+                                meta["sample_rate"], meta["channels"],
+                                meta["bitrate_kbps"]], "mp3meta"
                 name = ("netpbm" if p[:2] in (b"P6", b"P5")
                         else "png" if p[:8] == PNG_SIG
                         else "jpeg" if p[:2] == b"\xFF\xD8"
@@ -817,6 +831,91 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
                 round(rms, 6)]
     raise NotImplementedError(
         "non-WAV audio decoding requires librosa; not available here")
+
+
+# MPEG audio frame-header tables (ISO 11172-3 / 13818-3): bitrates in
+# kbps by (version-group, layer); sample rates by version
+_MP3_BITRATES = {
+    ("1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+               384, 416, 448],
+    ("1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384],
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320],
+    ("2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256],
+    ("2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "2.5": [11025, 12000, 8000]}
+
+
+def parse_mp3_meta(payload: bytes) -> Optional[dict]:
+    """REAL MPEG-audio (MP1/MP2/MP3) container metadata WITHOUT PCM
+    decode: skip an ID3v2 tag, then walk every frame header summing
+    per-frame durations (correct for CBR and VBR alike — no Xing
+    heuristics needed). Returns ``{duration_sec, sample_rate,
+    channels, bitrate_kbps (byte-weighted mean), n_frames, layer}`` or
+    None for non-MPEG payloads. The PCM samples themselves stay
+    librosa territory; this is the honest metadata tier a corpus
+    audit needs (durations, rates, bitrate stats)."""
+    if payload is None or len(payload) < 4:
+        return None
+    i, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:       # ID3v2: syncsafe size
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        i = 10 + size
+    frames = 0
+    dur = 0.0
+    bits = 0
+    rate = channels = layer_out = None
+    while i + 4 <= n:
+        h = int.from_bytes(payload[i:i + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:          # lost sync
+            if frames:
+                break                            # trailing tag/garbage
+            return None
+        ver_bits = (h >> 19) & 0x3
+        layer_bits = (h >> 17) & 0x3
+        if ver_bits == 0x1 or layer_bits == 0x0:
+            if frames:
+                break                            # trailing garbage
+            return None
+        version = {0x0: "2.5", 0x2: "2", 0x3: "1"}[ver_bits]
+        layer = {0x3: 1, 0x2: 2, 0x1: 3}[layer_bits]
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        if br_idx in (0x0, 0xF) or sr_idx == 0x3:
+            return None                          # free-format/invalid
+        vgroup = "1" if version == "1" else "2"
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
+        sr = _MP3_RATES[version][sr_idx]
+        padding = (h >> 9) & 0x1
+        mono = ((h >> 6) & 0x3) == 0x3
+        if layer == 1:
+            size = (12 * kbps * 1000 // sr + padding) * 4
+            samples = 384
+        else:
+            samples = (1152 if layer == 2 or vgroup == "1" else 576)
+            size = samples * kbps * 1000 // (8 * sr) + padding
+        if size <= 4:
+            return None
+        frames += 1
+        dur += samples / sr
+        bits += size * 8
+        rate, channels = sr, 1 if mono else 2
+        layer_out = layer
+        i += size
+    if not frames:
+        return None
+    return {"duration_sec": round(dur, 6), "sample_rate": float(rate),
+            "channels": float(channels),
+            "bitrate_kbps": round(bits / dur / 1000, 3) if dur else 0.0,
+            "n_frames": frames, "layer": layer_out}
 
 
 def write_wav(samples: "np.ndarray", rate: int, channels: int = 1) -> bytes:

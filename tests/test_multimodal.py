@@ -853,3 +853,83 @@ def test_resize_images_real_path_covers_gif_and_tiff(spark):
            for r in M.resize_images(media, width=8, height=4).collect()}
     assert M.parse_gif(out[1])[:2] == (8, 4)
     assert M.parse_tiff(out[2])[:2] == (8, 4)
+
+
+def _mp3_frames(n=50, kbps=128, sr=44100, ver_bits=0x3, layer_bits=0x1,
+                mono=False, bitrate_indexes=None):
+    """Valid MPEG frame headers with zeroed payloads (a metadata
+    parser never reads the audio bits)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        _MP3_BITRATES, _MP3_RATES,
+    )
+    version = {0x0: "2.5", 0x2: "2", 0x3: "1"}[ver_bits]
+    layer = {0x3: 1, 0x2: 2, 0x1: 3}[layer_bits]
+    vgroup = "1" if version == "1" else "2"
+    out = bytearray()
+    for k in range(n):
+        idx = (bitrate_indexes[k % len(bitrate_indexes)]
+               if bitrate_indexes
+               else _MP3_BITRATES[(vgroup, layer)].index(kbps))
+        this_kbps = _MP3_BITRATES[(vgroup, layer)][idx]
+        h = (0x7FF << 21) | (ver_bits << 19) | (layer_bits << 17) \
+            | (1 << 16) | (idx << 12) \
+            | (_MP3_RATES[version].index(sr) << 10) \
+            | ((0x3 if mono else 0x0) << 6)
+        samples = 1152 if (layer == 2 or vgroup == "1") else 576
+        size = (samples * this_kbps * 1000 // (8 * sr)
+                if layer != 1 else (12 * this_kbps * 1000 // sr) * 4)
+        out += h.to_bytes(4, "big") + b"\x00" * (size - 4)
+    return bytes(out)
+
+
+def test_mp3_meta_cbr_vbr_id3_and_rejects():
+    """Frame-walk metadata: exact duration for CBR, byte-weighted mean
+    bitrate for VBR, ID3v2 skip, mono flag, MPEG2 math; non-MPEG and
+    truncated junk return None."""
+    import pytest as _pytest
+    stream = _mp3_frames(n=50, kbps=128)
+    meta = M.parse_mp3_meta(stream)
+    assert meta["n_frames"] == 50 and meta["layer"] == 3
+    assert meta["sample_rate"] == 44100.0 and meta["channels"] == 2.0
+    assert abs(meta["duration_sec"] - 50 * 1152 / 44100) < 1e-4
+    assert abs(meta["bitrate_kbps"] - 128.0) < 1.5  # integer frame sizes
+
+    # ID3v2 tag (syncsafe size) skipped
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 3]) + b"\x00" * 131
+    assert M.parse_mp3_meta(tag + stream)["n_frames"] == 50
+
+    # VBR: alternating 64/192 kbps -> mean strictly between
+    vbr = M.parse_mp3_meta(_mp3_frames(n=40, bitrate_indexes=[5, 11]))
+    assert 64 < vbr["bitrate_kbps"] < 192
+
+    mono = M.parse_mp3_meta(_mp3_frames(n=4, mono=True))
+    assert mono["channels"] == 1.0
+
+    # MPEG2 layer III: 576 samples/frame at 22050
+    m2 = M.parse_mp3_meta(_mp3_frames(n=20, kbps=64, sr=22050,
+                                      ver_bits=0x2))
+    assert abs(m2["duration_sec"] - 20 * 576 / 22050) < 1e-4
+
+    assert M.parse_mp3_meta(None) is None
+    assert M.parse_mp3_meta(b"not audio at all") is None
+    assert M.parse_mp3_meta(b"\xFF\xFB") is None          # truncated
+    # trailing garbage after valid frames is tolerated
+    assert M.parse_mp3_meta(stream + b"TAGjunk" * 4)["n_frames"] == 50
+    # decode_audio still refuses (PCM is librosa territory)
+    with _pytest.raises(NotImplementedError):
+        M.decode_audio(stream)
+
+
+def test_extract_features_mp3meta_provenance(spark):
+    """Audio payloads that aren't WAV but parse as MPEG frames get the
+    metadata tier with 'mp3meta' provenance, not the fake fallback."""
+    stream = _mp3_frames(n=25, kbps=128)
+    rows = [(1, "audio", bytearray(stream), "audio/mpeg", len(stream)),
+            (2, "audio", bytearray(b"opaque-bytes"), "audio/ogg", 12)]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.extract_features(media, mode="real").collect()}
+    assert got[1]["decoder"] == "mp3meta"
+    assert got[1]["feat"][1] == 44100.0
+    assert abs(got[1]["feat"][0] - 25 * 1152 / 44100) < 1e-4
+    assert got[2]["decoder"] == "fake"
