@@ -505,8 +505,10 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 return None
             if (left, top, cw, ch) == (0, 0, w, h):
                 return w, h, pal[rows]
-            bg = (pal[bg_index] if gct is not None
-                  and bg_index < len(pal) else np.zeros(3, np.uint8))
+            # the background color index addresses the GLOBAL color
+            # table (GIF89a §18), not the frame's local one
+            bg = (gct[bg_index] if gct is not None
+                  and bg_index < len(gct) else np.zeros(3, np.uint8))
             canvas = np.broadcast_to(bg, (ch, cw, 3)).copy()
             canvas[top:top + h, left:left + w] = pal[rows]
             return cw, ch, canvas
@@ -597,12 +599,17 @@ def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         spp = tags.get(277, [1])[0]
         bits = tags.get(258, [8])
         compression = tags.get(259, [1])[0]
+        photometric = tags.get(262, [1])[0]
         planar = tags.get(284, [1])[0]
         offsets = tags.get(273)
         counts = tags.get(279)
         if (not offsets or w <= 0 or h <= 0 or w * h > 1 << 26
                 or spp not in (1, 3) or any(b != 8 for b in bits)
-                or compression != 1 or planar != 1):
+                or compression != 1 or planar != 1
+                # 0=WhiteIsZero, 1=BlackIsZero, 2=RGB; palette/CMYK/
+                # YCbCr need PIL — reject rather than mis-decode
+                or photometric not in (0, 1, 2)
+                or (photometric == 2) != (spp == 3)):
             return None
         if counts is None:
             counts = [w * h * spp]
@@ -610,6 +617,8 @@ def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         if len(raw) < w * h * spp:
             return None
         arr = np.frombuffer(raw[:w * h * spp], dtype=np.uint8)
+        if photometric == 0:                     # WhiteIsZero: invert
+            arr = 255 - arr
         return w, h, arr.reshape(h, w, spp)
     except (IndexError, ValueError):
         return None
@@ -890,6 +899,8 @@ def parse_mp3_meta(payload: bytes) -> Optional[dict]:
         br_idx = (h >> 12) & 0xF
         sr_idx = (h >> 10) & 0x3
         if br_idx in (0x0, 0xF) or sr_idx == 0x3:
+            if frames:
+                break                            # trailing garbage
             return None                          # free-format/invalid
         vgroup = "1" if version == "1" else "2"
         kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
@@ -903,6 +914,8 @@ def parse_mp3_meta(payload: bytes) -> Optional[dict]:
             samples = (1152 if layer == 2 or vgroup == "1" else 576)
             size = samples * kbps * 1000 // (8 * sr) + padding
         if size <= 4:
+            if frames:
+                break                            # trailing garbage
             return None
         frames += 1
         dur += samples / sr

@@ -256,6 +256,8 @@ def pq_grid_codebooks(dim: int, m: int = 4, k: int = 8,
                       lo: float = -0.5, hi: float = 0.5) -> list:
     """[m][k][dim/m] diagonal grid codebook: centroid j of every
     subspace is the constant vector lo + (j+0.5)*(hi-lo)/k."""
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
     dsub = dim // m
     vals = [lo + (j + 0.5) * (hi - lo) / k for j in range(k)]
     return [[[v] * dsub for v in vals] for _ in range(m)]
@@ -337,6 +339,10 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,
         raise ValueError(
             f"pq_train needs at least k={k} vectors, got {len(rows)}")
     X = np.array([r["v"] for r in rows])
+    if X.shape[1] % m:
+        raise ValueError(
+            f"dim={X.shape[1]} must be divisible by m={m} — trailing "
+            f"dimensions would silently drop out of every code")
     dsub = X.shape[1] // m
     books = []
     for s in range(m):

@@ -832,8 +832,11 @@ def chunk_documents(df, size: int = 128, stride: int = 96,
     RAG-indexing / context-window-splitting primitive: chunk i covers
     tokens [i*stride, i*stride + size). Output ``(id, chunk_idx,
     chunk_text, n_tokens)``; the final chunk may be shorter, docs with
-    zero tokens produce no rows, and ``stride == size`` degrades to
-    disjoint chunks.
+    zero tokens produce no rows, ``stride == size`` degrades to
+    disjoint chunks, and a tail start whose window is FULLY CONTAINED
+    in the previous chunk (previous start already covered to the end)
+    is dropped — contained tails are pure duplicates in a retrieval
+    index.
 
     Scale shape: one narrow scan — tokenize, ``sequence`` the start
     offsets, posexplode, ``slice`` per start. No shuffle, no UDF; the
@@ -850,7 +853,11 @@ def chunk_documents(df, size: int = 128, stride: int = 96,
                         F.lit(stride))
     ex = (base.select("id", "__toks", "__n",
                       F.posexplode(starts).alias("chunk_idx", "__start"))
-          .filter(F.col("__start") < F.col("__n")))
+          .filter((F.col("__start") < F.col("__n"))
+                  # drop contained tails: the previous start covered
+                  # through the end already
+                  & ((F.col("__start") == 0)
+                     | (F.col("__start") - stride + size < F.col("__n")))))
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(size))
     return ex.select(
         "id", "chunk_idx",
@@ -877,5 +884,5 @@ SELECT id, (start // {stride})::INT AS chunk_idx,
 FROM (
   SELECT {id_col} AS id, {toks} AS t, len({toks}) AS n FROM {table}
 ), unnest(range(0, greatest(n, 1), {stride})) AS u(start)
-WHERE start < n
+WHERE start < n AND (start = 0 OR start - {stride} + {size} < n)
 """

@@ -21,9 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scheme://authority prefix (case-insensitive match; the ONLY part of
-# a URL that is case-insensitive per RFC 3986 §6.2.2.1)
-_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+# scheme://authority pieces. Only scheme and host are case-INsensitive
+# per RFC 3986 §6.2.2.1 — userinfo (rare, but `user@host` is legal)
+# keeps its case and must not be mistaken for the host.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 
 # ordered rewrite rules applied AFTER the scheme+host lowercase step.
 # (pattern, spark_replacement, duckdb_replacement) — patterns are
@@ -36,10 +39,14 @@ _URL_RULES: list[tuple[str, str, str]] = [
     (r"\?&", "?", "?"),                                  # ?&a -> ?a
     (r"&&+", "&", "&"),                                  # a&&b -> a&b
     (r"[?&]+$", "", ""),                                 # dangling ?/&
-    # default ports (scheme already lowercased)
+    # default ports (scheme already lowercased; on the rare
+    # userinfo-bearing authority these don't match — the port is kept,
+    # a conservative non-merge)
     (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2", r"\1\2"),
+    # trailing slash — PATH only: `[^?]*` cannot span a '?', so any
+    # URL with a query keeps a '/' that ends a parameter VALUE
     (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2", r"\1\2"),
-    (r"/+$", "", ""),                                    # trailing slash
+    (r"^([^?]*)/+$", "$1", r"\1"),
 ]
 
 # common country-code second-level domains for the naive registered-
@@ -50,10 +57,17 @@ CC_SLDS = ("co.uk", "org.uk", "ac.uk", "co.jp", "com.au",
 
 
 def normalize_url(url: Column) -> Column:
-    """Canonical URL: lowercase scheme+authority, drop fragment,
-    strip utm_*/fbclid/gclid tracking params (repairing the ?/&
-    chain), drop default ports and trailing slashes."""
-    out = F.concat(F.lower(F.regexp_extract(url, _PREFIX_RE, 1)),
+    """Canonical URL: lowercase scheme + host (userinfo keeps its
+    case), drop fragment, strip utm_*/fbclid/gclid tracking params
+    (repairing the ?/& chain), drop default ports and trailing PATH
+    slashes."""
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)    # '' when absent
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    out = F.concat(F.lower(F.regexp_extract(url, _SCHEME_RE, 1)),
+                   F.when(F.regexp_extract(url, _SCHEME_RE, 1) != "",
+                          F.lit("://")).otherwise(F.lit("")),
+                   userinfo, F.lower(hostport),
                    F.regexp_replace(url, _PREFIX_RE, ""))
     for pat, repl, _ in _URL_RULES:
         out = F.regexp_replace(out, pat, repl)
@@ -63,7 +77,13 @@ def normalize_url(url: Column) -> Column:
 def SQL_NORMALIZE_URL(expr: str) -> str:
     """DuckDB twin of :func:`normalize_url`, generated from the same
     rule table."""
-    out = (f"lower(regexp_extract({expr}, '{_PREFIX_RE}', 1)) || "
+    auth = f"regexp_extract({expr}, '{_AUTH_RE}', 1)"
+    userinfo = f"regexp_extract({auth}, '^(.*@)', 1)"
+    hostport = f"regexp_replace({auth}, '^.*@', '')"
+    scheme = f"regexp_extract({expr}, '{_SCHEME_RE}', 1)"
+    out = (f"lower({scheme}) || "
+           f"CASE WHEN {scheme} != '' THEN '://' ELSE '' END || "
+           f"{userinfo} || lower({hostport}) || "
            f"regexp_replace({expr}, '{_PREFIX_RE}', '')")
     for pat, _, repl in _URL_RULES:
         p = pat.replace("'", "''")
@@ -71,11 +91,14 @@ def SQL_NORMALIZE_URL(expr: str) -> str:
     return out
 
 
-_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)"
+# host = authority after any userinfo '@', before any ':port'
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#]*@)?([^/:?#]+)"
 
 
 def url_host(norm_url: Column) -> Column:
-    """Authority host of an already-normalized URL (port excluded)."""
+    """Authority host of an already-normalized URL (userinfo and port
+    excluded — a crafted 'user@blocked.com' authority must still
+    resolve to the real host for the blocklist)."""
     return F.regexp_extract(norm_url, _HOST_RE, 1)
 
 

@@ -933,3 +933,55 @@ def test_extract_features_mp3meta_provenance(spark):
     assert got[1]["feat"][1] == 44100.0
     assert abs(got[1]["feat"][0] - 25 * 1152 / 44100) < 1e-4
     assert got[2]["decoder"] == "fake"
+
+
+def test_mp3_meta_trailing_sync_lookalike_tolerated():
+    """Trailing bytes that carry a valid sync but an invalid bitrate/
+    samplerate index (APE tags, junk) must not discard the parsed
+    frames (second review pass finding)."""
+    stream = _mp3_frames(n=10, kbps=128)
+    for tail in (b"\xFF\xFB\xF0\x00",      # bad bitrate index 0xF
+                 b"\xFF\xFB\x9C\x00",      # reserved samplerate idx
+                 b"\xFF\xFB\x90"):         # truncated header
+        got = M.parse_mp3_meta(stream + tail)
+        assert got is not None and got["n_frames"] == 10, tail
+
+
+def test_tiff_white_is_zero_inverts():
+    """Photometric 0 (WhiteIsZero) grayscale must decode inverted;
+    palette/CMYK photometrics are rejected, not mis-decoded."""
+    import numpy as np
+    g = np.full((4, 4), 40, dtype=np.uint8)
+    enc = bytearray(M.write_tiff(g))
+    i = enc.find((262).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    assert i > 0
+    enc[i + 8] = 0                          # BlackIsZero -> WhiteIsZero
+    w, h, arr = M.parse_tiff(bytes(enc))
+    assert (arr == 215).all()
+    enc[i + 8] = 3                          # palette: PIL territory
+    assert M.parse_tiff(bytes(enc)) is None
+
+
+def test_gif_offset_bg_uses_global_table_with_local_frame_table():
+    """The background index addresses the GLOBAL color table even when
+    the frame carries a local one."""
+    import numpy as np
+    flat = np.full((2, 2), 5, dtype=np.uint8)
+    enc = bytearray(M.write_gif(flat))
+    desc = 13 + 3 * 256
+    assert enc[desc] == 0x2C
+    # larger screen + offset frame, bg index 7
+    enc[6:8] = (4).to_bytes(2, "little")
+    enc[8:10] = (4).to_bytes(2, "little")
+    enc[11] = 7
+    enc[desc + 1:desc + 3] = (1).to_bytes(2, "little")
+    enc[desc + 3:desc + 5] = (1).to_bytes(2, "little")
+    # give the FRAME a local 2-color table (indexes still valid: pixel
+    # value 5 needs >= 6 entries, so use an 8-entry local table)
+    local = bytes(range(8 * 3))
+    enc[desc + 9] |= 0x80 | 0x02            # LCT flag, size 2^(2+1)=8
+    enc[desc + 10:desc + 10] = local        # insert before LZW data
+    w, h, arr = M.parse_gif(bytes(enc))
+    assert (w, h) == (4, 4)
+    assert (arr[0, 0] == [7, 7, 7]).all()   # GLOBAL[7], not local[7]
+    assert arr[1, 1].tolist() == list(local[15:18])  # frame uses LOCAL

@@ -127,9 +127,10 @@ def test_chunk_documents_overlap_semantics(spark):
             (r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
     for v in got.values():
         v.sort()
-    # doc 1: starts 0,3,6,9 -> 4 chunks, last is 1 token
+    # doc 1: starts 0,3,6 -> 3 chunks; start 9 would be tokens[9:10],
+    # fully contained in chunk 2 (tokens[6:10]) -> dropped
     assert got[1] == [(0, "w0 w1 w2 w3", 4), (1, "w3 w4 w5 w6", 4),
-                      (2, "w6 w7 w8 w9", 4), (3, "w9", 1)]
+                      (2, "w6 w7 w8 w9", 4)]
     assert got[2] == [(0, "only three words", 3)]
     assert 3 not in got and 4 not in got
 
