@@ -410,3 +410,53 @@ def test_streaming_neardup_flags_end_to_end(spark, tmp_path):
     # within-watermark pair dedup: each colliding pair appears once
     rows_n = spark.table("neardup_flags_test").count()
     assert rows_n == len(flags)
+
+
+def test_stateless_curation_exprs_stream(spark, tmp_path):
+    """The expression-level curation ops (URL normalization + domain
+    extraction, overlapping chunking) run unchanged on a stream —
+    they're narrow column transforms / generators, so the streaming
+    plan is the batch plan; results must match batch exactly."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import web as W
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        chunk_documents,
+    )
+    rows = [{"doc_id": 1, "url": "HTTPS://User@Example.COM:443/a/?utm_x=1",
+             "text": " ".join(f"w{i}" for i in range(7))},
+            {"doc_id": 2, "url": "http://sub.site.co.uk:80/b#frag",
+             "text": "short doc"}]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    schema = "doc_id long, url string, text string"
+    stream = spark.readStream.schema(schema).json(d)
+    assert stream.isStreaming
+
+    curated = stream.select(
+        "doc_id",
+        W.normalize_url(F.col("url")).alias("norm_url"),
+        W.registered_domain(W.url_host(W.normalize_url(F.col("url"))))
+        .alias("domain"))
+    S.run_available_now(curated, "stream_url_test")
+    got = {r["doc_id"]: (r["norm_url"], r["domain"])
+           for r in spark.sql("SELECT * FROM stream_url_test").collect()}
+    batch = spark.createDataFrame([(r["doc_id"], r["url"]) for r in rows],
+                                  "doc_id long, url string")
+    want = {r["doc_id"]: (r["n"], r["d"]) for r in batch.select(
+        "doc_id", W.normalize_url(F.col("url")).alias("n"),
+        W.registered_domain(W.url_host(W.normalize_url(F.col("url"))))
+        .alias("d")).collect()}
+    assert got == want
+    assert got[1] == ("https://User@example.com/a", "example.com")
+
+    chunked = chunk_documents(stream, size=4, stride=3)
+    S.run_available_now(chunked, "stream_chunk_test")
+    sgot = sorted((r["id"], r["chunk_idx"], r["chunk_text"])
+                  for r in spark.sql(
+                      "SELECT * FROM stream_chunk_test").collect())
+    bwant = sorted((r["id"], r["chunk_idx"], r["chunk_text"])
+                   for r in chunk_documents(
+                       spark.createDataFrame(
+                           [(r["doc_id"], r["text"]) for r in rows],
+                           "doc_id long, text string"),
+                       size=4, stride=3).collect())
+    assert sgot == bwant and len(sgot) == 3  # 2 chunks doc1 + 1 doc2
