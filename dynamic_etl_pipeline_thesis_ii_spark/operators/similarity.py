@@ -273,14 +273,31 @@ def _subdist(sub: Column, centroid: list[float]) -> Column:
         F.lit(0.0), lambda acc, x: acc + x), 6)
 
 
+def _subdists(vec: Column, codebooks: list, s: int) -> list[Column]:
+    """All k centroid distances for subspace ``s``. CONSTANT-vector
+    centroids (the grid codebook) share the subvector's sum and
+    sum-of-squares — 2 array passes instead of k, via
+    ||x - c·1||² = q - 2c·s + dsub·c². The DuckDB twin uses the SAME
+    formula so the 6-dp-rounded doubles stay engine-identical.
+    Trained (non-constant) codebooks take the general pass."""
+    dsub = len(codebooks[0][0])
+    sub = F.slice(vec, s * dsub + 1, dsub)
+    if all(len(set(c)) == 1 for c in codebooks[s]):
+        ssum = F.aggregate(sub, F.lit(0.0), lambda a, x: a + x)
+        qsum = F.aggregate(F.transform(sub, lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)
+        return [F.round(qsum - 2.0 * c[0] * ssum
+                        + F.lit(dsub * c[0] * c[0]), 6)
+                for c in codebooks[s]]
+    return [_subdist(sub, c) for c in codebooks[s]]
+
+
 def pq_codes(vec: Column, codebooks: list) -> Column:
     """array<int> of per-subspace nearest-centroid indexes (0-based;
     ties take the lowest index on every engine)."""
-    m, dsub = len(codebooks), len(codebooks[0][0])
     codes = []
-    for s in range(m):
-        sub = F.slice(vec, s * dsub + 1, dsub)
-        dists = F.array(*[_subdist(sub, c) for c in codebooks[s]])
+    for s in range(len(codebooks)):
+        dists = F.array(*_subdists(vec, codebooks, s))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1)
                      .cast("int"))
     return F.array(*codes)
@@ -289,11 +306,8 @@ def pq_codes(vec: Column, codebooks: list) -> Column:
 def pq_lut(qvec: Column, codebooks: list) -> Column:
     """Per-query ADC lookup table: array<array<double>> of
     [m][k] subspace-to-centroid squared distances."""
-    m, dsub = len(codebooks), len(codebooks[0][0])
-    return F.array(*[
-        F.array(*[_subdist(F.slice(qvec, s * dsub + 1, dsub), c)
-                  for c in codebooks[s]])
-        for s in range(m)])
+    return F.array(*[F.array(*_subdists(qvec, codebooks, s))
+                     for s in range(len(codebooks))])
 
 
 def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,

@@ -705,8 +705,10 @@ def q_ann_topk(spark, sf_dir):
 
 def _sql_pq_branch() -> str:
     """DuckDB twin of the PQ branch: per-subspace code = argmin over
-    the same grid centroids (6-dp rounded squared distances, first-
-    index tie-break), ADC = sum of the per-subspace LUT entries."""
+    the same grid centroids (6-dp rounded squared distances via the
+    SAME shared-moment formula q - 2c*s + dsub*c^2 the engine uses,
+    first-index tie-break), ADC = sum of the per-subspace LUT
+    entries."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
         pq_grid_codebooks,
     )
@@ -715,12 +717,15 @@ def _sql_pq_branch() -> str:
 
     def dists(vec: str, s: int) -> str:
         lo, hi = s * dsub + 1, (s + 1) * dsub
+        ssum = f"list_aggregate({vec}[{lo}:{hi}], 'sum')"
+        qsum = (f"list_aggregate(list_transform({vec}[{lo}:{hi}], "
+                f"x -> x * x), 'sum')")
         terms = []
         for cent in books[s]:
             c = cent[0]                      # grid centroid: constant vector
             terms.append(
-                f"round(list_aggregate(list_transform({vec}[{lo}:{hi}], "
-                f"x -> (x - ({c!r})) * (x - ({c!r}))), 'sum'), 6)")
+                f"round({qsum} - 2.0 * ({c!r}) * {ssum}"
+                f" + ({float(dsub * c * c)!r}), 6)")
         return "[" + ", ".join(terms) + "]"
 
     code_cols = ", ".join(
