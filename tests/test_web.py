@@ -84,3 +84,34 @@ def test_normalize_url_null_and_garbage(spark):
     assert rows[0]["n"] is None
     assert rows[1]["n"] == "no scheme here" and rows[1]["h"] == ""
     assert rows[2]["n"] == "" and rows[2]["h"] == ""
+
+
+def test_url_host_matches_urllib_reference(spark):
+    """Seeded differential vs the stdlib reference: for every
+    generated URL, url_host(normalize_url(u)) must equal
+    urllib.parse.urlsplit(u).hostname (lowercased host, userinfo and
+    port stripped) — the public-contract definition of 'host'."""
+    import random
+    from urllib.parse import urlsplit
+
+    rng = random.Random(41)
+    schemes = ["http", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "sub.site.co.uk", "a.b.example", "X.Y",
+             "bare", "WWW.Mixed.Case.Org"]
+    userinfos = ["", "user@", "User:Pass@", "a.b@"]
+    ports = ["", ":8080", ":443", ":80"]
+    paths = ["", "/", "/a/b", "/a/b/", "/x%20y"]
+    queries = ["", "?id=1", "?utm_source=x&id=2", "?next=/home/"]
+    frags = ["", "#top", "#a/b"]
+    urls = []
+    for _ in range(120):
+        urls.append(rng.choice(schemes) + "://" + rng.choice(userinfos)
+                    + rng.choice(hosts) + rng.choice(ports)
+                    + rng.choice(paths) + rng.choice(queries)
+                    + rng.choice(frags))
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["h"] for r in df.select(
+        W.url_host(W.normalize_url(F.col("url"))).alias("h")).collect()]
+    for u, h in zip(urls, got):
+        want = urlsplit(u).hostname or ""
+        assert h == want, f"{u}: {h!r} != {want!r}"
