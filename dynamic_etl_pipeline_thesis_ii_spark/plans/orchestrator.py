@@ -304,7 +304,8 @@ class Pipeline:
         frame = corpus_to_shards_frame(
             self.spark, source_dir,
             token_budget=plan["token_budget"], seq_len=plan["seq_len"],
-            n_shards=plan["n_shards"], n_buckets=plan["n_buckets"])
+            n_shards=plan["n_shards"], n_buckets=plan["n_buckets"],
+            tokenizer=plan["tokenizer"])
         self.progress("curate", {"params": dict(plan)})
         try:
             # the frame's persisted `shard` column IS the writer's hash;
@@ -339,14 +340,16 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
     the query carries no dataops intent. Defaults match the
     ``corpus_to_shards`` registry query (budget 15k, seq 512, 4
-    shards); ``epoch N`` binds a deterministic per-epoch shuffle
-    salt."""
+    shards); ``epoch N`` binds a deterministic per-epoch shuffle salt;
+    a "bpe" mention swaps the token counts feeding selection/packing
+    for corpus-trained subword counts."""
     ql = query.lower()
     if not any(h in ql for h in _DATAOPS_HINTS):
         return None
     plan = {"target": "corpus_to_shards", "token_budget": 15_000,
             "seq_len": 512, "n_shards": 4, "n_buckets": 4,
-            "shuffle_salt": None}
+            "shuffle_salt": None,
+            "tokenizer": "bpe" if "bpe" in ql else "whitespace"}
     if m := _TOKEN_BUDGET_RE.search(ql):
         plan["token_budget"] = int(re.sub(r"[,_]", "", m.group(1)))
     if m := _SEQ_LEN_RE.search(ql):

@@ -1372,15 +1372,34 @@ def q_corpus_to_shards(spark, sf_dir):
 
 def corpus_to_shards_frame(spark, sf_dir, *, token_budget: int = 15_000,
                            seq_len: int = 512, n_shards: int = 4,
-                           n_buckets: int = 4):
+                           n_buckets: int = 4,
+                           tokenizer: str = "whitespace",
+                           bpe_merges: int = 200):
     """Parameterized corpus->shards composition: the registry query
     above pins the oracle-hashed defaults; the plan-level dataops
     target (``plans/orchestrator.Pipeline.run_dataops``) drives the
-    same DAG with NL-derived parameters."""
+    same DAG with NL-derived parameters.
+
+    ``tokenizer="bpe"`` swaps the whitespace token counts feeding the
+    budget selection and packing for REAL subword counts: a BPE table
+    is trained on the corpus (one word-count shuffle + capped driver
+    merge loop, ``operators/bpe.py``) and applied through the cached
+    Arrow kernel. The oracle-checked registry query stays on the
+    whitespace path (BPE training is iterative — not
+    SQL-expressible)."""
     curated = q_corpus_curation(spark, sf_dir)
     corpus = _neardup_corpus(spark, sf_dir)
-    feats = T.quality_features(F.col("text"))
-    toks = corpus.select("doc_id", feats["n_tokens"].alias("n_tokens"))
+    if tokenizer == "bpe":
+        from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as B
+        merges = B.train_bpe(corpus, n_merges=bpe_merges)
+        toks = (B.apply_bpe(corpus, merges)
+                .select(F.col("id").alias("doc_id"), "n_tokens"))
+    elif tokenizer == "whitespace":
+        feats = T.quality_features(F.col("text"))
+        toks = corpus.select("doc_id", feats["n_tokens"].alias("n_tokens"))
+    else:
+        raise ValueError(
+            f"tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}")
     # the budget selection consumes `scored` twice (value table +
     # semi-join left side) and `scored` embeds the WHOLE curation
     # pipeline — persist it (tracked) or curation runs twice

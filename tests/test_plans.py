@@ -490,12 +490,46 @@ def test_parse_dataops_query():
         "sequence length 256, into 8 shards for epoch 3")
     assert p == {"target": "corpus_to_shards", "token_budget": 12_000,
                  "seq_len": 256, "n_shards": 8, "n_buckets": 8,
-                 "shuffle_salt": "epoch-3"}
+                 "shuffle_salt": "epoch-3", "tokenizer": "whitespace"}
     # defaults match the corpus_to_shards registry query
     d = parse_dataops_query("dedup and shard the training corpus")
     assert (d["token_budget"], d["seq_len"], d["n_shards"]) == (15_000, 512, 4)
-    assert d["shuffle_salt"] is None
+    assert d["shuffle_salt"] is None and d["tokenizer"] == "whitespace"
+    b = parse_dataops_query("curate the corpus with bpe tokens, 4 shards")
+    assert b["tokenizer"] == "bpe"
     assert parse_dataops_query("Get AAPL daily stock prices") is None
+
+
+def test_pipeline_dataops_bpe_tokenizer(spark, sf_dir, tmp_path):
+    """A 'bpe' mention routes the composition through corpus-trained
+    subword counts: the run completes, shards verify, and the packed
+    token totals differ from the whitespace path (subword counts are
+    strictly larger for natural text)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.dataops_suite import (
+        corpus_to_shards_frame, release_shared_caches,
+    )
+    import pytest as _pytest
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "bpe_shards")
+    result = pipe.run_dataops(
+        "curate the corpus with bpe tokens into 4 shards", sf_dir, out)
+    assert result["status"] == "complete"
+    assert result["reports"]["plan"]["tokenizer"] == "bpe"
+    assert result["reports"]["sink"]["rows_written"] > 0
+    try:
+        # with few merges the subword counts exceed whitespace counts
+        # (at 200 merges the tiny synthetic vocab is fully learned and
+        # the counts legitimately converge — whole words merge back)
+        ws = corpus_to_shards_frame(spark, sf_dir)
+        bp = corpus_to_shards_frame(spark, sf_dir, tokenizer="bpe",
+                                    bpe_merges=10)
+        ws_tokens = ws.agg({"n_tokens": "sum"}).first()[0]
+        bp_tokens = bp.agg({"n_tokens": "sum"}).first()[0]
+        assert bp_tokens != ws_tokens
+        with _pytest.raises(ValueError, match="tokenizer"):
+            corpus_to_shards_frame(spark, sf_dir, tokenizer="nope")
+    finally:
+        release_shared_caches()
 
 
 def test_pipeline_dataops_end_to_end(spark, sf_dir, tmp_path):
