@@ -8,9 +8,10 @@ flow mirroring libjpeg's decode_mcu_{DC,AC}_{first,refine}), 8-bit,
 grayscale) with the JPEG Annex K quantization + Huffman tables,
 quality-scaled per the IJG curve, baseline or progressive
 (``progressive=True`` — the standard DC-first/AC-band/refine scan
-script) — enough to round-trip both modes and decode typical camera/
-tool files; arithmetic and 12-bit variants return None so callers
-fall back.
+script) with 4:4:4 / 4:2:0 / 4:2:2 chroma layouts — enough to
+round-trip both modes at every layout and decode typical camera/tool
+files; arithmetic and 12-bit variants return None so callers fall
+back.
 
 This exists because the multimodal tier (``operators/multimodal.py``)
 wants REAL decode provenance for the common training-data image
@@ -629,14 +630,16 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def write_jpeg(arr: "np.ndarray", quality: int = 90,
-               subsample: bool = False,
+               subsample=False,
                restart_interval: int = 0,
                progressive: bool = False) -> bytes:
     """Encode HxWx3 RGB (or HxWx1 / HxW grayscale) uint8 as JPEG with
-    quality-scaled Annex K tables. ``subsample=True`` emits 4:2:0
-    (luma 2x2 per MCU, chroma 2x2-mean downsampled) — the common
-    camera layout, and the fixture generator for the decoder's MCU
-    interleave / upsample path; default is 4:4:4.
+    quality-scaled Annex K tables. ``subsample`` picks the chroma
+    layout: False/"444" (default), True/"420" (luma 2x2 per MCU,
+    chroma 2x2-mean downsampled — the common camera layout) or "422"
+    (luma 2x1, chroma halved horizontally only — the common video
+    layout); the 420/422 modes are the fixture generators for the
+    decoder's MCU interleave / upsample paths.
     ``restart_interval > 0`` emits a DRI segment and RSTn markers every
     N MCUs with DC-prediction resets (baseline only; ignored for
     progressive) — the fixture generator for the decoder's restart
@@ -650,37 +653,39 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
         arr = arr[..., None]
     h, w, nc = arr.shape
     gray = nc == 1
+    mode = {False: "444", True: "420"}.get(subsample, subsample)
+    if mode not in ("444", "420", "422"):
+        raise ValueError(f"subsample must be 444/420/422, got {subsample!r}")
     if gray:
-        subsample = False
+        mode = "444"
+    lh, lv = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[mode]
     ql = _quality_scale(_QL.reshape(8, 8), quality)
     qc = _quality_scale(_QC.reshape(8, 8), quality)
     x = arr.astype(np.float64)
-    lsamp = 2 if subsample else 1
     if gray:
-        planes = [(x[..., 0] - 128.0, ql, lsamp)]
+        planes = [(x[..., 0] - 128.0, ql, lh, lv)]
     else:
         r, g, b = x[..., 0], x[..., 1], x[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            # pad to even dims, then 2x2 block mean
+        if mode != "444":
+            # pad to factor-aligned dims, then lv x lh block mean
             def down(p):
-                pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-                return pe.reshape(pe.shape[0] // 2, 2,
-                                  pe.shape[1] // 2, 2).mean(axis=(1, 3))
+                pe = np.pad(p, ((0, h % lv), (0, w % lh)), mode="edge")
+                return pe.reshape(pe.shape[0] // lv, lv,
+                                  pe.shape[1] // lh, lh).mean(axis=(1, 3))
             cb, cr = down(cb), down(cr)
-        planes = [(y - 128.0, ql, lsamp), (cb - 128.0, qc, 1),
-                  (cr - 128.0, qc, 1)]
+        planes = [(y - 128.0, ql, lh, lv), (cb - 128.0, qc, 1, 1),
+                  (cr - 128.0, qc, 1, 1)]
 
     # batched forward DCT: pad each plane to its MCU grid, quantize,
     # and store zig-zag-ordered int coefficients (nby, nbx, 64)
-    mcu = 8 * lsamp
-    my_max, mx_max = -(-h // mcu), -(-w // mcu)
+    my_max, mx_max = -(-h // (8 * lv)), -(-w // (8 * lh))
     zzs: list[np.ndarray] = []
-    samps: list[int] = []
-    for plane, q, samp in planes:
-        ph, pw = my_max * 8 * samp, mx_max * 8 * samp
+    samps: list[tuple[int, int]] = []
+    for plane, q, sh, sv in planes:
+        ph, pw = my_max * 8 * sv, mx_max * 8 * sh
         p = np.pad(plane, ((0, ph - plane.shape[0]),
                            (0, pw - plane.shape[1])), mode="edge")
         nby, nbx = ph // 8, pw // 8
@@ -689,7 +694,7 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
                                     _BASIS.T, optimize=True) / q)
         zzs.append(coeffs.reshape(nby, nbx, 64)[..., _ZZ_IDX]
                    .astype(np.int32))
-        samps.append(samp)
+        samps.append((sh, sv))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -702,7 +707,7 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([ncomp])
     for c in range(ncomp):
-        samp = (lsamp << 4) | lsamp if c == 0 else 0x11
+        samp = (lh << 4) | lv if c == 0 else 0x11
         sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += seg(0xC2 if progressive else 0xC0, sof)
     tables = ((0x00, _DC_L), (0x10, _AC_L)) if gray else \
@@ -742,11 +747,11 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
             mcu_idx += 1
             for ci in range(ncomp):
                 tsel = 0 if ci == 0 else 1
-                samp = samps[ci]
-                for by in range(samp):
-                    for bx in range(samp):
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
                         preds[ci] = _encode_block(
-                            bw, zzs[ci][my * samp + by, mx * samp + bx],
+                            bw, zzs[ci][my * sv + by, mx * sh + bx],
                             preds[ci], enc_dc[tsel], enc_ac[tsel])
     bw.flush()
     out += bw.out
@@ -763,9 +768,10 @@ def _emit_progressive(out, seg, zzs, samps, w, h, my_max, mx_max,
                       enc_dc, enc_ac, gray):
     ncomp = len(zzs)
     # tighter non-interleaved AC grids (padding blocks carry DC only)
-    hmax = vmax = max(samps)
-    nb_scan = [(-(-(h * samp) // (8 * vmax)), -(-(w * samp) // (8 * hmax)))
-               for samp in samps]
+    hmax = max(sh for sh, _ in samps)
+    vmax = max(sv for _, sv in samps)
+    nb_scan = [(-(-(h * sv) // (8 * vmax)), -(-(w * sh) // (8 * hmax)))
+               for sh, sv in samps]
 
     def sos(comp_ids_tables, ss, se, ah, al) -> bytes:
         body = bytes([len(comp_ids_tables)])
@@ -781,11 +787,11 @@ def _emit_progressive(out, seg, zzs, samps, w, h, my_max, mx_max,
     for my in range(my_max):
         for mx in range(mx_max):
             for ci in range(ncomp):
-                samp = samps[ci]
-                for by in range(samp):
-                    for bx in range(samp):
-                        v = int(zzs[ci][my * samp + by,
-                                        mx * samp + bx, 0]) >> 1
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(zzs[ci][my * sv + by,
+                                        mx * sh + bx, 0]) >> 1
                         t, bits = _mag(v - preds[ci])
                         preds[ci] = v
                         code, ln = enc_dc[0 if ci == 0 else 1][t]
@@ -822,11 +828,11 @@ def _emit_progressive(out, seg, zzs, samps, w, h, my_max, mx_max,
     for my in range(my_max):
         for mx in range(mx_max):
             for ci in range(ncomp):
-                samp = samps[ci]
-                for by in range(samp):
-                    for bx in range(samp):
-                        bw.write(int(zzs[ci][my * samp + by,
-                                             mx * samp + bx, 0]) & 1, 1)
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(zzs[ci][my * sv + by,
+                                             mx * sh + bx, 0]) & 1, 1)
     bw.flush()
     out += bw.out
 

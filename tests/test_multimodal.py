@@ -538,10 +538,10 @@ def _gradient(h, w):
                      ((xx + yy) * 255 / (w + h))], axis=-1).astype(np.uint8)
 
 
-@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("subsample", [False, True, "422"])
 def test_jpeg_roundtrip_within_tolerance(subsample):
     """Lossy codec: round-trip must preserve dims exactly and pixels
-    within a small mean error at q90 (4:4:4 and 4:2:0 layouts — the
+    within a small mean error at q90 (4:4:4, 4:2:0 and 4:2:2 layouts — the
     latter exercises the MCU interleave + chroma upsample path)."""
     import numpy as np
     from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
@@ -602,6 +602,7 @@ def test_jpeg_rejects_unsupported():
     ((16, 16, 1), False),    # gray, exact MCUs
     ((24, 33, 3), False),    # RGB 4:4:4, ragged width
     ((17, 30, 3), True),     # 4:2:0, both dims ragged
+    ((17, 30, 3), "422"),    # 4:2:2, horizontal-only chroma subsample
     ((7, 5, 1), False),      # sub-MCU
 ])
 def test_jpeg_progressive_equals_baseline_decode(shape, subsample):
