@@ -160,7 +160,7 @@ def write_bmp(arr: "np.ndarray") -> bytes:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
 
 
 # Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
@@ -228,20 +228,22 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int,
 
 
 def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
-    """Parse 8-bit-depth PNG (grayscale / RGB / gray+alpha / RGBA,
-    non-interlaced OR Adam7-interlaced) into (width, height, HxWxC
-    uint8 array) with stdlib only: chunk walk, ``zlib`` inflate of the
-    concatenated IDAT stream, then the five per-row filters (none/sub/
-    up/average/Paeth) undone exactly per the PNG spec §9 — for Adam7,
-    per pass (each pass is an independently-filtered sub-image,
-    spec §8.2). Returns None for payloads this decoder does not handle
-    (palette, 16-bit, non-PNG) — callers fall through to the next
-    decoder or the fake tier."""
+    """Parse 8-bit-depth PNG (grayscale / RGB / gray+alpha / RGBA /
+    PALETTE-indexed, non-interlaced OR Adam7-interlaced) into (width,
+    height, HxWxC uint8 array) with stdlib only: chunk walk, ``zlib``
+    inflate of the concatenated IDAT stream, then the five per-row
+    filters (none/sub/up/average/Paeth) undone exactly per the PNG
+    spec §9 — for Adam7, per pass (each pass is an independently-
+    filtered sub-image, spec §8.2). Palette images resolve through
+    the PLTE chunk to RGB. Returns None for payloads this decoder
+    does not handle (16-bit, sub-byte palette depths, non-PNG) —
+    callers fall through to the next decoder or the fake tier."""
     if payload is None or payload[:8] != PNG_SIG:
         return None
     i, n = 8, len(payload)
     w = h = channels = None
     interlaced = False
+    palette = None
     idat: list[bytes] = []
     while i + 8 <= n:
         length = int.from_bytes(payload[i:i + 4], "big")
@@ -261,6 +263,10 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                     or interlace not in (0, 1)
                     or channels is None or w <= 0 or h <= 0):
                 return None
+        elif ctype == b"PLTE":
+            if length % 3 or length > 768:
+                return None
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -272,11 +278,18 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    def finish(arr):
+        if color_type == 3:
+            if palette is None or int(arr.max(initial=0)) >= len(palette):
+                return None
+            return w, h, palette[arr[..., 0]]
+        return w, h, arr
+
     if not interlaced:
         got = _png_unfilter(raw, 0, w, h, channels)
         if got is None or got[1] != len(raw):
             return None
-        return w, h, got[0].reshape(h, w, channels)
+        return finish(got[0].reshape(h, w, channels))
     # Adam7: seven independently-filtered sub-images scattered back
     # onto the (dy, dx) grids
     out = np.empty((h, w, channels), dtype=np.uint8)
@@ -293,7 +306,7 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
     if pos != len(raw):
         return None
-    return w, h, out
+    return finish(out)
 
 
 def write_png(arr: "np.ndarray", interlace: bool = False) -> bytes:
@@ -458,11 +471,17 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
             gct = np.frombuffer(payload[i:i + 3 * ncol],
                                 dtype=np.uint8).reshape(ncol, 3)
             i += 3 * ncol
+        trans_idx = None
         while i < len(payload):
             b = payload[i]
             if b == 0x3B:                       # trailer
                 return None
-            if b == 0x21:                       # extension: skip sub-blocks
+            if b == 0x21:                       # extension
+                # GCE (0xF9): remember the transparent index for the
+                # next image descriptor; everything else is skipped
+                if (payload[i + 1] == 0xF9 and payload[i + 2] >= 4
+                        and payload[i + 3] & 0x01):
+                    trans_idx = payload[i + 6]
                 i += 2
                 while i < len(payload) and payload[i] != 0:
                     i += 1 + payload[i]
@@ -503,14 +522,18 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 rows = deinter
             if rows.max(initial=0) >= len(pal):
                 return None
-            if (left, top, cw, ch) == (0, 0, w, h):
-                return w, h, pal[rows]
             # the background color index addresses the GLOBAL color
             # table (GIF89a §18), not the frame's local one
             bg = (gct[bg_index] if gct is not None
                   and bg_index < len(gct) else np.zeros(3, np.uint8))
+            rgb = pal[rows]
+            if trans_idx is not None:            # GCE transparency:
+                rgb = rgb.copy()                 # bg shows through
+                rgb[rows == trans_idx] = bg
+            if (left, top, cw, ch) == (0, 0, w, h):
+                return w, h, rgb
             canvas = np.broadcast_to(bg, (ch, cw, 3)).copy()
-            canvas[top:top + h, left:left + w] = pal[rows]
+            canvas[top:top + h, left:left + w] = rgb
             return cw, ch, canvas
         return None
     except (IndexError, ValueError):

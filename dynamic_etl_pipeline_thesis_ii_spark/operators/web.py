@@ -36,8 +36,11 @@ _URL_RULES: list[tuple[str, str, str]] = [
     # tracking params; the captured delimiter survives so ?/& chains
     # can be repaired by the cleanup rules below
     (r"([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "$1", r"\1"),
-    (r"\?&", "?", "?"),                                  # ?&a -> ?a
+    # && collapse MUST precede the ?& repair: '?utm&utm&id' leaves
+    # '?&&id', and repairing ?& first would strand '?&id' (caught by
+    # the idempotence property test)
     (r"&&+", "&", "&"),                                  # a&&b -> a&b
+    (r"\?&", "?", "?"),                                  # ?&a -> ?a
     (r"[?&]+$", "", ""),                                 # dangling ?/&
     # default ports (scheme already lowercased; on the rare
     # userinfo-bearing authority these don't match — the port is kept,
@@ -46,7 +49,9 @@ _URL_RULES: list[tuple[str, str, str]] = [
     # trailing slash — PATH only: `[^?]*` cannot span a '?', so any
     # URL with a query keeps a '/' that ends a parameter VALUE
     (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2", r"\1\2"),
-    (r"^([^?]*)/+$", "$1", r"\1"),
+    # group must END on a non-slash so ALL trailing slashes go in one
+    # pass ('/x//' would otherwise lose one slash per normalization)
+    (r"^([^?]*[^/?])/+$", "$1", r"\1"),
 ]
 
 # common country-code second-level domains for the naive registered-

@@ -986,3 +986,65 @@ def test_gif_offset_bg_uses_global_table_with_local_frame_table():
     assert (w, h) == (4, 4)
     assert (arr[0, 0] == [7, 7, 7]).all()   # GLOBAL[7], not local[7]
     assert arr[1, 1].tolist() == list(local[15:18])  # frame uses LOCAL
+
+
+def test_png_palette_indexed_decodes():
+    """Color-type-3 PNGs resolve through the PLTE chunk to RGB,
+    including Adam7-interlaced palette images; out-of-range indexes
+    and missing PLTE reject."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + _zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    pal = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 9, 9, 9])  # 4 colors
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], np.uint8)
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">II5B", w, h, 8, 3, 0, 0, 0)
+    png = (M.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    parsed = M.parse_png(png)
+    assert parsed is not None and parsed[:2] == (w, h)
+    want = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(parsed[2], want)
+    # decode_image picks it up as a real 'png' parse
+    feats = M.decode_image(png)
+    assert feats[:2] == [float(w), float(h)]
+
+    # out-of-range index -> reject (palette has 4 entries, index 7)
+    bad = idx.copy(); bad[0, 0] = 7
+    raw_b = b"".join(b"\x00" + bad[y].tobytes() for y in range(h))
+    png_b = (M.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+             + chunk(b"IDAT", _zlib.compress(raw_b)) + chunk(b"IEND", b""))
+    assert M.parse_png(png_b) is None
+    # missing PLTE -> reject
+    png_c = (M.PNG_SIG + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert M.parse_png(png_c) is None
+
+
+def test_gif_transparency_shows_background():
+    """A GCE transparency index renders as the (global) background
+    color — the single-frame approximation of what a viewer shows."""
+    import numpy as np
+    flat = np.full((2, 3), 100, dtype=np.uint8)
+    flat[0, 1] = 42                             # the transparent pixel
+    enc = bytearray(M.write_gif(flat))
+    enc[11] = 7                                 # bg color index
+    desc = 13 + 3 * 256
+    assert enc[desc] == 0x2C
+    # insert a GCE before the image descriptor: transparent index 42
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 42, 0x00])
+    enc[desc:desc] = gce
+    w, h, arr = M.parse_gif(bytes(enc))
+    assert (w, h) == (3, 2)
+    assert (arr[0, 1] == [7, 7, 7]).all()       # transparent -> bg
+    assert (arr[0, 0] == [100, 100, 100]).all()
+    # without the GCE the pixel keeps its palette color
+    w2, h2, arr2 = M.parse_gif(M.write_gif(flat))
+    assert (arr2[0, 1] == [42, 42, 42]).all()

@@ -115,3 +115,28 @@ def test_url_host_matches_urllib_reference(spark):
     for u, h in zip(urls, got):
         want = urlsplit(u).hostname or ""
         assert h == want, f"{u}: {h!r} != {want!r}"
+
+
+def test_normalize_url_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u): the rule chain must be
+    a projection — a second pass changes nothing, so re-normalizing
+    already-canonical URLs (e.g. on snapshot re-ingest) is safe."""
+    import random
+    rng = random.Random(53)
+    parts = (["http", "https", "HTTPS"],
+             ["", "User:Pass@", "a.b@"],
+             ["Example.COM", "sub.site.co.uk", "X.Y"],
+             ["", ":443", ":80", ":8080"],
+             ["", "/", "/a/b/", "/x//", "/p"],
+             ["", "?id=1", "?utm_source=x", "?utm_a=1&utm_b=2&id=3",
+              "?next=/h/"],
+             ["", "#f", "#a/b/"])
+    urls = ["".join([rng.choice(parts[0]) + "://"] +
+                    [rng.choice(p) for p in parts[1:]])
+            for _ in range(150)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = W.normalize_url(F.col("url"))
+    rows = df.select(once.alias("n1"),
+                     W.normalize_url(once).alias("n2")).collect()
+    for u, r in zip(urls, rows):
+        assert r["n1"] == r["n2"], f"{u}: {r['n1']!r} -> {r['n2']!r}"
