@@ -228,8 +228,9 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int,
 
 
 def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
-    """Parse 8-bit-depth PNG (grayscale / RGB / gray+alpha / RGBA /
-    PALETTE-indexed, non-interlaced OR Adam7-interlaced) into (width,
+    """Parse 8- or 16-bit-depth PNG (grayscale / RGB / gray+alpha /
+    RGBA / 8-bit PALETTE-indexed, non-interlaced OR Adam7-interlaced;
+    16-bit samples reduce to their high byte) into (width,
     height, HxWxC uint8 array) with stdlib only: chunk walk, ``zlib``
     inflate of the concatenated IDAT stream, then the five per-row
     filters (none/sub/up/average/Paeth) undone exactly per the PNG
@@ -259,7 +260,8 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
             bit_depth, color_type, comp, filt, interlace = data[8:13]
             channels = _PNG_CHANNELS.get(color_type)
             interlaced = interlace == 1
-            if (bit_depth != 8 or comp != 0 or filt != 0
+            if (bit_depth not in (8, 16) or comp != 0 or filt != 0
+                    or (bit_depth == 16 and color_type == 3)
                     or interlace not in (0, 1)
                     or channels is None or w <= 0 or h <= 0):
                 return None
@@ -278,32 +280,39 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    # the five filters operate on BYTE lanes with a bytes-per-pixel
+    # left offset (PNG spec §9), so 16-bit depth is the same unfilter
+    # with bpp = 2*channels, then a big-endian high-byte reduction
+    bpp = channels * (2 if bit_depth == 16 else 1)
+
     def finish(arr):
+        if bit_depth == 16:
+            arr = arr.reshape(*arr.shape[:2], channels, 2)[..., 0]
         if color_type == 3:
             if palette is None or int(arr.max(initial=0)) >= len(palette):
                 return None
             return w, h, palette[arr[..., 0]]
-        return w, h, arr
+        return w, h, np.ascontiguousarray(arr)
 
     if not interlaced:
-        got = _png_unfilter(raw, 0, w, h, channels)
+        got = _png_unfilter(raw, 0, w, h, bpp)
         if got is None or got[1] != len(raw):
             return None
-        return finish(got[0].reshape(h, w, channels))
+        return finish(got[0].reshape(h, w, bpp))
     # Adam7: seven independently-filtered sub-images scattered back
     # onto the (dy, dx) grids
-    out = np.empty((h, w, channels), dtype=np.uint8)
+    out = np.empty((h, w, bpp), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = -(-(w - x0) // dx) if w > x0 else 0
         ph = -(-(h - y0) // dy) if h > y0 else 0
         if pw == 0 or ph == 0:
             continue
-        got = _png_unfilter(raw, pos, pw, ph, channels)
+        got = _png_unfilter(raw, pos, pw, ph, bpp)
         if got is None:
             return None
         sub, pos = got
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
     if pos != len(raw):
         return None
     return finish(out)

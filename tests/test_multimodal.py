@@ -1048,3 +1048,47 @@ def test_gif_transparency_shows_background():
     # without the GCE the pixel keeps its palette color
     w2, h2, arr2 = M.parse_gif(M.write_gif(flat))
     assert (arr2[0, 1] == [42, 42, 42]).all()
+
+
+def test_png_16bit_depth_decodes_high_byte():
+    """16-bit PNGs unfilter on byte lanes with bpp = 2*channels and
+    reduce to the high byte; the sub filter at 16-bit must offset by
+    two bytes per channel (the spec's bpp rule), and 16-bit palette
+    is rejected (not a legal combination)."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + _zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    rng = np.random.default_rng(8)
+    h, w, ch = 4, 5, 3
+    hi = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    lo = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    rows = np.stack([hi, lo], axis=-1).reshape(h, w * ch * 2)
+    # filter rows forward: row0 sub (left offset = 6 bytes), rest up
+    filt = bytearray()
+    bpp = ch * 2
+    r0 = rows[0].astype(np.int16)
+    sub = r0.copy()
+    sub[bpp:] = (r0[bpp:] - r0[:-bpp]) & 0xFF
+    filt += b"\x01" + bytes(sub.astype(np.uint8))
+    for y in range(1, h):
+        up = (rows[y].astype(np.int16) - rows[y - 1].astype(np.int16)) & 0xFF
+        filt += b"\x02" + bytes(up.astype(np.uint8))
+    ihdr = struct.pack(">II5B", w, h, 16, 2, 0, 0, 0)
+    png = (M.PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", _zlib.compress(bytes(filt)))
+           + chunk(b"IEND", b""))
+    parsed = M.parse_png(png)
+    assert parsed is not None and parsed[:2] == (w, h)
+    assert np.array_equal(parsed[2], hi)
+
+    bad = struct.pack(">II5B", 4, 4, 16, 3, 0, 0, 0)   # 16-bit palette
+    png_b = (M.PNG_SIG + chunk(b"IHDR", bad)
+             + chunk(b"IDAT", _zlib.compress(b"\x00" * 36))
+             + chunk(b"IEND", b""))
+    assert M.parse_png(png_b) is None
