@@ -742,11 +742,11 @@ def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Image decode + feature extraction.
 
-    REAL for netpbm (P6/P5), uncompressed 24-bit BMP, 8-bit PNG
-    (non-interlaced or Adam7), baseline or progressive JPEG, GIF
+    REAL for netpbm (P6/P5), uncompressed 24-bit BMP, 8/16-bit PNG
+    (non-interlaced, Adam7 or palette), baseline or progressive JPEG, GIF
     (LZW, first frame) and uncompressed TIFF: ``[width, height,
     mean_c1..mean_cN]`` from the decoded raster. Remaining formats
-    (arithmetic/12-bit JPEG, palette PNG, WebP, ...) need PIL (absent
+    (arithmetic/12-bit JPEG, WebP, ...) need PIL (absent
     here) and raise NotImplementedError. ``fake=True`` derives a
     deterministic 4-dim feature from the raw bytes instead of
     decoding."""
