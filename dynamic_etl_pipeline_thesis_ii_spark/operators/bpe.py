@@ -144,23 +144,29 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int],
 
 
 def apply_bpe(df: DataFrame, merges: Iterable[tuple[str, str]],
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              text_col: str = "text", id_col: str = "doc_id",
+              with_tokens: bool = True) -> DataFrame:
     """Tokenize the corpus with a trained merge table: ``(id, tokens
     array<string>, n_tokens)``. The merge ranks broadcast with the
     closure; an Arrow-batched pandas UDF with a per-executor word
     cache does the work — natural-text word reuse makes this a dict
-    lookup per word after warmup."""
+    lookup per word after warmup.
+
+    ``with_tokens=False`` yields ``(id, n_tokens)`` only: column
+    pruning cannot reach inside a mapInPandas kernel, so counting
+    consumers (token budgets, packing) should skip materializing and
+    Arrow-shipping every document's full subword array."""
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType, LongType, StringType, StructField, StructType,
     )
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
-    schema = StructType([
-        StructField("id", LongType(), False),
-        StructField("tokens", ArrayType(StringType()), True),
-        StructField("n_tokens", LongType(), True),
-    ])
+    fields = [StructField("id", LongType(), False)]
+    if with_tokens:
+        fields.append(StructField("tokens", ArrayType(StringType()), True))
+    fields.append(StructField("n_tokens", LongType(), True))
+    schema = StructType(fields)
 
     def kernel(batches):
         import re
@@ -171,12 +177,19 @@ def apply_bpe(df: DataFrame, merges: Iterable[tuple[str, str]],
             for text in pdf[text_col]:
                 words = [w for w in splitter.split((text or "").lower())
                          if w]
-                doc: list[str] = []
-                for w in words:
-                    doc.extend(encode_word(w, ranks, cache))
-                toks.append(doc)
-                counts.append(len(doc))
-            yield pd.DataFrame({"id": pdf[id_col], "tokens": toks,
-                                "n_tokens": counts})
+                if with_tokens:
+                    doc: list[str] = []
+                    for w in words:
+                        doc.extend(encode_word(w, ranks, cache))
+                    toks.append(doc)
+                    counts.append(len(doc))
+                else:
+                    counts.append(sum(len(encode_word(w, ranks, cache))
+                                      for w in words))
+            out = {"id": pdf[id_col]}
+            if with_tokens:
+                out["tokens"] = toks
+            out["n_tokens"] = counts
+            yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)

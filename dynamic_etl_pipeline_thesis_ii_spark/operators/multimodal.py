@@ -237,7 +237,7 @@ def parse_png(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     spec §9 — for Adam7, per pass (each pass is an independently-
     filtered sub-image, spec §8.2). Palette images resolve through
     the PLTE chunk to RGB. Returns None for payloads this decoder
-    does not handle (16-bit, sub-byte palette depths, non-PNG) —
+    does not handle (16-bit palette, sub-byte depths, non-PNG) —
     callers fall through to the next decoder or the fake tier."""
     if payload is None or payload[:8] != PNG_SIG:
         return None
@@ -535,10 +535,9 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
             # table (GIF89a §18), not the frame's local one
             bg = (gct[bg_index] if gct is not None
                   and bg_index < len(gct) else np.zeros(3, np.uint8))
-            rgb = pal[rows]
-            if trans_idx is not None:            # GCE transparency:
-                rgb = rgb.copy()                 # bg shows through
-                rgb[rows == trans_idx] = bg
+            rgb = pal[rows]                  # advanced indexing: fresh
+            if trans_idx is not None:            # array, safe to mutate
+                rgb[rows == trans_idx] = bg      # GCE: bg shows through
             if (left, top, cw, ch) == (0, 0, w, h):
                 return w, h, rgb
             canvas = np.broadcast_to(bg, (ch, cw, 3)).copy()

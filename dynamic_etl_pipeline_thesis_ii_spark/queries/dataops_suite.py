@@ -1392,7 +1392,9 @@ def corpus_to_shards_frame(spark, sf_dir, *, token_budget: int = 15_000,
     if tokenizer == "bpe":
         from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as B
         merges = B.train_bpe(corpus, n_merges=bpe_merges)
-        toks = (B.apply_bpe(corpus, merges)
+        # count-only: the budget/pack stages never read the token
+        # arrays, so don't Arrow-ship them out of the kernel
+        toks = (B.apply_bpe(corpus, merges, with_tokens=False)
                 .select(F.col("id").alias("doc_id"), "n_tokens"))
     elif tokenizer == "whitespace":
         feats = T.quality_features(F.col("text"))

@@ -126,3 +126,17 @@ def test_word_counts_normalization(spark):
     got = {r["word"]: r["count"]
            for r in B.word_counts(df).collect()}
     assert got == {"the": 3, "cat's": 1, "9lives": 1}
+
+
+def test_apply_bpe_count_only_matches_full(spark):
+    """with_tokens=False yields identical n_tokens without shipping
+    the token arrays (the counting consumers' fast path)."""
+    rows = [(0, "low lower newest"), (1, None), (2, "widest low")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = B.train_bpe(df, n_merges=6)
+    full = {r["id"]: r["n_tokens"]
+            for r in B.apply_bpe(df, merges).collect()}
+    slim_df = B.apply_bpe(df, merges, with_tokens=False)
+    assert slim_df.columns == ["id", "n_tokens"]
+    slim = {r["id"]: r["n_tokens"] for r in slim_df.collect()}
+    assert slim == full

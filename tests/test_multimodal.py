@@ -989,9 +989,9 @@ def test_gif_offset_bg_uses_global_table_with_local_frame_table():
 
 
 def test_png_palette_indexed_decodes():
-    """Color-type-3 PNGs resolve through the PLTE chunk to RGB,
-    including Adam7-interlaced palette images; out-of-range indexes
-    and missing PLTE reject."""
+    """Color-type-3 PNGs resolve through the PLTE chunk to RGB, in
+    both non-interlaced and Adam7 layouts; out-of-range indexes and
+    missing PLTE reject."""
     import struct
     import zlib as _zlib
 
@@ -1026,6 +1026,24 @@ def test_png_palette_indexed_decodes():
     png_c = (M.PNG_SIG + chunk(b"IHDR", ihdr)
              + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
     assert M.parse_png(png_c) is None
+
+    # Adam7-interlaced palette: pass-ordered sub-images, palette
+    # lookup after the scatter
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        _ADAM7,
+    )
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size:
+            parts += [b"\x00" + sub[y].tobytes()
+                      for y in range(sub.shape[0])]
+    ihdr_i = struct.pack(">II5B", w, h, 8, 3, 0, 0, 1)
+    png_i = (M.PNG_SIG + chunk(b"IHDR", ihdr_i) + chunk(b"PLTE", pal)
+             + chunk(b"IDAT", _zlib.compress(b"".join(parts)))
+             + chunk(b"IEND", b""))
+    parsed_i = M.parse_png(png_i)
+    assert parsed_i is not None and np.array_equal(parsed_i[2], want)
 
 
 def test_gif_transparency_shows_background():
