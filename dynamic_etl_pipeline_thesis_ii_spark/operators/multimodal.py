@@ -107,11 +107,12 @@ def parse_netpbm(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
 
 
 def parse_bmp(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
-    """Parse uncompressed 24-bit BMP (BITMAPINFOHEADER or longer,
-    bottom-up or top-down) into (width, height, HxWx3 uint8 RGB array).
-    Pure byte parsing: little-endian header fields, 4-byte row padding,
-    BGR->RGB swap. Returns None if the payload is not a BMP this
-    decoder handles."""
+    """Parse uncompressed 24-bit OR 8-bit palette-indexed BMP
+    (BITMAPINFOHEADER or longer, bottom-up or top-down) into (width,
+    height, HxWx3 uint8 RGB array). Pure byte parsing: little-endian
+    header fields, 4-byte row padding, BGRA color table / BGR->RGB
+    swap. Returns None if the payload is not a BMP this decoder
+    handles (1/4/16/32-bit and RLE variants stay PIL territory)."""
     if payload is None or payload[:2] != b"BM" or len(payload) < 54:
         return None
     offset = int.from_bytes(payload[10:14], "little")
@@ -125,17 +126,28 @@ def parse_bmp(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     planes = int.from_bytes(payload[26:28], "little")
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
-    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+    if planes != 1 or bpp not in (8, 24) or comp != 0 or w <= 0 or h == 0:
         return None
     top_down, height = h < 0, abs(h)
-    stride = (w * 3 + 3) // 4 * 4
+    bypp = bpp // 8
+    stride = (w * bypp + 3) // 4 * 4
     data = payload[offset:offset + stride * height]
     if len(data) != stride * height:
         return None
     rows = (np.frombuffer(data, dtype=np.uint8)
-            .reshape(height, stride)[:, :w * 3].reshape(height, w, 3))
+            .reshape(height, stride)[:, :w * bypp])
     if not top_down:
         rows = rows[::-1]
+    if bpp == 8:
+        # color table: BGRA quads between the info header and pixels
+        used = int.from_bytes(payload[46:50], "little") or 256
+        tbl = payload[14 + hdr_size:14 + hdr_size + 4 * used]
+        if len(tbl) < 4 * used or int(rows.max(initial=0)) >= used:
+            return None
+        pal = (np.frombuffer(tbl, dtype=np.uint8)
+               .reshape(used, 4)[:, :3][:, ::-1])      # BGRA -> RGB
+        return w, height, pal[rows]
+    rows = rows.reshape(height, w, 3)
     return w, height, rows[..., ::-1].copy()
 
 

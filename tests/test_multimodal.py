@@ -1110,3 +1110,37 @@ def test_png_16bit_depth_decodes_high_byte():
              + chunk(b"IDAT", _zlib.compress(b"\x00" * 36))
              + chunk(b"IEND", b""))
     assert M.parse_png(png_b) is None
+
+
+def test_bmp_8bit_palette_decodes():
+    """8-bit palette BMPs resolve through the BGRA color table; both
+    row orders work and out-of-range indexes reject."""
+    import numpy as np
+    idx = np.array([[0, 1, 2], [3, 2, 0]], np.uint8)
+    h, w = idx.shape
+    pal_rgb = [(250, 0, 0), (0, 250, 0), (0, 0, 250), (9, 9, 9)]
+    table = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_rgb)
+    stride = (w + 3) // 4 * 4
+    body = b"".join(bytes(idx[y]) + b"\x00" * (stride - w)
+                    for y in range(h - 1, -1, -1))      # bottom-up
+    offset = 14 + 40 + len(table)
+    hdr = (b"BM" + (offset + len(body)).to_bytes(4, "little")
+           + b"\x00" * 4 + offset.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + b"\x00" * 8 + (4).to_bytes(4, "little")    # biClrUsed = 4
+           + b"\x00" * 4)
+    bmp = hdr + table + body
+    parsed = M.parse_bmp(bmp)
+    assert parsed is not None and parsed[:2] == (w, h)
+    want = np.array(pal_rgb, np.uint8)[idx]
+    assert np.array_equal(parsed[2], want)
+    # decode_image real tier picks it up
+    assert M.decode_image(bmp)[:2] == [float(w), float(h)]
+    # index beyond biClrUsed -> reject
+    bad = bytearray(bmp)
+    bad[offset] = 7
+    assert M.parse_bmp(bytes(bad)) is None
