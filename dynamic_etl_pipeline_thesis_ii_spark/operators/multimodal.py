@@ -876,7 +876,15 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
         if width == 2 and frames:
             samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
             rms = float(np.sqrt(np.mean(samples ** 2)))
-        else:  # non-16-bit PCM: amplitude stats over raw bytes
+        elif width == 3 and frames:
+            # 24-bit PCM: widen each little-endian triplet to int32
+            # with sign extension, scale back to the 24-bit range
+            b = np.frombuffer(frames, dtype=np.uint8)
+            b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            rms = float(np.sqrt(np.mean(vals.astype(np.float64) ** 2)))
+        else:  # 8-bit PCM: amplitude stats over raw bytes
             samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
             rms = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
         return [round(duration, 6), float(rate), float(channels),

@@ -1144,3 +1144,28 @@ def test_bmp_8bit_palette_decodes():
     bad = bytearray(bmp)
     bad[offset] = 7
     assert M.parse_bmp(bytes(bad)) is None
+
+
+def test_decode_wav_24bit_real():
+    """24-bit PCM WAV: sign-extended little-endian triplets; RMS of a
+    sine at amplitude A is A/sqrt(2)."""
+    import io as _io
+    import math as _math
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+    rate, amp, n = 8000, 4_000_000, 2000
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(rate)
+        frames = b"".join(
+            _struct.pack("<i", int(amp * _math.sin(2 * _math.pi * 440 * i
+                                                   / rate)))[:3]
+            for i in range(n))
+        f.writeframes(frames)
+    duration, got_rate, channels, rms = M.decode_audio(buf.getvalue())
+    assert (duration, got_rate, channels) == (n / rate, 8000.0, 1.0)
+    assert abs(rms - amp / np.sqrt(2)) / rms < 0.02

@@ -460,3 +460,32 @@ def test_stateless_curation_exprs_stream(spark, tmp_path):
                            "doc_id long, text string"),
                        size=4, stride=3).collect())
     assert sgot == bwant and len(sgot) == 3  # 2 chunks doc1 + 1 doc2
+
+
+def test_quality_classifier_scores_stream(spark, tmp_path):
+    """A trained quality model transforms a stream row-wise (no
+    aggregation in the pipeline), so scoring works unchanged on
+    Structured Streaming and matches batch scores exactly."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import quality as Q
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "runs through the field while the sun sets slowly " * 3)
+    rows = [{"doc_id": 1, "text": clean},
+            {"doc_id": 2, "text": "zz qq ### ... 0x1 kpl " * 5}]
+    train = Q.weak_labels_from_gopher(spark.createDataFrame(
+        [(i, clean + f" v{i}") for i in range(10)]
+        + [(100 + i, f"xx qq ### {i} " * 6) for i in range(10)],
+        ["doc_id", "text"]))
+    model = Q.train_quality_classifier(train, n_features=1 << 12)
+
+    d = str(tmp_path / "qdocs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = spark.readStream.schema("doc_id long, text string").json(d)
+    scored = Q.score_quality(stream, model)
+    assert scored.isStreaming
+    S.run_available_now(scored, "stream_quality_test")
+    got = {r["id"]: r["quality_prob"] for r in
+           spark.sql("SELECT * FROM stream_quality_test").collect()}
+    batch = {r["id"]: r["quality_prob"] for r in Q.score_quality(
+        spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows],
+                              "doc_id long, text string"), model).collect()}
+    assert got == batch and got[1] > got[2]
