@@ -248,3 +248,69 @@ def test_jpeg_dims_and_bounded_error_property(h, w, quality, subsample,
     assert parsed is not None
     assert (parsed[0], parsed[1]) == (w, h)
     assert np.abs(parsed[2].astype(int) - arr.astype(int)).mean() < 24
+
+
+# ---------------------------------------------------------------------------
+# codec-layer properties: the decoders run inside mapInPandas kernels,
+# where ONE uncaught exception fails the whole task — "never raise on
+# arbitrary bytes" is a load-bearing invariant, not a nicety
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_parsers_never_raise_on_arbitrary_bytes(payload):
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        jpeg as J,
+        multimodal as M,
+    )
+    for parser in (M.parse_netpbm, M.parse_bmp, M.parse_png,
+                   M.parse_gif, M.parse_tiff, M.parse_mp3_meta,
+                   J.parse_jpeg):
+        parser(payload)            # parsed-or-None, never an exception
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=8, max_size=400))
+def test_parsers_never_raise_on_magic_prefixed_garbage(payload):
+    """Garbage wearing each format's magic bytes exercises the deep
+    parse paths, not just the signature gate."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        jpeg as J,
+        multimodal as M,
+    )
+    cases = [(M.parse_png, M.PNG_SIG), (M.parse_gif, b"GIF89a"),
+             (M.parse_tiff, b"II*\x00"), (M.parse_bmp, b"BM"),
+             (M.parse_netpbm, b"P6\n"), (J.parse_jpeg, b"\xFF\xD8\xFF"),
+             (M.parse_mp3_meta, b"\xFF\xFB")]
+    for parser, magic in cases:
+        parser(magic + payload)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=3000),
+       st.integers(2, 8))
+def test_gif_lzw_roundtrip_property(vals, min_code):
+    """LZW decode(encode(x)) == x for any byte stream whose symbols
+    fit the code size (table growth, clear-on-full, KwKwK included)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+    alphabet = 1 << min_code
+    px = bytes(v % alphabet for v in vals)
+    assert _gif_lzw_decode(_gif_lzw_encode(px, min_code),
+                           min_code, len(px)) == px
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcd", min_size=0, max_size=12),
+       st.lists(st.tuples(st.text(alphabet="abcd", min_size=1, max_size=3),
+                          st.text(alphabet="abcd", min_size=1, max_size=3)),
+                max_size=10))
+def test_encode_word_never_raises_and_reassembles(word, merge_pairs):
+    """encode_word tolerates ARBITRARY (even non-learned) merge
+    tables and its output always reassembles the input word."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as B
+    ranks = {m: i for i, m in enumerate(dict.fromkeys(merge_pairs))}
+    toks = B.encode_word(word, ranks)
+    assert "".join(toks) == word + B.END
