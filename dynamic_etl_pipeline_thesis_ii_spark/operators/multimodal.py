@@ -610,11 +610,102 @@ def write_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}            # BYTE, SHORT, LONG
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> Optional[bytes]:
+    """TIFF-variant LZW (spec §13): MSB-first bit order, codes 256 =
+    Clear / 257 = EOI, 9->12-bit growth with EARLY CHANGE (the width
+    bumps one code sooner than GIF's variant)."""
+    CLEAR, EOI = 256, 257
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    width, next_code = 9, 258
+    out = bytearray()
+    prev: Optional[bytes] = None
+    pos, total = 0, len(data) * 8
+    while pos + width <= total and len(out) < max_out:
+        bi, off = divmod(pos, 8)
+        chunk = int.from_bytes(data[bi:bi + 4].ljust(4, b"\x00"), "big")
+        code = (chunk >> (32 - off - width)) & ((1 << width) - 1)
+        pos += width
+        if code == CLEAR:
+            table = dict(base)
+            width, next_code = 9, 258
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]        # KwKwK
+            else:
+                return None
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1                      # early change
+        out += entry
+        prev = entry
+    return bytes(out[:max_out])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Inverse of :func:`_tiff_lzw_decode` (fixture generator)."""
+    CLEAR, EOI = 256, 257
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    width, next_code = 9, 258
+    emit(CLEAR, width)
+    w = b""
+    for c in data:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4094:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder's table lags one insert behind, so its
+            # early-change bump at (1<<w)-1 lines up with the encoder
+            # bumping at the natural 1<<w boundary
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width, next_code = 9, 258
+        w = bytes([c])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
-    """Decode a baseline uncompressed TIFF (8 bits/sample, 1 or 3
-    samples/pixel, chunky, any strip layout, little- or big-endian)
-    into (width, height, HxWxC uint8). Compressed / tiled / planar /
-    non-8-bit variants return None — callers fall through."""
+    """Decode a baseline TIFF (8 bits/sample, 1 or 3 samples/pixel,
+    chunky, any strip layout, little- or big-endian; uncompressed OR
+    LZW with optional horizontal-differencing predictor — the common
+    scanned-document layout) into (width, height, HxWxC uint8).
+    Other compressions / tiled / planar / non-8-bit variants return
+    None — callers fall through."""
     if payload is None or payload[:4] not in (b"II*\x00", b"MM\x00*"):
         return None
     bo = "little" if payload[:2] == b"II" else "big"
@@ -646,37 +737,71 @@ def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         planar = tags.get(284, [1])[0]
         offsets = tags.get(273)
         counts = tags.get(279)
+        predictor = tags.get(317, [1])[0]
         if (not offsets or w <= 0 or h <= 0 or w * h > 1 << 26
                 or spp not in (1, 3) or any(b != 8 for b in bits)
-                or compression != 1 or planar != 1
+                or compression not in (1, 5) or planar != 1
+                or predictor not in (1, 2)
                 # 0=WhiteIsZero, 1=BlackIsZero, 2=RGB; palette/CMYK/
                 # YCbCr need PIL — reject rather than mis-decode
                 or photometric not in (0, 1, 2)
                 or (photometric == 2) != (spp == 3)):
             return None
-        if counts is None:
-            counts = [w * h * spp]
-        raw = b"".join(payload[o:o + c] for o, c in zip(offsets, counts))
-        if len(raw) < w * h * spp:
+        rps = tags.get(278, [h])[0] or h
+        strip_rows = [min(rps, h - k * rps) for k in range(-(-h // rps))]
+        if len(offsets) < len(strip_rows):
             return None
-        arr = np.frombuffer(raw[:w * h * spp], dtype=np.uint8)
+        if counts is None:
+            counts = [len(payload)] * len(offsets)
+        parts = []
+        for k, nrows in enumerate(strip_rows):
+            want = nrows * w * spp
+            seg = payload[offsets[k]:offsets[k] + counts[k]]
+            if compression == 5:
+                dec = _tiff_lzw_decode(seg, want)
+                if dec is None or len(dec) < want:
+                    return None
+                parts.append(dec)
+            else:
+                if len(seg) < want:
+                    return None
+                parts.append(seg[:want])
+        arr = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        arr = arr.reshape(h, w, spp)
+        if predictor == 2:      # horizontal differencing: per-row,
+            arr = (arr.astype(np.uint32)          # per-channel prefix sum
+                   .cumsum(axis=1) & 0xFF).astype(np.uint8)
         if photometric == 0:                     # WhiteIsZero: invert
             arr = 255 - arr
-        return w, h, arr.reshape(h, w, spp)
+        return w, h, arr
     except (IndexError, ValueError):
         return None
 
 
-def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0) -> bytes:
-    """Encode HxWxC uint8 (C in 1/3) as an uncompressed little-endian
-    TIFF — the inverse of :func:`parse_tiff`. ``rows_per_strip > 0``
-    splits the image into multiple strips (the decoder's multi-strip
-    fixture generator)."""
+def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0,
+               compression: str = "none",
+               predictor: bool = False) -> bytes:
+    """Encode HxWxC uint8 (C in 1/3) as a little-endian TIFF — the
+    inverse of :func:`parse_tiff`. ``rows_per_strip > 0`` splits the
+    image into multiple strips; ``compression="lzw"`` LZW-compresses
+    each strip, optionally after horizontal differencing
+    (``predictor=True``) — the decoder's fixture generators."""
     if arr.ndim == 2:
         arr = arr[..., None]
+    if compression not in ("none", "lzw"):
+        raise ValueError(f"compression must be none/lzw, got {compression!r}")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor requires lzw compression")
     h, w, c = arr.shape
+    src = arr
+    if predictor:
+        diff = src.astype(np.int16)
+        diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) & 0xFF
+        src = diff.astype(np.uint8)
     rps = rows_per_strip if rows_per_strip > 0 else h
-    strips = [arr[y:y + rps].tobytes() for y in range(0, h, rps)]
+    strips = [src[y:y + rps].tobytes() for y in range(0, h, rps)]
+    if compression == "lzw":
+        strips = [_tiff_lzw_encode(s) for s in strips]
     nstrips = len(strips)
 
     # layout: header(8) | strip data | [bits-per-sample array]
@@ -711,7 +836,9 @@ def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0) -> bytes:
         entries.append(entry(258, 3, 3, bps_off))   # pointer to 3 SHORTs
     else:
         entries.append(entry(258, 3, 1, 8))
-    entries.append(entry(259, 3, 1, 1))             # uncompressed
+    entries.append(entry(259, 3, 1, 5 if compression == "lzw" else 1))
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
     entries.append(entry(262, 3, 1, 2 if c == 3 else 1))
     if nstrips > 2:
         entries.append(entry(273, 4, nstrips, ext[0][0]))

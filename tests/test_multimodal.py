@@ -1169,3 +1169,48 @@ def test_decode_wav_24bit_real():
     duration, got_rate, channels, rms = M.decode_audio(buf.getvalue())
     assert (duration, got_rate, channels) == (n / rate, 8000.0, 1.0)
     assert abs(rms - amp / np.sqrt(2)) / rms < 0.02
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    """LZW-compressed TIFFs (the common scanned-document layout)
+    round-trip exactly across strip layouts, with and without the
+    horizontal-differencing predictor; a truncated LZW strip rejects
+    instead of raising."""
+    import numpy as np
+    rng = np.random.default_rng(31)
+    for shape, rps, pred in [((9, 13, 3), 0, False), ((9, 13, 3), 2, True),
+                             ((16, 8, 1), 5, False), ((25, 18, 3), 7, True)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        enc = M.write_tiff(a, rows_per_strip=rps, compression="lzw",
+                           predictor=pred)
+        got = M.parse_tiff(enc)
+        assert got is not None, (shape, rps, pred)
+        assert np.array_equal(got[2], a.reshape(shape[0], shape[1], -1))
+    # smooth gradients compress: LZW beats raw on compressible data
+    grad = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+    raw_len = len(M.write_tiff(grad))
+    lzw_len = len(M.write_tiff(grad, compression="lzw", predictor=True))
+    assert lzw_len < raw_len / 2
+    # severe truncation (IFD gone) -> None, never raise
+    enc = M.write_tiff(grad, compression="lzw")
+    assert M.parse_tiff(enc[:100]) is None
+    # corrupt LZW stream inside the strip -> None or decode, no raise
+    broken = bytearray(enc)
+    for k in range(20, 60):
+        broken[k] ^= 0xFF
+    M.parse_tiff(bytes(broken))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compression"):
+        M.write_tiff(grad, compression="zip")
+    with _pytest.raises(ValueError, match="predictor"):
+        M.write_tiff(grad, predictor=True)
+
+
+def test_tiff_lzw_table_full_reset():
+    """Random high-entropy data large enough to fill the 12-bit code
+    table forces mid-stream Clear codes; round-trip must survive."""
+    import numpy as np
+    rng = np.random.default_rng(32)
+    big = rng.integers(0, 256, (80, 80, 3)).astype(np.uint8)
+    got = M.parse_tiff(M.write_tiff(big, compression="lzw"))
+    assert got is not None and np.array_equal(got[2], big)
