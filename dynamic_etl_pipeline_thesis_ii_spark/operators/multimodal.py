@@ -653,6 +653,54 @@ def _tiff_lzw_decode(data: bytes, max_out: int) -> Optional[bytes]:
     return bytes(out[:max_out])
 
 
+def _packbits_decode(data: bytes, max_out: int) -> Optional[bytes]:
+    """TIFF PackBits RLE (spec §9): control byte 0..127 = copy n+1
+    literals, 129..255 = repeat next byte 257-n times, 128 = no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_out:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                return None
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:max_out])
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Inverse of :func:`_packbits_decode` for ONE row (the spec
+    requires each row to compress independently)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:                           # run of 2+ -> repeat op
+            out += bytes([257 - (j - i), row[i]])
+            i = j
+            continue
+        # literal stretch: until the next run of 3+ (2-runs inside a
+        # literal cost nothing extra) or 128 bytes
+        k = i + 1
+        while k < n and k - i < 128:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + row[i:k]
+        i = k
+    return bytes(out)
+
+
 def _tiff_lzw_encode(data: bytes) -> bytes:
     """Inverse of :func:`_tiff_lzw_decode` (fixture generator)."""
     CLEAR, EOI = 256, 257
@@ -740,7 +788,7 @@ def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         predictor = tags.get(317, [1])[0]
         if (not offsets or w <= 0 or h <= 0 or w * h > 1 << 26
                 or spp not in (1, 3) or any(b != 8 for b in bits)
-                or compression not in (1, 5) or planar != 1
+                or compression not in (1, 5, 32773) or planar != 1
                 or predictor not in (1, 2)
                 # 0=WhiteIsZero, 1=BlackIsZero, 2=RGB; palette/CMYK/
                 # YCbCr need PIL — reject rather than mis-decode
@@ -757,8 +805,9 @@ def parse_tiff(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         for k, nrows in enumerate(strip_rows):
             want = nrows * w * spp
             seg = payload[offsets[k]:offsets[k] + counts[k]]
-            if compression == 5:
-                dec = _tiff_lzw_decode(seg, want)
+            if compression in (5, 32773):
+                dec = (_tiff_lzw_decode(seg, want) if compression == 5
+                       else _packbits_decode(seg, want))
                 if dec is None or len(dec) < want:
                     return None
                 parts.append(dec)
@@ -788,8 +837,9 @@ def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0,
     (``predictor=True``) — the decoder's fixture generators."""
     if arr.ndim == 2:
         arr = arr[..., None]
-    if compression not in ("none", "lzw"):
-        raise ValueError(f"compression must be none/lzw, got {compression!r}")
+    if compression not in ("none", "lzw", "packbits"):
+        raise ValueError(
+            f"compression must be none/lzw/packbits, got {compression!r}")
     if predictor and compression != "lzw":
         raise ValueError("predictor requires lzw compression")
     h, w, c = arr.shape
@@ -799,9 +849,15 @@ def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0,
         diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) & 0xFF
         src = diff.astype(np.uint8)
     rps = rows_per_strip if rows_per_strip > 0 else h
-    strips = [src[y:y + rps].tobytes() for y in range(0, h, rps)]
-    if compression == "lzw":
-        strips = [_tiff_lzw_encode(s) for s in strips]
+    if compression == "packbits":
+        # each ROW compresses independently (TIFF spec §9)
+        strips = [b"".join(_packbits_encode_row(src[y].tobytes())
+                           for y in range(y0, min(y0 + rps, h)))
+                  for y0 in range(0, h, rps)]
+    else:
+        strips = [src[y:y + rps].tobytes() for y in range(0, h, rps)]
+        if compression == "lzw":
+            strips = [_tiff_lzw_encode(s) for s in strips]
     nstrips = len(strips)
 
     # layout: header(8) | strip data | [bits-per-sample array]
@@ -836,7 +892,8 @@ def write_tiff(arr: "np.ndarray", rows_per_strip: int = 0,
         entries.append(entry(258, 3, 3, bps_off))   # pointer to 3 SHORTs
     else:
         entries.append(entry(258, 3, 1, 8))
-    entries.append(entry(259, 3, 1, 5 if compression == "lzw" else 1))
+    entries.append(entry(259, 3, 1, {"none": 1, "lzw": 5,
+                                     "packbits": 32773}[compression]))
     if predictor:
         entries.append(entry(317, 3, 1, 2))
     entries.append(entry(262, 3, 1, 2 if c == 3 else 1))
