@@ -201,11 +201,13 @@ def main() -> None:
               file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result: dict = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
     if os.environ.get("BENCH_SCALE", "1") != "0":
@@ -220,11 +222,24 @@ def main() -> None:
             print(f"# scale_probe {m}: " + "  ".join(
                 f"x{r['factor']}: {r['candidates']} cand in {r['sec']}s"
                 for r in rows), file=sys.stderr)
-        result["scale_probe"] = probe
+        # the full probe goes on its OWN '#'-prefixed stdout line; it
+        # must NOT ride in the final JSON — see the budget note below
+        print("# scale_probe " + json.dumps(probe))
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    result["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(json.dumps(result))
+    # FINAL-LINE BUDGET: the driver records only the last ~2,000 chars
+    # of stdout and json-parses the final line, so that line must stay
+    # well under 2,000 chars FOREVER (r7 lost every per-query timing
+    # when the inlined scale_probe pushed it past the window). Keep the
+    # final JSON to {metric, value, unit, queries, sf}; anything bulky
+    # (probe series, plan dumps) goes on earlier '#' lines. This is the
+    # bench-side twin of the 50-entry registry budget documented in
+    # queries/__init__.py.
+    line = json.dumps(result)
+    assert len(line) < 1800, (
+        f"final bench line {len(line)} chars — trim HEADLINE or move "
+        f"payload to a '#' line before the driver's 2,000-char window "
+        f"truncates it")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -477,7 +477,16 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     color canvas, as a viewer shows them), global/local color tables,
     variable-width LZW, optional interlaced row order. Extensions
     (GCE, comments, application) are skipped; later frames ignored.
-    None for non-GIF / malformed payloads."""
+    None for non-GIF / malformed payloads.
+
+    Transparency contract: GCE-transparent pixels composite onto the
+    file's background-color index (what a first-frame viewer shows).
+    Consequence for downstream features: channel means of transparent
+    GIFs FOLLOW the file's background slot — a saturated bg_index
+    tints them, deterministically and per the file's own declaration.
+    A fixed neutral fill would instead diverge from every rendered
+    view of the same file; we keep the viewer-faithful choice and
+    document it here."""
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:

@@ -35,7 +35,10 @@ _URL_RULES: list[tuple[str, str, str]] = [
     (r"#.*", "", ""),                                    # fragment
     # tracking params; the captured delimiter survives so ?/& chains
     # can be repaired by the cleanup rules below
-    (r"([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "$1", r"\1"),
+    # utm_ name class includes digits/underscores: real trackers ship
+    # utm_id / utm_abc123-style params, which a letters-only class
+    # would leave behind (keeping duplicate URLs distinct)
+    (r"([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1", r"\1"),
     # && collapse MUST precede the ?& repair: '?utm&utm&id' leaves
     # '?&&id', and repairing ?& first would strand '?&id' (caught by
     # the idempotence property test)
@@ -98,17 +101,34 @@ def SQL_NORMALIZE_URL(expr: str) -> str:
 
 # host = authority after any userinfo '@', before any ':port'
 _HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/?#]*@)?([^/:?#]+)"
+# schemeless fallback: optional protocol-relative '//', optional
+# userinfo, then everything up to the first '/:?#'. Applied ONLY when
+# no scheme is present — on 'http:///x' the scheme branch owns the
+# (empty) authority, and the fallback must not misread 'http' as a
+# host.
+_BARE_HOST_RE = r"^(?://)?(?:[^/?#]*@)?([^/:?#]+)"
 
 
 def url_host(norm_url: Column) -> Column:
     """Authority host of an already-normalized URL (userinfo and port
     excluded — a crafted 'user@blocked.com' authority must still
-    resolve to the real host for the blocklist)."""
-    return F.regexp_extract(norm_url, _HOST_RE, 1)
+    resolve to the real host for the blocklist). Schemeless and
+    protocol-relative inputs ('example.com/x', '//blocked.com/x')
+    fall back to the text before the first '/:?#' so blocklist
+    coverage does not depend on the scheme being present; the result
+    is lowercased (hosts are case-insensitive, RFC 3986 §6.2.2.1) so
+    schemeless hosts — which normalize_url cannot lowercase — still
+    match a lowercase blocklist."""
+    scheme = F.regexp_extract(norm_url, _SCHEME_RE, 1)
+    return F.lower(F.when(scheme != "",
+                          F.regexp_extract(norm_url, _HOST_RE, 1))
+                   .otherwise(F.regexp_extract(norm_url, _BARE_HOST_RE, 1)))
 
 
 def SQL_URL_HOST(expr: str) -> str:
-    return f"regexp_extract({expr}, '{_HOST_RE}', 1)"
+    return (f"lower(CASE WHEN regexp_extract({expr}, '{_SCHEME_RE}', 1)"
+            f" != '' THEN regexp_extract({expr}, '{_HOST_RE}', 1) "
+            f"ELSE regexp_extract({expr}, '{_BARE_HOST_RE}', 1) END)")
 
 
 def registered_domain(host: Column,

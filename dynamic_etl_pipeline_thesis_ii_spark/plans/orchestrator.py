@@ -329,9 +329,15 @@ class Pipeline:
 # RulePlanner's style (rule-encoded routing, LLM-pluggable upstream)
 _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack")
+# budget binds from a budget-flavored anchor word when one is present;
+# otherwise a bare 'N tokens' counts ONLY if it doesn't overlap the
+# seq-length match — 'pack into contexts of 512 tokens' names the
+# context size, not the budget, and must not clobber the default
+_TOKEN_BUDGET_KEYED_RE = re.compile(
+    r"\b(?:budget|select|keep|total)\D{0,15}?([\d][\d,_]*)\s*tokens?\b")
 _TOKEN_BUDGET_RE = re.compile(r"\b([\d][\d,_]*)\s*tokens?\b")
 _SEQ_LEN_RE = re.compile(
-    r"\b(?:sequence|seq|context)(?:\s+length)?\s+(?:of\s+)?(\d+)\b")
+    r"\b(?:sequence|seq|context)s?(?:\s+length)?(?:\s+of)?\s+(\d+)\b")
 _SHARDS_RE = re.compile(r"\b(\d+)\s+shards?\b")
 _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
@@ -350,10 +356,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
             "seq_len": 512, "n_shards": 4, "n_buckets": 4,
             "shuffle_salt": None,
             "tokenizer": "bpe" if "bpe" in ql else "whitespace"}
-    if m := _TOKEN_BUDGET_RE.search(ql):
+    seq_m = _SEQ_LEN_RE.search(ql)
+    if seq_m:
+        plan["seq_len"] = int(seq_m.group(1))
+    if m := _TOKEN_BUDGET_KEYED_RE.search(ql):
         plan["token_budget"] = int(re.sub(r"[,_]", "", m.group(1)))
-    if m := _SEQ_LEN_RE.search(ql):
-        plan["seq_len"] = int(m.group(1))
+    else:
+        for m in _TOKEN_BUDGET_RE.finditer(ql):
+            if seq_m and m.start() < seq_m.end() and seq_m.start() < m.end():
+                continue    # the N in 'contexts of N tokens' is seq_len
+            plan["token_budget"] = int(re.sub(r"[,_]", "", m.group(1)))
+            break
     if m := _SHARDS_RE.search(ql):
         plan["n_shards"] = int(m.group(1))
         plan["n_buckets"] = max(4, plan["n_shards"])

@@ -498,6 +498,15 @@ def test_parse_dataops_query():
     b = parse_dataops_query("curate the corpus with bpe tokens, 4 shards")
     assert b["tokenizer"] == "bpe"
     assert parse_dataops_query("Get AAPL daily stock prices") is None
+    # 'contexts of 512 tokens' names the context size, NOT the budget:
+    # the bare 'N tokens' match overlaps the seq-length span and must
+    # not clobber the default budget
+    c = parse_dataops_query("curate and pack into contexts of 512 tokens")
+    assert (c["seq_len"], c["token_budget"]) == (512, 15_000)
+    # a budget-anchored phrase wins even with a context size present
+    k = parse_dataops_query(
+        "curate with a budget of 1,000,000 tokens in contexts of 256 tokens")
+    assert (k["token_budget"], k["seq_len"]) == (1_000_000, 256)
 
 
 def test_pipeline_dataops_bpe_tokenizer(spark, sf_dir, tmp_path):

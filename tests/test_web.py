@@ -29,6 +29,9 @@ def test_normalize_url_semantics(spark):
         "https://a.example/x?utm_source=f&id=1": "https://a.example/x?id=1",
         "https://a.example/x?id=1&utm_a=1&utm_b=2": "https://a.example/x?id=1",
         "https://a.example/x?gclid=9": "https://a.example/x",
+        # tracker names with digits/underscores (utm_id, utm_abc123)
+        "https://a.example/x?utm_id=7&id=1": "https://a.example/x?id=1",
+        "https://a.example/x?utm_abc123=z": "https://a.example/x",
         "https://a.example/x?fbclid=1&id=2": "https://a.example/x?id=2",
         # trailing slashes
         "https://a.example/x/": "https://a.example/x",
@@ -82,8 +85,40 @@ def test_normalize_url_null_and_garbage(spark):
                     W.url_host(W.normalize_url(F.col("url"))).alias("h"))
     rows = got.collect()
     assert rows[0]["n"] is None
-    assert rows[1]["n"] == "no scheme here" and rows[1]["h"] == ""
+    # garbage without a scheme falls back to text-up-to-'/:?#' — a
+    # nonsense "host" that matches no blocklist entry, rather than an
+    # empty host that would silently pass every domain filter
+    assert rows[1]["n"] == "no scheme here" and rows[1]["h"] == "no scheme here"
     assert rows[2]["n"] == "" and rows[2]["h"] == ""
+
+
+def test_url_host_schemeless_fallback(spark):
+    """Schemeless and protocol-relative URLs still resolve a host (the
+    blocklist must not depend on the scheme being present), userinfo
+    and ports are still stripped, and the fallback lowercases (the
+    normalizer can't — it never saw an authority)."""
+    cases = {
+        "example.com/x": "example.com",
+        "//Blocked.COM/x?id=1": "blocked.com",
+        "user:pass@Example.com:8080/p": "example.com",
+        "//a.b.example": "a.b.example",
+        "http:///x": "",              # scheme present, empty authority
+        "site.org": "site.org",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = [r["h"] for r in df.select(
+        W.url_host(W.normalize_url(F.col("url"))).alias("h")).collect()]
+    assert got == list(cases.values())
+
+
+def test_domain_filter_catches_schemeless_blocked(spark):
+    rows = [(1, "https://ok.example/a"),
+            (2, "bad.example/x"),                 # schemeless
+            (3, "//sub.bad.example/y?utm_id=1")]  # protocol-relative
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    blocked = spark.createDataFrame([("bad.example",)], ["domain"])
+    assert sorted(r["doc_id"]
+                  for r in W.domain_filter(df, blocked).collect()) == [1]
 
 
 def test_url_host_matches_urllib_reference(spark):
