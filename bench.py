@@ -101,11 +101,24 @@ def scale_probe(spark, factors: list[int]) -> dict:
     corpus explosions instead of the query suite's one persisted pairs
     frame, a constant-factor upper bound on the suite's cost with the
     identical shuffle structure (pairs ⋈ logp on near-uniform bigram
-    keys)."""
+    keys).
+
+    Round-8 additions: chunk (overlapping chunking — scan-only 1->N
+    expansion, rows = sum ceil(tokens/stride) so EXACTLY linear, no
+    shuffle to misbehave); url (normalize + canonical URL dedup over a
+    synthesized half-duplicated URL column — per-row regex chain plus
+    ONE shuffle on the normalized URL, rows ~n/2 exactly, time
+    ~linear); pq (codes + two-stage ADC top-k over the REPLICATED
+    embeddings table, 8 fixed queries — rows out FLAT at |Q|·k by
+    construction, wall time ~linear in candidates: one codes scan, a
+    broadcast LUT join, per-partition pre-truncation, then a
+    constant-size rank window)."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as S
     from dynamic_etl_pipeline_thesis_ii_spark.operators import text as T
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import web as W
     from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
@@ -131,6 +144,15 @@ def scale_probe(spark, factors: list[int]) -> dict:
         "lineclean": lambda d: T.remove_boilerplate_lines(d),
         "spanclean": lambda d: T.remove_repeated_spans(d),
         "bigram": lambda d: T.bigram_logprob(d),
+        "chunk": lambda d: T.chunk_documents(d, size=64, stride=48),
+        # half-duplicated synthetic URLs (two doc_ids share each path,
+        # tracking params + mixed case force the full normalize chain):
+        # dedup keeps ~n/2 rows — exactly linear
+        "url": lambda d: W.url_dedup(d.withColumn(
+            "url", F.concat(F.lit("HTTPS://Example.COM/p/"),
+                            (F.col("doc_id") / 2).cast("long"),
+                            F.lit("/?utm_source=probe&utm_id="),
+                            F.col("doc_id")))),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:
@@ -161,6 +183,37 @@ def scale_probe(spark, factors: list[int]) -> dict:
                            "sec": round(best, 3)})
         corpus.unpersist()
     bench_set.unpersist()
+
+    # PQ rides the EMBEDDINGS table: replicas keep their vectors (ADC
+    # cost depends on candidate count, not vector novelty) with ids
+    # remapped to stay unique; 8 fixed queries, so rows out is FLAT at
+    # |Q|*k while wall time must stay ~linear in candidates
+    emb = Catalog(spark, SF_DIR).embeddings
+    books = S.pq_grid_codebooks(64, m=4, k=8)
+    pq_q = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")).persist())
+    pq_q.count()
+    probe_rep = max(1, int(os.environ.get("BENCH_PROBE_REPEAT", "2")))
+    out["pq"] = []
+    for f in factors:
+        reps = [emb.select((F.col("vec_id") * f + i).alias("c_id"),
+                           F.col("embedding").alias("c_vec"))
+                for i in range(f)]
+        cand = reps[0]
+        for r in reps[1:]:
+            cand = cand.unionAll(r)
+        cand = cand.persist()
+        n = cand.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = S.pq_topk(pq_q, cand, books, k=5).count()
+            best = min(best, time.perf_counter() - t0)
+        out["pq"].append({"factor": f, "n_docs": n, "candidates": c,
+                          "sec": round(best, 3)})
+        cand.unpersist()
+    pq_q.unpersist()
     return out
 
 

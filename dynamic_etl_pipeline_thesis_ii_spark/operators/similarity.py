@@ -310,13 +310,52 @@ def pq_lut(qvec: Column, codebooks: list) -> Column:
                      for s in range(len(codebooks))])
 
 
+def _partition_topk(scored: DataFrame, k: int,
+                    flush_rows: int = 100_000) -> DataFrame:
+    """Per-PARTITION top-k per query over a ``(q_id, c_id, adc)``
+    stream, with NO shuffle — the map-side half of the same two-stage
+    trick TakeOrdered uses. A vectorized Arrow kernel accumulates
+    input batches and truncates to k rows per q_id whenever the
+    buffer passes ``flush_rows``, so memory stays bounded and each
+    partition emits at most |Q|·k rows. Top-k under the TOTAL
+    (adc asc, c_id asc) order is associative: local-then-global
+    truncation returns exactly the global top-k."""
+    def kernel(batches):
+        import pandas as pd
+
+        def crush(frames):
+            cat = pd.concat(frames, ignore_index=True)
+            return (cat.sort_values(["adc", "c_id"], kind="mergesort")
+                    .groupby("q_id", sort=False).head(k))
+
+        buf, n = [], 0
+        for pdf in batches:
+            buf.append(pdf)
+            n += len(pdf)
+            if n >= flush_rows:
+                cat = crush(buf)
+                buf, n = [cat], len(cat)
+        if buf:
+            yield crush(buf)
+
+    return scored.mapInPandas(kernel, schema=scored.schema)
+
+
 def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
             k: int, q_id: str = "q_id", q_vec: str = "q_vec",
             c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
     """ADC top-k: candidates reduce to (id, codes) in one scan, the
     (small) query side broadcasts with its lookup tables, and the
     search join touches codes only. Output ``(q_id, c_id, adc, rank)``
-    with adc = approximate squared L2 distance, rank ascending."""
+    with adc = approximate squared L2 distance, rank ascending.
+
+    Two-stage top-k: the scored stream pre-truncates to k rows per
+    query WITHIN each scan partition (:func:`_partition_topk`, no
+    shuffle), so the global rank window shuffles ~n_partitions·|Q|·k
+    rows instead of the full |C|·|Q| product — at 10⁹ candidates ×
+    10³ queries the one-stage window would shuffle 10¹² rows for a
+    top-10 answer. The ADC arithmetic stays JVM-side; only the narrow
+    (q_id, c_id, adc) scalars cross into the Arrow kernel."""
     cand = candidates.select(
         F.col(c_id).alias("c_id"),
         pq_codes(F.col(c_vec).cast("array<double>"), codebooks)
@@ -328,10 +367,11 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
         F.zip_with(F.col("lut"), F.col("codes"),
                    lambda l, c: F.element_at(l, c + 1)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (cand.join(F.broadcast(qs))
+              .select("q_id", "c_id", adc.alias("adc")))
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
                                            F.col("c_id").asc())
-    return (cand.join(F.broadcast(qs))
-            .select("q_id", "c_id", adc.alias("adc"))
+    return (_partition_topk(scored, k)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 

@@ -218,6 +218,59 @@ def test_pq_codes_train_and_adc_search(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_pq_topk_two_stage_no_full_shuffle(spark, sf_dir):
+    """pq_topk pre-truncates to k rows per query WITHIN each scan
+    partition before the global rank window: the plan shows the Arrow
+    kernel (MapInPandas) feeding the q_id Exchange with no shuffle
+    Exchange below it — the |C|·|Q| scored product never shuffles
+    (only ~n_partitions·|Q|·k pre-truncated rows do) — and the result
+    is row-identical to the one-stage global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, sf_dir).embeddings
+    books = SIM.pq_grid_codebooks(64, m=4, k=8)
+    queries = (emb.filter(F.col("vec_id") < 7)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    out = SIM.pq_topk(queries, cands, books, k=4)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    mp = plan.index("MapInPandas")
+    ex = plan.index("Exchange hashpartitioning(q_id")
+    assert ex < mp, plan     # the window's Exchange sits ABOVE the kernel
+    # below the kernel only the query side's BroadcastExchange appears —
+    # no shuffle (hash/range/single-partition) Exchange of the product
+    below = plan[mp:]
+    assert "Exchange hashpartitioning" not in below, plan
+    assert "Exchange rangepartitioning" not in below, plan
+    assert "Exchange SinglePartition" not in below, plan
+
+    # exact equality vs the one-stage global window over the full product
+    scored = (cands.select(
+        "c_id",
+        SIM.pq_codes(F.col("c_vec").cast("array<double>"), books)
+        .alias("codes"))
+        .join(F.broadcast(queries.select(
+            "q_id",
+            SIM.pq_lut(F.col("q_vec").cast("array<double>"), books)
+            .alias("lut")))))
+    adc = F.round(F.aggregate(
+        F.zip_with(F.col("lut"), F.col("codes"),
+                   lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
+                                           F.col("c_id").asc())
+    ref = (scored.select("q_id", "c_id", adc.alias("adc"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 4))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def _degenerate_corpus(spark, n_same=1200, n_normal=30):
     """1200 identical boilerplate docs (one degenerate LSH bucket) plus a
     few genuinely near-dup docs in healthy buckets."""
