@@ -112,7 +112,15 @@ def scale_probe(spark, factors: list[int]) -> dict:
     embeddings table, 8 fixed queries — rows out FLAT at |Q|·k by
     construction, wall time ~linear in candidates: one codes scan, a
     broadcast LUT join, per-partition pre-truncation, then a
-    constant-size rank window)."""
+    constant-size rank window); quality (score the replicated corpus
+    with a classifier trained ONCE on the 1x base — the train-on-
+    sample/score-everywhere contract; scoring is one scan with the
+    coefficient vector in the model, rows EXACTLY linear); bpe (apply
+    a merge table trained ONCE on the 1x base, count-only mode — the
+    per-executor word cache makes per-row cost a dict lookup, rows
+    EXACTLY linear). Training cost for both is paid at probe setup,
+    outside the timed series, mirroring production where the model /
+    merge table is a reusable artifact."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
@@ -123,10 +131,20 @@ def scale_probe(spark, factors: list[int]) -> dict:
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
 
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as BP
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import quality as Q
+
     base = Catalog(spark, SF_DIR).documents.select("doc_id", "text")
     # fixed small benchmark set (every 13th base doc): contamination
     # cost must stay linear in the corpus with the bench side constant
     bench_set = base.filter(F.col("doc_id") % 13 == 0).persist()
+    # train-once artifacts for the scoring/apply series (setup cost,
+    # not timed): synthetic balanced labels — the probe pins SCORING
+    # throughput, not model quality (test_quality.py owns that)
+    q_model = Q.train_quality_classifier(
+        base.withColumn("label", (F.col("doc_id") % 2).cast("double")),
+        n_features=1 << 16, max_iter=5)
+    bpe_merges = BP.train_bpe(base, n_merges=150)
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),
         # max_hamming=64 disables verification to expose the candidate
@@ -153,6 +171,8 @@ def scale_probe(spark, factors: list[int]) -> dict:
                             (F.col("doc_id") / 2).cast("long"),
                             F.lit("/?utm_source=probe&utm_id="),
                             F.col("doc_id")))),
+        "quality": lambda d: Q.score_quality(d, q_model),
+        "bpe": lambda d: BP.apply_bpe(d, bpe_merges, with_tokens=False),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:

@@ -48,7 +48,12 @@ def _merge_loop(wc: list[tuple[str, int]],
                 n_merges: int) -> list[tuple[str, str]]:
     """Classic BPE merge loop over a word-frequency dict (plain
     Python, driver-side; O(n_merges x words) with incremental pair
-    recount on only the words containing the merged pair)."""
+    recount on only the words containing the merged pair). The
+    per-merge argmin below is a FULL scan of the live pair dict —
+    O(n_merges x |pairs|) overall — which is comfortably fast at the
+    documented 100k-word cap; for 32k+ merge tables a heap keyed on
+    (-count, pair) with lazy deletion would drop that to
+    O(n_merges x log|pairs|)."""
     symseqs: list[list[str]] = [list(w) + [END] for w, _ in wc]
     freqs = [c for _, c in wc]
     # pair -> total count, and pair -> set of word indexes containing it

@@ -69,6 +69,28 @@ def test_merge_loop_matches_naive_reference():
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_merge_loop_tie_heavy_differential():
+    """Tie-DENSE tables: tiny alphabets and near-uniform counts make
+    every round carry several max-count pairs, so any drift in the
+    incremental pair recount or the (-count, pair) tie-break surfaces
+    as a divergent merge list vs the from-scratch reference. (The
+    seeded test above hits ties occasionally; this one hits them
+    every round — the risky path under the capped word table.)"""
+    import random
+    rng = random.Random(91)
+    for trial in range(50):
+        alpha = "ab" if trial % 2 else "abc"
+        wc = {}
+        for _ in range(rng.randint(2, 40)):
+            w = "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(1, 6)))
+            wc[w] = 1 if trial % 3 else rng.randint(1, 2)
+        n = rng.randint(1, 60)
+        got = B._merge_loop(sorted(wc.items()), n)
+        want = ref_train(wc, n)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_encode_word_matches_sequential_reference():
     """Greedy-by-rank encode == sequential merge application (the
     rank-consistency property of BPE merge tables)."""

@@ -50,6 +50,58 @@ def test_score_quality_null_and_empty_text(spark):
     assert all(0.0 <= r["quality_prob"] <= 1.0 for r in got)
 
 
+def _graded(spark, n, offset=0, seed=7, words_per=100):
+    """Docs at a RANDOM clean/salad word mix — unlike the bimodal
+    _corpus, the decision boundary runs through the middle of this
+    set, so ranking quality (AUC) is informative, not trivially 1."""
+    import random
+    rng = random.Random(seed + offset)
+    cw, sw = _CLEAN.split(), _SALAD.split()
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        words = [rng.choice(cw) if rng.random() < r else rng.choice(sw)
+                 for _ in range(words_per)]
+        rows.append((offset + i, " ".join(words)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _auc(pairs):
+    import bisect
+    pos = sorted(p for p, lab in pairs if lab == 1.0)
+    neg = sorted(p for p, lab in pairs if lab == 0.0)
+    wins = ties = 0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo
+        ties += hi - lo
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_quality_auc_floor_on_graded_heldout(spark):
+    """Held-out AUC floor vs the gopher weak labels on a GRADED mix:
+    a silent feature regression (tokenizer pattern, ngram wiring,
+    hashing width) degrades ranking quality long before it breaks
+    shape or the bimodal separation test — this pins the quality bar,
+    not just the plumbing."""
+    train = Q.weak_labels_from_gopher(_graded(spark, n=600))
+    # guard: the graded construction must produce BOTH classes, or the
+    # assertion below is vacuous
+    classes = {r["label"] for r in train.select("label").distinct().collect()}
+    assert classes == {0.0, 1.0}, classes
+    model = Q.train_quality_classifier(train, n_features=1 << 14,
+                                       max_iter=40)
+
+    held = _graded(spark, n=100, offset=10_000)
+    labels = {r["doc_id"]: r["label"]
+              for r in Q.weak_labels_from_gopher(held).collect()}
+    assert {0.0, 1.0} == set(labels.values())
+    scored = Q.score_quality(held, model).collect()
+    auc = _auc([(r["quality_prob"], labels[r["id"]]) for r in scored])
+    assert auc >= 0.9, f"held-out AUC {auc:.3f} below floor"
+
+
 def test_weak_labels_null_text_trains(spark):
     """A null-text doc must get label 0.0 (not NULL, which crashes
     LogisticRegression.fit) and training must succeed."""

@@ -51,6 +51,30 @@ def test_registered_domain_cc_slds(spark):
                    "site.com.au", "example.org"]
 
 
+def test_registered_domain_suffix_list_swap(spark):
+    """The cc_slds parameter IS the public-suffix hook: swapping in an
+    org-level suffix list (github.io-style hosting suffixes) moves the
+    registered-domain cut one label left, and the DuckDB twin —
+    generated from the same tuple — agrees row for row."""
+    import duckdb
+    slds = ("github.io", "co.uk")
+    hosts = ["user.github.io", "a.user.github.io", "github.io",
+             "www.site.co.uk", "plain.example.com", "bare"]
+    want = ["user.github.io", "user.github.io", "github.io",
+            "site.co.uk", "example.com", "bare"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = [r["d"] for r in df.select(
+        W.registered_domain(F.col("host"), cc_slds=slds).alias("d"))
+        .collect()]
+    assert got == want
+    con = duckdb.connect()
+    sql = W.SQL_REGISTERED_DOMAIN("host", cc_slds=slds)
+    duck = [con.execute(f"SELECT {sql} FROM (SELECT ? AS host)",
+                        [h]).fetchone()[0] for h in hosts]
+    con.close()
+    assert duck == want
+
+
 def test_domain_filter_broadcast_anti_join(spark):
     rows = [(1, "https://KEEP.example/a"),
             (2, "https://bad.example/b?utm_x=1"),
