@@ -296,10 +296,14 @@ class Pipeline:
 
         plan = parse_dataops_query(query)
         self.progress("plan", {"proceed": plan is not None,
-                               "target": "corpus_to_shards"})
+                               "target": plan["target"] if plan else None})
         if plan is None:
             return {"status": "rejected", "reason": "not a dataops query",
                     "outputs": [], "reports": {}}
+        if plan["target"] == "corpus_diff":
+            return self._run_corpus_diff(plan, source_dir, output_path)
+        if plan["target"] == "chunk_documents":
+            return self._run_chunk_documents(plan, source_dir, output_path)
 
         frame = corpus_to_shards_frame(
             self.spark, source_dir,
@@ -324,11 +328,78 @@ class Pipeline:
             "reports": {"plan": dict(plan), "sink": sink_report},
         }
 
+    def _run_corpus_diff(self, plan: dict, source_dir: str,
+                         output_path: str) -> dict:
+        """'diff ... against the snapshot at <path>': the CURRENT
+        corpus (source_dir's documents table) vs a prior snapshot
+        parquet of the same (doc_id, text) shape -> (doc_id, status)
+        written to the sink plus a per-status count report. The diff
+        itself is :func:`operators.dedup.corpus_diff` — only ids and
+        32-bit content keys enter the shuffle."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            corpus_diff,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("snapshot_path"):
+            return {"status": "rejected",
+                    "reason": "corpus diff needs a snapshot path "
+                              "('... against the snapshot at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        old = self.spark.read.parquet(plan["snapshot_path"])
+        new = Catalog(self.spark, source_dir).documents
+        frame = corpus_diff(old, new)
+        self.progress("diff", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        counts = {r["status"]: r["n"] for r in self.spark.read
+                  .parquet(output_path)             # read-back verify
+                  .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        self.progress("publish", {"rows": sum(counts.values()),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "diff_counts": counts}}
+
+    def _run_chunk_documents(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'chunk for RAG, size N stride M': scan-only overlapping
+        chunking of the documents table -> (id, chunk_idx, chunk_text,
+        n_tokens) parquet (:func:`operators.text.chunk_documents` —
+        no shuffle; the 1->N expansion happens inside the write
+        scan)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            chunk_documents,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        frame = chunk_documents(docs, size=plan["size"],
+                                stride=plan["stride"])
+        self.progress("chunk", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        n = self.spark.read.parquet(output_path).count()  # read-back
+        self.progress("publish", {"rows": n, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "rows_written": n}}
+
 
 # dataops NL routing: deterministic keyword/number extraction, mirroring
 # RulePlanner's style (rule-encoded routing, LLM-pluggable upstream)
 _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
-                  "training corpus", "training data", "pack")
+                  "training corpus", "training data", "pack",
+                  "chunk", "snapshot")
+# target routing: 'diff ... snapshot/previous' -> corpus_diff;
+# 'chunk' -> chunk_documents; everything else -> corpus_to_shards
+_DIFF_TARGET_RE = re.compile(r"\bdiff\b")
+_SNAPSHOT_PATH_RE = re.compile(
+    r"\bsnapshot\s+(?:at\s+|in\s+)?((?:/|\./|~/)[^\s,;]+)", re.IGNORECASE)
+_CHUNK_TARGET_RE = re.compile(r"\bchunk(?:ed|ing|s)?\b")
+_CHUNK_SIZE_RE = re.compile(r"\bsize\s+(?:of\s+)?(\d+)\b")
+_CHUNK_STRIDE_RE = re.compile(r"\b(?:stride|overlap step)\s+(?:of\s+)?(\d+)\b")
 # budget binds from a budget-flavored anchor word when one is present;
 # otherwise a bare 'N tokens' counts ONLY if it doesn't overlap the
 # seq-length match — 'pack into contexts of 512 tokens' names the
@@ -344,14 +415,34 @@ _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Defaults match the
-    ``corpus_to_shards`` registry query (budget 15k, seq 512, 4
-    shards); ``epoch N`` binds a deterministic per-epoch shuffle salt;
-    a "bpe" mention swaps the token counts feeding selection/packing
-    for corpus-trained subword counts."""
+    the query carries no dataops intent. Three targets:
+
+    - ``corpus_diff`` — 'diff ... against the snapshot at <path>'
+      (data-versioning; requires a filesystem path, bound to
+      ``snapshot_path`` — None when the phrase names no path, which
+      the orchestrator rejects with an actionable reason);
+    - ``chunk_documents`` — 'chunk for RAG, size 256 stride 192'
+      (RAG splitting; size/stride default to the operator's 128/96);
+    - ``corpus_to_shards`` — everything else. Defaults match the
+      registry query (budget 15k, seq 512, 4 shards); ``epoch N``
+      binds a deterministic per-epoch shuffle salt; a "bpe" mention
+      swaps the token counts feeding selection/packing for
+      corpus-trained subword counts."""
     ql = query.lower()
     if not any(h in ql for h in _DATAOPS_HINTS):
         return None
+    if _DIFF_TARGET_RE.search(ql) and ("snapshot" in ql
+                                       or "previous" in ql):
+        m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
+        return {"target": "corpus_diff",
+                "snapshot_path": m.group(1) if m else None}
+    if _CHUNK_TARGET_RE.search(ql) and "shard" not in ql:
+        size = int(m.group(1)) if (m := _CHUNK_SIZE_RE.search(ql)) else 128
+        stride = (int(m.group(1))
+                  if (m := _CHUNK_STRIDE_RE.search(ql)) else None)
+        return {"target": "chunk_documents", "size": size,
+                "stride": min(stride, size) if stride else
+                max(1, (size * 3) // 4)}
     plan = {"target": "corpus_to_shards", "token_budget": 15_000,
             "seq_len": 512, "n_shards": 4, "n_buckets": 4,
             "shuffle_salt": None,

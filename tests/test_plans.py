@@ -583,6 +583,105 @@ def test_pipeline_dataops_rejects_non_dataops(spark, sf_dir, tmp_path):
     assert not (tmp_path / "never").exists()
 
 
+def test_parse_dataops_targets():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    d = parse_dataops_query(
+        "Diff the corpus against the snapshot at /data/prev")
+    assert d == {"target": "corpus_diff", "snapshot_path": "/data/prev"}
+    # no path -> target recognized, path None (orchestrator rejects
+    # with an actionable reason instead of guessing)
+    d2 = parse_dataops_query("diff against the previous snapshot")
+    assert d2 == {"target": "corpus_diff", "snapshot_path": None}
+    c = parse_dataops_query("chunk the documents for RAG, size 256 stride 192")
+    assert c == {"target": "chunk_documents", "size": 256, "stride": 192}
+    # defaults are the operator's 128/96; size-only keeps the 3/4 ratio
+    c2 = parse_dataops_query("chunk the corpus for retrieval")
+    assert (c2["size"], c2["stride"]) == (128, 96)
+    c3 = parse_dataops_query("chunking with size 200")
+    assert (c3["size"], c3["stride"]) == (200, 150)
+    # 'chunks' inside a SHARDING query does not hijack the target
+    s = parse_dataops_query("pack chunks and write 4 shards")
+    assert s["target"] == "corpus_to_shards" and s["n_shards"] == 4
+
+
+def test_pipeline_dataops_corpus_diff_target(spark, sf_dir, tmp_path):
+    """NL 'diff against the snapshot at <path>' drives corpus_diff:
+    a crafted prior snapshot (some docs missing -> added, some texts
+    edited -> changed, some extra -> removed) round-trips through the
+    orchestrator with exact per-status counts."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    snap = (docs.filter(F.col("doc_id") % 7 != 0)
+            .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                       F.concat(F.col("text"),
+                                                F.lit(" EDITED")))
+                        .otherwise(F.col("text"))))
+    extra = spark.createDataFrame(
+        [(1_000_000, "gone doc one"), (1_000_001, "gone doc two")],
+        "doc_id long, text string")
+    snap_path = str(tmp_path / "snap")
+    snap.unionByName(extra).write.parquet(snap_path)
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {
+        "added": sum(1 for i in ids if i % 7 == 0),
+        "changed": sum(1 for i in ids if i % 7 != 0 and i % 5 == 0),
+        "unchanged": sum(1 for i in ids if i % 7 != 0 and i % 5 != 0),
+        "removed": 2,
+    }
+
+    events = []
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir),
+                    progress=lambda stage, info: events.append(stage))
+    out = str(tmp_path / "diff_out")
+    result = pipe.run_dataops(
+        f"diff the training corpus against the snapshot at {snap_path}",
+        sf_dir, out)
+    assert result["status"] == "complete"
+    assert events == ["plan", "diff", "publish"]
+    assert result["reports"]["diff_counts"] == want
+    back = spark.read.parquet(out)
+    assert back.columns == ["doc_id", "status"]
+    assert back.count() == sum(want.values())
+
+    # no path -> rejected with an actionable reason, nothing written
+    rej = pipe.run_dataops("diff against the previous snapshot",
+                           sf_dir, str(tmp_path / "never_diff"))
+    assert rej["status"] == "rejected"
+    assert "snapshot path" in rej["reason"]
+    assert not (tmp_path / "never_diff").exists()
+
+
+def test_pipeline_dataops_chunk_target(spark, sf_dir, tmp_path):
+    """NL 'chunk for RAG, size N stride M' drives chunk_documents and
+    the sink rows equal the operator's own output exactly."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        chunk_documents,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    events = []
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir),
+                    progress=lambda stage, info: events.append(stage))
+    out = str(tmp_path / "chunks")
+    result = pipe.run_dataops(
+        "chunk the documents for RAG, size 64 stride 48", sf_dir, out)
+    assert result["status"] == "complete"
+    assert events == ["plan", "chunk", "publish"]
+    assert result["reports"]["plan"] == {"target": "chunk_documents",
+                                         "size": 64, "stride": 48}
+
+    expected = sorted(map(tuple, chunk_documents(
+        Catalog(spark, sf_dir).documents, size=64, stride=48).collect()))
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == expected
+    assert result["reports"]["rows_written"] == len(expected)
+
+
 # ---------------------------------------------------------------------------
 # LLM rim (prompt contract + strict parse + fallback)
 # ---------------------------------------------------------------------------
