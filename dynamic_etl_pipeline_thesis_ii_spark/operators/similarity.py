@@ -376,6 +376,119 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
             .filter(F.col("rank") <= k))
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two equal-length double arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivfpq_build(candidates: DataFrame, n_clusters: int = 16, m: int = 4,
+                k: int = 8, seed: int = 42, c_id: str = "c_id",
+                c_vec: str = "c_vec", sample: int = 10_000,
+                iters: int = 10) -> tuple[DataFrame, list, DataFrame]:
+    """Build an IVF-PQ index (the faiss IVFADC layout, Jegou et al.
+    2011 §III): a KMeans coarse quantizer splits the corpus into
+    ``n_clusters`` inverted lists, and per-subspace PQ codebooks are
+    trained on the RESIDUALS (vec − assigned center) — residual
+    magnitudes are far smaller than raw coordinates, so the same
+    k·m codebook budget buys much finer quantization than raw-vector
+    PQ. Returns ``(centers_df, codebooks, coded)`` where coded =
+    (c_id, __cluster, codes) — at 100 TB this is the ONLY per-vector
+    state a search touches (m small ints per vector instead of the
+    full float array); write centers/coded to parquet, partitioned by
+    ``__cluster``, and reload for later query batches."""
+    centers_df, bucketed = ivf_build(candidates, n_clusters, seed, c_vec)
+    resid = (bucketed.join(F.broadcast(centers_df), "__cluster")
+             .withColumn("__resid", F.zip_with(
+                 F.col(c_vec).cast("array<double>"),
+                 F.col("__center").cast("array<double>"),
+                 lambda x, c: x - c)))
+    books = pq_train(resid, vec_col="__resid", m=m, k=k,
+                     sample=sample, iters=iters)
+    coded = resid.select(F.col(c_id).alias("c_id"), "__cluster",
+                         pq_codes(F.col("__resid"), books).alias("codes"))
+    return centers_df, books, coded
+
+
+def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
+                 queries: DataFrame, k: int, n_probe: int = 2,
+                 rerank: int = 0, candidates: DataFrame | None = None,
+                 q_id: str = "q_id", q_vec: str = "q_vec",
+                 c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+    """Search a prebuilt IVF-PQ index: each query ranks the coarse
+    centers by SQUARED L2 (the metric ADC approximates — an IVF probe
+    ranked by a different metric would probe the wrong lists), takes
+    its ``n_probe`` nearest, and builds one residual lookup table per
+    probed list from (q − center). The tiny (|Q|·n_probe) probe frame
+    broadcasts into the codes join, ADC-scores only the probed lists,
+    pre-truncates per partition (:func:`_partition_topk`) and ranks.
+    Output ``(q_id, c_id, adc, rank)``.
+
+    ``rerank=R`` (with ``candidates``) adds the standard exact
+    re-rank tier: the ADC top-R per query joins back the TRUE vectors
+    (R·|Q| rows — the only point full vectors re-enter) and re-ranks
+    by exact squared L2; output ``(q_id, c_id, dist, rank)`` with
+    dist exact. ADC compression error then affects only which R
+    survive, not their final order."""
+    qd = F.col(q_vec).cast("array<double>")
+    q_scored = (queries.crossJoin(F.broadcast(centers_df))
+                .withColumn("__cdist", F.round(
+                    _sq_l2(qd, F.col("__center").cast("array<double>")), 6)))
+    wq = Window.partitionBy(q_id).orderBy(F.col("__cdist").asc(),
+                                          F.col("__cluster"))
+    probes = (q_scored.withColumn("__pr", F.row_number().over(wq))
+              .filter(F.col("__pr") <= n_probe)
+              .withColumn("__qres", F.zip_with(
+                  qd, F.col("__center").cast("array<double>"),
+                  lambda x, c: x - c))
+              .select(F.col(q_id).alias("q_id"), "__cluster",
+                      pq_lut(F.col("__qres"), codebooks).alias("lut")))
+    adc = F.round(F.aggregate(
+        F.zip_with(F.col("lut"), F.col("codes"),
+                   lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (coded.join(F.broadcast(probes), "__cluster")
+              .select("q_id", "c_id", adc.alias("adc")))
+    keep = max(k, rerank)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
+                                           F.col("c_id").asc())
+    ranked = (_partition_topk(scored, keep)
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= keep))
+    if not rerank:
+        return ranked
+    if candidates is None:
+        raise ValueError("rerank > 0 needs the candidates frame "
+                         "(true vectors for the exact tier)")
+    shortlist = (candidates.select(F.col(c_id).alias("c_id"),
+                                   F.col(c_vec).cast("array<double>")
+                                   .alias("__cv"))
+                 .join(F.broadcast(ranked.select("q_id", "c_id")), "c_id")
+                 .join(F.broadcast(queries.select(
+                     F.col(q_id).alias("q_id"), qd.alias("__qv"))), "q_id")
+                 .withColumn("dist", F.round(_sq_l2(F.col("__qv"),
+                                                    F.col("__cv")), 6)))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
+                                            F.col("c_id").asc())
+    return (shortlist.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "dist", "rank"))
+
+
+def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
+               n_clusters: int = 16, m: int = 4, kk: int = 8,
+               n_probe: int = 2, rerank: int = 0, seed: int = 42,
+               q_id: str = "q_id", q_vec: str = "q_vec",
+               c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+    """One-shot IVF-PQ ANN: :func:`ivfpq_build` + :func:`ivfpq_search`.
+    For repeated query batches build once and search the persisted
+    index instead."""
+    centers_df, books, coded = ivfpq_build(candidates, n_clusters, m, kk,
+                                           seed, c_id, c_vec)
+    return ivfpq_search(centers_df, books, coded, queries, k, n_probe,
+                        rerank, candidates, q_id, q_vec, c_id, c_vec)
+
+
 def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,
              k: int = 8, sample: int = 10_000, iters: int = 10) -> list:
     """Data-adapted PQ codebooks: per-subspace k-means on a driver-
