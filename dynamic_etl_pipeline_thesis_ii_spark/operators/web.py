@@ -156,13 +156,133 @@ def SQL_REGISTERED_DOMAIN(host_expr: str,
             f"THEN {parts}[-3] || '.' || ({last2}) ELSE ({last2}) END")
 
 
+def load_suffix_rules(text: str) -> tuple[tuple[str, ...],
+                                          tuple[str, ...],
+                                          tuple[str, ...]]:
+    """Parse publicsuffix.org's PSL format into ``(exact, wildcard,
+    exception)`` rule tuples: ``//`` comments and blanks skipped,
+    ``*.foo`` wildcard rules, ``!bar.foo`` exception rules, everything
+    else an exact suffix. Pure data parsing — feed the result to
+    :func:`registered_domain_psl`."""
+    exact, wild, exc = [], [], []
+    for line in text.splitlines():
+        line = line.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0]                 # trailing comments
+        if line.startswith("!"):
+            exc.append(line[1:])
+        elif line.startswith("*."):
+            wild.append(line[2:])
+        else:
+            exact.append(line)
+    return tuple(exact), tuple(wild), tuple(exc)
+
+
+def registered_domain_psl(df: DataFrame, rules, host_col: str = "host",
+                          out_col: str = "registered_domain",
+                          max_labels: int = 4) -> DataFrame:
+    """Registered (PSL §algorithm) domain via a BROADCAST rule join —
+    the scale path for the real ~9k-entry public-suffix list, where
+    :func:`registered_domain`'s literal ``isin`` would compile a 9k-arm
+    expression per row. Each host emits its trailing label suffixes of
+    length 1..``max_labels`` (the PSL's longest live rule tier), one
+    broadcast join tags which are rules, and the winner per host is
+    the PSL match order: exception rules beat everything (their
+    registered domain is the exception itself), else the LONGEST
+    matching rule wins with wildcard rules counting one label longer
+    than their printed form; the registered domain is the matched
+    suffix plus one label. Hosts matching no rule use the implicit
+    ``*`` root rule (last label is the suffix) — single-label hosts
+    pass through.
+
+    Scale shape: rules broadcast (9k rows); the corpus reduces to
+    DISTINCT hosts first (web corpora average many pages per host, so
+    this is the big reduction), explodes ≤``max_labels`` candidate
+    suffixes per host, broadcast-joins the rules, aggregates the
+    winner per host, and rejoins the corpus on the host — two uniform
+    host-keyed shuffles total, with the rejoin left to AQE (the
+    resolved side is |distinct hosts| and may be too big to force a
+    broadcast). Hosts that ARE a bare public suffix resolve to
+    themselves (the engine-wide single-label convention)."""
+    exact, wild, exc = (tuple(rules[0]), tuple(rules[1]),
+                        tuple(rules[2]))
+    spark = df.sparkSession
+    rule_rows = ([(s, "exact") for s in exact]
+                 + [(s, "wild") for s in wild]
+                 + [(s, "exc") for s in exc])
+    rule_df = spark.createDataFrame(rule_rows, ["__suffix", "__kind"]) \
+        if rule_rows else spark.createDataFrame(
+            [("", "exact")], ["__suffix", "__kind"]).limit(0)
+
+    parts = F.split(F.lower(F.col("__host")), r"\.")
+    n = F.size(parts)
+    # trailing suffix of len L: labels n-L+1 .. n (1-based element_at
+    # with negative idx walks from the end)
+    cands = F.array(*[
+        F.when(n >= L, F.struct(
+            F.lit(L).alias("len"),
+            F.concat_ws(".", *[F.element_at(parts, -i)
+                               for i in range(L, 0, -1)]).alias("sfx")))
+        for L in range(1, max_labels + 1)])
+    ex = (df.select(F.col(host_col).alias("__host"))
+          .distinct()
+          .select("__host",
+                  F.explode(F.filter(cands,
+                                     lambda c: c.isNotNull())).alias("c"))
+          .select("__host", F.col("c.len").alias("__len"),
+                  F.col("c.sfx").alias("__suffix")))
+    hit = ex.join(F.broadcast(rule_df), "__suffix")
+    # rule weight: exceptions dominate (weight 1000+len and resolve to
+    # the suffix ITSELF); wildcards count printed len + 1 (PSL §) but
+    # only fire when the host has a label under them (len < n handled
+    # by registered-domain cut below needing one more label)
+    weight = (F.when(F.col("__kind") == "exc", F.lit(1000) + F.col("__len"))
+              .when(F.col("__kind") == "wild", F.col("__len") + 1)
+              .otherwise(F.col("__len")))
+    best = (hit.groupBy("__host")
+            .agg(F.max_by(F.struct(weight.alias("w"),
+                                   F.col("__kind").alias("kind"),
+                                   F.col("__len").alias("len")),
+                          weight).alias("b")))
+    hp = F.split(F.lower(F.col("__host")), r"\.")
+    hn = F.size(hp)
+    suffix_labels = (F.when(F.col("b.kind") == "exc", F.col("b.len") - 1)
+                     .when(F.col("b.kind") == "wild", F.col("b.len") + 1)
+                     .otherwise(F.col("b.len")))
+    cut = F.least(suffix_labels + 1, hn)
+    reg = F.concat_ws(".", F.slice(hp, hn - cut + 1, cut))
+    resolved = best.select("__host", reg.alias("__reg"))
+    # implicit '*' rule for no-match hosts: suffix = last label,
+    # registered domain = last two labels (or the host itself)
+    parts2 = F.split(F.lower(F.col(host_col)), r"\.")
+    n2 = F.size(parts2)
+    fallback = F.concat_ws(".", F.slice(parts2, F.greatest(n2 - 1, F.lit(1)),
+                                        F.least(n2, F.lit(2))))
+    return (df.join(resolved, F.col(host_col) == F.col("__host"), "left")
+            .withColumn(out_col, F.coalesce(F.col("__reg"), fallback))
+            .drop("__host", "__reg"))
+
+
 def domain_filter(df: DataFrame, blocked: DataFrame,
-                  url_col: str = "url") -> DataFrame:
+                  url_col: str = "url", psl_rules=None) -> DataFrame:
     """Drop rows whose registered domain appears in ``blocked``
-    (column ``domain``). The blocklist side is broadcast — the corpus
-    is never shuffled."""
-    dom = registered_domain(url_host(normalize_url(F.col(url_col))))
-    return (df.withColumn("_dom", dom)
+    (column ``domain``). With the default literal ccSLD cut the
+    corpus is never shuffled (blocklist broadcast into a left-anti
+    join); passing ``psl_rules`` (:func:`load_suffix_rules`) swaps in
+    the full public-suffix-list cut via
+    :func:`registered_domain_psl` — needed when the blocklist names
+    org-level domains under hosting suffixes (``user.github.io``),
+    which the naive last-two-labels cut would collapse to the suffix
+    itself and miss."""
+    if psl_rules is None:
+        dom = registered_domain(url_host(normalize_url(F.col(url_col))))
+        keyed = df.withColumn("_dom", dom)
+    else:
+        keyed = registered_domain_psl(
+            df.withColumn("_h", url_host(normalize_url(F.col(url_col)))),
+            psl_rules, host_col="_h", out_col="_dom").drop("_h")
+    return (keyed
             .join(F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
                   "_dom", "left_anti")
             .drop("_dom"))

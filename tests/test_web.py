@@ -75,6 +75,81 @@ def test_registered_domain_suffix_list_swap(spark):
     assert duck == want
 
 
+_PSL_TEXT = """\
+// ===BEGIN ICANN DOMAINS===
+com
+org
+uk
+co.uk
+// ck has no registrable second level except www.ck
+*.ck
+!www.ck
+jp
+kobe.jp
+*.kobe.jp
+!city.kobe.jp
+// ===END ICANN DOMAINS===
+github.io   // org-level entry (private section style)
+"""
+
+
+def test_load_suffix_rules_parses_psl_format():
+    exact, wild, exc = W.load_suffix_rules(_PSL_TEXT)
+    assert "co.uk" in exact and "github.io" in exact and "com" in exact
+    assert set(wild) == {"ck", "kobe.jp"}
+    assert set(exc) == {"www.ck", "city.kobe.jp"}
+    assert not any(s.startswith("//") for s in exact)
+
+
+def test_registered_domain_psl_algorithm(spark):
+    """The publicsuffix.org test-vector semantics: longest rule wins,
+    wildcards count one label past their printed form, exceptions
+    beat everything and resolve to themselves, unmatched hosts use
+    the implicit '*' root rule."""
+    rules = W.load_suffix_rules(_PSL_TEXT)
+    cases = {
+        "example.com": "example.com",              # exact 'com'
+        "www.example.com": "example.com",
+        "sub.site.co.uk": "site.co.uk",            # longest: co.uk > uk
+        "a.b.example.ck": "b.example.ck",          # wildcard *.ck
+        "www.ck": "www.ck",                        # exception beats *.ck
+        "x.www.ck": "www.ck",
+        # *.kobe.jp: news.kobe.jp IS a public suffix (resolves to
+        # itself by the single-label convention); its direct child is
+        # the registrable domain (publicsuffix.org test vectors)
+        "news.kobe.jp": "news.kobe.jp",
+        "a.news.kobe.jp": "a.news.kobe.jp",
+        "b.a.news.kobe.jp": "a.news.kobe.jp",
+        "city.kobe.jp": "city.kobe.jp",            # exception
+        "b.city.kobe.jp": "city.kobe.jp",
+        "user.github.io": "user.github.io",        # private-section entry
+        "nomatch.zz": "nomatch.zz",                # implicit '*' rule
+        "deep.nomatch.zz": "nomatch.zz",
+        "localhost": "localhost",                  # single label
+        "UPPER.Example.COM": "example.com",        # lowercased
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["host"])
+    out = {r["host"]: r["registered_domain"]
+           for r in W.registered_domain_psl(df, rules).collect()}
+    for host, want in cases.items():
+        assert out[host] == want, f"{host}: {out[host]!r} != {want!r}"
+
+
+def test_registered_domain_psl_agrees_with_simple_cut(spark):
+    """On the simple ccSLD tier the broadcast-join path and the
+    literal-isin path compute the same registered domain — the two
+    implementations are swappable at the blocklist call site."""
+    rules = (W.CC_SLDS, (), ())
+    hosts = ["www.sub.site.co.uk", "www.example.com", "a.b.c.site.com.au",
+             "example.org", "x.y.co.jp"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    via_join = {r["host"]: r["registered_domain"]
+                for r in W.registered_domain_psl(df, rules).collect()}
+    via_isin = {r["host"]: r["d"] for r in df.select(
+        "host", W.registered_domain(F.col("host")).alias("d")).collect()}
+    assert via_join == via_isin
+
+
 def test_domain_filter_broadcast_anti_join(spark):
     rows = [(1, "https://KEEP.example/a"),
             (2, "https://bad.example/b?utm_x=1"),
@@ -87,6 +162,29 @@ def test_domain_filter_broadcast_anti_join(spark):
     # the blocklist side must be broadcast — no corpus shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_domain_filter_psl_blocks_org_level(spark):
+    """With PSL rules, a blocklist can name an ORG-level domain under
+    a hosting suffix: 'user.github.io' blocks that user's pages while
+    other users on the same suffix pass. The naive last-two-labels
+    cut collapses every *.github.io host to 'github.io' and either
+    misses the block or (if github.io itself were listed) nukes every
+    user — the exact failure the PSL path fixes."""
+    rules = W.load_suffix_rules(_PSL_TEXT)
+    rows = [(1, "https://user.github.io/p1"),
+            (2, "https://USER.github.io/p2?utm_id=1"),
+            (3, "https://other.github.io/p3"),
+            (4, "https://example.com/p4")]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    blocked = spark.createDataFrame([("user.github.io",)], ["domain"])
+    got = sorted(r["doc_id"] for r in
+                 W.domain_filter(df, blocked, psl_rules=rules).collect())
+    assert got == [3, 4]
+    # the naive cut misses the same blocklist entirely
+    naive = sorted(r["doc_id"] for r in
+                   W.domain_filter(df, blocked).collect())
+    assert naive == [1, 2, 3, 4]
 
 
 def test_url_dedup_canonical_keep(spark):
