@@ -10,8 +10,11 @@ Decode support is tiered by what this environment can honestly do:
   progressive JPEG (huffman entropy decode + batched IDCT,
   ``operators/jpeg.py``), GIF87a/89a (variable-width LZW, interlace,
   global/local palettes), uncompressed strip TIFF (both byte orders)
-  and PCM WAV audio (``wave`` module) — parse, feature-extract and
-  nearest-neighbor resize with no external libraries;
+  and WAV audio — PCM via the ``wave`` module plus REAL G.711
+  mu-law/A-law and IMA-ADPCM decoders (format tags 7/6/0x11, pure
+  integer table math, audioop-differential-tested) — parse,
+  feature-extract and nearest-neighbor resize with no external
+  libraries;
 - a REAL metadata tier for MPEG audio (MP1/MP2/MP3): frame-header
   walk giving exact duration / sample-rate / channels / mean bitrate
   (``parse_mp3_meta``, provenance ``mp3meta``) — the PCM samples
@@ -1048,19 +1051,152 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+# --- G.711 / IMA-ADPCM tier: telephony and legacy-WAV codecs that are
+# --- pure integer table math (ITU G.711; IMA ADPCM rev 1.2) — decoded
+# --- here for real, no librosa needed. Differential-tested against
+# --- the stdlib audioop reference decoders.
+
+def _ulaw_decode(data: bytes) -> "np.ndarray":
+    """G.711 mu-law -> int16 (vectorized; max magnitude 32124)."""
+    u = (~np.frombuffer(data, dtype=np.uint8)) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode(data: bytes) -> "np.ndarray":
+    """G.711 A-law -> int16 (vectorized; even-bit XOR 0x55 mask)."""
+    a = np.frombuffer(data, dtype=np.uint8) ^ 0x55
+    seg = ((a >> 4) & 0x07).astype(np.int32)
+    t = ((a & 0x0F).astype(np.int32)) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_nibbles(pred: int, idx: int, nibs) -> list[int]:
+    """Core IMA/DVI ADPCM nibble loop (shared by every block)."""
+    out = []
+    for nib in nibs:
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+        out.append(pred)
+    return out
+
+
+def _ima_adpcm_decode(data: bytes, channels: int,
+                      block_align: int) -> "np.ndarray":
+    """IMA ADPCM WAV (format tag 0x11) -> interleaved int16: each
+    block carries a 4-byte (predictor, step-index) header per channel
+    — the predictor IS the first output sample — then nibble data in
+    4-byte-per-channel interleaved words, LOW nibble first."""
+    if channels not in (1, 2):
+        raise NotImplementedError("IMA ADPCM beyond stereo")
+    if block_align < 4 * channels:
+        raise ValueError("block_align smaller than the block header")
+    out_ch: list[list[int]] = [[] for _ in range(channels)]
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        if len(block) < 4 * channels:
+            break
+        preds, idxs = [], []
+        for c in range(channels):
+            p = int.from_bytes(block[4 * c:4 * c + 2], "little",
+                               signed=True)
+            preds.append(p)
+            idxs.append(min(88, block[4 * c + 2]))
+            out_ch[c].append(p)
+        body = block[4 * channels:]
+        # per channel: its 4-byte words are words c, c+channels, ... of
+        # the body; nibbles low-first within each byte
+        for c in range(channels):
+            chunks = [body[w:w + 4]
+                      for w in range(4 * c, len(body), 4 * channels)]
+            nibs = []
+            for ch in chunks:
+                for b in ch:
+                    nibs.append(b & 0x0F)
+                    nibs.append((b >> 4) & 0x0F)
+            out_ch[c].extend(_ima_nibbles(preds[c], idxs[c], nibs))
+    n = min(len(o) for o in out_ch)
+    inter = np.empty(n * channels, dtype=np.int16)
+    for c in range(channels):
+        inter[c::channels] = np.array(out_ch[c][:n], dtype=np.int16)
+    return inter
+
+
+def _riff_chunks(payload: bytes):
+    """(chunk_id, data) pairs of a RIFF-WAVE payload (word-aligned)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        yield payload[pos:pos + 4], payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
     """Audio decode + feature extraction.
 
-    REAL for PCM WAV (stdlib ``wave``): ``[duration_sec, sample_rate,
-    n_channels, rms]`` with RMS computed over the int16 samples.
-    Compressed formats need librosa (absent here) and raise
-    NotImplementedError. ``fake=True`` derives a deterministic 2-dim
-    byte feature instead."""
+    REAL for PCM WAV (stdlib ``wave``) and for the G.711 mu-law /
+    A-law and IMA-ADPCM WAV codecs (format tags 7/6/0x11 — pure
+    integer table math, decoded here, audioop-differential-tested):
+    ``[duration_sec, sample_rate, n_channels, rms]`` with RMS over
+    the decoded int16 samples. Other compressed formats need librosa
+    (absent here) and raise NotImplementedError. ``fake=True``
+    derives a deterministic 2-dim byte feature instead."""
     if fake:
         if payload is None or len(payload) == 0:
             return [0.0, 0.0]
         return [float(len(payload)), float(sum(payload[:8]) % 97)]
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        fmt = data = None
+        for cid, chunk in _riff_chunks(payload):
+            if cid == b"fmt " and fmt is None:
+                fmt = chunk
+            elif cid == b"data" and data is None:
+                data = chunk
+        if fmt is not None and len(fmt) >= 16 and data is not None:
+            tag = int.from_bytes(fmt[0:2], "little")
+            if tag in (6, 7, 0x11):
+                channels = int.from_bytes(fmt[2:4], "little") or 1
+                rate = int.from_bytes(fmt[4:8], "little")
+                if tag == 7:
+                    samples = _ulaw_decode(data)
+                elif tag == 6:
+                    samples = _alaw_decode(data)
+                else:
+                    block_align = int.from_bytes(fmt[12:14], "little")
+                    samples = _ima_adpcm_decode(data, channels,
+                                                block_align)
+                n_frames = len(samples) // channels
+                duration = n_frames / float(rate) if rate else 0.0
+                rms = (float(np.sqrt(np.mean(
+                    samples.astype(np.float64) ** 2)))
+                       if len(samples) else 0.0)
+                return [round(duration, 6), float(rate),
+                        float(channels), round(rms, 6)]
         with wave.open(io.BytesIO(payload)) as wav:
             rate, channels = wav.getframerate(), wav.getnchannels()
             n_frames, width = wav.getnframes(), wav.getsampwidth()
