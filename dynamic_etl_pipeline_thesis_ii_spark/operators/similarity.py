@@ -376,6 +376,77 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
             .filter(F.col("rank") <= k))
 
 
+def semantic_pairs(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   n_clusters: int = 16, seed: int = 42,
+                   bucketed: DataFrame | None = None) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023 §3): k-means the
+    embedding space, then EXACT cosine within each cluster —
+    ``(id_a, id_b, cos)`` with id_a < id_b and cos >= threshold.
+    Cross-cluster duplicates are missed by design; that is the
+    SemDeDup trade (the paper runs 50k clusters on LAION), so
+    ``n_clusters`` must grow with the corpus — the pair join is
+    per-cluster quadratic, sum(|cluster|²), never corpus-quadratic.
+    Pass a prebuilt ``bucketed`` frame (:func:`ivf_build`'s second
+    return, with ``__cluster``/``__cn``) to reuse one clustering
+    across pairs + scores."""
+    if bucketed is None:
+        _, bucketed = ivf_build(
+            df.select(F.col(id_col).alias("c_id"),
+                      F.col(vec_col).alias("c_vec")), n_clusters, seed)
+    b = bucketed.select(F.col("c_id").alias("id"),
+                        F.col("c_vec").cast("array<double>").alias("v"),
+                        "__cluster", F.col("__cn").alias("n"))
+    return (b.alias("x").join(
+        b.alias("y"),
+        (F.col("x.__cluster") == F.col("y.__cluster"))
+        & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.round(cosine_prenormed(F.col("x.v"), F.col("y.v"),
+                                         F.col("x.n"), F.col("y.n")),
+                        6).alias("cos"))
+        .filter(F.col("cos") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   n_clusters: int = 16, seed: int = 42,
+                   keep: str = "far") -> DataFrame:
+    """SemDeDup: drop all but one member of every semantic-duplicate
+    group (connected components over :func:`semantic_pairs`).
+    ``keep="far"`` keeps the group member FARTHEST from its k-means
+    centroid — the paper's choice (the far member carries the most
+    information the cluster doesn't already have); ``keep="min"``
+    keeps the lowest id. Reuses the near-dup machinery end to end:
+    star components + the quality-aware canonical keep
+    (``dedup_by_components(score=)``), so the grouping scales exactly
+    like text near-dup — cluster-bounded pair join, O(log n)
+    component rounds, anti-join prune."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        dedup_by_components,
+    )
+
+    if keep not in ("far", "min"):
+        raise ValueError(f"keep must be 'far' or 'min', got {keep!r}")
+    # the expensive step (KMeans FIT) happens once inside ivf_build;
+    # the bucketed frame itself is a cheap lazy transform, re-scanned
+    # by the pairs and score consumers without a persist
+    centers_df, bucketed = ivf_build(
+        df.select(F.col(id_col).alias("c_id"),
+                  F.col(vec_col).alias("c_vec")), n_clusters, seed)
+    pairs = semantic_pairs(df, id_col, vec_col, threshold,
+                           n_clusters, seed, bucketed=bucketed)
+    score = None
+    if keep == "far":
+        score = (bucketed.join(F.broadcast(centers_df), "__cluster")
+                 .select(F.col("c_id").alias("id"),
+                         (-F.round(cosine(
+                             F.col("c_vec").cast("array<double>"),
+                             F.col("__center").cast("array<double>")),
+                             6)).alias("score")))
+    return dedup_by_components(df, pairs, id_col=id_col, score=score)
+
+
 def _sq_l2(a: Column, b: Column) -> Column:
     """Squared L2 distance of two equal-length double arrays."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -370,6 +370,57 @@ def test_ivfpq_index_roundtrip_and_search_plan(spark, sf_dir, tmp_path):
     assert "Exchange rangepartitioning" not in streamed, plan
 
 
+def _planted_embeddings(spark, dim=16):
+    """Six well-separated blob centers; blobs 0 and 1 each carry a
+    3-member near-duplicate group (tiny perturbations of the blob
+    axis); the other four blobs are singletons, so each duplicate
+    group owns a PURE k-means cluster and its centroid. Group
+    member ids: {0,1,2} and {10,11,12}. Member 2 / 12 is pulled
+    FARTHEST from its blob center (the SemDeDup keep='far' winner)."""
+    import numpy as np
+    rows = []
+
+    def vec(axis, eps, far=0.0):
+        v = np.zeros(dim)
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps + far
+        return [float(x) for x in v]
+
+    rows += [(0, vec(0, 0.00)), (1, vec(0, 0.01)), (2, vec(0, 0.05))]
+    rows += [(10, vec(1, 0.00)), (11, vec(1, 0.01)), (12, vec(1, 0.05))]
+    rows += [(5, vec(4, 0.0)), (15, vec(5, 0.0)),
+             (20, vec(2, 0.0)), (30, vec(3, 0.0))]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """SemDeDup: planted semantic-duplicate groups collapse to one
+    member each, singletons pass through untouched; keep='min' keeps
+    the lowest id, keep='far' keeps the member farthest from its
+    k-means centroid (the paper's most-informative-copy rule)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+
+    df = _planted_embeddings(spark)
+    pairs = SIM.semantic_pairs(df, threshold=0.998, n_clusters=6)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == {(0, 1), (0, 2), (1, 2),
+                         (10, 11), (10, 12), (11, 12)}
+
+    kept_min = sorted(r["vec_id"] for r in SIM.semantic_dedup(
+        df, threshold=0.998, n_clusters=6, keep="min").collect())
+    assert kept_min == [0, 5, 10, 15, 20, 30]
+
+    kept_far = sorted(r["vec_id"] for r in SIM.semantic_dedup(
+        df, threshold=0.998, n_clusters=6, keep="far").collect())
+    # 2 and 12 sit farthest from their blob centroids within their
+    # duplicate groups — SemDeDup keeps the informative outlier
+    assert kept_far == [2, 5, 12, 15, 20, 30]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep"):
+        SIM.semantic_dedup(df, keep="nope")
+
+
 def _degenerate_corpus(spark, n_same=1200, n_normal=30):
     """1200 identical boilerplate docs (one degenerate LSH bucket) plus a
     few genuinely near-dup docs in healthy buckets."""
