@@ -97,6 +97,63 @@ def rebalance_mix(df: DataFrame, strata_col: str,
                                   default_rate=0.0, salt=salt, mod=mod)
 
 
+def temperature_mix(df: DataFrame, strata_col: str, alpha: float,
+                    key_col: str, salt: str = "", mod: int = DEFAULT_MOD,
+                    counts: Optional[Mapping[str, int]] = None) -> DataFrame:
+    """Temperature ("alpha") sampling: flatten the natural stratum
+    mixture p toward p^alpha — the multilingual-LLM practice (mBERT /
+    XLM-R / T5 all alpha-sample languages so low-resource strata
+    aren't drowned). alpha=1 keeps the natural mix (no-op rates),
+    alpha=0 targets uniform, alpha in between up-weights tails.
+
+    Because the hash-threshold rates of :func:`rebalance_mix` are
+    INVARIANT to scaling of the target shares, the p^alpha target
+    collapses to a closed form with no normalization sums:
+    ``rate_g = (n_min / n_g) ** (1 - alpha)`` (the smallest stratum
+    keeps everything). No order-dependent float accumulation exists
+    anywhere in the formula, so the DuckDB twin is bit-exact at
+    alpha=0.5 (IEEE sqrt of an exact ratio) and at the endpoints;
+    other alphas are exact wherever both engines' pow agree (they
+    round identically in practice, but IEEE leaves pow 1-ulp free).
+
+    One tiny count aggregate (or pass ``counts``), then one
+    shuffle-free filter scan — the standard sampling shape."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if counts is None:
+        rows = df.groupBy(strata_col).count().collect()
+        counts = {r[strata_col]: r["count"] for r in rows}
+    counts = {g: c for g, c in counts.items() if g is not None and c}
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        rates = {g: math.sqrt(n_min / c) for g, c in counts.items()}
+    else:
+        rates = {g: (n_min / c) ** (1.0 - alpha)
+                 for g, c in counts.items()}
+    return stratified_hash_sample(df, strata_col, rates, key_col,
+                                  default_rate=0.0, salt=salt, mod=mod)
+
+
+def SQL_TEMPERATURE_MIX(table: str, strata: str, key: str, alpha: float,
+                        salt: str = "", mod: int = DEFAULT_MOD) -> str:
+    """DuckDB twin of :func:`temperature_mix` (alpha=0.5 via sqrt —
+    the bit-exact path; other alphas via pow)."""
+    bucket = SQL_BUCKET(key, salt, mod)
+    ratio = f"((SELECT min(n) FROM counts)::DOUBLE / c.n)"
+    rate = (f"sqrt({ratio})" if alpha == 0.5
+            else "1.0::DOUBLE" if alpha == 1.0
+            else f"pow({ratio}, {1.0 - alpha})")
+    return f"""
+WITH base AS (SELECT * FROM {table} WHERE {strata} IS NOT NULL),
+counts AS (SELECT {strata} AS g, count(*)::BIGINT AS n
+           FROM base GROUP BY {strata})
+SELECT b.* FROM base b JOIN counts c ON b.{strata} = c.g
+WHERE {bucket} < floor(({rate}) * {mod})
+"""
+
+
 def split_assign(df: DataFrame, splits: Mapping[str, float], key_col: str,
                  salt: str = "split", mod: int = DEFAULT_MOD) -> DataFrame:
     """Deterministic train/valid/test assignment: append a ``split``

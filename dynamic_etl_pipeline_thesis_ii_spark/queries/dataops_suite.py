@@ -1137,11 +1137,12 @@ _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 def q_sample_deterministic(spark, sf_dir):
     """Stratified hash sampling + domain-mix rebalancing + token-budget
     packing + per-language token-budget selection + train/valid/test
-    split assignment as one tagged union (SM2+SM3+PK1+SM4+SM5); each
-    branch is the unchanged single-op pipeline. ``val`` carries the
-    pack branch's token offset and the budget branch's token count
-    (null on the sampling/split branches); the split branch's
-    ``stratum`` is the assigned split name."""
+    split assignment + alpha=0.5 temperature sampling as one tagged
+    union (SM2+SM3+PK1+SM4+SM5+SM6); each branch is the unchanged
+    single-op pipeline. ``val`` carries the pack branch's token offset
+    and the budget branch's token count (null on the sampling/split
+    branches); the split branch's ``stratum`` is the assigned split
+    name."""
     null_val = F.lit(None).cast("long").alias("val")
     st = (q_sample_stratified(spark, sf_dir)
           .select(F.lit("stratified").alias("tag"), "doc_id",
@@ -1173,8 +1174,17 @@ def q_sample_deterministic(spark, sf_dir):
                                   D.hash32(F.col("chunk_text")))
                   .alias("stratum"),
                   F.col("n_tokens").alias("val")))
+    # temperature branch (SM6): alpha=0.5 language flattening — the
+    # closed-form (n_min/n_g)^(1-alpha) rates are IEEE-sqrt exact on
+    # both engines, so the kept ROW SET is hash-checked, not just the
+    # per-language counts
+    tm = (SA.temperature_mix(
+        Catalog(spark, sf_dir).documents.select("doc_id", "lang"),
+        "lang", alpha=0.5, key_col="doc_id", salt="temp")
+        .select(F.lit("temp").alias("tag"), "doc_id",
+                F.col("lang").alias("stratum"), null_val))
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
-            .unionByName(sp).unionByName(ck))
+            .unionByName(sp).unionByName(ck).unionByName(tm))
 
 
 def _sql_sample_token_budget() -> str:
@@ -1214,6 +1224,11 @@ SELECT 'chunk', id,
            || ({_H32.format(x='chunk_text')})::VARCHAR,
        n_tokens
 FROM ({T.SQL_CHUNK_DOCUMENTS('documents', 64, 48)})
+UNION ALL
+SELECT 'temp', doc_id, lang, CAST(NULL AS BIGINT)
+FROM ({SA.SQL_TEMPERATURE_MIX(
+    "(SELECT doc_id, lang FROM documents)", "lang", "doc_id",
+    alpha=0.5, salt="temp")})
 """
 
 

@@ -246,3 +246,52 @@ def test_split_assign_single_and_invalid(spark, docs):
         SA.split_assign(docs, {"a": 0.0, "b": 0.0}, "doc_id")
     with pytest.raises(ValueError, match="weights"):
         SA.split_assign(docs, {"a": -1.0, "b": 2.0}, "doc_id")
+
+
+def test_temperature_mix_endpoints_and_flattening(spark, docs):
+    """alpha=1 keeps the natural mix untouched (rate 1 everywhere);
+    alpha=0 targets uniform — every stratum lands within hash noise
+    of the smallest stratum's count; alpha=0.5 sits between: the
+    smallest stratum keeps everything, larger strata keep a
+    monotonically SHRINKING fraction as alpha drops."""
+    base = Catalog(spark, "/root/testdata/sf0.01").documents \
+        .select("doc_id", "lang")
+    counts = {r["lang"]: r["n"] for r in
+              base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_min = min(counts.values())
+    biggest = max(counts, key=counts.get)
+
+    full = SA.temperature_mix(base, "lang", alpha=1.0, key_col="doc_id")
+    assert full.count() == sum(counts.values())
+
+    uni = {r["lang"]: r["n"] for r in
+           SA.temperature_mix(base, "lang", alpha=0.0, key_col="doc_id")
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for g, n in uni.items():
+        assert abs(n - n_min * 1.0) <= max(6, 0.35 * n_min), (g, n, n_min)
+
+    kept = {}
+    for alpha in (0.0, 0.5, 1.0):
+        out = SA.temperature_mix(base, "lang", alpha=alpha,
+                                 key_col="doc_id")
+        kept[alpha] = out.filter(F.col("lang") == biggest).count()
+        # the smallest stratum always keeps everything (rate 1)
+        smallest = min(counts, key=counts.get)
+        assert out.filter(F.col("lang") == smallest).count() \
+            == counts[smallest]
+    assert kept[0.0] <= kept[0.5] <= kept[1.0]
+    assert kept[1.0] == counts[biggest]
+
+    with pytest.raises(ValueError, match="alpha"):
+        SA.temperature_mix(base, "lang", alpha=1.5, key_col="doc_id")
+
+
+def test_temperature_mix_null_strata_and_determinism(spark):
+    rows = [(1, "en"), (2, "en"), (3, "en"), (4, "fr"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = SA.temperature_mix(df, "lang", alpha=0.5, key_col="doc_id")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert 5 not in got                    # null stratum drops
+    assert 4 in got                        # smallest stratum kept whole
+    assert got == sorted(r["doc_id"] for r in SA.temperature_mix(
+        df, "lang", alpha=0.5, key_col="doc_id").collect())
