@@ -172,6 +172,96 @@ def lang_id(col: Column) -> Column:
     return best_lang
 
 
+def _char_ngrams(text: Column, n: int) -> Column:
+    """Char n-grams of lowercased, whitespace-collapsed text (array;
+    empty for texts shorter than n)."""
+    t = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))),
+                                r"\s+", " "))
+    hi = F.length(t) - (n - 1)
+    # transform over a position sequence keeps this a pure expression
+    # (Column.substr accepts Column start/length). The hi >= 1 guard
+    # matters: Spark's sequence(1, 0) counts DOWN, it isn't empty.
+    return F.when(hi >= 1, F.transform(
+        F.sequence(F.lit(1), hi), lambda i: t.substr(i, F.lit(n)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def train_lang_ngrams(df, text_col: str = "text", lang_col: str = "lang",
+                      n: int = 3, top_k: int = 500):
+    """Char-n-gram language profiles (Cavnar & Trenkle's textcat
+    method, re-expressed as a naive-Bayes weight table instead of
+    rank out-of-place so classification stays one join + one
+    aggregate): per language, the add-one-smoothed log p(gram|lang)
+    over its ``top_k`` most frequent char n-grams. Returns
+    ``(weights_df, floors)`` — a (gram, lang, logp) DataFrame meant
+    to be BROADCAST (|langs|·top_k rows, vocabulary-sized) and a
+    per-language OOV floor dict.
+
+    Scale shape: ONE distributed (lang, gram) count shuffle over the
+    labeled corpus; the per-lang ranking window partitions by
+    language over the count table; only the top-k profile rows reach
+    the driver. Trains on a labeled sample, classifies everywhere —
+    the same train-once contract as the quality classifier."""
+    import math as _math
+
+    from pyspark.sql import Window as _W
+
+    ex = df.select(F.col(lang_col).alias("lang"),
+                   F.explode(_char_ngrams(F.col(text_col), n))
+                   .alias("gram"))
+    counts = ex.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = _W.partitionBy("lang").orderBy(F.desc("c"), "gram")
+    top = (counts.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= top_k).select("lang", "gram", "c")
+           .collect())
+    vocab = len({r["gram"] for r in top})
+    totals: dict[str, int] = {}
+    for r in top:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["c"]
+    rows = [(r["gram"], r["lang"],
+             _math.log((r["c"] + 1) / (totals[r["lang"]] + vocab)))
+            for r in top]
+    floors = {lang: _math.log(1.0 / (t + vocab))
+              for lang, t in totals.items()}
+    weights_df = df.sparkSession.createDataFrame(
+        rows, "gram string, lang string, logp double")
+    return weights_df, floors
+
+
+def lang_id_ngram(df, weights_df, floors: dict, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3):
+    """Classify every document with trained n-gram profiles:
+    ``(id, lang, score)`` where lang = argmax over languages of
+    sum(matched logp) + (n_grams − matched)·floor(lang) — naive
+    Bayes with per-language OOV floors, so a language can't win just
+    by matching fewer grams. One explode scan, one BROADCAST join of
+    the vocabulary-sized weight table, one per-(doc, lang) aggregate;
+    ties and no-gram/no-match docs resolve deterministically
+    (alphabetically-earliest language / 'und')."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      _char_ngrams(F.col(text_col), n).alias("__g"))
+            .select("id", F.size("__g").alias("__total"),
+                    F.explode_outer("__g").alias("gram")))
+    floor_map = F.create_map(*[F.lit(x) for lang in sorted(floors)
+                               for x in (lang, floors[lang])])
+    per = (base.join(F.broadcast(weights_df), "gram")
+           .groupBy("id", "__total", "lang")
+           .agg(F.sum("logp").alias("__s"), F.count(F.lit(1)).alias("__c"))
+           .withColumn("score", F.round(
+               F.col("__s") + (F.col("__total") - F.col("__c"))
+               * floor_map[F.col("lang")], 6)))
+    # struct min: largest score wins, ties -> smallest language code
+    best = (per.groupBy("id")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("lang").alias("lang"))).alias("b"))
+            .select("id", F.col("b.lang").alias("lang"),
+                    (-F.col("b.ns")).alias("score")))
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(best, "id", "left")
+            .select("id", F.coalesce("lang", F.lit("und")).alias("lang"),
+                    "score"))
+
+
 def fingerprint(col: Column) -> Column:
     """Order-sensitive rolling hash over word hashes:
     acc = (acc * 131 + hash32(word)) mod 1e9+7 — integer-exact in any
