@@ -118,9 +118,12 @@ def scale_probe(spark, factors: list[int]) -> dict:
     coefficient vector in the model, rows EXACTLY linear); bpe (apply
     a merge table trained ONCE on the 1x base, count-only mode — the
     per-executor word cache makes per-row cost a dict lookup, rows
-    EXACTLY linear). Training cost for both is paid at probe setup,
+    EXACTLY linear); langid (trained char-n-gram classify: one gram
+    explode + broadcast vocabulary-sized weight join + per-doc
+    aggregate, rows EXACTLY linear, wall ~linear — the explode
+    dominates). Training cost for all three is paid at probe setup,
     outside the timed series, mirroring production where the model /
-    merge table is a reusable artifact."""
+    merge table / profile table is a reusable artifact."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
@@ -145,6 +148,11 @@ def scale_probe(spark, factors: list[int]) -> dict:
         base.withColumn("label", (F.col("doc_id") % 2).cast("double")),
         n_features=1 << 16, max_iter=5)
     bpe_merges = BP.train_bpe(base, n_merges=150)
+    # the synthetic lang labels carry no real signal — irrelevant for
+    # a THROUGHPUT probe; the classify path (explode + broadcast
+    # weight join + per-doc aggregate) does identical work regardless
+    lang_w, lang_floors = T.train_lang_ngrams(
+        Catalog(spark, SF_DIR).documents, top_k=300)
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),
         # max_hamming=64 disables verification to expose the candidate
@@ -173,6 +181,7 @@ def scale_probe(spark, factors: list[int]) -> dict:
                             F.col("doc_id")))),
         "quality": lambda d: Q.score_quality(d, q_model),
         "bpe": lambda d: BP.apply_bpe(d, bpe_merges, with_tokens=False),
+        "langid": lambda d: T.lang_id_ngram(d, lang_w, lang_floors),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:

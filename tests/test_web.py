@@ -135,6 +135,62 @@ def test_registered_domain_psl_algorithm(spark):
         assert out[host] == want, f"{host}: {out[host]!r} != {want!r}"
 
 
+def _ref_psl(host, exact, wild, exc):
+    """Independent reference of the publicsuffix.org algorithm with
+    the engine's no-registrable convention (a host that IS a public
+    suffix resolves to itself). Written set-theoretically — match all
+    rules, exceptions dominate, else longest with wildcards counting
+    one past their printed labels, else the implicit '*' rule."""
+    labels = host.lower().split(".")
+
+    def ends_with(rule):
+        rl = rule.split(".")
+        return len(labels) >= len(rl) and labels[-len(rl):] == rl
+
+    exc_hits = [r for r in exc if ends_with(r)]
+    if exc_hits:
+        reg = max(len(r.split(".")) for r in exc_hits)
+        return ".".join(labels[-min(reg, len(labels)):])
+    ps = 1                                   # implicit '*' rule
+    for r in exact:
+        if ends_with(r):
+            ps = max(ps, len(r.split(".")))
+    for r in wild:
+        if ends_with(r):
+            ps = max(ps, len(r.split(".")) + 1)
+    return ".".join(labels[-min(ps + 1, len(labels)):])
+
+
+def test_registered_domain_psl_fuzz_vs_reference(spark):
+    """Seeded fuzz: random rule tables (exact/wildcard/exception over
+    a small label alphabet) and random hosts, engine vs the
+    independent reference — every divergence in match priority,
+    wildcard arithmetic or the clamped no-registrable convention
+    shows up here."""
+    import random
+    rng = random.Random(61)
+    alphabet = ["a", "b", "co", "uk", "io", "x"]
+
+    def suffix(n):
+        return ".".join(rng.choice(alphabet) for _ in range(n))
+
+    for trial in range(6):
+        exact = tuple({suffix(rng.randint(1, 2)) for _ in range(4)})
+        wild = tuple({suffix(rng.randint(1, 2)) for _ in range(2)})
+        exc = tuple({rng.choice(alphabet) + "." + w for w in wild[:1]})
+        hosts = list({".".join(rng.choice(alphabet)
+                               for _ in range(rng.randint(1, 5)))
+                      for _ in range(60)})
+        df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+        got = {r["host"]: r["registered_domain"] for r in
+               W.registered_domain_psl(df, (exact, wild, exc),
+                                       max_labels=4).collect()}
+        for h in hosts:
+            want = _ref_psl(h, exact, wild, exc)
+            assert got[h] == want, (trial, h, exact, wild, exc,
+                                    got[h], want)
+
+
 def test_registered_domain_psl_agrees_with_simple_cut(spark):
     """On the simple ccSLD tier the broadcast-join path and the
     literal-isin path compute the same registered domain — the two
