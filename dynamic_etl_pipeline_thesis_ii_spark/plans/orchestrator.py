@@ -304,6 +304,10 @@ class Pipeline:
             return self._run_corpus_diff(plan, source_dir, output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
+        if plan["target"] == "semantic_dedup":
+            return self._run_semantic_dedup(plan, source_dir, output_path)
+        if plan["target"] == "temperature_mix":
+            return self._run_temperature_mix(plan, source_dir, output_path)
 
         frame = corpus_to_shards_frame(
             self.spark, source_dir,
@@ -386,12 +390,70 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows_written": n}}
 
+    def _run_semantic_dedup(self, plan: dict, source_dir: str,
+                            output_path: str) -> dict:
+        """'semantically dedup ...': SemDeDup over the embeddings
+        table (:func:`operators.similarity.semantic_dedup`) — kept
+        rows written to the sink with an in/out count report."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            semantic_dedup,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        emb = Catalog(self.spark, source_dir).embeddings
+        frame = semantic_dedup(emb, threshold=plan["threshold"],
+                               n_clusters=plan["n_clusters"],
+                               keep=plan["keep"])
+        self.progress("dedup", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()  # read-back
+        n_in = emb.count()
+        self.progress("publish", {"rows": n_out, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "rows_in": n_in, "rows_kept": n_out}}
+
+    def _run_temperature_mix(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'flatten the language mix with temperature 0.5': alpha
+        sampling of the documents table
+        (:func:`operators.sampling.temperature_mix`) with per-stratum
+        before/after counts in the report."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+            temperature_mix,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        strata = plan["strata"]
+        frame = temperature_mix(docs, strata, alpha=plan["alpha"],
+                                key_col="doc_id", salt="temp")
+        self.progress("sample", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        after = {r[strata]: r["n"] for r in
+                 back.groupBy(strata).agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        before = {r[strata]: r["n"] for r in
+                  docs.groupBy(strata).agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        self.progress("publish", {"rows": sum(after.values()),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "counts_before": before,
+                            "counts_after": after}}
+
 
 # dataops NL routing: deterministic keyword/number extraction, mirroring
 # RulePlanner's style (rule-encoded routing, LLM-pluggable upstream)
 _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
-                  "chunk", "snapshot")
+                  "chunk", "snapshot", "temperature", "flatten")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -400,6 +462,14 @@ _SNAPSHOT_PATH_RE = re.compile(
 _CHUNK_TARGET_RE = re.compile(r"\bchunk(?:ed|ing|s)?\b")
 _CHUNK_SIZE_RE = re.compile(r"\bsize\s+(?:of\s+)?(\d+)\b")
 _CHUNK_STRIDE_RE = re.compile(r"\b(?:stride|overlap step)\s+(?:of\s+)?(\d+)\b")
+# 'semantically dedup' / 'dedup by embedding' -> semantic_dedup;
+# 'temperature 0.3' / 'flatten the language mix' -> temperature_mix
+_SEMANTIC_TARGET_RE = re.compile(r"\bsemantic(?:ally)?\b|\bby embeddings?\b")
+_SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
+_CLUSTERS_RE = re.compile(r"\b(\d+)\s+clusters?\b")
+_TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
+_ALPHA_RE = re.compile(
+    r"\b(?:temperature|alpha)\s+(?:of\s+)?(0?\.\d+|1(?:\.0)?|0)\b")
 # budget binds from a budget-flavored anchor word when one is present;
 # otherwise a bare 'N tokens' counts ONLY if it doesn't overlap the
 # seq-length match — 'pack into contexts of 512 tokens' names the
@@ -415,12 +485,19 @@ _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Three targets:
+    the query carries no dataops intent. Five targets, matched in
+    priority order:
 
     - ``corpus_diff`` — 'diff ... against the snapshot at <path>'
       (data-versioning; requires a filesystem path, bound to
       ``snapshot_path`` — None when the phrase names no path, which
       the orchestrator rejects with an actionable reason);
+    - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
+      embedding' (SemDeDup over the embeddings table; optional
+      'threshold 0.9', 'N clusters', 'lowest id' keep policy);
+    - ``temperature_mix`` — 'flatten the language mix' /
+      'temperature 0.3' (alpha sampling; strata = source when the
+      query says source/domain, else lang);
     - ``chunk_documents`` — 'chunk for RAG, size 256 stride 192'
       (RAG splitting; size/stride default to the operator's 128/96);
     - ``corpus_to_shards`` — everything else. Defaults match the
@@ -436,6 +513,18 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
+    if _SEMANTIC_TARGET_RE.search(ql):
+        thr = (float(m.group(1))
+               if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)
+        ncl = int(m.group(1)) if (m := _CLUSTERS_RE.search(ql)) else 16
+        return {"target": "semantic_dedup", "threshold": thr,
+                "n_clusters": ncl,
+                "keep": "min" if "lowest id" in ql else "far"}
+    if _TEMP_TARGET_RE.search(ql):
+        alpha = float(m.group(1)) if (m := _ALPHA_RE.search(ql)) else 0.5
+        strata = "source" if ("source" in ql or "domain" in ql) else "lang"
+        return {"target": "temperature_mix", "alpha": alpha,
+                "strata": strata}
     if _CHUNK_TARGET_RE.search(ql) and "shard" not in ql:
         size = int(m.group(1)) if (m := _CHUNK_SIZE_RE.search(ql)) else 128
         stride = (int(m.group(1))

@@ -604,6 +604,22 @@ def test_parse_dataops_targets():
     # 'chunks' inside a SHARDING query does not hijack the target
     s = parse_dataops_query("pack chunks and write 4 shards")
     assert s["target"] == "corpus_to_shards" and s["n_shards"] == 4
+    # semantic dedup with parameters; plain 'dedup' stays on shards
+    sd = parse_dataops_query(
+        "semantically dedup the corpus with threshold 0.9, 8 clusters")
+    assert sd == {"target": "semantic_dedup", "threshold": 0.9,
+                  "n_clusters": 8, "keep": "far"}
+    sd2 = parse_dataops_query("dedup by embedding, keep the lowest id")
+    assert sd2["keep"] == "min" and sd2["threshold"] == 0.95
+    assert parse_dataops_query(
+        "dedup and shard the training corpus")["target"] == "corpus_to_shards"
+    # temperature sampling; strata from source/domain mention
+    t1 = parse_dataops_query("flatten the language mix, temperature 0.3")
+    assert t1 == {"target": "temperature_mix", "alpha": 0.3,
+                  "strata": "lang"}
+    t2 = parse_dataops_query("temperature sample the source mix")
+    assert t2 == {"target": "temperature_mix", "alpha": 0.5,
+                  "strata": "source"}
 
 
 def test_pipeline_dataops_corpus_diff_target(spark, sf_dir, tmp_path):
@@ -680,6 +696,54 @@ def test_pipeline_dataops_chunk_target(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == expected
     assert result["reports"]["rows_written"] == len(expected)
+
+
+def test_pipeline_dataops_semantic_dedup_target(spark, sf_dir, tmp_path):
+    """NL 'semantically dedup' runs SemDeDup over the embeddings
+    table and the sink holds exactly the operator's kept rows."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "semdedup")
+    result = pipe.run_dataops(
+        "semantically dedup the corpus with threshold 0.9, 8 clusters",
+        sf_dir, out)
+    assert result["status"] == "complete"
+    rep = result["reports"]
+    assert rep["rows_in"] >= rep["rows_kept"] > 0
+    want = sorted(r["vec_id"] for r in semantic_dedup(
+        Catalog(spark, sf_dir).embeddings, threshold=0.9,
+        n_clusters=8).collect())
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert got == want and len(got) == rep["rows_kept"]
+
+
+def test_pipeline_dataops_temperature_target(spark, sf_dir, tmp_path):
+    """NL 'flatten the language mix' runs temperature sampling; the
+    report carries before/after per-language counts and the sink rows
+    equal the operator's own output."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        temperature_mix,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "tempmix")
+    result = pipe.run_dataops(
+        "flatten the language mix with temperature 0.3", sf_dir, out)
+    assert result["status"] == "complete"
+    rep = result["reports"]
+    assert rep["plan"]["alpha"] == 0.3
+    assert sum(rep["counts_after"].values()) \
+        <= sum(rep["counts_before"].values())
+    docs = Catalog(spark, sf_dir).documents
+    want = sorted(r["doc_id"] for r in temperature_mix(
+        docs, "lang", alpha=0.3, key_col="doc_id", salt="temp").collect())
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
