@@ -17,10 +17,13 @@ Decode support is tiered by what this environment can honestly do:
   libraries;
 - a REAL metadata tier for MPEG audio (MP1/MP2/MP3): frame-header
   walk giving exact duration / sample-rate / channels / mean bitrate
-  (``parse_mp3_meta``, provenance ``mp3meta``) — the PCM samples
-  themselves, and remaining formats (arithmetic/12-bit JPEG, ogg,
-  ...), raise NotImplementedError unless ``fake=True`` (librosa is
-  not available in this sandbox; swapping it in later only changes
+  (``parse_mp3_meta``, provenance ``mp3meta``) and for ISO-BMFF
+  video (MP4/MOV/M4A): box-tree walk giving duration / dimensions /
+  track census / codec fourccs (``parse_mp4_meta``, provenance
+  ``mp4meta``) — the compressed samples themselves, and remaining
+  formats (arithmetic/12-bit JPEG, ogg, ...), raise
+  NotImplementedError unless ``fake=True`` (librosa/ffmpeg are
+  not available in this sandbox; swapping them in later only changes
   the kernel body);
 - ``fake=True`` derives a deterministic feature vector from the raw
   bytes, used by the oracle-checked plumbing tests.
@@ -1024,6 +1027,15 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                         return [meta["duration_sec"],
                                 meta["sample_rate"], meta["channels"],
                                 meta["bitrate_kbps"]], "mp3meta"
+                if kind == "video":
+                    meta = parse_mp4_meta(p)
+                    if meta is None:
+                        raise ValueError("not ISO-BMFF")  # -> fake tier
+                    # metadata tier (sample decode is ffmpeg
+                    # territory): duration/dimensions/track census
+                    return [meta["duration_sec"], meta["width"],
+                            meta["height"],
+                            meta["n_video"] + meta["n_audio"]], "mp4meta"
                 name = ("netpbm" if p[:2] in (b"P6", b"P5")
                         else "png" if p[:8] == PNG_SIG
                         else "jpeg" if p[:2] == b"\xFF\xD8"
@@ -1309,6 +1321,162 @@ def parse_mp3_meta(payload: bytes) -> Optional[dict]:
             "channels": float(channels),
             "bitrate_kbps": round(bits / dur / 1000, 3) if dur else 0.0,
             "n_frames": frames, "layer": layer_out}
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """(type, body_start, body_end) triples of the ISO-BMFF boxes in
+    data[pos:end]; handles size==1 (64-bit largesize) and size==0
+    (to-end); stops on any malformed size."""
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+_MP4_TOP_BOXES = (b"ftyp", b"moov", b"mdat", b"free", b"skip", b"styp",
+                  b"wide", b"moof", b"pdin", b"sidx", b"meta", b"uuid")
+
+
+def parse_mp4_meta(payload: bytes) -> Optional[dict]:
+    """REAL ISO-BMFF (MP4/MOV/M4A) container metadata WITHOUT sample
+    decode: walk the box tree — ``mvhd`` for timescale/duration
+    (version 0 and 1 layouts), each ``trak``'s ``hdlr`` for the
+    track kind, ``tkhd`` for 16.16-fixed width/height, and the first
+    ``stsd`` entry for the codec fourcc. Returns ``{duration_sec,
+    timescale, n_video, n_audio, width, height, video_codec,
+    audio_codec, brand}`` or None for non-BMFF payloads. Decoding
+    the samples themselves is ffmpeg territory; this is the honest
+    metadata tier a corpus audit needs (the video analog of
+    :func:`parse_mp3_meta`)."""
+    if (payload is None or len(payload) < 12
+            or payload[4:8] not in _MP4_TOP_BOXES):
+        return None
+    out = {"duration_sec": 0.0, "timescale": 0.0, "n_video": 0.0,
+           "n_audio": 0.0, "width": 0.0, "height": 0.0,
+           "video_codec": None, "audio_codec": None, "brand": None}
+    saw_moov = False
+
+    def find(btype: bytes, lo: int, hi: int):
+        for t, a, b in _mp4_boxes(payload, lo, hi):
+            if t == btype:
+                return a, b
+        return None
+
+    for t, a, b in _mp4_boxes(payload, 0, len(payload)):
+        if t == b"ftyp" and b - a >= 4:
+            out["brand"] = payload[a:a + 4].decode("ascii", "replace")
+        if t != b"moov":
+            continue
+        saw_moov = True
+        if mv := find(b"mvhd", a, b):
+            p, pe = mv
+            ver = payload[p]
+            # v1: 8-byte ctime/mtime/duration; v0: all 4-byte
+            if ver == 1 and p + 32 <= pe:
+                ts = int.from_bytes(payload[p + 20:p + 24], "big")
+                dur = int.from_bytes(payload[p + 24:p + 32], "big")
+            elif ver == 0 and p + 20 <= pe:
+                ts = int.from_bytes(payload[p + 12:p + 16], "big")
+                dur = int.from_bytes(payload[p + 16:p + 20], "big")
+            else:
+                ts = dur = 0
+            out["timescale"] = float(ts)
+            out["duration_sec"] = round(dur / ts, 6) if ts else 0.0
+        for tt, ta, tb in _mp4_boxes(payload, a, b):
+            if tt != b"trak":
+                continue
+            handler = codec = None
+            width = height = 0.0
+            if tk := find(b"tkhd", ta, tb):
+                p, pe = tk
+                ver = payload[p]
+                # width/height are the LAST 8 bytes, 16.16 fixed,
+                # same offset from the end for v0 and v1 (full tkhd
+                # bodies: 84 bytes at v0, 96 at v1)
+                if pe - p >= (84 if ver == 0 else 96):
+                    width = int.from_bytes(payload[pe - 8:pe - 4],
+                                           "big") / 65536.0
+                    height = int.from_bytes(payload[pe - 4:pe],
+                                            "big") / 65536.0
+            if md := find(b"mdia", ta, tb):
+                ma, mb = md
+                if hd := find(b"hdlr", ma, mb):
+                    p, _ = hd
+                    handler = payload[p + 8:p + 12]
+                if mi := find(b"minf", ma, mb):
+                    if st := find(b"stbl", *mi):
+                        if sd := find(b"stsd", *st):
+                            p, pe = sd
+                            # ver/flags(4) + entry_count(4) + entry box
+                            if pe - p >= 16:
+                                codec = payload[p + 12:p + 16] \
+                                    .decode("ascii", "replace")
+            if handler == b"vide":
+                out["n_video"] += 1
+                out["width"] = out["width"] or round(width, 2)
+                out["height"] = out["height"] or round(height, 2)
+                out["video_codec"] = out["video_codec"] or codec
+            elif handler == b"soun":
+                out["n_audio"] += 1
+                out["audio_codec"] = out["audio_codec"] or codec
+    return out if saw_moov else None
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def write_mp4(duration_sec: float, timescale: int = 1000,
+              tracks: tuple = (("vide", "avc1", 640, 360),
+                               ("soun", "mp4a", 0, 0)),
+              version: int = 0) -> bytes:
+    """Minimal structurally-valid ISO-BMFF: ftyp + moov(mvhd + one
+    trak per (handler, codec fourcc, width, height)) + empty mdat —
+    the fixture twin of :func:`parse_mp4_meta` (no media samples;
+    ``version=1`` writes 64-bit mvhd duration)."""
+    dur = int(round(duration_sec * timescale))
+    if version == 1:
+        mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+                + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+                + b"\x00" * 36 + b"\x00" * 24 + (99).to_bytes(4, "big"))
+    else:
+        mvhd = (b"\x00" * 4 + b"\x00" * 8
+                + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+                + b"\x00" * 36 + b"\x00" * 24 + (99).to_bytes(4, "big"))
+    traks = b""
+    for i, (handler, codec, w, h) in enumerate(tracks):
+        tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 8
+                + (i + 1).to_bytes(4, "big") + b"\x00" * 4
+                + dur.to_bytes(4, "big") + b"\x00" * 16 + b"\x00" * 36
+                + (int(w) << 16).to_bytes(4, "big")
+                + (int(h) << 16).to_bytes(4, "big"))
+        hdlr = (b"\x00" * 4 + b"\x00" * 4 + handler.encode("ascii")
+                + b"\x00" * 12 + b"\x00")
+        entry = _mp4_box(codec.encode("ascii"),
+                         b"\x00" * 6 + (1).to_bytes(2, "big"))
+        stsd = b"\x00" * 4 + (1).to_bytes(4, "big") + entry
+        stbl = _mp4_box(b"stsd", stsd)
+        minf = _mp4_box(b"stbl", stbl)
+        mdia = (_mp4_box(b"hdlr", hdlr)
+                + _mp4_box(b"minf", minf))
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)
+                          + _mp4_box(b"mdia", mdia))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    return ftyp + moov + _mp4_box(b"mdat", b"")
 
 
 def write_wav(samples: "np.ndarray", rate: int, channels: int = 1) -> bytes:

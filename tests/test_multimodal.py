@@ -1348,3 +1348,72 @@ def test_decode_audio_g711_and_adpcm_wavs():
     assert feats[1] == 8000.0 and feats[2] == 1.0
     assert feats[0] == round(4 * 33 / 8000, 6)        # 1 + 32 per block
     assert feats[3] > 0
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) metadata tier
+# ---------------------------------------------------------------------------
+
+def test_mp4_meta_roundtrip_v0_and_v1():
+    for version in (0, 1):
+        enc = M.write_mp4(12.5, timescale=1000,
+                          tracks=(("vide", "avc1", 640, 360),
+                                  ("soun", "mp4a", 0, 0)),
+                          version=version)
+        meta = M.parse_mp4_meta(enc)
+        assert meta is not None, version
+        assert meta["duration_sec"] == 12.5 and meta["timescale"] == 1000.0
+        assert meta["n_video"] == 1.0 and meta["n_audio"] == 1.0
+        assert (meta["width"], meta["height"]) == (640.0, 360.0)
+        assert meta["video_codec"] == "avc1"
+        assert meta["audio_codec"] == "mp4a"
+        assert meta["brand"] == "isom"
+
+
+def test_mp4_meta_multi_video_and_audio_only():
+    enc = M.write_mp4(3.0, tracks=(("vide", "hvc1", 1920, 1080),
+                                   ("vide", "avc1", 640, 360)))
+    meta = M.parse_mp4_meta(enc)
+    assert meta["n_video"] == 2.0 and meta["n_audio"] == 0.0
+    # first video track's dimensions and codec win
+    assert (meta["width"], meta["height"]) == (1920.0, 1080.0)
+    assert meta["video_codec"] == "hvc1"
+
+    m4a = M.parse_mp4_meta(M.write_mp4(7.25, tracks=(("soun", "mp4a",
+                                                      0, 0),)))
+    assert m4a["n_video"] == 0.0 and m4a["audio_codec"] == "mp4a"
+    assert m4a["width"] == 0.0
+
+
+def test_mp4_meta_rejects_and_never_raises():
+    import random
+    assert M.parse_mp4_meta(None) is None
+    assert M.parse_mp4_meta(b"") is None
+    assert M.parse_mp4_meta(b"RIFF" + b"\x00" * 40) is None
+    # ftyp without moov: recognized container but no metadata
+    ftyp_only = M.write_mp4(1.0)[:24]
+    assert M.parse_mp4_meta(ftyp_only) is None
+    rng = random.Random(77)
+    base = M.write_mp4(2.0)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.getrandbits(8)
+        M.parse_mp4_meta(bytes(b))             # may be None, never raises
+    for _ in range(100):
+        junk = bytes(rng.getrandbits(8)
+                     for _ in range(rng.randint(0, 120)))
+        M.parse_mp4_meta(junk)
+
+
+def test_decode_any_mp4_provenance(spark):
+    rows = [(1, "video", M.write_mp4(9.0)),
+            (2, "video", b"\x00\x01\x02 not a container")]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary") \
+        .withColumn("n_bytes", F.length("payload"))
+    out = {r["media_id"]: (r["decoder"], r["feat"]) for r in
+           M.extract_features(media, mode="real").collect()}
+    dec, feat = out[1]
+    assert dec == "mp4meta"
+    assert feat[0] == 9.0 and feat[1] == 640.0 and feat[3] == 2.0
+    assert out[2][0] == "fake"                 # garbage falls back
