@@ -92,13 +92,16 @@ def ivf_search(centers_df: DataFrame, bucketed: DataFrame,
               .select(q_id, q_vec, "__qn", "__cluster"))
 
     joined = probes.join(bucketed, "__cluster")
-    scored = joined.withColumn(
-        "cos", F.round(cosine_prenormed(
+    scored = joined.select(
+        F.col(q_id), F.col(c_id),
+        F.round(cosine_prenormed(
             F.col(q_vec).cast("array<double>"),
             F.col(c_vec).cast("array<double>"),
-            F.col("__qn"), F.col("__cn")), 6))
+            F.col("__qn"), F.col("__cn")), 6).alias("cos"))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (_partition_topk(scored, k, by="cos", ascending=False,
+                            tie=c_id, q=q_id)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, c_id, "cos", "rank"))
 
@@ -121,17 +124,24 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,
                      q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
     """Exact top-k by cosine for each query vector. The candidate side
     streams through a broadcast of the (small) query set; ranking uses a
-    window over rounded cosine (6dp) with id tie-break for determinism."""
+    window over rounded cosine (6dp) with id tie-break for determinism.
+    The scored stream pre-truncates to k rows per query WITHIN each
+    scan partition (:func:`_partition_topk` — vectors never enter the
+    Arrow kernel, only (q_id, c_id, cos)), so the rank window shuffles
+    ~n_partitions·|Q|·k rows instead of the full |C|·|Q| product."""
     qn = queries.withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>")))
     cn = candidates.withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>")))
     joined = cn.crossJoin(F.broadcast(qn))
-    scored = joined.withColumn(
-        "cos", F.round(cosine_prenormed(
+    scored = joined.select(
+        F.col(q_id), F.col(c_id),
+        F.round(cosine_prenormed(
             F.col(q_vec).cast("array<double>"),
             F.col(c_vec).cast("array<double>"),
-            F.col("__qn"), F.col("__cn")), 6))
+            F.col("__qn"), F.col("__cn")), 6).alias("cos"))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (_partition_topk(scored, k, by="cos", ascending=False,
+                            tie=c_id, q=q_id)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, c_id, "cos", "rank"))
 
@@ -148,20 +158,25 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int, bits: int = 6,
              q_id: str = "q_id", c_id: str = "c_id",
              q_vec: str = "q_vec", c_vec: str = "c_vec") -> DataFrame:
     """Approximate top-k: candidates pre-bucketed by sign-bit LSH; each
-    query searches only its own bucket. One equi-join shuffle on the
-    bucket id instead of a cross product."""
+    query searches only its own bucket. One broadcast probe into the
+    bucketed candidates instead of a cross product; the scored stream
+    pre-truncates per partition before the rank window (same
+    two-stage shape as :func:`pq_topk`)."""
     qb = (queries.withColumn("bucket", sign_bucket(F.col(q_vec), bits))
           .withColumn("__qn", l2norm(F.col(q_vec).cast("array<double>"))))
     cb = (candidates.withColumn("bucket", sign_bucket(F.col(c_vec), bits))
           .withColumn("__cn", l2norm(F.col(c_vec).cast("array<double>"))))
     joined = cb.join(F.broadcast(qb), "bucket")
-    scored = joined.withColumn(
-        "cos", F.round(cosine_prenormed(
+    scored = joined.select(
+        F.col(q_id), F.col("bucket"), F.col(c_id),
+        F.round(cosine_prenormed(
             F.col(q_vec).cast("array<double>"),
             F.col(c_vec).cast("array<double>"),
-            F.col("__qn"), F.col("__cn")), 6))
+            F.col("__qn"), F.col("__cn")), 6).alias("cos"))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (_partition_topk(scored, k, by="cos", ascending=False,
+                            tie=c_id, q=q_id)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, "bucket", c_id, "cos", "rank"))
 
@@ -209,13 +224,16 @@ def lsh_topk_multiprobe(queries: DataFrame, candidates: DataFrame, k: int,
     qp = (base.withColumn("probe", F.explode(F.array_distinct(F.array(*probe_cols))))
           .select(q_id, q_vec, "__qn", F.col("probe").alias("bucket")))
     joined = cb.join(F.broadcast(qp), "bucket")
-    scored = joined.withColumn(
-        "cos", F.round(cosine_prenormed(
+    scored = joined.select(
+        F.col(q_id), F.col(c_id),
+        F.round(cosine_prenormed(
             F.col(q_vec).cast("array<double>"),
             F.col(c_vec).cast("array<double>"),
-            F.col("__qn"), F.col("__cn")), 6))
+            F.col("__qn"), F.col("__cn")), 6).alias("cos"))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (_partition_topk(scored, k, by="cos", ascending=False,
+                            tie=c_id, q=q_id)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, c_id, "cos", "rank"))
 
@@ -310,23 +328,27 @@ def pq_lut(qvec: Column, codebooks: list) -> Column:
                      for s in range(len(codebooks))])
 
 
-def _partition_topk(scored: DataFrame, k: int,
-                    flush_rows: int = 100_000) -> DataFrame:
-    """Per-PARTITION top-k per query over a ``(q_id, c_id, adc)``
-    stream, with NO shuffle — the map-side half of the same two-stage
-    trick TakeOrdered uses. A vectorized Arrow kernel accumulates
-    input batches and truncates to k rows per q_id whenever the
-    buffer passes ``flush_rows``, so memory stays bounded and each
-    partition emits at most |Q|·k rows. Top-k under the TOTAL
-    (adc asc, c_id asc) order is associative: local-then-global
-    truncation returns exactly the global top-k."""
+def _partition_topk(scored: DataFrame, k: int, by: str = "adc",
+                    ascending: bool = True, tie: str = "c_id",
+                    q: str = "q_id", flush_rows: int = 100_000) -> DataFrame:
+    """Per-PARTITION top-k per q_id over a scored stream, with NO
+    shuffle — the map-side half of the same two-stage trick
+    TakeOrdered uses. A vectorized Arrow kernel accumulates input
+    batches and truncates to k rows per q_id whenever the buffer
+    passes ``flush_rows``, so memory stays bounded and each partition
+    emits at most |Q|·k rows. Top-k under the TOTAL (``by``
+    asc/desc, ``tie`` asc) order is associative: local-then-global
+    truncation returns exactly the global top-k. Extra columns (e.g.
+    an lsh ``bucket``) pass through untouched — the output schema is
+    the input schema."""
     def kernel(batches):
         import pandas as pd
 
         def crush(frames):
             cat = pd.concat(frames, ignore_index=True)
-            return (cat.sort_values(["adc", "c_id"], kind="mergesort")
-                    .groupby("q_id", sort=False).head(k))
+            return (cat.sort_values([by, tie], kind="mergesort",
+                                    ascending=[ascending, True])
+                    .groupby(q, sort=False).head(k))
 
         buf, n = [], 0
         for pdf in batches:

@@ -271,6 +271,35 @@ def test_pq_topk_two_stage_no_full_shuffle(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
 
 
+def test_ann_family_two_stage_plans(spark, sf_dir):
+    """The whole ANN family pre-truncates per partition before the
+    rank window: in every plan the Arrow kernel (MapInPandas) sits
+    BELOW the q_id Exchange, so the |C|·|Q| (or bucket-join) scored
+    product never shuffles — only ~n_partitions·|Q|·k rows do."""
+    from pyspark.sql import functions as F
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    outs = {
+        "brute": SIM.brute_force_topk(queries, cands, k=3),
+        "lsh": SIM.lsh_topk(queries, cands, k=3),
+        "multiprobe": SIM.lsh_topk_multiprobe(queries, cands, k=3),
+        "ivf": SIM.ivf_topk(queries, cands, k=3, n_clusters=4),
+    }
+    for name, out in outs.items():
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, name
+        mp = plan.index("MapInPandas")
+        ex = plan.index("Exchange hashpartitioning(q_id")
+        assert ex < mp, (name, plan)
+        assert out.count() == 15, name      # 5 queries x top-3 survive
+
+
 def test_ivfpq_recall_selfhit_and_rerank_tier(spark, sf_dir):
     """IVF-PQ (faiss IVFADC layout): residual codes + coarse probes.
     Pins (a) the exact-rerank tier — every query's own vector comes
