@@ -1019,14 +1019,20 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                         return decode_audio(p), "wav"
                     except NotImplementedError:
                         meta = parse_mp3_meta(p)
-                        if meta is None:
+                        if meta is not None:
+                            # metadata tier: same 4-dim shape as the
+                            # WAV features, bitrate in the RMS slot
+                            # (PCM decode is librosa territory)
+                            return [meta["duration_sec"],
+                                    meta["sample_rate"],
+                                    meta["channels"],
+                                    meta["bitrate_kbps"]], "mp3meta"
+                        flac = parse_flac_meta(p)
+                        if flac is None:
                             raise
-                        # metadata tier: same 4-dim shape as the WAV
-                        # features, bitrate in the RMS slot (PCM decode
-                        # is librosa territory); provenance says so
-                        return [meta["duration_sec"],
-                                meta["sample_rate"], meta["channels"],
-                                meta["bitrate_kbps"]], "mp3meta"
+                        return [flac["duration_sec"],
+                                flac["sample_rate"], flac["channels"],
+                                flac["bits_per_sample"]], "flacmeta"
                 if kind == "video":
                     meta = parse_mp4_meta(p)
                     if meta is None:
@@ -1321,6 +1327,48 @@ def parse_mp3_meta(payload: bytes) -> Optional[dict]:
             "channels": float(channels),
             "bitrate_kbps": round(bits / dur / 1000, 3) if dur else 0.0,
             "n_frames": frames, "layer": layer_out}
+
+
+def parse_flac_meta(payload: bytes) -> Optional[dict]:
+    """REAL FLAC container metadata WITHOUT sample decode: the
+    mandatory first STREAMINFO block (spec §: always block 0 right
+    after 'fLaC') carries sample rate (20 bits), channels (3+1),
+    bits per sample (5+1) and total samples (36) — enough for exact
+    duration. Returns ``{duration_sec, sample_rate, channels,
+    bits_per_sample, total_samples}`` or None."""
+    if (payload is None or len(payload) < 42
+            or payload[:4] != b"fLaC"):
+        return None
+    btype = payload[4] & 0x7F
+    length = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or length < 34:
+        return None
+    b = payload[8:42]
+    sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x7) + 1
+    bps = (((b[12] & 0x1) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    if sr == 0:
+        return None                       # spec: invalid stream
+    return {"duration_sec": round(total / sr, 6),
+            "sample_rate": float(sr), "channels": float(channels),
+            "bits_per_sample": float(bps), "total_samples": total}
+
+
+def write_flac_meta(total_samples: int, rate: int = 44_100,
+                    channels: int = 2, bits: int = 16) -> bytes:
+    """Minimal fLaC + STREAMINFO fixture twin of
+    :func:`parse_flac_meta` (no audio frames)."""
+    b = bytearray(34)
+    b[0:2] = (4096).to_bytes(2, "big")     # min/max blocksize
+    b[2:4] = (4096).to_bytes(2, "big")
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = (((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1)
+             | (((bits - 1) >> 4) & 0x1))
+    b[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    b[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
 
 
 def _mp4_boxes(data: bytes, pos: int, end: int):

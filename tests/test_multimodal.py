@@ -1417,3 +1417,38 @@ def test_decode_any_mp4_provenance(spark):
     assert dec == "mp4meta"
     assert feat[0] == 9.0 and feat[1] == 640.0 and feat[3] == 2.0
     assert out[2][0] == "fake"                 # garbage falls back
+
+
+def test_flac_meta_roundtrip_and_rejects():
+    import random
+    meta = M.parse_flac_meta(M.write_flac_meta(441_000, rate=44_100,
+                                               channels=2, bits=16))
+    assert meta == {"duration_sec": 10.0, "sample_rate": 44100.0,
+                    "channels": 2.0, "bits_per_sample": 16.0,
+                    "total_samples": 441_000}
+    # >32-bit total-sample counts use the 36-bit field
+    big = M.parse_flac_meta(M.write_flac_meta(5_000_000_000,
+                                              rate=48_000, channels=1,
+                                              bits=24))
+    assert big["total_samples"] == 5_000_000_000
+    assert big["channels"] == 1.0 and big["bits_per_sample"] == 24.0
+    assert M.parse_flac_meta(None) is None
+    assert M.parse_flac_meta(b"fLaC") is None
+    assert M.parse_flac_meta(b"OggS" + b"\x00" * 60) is None
+    rng = random.Random(79)
+    base = M.write_flac_meta(1000)
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(len(b))] = rng.getrandbits(8)
+        M.parse_flac_meta(bytes(b))            # may be None, never raises
+
+
+def test_decode_any_flac_provenance(spark):
+    rows = [(1, "audio", M.write_flac_meta(88_200, rate=44_100))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary") \
+        .withColumn("n_bytes", F.length("payload"))
+    r = M.extract_features(media, mode="real").first()
+    assert r["decoder"] == "flacmeta"
+    assert r["feat"][0] == 2.0 and r["feat"][1] == 44100.0

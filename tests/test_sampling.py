@@ -286,6 +286,23 @@ def test_temperature_mix_endpoints_and_flattening(spark, docs):
         SA.temperature_mix(base, "lang", alpha=1.5, key_col="doc_id")
 
 
+def test_temperature_mix_alpha_nesting(spark):
+    """Lower alpha keeps a SUBSET of what higher alpha keeps (for a
+    fixed salt): per-stratum rates are monotone in alpha and the hash
+    thresholds are nested, so tightening the temperature never swaps
+    rows — it only removes them. This is the property that makes
+    alpha a safe tuning knob on a live pipeline (re-runs at a new
+    alpha reuse every surviving row's downstream artifacts)."""
+    base = Catalog(spark, "/root/testdata/sf0.01").documents \
+        .select("doc_id", "lang")
+    kept = {a: {r["doc_id"] for r in SA.temperature_mix(
+        base, "lang", alpha=a, key_col="doc_id").collect()}
+        for a in (0.0, 0.25, 0.5, 0.75, 1.0)}
+    alphas = sorted(kept)
+    for lo, hi in zip(alphas, alphas[1:]):
+        assert kept[lo] <= kept[hi], (lo, hi)
+
+
 def test_temperature_mix_null_strata_and_determinism(spark):
     rows = [(1, "en"), (2, "en"), (3, "en"), (4, "fr"), (5, None)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
