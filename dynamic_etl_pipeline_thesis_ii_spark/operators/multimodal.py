@@ -15,15 +15,15 @@ Decode support is tiered by what this environment can honestly do:
   integer table math, audioop-differential-tested) — parse,
   feature-extract and nearest-neighbor resize with no external
   libraries;
-- a REAL metadata tier for MPEG audio (MP1/MP2/MP3): frame-header
-  walk giving exact duration / sample-rate / channels / mean bitrate
-  (``parse_mp3_meta``, provenance ``mp3meta``) and for ISO-BMFF
-  video (MP4/MOV/M4A): box-tree walk giving duration / dimensions /
-  track census / codec fourccs (``parse_mp4_meta``, provenance
-  ``mp4meta``) — the compressed samples themselves, and remaining
-  formats (arithmetic/12-bit JPEG, ogg, ...), raise
-  NotImplementedError unless ``fake=True`` (librosa/ffmpeg are
-  not available in this sandbox; swapping them in later only changes
+- a REAL metadata tier for MPEG audio (MP1/MP2/MP3 frame-header
+  walk, provenance ``mp3meta``), FLAC (STREAMINFO, ``flacmeta``),
+  Ogg Opus/Vorbis (page walk to the last granule, ``oggmeta``) and
+  ISO-BMFF video (MP4/MOV/M4A box-tree walk giving duration /
+  dimensions / track census / codec fourccs, ``mp4meta``) — the
+  compressed samples themselves, and remaining formats
+  (arithmetic/12-bit JPEG, ...), raise NotImplementedError unless
+  ``fake=True`` (librosa/ffmpeg are not available in this sandbox;
+  swapping them in later only changes
   the kernel body);
 - ``fake=True`` derives a deterministic feature vector from the raw
   bytes, used by the oracle-checked plumbing tests.
@@ -1028,11 +1028,17 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                                     meta["channels"],
                                     meta["bitrate_kbps"]], "mp3meta"
                         flac = parse_flac_meta(p)
-                        if flac is None:
+                        if flac is not None:
+                            return [flac["duration_sec"],
+                                    flac["sample_rate"],
+                                    flac["channels"],
+                                    flac["bits_per_sample"]], "flacmeta"
+                        ogg = parse_ogg_meta(p)
+                        if ogg is None:
                             raise
-                        return [flac["duration_sec"],
-                                flac["sample_rate"], flac["channels"],
-                                flac["bits_per_sample"]], "flacmeta"
+                        return [ogg["duration_sec"],
+                                ogg["sample_rate"], ogg["channels"],
+                                0.0], "oggmeta"
                 if kind == "video":
                     meta = parse_mp4_meta(p)
                     if meta is None:
@@ -1369,6 +1375,99 @@ def write_flac_meta(total_samples: int, rate: int = 44_100,
     b[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
     b[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(b)
+
+
+def _ogg_pages(payload: bytes):
+    """(header_type, granule, serial, body) per Ogg page; stops at the
+    first malformed page. CRCs are not verified — this is a metadata
+    walk, not an integrity check."""
+    pos, n = 0, len(payload)
+    while pos + 27 <= n and payload[pos:pos + 4] == b"OggS":
+        htype = payload[pos + 5]
+        granule = int.from_bytes(payload[pos + 6:pos + 14], "little",
+                                 signed=True)
+        serial = int.from_bytes(payload[pos + 14:pos + 18], "little")
+        nseg = payload[pos + 26]
+        seg_end = pos + 27 + nseg
+        if seg_end > n:
+            return
+        body_len = sum(payload[pos + 27:seg_end])
+        if seg_end + body_len > n:
+            return
+        yield htype, granule, serial, payload[seg_end:seg_end + body_len]
+        pos = seg_end + body_len
+
+
+def parse_ogg_meta(payload: bytes) -> Optional[dict]:
+    """REAL Ogg container metadata WITHOUT sample decode: identify the
+    codec from the first (BOS) packet — OpusHead (RFC 7845 §5.1:
+    channels, pre-skip, input rate; granules always tick at 48 kHz)
+    or \\x01vorbis (channels, rate) — then take the stream's LAST
+    granule position for the exact PCM length. Returns
+    ``{duration_sec, sample_rate, channels, codec}`` or None."""
+    if payload is None or len(payload) < 28 or payload[:4] != b"OggS":
+        return None
+    codec = rate = channels = None
+    pre_skip = 0
+    gscale = 48_000.0               # opus granule timescale (fixed)
+    serial0 = last_granule = None
+    for htype, granule, serial, body in _ogg_pages(payload):
+        if serial0 is None:
+            serial0 = serial
+            if body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:7] == b"\x01vorbis" and len(body) >= 28:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                gscale = float(rate) if rate else 0.0
+            else:
+                return None
+        if serial == serial0 and granule >= 0:
+            last_granule = granule
+    if codec is None or last_granule is None or not gscale:
+        return None
+    pcm = max(0, last_granule - (pre_skip if codec == "opus" else 0))
+    return {"duration_sec": round(pcm / gscale, 6),
+            "sample_rate": float(rate or 0), "channels": float(channels),
+            "codec": codec}
+
+
+def write_ogg_meta(duration_sec: float, codec: str = "opus",
+                   rate: int = 48_000, channels: int = 2) -> bytes:
+    """Minimal two-page Ogg fixture twin of :func:`parse_ogg_meta`:
+    a BOS page carrying the codec id header and an EOS page whose
+    granule position encodes the duration (no audio packets)."""
+    def page(htype: int, granule: int, body: bytes) -> bytes:
+        segs = []
+        left = len(body)
+        while left >= 255:
+            segs.append(255)
+            left -= 255
+        segs.append(left)
+        return (b"OggS\x00" + bytes([htype])
+                + granule.to_bytes(8, "little", signed=True)
+                + (7).to_bytes(4, "little") + (0).to_bytes(4, "little")
+                + (0).to_bytes(4, "little") + bytes([len(segs)])
+                + bytes(segs) + body)
+
+    pre_skip = 312
+    if codec == "opus":
+        head = (b"OpusHead" + bytes([1, channels])
+                + pre_skip.to_bytes(2, "little")
+                + rate.to_bytes(4, "little") + b"\x00\x00" + b"\x00")
+        granule = int(round(duration_sec * 48_000)) + pre_skip
+    elif codec == "vorbis":
+        head = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                + bytes([channels]) + rate.to_bytes(4, "little")
+                + b"\x00" * 12 + b"\xB8\x01")
+        granule = int(round(duration_sec * rate))
+    else:
+        raise ValueError(f"codec must be opus or vorbis, got {codec!r}")
+    return page(0x02, -1, head) + page(0x04, granule, b"")
 
 
 def _mp4_boxes(data: bytes, pos: int, end: int):

@@ -1452,3 +1452,35 @@ def test_decode_any_flac_provenance(spark):
     r = M.extract_features(media, mode="real").first()
     assert r["decoder"] == "flacmeta"
     assert r["feat"][0] == 2.0 and r["feat"][1] == 44100.0
+
+
+def test_ogg_meta_opus_and_vorbis():
+    import random
+    op = M.parse_ogg_meta(M.write_ogg_meta(7.5, codec="opus",
+                                           channels=2))
+    assert op == {"duration_sec": 7.5, "sample_rate": 48000.0,
+                  "channels": 2.0, "codec": "opus"}
+    vo = M.parse_ogg_meta(M.write_ogg_meta(3.25, codec="vorbis",
+                                           rate=44_100, channels=1))
+    assert vo["codec"] == "vorbis" and vo["duration_sec"] == 3.25
+    assert vo["sample_rate"] == 44100.0 and vo["channels"] == 1.0
+    assert M.parse_ogg_meta(None) is None
+    assert M.parse_ogg_meta(b"OggS") is None
+    assert M.parse_ogg_meta(b"fLaC" + b"\x00" * 60) is None
+    rng = random.Random(83)
+    base = M.write_ogg_meta(2.0)
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(len(b))] = rng.getrandbits(8)
+        M.parse_ogg_meta(bytes(b))             # may be None, never raises
+
+
+def test_decode_any_ogg_provenance(spark):
+    rows = [(1, "audio", M.write_ogg_meta(4.0, codec="opus"))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary") \
+        .withColumn("n_bytes", F.length("payload"))
+    r = M.extract_features(media, mode="real").first()
+    assert r["decoder"] == "oggmeta"
+    assert r["feat"][0] == 4.0 and r["feat"][1] == 48000.0
