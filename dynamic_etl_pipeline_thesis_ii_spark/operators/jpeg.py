@@ -172,8 +172,10 @@ def _extend(v: int, t: int) -> int:
 
 def parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
-    JPEG into (width, height, HxWxC uint8, C in {1, 3}); None for
-    non-JPEG or unsupported variants (arithmetic, lossless, 12-bit)."""
+    JPEG into (width, height, HxWxC uint8, C in {1, 3}; 12-bit
+    streams — incl. 16-bit DQTs — decode at full precision and scale
+    to the uint8 contract); None for non-JPEG or unsupported variants
+    (arithmetic, lossless)."""
     try:
         return _parse_jpeg(payload)
     except (IndexError, ValueError, KeyError, ZeroDivisionError,
@@ -189,6 +191,7 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
+    prec = 8
     restart = 0
     progressive = False
     coefs: Optional[list[np.ndarray]] = None   # progressive accumulators
@@ -214,14 +217,17 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         if marker == 0xDB:                      # DQT
             p = 0
             while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0x0F
-                if prec != 0:
-                    return None                 # 16-bit tables
+                qprec, tid = seg[p] >> 4, seg[p] & 0x0F
+                if qprec not in (0, 1):
+                    return None
                 tab = np.zeros((8, 8))
-                for k in range(64):
-                    tab[_ZIGZAG[k]] = seg[p + 1 + k]
+                for k in range(64):             # qprec 1: 16-bit entries
+                    tab[_ZIGZAG[k]] = (
+                        seg[p + 1 + k] if qprec == 0 else
+                        int.from_bytes(seg[p + 1 + 2 * k:p + 3 + 2 * k],
+                                       "big"))
                 qt[tid] = tab
-                p += 65
+                p += 65 if qprec == 0 else 129
         elif marker == 0xC4:                    # DHT
             p = 0
             while p < len(seg):
@@ -234,8 +240,9 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 p += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             progressive = marker == 0xC2
-            if seg[0] != 8:
+            if seg[0] not in (8, 12):
                 return None
+            prec = seg[0]
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             # hostile/corrupt dims would otherwise allocate GB-scale
@@ -274,7 +281,7 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
                 _decode_baseline_scan(payload, data_pos, comps, scan,
                                       huff_dc, huff_ac, restart, coefs,
                                       geom)
-                return _finish(w, h, comps, coefs, qt, geom)
+                return _finish(w, h, comps, coefs, qt, geom, prec)
             if coefs is None:
                 coefs = _alloc_coefs(comps, geom)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -288,7 +295,7 @@ def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         i += 2 + seg_len
     if progressive and coefs is not None:
         return _finish(w, h, comps, coefs,
-                       qt, _geometry(w, h, comps))
+                       qt, _geometry(w, h, comps), prec)
     return None
 
 
@@ -347,7 +354,7 @@ def _decode_baseline_scan(payload, pos, comps, scan, huff_dc, huff_ac,
             mcu_idx += 1
 
 
-def _finish(w, h, comps, coefs, qt, geom):
+def _finish(w, h, comps, coefs, qt, geom, prec: int = 8):
     """Dequantize + IDCT + upsample + color-convert, all components
     batched: one fancy-index de-zig-zag and one einsum (the pair of
     8x8 basis matmuls applied to EVERY block of a component at once)
@@ -365,7 +372,13 @@ def _finish(w, h, comps, coefs, qt, geom):
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         p = np.repeat(np.repeat(plane, geom["vmax"] // comp["v"], axis=0),
                       geom["hmax"] // comp["h"], axis=1)
-        out.append(p[:h, :w] + 128.0)
+        # 12-bit: level-shift at 2^(P-1), then scale the PLANES back to
+        # the 8-bit domain; the YCbCr->RGB transform is affine in
+        # (y, cb-center, cr-center), so pre-scaling each plane by
+        # 2^(P-8) yields exactly rgb12 / 2^(P-8) — one uniform uint8
+        # contract for every precision
+        shift = float(1 << (prec - 1))
+        out.append((p[:h, :w] + shift) / float(1 << (prec - 8)))
     if len(out) == 1:
         arr = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return w, h, arr[..., None]
@@ -629,10 +642,23 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return int(zz[0])
 
 
+# extended Huffman tables for 12-bit precision: the Annex K tables
+# stop at DC category 11 / AC size 10, but 12-bit DC diffs reach
+# category 15 and AC sizes 14 (T.81 F.1.2.1). Flat canonical codes —
+# all DC symbols at 5 bits (16 <= 2^5 - 2, all-ones code unused), all
+# 226 AC symbols at 8 bits — are legal, decoder-generic and simple.
+_DC_EXT = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+           list(range(16)))
+_AC_EXT = ([0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+           [0x00, 0xF0] + [(r << 4) | sz
+                           for r in range(16) for sz in range(1, 15)])
+
+
 def write_jpeg(arr: "np.ndarray", quality: int = 90,
                subsample=False,
                restart_interval: int = 0,
-               progressive: bool = False) -> bytes:
+               progressive: bool = False,
+               precision: int = 8) -> bytes:
     """Encode HxWx3 RGB (or HxWx1 / HxW grayscale) uint8 as JPEG with
     quality-scaled Annex K tables. ``subsample`` picks the chroma
     layout: False/"444" (default), True/"420" (luma 2x2 per MCU,
@@ -648,7 +674,10 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
     Al=1 → AC bands Al=2 → AC refine → DC refine → AC refine to
     full precision) — the fixture generator for the progressive
     decoder. The forward DCT is one einsum over all blocks of a
-    component; only entropy emission is per-block Python."""
+    component; only entropy emission is per-block Python.
+    ``precision=12`` (baseline only) scales the sample domain by 16,
+    emits 16-bit DQTs and the extended-category Huffman tables — the
+    fixture generator for the 12-bit decode path."""
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, nc = arr.shape
@@ -656,14 +685,23 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
     mode = {False: "444", True: "420"}.get(subsample, subsample)
     if mode not in ("444", "420", "422"):
         raise ValueError(f"subsample must be 444/420/422, got {subsample!r}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit fixtures are baseline-only")
     if gray:
         mode = "444"
     lh, lv = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[mode]
     ql = _quality_scale(_QL.reshape(8, 8), quality)
     qc = _quality_scale(_QC.reshape(8, 8), quality)
+    dscale = float(1 << (precision - 8))
+    if precision == 12:
+        # q >= 2 caps the DC diff range at category 15 (q=1 would
+        # allow |diff| = 2 * 8 * 2048 = 2^16, one past the table)
+        ql, qc = np.maximum(ql, 2), np.maximum(qc, 2)
     x = arr.astype(np.float64)
     if gray:
-        planes = [(x[..., 0] - 128.0, ql, lh, lv)]
+        planes = [((x[..., 0] - 128.0) * dscale, ql, lh, lv)]
     else:
         r, g, b = x[..., 0], x[..., 1], x[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -676,8 +714,9 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
                 return pe.reshape(pe.shape[0] // lv, lv,
                                   pe.shape[1] // lh, lh).mean(axis=(1, 3))
             cb, cr = down(cb), down(cr)
-        planes = [(y - 128.0, ql, lh, lv), (cb - 128.0, qc, 1, 1),
-                  (cr - 128.0, qc, 1, 1)]
+        planes = [((y - 128.0) * dscale, ql, lh, lv),
+                  ((cb - 128.0) * dscale, qc, 1, 1),
+                  ((cr - 128.0) * dscale, qc, 1, 1)]
 
     # batched forward DCT: pad each plane to its MCU grid, quantize,
     # and store zig-zag-ordered int coefficients (nby, nbx, 64)
@@ -701,22 +740,29 @@ def write_jpeg(arr: "np.ndarray", quality: int = 90,
 
     out = bytearray(b"\xFF\xD8")
     for tid, q in ((0, ql),) if gray else ((0, ql), (1, qc)):
-        zz = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
-        out += seg(0xDB, bytes([tid]) + zz)
+        if precision == 12:                     # 16-bit DQT entries
+            zz = b"".join(int(q[_ZIGZAG[k]]).to_bytes(2, "big")
+                          for k in range(64))
+            out += seg(0xDB, bytes([0x10 | tid]) + zz)
+        else:
+            zz = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+            out += seg(0xDB, bytes([tid]) + zz)
     ncomp = 1 if gray else 3
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([ncomp])
     for c in range(ncomp):
         samp = (lh << 4) | lv if c == 0 else 0x11
         sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += seg(0xC2 if progressive else 0xC0, sof)
-    tables = ((0x00, _DC_L), (0x10, _AC_L)) if gray else \
-        ((0x00, _DC_L), (0x10, _AC_L), (0x01, _DC_C), (0x11, _AC_C))
+    dc_l, ac_l = (_DC_EXT, _AC_EXT) if precision == 12 else (_DC_L, _AC_L)
+    dc_c, ac_c = (_DC_EXT, _AC_EXT) if precision == 12 else (_DC_C, _AC_C)
+    tables = ((0x00, dc_l), (0x10, ac_l)) if gray else \
+        ((0x00, dc_l), (0x10, ac_l), (0x01, dc_c), (0x11, ac_c))
     for tc, (bits, vals) in tables:
         out += seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
 
-    enc_dc = [_huff_encode_table(*_DC_L), _huff_encode_table(*_DC_C)]
-    enc_ac = [_huff_encode_table(*_AC_L), _huff_encode_table(*_AC_C)]
+    enc_dc = [_huff_encode_table(*dc_l), _huff_encode_table(*dc_c)]
+    enc_ac = [_huff_encode_table(*ac_l), _huff_encode_table(*ac_c)]
 
     if progressive:
         _emit_progressive(out, seg, zzs, samps, w, h, my_max, mx_max,

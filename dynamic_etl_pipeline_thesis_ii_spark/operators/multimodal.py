@@ -21,7 +21,7 @@ Decode support is tiered by what this environment can honestly do:
   ISO-BMFF video (MP4/MOV/M4A box-tree walk giving duration /
   dimensions / track census / codec fourccs, ``mp4meta``) — the
   compressed samples themselves, and remaining formats
-  (arithmetic/12-bit JPEG, ...), raise NotImplementedError unless
+  (arithmetic-coded JPEG, ...), raise NotImplementedError unless
   ``fake=True`` (librosa/ffmpeg are not available in this sandbox;
   swapping them in later only changes
   the kernel body);
@@ -956,7 +956,7 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     (non-interlaced, Adam7 or palette), baseline or progressive JPEG, GIF
     (LZW, first frame) and uncompressed TIFF: ``[width, height,
     mean_c1..mean_cN]`` from the decoded raster. Remaining formats
-    (arithmetic/12-bit JPEG, WebP, ...) need PIL (absent
+    (arithmetic-coded JPEG, WebP, ...) need PIL (absent
     here) and raise NotImplementedError. ``fake=True`` derives a
     deterministic 4-dim feature from the raw bytes instead of
     decoding."""

@@ -1484,3 +1484,65 @@ def test_decode_any_ogg_provenance(spark):
     r = M.extract_features(media, mode="real").first()
     assert r["decoder"] == "oggmeta"
     assert r["feat"][0] == 4.0 and r["feat"][1] == 48000.0
+
+
+# ---------------------------------------------------------------------------
+# 12-bit JPEG (extended-precision baseline)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_12bit_roundtrip_and_precision_gain():
+    """12-bit baseline decodes through the 16-bit-DQT + extended-
+    Huffman path and lands closer to the source than the 8-bit
+    pipeline at the same quality — the whole point of P=12."""
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    rng = np.random.default_rng(3)
+    flat = (rng.integers(0, 8, (40, 56, 3)) * 36).astype(np.uint8)
+    enc = J.write_jpeg(flat, quality=100, precision=12)
+    got = J.parse_jpeg(enc)
+    assert got is not None
+    w, h, arr = got
+    assert (w, h) == (56, 40)
+    assert np.array_equal(arr, flat)           # exact at q=100
+
+    gray = (rng.integers(0, 16, (33, 17)) * 17).astype(np.uint8)
+    _, _, garr = J.parse_jpeg(J.write_jpeg(gray, quality=90,
+                                           precision=12))
+    assert np.abs(garr[..., 0].astype(int) - gray.astype(int)).max() <= 2
+
+    noise = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    err = {}
+    for prec in (8, 12):
+        _, _, a = J.parse_jpeg(J.write_jpeg(noise, quality=90,
+                                            precision=prec))
+        err[prec] = np.abs(a.astype(int) - noise.astype(int)).mean()
+    assert err[12] < err[8] / 5, err
+
+    # 420-subsampled and restart-marker variants ride the same path
+    _, _, s420 = J.parse_jpeg(J.write_jpeg(flat, quality=95,
+                                           subsample="420",
+                                           precision=12))
+    assert s420.shape == (40, 56, 3)
+    _, _, rst = J.parse_jpeg(J.write_jpeg(flat, quality=95,
+                                          restart_interval=2,
+                                          precision=12))
+    assert np.abs(rst.astype(int) - flat.astype(int)).max() <= 3
+
+
+def test_jpeg_12bit_stream_structure_and_guards():
+    import numpy as np
+    import pytest as _pytest
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import jpeg as J
+    a = np.full((16, 16, 3), 90, np.uint8)
+    enc = J.write_jpeg(a, precision=12)
+    # SOF0 precision byte is 12
+    i = enc.index(b"\xFF\xC0")
+    assert enc[i + 4] == 12
+    # DQT uses 16-bit entries (precision nibble 1, length 2+1+128)
+    d = enc.index(b"\xFF\xDB")
+    assert enc[d + 4] >> 4 == 1
+    assert int.from_bytes(enc[d + 2:d + 4], "big") == 2 + 1 + 128
+    with _pytest.raises(ValueError, match="precision"):
+        J.write_jpeg(a, precision=9)
+    with _pytest.raises(ValueError, match="baseline"):
+        J.write_jpeg(a, precision=12, progressive=True)
