@@ -45,7 +45,11 @@ def all_queries():
     dropped out of CORRECTNESS_r06). When adding an operator, prefer a
     branch-tagged arm on an existing family union (`dedup_neardup_pairs`,
     `text_pii_scrub`, `text_corpus_stats`, `sample_deterministic`,
-    `src_parse_normalize`, `greedy_tail`) over a new entry."""
+    `src_parse_normalize`, `greedy_tail`) over a new entry. The
+    bench-side twin of this budget lives in bench.py: the driver also
+    records only the last ~2,000 chars of stdout, so bench's FINAL
+    printed line must stay small (round 7 lost every per-query timing
+    to an inlined scale_probe)."""
     out = {}
     out.update(RELATIONAL_QUERIES)
     out.update(FEATURE_QUERIES)

@@ -271,6 +271,40 @@ def test_pq_topk_two_stage_no_full_shuffle(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
 
 
+def test_partition_topk_fuzz_vs_global_window(spark):
+    """Seeded fuzz of the two-stage kernel: random scored frames with
+    HEAVY score ties, random partitioning, tiny flush thresholds (to
+    force mid-stream truncation), both sort directions — the
+    pre-truncated + windowed result must equal the one-stage global
+    window exactly. Ties are the risky path: a kernel that truncated
+    on a non-total order would drop the wrong tied row."""
+    import random
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        _partition_topk,
+    )
+    rng = random.Random(97)
+    for trial in range(4):
+        rows = [(rng.randrange(6), i, float(rng.randrange(4)))
+                for i in range(rng.randrange(50, 300))]
+        asc = trial % 2 == 0
+        k = rng.randrange(1, 5)
+        df = (spark.createDataFrame(rows, "q_id long, c_id long, adc double")
+              .repartition(rng.randrange(2, 9)))
+        pre = _partition_topk(df, k, by="adc", ascending=asc,
+                              flush_rows=rng.randrange(8, 40))
+        order = (F.col("adc").asc() if asc else F.col("adc").desc(),
+                 F.col("c_id").asc())
+        w = Window.partitionBy("q_id").orderBy(*order)
+        two = (pre.withColumn("r", F.row_number().over(w))
+               .filter(F.col("r") <= k))
+        ref = (df.withColumn("r", F.row_number().over(w))
+               .filter(F.col("r") <= k))
+        assert sorted(map(tuple, two.collect())) \
+            == sorted(map(tuple, ref.collect())), trial
+
+
 def test_ann_family_two_stage_plans(spark, sf_dir):
     """The whole ANN family pre-truncates per partition before the
     rank window: in every plan the Arrow kernel (MapInPandas) sits
