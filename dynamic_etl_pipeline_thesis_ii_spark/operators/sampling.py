@@ -24,7 +24,12 @@ from typing import Mapping, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import SQL_HASH32, hash32
+from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+    SQL_HASH32,
+    SQL_NORMALIZE,
+    hash32,
+    normalize_text,
+)
 
 DEFAULT_MOD = 1_000_000
 
@@ -274,4 +279,148 @@ SEMI JOIN (
           FROM {rows_cte} GROUP BY 1, 2))
   WHERE cum <= {budget}
 ) k ON {join_g} AND r.{score} = k.{score}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SM7: DSIR — data selection via importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+
+
+def _gram_buckets(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int) -> DataFrame:
+    """(id, bucket) rows: every unigram AND bigram of the normalized
+    text, hashed into ``n_buckets`` with the engine-portable md5-based
+    :func:`~.dedup.hash32`. Pure array expressions build the gram list
+    per row (no shuffle, no UDF); the explode is the only expansion.
+    Empty/NULL texts contribute no grams."""
+    toks = F.filter(
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "")
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                          F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.concat(toks, bis)).alias("gram"))
+            .select("id", (hash32(F.col("gram")) % n_buckets).alias("bucket")))
+
+
+def dsir_logratio_table(raw: DataFrame, target: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """The DSIR importance model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed bag-of-
+    n-gram (uni+bi) models on the TARGET domain and the RAW pool, and
+    emit per-bucket ``logratio_micro`` = round(1e6 * (ln p_target(b) -
+    ln p_raw(b))) with Laplace smoothing over the fixed bucket space.
+
+    The micro-scaled BIGINT is the determinism contract: document
+    weights downstream are exact integer sums, so they are invariant
+    to aggregation order and engine (a raw double sum would be
+    order-dependent in the last bits). ln() itself is libm on both
+    engines; a 1-ulp disagreement is ~1e-9 after scaling — far below
+    the 0.5 rounding threshold.
+
+    Scale shape: two gram-count aggregates (bounded at ``n_buckets``
+    rows out) + one ``spark.range(n_buckets)`` spine so zero-count
+    buckets still carry the smoothing mass. The result is a tiny
+    (bucket, logratio_micro) table meant to be broadcast — the 100 TB
+    pool is only ever touched by the one scoring scan in
+    :func:`dsir_weights`."""
+    spine = raw.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket"))
+    def side(df: DataFrame, name: str) -> DataFrame:
+        cnt = (_gram_buckets(df, text_col, id_col, n_buckets)
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+        tot = cnt.agg(F.sum("n").alias("total"))
+        return (spine.join(cnt, "bucket", "left")
+                .crossJoin(F.broadcast(tot))
+                .select("bucket",
+                        ((F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                         / (F.coalesce(F.col("total"), F.lit(0)) + n_buckets)
+                         .cast("double")).alias(f"p_{name}")))
+    return (side(target, "t").join(side(raw, "r"), "bucket")
+            .select("bucket",
+                    F.round((F.log("p_t") - F.log("p_r")) * 1e6)
+                    .cast("long").alias("logratio_micro")))
+
+
+def dsir_weights(df: DataFrame, logratio: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Score every document of ``df`` against a fitted
+    :func:`dsir_logratio_table`: ``weight_micro`` = exact BIGINT sum of
+    the log-ratio micros over the doc's hashed uni+bigrams, ``n_grams``
+    = the gram count. Positive weight = the doc looks more like the
+    target domain than the raw pool — the deterministic selection rule
+    (the paper adds Gumbel noise for a stochastic sample; a salted
+    :func:`hash_sample` on top reproduces that without RNG state).
+
+    One explode scan + a broadcast join against the ``n_buckets``-row
+    table + one groupBy(id) — the lang-ID shape; nothing here grows
+    faster than the corpus. Docs with no grams (empty text) emit no
+    row, mirroring the SQL twin."""
+    grams = _gram_buckets(df, text_col, id_col, n_buckets)
+    return (grams.join(F.broadcast(logratio), "bucket")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum("logratio_micro").alias("weight_micro")))
+
+
+def SQL_DSIR_WEIGHTS(raw_table: str, target_where: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = DSIR_BUCKETS) -> str:
+    """DuckDB twin of :func:`dsir_logratio_table` +
+    :func:`dsir_weights` over ``raw_table`` (the raw pool is the whole
+    table; the target domain is ``WHERE target_where``). Same hash,
+    same smoothing, same micro-scaled integer sums; bigrams come off a
+    lead() window over in-doc token positions — equivalent to the
+    array construction because normalized text has no empty interior
+    tokens. Returns (id, n_grams, weight_micro)."""
+    norm = SQL_NORMALIZE.format(x=f"coalesce({text_col}, '')")
+    bucket = SQL_HASH32.format(x="gram")
+    return f"""
+WITH toks AS (
+  SELECT id, pos, tok FROM (
+    SELECT {id_col} AS id,
+           unnest(string_split({norm}, ' ')) AS tok,
+           unnest(range(1, len(string_split({norm}, ' ')) + 1)) AS pos
+    FROM {raw_table}
+  ) WHERE tok <> ''
+),
+grams AS (
+  SELECT id, tok AS gram FROM toks
+  UNION ALL
+  SELECT id, gram FROM (
+    SELECT id, tok || ' ' || lead(tok) OVER (PARTITION BY id ORDER BY pos)
+           AS gram
+    FROM toks
+  ) WHERE gram IS NOT NULL
+),
+gb AS (SELECT id, ({bucket} % {n_buckets}) AS bucket FROM grams),
+tgt_ids AS (SELECT {id_col} AS id FROM {raw_table} WHERE {target_where}),
+tcnt AS (SELECT bucket, count(*)::BIGINT AS n FROM gb
+         SEMI JOIN tgt_ids USING (id) GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*)::BIGINT AS n FROM gb GROUP BY bucket),
+spine AS (SELECT unnest(range({n_buckets})) AS bucket),
+ratio AS (
+  SELECT s.bucket,
+         round((ln((coalesce(t.n, 0) + 1)::DOUBLE
+                   / ((SELECT coalesce(sum(n), 0) FROM tcnt) + {n_buckets}))
+              - ln((coalesce(r.n, 0) + 1)::DOUBLE
+                   / ((SELECT coalesce(sum(n), 0) FROM rcnt) + {n_buckets})))
+               * 1e6)::BIGINT AS logratio_micro
+  FROM spine s
+  LEFT JOIN tcnt t ON s.bucket = t.bucket
+  LEFT JOIN rcnt r ON s.bucket = r.bucket
+)
+SELECT g.id, count(*)::BIGINT AS n_grams,
+       sum(x.logratio_micro)::BIGINT AS weight_micro
+FROM gb g JOIN ratio x ON g.bucket = x.bucket
+GROUP BY g.id
 """

@@ -1137,12 +1137,13 @@ _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 def q_sample_deterministic(spark, sf_dir):
     """Stratified hash sampling + domain-mix rebalancing + token-budget
     packing + per-language token-budget selection + train/valid/test
-    split assignment + alpha=0.5 temperature sampling as one tagged
-    union (SM2+SM3+PK1+SM4+SM5+SM6); each branch is the unchanged
-    single-op pipeline. ``val`` carries the pack branch's token offset
-    and the budget branch's token count (null on the sampling/split
-    branches); the split branch's ``stratum`` is the assigned split
-    name."""
+    split assignment + alpha=0.5 temperature sampling + DSIR
+    importance weighting as one tagged union
+    (SM2+SM3+PK1+SM4+SM5+SM6+SM7); each branch is the unchanged
+    single-op pipeline. ``val`` carries the pack branch's token offset,
+    the budget branch's token count and the dsir branch's exact integer
+    micro-weight (null on the sampling/split branches); the split
+    branch's ``stratum`` is the assigned split name."""
     null_val = F.lit(None).cast("long").alias("val")
     st = (q_sample_stratified(spark, sf_dir)
           .select(F.lit("stratified").alias("tag"), "doc_id",
@@ -1183,8 +1184,23 @@ def q_sample_deterministic(spark, sf_dir):
         "lang", alpha=0.5, key_col="doc_id", salt="temp")
         .select(F.lit("temp").alias("tag"), "doc_id",
                 F.col("lang").alias("stratum"), null_val))
+    # dsir branch (SM7): importance weights against the src18 target
+    # domain; stratum carries the deterministic selection verdict
+    # (weight>0 = more target-like than the raw pool) and val the
+    # EXACT integer micro-weight, so the whole weight vector — not
+    # just the kept set — is inside the hash check
+    docs = Catalog(spark, sf_dir).documents
+    dsir_tbl = SA.dsir_logratio_table(
+        docs, docs.filter(F.col("source") == "src18"))
+    ds = (SA.dsir_weights(docs, dsir_tbl)
+          .select(F.lit("dsir").alias("tag"),
+                  F.col("id").alias("doc_id"),
+                  F.when(F.col("weight_micro") > 0, F.lit("target"))
+                  .otherwise(F.lit("raw")).alias("stratum"),
+                  F.col("weight_micro").alias("val")))
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
-            .unionByName(sp).unionByName(ck).unionByName(tm))
+            .unionByName(sp).unionByName(ck).unionByName(tm)
+            .unionByName(ds))
 
 
 def _sql_sample_token_budget() -> str:
@@ -1229,6 +1245,11 @@ SELECT 'temp', doc_id, lang, CAST(NULL AS BIGINT)
 FROM ({SA.SQL_TEMPERATURE_MIX(
     "(SELECT doc_id, lang FROM documents)", "lang", "doc_id",
     alpha=0.5, salt="temp")})
+UNION ALL
+SELECT 'dsir', id,
+       CASE WHEN weight_micro > 0 THEN 'target' ELSE 'raw' END,
+       weight_micro
+FROM ({SA.SQL_DSIR_WEIGHTS("documents", "source = 'src18'")})
 """
 
 

@@ -312,3 +312,53 @@ def test_temperature_mix_null_strata_and_determinism(spark):
     assert 4 in got                        # smallest stratum kept whole
     assert got == sorted(r["doc_id"] for r in SA.temperature_mix(
         df, "lang", alpha=0.5, key_col="doc_id").collect())
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (SM7)
+# ---------------------------------------------------------------------------
+
+def _dsir_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_identical_target_gives_zero_weights(spark):
+    """target == raw -> every bucket's log-ratio cancels exactly, so
+    every document weighs exactly 0 (integer zero, not epsilon)."""
+    df = _dsir_frame(spark, [(1, "alpha beta gamma"),
+                             (2, "delta epsilon zeta eta")])
+    tbl = SA.dsir_logratio_table(df, df)
+    w = {r["id"]: r["weight_micro"]
+         for r in SA.dsir_weights(df, tbl).collect()}
+    assert w == {1: 0, 2: 0}
+
+
+def test_dsir_separates_target_and_raw_vocabulary(spark):
+    """Docs made of target-exclusive vocabulary must weigh positive,
+    raw-exclusive ones negative, and the verdict must be stable under
+    repartitioning (weights are exact integer sums)."""
+    target_rows = [(i, "science physics theorem proof lemma")
+                   for i in range(5)]
+    noise_rows = [(100 + i, "spam casino winner click here now")
+                  for i in range(5)]
+    raw = _dsir_frame(spark, target_rows + noise_rows)
+    target = _dsir_frame(spark, target_rows)
+    tbl = SA.dsir_logratio_table(raw, target)
+    w = {r["id"]: r["weight_micro"]
+         for r in SA.dsir_weights(raw, tbl).collect()}
+    assert all(w[i] > 0 for i in range(5))
+    assert all(w[100 + i] < 0 for i in range(5))
+    w2 = {r["id"]: r["weight_micro"]
+          for r in SA.dsir_weights(raw.repartition(7), tbl).collect()}
+    assert w2 == w
+
+
+def test_dsir_gram_counts_and_empty_docs(spark):
+    """n_grams = unigrams + bigrams = 2*len - 1 for len >= 1; empty /
+    NULL texts produce no row (no grams to score)."""
+    df = _dsir_frame(spark, [(1, "a b c"), (2, "solo"), (3, ""),
+                             (4, None)])
+    tbl = SA.dsir_logratio_table(df, df)
+    out = {r["id"]: r["n_grams"]
+           for r in SA.dsir_weights(df, tbl).collect()}
+    assert out == {1: 5, 2: 1}
