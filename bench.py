@@ -123,7 +123,13 @@ def scale_probe(spark, factors: list[int]) -> dict:
     aggregate, rows EXACTLY linear, wall ~linear — the explode
     dominates). Training cost for all three is paid at probe setup,
     outside the timed series, mirroring production where the model /
-    merge table / profile table is a reusable artifact."""
+    merge table / profile table is a reusable artifact.
+
+    Round-8 session-2 additions: html (block-aware HTML->lines — one
+    per-row regexp projection, rows EXACTLY linear, no shuffle) and
+    dsir (importance weights against a log-ratio table fitted ONCE on
+    the 1x base — gram explode + broadcast 4096-row join + per-doc
+    sum, the langid shape, rows EXACTLY linear)."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
@@ -153,6 +159,10 @@ def scale_probe(spark, factors: list[int]) -> dict:
     # weight join + per-doc aggregate) does identical work regardless
     lang_w, lang_floors = T.train_lang_ngrams(
         Catalog(spark, SF_DIR).documents, top_k=300)
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
+    dsir_tbl = SA.dsir_logratio_table(
+        base, base.filter(F.col("doc_id") % 13 == 0)).persist()
+    dsir_tbl.count()
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),
         # max_hamming=64 disables verification to expose the candidate
@@ -182,6 +192,17 @@ def scale_probe(spark, factors: list[int]) -> dict:
         "quality": lambda d: Q.score_quality(d, q_model),
         "bpe": lambda d: BP.apply_bpe(d, bpe_merges, with_tokens=False),
         "langid": lambda d: T.lang_id_ngram(d, lang_w, lang_floors),
+        # html: per-row regexp projection (synthetic page around each
+        # doc) — rows EXACTLY linear, wall ~linear, no shuffle
+        "html": lambda d: d.select(T.html_to_lines(F.concat(
+            F.lit("<html><body><p>"),
+            F.regexp_replace("text", r"\.\s+", ".</p><p>"),
+            F.lit("</p><br><div>footer</div></body></html>")))
+            .alias("text")),
+        # dsir: score against the table fitted ONCE on the 1x base
+        # (train-on-sample / score-everywhere) — one gram explode +
+        # broadcast 4096-row join + groupBy(doc), rows EXACTLY linear
+        "dsir": lambda d: SA.dsir_weights(d, dsir_tbl),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:
@@ -212,6 +233,7 @@ def scale_probe(spark, factors: list[int]) -> dict:
                            "sec": round(best, 3)})
         corpus.unpersist()
     bench_set.unpersist()
+    dsir_tbl.unpersist()
 
     # PQ rides the EMBEDDINGS table: replicas keep their vectors (ADC
     # cost depends on candidate count, not vector novelty) with ids

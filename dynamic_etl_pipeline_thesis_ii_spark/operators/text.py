@@ -640,6 +640,58 @@ def strip_html(col: Column) -> Column:
     return out
 
 
+# block-level elements whose CLOSE marks a line boundary when HTML is
+# flattened to text (the newline feeds remove_boilerplate_lines, whose
+# unit of work is the rendered line, not the source line)
+_HTML_BLOCK_CLOSE = (r"(?is)</(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|"
+                     r"table|thead|tbody|section|article|header|footer|"
+                     r"nav|aside|blockquote|pre|title)\s*>")
+_HTML_BR = r"(?is)<(?:br|hr)\s*/?\s*>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+
+
+def html_to_lines(col: Column) -> Column:
+    """Block-aware HTML -> text: script/style/comments dropped, ``<br>``
+    and closing block tags become newlines, remaining tags become
+    spaces, common entities decode, horizontal whitespace collapses
+    per line, and blank lines collapse — the RENDERED line structure
+    survives, which is what :func:`remove_boilerplate_lines` needs
+    (``strip_html`` flattens to one line and would make every nav menu
+    and footer invisible to the line-frequency pass). Pure
+    ``regexp_replace`` chain (RE2-safe, shared verbatim with the
+    DuckDB twin), one scan, no UDF."""
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, _HTML_COMMENT, " ")
+    out = F.regexp_replace(out, _HTML_BR, "\n")
+    out = F.regexp_replace(out, _HTML_BLOCK_CLOSE, "\n")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    return F.trim(F.regexp_replace(out, r"^\n+|\n+$", ""))
+
+
+def SQL_HTML_TO_LINES(x: str) -> str:
+    """DuckDB twin of :func:`html_to_lines` (same regexes, same entity
+    order, same collapse sequence)."""
+    out = f"regexp_replace({x}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_COMMENT}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_BR}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '{_HTML_BLOCK_CLOSE}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        sql_rep = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{sql_rep}')"
+    out = f"regexp_replace({out}, '[ \\t\\r\\f]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{2,}}', chr(10), 'g')"
+    return f"trim(regexp_replace({out}, '^\\n+|\\n+$', '', 'g'), ' ')"
+
+
 def fold_unicode(col: Column) -> Column:
     """Fold typographic unicode punctuation to ASCII equivalents
     (curly quotes, en/em dashes, ellipsis, NBSP) — one ``translate``

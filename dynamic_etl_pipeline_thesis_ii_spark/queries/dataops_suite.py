@@ -796,7 +796,10 @@ def q_text_pii_scrub(spark, sf_dir):
     tokens drop, metric = tokens removed), and URL curation (synthetic
     raw URLs per doc; text_out = canonical URL, metric = survives
     blocklist + is the min-id carrier of its URL — `operators/web.py`
-    semantics inside the hash check). The pii/norm/url branches are
+    semantics inside the hash check), and block-aware HTML flattening
+    (synthetic pages built around the doc text; text_out = the
+    rendered line structure from html_to_lines, metric = line count).
+    The pii/norm/url/html branches are
     pure column expressions; lineclean/spanclean are the bounded-
     shuffle corpus passes of
     :func:`~...operators.text.remove_boilerplate_lines` /
@@ -872,8 +875,24 @@ def q_text_pii_scrub(spark, sf_dir):
         F.col("norm_url").alias("text_out"),
         keep.cast("long").alias("metric"))
 
+    # html branch: synthesize block-structured HTML around the doc
+    # text (title, style/script bodies, comment, sentence-split
+    # paragraphs, <br>, entity) and flatten with html_to_lines —
+    # line-structure preservation, tag/script stripping and entity
+    # decode are all inside the hash check; metric = rendered lines
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style>"
+              "<script>var a=1;</script></head><body><!-- nav --><p>"),
+        F.regexp_replace("text", r"\.\s+", ".</p><p>"),
+        F.lit("</p><br><div>footer &amp; nav</div></body></html>"))
+    h2l = T.html_to_lines(page)
+    html = docs.select(
+        F.lit("html").alias("op"), "doc_id", h2l.alias("text_out"),
+        F.size(F.split(h2l, "\n")).cast("long").alias("metric"))
+
     return (pii.unionByName(norm).unionByName(lc).unionByName(sc)
-            .unionByName(url))
+            .unionByName(url).unionByName(html))
 
 
 _URL_BLOCKLIST = ("src2.example", "src5.co.uk")
@@ -948,6 +967,19 @@ FROM (
                 THEN '#sec' || (doc_id % 7)::VARCHAR ELSE '' END AS url
     FROM documents
   )
+)
+UNION ALL
+SELECT 'html', doc_id, {T.SQL_HTML_TO_LINES('page')},
+       cast(len(string_split({T.SQL_HTML_TO_LINES('page')}, chr(10)))
+            AS bigint)
+FROM (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id::VARCHAR ||
+         '</title><style>p{{margin:0}}</style>' ||
+         '<script>var a=1;</script></head><body><!-- nav --><p>' ||
+         regexp_replace(text, '\\.\\s+', '.</p><p>', 'g') ||
+         '</p><br><div>footer &amp; nav</div></body></html>' AS page
+  FROM documents
 )
 """
 
