@@ -802,3 +802,151 @@ def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
             .select(F.col("n.id").alias("id_new"),
                     F.col("s.id").alias("id_seen"))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# D10: Bloom-filter-accelerated incremental dedup
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Broadcastable Bloom filter over 64-bit keys, built distributed.
+
+    Build shape (all DataFrame ops): an Arrow ``mapInPandas`` kernel
+    turns each partition's keys into its SET (word_idx, word) pairs
+    (numpy double hashing, k positions per key, local OR within the
+    batch), one ``groupBy(word_idx).agg(bit_or)`` merges partitions,
+    and the driver materializes the sparse words into a dense
+    ``uint64`` array. The collect is bounded by the FILTER size, not
+    the corpus size — a 10^9-key snapshot at 1% fpp is a ~1.2 GB bit
+    array, the broadcast cost any engine pays for a bloom join of
+    that cardinality (Spark's own runtime-filter bloom joins
+    broadcast the same way); the corpus itself never leaves the
+    executors.
+
+    Membership math is numpy ``uint64`` double hashing
+    (splitmix64-style mixers; index_i = (h1 + i*h2) mod m) executed
+    identically at build and probe time, so negatives are CERTAIN —
+    the exactness contract of :func:`bloom_snapshot_fresh`."""
+
+    def __init__(self, words, n_bits: int, k: int):
+        import numpy as np
+        self.words = np.asarray(words, dtype=np.uint64)
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+
+    @staticmethod
+    def _positions(keys, n_bits: int, k: int):
+        import numpy as np
+        x = keys.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h1 = x * np.uint64(0x9E3779B97F4A7C15)
+            h1 ^= h1 >> np.uint64(31)
+            h1 *= np.uint64(0xBF58476D1CE4E5B9)
+            h1 ^= h1 >> np.uint64(27)
+            h2 = x * np.uint64(0xC2B2AE3D27D4EB4F)
+            h2 ^= h2 >> np.uint64(29)
+            h2 |= np.uint64(1)  # odd stride: full cycle mod any m
+            i = np.arange(k, dtype=np.uint64)[:, None]
+            return (h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)
+
+    @classmethod
+    def sizing(cls, n_items: int, fpp: float) -> tuple[int, int]:
+        """Standard (m, k): m = -n ln p / ln2^2, k = (m/n) ln2 — with
+        floors so a tiny or empty snapshot still yields a valid
+        filter."""
+        import math as _m
+        n = max(1, n_items)
+        m = int(_m.ceil(-n * _m.log(fpp) / (_m.log(2) ** 2)))
+        m = max(64, (m + 63) // 64 * 64)
+        k = max(1, round(m / n * _m.log(2)))
+        return m, min(k, 16)
+
+    @classmethod
+    def fit(cls, keys_df: DataFrame, key_col: str = "key",
+            fpp: float = 0.01, n_items: int | None = None) -> "BloomFilter":
+        """Distributed build over ``keys_df[key_col]`` (integral). One
+        count job when ``n_items`` isn't supplied (snapshot metadata
+        normally carries it)."""
+        import numpy as np
+        import pandas as pd
+        if n_items is None:
+            n_items = keys_df.count()
+        n_bits, k = cls.sizing(n_items, fpp)
+
+        def kernel(batches):
+            for pdf in batches:
+                keys = pdf.iloc[:, 0].to_numpy(np.uint64)
+                if not len(keys):
+                    continue
+                pos = np.sort(cls._positions(keys, n_bits, k).ravel())
+                bitvals = np.uint64(1) << (pos & np.uint64(63))
+                # local OR, fully vectorized: one word row per
+                # distinct word per batch via sorted reduceat
+                widx, starts = np.unique(pos >> np.uint64(6),
+                                         return_index=True)
+                words = np.bitwise_or.reduceat(bitvals, starts)
+                yield pd.DataFrame({
+                    "word_idx": widx.astype(np.int64),
+                    "word": words.view(np.int64)})
+
+        sparse = (keys_df.select(F.col(key_col).cast("long"))
+                  .mapInPandas(kernel, schema="word_idx long, word long")
+                  .groupBy("word_idx")
+                  .agg(F.bit_or("word").alias("word"))
+                  .collect())
+        dense = np.zeros(n_bits // 64, dtype=np.uint64)
+        for r in sparse:
+            dense[r["word_idx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+        return cls(dense, n_bits, k)
+
+    def might_contain(self, keys):
+        """Vectorized membership: False is CERTAIN absence."""
+        import numpy as np
+        pos = self._positions(np.asarray(keys, dtype=np.uint64),
+                              self.n_bits, self.k)
+        bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0)
+
+
+def bloom_snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
+                         text_col: str = "text", fpp: float = 0.01,
+                         bloom: BloomFilter | None = None) -> DataFrame:
+    """:func:`snapshot_fresh` with a broadcast Bloom pre-filter — the
+    continuous-ingest fast path: rows whose content key the filter
+    rejects are DEFINITELY unseen and skip the anti-join entirely;
+    only the bloom-positive sliver (true dups + ~fpp of the batch)
+    shuffles against the snapshot. Same output as
+    :func:`snapshot_fresh` row-for-row (bloom negatives are certain;
+    positives are confirmed by the exact anti-join) — the filter
+    changes the PLAN, never the answer.
+
+    At 100 TB this is the difference between shuffling every
+    incremental batch against a 10^9-row snapshot and shuffling ~1%
+    of it: the snapshot is read once to build the reusable filter
+    (pass ``bloom`` in from the snapshot store on subsequent batches)
+    and thereafter only bloom-positive keys touch it."""
+    import pandas as pd
+
+    if bloom is None:
+        bloom = BloomFilter.fit(seen.select("key").distinct(), "key", fpp)
+    spark = new_docs.sparkSession
+    bc = spark.sparkContext.broadcast(bloom)
+
+    def _maybe(s):
+        import numpy as np
+        return pd.Series(bc.value.might_contain(s.to_numpy(np.uint64)))
+
+    # real class objects as annotations: the module-level
+    # `from __future__ import annotations` would stringify inline
+    # hints into names pyspark's type-hint resolver can't see
+    _maybe.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    maybe_seen = F.pandas_udf(_maybe, "boolean")
+
+    keyed = (new_docs.withColumn("__k", _content_key(text_col))
+             .withColumn("__maybe", maybe_seen(F.col("__k"))))
+    definite_new = keyed.filter(~F.col("__maybe")).drop("__maybe")
+    confirmed = (keyed.filter(F.col("__maybe")).drop("__maybe")
+                 .join(seen.select(F.col("key").alias("__k")).distinct(),
+                       "__k", "left_anti"))
+    return definite_new.unionByName(confirmed)

@@ -199,3 +199,67 @@ def test_corpus_diff_statuses(spark):
         == {"added"}
     assert {r["status"] for r in D.corpus_diff(old, empty).collect()} \
         == {"removed"}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filter (D10)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    import numpy as np
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import BloomFilter
+    keys = spark.range(0, 5000).selectExpr("id * 2654435761 % 4294967296 AS key")
+    bf = BloomFilter.fit(keys, "key", fpp=0.01)
+    member = np.array([(i * 2654435761) % 4294967296 for i in range(5000)],
+                      dtype=np.uint64)
+    assert bool(bf.might_contain(member).all())  # negatives are certain
+    probe = np.arange(10_000_000, 10_050_000, dtype=np.uint64)
+    hits = int(bf.might_contain(probe).sum())
+    # nominal 1% fpp; allow generous slack for hash variance
+    assert hits < 0.03 * len(probe)
+
+
+def test_bloom_sizing_floors():
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import BloomFilter
+    m, k = BloomFilter.sizing(0, 0.01)
+    assert m >= 64 and m % 64 == 0 and 1 <= k <= 16
+    m2, _ = BloomFilter.sizing(1_000_000, 0.01)
+    assert m2 / 1_000_000 == pytest.approx(9.585, rel=0.01)  # bits/key
+
+
+def test_bloom_snapshot_fresh_matches_exact_path(spark):
+    """The bloom pre-filter must change the PLAN, never the answer:
+    bloom_snapshot_fresh == snapshot_fresh row-for-row, including
+    within-batch duplicate keys and a seen-side superset."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} body text") for i in range(200)],
+        "doc_id long, text string")
+    seen = D.content_keys(corpus.filter("doc_id % 3 = 0"))
+    batch = spark.createDataFrame(
+        [(1000 + i, f"doc number {i} body text") for i in range(150)]
+        + [(2000, "brand new document"), (2001, "Brand   NEW document")],
+        "doc_id long, text string")
+    exact = {r["doc_id"] for r in D.snapshot_fresh(batch, seen).collect()}
+    bloom = {r["doc_id"]
+             for r in D.bloom_snapshot_fresh(batch, seen).collect()}
+    assert bloom == exact
+    # the normalized-case variant shares 2000's key and both survive
+    # (snapshot_fresh dedups against the SNAPSHOT, not within-batch)
+    assert {2000, 2001} <= bloom
+
+
+def test_bloom_reuse_across_batches(spark):
+    """A filter fitted once serves later batches (the snapshot-store
+    pattern); exactness still guaranteed by the confirming anti-join."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    corpus = spark.createDataFrame(
+        [(i, f"seen {i}") for i in range(50)], "doc_id long, text string")
+    seen = D.content_keys(corpus)
+    bf = D.BloomFilter.fit(seen.select("key"), "key", fpp=0.01)
+    batch = spark.createDataFrame(
+        [(100, "seen 7"), (101, "unseen A"), (102, "seen 49"),
+         (103, "unseen B")], "doc_id long, text string")
+    out = {r["doc_id"]
+           for r in D.bloom_snapshot_fresh(batch, seen, bloom=bf).collect()}
+    assert out == {101, 103}
