@@ -17,7 +17,8 @@ Decode support is tiered by what this environment can honestly do:
   libraries;
 - a REAL metadata tier for MPEG audio (MP1/MP2/MP3 frame-header
   walk, provenance ``mp3meta``), FLAC (STREAMINFO, ``flacmeta``),
-  Ogg Opus/Vorbis (page walk to the last granule, ``oggmeta``) and
+  Ogg Opus/Vorbis (page walk to the last granule, ``oggmeta``),
+  WebP (RIFF chunk walk over VP8/VP8L/VP8X, ``webpmeta``) and
   ISO-BMFF video (MP4/MOV/M4A box-tree walk giving duration /
   dimensions / track census / codec fourccs, ``mp4meta``) — the
   compressed samples themselves, and remaining formats
@@ -1048,6 +1049,15 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                     return [meta["duration_sec"], meta["width"],
                             meta["height"],
                             meta["n_video"] + meta["n_audio"]], "mp4meta"
+                if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                    webp = parse_webp_meta(p)
+                    if webp is None:
+                        raise ValueError("bad WebP")  # -> fake tier
+                    # metadata tier (VP8 bitstream decode is libwebp
+                    # territory): dimensions + alpha/animation flags
+                    return [webp["width"], webp["height"],
+                            webp["has_alpha"], webp["has_anim"]], \
+                        "webpmeta"
                 name = ("netpbm" if p[:2] in (b"P6", b"P5")
                         else "png" if p[:8] == PNG_SIG
                         else "jpeg" if p[:2] == b"\xFF\xD8"
@@ -1264,6 +1274,60 @@ _MP3_BITRATES = {
 }
 _MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
               "2.5": [11025, 12000, 8000]}
+
+
+def parse_webp_meta(payload: bytes) -> Optional[dict]:
+    """REAL WebP container metadata WITHOUT pixel decode: RIFF chunk
+    walk covering all three layouts — ``VP8 `` (lossy: 0x9D012A start
+    code, 14-bit dimensions), ``VP8L`` (lossless: 0x2F signature,
+    14-bit minus-one dimensions + alpha bit) and ``VP8X`` (extended:
+    feature flags + 24-bit minus-one canvas). Returns ``{width,
+    height, format, has_alpha, has_anim, n_chunks}`` or None for
+    non-WebP payloads. The VP8/VP8L bitstreams themselves are
+    libwebp territory (boolean arithmetic coder + transform stack);
+    this is the honest metadata tier, same contract as
+    :func:`parse_mp3_meta` / :func:`parse_mp4_meta`."""
+    if (payload is None or len(payload) < 16 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WEBP"):
+        return None
+    out = {"width": 0.0, "height": 0.0, "format": None,
+           "has_alpha": 0.0, "has_anim": 0.0, "n_chunks": 0.0}
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        data = payload[pos + 8:pos + 8 + size]
+        if len(data) < size:
+            break  # truncated chunk
+        out["n_chunks"] += 1
+        if fourcc == b"VP8 " and out["format"] is None and size >= 10:
+            # key-frame only: 3-byte frame tag, then the start code
+            if data[3:6] == b"\x9d\x01\x2a":
+                out["format"] = "lossy"
+                out["width"] = float(
+                    int.from_bytes(data[6:8], "little") & 0x3FFF)
+                out["height"] = float(
+                    int.from_bytes(data[8:10], "little") & 0x3FFF)
+        elif fourcc == b"VP8L" and out["format"] is None and size >= 5:
+            if data[0] == 0x2F:
+                bits = int.from_bytes(data[1:5], "little")
+                out["format"] = "lossless"
+                out["width"] = float((bits & 0x3FFF) + 1)
+                out["height"] = float(((bits >> 14) & 0x3FFF) + 1)
+                out["has_alpha"] = float((bits >> 28) & 1)
+        elif fourcc == b"VP8X" and size >= 10:
+            flags = data[0]
+            out["format"] = "extended"
+            out["has_alpha"] = float((flags >> 4) & 1)
+            out["has_anim"] = float((flags >> 1) & 1)
+            out["width"] = float(
+                int.from_bytes(data[4:7], "little") + 1)
+            out["height"] = float(
+                int.from_bytes(data[7:10], "little") + 1)
+        elif fourcc == b"ALPH":
+            out["has_alpha"] = 1.0
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    return out if out["format"] is not None else None
 
 
 def parse_mp3_meta(payload: bytes) -> Optional[dict]:

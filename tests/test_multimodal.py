@@ -1546,3 +1546,71 @@ def test_jpeg_12bit_stream_structure_and_guards():
         J.write_jpeg(a, precision=9)
     with _pytest.raises(ValueError, match="baseline"):
         J.write_jpeg(a, precision=12, progressive=True)
+
+
+# ---------------------------------------------------------------------------
+# WebP metadata tier
+# ---------------------------------------------------------------------------
+
+def _webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for fourcc, data in chunks:
+        body += fourcc + len(data).to_bytes(4, "little") + data
+        if len(data) & 1:
+            body += b"\x00"
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _vp8_chunk(w: int, h: int) -> tuple[bytes, bytes]:
+    return (b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+
+
+def _vp8l_chunk(w: int, h: int, alpha: int = 0) -> tuple[bytes, bytes]:
+    bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+    return (b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+
+
+def _vp8x_chunk(w: int, h: int, alpha=0, anim=0) -> tuple[bytes, bytes]:
+    flags = (0x10 if alpha else 0) | (0x02 if anim else 0)
+    return (b"VP8X", bytes([flags, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+
+
+def test_webp_meta_all_three_layouts():
+    lossy = M.parse_webp_meta(_webp([_vp8_chunk(320, 240)]))
+    assert (lossy["format"], lossy["width"], lossy["height"]) == \
+        ("lossy", 320.0, 240.0)
+    lossless = M.parse_webp_meta(_webp([_vp8l_chunk(100, 50, alpha=1)]))
+    assert (lossless["format"], lossless["width"], lossless["height"],
+            lossless["has_alpha"]) == ("lossless", 100.0, 50.0, 1.0)
+    ext = M.parse_webp_meta(_webp([
+        _vp8x_chunk(1024, 768, alpha=1, anim=1),
+        (b"ANIM", b"\x00" * 6), _vp8_chunk(1024, 768)]))
+    assert (ext["format"], ext["width"], ext["height"], ext["has_alpha"],
+            ext["has_anim"]) == ("extended", 1024.0, 768.0, 1.0, 1.0)
+    assert ext["n_chunks"] == 3.0
+
+
+def test_webp_meta_rejects_and_truncation():
+    assert M.parse_webp_meta(None) is None
+    assert M.parse_webp_meta(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None
+    assert M.parse_webp_meta(b"RIFFxxxxWEBP") is None  # no chunks
+    full = _webp([_vp8l_chunk(9, 9)])
+    assert M.parse_webp_meta(full) is not None
+    assert M.parse_webp_meta(full[:-3]) is None  # truncated chunk
+    # bad VP8 start code -> chunk ignored -> no format -> None
+    bad = _webp([(b"VP8 ", b"\x00\x00\x00XXX\x00\x00\x00\x00")])
+    assert M.parse_webp_meta(bad) is None
+
+
+def test_extract_features_webpmeta_provenance(spark):
+    payload = _webp([_vp8_chunk(64, 32)])
+    rows = [(1, "image", bytearray(payload), "image/webp", len(payload)),
+            (2, "image", bytearray(b"RIFF????WEBPjunk"), "image/webp", 16)]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.extract_features(media, mode="real").collect()}
+    assert got[1]["decoder"] == "webpmeta"
+    assert got[1]["feat"][:2] == [64.0, 32.0]
+    assert got[2]["decoder"] == "fake"
