@@ -161,7 +161,8 @@ def scale_probe(spark, factors: list[int]) -> dict:
         Catalog(spark, SF_DIR).documents, top_k=300)
     from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
     dsir_tbl = SA.dsir_logratio_table(
-        base, base.filter(F.col("doc_id") % 13 == 0)).persist()
+        base.withColumn("__t", F.col("doc_id") % 13 == 0),
+        target_flag="__t").persist()
     dsir_tbl.count()
     methods = {
         "minhash": lambda d: D.minhash_lsh_pairs(d),

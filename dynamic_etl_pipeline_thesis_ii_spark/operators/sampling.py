@@ -310,9 +310,10 @@ def _gram_buckets(df: DataFrame, text_col: str, id_col: str,
             .select("id", (hash32(F.col("gram")) % n_buckets).alias("bucket")))
 
 
-def dsir_logratio_table(raw: DataFrame, target: DataFrame,
+def dsir_logratio_table(raw: DataFrame, target: DataFrame | None = None,
                         text_col: str = "text", id_col: str = "doc_id",
-                        n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+                        n_buckets: int = DSIR_BUCKETS,
+                        target_flag: str | None = None) -> DataFrame:
     """The DSIR importance model (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): fit hashed bag-of-
     n-gram (uni+bi) models on the TARGET domain and the RAW pool, and
@@ -326,28 +327,65 @@ def dsir_logratio_table(raw: DataFrame, target: DataFrame,
     engines; a 1-ulp disagreement is ~1e-9 after scaling — far below
     the 0.5 rounding threshold.
 
-    Scale shape: two gram-count aggregates (bounded at ``n_buckets``
-    rows out) + one ``spark.range(n_buckets)`` spine so zero-count
-    buckets still carry the smoothing mass. The result is a tiny
-    (bucket, logratio_micro) table meant to be broadcast — the 100 TB
-    pool is only ever touched by the one scoring scan in
-    :func:`dsir_weights`."""
+    Scale shape: gram-count aggregates bounded at ``n_buckets`` rows
+    out + one ``spark.range(n_buckets)`` spine so zero-count buckets
+    still carry the smoothing mass. The result is a tiny (bucket,
+    logratio_micro) table meant to be broadcast — the 100 TB pool is
+    only ever touched by the one scoring scan in :func:`dsir_weights`.
+
+    Two calling conventions: pass ``target`` (an arbitrary DataFrame)
+    for independent corpora — two explode scans; or, when the target
+    is a SUBSET of the raw pool, pass ``target_flag`` (a boolean
+    column of ``raw``) and ONE explode scan feeds both sides via
+    conditional counts — the cheaper plan for the standard "select
+    from the pool toward an in-pool domain" use."""
+    if (target is None) == (target_flag is None):
+        raise ValueError("pass exactly one of target / target_flag")
     spine = raw.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("bucket"))
-    def side(df: DataFrame, name: str) -> DataFrame:
-        cnt = (_gram_buckets(df, text_col, id_col, n_buckets)
-               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
-        tot = cnt.agg(F.sum("n").alias("total"))
+
+    def ratio(cnt: DataFrame) -> DataFrame:
+        # cnt: (bucket, n_r, n_t) partial; spine fills absent buckets
+        tot = cnt.agg(F.sum("n_r").alias("tot_r"),
+                      F.sum("n_t").alias("tot_t"))
+        p_t = ((F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
+               / (F.coalesce(F.col("tot_t"), F.lit(0)) + n_buckets)
+               .cast("double"))
+        p_r = ((F.coalesce(F.col("n_r"), F.lit(0)) + 1).cast("double")
+               / (F.coalesce(F.col("tot_r"), F.lit(0)) + n_buckets)
+               .cast("double"))
         return (spine.join(cnt, "bucket", "left")
                 .crossJoin(F.broadcast(tot))
                 .select("bucket",
-                        ((F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
-                         / (F.coalesce(F.col("total"), F.lit(0)) + n_buckets)
-                         .cast("double")).alias(f"p_{name}")))
-    return (side(target, "t").join(side(raw, "r"), "bucket")
-            .select("bucket",
-                    F.round((F.log("p_t") - F.log("p_r")) * 1e6)
-                    .cast("long").alias("logratio_micro")))
+                        F.round((F.log(p_t) - F.log(p_r)) * 1e6)
+                        .cast("long").alias("logratio_micro")))
+
+    if target_flag is not None:
+        toks = F.filter(
+            F.split(normalize_text(F.coalesce(F.col(text_col),
+                                              F.lit(""))), " "),
+            lambda t: t != "")
+        bis = F.when(
+            F.size(toks) >= 2,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2)))
+        ).otherwise(F.array().cast("array<string>"))
+        cnt = (raw.select(F.col(target_flag).alias("__t"),
+                          F.explode(F.concat(toks, bis)).alias("gram"))
+               .select("__t",
+                       (hash32(F.col("gram")) % n_buckets).alias("bucket"))
+               .groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("n_r"),
+                    F.sum(F.col("__t").cast("long")).alias("n_t")))
+        return ratio(cnt)
+
+    r_cnt = (_gram_buckets(raw, text_col, id_col, n_buckets)
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r")))
+    t_cnt = (_gram_buckets(target, text_col, id_col, n_buckets)
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t")))
+    return ratio(r_cnt.join(t_cnt, "bucket", "full_outer"))
 
 
 def dsir_weights(df: DataFrame, logratio: DataFrame,

@@ -306,6 +306,8 @@ class Pipeline:
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
+        if plan["target"] == "dsir_select":
+            return self._run_dsir_select(plan, source_dir, output_path)
         if plan["target"] == "temperature_mix":
             return self._run_temperature_mix(plan, source_dir, output_path)
 
@@ -448,12 +450,72 @@ class Pipeline:
                             "counts_before": before,
                             "counts_after": after}}
 
+    def _run_dsir_select(self, plan: dict, source_dir: str,
+                         output_path: str) -> dict:
+        """'importance resample toward src18': fit the DSIR log-ratio
+        table with the named source as the in-pool target domain
+        (one-scan ``target_flag`` path), score every document, and
+        write (id, n_grams, weight_micro) — narrowed to ABOVE-POOL-MEAN
+        weights when the query asked to 'select'/'keep' (the mean cut
+        is exact integer arithmetic: weight*n > total — robust to the
+        smoothing-mass offset that makes every weight negative on a
+        low-signal corpus). The named source is validated against the
+        corpus's actual source census (tiny distinct collect) so a
+        typo rejects with a reason instead of silently weighting
+        against an empty target."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+            dsir_logratio_table,
+            dsir_weights,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        tgt = plan.get("target_source")
+        if not tgt:
+            return {"status": "rejected",
+                    "reason": "dsir needs a target domain "
+                              "('... toward <source>')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        sources = {r["source"] for r in
+                   docs.select("source").distinct().collect()}
+        if tgt not in sources:
+            return {"status": "rejected",
+                    "reason": f"unknown target source {tgt!r}; corpus "
+                              f"has {sorted(sources)[:8]}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        table = dsir_logratio_table(
+            docs.withColumn("__t", F.col("source") == tgt),
+            target_flag="__t")
+        weights = dsir_weights(docs, table)
+        # above-mean cut with exact integer arithmetic: broadcast the
+        # 1-row totals and keep weight*n > total (no doubles, no
+        # order dependence)
+        tot = weights.agg(F.sum("weight_micro").alias("tot"),
+                          F.count(F.lit(1)).alias("n"))
+        above = (weights.crossJoin(F.broadcast(tot))
+                 .filter(F.col("weight_micro") * F.col("n")
+                         > F.col("tot"))
+                 .select("id", "n_grams", "weight_micro"))
+        frame = above if plan.get("select") else weights
+        self.progress("weight", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n_rows = back.count()
+        n_sel = n_rows if plan.get("select") else above.count()
+        self.progress("publish", {"rows": n_rows, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "rows": n_rows, "above_mean": n_sel}}
+
 
 # dataops NL routing: deterministic keyword/number extraction, mirroring
 # RulePlanner's style (rule-encoded routing, LLM-pluggable upstream)
 _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
-                  "chunk", "snapshot", "temperature", "flatten")
+                  "chunk", "snapshot", "temperature", "flatten",
+                  "importance", "dsir", "resample")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -468,6 +530,11 @@ _SEMANTIC_TARGET_RE = re.compile(r"\bsemantic(?:ally)?\b|\bby embeddings?\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
 _CLUSTERS_RE = re.compile(r"\b(\d+)\s+clusters?\b")
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
+# 'importance resample toward src18' / 'dsir select docs like src3'
+_DSIR_TARGET_RE = re.compile(r"\bdsir\b|\bimportance\b|\bresampl")
+_DSIR_SOURCE_RE = re.compile(
+    r"\b(?:toward|towards|like|similar to)\s+(?:the\s+)?(?:source\s+|"
+    r"domain\s+)?'?([A-Za-z0-9_.-]+)'?", re.IGNORECASE)
 _ALPHA_RE = re.compile(
     r"\b(?:temperature|alpha)\s+(?:of\s+)?(0?\.\d+|1(?:\.0)?|0)\b")
 # budget binds from a budget-flavored anchor word when one is present;
@@ -485,7 +552,7 @@ _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Five targets, matched in
+    the query carries no dataops intent. Six targets, matched in
     priority order:
 
     - ``corpus_diff`` — 'diff ... against the snapshot at <path>'
@@ -495,6 +562,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
+    - ``dsir_select`` — 'importance resample toward src18' / 'dsir
+      select docs like <source>' (hashed-n-gram importance weights
+      against an in-pool target domain; 'select'/'keep' narrows the
+      output to above-pool-mean rows);
     - ``temperature_mix`` — 'flatten the language mix' /
       'temperature 0.3' (alpha sampling; strata = source when the
       query says source/domain, else lang);
@@ -520,6 +591,15 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "semantic_dedup", "threshold": thr,
                 "n_clusters": ncl,
                 "keep": "min" if "lowest id" in ql else "far"}
+    if _DSIR_TARGET_RE.search(ql):
+        m = _DSIR_SOURCE_RE.search(query)
+        return {"target": "dsir_select",
+                "target_source": m.group(1) if m else None,
+                # 'select'/'keep' narrows output to docs weighing
+                # above the POOL MEAN (integer-exact, calibration-free
+                # — the absolute zero point shifts with smoothing
+                # mass); otherwise the full weight vector ships
+                "select": ("select" in ql or "keep" in ql)}
     if _TEMP_TARGET_RE.search(ql):
         alpha = float(m.group(1)) if (m := _ALPHA_RE.search(ql)) else 0.5
         strata = "source" if ("source" in ql or "domain" in ql) else "lang"

@@ -1218,17 +1218,23 @@ def q_sample_deterministic(spark, sf_dir):
                 F.col("lang").alias("stratum"), null_val))
     # dsir branch (SM7): importance weights against the src18 target
     # domain; stratum carries the deterministic selection verdict
-    # (weight>0 = more target-like than the raw pool) and val the
-    # EXACT integer micro-weight, so the whole weight vector — not
-    # just the kept set — is inside the hash check
+    # ('hi' = above the pool-mean weight, judged with exact integer
+    # arithmetic weight*n > total so no float accumulation exists)
+    # and val the EXACT integer micro-weight — the whole weight
+    # vector, not just the kept set, is inside the hash check
     docs = Catalog(spark, sf_dir).documents
     dsir_tbl = SA.dsir_logratio_table(
-        docs, docs.filter(F.col("source") == "src18"))
-    ds = (SA.dsir_weights(docs, dsir_tbl)
+        docs.withColumn("__t", F.col("source") == "src18"),
+        target_flag="__t")
+    dsir_w = SA.dsir_weights(docs, dsir_tbl)
+    dsir_tot = dsir_w.agg(F.sum("weight_micro").alias("tot"),
+                          F.count(F.lit(1)).alias("n"))
+    ds = (dsir_w.crossJoin(F.broadcast(dsir_tot))
           .select(F.lit("dsir").alias("tag"),
                   F.col("id").alias("doc_id"),
-                  F.when(F.col("weight_micro") > 0, F.lit("target"))
-                  .otherwise(F.lit("raw")).alias("stratum"),
+                  F.when(F.col("weight_micro") * F.col("n")
+                         > F.col("tot"), F.lit("hi"))
+                  .otherwise(F.lit("lo")).alias("stratum"),
                   F.col("weight_micro").alias("val")))
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
             .unionByName(sp).unionByName(ck).unionByName(tm)
@@ -1249,6 +1255,7 @@ WITH rows0 AS (
 
 def _sql_sample_deterministic() -> str:
     return f"""
+WITH dsir_w AS ({SA.SQL_DSIR_WEIGHTS("documents", "source = 'src18'")})
 SELECT 'stratified' AS tag, doc_id, lang AS stratum,
        CAST(NULL AS BIGINT) AS val
 FROM ({_sql_sample_stratified()})
@@ -1279,9 +1286,11 @@ FROM ({SA.SQL_TEMPERATURE_MIX(
     alpha=0.5, salt="temp")})
 UNION ALL
 SELECT 'dsir', id,
-       CASE WHEN weight_micro > 0 THEN 'target' ELSE 'raw' END,
+       CASE WHEN weight_micro * (SELECT count(*) FROM dsir_w)
+                 > (SELECT sum(weight_micro) FROM dsir_w)
+            THEN 'hi' ELSE 'lo' END,
        weight_micro
-FROM ({SA.SQL_DSIR_WEIGHTS("documents", "source = 'src18'")})
+FROM dsir_w
 """
 
 

@@ -963,3 +963,71 @@ def test_cli_dataops_route(spark, sf_dir, tmp_path, capsys):
     # non-dataops query on the dataops route is rejected, not crashed
     assert main(["get AAPL prices", "--dataops", "--quiet",
                  "--sf-dir", sf_dir, "--out", str(tmp_path / "x")]) == 1
+
+
+def test_parse_dataops_dsir_target():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    p = parse_dataops_query("importance resample toward src18")
+    assert p == {"target": "dsir_select", "target_source": "src18",
+                 "select": False}
+    k = parse_dataops_query("dsir select the docs similar to 'src3'")
+    assert k == {"target": "dsir_select", "target_source": "src3",
+                 "select": True}
+    # no domain named -> target recognized, source None (orchestrator
+    # rejects with an actionable reason)
+    n = parse_dataops_query("importance resample the corpus")
+    assert n == {"target": "dsir_select", "target_source": None,
+                 "select": False}
+    # 'pack ... 512 tokens' phrasing must still route to shards, not dsir
+    s = parse_dataops_query("curate and pack into contexts of 512 tokens")
+    assert s["target"] == "corpus_to_shards"
+
+
+def test_pipeline_dataops_dsir_select(spark, sf_dir, tmp_path):
+    """NL -> dsir_select: weights written + read back; 'select' narrows
+    to weight>0; unknown/missing targets reject with reasons."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        dsir_logratio_table, dsir_weights,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "dsir")
+    res = pipe.run_dataops("importance resample toward src18",
+                           sf_dir, out)
+    assert res["status"] == "complete"
+    back = spark.read.parquet(out)
+    docs = Catalog(spark, sf_dir).documents
+    tbl = dsir_logratio_table(
+        docs.withColumn("__t", F.col("source") == "src18"),
+        target_flag="__t")
+    expect = {(r["id"], r["weight_micro"])
+              for r in dsir_weights(docs, tbl).collect()}
+    assert {(r["id"], r["weight_micro"]) for r in back.collect()} == expect
+    assert res["reports"]["rows"] == len(expect)
+    assert 0 < res["reports"]["above_mean"] < len(expect)
+
+    sel = pipe.run_dataops("dsir select docs similar to src18", sf_dir,
+                           str(tmp_path / "dsir_pos"))
+    assert sel["status"] == "complete"
+    assert sel["reports"]["rows"] == sel["reports"]["above_mean"]
+    assert sel["reports"]["rows"] == res["reports"]["above_mean"]
+    # the mean cut keeps the docs the weight vector ranks highest,
+    # and the target domain is enriched among them: src18's mean
+    # weight must exceed the pool mean on its own corpus
+    kept = {r["id"] for r in
+            spark.read.parquet(str(tmp_path / "dsir_pos")).collect()}
+    src18 = {r["doc_id"] for r in
+             docs.filter(F.col("source") == "src18").collect()}
+    frac_in = len(kept & src18) / len(src18)
+    frac_out = len(kept - src18) / (len(expect) - len(src18))
+    assert frac_in > frac_out
+
+    bad = pipe.run_dataops("importance resample toward nosuchsrc",
+                           sf_dir, str(tmp_path / "never1"))
+    assert bad["status"] == "rejected" and "unknown" in bad["reason"]
+    none = pipe.run_dataops("importance resample the corpus", sf_dir,
+                            str(tmp_path / "never2"))
+    assert none["status"] == "rejected" and "target domain" in none["reason"]

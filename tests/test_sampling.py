@@ -362,3 +362,23 @@ def test_dsir_gram_counts_and_empty_docs(spark):
     out = {r["id"]: r["n_grams"]
            for r in SA.dsir_weights(df, tbl).collect()}
     assert out == {1: 5, 2: 1}
+
+
+def test_dsir_flag_path_equals_two_frame_path(spark):
+    """The one-scan target_flag convention must produce the IDENTICAL
+    log-ratio table (hence weights) as the two-DataFrame convention
+    when the target is a subset of the pool."""
+    rows = [(i, f"tok{i % 7} common words here number {i % 3}")
+            for i in range(40)]
+    raw = _dsir_frame(spark, rows)
+    two = SA.dsir_logratio_table(raw, raw.filter("doc_id % 4 = 0"))
+    one = SA.dsir_logratio_table(
+        raw.selectExpr("doc_id", "text", "doc_id % 4 = 0 AS is_t"),
+        target_flag="is_t")
+    t2 = {r["bucket"]: r["logratio_micro"] for r in two.collect()}
+    t1 = {r["bucket"]: r["logratio_micro"] for r in one.collect()}
+    assert t1 == t2
+    with pytest.raises(ValueError, match="exactly one"):
+        SA.dsir_logratio_table(raw)
+    with pytest.raises(ValueError, match="exactly one"):
+        SA.dsir_logratio_table(raw, raw, target_flag="is_t")
