@@ -126,10 +126,14 @@ def scale_probe(spark, factors: list[int]) -> dict:
     merge table / profile table is a reusable artifact.
 
     Round-8 session-2 additions: html (block-aware HTML->lines — one
-    per-row regexp projection, rows EXACTLY linear, no shuffle) and
-    dsir (importance weights against a log-ratio table fitted ONCE on
-    the 1x base — gram explode + broadcast 4096-row join + per-doc
-    sum, the langid shape, rows EXACTLY linear)."""
+    per-row regexp projection, rows EXACTLY linear, no shuffle); dsir
+    (importance weights against a log-ratio table fitted ONCE on the
+    1x base — gram explode + broadcast 4096-row join + per-doc sum,
+    the langid shape, rows EXACTLY linear); semdedup (within-cluster
+    candidate pairs over sign-flip-decorrelated embedding replicas
+    with n_clusters scaled 16*f — per-cluster size stays flat so
+    candidates grow ~f, never f²; the k-means fit is inside the timed
+    cost, as in production)."""
     from pyspark.sql import functions as F
 
     from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
@@ -266,6 +270,46 @@ def scale_probe(spark, factors: list[int]) -> dict:
                           "sec": round(best, 3)})
         cand.unpersist()
     pq_q.unpersist()
+
+    # semdedup rides the embeddings too, but replicas must NOT be
+    # semantic dups of each other (the analog of the text probes'
+    # word-salting): replica i flips each vector component's sign by
+    # a per-(replica, component) hash bit — within-replica cosines
+    # are PRESERVED exactly (s_j^2 = 1), cross-replica cosines
+    # decorrelate to ~0, so pair structure grows ~f, not f^2.
+    # n_clusters scales with the corpus (the SemDeDup contract: the
+    # paper runs 50k clusters on LAION) keeping per-cluster size flat;
+    # the k-means fit is part of the timed cost, as in production.
+    def _flip(i):
+        return lambda x, j: (x * (1 - 2 * F.pmod(
+            F.hash(j, F.lit(i)), F.lit(2)))).cast("float")
+
+    out["semdedup"] = []
+    for f in factors:
+        reps = []
+        for i in range(f):
+            v = (F.col("embedding") if i == 0 else
+                 F.transform("embedding", _flip(i)))
+            reps.append(emb.select(
+                (F.col("vec_id") * f + i).alias("vec_id"),
+                v.alias("embedding")))
+        cand = reps[0]
+        for r in reps[1:]:
+            cand = cand.unionAll(r)
+        cand = cand.persist()
+        n = cand.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            # threshold=-1 disables the cosine cut (probe convention:
+            # count the CANDIDATE stage — the within-cluster pair join
+            # that can go quadratic), so candidates = sum C(|c|,2)
+            c = S.semantic_pairs(cand, threshold=-1.0,
+                                 n_clusters=16 * f).count()
+            best = min(best, time.perf_counter() - t0)
+        out["semdedup"].append({"factor": f, "n_docs": n,
+                                "candidates": c, "sec": round(best, 3)})
+        cand.unpersist()
     return out
 
 
