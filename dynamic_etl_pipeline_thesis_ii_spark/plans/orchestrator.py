@@ -300,6 +300,8 @@ class Pipeline:
         if plan is None:
             return {"status": "rejected", "reason": "not a dataops query",
                     "outputs": [], "reports": {}}
+        if plan["target"] == "ingest_crawl":
+            return self._run_ingest_crawl(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
         if plan["target"] == "chunk_documents":
@@ -333,6 +335,46 @@ class Pipeline:
             "outputs": [frame],
             "reports": {"plan": dict(plan), "sink": sink_report},
         }
+
+    def _run_ingest_crawl(self, plan: dict, output_path: str) -> dict:
+        """'extract text from the crawl at /path': WARC file(s) ->
+        one row per 200-OK textual response, with the rendered line
+        structure from html_to_lines as ``text`` — the documents-
+        shaped front door for web corpora. ``doc_id`` is the 64-bit
+        hash of the WARC record id (stable across re-runs and
+        re-partitionings); url/fetched_at/content type ride along for
+        downstream URL curation and snapshotting."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            html_to_lines,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.warc import (
+            read_warc,
+        )
+
+        if not plan.get("crawl_path"):
+            return {"status": "rejected",
+                    "reason": "crawl ingest needs a path "
+                              "('... the crawl at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        recs = read_warc(self.spark, plan["crawl_path"])
+        frame = (recs.filter((F.col("warc_type") == "response")
+                             & (F.col("http_status") == 200)
+                             & F.col("text").isNotNull())
+                 .select(F.xxhash64("record_id").alias("doc_id"),
+                         F.col("target_uri").alias("url"),
+                         F.col("warc_date").alias("fetched_at"),
+                         F.col("http_content_type").alias("content_type"),
+                         F.when(F.col("http_content_type")
+                                .contains("html"),
+                                html_to_lines(F.col("text")))
+                         .otherwise(F.col("text")).alias("text"))
+                 .withColumn("n_chars", F.length("text")))
+        self.progress("ingest", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        n = self.spark.read.parquet(output_path).count()  # read-back
+        self.progress("publish", {"rows": n, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "rows": n}}
 
     def _run_corpus_diff(self, plan: dict, source_dir: str,
                          output_path: str) -> dict:
@@ -515,7 +557,7 @@ class Pipeline:
 _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
-                  "importance", "dsir", "resample")
+                  "importance", "dsir", "resample", "crawl", "warc")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -530,6 +572,11 @@ _SEMANTIC_TARGET_RE = re.compile(r"\bsemantic(?:ally)?\b|\bby embeddings?\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
 _CLUSTERS_RE = re.compile(r"\b(\d+)\s+clusters?\b")
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
+# 'extract text from the crawl at /path' / 'ingest the warc archive'
+_CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
+_CRAWL_PATH_RE = re.compile(
+    r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
+    r"((?:/|\./|~/)[^\s,;]+)", re.IGNORECASE)
 # 'importance resample toward src18' / 'dsir select docs like src3'
 _DSIR_TARGET_RE = re.compile(r"\bdsir\b|\bimportance\b|\bresampl")
 _DSIR_SOURCE_RE = re.compile(
@@ -552,9 +599,13 @@ _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Six targets, matched in
+    the query carries no dataops intent. Seven targets, matched in
     priority order:
 
+    - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
+      'ingest the warc archive at <path>' (WARC records -> rendered
+      text via html_to_lines -> documents-shaped parquet; the web
+      front door);
     - ``corpus_diff`` — 'diff ... against the snapshot at <path>'
       (data-versioning; requires a filesystem path, bound to
       ``snapshot_path`` — None when the phrase names no path, which
@@ -579,6 +630,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     ql = query.lower()
     if not any(h in ql for h in _DATAOPS_HINTS):
         return None
+    if _CRAWL_TARGET_RE.search(ql):
+        m = _CRAWL_PATH_RE.search(query)   # paths keep their case
+        return {"target": "ingest_crawl",
+                "crawl_path": m.group(1) if m else None}
     if _DIFF_TARGET_RE.search(ql) and ("snapshot" in ql
                                        or "previous" in ql):
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case

@@ -1031,3 +1031,37 @@ def test_pipeline_dataops_dsir_select(spark, sf_dir, tmp_path):
     none = pipe.run_dataops("importance resample the corpus", sf_dir,
                             str(tmp_path / "never2"))
     assert none["status"] == "rejected" and "target domain" in none["reason"]
+
+
+def test_pipeline_dataops_ingest_crawl(spark, sf_dir, tmp_path):
+    """NL -> ingest_crawl: WARC dir -> rendered-text documents parquet
+    (200-OK textual responses only, html flattened to lines, stable
+    hashed doc ids); missing path rejects with a reason."""
+    import gzip as _gzip
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_warc import _warc_bytes
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_warc_bytes())
+    (d / "b.warc.gz").write_bytes(_gzip.compress(_warc_bytes()))
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "docs")
+    res = pipe.run_dataops(f"extract text from the crawl at {d}",
+                           sf_dir, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["rows"] == 2  # one response per file
+    back = spark.read.parquet(out).collect()
+    assert {r["url"] for r in back} == {"http://example.com/"}
+    for r in back:
+        lines = r["text"].split("\n")
+        assert "Hello & bye" in lines      # html flattened to lines
+        assert "var x=1;" not in r["text"]  # script dropped
+        assert r["n_chars"] == len(r["text"])
+    # same record id in both files -> same stable doc_id
+    assert len({r["doc_id"] for r in back}) == 1
+
+    bad = pipe.run_dataops("ingest the warc archive", sf_dir,
+                           str(tmp_path / "never"))
+    assert bad["status"] == "rejected" and "path" in bad["reason"]
