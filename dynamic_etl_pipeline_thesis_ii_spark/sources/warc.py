@@ -212,6 +212,22 @@ def warc_rows(data: bytes, path: str = "",
     return rows
 
 
+def _warc_kernel(max_text_bytes: int = 4 << 20):
+    """The Arrow kernel shared by the batch and streaming readers:
+    (path, content) rows -> WARC record rows, one output frame per
+    FILE so the Arrow batch is bounded at one file's records instead
+    of one partition's files."""
+    def kernel(batches):
+        import pandas as pd
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows = warc_rows(bytes(content), p, max_text_bytes)
+                yield pd.DataFrame(rows, columns=cols) if rows else \
+                    pd.DataFrame({c: [] for c in cols})
+    return kernel
+
+
 def read_warc(spark: SparkSession, path: str,
               max_text_bytes: int = 4 << 20) -> DataFrame:
     """Read WARC file(s) (plain or .gz) into one row per record. See
@@ -219,17 +235,25 @@ def read_warc(spark: SparkSession, path: str,
     extraction is :func:`~..operators.text.html_to_lines` over the
     ``text`` column, then the normal curation stack."""
     files = spark.read.format("binaryFile").load(path)
-
-    def kernel(batches):
-        import pandas as pd
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for pdf in batches:
-            for p, content in zip(pdf["path"], pdf["content"]):
-                rows = warc_rows(bytes(content), p, max_text_bytes)
-                # one frame per FILE: bounds the Arrow batch at one
-                # file's records instead of one partition's files
-                yield pd.DataFrame(rows, columns=cols) if rows else \
-                    pd.DataFrame({c: [] for c in cols})
-
     return (files.select("path", "content")
-            .mapInPandas(kernel, schema=WARC_SCHEMA))
+            .mapInPandas(_warc_kernel(max_text_bytes),
+                         schema=WARC_SCHEMA))
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_text_bytes: int = 4 << 20) -> DataFrame:
+    """Continuous crawl ingestion: the same record kernel over the
+    Structured Streaming ``binaryFile`` file source — point it at a
+    landing directory and every new .warc/.warc.gz file becomes rows
+    as it arrives. The kernel is stateless (one file -> its records),
+    so the streaming plan IS the batch plan; parity is pinned in
+    ``test_streaming.py``."""
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_warc_kernel(max_text_bytes),
+                             schema=WARC_SCHEMA)

@@ -489,3 +489,44 @@ def test_quality_classifier_scores_stream(spark, tmp_path):
         spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows],
                               "doc_id long, text string"), model).collect()}
     assert got == batch and got[1] > got[2]
+
+
+def test_streaming_crawl_ingest_matches_batch(spark, tmp_path):
+    """Continuous crawl ingestion: read_warc_stream (the WARC kernel
+    over the binaryFile STREAM source) + the html_to_lines projection
+    turn a landing directory of .warc files into a continuously-
+    growing documents table; results must equal the batch read of the
+    same directory."""
+    import gzip
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_warc import _warc_bytes
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        html_to_lines,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import warc as W
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_warc_bytes())
+    (d / "b.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
+
+    def curate(records):
+        return (records
+                .filter((F.col("warc_type") == "response")
+                        & (F.col("http_status") == 200)
+                        & F.col("text").isNotNull())
+                .select("warc_path", "target_uri",
+                        html_to_lines(F.col("text")).alias("text")))
+
+    stream = W.read_warc_stream(spark, str(d))
+    assert stream.isStreaming
+    S.run_available_now(curate(stream), "stream_crawl_test")
+    got = sorted((r["warc_path"].rsplit("/", 1)[-1], r["text"])
+                 for r in spark.sql(
+                     "SELECT * FROM stream_crawl_test").collect())
+    want = sorted((r["warc_path"].rsplit("/", 1)[-1], r["text"])
+                  for r in curate(W.read_warc(spark, str(d))).collect())
+    assert got == want and len(got) == 2
+    assert all("Hello & bye" in t.split("\n") for _, t in got)
