@@ -462,3 +462,46 @@ SELECT g.id, count(*)::BIGINT AS n_grams,
 FROM gb g JOIN ratio x ON g.bucket = x.bucket
 GROUP BY g.id
 """
+
+
+# ---------------------------------------------------------------------------
+# SM8: deterministic weighted sampling without replacement (E-S A-Res)
+# ---------------------------------------------------------------------------
+
+def weighted_hash_topk(df: DataFrame, weight_col: str, k: int,
+                       key_col: str, salt: str = "",
+                       group_col: Optional[str] = None) -> DataFrame:
+    """Weighted random sample of ``k`` rows WITHOUT replacement, with
+    no RNG state: Efraimidis-Spirakis A-Res keys ``r = ln(u) / w``
+    with the uniform ``u`` derived from the salted content hash
+    (``(hash32+1) / 2^32`` in (0, 1]); the k largest r win — the
+    inclusion law equals sequential weighted draws without
+    replacement, so inclusion probability rises with ``w`` and
+    ``salt`` indexes independent samples. Rows with NULL or
+    non-positive weight are excluded (they can never win a weighted
+    draw).
+
+    This is the deterministic materialization of stochastic
+    importance RESAMPLING: feed it ``w = exp(beta *
+    weight_micro/1e6)`` from :func:`dsir_weights` and ``k`` docs come
+    back Gumbel-top-k-distributed toward the target domain, exactly
+    reproducibly.
+
+    Scale shape: global top-k compiles to TakeOrderedAndProject
+    (per-partition heads, no full sort shuffle); per-``group_col``
+    top-k uses a rank window over the group — partition-bounded, the
+    standard grouped-top-k trade."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = ((_bucket(F.col(key_col), salt, 1 << 32) + 1).cast("double")
+         / float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    keyed = (df.filter(w.isNotNull() & (w > 0))
+             .withColumn("__r", F.log(u) / w))
+    if group_col is None:
+        return (keyed.orderBy(F.col("__r").desc(), F.col(key_col).asc())
+                .limit(k).drop("__r"))
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("__r").desc(), F.col(key_col).asc())
+    return (keyed.withColumn("__rk", F.row_number().over(win))
+            .filter(F.col("__rk") <= k).drop("__r", "__rk"))

@@ -382,3 +382,59 @@ def test_dsir_flag_path_equals_two_frame_path(spark):
         SA.dsir_logratio_table(raw)
     with pytest.raises(ValueError, match="exactly one"):
         SA.dsir_logratio_table(raw, raw, target_flag="is_t")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (SM8)
+# ---------------------------------------------------------------------------
+
+def _wdf(spark, weights):
+    return spark.createDataFrame(
+        [(i, None if w is None else float(w))
+         for i, w in enumerate(weights)], "id long, w double")
+
+
+def test_weighted_topk_basic_contract(spark):
+    df = _wdf(spark, [1.0, 2.0, 3.0, None, 0.0, -1.0])
+    out = SA.weighted_hash_topk(df, "w", k=10, key_col="id")
+    # null/zero/negative weights can never win; k >= n returns the rest
+    assert {r["id"] for r in out.collect()} == {0, 1, 2}
+    assert SA.weighted_hash_topk(df, "w", 2, "id").count() == 2
+    with pytest.raises(ValueError, match="k must be"):
+        SA.weighted_hash_topk(df, "w", 0, "id")
+
+
+def test_weighted_topk_deterministic_and_partition_invariant(spark):
+    df = _wdf(spark, [float(1 + (i * 7) % 5) for i in range(100)])
+    a = {r["id"] for r in SA.weighted_hash_topk(df, "w", 10, "id").collect()}
+    b = {r["id"] for r in SA.weighted_hash_topk(
+        df.repartition(13), "w", 10, "id").collect()}
+    assert a == b and len(a) == 10
+    c = {r["id"] for r in SA.weighted_hash_topk(
+        df, "w", 10, "id", salt="other").collect()}
+    assert c != a  # independent draw
+
+
+def test_weighted_topk_inclusion_follows_weights(spark):
+    """Across independent salts, the 10x-heavier item must be included
+    in a k=1 draw far more often — and roughly in weight proportion
+    (E-S with k=1 reduces to P(i) = w_i / sum w)."""
+    df = _wdf(spark, [10.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+    wins = 0
+    trials = 120
+    for t in range(trials):
+        row = SA.weighted_hash_topk(df, "w", 1, "id",
+                                    salt=f"s{t}").collect()[0]
+        wins += row["id"] == 0
+    # expectation 10/19 ~ 0.53; binomial sd ~ 0.046 -> generous band
+    assert 0.35 < wins / trials < 0.72
+
+
+def test_weighted_topk_grouped(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), 1.0 + i % 4) for i in range(60)],
+        "id long, g string, w double")
+    out = SA.weighted_hash_topk(df, "w", 5, "id", group_col="g")
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
