@@ -60,15 +60,20 @@ _TEXTUAL_EXACT = ("application/xhtml+xml", "application/xml",
 def gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream — WARC files
     gzip each record as its own member so records stay independently
-    seekable; plain (uncompressed) input passes through."""
+    seekable; plain (uncompressed) input passes through. A corrupt
+    member yields whatever decompressed before it (never raises: one
+    truncated crawl file must not fail the task that holds it)."""
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = []
     buf = data
     while buf.startswith(b"\x1f\x8b"):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(buf))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(buf))
+            out.append(d.flush())
+        except zlib.error:
+            break  # corrupt member: keep the records already walked
         buf = d.unused_data
     return b"".join(out)
 

@@ -314,3 +314,42 @@ def test_encode_word_never_raises_and_reassembles(word, merge_pairs):
     ranks = {m: i for i, m in enumerate(dict.fromkeys(merge_pairs))}
     toks = B.encode_word(word, ranks)
     assert "".join(toks) == word + B.END
+
+
+# ---------------------------------------------------------------------------
+# WARC layer: never-raise on arbitrary bytes (crawl files are hostile)
+# ---------------------------------------------------------------------------
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_warc_rows_never_raise_on_arbitrary_bytes(data):
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import warc as W
+    rows = W.warc_rows(data, "fuzz")
+    for r in rows:  # every yielded record satisfies the schema contract
+        assert isinstance(r["content_length"], int)
+        assert r["text"] is None or isinstance(r["text"], str)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_warc_magic_prefixed_fuzz(data):
+    """Bytes that LOOK like WARC/gzip/HTTP must still never raise —
+    the magic-prefix corpus is where naive parsers die."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import warc as W
+    for prefix in (b"WARC/1.0\r\n", b"\x1f\x8b\x08\x00", b"HTTP/1.1 200 OK\r\n"):
+        W.warc_rows(prefix + data, "fuzz")
+        W.parse_http_response(prefix + data)
+        W.gunzip_members(prefix + data) if prefix[:2] != b"\x1f\x8b" else None
+
+
+@given(st.binary(max_size=1024))
+@settings(max_examples=150, deadline=None)
+def test_warc_gunzip_and_dechunk_never_raise(data):
+    """gunzip_members returns the prefix decompressed before a corrupt
+    member instead of raising (this fuzz originally caught a zlib
+    error escaping warc_rows — one bad crawl file must never fail the
+    task holding it); _dechunk tolerates any bytes."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import warc as W
+    W.gunzip_members(data)
+    W.gunzip_members(b"\x1f\x8b\x08\x00" + data)
+    W._dechunk(data)
