@@ -289,25 +289,41 @@ SEMI JOIN (
 DSIR_BUCKETS = 4096
 
 
-def _gram_buckets(df: DataFrame, text_col: str, id_col: str,
-                  n_buckets: int) -> DataFrame:
-    """(id, bucket) rows: every unigram AND bigram of the normalized
-    text, hashed into ``n_buckets`` with the engine-portable md5-based
-    :func:`~.dedup.hash32`. Pure array expressions build the gram list
-    per row (no shuffle, no UDF); the explode is the only expansion.
+def _gram_explode(df: DataFrame, text_col: str,
+                  keep: list) -> DataFrame:
+    """``keep`` columns + one ``gram`` row per unigram AND bigram of
+    the normalized text. The token array is MATERIALIZED in its own
+    projection before the bigram zip — referencing the split chain
+    from inside a higher-order lambda re-evaluates it per element
+    (O(L²) per doc; measured 14x slower at sf0.1) because lambda
+    bodies defeat Catalyst's common-subexpression elimination.
+    Bigrams come from zip_with over the array and its shift-by-one
+    slice — every expression touches ``__toks`` exactly once.
     Empty/NULL texts contribute no grams."""
     toks = F.filter(
         F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda t: t != "")
+    t = df.select(*keep, toks.alias("__toks"))
+    n = F.size("__toks")
     bis = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                          F.element_at(toks, i + 2)))
+        n >= 2,
+        F.zip_with(F.slice("__toks", 1, F.greatest(n - 1, F.lit(1))),
+                   F.slice(F.col("__toks"), 2,
+                           F.greatest(n - 1, F.lit(1))),
+                   lambda a, b: F.concat_ws(" ", a, b))
     ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.concat(toks, bis)).alias("gram"))
-            .select("id", (hash32(F.col("gram")) % n_buckets).alias("bucket")))
+    return t.select(*keep,
+                    F.explode(F.concat(F.col("__toks"), bis)).alias("gram"))
+
+
+def _gram_buckets(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int) -> DataFrame:
+    """(id, bucket) rows: every uni/bigram hashed into ``n_buckets``
+    with the engine-portable md5-based :func:`~.dedup.hash32`. One
+    narrow scan; the explode is the only expansion."""
+    g = _gram_explode(df.select(F.col(id_col).alias("id"),
+                                F.col(text_col)), text_col, [F.col("id")])
+    return g.select("id", (hash32(F.col("gram")) % n_buckets).alias("bucket"))
 
 
 def dsir_logratio_table(raw: DataFrame, target: DataFrame | None = None,
@@ -361,21 +377,11 @@ def dsir_logratio_table(raw: DataFrame, target: DataFrame | None = None,
                         .cast("long").alias("logratio_micro")))
 
     if target_flag is not None:
-        toks = F.filter(
-            F.split(normalize_text(F.coalesce(F.col(text_col),
-                                              F.lit(""))), " "),
-            lambda t: t != "")
-        bis = F.when(
-            F.size(toks) >= 2,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at(toks, i + 1),
-                            F.element_at(toks, i + 2)))
-        ).otherwise(F.array().cast("array<string>"))
-        cnt = (raw.select(F.col(target_flag).alias("__t"),
-                          F.explode(F.concat(toks, bis)).alias("gram"))
-               .select("__t",
-                       (hash32(F.col("gram")) % n_buckets).alias("bucket"))
+        g = _gram_explode(
+            raw.select(F.col(target_flag).alias("__t"), F.col(text_col)),
+            text_col, [F.col("__t")])
+        cnt = (g.select("__t",
+                        (hash32(F.col("gram")) % n_buckets).alias("bucket"))
                .groupBy("bucket")
                .agg(F.count(F.lit(1)).alias("n_r"),
                     F.sum(F.col("__t").cast("long")).alias("n_t")))

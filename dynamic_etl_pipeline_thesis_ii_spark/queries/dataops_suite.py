@@ -1226,7 +1226,9 @@ def q_sample_deterministic(spark, sf_dir):
     dsir_tbl = SA.dsir_logratio_table(
         docs.withColumn("__t", F.col("source") == "src18"),
         target_flag="__t")
-    dsir_w = SA.dsir_weights(docs, dsir_tbl)
+    # the weights frame feeds BOTH the rows and the pool-mean totals:
+    # tracked-persist it, or the gram explodes + table build run twice
+    dsir_w = _persist_tracked(SA.dsir_weights(docs, dsir_tbl))
     dsir_tot = dsir_w.agg(F.sum("weight_micro").alias("tot"),
                           F.count(F.lit(1)).alias("n"))
     ds = (dsir_w.crossJoin(F.broadcast(dsir_tot))

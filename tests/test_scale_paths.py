@@ -749,6 +749,11 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
         # bigram scorer's lazy |V| continuation-vocab scalar — all
         # 1-row reduces
         "text_corpus_stats": 3,
+        # dsir arm: the log-ratio table's (tot_t, tot_r) smoothing
+        # totals and the pool-mean (sum, n) verdict totals — 1-row
+        # reduces broadcast back; the third occurrence is the reused
+        # totals exchange printed once more in the physical plan
+        "sample_deterministic": 3,
     }
     violations = []
     for name, q in all_queries().items():
