@@ -561,8 +561,12 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
+# paths may be local (/, ./, ~/) or any Hadoop-filesystem URI
+# (s3://, s3a://, hdfs://, gs://, abfs://, file://) — production
+# snapshots and crawls live behind URI schemes, not local mounts
+_PATH_SHAPE = r"((?:[A-Za-z][A-Za-z0-9+.-]*://|/|\./|~/)[^\s,;]+)"
 _SNAPSHOT_PATH_RE = re.compile(
-    r"\bsnapshot\s+(?:at\s+|in\s+)?((?:/|\./|~/)[^\s,;]+)", re.IGNORECASE)
+    r"\bsnapshot\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _CHUNK_TARGET_RE = re.compile(r"\bchunk(?:ed|ing|s)?\b")
 _CHUNK_SIZE_RE = re.compile(r"\bsize\s+(?:of\s+)?(\d+)\b")
 _CHUNK_STRIDE_RE = re.compile(r"\b(?:stride|overlap step)\s+(?:of\s+)?(\d+)\b")
@@ -576,7 +580,7 @@ _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
 _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
 _CRAWL_PATH_RE = re.compile(
     r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
-    r"((?:/|\./|~/)[^\s,;]+)", re.IGNORECASE)
+    + _PATH_SHAPE, re.IGNORECASE)
 # 'importance resample toward src18' / 'dsir select docs like src3'
 _DSIR_TARGET_RE = re.compile(r"\bdsir\b|\bimportance\b|\bresampl")
 _DSIR_SOURCE_RE = re.compile(

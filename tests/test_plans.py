@@ -1065,3 +1065,19 @@ def test_pipeline_dataops_ingest_crawl(spark, sf_dir, tmp_path):
     bad = pipe.run_dataops("ingest the warc archive", sf_dir,
                            str(tmp_path / "never"))
     assert bad["status"] == "rejected" and "path" in bad["reason"]
+
+
+def test_parse_dataops_paths_accept_uri_schemes():
+    """Snapshot and crawl paths may be Hadoop-filesystem URIs, not just
+    local mounts — s3://, hdfs://, gs:// all bind."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    c = parse_dataops_query(
+        "extract text from the crawl at s3://bucket/cc/segments")
+    assert c == {"target": "ingest_crawl",
+                 "crawl_path": "s3://bucket/cc/segments"}
+    h = parse_dataops_query("ingest the warc archive from hdfs://nn:8020/cc")
+    assert h["crawl_path"] == "hdfs://nn:8020/cc"
+    d = parse_dataops_query("diff the corpus against the snapshot at gs://b/p")
+    assert d == {"target": "corpus_diff", "snapshot_path": "gs://b/p"}
