@@ -876,3 +876,15 @@ def test_bloom_prefilter_splits_batch_before_antijoin(spark, sf_dir):
     empty_seen = D.content_keys(docs.filter("doc_id < 0"))
     n = D.bloom_snapshot_fresh(docs, empty_seen).count()
     assert n == docs.count()
+
+
+def test_weighted_topk_compiles_to_take_ordered(spark, sf_dir):
+    """Global weighted top-k must compile to TakeOrderedAndProject
+    (per-partition heads merged on the driver) — never a full sort
+    shuffle."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
+    docs = Catalog(spark, sf_dir).documents
+    out = SA.weighted_hash_topk(docs, "n_chars", 10, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert out.count() == 10
