@@ -339,13 +339,23 @@ class Pipeline:
     def _run_ingest_crawl(self, plan: dict, output_path: str) -> dict:
         """'extract text from the crawl at /path': WARC file(s) ->
         one row per 200-OK textual response, with the rendered line
-        structure from html_to_lines as ``text`` — the documents-
-        shaped front door for web corpora. ``doc_id`` is the 64-bit
-        hash of the WARC record id (stable across re-runs and
-        re-partitionings); url/fetched_at/content type ride along for
-        downstream URL curation and snapshotting."""
+        structure from html_to_lines as ``text``. ``doc_id`` is the
+        64-bit hash of the WARC record id (stable across re-runs and
+        re-partitionings); url/fetched_at/content_type ride along for
+        URL curation and snapshotting, and the documents-table
+        columns are all present — ``lang`` (stopword heuristic;
+        retrain with `train_lang_ngrams` for production) and
+        ``source`` (the registered domain) — so pointing a follow-up
+        dataops query's source_dir at the output directory chains
+        crawl -> curate -> select -> pack -> shard end to end (write
+        to ``<dir>/documents.parquet``)."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
             html_to_lines,
+            lang_id,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+            registered_domain,
+            url_host,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.warc import (
             read_warc,
@@ -368,7 +378,10 @@ class Pipeline:
                                 .contains("html"),
                                 html_to_lines(F.col("text")))
                          .otherwise(F.col("text")).alias("text"))
-                 .withColumn("n_chars", F.length("text")))
+                 .withColumn("n_chars", F.length("text"))
+                 .withColumn("lang", lang_id(F.col("text")))
+                 .withColumn("source",
+                             registered_domain(url_host(F.col("url")))))
         self.progress("ingest", {"params": dict(plan)})
         frame.write.mode("overwrite").parquet(output_path)
         n = self.spark.read.parquet(output_path).count()  # read-back

@@ -240,7 +240,11 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     reader = df.sparkSession.read
     if fmt == "csv":
         reader = reader.option("header", "true")
-    back = reader.format(fmt).load(path)
+    # explicit schema: an all-filtered input writes ZERO part files
+    # (only _SUCCESS), and schema inference on that raises
+    # UNABLE_TO_INFER_SCHEMA — an empty corpus must verify as
+    # rows_written=0, not crash the run
+    back = reader.format(fmt).schema(sharded.schema).load(path)
     per_shard = {int(r["shard"]): r["n"] for r in
                  back.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
                  .collect()}

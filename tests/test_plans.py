@@ -1081,3 +1081,70 @@ def test_parse_dataops_paths_accept_uri_schemes():
     assert h["crawl_path"] == "hdfs://nn:8020/cc"
     d = parse_dataops_query("diff the corpus against the snapshot at gs://b/p")
     assert d == {"target": "corpus_diff", "snapshot_path": "gs://b/p"}
+
+
+def test_pipeline_crawl_then_curate_chain(spark, sf_dir, tmp_path):
+    """Full circle: crawl ingest writes a documents-shaped parquet
+    (doc_id/text/lang/source all present); pointing the next dataops
+    query's source_dir at that directory drives the standard
+    curate->select->pack->shard composition over crawled text."""
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_warc import _record, _response_block
+
+    # a crawl of 30 DISTINCT pages. Content words come from a 61-word
+    # bank at per-doc stride offsets (61 prime, stride 7 co-prime):
+    # two docs' content sequences never align, so no cross-doc run
+    # reaches the decontaminator's 5 tokens — while connective
+    # fragments stay under 5 and carry enough stopwords to clear the
+    # quality gate. This is what real distinct web pages look like to
+    # the gates: same glue, different content.
+    bank = ("apple harbor copper winter lantern meadow silver stone "
+            "cedar rain garden marble willow summer candle brook "
+            "amber forest velvet north whisper ember salt cliff "
+            "orchid thunder maple crystal shadow pine drift coral "
+            "hollow breeze iron petal cloud ridge flame moss tide "
+            "fern spark dune quill arch haze grove mist stem bell "
+            "cove ash gleam ridgepole knoll birch frost loom vale "
+            "crag").split()
+    assert len(bank) == 61
+    recs = []
+    for i in range(30):
+        def w(k, _i=i):
+            return bank[(_i * 7 + k) % 61]
+        sents = "".join(
+            "It is a {0} day and the {1} of {2} will {3} to the {4} "
+            "in {5}. ".format(*(w(6 * j + m) for m in range(6)))
+            for j in range(5))
+        body = (f"<html><body><p>{sents.strip()}</p></body></html>"
+                ).encode()
+        recs.append(_record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:uuid:{i}>",
+             "WARC-Target-URI": f"http://site{i % 5}.example.com/p/{i}",
+             "Content-Type": "application/http; msgtype=response"},
+            _response_block(body)))
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"".join(recs))
+    corpus_dir = tmp_path / "webcorpus"
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    res = pipe.run_dataops(
+        f"extract text from the crawl at {d}", sf_dir,
+        str(corpus_dir / "documents.parquet"))
+    assert res["status"] == "complete" and res["reports"]["rows"] == 30
+    docs = spark.read.parquet(str(corpus_dir / "documents.parquet"))
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= \
+        set(docs.columns)
+    row = docs.first()
+    assert row["source"] == "example.com"
+    assert row["lang"] in ("en", "und")
+
+    shards = pipe.run_dataops(
+        "curate the training corpus into 2 shards, budget of 10000 "
+        "tokens, contexts of 16 tokens", str(corpus_dir),
+        str(tmp_path / "shards"))
+    assert shards["status"] == "complete"
+    assert shards["reports"]["sink"]["rows_written"] > 0
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == shards["reports"]["sink"]["rows_written"]
