@@ -304,6 +304,9 @@ class Pipeline:
             return self._run_ingest_crawl(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
+        if plan["target"] == "incremental_dedup":
+            return self._run_incremental_dedup(plan, source_dir,
+                                               output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
@@ -335,6 +338,61 @@ class Pipeline:
             "outputs": [frame],
             "reports": {"plan": dict(plan), "sink": sink_report},
         }
+
+    def _run_incremental_dedup(self, plan: dict, source_dir: str,
+                               output_path: str) -> dict:
+        """'dedup the batch against the seen snapshot at <path>': the
+        continuous-ingest step — source_dir's documents are the new
+        batch, the snapshot parquet holds the (id, key) content keys
+        of everything already ingested. Fresh rows (not in the
+        snapshot, then exact-deduped within the batch) land at the
+        output; the GROWN snapshot (old keys + the fresh rows' keys)
+        lands at ``<output>_snapshot`` so the next batch feeds it
+        straight back — the multi-epoch grow cycle as an NL target.
+        'with a bloom filter' swaps the snapshot anti-join's input
+        for the broadcast Bloom pre-filter (identical answer, ~fpp of
+        the batch through the shuffle)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            bloom_snapshot_fresh,
+            content_keys,
+            incremental_exact,
+            snapshot_fresh,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+        from pyspark.sql import Window as _W
+
+        if not plan.get("snapshot_path"):
+            return {"status": "rejected",
+                    "reason": "incremental dedup needs a snapshot path "
+                              "('... against the seen snapshot at "
+                              "/path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        seen = self.spark.read.parquet(plan["snapshot_path"])
+        batch = Catalog(self.spark, source_dir).documents
+        if plan.get("bloom"):
+            fresh = bloom_snapshot_fresh(batch, seen)
+            keep = F.min("doc_id").over(_W.partitionBy("__k"))
+            fresh = (fresh.withColumn("__keep", keep)
+                     .filter(F.col("doc_id") == F.col("__keep"))
+                     .drop("__k", "__keep"))
+        else:
+            fresh = incremental_exact(batch, seen)
+        self.progress("dedup", {"params": dict(plan)})
+        fresh.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n_fresh = back.count()
+        grown = seen.select("id", "key").unionByName(
+            content_keys(back)).distinct()
+        grown.write.mode("overwrite").parquet(output_path + "_snapshot")
+        self.progress("publish", {"rows": n_fresh, "path": output_path})
+        return {"status": "complete", "outputs": [fresh],
+                "reports": {"plan": dict(plan),
+                            "batch_rows": batch.count(),
+                            "fresh_rows": n_fresh,
+                            "snapshot_path_out":
+                                output_path + "_snapshot"}}
 
     def _run_ingest_crawl(self, plan: dict, output_path: str) -> dict:
         """'extract text from the crawl at /path': WARC file(s) ->
@@ -616,7 +674,7 @@ _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Seven targets, matched in
+    the query carries no dataops intent. Eight targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -630,6 +688,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
+    - ``incremental_dedup`` — 'dedup the batch against the seen
+      snapshot at <path>' (continuous-ingest exact dedup vs a
+      persisted (id, key) content snapshot; 'with a bloom filter'
+      opts into the broadcast pre-filter — same answer, ~fpp of the
+      batch through the anti-join; the updated snapshot lands next
+      to the fresh rows);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -656,6 +720,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
+    if (("dedup" in ql or "deduplicate" in ql or "ingest" in ql)
+            and "against" in ql and "snapshot" in ql):
+        m = _SNAPSHOT_PATH_RE.search(query)
+        return {"target": "incremental_dedup",
+                "snapshot_path": m.group(1) if m else None,
+                "bloom": "bloom" in ql}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)

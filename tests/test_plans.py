@@ -1148,3 +1148,50 @@ def test_pipeline_crawl_then_curate_chain(spark, sf_dir, tmp_path):
     assert shards["reports"]["sink"]["rows_written"] > 0
     back = spark.read.parquet(str(tmp_path / "shards"))
     assert back.count() == shards["reports"]["sink"]["rows_written"]
+
+
+def test_pipeline_dataops_incremental_dedup(spark, sf_dir, tmp_path):
+    """NL -> incremental_dedup: fresh rows vs a persisted content-key
+    snapshot, grown snapshot written alongside, bloom phrasing gives
+    the identical row set; multi-epoch feed-back works."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        content_keys,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    snap0 = str(tmp_path / "snap0")
+    # seed snapshot: every 3rd doc already ingested
+    content_keys(docs.filter("doc_id % 3 = 0")).write.parquet(snap0)
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+
+    out = str(tmp_path / "fresh")
+    res = pipe.run_dataops(
+        f"dedup the batch against the seen snapshot at {snap0}",
+        sf_dir, out)
+    assert res["status"] == "complete"
+    fresh_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert fresh_ids and all(i % 3 != 0 for i in fresh_ids)
+    assert res["reports"]["fresh_rows"] == len(fresh_ids)
+
+    outb = str(tmp_path / "fresh_bloom")
+    resb = pipe.run_dataops(
+        f"dedup the batch against the seen snapshot at {snap0} "
+        f"with a bloom filter", sf_dir, outb)
+    assert resb["status"] == "complete"
+    assert resb["reports"]["plan"]["bloom"] is True
+    bloom_ids = {r["doc_id"] for r in spark.read.parquet(outb).collect()}
+    assert bloom_ids == fresh_ids  # the pre-filter never changes rows
+
+    # epoch 2: feed the grown snapshot back -> nothing is fresh
+    snap1 = res["reports"]["snapshot_path_out"]
+    res2 = pipe.run_dataops(
+        f"dedup the batch against the seen snapshot at {snap1}",
+        sf_dir, str(tmp_path / "fresh2"))
+    assert res2["status"] == "complete"
+    assert res2["reports"]["fresh_rows"] == 0
+
+    none = pipe.run_dataops(
+        "dedup the batch against the previous snapshot", sf_dir,
+        str(tmp_path / "never"))
+    assert none["status"] == "rejected" and "snapshot path" in none["reason"]
