@@ -326,7 +326,63 @@ def scale_probe(spark, factors: list[int]) -> dict:
         out["semdedup"].append({"factor": f, "n_docs": n,
                                 "candidates": c, "sec": round(best, 3)})
         cand.unpersist()
+
+    # crawl: WARC ingestion throughput. One synthetic gzipped WARC
+    # file (100 response records wrapping real document texts) is
+    # written once at setup; factor f reads a directory holding f
+    # copies. The reader's parallelism unit is the FILE (binaryFile +
+    # one Arrow frame per file), so rows out = 100*f exactly linear
+    # and wall time ~linear once f exceeds core count — flat before
+    # that, which is the desired embarrassingly-parallel shape.
+    import shutil
+    import tempfile
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import warc as WC
+
+    texts = [r[0] for r in base.limit(100).select("text").collect()]
+    member = _synth_warc_gz(texts)
+    crawl_root = tempfile.mkdtemp(prefix="bench_warc_")
+    try:
+        out["crawl"] = []
+        for f in factors:
+            d = os.path.join(crawl_root, f"f{f}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(f):
+                with open(os.path.join(d, f"part{i}.warc.gz"), "wb") as fh:
+                    fh.write(member)
+            best, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                c = WC.read_warc(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            out["crawl"].append({"factor": f, "n_docs": 100 * f,
+                                 "candidates": c, "sec": round(best, 3)})
+    finally:
+        shutil.rmtree(crawl_root, ignore_errors=True)
     return out
+
+
+def _synth_warc_gz(texts: list[str]) -> bytes:
+    """One gzipped WARC member holding a response record per text —
+    the minimal valid shape (version line, headers, CRLF framing,
+    HTTP/200 response block) the reader's kernel parses."""
+    import gzip
+
+    recs = []
+    for i, t in enumerate(texts):
+        body = (f"<html><body><p>{t}</p></body></html>").encode(
+            "utf-8", "replace")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode() +
+                b"\r\n\r\n" + body)
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Record-ID: <urn:uuid:{i}>\r\n"
+               f"WARC-Target-URI: http://bench.example/{i}\r\n"
+               f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+               f"Content-Type: application/http; msgtype=response\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n").encode()
+        recs.append(hdr + http + b"\r\n\r\n")
+    return gzip.compress(b"".join(recs))
 
 
 def main() -> None:
@@ -383,13 +439,32 @@ def main() -> None:
         factors = [int(x) for x in
                    os.environ.get("BENCH_SCALE_FACTORS", "1,4,16").split(",")]
         probe = scale_probe(spark, factors)
-        for m, rows in probe.items():
-            print(f"# scale_probe {m}: " + "  ".join(
-                f"x{r['factor']}: {r['candidates']} cand in {r['sec']}s"
-                for r in rows), file=sys.stderr)
-        # the full probe goes on its OWN '#'-prefixed stdout line; it
-        # must NOT ride in the final JSON — see the budget note below
-        print("# scale_probe " + json.dumps(probe))
+        # Durable full record: the driver's tail capture keeps only
+        # the last ~2,000 chars of stdout, which lost the probe dict
+        # two rounds running when it printed as one giant line. The
+        # complete series now goes to SCALE_PROBE.json (committed with
+        # the round), and stdout carries one COMPACT line per series —
+        # "sec/candidates" per factor — small enough that every series
+        # plus the final headline JSON fits inside the tail window.
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALE_PROBE.json"), "w") as fh:
+            json.dump({"sf": SF_DIR, "factors": factors, "series": probe},
+                      fh, indent=1)
+        lines = []
+        last = ("pq", "semdedup", "dsir", "bloom", "crawl")
+        order = ([m for m in probe if m not in last] +
+                 [m for m in last if m in probe])
+        for m in order:
+            lines.append(f"# probe {m} " + " ".join(
+                f"{r['sec']}/{r['candidates']}" for r in probe[m]))
+        # hard budget: compact block + headline must fit the ~2,000-
+        # char tail with margin; drop OLDEST series first if ever over
+        # (newest series print last and always survive)
+        while sum(len(x) + 1 for x in lines) > 1300 and lines:
+            lines.pop(0)
+        for x in lines:
+            assert len(x) < 1800, f"probe line {len(x)} chars: {x[:60]}"
+            print(x)
 
     # FINAL-LINE BUDGET: the driver records only the last ~2,000 chars
     # of stdout and json-parses the final line, so that line must stay
