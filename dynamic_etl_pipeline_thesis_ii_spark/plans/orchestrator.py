@@ -351,12 +351,19 @@ class Pipeline:
         straight back — the multi-epoch grow cycle as an NL target.
         'with a bloom filter' swaps the snapshot anti-join's input
         for the broadcast Bloom pre-filter (identical answer, ~fpp of
-        the batch through the shuffle)."""
+        the batch through the shuffle). The fitted filter PERSISTS
+        beside the snapshot (``<snapshot>_bloom``): epoch N+1 reloads
+        it instead of re-scanning the snapshot (the 'read the
+        snapshot once' contract in ``dedup.py``), ORs the fresh
+        batch's keys in (batch-cost), and lands the grown filter at
+        ``<output>_snapshot_bloom`` next to the grown snapshot — a
+        refit (2x-capacity resize) happens only when accumulated
+        inserts exceed the capacity the filter was sized for."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            BloomFilter,
             bloom_snapshot_fresh,
             content_keys,
             incremental_exact,
-            snapshot_fresh,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
             Catalog,
@@ -371,26 +378,58 @@ class Pipeline:
                     "outputs": [], "reports": {"plan": dict(plan)}}
         seen = self.spark.read.parquet(plan["snapshot_path"])
         batch = Catalog(self.spark, source_dir).documents
+        bloom, bloom_loaded = None, False
         if plan.get("bloom"):
-            fresh = bloom_snapshot_fresh(batch, seen)
+            try:
+                bloom = BloomFilter.load(
+                    self.spark, plan["snapshot_path"] + "_bloom")
+                bloom_loaded = True
+            except Exception:
+                pass    # no stored filter yet: first epoch fits one
+            if bloom is None:
+                n_seen = seen.select("key").distinct().count()
+                bloom = BloomFilter.fit(seen.select("key"), "key",
+                                        fpp=0.01, n_items=n_seen,
+                                        capacity=2 * n_seen)
+            fresh = bloom_snapshot_fresh(batch, seen, bloom=bloom)
             keep = F.min("doc_id").over(_W.partitionBy("__k"))
             fresh = (fresh.withColumn("__keep", keep)
                      .filter(F.col("doc_id") == F.col("__keep"))
                      .drop("__k", "__keep"))
         else:
             fresh = incremental_exact(batch, seen)
-        self.progress("dedup", {"params": dict(plan)})
+        self.progress("dedup", {"params": dict(plan),
+                                "bloom_loaded": bloom_loaded})
         fresh.write.mode("overwrite").parquet(output_path)
         back = self.spark.read.parquet(output_path)      # read-back
         n_fresh = back.count()
         grown = seen.select("id", "key").unionByName(
             content_keys(back)).distinct()
         grown.write.mode("overwrite").parquet(output_path + "_snapshot")
+        bloom_refit = False
+        if bloom is not None:
+            if bloom.n_items + n_fresh > bloom.capacity:
+                # growth ate the sizing margin: refit from the grown
+                # snapshot with fresh 2x headroom (amortized — happens
+                # once per capacity doubling, like a dynamic array)
+                grown_keys = self.spark.read.parquet(
+                    output_path + "_snapshot")
+                n_grown = grown_keys.select("key").distinct().count()
+                bloom = BloomFilter.fit(grown_keys.select("key"), "key",
+                                        fpp=bloom.fpp, n_items=n_grown,
+                                        capacity=2 * n_grown)
+                bloom_refit = True
+            else:
+                bloom.add_keys(content_keys(back).select("key"),
+                               n_new=n_fresh)
+            bloom.save(self.spark, output_path + "_snapshot_bloom")
         self.progress("publish", {"rows": n_fresh, "path": output_path})
         return {"status": "complete", "outputs": [fresh],
                 "reports": {"plan": dict(plan),
                             "batch_rows": batch.count(),
                             "fresh_rows": n_fresh,
+                            "bloom_loaded": bloom_loaded,
+                            "bloom_refit": bloom_refit,
                             "snapshot_path_out":
                                 output_path + "_snapshot"}}
 
@@ -509,7 +548,15 @@ class Pipeline:
                             output_path: str) -> dict:
         """'semantically dedup ...': SemDeDup over the embeddings
         table (:func:`operators.similarity.semantic_dedup`) — kept
-        rows written to the sink with an in/out count report."""
+        rows written to the sink with an in/out count report.
+
+        When the query names no cluster count, ``n_clusters`` is
+        derived from the corpus (one cheap count) via
+        :func:`derive_n_clusters` — the within-cluster pair join is
+        quadratic in cluster size, so the count MUST grow with the
+        corpus to keep per-cluster size (and so total pair work)
+        bounded; the chosen value lands in the progress report and
+        the plan echo."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
             semantic_dedup,
         )
@@ -518,13 +565,16 @@ class Pipeline:
         )
 
         emb = Catalog(self.spark, source_dir).embeddings
+        n_in = emb.count()
+        if not plan.get("n_clusters"):
+            plan["n_clusters"] = derive_n_clusters(n_in)
         frame = semantic_dedup(emb, threshold=plan["threshold"],
                                n_clusters=plan["n_clusters"],
                                keep=plan["keep"])
-        self.progress("dedup", {"params": dict(plan)})
+        self.progress("dedup", {"params": dict(plan),
+                                "n_clusters": plan["n_clusters"]})
         frame.write.mode("overwrite").parquet(output_path)
         n_out = self.spark.read.parquet(output_path).count()  # read-back
-        n_in = emb.count()
         self.progress("publish", {"rows": n_out, "path": output_path})
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan),
@@ -601,22 +651,34 @@ class Pipeline:
         table = dsir_logratio_table(
             docs.withColumn("__t", F.col("source") == tgt),
             target_flag="__t")
-        weights = dsir_weights(docs, table)
+        # persist: the weights frame feeds up to three actions (the
+        # totals aggregate, the parquet write, and the above-mean
+        # count) — without it the gram-explode pipeline recomputes
+        # per action
+        weights = dsir_weights(docs, table).persist()
         # above-mean cut with exact integer arithmetic: broadcast the
         # 1-row totals and keep weight*n > total (no doubles, no
-        # order dependence)
-        tot = weights.agg(F.sum("weight_micro").alias("tot"),
+        # order dependence). decimal(38,0) keeps the product exact
+        # past int64 — per-doc micro-weights (~1e11) times corpus
+        # counts (~1e9+) overflow BIGINT, which Spark wraps silently
+        # in non-ANSI mode; decimal is still exact integer arithmetic
+        tot = weights.agg(F.sum("weight_micro").cast("decimal(38,0)")
+                          .alias("tot"),
                           F.count(F.lit(1)).alias("n"))
         above = (weights.crossJoin(F.broadcast(tot))
-                 .filter(F.col("weight_micro") * F.col("n")
+                 .filter(F.col("weight_micro").cast("decimal(38,0)")
+                         * F.col("n").cast("decimal(38,0)")
                          > F.col("tot"))
                  .select("id", "n_grams", "weight_micro"))
         frame = above if plan.get("select") else weights
         self.progress("weight", {"params": dict(plan)})
-        frame.write.mode("overwrite").parquet(output_path)
-        back = self.spark.read.parquet(output_path)      # read-back
-        n_rows = back.count()
-        n_sel = n_rows if plan.get("select") else above.count()
+        try:
+            frame.write.mode("overwrite").parquet(output_path)
+            back = self.spark.read.parquet(output_path)  # read-back
+            n_rows = back.count()
+            n_sel = n_rows if plan.get("select") else above.count()
+        finally:
+            weights.unpersist()
         self.progress("publish", {"rows": n_rows, "path": output_path})
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan),
@@ -672,6 +734,17 @@ _SHARDS_RE = re.compile(r"\b(\d+)\s+shards?\b")
 _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 
 
+def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
+    """Corpus-proportional SemDeDup cluster count: per-cluster pair
+    work is |cluster|², so holding the TARGET CLUSTER SIZE constant
+    (not the cluster count) keeps total pair work linear in the
+    corpus — n/2k clusters of ~2k docs is ~2k·n pairs at any scale,
+    where a fixed count would be n²/k. The 16 floor keeps tiny test
+    corpora from degenerating to one cluster; the SemDeDup paper's
+    50k clusters on a ~10⁸-doc corpus sits on the same curve."""
+    return max(16, int(n_docs) // max(1, target_cluster_size))
+
+
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
     the query carries no dataops intent. Eight targets, matched in
@@ -711,10 +784,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     ql = query.lower()
     if not any(h in ql for h in _DATAOPS_HINTS):
         return None
-    if _CRAWL_TARGET_RE.search(ql):
-        m = _CRAWL_PATH_RE.search(query)   # paths keep their case
-        return {"target": "ingest_crawl",
-                "crawl_path": m.group(1) if m else None}
+    # snapshot-anchored targets outrank the bare crawl keyword: 'dedup
+    # the crawl batch against the seen snapshot at /p' is incremental
+    # dedup over crawl OUTPUT, not a fresh ingest — a crawl mention
+    # only routes to ingest_crawl when no snapshot intent is present
     if _DIFF_TARGET_RE.search(ql) and ("snapshot" in ql
                                        or "previous" in ql):
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
@@ -726,10 +799,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "incremental_dedup",
                 "snapshot_path": m.group(1) if m else None,
                 "bloom": "bloom" in ql}
+    if _CRAWL_TARGET_RE.search(ql):
+        m = _CRAWL_PATH_RE.search(query)   # paths keep their case
+        return {"target": "ingest_crawl",
+                "crawl_path": m.group(1) if m else None}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)
-        ncl = int(m.group(1)) if (m := _CLUSTERS_RE.search(ql)) else 16
+        # n_clusters=None -> corpus-derived at run time (the SemDeDup
+        # per-cluster pair join is quadratic in cluster size; a fixed
+        # default is a 100x-scale trap — the paper runs 50k clusters)
+        ncl = int(m.group(1)) if (m := _CLUSTERS_RE.search(ql)) else None
         return {"target": "semantic_dedup", "threshold": thr,
                 "n_clusters": ncl,
                 "keep": "min" if "lowest id" in ql else "far"}

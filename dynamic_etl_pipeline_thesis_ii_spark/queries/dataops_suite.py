@@ -1229,12 +1229,19 @@ def q_sample_deterministic(spark, sf_dir):
     # the weights frame feeds BOTH the rows and the pool-mean totals:
     # tracked-persist it, or the gram explodes + table build run twice
     dsir_w = _persist_tracked(SA.dsir_weights(docs, dsir_tbl))
-    dsir_tot = dsir_w.agg(F.sum("weight_micro").alias("tot"),
+    # decimal(38,0) comparison: micro-weights (~1e11) times a 1e9+
+    # doc count overflows BIGINT, which Spark wraps silently in
+    # non-ANSI mode while the DuckDB twin raises — decimal keeps the
+    # arithmetic exact-integer AND cross-engine identical at any
+    # corpus size (twin: HUGEINT in _sql_sample_deterministic)
+    dsir_tot = dsir_w.agg(F.sum("weight_micro").cast("decimal(38,0)")
+                          .alias("tot"),
                           F.count(F.lit(1)).alias("n"))
     ds = (dsir_w.crossJoin(F.broadcast(dsir_tot))
           .select(F.lit("dsir").alias("tag"),
                   F.col("id").alias("doc_id"),
-                  F.when(F.col("weight_micro") * F.col("n")
+                  F.when(F.col("weight_micro").cast("decimal(38,0)")
+                         * F.col("n").cast("decimal(38,0)")
                          > F.col("tot"), F.lit("hi"))
                   .otherwise(F.lit("lo")).alias("stratum"),
                   F.col("weight_micro").alias("val")))
@@ -1288,8 +1295,8 @@ FROM ({SA.SQL_TEMPERATURE_MIX(
     alpha=0.5, salt="temp")})
 UNION ALL
 SELECT 'dsir', id,
-       CASE WHEN weight_micro * (SELECT count(*) FROM dsir_w)
-                 > (SELECT sum(weight_micro) FROM dsir_w)
+       CASE WHEN weight_micro::HUGEINT * (SELECT count(*) FROM dsir_w)
+                 > (SELECT sum(weight_micro)::HUGEINT FROM dsir_w)
             THEN 'hi' ELSE 'lo' END,
        weight_micro
 FROM dsir_w

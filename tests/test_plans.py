@@ -611,6 +611,22 @@ def test_parse_dataops_targets():
                   "n_clusters": 8, "keep": "far"}
     sd2 = parse_dataops_query("dedup by embedding, keep the lowest id")
     assert sd2["keep"] == "min" and sd2["threshold"] == 0.95
+    # no named cluster count -> None: the orchestrator derives it from
+    # the corpus (fixed defaults are a quadratic trap at scale)
+    assert sd2["n_clusters"] is None
+    # snapshot-anchored intent outranks a bare crawl/warc mention:
+    # 'dedup the crawl batch against the seen snapshot' is incremental
+    # dedup over crawl OUTPUT, not a fresh WARC ingest
+    cr = parse_dataops_query(
+        "dedup the crawl batch against the seen snapshot at /p/snap")
+    assert cr["target"] == "incremental_dedup"
+    assert cr["snapshot_path"] == "/p/snap"
+    cr2 = parse_dataops_query(
+        "diff the warc batch against the snapshot at /p/prev")
+    assert cr2 == {"target": "corpus_diff", "snapshot_path": "/p/prev"}
+    # a crawl mention WITHOUT snapshot intent still ingests
+    cr3 = parse_dataops_query("extract text from the crawl at /data/cc")
+    assert cr3 == {"target": "ingest_crawl", "crawl_path": "/data/cc"}
     assert parse_dataops_query(
         "dedup and shard the training corpus")["target"] == "corpus_to_shards"
     # temperature sampling; strata from source/domain mention
@@ -620,6 +636,23 @@ def test_parse_dataops_targets():
     t2 = parse_dataops_query("temperature sample the source mix")
     assert t2 == {"target": "temperature_mix", "alpha": 0.5,
                   "strata": "source"}
+
+
+def test_derive_n_clusters_scales_with_corpus():
+    """SemDeDup cluster count grows linearly with the corpus above the
+    floor — a 10x bigger corpus gets 10x the clusters, holding
+    per-cluster size (and so total pair work per doc) constant."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        derive_n_clusters,
+    )
+
+    assert derive_n_clusters(0) == 16          # floor
+    assert derive_n_clusters(30_000) == 16     # still under the floor
+    assert derive_n_clusters(100_000) == 50
+    assert derive_n_clusters(1_000_000) == 500   # 10x corpus -> 10x
+    assert derive_n_clusters(1_000_000_000) == 500_000
+    # target cluster size is the knob, not the count
+    assert derive_n_clusters(1_000_000, target_cluster_size=10_000) == 100
 
 
 def test_pipeline_dataops_corpus_diff_target(spark, sf_dir, tmp_path):
@@ -719,6 +752,26 @@ def test_pipeline_dataops_semantic_dedup_target(spark, sf_dir, tmp_path):
         n_clusters=8).collect())
     got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert got == want and len(got) == rep["rows_kept"]
+
+
+def test_pipeline_dataops_semantic_dedup_derives_clusters(
+        spark, sf_dir, tmp_path):
+    """An NL semantic dedup naming NO cluster count derives it from
+    the corpus (derive_n_clusters) instead of a fixed default — the
+    chosen value is echoed in the plan report."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        derive_n_clusters,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "semdedup_auto")
+    result = pipe.run_dataops("semantically dedup the corpus",
+                              sf_dir, out)
+    assert result["status"] == "complete"
+    n_in = Catalog(spark, sf_dir).embeddings.count()
+    assert (result["reports"]["plan"]["n_clusters"]
+            == derive_n_clusters(n_in))
 
 
 def test_pipeline_dataops_temperature_target(spark, sf_dir, tmp_path):
@@ -1182,6 +1235,23 @@ def test_pipeline_dataops_incremental_dedup(spark, sf_dir, tmp_path):
     assert resb["reports"]["plan"]["bloom"] is True
     bloom_ids = {r["doc_id"] for r in spark.read.parquet(outb).collect()}
     assert bloom_ids == fresh_ids  # the pre-filter never changes rows
+    # epoch 1 had no stored filter: it fit one and persisted it next
+    # to the grown snapshot for the next epoch
+    assert resb["reports"]["bloom_loaded"] is False
+    import os
+    assert os.path.isdir(outb + "_snapshot_bloom")
+
+    # bloom epoch 2 against the grown snapshot RELOADS the stored
+    # filter (no snapshot re-scan — the 'read the snapshot once'
+    # contract) and still answers exactly: nothing is fresh
+    resb2 = pipe.run_dataops(
+        f"dedup the batch against the seen snapshot at "
+        f"{outb}_snapshot with a bloom filter", sf_dir,
+        str(tmp_path / "fresh_bloom2"))
+    assert resb2["status"] == "complete"
+    assert resb2["reports"]["bloom_loaded"] is True
+    assert resb2["reports"]["bloom_refit"] is False
+    assert resb2["reports"]["fresh_rows"] == 0
 
     # epoch 2: feed the grown snapshot back -> nothing is fresh
     snap1 = res["reports"]["snapshot_path_out"]
