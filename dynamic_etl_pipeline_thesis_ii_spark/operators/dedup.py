@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 H32_PRIME = 4294967311  # smallest prime > 2^32
@@ -828,11 +828,18 @@ class BloomFilter:
     identically at build and probe time, so negatives are CERTAIN —
     the exactness contract of :func:`bloom_snapshot_fresh`."""
 
-    def __init__(self, words, n_bits: int, k: int):
+    def __init__(self, words, n_bits: int, k: int,
+                 n_items: int = 0, capacity: int = 0, fpp: float = 0.01):
         import numpy as np
         self.words = np.asarray(words, dtype=np.uint64)
         self.n_bits = int(n_bits)
         self.k = int(k)
+        # capacity = the n the filter was SIZED for; n_items tracks
+        # the approximate current fill so callers know when growth has
+        # eaten the fpp margin and a refit is due
+        self.n_items = int(n_items)
+        self.capacity = int(capacity or n_items)
+        self.fpp = float(fpp)
 
     @staticmethod
     def _positions(keys, n_bits: int, k: int):
@@ -863,15 +870,35 @@ class BloomFilter:
 
     @classmethod
     def fit(cls, keys_df: DataFrame, key_col: str = "key",
-            fpp: float = 0.01, n_items: int | None = None) -> "BloomFilter":
+            fpp: float = 0.01, n_items: int | None = None,
+            capacity: int | None = None) -> "BloomFilter":
         """Distributed build over ``keys_df[key_col]`` (integral). One
-        count job when ``n_items`` isn't supplied (snapshot metadata
-        normally carries it)."""
+        DISTINCT count job when ``n_items`` isn't supplied (snapshot
+        metadata normally carries it) — sizing from a raw count over
+        non-distinct keys would oversize m for nothing, since
+        duplicate keys set identical bits. ``capacity`` sizes the
+        filter for FUTURE growth (continuous ingest adds keys via
+        :meth:`add_keys` until capacity is reached, then refits)."""
+        import numpy as np
+        if n_items is None:
+            n_items = keys_df.select(key_col).distinct().count()
+        capacity = max(int(n_items), int(capacity or 0))
+        n_bits, k = cls.sizing(capacity, fpp)
+        dense = np.zeros(n_bits // 64, dtype=np.uint64)
+        for r in cls._sparse_words(keys_df, key_col, n_bits, k):
+            dense[r["word_idx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+        return cls(dense, n_bits, k, n_items=n_items, capacity=capacity,
+                   fpp=fpp)
+
+    @classmethod
+    def _sparse_words(cls, keys_df: DataFrame, key_col: str,
+                      n_bits: int, k: int) -> list:
+        """Distributed (word_idx, word) OR-merge of the keys' bit
+        positions: an Arrow kernel emits each partition's locally
+        OR-ed words, one ``groupBy.bit_or`` merges partitions, and
+        the collect is bounded by the FILTER size, never the corpus."""
         import numpy as np
         import pandas as pd
-        if n_items is None:
-            n_items = keys_df.count()
-        n_bits, k = cls.sizing(n_items, fpp)
 
         def kernel(batches):
             for pdf in batches:
@@ -889,15 +916,60 @@ class BloomFilter:
                     "word_idx": widx.astype(np.int64),
                     "word": words.view(np.int64)})
 
-        sparse = (keys_df.select(F.col(key_col).cast("long"))
-                  .mapInPandas(kernel, schema="word_idx long, word long")
-                  .groupBy("word_idx")
-                  .agg(F.bit_or("word").alias("word"))
-                  .collect())
-        dense = np.zeros(n_bits // 64, dtype=np.uint64)
-        for r in sparse:
-            dense[r["word_idx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
-        return cls(dense, n_bits, k)
+        return (keys_df.select(F.col(key_col).cast("long"))
+                .mapInPandas(kernel, schema="word_idx long, word long")
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+                .collect())
+
+    def add_keys(self, keys_df: DataFrame, key_col: str = "key",
+                 n_new: int | None = None) -> "BloomFilter":
+        """OR new keys' bits into the filter in place (Bloom inserts
+        are idempotent unions) — the continuous-ingest grow step:
+        batch-sized work, never a snapshot rebuild. ``n_items``
+        advances by ``n_new`` (one distinct count when not supplied)
+        so callers can watch fill vs :attr:`capacity`; past capacity
+        the advertised fpp no longer holds and a refit is due."""
+        import numpy as np
+        if n_new is None:
+            n_new = keys_df.select(key_col).distinct().count()
+        for r in self._sparse_words(keys_df, key_col, self.n_bits, self.k):
+            self.words[r["word_idx"]] |= np.uint64(
+                r["word"] & 0xFFFFFFFFFFFFFFFF)
+        self.n_items += int(n_new)
+        return self
+
+    # -- persistence: the filter is a snapshot-store artifact ---------
+    # Layout: plain parquet, one row per NONZERO word plus one meta
+    # row at word_idx = -1 packing (k, n_items, capacity, n_words,
+    # fpp_micro) — re-loadable by any Spark/DuckDB reader, no pickle.
+    def save(self, spark: SparkSession, path: str) -> None:
+        import pandas as pd
+        import numpy as np
+        nz = np.nonzero(self.words)[0]
+        meta = pd.DataFrame({
+            "word_idx": [-1, -2, -3, -4, -5],
+            "word": [self.k, self.n_items, self.capacity,
+                     len(self.words), int(round(self.fpp * 1e6))]})
+        body = pd.DataFrame({"word_idx": nz.astype(np.int64),
+                             "word": self.words[nz].view(np.int64)})
+        (spark.createDataFrame(pd.concat([meta, body], ignore_index=True))
+         .write.mode("overwrite").parquet(path))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BloomFilter":
+        import numpy as np
+        rows = spark.read.parquet(path).collect()
+        meta = {r["word_idx"]: r["word"] for r in rows if r["word_idx"] < 0}
+        n_words = int(meta[-4])
+        dense = np.zeros(n_words, dtype=np.uint64)
+        for r in rows:
+            if r["word_idx"] >= 0:
+                dense[r["word_idx"]] = np.uint64(
+                    r["word"] & 0xFFFFFFFFFFFFFFFF)
+        return cls(dense, n_words * 64, int(meta[-1]),
+                   n_items=int(meta[-2]), capacity=int(meta[-3]),
+                   fpp=meta[-5] / 1e6)
 
     def might_contain(self, keys):
         """Vectorized membership: False is CERTAIN absence."""

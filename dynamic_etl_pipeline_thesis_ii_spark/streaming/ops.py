@@ -287,7 +287,8 @@ DOC_STREAM_SCHEMA = StructType([
 def streaming_incremental_dedup(docs: DataFrame, seen_keys: DataFrame,
                                 watermark: str = "1 hour",
                                 ts_col: str = "ts",
-                                text_col: str = "text") -> DataFrame:
+                                text_col: str = "text",
+                                bloom=None) -> DataFrame:
     """Continuous corpus ingest dedup: the streaming face of
     ``operators.dedup.incremental_exact``. New documents drop when
     their normalized content hash already exists in the persisted
@@ -298,11 +299,29 @@ def streaming_incremental_dedup(docs: DataFrame, seen_keys: DataFrame,
     seen-key state, evicted past the watermark horizon).
 
     ``seen_keys`` is a static frame with a ``key`` column — the output
-    of ``operators.dedup.content_keys`` over the existing corpus."""
+    of ``operators.dedup.content_keys`` over the existing corpus.
+
+    ``bloom`` (an ``operators.dedup.BloomFilter`` over the snapshot
+    keys, e.g. reloaded from the ``<snapshot>_bloom`` store the batch
+    NL target maintains) swaps the pre-filter in for every
+    micro-batch: bloom-negative rows are CERTAINLY unseen and skip
+    the stream-static anti-join entirely, so each micro-batch
+    shuffles only the bloom-positive sliver (~true dups + fpp)
+    against the snapshot instead of its full row set — the same
+    ~(1-fpp) shuffle saving the batch path gets, and the answer is
+    identical because positives are still confirmed by the exact
+    anti-join (parity pinned in ``test_streaming.py``). Rebroadcast
+    the filter at snapshot epochs (restart or foreachBatch reload) to
+    track snapshot growth."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        bloom_snapshot_fresh,
         snapshot_fresh,
     )
-    fresh = snapshot_fresh(docs, seen_keys, text_col)
+    if bloom is not None:
+        fresh = bloom_snapshot_fresh(docs, seen_keys, text_col,
+                                     bloom=bloom)
+    else:
+        fresh = snapshot_fresh(docs, seen_keys, text_col)
     return (fresh.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__k"])
             .drop("__k"))

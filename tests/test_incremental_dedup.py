@@ -263,3 +263,41 @@ def test_bloom_reuse_across_batches(spark):
     out = {r["doc_id"]
            for r in D.bloom_snapshot_fresh(batch, seen, bloom=bf).collect()}
     assert out == {101, 103}
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    """The filter persists as plain parquet beside the snapshot and
+    loads back bit-identical: same sizing, same fill metadata, same
+    membership answers on hits and misses."""
+    import numpy as np
+    keys = spark.range(0, 3000).selectExpr(
+        "id * 2654435761 % 4294967296 AS key")
+    bf = D.BloomFilter.fit(keys, "key", fpp=0.02, capacity=6000)
+    path = str(tmp_path / "bloom")
+    bf.save(spark, path)
+    back = D.BloomFilter.load(spark, path)
+    assert (back.n_bits, back.k) == (bf.n_bits, bf.k)
+    assert (back.n_items, back.capacity) == (3000, 6000)
+    assert back.fpp == pytest.approx(0.02)
+    assert np.array_equal(back.words, bf.words)
+    probe = np.arange(0, 200_000, dtype=np.uint64)
+    assert np.array_equal(back.might_contain(probe),
+                          bf.might_contain(probe))
+
+
+def test_bloom_add_keys_is_incremental_union(spark):
+    """add_keys ORs a batch's bits in place (batch-cost, never a
+    rebuild): old members stay, new members join, and the result
+    equals a from-scratch fit over the union at the same sizing."""
+    import numpy as np
+    k1 = spark.range(0, 1000).selectExpr("id AS key")
+    k2 = spark.range(5000, 6000).selectExpr("id AS key")
+    bf = D.BloomFilter.fit(k1, "key", fpp=0.01, capacity=4000)
+    bf.add_keys(k2, "key")
+    assert bf.n_items == 2000 and bf.capacity == 4000
+    assert bool(bf.might_contain(
+        np.arange(0, 1000, dtype=np.uint64)).all())
+    assert bool(bf.might_contain(
+        np.arange(5000, 6000, dtype=np.uint64)).all())
+    both = D.BloomFilter.fit(k1.union(k2), "key", fpp=0.01, capacity=4000)
+    assert np.array_equal(bf.words, both.words)  # same bits exactly

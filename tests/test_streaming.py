@@ -352,6 +352,17 @@ def test_streaming_incremental_dedup(spark, tmp_path):
                   for r in D.incremental_exact(batch, seen).collect()}
     assert batch_kept == kept
 
+    # bloom path parity: the broadcast pre-filter changes the PLAN
+    # (each micro-batch shuffles only the bloom-positive sliver
+    # against the snapshot), never the answer
+    bf = D.BloomFilter.fit(seen.select("key"), "key", fpp=0.01)
+    outb = S.streaming_incremental_dedup(stream, seen, bloom=bf)
+    S.run_available_now(outb, "inc_dedup_bloom_test",
+                        checkpoint_dir=str(tmp_path / "ckpt_inc_bloom"))
+    kept_bloom = {r["doc_id"]
+                  for r in spark.table("inc_dedup_bloom_test").collect()}
+    assert kept_bloom == kept
+
 
 def test_streaming_neardup_flags_matches_batch_bands(spark):
     """The expression-level minhash the stream path uses must produce
