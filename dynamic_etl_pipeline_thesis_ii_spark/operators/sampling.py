@@ -495,8 +495,12 @@ def weighted_hash_topk(df: DataFrame, weight_col: str, k: int,
 
     Scale shape: global top-k compiles to TakeOrderedAndProject
     (per-partition heads, no full sort shuffle); per-``group_col``
-    top-k uses a rank window over the group — partition-bounded, the
-    standard grouped-top-k trade."""
+    top-k pre-truncates to k rows per group WITHIN each scan
+    partition (``similarity._partition_topk`` — the same map-side
+    half TakeOrdered uses), so the rank window's exchange moves
+    ~n_partitions·k rows per group instead of the group's full
+    membership — at 100 TB with a handful of giant language groups
+    the one-stage window is a per-group global sort."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     u = ((_bucket(F.col(key_col), salt, 1 << 32) + 1).cast("double")
@@ -507,7 +511,10 @@ def weighted_hash_topk(df: DataFrame, weight_col: str, k: int,
     if group_col is None:
         return (keyed.orderBy(F.col("__r").desc(), F.col(key_col).asc())
                 .limit(k).drop("__r"))
+    from .similarity import _partition_topk
     win = Window.partitionBy(group_col).orderBy(
         F.col("__r").desc(), F.col(key_col).asc())
-    return (keyed.withColumn("__rk", F.row_number().over(win))
+    local = _partition_topk(keyed, k, by="__r", ascending=False,
+                            tie=key_col, q=group_col)
+    return (local.withColumn("__rk", F.row_number().over(win))
             .filter(F.col("__rk") <= k).drop("__r", "__rk"))

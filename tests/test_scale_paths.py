@@ -888,3 +888,40 @@ def test_weighted_topk_compiles_to_take_ordered(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert out.count() == 10
+
+
+def test_grouped_weighted_topk_pretruncates_before_window(spark, sf_dir):
+    """Grouped weighted top-k pre-truncates per scan partition before
+    the rank window: the exchange feeding the window must read from
+    the Arrow map stage (MapInPandas below the Exchange/Window), so a
+    giant language group never full-sorts — and the pre-truncated
+    output must equal the one-stage window's answer row-for-row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import sampling as SA
+
+    docs = Catalog(spark, sf_dir).documents
+    out = SA.weighted_hash_topk(docs, "n_chars", 5, "doc_id",
+                                group_col="lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "MapInPandas" in plan, plan
+    # the map stage sits BELOW the window's exchange: everything the
+    # shuffle moves has already been truncated to <=k rows per group
+    # per partition
+    assert plan.index("Window") < plan.index("MapInPandas"), plan
+
+    # answer parity vs the direct one-stage window
+    u = ((SA._bucket(F.col("doc_id"), "", 1 << 32) + 1).cast("double")
+         / float(1 << 32))
+    keyed = (docs.filter(F.col("n_chars").isNotNull()
+                         & (F.col("n_chars") > 0))
+             .withColumn("__r", F.log(u) / F.col("n_chars")
+                         .cast("double")))
+    win = Window.partitionBy("lang").orderBy(
+        F.col("__r").desc(), F.col("doc_id").asc())
+    want = sorted((r["lang"], r["doc_id"]) for r in
+                  keyed.withColumn("__rk", F.row_number().over(win))
+                  .filter(F.col("__rk") <= 5).collect())
+    got = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    assert got == want and len(got) > 5  # several language groups
