@@ -16,6 +16,13 @@ ALPHA_VANTAGE_API_KEY to ingest from the live services.
     python -m dynamic_etl_pipeline_thesis_ii_spark \
         "curate and dedup the corpus into 4 shards, sequence length 512" \
         --dataops --sf-dir /root/testdata/sf0.001 --out /tmp/shards1
+
+The HTTP serving rim (reference entry point A — the FastAPI backend's
+POST /api/pipeline/run + status/results/history + progress push) runs
+as its own module::
+
+    python -m dynamic_etl_pipeline_thesis_ii_spark.serve \
+        --sf-dir /root/testdata/sf0.001 --port 8000
 """
 
 from __future__ import annotations
