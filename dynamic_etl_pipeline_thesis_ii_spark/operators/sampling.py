@@ -206,6 +206,43 @@ def SQL_SPLIT_ASSIGN(splits: Mapping[str, float], key: str,
     return f"(CASE {' '.join(arms)} ELSE '{names[-1]}' END)"
 
 
+def leakage_safe_split(df: DataFrame, splits: Mapping[str, float],
+                       pairs: DataFrame, id_col: str = "doc_id",
+                       salt: str = "split",
+                       mod: int = DEFAULT_MOD) -> DataFrame:
+    """:func:`split_assign` at near-dup COMPONENT granularity: every
+    member of a connected near-dup cluster lands in the SAME split, so
+    eval rows are never near-duplicates of training rows — the
+    train/test leakage that per-document hashing cannot prevent (a doc
+    and its near-copy hash independently and straddle the boundary
+    ~2·p·(1−p) of the time).
+
+    ``pairs`` is any candidate near-dup pair list ``(id_a, id_b)`` —
+    MinHash-LSH, SimHash, embedding near-dup — resolved to components
+    via :func:`~.dedup.min_label_components`; docs appearing in no
+    pair are their own singleton component (id = component, the common
+    case — no row inflation). The split is then the salted hash of the
+    COMPONENT id, keeping every per-key determinism guarantee of
+    :func:`split_assign` (re-runs, appends, engine changes), now at
+    cluster granularity. Output: the input plus ``component`` and
+    ``split`` columns.
+
+    Scale shape: the component table is bounded by the EDGE-TOUCHED
+    docs (LSH already collapsed the corpus), one hash join against the
+    corpus on id; the assignment itself is a narrow scan."""
+    from .dedup import min_label_components
+
+    comp = (min_label_components(pairs)
+            .select(F.col("id").alias("__cid"),
+                    F.col("comp").alias("__comp")))
+    anchored = (df.join(comp, F.col(id_col) == F.col("__cid"), "left")
+                .withColumn("component",
+                            F.coalesce(F.col("__comp"), F.col(id_col)))
+                .drop("__cid", "__comp"))
+    return split_assign(anchored, splits, key_col="component",
+                        salt=salt, mod=mod)
+
+
 def cumulative_value_table(df: DataFrame, score_col: str,
                            group_col: Optional[str],
                            weight_col: Optional[str] = None,

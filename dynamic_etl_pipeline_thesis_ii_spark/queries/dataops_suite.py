@@ -1245,9 +1245,22 @@ def q_sample_deterministic(spark, sf_dir):
                          > F.col("tot"), F.lit("hi"))
                   .otherwise(F.lit("lo")).alias("stratum"),
                   F.col("weight_micro").alias("val")))
+    # leak branch (SM9): leakage-safe split — near-dup components
+    # (same corpus + LSH params as dedup_components) assigned to
+    # splits ATOMICALLY, so a doc and its near-copy can never straddle
+    # train/test; stratum = split name, val = the component id (both
+    # the grouping and the assignment are inside the hash check)
+    lk_corpus = _neardup_corpus(spark, sf_dir)
+    lk_pairs = D.minhash_lsh_pairs(lk_corpus, k=3, n_hashes=16, bands=4)
+    lk = (SA.leakage_safe_split(lk_corpus.select("doc_id"),
+                                _SPLIT_WEIGHTS, lk_pairs,
+                                id_col="doc_id", salt="leak")
+          .select(F.lit("leak").alias("tag"), "doc_id",
+                  F.col("split").alias("stratum"),
+                  F.col("component").alias("val")))
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
             .unionByName(sp).unionByName(ck).unionByName(tm)
-            .unionByName(ds))
+            .unionByName(ds).unionByName(lk))
 
 
 def _sql_sample_token_budget() -> str:
@@ -1264,7 +1277,28 @@ WITH rows0 AS (
 
 def _sql_sample_deterministic() -> str:
     return f"""
-WITH dsir_w AS ({SA.SQL_DSIR_WEIGHTS("documents", "source = 'src18'")})
+WITH RECURSIVE dsir_w AS ({SA.SQL_DSIR_WEIGHTS("documents", "source = 'src18'")}),
+lkp AS ({_sql_minhash_lsh()}),
+lke AS (
+  SELECT id_a AS src, id_b AS dst FROM lkp
+  UNION SELECT id_b, id_a FROM lkp
+),
+lkr(src, dst) AS (
+  SELECT src, dst FROM lke
+  UNION
+  SELECT r.src, e.dst FROM lkr r JOIN lke e ON r.dst = e.src
+),
+lkc AS (
+  SELECT src AS id, least(src, min(dst)) AS component
+  FROM lkr GROUP BY src
+),
+lk AS (
+  SELECT c.doc_id, coalesce(k.component, c.doc_id) AS component
+  FROM (SELECT doc_id FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 0) c
+  LEFT JOIN lkc k ON c.doc_id = k.id
+)
 SELECT 'stratified' AS tag, doc_id, lang AS stratum,
        CAST(NULL AS BIGINT) AS val
 FROM ({_sql_sample_stratified()})
@@ -1300,6 +1334,11 @@ SELECT 'dsir', id,
             THEN 'hi' ELSE 'lo' END,
        weight_micro
 FROM dsir_w
+UNION ALL
+SELECT 'leak', doc_id,
+       {SA.SQL_SPLIT_ASSIGN(_SPLIT_WEIGHTS, "component", salt="leak")},
+       component
+FROM lk
 """
 
 

@@ -438,3 +438,37 @@ def test_weighted_topk_grouped(spark):
     counts = {r["g"]: r["n"] for r in
               out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"g0": 5, "g1": 5, "g2": 5}
+
+
+def test_leakage_safe_split_components_never_straddle(spark):
+    """Every member of a near-dup component gets the SAME split; docs
+    in no pair are singleton components keyed by their own id (so they
+    assign exactly like plain split_assign); assignments are
+    deterministic and salt-indexed."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(200)],
+                                 "doc_id long, text string")
+    # two multi-doc clusters + a chain, rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 7), (7, 13), (2, 8), (50, 51), (51, 52), (52, 53)],
+        "id_a long, id_b long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = SA.leakage_safe_split(docs, w, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 200                       # no row inflation
+    for cluster in ({1, 7, 13}, {2, 8}, {50, 51, 52, 53}):
+        comps = {by_id[i]["component"] for i in cluster}
+        splits = {by_id[i]["split"] for i in cluster}
+        assert comps == {min(cluster)} and len(splits) == 1
+    # singletons: component == own id, assignment == plain split_assign
+    plain = {r["doc_id"]: r["split"] for r in SA.split_assign(
+        docs, w, key_col="doc_id").collect()}
+    for i in set(range(200)) - {1, 7, 13, 2, 8, 50, 51, 52, 53}:
+        assert by_id[i]["component"] == i
+        assert by_id[i]["split"] == plain[i]
+    # deterministic re-run; independent draw under another salt
+    again = {r["doc_id"]: r["split"] for r in
+             SA.leakage_safe_split(docs, w, pairs).collect()}
+    assert again == {i: r["split"] for i, r in by_id.items()}
+    other = {r["doc_id"]: r["split"] for r in
+             SA.leakage_safe_split(docs, w, pairs, salt="s2").collect()}
+    assert other != again
