@@ -619,3 +619,114 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,
                     cent[j] = pts.mean(axis=0)
         books.append([list(map(float, c)) for c in cent])
     return books
+
+
+# ---------------------------------------------------------------------------
+# N7: parametric OPQ — PCA rotation + eigenvalue allocation for PQ
+# ---------------------------------------------------------------------------
+
+def corpus_moments(df: DataFrame, vec_col: str = "embedding"):
+    """Distributed (n, sum, gram) moments of an embedding column: an
+    Arrow kernel emits ONE partial row per batch (count, Σx, ΣxxT
+    flattened), the driver reduces — collect bounded by n_partitions ×
+    d², never by rows. Returns ``(n, mean[d], cov[d][d])`` as numpy,
+    covariance about the mean (population, ÷n)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf.iloc[:, 0].to_numpy())
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).ravel().tolist()]})
+
+    parts = (df.select(F.col(vec_col).cast("array<double>"))
+             .mapInPandas(kernel,
+                          schema="n long, s array<double>, g array<double>")
+             .collect())
+    if not parts:
+        raise ValueError("corpus_moments: empty input")
+    d = len(parts[0]["s"])
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def opq_rotation(df: DataFrame, vec_col: str = "embedding",
+                 m: int = 4) -> list:
+    """Parametric OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013 — the closed-form variant): PCA the
+    corpus covariance, then EIGENVALUE ALLOCATION assigns principal
+    directions to the ``m`` PQ subspaces so each subspace carries a
+    balanced share of the variance (greedy min-log-product — the
+    paper's allocation rule). Rotating vectors by the returned R
+    before :func:`pq_codes`/:func:`pq_train` decorrelates the
+    subspaces PQ quantizes independently, cutting ADC quantization
+    error on correlated (real) embeddings; R is ORTHOGONAL, so every
+    L2 distance — and therefore the exact-rerank tier and the
+    brute-force oracle — is unchanged.
+
+    Scale: moments via :func:`corpus_moments` (one scan, d²-bounded
+    collect), eigh on the driver (d ≤ a few thousand — trivial).
+    Returns R as a row-major [d][d] list; apply with
+    :func:`rotate_vectors`."""
+    import numpy as np
+
+    _, _, cov = corpus_moments(df, vec_col)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending variance
+    d = len(evals)
+    if d % m:
+        raise ValueError(f"dim={d} must be divisible by m={m}")
+    dsub = d // m
+    # greedy allocation: next-largest eigenvalue goes to the non-full
+    # subspace with the smallest current log-variance product
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i in range(d):
+        cands = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(cands, key=lambda j: (logs[j], j))
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(evals[i], 1e-12)))
+    order = [i for b in buckets for i in b]
+    # rows of R are the allocated principal directions: y = R @ x
+    # puts each subspace's directions contiguous for the PQ slicer.
+    # Sign convention: flip each eigenvector so its largest-magnitude
+    # entry is positive (eigh's signs are arbitrary — this pins R
+    # across BLAS builds).
+    R = evecs[:, order].T
+    flip = np.sign(R[np.arange(d), np.abs(R).argmax(axis=1)])
+    R = R * flip[:, None]
+    return [[float(v) for v in row] for row in R]
+
+
+def rotate_vectors(df: DataFrame, rotation: list,
+                   vec_col: str = "embedding",
+                   out_col: str | None = None) -> DataFrame:
+    """Apply ``y = R @ x`` to an embedding column (Arrow-batched
+    matmul — one numpy GEMM per batch, no per-row Python). Orthogonal
+    R preserves every pairwise L2 distance exactly, so downstream
+    exact tiers need no compensation."""
+    import numpy as np
+    import pandas as pd
+
+    out_col = out_col or vec_col
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(rotation, dtype=np.float64))
+
+    def _rot(s):
+        X = np.stack(s.to_numpy())
+        return pd.Series(list((X @ bc.value.T).tolist()))
+
+    _rot.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    rot = F.pandas_udf(_rot, "array<double>")
+    return df.withColumn(out_col,
+                         rot(F.col(vec_col).cast("array<double>")))

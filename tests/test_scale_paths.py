@@ -925,3 +925,91 @@ def test_grouped_weighted_topk_pretruncates_before_window(spark, sf_dir):
                   .filter(F.col("__rk") <= 5).collect())
     got = sorted((r["lang"], r["doc_id"]) for r in out.collect())
     assert got == want and len(got) > 5  # several language groups
+
+
+def test_corpus_moments_match_numpy(spark, sf_dir):
+    """Distributed (n, mean, cov) from the one-scan Arrow kernel must
+    equal the straight numpy moments of the collected column."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(500)
+    n, mean, cov = SIM.corpus_moments(emb)
+    X = np.stack([r["embedding"] for r in emb.collect()])
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X.T, bias=True), atol=1e-8)
+
+
+def test_opq_rotation_orthogonal_distance_preserving(spark, sf_dir):
+    """R is orthogonal (distances exactly preserved), deterministic,
+    and rotate_vectors applies it batch-wise."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(400)
+    R = np.asarray(SIM.opq_rotation(emb, m=4))
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    assert SIM.opq_rotation(emb, m=4) == [[float(v) for v in r]
+                                          for r in R]   # deterministic
+    rows = (SIM.rotate_vectors(emb, R.tolist())
+            .limit(50).select("vec_id", "embedding").collect())
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.limit(50).collect()}
+    for r in rows:
+        assert np.allclose(r["embedding"], R @ raw[r["vec_id"]],
+                           atol=1e-9)
+    ids = sorted(raw)[:10]
+    rot = {r["vec_id"]: np.asarray(r["embedding"]) for r in rows}
+    for a in ids[:5]:
+        for b in ids[5:]:
+            assert np.isclose(np.linalg.norm(raw[a] - raw[b]),
+                              np.linalg.norm(rot[a] - rot[b]),
+                              atol=1e-9)
+
+
+def test_opq_cuts_pq_quantization_error_on_correlated_data(spark):
+    """The point of OPQ: on correlated embeddings (low-rank latent
+    mixed across all dims — the realistic shape), PQ trained after the
+    rotation reconstructs with LOWER mean squared error than PQ on the
+    raw axis-aligned subspaces."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = np.random.default_rng(7)
+    Z = rng.normal(size=(600, 4)) * np.array([4.0, 2.0, 1.0, 0.5])
+    W, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+    X = Z @ W[:4, :] + 0.05 * rng.normal(size=(600, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x]) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>")
+
+    def mse(vectors, books):
+        V = np.asarray(vectors)
+        m, dsub = len(books), len(books[0][0])
+        err = 0.0
+        for s in range(m):
+            sub = V[:, s * dsub:(s + 1) * dsub]
+            cent = np.asarray(books[s])
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err / len(V)
+
+    raw_books = SIM.pq_train(df, m=4, k=8, sample=600, iters=8)
+    R = np.asarray(SIM.opq_rotation(df, m=4))
+    rot_df = SIM.rotate_vectors(df, R.tolist())
+    rot_books = SIM.pq_train(rot_df, m=4, k=8, sample=600, iters=8)
+    raw_mse = mse(X, raw_books)
+    rot_mse = mse(X @ R.T, rot_books)
+    # rotation must help materially on this construction (it typically
+    # halves the error; assert a conservative 15% improvement)
+    assert rot_mse < 0.85 * raw_mse, (raw_mse, rot_mse)
