@@ -478,7 +478,8 @@ def _sq_l2(a: Column, b: Column) -> Column:
 def ivfpq_build(candidates: DataFrame, n_clusters: int = 16, m: int = 4,
                 k: int = 8, seed: int = 42, c_id: str = "c_id",
                 c_vec: str = "c_vec", sample: int = 10_000,
-                iters: int = 10) -> tuple[DataFrame, list, DataFrame]:
+                iters: int = 10,
+                rotation: list | None = None) -> tuple[DataFrame, list, DataFrame]:
     """Build an IVF-PQ index (the faiss IVFADC layout, Jegou et al.
     2011 §III): a KMeans coarse quantizer splits the corpus into
     ``n_clusters`` inverted lists, and per-subspace PQ codebooks are
@@ -489,7 +490,17 @@ def ivfpq_build(candidates: DataFrame, n_clusters: int = 16, m: int = 4,
     (c_id, __cluster, codes) — at 100 TB this is the ONLY per-vector
     state a search touches (m small ints per vector instead of the
     full float array); write centers/coded to parquet, partitioned by
-    ``__cluster``, and reload for later query batches."""
+    ``__cluster``, and reload for later query batches.
+
+    ``rotation`` (from :func:`opq_rotation`) builds the index in the
+    OPQ-rotated space: the orthogonal R leaves every L2 distance —
+    and therefore the IVF probe order and the exact rerank tier —
+    unchanged, while the residual subspaces PQ quantizes become
+    decorrelated, tightening ADC at the same code budget. Persist R
+    beside the centers and pass the SAME value to
+    :func:`ivfpq_search` (queries must live in the index's space)."""
+    if rotation is not None:
+        candidates = rotate_vectors(candidates, rotation, vec_col=c_vec)
     centers_df, bucketed = ivf_build(candidates, n_clusters, seed, c_vec)
     resid = (bucketed.join(F.broadcast(centers_df), "__cluster")
              .withColumn("__resid", F.zip_with(
@@ -507,7 +518,8 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
                  queries: DataFrame, k: int, n_probe: int = 2,
                  rerank: int = 0, candidates: DataFrame | None = None,
                  q_id: str = "q_id", q_vec: str = "q_vec",
-                 c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+                 c_id: str = "c_id", c_vec: str = "c_vec",
+                 rotation: list | None = None) -> DataFrame:
     """Search a prebuilt IVF-PQ index: each query ranks the coarse
     centers by SQUARED L2 (the metric ADC approximates — an IVF probe
     ranked by a different metric would probe the wrong lists), takes
@@ -522,7 +534,16 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
     (R·|Q| rows — the only point full vectors re-enter) and re-ranks
     by exact squared L2; output ``(q_id, c_id, dist, rank)`` with
     dist exact. ADC compression error then affects only which R
-    survive, not their final order."""
+    survive, not their final order.
+
+    ``rotation`` must be the value the index was BUILT with: queries
+    (and the rerank tier's true vectors) rotate into the index's
+    space; exact distances are unchanged (orthogonal R)."""
+    if rotation is not None:
+        queries = rotate_vectors(queries, rotation, vec_col=q_vec)
+        if candidates is not None:
+            candidates = rotate_vectors(candidates, rotation,
+                                        vec_col=c_vec)
     qd = F.col(q_vec).cast("array<double>")
     q_scored = (queries.crossJoin(F.broadcast(centers_df))
                 .withColumn("__cdist", F.round(
@@ -572,14 +593,23 @@ def ivfpq_topk(queries: DataFrame, candidates: DataFrame, k: int,
                n_clusters: int = 16, m: int = 4, kk: int = 8,
                n_probe: int = 2, rerank: int = 0, seed: int = 42,
                q_id: str = "q_id", q_vec: str = "q_vec",
-               c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+               c_id: str = "c_id", c_vec: str = "c_vec",
+               opq: bool = False) -> DataFrame:
     """One-shot IVF-PQ ANN: :func:`ivfpq_build` + :func:`ivfpq_search`.
     For repeated query batches build once and search the persisted
-    index instead."""
+    index instead. ``opq=True`` fits the parametric OPQ rotation
+    (:func:`opq_rotation`) and threads it through build and search —
+    same answers exactly on the rerank tier, tighter ADC on the
+    approximate tier."""
+    rotation = opq_rotation(
+        candidates.select(F.col(c_vec).alias("embedding")),
+        m=m) if opq else None
     centers_df, books, coded = ivfpq_build(candidates, n_clusters, m, kk,
-                                           seed, c_id, c_vec)
+                                           seed, c_id, c_vec,
+                                           rotation=rotation)
     return ivfpq_search(centers_df, books, coded, queries, k, n_probe,
-                        rerank, candidates, q_id, q_vec, c_id, c_vec)
+                        rerank, candidates, q_id, q_vec, c_id, c_vec,
+                        rotation=rotation)
 
 
 def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,

@@ -1013,3 +1013,53 @@ def test_opq_cuts_pq_quantization_error_on_correlated_data(spark):
     # rotation must help materially on this construction (it typically
     # halves the error; assert a conservative 15% improvement)
     assert rot_mse < 0.85 * raw_mse, (raw_mse, rot_mse)
+
+
+def test_ivfpq_opq_same_exact_tier_and_adc_gain(spark):
+    """opq=True threads the rotation through build + search: the
+    exact-rerank tier is unchanged (orthogonal R preserves L2 — self
+    comes back rank 1 at dist 0, same final top-k as no-OPQ rerank),
+    and on correlated embeddings the ADC-only tier's recall does not
+    degrade and typically improves."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = np.random.default_rng(11)
+    Z = rng.normal(size=(400, 4)) * np.array([4.0, 2.0, 1.0, 0.5])
+    W, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+    X = Z @ W[:4, :] + 0.05 * rng.normal(size=(400, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x]) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    queries = (emb.filter(F.col("vec_id") < 12)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    d2 = ((X[:12, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    exact = {j: set(np.argsort(d2[j])[:5]) for j in range(12)}
+
+    def recall(rows):
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["q_id"], set()).add(r["c_id"])
+        return sum(len(got[q] & exact[q]) / 5 for q in got) / len(got)
+
+    kw = dict(k=5, n_clusters=6, m=4, kk=8, n_probe=3)
+    raw = SIM.ivfpq_topk(queries, cands, **kw).collect()
+    opq = SIM.ivfpq_topk(queries, cands, opq=True, **kw).collect()
+    assert recall(opq) >= recall(raw), (recall(opq), recall(raw))
+
+    # exact tier identical: self at rank 1 / dist 0, full top-k equal
+    rr_raw = SIM.ivfpq_topk(queries, cands, rerank=60, **kw).collect()
+    rr_opq = SIM.ivfpq_topk(queries, cands, rerank=60, opq=True,
+                            **kw).collect()
+    firsts = {r["q_id"]: r for r in rr_opq if r["rank"] == 1}
+    assert all(v["c_id"] == q and v["dist"] == 0.0
+               for q, v in firsts.items())
+    assert sorted((r["q_id"], r["c_id"], r["rank"]) for r in rr_opq) == \
+        sorted((r["q_id"], r["c_id"], r["rank"]) for r in rr_raw)
