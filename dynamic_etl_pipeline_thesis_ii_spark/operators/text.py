@@ -1028,3 +1028,54 @@ FROM (
 ), unnest(range(0, greatest(n, 1), {stride})) AS u(start)
 WHERE start < n AND (start = 0 OR start - {stride} + {size} < n)
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable corpus census — snapshot-store telemetry for continuous ingest
+# ---------------------------------------------------------------------------
+
+def corpus_census(df, strata: tuple = ("lang", "source"),
+                  text_col: str = "text"):
+    """Per-stratum corpus census as a NARROW mergeable table:
+    ``(kind, stratum, n_docs, n_tokens, n_chars)`` with one row per
+    value of each ``strata`` column plus a ``__total__`` row. All
+    three measures are exact integer SUMS, so two census frames merge
+    associatively (:func:`merge_census`) — the continuous-ingest
+    telemetry that rides the snapshot store: each epoch folds the
+    fresh batch's census in at BATCH cost, and the running census
+    equals a full recompute over everything ever ingested, without
+    ever re-scanning the corpus. ONE scan + one shuffle for every
+    kind via GROUPING SETS ((lang), (source), ..., ()) — the per-kind
+    union-of-aggregates formulation reads the corpus once per stratum
+    column, which at 100 TB is N extra full scans for nothing.
+    ``F.grouping`` distinguishes a genuinely-NULL stratum value
+    (kept, folded to ``__null__``) from a grouping-set placeholder."""
+    toks = token_count(F.coalesce(F.col(text_col), F.lit("")))
+    chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    gsets = [[c] for c in strata] + [[]]
+    kind = F.lit("__total__")
+    stratum = F.lit("__total__")
+    for c in reversed(strata):
+        active = F.grouping(c) == 0
+        kind = F.when(active, F.lit(c)).otherwise(kind)
+        stratum = F.when(active,
+                         F.coalesce(F.col(c).cast("string"),
+                                    F.lit("__null__"))).otherwise(stratum)
+    return (df.groupingSets(gsets, *[F.col(c) for c in strata])
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(toks).alias("n_tokens"),
+                 F.sum(chars.cast("long")).alias("n_chars"),
+                 kind.alias("kind"), stratum.alias("stratum"))
+            .select("kind", "stratum", "n_docs", "n_tokens", "n_chars"))
+
+
+def merge_census(a, b):
+    """Associative census merge: union + per-(kind, stratum) integer
+    sums. ``merge(census(A), census(B)) == census(A ∪ B)`` exactly
+    (disjoint A/B — the incremental-ingest shape, where B is the
+    batch's FRESH rows)."""
+    return (a.unionByName(b)
+            .groupBy("kind", "stratum")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars")))

@@ -309,6 +309,8 @@ class Pipeline:
                                                output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
+        if plan["target"] == "corpus_census":
+            return self._run_corpus_census(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
@@ -406,6 +408,24 @@ class Pipeline:
         grown = seen.select("id", "key").unionByName(
             content_keys(back)).distinct()
         grown.write.mode("overwrite").parquet(output_path + "_snapshot")
+        # running corpus census rides the snapshot store too: fold the
+        # FRESH rows' census into the loaded one at batch cost — the
+        # result equals a full recompute over everything ever
+        # ingested, without re-scanning the corpus (text.corpus_census
+        # contract; disjointness is exactly what the dedup guarantees)
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            corpus_census,
+            merge_census,
+        )
+        fresh_census = corpus_census(back)
+        try:
+            prior = self.spark.read.parquet(
+                plan["snapshot_path"] + "_census")
+            census = merge_census(prior, fresh_census)
+        except Exception:       # bootstrap epoch: no census yet
+            census = fresh_census
+        census.write.mode("overwrite").parquet(
+            output_path + "_snapshot_census")
         bloom_refit = False
         if bloom is not None:
             if bloom.n_items + n_fresh > bloom.capacity:
@@ -431,7 +451,9 @@ class Pipeline:
                             "bloom_loaded": bloom_loaded,
                             "bloom_refit": bloom_refit,
                             "snapshot_path_out":
-                                output_path + "_snapshot"}}
+                                output_path + "_snapshot",
+                            "census_path_out":
+                                output_path + "_snapshot_census"}}
 
     def _run_ingest_crawl(self, plan: dict, output_path: str) -> dict:
         """'extract text from the crawl at /path': WARC file(s) ->
@@ -543,6 +565,39 @@ class Pipeline:
         self.progress("publish", {"rows": n, "path": output_path})
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows_written": n}}
+
+    def _run_corpus_census(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'census the corpus' / 'report corpus statistics': the
+        mergeable per-stratum census (:func:`operators.text.
+        corpus_census`) over the documents table — the standalone
+        face of the snapshot-store telemetry `_run_incremental_dedup`
+        maintains per epoch. The report inlines the per-language doc
+        counts (tiny) so a CLI/HTTP caller sees the headline numbers
+        without reading the parquet."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            corpus_census,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        frame = corpus_census(docs)
+        self.progress("census", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        langs = {r["stratum"]: r["n_docs"] for r in
+                 back.filter(F.col("kind") == "lang").collect()}
+        total = back.filter(F.col("kind") == "__total__").first()
+        self.progress("publish", {"rows": back.count(),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "n_docs": total["n_docs"],
+                            "n_tokens": total["n_tokens"],
+                            "n_chars": total["n_chars"],
+                            "docs_per_lang": langs}}
 
     def _run_semantic_dedup(self, plan: dict, source_dir: str,
                             output_path: str) -> dict:
@@ -690,7 +745,8 @@ class Pipeline:
 _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
-                  "importance", "dsir", "resample", "crawl", "warc")
+                  "importance", "dsir", "resample", "crawl", "warc",
+                  "census", "corpus stat")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -714,6 +770,8 @@ _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
 _CRAWL_PATH_RE = re.compile(
     r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
     + _PATH_SHAPE, re.IGNORECASE)
+# 'census the corpus' / 'report corpus statistics per language'
+_CENSUS_TARGET_RE = re.compile(r"\bcensus\b|\bcorpus stat(?:istic)?s\b")
 # 'importance resample toward src18' / 'dsir select docs like src3'
 _DSIR_TARGET_RE = re.compile(r"\bdsir\b|\bimportance\b|\bresampl")
 _DSIR_SOURCE_RE = re.compile(
@@ -747,7 +805,7 @@ def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Eight targets, matched in
+    the query carries no dataops intent. Nine targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -758,6 +816,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       (data-versioning; requires a filesystem path, bound to
       ``snapshot_path`` — None when the phrase names no path, which
       the orchestrator rejects with an actionable reason);
+    - ``corpus_census`` — 'census the corpus' / 'report corpus
+      statistics' (mergeable per-stratum doc/token/char counts —
+      the standalone face of the snapshot-store telemetry);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -803,6 +864,8 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _CRAWL_PATH_RE.search(query)   # paths keep their case
         return {"target": "ingest_crawl",
                 "crawl_path": m.group(1) if m else None}
+    if _CENSUS_TARGET_RE.search(ql):
+        return {"target": "corpus_census"}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)

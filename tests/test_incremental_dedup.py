@@ -301,3 +301,31 @@ def test_bloom_add_keys_is_incremental_union(spark):
         np.arange(5000, 6000, dtype=np.uint64)).all())
     both = D.BloomFilter.fit(k1.union(k2), "key", fpp=0.01, capacity=4000)
     assert np.array_equal(bf.words, both.words)  # same bits exactly
+
+
+def test_corpus_census_merge_equals_recompute(spark):
+    """merge(census(A), census(B)) == census(A ∪ B) exactly for
+    disjoint A/B — the incremental-ingest contract (counts are
+    integer sums, so the merge is associative and exact)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        corpus_census,
+        merge_census,
+    )
+    rows = [(i, f"w{i} " * (i % 7 + 1), f"l{i % 3}", f"s{i % 2}")
+            for i in range(60)]
+    schema = "doc_id long, text string, lang string, source string"
+    a = spark.createDataFrame(rows[:35], schema)
+    b = spark.createDataFrame(rows[35:], schema)
+    both = spark.createDataFrame(rows, schema)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert snap(merge_census(corpus_census(a), corpus_census(b))) == \
+        snap(corpus_census(both))
+    # null stratum values fold into a '__null__' row, never drop
+    c = spark.createDataFrame([(1, "x y", None, "s0")], schema)
+    rowsc = {(r["kind"], r["stratum"]): r["n_docs"]
+             for r in corpus_census(c).collect()}
+    assert rowsc[("lang", "__null__")] == 1
+    assert rowsc[("__total__", "__total__")] == 1

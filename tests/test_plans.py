@@ -638,6 +638,38 @@ def test_parse_dataops_targets():
                   "strata": "source"}
 
 
+def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
+    """NL 'census the corpus' writes the mergeable per-stratum census
+    and the report inlines the headline totals + per-language docs."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    c = parse_dataops_query("census the corpus")
+    assert c == {"target": "corpus_census"}
+    assert parse_dataops_query(
+        "report corpus statistics per language")["target"] == \
+        "corpus_census"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "census")
+    res = pipe.run_dataops("census the corpus", sf_dir, out)
+    assert res["status"] == "complete"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert res["reports"]["n_docs"] == n
+    assert sum(res["reports"]["docs_per_lang"].values()) == n
+    back = spark.read.parquet(out)
+    want_langs = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    got_langs = {r["stratum"]: r["n_docs"] for r in
+                 back.filter(F.col("kind") == "lang").collect()}
+    assert got_langs == want_langs
+
+
 def test_derive_n_clusters_scales_with_corpus():
     """SemDeDup cluster count grows linearly with the corpus above the
     floor — a 10x bigger corpus gets 10x the clusters, holding
@@ -1260,6 +1292,18 @@ def test_pipeline_dataops_incremental_dedup(spark, sf_dir, tmp_path):
         sf_dir, str(tmp_path / "fresh2"))
     assert res2["status"] == "complete"
     assert res2["reports"]["fresh_rows"] == 0
+
+    # census store: epoch 1 bootstraps it from the fresh rows; epoch 2
+    # (0 fresh) carries it forward unchanged — the running census
+    # always equals a recompute over everything ingested
+    cen1 = {(r["kind"], r["stratum"]): r["n_docs"]
+            for r in spark.read.parquet(
+                res["reports"]["census_path_out"]).collect()}
+    assert cen1[("__total__", "__total__")] == res["reports"]["fresh_rows"]
+    cen2 = {(r["kind"], r["stratum"]): r["n_docs"]
+            for r in spark.read.parquet(
+                res2["reports"]["census_path_out"]).collect()}
+    assert cen2 == cen1
 
     none = pipe.run_dataops(
         "dedup the batch against the previous snapshot", sf_dir,
