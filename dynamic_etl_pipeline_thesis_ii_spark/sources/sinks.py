@@ -98,6 +98,37 @@ def append_new_keys(df: DataFrame, path: str, key_cols: list[str],
     return report
 
 
+def compact_snapshot(spark, path: str, dest: str,
+                     key_cols: list[str], target_rows_per_file: int = 5_000_000,
+                     fmt: str = "parquet") -> dict:
+    """Compact an append-grown snapshot (keys/bands stores): after N
+    epochs of :func:`append_new_keys` the sink holds N small file
+    batches — the classic small-file problem that makes every probe
+    open thousands of footers at 100 TB. One pass rewrites it:
+    DISTINCT on the key columns (appends are idempotent but belt and
+    braces across manual writes), range-repartitioned and sorted
+    WITHIN files on the first key so parquet min/max stats prune
+    probe scans, sized at ``target_rows_per_file``. Writes to
+    ``dest`` (never in place — a failed in-place rewrite would eat
+    the snapshot; callers swap paths or update their pointer on the
+    returned success). Returns {rows, files_before, files_after}."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    files_before = df.inputFiles()
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    out = (df.dropDuplicates(key_cols)
+           .repartitionByRange(n_files, *[F.col(c) for c in key_cols])
+           .sortWithinPartitions(*key_cols))
+    out.write.format(fmt).mode("overwrite").save(dest)
+    back = spark.read.format(fmt).load(dest)
+    return {"rows": back.count(), "rows_before": rows,
+            "files_before": len(files_before),
+            "files_after": len(back.inputFiles()),
+            "path": dest}
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 16, sort_cols: Optional[list[str]] = None,
                    if_exists: str = "replace") -> None:

@@ -236,3 +236,36 @@ def test_corpus_to_shards_frame_writes_verbatim(spark, sf_dir, tmp_path):
         assert got == expected
     finally:
         release_shared_caches()
+
+
+def test_compact_snapshot_collapses_small_files(spark, tmp_path):
+    """After several append epochs the keys store holds one small file
+    batch per epoch; compaction rewrites it to few sorted files with
+    the exact same row set (and never in place)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        append_new_keys,
+        compact_snapshot,
+    )
+    path = str(tmp_path / "keys")
+    for epoch in range(6):
+        batch = spark.createDataFrame(
+            [(epoch * 100 + i, (epoch * 100 + i) * 7919)
+             for i in range(1, 50)]
+            + [(999_999, 424_242)],   # same row every epoch: the
+            "id long, key long").repartition(4)   # idempotent append
+        # drops it after epoch 0, so the store holds unique rows
+        append_new_keys(batch, path, ["id", "key"])
+    before = spark.read.parquet(path)
+    rows_before = sorted(map(tuple, before.collect()))
+    assert len(before.inputFiles()) >= 6      # one-plus file per epoch
+
+    dest = str(tmp_path / "keys_compact")
+    rep = compact_snapshot(spark, path, dest, key_cols=["key"])
+    assert rep["files_after"] < rep["files_before"]
+    assert rep["files_after"] <= 2
+    back = spark.read.parquet(dest)
+    assert sorted(map(tuple, back.collect())) == rows_before
+    assert rep["rows"] == len(rows_before)
+    # source untouched (never in place)
+    assert sorted(map(tuple,
+                      spark.read.parquet(path).collect())) == rows_before
