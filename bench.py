@@ -223,6 +223,13 @@ def scale_probe(spark, factors: list[int]) -> dict:
         # (train-on-sample / score-everywhere) — one gram explode +
         # broadcast 4096-row join + groupBy(doc), rows EXACTLY linear
         "dsir": lambda d: SA.dsir_weights(d, dsir_tbl),
+        # leak: leakage-safe split = LSH pairs + connected components
+        # + component-hash assign; replicas are word-salted so the
+        # pair graph grows ~linearly and components stay shallow —
+        # rows out EXACTLY n, wall ~linear (the LSH banding dominates)
+        "leak": lambda d: SA.leakage_safe_split(
+            d.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+            D.minhash_lsh_pairs(d)),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:
