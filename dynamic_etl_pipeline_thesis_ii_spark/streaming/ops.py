@@ -381,3 +381,44 @@ def streaming_neardup_flags(docs: DataFrame, seen_bands: DataFrame,
                 .dropDuplicatesWithinWatermark(["id_new", "id_seen"])
                 .drop(ts_col))
     return pairs.distinct()
+
+
+def streaming_census_sink(docs: DataFrame, census_path: str,
+                          checkpoint_dir: Optional[str] = None,
+                          strata: tuple = ("lang", "source")):
+    """Continuous-ingest telemetry: maintain the mergeable corpus
+    census (``operators.text.corpus_census``) under a document stream
+    via ``foreachBatch`` — each micro-batch's census folds into the
+    stored one and the parquet at ``census_path`` always equals a
+    full recompute over everything ingested so far.
+
+    The merge is driver-side on purpose: a census is at most
+    |langs| + |sources| + 1 rows, so read-merge-rewrite is microseconds
+    and sidesteps the read-overwrite-same-path hazard entirely (the
+    prior rows are materialized BEFORE the overwrite). With a
+    checkpoint dir, replayed batches re-fold — census counts are NOT
+    idempotent under replay, so pair this with exactly-once upstream
+    (the availableNow drain used in tests, or a deduped source) when
+    exact counts matter; the batch path in ``_run_incremental_dedup``
+    is the replay-safe variant (it folds only confirmed-fresh rows)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        corpus_census,
+        merge_census,
+    )
+
+    def fold(batch_df, batch_id):  # noqa: ARG001 — foreachBatch shape
+        spark = batch_df.sparkSession
+        fresh = corpus_census(batch_df, strata=strata)
+        try:
+            prior_rows = spark.read.parquet(census_path).collect()
+        except Exception:           # bootstrap: no census yet
+            prior_rows = []
+        if prior_rows:
+            prior = spark.createDataFrame(prior_rows, fresh.schema)
+            fresh = merge_census(prior, fresh)
+        rows = fresh.collect()      # materialize BEFORE the overwrite
+        spark.createDataFrame(rows, fresh.schema) \
+            .coalesce(1).write.mode("overwrite").parquet(census_path)
+
+    return foreach_batch_sink(docs, batch_fn=fold,
+                              checkpoint_dir=checkpoint_dir)

@@ -541,3 +541,39 @@ def test_streaming_crawl_ingest_matches_batch(spark, tmp_path):
                   for r in curate(W.read_warc(spark, str(d))).collect())
     assert got == want and len(got) == 2
     assert all("Hello & bye" in t.split("\n") for _, t in got)
+
+
+def test_streaming_census_sink_equals_batch_recompute(spark, tmp_path):
+    """foreachBatch census maintenance: after draining two file
+    drops, the stored census equals corpus_census over ALL rows — the
+    running-telemetry contract, and the second drain folds (not
+    overwrites) the first."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        corpus_census,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string")
+    d = str(tmp_path / "docs")
+    census_path = str(tmp_path / "census")
+    ckpt = str(tmp_path / "ckpt_census")
+    rows1 = [{"doc_id": i, "text": f"w{i} body text", "lang": f"l{i % 2}",
+              "source": "s0"} for i in range(8)]
+    rows2 = [{"doc_id": 100 + i, "text": "x y z", "lang": "l2",
+              "source": f"s{i % 3}"} for i in range(5)]
+    _write_json(os.path.join(d, "drop-0.json"), rows1)
+
+    def drain():
+        stream = (spark.readStream.format("json").schema(schema).load(d)
+                  .select("doc_id", "text", "lang", "source"))
+        S.streaming_census_sink(stream, census_path, checkpoint_dir=ckpt)
+
+    drain()
+    _write_json(os.path.join(d, "drop-1.json"), rows2)
+    drain()                      # checkpoint: drop-0 is NOT re-folded
+
+    all_rows = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"], r["source"])
+         for r in rows1 + rows2], schema)
+    want = sorted(map(tuple, corpus_census(all_rows).collect()))
+    got = sorted(map(tuple, spark.read.parquet(census_path).collect()))
+    assert got == want
