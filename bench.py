@@ -362,7 +362,7 @@ def scale_probe(spark, factors: list[int]) -> dict:
                 t0 = time.perf_counter()
                 c = WC.read_warc(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
-            out["crawl"].append({"factor": f, "n_docs": 100 * f,
+            out["crawl"].append({"factor": f, "n_docs": len(texts) * f,
                                  "candidates": c, "sec": round(best, 3)})
     finally:
         shutil.rmtree(crawl_root, ignore_errors=True)

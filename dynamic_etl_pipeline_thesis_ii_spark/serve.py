@@ -241,7 +241,9 @@ def make_server(service: PipelineService, host: str = "127.0.0.1",
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 query = req["query"]
-            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as exc:
+                # TypeError covers a non-object body ('"abc"', '[1]')
                 return self._json(422, {"detail": f"bad request: {exc}"})
             run_id = service.create_run(query, req.get("options"))
             status = service.get_run_status(run_id)
