@@ -218,3 +218,64 @@ def apply_bpe(df: DataFrame, merges: Iterable[tuple[str, str]],
             yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def bpe_vocab(merges: Iterable[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic subword vocabulary for a trained merge table:
+    id 0 = ``<unk>`` (the word splitter strips everything outside
+    [a-z0-9'], so unk only fires on a vocab/merge-table mismatch —
+    degrade, don't crash), ids 1.. = the base alphabet (a-z, 0-9,
+    apostrophe, the END marker), then one id per merge in RANK order
+    (the joined string; if two merges join to the same string the
+    first rank keeps the id). Same table in, same vocab out, on any
+    engine — the property that lets shards tokenized on different
+    clusters share one embedding matrix."""
+    import string
+    vocab = {"<unk>": 0}
+    for ch in (*string.ascii_lowercase, *string.digits, "'", END):
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def encode_ids(df: DataFrame, merges: Iterable[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize straight to TRAINING-READY ids: ``(id, input_ids
+    array<int>, n_tokens)`` — :func:`apply_bpe`'s subwords mapped
+    through :func:`bpe_vocab` inside the same Arrow kernel (one pass,
+    no intermediate string-array shuffle). Feed the output to
+    ``packing.pack_sequences`` for fixed-length LM sequences."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    merges = list(merges)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("input_ids", ArrayType(IntegerType()), True),
+        StructField("n_tokens", LongType(), True)])
+
+    def kernel(batches):
+        import re
+        cache: dict = {}
+        splitter = re.compile(r"[^a-z0-9']+")
+        for pdf in batches:
+            ids_out, counts = [], []
+            for text in pdf[text_col]:
+                words = [w for w in splitter.split((text or "").lower())
+                         if w]
+                doc: list[int] = []
+                for w in words:
+                    doc.extend(vocab.get(t, 0)
+                               for t in encode_word(w, ranks, cache))
+                ids_out.append(doc)
+                counts.append(len(doc))
+            yield pd.DataFrame({"id": pdf[id_col], "input_ids": ids_out,
+                                "n_tokens": counts})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)

@@ -117,3 +117,80 @@ def chunk_stats(packed: DataFrame, budget: int) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("tokens"))
             .withColumn("fill", F.round(F.col("tokens") / budget, 6)))
+
+
+def pack_sequences(tok: DataFrame, seq_len: int, id_col: str = "id",
+                   ids_col: str = "input_ids", n_buckets: int = 8,
+                   salt: str = "pack") -> DataFrame:
+    """Concatenate-and-split to FIXED-LENGTH token-id sequences — the
+    final tokenize→pack step that turns a curated corpus into the
+    ``input_ids`` rows an LM data loader consumes (documents cross
+    sequence boundaries; the trailing partial sequence per bucket is
+    dropped, the standard trade). Output: ``(bucket, seq_idx,
+    input_ids)`` with ``len(input_ids) == seq_len`` for EVERY row.
+
+    The stream order is exactly :func:`pack_chunks`'s contract — docs
+    hash into ``n_buckets`` independent streams on
+    ``hash32(id || salt)``, ordered (hash, id) within a bucket — so a
+    doc's ``pack_chunks`` chunk assignment and its tokens' actual
+    sequence placement agree.
+
+    Execution shape: ONE shuffle. ``repartition(bucket)`` (hash
+    partitioning never splits a bucket across partitions) +
+    ``sortWithinPartitions(bucket, hash, id)``, then an Arrow kernel
+    walks each bucket's stream with a seq_len accumulator and a carry
+    across batches — per-task memory is one sequence, not one bucket.
+    This is how the job runs at 100 TB: each bucket is an independent
+    packing stream; add buckets to add parallelism."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    h = hash32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    base = (tok.select(F.col(id_col).alias("id"),
+                       F.coalesce(F.col(ids_col),
+                                  F.array().cast("array<int>"))
+                       .alias("ids"),
+                       (h % n_buckets).alias("bucket"), h.alias("__h"))
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "__h", "id"))
+    schema = StructType([
+        StructField("bucket", LongType(), False),
+        StructField("seq_idx", LongType(), False),
+        StructField("input_ids", ArrayType(IntegerType()), False)])
+
+    def kernel(batches):
+        cur_bucket, carry, seq_idx = None, [], 0
+        out_b, out_s, out_ids = [], [], []
+
+        def flush_rows():
+            nonlocal out_b, out_s, out_ids
+            if out_b:
+                yield_df = pd.DataFrame({"bucket": out_b, "seq_idx": out_s,
+                                         "input_ids": out_ids})
+                out_b, out_s, out_ids = [], [], []
+                return yield_df
+            return None
+
+        for pdf in batches:
+            for b, ids in zip(pdf["bucket"], pdf["ids"]):
+                if b != cur_bucket:
+                    # bucket boundary: the trailing partial drops
+                    cur_bucket, carry, seq_idx = b, [], 0
+                carry.extend(int(x) for x in ids)
+                while len(carry) >= seq_len:
+                    out_b.append(int(cur_bucket))
+                    out_s.append(seq_idx)
+                    out_ids.append(carry[:seq_len])
+                    carry = carry[seq_len:]
+                    seq_idx += 1
+            df_out = flush_rows()
+            if df_out is not None:
+                yield df_out
+
+    return base.mapInPandas(kernel, schema=schema)

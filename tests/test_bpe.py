@@ -162,3 +162,31 @@ def test_apply_bpe_count_only_matches_full(spark):
     assert slim_df.columns == ["id", "n_tokens"]
     slim = {r["id"]: r["n_tokens"] for r in slim_df.collect()}
     assert slim == full
+
+
+def test_bpe_vocab_and_encode_ids_round_trip(spark):
+    """bpe_vocab is deterministic (base alphabet + merges in rank
+    order, duplicate joins keep the first id) and encode_ids maps
+    apply_bpe's subwords through it exactly — decode(ids) == tokens."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as BP
+
+    docs = spark.createDataFrame(
+        [(i, "the theme thesis " * 3 + f"tail{i}") for i in range(20)],
+        "doc_id long, text string")
+    merges = BP.train_bpe(docs, n_merges=30)
+    vocab = BP.bpe_vocab(merges)
+    assert vocab["<unk>"] == 0
+    assert vocab == BP.bpe_vocab(merges)          # deterministic
+    assert len(set(vocab.values())) == len(vocab)  # ids unique
+    inv = {v: k for k, v in vocab.items()}
+
+    toks = {r["id"]: r["tokens"]
+            for r in BP.apply_bpe(docs, merges).collect()}
+    ids = {r["id"]: (r["input_ids"], r["n_tokens"])
+           for r in BP.encode_ids(docs, merges).collect()}
+    assert set(toks) == set(ids)
+    for d, tokens in toks.items():
+        seq, n = ids[d]
+        assert n == len(tokens) == len(seq)
+        assert [inv[i] for i in seq] == tokens     # exact round trip
+        assert 0 not in seq                        # nothing fell to unk

@@ -146,3 +146,60 @@ def test_chunk_documents_overlap_semantics(spark):
         chunk_documents(df, size=4, stride=5)
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, size=4, stride=0)
+
+
+def test_pack_sequences_fixed_length_and_stream_order(spark):
+    """Every output row is EXACTLY seq_len ids; within each bucket the
+    concatenation of sequences equals the (hash, id)-ordered doc
+    streams' ids with the trailing partial dropped — checked against
+    a plain-python reference over the same hash/bucket exprs."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as BP
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma " * (i % 5 + 1)) + f"doc{i}")
+         for i in range(40)],
+        "doc_id long, text string")
+    merges = BP.train_bpe(docs, n_merges=25)
+    tok = BP.encode_ids(docs, merges)
+
+    seq_len, n_buckets = 16, 4
+    out = PK.pack_sequences(tok, seq_len, n_buckets=n_buckets).collect()
+    assert out and all(len(r["input_ids"]) == seq_len for r in out)
+
+    # python reference over the same hash/bucket/order exprs
+    h = hash32(F.concat(F.col("id").cast("string"), F.lit("pack")))
+    rows = (tok.select("id", "input_ids", (h % n_buckets).alias("b"),
+                       h.alias("h")).collect())
+    streams: dict = {}
+    for r in sorted(rows, key=lambda r: (r["b"], r["h"], r["id"])):
+        streams.setdefault(r["b"], []).extend(r["input_ids"])
+    want = {}
+    for b, ids in streams.items():
+        for s in range(len(ids) // seq_len):
+            want[(b, s)] = ids[s * seq_len:(s + 1) * seq_len]
+    got = {(r["bucket"], r["seq_idx"]): list(r["input_ids"]) for r in out}
+    assert got == want
+    # deterministic across runs
+    again = {(r["bucket"], r["seq_idx"]): list(r["input_ids"])
+             for r in PK.pack_sequences(tok, seq_len,
+                                        n_buckets=n_buckets).collect()}
+    assert again == got
+
+
+def test_pack_sequences_validation_and_empty_docs(spark):
+    import pytest as _pt
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
+
+    tok = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, None), (3, [])],
+        "id long, input_ids array<int>")
+    with _pt.raises(ValueError):
+        PK.pack_sequences(tok, 0)
+    # null/empty id arrays contribute zero tokens, never poison a row
+    out = PK.pack_sequences(tok, seq_len=2, n_buckets=1).collect()
+    assert [r["input_ids"] for r in out] == [[1, 2]]
