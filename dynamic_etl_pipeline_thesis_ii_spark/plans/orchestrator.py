@@ -311,6 +311,8 @@ class Pipeline:
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
             return self._run_corpus_census(plan, source_dir, output_path)
+        if plan["target"] == "tokenize_pack":
+            return self._run_tokenize_pack(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
@@ -566,6 +568,46 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows_written": n}}
 
+    def _run_tokenize_pack(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'tokenize the corpus and pack 512-token sequences': train a
+        BPE merge table on the corpus, encode straight to ids
+        (``bpe.encode_ids``), concatenate-and-split into fixed-length
+        ``input_ids`` rows (``packing.pack_sequences``) and land the
+        trainer-ready parquet. The merge table + vocab size go into
+        the report — the reusable artifacts a production run persists
+        beside the shards."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+            bpe_vocab,
+            encode_ids,
+            train_bpe,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.packing import (
+            pack_sequences,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        merges = train_bpe(docs, n_merges=plan["n_merges"])
+        vocab = bpe_vocab(merges)
+        self.progress("tokenize", {"params": dict(plan),
+                                   "vocab_size": len(vocab)})
+        tok = encode_ids(docs, merges)
+        frame = pack_sequences(tok, plan["seq_len"],
+                               n_buckets=plan["n_buckets"])
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n_seq = back.count()
+        self.progress("publish", {"rows": n_seq, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "vocab_size": len(vocab),
+                            "n_merges": len(merges),
+                            "n_sequences": n_seq,
+                            "tokens_packed": n_seq * plan["seq_len"]}}
+
     def _run_corpus_census(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'census the corpus' / 'report corpus statistics': the
@@ -746,7 +788,7 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
-                  "census", "corpus stat")
+                  "census", "corpus stat", "tokenize", "tokenise")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -772,6 +814,9 @@ _CRAWL_PATH_RE = re.compile(
     + _PATH_SHAPE, re.IGNORECASE)
 # 'census the corpus' / 'report corpus statistics per language'
 _CENSUS_TARGET_RE = re.compile(r"\bcensus\b|\bcorpus stat(?:istic)?s\b")
+# 'tokenize the corpus and pack 512-token sequences'
+_TOKENIZE_TARGET_RE = re.compile(r"\btokeni[sz]e\b")
+_MERGES_RE = re.compile(r"\b(\d+)\s+merges?\b")
 # 'importance resample toward src18' / 'dsir select docs like src3'
 _DSIR_TARGET_RE = re.compile(r"\bdsir\b|\bimportance\b|\bresampl")
 _DSIR_SOURCE_RE = re.compile(
@@ -805,7 +850,7 @@ def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Nine targets, matched in
+    the query carries no dataops intent. Ten targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -819,6 +864,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``corpus_census`` — 'census the corpus' / 'report corpus
       statistics' (mergeable per-stratum doc/token/char counts —
       the standalone face of the snapshot-store telemetry);
+    - ``tokenize_pack`` — 'tokenize the corpus and pack 512-token
+      sequences' (train BPE → encode to ids → fixed-length
+      input_ids rows; optional 'N merges', 'N shards' for the
+      bucket count);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -866,6 +915,15 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "crawl_path": m.group(1) if m else None}
     if _CENSUS_TARGET_RE.search(ql):
         return {"target": "corpus_census"}
+    if _TOKENIZE_TARGET_RE.search(ql):
+        seq = int(m.group(1)) if (m := _SEQ_LEN_RE.search(ql)) else None
+        if seq is None:  # '512-token sequences' phrasing
+            m = re.search(r"\b(\d+)[- ]token\b", ql)
+            seq = int(m.group(1)) if m else 512
+        merges = int(m.group(1)) if (m := _MERGES_RE.search(ql)) else 200
+        nb = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else 8
+        return {"target": "tokenize_pack", "seq_len": seq,
+                "n_merges": merges, "n_buckets": nb}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)

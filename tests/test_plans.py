@@ -670,6 +670,47 @@ def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
     assert got_langs == want_langs
 
 
+def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
+    """NL 'tokenize the corpus and pack N-token sequences' lands
+    trainer-ready fixed-length input_ids rows that equal the direct
+    operator composition with the same parameters."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import bpe as BP
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    p = parse_dataops_query(
+        "tokenize the corpus and pack 32-token sequences, 50 merges")
+    assert p == {"target": "tokenize_pack", "seq_len": 32,
+                 "n_merges": 50, "n_buckets": 8}
+    assert parse_dataops_query(
+        "tokenise into sequences of 128")["seq_len"] == 128
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "seqs")
+    res = pipe.run_dataops(
+        "tokenize the corpus and pack 32-token sequences, 50 merges",
+        sf_dir, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    back = spark.read.parquet(out)
+    assert back.count() == rep["n_sequences"] > 0
+    rows = back.collect()
+    assert all(len(r["input_ids"]) == 32 for r in rows)
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = BP.train_bpe(docs, n_merges=50)
+    assert rep["vocab_size"] == len(BP.bpe_vocab(merges))
+    want = {(r["bucket"], r["seq_idx"]): list(r["input_ids"])
+            for r in PK.pack_sequences(
+                BP.encode_ids(docs, merges), 32).collect()}
+    got = {(r["bucket"], r["seq_idx"]): list(r["input_ids"])
+           for r in rows}
+    assert got == want
+
+
 def test_derive_n_clusters_scales_with_corpus():
     """SemDeDup cluster count grows linearly with the corpus above the
     floor — a 10x bigger corpus gets 10x the clusters, holding
