@@ -230,6 +230,19 @@ def scale_probe(spark, factors: list[int]) -> dict:
         "leak": lambda d: SA.leakage_safe_split(
             d.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
             D.minhash_lsh_pairs(d)),
+        # packseq: fixed-length sequence assembly over synthetic
+        # one-id-per-word streams (JVM hash ids — salt-INSENSITIVE, so
+        # replica word-salting doesn't inflate the token count the way
+        # BPE subwords would; the encode cost itself is the bpe
+        # probe's job). Isolates the packing shuffle: one
+        # repartition(bucket) + sorted Arrow walk, rows out =
+        # floor(tokens/256) per bucket — EXACTLY linear
+        "packseq": lambda d: PK.pack_sequences(
+            d.select("doc_id", F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.pmod(F.hash(w), F.lit(32768)).cast("int"))
+                .alias("input_ids")),
+            seq_len=256, id_col="doc_id"),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:
