@@ -136,6 +136,48 @@ def test_sse_events_replay_after_completion():
         server.shutdown()
 
 
+def test_sse_live_subscription_receives_events_as_they_happen():
+    """A client connected WHILE the run executes receives the staged
+    events incrementally and the terminal frame on completion — the
+    live half of the WebSocket-contract equivalence (the replay half
+    is covered above)."""
+    gate = threading.Event()
+
+    def runner(query, options, progress):
+        progress("plan", {"proceed": True})
+        gate.wait(timeout=30)
+        progress("publish", {"rows": 1})
+        return {"status": "complete", "outputs": [], "reports": {}}
+
+    server, port = _start(PipelineService(runner))
+    try:
+        _, resp = _req(port, "POST", "/api/pipeline/run", {"query": "q"})
+        run_id = resp["run_id"]
+        _wait_status(port, run_id, {"running"})
+
+        got: list = []
+
+        def subscribe():
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=60)
+            conn.request("GET", f"/api/pipeline/events/{run_id}")
+            raw = conn.getresponse().read().decode()
+            conn.close()
+            got.extend(json.loads(line[6:]) for line in raw.splitlines()
+                       if line.startswith("data: "))
+
+        t = threading.Thread(target=subscribe)
+        t.start()
+        time.sleep(0.3)           # subscriber is blocked mid-stream
+        assert t.is_alive()       # ...waiting on events, not done
+        gate.set()
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert [e["stage"] for e in got] == ["plan", "publish", "__done__"]
+    finally:
+        server.shutdown()
+
+
 def test_http_run_real_dataops_pipeline(spark, sf_dir, tmp_path):
     """End-to-end over HTTP: a chunking dataops query runs the real
     engine, the sink parquet lands, and the SSE stream carries the
