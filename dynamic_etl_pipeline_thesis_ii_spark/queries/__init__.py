@@ -49,7 +49,11 @@ def all_queries():
     bench-side twin of this budget lives in bench.py: the driver also
     records only the last ~2,000 chars of stdout, so bench's FINAL
     printed line must stay small (round 7 lost every per-query timing
-    to an inlined scale_probe)."""
+    to an inlined scale_probe; round 8 lost most probe series the same
+    way). Since round 9 each probe series prints as its OWN compact
+    '# probe <name> sec/candidates...' line — newest series last so
+    they always survive truncation — and the complete record lands in
+    SCALE_PROBE.json."""
     out = {}
     out.update(RELATIONAL_QUERIES)
     out.update(FEATURE_QUERIES)
