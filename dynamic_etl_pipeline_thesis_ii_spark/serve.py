@@ -23,6 +23,10 @@ the semantics, so the rim is deliberately thin:
   (404 unknown, 400 while still running — same codes as the
   reference).
 - ``GET /api/pipeline/history`` -> newest-first run summaries.
+- ``GET /api/pipeline/download/<run_id>/<filename>`` -> one file
+  from under the run's ``options.output_path`` directory (the sink
+  the run wrote), with the reference's containment guard — a path
+  that resolves outside the run dir is a 403, unknown file a 404.
 - ``GET /api/pipeline/events/<run_id>`` -> **Server-Sent Events**
   stream of the staged progress events, one ``data:`` frame per
   event, closing after the terminal frame. SSE stands in for the
@@ -234,6 +238,36 @@ def make_server(service: PipelineService, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
+        def _download(self, run_id: str, filename: str):
+            """Serve one file from under the run's output directory —
+            the reference's download endpoint, same status contract:
+            404 unknown run/file, 403 when the resolved path escapes
+            the run dir (``..``, absolute names, symlinks out)."""
+            import os
+            run = service._runs.get(run_id)
+            if run is None:
+                return self._json(404, {"detail": "Pipeline run not found"})
+            out_dir = run["options"].get("output_path")
+            if not out_dir or not os.path.isdir(out_dir):
+                return self._json(404, {"detail": "File not found"})
+            root = os.path.realpath(out_dir)
+            target = os.path.realpath(os.path.join(root, filename))
+            if not (target == root
+                    or target.startswith(root + os.sep)):
+                return self._json(403, {"detail": "Access denied"})
+            if not os.path.isfile(target):
+                return self._json(404, {"detail": "File not found"})
+            with open(target, "rb") as fh:
+                body = fh.read()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Disposition",
+                             f'attachment; filename="{filename}"')
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
+
         def do_POST(self):
             if self.path.rstrip("/") != "/api/pipeline/run":
                 return self._json(404, {"detail": "not found"})
@@ -259,6 +293,8 @@ def make_server(service: PipelineService, host: str = "127.0.0.1",
             verb = parts[2]
             if verb == "history":
                 return self._json(200, service.get_history())
+            if verb == "download" and len(parts) == 5:
+                return self._download(parts[3], parts[4])
             if len(parts) != 4:
                 return self._json(404, {"detail": "not found"})
             run_id = parts[3]

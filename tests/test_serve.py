@@ -215,5 +215,30 @@ def test_http_run_real_dataops_pipeline(spark, sf_dir, tmp_path):
                   for line in raw.splitlines() if line.startswith("data: ")]
         assert stages[0] == "plan" and stages[-1] == "__done__"
         assert "chunk" in stages and "publish" in stages
+
+        # download endpoint: a real file from the run's sink comes
+        # back byte-identical; traversal out of the run dir is 403
+        import os
+        fname = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", f"/api/pipeline/download/{run_id}/{fname}")
+        resp2 = conn.getresponse()
+        body = resp2.read()
+        conn.close()
+        assert resp2.status == 200
+        with open(os.path.join(out, fname), "rb") as fh:
+            assert body == fh.read()
+        code, detail = _req(port, "GET",
+                            f"/api/pipeline/download/{run_id}/nope.bin")
+        assert code == 404
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET",
+                     f"/api/pipeline/download/{run_id}/..%2F..%2Fetc")
+        resp3 = conn.getresponse()
+        resp3.read()
+        conn.close()
+        assert resp3.status in (403, 404)   # contained either way
+        assert _req(port, "GET",
+                    "/api/pipeline/download/nope/f.bin")[0] == 404
     finally:
         server.shutdown()
