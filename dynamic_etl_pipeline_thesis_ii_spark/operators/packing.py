@@ -121,13 +121,22 @@ def chunk_stats(packed: DataFrame, budget: int) -> DataFrame:
 
 def pack_sequences(tok: DataFrame, seq_len: int, id_col: str = "id",
                    ids_col: str = "input_ids", n_buckets: int = 8,
-                   salt: str = "pack") -> DataFrame:
+                   salt: str = "pack", eos_id: int | None = None) -> DataFrame:
     """Concatenate-and-split to FIXED-LENGTH token-id sequences — the
     final tokenize→pack step that turns a curated corpus into the
     ``input_ids`` rows an LM data loader consumes (documents cross
     sequence boundaries; the trailing partial sequence per bucket is
     dropped, the standard trade). Output: ``(bucket, seq_idx,
-    input_ids)`` with ``len(input_ids) == seq_len`` for EVERY row.
+    input_ids, doc_starts)`` with ``len(input_ids) == seq_len`` for
+    EVERY row; ``doc_starts`` holds the in-sequence offsets where a
+    NEW document begins (empty when the whole sequence is one doc's
+    interior) — exactly what block-diagonal attention masking needs
+    to stop cross-document attention in packed training.
+
+    ``eos_id`` (e.g. a reserved id past the vocab) appends a
+    separator token after every non-empty document before packing —
+    the usual document delimiter convention; token budget then counts
+    docs + separators.
 
     The stream order is exactly :func:`pack_chunks`'s contract — docs
     hash into ``n_buckets`` independent streams on
@@ -162,32 +171,45 @@ def pack_sequences(tok: DataFrame, seq_len: int, id_col: str = "id",
     schema = StructType([
         StructField("bucket", LongType(), False),
         StructField("seq_idx", LongType(), False),
-        StructField("input_ids", ArrayType(IntegerType()), False)])
+        StructField("input_ids", ArrayType(IntegerType()), False),
+        StructField("doc_starts", ArrayType(IntegerType()), False)])
 
     def kernel(batches):
-        cur_bucket, carry, seq_idx = None, [], 0
-        out_b, out_s, out_ids = [], [], []
+        # carry = leftover ids; starts = stream offsets (relative to
+        # the carry's first element) where a new doc begins
+        cur_bucket, carry, starts, seq_idx = None, [], [], 0
+        out = {"bucket": [], "seq_idx": [], "input_ids": [],
+               "doc_starts": []}
 
         def flush_rows():
-            nonlocal out_b, out_s, out_ids
-            if out_b:
-                yield_df = pd.DataFrame({"bucket": out_b, "seq_idx": out_s,
-                                         "input_ids": out_ids})
-                out_b, out_s, out_ids = [], [], []
-                return yield_df
-            return None
+            if not out["bucket"]:
+                return None
+            df_out = pd.DataFrame(out)
+            for k in out:
+                out[k] = []
+            return df_out
 
         for pdf in batches:
             for b, ids in zip(pdf["bucket"], pdf["ids"]):
                 if b != cur_bucket:
                     # bucket boundary: the trailing partial drops
-                    cur_bucket, carry, seq_idx = b, [], 0
-                carry.extend(int(x) for x in ids)
+                    cur_bucket, carry, starts, seq_idx = b, [], [], 0
+                if len(ids):
+                    # every non-empty doc's first token is a boundary
+                    # (offset relative to the carry's first element)
+                    starts.append(len(carry))
+                    carry.extend(int(x) for x in ids)
+                    if eos_id is not None:
+                        carry.append(int(eos_id))
                 while len(carry) >= seq_len:
-                    out_b.append(int(cur_bucket))
-                    out_s.append(seq_idx)
-                    out_ids.append(carry[:seq_len])
+                    seq_starts = [s for s in starts if s < seq_len]
+                    out["bucket"].append(int(cur_bucket))
+                    out["seq_idx"].append(seq_idx)
+                    out["input_ids"].append(carry[:seq_len])
+                    out["doc_starts"].append(seq_starts)
                     carry = carry[seq_len:]
+                    starts = [s - seq_len for s in starts
+                              if s >= seq_len]
                     seq_idx += 1
             df_out = flush_rows()
             if df_out is not None:

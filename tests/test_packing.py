@@ -190,6 +190,53 @@ def test_pack_sequences_fixed_length_and_stream_order(spark):
     assert again == got
 
 
+def test_pack_sequences_doc_starts_and_eos(spark):
+    """doc_starts marks every in-sequence offset where a new document
+    begins (a reference recomputation from the same stream agrees
+    exactly), and eos_id appends one separator per non-empty doc —
+    boundaries then sit right after each eos."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import packing as PK
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32
+
+    tok = spark.createDataFrame(
+        [(i, list(range(100 * i, 100 * i + (i % 4) + 2)))
+         for i in range(30)],
+        "id long, input_ids array<int>")
+    seq_len, nb, eos = 8, 2, 31999
+    out = PK.pack_sequences(tok, seq_len, n_buckets=nb,
+                            eos_id=eos).collect()
+    assert out and all(len(r["input_ids"]) == seq_len for r in out)
+
+    # python reference: same stream order, one eos after each doc,
+    # doc boundaries at each doc's first token
+    h = hash32(F.concat(F.col("id").cast("string"), F.lit("pack")))
+    rows = tok.select("id", "input_ids", (h % nb).alias("b"),
+                      h.alias("h")).collect()
+    streams, bounds = {}, {}
+    for r in sorted(rows, key=lambda r: (r["b"], r["h"], r["id"])):
+        s = streams.setdefault(r["b"], [])
+        if r["input_ids"]:
+            bounds.setdefault(r["b"], []).append(len(s))
+            s.extend(r["input_ids"])
+            s.append(eos)
+    want = {}
+    for b, ids in streams.items():
+        for k in range(len(ids) // seq_len):
+            lo, hi = k * seq_len, (k + 1) * seq_len
+            want[(b, k)] = (ids[lo:hi],
+                            [x - lo for x in bounds[b] if lo <= x < hi])
+    got = {(r["bucket"], r["seq_idx"]):
+           (list(r["input_ids"]), list(r["doc_starts"])) for r in out}
+    assert got == want
+    # every boundary after the first token follows an eos separator
+    for (b, k), (ids, starts) in got.items():
+        for s in starts:
+            if s > 0:
+                assert ids[s - 1] == eos
+
+
 def test_pack_sequences_validation_and_empty_docs(spark):
     import pytest as _pt
 
