@@ -760,3 +760,20 @@ def rotate_vectors(df: DataFrame, rotation: list,
     rot = F.pandas_udf(_rot, "array<double>")
     return df.withColumn(out_col,
                          rot(F.col(vec_col).cast("array<double>")))
+
+
+def save_rotation(spark, rotation: list, path: str) -> None:
+    """Persist an OPQ rotation beside the IVF-PQ index artifacts
+    (centers/coded parquet): one row per matrix row — plain data, any
+    reader reloads it. A search against a rotated index MUST use the
+    same R (:func:`ivfpq_search`'s ``rotation=``), so it belongs in
+    the index store, not the caller's memory."""
+    spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(rotation)],
+        "row_idx int, row array<double>") \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_rotation(spark, path: str) -> list:
+    rows = spark.read.parquet(path).orderBy("row_idx").collect()
+    return [list(r["row"]) for r in rows]

@@ -595,8 +595,12 @@ class Pipeline:
         self.progress("tokenize", {"params": dict(plan),
                                    "vocab_size": len(vocab)})
         tok = encode_ids(docs, merges)
+        # eos: the id just past the vocab is the reserved per-document
+        # separator (trainers size the embedding at vocab_size + 1)
+        eos_id = len(vocab) if plan.get("eos") else None
         frame = pack_sequences(tok, plan["seq_len"],
-                               n_buckets=plan["n_buckets"])
+                               n_buckets=plan["n_buckets"],
+                               eos_id=eos_id)
         frame.write.mode("overwrite").parquet(output_path)
         back = self.spark.read.parquet(output_path)      # read-back
         n_seq = back.count()
@@ -604,6 +608,7 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan),
                             "vocab_size": len(vocab),
+                            "eos_id": eos_id,
                             "n_merges": len(merges),
                             "n_sequences": n_seq,
                             "tokens_packed": n_seq * plan["seq_len"]}}
@@ -923,7 +928,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         merges = int(m.group(1)) if (m := _MERGES_RE.search(ql)) else 200
         nb = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else 8
         return {"target": "tokenize_pack", "seq_len": seq,
-                "n_merges": merges, "n_buckets": nb}
+                "n_merges": merges, "n_buckets": nb,
+                # 'with an eos separator' reserves the id just past
+                # the vocab for the per-document delimiter
+                "eos": "eos" in ql or "separator" in ql}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)

@@ -684,9 +684,11 @@ def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
     p = parse_dataops_query(
         "tokenize the corpus and pack 32-token sequences, 50 merges")
     assert p == {"target": "tokenize_pack", "seq_len": 32,
-                 "n_merges": 50, "n_buckets": 8}
+                 "n_merges": 50, "n_buckets": 8, "eos": False}
     assert parse_dataops_query(
         "tokenise into sequences of 128")["seq_len"] == 128
+    assert parse_dataops_query(
+        "tokenize and pack with an eos separator")["eos"] is True
 
     pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
     out = str(tmp_path / "seqs")

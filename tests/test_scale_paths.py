@@ -432,6 +432,21 @@ def test_ivfpq_index_roundtrip_and_search_plan(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning" not in streamed, plan
     assert "Exchange rangepartitioning" not in streamed, plan
 
+    # the OPQ rotation is index data too: parquet round-trip exact,
+    # and a search against a rotated index reloaded from disk matches
+    # the in-memory build
+    R = SIM.opq_rotation(emb, m=4)
+    SIM.save_rotation(spark, R, str(tmp_path / "rot"))
+    assert SIM.load_rotation(spark, str(tmp_path / "rot")) == R
+    c3, b3, co3 = SIM.ivfpq_build(cands, n_clusters=8, m=4, k=8,
+                                  rotation=R)
+    live = SIM.ivfpq_search(c3, b3, co3, queries, k=3, n_probe=3,
+                            rotation=R).collect()
+    reload_out = SIM.ivfpq_search(
+        c3, b3, co3, queries, k=3, n_probe=3,
+        rotation=SIM.load_rotation(spark, str(tmp_path / "rot"))).collect()
+    assert sorted(map(tuple, reload_out)) == sorted(map(tuple, live))
+
 
 def _planted_embeddings(spark, dim=16):
     """Six well-separated blob centers; blobs 0 and 1 each carry a
