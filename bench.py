@@ -478,12 +478,16 @@ def main() -> None:
             lines.append(f"# probe {m} " + " ".join(
                 f"{r['sec']}/{r['candidates']}" for r in probe[m]))
         # hard budget: compact block + headline must fit the ~2,000-
-        # char tail with margin; drop OLDEST series first if ever over
-        # (newest series print last and always survive)
-        while sum(len(x) + 1 for x in lines) > 1300 and lines:
+        # char tail with margin. Any over-long INDIVIDUAL line is
+        # truncated (never asserted on — the full series is already
+        # durable in SCALE_PROBE.json, and an abort here would throw
+        # away every computed result); then drop OLDEST series while
+        # the block is over budget, stopping once one line remains so
+        # the newest series always survives.
+        lines = [x if len(x) <= 1200 else x[:1197] + "..." for x in lines]
+        while sum(len(x) + 1 for x in lines) > 1300 and len(lines) > 1:
             lines.pop(0)
         for x in lines:
-            assert len(x) < 1800, f"probe line {len(x)} chars: {x[:60]}"
             print(x)
 
     # FINAL-LINE BUDGET: the driver records only the last ~2,000 chars

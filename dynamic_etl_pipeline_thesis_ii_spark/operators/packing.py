@@ -144,8 +144,11 @@ def pack_sequences(tok: DataFrame, seq_len: int, id_col: str = "id",
     doc's ``pack_chunks`` chunk assignment and its tokens' actual
     sequence placement agree.
 
-    Execution shape: ONE shuffle. ``repartition(bucket)`` (hash
-    partitioning never splits a bucket across partitions) +
+    Execution shape: ONE shuffle. ``repartitionByRange(bucket)``
+    (range partitioning never splits a bucket across partitions, and
+    — unlike hash partitioning, whose murmur3 collisions leave ~1/e
+    of the partitions empty — spreads n_buckets distinct values
+    ~1:1 over n_buckets partitions) +
     ``sortWithinPartitions(bucket, hash, id)``, then an Arrow kernel
     walks each bucket's stream with a seq_len accumulator and a carry
     across batches — per-task memory is one sequence, not one bucket.
@@ -166,7 +169,7 @@ def pack_sequences(tok: DataFrame, seq_len: int, id_col: str = "id",
                                   F.array().cast("array<int>"))
                        .alias("ids"),
                        (h % n_buckets).alias("bucket"), h.alias("__h"))
-            .repartition(n_buckets, "bucket")
+            .repartitionByRange(n_buckets, "bucket")
             .sortWithinPartitions("bucket", "__h", "id"))
     schema = StructType([
         StructField("bucket", LongType(), False),

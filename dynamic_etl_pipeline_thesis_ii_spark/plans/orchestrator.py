@@ -764,8 +764,10 @@ class Pipeline:
         # past int64 — per-doc micro-weights (~1e11) times corpus
         # counts (~1e9+) overflow BIGINT, which Spark wraps silently
         # in non-ANSI mode; decimal is still exact integer arithmetic
-        tot = weights.agg(F.sum("weight_micro").cast("decimal(38,0)")
-                          .alias("tot"),
+        # cast INSIDE the sum: casting only the result would let the
+        # accumulator itself run in BIGINT and wrap before the cast
+        tot = weights.agg(F.sum(F.col("weight_micro")
+                                .cast("decimal(38,0)")).alias("tot"),
                           F.count(F.lit(1)).alias("n"))
         above = (weights.crossJoin(F.broadcast(tot))
                  .filter(F.col("weight_micro").cast("decimal(38,0)")

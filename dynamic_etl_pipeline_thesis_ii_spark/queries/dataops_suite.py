@@ -1234,8 +1234,10 @@ def q_sample_deterministic(spark, sf_dir):
     # non-ANSI mode while the DuckDB twin raises — decimal keeps the
     # arithmetic exact-integer AND cross-engine identical at any
     # corpus size (twin: HUGEINT in _sql_sample_deterministic)
-    dsir_tot = dsir_w.agg(F.sum("weight_micro").cast("decimal(38,0)")
-                          .alias("tot"),
+    # cast INSIDE the sum so the accumulator runs in decimal (casting
+    # only the result leaves BIGINT accumulation that wraps first)
+    dsir_tot = dsir_w.agg(F.sum(F.col("weight_micro")
+                                .cast("decimal(38,0)")).alias("tot"),
                           F.count(F.lit(1)).alias("n"))
     ds = (dsir_w.crossJoin(F.broadcast(dsir_tot))
           .select(F.lit("dsir").alias("tag"),

@@ -35,6 +35,11 @@ the semantics, so the rim is deliberately thin:
   machinery on both ends (the reference's own frontend consumes the
   events one-directionally, which is exactly SSE's shape). A client
   connecting AFTER completion gets the full replay, then the close.
+- ``POST /api/pipeline/stream`` -> connect-starts-run: creates the
+  run AND streams its events on the same connection (first frame
+  ``__created__`` carries the run_id), matching the reference
+  WebSocket's start-on-connect flow
+  (``backend/app/api/endpoints/websocket.py:52-60``) over SSE.
 
 Queries route by intent: a dataops query (``parse_dataops_query``
 returns a plan, and the request supplies ``options.source_dir`` /
@@ -185,13 +190,18 @@ class PipelineService:
                      "started_at": r["started_at"],
                      "completed_at": r["completed_at"]} for r in runs]
 
-    def iter_events(self, run_id: str, timeout: float = 300.0):
+    def iter_events(self, run_id: str, idle_timeout: float = 300.0):
         """Yield the run's progress events in order, blocking for new
-        ones until the terminal ``__done__`` frame (or timeout)."""
+        ones until the terminal ``__done__`` frame. The timeout is an
+        IDLE timeout — it resets every time an event arrives — so a
+        long run that is still emitting stage events keeps its stream
+        open indefinitely; only a run that goes silent for the full
+        window closes the stream early (real dataops runs routinely
+        exceed any fixed absolute deadline)."""
         run = self._runs.get(run_id)
         if run is None:
             return
-        i, deadline = 0, time.time() + timeout
+        i, deadline = 0, time.time() + idle_timeout
         while True:
             with self._cond:
                 while i >= len(run["events"]):
@@ -200,6 +210,7 @@ class PipelineService:
                     self._cond.wait(timeout=1.0)
                 batch = run["events"][i:]
                 i = len(run["events"])
+            deadline = time.time() + idle_timeout  # activity resets it
             for ev in batch:
                 yield ev
                 if ev["stage"] == "__done__":
@@ -268,9 +279,11 @@ def make_server(service: PipelineService, host: str = "127.0.0.1",
             self.wfile.write(body)
             return None
 
-        def do_POST(self):
-            if self.path.rstrip("/") != "/api/pipeline/run":
-                return self._json(404, {"detail": "not found"})
+        def _parse_run_body(self):
+            """Read and validate a run-request body; returns
+            ``(query, options)`` or raises ``ValueError`` with the
+            client-facing detail (always a 422, never an escaped
+            TypeError deeper in the service)."""
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -278,13 +291,57 @@ def make_server(service: PipelineService, host: str = "127.0.0.1",
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as exc:
                 # TypeError covers a non-object body ('"abc"', '[1]')
-                return self._json(422, {"detail": f"bad request: {exc}"})
-            run_id = service.create_run(query, req.get("options"))
-            status = service.get_run_status(run_id)
-            return self._json(200, {
-                "run_id": run_id, "status": "pending",
-                "message": "Pipeline started successfully",
-                "created_at": status["started_at"]})
+                raise ValueError(f"bad request: {exc}") from exc
+            options = req.get("options")
+            if options is not None and not isinstance(options, dict):
+                raise ValueError("bad request: options must be an "
+                                 f"object, got {type(options).__name__}")
+            return query, options
+
+        def do_POST(self):
+            path = self.path.rstrip("/")
+            if path == "/api/pipeline/run":
+                try:
+                    query, options = self._parse_run_body()
+                except ValueError as exc:
+                    return self._json(422, {"detail": str(exc)})
+                run_id = service.create_run(query, options)
+                status = service.get_run_status(run_id)
+                return self._json(200, {
+                    "run_id": run_id, "status": "pending",
+                    "message": "Pipeline started successfully",
+                    "created_at": status["started_at"]})
+            if path == "/api/pipeline/stream":
+                # connect-starts-run: the reference WebSocket endpoint
+                # (websocket.py:52-60) lets one connection both START a
+                # run and consume its progress push; this is that flow
+                # over SSE — create the run, then stream its events on
+                # the same connection. First frame is __created__ with
+                # the run_id so the client can hit status/results later.
+                try:
+                    query, options = self._parse_run_body()
+                except ValueError as exc:
+                    return self._json(422, {"detail": str(exc)})
+                run_id = service.create_run(query, options)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    created = {"seq": -1, "stage": "__created__",
+                               "info": {"run_id": run_id},
+                               "ts": time.time()}
+                    self.wfile.write(
+                        b"data: " + json.dumps(created).encode() + b"\n\n")
+                    self.wfile.flush()
+                    for ev in service.iter_events(run_id):
+                        self.wfile.write(
+                            b"data: " + json.dumps(ev).encode() + b"\n\n")
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass    # client went away; the run keeps going
+                return None
+            return self._json(404, {"detail": "not found"})
 
         def do_GET(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]

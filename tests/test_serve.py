@@ -97,6 +97,14 @@ def test_service_lifecycle_and_error_codes():
         assert _req(port, "GET", "/api/pipeline/results/nope")[0] == 404
         assert _req(port, "GET", "/api/pipeline/events/nope")[0] == 404
         assert _req(port, "POST", "/api/pipeline/run", {})[0] == 422
+        # non-object options must be the same clean 422 as a missing
+        # query — not a TypeError escaping the handler as a dropped
+        # connection / HTML 500
+        code, detail = _req(port, "POST", "/api/pipeline/run",
+                            {"query": "q", "options": 5})
+        assert code == 422 and "options" in detail["detail"]
+        assert _req(port, "POST", "/api/pipeline/stream",
+                    {"query": "q", "options": [1]})[0] == 422
 
         # history: newest first, both runs present
         code, hist = _req(port, "GET", "/api/pipeline/history")
@@ -176,6 +184,67 @@ def test_sse_live_subscription_receives_events_as_they_happen():
         assert [e["stage"] for e in got] == ["plan", "publish", "__done__"]
     finally:
         server.shutdown()
+
+
+def test_stream_connect_starts_run_and_streams_to_done():
+    """POST /api/pipeline/stream: ONE connection both starts the run
+    and consumes its ordered progress push — the reference WebSocket's
+    connect-starts-run flow (websocket.py:52-60) over SSE. The first
+    frame is __created__ with the run_id; create→stage→…→__done__
+    frames follow on the same connection, and the run_id remains
+    queryable via status/results afterwards."""
+    def runner(query, options, progress):
+        progress("plan", {"proceed": True})
+        progress("fetch", {"ok": 1})
+        progress("publish", {"rows": 2})
+        return {"status": "complete", "outputs": [],
+                "reports": {"q": query}}
+
+    server, port = _start(PipelineService(runner))
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/api/pipeline/stream",
+                     body=json.dumps({"query": "streamed run"}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        raw = resp.read().decode()          # closes after __done__
+        conn.close()
+        events = [json.loads(line[6:]) for line in raw.splitlines()
+                  if line.startswith("data: ")]
+        assert [e["stage"] for e in events] == \
+            ["__created__", "plan", "fetch", "publish", "__done__"]
+        run_id = events[0]["info"]["run_id"]
+        assert events[-1]["info"]["status"] == "completed"
+
+        # the streamed run is a first-class run: status + results work
+        code, status = _req(port, "GET", f"/api/pipeline/status/{run_id}")
+        assert code == 200 and status["status"] == "completed"
+        code, results = _req(port, "GET",
+                             f"/api/pipeline/results/{run_id}")
+        assert code == 200 and results["reports"]["q"] == "streamed run"
+    finally:
+        server.shutdown()
+
+
+def test_sse_idle_timeout_resets_on_activity():
+    """The event stream's timeout is an IDLE timeout: a run that keeps
+    emitting events holds the stream open past any single window; only
+    full silence for the window closes it early."""
+    def runner(query, options, progress):
+        for i in range(4):
+            time.sleep(0.3)
+            progress(f"s{i}", {})
+        return {"status": "complete", "outputs": [], "reports": {}}
+
+    service = PipelineService(runner)
+    run_id = service.create_run("slow drip")
+    # idle window (0.5 s) < total run time (1.2 s+): with an absolute
+    # deadline this stream would close mid-run without __done__
+    events = list(service.iter_events(run_id, idle_timeout=0.5))
+    assert [e["stage"] for e in events] == \
+        ["s0", "s1", "s2", "s3", "__done__"]
 
 
 def test_http_run_real_dataops_pipeline(spark, sf_dir, tmp_path):
