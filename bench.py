@@ -243,6 +243,25 @@ def scale_probe(spark, factors: list[int]) -> dict:
                 lambda w: F.pmod(F.hash(w), F.lit(32768)).cast("int"))
                 .alias("input_ids")),
             seq_len=256, id_col="doc_id"),
+        # packseq at 4 vs 32 buckets: the packing shuffle's task count
+        # IS n_buckets, so at a fixed corpus wall time should FALL as
+        # buckets rise (more parallel streams, same total tokens) —
+        # the probe record behind derive_n_buckets' corpus-derived
+        # default. Rows out differ slightly between variants (each
+        # bucket drops its own trailing partial — that's the
+        # documented identity trade, not noise).
+        "packseq_b4": lambda d: PK.pack_sequences(
+            d.select("doc_id", F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.pmod(F.hash(w), F.lit(32768)).cast("int"))
+                .alias("input_ids")),
+            seq_len=256, id_col="doc_id", n_buckets=4),
+        "packseq_b32": lambda d: PK.pack_sequences(
+            d.select("doc_id", F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.pmod(F.hash(w), F.lit(32768)).cast("int"))
+                .alias("input_ids")),
+            seq_len=256, id_col="doc_id", n_buckets=32),
     }
     out: dict[str, list] = {m: [] for m in methods}
     for f in factors:

@@ -651,16 +651,79 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 4,
     return books
 
 
+def pq_reconstruction_mse(df: DataFrame, books: list,
+                          vec_col: str = "embedding") -> float:
+    """Mean squared PQ reconstruction error of a vector column under
+    ``books`` — the quantization-quality number an OPQ rotation is
+    judged by (Ge et al. 2013 report exactly this delta). One Arrow
+    pass: each partition emits a scalar ``(n, sse)`` partial
+    (per-subspace min distance to its codebook, summed), the driver
+    sums scalars — no d² term, no per-row collect."""
+    import numpy as np
+    import pandas as pd
+
+    m, dsub = len(books), len(books[0][0])
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+
+    def kernel(batches):
+        n, sse = 0, 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf.iloc[:, 0].to_numpy())
+            for s in range(m):
+                sub = X[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                sse += float(d2.min(axis=1).sum())
+            n += len(X)
+        if n:
+            yield pd.DataFrame({"n": [n], "sse": [sse]})
+
+    parts = (df.select(F.col(vec_col).cast("array<double>"))
+             .mapInPandas(kernel, schema="n long, sse double").collect())
+    if not parts:
+        raise ValueError("pq_reconstruction_mse: empty input")
+    return sum(p["sse"] for p in parts) / sum(p["n"] for p in parts)
+
+
 # ---------------------------------------------------------------------------
 # N7: parametric OPQ — PCA rotation + eigenvalue allocation for PQ
 # ---------------------------------------------------------------------------
 
-def corpus_moments(df: DataFrame, vec_col: str = "embedding"):
-    """Distributed (n, sum, gram) moments of an embedding column: an
-    Arrow kernel emits ONE partial row per batch (count, Σx, ΣxxT
-    flattened), the driver reduces — collect bounded by n_partitions ×
-    d², never by rows. Returns ``(n, mean[d], cov[d][d])`` as numpy,
-    covariance about the mean (population, ÷n)."""
+_MOMENT_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def _moment_sum_kernel(batches):
+    """Fold (n, Σx, ΣxxT-flat) partial rows within a partition into at
+    most one row — the combine step of the moments tree-reduce."""
+    import numpy as np
+    import pandas as pd
+
+    n, s, g = 0, None, None
+    for pdf in batches:
+        for ni, si, gi in zip(pdf["n"], pdf["s"], pdf["g"]):
+            n += int(ni)
+            si, gi = np.asarray(si), np.asarray(gi)
+            s = si if s is None else s + si
+            g = gi if g is None else g + gi
+    if s is not None:
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                            "g": [g.tolist()]})
+
+
+def moment_partials(df: DataFrame, vec_col: str = "embedding",
+                    fanin: int = 64) -> DataFrame:
+    """Distributed (n, Σx, ΣxxT) moments of an embedding column,
+    folded to a SINGLE row before it ever reaches the driver: an
+    Arrow kernel emits one partial row per batch, then a tree of
+    partition-local sums (``coalesce(ceil(p/fanin))`` per level)
+    combines them until one partition — and therefore exactly one
+    row — remains. Each tree task touches at most ``fanin`` partial
+    rows (~fanin × d² doubles), and the driver's collect is ONE row
+    of d² doubles (~4.7 MB at d=768) no matter how many input
+    partitions the scan produced — at 100 TB with tens of thousands
+    of partitions, a flat per-partition collect would be 50+ GB on
+    the driver; the tree keeps it constant."""
     import numpy as np
     import pandas as pd
 
@@ -674,16 +737,35 @@ def corpus_moments(df: DataFrame, vec_col: str = "embedding"):
                 "s": [X.sum(axis=0).tolist()],
                 "g": [(X.T @ X).ravel().tolist()]})
 
-    parts = (df.select(F.col(vec_col).cast("array<double>"))
-             .mapInPandas(kernel,
-                          schema="n long, s array<double>, g array<double>")
-             .collect())
+    part = (df.select(F.col(vec_col).cast("array<double>"))
+            .mapInPandas(kernel, schema=_MOMENT_SCHEMA))
+    # each level yields ≤1 row per coalesced partition; loop until the
+    # whole tree has folded into a single partition
+    p = max(1, df.rdd.getNumPartitions())
+    while p > 1:
+        p = -(-p // fanin)      # ceil
+        part = part.coalesce(p).mapInPandas(_moment_sum_kernel,
+                                            schema=_MOMENT_SCHEMA)
+    return part
+
+
+def corpus_moments(df: DataFrame, vec_col: str = "embedding"):
+    """Moments of an embedding column via :func:`moment_partials`'
+    tree-reduce — the driver collects exactly one (n, Σx, ΣxxT) row
+    regardless of input partitioning. Returns ``(n, mean[d],
+    cov[d][d])`` as numpy, covariance about the mean (population,
+    ÷n)."""
+    import numpy as np
+
+    parts = moment_partials(df, vec_col).collect()
     if not parts:
         raise ValueError("corpus_moments: empty input")
-    d = len(parts[0]["s"])
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
-    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    assert len(parts) == 1, "moments tree-reduce must yield one row"
+    row = parts[0]
+    n = row["n"]
+    s = np.asarray(row["s"])
+    d = len(s)
+    g = np.asarray(row["g"]).reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     return n, mean, cov
@@ -703,8 +785,9 @@ def opq_rotation(df: DataFrame, vec_col: str = "embedding",
     L2 distance — and therefore the exact-rerank tier and the
     brute-force oracle — is unchanged.
 
-    Scale: moments via :func:`corpus_moments` (one scan, d²-bounded
-    collect), eigh on the driver (d ≤ a few thousand — trivial).
+    Scale: moments via :func:`corpus_moments` (one scan, tree-reduced
+    to a single d²-double row on the driver), eigh on the driver
+    (d ≤ a few thousand — trivial).
     Returns R as a row-major [d][d] list; apply with
     :func:`rotate_vectors`."""
     import numpy as np

@@ -315,11 +315,27 @@ class Pipeline:
             return self._run_tokenize_pack(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
+        if plan["target"] == "ann_search":
+            return self._run_ann_search(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
             return self._run_dsir_select(plan, source_dir, output_path)
         if plan["target"] == "temperature_mix":
             return self._run_temperature_mix(plan, source_dir, output_path)
 
+        if plan["n_buckets"] is None:
+            # corpus-derived bucket count (one cheap count): the
+            # packing shuffle's task count IS n_buckets, so it must
+            # grow with the corpus; floor at the user's shard count so
+            # every shard draws from at least one packing stream. The
+            # derived value lands in plan/report — bucket count is
+            # part of the output's deterministic identity (stream
+            # membership hashes id % n_buckets).
+            from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+                Catalog,
+            )
+            n_docs = Catalog(self.spark, source_dir).documents.count()
+            plan["n_buckets"] = derive_n_buckets(
+                n_docs, floor=max(4, plan["n_shards"]))
         frame = corpus_to_shards_frame(
             self.spark, source_dir,
             token_budget=plan["token_budget"], seq_len=plan["seq_len"],
@@ -590,6 +606,13 @@ class Pipeline:
         )
 
         docs = Catalog(self.spark, source_dir).documents
+        if plan["n_buckets"] is None:
+            # corpus-derived (see derive_n_buckets): the one packing
+            # shuffle's task count is n_buckets — a fixed default
+            # idles a big cluster. Derived value goes into plan/report
+            # since bucket count is part of the deterministic output
+            # identity.
+            plan["n_buckets"] = derive_n_buckets(docs.count())
         merges = train_bpe(docs, n_merges=plan["n_merges"])
         vocab = bpe_vocab(merges)
         self.progress("tokenize", {"params": dict(plan),
@@ -681,6 +704,80 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan),
                             "rows_in": n_in, "rows_kept": n_out}}
+
+    def _run_ann_search(self, plan: dict, source_dir: str,
+                        output_path: str) -> dict:
+        """'find the 10 nearest neighbors for each document, with an
+        opq rotation': corpus self-kNN over the embeddings table via
+        the IVF-PQ index (build + search — codes-only ADC with an
+        exact rerank tier, so results carry TRUE distances), self
+        matches removed. ``opq`` threads the parametric rotation
+        through build and search and the report carries the
+        rotation's reconstruction-MSE delta — the number the OPQ
+        paper judges the rotation by (raw-space vs rotated-space PQ
+        at the same code budget; the exact-tier results are identical
+        either way since R is orthogonal).
+
+        Scale: IVF list count grows as sqrt(n) (the standard IVF
+        sizing curve — probe cost |Q|·n_probe·n/lists stays bounded),
+        rerank touches k·|Q| full vectors, everything else joins
+        codes against broadcast LUTs."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_search,
+            opq_rotation,
+            pq_reconstruction_mse,
+            pq_train,
+            rotate_vectors,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        emb = Catalog(self.spark, source_dir).embeddings
+        n = emb.count()
+        n_clusters = max(16, int(n ** 0.5))
+        cand = emb.select(F.col("vec_id").alias("c_id"),
+                          F.col("embedding").alias("c_vec"))
+        qry = emb.select(F.col("vec_id").alias("q_id"),
+                         F.col("embedding").alias("q_vec"))
+        rotation, opq_report = None, None
+        if plan["opq"]:
+            rotation = opq_rotation(emb, vec_col="embedding", m=4)
+            raw_books = pq_train(emb, vec_col="embedding", m=4)
+            rot = rotate_vectors(emb, rotation, vec_col="embedding")
+            rot_books = pq_train(rot, vec_col="embedding", m=4)
+            mse_raw = pq_reconstruction_mse(emb, raw_books)
+            mse_rot = pq_reconstruction_mse(rot, rot_books)
+            opq_report = {
+                "mse_raw": round(mse_raw, 6),
+                "mse_rotated": round(mse_rot, 6),
+                "mse_delta_pct": round(100 * (1 - mse_rot / mse_raw), 2)}
+        self.progress("plan_index", {"params": dict(plan),
+                                     "n_clusters": n_clusters,
+                                     "opq": opq_report})
+        centers, books, coded = ivfpq_build(
+            cand, n_clusters=n_clusters, m=4, rotation=rotation)
+        # search k+1 with the exact rerank tier, drop self matches
+        # (dist 0 to itself), re-rank to k — every surviving row is a
+        # TRUE squared-L2 neighbor
+        k = plan["k"]
+        hits = ivfpq_search(centers, books, coded, qry, k=k + 1,
+                            n_probe=2, rerank=2 * (k + 1),
+                            candidates=cand, rotation=rotation)
+        from pyspark.sql import Window
+        w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
+                                               F.col("c_id").asc())
+        frame = (hits.filter(F.col("q_id") != F.col("c_id"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k))
+        frame.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()  # read-back
+        self.progress("publish", {"rows": n_out, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "n_vectors": n,
+                            "n_clusters": n_clusters,
+                            "opq": opq_report, "rows_written": n_out}}
 
     def _run_temperature_mix(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
@@ -795,7 +892,9 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
-                  "census", "corpus stat", "tokenize", "tokenise")
+                  "census", "corpus stat", "tokenize", "tokenise",
+                  "nearest", "neighbo", "similarity search",
+                  "ann search")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -811,6 +910,11 @@ _CHUNK_STRIDE_RE = re.compile(r"\b(?:stride|overlap step)\s+(?:of\s+)?(\d+)\b")
 # 'semantically dedup' / 'dedup by embedding' -> semantic_dedup;
 # 'temperature 0.3' / 'flatten the language mix' -> temperature_mix
 _SEMANTIC_TARGET_RE = re.compile(r"\bsemantic(?:ally)?\b|\bby embeddings?\b")
+_ANN_TARGET_RE = re.compile(
+    r"\bnearest\s+neighbou?rs?\b|\bann\s+(?:search|index)\b|"
+    r"\bsimilarity\s+search\b")
+_ANN_K_RE = re.compile(
+    r"\b(\d+)\s+nearest\b|\btop\s+(\d+)\b|\bk\s*=\s*(\d+)\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
 _CLUSTERS_RE = re.compile(r"\b(\d+)\s+clusters?\b")
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
@@ -855,9 +959,30 @@ def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
     return max(16, int(n_docs) // max(1, target_cluster_size))
 
 
+def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
+                     floor: int = 8) -> int:
+    """Corpus-proportional packing bucket count:
+    ``pack_sequences``/``pack_chunks`` run ONE shuffle whose task
+    count IS ``n_buckets`` (each bucket is an independent packing
+    stream — ``operators/packing.py``), so a fixed default caps a
+    1000-executor cluster at single-digit parallelism while each of
+    the 8 tasks walks 1/8th of a 100× corpus. Holding DOCS PER
+    BUCKET constant instead keeps per-task work flat at any corpus
+    size — the same curve as :func:`derive_n_clusters`.
+
+    Bucket count participates in the output's deterministic identity
+    (docs hash into streams by ``hash32(id||salt) % n_buckets``, and
+    each bucket drops its own trailing partial sequence), so it
+    derives from the CORPUS — same corpus, same buckets, same packed
+    rows — and never from cluster topology like
+    ``defaultParallelism``. The floor preserves the historical small-
+    corpus default; a user who names a count keeps it verbatim."""
+    return max(floor, int(n_docs) // max(1, docs_per_bucket))
+
+
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Ten targets, matched in
+    the query carries no dataops intent. Eleven targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -875,6 +1000,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       sequences' (train BPE → encode to ids → fixed-length
       input_ids rows; optional 'N merges', 'N shards' for the
       bucket count);
+    - ``ann_search`` — 'find the 10 nearest neighbors' / 'similarity
+      search' (IVF-PQ self-kNN over the embeddings table with exact
+      rerank; 'with an opq rotation' opts into the parametric OPQ
+      rotation and reports its reconstruction-MSE delta);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -928,12 +1057,24 @@ def parse_dataops_query(query: str) -> Optional[dict]:
             m = re.search(r"\b(\d+)[- ]token\b", ql)
             seq = int(m.group(1)) if m else 512
         merges = int(m.group(1)) if (m := _MERGES_RE.search(ql)) else 200
-        nb = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else 8
+        # n_buckets=None -> corpus-derived at run time (the packing
+        # shuffle's task count IS n_buckets; a fixed default is a
+        # 100x-scale trap — see derive_n_buckets)
+        nb = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else None
         return {"target": "tokenize_pack", "seq_len": seq,
                 "n_merges": merges, "n_buckets": nb,
                 # 'with an eos separator' reserves the id just past
                 # the vocab for the per-document delimiter
                 "eos": "eos" in ql or "separator" in ql}
+    if _ANN_TARGET_RE.search(ql):
+        k = 10
+        if m := _ANN_K_RE.search(ql):
+            k = int(next(g for g in m.groups() if g))
+        # 'with an opq rotation' opts the index into the parametric
+        # OPQ rotation — same exact-tier answers, tighter ADC; the
+        # run reports the rotation's reconstruction-MSE delta
+        return {"target": "ann_search", "k": k,
+                "opq": "opq" in ql or "rotation" in ql}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)
@@ -965,8 +1106,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "chunk_documents", "size": size,
                 "stride": min(stride, size) if stride else
                 max(1, (size * 3) // 4)}
+    # n_buckets=None -> corpus-derived at run time (derive_n_buckets);
+    # an explicit 'N shards' keeps bucket count tied to the user's
+    # shard count as before
     plan = {"target": "corpus_to_shards", "token_budget": 15_000,
-            "seq_len": 512, "n_shards": 4, "n_buckets": 4,
+            "seq_len": 512, "n_shards": 4, "n_buckets": None,
             "shuffle_salt": None,
             "tokenizer": "bpe" if "bpe" in ql else "whitespace"}
     seq_m = _SEQ_LEN_RE.search(ql)

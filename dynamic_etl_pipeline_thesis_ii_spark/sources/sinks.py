@@ -108,7 +108,9 @@ def compact_snapshot(spark, path: str, dest: str,
     DISTINCT on the key columns (appends are idempotent but belt and
     braces across manual writes), range-repartitioned and sorted
     WITHIN files on the first key so parquet min/max stats prune
-    probe scans, sized at ``target_rows_per_file``. Writes to
+    probe scans, sized at ``target_rows_per_file`` of the DEDUPED
+    count (sizing from the raw count would under-fill every file by
+    the store's duplication factor). Writes to
     ``dest`` (never in place — a failed in-place rewrite would eat
     the snapshot; callers swap paths or update their pointer on the
     returned success). Returns {rows, files_before, files_after}."""
@@ -117,11 +119,21 @@ def compact_snapshot(spark, path: str, dest: str,
     df = spark.read.format(fmt).load(path)
     files_before = df.inputFiles()
     rows = df.count()
-    n_files = max(1, -(-rows // target_rows_per_file))
-    out = (df.dropDuplicates(key_cols)
-           .repartitionByRange(n_files, *[F.col(c) for c in key_cols])
-           .sortWithinPartitions(*key_cols))
-    out.write.format(fmt).mode("overwrite").save(dest)
+    # size files from the DEDUPED count: an append-heavy store can
+    # hold many copies per key, and sizing from the raw count would
+    # leave every output file under-filled by the duplication factor.
+    # The distinct is cached so the count and the write share one
+    # dedup shuffle instead of running it twice.
+    deduped = df.dropDuplicates(key_cols).persist()
+    try:
+        n_distinct = deduped.count()
+        n_files = max(1, -(-n_distinct // target_rows_per_file))
+        out = (deduped
+               .repartitionByRange(n_files, *[F.col(c) for c in key_cols])
+               .sortWithinPartitions(*key_cols))
+        out.write.format(fmt).mode("overwrite").save(dest)
+    finally:
+        deduped.unpersist()
     back = spark.read.format(fmt).load(dest)
     return {"rows": back.count(), "rows_before": rows,
             "files_before": len(files_before),

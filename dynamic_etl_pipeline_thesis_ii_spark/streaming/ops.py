@@ -383,6 +383,61 @@ def streaming_neardup_flags(docs: DataFrame, seen_bands: DataFrame,
     return pairs.distinct()
 
 
+def census_fold(census_path: str, strata: tuple = ("lang", "source"),
+                stream_id: Optional[str] = None):
+    """Build the foreachBatch fold for :func:`streaming_census_sink`
+    (factored out so the replay semantics are directly testable).
+
+    Replay safety: with a ``stream_id`` (the checkpoint dir — batch
+    ids are monotone PER CHECKPOINT), the fold persists a high-water
+    mark ``(stream_id, max_batch_id)`` in a ``<census_path>_meta``
+    sidecar AFTER the census write, and skips any batch at-or-below
+    the mark for the same stream — so a foreachBatch re-invocation
+    after a crash-before-checkpoint-commit (Structured Streaming's
+    at-least-once window) folds each batch's counts exactly once.
+    The mark only ever advances after a completed census write, so a
+    crash BETWEEN the two writes re-folds that one batch — the
+    residual at-least-once window shrinks from 'any replayed batch'
+    to 'a crash inside the two driver-side writes of a micro-batch'.
+    A DIFFERENT stream_id (new checkpoint, restarted batch numbering)
+    ignores the mark and starts advancing its own."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        corpus_census,
+        merge_census,
+    )
+
+    meta_path = census_path.rstrip("/") + "_meta"
+
+    def fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        if stream_id is not None:
+            try:
+                meta = spark.read.parquet(meta_path).collect()
+            except Exception:       # bootstrap: no mark yet
+                meta = []
+            if any(r["stream_id"] == stream_id
+                   and batch_id <= r["max_batch_id"] for r in meta):
+                return              # replayed batch: already folded
+        fresh = corpus_census(batch_df, strata=strata)
+        try:
+            prior_rows = spark.read.parquet(census_path).collect()
+        except Exception:           # bootstrap: no census yet
+            prior_rows = []
+        if prior_rows:
+            prior = spark.createDataFrame(prior_rows, fresh.schema)
+            fresh = merge_census(prior, fresh)
+        rows = fresh.collect()      # materialize BEFORE the overwrite
+        spark.createDataFrame(rows, fresh.schema) \
+            .coalesce(1).write.mode("overwrite").parquet(census_path)
+        if stream_id is not None:   # advance the mark AFTER the write
+            spark.createDataFrame(
+                [(stream_id, int(batch_id))],
+                "stream_id string, max_batch_id long") \
+                .coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+    return fold
+
+
 def streaming_census_sink(docs: DataFrame, census_path: str,
                           checkpoint_dir: Optional[str] = None,
                           strata: tuple = ("lang", "source")):
@@ -396,29 +451,14 @@ def streaming_census_sink(docs: DataFrame, census_path: str,
     |langs| + |sources| + 1 rows, so read-merge-rewrite is microseconds
     and sidesteps the read-overwrite-same-path hazard entirely (the
     prior rows are materialized BEFORE the overwrite). With a
-    checkpoint dir, replayed batches re-fold — census counts are NOT
-    idempotent under replay, so pair this with exactly-once upstream
-    (the availableNow drain used in tests, or a deduped source) when
-    exact counts matter; the batch path in ``_run_incremental_dedup``
-    is the replay-safe variant (it folds only confirmed-fresh rows)."""
-    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
-        corpus_census,
-        merge_census,
-    )
-
-    def fold(batch_df, batch_id):  # noqa: ARG001 — foreachBatch shape
-        spark = batch_df.sparkSession
-        fresh = corpus_census(batch_df, strata=strata)
-        try:
-            prior_rows = spark.read.parquet(census_path).collect()
-        except Exception:           # bootstrap: no census yet
-            prior_rows = []
-        if prior_rows:
-            prior = spark.createDataFrame(prior_rows, fresh.schema)
-            fresh = merge_census(prior, fresh)
-        rows = fresh.collect()      # materialize BEFORE the overwrite
-        spark.createDataFrame(rows, fresh.schema) \
-            .coalesce(1).write.mode("overwrite").parquet(census_path)
-
-    return foreach_batch_sink(docs, batch_fn=fold,
-                              checkpoint_dir=checkpoint_dir)
+    checkpoint dir, a ``<census_path>_meta`` high-water mark keyed by
+    the checkpoint identity makes replayed batches fold exactly once
+    (see :func:`census_fold` for the one-batch residual window);
+    without a checkpoint there is no stable batch numbering to key
+    on, so pair the sink with exactly-once upstream when exact counts
+    matter."""
+    return foreach_batch_sink(
+        docs,
+        batch_fn=census_fold(census_path, strata=strata,
+                             stream_id=checkpoint_dir),
+        checkpoint_dir=checkpoint_dir)

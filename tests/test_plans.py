@@ -683,8 +683,13 @@ def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
 
     p = parse_dataops_query(
         "tokenize the corpus and pack 32-token sequences, 50 merges")
+    # n_buckets None at parse time -> corpus-derived when the run
+    # counts the docs (a fixed parse-time default caps the packing
+    # shuffle's parallelism at any corpus size)
     assert p == {"target": "tokenize_pack", "seq_len": 32,
-                 "n_merges": 50, "n_buckets": 8, "eos": False}
+                 "n_merges": 50, "n_buckets": None, "eos": False}
+    assert parse_dataops_query(
+        "tokenize and pack 64-token sequences, 12 shards")["n_buckets"] == 12
     assert parse_dataops_query(
         "tokenise into sequences of 128")["seq_len"] == 128
     assert parse_dataops_query(
@@ -697,6 +702,9 @@ def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
         sf_dir, out)
     assert res["status"] == "complete"
     rep = res["reports"]
+    # the derived bucket count is reported (it is part of the packed
+    # output's deterministic identity); small fixture -> the floor
+    assert rep["plan"]["n_buckets"] == 8
     back = spark.read.parquet(out)
     assert back.count() == rep["n_sequences"] > 0
     rows = back.collect()
@@ -711,6 +719,61 @@ def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
     got = {(r["bucket"], r["seq_idx"]): list(r["input_ids"])
            for r in rows}
     assert got == want
+
+
+def test_pipeline_dataops_ann_search_target(spark, sf_dir, tmp_path):
+    """NL 'find the N nearest neighbors ... with an opq rotation'
+    routes to ann_search, lands exact-distance neighbor rows (self
+    matches removed, exactly k per query, verified against
+    brute-force squared-L2 top-k), and the report carries the OPQ
+    rotation's reconstruction-MSE delta — the plan-surface face of
+    ivfpq_topk(opq=True)."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    p = parse_dataops_query(
+        "find the 5 nearest neighbors for each document "
+        "with an opq rotation")
+    assert p == {"target": "ann_search", "k": 5, "opq": True}
+    assert parse_dataops_query(
+        "run a similarity search, top 3")["k"] == 3
+    assert parse_dataops_query(
+        "ann search over the corpus")["opq"] is False
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "ann")
+    res = pipe.run_dataops(
+        "find the 5 nearest neighbors for each document "
+        "with an opq rotation", sf_dir, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    # the MSE delta reaches the report; orthogonal rotation never
+    # hurts materially (allow small negative noise on tiny fixtures)
+    assert rep["opq"] is not None
+    assert rep["opq"]["mse_raw"] > 0
+    assert {"mse_raw", "mse_rotated", "mse_delta_pct"} <= set(rep["opq"])
+
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"q_id", "c_id", "dist", "rank"}
+    rows = back.collect()
+    assert rep["rows_written"] == len(rows)
+    # no self matches, exactly 5 per query
+    assert all(r["q_id"] != r["c_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in Catalog(spark, sf_dir).embeddings.collect()}
+    assert all(len(v) == 5 for v in per_q.values())
+    assert len(per_q) == len(emb)
+    # exact tier: reported dist is the TRUE squared L2
+    for r in rows[:50]:
+        want = float(((emb[r["q_id"]] - emb[r["c_id"]]) ** 2).sum())
+        assert abs(r["dist"] - want) < 1e-4
 
 
 def test_derive_n_clusters_scales_with_corpus():
@@ -728,6 +791,26 @@ def test_derive_n_clusters_scales_with_corpus():
     assert derive_n_clusters(1_000_000_000) == 500_000
     # target cluster size is the knob, not the count
     assert derive_n_clusters(1_000_000, target_cluster_size=10_000) == 100
+
+
+def test_derive_n_buckets_scales_with_corpus():
+    """Packing bucket count (== the packing shuffle's task count)
+    grows linearly with the corpus above the floor: a 10x bigger
+    corpus gets 10x the buckets, holding docs-per-bucket — and so
+    per-task wall clock — constant. A fixed count would walk 1/8th
+    of a 100x corpus per task while the rest of the cluster idles."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        derive_n_buckets,
+    )
+
+    assert derive_n_buckets(0) == 8             # floor
+    assert derive_n_buckets(5_000) == 8         # small corpus: floor
+    assert derive_n_buckets(80_000) == 20
+    assert derive_n_buckets(800_000) == 200     # 10x corpus -> 10x
+    assert derive_n_buckets(1_000_000_000) == 250_000
+    # an explicit shard count raises the floor so every shard draws
+    # from at least one packing stream
+    assert derive_n_buckets(100, floor=16) == 16
 
 
 def test_pipeline_dataops_corpus_diff_target(spark, sf_dir, tmp_path):

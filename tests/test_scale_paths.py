@@ -959,6 +959,29 @@ def test_corpus_moments_match_numpy(spark, sf_dir):
     assert np.allclose(cov, np.cov(X.T, bias=True), atol=1e-8)
 
 
+def test_corpus_moments_tree_reduce_single_row(spark, sf_dir):
+    """The moments tree-reduce folds to exactly ONE driver-side row
+    regardless of input partitioning (the 100-TB guarantee: the
+    collect is d² doubles, not n_partitions × d²), and the folded
+    moments match numpy at every partitioning and fanin."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings.limit(300)
+    X = np.stack([r["embedding"] for r in emb.collect()])
+    for parts, fanin in [(1, 64), (13, 64), (29, 2)]:
+        df = emb.repartition(parts)
+        rows = SIM.moment_partials(df, fanin=fanin).collect()
+        assert len(rows) == 1    # the tree always folds to one row
+        n2, mean2, cov2 = SIM.corpus_moments(df)
+        assert n2 == len(X)
+        assert np.allclose(mean2, X.mean(axis=0), atol=1e-9)
+        assert np.allclose(cov2, np.cov(X.T, bias=True), atol=1e-8)
+
+
 def test_opq_rotation_orthogonal_distance_preserving(spark, sf_dir):
     """R is orthogonal (distances exactly preserved), deterministic,
     and rotate_vectors applies it batch-wise."""

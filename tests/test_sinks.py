@@ -269,3 +269,31 @@ def test_compact_snapshot_collapses_small_files(spark, tmp_path):
     # source untouched (never in place)
     assert sorted(map(tuple,
                       spark.read.parquet(path).collect())) == rows_before
+
+
+def test_compact_snapshot_sizes_files_from_deduped_count(spark, tmp_path):
+    """File count targets the DEDUPED row count: a store holding 10
+    copies of each key compacts to ceil(distinct / target) files, not
+    10x that — sizing from the raw count would leave every file 90%
+    under-filled after the dropDuplicates collapse."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        compact_snapshot,
+    )
+    path = str(tmp_path / "dup_store")
+    # 10 copies of 600 keys = 6,000 raw rows, 600 distinct
+    df = spark.createDataFrame(
+        [(i, i * 7919) for _ in range(10) for i in range(600)],
+        "id long, key long")
+    df.write.mode("overwrite").parquet(path)
+
+    dest = str(tmp_path / "dup_compact")
+    rep = compact_snapshot(spark, path, dest, key_cols=["key"],
+                           target_rows_per_file=200)
+    assert rep["rows"] == 600
+    # raw-count sizing would ask for ceil(6000/200)=30 files; deduped
+    # sizing asks for ceil(600/200)=3
+    assert rep["files_after"] == 3
+    back = spark.read.parquet(dest)
+    assert back.count() == 600
+    assert sorted(r["key"] for r in back.collect()) == \
+        sorted(i * 7919 for i in range(600))

@@ -577,3 +577,51 @@ def test_streaming_census_sink_equals_batch_recompute(spark, tmp_path):
     want = sorted(map(tuple, corpus_census(all_rows).collect()))
     got = sorted(map(tuple, spark.read.parquet(census_path).collect()))
     assert got == want
+
+
+def test_census_fold_replayed_batch_folds_exactly_once(spark, tmp_path):
+    """Checkpoint-replay safety: re-invoking the fold with an
+    already-folded batch_id (Structured Streaming's at-least-once
+    window — foreachBatch reruns a batch whose commit never landed)
+    leaves the census unchanged; a NEW batch_id folds, and a different
+    stream identity (new checkpoint, restarted numbering) keeps its
+    own mark instead of skipping on the stale one."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        corpus_census,
+        merge_census,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    b0 = spark.createDataFrame(
+        [(i, f"w{i} body", f"l{i % 2}", "s0") for i in range(6)], schema)
+    b1 = spark.createDataFrame(
+        [(100 + i, "x y", "l2", "s1") for i in range(4)], schema)
+    census_path = str(tmp_path / "census")
+    fold = S.census_fold(census_path, stream_id="ckpt-A")
+
+    fold(b0, 0)
+    once = sorted(map(tuple, spark.read.parquet(census_path).collect()))
+    fold(b0, 0)                              # replay: skipped
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path).collect())) == once
+
+    fold(b1, 1)                              # fresh batch folds
+    want = sorted(map(tuple, merge_census(
+        corpus_census(b0), corpus_census(b1)).collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path).collect())) == want
+    fold(b1, 1)                              # replay of batch 1: skipped
+    fold(b0, 0)                              # late replay of batch 0: skipped
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path).collect())) == want
+
+    # a different stream identity restarts batch numbering: its batch 0
+    # must FOLD (the mark is per-stream), not skip on stream A's mark
+    b2 = spark.createDataFrame([(200, "q r", "l3", "s2")], schema)
+    fold_b = S.census_fold(census_path, stream_id="ckpt-B")
+    fold_b(b2, 0)
+    want2 = sorted(map(tuple, merge_census(
+        merge_census(corpus_census(b0), corpus_census(b1)),
+        corpus_census(b2)).collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path).collect())) == want2
