@@ -519,13 +519,14 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
                  rerank: int = 0, candidates: DataFrame | None = None,
                  q_id: str = "q_id", q_vec: str = "q_vec",
                  c_id: str = "c_id", c_vec: str = "c_vec",
-                 rotation: list | None = None) -> DataFrame:
+                 rotation: list | None = None,
+                 broadcast_queries: bool = True) -> DataFrame:
     """Search a prebuilt IVF-PQ index: each query ranks the coarse
     centers by SQUARED L2 (the metric ADC approximates — an IVF probe
     ranked by a different metric would probe the wrong lists), takes
     its ``n_probe`` nearest, and builds one residual lookup table per
-    probed list from (q − center). The tiny (|Q|·n_probe) probe frame
-    broadcasts into the codes join, ADC-scores only the probed lists,
+    probed list from (q − center). The (|Q|·n_probe) probe frame
+    joins into the codes scan, ADC-scores only the probed lists,
     pre-truncates per partition (:func:`_partition_topk`) and ranks.
     Output ``(q_id, c_id, adc, rank)``.
 
@@ -538,7 +539,19 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
 
     ``rotation`` must be the value the index was BUILT with: queries
     (and the rerank tier's true vectors) rotate into the index's
-    space; exact distances are unchanged (orthogonal R)."""
+    space; exact distances are unchanged (orthogonal R).
+
+    ``broadcast_queries`` picks the join strategy for every |Q|-sized
+    frame (the probe LUTs, the rerank shortlist, the rerank query
+    vectors). True — the default, right for interactive batches —
+    broadcasts them; each LUT row is m·k doubles, so a corpus-sized
+    query set (self-kNN) would ship |Q|·n_probe LUTs to every
+    executor and OOM. False runs those joins as SHUFFLE joins keyed
+    on ``__cluster``/``c_id``/``q_id`` — both sides exchange once,
+    nothing materializes per executor, which is the 100-TB-safe shape
+    when |Q| grows with the corpus. Same rows either way; only the
+    physical plan changes."""
+    _maybe_bc = F.broadcast if broadcast_queries else (lambda df: df)
     if rotation is not None:
         queries = rotate_vectors(queries, rotation, vec_col=q_vec)
         if candidates is not None:
@@ -561,7 +574,7 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
         F.zip_with(F.col("lut"), F.col("codes"),
                    lambda l, c: F.element_at(l, c + 1)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
-    scored = (coded.join(F.broadcast(probes), "__cluster")
+    scored = (coded.join(_maybe_bc(probes), "__cluster")
               .select("q_id", "c_id", adc.alias("adc")))
     keep = max(k, rerank)
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
@@ -577,8 +590,8 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
     shortlist = (candidates.select(F.col(c_id).alias("c_id"),
                                    F.col(c_vec).cast("array<double>")
                                    .alias("__cv"))
-                 .join(F.broadcast(ranked.select("q_id", "c_id")), "c_id")
-                 .join(F.broadcast(queries.select(
+                 .join(_maybe_bc(ranked.select("q_id", "c_id")), "c_id")
+                 .join(_maybe_bc(queries.select(
                      F.col(q_id).alias("q_id"), qd.alias("__qv"))), "q_id")
                  .withColumn("dist", F.round(_sq_l2(F.col("__qv"),
                                                     F.col("__cv")), 6)))

@@ -762,9 +762,13 @@ class Pipeline:
         # (dist 0 to itself), re-rank to k — every surviving row is a
         # TRUE squared-L2 neighbor
         k = plan["k"]
+        # self-kNN means |queries| == |corpus|: past a broadcastable
+        # size the |Q|-sized probe-LUT / rerank frames must SHUFFLE-
+        # join (keyed exchanges) instead of shipping to every executor
         hits = ivfpq_search(centers, books, coded, qry, k=k + 1,
                             n_probe=2, rerank=2 * (k + 1),
-                            candidates=cand, rotation=rotation)
+                            candidates=cand, rotation=rotation,
+                            broadcast_queries=n <= 100_000)
         from pyspark.sql import Window
         w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
                                                F.col("c_id").asc())

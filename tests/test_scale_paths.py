@@ -388,6 +388,36 @@ def test_ivfpq_recall_selfhit_and_rerank_tier(spark, sf_dir):
     assert sorted(map(tuple, rr_rows)) == sorted(map(tuple, again))
 
 
+def test_ivfpq_search_shuffle_join_parity(spark, sf_dir):
+    """broadcast_queries=False (the corpus-scale self-kNN shape where
+    |Q|-sized probe/rerank frames must shuffle-join instead of
+    shipping to every executor) returns exactly the same rows as the
+    broadcast default — only the physical join strategy changes."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    centers, books, coded = SIM.ivfpq_build(cands, n_clusters=8, m=8)
+    for rerank in (0, 30):
+        bc = SIM.ivfpq_search(centers, books, coded, queries, k=5,
+                              n_probe=3, rerank=rerank,
+                              candidates=cands).collect()
+        sh = SIM.ivfpq_search(centers, books, coded, queries, k=5,
+                              n_probe=3, rerank=rerank,
+                              candidates=cands,
+                              broadcast_queries=False).collect()
+        assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
+        assert len(bc) > 0
+
+
 def test_ivfpq_index_roundtrip_and_search_plan(spark, sf_dir, tmp_path):
     """The IVF-PQ index is plain data: centers + coded survive a
     parquet round-trip and a search against the RELOADED index (the
