@@ -873,3 +873,142 @@ def save_rotation(spark, rotation: list, path: str) -> None:
 def load_rotation(spark, path: str) -> list:
     rows = spark.read.parquet(path).orderBy("row_idx").collect()
     return [list(r["row"]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: encode new vectors against a FROZEN
+# IVF-PQ index (the epoch-N+1 story — mirrors the Bloom snapshot store
+# in operators/dedup.py: crawl epoch N+1 ships ONLY its new vectors;
+# the existing 100 TB of codes is never rescanned and the quantizers
+# are never retrained)
+# ---------------------------------------------------------------------------
+
+def ivfpq_assign(vectors: DataFrame, centers_df: DataFrame,
+                 vec_col: str = "c_vec") -> DataFrame:
+    """Assign each vector to its nearest coarse center by SQUARED L2
+    (the metric k-means itself assigns by, so assignment here matches
+    ``KMeans.transform`` on the same centers; ties break to the lower
+    ``__cluster`` id, numpy argmin's first-minimum scan order). The
+    centers collect to the driver once (n_clusters × d doubles —
+    index metadata, not data) and ship as a broadcast numpy matrix
+    into an Arrow-batched kernel: one GEMM per batch computes every
+    (vector, center) distance and argmins row-wise. The plan is
+    NARROW — no join, no window, no shuffle; a crossJoin+row_number
+    formulation would exchange n_rows × n_clusters rows keyed by a
+    per-row id, which is exactly the shape that dies at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centers_df.select("__cluster", "__center") \
+                     .orderBy("__cluster").collect()
+    ids = np.asarray([r["__cluster"] for r in rows], dtype=np.int32)
+    C = np.asarray([list(r["__center"]) for r in rows],
+                   dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast((ids, C, cn))
+
+    def _assign(s):
+        cids, cc, ccn = bc.value
+        X = np.stack(s.to_numpy())
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant
+        # per row so it can't change the argmin — skip it
+        d2 = ccn[None, :] - 2.0 * (X @ cc.T)
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
+    _assign.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    # IntegerType to match ivfpq_build's coded.__cluster (KMeans
+    # prediction column) — appended rows parquet-append cleanly
+    assign = F.pandas_udf(_assign, "int")
+    return vectors.withColumn(
+        "__cluster", assign(F.col(vec_col).cast("array<double>")))
+
+
+def ivfpq_append(centers_df: DataFrame, codebooks: list,
+                 new_candidates: DataFrame, c_id: str = "c_id",
+                 c_vec: str = "c_vec",
+                 rotation: list | None = None) -> DataFrame:
+    """Encode NEW vectors against a frozen IVF-PQ index: rotate into
+    the index's space (if it was built with OPQ), assign to the
+    nearest existing coarse center, PQ-code the residual with the
+    EXISTING codebooks. Returns ``(c_id, __cluster, codes)`` rows
+    shaped exactly like :func:`ivfpq_build`'s ``coded`` — append them
+    to the stored codes parquet and later searches see the new
+    vectors with zero retraining and zero rescan of the old corpus.
+
+    Cost is one narrow Arrow assign kernel + one broadcast join (the
+    residual's center lookup) over ONLY the new batch. The approximation contract is unchanged — codes from this
+    path are bit-identical to what ``ivfpq_build`` would emit for the
+    same vector under the same centers/codebooks (pinned by
+    ``test_ivfpq_append_parity``). Quantizer drift is the operator's
+    honest caveat: if the new epoch's distribution shifts far from
+    the training corpus, residuals grow and ADC loosens — monitor
+    with :func:`pq_reconstruction_mse` on a sample and rebuild when
+    it degrades, exactly like the Bloom store refits past capacity."""
+    if rotation is not None:
+        new_candidates = rotate_vectors(new_candidates, rotation,
+                                        vec_col=c_vec)
+    assigned = ivfpq_assign(new_candidates, centers_df, vec_col=c_vec)
+    resid = (assigned.join(F.broadcast(centers_df), "__cluster")
+             .withColumn("__resid", F.zip_with(
+                 F.col(c_vec).cast("array<double>"),
+                 F.col("__center").cast("array<double>"),
+                 lambda x, c: x - c)))
+    return resid.select(F.col(c_id).alias("c_id"), "__cluster",
+                        pq_codes(F.col("__resid"), codebooks).alias("codes"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination: the semantic complement of the
+# n-gram contamination_pairs/decontaminate in operators/dedup.py —
+# catches paraphrased benchmark leakage that shares no 8-gram
+# ---------------------------------------------------------------------------
+
+def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.9,
+                           bits: int = 6) -> DataFrame:
+    """Cross-frame cosine-threshold pairs ``(id_a, id_b, cos)`` —
+    ``id_a`` from the corpus, ``id_b`` from the benchmark — via the
+    same sign-bucket blocking as :func:`cosine_neardup_pairs`: both
+    sides bucket on the sign pattern of their first ``bits``
+    coordinates, exact cosine only within a bucket. At 100 TB the
+    benchmark side is tiny (eval sets are thousands of rows) so its
+    bucketed form broadcasts; the corpus side streams through one
+    broadcast hash join — no corpus shuffle, no pair explosion
+    (pairs are bucket-local). Same recall caveat as every sign-LSH
+    blocker: a near-dup pair straddling a sign flip in the first
+    ``bits`` dims is missed; lower ``bits`` to trade cost for
+    recall."""
+    def _side(df, out):
+        return df.select(
+            F.col(id_col).alias(out),
+            F.col(vec_col).cast("array<double>").alias(f"__v_{out}"),
+            sign_bucket(F.col(vec_col), bits).alias("__bucket"),
+            l2norm(F.col(vec_col).cast("array<double>"))
+            .alias(f"__n_{out}"))
+    cx = _side(corpus, "id_a")
+    bx = _side(benchmark, "id_b")
+    pairs = (cx.join(F.broadcast(bx), "__bucket")
+             .select("id_a", "id_b",
+                     F.round(cosine_prenormed(
+                         F.col("__v_id_a"), F.col("__v_id_b"),
+                         F.col("__n_id_a"), F.col("__n_id_b")), 6)
+                     .alias("cos")))
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.9,
+                           bits: int = 6) -> DataFrame:
+    """Drop corpus rows whose embedding is ≥ ``threshold`` cosine to
+    ANY benchmark vector: :func:`semantic_contamination` distinct'd
+    to flagged ids, then one left-anti join (broadcast — the flagged
+    set is bounded by the benchmark's neighborhood, not the corpus)."""
+    flagged = (semantic_contamination(corpus, benchmark, id_col,
+                                      vec_col, threshold, bits)
+               .select(F.col("id_a").alias(id_col)).distinct())
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

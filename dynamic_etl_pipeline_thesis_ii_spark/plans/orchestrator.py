@@ -315,6 +315,8 @@ class Pipeline:
             return self._run_tokenize_pack(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
+        if plan["target"] == "decontaminate":
+            return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "ann_search":
             return self._run_ann_search(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
@@ -705,6 +707,71 @@ class Pipeline:
                 "reports": {"plan": dict(plan),
                             "rows_in": n_in, "rows_kept": n_out}}
 
+    def _run_decontaminate(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'decontaminate the corpus against the benchmark at /path':
+        drop corpus rows that leak benchmark content, surviving rows
+        land at the sink with an in/kept/flagged report.
+
+        Two modes, picked by the query: the default n-gram path
+        (:func:`operators.dedup.decontaminate` — k-word shingle
+        overlap, the GPT-3-style 13-gram decontamination shape; 'min
+        overlap N' tunes the floor) runs documents-vs-documents; a
+        'semantically' / 'by embedding' mention swaps in
+        :func:`operators.similarity.semantic_decontaminate`
+        (sign-bucket-blocked cosine over the embeddings table;
+        'threshold 0.9' tunes the cut) — the paraphrase-robust
+        complement that catches leakage sharing no n-gram.
+
+        Scale shape is identical in both modes: the benchmark side is
+        eval-set-sized and BROADCASTS into one join against the
+        streaming corpus scan — no corpus shuffle; the flagged-id set
+        (bounded by the benchmark's neighborhood) broadcasts into the
+        anti-join."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            contamination_pairs,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            semantic_contamination,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("benchmark_path"):
+            return {"status": "rejected",
+                    "reason": "decontamination needs a benchmark path "
+                              "('... against the benchmark at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        bench = self.spark.read.parquet(plan["benchmark_path"])
+        if plan["semantic"]:
+            corpus = Catalog(self.spark, source_dir).embeddings
+            pairs = semantic_contamination(
+                corpus, bench, threshold=plan["threshold"])
+            flagged = (pairs.select(F.col("id_a").alias("vec_id"))
+                       .distinct())
+            kept = corpus.join(F.broadcast(flagged), "vec_id",
+                               "left_anti")
+        else:
+            corpus = Catalog(self.spark, source_dir).documents
+            pairs = contamination_pairs(
+                corpus, bench, k=5, min_overlap=plan["min_overlap"])
+            flagged = (pairs.select(F.col("id_a").alias("doc_id"))
+                       .distinct())
+            kept = corpus.join(F.broadcast(flagged), "doc_id",
+                               "left_anti")
+        n_in = corpus.count()
+        n_flagged = flagged.count()
+        self.progress("decontaminate", {"params": dict(plan),
+                                        "flagged": n_flagged})
+        kept.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()  # read-back
+        self.progress("publish", {"rows": n_out, "path": output_path})
+        return {"status": "complete", "outputs": [kept],
+                "reports": {"plan": dict(plan), "rows_in": n_in,
+                            "rows_flagged": n_flagged,
+                            "rows_kept": n_out}}
+
     def _run_ann_search(self, plan: dict, source_dir: str,
                         output_path: str) -> dict:
         """'find the 10 nearest neighbors for each document, with an
@@ -898,7 +965,7 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "census", "corpus stat", "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
-                  "ann search")
+                  "ann search", "decontaminat", "contamination")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -950,6 +1017,14 @@ _SEQ_LEN_RE = re.compile(
     r"\b(?:sequence|seq|context)s?(?:\s+length)?(?:\s+of)?\s+(\d+)\b")
 _SHARDS_RE = re.compile(r"\b(\d+)\s+shards?\b")
 _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
+# 'decontaminate the corpus against the benchmark at /path';
+# 'semantically' / 'by embedding' opts into the embedding-space path
+_DECONTAM_TARGET_RE = re.compile(r"\bdecontaminat|\bcontamination\b")
+_BENCH_PATH_RE = re.compile(
+    r"\b(?:benchmark|eval(?:uation)?\s+set|test\s+set)s?\s+"
+    r"(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+_OVERLAP_RE = re.compile(
+    r"\b(?:min(?:imum)?\s+)?overlap\s+(?:of\s+)?(\d+)\b")
 
 
 def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
@@ -986,7 +1061,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Eleven targets, matched in
+    the query carries no dataops intent. Twelve targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -1000,6 +1075,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``corpus_census`` — 'census the corpus' / 'report corpus
       statistics' (mergeable per-stratum doc/token/char counts —
       the standalone face of the snapshot-store telemetry);
+    - ``decontaminate`` — 'decontaminate the corpus against the
+      benchmark at <path>' (n-gram shingle-overlap removal by
+      default; 'semantically' / 'by embedding' swaps in the
+      cosine-threshold path over the embeddings table; requires a
+      benchmark path, rejected with an actionable reason without
+      one);
     - ``tokenize_pack`` — 'tokenize the corpus and pack 512-token
       sequences' (train BPE → encode to ids → fixed-length
       input_ids rows; optional 'N merges', 'N shards' for the
@@ -1055,6 +1136,15 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "crawl_path": m.group(1) if m else None}
     if _CENSUS_TARGET_RE.search(ql):
         return {"target": "corpus_census"}
+    if _DECONTAM_TARGET_RE.search(ql):
+        m = _BENCH_PATH_RE.search(query)   # paths keep their case
+        thr = (float(t.group(1))
+               if (t := _SEM_THRESHOLD_RE.search(ql)) else 0.95)
+        ov = int(t.group(1)) if (t := _OVERLAP_RE.search(ql)) else 3
+        return {"target": "decontaminate",
+                "benchmark_path": m.group(1) if m else None,
+                "semantic": bool(_SEMANTIC_TARGET_RE.search(ql)),
+                "threshold": thr, "min_overlap": ov}
     if _TOKENIZE_TARGET_RE.search(ql):
         seq = int(m.group(1)) if (m := _SEQ_LEN_RE.search(ql)) else None
         if seq is None:  # '512-token sequences' phrasing

@@ -586,6 +586,69 @@ def q_dedup_contamination(spark, sf_dir):
     return D.contamination_pairs(corpus, bench, k=5, min_overlap=3)
 
 
+def _semantic_contam_corpora(spark, sf_dir):
+    """Embedding-space twin of :func:`_contam_corpora`: benchmark =
+    every 7th embedding; corpus = the rest ∪ planted scaled copies
+    (×1.001 — cosine to the source is exactly 1) of every 21st vector
+    under shifted ids. Deterministic, oracle-reproducible."""
+    emb = Catalog(spark, sf_dir).embeddings
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    planted = (emb.filter(F.col("vec_id") % 21 == 0)
+               .select((F.col("vec_id") + 500000).alias("vec_id"),
+                       F.transform(F.col("embedding").cast("array<double>"),
+                                   lambda x: x * 1.001).alias("embedding")))
+    corpus = (emb.filter(F.col("vec_id") % 7 != 0)
+              .select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+              .unionByName(planted))
+    return corpus, bench
+
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (operators/similarity.py
+    semantic_contamination/semantic_decontaminate): 'pair' rows are
+    the cross-frame cosine hits, 'kept' rows the corpus ids that
+    survive the anti-join."""
+    corpus, bench = _semantic_contam_corpora(spark, sf_dir)
+    pairs = S.semantic_contamination(corpus, bench, threshold=0.95)
+    kept = S.semantic_decontaminate(corpus, bench, threshold=0.95)
+    return (pairs.withColumn("kind", F.lit("pair"))
+            .unionByName(kept.select(
+                F.col("vec_id").alias("id_a"),
+                F.lit(None).cast("long").alias("id_b"),
+                F.lit(None).cast("double").alias("cos"),
+                F.lit("kept").alias("kind"))))
+
+
+def _sql_semantic_decontam(threshold: float = 0.95) -> str:
+    return f"""
+WITH bench AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 <> 0
+  UNION ALL
+  SELECT vec_id + 500000, list_transform(embedding::DOUBLE[], x -> x * 1.001)
+  FROM embeddings WHERE vec_id % 21 = 0
+),
+cb AS (SELECT vec_id AS id_a, v, {_SQL_BUCKET} AS bucket FROM corpus),
+bb AS (SELECT vec_id AS id_b, v, {_SQL_BUCKET} AS bucket FROM bench),
+p AS (
+  SELECT cb.id_a, bb.id_b,
+         round(list_dot_product(cb.v, bb.v) /
+               (sqrt(list_dot_product(cb.v, cb.v)) *
+                sqrt(list_dot_product(bb.v, bb.v))), 6) AS cos
+  FROM cb JOIN bb ON cb.bucket = bb.bucket
+),
+hits AS (SELECT * FROM p WHERE cos >= {threshold})
+SELECT id_a, id_b, cos, 'pair' AS kind FROM hits
+UNION ALL
+SELECT c.vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'kept'
+FROM corpus c
+WHERE c.vec_id NOT IN (SELECT id_a FROM hits)
+"""
+
+
 def _sql_contamination(k: int = 5, min_overlap: int = 3,
                        max_bench_df: int = 100) -> str:
     # Mirrors contamination_pairs: benchmark-side df cap, equi-join on
@@ -618,10 +681,13 @@ HAVING count(*) >= {min_overlap}
 # ---------------------------------------------------------------------------
 
 def q_dedup_neardup_pairs(spark, sf_dir):
-    """All five near-dup/overlap detectors (MinHash-LSH, SimHash,
-    n-gram Jaccard, embedding-cosine, benchmark contamination) in one
-    tagged union — one registry entry covering D2/D3/D4/N3/D7; each
-    branch is the unchanged single-method pipeline."""
+    """All the near-dup/overlap detectors (MinHash-LSH, SimHash,
+    n-gram Jaccard, embedding-cosine, n-gram benchmark contamination,
+    embedding-space semantic decontamination) in one tagged union —
+    one registry entry covering D2/D3/D4/N3/D7/D13; each branch is
+    the unchanged single-method pipeline. The semantic arm carries
+    both its 'pair' hits and its 'semantic_kept' survivors so the
+    anti-join end of semantic_decontaminate is oracle-checked too."""
     null_metric = F.lit(None).cast("double").alias("metric")
     # minhash and jaccard both consume k=3 shingles of the same corpus:
     # explode + NGram once, persist (tracked — harnesses release via
@@ -645,7 +711,12 @@ def q_dedup_neardup_pairs(spark, sf_dir):
     ct = (q_dedup_contamination(spark, sf_dir)
           .select(F.lit("contam").alias("method"), "id_a", "id_b",
                   F.col("overlap").cast("double").alias("metric")))
-    return mh.unionByName(sh).unionByName(ja).unionByName(em).unionByName(ct)
+    sd = (q_semantic_decontam(spark, sf_dir)
+          .select(F.when(F.col("kind") == "pair", F.lit("semantic"))
+                  .otherwise(F.lit("semantic_kept")).alias("method"),
+                  "id_a", "id_b", F.col("cos").alias("metric")))
+    return (mh.unionByName(sh).unionByName(ja).unionByName(em)
+            .unionByName(ct).unionByName(sd))
 
 
 def _sql_neardup_pairs() -> str:
@@ -660,6 +731,10 @@ UNION ALL
 SELECT 'embedding', id_a, id_b, cos::DOUBLE FROM ({ORACLE_EMBEDDING_NEARDUP})
 UNION ALL
 SELECT 'contam', id_a, id_b, overlap::DOUBLE FROM ({_sql_contamination()})
+UNION ALL
+SELECT CASE WHEN kind = 'pair' THEN 'semantic' ELSE 'semantic_kept' END,
+       id_a, id_b, cos::DOUBLE
+FROM ({_sql_semantic_decontam()})
 """
 
 

@@ -1435,3 +1435,88 @@ def test_pipeline_dataops_incremental_dedup(spark, sf_dir, tmp_path):
         "dedup the batch against the previous snapshot", sf_dir,
         str(tmp_path / "never"))
     assert none["status"] == "rejected" and "snapshot path" in none["reason"]
+
+
+def test_parse_dataops_decontaminate_target():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    p = parse_dataops_query(
+        "decontaminate the training corpus against the benchmark at "
+        "/data/bench, min overlap 4")
+    assert p == {"target": "decontaminate",
+                 "benchmark_path": "/data/bench", "semantic": False,
+                 "threshold": 0.95, "min_overlap": 4}
+    s = parse_dataops_query(
+        "semantically decontaminate the corpus against the eval set "
+        "at s3://b/eval with a threshold of 0.9")
+    assert s["target"] == "decontaminate" and s["semantic"]
+    assert s["benchmark_path"] == "s3://b/eval"
+    assert s["threshold"] == 0.9
+    # no path -> target recognized, path None (orchestrator rejects)
+    n = parse_dataops_query("remove benchmark contamination from the "
+                            "training data")
+    assert n["target"] == "decontaminate"
+    assert n["benchmark_path"] is None
+    # 'semantically dedup' (no contamination words) still routes to
+    # semantic_dedup, not decontaminate
+    d = parse_dataops_query("semantically dedup the corpus")
+    assert d["target"] == "semantic_dedup"
+
+
+def test_pipeline_dataops_decontaminate(spark, sf_dir, tmp_path):
+    """NL -> decontaminate, both modes: the n-gram path drops exactly
+    the docs operators.dedup.decontaminate drops; the semantic path
+    drops exactly the ids semantic_decontaminate drops (planted
+    scaled copies of benchmark vectors all flagged); missing path
+    rejects with an actionable reason."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        decontaminate,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    docs = Catalog(spark, sf_dir).documents
+
+    # n-gram mode: benchmark = every 13th doc, written as parquet
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    bpath = str(tmp_path / "bench_docs")
+    bench.write.parquet(bpath)
+    out = str(tmp_path / "kept_docs")
+    res = pipe.run_dataops(
+        f"decontaminate the training corpus against the benchmark at "
+        f"{bpath}, min overlap 3", sf_dir, out)
+    assert res["status"] == "complete"
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    expect = {r["doc_id"] for r in
+              decontaminate(docs, bench, k=5, min_overlap=3).collect()}
+    assert kept == expect
+    assert res["reports"]["rows_kept"] == len(expect)
+    assert res["reports"]["rows_in"] == docs.count()
+    assert res["reports"]["rows_flagged"] > 0  # bench docs ARE in corpus
+
+    # semantic mode over embeddings
+    emb = Catalog(spark, sf_dir).embeddings
+    ebench = emb.filter(F.col("vec_id") % 7 == 0)
+    epath = str(tmp_path / "bench_emb")
+    ebench.write.parquet(epath)
+    eout = str(tmp_path / "kept_emb")
+    res2 = pipe.run_dataops(
+        f"semantically decontaminate the corpus against the benchmark "
+        f"at {epath} with a threshold of 0.95", sf_dir, eout)
+    assert res2["status"] == "complete"
+    kept2 = {r["vec_id"] for r in spark.read.parquet(eout).collect()}
+    expect2 = {r["vec_id"] for r in
+               semantic_decontaminate(emb, ebench,
+                                      threshold=0.95).collect()}
+    assert kept2 == expect2
+    assert res2["reports"]["rows_flagged"] >= ebench.count()
+
+    # missing path -> actionable rejection
+    bad = pipe.run_dataops("decontaminate the corpus against the "
+                           "benchmark", sf_dir, str(tmp_path / "never"))
+    assert bad["status"] == "rejected"
+    assert "benchmark path" in bad["reason"]

@@ -1131,3 +1131,121 @@ def test_ivfpq_opq_same_exact_tier_and_adc_gain(spark):
                for q, v in firsts.items())
     assert sorted((r["q_id"], r["c_id"], r["rank"]) for r in rr_opq) == \
         sorted((r["q_id"], r["c_id"], r["rank"]) for r in rr_raw)
+
+
+def test_ivfpq_append_parity_and_search(spark, sf_dir, tmp_path):
+    """Epoch-N+1 index maintenance: encoding vectors against a FROZEN
+    index via ivfpq_append is bit-identical to what ivfpq_build coded
+    for the same vectors (assignment matches KMeans.transform, codes
+    match pq_codes), the appended rows parquet-append onto the stored
+    codes with the same schema, a search over the combined store
+    surfaces the new vectors, and the assign kernel's plan is NARROW
+    (no Exchange — this is the no-shuffle contract that lets epoch
+    N+1 cost only its own batch)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    old = emb.filter(F.col("vec_id") % 5 != 0) \
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_vec"))
+    new = emb.filter(F.col("vec_id") % 5 == 0) \
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_vec"))
+    centers, books, coded = SIM.ivfpq_build(old, n_clusters=8, m=4, k=8)
+
+    # 1. parity: re-encoding the OLD vectors through the append path
+    # reproduces the build's codes exactly
+    re_coded = SIM.ivfpq_append(centers, books, old)
+    a = sorted((r["c_id"], r["__cluster"], tuple(r["codes"]))
+               for r in coded.collect())
+    b = sorted((r["c_id"], r["__cluster"], tuple(r["codes"]))
+               for r in re_coded.collect())
+    assert a == b
+
+    # 2. the assign kernel is narrow: no Exchange anywhere in its plan
+    appended = SIM.ivfpq_append(centers, books, new)
+    plan = appended._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+    # 3. store append: same schema, parquet append mode round-trips
+    store = str(tmp_path / "codes")
+    coded.write.parquet(store)
+    assert [f.name for f in appended.schema.fields] == \
+           [f.name for f in coded.schema.fields]
+    appended.write.mode("append").parquet(store)
+    combined = spark.read.parquet(store)
+    assert combined.count() == coded.count() + appended.count()
+
+    # 4. a search over the combined store finds the appended vectors:
+    # each new vector queried against the store must return itself at
+    # rank 1 once the exact rerank tier resolves ADC ties
+    allv = emb.select(F.col("vec_id").alias("c_id"),
+                      F.col("embedding").alias("c_vec"))
+    qs = (emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 50))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    hits = SIM.ivfpq_search(centers, books, combined, qs, k=1,
+                            n_probe=3, rerank=10, candidates=allv)
+    top = {r["q_id"]: r["c_id"] for r in hits.filter(F.col("rank") == 1)
+           .collect()}
+    assert len(top) == qs.count()
+    assert all(q == c for q, c in top.items())
+
+    # 5. OPQ-rotated index: append with the same rotation reproduces
+    # the rotated build's codes
+    R = SIM.opq_rotation(emb.limit(200), m=4)
+    c2, b2, co2 = SIM.ivfpq_build(old, n_clusters=8, m=4, k=8,
+                                  rotation=R)
+    re2 = SIM.ivfpq_append(c2, b2, old, rotation=R)
+    x = sorted((r["c_id"], r["__cluster"], tuple(r["codes"]))
+               for r in co2.collect())
+    y = sorted((r["c_id"], r["__cluster"], tuple(r["codes"]))
+               for r in re2.collect())
+    assert x == y
+
+
+def test_semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination: planted near-copies of
+    benchmark vectors (tiny perturbation — same sign bucket, cosine
+    ~1) are flagged and dropped; unrelated corpus rows survive; the
+    corpus side of the plan joins the bucketed benchmark by BROADCAST
+    (benchmark is eval-set-sized, corpus is the 100 TB side)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    clean = emb.filter(F.col("vec_id") % 7 != 0)
+    # plant: perturbed copies of benchmark vectors under corpus ids
+    leaked = bench.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.001).alias("embedding"))
+    corpus = clean.select("vec_id",
+                          F.col("embedding").cast("array<double>")
+                          .alias("embedding")).unionByName(leaked)
+
+    pairs = SIM.semantic_contamination(corpus, bench, threshold=0.95)
+    flagged = {r["id_a"] for r in pairs.collect()}
+    planted = {r["vec_id"] for r in leaked.collect()}
+    # scaling a vector leaves cosine == 1 exactly: every plant flagged
+    assert planted <= flagged
+
+    kept = SIM.semantic_decontaminate(corpus, bench, threshold=0.95)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert planted.isdisjoint(kept_ids)
+    assert kept_ids <= {r["vec_id"] for r in corpus.collect()}
+    # unrelated rows survive (sf corpus vectors are random — nothing
+    # should sit at >=0.95 cosine to a benchmark vector by chance)
+    assert len(kept_ids) >= clean.count() * 0.9
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
