@@ -1012,3 +1012,48 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                                       vec_col, threshold, bits)
                .select(F.col("id_a").alias(id_col)).distinct())
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def save_ivfpq_index(spark, centers_df: DataFrame, codebooks: list,
+                     coded: DataFrame, path: str,
+                     rotation: list | None = None) -> None:
+    """Persist a complete IVF-PQ index store as plain parquet under
+    ``path`` — ``centers/`` (coarse quantizer), ``books/`` (PQ
+    codebooks as (m_idx, k_idx, centroid) rows), ``codes/`` (the only
+    per-vector state), ``rotation/`` (optional OPQ matrix). Everything
+    is data, no pickle: any Spark (or non-Spark parquet) reader
+    reloads it, and the codes dir is the append point for
+    :func:`ivfpq_append` output — epoch N+1 writes mode('append')
+    there and the index serves the union."""
+    centers_df.write.mode("overwrite").parquet(path + "/centers")
+    rows = [(m, j, [float(x) for x in c])
+            for m, book in enumerate(codebooks)
+            for j, c in enumerate(book)]
+    spark.createDataFrame(
+        rows, "m_idx int, k_idx int, centroid array<double>") \
+        .write.mode("overwrite").parquet(path + "/books")
+    coded.write.mode("overwrite").parquet(path + "/codes")
+    if rotation is not None:
+        save_rotation(spark, rotation, path + "/rotation")
+
+
+def load_ivfpq_index(spark, path: str):
+    """Reload a :func:`save_ivfpq_index` store. Returns
+    ``(centers_df, codebooks, coded, rotation)`` — rotation is None
+    when the index was built without OPQ. The codebooks are driver
+    lists (index metadata: m·k·dsub doubles); centers and codes stay
+    DataFrames."""
+    centers = spark.read.parquet(path + "/centers")
+    brows = spark.read.parquet(path + "/books") \
+                 .orderBy("m_idx", "k_idx").collect()
+    books: list = []
+    for r in brows:
+        if r["m_idx"] == len(books):
+            books.append([])
+        books[r["m_idx"]].append(list(r["centroid"]))
+    coded = spark.read.parquet(path + "/codes")
+    try:
+        rotation = load_rotation(spark, path + "/rotation")
+    except Exception:
+        rotation = None
+    return centers, books, coded, rotation

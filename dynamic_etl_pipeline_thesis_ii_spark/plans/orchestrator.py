@@ -319,6 +319,12 @@ class Pipeline:
             return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "ann_search":
             return self._run_ann_search(plan, source_dir, output_path)
+        if plan["target"] == "ann_index_build":
+            return self._run_ann_index_build(plan, source_dir,
+                                             output_path)
+        if plan["target"] == "ann_index_append":
+            return self._run_ann_index_append(plan, source_dir,
+                                              output_path)
         if plan["target"] == "dsir_select":
             return self._run_dsir_select(plan, source_dir, output_path)
         if plan["target"] == "temperature_mix":
@@ -850,6 +856,104 @@ class Pipeline:
                             "n_clusters": n_clusters,
                             "opq": opq_report, "rows_written": n_out}}
 
+    def _run_ann_index_build(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'build an ann index over the embeddings, 64 lists, with an
+        opq rotation': fit the IVF-PQ index once and persist the
+        complete store (centers/books/codes/rotation, plain parquet —
+        :func:`operators.similarity.save_ivfpq_index`) at the output.
+        Later query batches search the RELOADED store and later
+        epochs grow it via the append target — build is the expensive
+        step at 100 TB and happens exactly once. When the query names
+        no list count it derives as sqrt(n) (the standard IVF sizing
+        curve: probe cost |Q|·n_probe·n/lists stays bounded)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ivfpq_build,
+            opq_rotation,
+            save_ivfpq_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        emb = Catalog(self.spark, source_dir).embeddings
+        n = emb.count()
+        n_lists = plan["n_lists"] or max(16, int(n ** 0.5))
+        rotation = (opq_rotation(emb, vec_col="embedding", m=4)
+                    if plan["opq"] else None)
+        cand = emb.select(F.col("vec_id").alias("c_id"),
+                          F.col("embedding").alias("c_vec"))
+        centers, books, coded = ivfpq_build(
+            cand, n_clusters=n_lists, m=4, rotation=rotation)
+        self.progress("build_index", {"params": dict(plan),
+                                      "n_lists": n_lists})
+        save_ivfpq_index(self.spark, centers, books, coded,
+                         output_path, rotation=rotation)
+        n_codes = self.spark.read.parquet(
+            output_path + "/codes").count()       # read-back
+        self.progress("publish", {"rows": n_codes, "path": output_path})
+        return {"status": "complete", "outputs": [coded],
+                "reports": {"plan": dict(plan), "n_vectors": n,
+                            "n_lists": n_lists, "m": 4,
+                            "opq": rotation is not None,
+                            "codes_written": n_codes}}
+
+    def _run_ann_index_append(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'append the new vectors to the index at /path': the ANN
+        epoch-N+1 step, twin of the Bloom snapshot reload in
+        `_run_incremental_dedup` — the source dir's embeddings encode
+        against the FROZEN store (existing centers/books/rotation, no
+        retrain, no rescan of the old corpus;
+        :func:`operators.similarity.ivfpq_append`) and the new codes
+        parquet-APPEND into the store's codes dir (append only adds
+        files through the commit protocol — a failed job leaves the
+        store intact). The batch's own codes also land at the run's
+        output for lineage. The report carries before/appended/after
+        counts, with `after` from a read-back of the grown store."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ivfpq_append,
+            load_ivfpq_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("index_path"):
+            return {"status": "rejected",
+                    "reason": "index append needs an index path "
+                              "('... to the index at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            centers, books, coded, rotation = load_ivfpq_index(
+                self.spark, plan["index_path"])
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no loadable index store at "
+                              f"{plan['index_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        n_before = coded.count()
+        batch = Catalog(self.spark, source_dir).embeddings.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"))
+        appended = ivfpq_append(centers, books, batch,
+                                rotation=rotation)
+        appended.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)   # read-back
+        n_appended = back.count()
+        self.progress("append_index", {"params": dict(plan),
+                                       "appended": n_appended})
+        back.write.mode("append").parquet(plan["index_path"] + "/codes")
+        n_after = self.spark.read.parquet(
+            plan["index_path"] + "/codes").count()
+        self.progress("publish", {"rows": n_appended,
+                                  "path": plan["index_path"]})
+        return {"status": "complete", "outputs": [appended],
+                "reports": {"plan": dict(plan),
+                            "codes_before": n_before,
+                            "codes_appended": n_appended,
+                            "codes_after": n_after}}
+
     def _run_temperature_mix(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
         """'flatten the language mix with temperature 0.5': alpha
@@ -965,7 +1069,12 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "census", "corpus stat", "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
-                  "ann search", "decontaminat", "contamination")
+                  "ann search", "decontaminat", "contamination",
+                  "ann index", "vector index", "ivf",
+                  # append-to-store phrasings name only 'the index';
+                  # scoped phrases so finance queries ('the S&P
+                  # index') can't leak into the dataops router
+                  "to the index", "index at ")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -1025,6 +1134,17 @@ _BENCH_PATH_RE = re.compile(
     r"(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _OVERLAP_RE = re.compile(
     r"\b(?:min(?:imum)?\s+)?overlap\s+(?:of\s+)?(\d+)\b")
+# 'build an ann index over the embeddings, 64 lists' /
+# 'append the new vectors to the index at /path'
+_ANN_INDEX_BUILD_RE = re.compile(
+    r"\b(?:build|create|fit)\b[^.]*\b(?:ann|ivf(?:-?pq)?|vector)\s+"
+    r"index\b|\bindex\s+the\s+embeddings\b")
+_ANN_INDEX_APPEND_RE = re.compile(
+    r"\b(?:append|add)\b[^.]*\bto\s+the\s+"
+    r"(?:ann\s+|ivf(?:-?pq)?\s+|vector\s+)?index\b")
+_INDEX_PATH_RE = re.compile(
+    r"\bindex\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+_LISTS_RE = re.compile(r"\b(\d+)\s+(?:lists|inverted lists)\b")
 
 
 def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
@@ -1061,7 +1181,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Twelve targets, matched in
+    the query carries no dataops intent. Fourteen targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -1085,6 +1205,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       sequences' (train BPE → encode to ids → fixed-length
       input_ids rows; optional 'N merges', 'N shards' for the
       bucket count);
+    - ``ann_index_append`` — 'append the new vectors to the index at
+      <path>' (epoch-N+1 encode against the frozen store, codes
+      parquet-append; requires an index path);
+    - ``ann_index_build`` — 'build an ann index over the embeddings,
+      64 lists, with an opq rotation' (fit once, persist the complete
+      centers/books/codes/rotation store; list count derives as
+      sqrt(n) when unnamed);
     - ``ann_search`` — 'find the 10 nearest neighbors' / 'similarity
       search' (IVF-PQ self-kNN over the embeddings table with exact
       rerank; 'with an opq rotation' opts into the parametric OPQ
@@ -1160,6 +1287,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 # 'with an eos separator' reserves the id just past
                 # the vocab for the per-document delimiter
                 "eos": "eos" in ql or "separator" in ql}
+    if _ANN_INDEX_APPEND_RE.search(ql):
+        m = _INDEX_PATH_RE.search(query)   # paths keep their case
+        return {"target": "ann_index_append",
+                "index_path": m.group(1) if m else None}
+    if _ANN_INDEX_BUILD_RE.search(ql):
+        nl = int(m.group(1)) if (m := _LISTS_RE.search(ql)) else None
+        return {"target": "ann_index_build", "n_lists": nl,
+                "opq": "opq" in ql or "rotation" in ql}
     if _ANN_TARGET_RE.search(ql):
         k = 10
         if m := _ANN_K_RE.search(ql):

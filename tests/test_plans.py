@@ -1520,3 +1520,117 @@ def test_pipeline_dataops_decontaminate(spark, sf_dir, tmp_path):
                            "benchmark", sf_dir, str(tmp_path / "never"))
     assert bad["status"] == "rejected"
     assert "benchmark path" in bad["reason"]
+
+
+def test_parse_dataops_ann_index_targets():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    b = parse_dataops_query("build an ann index over the embeddings, "
+                            "32 lists, with an opq rotation")
+    assert b == {"target": "ann_index_build", "n_lists": 32,
+                 "opq": True}
+    d = parse_dataops_query("create a vector index for similarity "
+                            "search")
+    assert d == {"target": "ann_index_build", "n_lists": None,
+                 "opq": False}
+    a = parse_dataops_query("append the new vectors to the index at "
+                            "/data/annidx")
+    assert a == {"target": "ann_index_append",
+                 "index_path": "/data/annidx"}
+    n = parse_dataops_query("add the batch to the ann index")
+    assert n["target"] == "ann_index_append"
+    assert n["index_path"] is None
+    # plain search phrasing still routes to ann_search
+    s = parse_dataops_query("find the 5 nearest neighbors for each "
+                            "document")
+    assert s["target"] == "ann_search" and s["k"] == 5
+
+
+def test_pipeline_dataops_ann_index_build_append(spark, sf_dir, tmp_path):
+    """NL -> ann_index_build then ann_index_append: the store
+    round-trips (books/rotation exact), search over the RELOADED
+    store matches a fresh in-memory build, append grows the codes dir
+    by exactly the batch, the appended codes are bit-identical to
+    re-encoding through the frozen quantizers, and a search over the
+    grown store surfaces appended vectors; append without a path
+    rejects actionably."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+        load_ivfpq_index,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    idx = str(tmp_path / "annidx")
+    res = pipe.run_dataops("build an ann index over the embeddings, "
+                           "16 lists, with an opq rotation",
+                           sf_dir, idx)
+    assert res["status"] == "complete"
+    assert res["reports"]["n_lists"] == 16 and res["reports"]["opq"]
+    emb = Catalog(spark, sf_dir).embeddings
+    n = emb.count()
+    assert res["reports"]["codes_written"] == n
+
+    # reloaded store == fresh build (seeded k-means is deterministic)
+    centers, books, coded, rotation = load_ivfpq_index(spark, idx)
+    assert rotation is not None
+    cand = emb.select(F.col("vec_id").alias("c_id"),
+                      F.col("embedding").alias("c_vec"))
+    c2, b2, co2 = ivfpq_build(cand, n_clusters=16, m=4,
+                              rotation=rotation)
+    assert books == b2
+    qs = (emb.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    fresh = ivfpq_search(c2, b2, co2, qs, k=3, n_probe=3,
+                         rotation=rotation).collect()
+    reloaded = ivfpq_search(centers, books, coded, qs, k=3, n_probe=3,
+                            rotation=rotation).collect()
+    assert sorted(map(tuple, reloaded)) == sorted(map(tuple, fresh))
+
+    # append: a shifted-id copy of the first 40 vectors as the batch
+    batch_dir = str(tmp_path / "batch")
+    (emb.filter(F.col("vec_id") < 40)
+     .select((F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+     .write.parquet(batch_dir + "/embeddings.parquet"))
+    out = str(tmp_path / "appended_codes")
+    res2 = pipe.run_dataops(
+        f"append the new vectors to the index at {idx}",
+        batch_dir, out)
+    assert res2["status"] == "complete"
+    r = res2["reports"]
+    assert r["codes_before"] == n and r["codes_appended"] == 40
+    assert r["codes_after"] == n + 40
+
+    # appended codes == frozen-quantizer re-encode of the batch
+    batch = (spark.read.parquet(batch_dir + "/embeddings.parquet")
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_vec")))
+    expect = sorted((x["c_id"], x["__cluster"], tuple(x["codes"]))
+                    for x in ivfpq_append(centers, books, batch,
+                                          rotation=rotation).collect())
+    got = sorted((x["c_id"], x["__cluster"], tuple(x["codes"]))
+                 for x in spark.read.parquet(out).collect())
+    assert got == expect
+
+    # the grown store finds an appended vector as its own top hit
+    _, _, grown, _ = load_ivfpq_index(spark, idx)
+    q1 = (spark.read.parquet(batch_dir + "/embeddings.parquet")
+          .filter(F.col("vec_id") == 900000)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    hits = ivfpq_search(centers, books, grown, q1, k=2, n_probe=3,
+                        rerank=10, candidates=cand.unionByName(batch),
+                        rotation=rotation).collect()
+    top = [h["c_id"] for h in hits if h["rank"] == 1]
+    # rank-1 is the appended vector itself or its identical source
+    # (vec 0): both sit at distance 0
+    assert top and top[0] in (900000, 0)
+
+    bad = pipe.run_dataops("append the batch to the ann index",
+                           batch_dir, str(tmp_path / "never"))
+    assert bad["status"] == "rejected"
+    assert "index path" in bad["reason"]
