@@ -462,3 +462,75 @@ def streaming_census_sink(docs: DataFrame, census_path: str,
         batch_fn=census_fold(census_path, strata=strata,
                              stream_id=checkpoint_dir),
         checkpoint_dir=checkpoint_dir)
+
+
+def streaming_contamination_flags(docs: DataFrame, bench_sets: DataFrame,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 k: int = 5, min_overlap: int = 1,
+                                 ts_col: Optional[str] = "ts",
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Benchmark-contamination flagging on a document stream — the
+    streaming face of ``operators.dedup.contamination_pairs``. Each
+    arriving doc shingles per-row (``word_shingles`` expression — no
+    aggregation, the stream stays STATELESS) and checks its overlap
+    against every benchmark doc's pre-built shingle set via
+    ``array_intersect``: output ``(id_new, id_bench, overlap)`` rows
+    with ``overlap >= min_overlap``.
+
+    ``bench_sets`` is the static ``(id, shingles)`` frame from
+    :func:`bench_shingle_sets` — build it ONCE from the benchmark
+    (eval sets are MBs; the frame broadcasts) with the SAME ``k`` and
+    df-cap the batch path uses, so stream verdicts match
+    ``contamination_pairs`` exactly (parity pinned in
+    ``test_streaming.py``).
+
+    The join is a broadcast nested-loop (every stream doc scores
+    against every benchmark doc) — per-item cost is |bench| array
+    intersections, which is the right trade at stream rates
+    (items/sec, not TB/scan), and the batch equi-join path remains
+    the bulk-scan shape. A stateful streaming groupBy over exploded
+    shingles would need output-mode/watermark machinery for strictly
+    worse per-item cost at eval-set benchmark sizes."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        word_shingles,
+    )
+    ts = [F.col(ts_col)] if ts_col else []
+    scored = (docs.select(F.col(id_col).alias("id_new"), *ts,
+                          word_shingles(F.col(text_col), k)
+                          .alias("__sh"))
+              .crossJoin(F.broadcast(
+                  bench_sets.select(F.col("id").alias("id_bench"),
+                                    F.col("shingles").alias("__bs"))))
+              .select("id_new", "id_bench",
+                      F.size(F.array_intersect("__sh", "__bs"))
+                      .alias("overlap"),
+                      *([ts_col] if ts_col else []))
+              .filter(F.col("overlap") >= min_overlap))
+    if ts_col:
+        return (scored.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["id_new", "id_bench"])
+                .drop(ts_col))
+    return scored
+
+
+def bench_shingle_sets(benchmark: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       max_bench_df: int = 100) -> DataFrame:
+    """Static (id, shingles) benchmark table for
+    :func:`streaming_contamination_flags`: exploded distinct shingles
+    with the SAME benchmark-side df-cap as
+    ``contamination_pairs`` (shingles in more than ``max_bench_df``
+    benchmark docs are boilerplate stop-shingles), re-collected to
+    one sorted array per benchmark doc. Persist it beside the
+    benchmark and rebuild only when the benchmark changes."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        shingle_rows,
+    )
+    from pyspark.sql import Window as _W
+    return (shingle_rows(benchmark, text_col, id_col, k)
+            .withColumn("__df",
+                        F.count(F.lit(1)).over(_W.partitionBy("s")))
+            .filter(F.col("__df") <= max_bench_df)
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list("s")).alias("shingles")))

@@ -625,3 +625,94 @@ def test_census_fold_replayed_batch_folds_exactly_once(spark, tmp_path):
         corpus_census(b2)).collect()))
     assert sorted(map(tuple,
                       spark.read.parquet(census_path).collect())) == want2
+
+
+def test_streaming_contamination_flags_matches_batch(spark, sf_dir):
+    """Stream-path verdicts == contamination_pairs on the same data
+    (batch frame, ts_col=None): same (id_new, id_bench) pairs, same
+    distinct-shingle overlap counts, df-cap included."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).unionByName(
+        bench.select((F.col("doc_id") + 300000).alias("doc_id"),
+                     F.col("text")))   # planted exact copies
+    batch = {(r["id_a"], r["id_b"], r["overlap"])
+             for r in D.contamination_pairs(corpus, bench, k=5,
+                                            min_overlap=3).collect()}
+    sets_ = S.bench_shingle_sets(bench, k=5)
+    stream = {(r["id_new"], r["id_bench"], r["overlap"])
+              for r in S.streaming_contamination_flags(
+                  corpus, sets_, k=5, min_overlap=3,
+                  ts_col=None).collect()}
+    assert stream == batch and batch      # non-vacuous
+
+
+def test_streaming_contamination_flags_end_to_end(spark, tmp_path):
+    """Real stream drain: a doc repeating a benchmark doc's text flags
+    against it; an unrelated doc doesn't; repeats across micro-batch
+    replays are deduped within the watermark."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "completely different benchmark sentence with words")],
+        "doc_id long, text string")
+    sets_ = S.bench_shingle_sets(bench, k=5)
+
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "prefix the quick brown fox jumps over the lazy dog "
+                 "today suffix"},
+        {"doc_id": 2, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "wholly unrelated fresh content words nothing shared"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d))
+    flags = S.streaming_contamination_flags(stream, sets_, k=5,
+                                            min_overlap=3)
+    S.run_available_now(flags, "contam_flags",
+                        checkpoint_dir=str(tmp_path / "ck"))
+    got = {(r["id_new"], r["id_bench"])
+           for r in spark.sql("SELECT * FROM contam_flags").collect()}
+    assert got == {(1, 100)}
+
+
+def test_streaming_semantic_contamination_stream_static(spark, sf_dir,
+                                                        tmp_path):
+    """semantic_contamination is stream-static-compatible as-is (sign
+    buckets are per-row expressions, the benchmark side broadcasts):
+    draining a stream of corpus vectors against a static benchmark
+    yields the same pairs as the batch operator."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        semantic_contamination,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    emb = Catalog(spark, sf_dir).embeddings
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    # stream side: planted scaled copies (cosine 1) + clean vectors,
+    # written as parquet and re-read as a file stream
+    planted = bench.select((F.col("vec_id") + 500000).alias("vec_id"),
+                           F.transform(F.col("embedding")
+                                       .cast("array<double>"),
+                                       lambda x: x * 1.001)
+                           .alias("embedding"))
+    corpus = (emb.filter(F.col("vec_id") % 7 != 0)
+              .select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+              .unionByName(planted))
+    src = str(tmp_path / "vec_stream")
+    corpus.write.parquet(src)
+    stream = (spark.readStream.schema(corpus.schema).parquet(src))
+    pairs = semantic_contamination(stream, bench, threshold=0.95)
+    S.run_available_now(pairs, "sem_flags",
+                        checkpoint_dir=str(tmp_path / "ck2"))
+    got = {(r["id_a"], r["id_b"], r["cos"])
+           for r in spark.sql("SELECT * FROM sem_flags").collect()}
+    batch = {(r["id_a"], r["id_b"], r["cos"])
+             for r in semantic_contamination(corpus, bench,
+                                             threshold=0.95).collect()}
+    assert got == batch and batch
