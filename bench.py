@@ -398,6 +398,70 @@ def scale_probe(spark, factors: list[int]) -> dict:
                                  "candidates": c, "sec": round(best, 3)})
     finally:
         shutil.rmtree(crawl_root, ignore_errors=True)
+
+    # semdecon: embedding-space decontamination CANDIDATE stage
+    # (threshold=-1 keeps every bucket-collision pair, the probe
+    # convention). Corpus replicas sign-flip-decorrelate exactly like
+    # the semdedup probe; the benchmark side is FIXED (every 7th base
+    # vector), so candidates = bucket collisions against a constant
+    # bench table — must grow ~linearly in the corpus, never with the
+    # product, and wall time with it (one broadcast hash join, no
+    # corpus shuffle).
+    bench_emb = emb.filter(F.col("vec_id") % 7 == 0).persist()
+    bench_emb.count()
+    out["semdecon"] = []
+    for f in factors:
+        reps = []
+        for i in range(f):
+            v = (F.col("embedding") if i == 0 else
+                 F.transform("embedding", _flip(i)))
+            reps.append(emb.select(
+                (F.col("vec_id") * f + i).alias("vec_id"),
+                v.alias("embedding")))
+        cand = reps[0]
+        for r in reps[1:]:
+            cand = cand.unionAll(r)
+        cand = cand.persist()
+        n = cand.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = S.semantic_contamination(cand, bench_emb,
+                                         threshold=-1.0).count()
+            best = min(best, time.perf_counter() - t0)
+        out["semdecon"].append({"factor": f, "n_docs": n,
+                                "candidates": c, "sec": round(best, 3)})
+        cand.unpersist()
+    bench_emb.unpersist()
+
+    # annappend: frozen-index encode cost. The IVF-PQ index is built
+    # ONCE at setup (the production artifact); the timed work is
+    # ivfpq_append of a factor-f batch — narrow Arrow assign kernel +
+    # broadcast residual join, so rows out = batch size EXACTLY and
+    # wall time ~linear in the BATCH, independent of how much the
+    # index already holds (the epoch-N+1 contract).
+    cand0 = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    idx_centers, idx_books, _idx_coded = S.ivfpq_build(
+        cand0, n_clusters=16, m=4)
+    out["annappend"] = []
+    for f in factors:
+        reps = [emb.select((F.col("vec_id") * f + i).alias("c_id"),
+                           F.col("embedding").alias("c_vec"))
+                for i in range(f)]
+        batch = reps[0]
+        for r in reps[1:]:
+            batch = batch.unionAll(r)
+        batch = batch.persist()
+        n = batch.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = S.ivfpq_append(idx_centers, idx_books, batch).count()
+            best = min(best, time.perf_counter() - t0)
+        out["annappend"].append({"factor": f, "n_docs": n,
+                                 "candidates": c, "sec": round(best, 3)})
+        batch.unpersist()
     return out
 
 
