@@ -325,6 +325,8 @@ class Pipeline:
         if plan["target"] == "ann_index_append":
             return self._run_ann_index_append(plan, source_dir,
                                               output_path)
+        if plan["target"] == "split_corpus":
+            return self._run_split_corpus(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
             return self._run_dsir_select(plan, source_dir, output_path)
         if plan["target"] == "temperature_mix":
@@ -954,6 +956,50 @@ class Pipeline:
                             "codes_appended": n_appended,
                             "codes_after": n_after}}
 
+    def _run_split_corpus(self, plan: dict, source_dir: str,
+                          output_path: str) -> dict:
+        """'split the corpus into train/val/test 80/10/10 without
+        leakage': deterministic split assignment over the documents
+        table. The default is per-document salted-hash assignment
+        (:func:`operators.sampling.split_assign` — subset-stable,
+        append-safe, no shuffle); a 'leakage'/'near-dup' mention
+        upgrades to COMPONENT-atomic assignment
+        (:func:`operators.sampling.leakage_safe_split` over
+        MinHash-LSH near-dup components), so a doc and its near-copy
+        can never straddle train/test. Per-split counts land in the
+        report; fractions normalize from an '80/10/10' triple when
+        the query names one."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+            leakage_safe_split,
+            split_assign,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        if plan["leak_safe"]:
+            pairs = minhash_lsh_pairs(docs)
+            frame = leakage_safe_split(docs, plan["splits"], pairs)
+        else:
+            frame = split_assign(docs, plan["splits"],
+                                 key_col="doc_id")
+        self.progress("split", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)   # read-back
+        counts = {r["split"]: r["n"] for r in
+                  back.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        self.progress("publish", {"rows": sum(counts.values()),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "split_counts": counts,
+                            "rows": sum(counts.values())}}
+
     def _run_temperature_mix(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
         """'flatten the language mix with temperature 0.5': alpha
@@ -1074,7 +1120,9 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   # append-to-store phrasings name only 'the index';
                   # scoped phrases so finance queries ('the S&P
                   # index') can't leak into the dataops router
-                  "to the index", "index at ")
+                  "to the index", "index at ",
+                  # scoped: 'stock split' must not route here
+                  "split the corpus", "into train", "leakage")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -1145,6 +1193,11 @@ _ANN_INDEX_APPEND_RE = re.compile(
 _INDEX_PATH_RE = re.compile(
     r"\bindex\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _LISTS_RE = re.compile(r"\b(\d+)\s+(?:lists|inverted lists)\b")
+# 'split the corpus into train/val/test 80/10/10 without leakage'
+_SPLIT_TARGET_RE = re.compile(
+    r"\bsplit\b[^.]*\binto\s+train\b|"
+    r"\btrain\s*/\s*(?:val(?:id(?:ation)?)?|dev)\s*/\s*test\b")
+_SPLIT_FRACS_RE = re.compile(r"\b(\d{1,2})\s*/\s*(\d{1,2})\s*/\s*(\d{1,2})\b")
 
 
 def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
@@ -1181,7 +1234,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Fourteen targets, matched in
+    the query carries no dataops intent. Fifteen targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -1205,6 +1258,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       sequences' (train BPE → encode to ids → fixed-length
       input_ids rows; optional 'N merges', 'N shards' for the
       bucket count);
+    - ``split_corpus`` — 'split the corpus into train/val/test
+      80/10/10 without leakage' (deterministic salted-hash split;
+      'leakage' upgrades to near-dup-component-atomic assignment);
     - ``ann_index_append`` — 'append the new vectors to the index at
       <path>' (epoch-N+1 encode against the frozen store, codes
       parquet-append; requires an index path);
@@ -1287,6 +1343,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 # 'with an eos separator' reserves the id just past
                 # the vocab for the per-document delimiter
                 "eos": "eos" in ql or "separator" in ql}
+    if _SPLIT_TARGET_RE.search(ql):
+        fr = _SPLIT_FRACS_RE.search(ql)
+        if fr:
+            a, b, c = (int(fr.group(i)) for i in (1, 2, 3))
+            tot = a + b + c
+            splits = {"train": a / tot, "val": b / tot, "test": c / tot}
+        else:
+            splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        return {"target": "split_corpus", "splits": splits,
+                "leak_safe": ("leak" in ql or "near-dup" in ql
+                              or "near dup" in ql)}
     if _ANN_INDEX_APPEND_RE.search(ql):
         m = _INDEX_PATH_RE.search(query)   # paths keep their case
         return {"target": "ann_index_append",

@@ -1634,3 +1634,76 @@ def test_pipeline_dataops_ann_index_build_append(spark, sf_dir, tmp_path):
                            batch_dir, str(tmp_path / "never"))
     assert bad["status"] == "rejected"
     assert "index path" in bad["reason"]
+
+
+def test_parse_dataops_split_corpus_target():
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    p = parse_dataops_query("split the corpus into train/val/test "
+                            "80/10/10 without leakage")
+    assert p["target"] == "split_corpus" and p["leak_safe"]
+    assert p["splits"] == {"train": 0.8, "val": 0.1, "test": 0.1}
+    d = parse_dataops_query("split the training corpus into "
+                            "train/dev/test")
+    assert d == {"target": "split_corpus",
+                 "splits": {"train": 0.8, "val": 0.1, "test": 0.1},
+                 "leak_safe": False}
+    f = parse_dataops_query("split the corpus into train/val/test "
+                            "90/5/5")
+    assert f["splits"] == {"train": 0.9, "val": 0.05, "test": 0.05}
+    # a finance 'stock split' question must NOT route to dataops
+    s = parse_dataops_query("what was the last stock split for AAPL")
+    assert s is None
+
+
+def test_pipeline_dataops_split_corpus(spark, sf_dir, tmp_path):
+    """NL -> split_corpus, both modes: default assignment ==
+    split_assign; 'without leakage' == leakage_safe_split over
+    MinHash-LSH pairs (component-atomic — no near-dup pair straddles
+    splits); report counts match the written frame."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        leakage_safe_split, split_assign,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    docs = Catalog(spark, sf_dir).documents
+    out = str(tmp_path / "plain")
+    res = pipe.run_dataops("split the corpus into train/val/test",
+                           sf_dir, out)
+    assert res["status"] == "complete"
+    got = {(r["doc_id"], r["split"]) for r in
+           spark.read.parquet(out).select("doc_id", "split").collect()}
+    expect = {(r["doc_id"], r["split"]) for r in
+              split_assign(docs, {"train": 0.8, "val": 0.1,
+                                  "test": 0.1},
+                           key_col="doc_id").collect()}
+    assert got == expect
+    assert sum(res["reports"]["split_counts"].values()) == docs.count()
+    assert set(res["reports"]["split_counts"]) <= {"train", "val",
+                                                   "test"}
+
+    out2 = str(tmp_path / "leak")
+    res2 = pipe.run_dataops("split the corpus into train/val/test "
+                            "80/10/10 without leakage", sf_dir, out2)
+    assert res2["status"] == "complete"
+    back = spark.read.parquet(out2)
+    expect2 = {(r["doc_id"], r["component"], r["split"]) for r in
+               leakage_safe_split(docs,
+                                  {"train": 0.8, "val": 0.1,
+                                   "test": 0.1},
+                                  minhash_lsh_pairs(docs)).collect()}
+    got2 = {(r["doc_id"], r["component"], r["split"])
+            for r in back.select("doc_id", "component",
+                                 "split").collect()}
+    assert got2 == expect2
+    # component-atomicity: both ends of every near-dup pair share a
+    # split
+    side = {r["doc_id"]: r["split"] for r in back.collect()}
+    prs = minhash_lsh_pairs(docs).collect()
+    assert prs   # non-vacuous
+    assert all(side[p["id_a"]] == side[p["id_b"]] for p in prs)
