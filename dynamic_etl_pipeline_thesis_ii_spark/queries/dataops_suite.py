@@ -610,8 +610,15 @@ def q_semantic_decontam(spark, sf_dir):
     the cross-frame cosine hits, 'kept' rows the corpus ids that
     survive the anti-join."""
     corpus, bench = _semantic_contam_corpora(spark, sf_dir)
-    pairs = S.semantic_contamination(corpus, bench, threshold=0.95)
-    kept = S.semantic_decontaminate(corpus, bench, threshold=0.95)
+    # compute the cross-frame pair join ONCE (tracked persist) and
+    # derive the kept side from it — the anti-join end below is
+    # literally semantic_decontaminate's body (flagged = distinct
+    # id_a, broadcast left_anti; parity pinned in test_scale_paths),
+    # re-using the persisted pairs instead of re-running the join
+    pairs = _persist_tracked(
+        S.semantic_contamination(corpus, bench, threshold=0.95))
+    flagged = pairs.select(F.col("id_a").alias("vec_id")).distinct()
+    kept = corpus.join(F.broadcast(flagged), "vec_id", "left_anti")
     return (pairs.withColumn("kind", F.lit("pair"))
             .unionByName(kept.select(
                 F.col("vec_id").alias("id_a"),
