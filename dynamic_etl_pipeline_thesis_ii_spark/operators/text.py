@@ -1079,3 +1079,144 @@ def merge_census(a, b):
             .agg(F.sum("n_docs").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.sum("n_chars").alias("n_chars")))
+
+
+def census_histogram(df, strata: tuple = ("lang", "source"),
+                     text_col: str = "text"):
+    """Token-length distribution census: one row per
+    ``(kind, stratum, bucket)`` where ``bucket = floor(log2(n_tokens))``
+    (power-of-two length classes; empty docs land in bucket ``-1``),
+    measures ``(n_docs, n_tokens)`` — EXACT integer sums, so two
+    histogram frames merge associatively exactly like the scalar
+    census (:func:`merge_histogram`). This is the distribution-shaped
+    companion to :func:`corpus_census`: the scalar census answers
+    "how many tokens per language", the histogram answers "how are
+    they distributed" (short-doc spam floods, truncation cliffs, a
+    source suddenly shipping 10x longer pages) — still a bounded
+    narrow table: |strata values + 1| x ~64 buckets, mergeable at
+    batch cost under continuous ingest without re-scanning the
+    corpus. Same ONE-scan GROUPING SETS shape as the census; bucket
+    rides every grouping set as a plain key. Token counts here drop
+    empty-string tokens (``split('') -> ['']``), matching the
+    chunk/vocab oracle convention — an empty doc has 0 tokens and
+    lands in bucket -1."""
+    toks = F.size(F.array_remove(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), ""))
+    bucket = (F.when(toks <= 0, F.lit(-1))
+              .otherwise(F.floor(F.log2(toks.cast("double"))))
+              .cast("int"))
+    base = df.withColumn("__bucket", bucket)
+    gsets = [[c, "__bucket"] for c in strata] + [["__bucket"]]
+    kind = F.lit("__total__")
+    stratum = F.lit("__total__")
+    for c in reversed(strata):
+        active = F.grouping(c) == 0
+        kind = F.when(active, F.lit(c)).otherwise(kind)
+        stratum = F.when(active,
+                         F.coalesce(F.col(c).cast("string"),
+                                    F.lit("__null__"))).otherwise(stratum)
+    toks_again = F.size(F.array_remove(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), ""))
+    return (base.groupingSets(
+                gsets, *[F.col(c) for c in strata], F.col("__bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(toks_again).alias("n_tokens"),
+                 kind.alias("kind"), stratum.alias("stratum"))
+            .select("kind", "stratum",
+                    F.col("__bucket").alias("bucket"),
+                    "n_docs", "n_tokens"))
+
+
+def merge_histogram(a, b):
+    """Associative histogram merge: union + per-(kind, stratum,
+    bucket) integer sums — ``merge(hist(A), hist(B)) == hist(A ∪ B)``
+    exactly for disjoint A/B."""
+    return (a.unionByName(b)
+            .groupBy("kind", "stratum", "bucket")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))
+
+
+def SQL_CENSUS_HISTOGRAM(table: str, strata: tuple = ("lang", "source"),
+                         text_col: str = "text") -> str:
+    """DuckDB twin of :func:`census_histogram` (differential pytest —
+    the census family is snapshot telemetry, not a registry query)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_NORMALIZE,
+    )
+    toks = (f"len(list_filter(string_split("
+            f"{SQL_NORMALIZE.format(x=f'coalesce({text_col}, ' + chr(39) * 2 + ')')}"
+            f", ' '), x -> x != ''))")
+    kind = "CASE"
+    stratum = "CASE"
+    for c in strata:
+        kind += f" WHEN grouping({c}) = 0 THEN '{c}'"
+        stratum += (f" WHEN grouping({c}) = 0 THEN"
+                    f" coalesce({c}::VARCHAR, '__null__')")
+    kind += " ELSE '__total__' END"
+    stratum += " ELSE '__total__' END"
+    gsets = ", ".join(f"({c}, bucket)" for c in strata) + ", (bucket)"
+    return f"""
+WITH measured AS (
+  SELECT {', '.join(strata)}, {toks} AS n_toks,
+         CASE WHEN {toks} <= 0 THEN -1
+              ELSE floor(log2({toks}::DOUBLE))::INT END AS bucket
+  FROM {table}
+)
+SELECT {kind} AS kind, {stratum} AS stratum, bucket,
+       count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+FROM measured
+GROUP BY GROUPING SETS ({gsets})
+"""
+
+
+def census_distinct(df, value_col: str,
+                    strata: tuple = ("lang", "source"),
+                    lg_k: int = 12):
+    """Mergeable DISTINCT-count census via HyperLogLog sketches: one
+    row per ``(kind, stratum)`` carrying ``(sketch binary, n_rows)``.
+    Exact distinct counts are NOT mergeable as integer sums (the same
+    value can appear in many batches), so the snapshot-telemetry
+    store keeps the SKETCH — ``hll_union_agg`` folds epoch N+1's
+    sketches into the stored ones at batch cost, and
+    :func:`estimate_distinct` reads estimates off the merged frame
+    (datasketches HLL, ~±2% at lg_k=12, fixed ~2^lg_k-byte state per
+    stratum regardless of corpus size). Use: distinct fingerprints
+    per language (dedup-rate telemetry), distinct registered domains
+    per source (crawl diversity) — questions the exact-sum census
+    cannot answer incrementally."""
+    gsets = [[c] for c in strata] + [[]]
+    kind = F.lit("__total__")
+    stratum = F.lit("__total__")
+    for c in reversed(strata):
+        active = F.grouping(c) == 0
+        kind = F.when(active, F.lit(c)).otherwise(kind)
+        stratum = F.when(active,
+                         F.coalesce(F.col(c).cast("string"),
+                                    F.lit("__null__"))).otherwise(stratum)
+    return (df.groupingSets(gsets, *[F.col(c) for c in strata])
+            .agg(F.hll_sketch_agg(F.col(value_col).cast("string"),
+                                  F.lit(lg_k)).alias("sketch"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 kind.alias("kind"), stratum.alias("stratum"))
+            .select("kind", "stratum", "sketch", "n_rows"))
+
+
+def merge_distinct(a, b):
+    """Associative sketch merge: ``hll_union_agg`` per (kind, stratum).
+    Estimates off the merged frame equal (within sketch determinism —
+    datasketches unions are order-insensitive) a fresh
+    :func:`census_distinct` over the union of the inputs."""
+    return (a.unionByName(b)
+            .groupBy("kind", "stratum")
+            .agg(F.hll_union_agg("sketch").alias("sketch"),
+                 F.sum("n_rows").alias("n_rows")))
+
+
+def estimate_distinct(census):
+    """Read ``n_distinct`` estimates off a :func:`census_distinct`
+    frame (kept separate so the stored table keeps raw sketches —
+    estimates are derived, sketches are the mergeable state)."""
+    return census.select(
+        "kind", "stratum",
+        F.hll_sketch_estimate("sketch").alias("n_distinct"), "n_rows")

@@ -654,8 +654,13 @@ class Pipeline:
         face of the snapshot-store telemetry `_run_incremental_dedup`
         maintains per epoch. The report inlines the per-language doc
         counts (tiny) so a CLI/HTTP caller sees the headline numbers
-        without reading the parquet."""
+        without reading the parquet. A 'histogram'/'distribution'
+        mention additionally writes the power-of-two token-length
+        histogram (:func:`operators.text.census_histogram` — same
+        mergeable-sums contract) to ``<output>_hist`` and inlines the
+        per-bucket doc counts."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            census_histogram,
             corpus_census,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
@@ -670,14 +675,25 @@ class Pipeline:
         langs = {r["stratum"]: r["n_docs"] for r in
                  back.filter(F.col("kind") == "lang").collect()}
         total = back.filter(F.col("kind") == "__total__").first()
+        reports = {"plan": dict(plan),
+                   "n_docs": total["n_docs"],
+                   "n_tokens": total["n_tokens"],
+                   "n_chars": total["n_chars"],
+                   "docs_per_lang": langs}
+        outputs = [frame]
+        if plan.get("histogram"):
+            hist = census_histogram(docs)
+            hist.write.mode("overwrite").parquet(output_path + "_hist")
+            hb = self.spark.read.parquet(output_path + "_hist")
+            reports["docs_per_length_bucket"] = {
+                int(r["bucket"]): r["n_docs"] for r in
+                hb.filter(F.col("kind") == "__total__").collect()}
+            reports["histogram_path"] = output_path + "_hist"
+            outputs.append(hist)
         self.progress("publish", {"rows": back.count(),
                                   "path": output_path})
-        return {"status": "complete", "outputs": [frame],
-                "reports": {"plan": dict(plan),
-                            "n_docs": total["n_docs"],
-                            "n_tokens": total["n_tokens"],
-                            "n_chars": total["n_chars"],
-                            "docs_per_lang": langs}}
+        return {"status": "complete", "outputs": outputs,
+                "reports": reports}
 
     def _run_semantic_dedup(self, plan: dict, source_dir: str,
                             output_path: str) -> dict:
@@ -1113,7 +1129,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
-                  "census", "corpus stat", "tokenize", "tokenise",
+                  "census", "corpus stat", "length distribution",
+                  "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
                   "ann index", "vector index", "ivf",
@@ -1152,7 +1169,9 @@ _CRAWL_PATH_RE = re.compile(
     r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
     + _PATH_SHAPE, re.IGNORECASE)
 # 'census the corpus' / 'report corpus statistics per language'
-_CENSUS_TARGET_RE = re.compile(r"\bcensus\b|\bcorpus stat(?:istic)?s\b")
+_CENSUS_TARGET_RE = re.compile(
+    r"\bcensus\b|\bcorpus stat(?:istic)?s\b"
+    r"|\bcorpus .*length distribution\b")
 # 'tokenize the corpus and pack 512-token sequences'
 _TOKENIZE_TARGET_RE = re.compile(r"\btokeni[sz]e\b")
 _MERGES_RE = re.compile(r"\b(\d+)\s+merges?\b")
@@ -1318,7 +1337,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "ingest_crawl",
                 "crawl_path": m.group(1) if m else None}
     if _CENSUS_TARGET_RE.search(ql):
-        return {"target": "corpus_census"}
+        # 'with a length histogram' / 'length distribution' adds the
+        # power-of-two token-length histogram sidecar to the census
+        return {"target": "corpus_census",
+                "histogram": ("histogram" in ql
+                              or "distribution" in ql)}
     if _DECONTAM_TARGET_RE.search(ql):
         m = _BENCH_PATH_RE.search(query)   # paths keep their case
         thr = (float(t.group(1))

@@ -384,7 +384,8 @@ def streaming_neardup_flags(docs: DataFrame, seen_bands: DataFrame,
 
 
 def census_fold(census_path: str, strata: tuple = ("lang", "source"),
-                stream_id: Optional[str] = None):
+                stream_id: Optional[str] = None,
+                histogram: bool = False):
     """Build the foreachBatch fold for :func:`streaming_census_sink`
     (factored out so the replay semantics are directly testable).
 
@@ -400,13 +401,35 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
     residual at-least-once window shrinks from 'any replayed batch'
     to 'a crash inside the two driver-side writes of a micro-batch'.
     A DIFFERENT stream_id (new checkpoint, restarted batch numbering)
-    ignores the mark and starts advancing its own."""
+    ignores the mark and starts advancing its own.
+
+    With ``histogram=True`` the fold also maintains the power-of-two
+    token-length histogram (``operators.text.census_histogram`` —
+    same exact-integer-sum merge law) in a ``<census_path>_hist``
+    sidecar, folded in the SAME batch under the SAME high-water mark
+    so census and histogram never disagree about which batches are
+    in (the mark advances only after BOTH writes)."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        census_histogram,
         corpus_census,
         merge_census,
+        merge_histogram,
     )
 
     meta_path = census_path.rstrip("/") + "_meta"
+    hist_path = census_path.rstrip("/") + "_hist"
+
+    def _fold_store(spark, path, fresh, merge):
+        try:
+            prior_rows = spark.read.parquet(path).collect()
+        except Exception:           # bootstrap: no store yet
+            prior_rows = []
+        if prior_rows:
+            prior = spark.createDataFrame(prior_rows, fresh.schema)
+            fresh = merge(prior, fresh)
+        rows = fresh.collect()      # materialize BEFORE the overwrite
+        spark.createDataFrame(rows, fresh.schema) \
+            .coalesce(1).write.mode("overwrite").parquet(path)
 
     def fold(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -418,18 +441,13 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
             if any(r["stream_id"] == stream_id
                    and batch_id <= r["max_batch_id"] for r in meta):
                 return              # replayed batch: already folded
-        fresh = corpus_census(batch_df, strata=strata)
-        try:
-            prior_rows = spark.read.parquet(census_path).collect()
-        except Exception:           # bootstrap: no census yet
-            prior_rows = []
-        if prior_rows:
-            prior = spark.createDataFrame(prior_rows, fresh.schema)
-            fresh = merge_census(prior, fresh)
-        rows = fresh.collect()      # materialize BEFORE the overwrite
-        spark.createDataFrame(rows, fresh.schema) \
-            .coalesce(1).write.mode("overwrite").parquet(census_path)
-        if stream_id is not None:   # advance the mark AFTER the write
+        _fold_store(spark, census_path,
+                    corpus_census(batch_df, strata=strata), merge_census)
+        if histogram:
+            _fold_store(spark, hist_path,
+                        census_histogram(batch_df, strata=strata),
+                        merge_histogram)
+        if stream_id is not None:   # advance the mark AFTER the writes
             spark.createDataFrame(
                 [(stream_id, int(batch_id))],
                 "stream_id string, max_batch_id long") \
@@ -440,7 +458,8 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
 
 def streaming_census_sink(docs: DataFrame, census_path: str,
                           checkpoint_dir: Optional[str] = None,
-                          strata: tuple = ("lang", "source")):
+                          strata: tuple = ("lang", "source"),
+                          histogram: bool = False):
     """Continuous-ingest telemetry: maintain the mergeable corpus
     census (``operators.text.corpus_census``) under a document stream
     via ``foreachBatch`` — each micro-batch's census folds into the
@@ -460,7 +479,8 @@ def streaming_census_sink(docs: DataFrame, census_path: str,
     return foreach_batch_sink(
         docs,
         batch_fn=census_fold(census_path, strata=strata,
-                             stream_id=checkpoint_dir),
+                             stream_id=checkpoint_dir,
+                             histogram=histogram),
         checkpoint_dir=checkpoint_dir)
 
 

@@ -329,3 +329,94 @@ def test_corpus_census_merge_equals_recompute(spark):
              for r in corpus_census(c).collect()}
     assert rowsc[("lang", "__null__")] == 1
     assert rowsc[("__total__", "__total__")] == 1
+
+
+def test_census_histogram_merge_and_buckets(spark):
+    """merge(hist(A), hist(B)) == hist(A ∪ B) exactly, and the
+    power-of-two bucket assignment is the documented one (empty doc
+    -> -1, 1 token -> 0, 2-3 -> 1, 4-7 -> 2, ...)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        census_histogram,
+        merge_histogram,
+    )
+    rows = [(i, "w " * (i % 9), f"l{i % 3}", f"s{i % 2}")
+            for i in range(80)]
+    schema = "doc_id long, text string, lang string, source string"
+    a = spark.createDataFrame(rows[:45], schema)
+    b = spark.createDataFrame(rows[45:], schema)
+    both = spark.createDataFrame(rows, schema)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert snap(merge_histogram(census_histogram(a),
+                                census_histogram(b))) == \
+        snap(census_histogram(both))
+    # bucket law: n_tokens 0->-1, 1->0, 2..3->1, 4..7->2
+    probe = spark.createDataFrame(
+        [(1, "", "en", "s"), (2, "a", "en", "s"), (3, "a b c", "en", "s"),
+         (4, "a b c d e f g", "en", "s")], schema)
+    got = {r["bucket"]: r["n_docs"]
+           for r in census_histogram(probe).collect()
+           if r["kind"] == "__total__"}
+    assert got == {-1: 1, 0: 1, 1: 1, 2: 1}
+
+
+def test_census_histogram_matches_duckdb(spark, sf_dir):
+    """Differential: Spark census_histogram == the DuckDB GROUPING
+    SETS twin over the same documents parquet (exact integer sums —
+    cell-exact equality)."""
+    from tests.oracle import duck_connect
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        SQL_CENSUS_HISTOGRAM,
+        census_histogram,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    got = sorted(map(tuple, census_histogram(docs).collect()))
+    con = duck_connect(sf_dir)
+    want = sorted(map(tuple, con.execute(
+        SQL_CENSUS_HISTOGRAM("documents")).fetchall()))
+    assert got == want
+
+
+def test_census_distinct_merge_and_tolerance(spark):
+    """HLL distinct census: estimates within sketch tolerance of the
+    exact distinct count, and folding epoch sketches with
+    merge_distinct matches a fresh full recompute — the mergeable
+    answer to 'how many distinct X per stratum' that exact sums
+    cannot give (values repeat across batches)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        census_distinct,
+        estimate_distinct,
+        merge_distinct,
+    )
+    # 600 rows, values repeat across the epoch boundary on purpose
+    rows = [(i, f"dom{i % 211}.example", f"l{i % 3}", f"s{i % 2}")
+            for i in range(600)]
+    schema = "doc_id long, value string, lang string, source string"
+    a = spark.createDataFrame(rows[:400], schema)
+    b = spark.createDataFrame(rows[400:], schema)
+    both = spark.createDataFrame(rows, schema)
+
+    merged = merge_distinct(census_distinct(a, "value"),
+                            census_distinct(b, "value"))
+    est_m = {(r["kind"], r["stratum"]): r["n_distinct"]
+             for r in estimate_distinct(merged).collect()}
+    est_f = {(r["kind"], r["stratum"]): r["n_distinct"]
+             for r in estimate_distinct(
+                 census_distinct(both, "value")).collect()}
+    # merged == fresh recompute per stratum (same sketch family,
+    # order-insensitive union), within 1% slack for representation
+    assert est_m.keys() == est_f.keys()
+    for k in est_f:
+        assert abs(est_m[k] - est_f[k]) <= max(2.0, 0.01 * est_f[k]), k
+    # and the total estimate is within 5% of the exact 211
+    tot = est_f[("__total__", "__total__")]
+    assert abs(tot - 211) <= 0.05 * 211
+    # n_rows stays an exact mergeable sum
+    n_rows = {(r["kind"], r["stratum"]): r["n_rows"]
+              for r in merged.collect()}
+    assert n_rows[("__total__", "__total__")] == 600

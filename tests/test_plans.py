@@ -648,10 +648,14 @@ def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
     )
 
     c = parse_dataops_query("census the corpus")
-    assert c == {"target": "corpus_census"}
+    assert c == {"target": "corpus_census", "histogram": False}
     assert parse_dataops_query(
         "report corpus statistics per language")["target"] == \
         "corpus_census"
+    assert parse_dataops_query(
+        "census the corpus with a length histogram")["histogram"] is True
+    assert parse_dataops_query(
+        "report the corpus token length distribution")["histogram"] is True
 
     pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
     out = str(tmp_path / "census")
@@ -668,6 +672,22 @@ def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
     got_langs = {r["stratum"]: r["n_docs"] for r in
                  back.filter(F.col("kind") == "lang").collect()}
     assert got_langs == want_langs
+
+    # histogram variant: writes the <out>_hist sidecar equal to the
+    # direct operator output, and the report's per-bucket doc counts
+    # sum to the corpus size
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        census_histogram,
+    )
+    out2 = str(tmp_path / "census_h")
+    res2 = pipe.run_dataops("census the corpus with a length histogram",
+                            sf_dir, out2)
+    assert res2["status"] == "complete"
+    assert res2["reports"]["histogram_path"] == out2 + "_hist"
+    assert sum(res2["reports"]["docs_per_length_bucket"].values()) == n
+    hb = spark.read.parquet(out2 + "_hist")
+    want = sorted(map(tuple, census_histogram(docs).collect()))
+    assert sorted(map(tuple, hb.collect())) == want
 
 
 def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):

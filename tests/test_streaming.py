@@ -716,3 +716,35 @@ def test_streaming_semantic_contamination_stream_static(spark, sf_dir,
              for r in semantic_contamination(corpus, bench,
                                              threshold=0.95).collect()}
     assert got == batch and batch
+
+
+def test_streaming_census_histogram_sidecar(spark, tmp_path):
+    """census_fold(histogram=True): the <census>_hist sidecar folds
+    under the SAME high-water mark as the census — after two batches
+    it equals census_histogram over all rows, and a replayed batch
+    changes neither store."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        census_histogram,
+        corpus_census,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    b0 = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1), f"l{i % 2}", "s0") for i in range(6)],
+        schema)
+    b1 = spark.createDataFrame(
+        [(100 + i, "x y z q r s t u", "l2", "s1") for i in range(4)],
+        schema)
+    census_path = str(tmp_path / "census")
+    fold = S.census_fold(census_path, stream_id="ckpt-H", histogram=True)
+    fold(b0, 0)
+    fold(b1, 1)
+    fold(b1, 1)                  # replay: must be a no-op for BOTH
+    both = b0.unionByName(b1)
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path).collect())) == \
+        sorted(map(tuple, corpus_census(both).collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path + "_hist")
+                      .collect())) == \
+        sorted(map(tuple, census_histogram(both).collect()))
