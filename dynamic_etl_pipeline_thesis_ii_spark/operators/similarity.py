@@ -1057,3 +1057,39 @@ def load_ivfpq_index(spark, path: str):
     except Exception:
         rotation = None
     return centers, books, coded, rotation
+
+
+def cluster_embeddings(emb: DataFrame, n_clusters: int, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Standalone corpus clustering — the data-map / topic-discovery
+    view of the embedding space (the same k-means that quantizes the
+    IVF index, exposed as a first-class result instead of an index
+    internal). Returns ``(assignments, centers)``:
+
+    - ``assignments``: ``(id, cluster, center_cos)`` — every vector's
+      cluster and its cosine to the cluster center (a per-row
+      coherence score; low values mark outliers / mixed clusters);
+    - ``centers``: the tiny ``(cluster, center)`` frame — persist it
+      to assign FUTURE batches to the same map via
+      :func:`ivfpq_assign`-style nearest-center encoding without
+      refitting.
+
+    Scale shape: the k-means fit is the only iterative step
+    (`pyspark.ml` KMeans — distributed Lloyd's); the scoring join
+    broadcasts the (n_clusters x d) center frame, so the corpus is
+    touched in ONE pass with no shuffle beyond the fit's own."""
+    centers, bucketed = ivf_build(emb.select(id_col, vec_col),
+                                  n_clusters=n_clusters, seed=seed,
+                                  c_vec=vec_col)
+    scored = (bucketed.join(F.broadcast(centers), "__cluster")
+              .select(
+                  F.col(id_col),
+                  F.col("__cluster").alias("cluster"),
+                  F.round(cosine_prenormed(
+                      F.col(vec_col).cast("array<double>"),
+                      F.col("__center"),
+                      F.col("__cn"), l2norm(F.col("__center"))),
+                      6).alias("center_cos")))
+    return scored, centers.select(F.col("__cluster").alias("cluster"),
+                                  F.col("__center").alias("center"))

@@ -1220,3 +1220,47 @@ def estimate_distinct(census):
     return census.select(
         "kind", "stratum",
         F.hll_sketch_estimate("sketch").alias("n_distinct"), "n_rows")
+
+
+def histogram_quantiles(hist, quantiles: tuple = (0.5, 0.9, 0.99),
+                        kind: str = "__total__") -> dict:
+    """Approximate token-length quantiles read off a stored
+    :func:`census_histogram` frame — per stratum of ``kind``, with
+    uniform interpolation inside each power-of-two bucket. Answers
+    'what's the p99 document length per language' from the BOUNDED
+    histogram table (|strata| x ~64 rows) with NO corpus scan — the
+    point of keeping the mergeable histogram around. Resolution is
+    the bucket width: the estimate is exact at bucket boundaries and
+    within a factor of 2 worst-case inside one (uniform-fill
+    assumption), which is the right fidelity for telemetry cut
+    decisions. Returns ``{stratum: {q: est_tokens}}``; empty-doc
+    bucket -1 counts at length 0."""
+    rows = (hist.filter(F.col("kind") == kind)
+            .select("stratum", "bucket", "n_docs").collect())
+    by_stratum: dict = {}
+    for r in rows:
+        by_stratum.setdefault(r["stratum"], []).append(
+            (r["bucket"], r["n_docs"]))
+    out: dict = {}
+    for stratum, buckets in by_stratum.items():
+        buckets.sort()
+        total = sum(n for _, n in buckets)
+        ests = {}
+        for q in quantiles:
+            target = q * total
+            seen = 0.0
+            est = 0.0
+            for b, n in buckets:
+                if seen + n >= target:
+                    lo = 0.0 if b < 0 else float(2 ** b)
+                    hi = 0.0 if b < 0 else float(2 ** (b + 1))
+                    frac = (target - seen) / n if n else 0.0
+                    est = lo + frac * (hi - lo)
+                    break
+                seen += n
+            else:
+                b = buckets[-1][0]
+                est = 0.0 if b < 0 else float(2 ** (b + 1))
+            ests[q] = round(est, 3)
+        out[stratum] = ests
+    return out

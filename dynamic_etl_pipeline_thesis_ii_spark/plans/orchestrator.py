@@ -315,6 +315,8 @@ class Pipeline:
             return self._run_tokenize_pack(plan, source_dir, output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
+        if plan["target"] == "cluster_corpus":
+            return self._run_cluster_corpus(plan, source_dir, output_path)
         if plan["target"] == "decontaminate":
             return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "ann_search":
@@ -731,6 +733,49 @@ class Pipeline:
                 "reports": {"plan": dict(plan),
                             "rows_in": n_in, "rows_kept": n_out}}
 
+    def _run_cluster_corpus(self, plan: dict, source_dir: str,
+                            output_path: str) -> dict:
+        """'cluster the embeddings into 12 topics': standalone corpus
+        clustering (:func:`operators.similarity.cluster_embeddings`)
+        — per-vector assignments + coherence land at the sink, the
+        tiny centers frame at ``<output>_centers`` (reusable to map
+        future batches without refitting), and the report inlines
+        per-cluster sizes + mean center-cosine. An unnamed cluster
+        count derives from the corpus via :func:`derive_n_clusters`
+        (constant target cluster SIZE, same reasoning as SemDeDup)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            cluster_embeddings,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        emb = Catalog(self.spark, source_dir).embeddings
+        n_in = emb.count()
+        if not plan.get("n_clusters"):
+            plan["n_clusters"] = derive_n_clusters(n_in)
+        assign, centers = cluster_embeddings(
+            emb, n_clusters=plan["n_clusters"])
+        self.progress("cluster", {"params": dict(plan),
+                                  "n_clusters": plan["n_clusters"]})
+        assign.write.mode("overwrite").parquet(output_path)
+        centers.write.mode("overwrite").parquet(output_path + "_centers")
+        back = self.spark.read.parquet(output_path)      # read-back
+        stats = (back.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.round(F.avg("center_cos"), 4).alias("coherence"))
+                 .collect())
+        self.progress("publish", {"rows": back.count(),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [assign, centers],
+                "reports": {"plan": dict(plan), "rows_in": n_in,
+                            "centers_path": output_path + "_centers",
+                            "cluster_sizes": {int(r["cluster"]): r["n"]
+                                              for r in stats},
+                            "cluster_coherence": {int(r["cluster"]):
+                                                  r["coherence"]
+                                                  for r in stats}}}
+
     def _run_decontaminate(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'decontaminate the corpus against the benchmark at /path':
@@ -1130,6 +1175,9 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "census", "corpus stat", "length distribution",
+                  # scoped cluster phrasing ('cluster analysis of
+                  # AAPL' must not route here)
+                  "cluster the",
                   "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
@@ -1162,6 +1210,14 @@ _ANN_K_RE = re.compile(
     r"\b(\d+)\s+nearest\b|\btop\s+(\d+)\b|\bk\s*=\s*(\d+)\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
 _CLUSTERS_RE = re.compile(r"\b(\d+)\s+clusters?\b")
+# 'cluster the embeddings into 12 topics' — standalone corpus
+# clustering (data-map view); scoped to the cluster VERB + a corpus
+# noun so 'semantically dedup with 32 clusters' never lands here
+# (the semantic branch is also checked first)
+_CLUSTER_TARGET_RE = re.compile(
+    r"\bcluster(?:ing)?\b[^.]*\b(?:embeddings?|corpus|documents)\b"
+    r"|\binto\s+\d+\s+topics\b")
+_TOPICS_RE = re.compile(r"\b(\d+)\s+topics\b")
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
 # 'extract text from the crawl at /path' / 'ingest the warc archive'
 _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
@@ -1404,6 +1460,15 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "semantic_dedup", "threshold": thr,
                 "n_clusters": ncl,
                 "keep": "min" if "lowest id" in ql else "far"}
+    if _CLUSTER_TARGET_RE.search(ql):
+        # n_clusters=None -> corpus-derived at run time (constant
+        # target cluster size, same curve as SemDeDup)
+        ncl = None
+        if m := _CLUSTERS_RE.search(ql):
+            ncl = int(m.group(1))
+        elif m := _TOPICS_RE.search(ql):
+            ncl = int(m.group(1))
+        return {"target": "cluster_corpus", "n_clusters": ncl}
     if _DSIR_TARGET_RE.search(ql):
         m = _DSIR_SOURCE_RE.search(query)
         return {"target": "dsir_select",

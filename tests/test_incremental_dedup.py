@@ -420,3 +420,31 @@ def test_census_distinct_merge_and_tolerance(spark):
     n_rows = {(r["kind"], r["stratum"]): r["n_rows"]
               for r in merged.collect()}
     assert n_rows[("__total__", "__total__")] == 600
+
+
+def test_histogram_quantiles_reads_off_stored_table(spark):
+    """histogram_quantiles: per-stratum quantile estimates off the
+    bounded histogram table — exact at bucket boundaries, within the
+    bucket-resolution contract (factor of 2) against true
+    percentiles, no corpus scan."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        census_histogram,
+        histogram_quantiles,
+    )
+    # 100 docs per lang: l0 all 10 tokens, l1 all 100 tokens
+    rows = ([(i, "w " * 10, "l0", "s") for i in range(100)]
+            + [(1000 + i, "w " * 100, "l1", "s") for i in range(100)])
+    schema = "doc_id long, text string, lang string, source string"
+    hist = census_histogram(spark.createDataFrame(rows, schema))
+    q = histogram_quantiles(hist, quantiles=(0.5, 0.99), kind="lang")
+    assert set(q) == {"l0", "l1"}
+    # 10 tokens -> bucket 3 ([8,16)); 100 -> bucket 6 ([64,128))
+    for s, true in [("l0", 10), ("l1", 100)]:
+        for est in q[s].values():
+            assert true / 2 <= est <= true * 2, (s, est)
+    # quantiles are monotone in q
+    assert q["l0"][0.5] <= q["l0"][0.99]
+    # the __total__ view mixes both lengths: p50 in the short bucket,
+    # p99 in the long one
+    qt = histogram_quantiles(hist, quantiles=(0.25, 0.99))["__total__"]
+    assert qt[0.25] <= 16 and qt[0.99] >= 64

@@ -1727,3 +1727,54 @@ def test_pipeline_dataops_split_corpus(spark, sf_dir, tmp_path):
     prs = minhash_lsh_pairs(docs).collect()
     assert prs   # non-vacuous
     assert all(side[p["id_a"]] == side[p["id_b"]] for p in prs)
+
+
+def test_pipeline_dataops_cluster_corpus_target(spark, sf_dir, tmp_path):
+    """NL 'cluster the embeddings into N topics' writes per-vector
+    assignments + a reusable centers frame, equal to the direct
+    cluster_embeddings composition at the same seed/count."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        cluster_embeddings,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    p = parse_dataops_query("cluster the embeddings into 4 topics")
+    assert p == {"target": "cluster_corpus", "n_clusters": 4}
+    assert parse_dataops_query(
+        "cluster the corpus embeddings, 8 clusters")["n_clusters"] == 8
+    # unnamed count -> corpus-derived at run time
+    assert parse_dataops_query(
+        "cluster the embeddings")["n_clusters"] is None
+    # semdedup phrasing keeps routing to semantic_dedup
+    assert parse_dataops_query(
+        "semantically dedup the corpus with 32 clusters")["target"] == \
+        "semantic_dedup"
+    # finance phrasing must not route into dataops at all
+    assert parse_dataops_query(
+        "cluster analysis of AAPL volatility") is None
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "clusters")
+    res = pipe.run_dataops("cluster the embeddings into 4 topics",
+                           sf_dir, out)
+    assert res["status"] == "complete"
+    emb = Catalog(spark, sf_dir).embeddings
+    n = emb.count()
+    assert res["reports"]["rows_in"] == n
+    assert sum(res["reports"]["cluster_sizes"].values()) == n
+    assert set(res["reports"]["cluster_coherence"]) == \
+        set(res["reports"]["cluster_sizes"])
+    back = spark.read.parquet(out)
+    want_assign, want_centers = cluster_embeddings(emb, n_clusters=4)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, want_assign.collect()))
+    centers = spark.read.parquet(out + "_centers")
+    assert centers.count() == 4
+    assert sorted(map(tuple, centers.collect())) == \
+        sorted(map(tuple, want_centers.collect()))
+    # coherence is a cosine: every per-cluster mean in [-1, 1]
+    assert all(-1.0 <= c <= 1.0
+               for c in res["reports"]["cluster_coherence"].values())
