@@ -691,6 +691,11 @@ class Pipeline:
                 int(r["bucket"]): r["n_docs"] for r in
                 hb.filter(F.col("kind") == "__total__").collect()}
             reports["histogram_path"] = output_path + "_hist"
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+                histogram_quantiles,
+            )
+            reports["length_quantiles_per_lang"] = histogram_quantiles(
+                hb, quantiles=(0.5, 0.9, 0.99), kind="lang")
             outputs.append(hist)
         self.progress("publish", {"rows": back.count(),
                                   "path": output_path})

@@ -688,6 +688,11 @@ def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
     hb = spark.read.parquet(out2 + "_hist")
     want = sorted(map(tuple, census_histogram(docs).collect()))
     assert sorted(map(tuple, hb.collect())) == want
+    # per-lang length quantiles inline in the report, monotone in q
+    ql = res2["reports"]["length_quantiles_per_lang"]
+    assert set(ql) == set(res2["reports"]["docs_per_lang"])
+    for ests in ql.values():
+        assert ests[0.5] <= ests[0.9] <= ests[0.99]
 
 
 def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
