@@ -360,7 +360,8 @@ class Pipeline:
             sink_report = write_shards(
                 frame.drop("shard"), output_path,
                 n_shards=plan["n_shards"], key_col="id",
-                shuffle_salt=plan.get("shuffle_salt"), verify=True)
+                shuffle_salt=plan.get("shuffle_salt"), verify=True,
+                manifest=plan.get("manifest", False))
         finally:
             release_shared_caches()
         self.progress("publish", {"rows": sink_report.get("rows_written"),
@@ -1501,6 +1502,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     plan = {"target": "corpus_to_shards", "token_budget": 15_000,
             "seq_len": 512, "n_shards": 4, "n_buckets": None,
             "shuffle_salt": None,
+            # 'with a manifest' opts into the per-shard integrity
+            # manifest sidecar (one extra pass over the written data)
+            "manifest": "manifest" in ql,
             "tokenizer": "bpe" if "bpe" in ql else "whitespace"}
     seq_m = _SEQ_LEN_RE.search(ql)
     if seq_m:

@@ -215,7 +215,8 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
                  max_records_per_file: Optional[int] = None,
                  if_exists: str = "replace",
                  shuffle_salt: Optional[str] = None,
-                 verify: bool = True) -> dict:
+                 verify: bool = True,
+                 manifest: bool = False) -> dict:
     """Balanced shard writer for curated training corpora: exactly
     ``n_shards`` output shard DIRECTORIES (``shard=0..n-1`` via
     ``partitionBy``), each a deterministic hash slice of ``key_col`` —
@@ -247,6 +248,14 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     with the accumulated corpus, not this batch — high-frequency
     append loops should disable it (or verify out-of-band) once the
     sink is large.
+
+    ``manifest=True`` additionally writes the order-insensitive
+    per-shard integrity manifest (:func:`shard_manifest` over the
+    READ-BACK data) to ``<path>_manifest`` — the receiving side of a
+    data shipment re-runs :func:`verify_shard_manifest` against it to
+    prove no row was lost, duplicated, or corrupted, without
+    re-sorting the corpus. One extra aggregation pass over the
+    written data.
     """
     from pyspark.sql import functions as F
 
@@ -273,7 +282,7 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").save(path)
-    if not verify:
+    if not verify and not manifest:
         return {"path": path, "format": fmt, "n_shards": n_shards,
                 "elapsed_sec": round(time.perf_counter() - t0, 3)}
     # read-back verification mirrors the writer's options (header for
@@ -291,7 +300,79 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     per_shard = {int(r["shard"]): r["n"] for r in
                  back.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
                  .collect()}
-    return {"path": path, "format": fmt, "n_shards": n_shards,
-            "rows_written": sum(per_shard.values()),
-            "shard_rows": per_shard,
-            "elapsed_sec": round(time.perf_counter() - t0, 3)}
+    out = {"path": path, "format": fmt, "n_shards": n_shards,
+           "rows_written": sum(per_shard.values()),
+           "shard_rows": per_shard,
+           "elapsed_sec": round(time.perf_counter() - t0, 3)}
+    if manifest:
+        shard_manifest(back).write.mode("overwrite") \
+            .parquet(path + "_manifest")
+        out["manifest_path"] = path + "_manifest"
+    return out
+
+
+def shard_manifest(df: DataFrame,
+                   content_cols: Optional[list] = None,
+                   shard_col: str = "shard") -> DataFrame:
+    """Per-shard integrity manifest: ``(shard, n_rows, content_hash)``
+    where ``content_hash`` is the SUM (in ``decimal(38,0)`` — exact,
+    no wrap) of each row's ``hash32`` over its key + content columns.
+    Order-INSENSITIVE by construction (sums commute), so the manifest
+    of a written shard set equals the manifest of the frame that
+    produced it regardless of task scheduling, file order, or reader
+    parallelism — and sums are mergeable, so an append batch's
+    manifest folds onto a stored one. This is the data-shipping
+    verification story at 100 TB: recompute the manifest on the
+    receiving side and compare three numbers per shard instead of
+    re-sorting terabytes; any dropped/duplicated/bit-flipped row
+    moves the sum. One aggregation, no shuffle beyond the groupBy.
+    ``content_cols`` defaults to every column except the shard id;
+    nulls fold to a sentinel (NULL concat would zero the row out).
+    Engine-portable (md5-derived hash32): :func:`SQL_SHARD_MANIFEST`
+    is the DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32
+    if content_cols is None:
+        content_cols = [c for c in df.columns if c != shard_col]
+    payload = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in content_cols])
+    row_h = hash32(payload).cast("decimal(38,0)")
+    return (df.groupBy(F.col(shard_col))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(row_h).alias("content_hash")))
+
+
+def SQL_SHARD_MANIFEST(table: str, content_cols: list,
+                       shard_col: str = "shard") -> str:
+    """DuckDB twin of :func:`shard_manifest` (differential pytest)."""
+    payload = " || chr(31) || ".join(
+        f"coalesce({c}::VARCHAR, chr(0))" for c in content_cols)
+    return f"""
+SELECT {shard_col} AS shard, count(*)::BIGINT AS n_rows,
+       sum(('0x' || substr(md5({payload}), 1, 8))::BIGINT)::HUGEINT
+         AS content_hash
+FROM {table} GROUP BY {shard_col}
+"""
+
+
+def verify_shard_manifest(spark: SparkSession, path: str,
+                          manifest: DataFrame,
+                          content_cols: Optional[list] = None,
+                          fmt: str = "parquet") -> dict:
+    """Receiving-side check: recompute :func:`shard_manifest` over the
+    shard set AT ``path`` and diff it against the stored/shipped
+    ``manifest``. Returns ``{ok, n_shards, mismatched}`` where
+    ``mismatched`` lists shard ids whose (n_rows, content_hash)
+    disagree — including shards present on only one side (a lost or
+    extra shard directory is a mismatch, not a skip)."""
+    back = spark.read.format(fmt).load(path)
+    got = {int(r["shard"]): (r["n_rows"], r["content_hash"])
+           for r in shard_manifest(
+               back, content_cols=content_cols).collect()}
+    want = {int(r["shard"]): (r["n_rows"], r["content_hash"])
+            for r in manifest.collect()}
+    bad = sorted(s for s in set(got) | set(want)
+                 if got.get(s) != want.get(s))
+    return {"ok": not bad, "n_shards": len(want), "mismatched": bad}

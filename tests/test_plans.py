@@ -490,7 +490,11 @@ def test_parse_dataops_query():
         "sequence length 256, into 8 shards for epoch 3")
     assert p == {"target": "corpus_to_shards", "token_budget": 12_000,
                  "seq_len": 256, "n_shards": 8, "n_buckets": 8,
-                 "shuffle_salt": "epoch-3", "tokenizer": "whitespace"}
+                 "shuffle_salt": "epoch-3", "manifest": False,
+                 "tokenizer": "whitespace"}
+    # 'with a manifest' opts into the integrity-manifest sidecar
+    assert parse_dataops_query(
+        "shard the corpus with a manifest")["manifest"] is True
     # defaults match the corpus_to_shards registry query
     d = parse_dataops_query("dedup and shard the training corpus")
     assert (d["token_budget"], d["seq_len"], d["n_shards"]) == (15_000, 512, 4)
@@ -1783,3 +1787,23 @@ def test_pipeline_dataops_cluster_corpus_target(spark, sf_dir, tmp_path):
     # coherence is a cosine: every per-cluster mean in [-1, 1]
     assert all(-1.0 <= c <= 1.0
                for c in res["reports"]["cluster_coherence"].values())
+
+
+def test_pipeline_dataops_shards_manifest_sidecar(spark, sf_dir, tmp_path):
+    """NL 'shard the corpus ... with a manifest' writes the per-shard
+    integrity manifest sidecar; verify_shard_manifest passes against
+    the written shard set."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        verify_shard_manifest,
+    )
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "shards_m")
+    res = pipe.run_dataops(
+        "curate the corpus into 4 shards with a manifest, "
+        "budget of 5000 tokens", sf_dir, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["sink"]["manifest_path"] == out + "_manifest"
+    man = spark.read.parquet(out + "_manifest")
+    chk = verify_shard_manifest(spark, out, man)
+    assert chk["ok"] is True and chk["mismatched"] == []

@@ -297,3 +297,76 @@ def test_compact_snapshot_sizes_files_from_deduped_count(spark, tmp_path):
     assert back.count() == 600
     assert sorted(r["key"] for r in back.collect()) == \
         sorted(i * 7919 for i in range(600))
+
+
+def test_shard_manifest_roundtrip_and_tamper(spark, tmp_path):
+    """write_shards(manifest=True): the stored manifest equals a
+    manifest of the source frame (order-insensitive — the write's
+    task scheduling can't move the sums), verify passes against the
+    written set, and tampering (dropping one row from one shard)
+    flags exactly that shard."""
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(200)], ["doc_id", "text"])
+    p = str(tmp_path / "shards")
+    rep = S.write_shards(docs, p, n_shards=4, key_col="doc_id",
+                         manifest=True)
+    assert rep["manifest_path"] == p + "_manifest"
+    stored = spark.read.parquet(p + "_manifest")
+    # the source frame, sharded the same way, yields the SAME manifest
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32
+    src = docs.withColumn(
+        "shard", (hash32(F.col("doc_id").cast("string")) % 4).cast("int"))
+    want = sorted(map(tuple, S.shard_manifest(src).collect()))
+    assert sorted(map(tuple, stored.collect())) == want
+
+    ok = S.verify_shard_manifest(spark, p, stored)
+    assert ok == {"ok": True, "n_shards": 4, "mismatched": []}
+
+    # tamper: rewrite shard 2's directory minus one row
+    back = spark.read.parquet(p)
+    victim = back.filter(F.col("shard") == 2).limit(1).collect()[0]
+    keep = back.filter((F.col("shard") != 2)
+                       | (F.col("doc_id") != victim["doc_id"]))
+    p2 = str(tmp_path / "tampered")
+    keep.write.partitionBy("shard").parquet(p2)
+    bad = S.verify_shard_manifest(spark, p2, stored)
+    assert bad["ok"] is False and bad["mismatched"] == [2]
+
+    # a lost shard directory is a mismatch too, not a skip
+    p3 = str(tmp_path / "lost")
+    back.filter(F.col("shard") != 3).write.partitionBy("shard").parquet(p3)
+    lost = S.verify_shard_manifest(spark, p3, stored)
+    assert lost["ok"] is False and 3 in lost["mismatched"]
+
+
+def test_shard_manifest_matches_duckdb_and_merges(spark, tmp_path):
+    """Differential: shard_manifest == the DuckDB twin over the same
+    parquet (exact decimal sums); and manifests are mergeable — the
+    manifest of A ∪ B equals per-shard sums of the two manifests (the
+    append-batch fold)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words", i % 3) for i in range(120)],
+        ["doc_id", "text", "shard"])
+    p = str(tmp_path / "flat.parquet")
+    docs.coalesce(1).write.parquet(p)
+    got = sorted((int(r["shard"]), r["n_rows"], int(r["content_hash"]))
+                 for r in S.shard_manifest(docs).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = sorted((int(s), n, int(h)) for s, n, h in con.execute(
+        S.SQL_SHARD_MANIFEST("t", ["doc_id", "text"])).fetchall())
+    assert got == want
+
+    a, b = docs.filter("doc_id < 70"), docs.filter("doc_id >= 70")
+    merged = (S.shard_manifest(a).unionByName(S.shard_manifest(b))
+              .groupBy("shard")
+              .agg(F.sum("n_rows").alias("n_rows"),
+                   F.sum("content_hash").alias("content_hash")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, S.shard_manifest(docs).collect()))
