@@ -698,6 +698,37 @@ class Pipeline:
             reports["length_quantiles_per_lang"] = histogram_quantiles(
                 hb, quantiles=(0.5, 0.9, 0.99), kind="lang")
             outputs.append(hist)
+        if plan.get("distinct"):
+            # HLL distinct-fingerprint census: n_docs vs distinct
+            # CONTENT per stratum = the dup-rate telemetry exact sums
+            # can't maintain incrementally (values repeat across
+            # batches); sketches land beside the census so the next
+            # epoch folds instead of re-scanning
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+                hash32,
+                normalize_text,
+            )
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+                census_distinct,
+                estimate_distinct,
+            )
+            fp = docs.withColumn(
+                "fp", hash32(normalize_text(
+                    F.coalesce(F.col("text"), F.lit("")))))
+            dcen = census_distinct(fp, "fp")
+            dcen.write.mode("overwrite").parquet(output_path + "_distinct")
+            db = self.spark.read.parquet(output_path + "_distinct")
+            ests = {(r["kind"], r["stratum"]): (r["n_distinct"], r["n_rows"])
+                    for r in estimate_distinct(db).collect()}
+            reports["distinct_docs_per_lang"] = {
+                s: round(v[0], 1) for (k, s), v in ests.items()
+                if k == "lang"}
+            tot = ests[("__total__", "__total__")]
+            reports["distinct_docs_total"] = round(tot[0], 1)
+            reports["approx_dup_rate"] = round(
+                1.0 - min(1.0, tot[0] / tot[1]), 4) if tot[1] else 0.0
+            reports["distinct_path"] = output_path + "_distinct"
+            outputs.append(dcen)
         self.progress("publish", {"rows": back.count(),
                                   "path": output_path})
         return {"status": "complete", "outputs": outputs,
@@ -1400,10 +1431,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "crawl_path": m.group(1) if m else None}
     if _CENSUS_TARGET_RE.search(ql):
         # 'with a length histogram' / 'length distribution' adds the
-        # power-of-two token-length histogram sidecar to the census
+        # power-of-two token-length histogram sidecar; 'distinct'
+        # adds the HLL distinct-fingerprint census (dup-rate telemetry)
         return {"target": "corpus_census",
                 "histogram": ("histogram" in ql
-                              or "distribution" in ql)}
+                              or "distribution" in ql),
+                "distinct": "distinct" in ql}
     if _DECONTAM_TARGET_RE.search(ql):
         m = _BENCH_PATH_RE.search(query)   # paths keep their case
         thr = (float(t.group(1))

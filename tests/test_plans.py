@@ -652,7 +652,8 @@ def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
     )
 
     c = parse_dataops_query("census the corpus")
-    assert c == {"target": "corpus_census", "histogram": False}
+    assert c == {"target": "corpus_census", "histogram": False,
+                 "distinct": False}
     assert parse_dataops_query(
         "report corpus statistics per language")["target"] == \
         "corpus_census"
@@ -697,6 +698,26 @@ def test_pipeline_dataops_corpus_census_target(spark, sf_dir, tmp_path):
     assert set(ql) == set(res2["reports"]["docs_per_lang"])
     for ests in ql.values():
         assert ests[0.5] <= ests[0.9] <= ests[0.99]
+
+    # distinct variant: HLL fingerprint census sidecar + dup-rate
+    # telemetry (the fixture corpus is duplicate-light, so the
+    # estimate must sit near the doc count and the rate near 0)
+    out3 = str(tmp_path / "census_d")
+    res3 = pipe.run_dataops(
+        "census the corpus with distinct content counts", sf_dir, out3)
+    assert res3["status"] == "complete"
+    assert res3["reports"]["plan"]["distinct"] is True
+    est = res3["reports"]["distinct_docs_total"]
+    true_distinct = docs.selectExpr(
+        "count(distinct trim(regexp_replace(lower(coalesce(text, '')),"
+        " '\\\\s+', ' '))) AS n").first()["n"]
+    assert abs(est - true_distinct) <= 0.05 * true_distinct
+    assert 0.0 <= res3["reports"]["approx_dup_rate"] <= 1.0
+    assert set(res3["reports"]["distinct_docs_per_lang"]) == \
+        set(res3["reports"]["docs_per_lang"])
+    # the sidecar holds mergeable sketches, not estimates
+    db = spark.read.parquet(out3 + "_distinct")
+    assert set(db.columns) == {"kind", "stratum", "sketch", "n_rows"}
 
 
 def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
