@@ -340,6 +340,14 @@ def scale_probe(spark, factors: list[int]) -> dict:
             F.hash(j, F.lit(i)), F.lit(2)))).cast("float")
 
     out["semdedup"] = []
+    # cluster: standalone corpus clustering (N11) over the same
+    # decorrelated replicas — n_clusters scales 16*f (constant target
+    # cluster size), rows out EXACTLY linear (one assignment per
+    # vector), wall ~linear: the distributed k-means fit dominates and
+    # Lloyd's per-iteration cost is n*k*d with k growing as f only
+    # because we hold cluster SIZE constant; the scoring join
+    # broadcasts the centers.
+    out["cluster"] = []
     for f in factors:
         reps = []
         for i in range(f):
@@ -364,6 +372,16 @@ def scale_probe(spark, factors: list[int]) -> dict:
             best = min(best, time.perf_counter() - t0)
         out["semdedup"].append({"factor": f, "n_docs": n,
                                 "candidates": c, "sec": round(best, 3)})
+        best_cl, c_cl = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            assign, _centers = S.cluster_embeddings(
+                cand, n_clusters=16 * f)
+            c_cl = assign.count()
+            best_cl = min(best_cl, time.perf_counter() - t0)
+        out["cluster"].append({"factor": f, "n_docs": n,
+                               "candidates": c_cl,
+                               "sec": round(best_cl, 3)})
         cand.unpersist()
 
     # crawl: WARC ingestion throughput. One synthetic gzipped WARC
@@ -554,7 +572,7 @@ def main() -> None:
             json.dump({"sf": SF_DIR, "factors": factors, "series": probe},
                       fh, indent=1)
         lines = []
-        last = ("pq", "semdedup", "dsir", "bloom", "crawl")
+        last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
