@@ -317,6 +317,8 @@ class Pipeline:
             return self._run_semantic_dedup(plan, source_dir, output_path)
         if plan["target"] == "cluster_corpus":
             return self._run_cluster_corpus(plan, source_dir, output_path)
+        if plan["target"] == "verify_shards":
+            return self._run_verify_shards(plan, output_path)
         if plan["target"] == "decontaminate":
             return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "ann_search":
@@ -813,6 +815,53 @@ class Pipeline:
                                                   r["coherence"]
                                                   for r in stats}}}
 
+    def _run_verify_shards(self, plan: dict, output_path: str) -> dict:
+        """'verify the shards at /path against the manifest': the
+        receiving side of a data shipment — recompute the
+        order-insensitive per-shard fingerprints over the shard set
+        and diff them against the stored manifest
+        (:func:`sources.sinks.verify_shard_manifest`; defaults to the
+        writer's ``<shards>_manifest`` sidecar). Rejected with an
+        actionable reason when no shard path is named; the verdict +
+        mismatched shard ids land in the report AND at the sink as a
+        one-row-per-shard status frame."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            verify_shard_manifest,
+        )
+
+        if not plan.get("shards_path"):
+            return {"status": "rejected",
+                    "reason": "verify_shards needs 'shards at <path>'",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        mpath = plan.get("manifest_path") or \
+            plan["shards_path"].rstrip("/") + "_manifest"
+        try:
+            manifest = self.spark.read.parquet(mpath)
+        except Exception:
+            return {"status": "rejected",
+                    "reason": f"no manifest readable at {mpath}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        self.progress("verify", {"params": dict(plan),
+                                 "manifest_path": mpath})
+        chk = verify_shard_manifest(self.spark, plan["shards_path"],
+                                    manifest)
+        bad = set(chk["mismatched"])
+        # union so an EXTRA shard directory (present on disk, absent
+        # from the manifest) still gets a status row
+        shard_ids = {int(r["shard"]) for r in manifest.collect()} | bad
+        status_frame = self.spark.createDataFrame(
+            [(s, "mismatch" if s in bad else "ok")
+             for s in sorted(shard_ids)],
+            "shard int, status string")
+        status_frame.write.mode("overwrite").parquet(output_path)
+        self.progress("publish", {"rows": chk["n_shards"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [status_frame],
+                "reports": {"plan": dict(plan), "ok": chk["ok"],
+                            "n_shards": chk["n_shards"],
+                            "manifest_path": mpath,
+                            "mismatched_shards": chk["mismatched"]}}
+
     def _run_decontaminate(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'decontaminate the corpus against the benchmark at /path':
@@ -1255,6 +1304,15 @@ _CLUSTER_TARGET_RE = re.compile(
     r"\bcluster(?:ing)?\b[^.]*\b(?:embeddings?|corpus|documents)\b"
     r"|\binto\s+\d+\s+topics\b")
 _TOPICS_RE = re.compile(r"\b(\d+)\s+topics\b")
+# 'verify the shards at /path against the manifest' — receiving-side
+# integrity check of a shipped shard set (manifest defaults to the
+# writer's <shards>_manifest sidecar; 'manifest at /other' overrides)
+_SHARD_VERIFY_RE = re.compile(
+    r"\b(?:verify|check|validate)\b[^.]*\bshards?\b")
+_SHARDS_PATH_RE = re.compile(
+    r"\bshards?\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+_MANIFEST_PATH_RE = re.compile(
+    r"\bmanifest\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
 # 'extract text from the crawl at /path' / 'ingest the warc archive'
 _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
@@ -1429,6 +1487,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _CRAWL_PATH_RE.search(query)   # paths keep their case
         return {"target": "ingest_crawl",
                 "crawl_path": m.group(1) if m else None}
+    if _SHARD_VERIFY_RE.search(ql):
+        sp = _SHARDS_PATH_RE.search(query)   # paths keep their case
+        mp = _MANIFEST_PATH_RE.search(query)
+        return {"target": "verify_shards",
+                "shards_path": sp.group(1) if sp else None,
+                "manifest_path": mp.group(1) if mp else None}
     if _CENSUS_TARGET_RE.search(ql):
         # 'with a length histogram' / 'length distribution' adds the
         # power-of-two token-length histogram sidecar; 'distinct'

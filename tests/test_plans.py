@@ -1828,3 +1828,66 @@ def test_pipeline_dataops_shards_manifest_sidecar(spark, sf_dir, tmp_path):
     man = spark.read.parquet(out + "_manifest")
     chk = verify_shard_manifest(spark, out, man)
     assert chk["ok"] is True and chk["mismatched"] == []
+
+
+def test_pipeline_dataops_verify_shards_target(spark, sf_dir, tmp_path):
+    """NL 'verify the shards at <path> against the manifest': clean
+    set passes; a tampered set reports the mismatched shard both in
+    the report and the per-shard status frame; pathless/manifestless
+    queries get actionable rejections."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        write_shards,
+    )
+
+    p = parse_dataops_query("verify the shards at /data/out")
+    assert p == {"target": "verify_shards", "shards_path": "/data/out",
+                 "manifest_path": None}
+    assert parse_dataops_query(
+        "check the shards at /a against the manifest at /b") == {
+        "target": "verify_shards", "shards_path": "/a",
+        "manifest_path": "/b"}
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(120)], ["doc_id", "text"])
+    shards = str(tmp_path / "ship")
+    write_shards(docs, shards, n_shards=3, key_col="doc_id",
+                 manifest=True)
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "verdict")
+    res = pipe.run_dataops(f"verify the shards at {shards}", sf_dir, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["ok"] is True
+    assert res["reports"]["mismatched_shards"] == []
+    assert res["reports"]["manifest_path"] == shards + "_manifest"
+    st = {r["shard"]: r["status"]
+          for r in spark.read.parquet(out).collect()}
+    assert st == {0: "ok", 1: "ok", 2: "ok"}
+
+    # tamper: drop one row from shard 1
+    back = spark.read.parquet(shards)
+    victim = back.filter(F.col("shard") == 1).limit(1).collect()[0]
+    tampered = str(tmp_path / "tampered_ship")
+    back.filter((F.col("shard") != 1)
+                | (F.col("doc_id") != victim["doc_id"])) \
+        .write.partitionBy("shard").parquet(tampered)
+    res2 = pipe.run_dataops(
+        f"verify the shards at {tampered} against the manifest at "
+        f"{shards}_manifest", sf_dir, str(tmp_path / "verdict2"))
+    assert res2["status"] == "complete"
+    assert res2["reports"]["ok"] is False
+    assert res2["reports"]["mismatched_shards"] == [1]
+
+    # rejections: no shard path / unreadable manifest
+    r3 = pipe.run_dataops("verify the shards", sf_dir,
+                          str(tmp_path / "v3"))
+    assert r3["status"] == "rejected" and "shards at" in r3["reason"]
+    r4 = pipe.run_dataops(
+        f"verify the shards at {tmp_path}/nowhere", sf_dir,
+        str(tmp_path / "v4"))
+    assert r4["status"] == "rejected" and "manifest" in r4["reason"]
