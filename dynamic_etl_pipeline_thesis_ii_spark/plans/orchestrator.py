@@ -758,6 +758,12 @@ class Pipeline:
 
         emb = Catalog(self.spark, source_dir).embeddings
         n_in = emb.count()
+        if n_in == 0:
+            # k-means cannot fit zero rows — an empty corpus is an
+            # actionable rejection, not an opaque executor stacktrace
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         if not plan.get("n_clusters"):
             plan["n_clusters"] = derive_n_clusters(n_in)
         frame = semantic_dedup(emb, threshold=plan["threshold"],
@@ -791,6 +797,12 @@ class Pipeline:
 
         emb = Catalog(self.spark, source_dir).embeddings
         n_in = emb.count()
+        if n_in == 0:
+            # k-means cannot fit zero rows — an empty corpus is an
+            # actionable rejection, not an opaque executor stacktrace
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         if not plan.get("n_clusters"):
             plan["n_clusters"] = derive_n_clusters(n_in)
         assign, centers = cluster_embeddings(

@@ -1891,3 +1891,19 @@ def test_pipeline_dataops_verify_shards_target(spark, sf_dir, tmp_path):
         f"verify the shards at {tmp_path}/nowhere", sf_dir,
         str(tmp_path / "v4"))
     assert r4["status"] == "rejected" and "manifest" in r4["reason"]
+
+
+def test_cluster_and_semdedup_reject_empty_corpus(spark, sf_dir, tmp_path):
+    """k-means cannot fit zero rows: an empty embeddings table gets an
+    actionable rejection from both clustering targets, not an opaque
+    executor stacktrace."""
+    empty_dir = str(tmp_path / "empty_sf")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string") \
+        .write.parquet(empty_dir + "/embeddings.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    for q in ("cluster the embeddings into 4 topics",
+              "semantically dedup the corpus"):
+        res = pipe.run_dataops(q, empty_dir, str(tmp_path / "out"))
+        assert res["status"] == "rejected", q
+        assert "empty" in res["reason"], q
