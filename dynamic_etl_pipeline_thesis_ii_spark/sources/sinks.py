@@ -305,9 +305,29 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
            "shard_rows": per_shard,
            "elapsed_sec": round(time.perf_counter() - t0, 3)}
     if manifest:
-        shard_manifest(back).write.mode("overwrite") \
-            .parquet(path + "_manifest")
-        out["manifest_path"] = path + "_manifest"
+        man_path = path + "_manifest"
+        if _MODES[if_exists] == "append" and \
+                _path_exists(df.sparkSession, man_path):
+            # the manifest is MERGEABLE by design: fold this batch's
+            # fingerprints (computed from the exact frame written)
+            # onto the stored ones at BATCH cost — recomputing over
+            # everything AT the path would grow with the accumulated
+            # corpus, the same trap the verify docstring warns about.
+            # Parquet round-trips values exactly, so batch-frame
+            # hashes equal read-back hashes; CSV callers should
+            # verify with the writer's reader options.
+            prior = df.sparkSession.read.parquet(man_path)
+            folded = (prior.unionByName(shard_manifest(sharded))
+                      .groupBy("shard")
+                      .agg(F.sum("n_rows").alias("n_rows"),
+                           F.sum("content_hash").alias("content_hash")))
+            rows = folded.collect()   # materialize BEFORE overwrite
+            df.sparkSession.createDataFrame(rows, prior.schema) \
+                .coalesce(1).write.mode("overwrite").parquet(man_path)
+        else:
+            shard_manifest(back).write.mode("overwrite") \
+                .parquet(man_path)
+        out["manifest_path"] = man_path
     return out
 
 

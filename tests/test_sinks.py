@@ -370,3 +370,27 @@ def test_shard_manifest_matches_duckdb_and_merges(spark, tmp_path):
                    F.sum("content_hash").alias("content_hash")))
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, S.shard_manifest(docs).collect()))
+
+
+def test_shard_manifest_append_folds_at_batch_cost(spark, tmp_path):
+    """append + manifest: the stored manifest FOLDS the batch's
+    fingerprints onto the prior ones (mergeable sums) and ends equal
+    to a manifest of everything at the path; verify passes against
+    the accumulated set."""
+    a = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(100)], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(1000 + i, f"body {1000 + i}") for i in range(60)],
+        ["doc_id", "text"])
+    p = str(tmp_path / "acc")
+    S.write_shards(a, p, n_shards=3, key_col="doc_id",
+                   if_exists="append", manifest=True)
+    S.write_shards(b, p, n_shards=3, key_col="doc_id",
+                   if_exists="append", manifest=True)
+    stored = spark.read.parquet(p + "_manifest")
+    back = spark.read.parquet(p)
+    assert back.count() == 160
+    assert sorted(map(tuple, stored.collect())) == \
+        sorted(map(tuple, S.shard_manifest(back).collect()))
+    chk = S.verify_shard_manifest(spark, p, stored)
+    assert chk["ok"] is True and chk["mismatched"] == []
