@@ -311,3 +311,41 @@ def test_http_run_real_dataops_pipeline(spark, sf_dir, tmp_path):
                     "/api/pipeline/download/nope/f.bin")[0] == 404
     finally:
         server.shutdown()
+
+
+def test_http_run_census_histogram_target(spark, sf_dir, tmp_path):
+    """The round-10 census variant over HTTP: histogram + distinct
+    arms run through the rim, the report carries the inline telemetry
+    (per-bucket docs, per-lang quantiles, dup rate), and both sidecar
+    parquets land."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+
+    service = PipelineService(pipeline_runner(
+        lambda progress: Pipeline(spark, FixtureFetcher(spark, sf_dir),
+                                  progress=progress)))
+    server, port = _start(service)
+    out = str(tmp_path / "census")
+    try:
+        code, resp = _req(port, "POST", "/api/pipeline/run", {
+            "query": "census the corpus with a length histogram "
+                     "and distinct content counts",
+            "options": {"source_dir": sf_dir, "output_path": out}})
+        assert code == 200
+        run_id = resp["run_id"]
+        _wait_status(port, run_id, {"completed"})
+        code, results = _req(port, "GET",
+                             f"/api/pipeline/results/{run_id}")
+        assert code == 200 and results["status"] == "complete"
+        rep = results["reports"]
+        assert rep["n_docs"] > 0
+        assert sum(rep["docs_per_length_bucket"].values()) == rep["n_docs"]
+        assert set(rep["length_quantiles_per_lang"]) == \
+            set(rep["docs_per_lang"])
+        assert 0.0 <= rep["approx_dup_rate"] <= 1.0
+        assert spark.read.parquet(out + "_hist").count() > 0
+        assert spark.read.parquet(out + "_distinct").count() > 0
+    finally:
+        server.shutdown()
