@@ -1264,3 +1264,76 @@ def histogram_quantiles(hist, quantiles: tuple = (0.5, 0.9, 0.99),
             ests[q] = round(est, 3)
         out[stratum] = ests
     return out
+
+
+# Code-likeness keywords: language-defining word tokens that survive
+# normalization and rarely appear in prose (deliberately NO if/else/
+# for/while — common English words that would false-hit prose).
+CODE_KEYWORDS: list[str] = [
+    "def", "return", "import", "class", "function", "var", "const",
+    "void", "int", "public", "static", "lambda", "struct", "typedef"]
+
+
+def code_features(col) -> dict:
+    """Code-vs-prose signals + a composite code-likeness score in
+    [0,1] — the training-mix telemetry corpora use to route documents
+    to code vs text pipelines (symbol density, indentation discipline
+    and language keywords are the standard cheap discriminators).
+    Pure column expressions; the formula documented here IS the
+    oracle contract (:func:`SQL_CODE_FEATURES`):
+
+    - ``symbol_density``: count of ``{}()[];=<>`` chars / n_chars
+    - ``indent_ratio``: raw lines opening with a tab or 2+ spaces /
+      n_lines (prose wraps, code indents)
+    - ``code_kw_hits``: DISTINCT :data:`CODE_KEYWORDS` present
+    - ``code_score`` = 0.4·min(8·symbol_density, 1)
+      + 0.3·indent_ratio + 0.3·min(kw_hits/3, 1), rounded like
+      ``quality_score`` (rounded intermediates on both engines)."""
+    n_chars = F.greatest(F.length(col), F.lit(1))
+    n_symbols = F.size(F.regexp_extract_all(
+        col, F.lit(r"[{}()\[\];=<>]"), 0))
+    symbol_density = F.round(
+        n_symbols.cast("double") / n_chars.cast("double"), 6)
+    lines = F.split(col, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_indented = F.size(F.filter(lines, lambda l: l.rlike(r"^(\t|  )")))
+    indent_ratio = F.round(n_indented.cast("double") / n_lines, 6)
+    kw = word_list_hits(tokens(col), CODE_KEYWORDS)
+    score = F.round(
+        F.lit(0.4) * F.least(symbol_density * 8, F.lit(1.0))
+        + F.lit(0.3) * indent_ratio
+        + F.lit(0.3) * F.least(kw.cast("double") / 3.0, F.lit(1.0)), 6)
+    return {
+        "symbol_density": symbol_density,
+        "indent_ratio": indent_ratio,
+        "code_kw_hits": kw.cast("long"),
+        "code_score": score,
+    }
+
+
+def SQL_CODE_FEATURES(x: str) -> dict[str, str]:
+    """DuckDB twins of :func:`code_features` (same counts, same
+    rounded intermediates)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_NORMALIZE,
+    )
+    toks = f"string_split({SQL_NORMALIZE.format(x=x)}, ' ')"
+    n_chars = f"greatest(length({x}), 1)"
+    n_symbols = f"len(regexp_extract_all({x}, '[{{}}()\\[\\];=<>]'))"
+    symbol_density = f"round({n_symbols}::double / {n_chars}, 6)"
+    lines = f"string_split({x}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)::double"
+    n_indented = (f"len(list_filter({lines},"
+                  f" l -> regexp_matches(l, '^(\\t|  )')))")
+    indent_ratio = f"round({n_indented} / {n_lines}, 6)"
+    kw_list = "[" + ", ".join(f"'{s}'" for s in CODE_KEYWORDS) + "]"
+    kw = f"len(list_intersect(list_distinct({toks}), {kw_list}))"
+    score = (f"round(0.4 * least({symbol_density} * 8, 1.0)"
+             f" + 0.3 * {indent_ratio}"
+             f" + 0.3 * least({kw}::double / 3.0, 1.0), 6)")
+    return {
+        "symbol_density": symbol_density,
+        "indent_ratio": indent_ratio,
+        "code_kw_hits": f"cast({kw} AS bigint)",
+        "code_score": score,
+    }

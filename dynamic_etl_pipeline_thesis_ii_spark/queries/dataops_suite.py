@@ -400,6 +400,7 @@ def q_text_metrics(spark, sf_dir):
     feats = T.quality_features(F.col("text"))
     scripts = T.script_ratios(F.col("text"))
     gopher = T.gopher_rules(F.col("text"))
+    code = T.code_features(F.col("text"))
     base = docs.select(
         "doc_id", "lang",
         *[v.alias(k) for k, v in feats.items()],
@@ -407,7 +408,8 @@ def q_text_metrics(spark, sf_dir):
         T.fingerprint(F.col("text")).alias("fp"),
         T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         *[v.alias(k) for k, v in scripts.items()],
-        *[v.alias(k) for k, v in gopher.items()])
+        *[v.alias(k) for k, v in gopher.items()],
+        *[v.alias(k) for k, v in code.items()])
     rep = T.repetition_features(docs)
     return base.join(rep, "doc_id")
 
@@ -510,6 +512,10 @@ _SQL_GOPHER = ", ".join(
     f"{expr} AS {name}"
     for name, expr in T.SQL_GOPHER_RULES("text").items())
 
+_SQL_CODE = ", ".join(
+    f"{expr} AS {name}"
+    for name, expr in T.SQL_CODE_FEATURES("text").items())
+
 ORACLE_TEXT_METRICS = f"""
 SELECT q.doc_id, l.lang, l.pred_lang,
        q.n_chars, q.n_tokens, q.punct_ratio, q.mean_word_len,
@@ -519,6 +525,7 @@ SELECT q.doc_id, l.lang, l.pred_lang,
        g.g_word_count, g.g_mean_word_len, g.g_symbol_ratio,
        g.g_bullet_lines, g.g_ellipsis_lines, g.g_alpha_words,
        g.g_stopwords, g.gopher_pass,
+       c.symbol_density, c.indent_ratio, c.code_kw_hits, c.code_score,
        r.dup_line_fraction, r.dup_line_char_fraction,
        r.distinct_token_ratio, r.rep_2gram, r.token_entropy
 FROM ({ORACLE_TEXT_QUALITY}) q
@@ -526,6 +533,7 @@ JOIN ({_sql_lang_id()}) l ON q.doc_id = l.doc_id
 JOIN ({ORACLE_TEXT_FINGERPRINT}) f ON q.doc_id = f.doc_id
 JOIN (SELECT doc_id, {_SQL_SCRIPTS} FROM documents) s ON q.doc_id = s.doc_id
 JOIN (SELECT doc_id, {_SQL_GOPHER} FROM documents) g ON q.doc_id = g.doc_id
+JOIN (SELECT doc_id, {_SQL_CODE} FROM documents) c ON q.doc_id = c.doc_id
 JOIN ({ORACLE_TEXT_REPETITION}) r ON q.doc_id = r.doc_id
 """
 

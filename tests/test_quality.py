@@ -112,3 +112,32 @@ def test_weak_labels_null_text_trains(spark):
     assert train.filter("doc_id = 9999").first()["label"] == 0.0
     model = Q.train_quality_classifier(train, n_features=1 << 12)
     assert Q.score_quality(base.limit(2), model).count() == 2
+
+
+def test_code_features_discriminate_code_from_prose(spark):
+    """code_features: a real code snippet scores far above plain
+    prose; each signal moves in the documented direction; null-ish
+    and empty docs don't crash (0 scores)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        code_features,
+    )
+    code = ("def hamming(a, b):\n"
+            "    return bin(a ^ b).count('1')\n"
+            "class Index:\n"
+            "    def __init__(self, k=4):\n"
+            "        self.k = int(k);\n")
+    prose = ("The quiet harbor town woke slowly, fishermen hauling "
+             "their nets while gulls wheeled overhead and the morning "
+             "light spread across the water.")
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, "")], ["doc_id", "text"])
+    feats = code_features(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in feats.items()]).collect()}
+    assert rows[1]["code_score"] > 0.5 > rows[2]["code_score"]
+    assert rows[1]["symbol_density"] > rows[2]["symbol_density"]
+    assert rows[1]["indent_ratio"] > rows[2]["indent_ratio"]
+    assert rows[1]["code_kw_hits"] >= 3 and rows[2]["code_kw_hits"] == 0
+    assert rows[3]["code_score"] == 0.0
