@@ -319,6 +319,8 @@ class Pipeline:
             return self._run_cluster_corpus(plan, source_dir, output_path)
         if plan["target"] == "verify_shards":
             return self._run_verify_shards(plan, output_path)
+        if plan["target"] == "data_card":
+            return self._run_data_card(plan, source_dir, output_path)
         if plan["target"] == "decontaminate":
             return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "ann_search":
@@ -874,6 +876,104 @@ class Pipeline:
                             "manifest_path": mpath,
                             "mismatched_shards": chk["mismatched"]}}
 
+    def _run_data_card(self, plan: dict, source_dir: str,
+                       output_path: str) -> dict:
+        """'generate a data card for the corpus': the
+        Datasheets-for-Datasets capstone — one run composing the
+        corpus's headline composition (census: docs/tokens/chars per
+        language and source), length distribution (histogram
+        quantiles per language), duplication (HLL distinct-content
+        estimate + approx dup rate), and quality telemetry
+        (gopher-pass rate, mean quality score, mean code-likeness,
+        predicted-language agreement) into a nested report + a
+        ``datacard.json`` artifact beside the sink parquet (the
+        census lands AT the sink as the card's machine-readable
+        companion). Four one-scan aggregations total, every
+        driver-side object bounded by |strata| — never by corpus
+        size."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            hash32,
+            normalize_text,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            census_distinct,
+            census_histogram,
+            code_features,
+            corpus_census,
+            estimate_distinct,
+            gopher_rules,
+            histogram_quantiles,
+            lang_id,
+            quality_features,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            write_run_artifacts,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        census = corpus_census(docs)
+        census.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        total = back.filter(F.col("kind") == "__total__").first()
+        if total is None or total["n_docs"] == 0:
+            return {"status": "rejected",
+                    "reason": "documents table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        self.progress("census", {"params": dict(plan)})
+        comp = {
+            "n_docs": total["n_docs"], "n_tokens": total["n_tokens"],
+            "n_chars": total["n_chars"],
+            "docs_per_lang": {r["stratum"]: r["n_docs"] for r in
+                              back.filter(F.col("kind") == "lang")
+                              .collect()},
+            "docs_per_source": {r["stratum"]: r["n_docs"] for r in
+                                back.filter(F.col("kind") == "source")
+                                .collect()},
+        }
+        hist = census_histogram(docs)
+        lengths = histogram_quantiles(hist, quantiles=(0.5, 0.9, 0.99),
+                                      kind="lang")
+        self.progress("lengths", {"langs": len(lengths)})
+        fp = docs.withColumn(
+            "fp", hash32(normalize_text(
+                F.coalesce(F.col("text"), F.lit("")))))
+        dist = estimate_distinct(census_distinct(fp, "fp")) \
+            .filter(F.col("kind") == "__total__").first()
+        dup = {"distinct_docs_estimate": round(dist["n_distinct"], 1),
+               "approx_dup_rate": round(
+                   1.0 - min(1.0, dist["n_distinct"] / dist["n_rows"]),
+                   4) if dist["n_rows"] else 0.0}
+        q = quality_features(F.col("text"))
+        g = gopher_rules(F.col("text"))
+        c = code_features(F.col("text"))
+        qrow = docs.agg(
+            F.round(F.avg(q["quality_score"]), 4).alias("mean_quality"),
+            F.round(F.avg(g["gopher_pass"].cast("double")), 4)
+            .alias("gopher_pass_rate"),
+            F.round(F.avg(c["code_score"]), 4).alias("mean_code_score"),
+            F.round(F.avg((lang_id(F.col("text")) == F.col("lang"))
+                          .cast("double")), 4)
+            .alias("lang_id_agreement")).first()
+        quality = {k: qrow[k] for k in
+                   ("mean_quality", "gopher_pass_rate",
+                    "mean_code_score", "lang_id_agreement")}
+        self.progress("quality", quality)
+        card = {"composition": comp,
+                "length_quantiles_per_lang": lengths,
+                "duplication": dup, "quality": quality,
+                "census_path": output_path}
+        card_path = write_run_artifacts(output_path + "_card",
+                                        {"data_card": card})
+        self.progress("publish", {"rows": back.count(),
+                                  "path": output_path,
+                                  "card_path": card_path})
+        return {"status": "complete", "outputs": [census],
+                "reports": {"plan": dict(plan), "data_card": card,
+                            "card_path": card_path}}
+
     def _run_decontaminate(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'decontaminate the corpus against the benchmark at /path':
@@ -1273,6 +1373,7 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "census", "corpus stat", "length distribution",
+                  "data card", "datacard", "datasheet",
                   # scoped cluster phrasing ('cluster analysis of
                   # AAPL' must not route here)
                   "cluster the",
@@ -1331,6 +1432,8 @@ _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
 _CRAWL_PATH_RE = re.compile(
     r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
     + _PATH_SHAPE, re.IGNORECASE)
+# 'generate a data card for the corpus' / 'write a datasheet'
+_DATACARD_TARGET_RE = re.compile(r"\bdata\s?card\b|\bdatasheet\b")
 # 'census the corpus' / 'report corpus statistics per language'
 _CENSUS_TARGET_RE = re.compile(
     r"\bcensus\b|\bcorpus stat(?:istic)?s\b"
@@ -1505,6 +1608,8 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "verify_shards",
                 "shards_path": sp.group(1) if sp else None,
                 "manifest_path": mp.group(1) if mp else None}
+    if _DATACARD_TARGET_RE.search(ql):
+        return {"target": "data_card"}
     if _CENSUS_TARGET_RE.search(ql):
         # 'with a length histogram' / 'length distribution' adds the
         # power-of-two token-length histogram sidecar; 'distinct'

@@ -1907,3 +1907,51 @@ def test_cluster_and_semdedup_reject_empty_corpus(spark, sf_dir, tmp_path):
         res = pipe.run_dataops(q, empty_dir, str(tmp_path / "out"))
         assert res["status"] == "rejected", q
         assert "empty" in res["reason"], q
+
+
+def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
+    """NL 'generate a data card for the corpus': one run composes
+    composition/lengths/duplication/quality into a nested report plus
+    a datacard.json artifact; every number is consistent with the
+    corpus it describes."""
+    import json as _json
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    assert parse_dataops_query(
+        "generate a data card for the corpus") == {"target": "data_card"}
+    assert parse_dataops_query(
+        "write a datasheet for the training data")["target"] == "data_card"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "card")
+    res = pipe.run_dataops("generate a data card for the corpus",
+                           sf_dir, out)
+    assert res["status"] == "complete"
+    card = res["reports"]["data_card"]
+    docs = Catalog(spark, sf_dir).documents
+    n = docs.count()
+    comp = card["composition"]
+    assert comp["n_docs"] == n
+    assert sum(comp["docs_per_lang"].values()) == n
+    assert sum(comp["docs_per_source"].values()) == n
+    assert set(card["length_quantiles_per_lang"]) == \
+        set(comp["docs_per_lang"])
+    assert 0.0 <= card["duplication"]["approx_dup_rate"] <= 1.0
+    assert card["duplication"]["distinct_docs_estimate"] > 0
+    q = card["quality"]
+    for k in ("mean_quality", "gopher_pass_rate", "mean_code_score",
+              "lang_id_agreement"):
+        assert 0.0 <= q[k] <= 1.0, k
+    # the artifact round-trips and matches the report
+    with open(res["reports"]["card_path"]) as fh:
+        on_disk = _json.load(fh)["data_card"]
+    assert on_disk["composition"]["n_docs"] == n
+    assert _json.dumps(on_disk["quality"], sort_keys=True) == \
+        _json.dumps(q, sort_keys=True)
+    # the census lands at the sink as the machine-readable companion
+    back = spark.read.parquet(out)
+    assert back.filter("kind = '__total__'").first()["n_docs"] == n
