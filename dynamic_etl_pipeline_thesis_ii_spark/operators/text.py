@@ -1102,10 +1102,14 @@ def census_histogram(df, strata: tuple = ("lang", "source"),
     lands in bucket -1."""
     toks = F.size(F.array_remove(
         tokens(F.coalesce(F.col(text_col), F.lit(""))), ""))
-    bucket = (F.when(toks <= 0, F.lit(-1))
-              .otherwise(F.floor(F.log2(toks.cast("double"))))
-              .cast("int"))
-    base = df.withColumn("__bucket", bucket)
+    # materialize the token count ONCE: bucket and the n_tokens sum
+    # both read __n_toks, so the normalize+split pipeline runs one
+    # pass per row, not two
+    base = df.withColumn("__n_toks", toks).withColumn(
+        "__bucket",
+        F.when(F.col("__n_toks") <= 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(F.col("__n_toks").cast("double"))))
+        .cast("int"))
     gsets = [[c, "__bucket"] for c in strata] + [["__bucket"]]
     kind = F.lit("__total__")
     stratum = F.lit("__total__")
@@ -1115,12 +1119,10 @@ def census_histogram(df, strata: tuple = ("lang", "source"),
         stratum = F.when(active,
                          F.coalesce(F.col(c).cast("string"),
                                     F.lit("__null__"))).otherwise(stratum)
-    toks_again = F.size(F.array_remove(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))), ""))
     return (base.groupingSets(
                 gsets, *[F.col(c) for c in strata], F.col("__bucket"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(toks_again).alias("n_tokens"),
+                 F.sum("__n_toks").alias("n_tokens"),
                  kind.alias("kind"), stratum.alias("stratum"))
             .select("kind", "stratum",
                     F.col("__bucket").alias("bucket"),

@@ -682,6 +682,13 @@ class Pipeline:
         langs = {r["stratum"]: r["n_docs"] for r in
                  back.filter(F.col("kind") == "lang").collect()}
         total = back.filter(F.col("kind") == "__total__").first()
+        if total is None:
+            # an empty corpus yields zero GROUPING SETS rows — reject
+            # with a reason instead of a NoneType subscript crash
+            # (matches the sibling targets' empty-corpus contract)
+            return {"status": "rejected",
+                    "reason": "documents table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         reports = {"plan": dict(plan),
                    "n_docs": total["n_docs"],
                    "n_tokens": total["n_tokens"],
@@ -857,8 +864,14 @@ class Pipeline:
                     "outputs": [], "reports": {"plan": dict(plan)}}
         self.progress("verify", {"params": dict(plan),
                                  "manifest_path": mpath})
-        chk = verify_shard_manifest(self.spark, plan["shards_path"],
-                                    manifest)
+        try:
+            chk = verify_shard_manifest(self.spark, plan["shards_path"],
+                                        manifest)
+        except Exception:
+            return {"status": "rejected",
+                    "reason": ("no shard set readable at "
+                               f"{plan['shards_path']}"),
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         bad = set(chk["mismatched"])
         # union so an EXTRA shard directory (present on disk, absent
         # from the manifest) still gets a status row
@@ -1372,11 +1385,16 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
-                  "census", "corpus stat", "length distribution",
+                  "census", "corpus stat",
+                  # scoped so 'show the token length distribution of
+                  # replies' / 'cluster the user sessions' never pass
+                  # the gate and fall through to corpus_to_shards —
+                  # the hint must imply the CORPUS-object phrasings
+                  # the target regexes actually accept
+                  "corpus token length", "corpus length distribution",
                   "data card", "datacard", "datasheet",
-                  # scoped cluster phrasing ('cluster analysis of
-                  # AAPL' must not route here)
-                  "cluster the",
+                  "cluster the embeddings", "cluster the corpus",
+                  "cluster the documents",
                   "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
@@ -1602,7 +1620,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _CRAWL_PATH_RE.search(query)   # paths keep their case
         return {"target": "ingest_crawl",
                 "crawl_path": m.group(1) if m else None}
-    if _SHARD_VERIFY_RE.search(ql):
+    if _SHARD_VERIFY_RE.search(ql) and not _DECONTAM_TARGET_RE.search(ql):
+        # the decontam exclusion keeps 'check the corpus shards for
+        # contamination against the benchmark at /b' on its intended
+        # route — 'verify/check ... shards' alone is the manifest check
         sp = _SHARDS_PATH_RE.search(query)   # paths keep their case
         mp = _MANIFEST_PATH_RE.search(query)
         return {"target": "verify_shards",

@@ -289,25 +289,30 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     # CSV); note rows_written counts everything AT the path, so in
     # append mode it includes rows from earlier runs — same semantics
     # as write_table's verify.
-    reader = df.sparkSession.read
-    if fmt == "csv":
-        reader = reader.option("header", "true")
-    # explicit schema: an all-filtered input writes ZERO part files
-    # (only _SUCCESS), and schema inference on that raises
-    # UNABLE_TO_INFER_SCHEMA — an empty corpus must verify as
-    # rows_written=0, not crash the run
-    back = reader.format(fmt).schema(sharded.schema).load(path)
-    per_shard = {int(r["shard"]): r["n"] for r in
-                 back.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
-                 .collect()}
-    out = {"path": path, "format": fmt, "n_shards": n_shards,
-           "rows_written": sum(per_shard.values()),
-           "shard_rows": per_shard,
-           "elapsed_sec": round(time.perf_counter() - t0, 3)}
+    man_path = path + "_manifest"
+    fold = (manifest and _MODES[if_exists] == "append"
+            and _path_exists(df.sparkSession, man_path))
+    out = {"path": path, "format": fmt, "n_shards": n_shards}
+    if verify or (manifest and not fold):
+        # the read-back scans everything AT the path; the fold path
+        # deliberately avoids it so verify=False append loops stay
+        # batch-cost (the verify docstring's recommendation)
+        reader = df.sparkSession.read
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        # explicit schema: an all-filtered input writes ZERO part
+        # files (only _SUCCESS), and schema inference on that raises
+        # UNABLE_TO_INFER_SCHEMA — an empty corpus must verify as
+        # rows_written=0, not crash the run
+        back = reader.format(fmt).schema(sharded.schema).load(path)
+    if verify:
+        per_shard = {int(r["shard"]): r["n"] for r in
+                     back.groupBy("shard")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+        out["rows_written"] = sum(per_shard.values())
+        out["shard_rows"] = per_shard
     if manifest:
-        man_path = path + "_manifest"
-        if _MODES[if_exists] == "append" and \
-                _path_exists(df.sparkSession, man_path):
+        if fold:
             # the manifest is MERGEABLE by design: fold this batch's
             # fingerprints (computed from the exact frame written)
             # onto the stored ones at BATCH cost — recomputing over
@@ -325,9 +330,13 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
             df.sparkSession.createDataFrame(rows, prior.schema) \
                 .coalesce(1).write.mode("overwrite").parquet(man_path)
         else:
+            # bootstrap / replace: compute from the read-back so a
+            # manifest enabled mid-life of an append store still
+            # covers rows written before manifests were on
             shard_manifest(back).write.mode("overwrite") \
                 .parquet(man_path)
         out["manifest_path"] = man_path
+    out["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -406,9 +406,14 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
     With ``histogram=True`` the fold also maintains the power-of-two
     token-length histogram (``operators.text.census_histogram`` —
     same exact-integer-sum merge law) in a ``<census_path>_hist``
-    sidecar, folded in the SAME batch under the SAME high-water mark
-    so census and histogram never disagree about which batches are
-    in (the mark advances only after BOTH writes)."""
+    sidecar, folded in the SAME batch under the SAME high-water mark.
+    Both folded row sets are computed BEFORE either store is
+    overwritten, so the residual crash window where the two sidecars
+    could disagree is the gap between the two driver-side writes —
+    the same one-batch at-least-once residual the census alone
+    already carries (documented above); a crash inside that gap
+    re-folds the batch into the census but not the histogram on
+    replay."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
         census_histogram,
         corpus_census,
@@ -419,7 +424,11 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
     meta_path = census_path.rstrip("/") + "_meta"
     hist_path = census_path.rstrip("/") + "_hist"
 
-    def _fold_store(spark, path, fresh, merge):
+    def _folded_rows(spark, path, fresh, merge):
+        """Merged rows for one store, materialized driver-side —
+        computed for EVERY store before ANY store is overwritten, so
+        a crash can't leave one sidecar folded from a half-written
+        other."""
         try:
             prior_rows = spark.read.parquet(path).collect()
         except Exception:           # bootstrap: no store yet
@@ -427,9 +436,7 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
         if prior_rows:
             prior = spark.createDataFrame(prior_rows, fresh.schema)
             fresh = merge(prior, fresh)
-        rows = fresh.collect()      # materialize BEFORE the overwrite
-        spark.createDataFrame(rows, fresh.schema) \
-            .coalesce(1).write.mode("overwrite").parquet(path)
+        return fresh.collect(), fresh.schema
 
     def fold(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -441,12 +448,17 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
             if any(r["stream_id"] == stream_id
                    and batch_id <= r["max_batch_id"] for r in meta):
                 return              # replayed batch: already folded
-        _fold_store(spark, census_path,
-                    corpus_census(batch_df, strata=strata), merge_census)
+        pending = [(census_path, *_folded_rows(
+            spark, census_path,
+            corpus_census(batch_df, strata=strata), merge_census))]
         if histogram:
-            _fold_store(spark, hist_path,
-                        census_histogram(batch_df, strata=strata),
-                        merge_histogram)
+            pending.append((hist_path, *_folded_rows(
+                spark, hist_path,
+                census_histogram(batch_df, strata=strata),
+                merge_histogram)))
+        for path, rows, schema in pending:   # all reads done; now write
+            spark.createDataFrame(rows, schema) \
+                .coalesce(1).write.mode("overwrite").parquet(path)
         if stream_id is not None:   # advance the mark AFTER the writes
             spark.createDataFrame(
                 [(stream_id, int(batch_id))],

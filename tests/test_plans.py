@@ -1955,3 +1955,58 @@ def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
     # the census lands at the sink as the machine-readable companion
     back = spark.read.parquet(out)
     assert back.filter("kind = '__total__'").first()["n_docs"] == n
+
+
+def test_round10_router_scoping_regressions(spark, sf_dir, tmp_path):
+    """Code-review regressions: scoped hints keep non-corpus queries
+    out of the dataops router entirely (previously they fell through
+    to corpus_to_shards); 'check ... shards for contamination' stays
+    on the decontamination route; bad paths and empty corpora reject
+    instead of crashing."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    # hint leaks: must NOT route into dataops at all
+    assert parse_dataops_query("cluster the user sessions by hour") is None
+    assert parse_dataops_query(
+        "show the token length distribution of replies") is None
+    # ...while the corpus phrasings still do
+    assert parse_dataops_query(
+        "report the corpus token length distribution")["target"] == \
+        "corpus_census"
+    assert parse_dataops_query(
+        "cluster the corpus embeddings")["target"] == "cluster_corpus"
+
+    # decontam phrasing with 'check ... shards' keeps its route
+    p = parse_dataops_query(
+        "check the corpus shards for contamination against the "
+        "benchmark at /bench")
+    assert p["target"] == "decontaminate"
+    assert p["benchmark_path"] == "/bench"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    # verify_shards with a readable manifest but a missing shard set
+    # rejects instead of raising PATH_NOT_FOUND
+    import pyspark.sql.functions as F  # noqa: F401 — parity with suite style
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        write_shards,
+    )
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    real = str(tmp_path / "real")
+    write_shards(docs, real, n_shards=2, key_col="doc_id", manifest=True)
+    res = pipe.run_dataops(
+        f"verify the shards at {tmp_path}/gone against the manifest "
+        f"at {real}_manifest", sf_dir, str(tmp_path / "v"))
+    assert res["status"] == "rejected" and "no shard set" in res["reason"]
+
+    # census over an empty documents table rejects, not NoneType crash
+    empty_dir = str(tmp_path / "empty_docs")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string") \
+        .write.parquet(empty_dir + "/documents.parquet")
+    for q in ("census the corpus",
+              "census the corpus with distinct content counts",
+              "generate a data card for the corpus"):
+        r = pipe.run_dataops(q, empty_dir, str(tmp_path / "c"))
+        assert r["status"] == "rejected" and "empty" in r["reason"], q

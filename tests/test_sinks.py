@@ -394,3 +394,29 @@ def test_shard_manifest_append_folds_at_batch_cost(spark, tmp_path):
         sorted(map(tuple, S.shard_manifest(back).collect()))
     chk = S.verify_shard_manifest(spark, p, stored)
     assert chk["ok"] is True and chk["mismatched"] == []
+
+
+def test_write_shards_append_manifest_skips_readback_when_unverified(
+        spark, tmp_path):
+    """verify=False + manifest=True on an append store must stay
+    batch-cost: after the bootstrap write, subsequent appends fold
+    from the batch frame and never scan the accumulated corpus (no
+    rows_written in the report — the read-back didn't happen), yet
+    the stored manifest still equals a full recompute."""
+    a = spark.createDataFrame(
+        [(i, f"x {i}") for i in range(50)], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(100 + i, f"y {i}") for i in range(30)], ["doc_id", "text"])
+    p = str(tmp_path / "fastacc")
+    rep0 = S.write_shards(a, p, n_shards=2, key_col="doc_id",
+                          if_exists="append", manifest=True,
+                          verify=False)
+    assert "manifest_path" in rep0          # bootstrap still writes it
+    rep1 = S.write_shards(b, p, n_shards=2, key_col="doc_id",
+                          if_exists="append", manifest=True,
+                          verify=False)
+    assert "rows_written" not in rep1       # no read-back scan
+    stored = spark.read.parquet(p + "_manifest")
+    back = spark.read.parquet(p)
+    assert sorted(map(tuple, stored.collect())) == \
+        sorted(map(tuple, S.shard_manifest(back).collect()))
