@@ -748,3 +748,43 @@ def test_streaming_census_histogram_sidecar(spark, tmp_path):
                       spark.read.parquet(census_path + "_hist")
                       .collect())) == \
         sorted(map(tuple, census_histogram(both).collect()))
+
+
+def test_streaming_sharded_sink_with_manifest_fold(spark, tmp_path):
+    """Streaming face of the manifested shard store: foreachBatch
+    routes each micro-batch through write_shards(append, manifest=True,
+    verify=False) — bootstrap computes the manifest once, later
+    batches FOLD at batch cost, and after two drains the stored
+    manifest equals a full recompute over everything at the path."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        shard_manifest,
+        write_shards,
+    )
+
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "docs")
+    shards = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt_shards")
+    rows1 = [{"doc_id": i, "text": f"alpha {i}"} for i in range(40)]
+    rows2 = [{"doc_id": 100 + i, "text": f"beta {i}"} for i in range(25)]
+    _write_json(os.path.join(d, "drop-0.json"), rows1)
+
+    def drain():
+        stream = (spark.readStream.format("json").schema(schema).load(d)
+                  .select("doc_id", "text"))
+        S.foreach_batch_sink(
+            stream,
+            batch_fn=lambda batch, _i: write_shards(
+                batch, shards, n_shards=2, key_col="doc_id",
+                if_exists="append", manifest=True, verify=False),
+            checkpoint_dir=ckpt)
+
+    drain()
+    _write_json(os.path.join(d, "drop-1.json"), rows2)
+    drain()                      # checkpoint: drop-0 not re-written
+
+    back = spark.read.parquet(shards)
+    assert back.count() == 65
+    stored = spark.read.parquet(shards + "_manifest")
+    assert sorted(map(tuple, stored.collect())) == \
+        sorted(map(tuple, shard_manifest(back).collect()))
