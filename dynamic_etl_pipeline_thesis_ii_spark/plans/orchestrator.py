@@ -947,6 +947,10 @@ class Pipeline:
                                 .collect()},
         }
         hist = census_histogram(docs)
+        hist.write.mode("overwrite").parquet(output_path + "_hist")
+        hist = self.spark.read.parquet(output_path + "_hist")
+        # quantiles read the persisted sidecar — the card's consumer
+        # gets the full distribution, not just three cut points
         lengths = histogram_quantiles(hist, quantiles=(0.5, 0.9, 0.99),
                                       kind="lang")
         self.progress("lengths", {"langs": len(lengths)})
@@ -977,7 +981,8 @@ class Pipeline:
         card = {"composition": comp,
                 "length_quantiles_per_lang": lengths,
                 "duplication": dup, "quality": quality,
-                "census_path": output_path}
+                "census_path": output_path,
+                "histogram_path": output_path + "_hist"}
         card_path = write_run_artifacts(output_path + "_card",
                                         {"data_card": card})
         self.progress("publish", {"rows": back.count(),

@@ -1952,9 +1952,13 @@ def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
     assert on_disk["composition"]["n_docs"] == n
     assert _json.dumps(on_disk["quality"], sort_keys=True) == \
         _json.dumps(q, sort_keys=True)
-    # the census lands at the sink as the machine-readable companion
+    # the census lands at the sink as the machine-readable companion,
+    # the full length histogram beside it
     back = spark.read.parquet(out)
     assert back.filter("kind = '__total__'").first()["n_docs"] == n
+    hb = spark.read.parquet(card["histogram_path"])
+    assert hb.filter("kind = '__total__'") \
+        .agg({"n_docs": "sum"}).first()[0] == n
 
 
 def test_round10_router_scoping_regressions(spark, sf_dir, tmp_path):
