@@ -1093,3 +1093,34 @@ def cluster_embeddings(emb: DataFrame, n_clusters: int, seed: int = 42,
                       6).alias("center_cos")))
     return scored, centers.select(F.col("__cluster").alias("cluster"),
                                   F.col("__center").alias("center"))
+
+
+def assign_to_centers(emb: DataFrame, centers: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Map a NEW batch of vectors onto a persisted cluster map (the
+    ``(cluster, center)`` frame :func:`cluster_embeddings` returns) —
+    the data-map twin of the frozen-index append path: nearest center
+    by squared L2 through the same narrow Arrow GEMM kernel
+    (:func:`ivfpq_assign` — broadcast center matrix, per-batch argmin,
+    NO join/window/shuffle), then one broadcast join for the
+    cosine-coherence score. Output schema equals
+    :func:`cluster_embeddings`' assignments, and for the fit corpus
+    itself the assignment is IDENTICAL to fit-time (k-means assigns by
+    the same metric — parity-pinned in tests), so epoch N+1 maps at
+    batch cost with zero refit and zero rescan of the old corpus."""
+    c = centers.select(F.col("cluster").alias("__cluster"),
+                       F.col("center").alias("__center"))
+    assigned = ivfpq_assign(emb.select(id_col, vec_col), c,
+                            vec_col=vec_col)
+    return (assigned
+            .withColumn("__cn", l2norm(F.col(vec_col)
+                                       .cast("array<double>")))
+            .join(F.broadcast(c), "__cluster")
+            .select(F.col(id_col),
+                    F.col("__cluster").alias("cluster"),
+                    F.round(cosine_prenormed(
+                        F.col(vec_col).cast("array<double>"),
+                        F.col("__center"),
+                        F.col("__cn"), l2norm(F.col("__center"))),
+                        6).alias("center_cos")))

@@ -317,6 +317,8 @@ class Pipeline:
             return self._run_semantic_dedup(plan, source_dir, output_path)
         if plan["target"] == "cluster_corpus":
             return self._run_cluster_corpus(plan, source_dir, output_path)
+        if plan["target"] == "cluster_assign":
+            return self._run_cluster_assign(plan, source_dir, output_path)
         if plan["target"] == "verify_shards":
             return self._run_verify_shards(plan, output_path)
         if plan["target"] == "data_card":
@@ -835,6 +837,53 @@ class Pipeline:
                             "cluster_coherence": {int(r["cluster"]):
                                                   r["coherence"]
                                                   for r in stats}}}
+
+    def _run_cluster_assign(self, plan: dict, source_dir: str,
+                            output_path: str) -> dict:
+        """'assign the new embeddings to the clusters at <path>': map
+        a fresh batch onto a persisted cluster map
+        (:func:`operators.similarity.assign_to_centers` — broadcast
+        GEMM argmin, no refit, no rescan of the fit corpus; the
+        data-map twin of the frozen-index append). Rejected with an
+        actionable reason when the path is missing or unreadable."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            assign_to_centers,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("centers_path"):
+            return {"status": "rejected",
+                    "reason": "cluster_assign needs 'clusters at <path>'",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            centers = self.spark.read.parquet(plan["centers_path"])
+            assert {"cluster", "center"} <= set(centers.columns)
+        except Exception:
+            return {"status": "rejected",
+                    "reason": ("no cluster map readable at "
+                               f"{plan['centers_path']}"),
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        emb = Catalog(self.spark, source_dir).embeddings
+        n_in = emb.count()
+        if n_in == 0:
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        assign = assign_to_centers(emb, centers)
+        self.progress("assign", {"params": dict(plan),
+                                 "n_centers": centers.count()})
+        assign.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        stats = (back.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+        self.progress("publish", {"rows": back.count(),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [assign],
+                "reports": {"plan": dict(plan), "rows_in": n_in,
+                            "cluster_sizes": {int(r["cluster"]): r["n"]
+                                              for r in stats}}}
 
     def _run_verify_shards(self, plan: dict, output_path: str) -> dict:
         """'verify the shards at /path against the manifest': the
@@ -1399,7 +1448,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "corpus token length", "corpus length distribution",
                   "data card", "datacard", "datasheet",
                   "cluster the embeddings", "cluster the corpus",
-                  "cluster the documents",
+                  "cluster the documents", "to the clusters",
+                  "cluster map",
                   "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
@@ -1440,6 +1490,14 @@ _CLUSTER_TARGET_RE = re.compile(
     r"\bcluster(?:ing)?\b[^.]*\b(?:embeddings?|corpus|documents)\b"
     r"|\binto\s+\d+\s+topics\b")
 _TOPICS_RE = re.compile(r"\b(\d+)\s+topics\b")
+# 'assign the new embeddings to the clusters at /path' — map a fresh
+# batch onto a persisted cluster map without refitting (the data-map
+# twin of the frozen-index append)
+_CLUSTER_ASSIGN_RE = re.compile(
+    r"\b(?:assign|map)\b[^.]*\bto the (?:clusters?|cluster map)\b")
+_CLUSTERS_PATH_RE = re.compile(
+    r"\bcluster(?:s| map)?\s+(?:at\s+|in\s+)?" + _PATH_SHAPE,
+    re.IGNORECASE)
 # 'verify the shards at /path against the manifest' — receiving-side
 # integrity check of a shipped shard set (manifest defaults to the
 # writer's <shards>_manifest sidecar; 'manifest at /other' overrides)
@@ -1706,6 +1764,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "semantic_dedup", "threshold": thr,
                 "n_clusters": ncl,
                 "keep": "min" if "lowest id" in ql else "far"}
+    if _CLUSTER_ASSIGN_RE.search(ql):
+        m = _CLUSTERS_PATH_RE.search(query)   # paths keep their case
+        return {"target": "cluster_assign",
+                "centers_path": m.group(1) if m else None}
     if _CLUSTER_TARGET_RE.search(ql):
         # n_clusters=None -> corpus-derived at run time (constant
         # target cluster size, same curve as SemDeDup)

@@ -2014,3 +2014,48 @@ def test_round10_router_scoping_regressions(spark, sf_dir, tmp_path):
               "generate a data card for the corpus"):
         r = pipe.run_dataops(q, empty_dir, str(tmp_path / "c"))
         assert r["status"] == "rejected" and "empty" in r["reason"], q
+
+
+def test_pipeline_dataops_cluster_assign_target(spark, sf_dir, tmp_path):
+    """NL cluster-map lifecycle: build ('cluster the embeddings into N
+    topics') then map a batch onto the persisted centers ('assign the
+    new embeddings to the clusters at <path>') — assignments over the
+    fit corpus are IDENTICAL to fit-time (k-means assigns by the same
+    squared-L2 metric), and bad/missing paths reject."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "assign the new embeddings to the clusters at /maps/v1")
+    assert p == {"target": "cluster_assign", "centers_path": "/maps/v1"}
+    assert parse_dataops_query(
+        "map the batch to the cluster map at /m")["target"] == \
+        "cluster_assign"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out1 = str(tmp_path / "fit")
+    res1 = pipe.run_dataops("cluster the embeddings into 4 topics",
+                            sf_dir, out1)
+    assert res1["status"] == "complete"
+
+    out2 = str(tmp_path / "mapped")
+    res2 = pipe.run_dataops(
+        f"assign the new embeddings to the clusters at {out1}_centers",
+        sf_dir, out2)
+    assert res2["status"] == "complete"
+    assert res2["reports"]["cluster_sizes"] == \
+        res1["reports"]["cluster_sizes"]
+    fit = {(r["vec_id"], r["cluster"], r["center_cos"])
+           for r in spark.read.parquet(out1).collect()}
+    mapped = {(r["vec_id"], r["cluster"], r["center_cos"])
+              for r in spark.read.parquet(out2).collect()}
+    assert fit == mapped
+
+    r3 = pipe.run_dataops("assign the batch to the clusters",
+                          sf_dir, str(tmp_path / "x"))
+    assert r3["status"] == "rejected" and "clusters at" in r3["reason"]
+    r4 = pipe.run_dataops(
+        f"assign the batch to the clusters at {tmp_path}/nope",
+        sf_dir, str(tmp_path / "y"))
+    assert r4["status"] == "rejected" and "cluster map" in r4["reason"]
