@@ -788,3 +788,41 @@ def test_streaming_sharded_sink_with_manifest_fold(spark, tmp_path):
     stored = spark.read.parquet(shards + "_manifest")
     assert sorted(map(tuple, stored.collect())) == \
         sorted(map(tuple, shard_manifest(back).collect()))
+
+
+def test_streaming_cluster_assignment_matches_batch(spark, tmp_path):
+    """The cluster map works on a STREAM as-is: assign_to_centers is
+    stateless (broadcast-GEMM pandas UDF + stream-static broadcast
+    join), so a drained embedding stream gets exactly the batch
+    path's assignments — epoch N+1 maps continuously with zero
+    refit."""
+    import json as _json
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        assign_to_centers,
+        cluster_embeddings,
+    )
+
+    emb_rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+                for i in range(60)]
+    emb = spark.createDataFrame(emb_rows,
+                                "vec_id long, embedding array<double>")
+    assign, centers = cluster_embeddings(emb, n_clusters=3)
+    want = sorted(map(tuple, assign.collect()))
+
+    d = str(tmp_path / "vecs")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "drop-0.json"), "w") as fh:
+        for i, v in emb_rows:
+            fh.write(_json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("vec_id long, embedding array<double>").load(d))
+    out = str(tmp_path / "assigned")
+    q = (assign_to_centers(stream, centers)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want
