@@ -322,13 +322,6 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     candidates and pass ``key_blocks`` explicitly to pin the banding
     under test.
     """
-    if not 2 <= n_blocks <= 64:
-        raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
-    pick = (max(1, n_blocks - max_hamming) if key_blocks is None
-            else key_blocks)
-    if not 1 <= pick <= n_blocks:
-        raise ValueError(
-            f"key_blocks must be in [1, {n_blocks}], got {pick}")
     docs = simhash_fingerprints(df, text_col, id_col, k=shingle_k)
     # The band table self-joins below, and each side would otherwise
     # recompute the WHOLE fingerprint pipeline (shingle explode + md5 +
@@ -338,6 +331,28 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # caveat as the star_components checkpoints (swap for a reliable
     # checkpoint dir on long-lived clusters).
     docs = docs.localCheckpoint(eager=False)
+    return hamming_band_pairs(docs, max_hamming=max_hamming,
+                              max_bucket=max_bucket, n_blocks=n_blocks,
+                              key_blocks=key_blocks)
+
+
+def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
+                       max_bucket: int | None = 2000,
+                       n_blocks: int = 6,
+                       key_blocks: int | None = None) -> DataFrame:
+    """Manku banding over an arbitrary ``(id, sim)`` 64-bit
+    fingerprint frame — the blocking engine factored out of
+    :func:`simhash_pairs` so OTHER hamming-space fingerprints reuse it
+    (perceptual image hashes ride this for image near-dup). Same
+    completeness bound, hot-bucket cap and verified-hamming output:
+    ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``."""
+    if not 2 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
+    pick = (max(1, n_blocks - max_hamming) if key_blocks is None
+            else key_blocks)
+    if not 1 <= pick <= n_blocks:
+        raise ValueError(
+            f"key_blocks must be in [1, {n_blocks}], got {pick}")
     # block b covers widths[b] bits starting at offsets[b] (LSB-first);
     # bands enumerate the (n_blocks - max_hamming)-block combinations in
     # itertools order — for n_blocks=4/max_hamming=3 this is exactly the

@@ -1911,3 +1911,91 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         kernel, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + image near-dup (dHash over the real
+# decode tier, paired through the text engine's hamming banding)
+# ---------------------------------------------------------------------------
+
+def dhash64(payload: bytes) -> Optional[int]:
+    """64-bit difference hash (dHash) of an image payload: decode with
+    the REAL parser tier (netpbm/BMP/PNG/JPEG/GIF/TIFF), grayscale by
+    channel mean, nearest-neighbor downscale to a 9x8 grid, and set
+    bit ``r*8 + c`` iff ``g[r, c] > g[r, c+1]`` — the standard
+    gradient-sign perceptual hash: stable under re-encoding, mild
+    noise, and resizing (the downscale IS the normalization), while
+    unrelated images land ~32 bits apart. Returns a SIGNED 64-bit int
+    (bit 63 two's complement, the ``hamming64``/banding convention) or
+    None when no parser claims the payload (undecodable formats skip
+    hashing rather than fake it)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
+        parse_jpeg,
+    )
+    if payload is None:
+        return None
+    p = bytes(payload)
+    parsed = (parse_netpbm(p) or parse_bmp(p) or parse_png(p)
+              or parse_jpeg(p) or parse_gif(p) or parse_tiff(p))
+    if parsed is None:
+        return None
+    w, h, arr = parsed
+    gray = arr.astype(np.float64).mean(axis=2)
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = gray[rows][:, cols]
+    bits = (g[:, :-1] > g[:, 1:]).reshape(-1)   # 8x8, row-major
+    out = 0
+    for j in range(64):
+        if bits[j]:
+            out += -(1 << 63) if j == 63 else (1 << j)
+    return out
+
+
+def image_dhash(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """(id, sim) perceptual fingerprints for every DECODABLE image
+    payload — the image-space twin of ``simhash_fingerprints``. Arrow
+    mapInPandas kernel (one payload batch in memory at a time);
+    undecodable or non-image rows drop out, visible by comparing row
+    counts."""
+    import pandas as pd
+
+    sub = media.select("media_id", "kind", "payload")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sims = [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                if kind != "image":
+                    continue
+                h = dhash64(payload)
+                if h is not None:
+                    ids.append(int(mid))
+                    sims.append(h)
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "sim": pd.Series(sims, dtype="int64")})
+
+    return sub.mapInPandas(kernel, "id long, sim long")
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
+                        n_blocks: int = 8,
+                        max_bucket: Optional[int] = 2000) -> DataFrame:
+    """Image near-duplicate pairs: perceptual dHash fingerprints
+    (:func:`image_dhash`) joined through the text engine's Manku
+    banding (``dedup.hamming_band_pairs`` — equi-join on
+    block-combination keys, hot-bucket cap, exact-hamming verify;
+    NEVER a quadratic pair scan). ``n_blocks=8`` with the default
+    ``max_hamming=6`` keys each band on 2 blocks (~16-bit keys,
+    C(8,2)=28 bands) — complete for <=6 differing bits, the usual
+    near-dup budget for 64-bit dHash. Same ``(id_a, id_b, hamming)``
+    contract as ``simhash_pairs``; at 100 TB the fingerprint pass is
+    one Arrow scan of the payload column and everything after moves
+    16-byte rows."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    fps = image_dhash(media).localCheckpoint(eager=False)
+    return hamming_band_pairs(fps, max_hamming=max_hamming,
+                              n_blocks=n_blocks, max_bucket=max_bucket)

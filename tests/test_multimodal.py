@@ -1614,3 +1614,70 @@ def test_extract_features_webpmeta_provenance(spark):
     assert got[1]["decoder"] == "webpmeta"
     assert got[1]["feat"][:2] == [64.0, 32.0]
     assert got[2]["decoder"] == "fake"
+
+
+def test_dhash64_properties():
+    """Perceptual dHash: format-independent (same raster as BMP and
+    PNG hashes identically), stable under mild noise (small hamming),
+    far apart for unrelated patterns, None for undecodable bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # smooth gradient structure so dhash has signal, not pure noise
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    base = ((base.astype(int) + grad[None, :, None]) // 2).astype(np.uint8)
+
+    h_bmp = M.dhash64(M.write_bmp(base))
+    h_png = M.dhash64(M.write_png(base))
+    assert h_bmp is not None and h_bmp == h_png   # raster-determined
+
+    noisy = base.copy()
+    noisy[::7, ::5] = np.clip(noisy[::7, ::5].astype(int) + 12,
+                              0, 255).astype(np.uint8)
+    h_noisy = M.dhash64(M.write_bmp(noisy))
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    ham = bin((h_bmp ^ h_noisy) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6
+
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    other = ((other.astype(int) + grad[::-1][None, :, None]) // 2) \
+        .astype(np.uint8)
+    h_other = M.dhash64(M.write_bmp(other))
+    assert bin((h_bmp ^ h_other) & ((1 << 64) - 1)).count("1") > 6
+
+    assert M.dhash64(b"not an image") is None
+    assert M.dhash64(None) is None
+
+
+def test_image_neardup_pairs_end_to_end(spark):
+    """image_neardup_pairs: planted near-dup (noisy BMP copy) pairs
+    with its original across format boundaries; the unrelated image
+    pairs with nothing; undecodable payloads drop out of the
+    fingerprint frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    a = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[None, :, None]) // 2).astype(np.uint8)
+    a_noisy = a.copy()
+    a_noisy[::9, ::6] = np.clip(a_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    b = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[::-1][None, :, None]) // 2).astype(np.uint8)
+    rows = [(1, "image", bytes(M.write_bmp(a))),
+            (2, "image", bytes(M.write_png(a_noisy))),   # cross-format
+            (3, "image", bytes(M.write_bmp(b))),
+            (4, "image", b"JUNKJUNKJUNK"),                # undecodable
+            (5, "audio", b"RIFFxxxx")]                    # wrong kind
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    fps = M.image_dhash(media)
+    assert fps.count() == 3                 # 4 and 5 dropped
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in M.image_neardup_pairs(media, max_hamming=6)
+             .collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all({ia, ib} != {1, 3} and {ia, ib} != {2, 3}
+               for ia, ib in pairs)
