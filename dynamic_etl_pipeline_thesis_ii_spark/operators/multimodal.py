@@ -1999,3 +1999,22 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
     fps = image_dhash(media).localCheckpoint(eager=False)
     return hamming_band_pairs(fps, max_hamming=max_hamming,
                               n_blocks=n_blocks, max_bucket=max_bucket)
+
+
+def image_dedup(media: DataFrame, max_hamming: int = 6,
+                n_blocks: int = 8,
+                max_bucket: Optional[int] = 2000) -> DataFrame:
+    """End-to-end image dedup: keep ONE image per perceptual-dup
+    cluster (connected components over :func:`image_neardup_pairs`,
+    lowest ``media_id`` canonical — the text engine's
+    ``dedup_by_components`` contract reused verbatim on the media
+    frame). Undecodable images can never pair, so they always pass
+    through — dedup only ever drops something a REAL decoded raster
+    matched."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        dedup_by_components,
+    )
+    pairs = image_neardup_pairs(media, max_hamming=max_hamming,
+                                n_blocks=n_blocks,
+                                max_bucket=max_bucket)
+    return dedup_by_components(media, pairs, id_col="media_id")

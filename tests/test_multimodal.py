@@ -1681,3 +1681,27 @@ def test_image_neardup_pairs_end_to_end(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert all({ia, ib} != {1, 3} and {ia, ib} != {2, 3}
                for ia, ib in pairs)
+
+
+def test_image_dedup_keeps_one_per_cluster(spark):
+    """image_dedup: the noisy copy drops (lowest-id canonical kept),
+    unrelated and undecodable images pass through."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    a = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[None, :, None]) // 2).astype(np.uint8)
+    a_noisy = a.copy()
+    a_noisy[::9, ::6] = np.clip(a_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    b = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[::-1][None, :, None]) // 2).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytes(M.write_bmp(a))),
+         (2, "image", bytes(M.write_png(a_noisy))),
+         (3, "image", bytes(M.write_bmp(b))),
+         (4, "image", b"JUNKJUNKJUNK")],
+        "media_id long, kind string, payload binary")
+    kept = {r["media_id"] for r in M.image_dedup(media).collect()}
+    assert kept == {1, 3, 4}
