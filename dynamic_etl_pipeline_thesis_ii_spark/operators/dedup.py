@@ -346,6 +346,35 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
     (perceptual image hashes ride this for image near-dup). Same
     completeness bound, hot-bucket cap and verified-hamming output:
     ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``."""
+    banded = hamming_band_keys(docs, max_hamming=max_hamming,
+                               max_bucket=max_bucket, n_blocks=n_blocks,
+                               key_blocks=key_blocks)
+    pairs = (banded.alias("a").join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"))
+             .distinct())
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+
+def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
+                      max_bucket: int | None = 2000,
+                      n_blocks: int = 6,
+                      key_blocks: int | None = None) -> DataFrame:
+    """The banded ``(id, sim, band, key)`` table itself — the
+    persistable HALF of :func:`hamming_band_pairs`, mirroring what
+    ``minhash_band_keys`` is to ``minhash_lsh_pairs``: write it to
+    parquet as the hamming-space snapshot and probe NEW batches
+    against it (:func:`incremental_hamming_pairs`) at batch cost,
+    never re-fingerprinting the corpus.
+
+    Block b covers widths[b] bits starting at offsets[b] (LSB-first);
+    bands enumerate the (n_blocks - max_hamming)-block combinations in
+    itertools order — for n_blocks=4/max_hamming=3 this is exactly the
+    four single 16-bit blocks the DuckDB oracle mirrors."""
     if not 2 <= n_blocks <= 64:
         raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
     pick = (max(1, n_blocks - max_hamming) if key_blocks is None
@@ -353,10 +382,6 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
     if not 1 <= pick <= n_blocks:
         raise ValueError(
             f"key_blocks must be in [1, {n_blocks}], got {pick}")
-    # block b covers widths[b] bits starting at offsets[b] (LSB-first);
-    # bands enumerate the (n_blocks - max_hamming)-block combinations in
-    # itertools order — for n_blocks=4/max_hamming=3 this is exactly the
-    # four single 16-bit blocks the DuckDB oracle mirrors.
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
@@ -375,19 +400,40 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
                                 key.cast("long").alias("key")))
     banded = docs.select(
         "id", "sim", F.explode(F.array(*entries)).alias("bk"),
-    ).select("id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", "sim", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
     if max_bucket is not None:
         banded = (banded.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
             .filter(F.col("__bn") <= max_bucket).drop("__bn"))
-    pairs = (banded.alias("a").join(
-                banded.alias("b"),
-                (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"))
-             .distinct())
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return banded
+
+
+def incremental_hamming_pairs(new_fps: DataFrame, seen_banded: DataFrame,
+                              max_hamming: int = 3,
+                              n_blocks: int = 6,
+                              key_blocks: int | None = None) -> DataFrame:
+    """Probe a NEW batch's ``(id, sim)`` fingerprints against a
+    persisted :func:`hamming_band_keys` snapshot — the hamming-space
+    face of :func:`incremental_neardup_pairs`: band the batch with the
+    SAME scheme the snapshot was built with (band geometry is part of
+    the snapshot's identity), equi-join on (band, key), verify exact
+    hamming. Cost scales with the batch, never the corpus. Returns
+    ``(id_new, id_seen, hamming)``."""
+    new_banded = hamming_band_keys(new_fps, max_hamming=max_hamming,
+                                   max_bucket=None, n_blocks=n_blocks,
+                                   key_blocks=key_blocks)
+    return (new_banded.alias("a").join(
+                seen_banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") != F.col("b.id")))
+            .select(F.col("a.id").alias("id_new"),
+                    F.col("b.id").alias("id_seen"),
+                    hamming64(F.col("a.sim"), F.col("b.sim"))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
 
 
 # ---------------------------------------------------------------------------

@@ -448,3 +448,49 @@ def test_histogram_quantiles_reads_off_stored_table(spark):
     # p99 in the long one
     qt = histogram_quantiles(hist, quantiles=(0.25, 0.99))["__total__"]
     assert qt[0.25] <= 16 and qt[0.99] >= 64
+
+
+def test_incremental_hamming_probe_images(spark, tmp_path):
+    """Hamming-space snapshot store (the image analog of the band-table
+    snapshot): persist hamming_band_keys of corpus dhash fingerprints,
+    probe a new batch — the near-copy of a seen image pairs, the fresh
+    image doesn't, and the probe equals the full self-join's verdicts
+    for cross-set pairs."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(3)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+
+    def img(seed_shift):
+        x = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+              + np.roll(grad, seed_shift)[None, :, None]) // 2)
+        return x.astype(np.uint8)
+
+    a, b = img(0), img(16)
+    seen = spark.createDataFrame(
+        [(1, "image", bytes(M.write_bmp(a))),
+         (2, "image", bytes(M.write_bmp(b)))],
+        "media_id long, kind string, payload binary")
+    bands_path = str(tmp_path / "img_bands")
+    D.hamming_band_keys(M.image_dhash(seen), max_hamming=6,
+                        n_blocks=8).write.parquet(bands_path)
+
+    a_noisy = a.copy()
+    a_noisy[::9, ::6] = np.clip(a_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    fresh = img(8)
+    batch = spark.createDataFrame(
+        [(10, "image", bytes(M.write_png(a_noisy))),
+         (11, "image", bytes(M.write_bmp(fresh)))],
+        "media_id long, kind string, payload binary")
+    pairs = {(r["id_new"], r["id_seen"]): r["hamming"]
+             for r in D.incremental_hamming_pairs(
+                 M.image_dhash(batch),
+                 spark.read.parquet(bands_path),
+                 max_hamming=6, n_blocks=8).collect()}
+    assert (10, 1) in pairs and pairs[(10, 1)] <= 6
+    assert all(idn != 11 for idn, _ in pairs)
