@@ -348,7 +348,8 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
     ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``."""
     banded = hamming_band_keys(docs, max_hamming=max_hamming,
                                max_bucket=max_bucket, n_blocks=n_blocks,
-                               key_blocks=key_blocks)
+                               key_blocks=key_blocks) \
+        .select("id", "sim", "band", "key")   # extras would fan the join
     pairs = (banded.alias("a").join(
                 banded.alias("b"),
                 (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
@@ -398,9 +399,10 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
                 F.shiftleft(key, widths[b]).bitwiseOR(block_val(b)))
         entries.append(F.struct(F.lit(i).alias("band"),
                                 key.cast("long").alias("key")))
+    extras = [c for c in docs.columns if c not in ("id", "sim")]
     banded = docs.select(
-        "id", "sim", F.explode(F.array(*entries)).alias("bk"),
-    ).select("id", "sim", F.col("bk.band").alias("band"),
+        "id", "sim", *extras, F.explode(F.array(*entries)).alias("bk"),
+    ).select("id", "sim", *extras, F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     if max_bucket is not None:
         banded = (banded.withColumn(

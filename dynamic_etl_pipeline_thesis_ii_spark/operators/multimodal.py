@@ -1952,31 +1952,42 @@ def dhash64(payload: bytes) -> Optional[int]:
     return out
 
 
-def image_dhash(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def image_dhash(media: DataFrame, batch_hint: int = 1024,
+                extra_cols: tuple = ()) -> DataFrame:
     """(id, sim) perceptual fingerprints for every DECODABLE image
     payload — the image-space twin of ``simhash_fingerprints``. Arrow
     mapInPandas kernel (one payload batch in memory at a time);
     undecodable or non-image rows drop out, visible by comparing row
-    counts."""
+    counts. ``extra_cols`` pass through unchanged (streaming callers
+    carry the event-time column so watermarks survive the kernel) —
+    works on a STREAM as-is: the kernel is stateless."""
     import pandas as pd
 
-    sub = media.select("media_id", "kind", "payload")
+    extras = list(extra_cols)
+    sub = media.select("media_id", "kind", "payload", *extras)
+    extra_fields = ", ".join(
+        f"{c} {media.schema[c].dataType.simpleString()}" for c in extras)
+    out_schema = "id long, sim long" + (
+        ", " + extra_fields if extras else "")
 
     def kernel(batches):
         for pdf in batches:
-            ids, sims = [], []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
-                                          pdf["payload"]):
-                if kind != "image":
+            rows = {"id": [], "sim": [], **{c: [] for c in extras}}
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "image":
                     continue
-                h = dhash64(payload)
+                h = dhash64(pdf["payload"].iloc[i])
                 if h is not None:
-                    ids.append(int(mid))
-                    sims.append(h)
-            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
-                                "sim": pd.Series(sims, dtype="int64")})
+                    rows["id"].append(int(pdf["media_id"].iloc[i]))
+                    rows["sim"].append(h)
+                    for c in extras:
+                        rows[c].append(pdf[c].iloc[i])
+            out = pd.DataFrame(rows)
+            out["id"] = out["id"].astype("int64")
+            out["sim"] = out["sim"].astype("int64")
+            yield out
 
-    return sub.mapInPandas(kernel, "id long, sim long")
+    return sub.mapInPandas(kernel, out_schema)
 
 
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,

@@ -826,3 +826,71 @@ def test_streaming_cluster_assignment_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == want
+
+
+def test_streaming_image_flags_matches_incremental_batch(spark, tmp_path):
+    """Image near-dup flagging on a media stream against the persisted
+    hamming snapshot: a drained stream's flags equal the batch
+    incremental probe's (id_new, id_seen, hamming) verdicts."""
+    import base64
+    import json as _json
+
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        dedup as D,
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(5)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+
+    def img(shift):
+        x = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+              + np.roll(grad, shift)[None, :, None]) // 2)
+        return x.astype(np.uint8)
+
+    a, b = img(0), img(16)
+    seen = spark.createDataFrame(
+        [(1, "image", bytes(M.write_bmp(a))),
+         (2, "image", bytes(M.write_bmp(b)))],
+        "media_id long, kind string, payload binary")
+    bands_path = str(tmp_path / "img_bands")
+    D.hamming_band_keys(M.image_dhash(seen), max_hamming=6,
+                        n_blocks=8).write.parquet(bands_path)
+    seen_banded = spark.read.parquet(bands_path)
+
+    a_noisy = a.copy()
+    a_noisy[::9, ::6] = np.clip(a_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    batch_rows = [(10, "image", bytes(M.write_png(a_noisy)),
+                   "2024-01-01T00:00:00"),
+                  (11, "image", bytes(M.write_bmp(img(8))),
+                   "2024-01-01T00:01:00")]
+    batch = spark.createDataFrame(
+        [(i, k, p) for i, k, p, _ in batch_rows],
+        "media_id long, kind string, payload binary")
+    want = sorted(map(tuple, D.incremental_hamming_pairs(
+        M.image_dhash(batch), seen_banded,
+        max_hamming=6, n_blocks=8).collect()))
+
+    d = str(tmp_path / "media_stream")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "drop-0.json"), "w") as fh:
+        for i, k, p, ts in batch_rows:
+            fh.write(_json.dumps({
+                "media_id": i, "kind": k,
+                "payload": base64.b64encode(p).decode(), "ts": ts}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("media_id long, kind string, payload string,"
+                      " ts timestamp").load(d)
+              .withColumn("payload", F.unbase64("payload")))
+    out = str(tmp_path / "flags")
+    q = (S.streaming_image_flags(stream, seen_banded,
+                                 max_hamming=6, n_blocks=8)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_img"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want and len(got) >= 1
