@@ -417,6 +417,58 @@ def scale_probe(spark, factors: list[int]) -> dict:
     finally:
         shutil.rmtree(crawl_root, ignore_errors=True)
 
+    # imgdedup: perceptual-hash image near-dup (dhash -> Manku
+    # banding). 60 synthetic gradient-noise BMPs per replica; each
+    # replica MIXES IN a distinct random raster so cross-replica
+    # GRADIENT SIGNS decorrelate (dhash is a gradient hash — a
+    # uniform brightness offset wouldn't change it at all; the image
+    # analog of the text probes' word-salting must perturb gradients)
+    # while each replica keeps ONE planted noisy copy — pairs grow ~f
+    # (one planted pair per replica + chance band collisions), never
+    # f². The dhash pass is one Arrow payload scan; everything after
+    # moves 16-byte rows.
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as MM,
+    )
+
+    rng = np.random.default_rng(17)
+    grad_v = np.linspace(0, 200, 24, dtype=np.uint8)
+    base_imgs = [((rng.integers(0, 256, (24, 24, 3)).astype(int)
+                   + np.roll(grad_v, 3 * j)[None, :, None]) // 2)
+                 .astype(np.uint8) for j in range(60)]
+    out["imgdedup"] = []
+    for f in factors:
+        rows = []
+        for i in range(f):
+            mix_rng = np.random.default_rng(1000 + i)
+            for j, im in enumerate(base_imgs):
+                shifted = (im if i == 0 else
+                           ((im.astype(int) + mix_rng.integers(
+                               0, 256, im.shape)) // 2).astype(np.uint8))
+                rows.append((i * 1000 + j, "image",
+                             bytes(MM.write_bmp(shifted))))
+                if j == 0:   # one planted near-dup per replica
+                    noisy = shifted.copy()
+                    noisy[::9, ::6] = np.clip(
+                        noisy[::9, ::6].astype(int) + 10, 0,
+                        255).astype(np.uint8)
+                    rows.append((i * 1000 + 500, "image",
+                                 bytes(MM.write_bmp(noisy))))
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary") \
+            .repartition(8).persist()
+        n = media.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = MM.image_neardup_pairs(media, max_hamming=6).count()
+            best = min(best, time.perf_counter() - t0)
+        out["imgdedup"].append({"factor": f, "n_docs": n,
+                                "candidates": c, "sec": round(best, 3)})
+        media.unpersist()
+
     # semdecon: embedding-space decontamination CANDIDATE stage
     # (threshold=-1 keeps every bucket-collision pair, the probe
     # convention). Corpus replicas sign-flip-decorrelate exactly like
@@ -572,7 +624,8 @@ def main() -> None:
             json.dump({"sf": SF_DIR, "factors": factors, "series": probe},
                       fh, indent=1)
         lines = []
-        last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster")
+        last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
+                "imgdedup")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
