@@ -1940,6 +1940,11 @@ def dhash64(payload: bytes) -> Optional[int]:
     if parsed is None:
         return None
     w, h, arr = parsed
+    if w < 9 or h < 8:
+        # below the 9x8 sampling grid there is no gradient signal:
+        # every such thumbnail would hash to ~0 and false-pair with
+        # every other one — skip hashing instead
+        return None
     gray = arr.astype(np.float64).mean(axis=2)
     rows = (np.arange(8) * h) // 8
     cols = (np.arange(9) * w) // 9

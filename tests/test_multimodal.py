@@ -1705,3 +1705,15 @@ def test_image_dedup_keeps_one_per_cluster(spark):
         "media_id long, kind string, payload binary")
     kept = {r["media_id"] for r in M.image_dedup(media).collect()}
     assert kept == {1, 3, 4}
+
+
+def test_dhash64_rejects_sub_grid_thumbnails():
+    """Images below the 9x8 sampling grid carry no gradient signal
+    (they would all hash ~0 and false-pair) — dhash64 returns None."""
+    import numpy as np
+
+    tiny = np.full((4, 4, 3), 128, dtype=np.uint8)
+    assert M.dhash64(M.write_bmp(tiny)) is None
+    ok = np.random.default_rng(0).integers(0, 256, (9, 16, 3),
+                                           dtype=np.uint8)
+    assert M.dhash64(M.write_bmp(ok)) is not None
