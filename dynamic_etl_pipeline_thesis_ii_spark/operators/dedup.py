@@ -414,28 +414,49 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
 def incremental_hamming_pairs(new_fps: DataFrame, seen_banded: DataFrame,
                               max_hamming: int = 3,
                               n_blocks: int = 6,
-                              key_blocks: int | None = None) -> DataFrame:
+                              key_blocks: int | None = None,
+                              extra_new_cols: tuple = (),
+                              distinct: bool = True,
+                              prune: bool = True) -> DataFrame:
     """Probe a NEW batch's ``(id, sim)`` fingerprints against a
     persisted :func:`hamming_band_keys` snapshot — the hamming-space
     face of :func:`incremental_neardup_pairs`: band the batch with the
-    SAME scheme the snapshot was built with (band geometry is part of
-    the snapshot's identity), equi-join on (band, key), verify exact
-    hamming. Cost scales with the batch, never the corpus. Returns
-    ``(id_new, id_seen, hamming)``."""
+    SAME scheme the snapshot was built with (band geometry — n_blocks
+    AND key_blocks — is part of the snapshot's identity), equi-join on
+    (band, key), verify exact hamming. With ``prune`` (the batch
+    default) the snapshot is first LEFT-SEMI-joined against the
+    batch's broadcast (band, key) probe set, so only snapshot rows
+    sharing a probe key move — cost scales with the batch, never the
+    corpus (the same pruning the MinHash sibling does). Returns
+    ``(id_new, *extra_new_cols, id_seen, hamming)``; like the MinHash
+    siblings there is NO id-equality exclusion — independent id
+    namespaces may legitimately collide on equal ids, and a re-ingest
+    of a seen image SHOULD flag against itself.
+
+    Streaming callers (:func:`streaming/ops.streaming_image_flags`)
+    pass ``prune=False`` (a broadcast built from a stream is not a
+    supported plan) and ``distinct=False`` (stream dedup needs a
+    watermark), and carry the event-time column via
+    ``extra_new_cols``."""
     new_banded = hamming_band_keys(new_fps, max_hamming=max_hamming,
                                    max_bucket=None, n_blocks=n_blocks,
                                    key_blocks=key_blocks)
-    return (new_banded.alias("a").join(
-                seen_banded.alias("b"),
+    seen = seen_banded
+    if prune:
+        probe_keys = F.broadcast(
+            new_banded.select("band", "key").distinct())
+        seen = seen.join(probe_keys, ["band", "key"], "left_semi")
+    extras = [F.col(f"a.{c}") for c in extra_new_cols]
+    pairs = (new_banded.alias("a").join(
+                seen.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.id") != F.col("b.id")))
-            .select(F.col("a.id").alias("id_new"),
-                    F.col("b.id").alias("id_seen"),
-                    hamming64(F.col("a.sim"), F.col("b.sim"))
-                    .alias("hamming"))
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+                & (F.col("a.key") == F.col("b.key")))
+             .select(F.col("a.id").alias("id_new"), *extras,
+                     F.col("b.id").alias("id_seen"),
+                     hamming64(F.col("a.sim"), F.col("b.sim"))
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming))
+    return pairs.distinct() if distinct else pairs
 
 
 # ---------------------------------------------------------------------------

@@ -1945,10 +1945,22 @@ def dhash64(payload: bytes) -> Optional[int]:
         # every such thumbnail would hash to ~0 and false-pair with
         # every other one — skip hashing instead
         return None
+    # alpha is not luminance: folding RGBA/gray+alpha's mask channel
+    # into the mean breaks the raster-determined contract (the same
+    # color raster as BMP vs alpha-PNG would hash apart)
+    if arr.shape[2] in (2, 4):
+        arr = arr[:, :, :-1]
     gray = arr.astype(np.float64).mean(axis=2)
-    rows = (np.arange(8) * h) // 8
-    cols = (np.arange(9) * w) // 9
-    g = gray[rows][:, cols]
+    # AREA-average each 9x8 cell (reduceat over the grid boundaries),
+    # not point-sample one pixel per cell: point samples track pixel
+    # noise, so a resized copy of a textured image lands ~18 bits
+    # away; cell means are what survive resizing — the downscale IS
+    # the normalization only if it integrates the cell
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(10) * w) // 9
+    sums = np.add.reduceat(np.add.reduceat(gray, rb[:-1], axis=0),
+                           cb[:-1], axis=1)
+    g = sums / np.outer(np.diff(rb), np.diff(cb))
     bits = (g[:, :-1] > g[:, 1:]).reshape(-1)   # 8x8, row-major
     out = 0
     for j in range(64):

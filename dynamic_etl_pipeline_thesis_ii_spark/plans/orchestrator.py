@@ -859,7 +859,10 @@ class Pipeline:
                     "outputs": [], "reports": {"plan": dict(plan)}}
         try:
             centers = self.spark.read.parquet(plan["centers_path"])
-            assert {"cluster", "center"} <= set(centers.columns)
+            # explicit raise, not assert: -O strips asserts and a
+            # malformed store must reject, not crash downstream
+            if not {"cluster", "center"} <= set(centers.columns):
+                raise ValueError("not a cluster map")
         except Exception:
             return {"status": "rejected",
                     "reason": ("no cluster map readable at "

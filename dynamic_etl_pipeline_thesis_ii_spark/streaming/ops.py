@@ -570,42 +570,41 @@ def bench_shingle_sets(benchmark: DataFrame, text_col: str = "text",
 
 def streaming_image_flags(media: DataFrame, seen_banded: DataFrame,
                           max_hamming: int = 6, n_blocks: int = 8,
+                          key_blocks: Optional[int] = None,
                           ts_col: Optional[str] = "ts",
                           watermark: str = "1 hour") -> DataFrame:
     """Perceptual near-dup flagging for an IMAGE stream against the
     persisted hamming-space snapshot (``dedup.hamming_band_keys`` over
     corpus dhash fingerprints) — the image face of
-    :func:`streaming_neardup_flags`: dhash each arriving payload in
-    the stateless Arrow kernel (event-time column rides through), band
-    with the SAME geometry the snapshot was built with, stream-static
+    :func:`streaming_neardup_flags`, sharing
+    ``dedup.incremental_hamming_pairs`` with the batch probe so the
+    two faces cannot drift: dhash each arriving payload in the
+    stateless Arrow kernel (event-time column rides through), band
+    with the SAME geometry the snapshot was built with (pass the
+    snapshot's ``n_blocks``/``key_blocks`` — geometry is part of its
+    identity, a mismatch silently kills recall), stream-static
     inner-join on (band, key), verify exact hamming. A pair colliding
-    in several of the C(n_blocks, pick) bands repeats — with
-    ``ts_col`` set the repeats are removed by
-    ``dropDuplicatesWithinWatermark`` on the pair key so state stays
-    bounded by the watermark horizon; ``ts_col=None`` (batch frames)
-    gets a plain distinct. Output: ``(id_new, id_seen, hamming)``."""
+    in several bands repeats — with ``ts_col`` set the repeats are
+    removed by ``dropDuplicatesWithinWatermark`` on the pair key so
+    state stays bounded by the watermark horizon; ``ts_col=None``
+    (batch frames) gets a plain distinct. The stream-static join
+    re-reads the snapshot per micro-batch (Spark's stream-static
+    contract) — keep the snapshot compacted/partitioned by (band, key)
+    so each probe prunes to matching files. Output:
+    ``(id_new, id_seen, hamming)``."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
-        hamming64,
-        hamming_band_keys,
+        incremental_hamming_pairs,
     )
     from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
         image_dhash,
     )
 
     fps = image_dhash(media, extra_cols=(ts_col,) if ts_col else ())
-    banded = hamming_band_keys(fps, max_hamming=max_hamming,
-                               max_bucket=None, n_blocks=n_blocks)
-    ts = [F.col(f"a.{ts_col}")] if ts_col else []
-    pairs = (banded.alias("a").join(
-                seen_banded.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.id") != F.col("b.id")))
-             .select(F.col("a.id").alias("id_new"), *ts,
-                     F.col("b.id").alias("id_seen"),
-                     hamming64(F.col("a.sim"), F.col("b.sim"))
-                     .alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming))
+    pairs = incremental_hamming_pairs(
+        fps, seen_banded, max_hamming=max_hamming, n_blocks=n_blocks,
+        key_blocks=key_blocks,
+        extra_new_cols=(ts_col,) if ts_col else (),
+        distinct=False, prune=False)
     if ts_col:
         return (pairs.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["id_new", "id_seen"])

@@ -494,3 +494,34 @@ def test_incremental_hamming_probe_images(spark, tmp_path):
                  max_hamming=6, n_blocks=8).collect()}
     assert (10, 1) in pairs and pairs[(10, 1)] <= 6
     assert all(idn != 11 for idn, _ in pairs)
+
+
+def test_incremental_hamming_prunes_and_flags_reingest(spark, tmp_path):
+    """The batch probe LEFT-SEMI-prunes the snapshot to the batch's
+    broadcast probe keys (cost scales with the batch), and — like the
+    MinHash siblings — has no id-equality exclusion: re-ingesting a
+    seen image flags against itself at hamming 0."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(9)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    a = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[None, :, None]) // 2).astype(np.uint8)
+    seen = spark.createDataFrame(
+        [(1, "image", bytes(M.write_bmp(a)))],
+        "media_id long, kind string, payload binary")
+    seen_banded = D.hamming_band_keys(M.image_dhash(seen),
+                                      max_hamming=6, n_blocks=8)
+
+    probe = D.incremental_hamming_pairs(
+        M.image_dhash(seen), seen_banded, max_hamming=6, n_blocks=8)
+    got = {(r["id_new"], r["id_seen"], r["hamming"])
+           for r in probe.collect()}
+    assert got == {(1, 1, 0)}
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
