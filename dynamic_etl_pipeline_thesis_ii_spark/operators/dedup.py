@@ -1106,3 +1106,33 @@ def bloom_snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
                  .join(seen.select(F.col("key").alias("__k")).distinct(),
                        "__k", "left_anti"))
     return definite_new.unionByName(confirmed)
+
+
+def save_hamming_snapshot(banded: DataFrame, path: str,
+                          max_hamming: int, n_blocks: int,
+                          key_blocks: int | None = None) -> None:
+    """Persist a :func:`hamming_band_keys` table WITH its band
+    geometry: the banding parameters are part of the snapshot's
+    identity (probing with different geometry silently loses recall),
+    so they ride a one-row ``<path>_meta`` sidecar exactly like the
+    Bloom store persists its sizing — a later epoch cannot misband.
+    Plain parquet, no pickle."""
+    banded.write.mode("overwrite").parquet(path)
+    banded.sparkSession.createDataFrame(
+        [(int(max_hamming), int(n_blocks),
+          int(key_blocks) if key_blocks is not None else None)],
+        "max_hamming int, n_blocks int, key_blocks int") \
+        .coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+
+
+def load_hamming_snapshot(spark, path: str):
+    """Reload a :func:`save_hamming_snapshot` store. Returns
+    ``(banded, geometry)`` where geometry is the kwargs dict to pass
+    to :func:`incremental_hamming_pairs` /
+    ``streaming_image_flags`` — callers band new batches with the
+    snapshot's OWN parameters instead of re-stating them."""
+    banded = spark.read.parquet(path)
+    m = spark.read.parquet(path + "_meta").first()
+    return banded, {"max_hamming": m["max_hamming"],
+                    "n_blocks": m["n_blocks"],
+                    "key_blocks": m["key_blocks"]}

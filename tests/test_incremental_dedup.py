@@ -525,3 +525,39 @@ def test_incremental_hamming_prunes_and_flags_reingest(spark, tmp_path):
 
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_hamming_snapshot_store_carries_geometry(spark, tmp_path):
+    """save/load_hamming_snapshot: the band geometry rides the store
+    (a probe banded with the snapshot's own loaded parameters finds
+    the planted near-copy; the geometry dict round-trips exactly)."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(13)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    a = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[None, :, None]) // 2).astype(np.uint8)
+    seen = spark.createDataFrame(
+        [(1, "image", bytes(M.write_bmp(a)))],
+        "media_id long, kind string, payload binary")
+    p = str(tmp_path / "snap")
+    D.save_hamming_snapshot(
+        D.hamming_band_keys(M.image_dhash(seen), max_hamming=6,
+                            n_blocks=8, key_blocks=3),
+        p, max_hamming=6, n_blocks=8, key_blocks=3)
+
+    banded, geom = D.load_hamming_snapshot(spark, p)
+    assert geom == {"max_hamming": 6, "n_blocks": 8, "key_blocks": 3}
+    noisy = a.copy()
+    noisy[::9, ::6] = np.clip(noisy[::9, ::6].astype(int) + 10,
+                              0, 255).astype(np.uint8)
+    batch = spark.createDataFrame(
+        [(10, "image", bytes(M.write_png(noisy)))],
+        "media_id long, kind string, payload binary")
+    pairs = D.incremental_hamming_pairs(
+        M.image_dhash(batch), banded, **geom).collect()
+    assert [(r["id_new"], r["id_seen"]) for r in pairs] == [(10, 1)]
