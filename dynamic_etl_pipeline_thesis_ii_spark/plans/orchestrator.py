@@ -1080,7 +1080,16 @@ class Pipeline:
                     "reason": "decontamination needs a benchmark path "
                               "('... against the benchmark at /path')",
                     "outputs": [], "reports": {"plan": dict(plan)}}
-        bench = self.spark.read.parquet(plan["benchmark_path"])
+        try:
+            bench = self.spark.read.parquet(plan["benchmark_path"])
+        except Exception as exc:
+            # a missing/unreadable benchmark is an actionable
+            # rejection (the verify_shards/ann_index_append contract),
+            # not an AnalysisException stacktrace
+            return {"status": "rejected",
+                    "reason": f"no benchmark readable at "
+                              f"{plan['benchmark_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         if plan["semantic"]:
             corpus = Catalog(self.spark, source_dir).embeddings
             pairs = semantic_contamination(
@@ -1140,6 +1149,13 @@ class Pipeline:
 
         emb = Catalog(self.spark, source_dir).embeddings
         n = emb.count()
+        if n == 0:
+            # k-means cannot fit zero rows — an empty corpus is an
+            # actionable rejection, not an opaque executor stacktrace
+            # (the cluster_corpus/semantic_dedup empty-corpus contract)
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         n_clusters = max(16, int(n ** 0.5))
         cand = emb.select(F.col("vec_id").alias("c_id"),
                           F.col("embedding").alias("c_vec"))
@@ -1156,7 +1172,12 @@ class Pipeline:
             opq_report = {
                 "mse_raw": round(mse_raw, 6),
                 "mse_rotated": round(mse_rot, 6),
-                "mse_delta_pct": round(100 * (1 - mse_rot / mse_raw), 2)}
+                # mse_raw == 0 is legitimate (constant/degenerate
+                # embeddings fully captured by the codebooks): there
+                # is no distortion for the rotation to reduce, so the
+                # delta is 0, never a ZeroDivisionError
+                "mse_delta_pct": (round(100 * (1 - mse_rot / mse_raw), 2)
+                                  if mse_raw else 0.0)}
         self.progress("plan_index", {"params": dict(plan),
                                      "n_clusters": n_clusters,
                                      "opq": opq_report})
@@ -1209,6 +1230,12 @@ class Pipeline:
 
         emb = Catalog(self.spark, source_dir).embeddings
         n = emb.count()
+        if n == 0:
+            # same empty-corpus contract as _run_ann_search: reject
+            # before KMeans.fit sees zero rows
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
         n_lists = plan["n_lists"] or max(16, int(n ** 0.5))
         rotation = (opq_rotation(emb, vec_col="embedding", m=4)
                     if plan["opq"] else None)

@@ -383,6 +383,37 @@ def streaming_neardup_flags(docs: DataFrame, seen_bands: DataFrame,
     return pairs.distinct()
 
 
+def checkpoint_instance_id(spark, checkpoint_dir: str) -> str:
+    """Identity of a checkpoint INSTANCE, not its path: the streaming
+    query id Spark writes to ``<checkpoint_dir>/metadata`` at query
+    start, suffixed onto the path. Deleting and recreating the same
+    checkpoint directory restarts batch numbering at 0 AND mints a
+    new query id, so replay marks keyed on the instance id can never
+    mistake the new incarnation's early batches for replays of the
+    old one (a path-keyed mark would silently skip them). Read via
+    the Hadoop FS API so any checkpoint filesystem (local/HDFS/S3A)
+    resolves; when no metadata is readable yet the bare path returns
+    — documented fallback with the pre-instance-id semantics (delete
+    the ``_meta`` sidecar together with the checkpoint dir)."""
+    import json as _json
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir.rstrip("/") + "/metadata")
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        stream = fs.open(jpath)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        qid = _json.loads(raw.decode("utf-8"))["id"]
+        return f"{checkpoint_dir}#{qid}"
+    except Exception:
+        return checkpoint_dir
+
+
 def census_fold(census_path: str, strata: tuple = ("lang", "source"),
                 stream_id: Optional[str] = None,
                 histogram: bool = False):
@@ -402,6 +433,14 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
     to 'a crash inside the two driver-side writes of a micro-batch'.
     A DIFFERENT stream_id (new checkpoint, restarted batch numbering)
     ignores the mark and starts advancing its own.
+
+    The mark is keyed on the checkpoint INSTANCE, not its path: at
+    first fold the ``stream_id`` dir resolves through
+    :func:`checkpoint_instance_id` (the query id in the checkpoint's
+    own ``metadata`` file rides the key), so a user who deletes and
+    recreates the same checkpoint directory — restarting batch ids
+    at 0 while the ``_meta`` sidecar survives — gets a fresh mark
+    instead of silently losing every batch up to the old high water.
 
     With ``histogram=True`` the fold also maintains the power-of-two
     token-length histogram (``operators.text.census_histogram`` —
@@ -438,14 +477,21 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
             fresh = merge(prior, fresh)
         return fresh.collect(), fresh.schema
 
+    resolved: list = []             # one-shot instance-id cache
+
     def fold(batch_df, batch_id):
         spark = batch_df.sparkSession
         if stream_id is not None:
+            if not resolved:        # resolve once per fold lifetime —
+                # by batch 0 the query has already written its
+                # checkpoint metadata, so the instance id is stable
+                resolved.append(checkpoint_instance_id(spark, stream_id))
+            sid = resolved[0]
             try:
                 meta = spark.read.parquet(meta_path).collect()
             except Exception:       # bootstrap: no mark yet
                 meta = []
-            if any(r["stream_id"] == stream_id
+            if any(r["stream_id"] == sid
                    and batch_id <= r["max_batch_id"] for r in meta):
                 return              # replayed batch: already folded
         pending = [(census_path, *_folded_rows(
@@ -461,7 +507,7 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
                 .coalesce(1).write.mode("overwrite").parquet(path)
         if stream_id is not None:   # advance the mark AFTER the writes
             spark.createDataFrame(
-                [(stream_id, int(batch_id))],
+                [(resolved[0], int(batch_id))],
                 "stream_id string, max_batch_id long") \
                 .coalesce(1).write.mode("overwrite").parquet(meta_path)
 

@@ -1903,10 +1903,46 @@ def test_cluster_and_semdedup_reject_empty_corpus(spark, sf_dir, tmp_path):
         .write.parquet(empty_dir + "/embeddings.parquet")
     pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
     for q in ("cluster the embeddings into 4 topics",
-              "semantically dedup the corpus"):
+              "semantically dedup the corpus",
+              "find the 5 nearest neighbors for each document",
+              "build an ann index over the embeddings, 16 lists"):
         res = pipe.run_dataops(q, empty_dir, str(tmp_path / "out"))
         assert res["status"] == "rejected", q
         assert "empty" in res["reason"], q
+
+
+def test_decontaminate_rejects_unreadable_benchmark(spark, sf_dir,
+                                                    tmp_path):
+    """A missing/unreadable benchmark path is an actionable rejection
+    (the verify_shards/ann_index_append contract), not an
+    AnalysisException stacktrace."""
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    res = pipe.run_dataops(
+        f"decontaminate the corpus against the benchmark at "
+        f"{tmp_path}/nowhere", sf_dir, str(tmp_path / "out"))
+    assert res["status"] == "rejected"
+    assert "no benchmark readable" in res["reason"]
+
+
+def test_ann_search_opq_zero_mse_degenerate_embeddings(spark, sf_dir,
+                                                       tmp_path):
+    """Constant embeddings are fully captured by the PQ codebooks, so
+    mse_raw == 0.0 legitimately — the OPQ report must carry a 0.0
+    delta, never a ZeroDivisionError."""
+    const_dir = str(tmp_path / "const_sf")
+    spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], "a")
+         for i in range(64)],
+        "vec_id long, embedding array<double>, label string") \
+        .write.parquet(const_dir + "/embeddings.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    res = pipe.run_dataops(
+        "find the 5 nearest neighbors for each document, "
+        "with an opq rotation", const_dir, str(tmp_path / "knn"))
+    assert res["status"] == "complete"
+    opq = res["reports"]["opq"]
+    assert opq["mse_raw"] == 0.0
+    assert opq["mse_delta_pct"] == 0.0
 
 
 def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):

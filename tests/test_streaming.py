@@ -627,6 +627,59 @@ def test_census_fold_replayed_batch_folds_exactly_once(spark, tmp_path):
                       spark.read.parquet(census_path).collect())) == want2
 
 
+def test_census_fold_recreated_checkpoint_is_a_new_instance(
+        spark, tmp_path):
+    """A user deletes and recreates the SAME checkpoint directory:
+    batch ids restart at 0 while the census _meta sidecar survives.
+    The mark is keyed on the checkpoint INSTANCE (the query id in the
+    checkpoint's own metadata file), so the new incarnation's batch 0
+    must FOLD — a path-keyed mark would silently skip every batch up
+    to the old high water and undercount the census."""
+    import json as _json
+    import shutil
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        corpus_census,
+        merge_census,
+    )
+
+    ckpt = tmp_path / "ckpt"
+
+    def incarnate(qid: str):
+        ckpt.mkdir()
+        (ckpt / "metadata").write_text(_json.dumps({"id": qid}))
+
+    schema = "doc_id long, text string, lang string, source string"
+    b0 = spark.createDataFrame(
+        [(i, f"w{i} body", "l0", "s0") for i in range(5)], schema)
+    b1 = spark.createDataFrame([(200, "q r", "l1", "s1")], schema)
+    census_path = str(tmp_path / "census")
+
+    incarnate("query-uuid-1")
+    # the instance id resolves through the Hadoop FS path, suffixing
+    # the query id — two incarnations of one path are distinct streams
+    iid1 = S.checkpoint_instance_id(spark, str(ckpt))
+    assert iid1.endswith("#query-uuid-1")
+    fold = S.census_fold(census_path, stream_id=str(ckpt))
+    fold(b0, 0)
+    fold(b0, 3)                       # advance the mark past batch 0
+
+    shutil.rmtree(ckpt)               # delete + recreate the SAME path
+    incarnate("query-uuid-2")
+    assert S.checkpoint_instance_id(spark, str(ckpt)) != iid1
+    fold2 = S.census_fold(census_path, stream_id=str(ckpt))
+    fold2(b1, 0)                      # restarted numbering: MUST fold
+    want = sorted(map(tuple, merge_census(
+        merge_census(corpus_census(b0), corpus_census(b0)),
+        corpus_census(b1)).collect()))
+    assert sorted(map(tuple,
+                      spark.read.parquet(census_path).collect())) == want
+    # no metadata file (direct/batch callers): the bare path returns,
+    # preserving the documented pre-instance-id fallback semantics
+    assert S.checkpoint_instance_id(
+        spark, str(tmp_path / "nowhere")) == str(tmp_path / "nowhere")
+
+
 def test_streaming_contamination_flags_matches_batch(spark, sf_dir):
     """Stream-path verdicts == contamination_pairs on the same data
     (batch frame, ts_col=None): same (id_new, id_bench) pairs, same
