@@ -102,6 +102,34 @@ def SQL_WORD_SHINGLES(x: str, k: int) -> str:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def bucket_cap_stats(marked: DataFrame, max_bucket: int) -> dict:
+    """Telemetry for the hot-bucket guard — the engine's own "no
+    silent caps" discipline applied to its hottest knob: every banding
+    path that drops over-cap ``(band, key)`` buckets can now COUNT
+    what it dropped (at ~10⁸ images the 16-bit hamming band keys push
+    the AVERAGE bucket over the default cap, and recall loss must be
+    visible in run reports, not silent).
+
+    ``marked`` is a band table carrying the per-bucket row count as
+    ``__bn`` (``cap_mode="mark"``). One tiny aggregate over rows the
+    window pass already counted — callers persist the marked frame, so
+    this adds no second shuffle. Bucket count without a distinct
+    aggregate: every row of a bucket carries the same ``__bn``, so
+    summing ``1/__bn`` over capped rows contributes exactly 1 per
+    bucket (rounded to kill float residue)."""
+    over = F.col("__bn") > max_bucket
+    r = marked.agg(
+        F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).alias("rows"),
+        F.round(F.coalesce(F.sum(F.when(over, 1.0 / F.col("__bn"))),
+                           F.lit(0.0)), 0).cast("long").alias("buckets"),
+        F.coalesce(F.max("__bn"), F.lit(0)).alias("largest"),
+    ).first()
+    return {"max_bucket": int(max_bucket),
+            "capped_buckets": int(r["buckets"]),
+            "capped_rows": int(r["rows"]),
+            "largest_bucket": int(r["largest"])}
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact normalized-text group.
@@ -170,7 +198,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, n_hashes: int = 16, bands: int = 4,
                       max_bucket: int | None = 2000,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      cap_report: dict | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     rows-per-band r = n_hashes/bands; two docs collide if any band's
@@ -184,6 +213,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     dropped — near-identical boilerplate is better handled by exact
     dedup first, and a >cap bucket contributes cap²/2-scale pairs of
     almost no ranking value. ``None`` disables the guard.
+    ``cap_report`` (dict, filled in place) makes the guard auditable:
+    :func:`bucket_cap_stats` over the marked band table records the
+    buckets/rows dropped — one tiny EAGER aggregate over a persisted
+    frame the self-join reuses anyway (see :func:`hamming_band_pairs`).
     Returns distinct (id_a < id_b) candidate pairs.
     """
     banded = minhash_band_keys(df, text_col, id_col, k, n_hashes, bands,
@@ -191,9 +224,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     if max_bucket is not None:
         # window on the same (band, slice) keys the join shuffles on —
         # the exchange is shared, so the guard costs no extra shuffle
-        banded = (banded.withColumn(
+        banded = banded.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))
-            .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+        if cap_report is not None:
+            banded = banded.persist()
+            cap_report.update(bucket_cap_stats(banded, max_bucket))
+        banded = banded.filter(F.col("__bn") <= max_bucket).drop("__bn")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -281,7 +317,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_k: int = 2,
                   max_bucket: int | None = 2000,
                   n_blocks: int = 6,
-                  key_blocks: int | None = None) -> DataFrame:
+                  key_blocks: int | None = None,
+                  cap_report: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash with banded blocking (Manku et al.,
     "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
     fingerprint into ``n_blocks`` blocks and key each band on a
@@ -333,23 +370,46 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     docs = docs.localCheckpoint(eager=False)
     return hamming_band_pairs(docs, max_hamming=max_hamming,
                               max_bucket=max_bucket, n_blocks=n_blocks,
-                              key_blocks=key_blocks)
+                              key_blocks=key_blocks,
+                              cap_report=cap_report)
 
 
 def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
                        max_bucket: int | None = 2000,
                        n_blocks: int = 6,
-                       key_blocks: int | None = None) -> DataFrame:
+                       key_blocks: int | None = None,
+                       cap_report: dict | None = None) -> DataFrame:
     """Manku banding over an arbitrary ``(id, sim)`` 64-bit
     fingerprint frame — the blocking engine factored out of
     :func:`simhash_pairs` so OTHER hamming-space fingerprints reuse it
     (perceptual image hashes ride this for image near-dup). Same
     completeness bound, hot-bucket cap and verified-hamming output:
-    ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``."""
-    banded = hamming_band_keys(docs, max_hamming=max_hamming,
-                               max_bucket=max_bucket, n_blocks=n_blocks,
-                               key_blocks=key_blocks) \
-        .select("id", "sim", "band", "key")   # extras would fan the join
+    ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``.
+
+    Pass ``cap_report`` (a dict, filled in place) to make the
+    hot-bucket cap AUDITABLE: the band table materializes once
+    (persisted — the self-join reuses it) and
+    :func:`bucket_cap_stats` records how many buckets/rows the cap
+    dropped before the filter applies. Telemetry costs one tiny
+    aggregate over the already-computed band table and is EAGER (the
+    numbers exist when this returns); the default ``None`` keeps the
+    fully lazy plan."""
+    if cap_report is not None and max_bucket is not None:
+        marked = hamming_band_keys(docs, max_hamming=max_hamming,
+                                   max_bucket=max_bucket,
+                                   n_blocks=n_blocks,
+                                   key_blocks=key_blocks,
+                                   cap_mode="mark") \
+            .select("id", "sim", "band", "key", "__bn").persist()
+        cap_report.update(bucket_cap_stats(marked, max_bucket))
+        banded = (marked.filter(F.col("__bn") <= max_bucket)
+                  .drop("__bn"))
+    else:
+        banded = hamming_band_keys(docs, max_hamming=max_hamming,
+                                   max_bucket=max_bucket,
+                                   n_blocks=n_blocks,
+                                   key_blocks=key_blocks) \
+            .select("id", "sim", "band", "key")  # extras would fan the join
     pairs = (banded.alias("a").join(
                 banded.alias("b"),
                 (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
@@ -364,7 +424,8 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
 def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
                       max_bucket: int | None = 2000,
                       n_blocks: int = 6,
-                      key_blocks: int | None = None) -> DataFrame:
+                      key_blocks: int | None = None,
+                      cap_mode: str = "drop") -> DataFrame:
     """The banded ``(id, sim, band, key)`` table itself — the
     persistable HALF of :func:`hamming_band_pairs`, mirroring what
     ``minhash_band_keys`` is to ``minhash_lsh_pairs``: write it to
@@ -375,7 +436,13 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
     Block b covers widths[b] bits starting at offsets[b] (LSB-first);
     bands enumerate the (n_blocks - max_hamming)-block combinations in
     itertools order — for n_blocks=4/max_hamming=3 this is exactly the
-    four single 16-bit blocks the DuckDB oracle mirrors."""
+    four single 16-bit blocks the DuckDB oracle mirrors.
+
+    ``cap_mode="mark"`` keeps EVERY row and exposes the per-bucket
+    count as ``__bn`` instead of filtering — the telemetry face: the
+    caller decides what to do with over-cap buckets (count them via
+    :func:`bucket_cap_stats`, drop them, or re-band them) without a
+    second window pass."""
     if not 2 <= n_blocks <= 64:
         raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
     pick = (max(1, n_blocks - max_hamming) if key_blocks is None
@@ -404,6 +471,9 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
         "id", "sim", *extras, F.explode(F.array(*entries)).alias("bk"),
     ).select("id", "sim", *extras, F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
+    if cap_mode == "mark":
+        return banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
     if max_bucket is not None:
         banded = (banded.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
@@ -857,7 +927,8 @@ def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", k: int = 3,
                               n_hashes: int = 16, bands: int = 4,
-                              max_bucket: int | None = 2000) -> DataFrame:
+                              max_bucket: int | None = 2000,
+                              cap_report: dict | None = None) -> DataFrame:
     """Near-dup candidates BETWEEN a new batch and the corpus snapshot:
     band the batch with the same LSH parameters and equi-join against
     the persisted band table. Output (id_new, id_seen) distinct pairs.
@@ -876,9 +947,16 @@ def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
     sb = seen_bands.join(F.broadcast(probe_keys), ["band", "slice"],
                          "left_semi")
     if max_bucket is not None:
-        sb = (sb.withColumn(
+        sb = sb.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))
-            .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+        if cap_report is not None:
+            # stats over the PROBED buckets only — the buckets this
+            # batch actually loses recall in (pruning keeps or drops
+            # whole buckets, so these counts equal full-table counts
+            # for every probed bucket)
+            sb = sb.persist()
+            cap_report.update(bucket_cap_stats(sb, max_bucket))
+        sb = sb.filter(F.col("__bn") <= max_bucket).drop("__bn")
     return (nb.alias("n").join(
                 sb.alias("s"),
                 (F.col("n.band") == F.col("s.band"))
@@ -1110,14 +1188,27 @@ def bloom_snapshot_fresh(new_docs: DataFrame, seen: DataFrame,
 
 def save_hamming_snapshot(banded: DataFrame, path: str,
                           max_hamming: int, n_blocks: int,
-                          key_blocks: int | None = None) -> None:
+                          key_blocks: int | None = None,
+                          n_files: int | None = None) -> None:
     """Persist a :func:`hamming_band_keys` table WITH its band
     geometry: the banding parameters are part of the snapshot's
     identity (probing with different geometry silently loses recall),
     so they ride a one-row ``<path>_meta`` sidecar exactly like the
     Bloom store persists its sizing — a later epoch cannot misband.
-    Plain parquet, no pickle."""
-    banded.write.mode("overwrite").parquet(path)
+    Plain parquet, no pickle.
+
+    Layout: range-partitioned + sorted on (band, key) — exactly the
+    layout ``compact_snapshot`` produces and the stream-static probe
+    (``streaming_image_flags``) depends on: each parquet file covers a
+    narrow (band, key) range, so the per-micro-batch equi-join's
+    pushed filters prune on footer min/max stats from day one instead
+    of after a manual compaction. ``n_files`` pins the file count;
+    the default lets AQE right-size the range shuffle (a tiny
+    snapshot coalesces to one file, a 10⁹-row one spreads)."""
+    parts = ([n_files] if n_files else [])
+    (banded.repartitionByRange(*parts, "band", "key")
+           .sortWithinPartitions("band", "key")
+           .write.mode("overwrite").parquet(path))
     banded.sparkSession.createDataFrame(
         [(int(max_hamming), int(n_blocks),
           int(key_blocks) if key_blocks is not None else None)],

@@ -2009,7 +2009,8 @@ def image_dhash(media: DataFrame, batch_hint: int = 1024,
 
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
                         n_blocks: int = 8,
-                        max_bucket: Optional[int] = 2000) -> DataFrame:
+                        max_bucket: Optional[int] = 2000,
+                        cap_report: Optional[dict] = None) -> DataFrame:
     """Image near-duplicate pairs: perceptual dHash fingerprints
     (:func:`image_dhash`) joined through the text engine's Manku
     banding (``dedup.hamming_band_pairs`` — equi-join on
@@ -2020,18 +2021,25 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
     near-dup budget for 64-bit dHash. Same ``(id_a, id_b, hamming)``
     contract as ``simhash_pairs``; at 100 TB the fingerprint pass is
     one Arrow scan of the payload column and everything after moves
-    16-byte rows."""
+    16-byte rows. ``cap_report`` (dict, filled in place) records the
+    buckets/rows the hot-bucket cap dropped
+    (``dedup.bucket_cap_stats``) — image dedup hits the cap EARLIEST
+    of all the banding paths (16-bit band keys put the average bucket
+    over the default 2000 at ~10⁸ images), so the recall loss must be
+    a report number, never silent."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
         hamming_band_pairs,
     )
     fps = image_dhash(media).localCheckpoint(eager=False)
     return hamming_band_pairs(fps, max_hamming=max_hamming,
-                              n_blocks=n_blocks, max_bucket=max_bucket)
+                              n_blocks=n_blocks, max_bucket=max_bucket,
+                              cap_report=cap_report)
 
 
 def image_dedup(media: DataFrame, max_hamming: int = 6,
                 n_blocks: int = 8,
-                max_bucket: Optional[int] = 2000) -> DataFrame:
+                max_bucket: Optional[int] = 2000,
+                cap_report: Optional[dict] = None) -> DataFrame:
     """End-to-end image dedup: keep ONE image per perceptual-dup
     cluster (connected components over :func:`image_neardup_pairs`,
     lowest ``media_id`` canonical — the text engine's
@@ -2044,5 +2052,6 @@ def image_dedup(media: DataFrame, max_hamming: int = 6,
     )
     pairs = image_neardup_pairs(media, max_hamming=max_hamming,
                                 n_blocks=n_blocks,
-                                max_bucket=max_bucket)
+                                max_bucket=max_bucket,
+                                cap_report=cap_report)
     return dedup_by_components(media, pairs, id_col="media_id")

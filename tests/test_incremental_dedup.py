@@ -561,3 +561,59 @@ def test_hamming_snapshot_store_carries_geometry(spark, tmp_path):
     pairs = D.incremental_hamming_pairs(
         M.image_dhash(batch), banded, **geom).collect()
     assert [(r["id_new"], r["id_seen"]) for r in pairs] == [(10, 1)]
+
+
+def test_hamming_snapshot_layout_prunes_probes(spark, tmp_path):
+    """save_hamming_snapshot writes range-partitioned + sorted on
+    (band, key) — the layout the stream-static probe depends on: each
+    parquet file's footer min/max covers a narrow slice of the key
+    space, so a (band, key) equi-probe passes the stats filter for a
+    STRICT SUBSET of the files instead of scanning all of them on
+    every micro-batch."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    sims = rng.integers(-(2 ** 63), 2 ** 63, size=500, dtype=np.int64)
+    fps = spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(sims)], "id long, sim long")
+    p = str(tmp_path / "snap")
+    # 56 files over C(8,2)=28 bands: ~2 files per band, so per-column
+    # footer stats stay narrow (a file never spans more than a band
+    # boundary)
+    D.save_hamming_snapshot(
+        D.hamming_band_keys(fps, max_hamming=6, n_blocks=8),
+        p, max_hamming=6, n_blocks=8, n_files=56)
+
+    ranges = []
+    for f in sorted(glob.glob(p + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        bi, ki = names.index("band"), names.index("key")
+        bmin = min(md.row_group(g).column(bi).statistics.min
+                   for g in range(md.num_row_groups))
+        bmax = max(md.row_group(g).column(bi).statistics.max
+                   for g in range(md.num_row_groups))
+        kmin = min(md.row_group(g).column(ki).statistics.min
+                   for g in range(md.num_row_groups))
+        kmax = max(md.row_group(g).column(ki).statistics.max
+                   for g in range(md.num_row_groups))
+        ranges.append((bmin, bmax, kmin, kmax))
+    assert len(ranges) > 10         # genuinely partitioned, not 1 file
+    # range partitioning on (band, key): a file spans at most one band
+    # boundary, so its per-column band stats stay narrow
+    assert all(bM - bm <= 1 for bm, bM, _, _ in ranges)
+    # concrete probes pass the per-column stats filter (the filter
+    # parquet pushdown evaluates) for a strict subset of the files —
+    # the number the stream-static probe pays per micro-batch
+    banded, _ = D.load_hamming_snapshot(spark, p)
+    probes = banded.select("band", "key").distinct().limit(5).collect()
+    for r in probes:
+        b, k = r["band"], r["key"]
+        hit = [1 for bm, bM, km, kM in ranges
+               if bm <= b <= bM and km <= k <= kM]
+        assert 1 <= len(hit) <= max(1, len(ranges) // 8), (b, k, hit)

@@ -1717,3 +1717,45 @@ def test_dhash64_rejects_sub_grid_thumbnails():
     ok = np.random.default_rng(0).integers(0, 256, (9, 16, 3),
                                            dtype=np.uint8)
     assert M.dhash64(M.write_bmp(ok)) is not None
+
+
+def test_image_cap_report_counts_dropped_buckets(spark):
+    """A planted hot perceptual bucket (identical images over the cap)
+    is dropped AND counted: the cap_report surfaces one over-cap
+    bucket per band with the right row counts, while a healthy
+    near-dup pair of a different base image still survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    hot = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+            + grad[None, :, None]) // 2).astype(np.uint8)
+    b = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[::-1][None, :, None]) // 2).astype(np.uint8)
+    b_noisy = b.copy()
+    b_noisy[::9, ::6] = np.clip(b_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    rows = [(i, "image", bytes(M.write_bmp(hot))) for i in range(30)]
+    rows += [(100, "image", bytes(M.write_bmp(b))),
+             (101, "image", bytes(M.write_png(b_noisy)))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    report = {}
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             M.image_neardup_pairs(media, max_hamming=6, max_bucket=10,
+                                   cap_report=report).collect()}
+    # 30 identical dhashes fill one over-cap bucket in each of the
+    # C(8,2)=28 bands; the healthy pair is unaffected
+    assert report == {"max_bucket": 10, "capped_buckets": 28,
+                      "capped_rows": 28 * 30, "largest_bucket": 30}
+    assert (100, 101) in pairs
+    assert not any(ia < 30 and ib < 30 for ia, ib in pairs)
+    # image_dedup threads the same telemetry: the hot cluster is NOT
+    # collapsed (every member passes through — that is the recall
+    # loss the report makes visible), the healthy pair is
+    report2 = {}
+    kept = {r["media_id"] for r in
+            M.image_dedup(media, max_hamming=6, max_bucket=10,
+                          cap_report=report2).collect()}
+    assert report2["capped_buckets"] == 28
+    assert kept == set(range(30)) | {100}

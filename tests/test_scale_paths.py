@@ -549,20 +549,65 @@ def test_minhash_hot_bucket_cap_bounds_pairs(spark):
     corpus = _degenerate_corpus(spark)
     # uncapped: the identical block alone would yield ~720k pairs;
     # capped: the degenerate bucket is dropped, healthy buckets survive
-    capped = minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4, max_bucket=100)
+    # — and the drop is COUNTED, not silent: the boilerplate group
+    # fills exactly one over-cap bucket per band
+    report = {}
+    capped = minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,
+                               max_bucket=100, cap_report=report)
     rows = capped.collect()
     assert len(rows) < 1000
     assert not any(r["id_a"] < 1200 and r["id_b"] < 1200 for r in rows)
     assert any({r["id_a"], r["id_b"]} == {10_000, 20_000} for r in rows)
+    assert report == {"max_bucket": 100, "capped_buckets": 4,
+                      "capped_rows": 4800, "largest_bucket": 1200}
 
 
 def test_simhash_hot_bucket_cap_bounds_pairs(spark):
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import simhash_pairs
     corpus = _degenerate_corpus(spark)
-    capped = simhash_pairs(corpus, max_hamming=3, max_bucket=100)
+    report = {}
+    capped = simhash_pairs(corpus, max_hamming=3, max_bucket=100,
+                           cap_report=report)
     rows = capped.collect()
     assert len(rows) < 2000
     assert not any(r["id_a"] < 1200 and r["id_b"] < 1200 for r in rows)
+    # identical fingerprints land one over-cap bucket in each of the
+    # C(6,3)=20 bands; telemetry counts every one of them
+    assert report["max_bucket"] == 100
+    assert report["capped_buckets"] == 20
+    assert report["capped_rows"] == 20 * 1200
+    assert report["largest_bucket"] == 1200
+
+
+def test_incremental_neardup_cap_report_counts_probed_buckets(spark):
+    """The snapshot-probe face counts over-cap buckets among the
+    PROBED buckets (pruning keeps or drops whole buckets, so probed
+    counts equal full-table counts), and the batch's planted near-dup
+    of a healthy doc still pairs."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_band_keys,
+    )
+    corpus = _degenerate_corpus(spark)
+    seen = minhash_band_keys(corpus, k=3, n_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(90_000, "lorem ipsum dolor sit amet consectetur adipiscing "
+                  "elit sed do"),     # re-ingest of the boilerplate
+         (90_001, "unique document number 3 about topic 3 with extra "
+                  "words alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"])
+    report = {}
+    pairs = {(r["id_new"], r["id_seen"]) for r in
+             incremental_neardup_pairs(batch, seen, k=3, n_hashes=16,
+                                       bands=4, max_bucket=100,
+                                       cap_report=report).collect()}
+    # the boilerplate probe hits 4 over-cap buckets (dropped +
+    # counted); the healthy probe still finds its seen twin
+    assert report["capped_buckets"] == 4
+    assert report["capped_rows"] == 4800
+    assert report["largest_bucket"] == 1200
+    assert (90_001, 10_003) in pairs
+    assert not any(idn == 90_000 for idn, _ in pairs)
 
 
 def test_simhash_wide_banding_same_pairs_fewer_candidates(spark, sf_dir):
