@@ -304,6 +304,10 @@ class Pipeline:
             return self._run_ingest_crawl(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
+        if plan["target"] == "image_dedup":
+            return self._run_image_dedup(plan, source_dir, output_path)
+        if plan["target"] == "image_probe":
+            return self._run_image_probe(plan, source_dir, output_path)
         if plan["target"] == "incremental_dedup":
             return self._run_incremental_dedup(plan, source_dir,
                                                output_path)
@@ -491,6 +495,144 @@ class Pipeline:
                                 output_path + "_snapshot",
                             "census_path_out":
                                 output_path + "_snapshot_census"}}
+
+    def _media_or_none(self, source_dir: str):
+        """The source dir's optional ``media`` table, or None when the
+        dir carries no readable media parquet — callers turn None into
+        the actionable-rejection contract."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+        try:
+            media = Catalog(self.spark, source_dir).media
+            media.schema      # force the read to resolve
+            return media
+        except Exception:
+            return None
+
+    def _run_image_dedup(self, plan: dict, source_dir: str,
+                         output_path: str) -> dict:
+        """'dedup the images': perceptual near-dup dedup over the
+        source dir's ``media`` table — dHash fingerprints
+        (``multimodal.image_dhash``, one Arrow payload scan) paired
+        through Manku hamming banding, connected components, lowest
+        media_id kept per cluster. Kept rows land at the sink; the
+        corpus' BANDED fingerprint snapshot + band geometry land at
+        ``<output>_snapshot`` (``dedup.save_hamming_snapshot`` —
+        range-partitioned on (band, key) so stream/batch probes prune
+        on footer stats), closing the build half of the image
+        lifecycle the Bloom (D11) and ANN-index (N9) stores already
+        have: later batches probe at batch cost via the image_probe
+        target. Hot-bucket cap telemetry
+        (``dedup.bucket_cap_stats``) rides the report — the engine's
+        no-silent-caps discipline on its hottest knob."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            dedup_by_components,
+            hamming_band_keys,
+            hamming_band_pairs,
+            save_hamming_snapshot,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        media = self._media_or_none(source_dir)
+        if media is None:
+            return {"status": "rejected",
+                    "reason": f"no media table readable at "
+                              f"{source_dir}/media.parquet",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        n_in = media.count()
+        if n_in == 0:
+            return {"status": "rejected",
+                    "reason": "media table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        mh, nb = plan["max_hamming"], plan["n_blocks"]
+        # fingerprint ONCE (the payload decode dominates this target's
+        # cost) and share the frame between the pair join, the kept-row
+        # anti-join and the persisted snapshot
+        fps = image_dhash(media).persist()
+        n_decodable = fps.count()
+        cap: dict = {}
+        pairs = hamming_band_pairs(fps, max_hamming=mh, n_blocks=nb,
+                                   cap_report=cap)
+        kept = dedup_by_components(media, pairs, id_col="media_id")
+        self.progress("image_dedup", {"params": dict(plan),
+                                      "decodable": n_decodable,
+                                      "cap": cap})
+        kept.write.mode("overwrite").parquet(output_path)
+        n_kept = self.spark.read.parquet(output_path).count()  # read-back
+        snap = output_path + "_snapshot"
+        save_hamming_snapshot(
+            hamming_band_keys(fps, max_hamming=mh, n_blocks=nb),
+            snap, max_hamming=mh, n_blocks=nb)
+        fps.unpersist()
+        self.progress("publish", {"rows": n_kept, "path": output_path})
+        return {"status": "complete", "outputs": [kept],
+                "reports": {"plan": dict(plan), "rows_in": n_in,
+                            "images_decodable": n_decodable,
+                            "rows_kept": n_kept,
+                            "cap_telemetry": cap,
+                            "snapshot_path_out": snap}}
+
+    def _run_image_probe(self, plan: dict, source_dir: str,
+                         output_path: str) -> dict:
+        """'flag the new images against the snapshot at /path': the
+        batch half of the image lifecycle — dHash the source dir's
+        media table and probe the persisted hamming snapshot
+        (``dedup.incremental_hamming_pairs``: band the batch with the
+        snapshot's OWN geometry from its meta sidecar, broadcast-prune
+        the snapshot to the batch's probe keys, equi-join, verify
+        exact hamming). Cost scales with the batch, never the corpus.
+        Flag pairs ``(id_new, id_seen, hamming)`` land at the sink;
+        the report carries batch/decodable/flagged counts plus the
+        geometry actually used."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            incremental_hamming_pairs,
+            load_hamming_snapshot,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        if not plan.get("snapshot_path"):
+            return {"status": "rejected",
+                    "reason": "image probe needs a snapshot path "
+                              "('... against the snapshot at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            banded, geom = load_hamming_snapshot(
+                self.spark, plan["snapshot_path"])
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no loadable hamming snapshot at "
+                              f"{plan['snapshot_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        media = self._media_or_none(source_dir)
+        if media is None:
+            return {"status": "rejected",
+                    "reason": f"no media table readable at "
+                              f"{source_dir}/media.parquet",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        n_in = media.count()
+        fps = image_dhash(media).persist()
+        n_decodable = fps.count()
+        pairs = incremental_hamming_pairs(fps, banded, **geom)
+        self.progress("image_probe", {"params": dict(plan),
+                                      "decodable": n_decodable,
+                                      "geometry": geom})
+        pairs.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)       # read-back
+        n_pairs = back.count()
+        n_flagged = back.select("id_new").distinct().count()
+        fps.unpersist()
+        self.progress("publish", {"rows": n_pairs, "path": output_path})
+        return {"status": "complete", "outputs": [pairs],
+                "reports": {"plan": dict(plan), "batch_rows": n_in,
+                            "images_decodable": n_decodable,
+                            "flag_pairs": n_pairs,
+                            "images_flagged": n_flagged,
+                            "geometry": geom}}
 
     def _run_ingest_crawl(self, plan: dict, output_path: str) -> dict:
         """'extract text from the crawl at /path': WARC file(s) ->
@@ -1035,6 +1177,33 @@ class Pipeline:
                 "duplication": dup, "quality": quality,
                 "census_path": output_path,
                 "histogram_path": output_path + "_hist"}
+        # a training-data datasheet counts the MEDIA table too when
+        # the source dir carries one: items/bytes per kind (one
+        # aggregate) plus the image decodable fraction — real decodes
+        # (image_dhash row-count delta over the payload scan), not a
+        # mime guess. Absent media -> the section says so explicitly
+        # rather than silently reading as text-only.
+        media = self._media_or_none(source_dir)
+        if media is None:
+            card["media"] = {"present": False}
+        else:
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+                image_dhash,
+            )
+            kinds = {r["kind"]: {"n_items": r["n"], "n_bytes": r["b"]}
+                     for r in media.groupBy("kind").agg(
+                         F.count(F.lit(1)).alias("n"),
+                         F.coalesce(F.sum(F.octet_length("payload")),
+                                    F.lit(0)).alias("b")).collect()}
+            n_images = kinds.get("image", {}).get("n_items", 0)
+            n_decodable = image_dhash(media).count() if n_images else 0
+            card["media"] = {
+                "present": True,
+                "per_kind": kinds,
+                "images_decodable": n_decodable,
+                "image_decodable_fraction": round(
+                    n_decodable / n_images, 4) if n_images else None}
+            self.progress("media", card["media"])
         card_path = write_run_artifacts(output_path + "_card",
                                         {"data_card": card})
         self.progress("publish", {"rows": back.count(),
@@ -1594,6 +1763,18 @@ _SPLIT_TARGET_RE = re.compile(
     r"\bsplit\b[^.]*\binto\s+train\b|"
     r"\btrain\s*/\s*(?:val(?:id(?:ation)?)?|dev)\s*/\s*test\b")
 _SPLIT_FRACS_RE = re.compile(r"\b(\d{1,2})\s*/\s*(\d{1,2})\s*/\s*(\d{1,2})\b")
+# image lifecycle: 'dedup the images' -> perceptual image_dedup over
+# the media table; 'flag the new images against the snapshot at /p'
+# -> batch probe of a persisted hamming snapshot. The probe wording
+# outranks the generic incremental-dedup route (which would otherwise
+# claim 'dedup the new images against the seen snapshot')
+_IMAGE_PROBE_RE = re.compile(
+    r"\b(?:flag|probe|check|dedup(?:licate)?)\b[^.]*\bimages?\b"
+    r"[^.]*\bagainst\b[^.]*\bsnapshot\b")
+_IMAGE_DEDUP_RE = re.compile(
+    r"\bdedup(?:licate)?\b[^.]*\bimages?\b|\bimage\s+dedup")
+_HAMMING_RE = re.compile(
+    r"\bwithin\s+(\d+)\s+bits?\b|\bhamming\s+(?:of\s+)?(\d+)\b")
 
 
 def derive_n_clusters(n_docs: int, target_cluster_size: int = 2_000) -> int:
@@ -1703,6 +1884,16 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
+    if _IMAGE_PROBE_RE.search(ql):
+        m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
+        return {"target": "image_probe",
+                "snapshot_path": m.group(1) if m else None}
+    if _IMAGE_DEDUP_RE.search(ql):
+        mh = 6
+        if m := _HAMMING_RE.search(ql):
+            mh = int(next(g for g in m.groups() if g))
+        return {"target": "image_dedup", "max_hamming": mh,
+                "n_blocks": 8}
     if (("dedup" in ql or "deduplicate" in ql or "ingest" in ql)
             and "against" in ql and "snapshot" in ql):
         m = _SNAPSHOT_PATH_RE.search(query)

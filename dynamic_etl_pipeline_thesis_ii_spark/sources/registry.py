@@ -21,6 +21,11 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# tables a scale-factor dir MAY carry (read on demand, absent in the
+# standard testdata layout): `media` is the (media_id, kind, payload,
+# ...) binary table the multimodal operators consume
+OPTIONAL_TABLES = ("media",)
+
 
 class Catalog:
     """Lazily resolves named tables from a scale-factor directory."""
@@ -59,7 +64,7 @@ class Catalog:
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
-        if name in TABLES:
+        if name in TABLES or name in OPTIONAL_TABLES:
             return self.table(name)
         raise AttributeError(name)
 

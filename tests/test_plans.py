@@ -2095,3 +2095,171 @@ def test_pipeline_dataops_cluster_assign_target(spark, sf_dir, tmp_path):
         f"assign the batch to the clusters at {tmp_path}/nope",
         sf_dir, str(tmp_path / "y"))
     assert r4["status"] == "rejected" and "cluster map" in r4["reason"]
+
+
+def _image_media_rows():
+    """Deterministic BMP/PNG fixtures: a base image, its noisy
+    near-copy (cross-format), an unrelated image, and junk bytes."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(31)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    a = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[None, :, None]) // 2).astype(np.uint8)
+    b = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[::-1][None, :, None]) // 2).astype(np.uint8)
+    a_noisy = a.copy()
+    a_noisy[::9, ::6] = np.clip(a_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    return a, b, a_noisy, M
+
+
+def test_pipeline_image_dedup_and_probe_lifecycle(spark, sf_dir,
+                                                  tmp_path):
+    """NL image lifecycle (the M2 operator's build/probe faces, same
+    pattern as the Bloom and ANN-index stores): 'dedup the images'
+    dedups the media table, lands the kept rows AND the banded
+    hamming snapshot (+geometry sidecar); 'flag the new images
+    against the snapshot at <p>' probes a later batch at batch cost.
+    NL results == direct-operator results; rejections are
+    actionable."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query("dedup the images") == {
+        "target": "image_dedup", "max_hamming": 6, "n_blocks": 8}
+    assert parse_dataops_query(
+        "flag the new images against the snapshot at /s")["target"] == \
+        "image_probe"
+
+    a, b, a_noisy, M = _image_media_rows()
+    src = str(tmp_path / "img_sf")
+    spark.createDataFrame(
+        [(1, "image", bytes(M.write_bmp(a))),
+         (2, "image", bytes(M.write_png(a_noisy))),
+         (3, "image", bytes(M.write_bmp(b))),
+         (4, "image", b"JUNKJUNK")],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(src + "/media.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "imgdedup")
+    res = pipe.run_dataops("dedup the images", src, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["rows_in"] == 4
+    assert rep["images_decodable"] == 3      # junk never fingerprints
+    # NL == direct operator: noisy copy dropped, rest pass through
+    kept = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 4}
+    assert rep["rows_kept"] == 3
+    # telemetry rides the report even when nothing was capped
+    assert rep["cap_telemetry"]["capped_buckets"] == 0
+    # the snapshot landed with its geometry sidecar
+    snap = rep["snapshot_path_out"]
+    banded, geom = D.load_hamming_snapshot(spark, snap)
+    assert geom["max_hamming"] == 6 and geom["n_blocks"] == 8
+    assert banded.count() > 0
+
+    # epoch 2: a new noisy copy of seen image b + a fresh image
+    import numpy as np
+    b_noisy = b.copy()
+    b_noisy[::7, ::5] = np.clip(b_noisy[::7, ::5].astype(int) + 12,
+                                0, 255).astype(np.uint8)
+    rng2 = np.random.default_rng(37)
+    fresh = ((rng2.integers(0, 256, (32, 32, 3)).astype(int)
+              + np.linspace(0, 150, 32, dtype=np.uint8)[None, :, None])
+             // 2).astype(np.uint8)
+    batch_src = str(tmp_path / "img_batch")
+    batch = spark.createDataFrame(
+        [(10, "image", bytes(M.write_png(b_noisy))),
+         (11, "image", bytes(M.write_bmp(fresh)))],
+        "media_id long, kind string, payload binary")
+    batch.write.parquet(batch_src + "/media.parquet")
+
+    out2 = str(tmp_path / "imgprobe")
+    res2 = pipe.run_dataops(
+        f"flag the new images against the snapshot at {snap}",
+        batch_src, out2)
+    assert res2["status"] == "complete"
+    got = {(r["id_new"], r["id_seen"]) for r in
+           spark.read.parquet(out2).collect()}
+    # NL == direct probe with the snapshot's own geometry
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        image_dhash,
+    )
+    want = {(r["id_new"], r["id_seen"]) for r in
+            D.incremental_hamming_pairs(
+                image_dhash(batch), banded, **geom).collect()}
+    assert got == want
+    assert (10, 3) in got
+    assert not any(idn == 11 for idn, _ in got)
+    assert res2["reports"]["images_flagged"] == 1
+    assert res2["reports"]["geometry"] == geom
+
+    # rejections: no media table / empty media / bad snapshot path
+    r1 = pipe.run_dataops("dedup the images", str(tmp_path / "nodir"),
+                          str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "media" in r1["reason"]
+    empty_src = str(tmp_path / "img_empty")
+    spark.createDataFrame(
+        [], "media_id long, kind string, payload binary") \
+        .write.parquet(empty_src + "/media.parquet")
+    r2 = pipe.run_dataops("dedup the images", empty_src,
+                          str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "empty" in r2["reason"]
+    r3 = pipe.run_dataops("flag the new images against the snapshot",
+                          batch_src, str(tmp_path / "o3"))
+    assert r3["status"] == "rejected" and "snapshot path" in r3["reason"]
+    r4 = pipe.run_dataops(
+        f"flag the new images against the snapshot at {tmp_path}/nope",
+        batch_src, str(tmp_path / "o4"))
+    assert r4["status"] == "rejected" and "no loadable" in r4["reason"]
+
+
+def test_data_card_counts_media(spark, sf_dir, tmp_path):
+    """The datasheet counts the media table when the source dir
+    carries one: items/bytes per kind consistent with the frame, the
+    image decodable fraction from REAL decodes; without media the
+    card says so explicitly."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+        Catalog,
+    )
+
+    a, b, a_noisy, M = _image_media_rows()
+    src = str(tmp_path / "card_sf")
+    docs = Catalog(spark, sf_dir).documents.limit(80)
+    docs.write.parquet(src + "/documents.parquet")
+    wav = M.write_wav([0, 1000, -1000, 500], rate=8000)
+    media_rows = [(1, "image", bytes(M.write_bmp(a))),
+                  (2, "image", bytes(M.write_png(a_noisy))),
+                  (3, "image", b"NOTANIMAGE"),
+                  (4, "audio", bytes(wav))]
+    spark.createDataFrame(
+        media_rows, "media_id long, kind string, payload binary") \
+        .write.parquet(src + "/media.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    res = pipe.run_dataops("generate a data card for the corpus",
+                           src, str(tmp_path / "card_out"))
+    assert res["status"] == "complete"
+    m = res["reports"]["data_card"]["media"]
+    assert m["present"] is True
+    assert m["per_kind"]["image"]["n_items"] == 3
+    assert m["per_kind"]["audio"]["n_items"] == 1
+    assert m["per_kind"]["image"]["n_bytes"] == sum(
+        len(p) for _, k, p in media_rows if k == "image")
+    assert m["images_decodable"] == 2
+    assert m["image_decodable_fraction"] == round(2 / 3, 4)
+
+    # media-less corpus: the section is explicit, not silently absent
+    res2 = pipe.run_dataops("generate a data card for the corpus",
+                            sf_dir, str(tmp_path / "card_out2"))
+    assert res2["status"] == "complete"
+    assert res2["reports"]["data_card"]["media"] == {"present": False}
