@@ -418,14 +418,18 @@ def scale_probe(spark, factors: list[int]) -> dict:
         shutil.rmtree(crawl_root, ignore_errors=True)
 
     # imgdedup: perceptual-hash image near-dup (dhash -> Manku
-    # banding). 60 synthetic gradient-noise BMPs per replica; each
-    # replica MIXES IN a distinct random raster so cross-replica
-    # GRADIENT SIGNS decorrelate (dhash is a gradient hash — a
-    # uniform brightness offset wouldn't change it at all; the image
-    # analog of the text probes' word-salting must perturb gradients)
-    # while each replica keeps ONE planted noisy copy — pairs grow ~f
-    # (one planted pair per replica + chance band collisions), never
-    # f². The dhash pass is one Arrow payload scan; everything after
+    # banding) at REAL scale: 625 synthetic gradient-noise BMPs per
+    # replica puts factor 16 past 10^4 images — enough corpus that
+    # the 28-band self-join's candidate growth (and any hot-bucket
+    # capping, recorded per factor via cap_report) is pinned, not
+    # extrapolated from toy n. Each replica MIXES IN a distinct
+    # random raster so cross-replica GRADIENT SIGNS decorrelate
+    # (dhash is a gradient hash — a uniform brightness offset
+    # wouldn't change it at all; the image analog of the text
+    # probes' word-salting must perturb gradients) while each
+    # replica keeps ONE planted noisy copy — pairs grow ~f (one
+    # planted pair per replica + chance band collisions), never f².
+    # The dhash pass is one Arrow payload scan; everything after
     # moves 16-byte rows.
     import numpy as np
 
@@ -434,39 +438,47 @@ def scale_probe(spark, factors: list[int]) -> dict:
     )
 
     rng = np.random.default_rng(17)
-    grad_v = np.linspace(0, 200, 24, dtype=np.uint8)
-    base_imgs = [((rng.integers(0, 256, (24, 24, 3)).astype(int)
+    grad_v = np.linspace(0, 200, 20, dtype=np.uint8)
+    base_imgs = [((rng.integers(0, 256, (20, 20, 3)).astype(int)
                    + np.roll(grad_v, 3 * j)[None, :, None]) // 2)
-                 .astype(np.uint8) for j in range(60)]
+                 .astype(np.uint8) for j in range(625)]
     out["imgdedup"] = []
     for f in factors:
         rows = []
         for i in range(f):
             mix_rng = np.random.default_rng(1000 + i)
+            mixes = (None if i == 0 else
+                     mix_rng.integers(0, 256,
+                                      (len(base_imgs),) + base_imgs[0].shape))
             for j, im in enumerate(base_imgs):
                 shifted = (im if i == 0 else
-                           ((im.astype(int) + mix_rng.integers(
-                               0, 256, im.shape)) // 2).astype(np.uint8))
-                rows.append((i * 1000 + j, "image",
+                           ((im.astype(int) + mixes[j]) // 2)
+                           .astype(np.uint8))
+                rows.append((i * 10_000 + j, "image",
                              bytes(MM.write_bmp(shifted))))
                 if j == 0:   # one planted near-dup per replica
                     noisy = shifted.copy()
                     noisy[::9, ::6] = np.clip(
                         noisy[::9, ::6].astype(int) + 10, 0,
                         255).astype(np.uint8)
-                    rows.append((i * 1000 + 500, "image",
+                    rows.append((i * 10_000 + 5000, "image",
                                  bytes(MM.write_bmp(noisy))))
         media = spark.createDataFrame(
             rows, "media_id long, kind string, payload binary") \
-            .repartition(8).persist()
+            .repartition(32).persist()
         n = media.count()
-        best, c = float("inf"), 0
+        best, c, cap = float("inf"), 0, {}
         for _ in range(probe_rep):
+            cap = {}
             t0 = time.perf_counter()
-            c = MM.image_neardup_pairs(media, max_hamming=6).count()
+            c = MM.image_neardup_pairs(media, max_hamming=6,
+                                       cap_report=cap).count()
             best = min(best, time.perf_counter() - t0)
         out["imgdedup"].append({"factor": f, "n_docs": n,
-                                "candidates": c, "sec": round(best, 3)})
+                                "candidates": c, "sec": round(best, 3),
+                                "capped_buckets": cap.get(
+                                    "capped_buckets", 0),
+                                "capped_rows": cap.get("capped_rows", 0)})
         media.unpersist()
 
     # semdecon: embedding-space decontamination CANDIDATE stage

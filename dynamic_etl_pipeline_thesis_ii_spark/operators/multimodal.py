@@ -1918,7 +1918,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
 # decode tier, paired through the text engine's hamming banding)
 # ---------------------------------------------------------------------------
 
-def dhash64(payload: bytes) -> Optional[int]:
+def dhash64(payload: bytes,
+            decode_fn: Optional[callable] = None) -> Optional[int]:
     """64-bit difference hash (dHash) of an image payload: decode with
     the REAL parser tier (netpbm/BMP/PNG/JPEG/GIF/TIFF), grayscale by
     channel mean, nearest-neighbor downscale to a 9x8 grid, and set
@@ -1928,18 +1929,31 @@ def dhash64(payload: bytes) -> Optional[int]:
     unrelated images land ~32 bits apart. Returns a SIGNED 64-bit int
     (bit 63 two's complement, the ``hamming64``/banding convention) or
     None when no parser claims the payload (undecodable formats skip
-    hashing rather than fake it)."""
+    hashing rather than fake it).
+
+    ``decode_fn`` is the native-codec escape hatch for true 100 TB
+    image scale: a ``bytes -> (width, height, HxWxC uint8 array) |
+    None`` callable (a PIL/turbojpeg wrapper) tried FIRST; the
+    dependency-free stdlib tier stays the default, the fallback for
+    payloads the hook declines, and the correctness oracle — the hash
+    math downstream of the decode is identical either way, so the two
+    tiers agree wherever both decode (pinned in
+    ``test_multimodal.py``)."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
         parse_jpeg,
     )
     if payload is None:
         return None
     p = bytes(payload)
-    parsed = (parse_netpbm(p) or parse_bmp(p) or parse_png(p)
-              or parse_jpeg(p) or parse_gif(p) or parse_tiff(p))
+    parsed = decode_fn(p) if decode_fn is not None else None
+    if parsed is None:
+        parsed = (parse_netpbm(p) or parse_bmp(p) or parse_png(p)
+                  or parse_jpeg(p) or parse_gif(p) or parse_tiff(p))
     if parsed is None:
         return None
     w, h, arr = parsed
+    if arr.ndim == 2:               # grayscale hooks (PIL 'L' mode)
+        arr = arr[:, :, None]
     if w < 9 or h < 8:
         # below the 9x8 sampling grid there is no gradient signal:
         # every such thumbnail would hash to ~0 and false-pair with
@@ -1970,14 +1984,18 @@ def dhash64(payload: bytes) -> Optional[int]:
 
 
 def image_dhash(media: DataFrame, batch_hint: int = 1024,
-                extra_cols: tuple = ()) -> DataFrame:
+                extra_cols: tuple = (),
+                decode_fn: Optional[callable] = None) -> DataFrame:
     """(id, sim) perceptual fingerprints for every DECODABLE image
     payload — the image-space twin of ``simhash_fingerprints``. Arrow
     mapInPandas kernel (one payload batch in memory at a time);
     undecodable or non-image rows drop out, visible by comparing row
     counts. ``extra_cols`` pass through unchanged (streaming callers
     carry the event-time column so watermarks survive the kernel) —
-    works on a STREAM as-is: the kernel is stateless."""
+    works on a STREAM as-is: the kernel is stateless. ``decode_fn``
+    threads the native-codec hook into every executor's kernel (see
+    :func:`dhash64` — a picklable PIL/turbojpeg wrapper decodes at
+    native speed, the stdlib tier remains the fallback and oracle)."""
     import pandas as pd
 
     extras = list(extra_cols)
@@ -1993,7 +2011,7 @@ def image_dhash(media: DataFrame, batch_hint: int = 1024,
             for i in range(len(pdf)):
                 if pdf["kind"].iloc[i] != "image":
                     continue
-                h = dhash64(pdf["payload"].iloc[i])
+                h = dhash64(pdf["payload"].iloc[i], decode_fn=decode_fn)
                 if h is not None:
                     rows["id"].append(int(pdf["media_id"].iloc[i]))
                     rows["sim"].append(h)
@@ -2010,7 +2028,8 @@ def image_dhash(media: DataFrame, batch_hint: int = 1024,
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
                         n_blocks: int = 8,
                         max_bucket: Optional[int] = 2000,
-                        cap_report: Optional[dict] = None) -> DataFrame:
+                        cap_report: Optional[dict] = None,
+                        decode_fn: Optional[callable] = None) -> DataFrame:
     """Image near-duplicate pairs: perceptual dHash fingerprints
     (:func:`image_dhash`) joined through the text engine's Manku
     banding (``dedup.hamming_band_pairs`` — equi-join on
@@ -2030,7 +2049,8 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
     from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
         hamming_band_pairs,
     )
-    fps = image_dhash(media).localCheckpoint(eager=False)
+    fps = image_dhash(media, decode_fn=decode_fn) \
+        .localCheckpoint(eager=False)
     return hamming_band_pairs(fps, max_hamming=max_hamming,
                               n_blocks=n_blocks, max_bucket=max_bucket,
                               cap_report=cap_report)
@@ -2039,7 +2059,8 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
 def image_dedup(media: DataFrame, max_hamming: int = 6,
                 n_blocks: int = 8,
                 max_bucket: Optional[int] = 2000,
-                cap_report: Optional[dict] = None) -> DataFrame:
+                cap_report: Optional[dict] = None,
+                decode_fn: Optional[callable] = None) -> DataFrame:
     """End-to-end image dedup: keep ONE image per perceptual-dup
     cluster (connected components over :func:`image_neardup_pairs`,
     lowest ``media_id`` canonical — the text engine's
@@ -2053,5 +2074,6 @@ def image_dedup(media: DataFrame, max_hamming: int = 6,
     pairs = image_neardup_pairs(media, max_hamming=max_hamming,
                                 n_blocks=n_blocks,
                                 max_bucket=max_bucket,
-                                cap_report=cap_report)
+                                cap_report=cap_report,
+                                decode_fn=decode_fn)
     return dedup_by_components(media, pairs, id_col="media_id")

@@ -1759,3 +1759,66 @@ def test_image_cap_report_counts_dropped_buckets(spark):
                           cap_report=report2).collect()}
     assert report2["capped_buckets"] == 28
     assert kept == set(range(30)) | {100}
+
+
+def test_image_dhash_decode_fn_hook_parity(spark):
+    """The native-codec hook: a decode_fn override produces hashes
+    IDENTICAL to the stdlib tier wherever both decode (the stdlib
+    tier is the oracle — the hash math is shared downstream of the
+    decode), falls back to the stdlib tier for payloads it declines
+    (the PNG keeps fingerprinting), and threads through the Arrow
+    kernel to pair across formats exactly like the default."""
+    import numpy as np
+
+    def _pilish_decode(payload: bytes):
+        # stand-in for a native-codec hook (PIL/turbojpeg wrapper):
+        # handles 24-bit BMP via an independent byte walk, declines
+        # everything else — a local def so cloudpickle ships it by
+        # value to the executors, like a real deployment's hook
+        import numpy as _np
+        if payload[:2] != b"BM":
+            return None
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        if bpp != 24 or h <= 0:
+            return None
+        stride = (w * 3 + 3) // 4 * 4
+        rows = []
+        for r in range(h):
+            line = payload[off + r * stride: off + r * stride + w * 3]
+            px = _np.frombuffer(line, _np.uint8).reshape(w, 3)[:, ::-1]
+            rows.append(px)
+        return w, h, _np.stack(rows[::-1])   # bottom-up -> top-down
+
+    rng = np.random.default_rng(41)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    a = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+          + grad[None, :, None]) // 2).astype(np.uint8)
+    a_noisy = a.copy()
+    a_noisy[::9, ::6] = np.clip(a_noisy[::9, ::6].astype(int) + 10,
+                                0, 255).astype(np.uint8)
+    bmp, png = bytes(M.write_bmp(a)), bytes(M.write_png(a_noisy))
+
+    # driver-side parity: hook and stdlib tier agree bit-for-bit on
+    # the BMP; the hook declines the PNG and the fallback covers it
+    assert _pilish_decode(png) is None
+    assert M.dhash64(bmp, decode_fn=_pilish_decode) == M.dhash64(bmp)
+    assert M.dhash64(png, decode_fn=_pilish_decode) == M.dhash64(png)
+
+    media = spark.createDataFrame(
+        [(1, "image", bmp), (2, "image", png),
+         (3, "image", b"JUNKJUNK")],
+        "media_id long, kind string, payload binary")
+    default = {r["id"]: r["sim"]
+               for r in M.image_dhash(media).collect()}
+    hooked = {r["id"]: r["sim"]
+              for r in M.image_dhash(
+                  media, decode_fn=_pilish_decode).collect()}
+    assert hooked == default and set(hooked) == {1, 2}
+    # the cross-format near-dup pair survives the hooked path
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             M.image_neardup_pairs(
+                 media, decode_fn=_pilish_decode).collect()}
+    assert pairs == {(1, 2)}
