@@ -318,7 +318,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_bucket: int | None = 2000,
                   n_blocks: int = 6,
                   key_blocks: int | None = None,
-                  cap_report: dict | None = None) -> DataFrame:
+                  cap_report: dict | None = None,
+                  hot_policy: str = "drop") -> DataFrame:
     """Near-dup pairs by SimHash with banded blocking (Manku et al.,
     "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
     fingerprint into ``n_blocks`` blocks and key each band on a
@@ -371,14 +372,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return hamming_band_pairs(docs, max_hamming=max_hamming,
                               max_bucket=max_bucket, n_blocks=n_blocks,
                               key_blocks=key_blocks,
-                              cap_report=cap_report)
+                              cap_report=cap_report,
+                              hot_policy=hot_policy)
 
 
 def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
                        max_bucket: int | None = 2000,
                        n_blocks: int = 6,
                        key_blocks: int | None = None,
-                       cap_report: dict | None = None) -> DataFrame:
+                       cap_report: dict | None = None,
+                       hot_policy: str = "drop") -> DataFrame:
     """Manku banding over an arbitrary ``(id, sim)`` 64-bit
     fingerprint frame — the blocking engine factored out of
     :func:`simhash_pairs` so OTHER hamming-space fingerprints reuse it
@@ -393,17 +396,36 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
     dropped before the filter applies. Telemetry costs one tiny
     aggregate over the already-computed band table and is EAGER (the
     numbers exist when this returns); the default ``None`` keeps the
-    fully lazy plan."""
-    if cap_report is not None and max_bucket is not None:
+    fully lazy plan.
+
+    ``hot_policy`` decides what happens to over-cap buckets:
+    ``"drop"`` (default) discards them — the classic guard;
+    ``"reband"`` recovers their recall at bounded cost by splitting
+    each hot bucket on one more block (:func:`_reband_hot_pairs` —
+    sub-bucket joins, identical-fingerprint star, capped
+    representative pairs), so a dense perceptual cluster LARGER than
+    the cap still links into one dedup component instead of silently
+    passing through."""
+    if hot_policy not in ("drop", "reband"):
+        raise ValueError(
+            f"hot_policy must be 'drop' or 'reband', got {hot_policy!r}")
+    need_mark = max_bucket is not None and (
+        cap_report is not None or hot_policy == "reband")
+    hot = None
+    if need_mark:
         marked = hamming_band_keys(docs, max_hamming=max_hamming,
                                    max_bucket=max_bucket,
                                    n_blocks=n_blocks,
                                    key_blocks=key_blocks,
                                    cap_mode="mark") \
             .select("id", "sim", "band", "key", "__bn").persist()
-        cap_report.update(bucket_cap_stats(marked, max_bucket))
+        if cap_report is not None:
+            cap_report.update(bucket_cap_stats(marked, max_bucket))
         banded = (marked.filter(F.col("__bn") <= max_bucket)
                   .drop("__bn"))
+        if hot_policy == "reband":
+            hot = (marked.filter(F.col("__bn") > max_bucket)
+                   .drop("__bn"))
     else:
         banded = hamming_band_keys(docs, max_hamming=max_hamming,
                                    max_bucket=max_bucket,
@@ -417,7 +439,12 @@ def hamming_band_pairs(docs: DataFrame, max_hamming: int = 3,
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"))
              .distinct())
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    if hot is not None:
+        pairs = pairs.unionByName(_reband_hot_pairs(
+            hot, n_blocks=n_blocks, max_hamming=max_hamming,
+            key_blocks=key_blocks, max_bucket=max_bucket)).distinct()
+    return pairs
 
 
 
@@ -443,23 +470,15 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
     caller decides what to do with over-cap buckets (count them via
     :func:`bucket_cap_stats`, drop them, or re-band them) without a
     second window pass."""
-    if not 2 <= n_blocks <= 64:
-        raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
-    pick = (max(1, n_blocks - max_hamming) if key_blocks is None
-            else key_blocks)
-    if not 1 <= pick <= n_blocks:
-        raise ValueError(
-            f"key_blocks must be in [1, {n_blocks}], got {pick}")
-    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
-              for i in range(n_blocks)]
-    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    widths, offsets, combos = _band_geometry(n_blocks, max_hamming,
+                                             key_blocks)
 
     def block_val(b: int) -> Column:
         return (F.shiftright(F.col("sim"), offsets[b])
                 .bitwiseAND(F.lit((1 << widths[b]) - 1)))
 
     entries = []
-    for i, combo in enumerate(combinations(range(n_blocks), pick)):
+    for i, combo in enumerate(combos):
         key: Column | None = None
         for b in combo:
             key = block_val(b) if key is None else (
@@ -479,6 +498,123 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
             .filter(F.col("__bn") <= max_bucket).drop("__bn"))
     return banded
+
+
+def _band_geometry(n_blocks: int, max_hamming: int,
+                   key_blocks: int | None) -> tuple:
+    """Shared Manku-banding geometry: per-block bit widths/offsets
+    (LSB-first, 64 bits split as evenly as n_blocks allows) and the
+    band combinations (itertools order). Raises on invalid shapes —
+    the single validation point for every banding consumer."""
+    if not 2 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [2, 64], got {n_blocks}")
+    pick = (max(1, n_blocks - max_hamming) if key_blocks is None
+            else key_blocks)
+    if not 1 <= pick <= n_blocks:
+        raise ValueError(
+            f"key_blocks must be in [1, {n_blocks}], got {pick}")
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    combos = list(combinations(range(n_blocks), pick))
+    return widths, offsets, combos
+
+
+def _reband_hot_pairs(hot: DataFrame, n_blocks: int, max_hamming: int,
+                      key_blocks: int | None,
+                      max_bucket: int) -> DataFrame:
+    """Recall recovery for over-cap buckets (the ``hot_policy=
+    "reband"`` arm of :func:`hamming_band_pairs`): instead of
+    dropping a hot ``(band, key)`` bucket, RE-BAND its rows on one
+    more block — each row explodes over its band's residual blocks
+    and the key extends by that block's bits, splitting the bucket
+    ~2^width ways. Three tiers, all bounded:
+
+    1. sub-buckets that come under the cap self-join normally
+       (exact-hamming verified, like any band);
+    2. sub-buckets STILL over the cap collapse identical
+       fingerprints by a star join (min-id hub per sim — LINEAR in
+       bucket size, component-equivalent to the all-pairs clique,
+       the exact-duplicate flood case);
+    3. the distinct fingerprints of a still-hot sub-bucket pair
+       through one REPRESENTATIVE per sim (min id), re-capped at
+       ``max_bucket`` representatives — cross-group edges survive at
+       linear cost, and components match the full quadratic join's.
+
+    Residual recall loss after all three: a pair whose EVERY shared
+    band is hot, whose every residual block differs, in sub-buckets
+    past the representative cap — vanishingly rare for the dense
+    near-identical clusters hot buckets actually contain.
+    Input ``hot``: (id, sim, band, key) rows of over-cap buckets;
+    output: (id_a, id_b, hamming) with id_a < id_b, verified."""
+    widths, offsets, combos = _band_geometry(n_blocks, max_hamming,
+                                             key_blocks)
+    residuals = [[b for b in range(n_blocks) if b not in c]
+                 for c in combos]
+
+    def block_val(b: int) -> Column:
+        return (F.shiftright(F.col("sim"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1)))
+
+    res_of_band = F.element_at(
+        F.array(*[F.array(*[F.lit(b) for b in r]) for r in residuals]),
+        F.col("band") + 1)
+    sub = hot.select("id", "sim", "band", "key",
+                     F.explode(res_of_band).alias("extra"))
+    bv = F.element_at(F.array(*[block_val(b).cast("long")
+                                for b in range(n_blocks)]),
+                      F.col("extra") + 1)
+    mult = F.element_at(F.array(*[F.lit(1 << widths[b])
+                                  for b in range(n_blocks)]),
+                        F.col("extra") + 1)
+    sub = (sub.withColumn("key2", F.col("key") * mult + bv)
+           .withColumn("__bn2", F.count(F.lit(1)).over(
+               Window.partitionBy("band", "extra", "key2")))
+           .persist())
+
+    ok = sub.filter(F.col("__bn2") <= max_bucket) \
+        .select("id", "sim", "band", "extra", "key2")
+    pairs1 = (ok.alias("a").join(
+                 ok.alias("b"),
+                 (F.col("a.band") == F.col("b.band"))
+                 & (F.col("a.extra") == F.col("b.extra"))
+                 & (F.col("a.key2") == F.col("b.key2"))
+                 & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      hamming64(F.col("a.sim"), F.col("b.sim"))
+                      .alias("hamming")))
+
+    still = sub.filter(F.col("__bn2") > max_bucket)
+    # tier 2: identical-fingerprint star (global over still-hot rows —
+    # a sim group appearing in several sub-buckets stars once)
+    members = still.select("id", "sim").distinct()
+    hub = members.withColumn(
+        "__hub", F.min("id").over(Window.partitionBy("sim")))
+    star = (hub.filter(F.col("id") != F.col("__hub"))
+            .select(F.col("__hub").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit(0).alias("hamming")))
+    # tier 3: one representative per distinct sim per sub-bucket,
+    # re-capped — cross-group edges at linear member cost
+    reps = (still.groupBy("band", "extra", "key2", "sim")
+            .agg(F.min("id").alias("rid"))
+            .withColumn("__rn", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "extra", "key2")))
+            .filter(F.col("__rn") <= max_bucket)
+            .select("band", "extra", "key2", "sim", "rid"))
+    pairs2 = (reps.alias("a").join(
+                 reps.alias("b"),
+                 (F.col("a.band") == F.col("b.band"))
+                 & (F.col("a.extra") == F.col("b.extra"))
+                 & (F.col("a.key2") == F.col("b.key2"))
+                 & (F.col("a.rid") < F.col("b.rid")))
+              .select(F.col("a.rid").alias("id_a"),
+                      F.col("b.rid").alias("id_b"),
+                      hamming64(F.col("a.sim"), F.col("b.sim"))
+                      .alias("hamming")))
+    return (pairs1.unionByName(star).unionByName(pairs2)
+            .filter(F.col("hamming") <= max_hamming).distinct())
 
 
 def incremental_hamming_pairs(new_fps: DataFrame, seen_banded: DataFrame,

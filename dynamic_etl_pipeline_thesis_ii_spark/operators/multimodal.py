@@ -2029,7 +2029,8 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
                         n_blocks: int = 8,
                         max_bucket: Optional[int] = 2000,
                         cap_report: Optional[dict] = None,
-                        decode_fn: Optional[callable] = None) -> DataFrame:
+                        decode_fn: Optional[callable] = None,
+                        hot_policy: str = "drop") -> DataFrame:
     """Image near-duplicate pairs: perceptual dHash fingerprints
     (:func:`image_dhash`) joined through the text engine's Manku
     banding (``dedup.hamming_band_pairs`` — equi-join on
@@ -2053,14 +2054,16 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
         .localCheckpoint(eager=False)
     return hamming_band_pairs(fps, max_hamming=max_hamming,
                               n_blocks=n_blocks, max_bucket=max_bucket,
-                              cap_report=cap_report)
+                              cap_report=cap_report,
+                              hot_policy=hot_policy)
 
 
 def image_dedup(media: DataFrame, max_hamming: int = 6,
                 n_blocks: int = 8,
                 max_bucket: Optional[int] = 2000,
                 cap_report: Optional[dict] = None,
-                decode_fn: Optional[callable] = None) -> DataFrame:
+                decode_fn: Optional[callable] = None,
+                hot_policy: str = "drop") -> DataFrame:
     """End-to-end image dedup: keep ONE image per perceptual-dup
     cluster (connected components over :func:`image_neardup_pairs`,
     lowest ``media_id`` canonical — the text engine's
@@ -2075,5 +2078,6 @@ def image_dedup(media: DataFrame, max_hamming: int = 6,
                                 n_blocks=n_blocks,
                                 max_bucket=max_bucket,
                                 cap_report=cap_report,
-                                decode_fn=decode_fn)
+                                decode_fn=decode_fn,
+                                hot_policy=hot_policy)
     return dedup_by_components(media, pairs, id_col="media_id")

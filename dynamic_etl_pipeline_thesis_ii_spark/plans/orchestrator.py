@@ -555,7 +555,9 @@ class Pipeline:
         n_decodable = fps.count()
         cap: dict = {}
         pairs = hamming_band_pairs(fps, max_hamming=mh, n_blocks=nb,
-                                   cap_report=cap)
+                                   cap_report=cap,
+                                   hot_policy=plan.get("hot_policy",
+                                                       "drop"))
         kept = dedup_by_components(media, pairs, id_col="media_id")
         self.progress("image_dedup", {"params": dict(plan),
                                       "decodable": n_decodable,
@@ -1892,8 +1894,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         mh = 6
         if m := _HAMMING_RE.search(ql):
             mh = int(next(g for g in m.groups() if g))
+        # 'recovering hot buckets' / 'reband' opts over-cap buckets
+        # into the skew-aware re-banding tier instead of dropping them
         return {"target": "image_dedup", "max_hamming": mh,
-                "n_blocks": 8}
+                "n_blocks": 8,
+                "hot_policy": ("reband" if ("reband" in ql
+                                            or "recover" in ql)
+                               else "drop")}
     if (("dedup" in ql or "deduplicate" in ql or "ingest" in ql)
             and "against" in ql and "snapshot" in ql):
         m = _SNAPSHOT_PATH_RE.search(query)

@@ -1822,3 +1822,40 @@ def test_image_dhash_decode_fn_hook_parity(spark):
              M.image_neardup_pairs(
                  media, decode_fn=_pilish_decode).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_image_dedup_reband_collapses_over_cap_cluster(spark):
+    """The judge-case for skew-aware banding: a planted 3000-member
+    perceptual cluster (2600 exact copies + 400 noisy re-encodes —
+    every band bucket over the DEFAULT max_bucket=2000) collapses to
+    ONE kept image under hot_policy='reband', while the default drop
+    policy passes the whole flood through; the unrelated image
+    survives either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    grad = np.linspace(0, 200, 32, dtype=np.uint8)
+    base = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+             + grad[None, :, None]) // 2).astype(np.uint8)
+    noisy = base.copy()
+    noisy[::9, ::6] = np.clip(noisy[::9, ::6].astype(int) + 10,
+                              0, 255).astype(np.uint8)
+    other = ((rng.integers(0, 256, (32, 32, 3)).astype(int)
+              + grad[::-1][None, :, None]) // 2).astype(np.uint8)
+    base_b, noisy_b = bytes(M.write_bmp(base)), bytes(M.write_png(noisy))
+    rows = [(i, "image", base_b) for i in range(2600)]
+    rows += [(2600 + i, "image", noisy_b) for i in range(400)]
+    rows.append((9000, "image", bytes(M.write_bmp(other))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+
+    report = {}
+    kept = {r["media_id"] for r in
+            M.image_dedup(media, hot_policy="reband",
+                          cap_report=report).collect()}
+    assert kept == {0, 9000}
+    assert report["capped_buckets"] >= 28
+    assert report["largest_bucket"] == 3000
+
+    kept_drop = M.image_dedup(media).count()
+    assert kept_drop == 3001          # the flood passes through silently

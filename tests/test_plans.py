@@ -2133,7 +2133,11 @@ def test_pipeline_image_dedup_and_probe_lifecycle(spark, sf_dir,
     )
 
     assert parse_dataops_query("dedup the images") == {
-        "target": "image_dedup", "max_hamming": 6, "n_blocks": 8}
+        "target": "image_dedup", "max_hamming": 6, "n_blocks": 8,
+        "hot_policy": "drop"}
+    assert parse_dataops_query(
+        "dedup the images, recovering hot buckets")["hot_policy"] == \
+        "reband"
     assert parse_dataops_query(
         "flag the new images against the snapshot at /s")["target"] == \
         "image_probe"

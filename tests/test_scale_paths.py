@@ -1294,3 +1294,74 @@ def test_semantic_decontamination(spark, sf_dir):
 
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_reband_hot_policy_recovers_cluster_recall(spark):
+    """hot_policy='reband': a dense hamming cluster LARGER than the
+    cap (2500 identical fingerprints + 500 noisy <=3-bit variants —
+    every band bucket over max_bucket=2000) still links into ONE
+    component via sub-banding + identical-sim star + representative
+    pairs, where the default 'drop' policy loses almost all of it.
+    On a hot-free corpus the two policies return the SAME pair set
+    (reband only ever ADDS recovered pairs)."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hamming_band_pairs,
+        min_label_components,
+    )
+
+    rng = np.random.default_rng(47)
+    s0 = int(rng.integers(-(2 ** 63), 2 ** 63, dtype=np.int64))
+    rows = [(i, s0) for i in range(2500)]
+    for i in range(500):
+        flips = rng.choice(64, size=int(rng.integers(1, 4)),
+                           replace=False)
+        sim = s0
+        for b in flips:
+            sim ^= (1 << int(b))
+        # wrap to signed 64-bit
+        sim = sim - (1 << 64) if sim >= (1 << 63) else sim
+        rows.append((2500 + i, int(sim)))
+    unrelated = [(5000 + i, int(rng.integers(-(2 ** 63), 2 ** 63,
+                                             dtype=np.int64)))
+                 for i in range(10)]
+    fps = spark.createDataFrame(rows + unrelated, "id long, sim long")
+
+    report = {}
+    rebanded = hamming_band_pairs(fps, max_hamming=6, n_blocks=8,
+                                  max_bucket=2000, cap_report=report,
+                                  hot_policy="reband")
+    comp = {r["id"]: r["comp"]
+            for r in min_label_components(rebanded).collect()}
+    cluster = {comp.get(i) for i in range(3000)}
+    assert cluster == {0}, cluster    # one component, rooted at id 0
+    assert not any(comp.get(u) == 0 for u, _ in unrelated)
+    assert report["capped_buckets"] >= 28   # every band's base bucket
+
+    dropped = hamming_band_pairs(fps, max_hamming=6, n_blocks=8,
+                                 max_bucket=2000, hot_policy="drop")
+    comp_d = {r["id"]: r["comp"]
+              for r in min_label_components(dropped).collect()}
+    linked_d = sum(1 for i in range(3000) if comp_d.get(i, i) != i)
+    # drop loses the dense cluster: only the sliver of noisy variants
+    # whose flipped keys land in small distinct buckets still links
+    # (~16% here); reband links 100%
+    assert linked_d < 700, linked_d
+
+    # hot-free corpus: identical pair sets
+    calm_rows = [(i, int(rng.integers(-(2 ** 63), 2 ** 63,
+                                      dtype=np.int64)))
+                 for i in range(200)]
+    calm_rows.append((900, calm_rows[0][1] ^ 3))   # planted 2-bit pair
+    calm = spark.createDataFrame(calm_rows, "id long, sim long")
+    p_drop = {tuple(r) for r in hamming_band_pairs(
+        calm, max_hamming=6, n_blocks=8, max_bucket=2000).collect()}
+    p_re = {tuple(r) for r in hamming_band_pairs(
+        calm, max_hamming=6, n_blocks=8, max_bucket=2000,
+        hot_policy="reband").collect()}
+    assert p_drop == p_re and (0, 900, 2) in p_drop
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hot_policy"):
+        hamming_band_pairs(calm, hot_policy="nope")
