@@ -588,7 +588,10 @@ class Pipeline:
         exact hamming). Cost scales with the batch, never the corpus.
         Flag pairs ``(id_new, id_seen, hamming)`` land at the sink;
         the report carries batch/decodable/flagged counts plus the
-        geometry actually used."""
+        geometry actually used. '... and update the snapshot'
+        additionally APPENDS the batch's fresh fingerprints to the
+        store (epoch grow at batch cost — the image twin of the
+        Bloom add_keys / ANN-index append steps)."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
             incremental_hamming_pairs,
             load_hamming_snapshot,
@@ -627,14 +630,48 @@ class Pipeline:
         back = self.spark.read.parquet(output_path)       # read-back
         n_pairs = back.count()
         n_flagged = back.select("id_new").distinct().count()
+        reports = {"plan": dict(plan), "batch_rows": n_in,
+                   "images_decodable": n_decodable,
+                   "flag_pairs": n_pairs,
+                   "images_flagged": n_flagged,
+                   "geometry": geom}
+        if plan.get("update"):
+            # epoch grow: append the batch's FRESH fingerprints (not
+            # flagged against the store, then within-batch-deduped so
+            # two new copies enter once) as band rows in the store's
+            # own geometry. Parquet append only adds files through the
+            # commit protocol — a failed job leaves the store intact —
+            # and the new files get the same range-partitioned/sorted
+            # layout so footer-stat pruning covers them too.
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+                hamming_band_keys,
+                hamming_band_pairs,
+                min_label_components,
+            )
+            n_before = banded.count()
+            fresh = fps.join(back.select(F.col("id_new").alias("id"))
+                             .distinct(), "id", "left_anti")
+            drop = (min_label_components(
+                        hamming_band_pairs(fresh, **geom))
+                    .filter(F.col("id") != F.col("comp")).select("id"))
+            keep = fresh.join(drop, "id", "left_anti")
+            new_banded = hamming_band_keys(keep, **geom)
+            (new_banded.repartitionByRange("band", "key")
+             .sortWithinPartitions("band", "key")
+             .write.mode("append").parquet(plan["snapshot_path"]))
+            n_after = self.spark.read.parquet(
+                plan["snapshot_path"]).count()
+            n_appended_imgs = keep.count()
+            self.progress("grow_snapshot",
+                          {"appended_images": n_appended_imgs,
+                           "rows_after": n_after})
+            reports.update({"snapshot_rows_before": n_before,
+                            "snapshot_rows_after": n_after,
+                            "images_appended": n_appended_imgs})
         fps.unpersist()
         self.progress("publish", {"rows": n_pairs, "path": output_path})
         return {"status": "complete", "outputs": [pairs],
-                "reports": {"plan": dict(plan), "batch_rows": n_in,
-                            "images_decodable": n_decodable,
-                            "flag_pairs": n_pairs,
-                            "images_flagged": n_flagged,
-                            "geometry": geom}}
+                "reports": reports}
 
     def _run_ingest_crawl(self, plan: dict, output_path: str) -> dict:
         """'extract text from the crawl at /path': WARC file(s) ->
@@ -1888,8 +1925,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "snapshot_path": m.group(1) if m else None}
     if _IMAGE_PROBE_RE.search(ql):
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
+        # '... and update the snapshot' additionally appends the
+        # batch's FRESH (unflagged, within-batch-deduped) fingerprints
+        # to the store — the epoch-grow step, like the Bloom/ANN stores
         return {"target": "image_probe",
-                "snapshot_path": m.group(1) if m else None}
+                "snapshot_path": m.group(1) if m else None,
+                "update": "update" in ql or "grow" in ql}
     if _IMAGE_DEDUP_RE.search(ql):
         mh = 6
         if m := _HAMMING_RE.search(ql):

@@ -2207,6 +2207,41 @@ def test_pipeline_image_dedup_and_probe_lifecycle(spark, sf_dir,
     assert res2["reports"]["images_flagged"] == 1
     assert res2["reports"]["geometry"] == geom
 
+    # epoch grow: '... and update the snapshot' appends the batch's
+    # FRESH fingerprints (within-batch-deduped) to the store, so the
+    # next epoch flags against them at batch cost
+    grow_src = str(tmp_path / "img_grow")
+    fresh2 = ((np.random.default_rng(43)
+               .integers(0, 256, (32, 32, 3)).astype(int)
+               + np.linspace(0, 90, 32,
+                             dtype=np.uint8)[None, :, None]) // 2) \
+        .astype(np.uint8)
+    f2 = bytes(M.write_bmp(fresh2))
+    spark.createDataFrame(
+        [(20, "image", f2), (21, "image", f2),          # in-batch dup
+         (22, "image", bytes(M.write_png(b_noisy)))],   # seen near-copy
+        "media_id long, kind string, payload binary") \
+        .write.parquet(grow_src + "/media.parquet")
+    n_snap_before = banded.count()
+    res3 = pipe.run_dataops(
+        f"flag the new images against the snapshot at {snap} "
+        f"and update the snapshot", grow_src, str(tmp_path / "grow_out"))
+    assert res3["status"] == "complete"
+    rep3 = res3["reports"]
+    assert rep3["images_flagged"] == 1          # only the seen near-copy
+    assert rep3["images_appended"] == 1         # dup pair entered once
+    assert rep3["snapshot_rows_before"] == n_snap_before
+    assert rep3["snapshot_rows_after"] > n_snap_before
+    # the grown store now flags a re-ingest of the appended image
+    grown, geom2 = D.load_hamming_snapshot(spark, snap)
+    assert geom2 == geom                        # geometry unchanged
+    reprobe = D.incremental_hamming_pairs(
+        image_dhash(spark.createDataFrame(
+            [(30, "image", f2)],
+            "media_id long, kind string, payload binary")),
+        grown, **geom2).collect()
+    assert any(r["id_seen"] == 20 and r["hamming"] == 0 for r in reprobe)
+
     # rejections: no media table / empty media / bad snapshot path
     r1 = pipe.run_dataops("dedup the images", str(tmp_path / "nodir"),
                           str(tmp_path / "o1"))
