@@ -1996,6 +1996,20 @@ def image_dhash(media: DataFrame, batch_hint: int = 1024,
     threads the native-codec hook into every executor's kernel (see
     :func:`dhash64` — a picklable PIL/turbojpeg wrapper decodes at
     native speed, the stdlib tier remains the fallback and oracle)."""
+    return _media_fingerprints(
+        media, "image",
+        (dhash64 if decode_fn is None
+         else (lambda p, _fn=decode_fn: dhash64(p, decode_fn=_fn))),
+        extra_cols=extra_cols)
+
+
+def _media_fingerprints(media: DataFrame, kind: str, hash_fn,
+                        extra_cols: tuple = ()) -> DataFrame:
+    """Shared Arrow kernel turning one media KIND's payloads into
+    ``(id, sim)`` 64-bit fingerprints via ``hash_fn`` (picklable,
+    ``bytes -> signed int | None``) — image dHash and audio aHash ride
+    the identical plumbing, so their streaming/banding faces cannot
+    drift. Stateless; ``extra_cols`` pass through."""
     import pandas as pd
 
     extras = list(extra_cols)
@@ -2009,9 +2023,9 @@ def image_dhash(media: DataFrame, batch_hint: int = 1024,
         for pdf in batches:
             rows = {"id": [], "sim": [], **{c: [] for c in extras}}
             for i in range(len(pdf)):
-                if pdf["kind"].iloc[i] != "image":
+                if pdf["kind"].iloc[i] != kind:
                     continue
-                h = dhash64(pdf["payload"].iloc[i], decode_fn=decode_fn)
+                h = hash_fn(pdf["payload"].iloc[i])
                 if h is not None:
                     rows["id"].append(int(pdf["media_id"].iloc[i]))
                     rows["sim"].append(h)
@@ -2079,5 +2093,181 @@ def image_dedup(media: DataFrame, max_hamming: int = 6,
                                 max_bucket=max_bucket,
                                 cap_report=cap_report,
                                 decode_fn=decode_fn,
+                                hot_policy=hot_policy)
+    return dedup_by_components(media, pairs, id_col="media_id")
+
+
+# ---------------------------------------------------------------------------
+# audio perceptual fingerprinting (time-frequency gradient aHash over
+# the real WAV decode tier, paired through the same hamming banding)
+# ---------------------------------------------------------------------------
+
+def wav_mono_samples(payload: bytes) -> Optional[tuple[int, "np.ndarray"]]:
+    """(sample_rate, mono float64 waveform) for every WAV tier this
+    module REALLY decodes — PCM 8/16/24-bit, G.711 mu-law/A-law, and
+    IMA-ADPCM (format tags 1/6/7/0x11) — or None for non-WAV /
+    malformed payloads. The sample-level face of :func:`decode_audio`
+    (which reduces to summary features): audio fingerprinting needs
+    the waveform itself. Channels fold to mono by mean; 8-bit PCM
+    centers at 128 so silence is 0 like the other widths."""
+    if not (payload is not None and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"):
+        return None
+    try:
+        fmt = data = None
+        for cid, chunk in _riff_chunks(payload):
+            if cid == b"fmt " and fmt is None:
+                fmt = chunk
+            elif cid == b"data" and data is None:
+                data = chunk
+        if fmt is not None and len(fmt) >= 16 and data is not None:
+            tag = int.from_bytes(fmt[0:2], "little")
+            channels = int.from_bytes(fmt[2:4], "little") or 1
+            rate = int.from_bytes(fmt[4:8], "little")
+            if tag in (6, 7, 0x11):
+                if tag == 7:
+                    samples = _ulaw_decode(data)
+                elif tag == 6:
+                    samples = _alaw_decode(data)
+                else:
+                    block_align = int.from_bytes(fmt[12:14], "little")
+                    samples = _ima_adpcm_decode(data, channels,
+                                                block_align)
+                x = samples.astype(np.float64)
+                x = x[:len(x) - len(x) % channels]
+                return rate, x.reshape(-1, channels).mean(axis=1)
+        with wave.open(io.BytesIO(payload)) as wav:
+            rate, channels = wav.getframerate(), wav.getnchannels()
+            n_frames, width = wav.getnframes(), wav.getsampwidth()
+            frames = wav.readframes(n_frames)
+        if width == 2:
+            x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        elif width == 3:
+            b = np.frombuffer(frames, dtype=np.uint8)
+            b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float64)
+        else:   # 8-bit PCM is unsigned, silence = 128
+            x = (np.frombuffer(frames, dtype=np.uint8)
+                 .astype(np.float64) - 128.0)
+        x = x[:len(x) - len(x) % max(1, channels)]
+        return rate, x.reshape(-1, max(1, channels)).mean(axis=1)
+    except Exception:
+        return None
+
+
+def _resample_mono(x: "np.ndarray", rate: int,
+                   target: int) -> "np.ndarray":
+    """Linear-interpolation mono resample (the :func:`resample_wav`
+    kernel on a bare array) — the normalization step that pins the
+    fingerprint's band edges regardless of source sample rate."""
+    n_in = len(x)
+    if rate == target or n_in == 0:
+        return x
+    n_out = max(1, int(round(n_in * target / rate)))
+    pos = np.linspace(0.0, n_in - 1, n_out)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    return x[lo] * (1.0 - frac) + x[hi] * frac
+
+
+_AHASH_RATE = 8000
+_AHASH_SEGMENTS = 9          # 8 time transitions x 8 bands = 64 bits
+_AHASH_BANDS = np.geomspace(100.0, 3600.0, 9)   # log-spaced edges
+
+
+def ahash64(payload: bytes) -> Optional[int]:
+    """64-bit audio perceptual hash — the audio twin of
+    :func:`dhash64` (a time-frequency GRADIENT hash): decode to mono
+    (:func:`wav_mono_samples`), linear-resample to 8 kHz (the
+    normalization — band edges stop depending on the source rate),
+    split into 9 equal time segments, measure rFFT power in 8
+    log-spaced bands (100–3600 Hz, inside any telephony Nyquist), and
+    set bit ``t*8 + b`` iff band ``b``'s energy RISES from segment t
+    to t+1. Gradient signs make it invariant to uniform gain; the
+    per-length segmentation makes it length-proportional; and the
+    quantization noise of the u-law/A-law/ADPCM tiers moves energies
+    far less than real content differences, so re-encodes of one clip
+    land within a few bits while unrelated clips land ~32 apart.
+    Returns a SIGNED 64-bit int (the ``hamming64``/banding
+    convention), or None for undecodable, too-short (< 90 ms at 8 kHz
+    — below that the segment FFTs cannot resolve the 100 Hz band
+    floor) or silent payloads (no gradient signal), mirroring
+    ``dhash64``'s sub-grid guard."""
+    decoded = wav_mono_samples(payload)
+    if decoded is None:
+        return None
+    rate, x = decoded
+    if rate <= 0:
+        return None
+    x = _resample_mono(x, rate, _AHASH_RATE)
+    seg = len(x) // _AHASH_SEGMENTS
+    if seg < 80:                 # df = 8000/seg must resolve 100 Hz
+        return None
+    freqs = np.fft.rfftfreq(seg, 1.0 / _AHASH_RATE)
+    band_of = np.digitize(freqs, _AHASH_BANDS) - 1   # -1/8 = outside
+    energies = np.zeros((_AHASH_SEGMENTS, 8))
+    for t in range(_AHASH_SEGMENTS):
+        spec = np.abs(np.fft.rfft(x[t * seg:(t + 1) * seg])) ** 2
+        for b in range(8):
+            energies[t, b] = spec[band_of == b].sum()
+    if energies.sum() <= 0.0:
+        return None
+    bits = (energies[1:] > energies[:-1]).reshape(-1)   # 8x8 row-major
+    out = 0
+    for j in range(64):
+        if bits[j]:
+            out += -(1 << 63) if j == 63 else (1 << j)
+    return out
+
+
+def audio_ahash(media: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(id, sim) perceptual fingerprints for every DECODABLE audio
+    payload — rides the same Arrow kernel as :func:`image_dhash`
+    (:func:`_media_fingerprints`), so the banding/streaming faces of
+    the two modalities share one implementation."""
+    return _media_fingerprints(media, "audio", ahash64,
+                               extra_cols=extra_cols)
+
+
+def audio_neardup_pairs(media: DataFrame, max_hamming: int = 6,
+                        n_blocks: int = 8,
+                        max_bucket: Optional[int] = 2000,
+                        cap_report: Optional[dict] = None,
+                        hot_policy: str = "drop") -> DataFrame:
+    """Audio near-duplicate pairs: aHash fingerprints joined through
+    the SAME Manku banding engine as text SimHash and image dHash
+    (``dedup.hamming_band_pairs``) — one blocking implementation, two
+    media modalities, identical ``(id_a, id_b, hamming)`` contract,
+    the same hot-bucket telemetry and reband policy."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    fps = audio_ahash(media).localCheckpoint(eager=False)
+    return hamming_band_pairs(fps, max_hamming=max_hamming,
+                              n_blocks=n_blocks, max_bucket=max_bucket,
+                              cap_report=cap_report,
+                              hot_policy=hot_policy)
+
+
+def audio_dedup(media: DataFrame, max_hamming: int = 6,
+                n_blocks: int = 8,
+                max_bucket: Optional[int] = 2000,
+                cap_report: Optional[dict] = None,
+                hot_policy: str = "drop") -> DataFrame:
+    """End-to-end audio dedup: keep ONE clip per perceptual-dup
+    cluster (components over :func:`audio_neardup_pairs`, lowest
+    ``media_id`` canonical). Undecodable/compressed-sample formats
+    can never pair, so they always pass through — the same honesty
+    contract as :func:`image_dedup`."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        dedup_by_components,
+    )
+    pairs = audio_neardup_pairs(media, max_hamming=max_hamming,
+                                n_blocks=n_blocks,
+                                max_bucket=max_bucket,
+                                cap_report=cap_report,
                                 hot_policy=hot_policy)
     return dedup_by_components(media, pairs, id_col="media_id")

@@ -304,10 +304,10 @@ class Pipeline:
             return self._run_ingest_crawl(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
-        if plan["target"] == "image_dedup":
-            return self._run_image_dedup(plan, source_dir, output_path)
-        if plan["target"] == "image_probe":
-            return self._run_image_probe(plan, source_dir, output_path)
+        if plan["target"] in ("image_dedup", "audio_dedup"):
+            return self._run_media_dedup(plan, source_dir, output_path)
+        if plan["target"] in ("image_probe", "audio_probe"):
+            return self._run_media_probe(plan, source_dir, output_path)
         if plan["target"] == "incremental_dedup":
             return self._run_incremental_dedup(plan, source_dir,
                                                output_path)
@@ -510,20 +510,20 @@ class Pipeline:
         except Exception:
             return None
 
-    def _run_image_dedup(self, plan: dict, source_dir: str,
+    def _run_media_dedup(self, plan: dict, source_dir: str,
                          output_path: str) -> dict:
-        """'dedup the images': perceptual near-dup dedup over the
-        source dir's ``media`` table — dHash fingerprints
-        (``multimodal.image_dhash``, one Arrow payload scan) paired
-        through Manku hamming banding, connected components, lowest
-        media_id kept per cluster. Kept rows land at the sink; the
-        corpus' BANDED fingerprint snapshot + band geometry land at
-        ``<output>_snapshot`` (``dedup.save_hamming_snapshot`` —
-        range-partitioned on (band, key) so stream/batch probes prune
-        on footer stats), closing the build half of the image
-        lifecycle the Bloom (D11) and ANN-index (N9) stores already
-        have: later batches probe at batch cost via the image_probe
-        target. Hot-bucket cap telemetry
+        """'dedup the images' / 'dedup the audio clips': perceptual
+        near-dup dedup over the source dir's ``media`` table — dHash
+        (images) or aHash (audio) fingerprints (one Arrow payload
+        scan) paired through Manku hamming banding, connected
+        components, lowest media_id kept per cluster. Kept rows land
+        at the sink; the corpus' BANDED fingerprint snapshot + band
+        geometry land at ``<output>_snapshot``
+        (``dedup.save_hamming_snapshot`` — range-partitioned on
+        (band, key) so stream/batch probes prune on footer stats),
+        closing the build half of the media lifecycle the Bloom (D11)
+        and ANN-index (N9) stores already have: later batches probe
+        at batch cost via the probe target. Hot-bucket cap telemetry
         (``dedup.bucket_cap_stats``) rides the report — the engine's
         no-silent-caps discipline on its hottest knob."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
@@ -533,9 +533,14 @@ class Pipeline:
             save_hamming_snapshot,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+            audio_ahash,
             image_dhash,
         )
 
+        modality = plan.get("modality", "image")
+        fingerprint = image_dhash if modality == "image" else audio_ahash
+        dec_key = ("images_decodable" if modality == "image"
+                   else "clips_decodable")
         media = self._media_or_none(source_dir)
         if media is None:
             return {"status": "rejected",
@@ -551,7 +556,7 @@ class Pipeline:
         # fingerprint ONCE (the payload decode dominates this target's
         # cost) and share the frame between the pair join, the kept-row
         # anti-join and the persisted snapshot
-        fps = image_dhash(media).persist()
+        fps = fingerprint(media).persist()
         n_decodable = fps.count()
         cap: dict = {}
         pairs = hamming_band_pairs(fps, max_hamming=mh, n_blocks=nb,
@@ -559,7 +564,7 @@ class Pipeline:
                                    hot_policy=plan.get("hot_policy",
                                                        "drop"))
         kept = dedup_by_components(media, pairs, id_col="media_id")
-        self.progress("image_dedup", {"params": dict(plan),
+        self.progress("media_dedup", {"params": dict(plan),
                                       "decodable": n_decodable,
                                       "cap": cap})
         kept.write.mode("overwrite").parquet(output_path)
@@ -572,16 +577,16 @@ class Pipeline:
         self.progress("publish", {"rows": n_kept, "path": output_path})
         return {"status": "complete", "outputs": [kept],
                 "reports": {"plan": dict(plan), "rows_in": n_in,
-                            "images_decodable": n_decodable,
+                            dec_key: n_decodable,
                             "rows_kept": n_kept,
                             "cap_telemetry": cap,
                             "snapshot_path_out": snap}}
 
-    def _run_image_probe(self, plan: dict, source_dir: str,
+    def _run_media_probe(self, plan: dict, source_dir: str,
                          output_path: str) -> dict:
-        """'flag the new images against the snapshot at /path': the
-        batch half of the image lifecycle — dHash the source dir's
-        media table and probe the persisted hamming snapshot
+        """'flag the new images|audio against the snapshot at /path':
+        the batch half of the media lifecycle — fingerprint the source
+        dir's media table and probe the persisted hamming snapshot
         (``dedup.incremental_hamming_pairs``: band the batch with the
         snapshot's OWN geometry from its meta sidecar, broadcast-prune
         the snapshot to the batch's probe keys, equi-join, verify
@@ -597,12 +602,16 @@ class Pipeline:
             load_hamming_snapshot,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+            audio_ahash,
             image_dhash,
         )
 
+        modality = plan.get("modality", "image")
+        fingerprint = image_dhash if modality == "image" else audio_ahash
+        noun = "images" if modality == "image" else "clips"
         if not plan.get("snapshot_path"):
             return {"status": "rejected",
-                    "reason": "image probe needs a snapshot path "
+                    "reason": f"{modality} probe needs a snapshot path "
                               "('... against the snapshot at /path')",
                     "outputs": [], "reports": {"plan": dict(plan)}}
         try:
@@ -620,10 +629,10 @@ class Pipeline:
                               f"{source_dir}/media.parquet",
                     "outputs": [], "reports": {"plan": dict(plan)}}
         n_in = media.count()
-        fps = image_dhash(media).persist()
+        fps = fingerprint(media).persist()
         n_decodable = fps.count()
         pairs = incremental_hamming_pairs(fps, banded, **geom)
-        self.progress("image_probe", {"params": dict(plan),
+        self.progress("media_probe", {"params": dict(plan),
                                       "decodable": n_decodable,
                                       "geometry": geom})
         pairs.write.mode("overwrite").parquet(output_path)
@@ -631,9 +640,9 @@ class Pipeline:
         n_pairs = back.count()
         n_flagged = back.select("id_new").distinct().count()
         reports = {"plan": dict(plan), "batch_rows": n_in,
-                   "images_decodable": n_decodable,
+                   f"{noun}_decodable": n_decodable,
                    "flag_pairs": n_pairs,
-                   "images_flagged": n_flagged,
+                   f"{noun}_flagged": n_flagged,
                    "geometry": geom}
         if plan.get("update"):
             # epoch grow: append the batch's FRESH fingerprints (not
@@ -661,13 +670,13 @@ class Pipeline:
              .write.mode("append").parquet(plan["snapshot_path"]))
             n_after = self.spark.read.parquet(
                 plan["snapshot_path"]).count()
-            n_appended_imgs = keep.count()
+            n_appended = keep.count()
             self.progress("grow_snapshot",
-                          {"appended_images": n_appended_imgs,
+                          {"appended": n_appended,
                            "rows_after": n_after})
             reports.update({"snapshot_rows_before": n_before,
                             "snapshot_rows_after": n_after,
-                            "images_appended": n_appended_imgs})
+                            f"{noun}_appended": n_appended})
         fps.unpersist()
         self.progress("publish", {"rows": n_pairs, "path": output_path})
         return {"status": "complete", "outputs": [pairs],
@@ -1802,16 +1811,19 @@ _SPLIT_TARGET_RE = re.compile(
     r"\bsplit\b[^.]*\binto\s+train\b|"
     r"\btrain\s*/\s*(?:val(?:id(?:ation)?)?|dev)\s*/\s*test\b")
 _SPLIT_FRACS_RE = re.compile(r"\b(\d{1,2})\s*/\s*(\d{1,2})\s*/\s*(\d{1,2})\b")
-# image lifecycle: 'dedup the images' -> perceptual image_dedup over
-# the media table; 'flag the new images against the snapshot at /p'
-# -> batch probe of a persisted hamming snapshot. The probe wording
-# outranks the generic incremental-dedup route (which would otherwise
-# claim 'dedup the new images against the seen snapshot')
-_IMAGE_PROBE_RE = re.compile(
-    r"\b(?:flag|probe|check|dedup(?:licate)?)\b[^.]*\bimages?\b"
+# media lifecycle: 'dedup the images' / 'dedup the audio clips' ->
+# perceptual dedup over the media table (dHash / aHash); 'flag the
+# new images|audio against the snapshot at /p' -> batch probe of a
+# persisted hamming snapshot. The probe wording outranks the generic
+# incremental-dedup route (which would otherwise claim 'dedup the new
+# images against the seen snapshot')
+_MEDIA_PROBE_RE = re.compile(
+    r"\b(?:flag|probe|check|dedup(?:licate)?)\b"
+    r"[^.]*\b(images?|audio(?:\s+clips?)?)\b"
     r"[^.]*\bagainst\b[^.]*\bsnapshot\b")
-_IMAGE_DEDUP_RE = re.compile(
-    r"\bdedup(?:licate)?\b[^.]*\bimages?\b|\bimage\s+dedup")
+_MEDIA_DEDUP_RE = re.compile(
+    r"\bdedup(?:licate)?\b[^.]*\b(images?|audio(?:\s+clips?)?)\b"
+    r"|\b(image|audio)\s+dedup")
 _HAMMING_RE = re.compile(
     r"\bwithin\s+(\d+)\s+bits?\b|\bhamming\s+(?:of\s+)?(\d+)\b")
 
@@ -1923,22 +1935,26 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
-    if _IMAGE_PROBE_RE.search(ql):
+    if m := _MEDIA_PROBE_RE.search(ql):
+        modality = "audio" if "audio" in m.group(1) else "image"
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         # '... and update the snapshot' additionally appends the
         # batch's FRESH (unflagged, within-batch-deduped) fingerprints
         # to the store — the epoch-grow step, like the Bloom/ANN stores
-        return {"target": "image_probe",
+        return {"target": f"{modality}_probe",
+                "modality": modality,
                 "snapshot_path": m.group(1) if m else None,
                 "update": "update" in ql or "grow" in ql}
-    if _IMAGE_DEDUP_RE.search(ql):
+    if m := _MEDIA_DEDUP_RE.search(ql):
+        modality = "audio" if "audio" in (m.group(1) or m.group(2)) \
+            else "image"
         mh = 6
         if m := _HAMMING_RE.search(ql):
             mh = int(next(g for g in m.groups() if g))
         # 'recovering hot buckets' / 'reband' opts over-cap buckets
         # into the skew-aware re-banding tier instead of dropping them
-        return {"target": "image_dedup", "max_hamming": mh,
-                "n_blocks": 8,
+        return {"target": f"{modality}_dedup", "modality": modality,
+                "max_hamming": mh, "n_blocks": 8,
                 "hot_policy": ("reband" if ("reband" in ql
                                             or "recover" in ql)
                                else "drop")}

@@ -1859,3 +1859,127 @@ def test_image_dedup_reband_collapses_over_cap_cluster(spark):
 
     kept_drop = M.image_dedup(media).count()
     assert kept_drop == 3001          # the flood passes through silently
+
+
+# ---------------------------------------------------------------------------
+# audio perceptual fingerprinting (aHash)
+# ---------------------------------------------------------------------------
+
+def _chirp_wav(seed, rate=16000, secs=2.0, stereo=False):
+    """Deterministic content-bearing clip: chirp + gated noise (the
+    time-varying spectrum aHash keys on), int16 PCM WAV bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * secs)) / rate
+    f0, f1 = 200 + 90 * seed, 400 + 50 * seed
+    clip = (np.sin(2 * np.pi * (f0 + f1 * t) * t)
+            * (0.5 + 0.5 * np.sin(2 * np.pi * (1.3 + 0.4 * seed) * t))
+            + 0.2 * rng.standard_normal(len(t)) * (t % 0.7 < 0.35))
+    pcm = (np.clip(clip, -1, 1) * 20000).astype("<i2")
+    if stereo:
+        pcm = np.stack([pcm, pcm], axis=1)
+    return bytes(M.write_wav(pcm, rate)), pcm
+
+
+def test_ahash64_invariances_and_discrimination():
+    """aHash is invariant to the re-encodes a dedup pipeline must see
+    through — gain scaling, resampling, stereo fold, u-law and 8-bit
+    PCM re-encodes (hamming 0 on this clip) — while unrelated clips
+    land ~32+ bits apart; silent/short/undecodable payloads return
+    None (no gradient signal, the dhash64 sub-grid analog)."""
+    import io
+    import warnings
+    import wave as _wave
+
+    import numpy as np
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    def wav_container(tag, channels, rate, block_align, bits, data):
+        fmt = (tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
+               + rate.to_bytes(4, "little")
+               + (rate * block_align).to_bytes(4, "little")
+               + block_align.to_bytes(2, "little")
+               + bits.to_bytes(2, "little"))
+        body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def ham(a, b):
+        return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+    wav16, pcm16 = _chirp_wav(0)
+    h = M.ahash64(wav16)
+    assert h is not None
+
+    quiet = bytes(M.write_wav((pcm16 * 0.3).astype("<i2"), 16000))
+    assert ham(h, M.ahash64(quiet)) <= 6
+    res8 = bytes(M.resample_wav(wav16, 8000))
+    assert ham(h, M.ahash64(res8)) <= 6
+    stereo, _ = _chirp_wav(0, stereo=True)
+    assert ham(h, M.ahash64(stereo)) <= 6
+    with _wave.open(io.BytesIO(res8)) as w:
+        frames = w.readframes(w.getnframes())
+    ulaw = wav_container(7, 1, 8000, 1, 8,
+                         audioop.lin2ulaw(frames, 2))
+    assert ham(h, M.ahash64(ulaw)) <= 6
+    pcm8 = ((pcm16.astype(int) // 256) + 128).astype(np.uint8).tobytes()
+    assert ham(h, M.ahash64(wav_container(1, 1, 16000, 1, 8,
+                                          pcm8))) <= 6
+
+    # same-family chirps (shared gating structure) stay clearly past
+    # the <=6 dedup cut; spectrally unrelated content lands ~32 off
+    for seed in (1, 2, 3):
+        other, _ = _chirp_wav(seed)
+        assert ham(h, M.ahash64(other)) > 6, seed
+    noise = np.random.default_rng(99).integers(
+        -15000, 15000, 32000).astype("<i2")
+    assert ham(h, M.ahash64(bytes(M.write_wav(noise, 16000)))) > 16
+
+    assert M.ahash64(bytes(M.write_wav(
+        np.zeros(8000, dtype="<i2"), 8000))) is None      # silent
+    assert M.ahash64(bytes(M.write_wav(
+        np.ones(100, dtype="<i2"), 8000))) is None        # too short
+    assert M.ahash64(b"NOTAUDIO") is None                 # undecodable
+    assert M.ahash64(None) is None
+
+
+def test_audio_neardup_and_dedup(spark):
+    """audio_neardup_pairs / audio_dedup: the u-law re-encode of a
+    clip pairs with its PCM original through the shared hamming
+    banding (one kept per cluster), unrelated and undecodable clips
+    pass through — the audio face of the image M2 contract."""
+    import io
+    import warnings
+    import wave as _wave
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    wav16, _ = _chirp_wav(0)
+    res8 = bytes(M.resample_wav(wav16, 8000))
+    with _wave.open(io.BytesIO(res8)) as w:
+        frames = w.readframes(w.getnframes())
+    fmt = ((7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    data = audioop.lin2ulaw(frames, 2)
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    ulaw = b"RIFF" + len(body).to_bytes(4, "little") + body
+    other, _ = _chirp_wav(2)
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav16), (2, "audio", ulaw),
+         (3, "audio", other), (4, "audio", b"ID3\x04junkjunk"),
+         (5, "image", wav16)],     # wrong kind never fingerprints
+        "media_id long, kind string, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in M.audio_neardup_pairs(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all({a, b} == {1, 2} for a, b in pairs)
+    kept = {r["media_id"] for r in M.audio_dedup(media).collect()}
+    assert kept == {1, 3, 4, 5}

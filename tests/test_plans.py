@@ -2133,11 +2133,16 @@ def test_pipeline_image_dedup_and_probe_lifecycle(spark, sf_dir,
     )
 
     assert parse_dataops_query("dedup the images") == {
-        "target": "image_dedup", "max_hamming": 6, "n_blocks": 8,
-        "hot_policy": "drop"}
+        "target": "image_dedup", "modality": "image", "max_hamming": 6,
+        "n_blocks": 8, "hot_policy": "drop"}
     assert parse_dataops_query(
         "dedup the images, recovering hot buckets")["hot_policy"] == \
         "reband"
+    assert parse_dataops_query(
+        "dedup the audio clips")["target"] == "audio_dedup"
+    assert parse_dataops_query(
+        "flag the new audio against the snapshot at /s")["target"] == \
+        "audio_probe"
     assert parse_dataops_query(
         "flag the new images against the snapshot at /s")["target"] == \
         "image_probe"
@@ -2302,3 +2307,64 @@ def test_data_card_counts_media(spark, sf_dir, tmp_path):
                             sf_dir, str(tmp_path / "card_out2"))
     assert res2["status"] == "complete"
     assert res2["reports"]["data_card"]["media"] == {"present": False}
+
+
+def test_pipeline_audio_dedup_and_probe_lifecycle(spark, sf_dir,
+                                                  tmp_path):
+    """The audio face of the media lifecycle: 'dedup the audio clips'
+    collapses a resampled re-encode onto its original via aHash +
+    the shared hamming banding; the persisted snapshot then flags a
+    later near-copy batch ('flag the new audio against the
+    snapshot')."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+
+    def chirp(seed, rate=16000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(rate * 2) / rate
+        clip = (np.sin(2 * np.pi * (200 + 90 * seed
+                                    + (400 + 50 * seed) * t) * t)
+                * (0.5 + 0.5 * np.sin(2 * np.pi * (1.3 + 0.4 * seed) * t))
+                + 0.2 * rng.standard_normal(len(t)) * (t % 0.7 < 0.35))
+        return (np.clip(clip, -1, 1) * 20000).astype("<i2")
+
+    a, b = chirp(0), chirp(5)
+    wav_a = bytes(M.write_wav(a, 16000))
+    wav_a_8k = bytes(M.resample_wav(wav_a, 8000))   # re-encode of a
+    wav_b = bytes(M.write_wav(b, 16000))
+    src = str(tmp_path / "aud_sf")
+    spark.createDataFrame(
+        [(1, "audio", wav_a), (2, "audio", wav_a_8k),
+         (3, "audio", wav_b), (4, "audio", b"ID3\x04junk")],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(src + "/media.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "auddedup")
+    res = pipe.run_dataops("dedup the audio clips", src, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["clips_decodable"] == 3
+    kept = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 4}
+
+    # probe a later batch: gain-scaled copy of b flags, fresh doesn't
+    batch_src = str(tmp_path / "aud_batch")
+    spark.createDataFrame(
+        [(10, "audio", bytes(M.write_wav((b * 0.4).astype("<i2"),
+                                         16000))),
+         (11, "audio", bytes(M.write_wav(chirp(9), 16000)))],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(batch_src + "/media.parquet")
+    res2 = pipe.run_dataops(
+        f"flag the new audio against the snapshot at "
+        f"{res['reports']['snapshot_path_out']}",
+        batch_src, str(tmp_path / "audprobe"))
+    assert res2["status"] == "complete"
+    got = {(r["id_new"], r["id_seen"]) for r in
+           spark.read.parquet(str(tmp_path / "audprobe")).collect()}
+    assert (10, 3) in got
+    assert not any(idn == 11 for idn, _ in got)
+    assert res2["reports"]["clips_flagged"] == 1
