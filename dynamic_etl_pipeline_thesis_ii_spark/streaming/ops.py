@@ -638,14 +638,49 @@ def streaming_image_flags(media: DataFrame, seen_banded: DataFrame,
     contract) — keep the snapshot compacted/partitioned by (band, key)
     so each probe prunes to matching files. Output:
     ``(id_new, id_seen, hamming)``."""
-    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
-        incremental_hamming_pairs,
-    )
     from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
         image_dhash,
     )
+    return _streaming_fingerprint_flags(
+        media, seen_banded, image_dhash, max_hamming=max_hamming,
+        n_blocks=n_blocks, key_blocks=key_blocks, ts_col=ts_col,
+        watermark=watermark)
 
-    fps = image_dhash(media, extra_cols=(ts_col,) if ts_col else ())
+
+def streaming_audio_flags(media: DataFrame, seen_banded: DataFrame,
+                          max_hamming: int = 6, n_blocks: int = 8,
+                          key_blocks: Optional[int] = None,
+                          ts_col: Optional[str] = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Perceptual near-dup flagging for an AUDIO stream against the
+    persisted hamming snapshot — the aHash face of
+    :func:`streaming_image_flags`, sharing the identical
+    fingerprint-then-probe core so the two modalities (and their
+    batch siblings) cannot drift. Same snapshot-layout and watermark
+    contracts; output ``(id_new, id_seen, hamming)``."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        audio_ahash,
+    )
+    return _streaming_fingerprint_flags(
+        media, seen_banded, audio_ahash, max_hamming=max_hamming,
+        n_blocks=n_blocks, key_blocks=key_blocks, ts_col=ts_col,
+        watermark=watermark)
+
+
+def _streaming_fingerprint_flags(media, seen_banded, fingerprint_fn,
+                                 max_hamming, n_blocks, key_blocks,
+                                 ts_col, watermark) -> DataFrame:
+    """Shared stream-static probe core of
+    :func:`streaming_image_flags` / :func:`streaming_audio_flags`:
+    fingerprint each arriving payload in the stateless Arrow kernel
+    (event time rides through), band with the snapshot's geometry,
+    stream-static inner-join, verify exact hamming, watermark-bound
+    the multi-band repeats."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+
+    fps = fingerprint_fn(media, extra_cols=(ts_col,) if ts_col else ())
     pairs = incremental_hamming_pairs(
         fps, seen_banded, max_hamming=max_hamming, n_blocks=n_blocks,
         key_blocks=key_blocks,

@@ -947,3 +947,71 @@ def test_streaming_image_flags_matches_incremental_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == want and len(got) >= 1
+
+
+def test_streaming_audio_flags_matches_incremental_batch(spark, tmp_path):
+    """Audio near-dup flagging on a media stream against the persisted
+    hamming snapshot (the aHash face of streaming_image_flags, same
+    shared core): a drained stream's flags equal the batch incremental
+    probe's verdicts, and the planted re-encode flags its original."""
+    import base64
+    import json as _json
+
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        dedup as D,
+        multimodal as M,
+    )
+
+    def chirp(seed, rate=16000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(rate * 2) / rate
+        clip = (np.sin(2 * np.pi * (200 + 90 * seed
+                                    + (400 + 50 * seed) * t) * t)
+                * (0.5 + 0.5 * np.sin(2 * np.pi * (1.3 + 0.4 * seed) * t))
+                + 0.2 * rng.standard_normal(len(t)) * (t % 0.7 < 0.35))
+        return (np.clip(clip, -1, 1) * 20000).astype("<i2")
+
+    a, b = chirp(0), chirp(5)
+    wav_a, wav_b = bytes(M.write_wav(a, 16000)), bytes(M.write_wav(b, 16000))
+    seen = spark.createDataFrame(
+        [(1, "audio", wav_a), (2, "audio", wav_b)],
+        "media_id long, kind string, payload binary")
+    bands_path = str(tmp_path / "aud_bands")
+    D.hamming_band_keys(M.audio_ahash(seen), max_hamming=6,
+                        n_blocks=8).write.parquet(bands_path)
+    seen_banded = spark.read.parquet(bands_path)
+
+    batch_rows = [(10, "audio", bytes(M.resample_wav(wav_a, 8000)),
+                   "2024-01-01T00:00:00"),
+                  (11, "audio", bytes(M.write_wav(chirp(9), 16000)),
+                   "2024-01-01T00:01:00")]
+    batch = spark.createDataFrame(
+        [(i, k, p) for i, k, p, _ in batch_rows],
+        "media_id long, kind string, payload binary")
+    want = sorted(map(tuple, D.incremental_hamming_pairs(
+        M.audio_ahash(batch), seen_banded,
+        max_hamming=6, n_blocks=8).collect()))
+    assert any(r[0] == 10 and r[1] == 1 for r in want)
+
+    d = str(tmp_path / "aud_stream")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "drop-0.json"), "w") as fh:
+        for i, k, p, ts in batch_rows:
+            fh.write(_json.dumps({
+                "media_id": i, "kind": k,
+                "payload": base64.b64encode(p).decode(), "ts": ts}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("media_id long, kind string, payload string,"
+                      " ts timestamp").load(d)
+              .withColumn("payload", F.unbase64("payload")))
+    out = str(tmp_path / "aud_flags")
+    q = (S.streaming_audio_flags(stream, seen_banded,
+                                 max_hamming=6, n_blocks=8)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_aud"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want and len(got) >= 1
