@@ -481,6 +481,59 @@ def scale_probe(spark, factors: list[int]) -> dict:
                                 "capped_rows": cap.get("capped_rows", 0)})
         media.unpersist()
 
+    # auddedup: audio perceptual near-dup (aHash -> the same Manku
+    # banding as imgdedup). 200 synthetic chirp+noise clips per
+    # replica (distinct per replica via seeded generation — gradient
+    # decorrelation falls out of the content being different), one
+    # planted resampled re-encode per replica — pairs grow ~f, wall
+    # linear in clips (one Arrow FFT scan + 16-byte band rows).
+    out["auddedup"] = []
+    audio_rate = 8000
+    t_axis = np.arange(audio_rate) / audio_rate          # 1 s clips
+    for f in factors:
+        rows = []
+        # aHash reads 9x8 time-band energy GRADIENTS, so the fixture
+        # must be broadband with independent band envelopes — a sum of
+        # 8 band-center tones each amplitude-modulated by a random
+        # per-segment envelope gives unrelated clips ~32-bit distances
+        # (single-tone chirps leave most bands at noise level and
+        # unrelated clips false-pair); the planted re-encode stays
+        # within a few bits
+        band_tones = np.sin(2 * np.pi
+                            * np.geomspace(140, 3400, 8)[:, None]
+                            * t_axis[None, :])
+        seg_idx = np.minimum((np.arange(len(t_axis)) * 9)
+                             // len(t_axis), 8)
+        for i in range(f):
+            arng = np.random.default_rng(7000 + i)
+            for j in range(200):
+                env = 0.1 + 0.9 * arng.random((9, 8))
+                clip = (band_tones * env[seg_idx].T).sum(axis=0) / 8.0
+                pcm = (np.clip(clip, -1, 1) * 20000).astype("<i2")
+                wav = bytes(MM.write_wav(pcm, audio_rate))
+                rows.append((i * 10_000 + j, "audio", wav))
+                if j == 0:   # one planted near-dup per replica: a
+                    # gain-scaled, quantization-noised re-encode
+                    # (a 4 kHz resample would CUT the top bands —
+                    # that is a legitimate >6-bit change, not a dup)
+                    redo = ((pcm * 0.5).astype(np.int32)
+                            + arng.integers(-120, 120, len(pcm))) \
+                        .astype("<i2")
+                    rows.append((i * 10_000 + 5000, "audio",
+                                 bytes(MM.write_wav(redo, audio_rate))))
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary") \
+            .repartition(32).persist()
+        n = media.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = MM.audio_neardup_pairs(media, max_hamming=6).count()
+            best = min(best, time.perf_counter() - t0)
+        out["auddedup"].append({"factor": f, "n_docs": n,
+                                "candidates": c, "sec": round(best, 3)})
+        media.unpersist()
+
     # semdecon: embedding-space decontamination CANDIDATE stage
     # (threshold=-1 keeps every bucket-collision pair, the probe
     # convention). Corpus replicas sign-flip-decorrelate exactly like
@@ -637,7 +690,7 @@ def main() -> None:
                       fh, indent=1)
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
-                "imgdedup")
+                "imgdedup", "auddedup")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
