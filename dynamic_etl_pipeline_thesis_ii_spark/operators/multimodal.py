@@ -2271,3 +2271,42 @@ def audio_dedup(media: DataFrame, max_hamming: int = 6,
                                 cap_report=cap_report,
                                 hot_policy=hot_policy)
     return dedup_by_components(media, pairs, id_col="media_id")
+
+
+# ---------------------------------------------------------------------------
+# media census (mergeable per-kind telemetry, the media face of
+# text.corpus_census)
+# ---------------------------------------------------------------------------
+
+def media_census(media: DataFrame) -> DataFrame:
+    """Mergeable per-kind media census: ``(kind, stratum, n_items,
+    n_bytes)`` with ``kind='media_kind'`` rows per media kind plus one
+    ``'__total__'`` row — the media face of ``text.corpus_census``
+    (same shape discipline: exact integer sums, |kinds|+1 rows, so the
+    fold machinery and the Datasheets-style reporting treat documents
+    and media uniformly). Merge law: :func:`merge_media_census` over
+    two disjoint batches equals the census of their union (pinned in
+    tests) — the property continuous ingest folds on."""
+    per_kind = (media.groupBy(F.col("kind").alias("stratum"))
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.coalesce(F.sum(F.octet_length("payload")),
+                                F.lit(0)).alias("n_bytes"))
+                .select(F.lit("media_kind").alias("kind"), "stratum",
+                        "n_items", "n_bytes"))
+    total = (media.agg(F.count(F.lit(1)).alias("n_items"),
+                       F.coalesce(F.sum(F.octet_length("payload")),
+                                  F.lit(0)).alias("n_bytes"))
+             .select(F.lit("__total__").alias("kind"),
+                     F.lit("__total__").alias("stratum"),
+                     "n_items", "n_bytes"))
+    return per_kind.unionByName(total)
+
+
+def merge_media_census(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two media censuses: exact integer sums per (kind,
+    stratum) — ``merge(census(A), census(B)) == census(A ∪ B)`` for
+    disjoint A/B, the invariant the streaming sink relies on."""
+    return (a.unionByName(b)
+            .groupBy("kind", "stratum")
+            .agg(F.sum("n_items").alias("n_items"),
+                 F.sum("n_bytes").alias("n_bytes")))

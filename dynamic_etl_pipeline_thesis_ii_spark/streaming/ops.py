@@ -460,14 +460,31 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
         merge_histogram,
     )
 
-    meta_path = census_path.rstrip("/") + "_meta"
-    hist_path = census_path.rstrip("/") + "_hist"
+    stores = [(census_path,
+               lambda b: corpus_census(b, strata=strata), merge_census)]
+    if histogram:
+        stores.append((census_path.rstrip("/") + "_hist",
+                       lambda b: census_histogram(b, strata=strata),
+                       merge_histogram))
+    return marked_fold(census_path.rstrip("/") + "_meta", stores,
+                       stream_id)
+
+
+def marked_fold(meta_path: str, stores: list, stream_id: Optional[str]):
+    """Generic replay-safe read-merge-rewrite fold over one or more
+    tiny mergeable stores — the machinery of :func:`census_fold`
+    factored out so ANY mergeable telemetry (document census,
+    histogram, media census) shares one high-water-mark
+    implementation. ``stores`` is a list of ``(path, fresh_fn,
+    merge_fn)``: per batch, every store's merged rows materialize
+    BEFORE any store is overwritten (a crash can't leave one sidecar
+    folded from a half-written other), and the ``(stream_id,
+    max_batch_id)`` mark at ``meta_path`` advances only after all
+    writes (see :func:`census_fold` for the residual one-batch
+    window). ``stream_id`` resolves through
+    :func:`checkpoint_instance_id` on first fold."""
 
     def _folded_rows(spark, path, fresh, merge):
-        """Merged rows for one store, materialized driver-side —
-        computed for EVERY store before ANY store is overwritten, so
-        a crash can't leave one sidecar folded from a half-written
-        other."""
         try:
             prior_rows = spark.read.parquet(path).collect()
         except Exception:           # bootstrap: no store yet
@@ -494,14 +511,9 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
             if any(r["stream_id"] == sid
                    and batch_id <= r["max_batch_id"] for r in meta):
                 return              # replayed batch: already folded
-        pending = [(census_path, *_folded_rows(
-            spark, census_path,
-            corpus_census(batch_df, strata=strata), merge_census))]
-        if histogram:
-            pending.append((hist_path, *_folded_rows(
-                spark, hist_path,
-                census_histogram(batch_df, strata=strata),
-                merge_histogram)))
+        pending = [(path, *_folded_rows(spark, path, fresh_fn(batch_df),
+                                        merge_fn))
+                   for path, fresh_fn, merge_fn in stores]
         for path, rows, schema in pending:   # all reads done; now write
             spark.createDataFrame(rows, schema) \
                 .coalesce(1).write.mode("overwrite").parquet(path)
@@ -512,6 +524,27 @@ def census_fold(census_path: str, strata: tuple = ("lang", "source"),
                 .coalesce(1).write.mode("overwrite").parquet(meta_path)
 
     return fold
+
+
+def streaming_media_census_sink(media: DataFrame, census_path: str,
+                                checkpoint_dir: Optional[str] = None):
+    """Continuous-ingest telemetry for a MEDIA stream: fold each
+    micro-batch's per-kind item/byte census
+    (``operators.multimodal.media_census``) into the store at
+    ``census_path`` — the media face of :func:`streaming_census_sink`,
+    riding the identical :func:`marked_fold` replay machinery (same
+    instance-keyed high-water mark, same crash window)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        media_census,
+        merge_media_census,
+    )
+    return foreach_batch_sink(
+        media,
+        batch_fn=marked_fold(
+            census_path.rstrip("/") + "_meta",
+            [(census_path, media_census, merge_media_census)],
+            checkpoint_dir),
+        checkpoint_dir=checkpoint_dir)
 
 
 def streaming_census_sink(docs: DataFrame, census_path: str,

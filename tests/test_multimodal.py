@@ -1983,3 +1983,25 @@ def test_audio_neardup_and_dedup(spark):
     assert all({a, b} == {1, 2} for a, b in pairs)
     kept = {r["media_id"] for r in M.audio_dedup(media).collect()}
     assert kept == {1, 3, 4, 5}
+
+
+def test_media_census_merge_law(spark):
+    """media_census: per-kind items/bytes + __total__, and the merge
+    law merge(census(A), census(B)) == census(A ∪ B) for disjoint
+    batches — the invariant the streaming fold relies on."""
+    rows_a = [(1, "image", b"x" * 10), (2, "audio", b"y" * 20),
+              (3, "image", b"z" * 5)]
+    rows_b = [(4, "video", b"v" * 7), (5, "image", b"w" * 3)]
+    schema = "media_id long, kind string, payload binary"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    both = spark.createDataFrame(rows_a + rows_b, schema)
+    want = sorted(map(tuple, M.media_census(both).collect()))
+    got = sorted(map(tuple, M.merge_media_census(
+        M.media_census(a), M.media_census(b)).collect()))
+    assert got == want
+    rows = {(r["kind"], r["stratum"]): (r["n_items"], r["n_bytes"])
+            for r in M.media_census(both).collect()}
+    assert rows[("media_kind", "image")] == (3, 18)
+    assert rows[("media_kind", "audio")] == (1, 20)
+    assert rows[("__total__", "__total__")] == (5, 45)

@@ -1015,3 +1015,56 @@ def test_streaming_audio_flags_matches_incremental_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == want and len(got) >= 1
+
+
+def test_streaming_media_census_sink_folds_batches(spark, tmp_path):
+    """The media-census sink folds micro-batches into a store that
+    equals a full recompute over everything ingested (marked_fold's
+    replay machinery shared with the document census — one replayed
+    batch folds exactly once)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        media_census,
+        merge_media_census,
+    )
+
+    schema = "media_id long, kind string, payload binary"
+    b0 = spark.createDataFrame(
+        [(i, "image" if i % 2 else "audio", b"p" * (10 + i))
+         for i in range(6)], schema)
+    b1 = spark.createDataFrame([(100, "video", b"q" * 9)], schema)
+    census_path = str(tmp_path / "mcensus")
+
+    fold = S.marked_fold(
+        census_path + "_meta",
+        [(census_path, media_census, merge_media_census)],
+        stream_id="ckpt-M")
+    fold(b0, 0)
+    fold(b1, 1)
+    fold(b0, 0)          # replay: must be a no-op
+    want = sorted(map(tuple, merge_media_census(
+        media_census(b0), media_census(b1)).collect()))
+    got = sorted(map(tuple, spark.read.parquet(census_path).collect()))
+    assert got == want
+
+    # the sink face drives the same fold from a real stream
+    import base64
+    import json as _json
+    import os as _os
+    d = str(tmp_path / "media_in")
+    _os.makedirs(d, exist_ok=True)
+    with open(_os.path.join(d, "drop-0.json"), "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps({
+                "media_id": 200 + i, "kind": "image",
+                "payload": base64.b64encode(b"r" * 8).decode()}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("media_id long, kind string, payload string")
+              .load(d).withColumn("payload", F.unbase64("payload")))
+    out_census = str(tmp_path / "mcensus2")
+    q = S.streaming_media_census_sink(
+        stream, out_census, checkpoint_dir=str(tmp_path / "ckpt_mc"))
+    q.awaitTermination(120)
+    rows = {(r["kind"], r["stratum"]): (r["n_items"], r["n_bytes"])
+            for r in spark.read.parquet(out_census).collect()}
+    assert rows[("__total__", "__total__")] == (4, 32)
+    assert rows[("media_kind", "image")] == (4, 32)
