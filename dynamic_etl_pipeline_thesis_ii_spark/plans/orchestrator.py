@@ -1237,12 +1237,12 @@ class Pipeline:
         else:
             from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
                 image_dhash,
+                media_census,
             )
-            kinds = {r["kind"]: {"n_items": r["n"], "n_bytes": r["b"]}
-                     for r in media.groupBy("kind").agg(
-                         F.count(F.lit(1)).alias("n"),
-                         F.coalesce(F.sum(F.octet_length("payload")),
-                                    F.lit(0)).alias("b")).collect()}
+            kinds = {r["stratum"]: {"n_items": r["n_items"],
+                                    "n_bytes": r["n_bytes"]}
+                     for r in media_census(media).collect()
+                     if r["kind"] == "media_kind"}
             n_images = kinds.get("image", {}).get("n_items", 0)
             n_decodable = image_dhash(media).count() if n_images else 0
             card["media"] = {
@@ -1918,6 +1918,15 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       query says source/domain, else lang);
     - ``chunk_documents`` — 'chunk for RAG, size 256 stride 192'
       (RAG splitting; size/stride default to the operator's 128/96);
+    - ``image_dedup`` / ``audio_dedup`` — 'dedup the images' /
+      'dedup the audio clips' (perceptual dHash/aHash dedup over the
+      source dir's media table; kept rows + the banded fingerprint
+      snapshot land at the sink; 'within N bits' tunes max_hamming,
+      'recovering hot buckets' opts into reband);
+    - ``image_probe`` / ``audio_probe`` — 'flag the new images|audio
+      against the snapshot at /path' (batch-cost probe of a persisted
+      hamming snapshot with its own geometry; '... and update the
+      snapshot' appends the batch's fresh fingerprints — epoch grow);
     - ``corpus_to_shards`` — everything else. Defaults match the
       registry query (budget 15k, seq 512, 4 shards); ``epoch N``
       binds a deterministic per-epoch shuffle salt; a "bpe" mention
