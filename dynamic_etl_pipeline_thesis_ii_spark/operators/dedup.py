@@ -199,7 +199,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       k: int = 3, n_hashes: int = 16, bands: int = 4,
                       max_bucket: int | None = 2000,
                       shingles: DataFrame | None = None,
-                      cap_report: dict | None = None) -> DataFrame:
+                      cap_report: dict | None = None,
+                      hot_policy: str = "drop") -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     rows-per-band r = n_hashes/bands; two docs collide if any band's
@@ -217,27 +218,49 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     :func:`bucket_cap_stats` over the marked band table records the
     buckets/rows dropped — one tiny EAGER aggregate over a persisted
     frame the self-join reuses anyway (see :func:`hamming_band_pairs`).
+
+    ``hot_policy="star"`` recovers over-cap buckets at LINEAR cost
+    instead of dropping them: each hot (band, slice) bucket
+    contributes (min-id hub, member) pairs — component-equivalent to
+    the O(b²) clique it replaces, and the SAME evidence level as any
+    normal candidate (a candidate IS a single-band collision), so a
+    near-identical boilerplate flood larger than the cap still
+    collapses to one kept doc downstream rather than sailing through
+    dedup untouched. Default stays ``"drop"`` (the classic guard).
     Returns distinct (id_a < id_b) candidate pairs.
     """
+    if hot_policy not in ("drop", "star"):
+        raise ValueError(
+            f"hot_policy must be 'drop' or 'star', got {hot_policy!r}")
     banded = minhash_band_keys(df, text_col, id_col, k, n_hashes, bands,
                                shingles)
+    star = None
     if max_bucket is not None:
         # window on the same (band, slice) keys the join shuffles on —
         # the exchange is shared, so the guard costs no extra shuffle
         banded = banded.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))
-        if cap_report is not None:
+        if cap_report is not None or hot_policy == "star":
             banded = banded.persist()
+        if cap_report is not None:
             cap_report.update(bucket_cap_stats(banded, max_bucket))
+        if hot_policy == "star":
+            hub = F.min("id").over(Window.partitionBy("band", "slice"))
+            star = (banded.filter(F.col("__bn") > max_bucket)
+                    .withColumn("__hub", hub)
+                    .filter(F.col("id") != F.col("__hub"))
+                    .select(F.col("__hub").alias("id_a"),
+                            F.col("id").alias("id_b")))
         banded = banded.filter(F.col("__bn") <= max_bucket).drop("__bn")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.slice") == F.col("b.slice"))
                     & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
-    return pairs
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -1064,7 +1087,8 @@ def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
                               id_col: str = "doc_id", k: int = 3,
                               n_hashes: int = 16, bands: int = 4,
                               max_bucket: int | None = 2000,
-                              cap_report: dict | None = None) -> DataFrame:
+                              cap_report: dict | None = None,
+                              hot_policy: str = "drop") -> DataFrame:
     """Near-dup candidates BETWEEN a new batch and the corpus snapshot:
     band the batch with the same LSH parameters and equi-join against
     the persisted band table. Output (id_new, id_seen) distinct pairs.
@@ -1077,29 +1101,53 @@ def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,
     and the pair join only ever touch snapshot rows in probed buckets.
     The cap applies to the snapshot side (boilerplate buckets); bucket
     counts on the pruned set equal full-table counts because pruning
-    keeps or drops whole buckets."""
+    keeps or drops whole buckets.
+
+    ``hot_policy="star"``: a batch doc probing an over-cap snapshot
+    bucket still flags — against ONE representative (the bucket's
+    min-id member) instead of the whole flood, so the pair volume
+    stays |batch|-bounded while a new boilerplate copy no longer
+    sails past the snapshot unflagged (the drop policy's silent
+    recall hole on exactly the densest duplicate clusters)."""
+    if hot_policy not in ("drop", "star"):
+        raise ValueError(
+            f"hot_policy must be 'drop' or 'star', got {hot_policy!r}")
     nb = minhash_band_keys(new_docs, text_col, id_col, k, n_hashes, bands)
     probe_keys = nb.select("band", "slice").distinct()
     sb = seen_bands.join(F.broadcast(probe_keys), ["band", "slice"],
                          "left_semi")
+    star = None
     if max_bucket is not None:
         sb = sb.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "slice")))
+        if cap_report is not None or hot_policy == "star":
+            sb = sb.persist()
         if cap_report is not None:
             # stats over the PROBED buckets only — the buckets this
             # batch actually loses recall in (pruning keeps or drops
             # whole buckets, so these counts equal full-table counts
             # for every probed bucket)
-            sb = sb.persist()
             cap_report.update(bucket_cap_stats(sb, max_bucket))
+        if hot_policy == "star":
+            reps = (sb.filter(F.col("__bn") > max_bucket)
+                    .groupBy("band", "slice")
+                    .agg(F.min("id").alias("id")))
+            star = (nb.alias("n").join(
+                        reps.alias("s"),
+                        (F.col("n.band") == F.col("s.band"))
+                        & (F.col("n.slice") == F.col("s.slice")))
+                    .select(F.col("n.id").alias("id_new"),
+                            F.col("s.id").alias("id_seen")))
         sb = sb.filter(F.col("__bn") <= max_bucket).drop("__bn")
-    return (nb.alias("n").join(
+    pairs = (nb.alias("n").join(
                 sb.alias("s"),
                 (F.col("n.band") == F.col("s.band"))
                 & (F.col("n.slice") == F.col("s.slice")))
-            .select(F.col("n.id").alias("id_new"),
-                    F.col("s.id").alias("id_seen"))
-            .distinct())
+             .select(F.col("n.id").alias("id_new"),
+                     F.col("s.id").alias("id_seen")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -1365,3 +1365,60 @@ def test_reband_hot_policy_recovers_cluster_recall(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hot_policy"):
         hamming_band_pairs(calm, hot_policy="nope")
+
+
+def test_minhash_star_policy_recovers_boilerplate_flood(spark):
+    """hot_policy='star' on the MinHash paths: the 1200-doc identical
+    boilerplate flood (every band bucket over the cap) still collapses
+    to ONE kept doc via linear hub pairs — the drop policy keeps all
+    1200 silently — while healthy-bucket pairs are identical across
+    policies. The incremental probe flags a NEW flood member against
+    one representative instead of ignoring it."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        dedup_by_components,
+        incremental_neardup_pairs,
+        minhash_band_keys,
+        minhash_lsh_pairs,
+    )
+    corpus = _degenerate_corpus(spark)
+
+    starred = minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,
+                                max_bucket=100, hot_policy="star")
+    kept = dedup_by_components(corpus, starred)
+    n_boiler_kept = kept.filter("doc_id < 1200").count()
+    assert n_boiler_kept == 1
+    # the healthy planted pair still collapses too
+    assert kept.filter("doc_id in (10000, 20000)").count() == 1
+
+    dropped = minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,
+                                max_bucket=100, hot_policy="drop")
+    assert dedup_by_components(corpus, dropped) \
+        .filter("doc_id < 1200").count() == 1200
+
+    # star only ever ADDS hub pairs: every drop-policy pair survives
+    p_drop = {(r["id_a"], r["id_b"]) for r in dropped.collect()}
+    p_star = {(r["id_a"], r["id_b"]) for r in starred.collect()}
+    assert p_drop <= p_star
+
+    # incremental face: a new flood member flags against exactly the
+    # bucket representative; a healthy near-dup still flags normally
+    seen = minhash_band_keys(corpus, k=3, n_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(90_000, "lorem ipsum dolor sit amet consectetur adipiscing "
+                  "elit sed do"),
+         (90_001, "unique document number 3 about topic 3 with extra "
+                  "words alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"])
+    flags = {(r["id_new"], r["id_seen"]) for r in
+             incremental_neardup_pairs(batch, seen, k=3, n_hashes=16,
+                                       bands=4, max_bucket=100,
+                                       hot_policy="star").collect()}
+    assert (90_000, 0) in flags          # min-id flood representative
+    assert (90_001, 10_003) in flags     # healthy path unchanged
+    assert all(s == 0 for n, s in flags if n == 90_000)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hot_policy"):
+        minhash_lsh_pairs(corpus, hot_policy="nope")
+    with _pytest.raises(ValueError, match="hot_policy"):
+        incremental_neardup_pairs(batch, seen, hot_policy="nope")
