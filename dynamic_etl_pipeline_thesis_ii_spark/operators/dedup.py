@@ -492,7 +492,13 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
     count as ``__bn`` instead of filtering — the telemetry face: the
     caller decides what to do with over-cap buckets (count them via
     :func:`bucket_cap_stats`, drop them, or re-band them) without a
-    second window pass."""
+    second window pass. ``cap_mode="represent"`` keeps under-cap
+    buckets whole and reduces each over-cap bucket to its MIN-ID row —
+    the snapshot-store mode: a persisted band table stays
+    |corpus|-bounded under duplicate floods, yet a later batch probing
+    a flood bucket still collides with its representative and
+    hamming-verifies against a real member instead of silently
+    missing (the probe-side face of the reband/star recovery)."""
     widths, offsets, combos = _band_geometry(n_blocks, max_hamming,
                                              key_blocks)
 
@@ -513,13 +519,25 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
         "id", "sim", *extras, F.explode(F.array(*entries)).alias("bk"),
     ).select("id", "sim", *extras, F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
+    if cap_mode not in ("drop", "mark", "represent"):
+        raise ValueError(f"cap_mode must be 'drop', 'mark' or "
+                         f"'represent', got {cap_mode!r}")
     if cap_mode == "mark":
         return banded.withColumn(
             "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
     if max_bucket is not None:
-        banded = (banded.withColumn(
-            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
-            .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+        w = Window.partitionBy("band", "key")
+        banded = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        if cap_mode == "represent":
+            # both windows ride ONE (band, key) exchange; over-cap
+            # buckets shrink to their min-id member
+            banded = (banded.withColumn("__min", F.min("id").over(w))
+                      .filter((F.col("__bn") <= max_bucket)
+                              | (F.col("id") == F.col("__min")))
+                      .drop("__bn", "__min"))
+        else:
+            banded = (banded.filter(F.col("__bn") <= max_bucket)
+                      .drop("__bn"))
     return banded
 
 

@@ -570,8 +570,13 @@ class Pipeline:
         kept.write.mode("overwrite").parquet(output_path)
         n_kept = self.spark.read.parquet(output_path).count()  # read-back
         snap = output_path + "_snapshot"
+        # represent mode: over-cap buckets keep their min-id member so
+        # the PERSISTED snapshot stays probe-able under duplicate
+        # floods (a later flood copy flags against the representative
+        # instead of silently missing) while staying |corpus|-bounded
         save_hamming_snapshot(
-            hamming_band_keys(fps, max_hamming=mh, n_blocks=nb),
+            hamming_band_keys(fps, max_hamming=mh, n_blocks=nb,
+                              cap_mode="represent"),
             snap, max_hamming=mh, n_blocks=nb)
         fps.unpersist()
         self.progress("publish", {"rows": n_kept, "path": output_path})

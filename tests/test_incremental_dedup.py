@@ -617,3 +617,41 @@ def test_hamming_snapshot_layout_prunes_probes(spark, tmp_path):
         hit = [1 for bm, bM, km, kM in ranges
                if bm <= b <= bM and km <= k <= kM]
         assert 1 <= len(hit) <= max(1, len(ranges) // 8), (b, k, hit)
+
+
+def test_hamming_represent_mode_keeps_flood_probeable(spark):
+    """cap_mode='represent': over-cap buckets shrink to their min-id
+    member instead of vanishing, so a snapshot built under a
+    duplicate flood still flags a NEW flood copy (the drop snapshot
+    silently misses it); under-cap buckets are untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    s0 = int(rng.integers(-(2 ** 63), 2 ** 63, dtype=np.int64))
+    s1 = int(rng.integers(-(2 ** 63), 2 ** 63, dtype=np.int64))
+    rows = [(i, s0) for i in range(50)]          # flood: 50 identical
+    rows.append((900, s1))                        # healthy loner
+    fps = spark.createDataFrame(rows, "id long, sim long")
+
+    rep = D.hamming_band_keys(fps, max_hamming=6, n_blocks=8,
+                              max_bucket=10, cap_mode="represent")
+    # every flood bucket keeps exactly ONE row (id 0); healthy rows whole
+    per_bucket = rep.filter("id < 900").groupBy("band", "key").count()
+    assert per_bucket.filter("count > 1").count() == 0
+    assert rep.filter("id = 0").count() == 28     # all C(8,2) bands
+    assert rep.filter("id = 900").count() == 28
+
+    batch = spark.createDataFrame([(5000, s0)], "id long, sim long")
+    got = {(r["id_new"], r["id_seen"], r["hamming"]) for r in
+           D.incremental_hamming_pairs(batch, rep, max_hamming=6,
+                                       n_blocks=8).collect()}
+    assert got == {(5000, 0, 0)}                  # flags the representative
+
+    dropped = D.hamming_band_keys(fps, max_hamming=6, n_blocks=8,
+                                  max_bucket=10)
+    assert D.incremental_hamming_pairs(batch, dropped, max_hamming=6,
+                                       n_blocks=8).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap_mode"):
+        D.hamming_band_keys(fps, cap_mode="nope")
