@@ -308,6 +308,8 @@ class Pipeline:
             return self._run_media_dedup(plan, source_dir, output_path)
         if plan["target"] in ("image_probe", "audio_probe"):
             return self._run_media_probe(plan, source_dir, output_path)
+        if plan["target"] == "neardup_probe":
+            return self._run_neardup_probe(plan, source_dir, output_path)
         if plan["target"] == "incremental_dedup":
             return self._run_incremental_dedup(plan, source_dir,
                                                output_path)
@@ -683,6 +685,82 @@ class Pipeline:
                             "snapshot_rows_after": n_after,
                             f"{noun}_appended": n_appended})
         fps.unpersist()
+        self.progress("publish", {"rows": n_pairs, "path": output_path})
+        return {"status": "complete", "outputs": [pairs],
+                "reports": reports}
+
+    def _run_neardup_probe(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'flag near-duplicate documents against the band snapshot at
+        /path': the TEXT near-dup face of the media probes — band the
+        source dir's documents with the MinHash LSH parameters and
+        probe the persisted band table
+        (``dedup.incremental_neardup_pairs``: broadcast-prune the
+        snapshot to the batch's probe keys, equi-join — batch cost,
+        never corpus). Flag pairs ``(id_new, id_seen)`` land at the
+        sink; hot-bucket cap telemetry rides the report and
+        'recovering hot buckets' opts into the star policy (a batch
+        doc probing an over-cap flood bucket flags against the
+        bucket's min-id representative instead of sailing through).
+        '... and update the snapshot' appends the batch's fresh
+        (unflagged, within-batch-deduped) band keys — the text twin
+        of the media epoch-grow step."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            dedup_exact,
+            incremental_neardup_pairs,
+            minhash_band_keys,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("snapshot_path"):
+            return {"status": "rejected",
+                    "reason": "near-dup probe needs a snapshot path "
+                              "('... against the band snapshot at "
+                              "/path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            bands = self.spark.read.parquet(plan["snapshot_path"])
+            if not {"id", "band", "slice"} <= set(bands.columns):
+                raise ValueError(
+                    f"not a band table (columns {bands.columns})")
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no loadable band snapshot at "
+                              f"{plan['snapshot_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        batch = Catalog(self.spark, source_dir).documents
+        n_in = batch.count()
+        cap: dict = {}
+        pairs = incremental_neardup_pairs(
+            batch, bands, cap_report=cap,
+            hot_policy=plan.get("hot_policy", "drop"))
+        self.progress("neardup_probe", {"params": dict(plan),
+                                        "cap": cap})
+        pairs.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)       # read-back
+        n_pairs = back.count()
+        n_flagged = back.select("id_new").distinct().count()
+        reports = {"plan": dict(plan), "batch_rows": n_in,
+                   "flag_pairs": n_pairs, "docs_flagged": n_flagged,
+                   "cap_telemetry": cap}
+        if plan.get("update"):
+            n_before = bands.count()
+            fresh = (dedup_exact(batch)
+                     .join(back.select(F.col("id_new").alias("doc_id"))
+                           .distinct(), "doc_id", "left_anti"))
+            new_bands = minhash_band_keys(fresh)
+            new_bands.write.mode("append").parquet(
+                plan["snapshot_path"])
+            n_after = self.spark.read.parquet(
+                plan["snapshot_path"]).count()
+            n_appended = fresh.count()
+            self.progress("grow_snapshot", {"appended": n_appended,
+                                            "rows_after": n_after})
+            reports.update({"snapshot_rows_before": n_before,
+                            "snapshot_rows_after": n_after,
+                            "docs_appended": n_appended})
         self.progress("publish", {"rows": n_pairs, "path": output_path})
         return {"status": "complete", "outputs": [pairs],
                 "reports": reports}
@@ -1826,6 +1904,14 @@ _MEDIA_PROBE_RE = re.compile(
     r"\b(?:flag|probe|check|dedup(?:licate)?)\b"
     r"[^.]*\b(images?|audio(?:\s+clips?)?)\b"
     r"[^.]*\bagainst\b[^.]*\bsnapshot\b")
+# text near-dup probe: 'flag near-duplicate documents against the
+# band snapshot at /p' — the MinHash band-table face of the media
+# probes; the 'band' qualifier keeps the exact-dedup route
+# ('dedup ... against the seen snapshot') unambiguous
+_NEARDUP_PROBE_RE = re.compile(
+    r"\b(?:flag|probe|check)\b[^.]*\bnear[- ]?dup(?:licate)?s?\b"
+    r"[^.]*\bagainst\b[^.]*\bband\s+snapshot\b"
+    r"|\bnear[- ]?dup(?:licate)?s?\b[^.]*\bband\s+snapshot\b")
 _MEDIA_DEDUP_RE = re.compile(
     r"\bdedup(?:licate)?\b[^.]*\b(images?|audio(?:\s+clips?)?)\b"
     r"|\b(image|audio)\s+dedup")
@@ -1949,6 +2035,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
+    if _NEARDUP_PROBE_RE.search(ql):
+        m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
+        return {"target": "neardup_probe",
+                "snapshot_path": m.group(1) if m else None,
+                "hot_policy": ("star" if ("star" in ql
+                                          or "recover" in ql)
+                               else "drop"),
+                "update": "update" in ql or "grow" in ql}
     if m := _MEDIA_PROBE_RE.search(ql):
         modality = "audio" if "audio" in m.group(1) else "image"
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case

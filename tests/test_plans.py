@@ -2368,3 +2368,77 @@ def test_pipeline_audio_dedup_and_probe_lifecycle(spark, sf_dir,
     assert (10, 3) in got
     assert not any(idn == 11 for idn, _ in got)
     assert res2["reports"]["clips_flagged"] == 1
+
+
+def test_pipeline_neardup_probe_lifecycle(spark, sf_dir, tmp_path):
+    """NL text near-dup probe (the MinHash band-table face of the
+    media probes): 'flag near-duplicate documents against the band
+    snapshot at /p' probes a persisted band table at batch cost, cap
+    telemetry rides the report, 'recovering hot buckets' flags a
+    flood copy against the bucket representative, and '... update
+    the snapshot' appends the batch's fresh band keys."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    plan = parse_dataops_query(
+        "flag near-duplicate documents against the band snapshot at /s")
+    assert plan["target"] == "neardup_probe"
+    assert plan["hot_policy"] == "drop" and plan["update"] is False
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(30)]
+        + [(100, "a unique seed document about alpine botany and "
+                 "glacier meltwater chemistry")],
+        ["doc_id", "text"])
+    bands_path = str(tmp_path / "band_snap")
+    D.minhash_band_keys(corpus).write.parquet(bands_path)
+
+    batch_src = str(tmp_path / "nd_sf")
+    spark.createDataFrame(
+        [(200, "a unique seed document about alpine botany and "
+               "glacier meltwater chemistry appended"),
+         (201, boiler),                      # flood copy
+         (202, "completely fresh content on submarine cable repair")],
+        ["doc_id", "text"]).write.parquet(batch_src
+                                          + "/documents.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "nd_flags")
+    res = pipe.run_dataops(
+        f"flag near-duplicate documents against the band snapshot at "
+        f"{bands_path}, recovering hot buckets, and update the "
+        f"snapshot", batch_src, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["plan"]["hot_policy"] == "star"
+    got = {(r["id_new"], r["id_seen"]) for r in
+           spark.read.parquet(out).collect()}
+    assert (200, 100) in got
+    assert any(idn == 201 for idn, _ in got)   # flood copy flags
+    assert not any(idn == 202 for idn, _ in got)
+    rep = res["reports"]
+    assert rep["docs_flagged"] == 2
+    assert rep["cap_telemetry"]["capped_buckets"] == 0
+    # the grow step appended ONLY the fresh doc's band keys
+    assert rep["docs_appended"] == 1
+    assert rep["snapshot_rows_after"] > rep["snapshot_rows_before"]
+    reprobe = pipe.run_dataops(
+        f"flag near-duplicate documents against the band snapshot at "
+        f"{bands_path}", batch_src, str(tmp_path / "nd2"))
+    got2 = {(r["id_new"], r["id_seen"]) for r in
+            spark.read.parquet(str(tmp_path / "nd2")).collect()}
+    assert (202, 202) in got2        # the grown snapshot knows doc 202
+
+    # rejections: missing path / not-a-band-table
+    r1 = pipe.run_dataops(
+        "flag near-duplicate documents against the band snapshot",
+        batch_src, str(tmp_path / "r1"))
+    assert r1["status"] == "rejected" and "snapshot path" in r1["reason"]
+    notbands = str(tmp_path / "notbands")
+    corpus.write.parquet(notbands)
+    r2 = pipe.run_dataops(
+        f"flag near-duplicate documents against the band snapshot at "
+        f"{notbands}", batch_src, str(tmp_path / "r2"))
+    assert r2["status"] == "rejected" and "band snapshot" in r2["reason"]
