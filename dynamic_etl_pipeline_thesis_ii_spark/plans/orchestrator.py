@@ -310,6 +310,8 @@ class Pipeline:
             return self._run_media_probe(plan, source_dir, output_path)
         if plan["target"] == "neardup_probe":
             return self._run_neardup_probe(plan, source_dir, output_path)
+        if plan["target"] == "band_snapshot":
+            return self._run_band_snapshot(plan, source_dir, output_path)
         if plan["target"] == "incremental_dedup":
             return self._run_incremental_dedup(plan, source_dir,
                                                output_path)
@@ -688,6 +690,40 @@ class Pipeline:
         self.progress("publish", {"rows": n_pairs, "path": output_path})
         return {"status": "complete", "outputs": [pairs],
                 "reports": reports}
+
+    def _run_band_snapshot(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'build a near-dup band snapshot of the corpus': persist the
+        MinHash band table of the documents table at the sink — the
+        build face of the neardup_probe target (the text twin of the
+        media_dedup snapshot save). The layout is range-partitioned on
+        (band, slice-hash) semantics via ``compact_snapshot``'s
+        discipline: we range-partition + sort on (band) and rely on
+        the probe's broadcast semi-join for pruning (slices are
+        arrays — parquet min/max stats don't apply to them, which is
+        why the probe path prunes by semi-join, not footer stats)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            minhash_band_keys,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        n_in = docs.count()
+        if n_in == 0:
+            return {"status": "rejected",
+                    "reason": "documents table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        bands = minhash_band_keys(docs)
+        (bands.repartitionByRange("band", "id")
+         .sortWithinPartitions("band", "id")
+         .write.mode("overwrite").parquet(output_path))
+        n_rows = self.spark.read.parquet(output_path).count()
+        self.progress("publish", {"rows": n_rows, "path": output_path})
+        return {"status": "complete", "outputs": [bands],
+                "reports": {"plan": dict(plan), "docs_in": n_in,
+                            "band_rows": n_rows}}
 
     def _run_neardup_probe(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
@@ -1912,6 +1948,11 @@ _NEARDUP_PROBE_RE = re.compile(
     r"\b(?:flag|probe|check)\b[^.]*\bnear[- ]?dup(?:licate)?s?\b"
     r"[^.]*\bagainst\b[^.]*\bband\s+snapshot\b"
     r"|\bnear[- ]?dup(?:licate)?s?\b[^.]*\bband\s+snapshot\b")
+# 'build a near-dup band snapshot of the corpus' — the build face of
+# the probe above (scoped to build verbs so the probe route keeps
+# every 'against ...' phrasing)
+_BAND_SNAPSHOT_BUILD_RE = re.compile(
+    r"\b(?:build|create|fit|make)\b[^.]*\bband\s+snapshot\b")
 _MEDIA_DEDUP_RE = re.compile(
     r"\bdedup(?:licate)?\b[^.]*\b(images?|audio(?:\s+clips?)?)\b"
     r"|\b(image|audio)\s+dedup")
@@ -2035,6 +2076,8 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
+    if _BAND_SNAPSHOT_BUILD_RE.search(ql):
+        return {"target": "band_snapshot"}
     if _NEARDUP_PROBE_RE.search(ql):
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "neardup_probe",

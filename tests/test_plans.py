@@ -2442,3 +2442,54 @@ def test_pipeline_neardup_probe_lifecycle(spark, sf_dir, tmp_path):
         f"flag near-duplicate documents against the band snapshot at "
         f"{notbands}", batch_src, str(tmp_path / "r2"))
     assert r2["status"] == "rejected" and "band snapshot" in r2["reason"]
+
+
+def test_pipeline_band_snapshot_build_then_probe(spark, sf_dir,
+                                                 tmp_path):
+    """NL-only text near-dup lifecycle: build the band snapshot from
+    one corpus dir, probe a batch dir against it — chained through
+    nothing but run_dataops."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query(
+        "build a near-dup band snapshot of the corpus")["target"] == \
+        "band_snapshot"
+
+    corpus_src = str(tmp_path / "bs_corpus")
+    spark.createDataFrame(
+        [(1, "a unique seed document about alpine botany and glacier "
+             "meltwater chemistry"),
+         (2, "submarine cable repair logistics in the north atlantic")],
+        ["doc_id", "text"]).write.parquet(corpus_src
+                                          + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    snap = str(tmp_path / "bs_snap")
+    res = pipe.run_dataops("build a near-dup band snapshot of the "
+                           "corpus", corpus_src, snap)
+    assert res["status"] == "complete"
+    assert res["reports"]["docs_in"] == 2
+    assert res["reports"]["band_rows"] == 8      # 2 docs x 4 bands
+
+    batch_src = str(tmp_path / "bs_batch")
+    spark.createDataFrame(
+        [(10, "a unique seed document about alpine botany and glacier "
+              "meltwater chemistry appended")],
+        ["doc_id", "text"]).write.parquet(batch_src
+                                          + "/documents.parquet")
+    res2 = pipe.run_dataops(
+        f"flag near-duplicate documents against the band snapshot at "
+        f"{snap}", batch_src, str(tmp_path / "bs_flags"))
+    assert res2["status"] == "complete"
+    got = {(r["id_new"], r["id_seen"]) for r in
+           spark.read.parquet(str(tmp_path / "bs_flags")).collect()}
+    assert got == {(10, 1)}
+
+    # empty corpus rejects like the sibling builders
+    empty_src = str(tmp_path / "bs_empty")
+    spark.createDataFrame([], "doc_id long, text string") \
+        .write.parquet(empty_src + "/documents.parquet")
+    r = pipe.run_dataops("build a near-dup band snapshot of the corpus",
+                         empty_src, str(tmp_path / "bs_e"))
+    assert r["status"] == "rejected" and "empty" in r["reason"]
