@@ -1083,13 +1083,29 @@ def incremental_exact(new_docs: DataFrame, seen: DataFrame,
 def minhash_band_keys(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       n_hashes: int = 16, bands: int = 4,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      max_bucket: int | None = None,
+                      cap_mode: str = "keep") -> DataFrame:
     """(id, band, slice) LSH band rows — the near-dup snapshot format:
     a corpus persists its band table; an incremental batch probes it
-    for bucket collisions instead of re-pairing the whole corpus."""
+    for bucket collisions instead of re-pairing the whole corpus.
+
+    ``cap_mode="represent"`` (with ``max_bucket``) shrinks each
+    over-cap (band, slice) bucket to its MIN-ID member at build time —
+    the flood-proof snapshot mode (the MinHash twin of
+    ``hamming_band_keys``' represent mode): a boilerplate flood stays
+    one row per band in the store, a later batch/stream copy still
+    collides with the representative, and — critically for
+    ``streaming_neardup_flags``, whose stream-static join applies NO
+    probe-time cap — per-item join fan-out is bounded by the cap
+    instead of the flood size. Default ``"keep"`` stores every row
+    (probe-time caps then govern)."""
+    if cap_mode not in ("keep", "represent"):
+        raise ValueError(f"cap_mode must be 'keep' or 'represent', "
+                         f"got {cap_mode!r}")
     r = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, shingles)
-    return sigs.select(
+    out = sigs.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
@@ -1098,6 +1114,14 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
         ])).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"),
              F.col("bs.slice").alias("slice"))
+    if cap_mode == "represent" and max_bucket is not None:
+        w = Window.partitionBy("band", "slice")
+        out = (out.withColumn("__bn", F.count(F.lit(1)).over(w))
+               .withColumn("__min", F.min("id").over(w))
+               .filter((F.col("__bn") <= max_bucket)
+                       | (F.col("id") == F.col("__min")))
+               .drop("__bn", "__min"))
+    return out
 
 
 def incremental_neardup_pairs(new_docs: DataFrame, seen_bands: DataFrame,

@@ -715,7 +715,11 @@ class Pipeline:
             return {"status": "rejected",
                     "reason": "documents table is empty",
                     "outputs": [], "reports": {"plan": dict(plan)}}
-        bands = minhash_band_keys(docs)
+        # represent mode: a boilerplate flood stores one row per band
+        # (flood-proof snapshot — probes/streams still collide with
+        # the representative, fan-out stays cap-bounded)
+        bands = minhash_band_keys(docs, max_bucket=2000,
+                                  cap_mode="represent")
         (bands.repartitionByRange("band", "id")
          .sortWithinPartitions("band", "id")
          .write.mode("overwrite").parquet(output_path))

@@ -655,3 +655,31 @@ def test_hamming_represent_mode_keeps_flood_probeable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap_mode"):
         D.hamming_band_keys(fps, cap_mode="nope")
+
+
+def test_minhash_represent_mode_bounds_snapshot_fanout(spark):
+    """minhash_band_keys(cap_mode='represent'): a boilerplate flood
+    stores ONE row per band in the snapshot (join fan-out for probes
+    and the uncapped stream-static flags stays cap-bounded), yet a
+    later flood copy still flags against the representative."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(100, "a unique seed document about alpine botany and "
+                 "glacier meltwater chemistry")],
+        DOC_SCHEMA)
+    rep = D.minhash_band_keys(corpus, max_bucket=10,
+                              cap_mode="represent")
+    per_bucket = rep.filter("id < 100").groupBy("band", "slice").count()
+    assert per_bucket.filter("count > 1").count() == 0
+    assert rep.filter("id = 0").count() == 4      # all 4 bands survive
+    assert rep.filter("id = 100").count() == 4    # healthy doc whole
+
+    batch = spark.createDataFrame([(500, boiler)], DOC_SCHEMA)
+    got = {(r["id_new"], r["id_seen"]) for r in
+           D.incremental_neardup_pairs(batch, rep).collect()}
+    assert got == {(500, 0)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap_mode"):
+        D.minhash_band_keys(corpus, cap_mode="nope")
