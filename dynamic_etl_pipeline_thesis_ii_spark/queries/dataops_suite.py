@@ -1658,8 +1658,71 @@ FROM packed
 """
 
 
+def q_dedup_cap_stats(spark, sf_dir):
+    """Hot-bucket cap telemetry as an ORACLE-CHECKED result (D15):
+    the exact aggregate ``dedup.bucket_cap_stats`` reports in NL runs
+    — capped buckets via the sum(1/bn)-per-row trick (no distinct
+    aggregate), capped rows, largest bucket — over the near-dup
+    corpus's MinHash band table at a deliberately low cap
+    (max_bucket=2, the synthetic corpus's buckets top out at ~6), as
+    a one-row frame DuckDB reproduces with a direct GROUP BY count.
+    The driver gate thereby pins the 1/bn bucket-count formulation
+    against an independent formulation bit-for-bit."""
+    from pyspark.sql import Window as _W
+
+    cap = 2
+    banded = (D.minhash_band_keys(_neardup_corpus(spark, sf_dir),
+                                  k=3, n_hashes=16, bands=4)
+              .withColumn("__bn", F.count(F.lit(1)).over(
+                  _W.partitionBy("band", "slice"))))
+    over = F.col("__bn") > cap
+    return banded.agg(
+        F.lit(cap).cast("long").alias("max_bucket"),
+        F.round(F.coalesce(F.sum(F.when(over, 1.0 / F.col("__bn"))),
+                           F.lit(0.0)), 0).cast("long")
+        .alias("capped_buckets"),
+        F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).cast("long")
+        .alias("capped_rows"),
+        F.coalesce(F.max("__bn"), F.lit(0)).cast("long")
+        .alias("largest_bucket"))
+
+
+def _sql_cap_stats(k: int = 3, n_hashes: int = 16, bands: int = 4,
+                   cap: int = 2) -> str:
+    # independent formulation: direct GROUP BY bucket counts (the
+    # Spark side uses the window + sum(1/bn) trick — the driver gate
+    # proves the two agree)
+    sh = D.SQL_WORD_SHINGLES("text", k)
+    h = D.SQL_HASH32.format(x="s")
+    r = n_hashes // bands
+    mins = ", ".join(
+        f"min(({2 * i + 1} * h + {12345 * i + 17}) % {D.H32_PRIME}) AS m{i}"
+        for i in range(n_hashes))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, [{', '.join(f'm{b * r + j}' for j in range(r))}] AS slc FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH {_SQL_NEARDUP},
+ex AS (SELECT doc_id AS id, unnest({sh}) AS s FROM corpus),
+hashed AS (SELECT id, {h} AS h FROM ex),
+sigs AS (SELECT id, {mins} FROM hashed GROUP BY id),
+banded AS (
+  {band_rows}
+),
+sized AS (SELECT band, slc, count(*) AS c FROM banded GROUP BY band, slc)
+SELECT {cap}::BIGINT AS max_bucket,
+  coalesce(count(CASE WHEN c > {cap} THEN 1 END), 0)::BIGINT
+    AS capped_buckets,
+  coalesce(sum(CASE WHEN c > {cap} THEN c END), 0)::BIGINT
+    AS capped_rows,
+  coalesce(max(c), 0)::BIGINT AS largest_bucket
+FROM sized
+"""
+
+
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_cap_stats": q_dedup_cap_stats,
     "dedup_neardup_pairs": q_dedup_neardup_pairs,
     "dedup_components": q_dedup_components,
     "ann_topk": q_ann_topk,
@@ -1675,6 +1738,7 @@ DATAOPS_QUERIES = {
 
 DATAOPS_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_cap_stats": _sql_cap_stats(),
     "dedup_neardup_pairs": _sql_neardup_pairs(),
     "dedup_components": _sql_components(),
     "ann_topk": _sql_ann_topk(),
