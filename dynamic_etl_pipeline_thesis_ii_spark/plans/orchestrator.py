@@ -2063,6 +2063,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       against the snapshot at /path' (batch-cost probe of a persisted
       hamming snapshot with its own geometry; '... and update the
       snapshot' appends the batch's fresh fingerprints — epoch grow);
+    - ``band_snapshot`` — 'build a near-dup band snapshot of the
+      corpus' (persist the documents table's MinHash band table in
+      flood-proof represent mode — the text build face);
+    - ``neardup_probe`` — 'flag near-duplicate documents against the
+      band snapshot at /path' (batch-cost MinHash probe with cap
+      telemetry; 'recovering hot buckets' → star policy; '... and
+      update the snapshot' appends fresh band keys);
     - ``corpus_to_shards`` — everything else. Defaults match the
       registry query (budget 15k, seq 512, 4 shards); ``epoch N``
       binds a deterministic per-epoch shuffle salt; a "bpe" mention

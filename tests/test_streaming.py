@@ -1068,3 +1068,39 @@ def test_streaming_media_census_sink_folds_batches(spark, tmp_path):
             for r in spark.read.parquet(out_census).collect()}
     assert rows[("__total__", "__total__")] == (4, 32)
     assert rows[("media_kind", "image")] == (4, 32)
+
+
+def test_streaming_neardup_flags_respect_represented_snapshot(
+        spark, tmp_path):
+    """The uncapped stream-static join stays bounded when the band
+    snapshot was built in represent mode: a streaming flood copy
+    flags exactly once — against the flood's min-id representative —
+    instead of fanning out by the flood size."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(100, "a unique seed document about alpine botany and "
+                 "glacier meltwater chemistry")],
+        "doc_id long, text string")
+    snap = str(tmp_path / "rep_bands")
+    D.minhash_band_keys(corpus, max_bucket=10, cap_mode="represent") \
+        .write.parquet(snap)
+
+    d = str(tmp_path / "nd_stream")
+    _write_json(os.path.join(d, "part-0.json"),
+                [{"doc_id": 500, "text": boiler,
+                  "ts": "2024-01-01T00:00:00.000Z"}])
+    stream = (spark.readStream.format("json")
+              .schema("doc_id long, text string, ts timestamp").load(d))
+    out = str(tmp_path / "nd_out")
+    q = (S.streaming_neardup_flags(stream,
+                                   spark.read.parquet(snap))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["id_new"], r["id_seen"]) for r in
+           spark.read.parquet(out).collect()}
+    assert got == {(500, 0)}
