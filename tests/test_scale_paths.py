@@ -829,7 +829,10 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
     single partition, any EXTRA occurrence still fails."""
     from dynamic_etl_pipeline_thesis_ii_spark.queries import all_queries
 
-    single_row_aggregates = {"clean_null_profile"}
+    # dedup_cap_stats: the cap-telemetry aggregate is ONE global row
+    # by contract (bucket_cap_stats' shape) — its final reduce is a
+    # single partition by construction
+    single_row_aggregates = {"clean_null_profile", "dedup_cap_stats"}
     scalar_reduce_budget = {
         "text_tfidf_topterms": 1,   # lazy n_docs scalar for idf
         # the lazy (total, |V|) unigram normalizer appears twice (the
