@@ -18,10 +18,15 @@ Decode support is tiered by what this environment can honestly do:
 - a REAL metadata tier for MPEG audio (MP1/MP2/MP3 frame-header
   walk, provenance ``mp3meta``), FLAC (STREAMINFO, ``flacmeta``),
   Ogg Opus/Vorbis (page walk to the last granule, ``oggmeta``),
-  WebP (RIFF chunk walk over VP8/VP8L/VP8X, ``webpmeta``) and
+  WebP (RIFF chunk walk over VP8/VP8L/VP8X, ``webpmeta``),
   ISO-BMFF video (MP4/MOV/M4A box-tree walk giving duration /
-  dimensions / track census / codec fourccs, ``mp4meta``) — the
-  compressed samples themselves, and remaining formats
+  dimensions / track census / codec fourccs, ``mp4meta``) and AVI
+  (hdrl walk, ``avimeta``) — plus a REAL video SAMPLE tier for the
+  two AVI codecs this environment can honestly decode: uncompressed
+  DIB and MJPEG (``avi_frames``, each MJPEG frame through
+  ``operators/jpeg.py``), feeding real frame sampling and the
+  perceptual video hash ``vhash64``. The compressed samples of
+  inter-frame video / MP3/FLAC/Ogg audio, and remaining formats
   (arithmetic-coded JPEG, ...), raise NotImplementedError unless
   ``fake=True`` (librosa/ffmpeg are not available in this sandbox;
   swapping them in later only changes
@@ -1042,13 +1047,20 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                                 0.0], "oggmeta"
                 if kind == "video":
                     meta = parse_mp4_meta(p)
-                    if meta is None:
-                        raise ValueError("not ISO-BMFF")  # -> fake tier
-                    # metadata tier (sample decode is ffmpeg
-                    # territory): duration/dimensions/track census
-                    return [meta["duration_sec"], meta["width"],
-                            meta["height"],
-                            meta["n_video"] + meta["n_audio"]], "mp4meta"
+                    if meta is not None:
+                        # metadata tier (sample decode is ffmpeg
+                        # territory): duration/dimensions/track census
+                        return [meta["duration_sec"], meta["width"],
+                                meta["height"],
+                                meta["n_video"] + meta["n_audio"]], \
+                            "mp4meta"
+                    avi = parse_avi_meta(p)
+                    if avi is None:
+                        raise ValueError("unknown video container")
+                    # RIFF-AVI metadata walk — same 4-dim shape; the
+                    # DIB/MJPEG SAMPLE tier lives in avi_frames/vhash64
+                    return [avi["duration_sec"], avi["width"],
+                            avi["height"], avi["n_frames"]], "avimeta"
                 if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
                     webp = parse_webp_meta(p)
                     if webp is None:
@@ -1890,17 +1902,28 @@ FRAME_SCHEMA = StructType([
 def sample_frames(media: DataFrame, every_n_bytes: int = 64,
                   max_frames: int = 8) -> DataFrame:
     """Video frame sampling as a 1->N mapInPandas kernel: each payload
-    yields up to ``max_frames`` evenly-spaced 'frames' (STUB: fixed-size
-    byte slices stand in for real ffmpeg frame extraction). Demonstrates
-    the row-expanding batch shape — output batches are not 1:1 with
-    input batches, which is exactly what mapInPandas (vs pandas_udf)
-    exists for."""
+    yields up to ``max_frames`` evenly-spaced frames. AVI payloads the
+    codec tier can decode (uncompressed DIB / MJPEG, see
+    :func:`avi_frames`) emit REAL frames, BMP-encoded so any image
+    operator downstream (dHash, resize, features) consumes them
+    directly; other containers fall back to fixed-size byte slices
+    (the documented stub tier for ffmpeg-territory codecs).
+    Demonstrates the row-expanding batch shape — output batches are
+    not 1:1 with input batches, which is exactly what mapInPandas
+    (vs pandas_udf) exists for."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
+                    continue
+                decoded = avi_frames(bytes(p), max_frames=max_frames)
+                if decoded:
+                    for i, (_, _, arr) in enumerate(decoded):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(write_bmp(arr))
                     continue
                 for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
                     ids.append(mid)
@@ -1951,7 +1974,16 @@ def dhash64(payload: bytes,
                   or parse_jpeg(p) or parse_gif(p) or parse_tiff(p))
     if parsed is None:
         return None
-    w, h, arr = parsed
+    bits = _dhash_bits(*parsed)
+    return None if bits is None else _bits_to_signed64(bits)
+
+
+def _dhash_bits(w: int, h: int, arr: "np.ndarray") -> Optional["np.ndarray"]:
+    """The raster→64-gradient-bit core of :func:`dhash64`, factored so
+    video frames hash through the IDENTICAL grid math (one bit
+    contract for stills and frames — the two cannot drift). Returns a
+    64-element boolean array (row-major 8x8) or None below the 9x8
+    sampling grid."""
     if arr.ndim == 2:               # grayscale hooks (PIL 'L' mode)
         arr = arr[:, :, None]
     if w < 9 or h < 8:
@@ -1975,7 +2007,13 @@ def dhash64(payload: bytes,
     sums = np.add.reduceat(np.add.reduceat(gray, rb[:-1], axis=0),
                            cb[:-1], axis=1)
     g = sums / np.outer(np.diff(rb), np.diff(cb))
-    bits = (g[:, :-1] > g[:, 1:]).reshape(-1)   # 8x8, row-major
+    return (g[:, :-1] > g[:, 1:]).reshape(-1)   # 8x8, row-major
+
+
+def _bits_to_signed64(bits) -> int:
+    """64 booleans (bit j at index j) → SIGNED 64-bit int, bit 63
+    two's complement — the ``hamming64``/banding convention shared by
+    every perceptual-hash modality."""
     out = 0
     for j in range(64):
         if bits[j]:
@@ -2310,3 +2348,345 @@ def merge_media_census(a: DataFrame, b: DataFrame) -> DataFrame:
             .groupBy("kind", "stratum")
             .agg(F.sum("n_items").alias("n_items"),
                  F.sum("n_bytes").alias("n_bytes")))
+
+
+# ---------------------------------------------------------------------------
+# AVI container tier: REAL frame decode for uncompressed-DIB and MJPEG
+# video (RIFF 'AVI ' list walk; MJPEG frames ride operators/jpeg.py's
+# baseline decoder) — the video face of the image/audio codec tiers.
+# Inter-frame codecs (H.264/VP9/...) remain ffmpeg territory and fall
+# back to the mp4meta/avimeta metadata walks, never a fake decode.
+# ---------------------------------------------------------------------------
+
+def _avi_subchunks(data: bytes, pos: int, end: int):
+    """(fourcc, lo, hi) payload ranges of the RIFF chunks in
+    ``data[pos:end]`` (word-aligned, truncation-safe)."""
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        lo = pos + 8
+        hi = min(lo + size, end)
+        yield cid, lo, hi
+        pos = lo + size + (size & 1)
+
+
+def _avi_header_walk(p: bytes) -> Optional[dict]:
+    """hdrl walk shared by the meta and frame tiers: avih dims/counts
+    plus the FIRST 'vids' stream's (index, codec fourcc, fps, strf
+    BITMAPINFOHEADER fields). None for non-AVI payloads."""
+    if not (p is not None and len(p) >= 12 and p[:4] == b"RIFF"
+            and p[8:12] == b"AVI "):
+        return None
+    out = {"width": 0, "height": 0, "fps": 0.0, "n_frames": 0,
+           "n_streams": 0, "video_codec": None, "vids_index": None,
+           "bit_count": 24, "compression": 0, "movi": None}
+    stream_no = 0
+    for cid, lo, hi in _avi_subchunks(p, 12, len(p)):
+        if cid != b"LIST":
+            continue
+        ltype = p[lo:lo + 4]
+        if ltype == b"movi":
+            out["movi"] = (lo + 4, hi)
+        elif ltype == b"hdrl":
+            for hcid, hlo, hhi in _avi_subchunks(p, lo + 4, hi):
+                if hcid == b"avih" and hhi - hlo >= 40:
+                    out["n_frames"] = int.from_bytes(
+                        p[hlo + 16:hlo + 20], "little")
+                    out["n_streams"] = int.from_bytes(
+                        p[hlo + 24:hlo + 28], "little")
+                    out["width"] = int.from_bytes(
+                        p[hlo + 32:hlo + 36], "little")
+                    out["height"] = int.from_bytes(
+                        p[hlo + 36:hlo + 40], "little")
+                    us = int.from_bytes(p[hlo:hlo + 4], "little")
+                    if us:
+                        out["fps"] = 1e6 / us
+                elif hcid == b"LIST" and p[hlo:hlo + 4] == b"strl":
+                    strh = strf = None
+                    for scid, slo, shi in _avi_subchunks(
+                            p, hlo + 4, hhi):
+                        if scid == b"strh" and strh is None:
+                            strh = (slo, shi)
+                        elif scid == b"strf" and strf is None:
+                            strf = (slo, shi)
+                    if strh is not None:
+                        slo, shi = strh
+                        if (shi - slo >= 32
+                                and p[slo:slo + 4] == b"vids"
+                                and out["vids_index"] is None):
+                            out["vids_index"] = stream_no
+                            handler = p[slo + 4:slo + 8]
+                            out["video_codec"] = (
+                                handler.decode("ascii", "replace")
+                                .strip() or None)
+                            scale = int.from_bytes(
+                                p[slo + 20:slo + 24], "little")
+                            rate = int.from_bytes(
+                                p[slo + 24:slo + 28], "little")
+                            if scale and rate:
+                                out["fps"] = rate / scale
+                            if strf is not None:
+                                flo, fhi = strf
+                                if fhi - flo >= 20:
+                                    out["bit_count"] = int.from_bytes(
+                                        p[flo + 14:flo + 16], "little")
+                                    out["compression"] = \
+                                        int.from_bytes(
+                                            p[flo + 16:flo + 20],
+                                            "little")
+                    stream_no += 1
+    if out["vids_index"] is None and out["n_frames"] == 0:
+        return None
+    return out
+
+
+def parse_avi_meta(payload: bytes) -> Optional[dict]:
+    """REAL AVI container metadata WITHOUT sample decode: RIFF list
+    walk over hdrl (avih + per-stream strh/strf) giving duration /
+    dimensions / fps / frame count / video codec fourcc — the RIFF
+    twin of :func:`parse_mp4_meta` (provenance ``avimeta``). None for
+    non-AVI payloads."""
+    h = _avi_header_walk(bytes(payload)) if payload is not None else None
+    if h is None:
+        return None
+    fps = h["fps"]
+    return {"width": float(h["width"]), "height": float(h["height"]),
+            "fps": float(fps), "n_frames": float(h["n_frames"]),
+            "duration_sec": (h["n_frames"] / fps) if fps else 0.0,
+            "n_streams": float(h["n_streams"]),
+            "video_codec": h["video_codec"]}
+
+
+def avi_frames(payload: bytes,
+               max_frames: int = 8) -> Optional[list]:
+    """Up to ``max_frames`` EVENLY-SPACED decoded video frames of an
+    AVI payload as ``(width, height, HxWxC uint8)`` rasters — REAL
+    decode for the two codecs this environment can honestly do:
+
+    - uncompressed DIB (``biCompression=0``, 24/32-bit): bottom-up
+      BGR(A) rows, 4-byte row stride — the BMP raster without the BMP
+      file header;
+    - MJPEG (``MJPG`` fourcc): every frame chunk is a standalone
+      baseline/progressive JPEG, decoded by ``operators/jpeg.py``.
+
+    Returns None when the payload is not AVI or no frame decodes
+    (inter-frame codecs) — undecodable videos skip hashing rather
+    than fake it, the same honesty contract as the image/audio
+    tiers. Even spacing (not the first N) is what makes the
+    downstream vHash stable across trims at the tail."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
+        parse_jpeg,
+    )
+    if payload is None:
+        return None
+    p = bytes(payload)
+    h = _avi_header_walk(p)
+    if h is None or h["movi"] is None:
+        return None
+    sid = b"%02d" % (h["vids_index"] if h["vids_index"] is not None
+                     else 0)
+    spans = []
+
+    def walk_movi(lo, hi):
+        for cid, clo, chi in _avi_subchunks(p, lo, hi):
+            if cid == b"LIST" and p[clo:clo + 4] == b"rec ":
+                walk_movi(clo + 4, chi)     # interleave groups
+            elif cid[:2] == sid and cid[2:4] in (b"db", b"dc"):
+                spans.append((clo, chi))
+
+    walk_movi(*h["movi"])
+    if not spans:
+        return None
+    n = len(spans)
+    # sample by TIMELINE FRACTION (round(t·(n−1)) at max_frames
+    # evenly-spaced t), not by frame index: a frame-rate-halved copy
+    # then samples (nearly) the same timeline positions, so its
+    # per-frame hashes line up with the original's — duplicates are
+    # kept and act as vote weights downstream
+    k = min(max_frames, max(n, 1))
+    take = [round(i * (n - 1) / max(k - 1, 1)) for i in range(k)]
+    w, hh, bits = h["width"], h["height"], h["bit_count"]
+    frames = []
+    for i in take:
+        lo, hi = spans[i]
+        chunk = p[lo:hi]
+        if chunk[:2] == b"\xFF\xD8":        # MJPEG frame
+            parsed = parse_jpeg(chunk)
+            if parsed is not None:
+                frames.append(parsed)
+            continue
+        if h["compression"] == 0 and bits in (24, 32) and w and hh:
+            stride = ((w * bits // 8) + 3) & ~3
+            if len(chunk) < stride * hh:
+                continue
+            rows = np.frombuffer(
+                chunk[:stride * hh],
+                dtype=np.uint8).reshape(hh, stride)
+            px = rows[:, :w * (bits // 8)] \
+                .reshape(hh, w, bits // 8)
+            rgb = px[::-1, :, 2::-1]        # bottom-up BGR(A) → RGB
+            frames.append((w, hh, np.ascontiguousarray(rgb)))
+    return frames or None
+
+
+def write_avi(frames: list, fps: float = 10.0,
+              codec: str = "DIB ") -> bytes:
+    """Minimal valid AVI writer for the two decodable codecs —
+    ``codec='DIB '`` stores each HxWx3 RGB uint8 frame as an
+    uncompressed bottom-up BGR DIB; ``codec='MJPG'`` encodes each
+    frame through :func:`~...jpeg.write_jpeg`. The fixture/round-trip
+    twin of :func:`avi_frames`, like ``write_bmp``/``write_wav`` for
+    their tiers."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
+        write_jpeg,
+    )
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+    if not frames:
+        raise ValueError("write_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+
+    def u32(v):
+        return int(v).to_bytes(4, "little")
+
+    def u16(v):
+        return int(v).to_bytes(2, "little")
+
+    def chunk(cid, data):
+        return cid + u32(len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    frame_blobs = []
+    for arr in frames:
+        if arr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        if codec == "MJPG":
+            frame_blobs.append(chunk(b"00dc", write_jpeg(arr)))
+        else:
+            stride = ((w * 3) + 3) & ~3
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+            frame_blobs.append(chunk(b"00db", rows.tobytes()))
+    max_len = max(len(b) - 8 for b in frame_blobs)
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = (u32(int(1e6 / fps)) + u32(0) + u32(0) + u32(0)
+            + u32(len(frames)) + u32(0) + u32(1) + u32(max_len)
+            + u32(w) + u32(h) + u32(0) * 4)
+    strh = (b"vids" + codec.encode("ascii") + u32(0) + u16(0) + u16(0)
+            + u32(0) + u32(scale) + u32(rate) + u32(0)
+            + u32(len(frames)) + u32(max_len) + u32(0xFFFFFFFF)
+            + u32(0) + u16(0) + u16(0) + u16(w) + u16(h))
+    strf = (u32(40) + u32(w) + u32(h) + u16(1) + u16(24)
+            + (u32(0) if codec == "DIB "
+               else b"MJPG") + u32(max_len) + u32(0) * 4)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(frame_blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + u32(len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# perceptual video fingerprinting (per-frame dHash majority vote over
+# the real AVI decode tier, paired through the same hamming banding)
+# ---------------------------------------------------------------------------
+
+def vhash64(payload: bytes, max_frames: int = 8,
+            decode_fn: Optional[callable] = None) -> Optional[int]:
+    """64-bit perceptual video hash: dHash (:func:`_dhash_bits`, the
+    EXACT grid math stills use) over up to ``max_frames``
+    evenly-spaced decoded frames, then a per-bit MAJORITY VOTE across
+    frames (ties set the bit). Stable under re-encoding (DIB↔MJPEG),
+    per-frame noise, and frame-rate halving (even spacing samples the
+    same timeline positions); unrelated videos land ~32 bits apart —
+    the video member of the dHash/aHash fingerprint family, signed
+    64-bit for the shared banding convention.
+
+    ``decode_fn`` is the native-codec escape hatch (an
+    ffmpeg/PyAV wrapper, ``bytes -> [(w, h, HxWxC uint8), ...] |
+    None``) tried FIRST, with the stdlib AVI tier as default,
+    fallback, and correctness oracle — the hash math downstream of
+    the decode is identical either way. Returns None when no frame
+    decodes (inter-frame codecs, malformed payloads, frames below
+    the 9x8 grid): undecodable videos skip hashing, never fake it."""
+    if payload is None:
+        return None
+    p = bytes(payload)
+    frames = decode_fn(p) if decode_fn is not None else None
+    if frames is None:
+        frames = avi_frames(p, max_frames=max_frames)
+    if not frames:
+        return None
+    votes = np.zeros(64, dtype=np.int64)
+    n = 0
+    for w, h, arr in frames:
+        bits = _dhash_bits(w, h, arr)
+        if bits is None:
+            continue
+        votes += bits
+        n += 1
+    if n == 0:
+        return None
+    return _bits_to_signed64(votes * 2 >= n)
+
+
+def video_vhash(media: DataFrame, extra_cols: tuple = (),
+                decode_fn: Optional[callable] = None) -> DataFrame:
+    """(id, sim) perceptual fingerprints for every DECODABLE video
+    payload — rides the same Arrow kernel as :func:`image_dhash` and
+    :func:`audio_ahash` (:func:`_media_fingerprints`), so all three
+    modalities share one banding/streaming implementation."""
+    return _media_fingerprints(
+        media, "video",
+        (vhash64 if decode_fn is None
+         else (lambda p, _fn=decode_fn: vhash64(p, decode_fn=_fn))),
+        extra_cols=extra_cols)
+
+
+def video_neardup_pairs(media: DataFrame, max_hamming: int = 6,
+                        n_blocks: int = 8,
+                        max_bucket: Optional[int] = 2000,
+                        cap_report: Optional[dict] = None,
+                        decode_fn: Optional[callable] = None,
+                        hot_policy: str = "drop") -> DataFrame:
+    """Video near-duplicate pairs: vHash fingerprints joined through
+    the SAME Manku banding engine as text SimHash, image dHash and
+    audio aHash (``dedup.hamming_band_pairs``) — one blocking
+    implementation, three media modalities, identical
+    ``(id_a, id_b, hamming)`` contract, the same hot-bucket telemetry
+    and reband policy."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    fps = video_vhash(media, decode_fn=decode_fn) \
+        .localCheckpoint(eager=False)
+    return hamming_band_pairs(fps, max_hamming=max_hamming,
+                              n_blocks=n_blocks, max_bucket=max_bucket,
+                              cap_report=cap_report,
+                              hot_policy=hot_policy)
+
+
+def video_dedup(media: DataFrame, max_hamming: int = 6,
+                n_blocks: int = 8,
+                max_bucket: Optional[int] = 2000,
+                cap_report: Optional[dict] = None,
+                decode_fn: Optional[callable] = None,
+                hot_policy: str = "drop") -> DataFrame:
+    """End-to-end video dedup: keep ONE clip per perceptual-dup
+    cluster (components over :func:`video_neardup_pairs`, lowest
+    ``media_id`` canonical). Undecodable/inter-frame-coded formats
+    can never pair, so they always pass through — the same honesty
+    contract as :func:`image_dedup` and :func:`audio_dedup`."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        dedup_by_components,
+    )
+    pairs = video_neardup_pairs(media, max_hamming=max_hamming,
+                                n_blocks=n_blocks,
+                                max_bucket=max_bucket,
+                                cap_report=cap_report,
+                                decode_fn=decode_fn,
+                                hot_policy=hot_policy)
+    return dedup_by_components(media, pairs, id_col="media_id")

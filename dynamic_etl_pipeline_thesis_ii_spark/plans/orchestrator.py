@@ -304,9 +304,11 @@ class Pipeline:
             return self._run_ingest_crawl(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
-        if plan["target"] in ("image_dedup", "audio_dedup"):
+        if plan["target"] in ("image_dedup", "audio_dedup",
+                              "video_dedup"):
             return self._run_media_dedup(plan, source_dir, output_path)
-        if plan["target"] in ("image_probe", "audio_probe"):
+        if plan["target"] in ("image_probe", "audio_probe",
+                              "video_probe"):
             return self._run_media_probe(plan, source_dir, output_path)
         if plan["target"] == "neardup_probe":
             return self._run_neardup_probe(plan, source_dir, output_path)
@@ -539,12 +541,15 @@ class Pipeline:
         from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
             audio_ahash,
             image_dhash,
+            video_vhash,
         )
 
         modality = plan.get("modality", "image")
-        fingerprint = image_dhash if modality == "image" else audio_ahash
-        dec_key = ("images_decodable" if modality == "image"
-                   else "clips_decodable")
+        fingerprint = {"image": image_dhash, "audio": audio_ahash,
+                       "video": video_vhash}[modality]
+        dec_key = {"image": "images_decodable",
+                   "audio": "clips_decodable",
+                   "video": "videos_decodable"}[modality]
         media = self._media_or_none(source_dir)
         if media is None:
             return {"status": "rejected",
@@ -613,11 +618,14 @@ class Pipeline:
         from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
             audio_ahash,
             image_dhash,
+            video_vhash,
         )
 
         modality = plan.get("modality", "image")
-        fingerprint = image_dhash if modality == "image" else audio_ahash
-        noun = "images" if modality == "image" else "clips"
+        fingerprint = {"image": image_dhash, "audio": audio_ahash,
+                       "video": video_vhash}[modality]
+        noun = {"image": "images", "audio": "clips",
+                "video": "videos"}[modality]
         if not plan.get("snapshot_path"):
             return {"status": "rejected",
                     "reason": f"{modality} probe needs a snapshot path "
@@ -1942,7 +1950,7 @@ _SPLIT_FRACS_RE = re.compile(r"\b(\d{1,2})\s*/\s*(\d{1,2})\s*/\s*(\d{1,2})\b")
 # images against the seen snapshot')
 _MEDIA_PROBE_RE = re.compile(
     r"\b(?:flag|probe|check|dedup(?:licate)?)\b"
-    r"[^.]*\b(images?|audio(?:\s+clips?)?)\b"
+    r"[^.]*\b(images?|audio(?:\s+clips?)?|videos?(?:\s+clips?)?)\b"
     r"[^.]*\bagainst\b[^.]*\bsnapshot\b")
 # text near-dup probe: 'flag near-duplicate documents against the
 # band snapshot at /p' — the MinHash band-table face of the media
@@ -1958,8 +1966,9 @@ _NEARDUP_PROBE_RE = re.compile(
 _BAND_SNAPSHOT_BUILD_RE = re.compile(
     r"\b(?:build|create|fit|make)\b[^.]*\bband\s+snapshot\b")
 _MEDIA_DEDUP_RE = re.compile(
-    r"\bdedup(?:licate)?\b[^.]*\b(images?|audio(?:\s+clips?)?)\b"
-    r"|\b(image|audio)\s+dedup")
+    r"\bdedup(?:licate)?\b"
+    r"[^.]*\b(images?|audio(?:\s+clips?)?|videos?(?:\s+clips?)?)\b"
+    r"|\b(image|audio|video)\s+dedup")
 _HAMMING_RE = re.compile(
     r"\bwithin\s+(\d+)\s+bits?\b|\bhamming\s+(?:of\s+)?(\d+)\b")
 
@@ -2054,15 +2063,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       query says source/domain, else lang);
     - ``chunk_documents`` — 'chunk for RAG, size 256 stride 192'
       (RAG splitting; size/stride default to the operator's 128/96);
-    - ``image_dedup`` / ``audio_dedup`` — 'dedup the images' /
-      'dedup the audio clips' (perceptual dHash/aHash dedup over the
-      source dir's media table; kept rows + the banded fingerprint
-      snapshot land at the sink; 'within N bits' tunes max_hamming,
-      'recovering hot buckets' opts into reband);
-    - ``image_probe`` / ``audio_probe`` — 'flag the new images|audio
-      against the snapshot at /path' (batch-cost probe of a persisted
-      hamming snapshot with its own geometry; '... and update the
-      snapshot' appends the batch's fresh fingerprints — epoch grow);
+    - ``image_dedup`` / ``audio_dedup`` / ``video_dedup`` — 'dedup
+      the images' / 'dedup the audio clips' / 'dedup the videos'
+      (perceptual dHash/aHash/vHash dedup over the source dir's media
+      table; kept rows + the banded fingerprint snapshot land at the
+      sink; 'within N bits' tunes max_hamming, 'recovering hot
+      buckets' opts into reband);
+    - ``image_probe`` / ``audio_probe`` / ``video_probe`` — 'flag
+      the new images|audio|videos against the snapshot at /path'
+      (batch-cost probe of a persisted hamming snapshot with its own
+      geometry; '... and update the snapshot' appends the batch's
+      fresh fingerprints — epoch grow);
     - ``band_snapshot`` — 'build a near-dup band snapshot of the
       corpus' (persist the documents table's MinHash band table in
       flood-proof represent mode — the text build face);
@@ -2098,7 +2109,8 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                                else "drop"),
                 "update": "update" in ql or "grow" in ql}
     if m := _MEDIA_PROBE_RE.search(ql):
-        modality = "audio" if "audio" in m.group(1) else "image"
+        modality = ("audio" if "audio" in m.group(1)
+                    else "video" if "video" in m.group(1) else "image")
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         # '... and update the snapshot' additionally appends the
         # batch's FRESH (unflagged, within-batch-deduped) fingerprints
@@ -2108,8 +2120,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "snapshot_path": m.group(1) if m else None,
                 "update": "update" in ql or "grow" in ql}
     if m := _MEDIA_DEDUP_RE.search(ql):
-        modality = "audio" if "audio" in (m.group(1) or m.group(2)) \
-            else "image"
+        noun = m.group(1) or m.group(2)
+        modality = ("audio" if "audio" in noun
+                    else "video" if "video" in noun else "image")
         mh = 6
         if m := _HAMMING_RE.search(ql):
             mh = int(next(g for g in m.groups() if g))

@@ -700,6 +700,27 @@ def streaming_audio_flags(media: DataFrame, seen_banded: DataFrame,
         watermark=watermark)
 
 
+def streaming_video_flags(media: DataFrame, seen_banded: DataFrame,
+                          max_hamming: int = 6, n_blocks: int = 8,
+                          key_blocks: Optional[int] = None,
+                          ts_col: Optional[str] = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Perceptual near-dup flagging for a VIDEO stream against the
+    persisted hamming snapshot — the vHash face of
+    :func:`streaming_image_flags` / :func:`streaming_audio_flags`,
+    sharing the identical fingerprint-then-probe core so all three
+    modalities (and their batch siblings) cannot drift. Same
+    snapshot-layout and watermark contracts; output
+    ``(id_new, id_seen, hamming)``."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        video_vhash,
+    )
+    return _streaming_fingerprint_flags(
+        media, seen_banded, video_vhash, max_hamming=max_hamming,
+        n_blocks=n_blocks, key_blocks=key_blocks, ts_col=ts_col,
+        watermark=watermark)
+
+
 def _streaming_fingerprint_flags(media, seen_banded, fingerprint_fn,
                                  max_hamming, n_blocks, key_blocks,
                                  ts_col, watermark) -> DataFrame:

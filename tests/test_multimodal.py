@@ -2005,3 +2005,183 @@ def test_media_census_merge_law(spark):
     assert rows[("media_kind", "image")] == (3, 18)
     assert rows[("media_kind", "audio")] == (1, 20)
     assert rows[("__total__", "__total__")] == (5, 45)
+
+
+# ---------------------------------------------------------------------------
+# AVI container tier + perceptual video hashing (vHash)
+
+def _smooth_frames(n=24, h=48, w=64, phase=0.0, seed=None):
+    """Temporally-smooth synthetic video: drifting diagonal gradient
+    plus a moving bright blob — the frame-to-frame continuity real
+    footage has, which is what makes frame-sample alignment a fair
+    robustness claim."""
+    import numpy as np
+    out = []
+    for t in range(n):
+        y, x = np.mgrid[0:h, 0:w].astype(float)
+        g = (x * 2 + y * 3 + (t + phase) * 4) % 256
+        cx, cy = w * (0.2 + 0.6 * (t + phase) / 24), h * 0.5
+        blob = 120 * np.exp(-(((x - cx) ** 2 + (y - cy) ** 2) / 80))
+        c = np.clip(g + blob, 0, 255).astype(np.uint8)
+        out.append(np.stack(
+            [c, (c // 2 + 40).astype(np.uint8), 255 - c], axis=2))
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+        out = [np.clip(f.astype(int) + rng.integers(-8, 9, f.shape),
+                       0, 255).astype(np.uint8) for f in out]
+    return out
+
+
+def _ham64(a, b):
+    return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+
+def test_avi_roundtrip_and_meta():
+    """write_avi ↔ avi_frames: uncompressed-DIB frames round-trip
+    EXACTLY (the BMP raster without the file header), MJPEG frames
+    decode within JPEG tolerance, and parse_avi_meta reads the hdrl
+    walk (dims/fps/frame count/codec). Non-AVI and truncated payloads
+    return None instead of raising."""
+    import numpy as np
+
+    frames = _smooth_frames(n=12)
+    dib = M.write_avi(frames, fps=12.0, codec="DIB ")
+    meta = M.parse_avi_meta(dib)
+    assert (meta["width"], meta["height"]) == (64.0, 48.0)
+    assert meta["fps"] == pytest.approx(12.0)
+    assert meta["n_frames"] == 12.0
+    assert meta["duration_sec"] == pytest.approx(1.0)
+    assert meta["video_codec"] == "DIB"
+
+    dec = M.avi_frames(dib, max_frames=12)
+    assert len(dec) == 12
+    for got, want in zip(dec, frames):
+        w, h, arr = got
+        assert (w, h) == (64, 48)
+        assert np.array_equal(arr, want)
+
+    mjpg = M.write_avi(frames, fps=12.0, codec="MJPG")
+    assert M.parse_avi_meta(mjpg)["video_codec"] == "MJPG"
+    decm = M.avi_frames(mjpg, max_frames=4)
+    assert len(decm) == 4
+    for w, h, arr in decm:
+        assert (w, h) == (64, 48) and arr.shape == (48, 64, 3)
+
+    assert M.parse_avi_meta(b"RIFF" + b"\x00" * 30) is None
+    assert M.parse_avi_meta(b"NOTAVI") is None
+    assert M.avi_frames(dib[:60]) is None          # truncated hdrl
+    assert M.avi_frames(None) is None
+    with pytest.raises(ValueError):
+        M.write_avi(frames, codec="H264")
+    with pytest.raises(ValueError):
+        M.write_avi([])
+
+
+def test_vhash64_invariances_and_discrimination():
+    """vHash sees through the re-encodes video dedup must survive —
+    DIB↔MJPEG transcode (hamming 0 on this clip), per-frame noise and
+    frame-rate halving (≤6, the default near-dup budget) — while
+    unrelated clips land well past the cut; inter-frame codecs
+    (ISO-BMFF) and undecodable payloads return None, never a fake
+    hash."""
+    frames = _smooth_frames(n=24)
+    h1 = M.vhash64(M.write_avi(frames, fps=12.0))
+    assert h1 is not None
+    assert _ham64(h1, M.vhash64(
+        M.write_avi(frames, fps=12.0, codec="MJPG"))) == 0
+    assert _ham64(h1, M.vhash64(
+        M.write_avi(_smooth_frames(n=24, seed=5), fps=12.0))) <= 6
+    assert _ham64(h1, M.vhash64(
+        M.write_avi(frames[::2], fps=6.0))) <= 6   # half frame rate
+    import numpy as np
+    other = [np.roll(f[::-1], 20, axis=1).copy()
+             for f in _smooth_frames(n=10, phase=7.0)]
+    assert _ham64(h1, M.vhash64(M.write_avi(other, fps=10.0))) > 6
+    assert M.vhash64(bytes(M.write_mp4(3.0))) is None   # inter-frame
+    assert M.vhash64(b"NOTVIDEO") is None
+    assert M.vhash64(None) is None
+    # frames below the 9x8 dhash grid carry no gradient signal
+    tiny = [f[:6, :6] for f in _smooth_frames(n=4)]
+    assert M.vhash64(M.write_avi(tiny, fps=4.0)) is None
+
+
+def test_vhash64_decode_fn_hook_parity():
+    """The native-codec hook (an ffmpeg/PyAV stand-in) and the stdlib
+    AVI tier agree wherever both decode — the hash math downstream of
+    the decode is shared — and a declining hook falls back to the
+    stdlib tier."""
+    frames = _smooth_frames(n=8)
+    avi = M.write_avi(frames, fps=8.0)
+
+    def hook(p):
+        return [(f.shape[1], f.shape[0], f) for f in frames]
+
+    assert M.vhash64(avi, decode_fn=hook) == M.vhash64(avi)
+    assert M.vhash64(avi, decode_fn=lambda p: None) == M.vhash64(avi)
+
+
+def test_video_neardup_and_dedup(spark):
+    """video_neardup_pairs / video_dedup: the MJPEG transcode of a
+    clip pairs with its DIB original through the shared hamming
+    banding (one kept per cluster); unrelated, inter-frame-coded and
+    undecodable clips pass through — the video face of the image M2
+    contract."""
+    import numpy as np
+    frames = _smooth_frames(n=12)
+    dib = M.write_avi(frames, fps=12.0)
+    mjpg = M.write_avi(frames, fps=12.0, codec="MJPG")
+    other = M.write_avi(
+        [np.roll(f[::-1], 20, axis=1).copy()
+         for f in _smooth_frames(n=10, phase=7.0)], fps=10.0)
+    media = spark.createDataFrame(
+        [(1, "video", dib), (2, "video", mjpg),
+         (3, "video", other), (4, "video", bytes(M.write_mp4(2.0))),
+         (5, "image", dib)],       # wrong kind never fingerprints
+        "media_id long, kind string, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in M.video_neardup_pairs(media).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all({a, b} == {1, 2} for a, b in pairs)
+    kept = {r["media_id"] for r in M.video_dedup(media).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_sample_frames_real_avi_tier(spark):
+    """sample_frames emits REAL BMP-encoded frames for decodable AVI
+    payloads — each one decodable by parse_bmp and matching the
+    source raster — while non-AVI payloads keep the byte-slice stub
+    tier (and its ≤ every_n_bytes frame size)."""
+    import numpy as np
+    frames = _smooth_frames(n=6)
+    avi = M.write_avi(frames, fps=6.0)
+    media = spark.createDataFrame(
+        [(1, "video", avi), (2, "video", b"\x01\x02" * 200)],
+        "media_id long, kind string, payload binary")
+    out = M.sample_frames(media, every_n_bytes=32, max_frames=4).collect()
+    real = sorted((r for r in out if r["media_id"] == 1),
+                  key=lambda r: r["frame_idx"])
+    assert len(real) == 4
+    w, h, arr = M.parse_bmp(bytes(real[0]["frame"]))
+    assert (w, h) == (64, 48)
+    assert np.array_equal(arr, frames[0])
+    stub = [r for r in out if r["media_id"] == 2]
+    assert stub and all(len(r["frame"]) <= 32 for r in stub)
+
+
+def test_extract_features_avimeta(spark):
+    """extract_features(mode='real'): AVI videos land on the avimeta
+    metadata tier (duration/width/height/frame count, provenance
+    'avimeta'); ISO-BMFF still routes to mp4meta; junk video payloads
+    fall back to the fake tier, visibly."""
+    avi = M.write_avi(_smooth_frames(n=12), fps=12.0)
+    media = spark.createDataFrame(
+        [(1, "video", avi), (2, "video", bytes(M.write_mp4(3.0))),
+         (3, "video", b"JUNKJUNKJUNK")],
+        "media_id long, kind string, payload binary") \
+        .withColumn("n_bytes", F.octet_length("payload"))
+    rows = {r["media_id"]: r for r in
+            M.extract_features(media, mode="real").collect()}
+    assert rows[1]["decoder"] == "avimeta"
+    assert rows[1]["feat"] == [pytest.approx(1.0), 64.0, 48.0, 12.0]
+    assert rows[2]["decoder"] == "mp4meta"
+    assert rows[3]["decoder"] == "fake"

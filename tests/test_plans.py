@@ -2493,3 +2493,81 @@ def test_pipeline_band_snapshot_build_then_probe(spark, sf_dir,
     r = pipe.run_dataops("build a near-dup band snapshot of the corpus",
                          empty_src, str(tmp_path / "bs_e"))
     assert r["status"] == "rejected" and "empty" in r["reason"]
+
+
+def test_pipeline_video_dedup_and_probe_lifecycle(spark, sf_dir,
+                                                  tmp_path):
+    """The video face of the media lifecycle: 'dedup the videos'
+    collapses an MJPEG transcode onto its DIB original via vHash +
+    the shared hamming banding (inter-frame/undecodable clips pass
+    through, visible in videos_decodable); the persisted snapshot
+    then flags a later noisy near-copy batch ('flag the new videos
+    against the snapshot')."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query("dedup the videos") == {
+        "target": "video_dedup", "modality": "video", "max_hamming": 6,
+        "n_blocks": 8, "hot_policy": "drop"}
+    assert parse_dataops_query(
+        "flag the new videos against the snapshot at /s")["target"] == \
+        "video_probe"
+
+    def clip(n=12, phase=0.0, seed=None, fps=12.0, codec="DIB "):
+        frames = []
+        for t in range(n):
+            y, x = np.mgrid[0:48, 0:64].astype(float)
+            g = (x * 2 + y * 3 + (t + phase) * 4) % 256
+            cx = 64 * (0.2 + 0.6 * (t + phase) / 24)
+            blob = 120 * np.exp(-(((x - cx) ** 2 + (y - 24) ** 2) / 80))
+            c = np.clip(g + blob, 0, 255).astype(np.uint8)
+            frames.append(np.stack(
+                [c, (c // 2 + 40).astype(np.uint8), 255 - c], axis=2))
+        if seed is not None:
+            rng = np.random.default_rng(seed)
+            frames = [np.clip(f.astype(int)
+                              + rng.integers(-8, 9, f.shape),
+                              0, 255).astype(np.uint8) for f in frames]
+        return M.write_avi(frames, fps=fps, codec=codec)
+
+    vid_a = clip()
+    vid_a_mjpg = clip(codec="MJPG")              # transcode of a
+    vid_b = clip(phase=7.0)
+    src = str(tmp_path / "vid_sf")
+    spark.createDataFrame(
+        [(1, "video", vid_a), (2, "video", vid_a_mjpg),
+         (3, "video", vid_b), (4, "video", bytes(M.write_mp4(2.0)))],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(src + "/media.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "viddedup")
+    res = pipe.run_dataops("dedup the videos", src, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["videos_decodable"] == 3   # mp4 = meta only
+    kept = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 4}
+
+    # probe a later batch: noisy copy of b flags, fresh clip doesn't
+    batch_src = str(tmp_path / "vid_batch")
+    spark.createDataFrame(
+        [(10, "video", clip(phase=7.0, seed=3)),
+         (11, "video", clip(phase=31.0))],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(batch_src + "/media.parquet")
+    res2 = pipe.run_dataops(
+        f"flag the new videos against the snapshot at "
+        f"{res['reports']['snapshot_path_out']}",
+        batch_src, str(tmp_path / "vidprobe"))
+    assert res2["status"] == "complete"
+    got = {(r["id_new"], r["id_seen"]) for r in
+           spark.read.parquet(str(tmp_path / "vidprobe")).collect()}
+    assert (10, 3) in got
+    assert not any(idn == 11 for idn, _ in got)
+    assert res2["reports"]["videos_flagged"] == 1

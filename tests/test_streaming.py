@@ -1104,3 +1104,72 @@ def test_streaming_neardup_flags_respect_represented_snapshot(
     got = {(r["id_new"], r["id_seen"]) for r in
            spark.read.parquet(out).collect()}
     assert got == {(500, 0)}
+
+
+def test_streaming_video_flags_matches_incremental_batch(spark, tmp_path):
+    """Video near-dup flagging on a media stream against the persisted
+    hamming snapshot (the vHash face of streaming_image_flags, same
+    shared core): a drained stream's flags equal the batch incremental
+    probe's verdicts, and the planted transcode flags its original."""
+    import base64
+    import json as _json
+
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        dedup as D,
+        multimodal as M,
+    )
+
+    def clip(n=12, phase=0.0, fps=12.0, codec="DIB "):
+        frames = []
+        for t in range(n):
+            y, x = np.mgrid[0:48, 0:64].astype(float)
+            g = (x * 2 + y * 3 + (t + phase) * 4) % 256
+            cx = 64 * (0.2 + 0.6 * (t + phase) / 24)
+            blob = 120 * np.exp(-(((x - cx) ** 2 + (y - 24) ** 2) / 80))
+            c = np.clip(g + blob, 0, 255).astype(np.uint8)
+            frames.append(np.stack(
+                [c, (c // 2 + 40).astype(np.uint8), 255 - c], axis=2))
+        return M.write_avi(frames, fps=fps, codec=codec)
+
+    seen = spark.createDataFrame(
+        [(1, "video", clip()), (2, "video", clip(phase=7.0))],
+        "media_id long, kind string, payload binary")
+    bands_path = str(tmp_path / "vid_bands")
+    D.hamming_band_keys(M.video_vhash(seen), max_hamming=6,
+                        n_blocks=8).write.parquet(bands_path)
+    seen_banded = spark.read.parquet(bands_path)
+
+    batch_rows = [(10, "video", clip(codec="MJPG"),
+                   "2024-01-01T00:00:00"),
+                  (11, "video", clip(phase=31.0),
+                   "2024-01-01T00:01:00")]
+    batch = spark.createDataFrame(
+        [(i, k, p) for i, k, p, _ in batch_rows],
+        "media_id long, kind string, payload binary")
+    want = sorted(map(tuple, D.incremental_hamming_pairs(
+        M.video_vhash(batch), seen_banded,
+        max_hamming=6, n_blocks=8).collect()))
+    assert any(r[0] == 10 and r[1] == 1 for r in want)
+
+    d = str(tmp_path / "vid_stream")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "drop-0.json"), "w") as fh:
+        for i, k, p, ts in batch_rows:
+            fh.write(_json.dumps({
+                "media_id": i, "kind": k,
+                "payload": base64.b64encode(p).decode(), "ts": ts}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("media_id long, kind string, payload string,"
+                      " ts timestamp").load(d)
+              .withColumn("payload", F.unbase64("payload")))
+    out = str(tmp_path / "vid_flags")
+    q = (S.streaming_video_flags(stream, seen_banded,
+                                 max_hamming=6, n_blocks=8)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_vid"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want and len(got) >= 1
