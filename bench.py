@@ -534,6 +534,70 @@ def scale_probe(spark, factors: list[int]) -> dict:
                                 "candidates": c, "sec": round(best, 3)})
         media.unpersist()
 
+    # viddedup: video perceptual near-dup (per-frame dHash majority
+    # vote -> the same Manku banding as imgdedup/auddedup). 60
+    # synthetic 6-frame uncompressed-DIB AVI clips per replica —
+    # drifting gradient+blob content with per-clip random phase AND
+    # per-clip random channel mixes so cross-clip gradient signs
+    # decorrelate (vHash is frame dHash, so the imgdedup rule
+    # applies: perturb gradients, not brightness) — one planted
+    # noise-perturbed copy per replica. Wall must be linear in clips
+    # (the decode is one Arrow payload scan, 6 frame rasters per
+    # clip) and candidates ~f, never f².
+    out["viddedup"] = []
+    yy, xx = np.mgrid[0:24, 0:32].astype(float)
+    for f in factors:
+        rows = []
+        for i in range(f):
+            vrng = np.random.default_rng(9000 + i)
+            for j in range(60):
+                # THREE random 2D sinusoids + a static per-clip noise
+                # texture, phases drifting slowly over t: spatially
+                # diverse (two sinusoids left ~200 chance ≤6-bit pairs
+                # at 976 clips — the hash space was too small and
+                # candidates grew ~f²; three + texture measured 5,
+                # so candidates track the planted ~f) yet temporally
+                # smooth, keeping the planted noisy copy within the
+                # ≤6 near-dup budget (measured worst 5 bits over 30)
+                fx = vrng.uniform(0.3, 4.0, 3)
+                fy = vrng.uniform(0.3, 4.0, 3)
+                p0 = vrng.uniform(0, 2 * np.pi, 3)
+                sp = vrng.uniform(0.1, 0.4, 3)
+                tex = vrng.uniform(-30, 30, (24, 32))
+                frames = []
+                for t in range(6):
+                    g = 127.0 + tex
+                    for k in range(3):
+                        g = g + 50 * np.sin(
+                            2 * np.pi * (fx[k] * xx / 32
+                                         + fy[k] * yy / 24)
+                            + p0[k] + t * sp[k])
+                    c0 = np.clip(g, 0, 255).astype(np.uint8)
+                    frames.append(np.stack(
+                        [c0, (c0 // 2 + 40).astype(np.uint8),
+                         255 - c0], axis=2))
+                rows.append((i * 10_000 + j, "video",
+                             MM.write_avi(frames, fps=6.0)))
+                if j == 0:   # one planted near-dup per replica
+                    noisy = [np.clip(fr.astype(int)
+                                     + vrng.integers(-8, 9, fr.shape),
+                                     0, 255).astype(np.uint8)
+                             for fr in frames]
+                    rows.append((i * 10_000 + 5000, "video",
+                                 MM.write_avi(noisy, fps=6.0)))
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary") \
+            .repartition(32).persist()
+        n = media.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = MM.video_neardup_pairs(media, max_hamming=6).count()
+            best = min(best, time.perf_counter() - t0)
+        out["viddedup"].append({"factor": f, "n_docs": n,
+                                "candidates": c, "sec": round(best, 3)})
+        media.unpersist()
+
     # semdecon: embedding-space decontamination CANDIDATE stage
     # (threshold=-1 keeps every bucket-collision pair, the probe
     # convention). Corpus replicas sign-flip-decorrelate exactly like
@@ -690,7 +754,7 @@ def main() -> None:
                       fh, indent=1)
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
-                "imgdedup", "auddedup")
+                "imgdedup", "auddedup", "viddedup")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
