@@ -1358,30 +1358,34 @@ class Pipeline:
                 "histogram_path": output_path + "_hist"}
         # a training-data datasheet counts the MEDIA table too when
         # the source dir carries one: items/bytes per kind (one
-        # aggregate) plus the image decodable fraction — real decodes
-        # (image_dhash row-count delta over the payload scan), not a
-        # mime guess. Absent media -> the section says so explicitly
-        # rather than silently reading as text-only.
+        # aggregate) plus per-modality decodable fractions — real
+        # decodes (fingerprint row-count deltas over the payload
+        # scan: dHash/aHash/vHash), not a mime guess. Absent media ->
+        # the section says so explicitly rather than silently reading
+        # as text-only.
         media = self._media_or_none(source_dir)
         if media is None:
             card["media"] = {"present": False}
         else:
             from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+                audio_ahash,
                 image_dhash,
                 media_census,
+                video_vhash,
             )
             kinds = {r["stratum"]: {"n_items": r["n_items"],
                                     "n_bytes": r["n_bytes"]}
                      for r in media_census(media).collect()
                      if r["kind"] == "media_kind"}
-            n_images = kinds.get("image", {}).get("n_items", 0)
-            n_decodable = image_dhash(media).count() if n_images else 0
-            card["media"] = {
-                "present": True,
-                "per_kind": kinds,
-                "images_decodable": n_decodable,
-                "image_decodable_fraction": round(
-                    n_decodable / n_images, 4) if n_images else None}
+            card["media"] = {"present": True, "per_kind": kinds}
+            for mod, noun, fp in (("image", "images", image_dhash),
+                                  ("audio", "clips", audio_ahash),
+                                  ("video", "videos", video_vhash)):
+                n_kind = kinds.get(mod, {}).get("n_items", 0)
+                n_dec = fp(media).count() if n_kind else 0
+                card["media"][f"{noun}_decodable"] = n_dec
+                card["media"][f"{mod}_decodable_fraction"] = round(
+                    n_dec / n_kind, 4) if n_kind else None
             self.progress("media", card["media"])
         card_path = write_run_artifacts(output_path + "_card",
                                         {"data_card": card})

@@ -2269,9 +2269,12 @@ def test_pipeline_image_dedup_and_probe_lifecycle(spark, sf_dir,
 
 def test_data_card_counts_media(spark, sf_dir, tmp_path):
     """The datasheet counts the media table when the source dir
-    carries one: items/bytes per kind consistent with the frame, the
-    image decodable fraction from REAL decodes; without media the
-    card says so explicitly."""
+    carries one: items/bytes per kind consistent with the frame, and
+    PER-MODALITY decodable fractions from REAL decodes (dHash /
+    aHash / vHash row deltas); without media the card says so
+    explicitly."""
+    import numpy as np
+
     from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
         Catalog,
     )
@@ -2280,11 +2283,17 @@ def test_data_card_counts_media(spark, sf_dir, tmp_path):
     src = str(tmp_path / "card_sf")
     docs = Catalog(spark, sf_dir).documents.limit(80)
     docs.write.parquet(src + "/documents.parquet")
-    wav = M.write_wav([0, 1000, -1000, 500], rate=8000)
+    wav = M.write_wav([0, 1000, -1000, 500], rate=8000)  # too short
+    avi = M.write_avi(
+        [np.tile(np.arange(0, 240, 5, dtype=np.uint8),
+                 (32, 1))[:, :, None].repeat(3, axis=2) + t * 2
+         for t in range(4)], fps=4.0)
     media_rows = [(1, "image", bytes(M.write_bmp(a))),
                   (2, "image", bytes(M.write_png(a_noisy))),
                   (3, "image", b"NOTANIMAGE"),
-                  (4, "audio", bytes(wav))]
+                  (4, "audio", bytes(wav)),
+                  (5, "video", avi),
+                  (6, "video", bytes(M.write_mp4(2.0)))]  # meta only
     spark.createDataFrame(
         media_rows, "media_id long, kind string, payload binary") \
         .write.parquet(src + "/media.parquet")
@@ -2297,10 +2306,15 @@ def test_data_card_counts_media(spark, sf_dir, tmp_path):
     assert m["present"] is True
     assert m["per_kind"]["image"]["n_items"] == 3
     assert m["per_kind"]["audio"]["n_items"] == 1
+    assert m["per_kind"]["video"]["n_items"] == 2
     assert m["per_kind"]["image"]["n_bytes"] == sum(
         len(p) for _, k, p in media_rows if k == "image")
     assert m["images_decodable"] == 2
     assert m["image_decodable_fraction"] == round(2 / 3, 4)
+    assert m["clips_decodable"] == 0            # 4-sample clip: no
+    assert m["audio_decodable_fraction"] == 0.0  # gradient signal
+    assert m["videos_decodable"] == 1            # AVI yes, MP4 meta-only
+    assert m["video_decodable_fraction"] == 0.5
 
     # media-less corpus: the section is explicit, not silently absent
     res2 = pipe.run_dataops("generate a data card for the corpus",
