@@ -2240,7 +2240,13 @@ def ahash64(payload: bytes) -> Optional[int]:
     rate, x = decoded
     if rate <= 0:
         return None
-    x = _resample_mono(x, rate, _AHASH_RATE)
+    return _ahash_from_samples(_resample_mono(x, rate, _AHASH_RATE))
+
+
+def _ahash_from_samples(x: "np.ndarray") -> Optional[int]:
+    """The 8 kHz-mono-samples → 64-gradient-bit core of
+    :func:`ahash64`, factored so per-window audio fingerprints hash
+    through the IDENTICAL segment/band math."""
     seg = len(x) // _AHASH_SEGMENTS
     if seg < 80:                 # df = 8000/seg must resolve 100 Hz
         return None
@@ -2254,11 +2260,7 @@ def ahash64(payload: bytes) -> Optional[int]:
     if energies.sum() <= 0.0:
         return None
     bits = (energies[1:] > energies[:-1]).reshape(-1)   # 8x8 row-major
-    out = 0
-    for j in range(64):
-        if bits[j]:
-            out += -(1 << 63) if j == 63 else (1 << j)
-    return out
+    return _bits_to_signed64(bits)
 
 
 def audio_ahash(media: DataFrame, extra_cols: tuple = ()) -> DataFrame:
@@ -2690,3 +2692,274 @@ def video_dedup(media: DataFrame, max_hamming: int = 6,
                                 decode_fn=decode_fn,
                                 hot_policy=hot_policy)
     return dedup_by_components(media, pairs, id_col="media_id")
+
+
+def video_frame_hashes(media: DataFrame, max_frames: int = 16,
+                       decode_fn: Optional[callable] = None) -> DataFrame:
+    """(id, frame_idx, sim) per-frame dHash rows for every decodable
+    video payload — the FRAME-level face of :func:`video_vhash`
+    (which majority-votes these same bits into one clip hash). One
+    Arrow payload scan; ``frame_idx`` is the position in the
+    timeline-fraction sample (0..max_frames-1). Within one video,
+    frames with IDENTICAL hashes collapse to the first occurrence —
+    frame rows are distinct-content identities here, not vote
+    weights, so a static scene contributes ONE row however long it
+    holds. ``decode_fn`` is the same native-codec hook as
+    :func:`vhash64`."""
+    import pandas as pd
+
+    sub = media.select("media_id", "kind", "payload")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, sims = [], [], []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "video":
+                    continue
+                p = pdf["payload"].iloc[i]
+                if p is None:
+                    continue
+                p = bytes(p)
+                frames = decode_fn(p) if decode_fn is not None else None
+                if frames is None:
+                    frames = avi_frames(p, max_frames=max_frames)
+                if not frames:
+                    continue
+                seen = set()
+                for j, (w, h, arr) in enumerate(frames):
+                    bits = _dhash_bits(w, h, arr)
+                    if bits is None:
+                        continue
+                    sim = _bits_to_signed64(bits)
+                    if sim in seen:
+                        continue
+                    seen.add(sim)
+                    ids.append(int(pdf["media_id"].iloc[i]))
+                    idxs.append(j)
+                    sims.append(sim)
+            out = pd.DataFrame({"id": ids, "frame_idx": idxs,
+                                "sim": sims})
+            out["id"] = out["id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["sim"] = out["sim"].astype("int64")
+            yield out
+
+    return sub.mapInPandas(kernel, "id long, frame_idx int, sim long")
+
+
+def video_containment_pairs(media: DataFrame,
+                            min_shared_frames: int = 3,
+                            max_frames: int = 16,
+                            max_hamming: int = 6, n_blocks: int = 8,
+                            max_bucket: Optional[int] = 2000,
+                            cap_report: Optional[dict] = None,
+                            decode_fn: Optional[callable] = None,
+                            hot_policy: str = "drop") -> DataFrame:
+    """Sub-clip (containment) video matching: find video pairs that
+    share ≥ ``min_shared_frames`` near-duplicate FRAMES — the case
+    whole-clip vHash structurally misses (a clip trimmed out of a
+    longer video samples different timeline fractions, so its
+    majority vote lands far from the original's even though every
+    frame matches). Per-frame dHash rows pack ``(media_id,
+    frame_idx)`` into one 64-bit id (``media_id·4096 + idx`` —
+    max_frames is bounded at 4096) and ride the SAME Manku banding
+    engine; matched frame pairs then roll up per video pair, counting
+    DISTINCT matched frames on EACH side — a static scene matching
+    one frame many times counts once, so repeated-frame false
+    positives stay below the threshold. Output: ``(id_a, id_b,
+    shared_frames, min_hamming)`` with ``id_a < id_b``,
+    ``shared_frames = least(distinct matched frames of a, of b)``.
+
+    Scale shape: ≤ ``max_frames`` 16-byte rows per video after one
+    Arrow payload scan, banded equi-join (hot-bucket cap + telemetry
+    as everywhere), one groupBy on the video pair — never a
+    quadratic frame or video scan."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    if not 0 < max_frames <= 4096:
+        raise ValueError("max_frames must be in 1..4096 (frame_idx "
+                         "packs into 12 bits of the pair id)")
+    fh = video_frame_hashes(media, max_frames=max_frames,
+                            decode_fn=decode_fn)
+    return _containment_rollup(
+        fh.withColumnRenamed("frame_idx", "idx"), min_shared_frames,
+        "shared_frames", max_hamming=max_hamming, n_blocks=n_blocks,
+        max_bucket=max_bucket, cap_report=cap_report,
+        hot_policy=hot_policy)
+
+
+def _containment_rollup(hashes: DataFrame, min_shared: int,
+                        shared_col: str, max_hamming: int = 6,
+                        n_blocks: int = 8,
+                        max_bucket: Optional[int] = 2000,
+                        cap_report: Optional[dict] = None,
+                        hot_policy: str = "drop") -> DataFrame:
+    """Shared containment core over an ``(id, idx, sim)`` sub-item
+    fingerprint frame (video frames, audio anchor windows): pack
+    ``(id, idx)`` into one 64-bit id (``id·4096 + idx``), pair
+    through the Manku banding engine, roll matched sub-item pairs up
+    per ITEM pair counting distinct matches on each side. Output
+    ``(id_a, id_b, <shared_col>, min_hamming)`` with ``id_a <
+    id_b`` and ``<shared_col> >= min_shared``."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    packed = hashes.select(
+        (F.col("id") * 4096 + F.col("idx")).alias("id"), "sim") \
+        .localCheckpoint(eager=False)
+    pairs = hamming_band_pairs(packed, max_hamming=max_hamming,
+                               n_blocks=n_blocks, max_bucket=max_bucket,
+                               cap_report=cap_report,
+                               hot_policy=hot_policy)
+    # packed ids order by (item, idx), so id_a < id_b across two
+    # different items already means item_a < item_b — no swap
+    by_item = (pairs
+               .select(F.expr("id_a div 4096").alias("va"),  # integral
+                       (F.col("id_a") % 4096).alias("fa"),   # div: no
+                       F.expr("id_b div 4096").alias("vb"),  # float
+                       (F.col("id_b") % 4096).alias("fb"),   # precision
+                       "hamming")                            # loss
+               .filter(F.col("va") != F.col("vb")))
+    return (by_item.groupBy(F.col("va").alias("id_a"),
+                            F.col("vb").alias("id_b"))
+            .agg(F.least(F.countDistinct("fa"),
+                         F.countDistinct("fb"))
+                 .alias(shared_col),
+                 F.min("hamming").alias("min_hamming"))
+            .filter(F.col(shared_col) >= min_shared))
+
+
+# ---------------------------------------------------------------------------
+# audio sub-clip containment: onset-anchored window fingerprints —
+# the audio face of video_containment_pairs. Whole-clip aHash is
+# length-proportional (9 segments scale with the clip), so a TRIM
+# structurally breaks it; fixed-stride windows break too (a 50 ms
+# window misalignment already costs ~7 bits — measured). Anchoring
+# windows on the CONTENT (onset = strict local max of the hop-energy
+# log-rise, refined to the steepest 4 ms rise) makes window starts
+# trim-invariant: the same onset yields the same window wherever the
+# clip was cut, as long as the onset itself survives.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_HOP_MS = 25
+_ANCHOR_RADIUS = 8          # strict-max radius in hops (±200 ms)
+_ANCHOR_BLK = 32            # 4 ms refine blocks at 8 kHz
+
+
+def audio_anchor_hashes(payload: bytes, window_sec: float = 2.0,
+                        min_rise: float = 1.15,
+                        max_windows: int = 64) -> Optional[list]:
+    """Onset-anchored window fingerprints of one audio payload:
+    ``[(anchor_pos_sec, sim), ...]`` (at most ``max_windows``, evenly
+    thinned, identical hashes deduped) or None when nothing decodes
+    or no onset clears ``min_rise``. Each window is
+    :func:`_ahash_from_samples` over ``window_sec`` starting AT the
+    onset — the refine step pins the start to a 4 ms block, inside
+    the ~2-bit jitter budget the windowed hash tolerates
+    (misalignment sensitivity measured: 25 ms ≈ 2 bits, 50 ms ≈ 7)."""
+    decoded = wav_mono_samples(payload)
+    if decoded is None:
+        return None
+    rate, x = decoded
+    if rate <= 0:
+        return None
+    x = _resample_mono(x, rate, _AHASH_RATE)
+    hop = (_AHASH_RATE * _ANCHOR_HOP_MS) // 1000
+    W = int(_AHASH_RATE * window_sec)
+    n = len(x) // hop
+    if n < 2 * _ANCHOR_RADIUS + 3:
+        return None
+    e = (x[:n * hop] ** 2).reshape(n, hop).sum(axis=1) + 1e-12
+    rise = np.log(e[1:] / e[:-1])    # gain cancels in the ratio
+    out, seen = [], set()
+    for k in range(_ANCHOR_RADIUS, len(rise) - _ANCHOR_RADIUS):
+        sl = rise[k - _ANCHOR_RADIUS:k + _ANCHOR_RADIUS + 1]
+        if sl.argmax() != _ANCHOR_RADIUS or rise[k] < np.log(min_rise):
+            continue
+        lo, hi = k * hop, min(len(x), (k + 2) * hop)
+        nb = (hi - lo) // _ANCHOR_BLK
+        if nb < 2:
+            continue
+        be = (x[lo:lo + nb * _ANCHOR_BLK] ** 2) \
+            .reshape(nb, _ANCHOR_BLK).sum(axis=1) + 1e-12
+        t0 = lo + (int(np.argmax(be[1:] / be[:-1])) + 1) * _ANCHOR_BLK
+        if t0 + W > len(x):
+            continue
+        h = _ahash_from_samples(x[t0:t0 + W])
+        if h is None or h in seen:
+            continue
+        seen.add(h)
+        out.append((t0 / _AHASH_RATE, h))
+    if not out:
+        return None
+    if len(out) > max_windows:    # evenly thin, keep timeline spread
+        out = [out[(i * (len(out) - 1)) // (max_windows - 1)]
+               for i in range(max_windows)]
+    return out
+
+
+def audio_window_hashes(media: DataFrame, window_sec: float = 2.0,
+                        min_rise: float = 1.15,
+                        max_windows: int = 64) -> DataFrame:
+    """(id, idx, sim) onset-anchored window fingerprints for every
+    decodable audio payload — the audio twin of
+    :func:`video_frame_hashes` (same one-payload-scan Arrow kernel
+    shape, same distinct-content dedupe)."""
+    import pandas as pd
+
+    sub = media.select("media_id", "kind", "payload")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, sims = [], [], []
+            for i in range(len(pdf)):
+                if pdf["kind"].iloc[i] != "audio":
+                    continue
+                p = pdf["payload"].iloc[i]
+                if p is None:
+                    continue
+                ws = audio_anchor_hashes(bytes(p),
+                                         window_sec=window_sec,
+                                         min_rise=min_rise,
+                                         max_windows=max_windows)
+                if not ws:
+                    continue
+                for j, (_, h) in enumerate(ws):
+                    ids.append(int(pdf["media_id"].iloc[i]))
+                    idxs.append(j)
+                    sims.append(h)
+            out = pd.DataFrame({"id": ids, "idx": idxs, "sim": sims})
+            out["id"] = out["id"].astype("int64")
+            out["idx"] = out["idx"].astype("int32")
+            out["sim"] = out["sim"].astype("int64")
+            yield out
+
+    return sub.mapInPandas(kernel, "id long, idx int, sim long")
+
+
+def audio_containment_pairs(media: DataFrame,
+                            min_shared_windows: int = 2,
+                            window_sec: float = 2.0,
+                            max_windows: int = 64,
+                            max_hamming: int = 6, n_blocks: int = 8,
+                            max_bucket: Optional[int] = 2000,
+                            cap_report: Optional[dict] = None,
+                            hot_policy: str = "drop") -> DataFrame:
+    """Sub-clip (containment) audio matching: clip pairs sharing ≥
+    ``min_shared_windows`` near-duplicate onset-anchored windows —
+    the case whole-clip aHash structurally misses (a trim rescales
+    its 9 segments). Same packed-id + banding + per-side
+    distinct-count rollup as :func:`video_containment_pairs`
+    (:func:`_containment_rollup`); output ``(id_a, id_b,
+    shared_windows, min_hamming)``."""
+    if not 0 < max_windows <= 4096:
+        raise ValueError("max_windows must be in 1..4096 (idx packs "
+                         "into 12 bits of the pair id)")
+    wh = audio_window_hashes(media, window_sec=window_sec,
+                             max_windows=max_windows)
+    return _containment_rollup(
+        wh, min_shared_windows, "shared_windows",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+        max_bucket=max_bucket, cap_report=cap_report,
+        hot_policy=hot_policy)

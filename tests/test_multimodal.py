@@ -2185,3 +2185,131 @@ def test_extract_features_avimeta(spark):
     assert rows[1]["feat"] == [pytest.approx(1.0), 64.0, 48.0, 12.0]
     assert rows[2]["decoder"] == "mp4meta"
     assert rows[3]["decoder"] == "fake"
+
+
+def test_video_containment_pairs(spark):
+    """Sub-clip matching: an MJPEG re-encode of a TRIMMED span of a
+    longer video shares ≥3 near-dup frames with the original even
+    though whole-clip vHash (different timeline fractions) lands past
+    the near-dup budget — the case the containment operator exists
+    for. Unrelated clips never pair; a static-scene video matching
+    one frame many times counts it ONCE and stays below the
+    threshold."""
+    import numpy as np
+
+    long_frames = _smooth_frames(n=24)
+    vid_a = M.write_avi(long_frames, fps=12.0)
+    # B: frames 9..15 of A, re-encoded MJPEG — a 7-frame trim
+    vid_b = M.write_avi(long_frames[9:16], fps=12.0, codec="MJPG")
+    vid_c = M.write_avi(
+        [np.roll(f[::-1], 20, axis=1).copy()
+         for f in _smooth_frames(n=10, phase=7.0)], fps=10.0)
+    # D: ten copies of ONE frame of A — a static scene; its single
+    # distinct raster matches A's frame 0 many times but must count
+    # once, below min_shared_frames
+    vid_d = M.write_avi([long_frames[0]] * 10, fps=10.0)
+
+    # why this operator exists: the trim breaks whole-clip vHash
+    ha, hb = M.vhash64(vid_a), M.vhash64(vid_b)
+    assert _ham64(ha, hb) > 6
+
+    media = spark.createDataFrame(
+        [(1, "video", vid_a), (2, "video", vid_b),
+         (3, "video", vid_c), (4, "video", vid_d)],
+        "media_id long, kind string, payload binary")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           M.video_containment_pairs(media, min_shared_frames=3)
+           .collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["shared_frames"] >= 3
+    assert got[(1, 2)]["min_hamming"] <= 6
+    assert all(k == (1, 2) for k in got)   # C unrelated, D static
+
+    # the static scene IS visible at threshold 1 (it genuinely shares
+    # one frame), counted once per side
+    got1 = {(r["id_a"], r["id_b"]): r["shared_frames"] for r in
+            M.video_containment_pairs(media, min_shared_frames=1)
+            .collect()}
+    assert got1.get((1, 4)) == 1
+
+    with pytest.raises(ValueError):
+        M.video_containment_pairs(media, max_frames=5000)
+
+
+def _envelope_clip(seed=3, secs=20, rate=16000):
+    """Broadband multi-tone audio with random 0.25s band envelopes —
+    onset-rich content (every envelope step is a candidate anchor)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    t = np.arange(rate * secs) / rate
+    tones = np.sin(2 * np.pi * np.geomspace(140, 3400, 8)[:, None]
+                   * t[None, :])
+    seg = (np.arange(len(t)) * (4 * secs)) // len(t)
+    env = 0.1 + 0.9 * rng.random((4 * secs, 8))
+    x = (tones * env[seg].T).sum(axis=0) / 8.0
+    return (np.clip(x, -1, 1) * 20000).astype("<i2")
+
+
+def test_audio_containment_pairs(spark):
+    """Sub-clip audio matching: an ARBITRARY-OFFSET trim (and its
+    gain-scaled re-encode) shares ≥2 onset-anchored windows with the
+    original even though whole-clip aHash (length-proportional
+    segments) lands past the near-dup budget; unrelated clips never
+    pair. Onset anchoring is what buys the trim invariance — window
+    starts derive from the content, not the cut."""
+    import numpy as np
+
+    rate = 16000
+    pcm = _envelope_clip(seed=3)
+    full = bytes(M.write_wav(pcm, rate))
+    # trim at an arbitrary (non-round) offset, then gain-scale
+    lo, hi = int(5.3217 * rate), int(13.77 * rate)
+    trim = bytes(M.write_wav(pcm[lo:hi], rate))
+    redo = bytes(M.write_wav((pcm[lo:hi] * 0.5).astype("<i2"), rate))
+    other = bytes(M.write_wav(_envelope_clip(seed=77), rate))
+
+    # why this operator exists: the trim breaks whole-clip aHash
+    assert _ham64(M.ahash64(full), M.ahash64(trim)) > 6
+
+    media = spark.createDataFrame(
+        [(1, "audio", full), (2, "audio", trim), (3, "audio", redo),
+         (4, "audio", other), (5, "audio", b"ID3\x04junk"),
+         (6, "video", full)],     # wrong kind never fingerprints
+        "media_id long, kind string, payload binary")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           M.audio_containment_pairs(media, min_shared_windows=2)
+           .collect()}
+    assert (1, 2) in got and got[(1, 2)]["shared_windows"] >= 2
+    assert (1, 3) in got                     # re-encoded trim too
+    assert got[(1, 2)]["min_hamming"] <= 6
+    assert not any(4 in k or 5 in k or 6 in k for k in got)
+
+    with pytest.raises(ValueError):
+        M.audio_containment_pairs(media, max_windows=9999)
+
+
+def test_audio_anchor_hashes_contract():
+    """audio_anchor_hashes: anchors are content-determined (the same
+    onset found in full and trimmed signals yields hashes within the
+    near-dup budget), identical-hash windows dedupe, silence and junk
+    return None, and max_windows thins evenly."""
+    import numpy as np
+
+    rate = 16000
+    pcm = _envelope_clip(seed=3)
+    full = bytes(M.write_wav(pcm, rate))
+    ws = M.audio_anchor_hashes(full)
+    assert ws and len({h for _, h in ws}) == len(ws)   # deduped
+    trim = bytes(M.write_wav(pcm[int(5.3217 * rate):
+                                 int(13.77 * rate)], rate))
+    wt = M.audio_anchor_hashes(trim)
+    assert wt
+    matched = sum(1 for _, a in wt
+                  if any(_ham64(a, b) <= 6 for _, b in ws))
+    assert matched >= 2
+
+    assert M.audio_anchor_hashes(
+        bytes(M.write_wav(np.zeros(32000, dtype="<i2"), 16000))) is None
+    assert M.audio_anchor_hashes(b"NOTAUDIO") is None
+    capped = M.audio_anchor_hashes(full, max_windows=3)
+    assert capped is not None and len(capped) <= 3
