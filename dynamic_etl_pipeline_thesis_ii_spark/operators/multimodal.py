@@ -2695,7 +2695,8 @@ def video_dedup(media: DataFrame, max_hamming: int = 6,
 
 
 def video_frame_hashes(media: DataFrame, max_frames: int = 16,
-                       decode_fn: Optional[callable] = None) -> DataFrame:
+                       decode_fn: Optional[callable] = None,
+                       extra_cols: tuple = ()) -> DataFrame:
     """(id, frame_idx, sim) per-frame dHash rows for every decodable
     video payload — the FRAME-level face of :func:`video_vhash`
     (which majority-votes these same bits into one clip hash). One
@@ -2705,46 +2706,74 @@ def video_frame_hashes(media: DataFrame, max_frames: int = 16,
     frame rows are distinct-content identities here, not vote
     weights, so a static scene contributes ONE row however long it
     holds. ``decode_fn`` is the same native-codec hook as
-    :func:`vhash64`."""
+    :func:`vhash64`; ``extra_cols`` pass through (streaming callers
+    carry the event-time column)."""
+
+    def one(p):
+        if p is None:
+            return None
+        p = bytes(p)
+        frames = decode_fn(p) if decode_fn is not None else None
+        if frames is None:
+            frames = avi_frames(p, max_frames=max_frames)
+        if not frames:
+            return None
+        out, seen = [], set()
+        for j, (w, h, arr) in enumerate(frames):
+            bits = _dhash_bits(w, h, arr)
+            if bits is None:
+                continue
+            sim = _bits_to_signed64(bits)
+            if sim in seen:
+                continue
+            seen.add(sim)
+            out.append((j, sim))
+        return out or None
+
+    return _subitem_hashes(media, "video", one, "frame_idx",
+                           extra_cols=extra_cols)
+
+
+def _subitem_hashes(media: DataFrame, kind: str, windows_fn,
+                    idx_name: str, extra_cols: tuple = ()) -> DataFrame:
+    """Shared 1->N Arrow kernel turning one media kind's payloads into
+    ``(id, <idx_name>, sim)`` sub-item fingerprint rows via
+    ``windows_fn`` (picklable, ``bytes -> [(idx, sim), ...] | None``)
+    — video frame hashes and audio anchor windows ride identical
+    plumbing, like :func:`_media_fingerprints` for whole-item hashes.
+    ``extra_cols`` replicate onto every sub-item row."""
     import pandas as pd
 
-    sub = media.select("media_id", "kind", "payload")
+    extras = list(extra_cols)
+    sub = media.select("media_id", "kind", "payload", *extras)
+    extra_fields = ", ".join(
+        f"{c} {media.schema[c].dataType.simpleString()}" for c in extras)
+    out_schema = f"id long, {idx_name} int, sim long" + (
+        ", " + extra_fields if extras else "")
 
     def kernel(batches):
         for pdf in batches:
-            ids, idxs, sims = [], [], []
+            rows = {"id": [], idx_name: [], "sim": [],
+                    **{c: [] for c in extras}}
             for i in range(len(pdf)):
-                if pdf["kind"].iloc[i] != "video":
+                if pdf["kind"].iloc[i] != kind:
                     continue
-                p = pdf["payload"].iloc[i]
-                if p is None:
+                ws = windows_fn(pdf["payload"].iloc[i])
+                if not ws:
                     continue
-                p = bytes(p)
-                frames = decode_fn(p) if decode_fn is not None else None
-                if frames is None:
-                    frames = avi_frames(p, max_frames=max_frames)
-                if not frames:
-                    continue
-                seen = set()
-                for j, (w, h, arr) in enumerate(frames):
-                    bits = _dhash_bits(w, h, arr)
-                    if bits is None:
-                        continue
-                    sim = _bits_to_signed64(bits)
-                    if sim in seen:
-                        continue
-                    seen.add(sim)
-                    ids.append(int(pdf["media_id"].iloc[i]))
-                    idxs.append(j)
-                    sims.append(sim)
-            out = pd.DataFrame({"id": ids, "frame_idx": idxs,
-                                "sim": sims})
+                for j, sim in ws:
+                    rows["id"].append(int(pdf["media_id"].iloc[i]))
+                    rows[idx_name].append(j)
+                    rows["sim"].append(sim)
+                    for c in extras:
+                        rows[c].append(pdf[c].iloc[i])
+            out = pd.DataFrame(rows)
             out["id"] = out["id"].astype("int64")
-            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out[idx_name] = out[idx_name].astype("int32")
             out["sim"] = out["sim"].astype("int64")
             yield out
 
-    return sub.mapInPandas(kernel, "id long, frame_idx int, sim long")
+    return sub.mapInPandas(kernel, out_schema)
 
 
 def video_containment_pairs(media: DataFrame,
@@ -2901,41 +2930,64 @@ def audio_anchor_hashes(payload: bytes, window_sec: float = 2.0,
 
 def audio_window_hashes(media: DataFrame, window_sec: float = 2.0,
                         min_rise: float = 1.15,
-                        max_windows: int = 64) -> DataFrame:
+                        max_windows: int = 64,
+                        extra_cols: tuple = ()) -> DataFrame:
     """(id, idx, sim) onset-anchored window fingerprints for every
     decodable audio payload — the audio twin of
-    :func:`video_frame_hashes` (same one-payload-scan Arrow kernel
-    shape, same distinct-content dedupe)."""
-    import pandas as pd
+    :func:`video_frame_hashes`, riding the same
+    :func:`_subitem_hashes` Arrow kernel (one plumbing, two
+    modalities; same distinct-content dedupe)."""
 
-    sub = media.select("media_id", "kind", "payload")
+    def one(p):
+        if p is None:
+            return None
+        ws = audio_anchor_hashes(bytes(p), window_sec=window_sec,
+                                 min_rise=min_rise,
+                                 max_windows=max_windows)
+        return ([(j, h) for j, (_, h) in enumerate(ws)]
+                if ws else None)
 
-    def kernel(batches):
-        for pdf in batches:
-            ids, idxs, sims = [], [], []
-            for i in range(len(pdf)):
-                if pdf["kind"].iloc[i] != "audio":
-                    continue
-                p = pdf["payload"].iloc[i]
-                if p is None:
-                    continue
-                ws = audio_anchor_hashes(bytes(p),
-                                         window_sec=window_sec,
-                                         min_rise=min_rise,
-                                         max_windows=max_windows)
-                if not ws:
-                    continue
-                for j, (_, h) in enumerate(ws):
-                    ids.append(int(pdf["media_id"].iloc[i]))
-                    idxs.append(j)
-                    sims.append(h)
-            out = pd.DataFrame({"id": ids, "idx": idxs, "sim": sims})
-            out["id"] = out["id"].astype("int64")
-            out["idx"] = out["idx"].astype("int32")
-            out["sim"] = out["sim"].astype("int64")
-            yield out
+    return _subitem_hashes(media, "audio", one, "idx",
+                           extra_cols=extra_cols)
 
-    return sub.mapInPandas(kernel, "id long, idx int, sim long")
+
+def incremental_containment_pairs(new_hashes: DataFrame,
+                                  seen_banded: DataFrame,
+                                  min_shared: int = 2,
+                                  shared_col: str = "shared_frames",
+                                  max_hamming: int = 6,
+                                  n_blocks: int = 8,
+                                  key_blocks: Optional[int] = None) -> DataFrame:
+    """Probe a NEW batch's ``(id, idx, sim)`` sub-item hashes against
+    a persisted PACKED-ID hamming snapshot (``hamming_band_keys`` over
+    ``id·4096 + idx`` rows — the containment store the NL build face
+    persists) and roll frame/window matches up per item pair:
+    ``(id_new, id_seen, <shared_col>, min_hamming)`` with
+    ``<shared_col> >= min_shared``. Cost scales with the batch (the
+    probe broadcast-prunes the snapshot), never the corpus — the
+    containment face of :func:`~...dedup.incremental_hamming_pairs`.
+    No id-equality exclusion: a re-ingested video SHOULD flag against
+    its stored self."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+    idx_col = new_hashes.columns[1]     # frame_idx / idx
+    packed = new_hashes.select(
+        (F.col("id") * 4096 + F.col(idx_col)).alias("id"), "sim")
+    pairs = incremental_hamming_pairs(
+        packed, seen_banded, max_hamming=max_hamming,
+        n_blocks=n_blocks, key_blocks=key_blocks)
+    by_item = pairs.select(
+        F.expr("id_new div 4096").alias("vn"),
+        (F.col("id_new") % 4096).alias("fn"),
+        F.expr("id_seen div 4096").alias("vs"),
+        (F.col("id_seen") % 4096).alias("fs"), "hamming")
+    return (by_item.groupBy(F.col("vn").alias("id_new"),
+                            F.col("vs").alias("id_seen"))
+            .agg(F.least(F.countDistinct("fn"), F.countDistinct("fs"))
+                 .alias(shared_col),
+                 F.min("hamming").alias("min_hamming"))
+            .filter(F.col(shared_col) >= min_shared))
 
 
 def audio_containment_pairs(media: DataFrame,

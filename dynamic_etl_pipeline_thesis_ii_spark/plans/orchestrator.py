@@ -310,6 +310,11 @@ class Pipeline:
         if plan["target"] in ("image_probe", "audio_probe",
                               "video_probe"):
             return self._run_media_probe(plan, source_dir, output_path)
+        if plan["target"] in ("video_containment", "audio_containment"):
+            return self._run_containment(plan, source_dir, output_path)
+        if plan["target"] == "containment_probe":
+            return self._run_containment_probe(plan, source_dir,
+                                               output_path)
         if plan["target"] == "neardup_probe":
             return self._run_neardup_probe(plan, source_dir, output_path)
         if plan["target"] == "band_snapshot":
@@ -695,6 +700,178 @@ class Pipeline:
                             "snapshot_rows_after": n_after,
                             f"{noun}_appended": n_appended})
         fps.unpersist()
+        self.progress("publish", {"rows": n_pairs, "path": output_path})
+        return {"status": "complete", "outputs": [pairs],
+                "reports": reports}
+
+    def _run_containment(self, plan: dict, source_dir: str,
+                         output_path: str) -> dict:
+        """'find videos containing clips of each other' / 'audio
+        containment': sub-clip matching over the media table —
+        per-frame dHash rows (video) or onset-anchored window aHashes
+        (audio) packed into 64-bit ids, paired through the shared
+        Manku banding, rolled up per item pair on the per-side
+        distinct-match count. Pairs land at the sink; the PACKED
+        frame-hash band snapshot + geometry land at
+        ``<output>_snapshot`` (represent mode — flood-proof), so
+        later batches probe for CONTAINED known content at batch cost
+        via the containment_probe target. Cap telemetry rides the
+        report."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            hamming_band_keys,
+            save_hamming_snapshot,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+            _containment_rollup,
+            audio_window_hashes,
+            video_frame_hashes,
+        )
+
+        modality = plan.get("modality", "video")
+        hashes_fn = (video_frame_hashes if modality == "video"
+                     else audio_window_hashes)
+        shared_col = ("shared_frames" if modality == "video"
+                      else "shared_windows")
+        media = self._media_or_none(source_dir)
+        if media is None:
+            return {"status": "rejected",
+                    "reason": f"no media table readable at "
+                              f"{source_dir}/media.parquet",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        n_in = media.count()
+        if n_in == 0:
+            return {"status": "rejected",
+                    "reason": "media table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        mh, nb = plan["max_hamming"], plan["n_blocks"]
+        # hash ONCE (the payload decode dominates) and share the frame
+        # between the pair rollup and the persisted snapshot
+        fh = hashes_fn(media)
+        idx_col = fh.columns[1]
+        fh = fh.withColumnRenamed(idx_col, "idx").persist()
+        n_rows = fh.count()
+        n_decodable = fh.select("id").distinct().count()
+        cap: dict = {}
+        pairs = _containment_rollup(
+            fh, plan["min_shared"], shared_col, max_hamming=mh,
+            n_blocks=nb, cap_report=cap,
+            hot_policy=plan.get("hot_policy", "drop"))
+        self.progress("containment", {"params": dict(plan),
+                                      "decodable": n_decodable,
+                                      "cap": cap})
+        pairs.write.mode("overwrite").parquet(output_path)
+        n_pairs = self.spark.read.parquet(output_path).count()
+        snap = output_path + "_snapshot"
+        packed = fh.select(
+            (F.col("id") * 4096 + F.col("idx")).alias("id"), "sim")
+        save_hamming_snapshot(
+            hamming_band_keys(packed, max_hamming=mh, n_blocks=nb,
+                              cap_mode="represent"),
+            snap, max_hamming=mh, n_blocks=nb)
+        fh.unpersist()
+        self.progress("publish", {"rows": n_pairs, "path": output_path})
+        return {"status": "complete", "outputs": [pairs],
+                "reports": {"plan": dict(plan), "rows_in": n_in,
+                            "items_decodable": n_decodable,
+                            "subitem_rows": n_rows,
+                            "containment_pairs": n_pairs,
+                            "cap_telemetry": cap,
+                            "snapshot_path_out": snap}}
+
+    def _run_containment_probe(self, plan: dict, source_dir: str,
+                               output_path: str) -> dict:
+        """'flag the new videos sharing frames with the snapshot at
+        /p': the batch half of the containment lifecycle — hash the
+        batch's sub-items, probe the persisted PACKED band snapshot
+        (broadcast-pruned, batch cost) and roll matches up per item
+        pair (``multimodal.incremental_containment_pairs``). '... and
+        update the snapshot' appends the batch's fresh packed hashes
+        — items NOT flagged against the store and not contained
+        within the batch — the epoch-grow step."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            hamming_band_keys,
+            load_hamming_snapshot,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+            _containment_rollup,
+            audio_window_hashes,
+            incremental_containment_pairs,
+            video_frame_hashes,
+        )
+
+        modality = plan.get("modality", "video")
+        hashes_fn = (video_frame_hashes if modality == "video"
+                     else audio_window_hashes)
+        shared_col = ("shared_frames" if modality == "video"
+                      else "shared_windows")
+        noun = "videos" if modality == "video" else "clips"
+        if not plan.get("snapshot_path"):
+            return {"status": "rejected",
+                    "reason": f"{modality} containment probe needs a "
+                              "snapshot path ('... sharing frames "
+                              "with the snapshot at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            banded, geom = load_hamming_snapshot(
+                self.spark, plan["snapshot_path"])
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no loadable hamming snapshot at "
+                              f"{plan['snapshot_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        media = self._media_or_none(source_dir)
+        if media is None:
+            return {"status": "rejected",
+                    "reason": f"no media table readable at "
+                              f"{source_dir}/media.parquet",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        n_in = media.count()
+        fh = hashes_fn(media)
+        fh = fh.withColumnRenamed(fh.columns[1], "idx").persist()
+        n_decodable = fh.select("id").distinct().count()
+        pairs = incremental_containment_pairs(
+            fh, banded, min_shared=plan["min_shared"],
+            shared_col=shared_col, **geom)
+        self.progress("containment_probe",
+                      {"params": dict(plan),
+                       "decodable": n_decodable, "geometry": geom})
+        pairs.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)
+        n_pairs = back.count()
+        n_flagged = back.select("id_new").distinct().count()
+        reports = {"plan": dict(plan), "batch_rows": n_in,
+                   f"{noun}_decodable": n_decodable,
+                   "containment_pairs": n_pairs,
+                   f"{noun}_flagged": n_flagged,
+                   "geometry": geom}
+        if plan.get("update"):
+            # epoch grow: append packed hashes of items neither
+            # flagged against the store nor contained within the
+            # batch, banded in the store's own geometry with the
+            # same range-partitioned layout
+            n_before = banded.count()
+            fresh = fh.join(back.select(F.col("id_new").alias("id"))
+                            .distinct(), "id", "left_anti")
+            within = _containment_rollup(
+                fresh, plan["min_shared"], shared_col,
+                max_hamming=geom["max_hamming"],
+                n_blocks=geom["n_blocks"])
+            keep = fresh.join(within.select(F.col("id_b").alias("id"))
+                              .distinct(), "id", "left_anti")
+            packed = keep.select(
+                (F.col("id") * 4096 + F.col("idx")).alias("id"), "sim")
+            new_banded = hamming_band_keys(packed, **geom,
+                                           cap_mode="represent")
+            (new_banded.repartitionByRange("band", "key")
+             .sortWithinPartitions("band", "key")
+             .write.mode("append").parquet(plan["snapshot_path"]))
+            n_after = self.spark.read.parquet(
+                plan["snapshot_path"]).count()
+            n_appended = keep.select("id").distinct().count()
+            reports.update({"snapshot_rows_before": n_before,
+                            "snapshot_rows_after": n_after,
+                            f"{noun}_appended": n_appended})
+        fh.unpersist()
         self.progress("publish", {"rows": n_pairs, "path": output_path})
         return {"status": "complete", "outputs": [pairs],
                 "reports": reports}
@@ -1832,6 +2009,10 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "cluster the embeddings", "cluster the corpus",
                   "cluster the documents", "to the clusters",
                   "cluster map",
+                  "containment", "sub-clip", "subclip",
+                  "containing clips", "containing segments",
+                  "containing frames", "sharing frames",
+                  "sharing windows", "sharing segments",
                   "tokenize", "tokenise",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
@@ -1973,6 +2154,25 @@ _MEDIA_DEDUP_RE = re.compile(
     r"\bdedup(?:licate)?\b"
     r"[^.]*\b(images?|audio(?:\s+clips?)?|videos?(?:\s+clips?)?)\b"
     r"|\b(image|audio|video)\s+dedup")
+# sub-clip containment: 'find videos containing clips of each other'
+# / 'audio containment' -> containment pairs + the packed frame-hash
+# band snapshot; 'flag the new videos sharing frames with the
+# snapshot at /p' -> batch probe of that store. The probe wording
+# ('sharing ... snapshot') is disjoint from the media probes'
+# 'against ... snapshot', but the probe regex still runs FIRST so a
+# combined phrasing routes to the more specific target
+_CONTAIN_PROBE_RE = re.compile(
+    r"\b(?:flag|probe|check)\b[^.]*\b(videos?|audio(?:\s+clips?)?)\b"
+    r"[^.]*\bsharing\b[^.]*\b(?:frames?|windows?|segments?)\b"
+    r"[^.]*\bsnapshot\b")
+_CONTAIN_RE = re.compile(
+    r"\b(?:find|detect|match)\b[^.]*\b(videos?|audio(?:\s+clips?)?)\b"
+    r"[^.]*\b(?:contain|sub-?clip|sharing\s+(?:frames?|windows?|"
+    r"segments?))"
+    r"|\b(video|audio)\s+containment\b")
+_MIN_SHARED_RE = re.compile(
+    r"\bat\s+least\s+(\d+)\s+(?:shared\s+)?"
+    r"(?:frames?|windows?|segments?)\b")
 _HAMMING_RE = re.compile(
     r"\bwithin\s+(\d+)\s+bits?\b|\bhamming\s+(?:of\s+)?(\d+)\b")
 
@@ -2078,6 +2278,16 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       (batch-cost probe of a persisted hamming snapshot with its own
       geometry; '... and update the snapshot' appends the batch's
       fresh fingerprints — epoch grow);
+    - ``video_containment`` / ``audio_containment`` — 'find videos
+      containing clips of each other' / 'audio containment'
+      (sub-clip matching: per-frame dHash / onset-window aHash rows
+      paired through the packed-id banding, rolled up per item pair;
+      pairs + the packed band snapshot land at the sink; 'at least N
+      frames|windows' tunes min_shared);
+    - ``containment_probe`` — 'flag the new videos sharing frames
+      with the snapshot at /path' (batch-cost probe of the packed
+      containment store; '... and update the snapshot' appends the
+      batch's fresh packed hashes);
     - ``band_snapshot`` — 'build a near-dup band snapshot of the
       corpus' (persist the documents table's MinHash band table in
       flood-proof represent mode — the text build face);
@@ -2112,6 +2322,31 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                                           or "recover" in ql)
                                else "drop"),
                 "update": "update" in ql or "grow" in ql}
+    if m := _CONTAIN_PROBE_RE.search(ql):
+        modality = "audio" if "audio" in m.group(1) else "video"
+        ms = 2
+        if mm := _MIN_SHARED_RE.search(ql):
+            ms = int(mm.group(1))
+        m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
+        return {"target": "containment_probe", "modality": modality,
+                "min_shared": ms,
+                "snapshot_path": m.group(1) if m else None,
+                "update": "update" in ql or "grow" in ql}
+    if m := _CONTAIN_RE.search(ql):
+        modality = ("audio" if "audio" in (m.group(1) or m.group(2))
+                    else "video")
+        ms = 2 if modality == "audio" else 3
+        if mm := _MIN_SHARED_RE.search(ql):
+            ms = int(mm.group(1))
+        mh = 6
+        if mm := _HAMMING_RE.search(ql):
+            mh = int(next(g for g in mm.groups() if g))
+        return {"target": f"{modality}_containment",
+                "modality": modality, "min_shared": ms,
+                "max_hamming": mh, "n_blocks": 8,
+                "hot_policy": ("reband" if ("reband" in ql
+                                            or "recover" in ql)
+                               else "drop")}
     if m := _MEDIA_PROBE_RE.search(ql):
         modality = ("audio" if "audio" in m.group(1)
                     else "video" if "video" in m.group(1) else "image")

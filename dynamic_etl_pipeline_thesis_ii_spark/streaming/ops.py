@@ -721,6 +721,63 @@ def streaming_video_flags(media: DataFrame, seen_banded: DataFrame,
         watermark=watermark)
 
 
+def streaming_containment_flags(media: DataFrame,
+                                seen_banded: DataFrame,
+                                modality: str = "video",
+                                max_hamming: int = 6,
+                                n_blocks: int = 8,
+                                key_blocks: Optional[int] = None,
+                                ts_col: Optional[str] = "ts",
+                                watermark: str = "1 hour") -> DataFrame:
+    """FRAME/WINDOW-level containment flagging for a media stream
+    against a persisted PACKED-ID hamming snapshot (the store the NL
+    containment build face persists — ``id·4096 + idx`` band rows):
+    each arriving video's frame hashes (or audio clip's onset-window
+    hashes) probe the snapshot, so a stream item CONTAINING known
+    content flags even when its whole-clip hash doesn't. Output:
+    ``(id_new, idx_new, id_seen, idx_seen, hamming)`` — one row per
+    matched sub-item pair, watermark-deduped. The ≥k shared-frames
+    threshold is an aggregation over this stream; apply it in
+    ``foreachBatch`` with
+    ``multimodal.incremental_containment_pairs``-style rollup (a
+    global streaming groupBy per item pair would hold unbounded
+    state for exactly-one-row output)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        audio_window_hashes,
+        video_frame_hashes,
+    )
+    if modality not in ("video", "audio"):
+        raise ValueError(f"modality must be 'video' or 'audio', "
+                         f"got {modality!r}")
+    hashes_fn = (video_frame_hashes if modality == "video"
+                 else audio_window_hashes)
+    extras = (ts_col,) if ts_col else ()
+    fh = hashes_fn(media, extra_cols=extras)
+    idx_col = fh.columns[1]             # frame_idx / idx
+    packed = fh.select(
+        (F.col("id") * 4096 + F.col(idx_col)).alias("id"), "sim",
+        *extras)
+    pairs = incremental_hamming_pairs(
+        packed, seen_banded, max_hamming=max_hamming,
+        n_blocks=n_blocks, key_blocks=key_blocks,
+        extra_new_cols=extras, distinct=False, prune=False)
+    unpacked = pairs.select(
+        F.expr("id_new div 4096").alias("id_new"),
+        (F.col("id_new") % 4096).cast("int").alias("idx_new"),
+        F.expr("id_seen div 4096").alias("id_seen"),
+        (F.col("id_seen") % 4096).cast("int").alias("idx_seen"),
+        "hamming", *extras)
+    key = ["id_new", "idx_new", "id_seen", "idx_seen"]
+    if ts_col:
+        return (unpacked.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(key)
+                .drop(ts_col))
+    return unpacked.dropDuplicates(key)
+
+
 def _streaming_fingerprint_flags(media, seen_banded, fingerprint_fn,
                                  max_hamming, n_blocks, key_blocks,
                                  ts_col, watermark) -> DataFrame:

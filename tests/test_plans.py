@@ -2585,3 +2585,103 @@ def test_pipeline_video_dedup_and_probe_lifecycle(spark, sf_dir,
     assert (10, 3) in got
     assert not any(idn == 11 for idn, _ in got)
     assert res2["reports"]["videos_flagged"] == 1
+
+
+def test_pipeline_containment_lifecycle(spark, sf_dir, tmp_path):
+    """NL sub-clip containment lifecycle: 'find videos containing
+    clips of each other' lands the pair table AND the packed
+    frame-hash band snapshot; 'flag the new videos sharing frames
+    with the snapshot at /p' then catches a later batch containing a
+    TRIM of stored content at batch cost; '... update the snapshot'
+    grows the store with the batch's fresh hashes."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        multimodal as M,
+    )
+
+    def frames(n=24, phase=0.0):
+        out = []
+        for t in range(n):
+            y, x = np.mgrid[0:48, 0:64].astype(float)
+            g = (x * 2 + y * 3 + (t + phase) * 4) % 256
+            cx = 64 * (0.2 + 0.6 * (t + phase) / 24)
+            blob = 120 * np.exp(-(((x - cx) ** 2 + (y - 24) ** 2) / 80))
+            c = np.clip(g + blob, 0, 255).astype(np.uint8)
+            out.append(np.stack(
+                [c, (c // 2 + 40).astype(np.uint8), 255 - c], axis=2))
+        return out
+
+    fa = frames(24)
+    vid_a = M.write_avi(fa, fps=12.0)
+    vid_b = M.write_avi(fa[9:16], fps=12.0, codec="MJPG")   # trim of a
+    vid_c = M.write_avi(frames(10, phase=31.0), fps=10.0)
+    src = str(tmp_path / "cont_sf")
+    spark.createDataFrame(
+        [(1, "video", vid_a), (2, "video", vid_b),
+         (3, "video", vid_c)],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(src + "/media.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "cont_pairs")
+    res = pipe.run_dataops("find videos containing clips of each other",
+                           src, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["items_decodable"] == 3
+    got = {(r["id_a"], r["id_b"]): r["shared_frames"] for r in
+           spark.read.parquet(out).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(k == (1, 2) for k in got)
+
+    # probe a later batch: a different trim of A flags, fresh doesn't
+    # (the fresh clip flips+rolls the raster — the frame recipe is
+    # periodic in phase, so a far phase alone is NOT fresh content)
+    fresh_frames = [np.roll(f[::-1], 20, axis=1).copy()
+                    for f in frames(8, phase=7.0)]
+    batch_src = str(tmp_path / "cont_batch")
+    spark.createDataFrame(
+        [(10, "video", M.write_avi(fa[2:9], fps=12.0)),
+         (11, "video", M.write_avi(fresh_frames, fps=8.0))],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(batch_src + "/media.parquet")
+    snap = res["reports"]["snapshot_path_out"]
+    res2 = pipe.run_dataops(
+        f"flag the new videos sharing frames with the snapshot at "
+        f"{snap} and update the snapshot",
+        batch_src, str(tmp_path / "cont_flags"))
+    assert res2["status"] == "complete"
+    flags = {(r["id_new"], r["id_seen"]): r["shared_frames"] for r in
+             spark.read.parquet(str(tmp_path / "cont_flags"))
+             .collect()}
+    assert (10, 1) in flags and flags[(10, 1)] >= 2
+    assert not any(idn == 11 for idn, _ in flags)
+    assert res2["reports"]["videos_flagged"] == 1
+    # the grow step appended the fresh clip's hashes
+    assert res2["reports"]["videos_appended"] == 1
+    assert res2["reports"]["snapshot_rows_after"] > \
+        res2["reports"]["snapshot_rows_before"]
+
+    # epoch 3: a copy of the FRESH clip from epoch 2 now flags
+    batch3 = str(tmp_path / "cont_batch3")
+    spark.createDataFrame(
+        [(20, "video", M.write_avi(fresh_frames, fps=8.0,
+                                   codec="MJPG"))],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(batch3 + "/media.parquet")
+    res3 = pipe.run_dataops(
+        f"flag the new videos sharing frames with the snapshot at "
+        f"{snap}", batch3, str(tmp_path / "cont_flags3"))
+    assert res3["status"] == "complete"
+    got3 = {(r["id_new"], r["id_seen"]) for r in
+            spark.read.parquet(str(tmp_path / "cont_flags3"))
+            .collect()}
+    assert (20, 11) in got3
+
+    # rejections are actionable
+    r = pipe.run_dataops("find videos containing clips of each other",
+                         str(tmp_path / "nowhere"), out)
+    assert r["status"] == "rejected" and "media" in r["reason"]
+    r = pipe.run_dataops("flag the new videos sharing frames with "
+                         "the snapshot", batch3, out)
+    assert r["status"] == "rejected" and "snapshot path" in r["reason"]

@@ -1173,3 +1173,89 @@ def test_streaming_video_flags_matches_incremental_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == want and len(got) >= 1
+
+
+def test_streaming_containment_flags_matches_batch(spark, tmp_path):
+    """Frame-level containment flagging on a video stream against the
+    packed hamming snapshot: a drained stream's sub-item flags equal
+    the batch probe's raw pairs, and a TRIM of stored content flags
+    even though its whole-clip vHash would not."""
+    import base64
+    import json as _json
+
+    import numpy as np
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        dedup as D,
+        multimodal as M,
+    )
+
+    def frames(n=24, phase=0.0):
+        out = []
+        for t in range(n):
+            y, x = np.mgrid[0:48, 0:64].astype(float)
+            g = (x * 2 + y * 3 + (t + phase) * 4) % 256
+            cx = 64 * (0.2 + 0.6 * (t + phase) / 24)
+            blob = 120 * np.exp(-(((x - cx) ** 2 + (y - 24) ** 2) / 80))
+            c = np.clip(g + blob, 0, 255).astype(np.uint8)
+            out.append(np.stack(
+                [c, (c // 2 + 40).astype(np.uint8), 255 - c], axis=2))
+        return out
+
+    fa = frames(24)
+    seen = spark.createDataFrame(
+        [(1, "video", M.write_avi(fa, fps=12.0))],
+        "media_id long, kind string, payload binary")
+    fh = M.video_frame_hashes(seen)
+    packed = fh.select((F.col("id") * 4096
+                        + F.col("frame_idx")).alias("id"), "sim")
+    bands_path = str(tmp_path / "cont_bands")
+    D.hamming_band_keys(packed, max_hamming=6, n_blocks=8) \
+        .write.parquet(bands_path)
+    seen_banded = spark.read.parquet(bands_path)
+
+    trim = M.write_avi(fa[9:16], fps=12.0, codec="MJPG")
+    fresh = M.write_avi([np.roll(f[::-1], 20, axis=1).copy()
+                         for f in frames(8, phase=7.0)], fps=8.0)
+    batch_rows = [(10, "video", trim, "2024-01-01T00:00:00"),
+                  (11, "video", fresh, "2024-01-01T00:01:00")]
+    batch = spark.createDataFrame(
+        [(i, k, p) for i, k, p, _ in batch_rows],
+        "media_id long, kind string, payload binary")
+    want_items = {(r["id_new"], r["id_seen"]): r["shared_frames"]
+                  for r in M.incremental_containment_pairs(
+                      M.video_frame_hashes(batch), seen_banded,
+                      min_shared=2, max_hamming=6, n_blocks=8)
+                  .collect()}
+    assert (10, 1) in want_items and 11 not in \
+        {k[0] for k in want_items}
+
+    d = str(tmp_path / "cont_stream")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "drop-0.json"), "w") as fh2:
+        for i, k, p, ts in batch_rows:
+            fh2.write(_json.dumps({
+                "media_id": i, "kind": k,
+                "payload": base64.b64encode(p).decode(), "ts": ts}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("media_id long, kind string, payload string,"
+                      " ts timestamp").load(d)
+              .withColumn("payload", F.unbase64("payload")))
+    out = str(tmp_path / "cont_stream_flags")
+    q = (S.streaming_containment_flags(stream, seen_banded,
+                                       modality="video",
+                                       max_hamming=6, n_blocks=8)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_cont"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # frame-level flags roll up to the same item verdicts
+    rolled = {(r["id_new"], r["id_seen"]) for r in
+              (got.groupBy("id_new", "id_seen")
+               .agg(F.least(F.countDistinct("idx_new"),
+                            F.countDistinct("idx_seen"))
+                    .alias("shared"))
+               .filter("shared >= 2")).collect()}
+    assert rolled == {k for k in want_items}
+    assert got.filter("id_new = 11").count() == 0
