@@ -596,6 +596,23 @@ def scale_probe(spark, factors: list[int]) -> dict:
             best = min(best, time.perf_counter() - t0)
         out["viddedup"].append({"factor": f, "n_docs": n,
                                 "candidates": c, "sec": round(best, 3)})
+
+        # vcontain: sub-clip containment over the SAME clip corpus
+        # (per-frame dHash rows -> packed-id banding -> per-pair
+        # rollup). Candidates = item pairs sharing >=2 distinct
+        # near-dup frames; the planted noisy copy shares all 6, so
+        # candidates grow ~f and wall stays linear in clips (the
+        # frame rows are 6x the clip count, still 16-byte rows).
+        out.setdefault("vcontain", [])
+        best2, c2 = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c2 = MM.video_containment_pairs(
+                media, min_shared_frames=2, max_hamming=6).count()
+            best2 = min(best2, time.perf_counter() - t0)
+        out["vcontain"].append({"factor": f, "n_docs": n,
+                               "candidates": c2,
+                               "sec": round(best2, 3)})
         media.unpersist()
 
     # semdecon: embedding-space decontamination CANDIDATE stage
@@ -754,7 +771,7 @@ def main() -> None:
                       fh, indent=1)
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
-                "imgdedup", "auddedup", "viddedup")
+                "imgdedup", "auddedup", "viddedup", "vcontain")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:

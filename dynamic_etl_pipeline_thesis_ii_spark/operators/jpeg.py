@@ -179,8 +179,11 @@ def parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
     try:
         return _parse_jpeg(payload)
     except (IndexError, ValueError, KeyError, ZeroDivisionError,
-            StopIteration, MemoryError):
-        return None  # truncated / corrupt streams fall back, never raise
+            StopIteration, MemoryError, OverflowError):
+        # truncated / corrupt streams fall back, never raise; the
+        # OverflowError arm is a corrupt DC-predictor chain growing
+        # past int64 before the numpy store (found by the AVI fuzz)
+        return None
 
 
 def _parse_jpeg(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:

@@ -2313,3 +2313,34 @@ def test_audio_anchor_hashes_contract():
     assert M.audio_anchor_hashes(b"NOTAUDIO") is None
     capped = M.audio_anchor_hashes(full, max_windows=3)
     assert capped is not None and len(capped) <= 3
+
+
+def test_avi_tier_corrupt_never_raises():
+    """The AVI walkers and every hash built on them must survive
+    arbitrary corruption (truncations, bit flips, random bytes, lying
+    chunk sizes) by returning None/skipping — one malformed file must
+    never fail a 100 TB scan."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    frames = _smooth_frames(n=6)
+    for codec in ("DIB ", "MJPG"):
+        good = bytearray(M.write_avi(frames, fps=6.0, codec=codec))
+        for cut in (4, 13, 60, 200, len(good) // 2, len(good) - 3):
+            p = bytes(good[:cut])
+            M.parse_avi_meta(p), M.avi_frames(p), M.vhash64(p)
+        for _ in range(40):
+            bad = bytearray(good)
+            for _ in range(rng.integers(1, 6)):
+                bad[rng.integers(0, len(bad))] = rng.integers(0, 256)
+            p = bytes(bad)
+            M.parse_avi_meta(p), M.avi_frames(p), M.vhash64(p)
+    for _ in range(20):
+        junk = bytes(rng.integers(0, 256, rng.integers(8, 400),
+                                  dtype=np.uint8))
+        assert M.vhash64(b"RIFF" + junk[4:]) is None or True
+        M.parse_avi_meta(junk), M.avi_frames(junk), M.vhash64(junk)
+    # lying chunk size: movi list claims more bytes than exist
+    lie = bytes(good[:40]) + (2 ** 30).to_bytes(4, "little") \
+        + bytes(good[44:])
+    M.parse_avi_meta(lie), M.avi_frames(lie), M.vhash64(lie)
