@@ -1046,6 +1046,18 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                                 ogg["sample_rate"], ogg["channels"],
                                 0.0], "oggmeta"
                 if kind == "video":
+                    frames_ = avi_frames(p, max_frames=8)
+                    if frames_:
+                        # REAL sample tier (DIB/MJPEG AVI): the image
+                        # contract [w, h, channel means] averaged over
+                        # the timeline-fraction frame sample
+                        w0, h0 = frames_[0][0], frames_[0][1]
+                        means = np.mean(
+                            [fr.reshape(-1, fr.shape[2]).mean(axis=0)
+                             [:3] for _, _, fr in frames_], axis=0)
+                        return ([float(w0), float(h0)]
+                                + [round(float(m), 6) for m in means]), \
+                            "avi"
                     meta = parse_mp4_meta(p)
                     if meta is not None:
                         # metadata tier (sample decode is ffmpeg
@@ -1057,8 +1069,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                     avi = parse_avi_meta(p)
                     if avi is None:
                         raise ValueError("unknown video container")
-                    # RIFF-AVI metadata walk — same 4-dim shape; the
-                    # DIB/MJPEG SAMPLE tier lives in avi_frames/vhash64
+                    # RIFF-AVI metadata walk (inter-frame codecs in an
+                    # AVI container) — same 4-dim shape as mp4meta
                     return [avi["duration_sec"], avi["width"],
                             avi["height"], avi["n_frames"]], "avimeta"
                 if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
@@ -3015,3 +3027,67 @@ def audio_containment_pairs(media: DataFrame,
         max_hamming=max_hamming, n_blocks=n_blocks,
         max_bucket=max_bucket, cap_report=cap_report,
         hot_policy=hot_policy)
+
+
+def resize_avi(payload: bytes, width: int, height: int) -> bytes:
+    """REAL per-frame nearest-neighbor resize for decodable AVI
+    (uncompressed DIB / MJPEG), re-encoded as uncompressed DIB at the
+    source frame rate — the video member of the per-format resize
+    family (``resize_bmp``/``resize_jpeg``/...). Raises the PIL-slot
+    NotImplementedError for inter-frame codecs, like its siblings."""
+    p = bytes(payload)
+    h = _avi_header_walk(p)
+    frames = avi_frames(p, max_frames=4096)
+    if h is None or not frames:
+        raise NotImplementedError(
+            "non-AVI/inter-frame video resize requires ffmpeg; "
+            "not available here")
+    out = []
+    for w0, h0, arr in frames:
+        rows = (np.arange(height) * h0) // height
+        cols = (np.arange(width) * w0) // width
+        rgb = arr[:, :, :3] if arr.shape[2] >= 3 else \
+            arr.repeat(3, axis=2)
+        out.append(np.ascontiguousarray(rgb[rows][:, cols]))
+    return write_avi(out, fps=h["fps"] or 10.0, codec="DIB ")
+
+
+def resize_videos(media: DataFrame, width: int = 64,
+                  height: int = 64) -> DataFrame:
+    """Binary -> binary video resize kernel (1:1 rows): decodable AVI
+    payloads get the REAL per-frame resize (:func:`resize_avi`);
+    anything else falls back to the deterministic truncate-or-pad the
+    image kernel uses for its PIL slot. Same schema/batch contract as
+    :func:`resize_images`."""
+    target = width * height
+
+    out_schema = StructType(MEDIA_SCHEMA.fields + [
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ])
+
+    def one(p):
+        if p is None:
+            return None
+        b = bytes(p)
+        try:
+            return resize_avi(b, width, height)
+        except NotImplementedError:
+            pass
+        except Exception:  # noqa: BLE001 — malformed AVI falls back,
+            pass           # never fails the task
+        return (b[:target] if len(b) >= target
+                else b + b"\x00" * (target - len(b)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [one(p) for p in pdf["payload"]]
+            out = pdf.copy()
+            out["payload"] = resized
+            out["n_bytes"] = [len(p) if p is not None else 0
+                              for p in resized]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(kernel, schema=out_schema)

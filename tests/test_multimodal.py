@@ -2168,23 +2168,35 @@ def test_sample_frames_real_avi_tier(spark):
     assert stub and all(len(r["frame"]) <= 32 for r in stub)
 
 
-def test_extract_features_avimeta(spark):
-    """extract_features(mode='real'): AVI videos land on the avimeta
-    metadata tier (duration/width/height/frame count, provenance
-    'avimeta'); ISO-BMFF still routes to mp4meta; junk video payloads
-    fall back to the fake tier, visibly."""
-    avi = M.write_avi(_smooth_frames(n=12), fps=12.0)
+def test_extract_features_avi_tiers(spark):
+    """extract_features(mode='real'): decodable AVI videos land on the
+    REAL sample tier ('avi': [w, h, channel means] over the frame
+    sample — the image feature contract); an AVI container whose
+    frames don't decode falls back to the avimeta walk; ISO-BMFF
+    still routes to mp4meta; junk video payloads to the fake tier —
+    every fallback visible in the decoder column."""
+    import numpy as np
+
+    frames = _smooth_frames(n=12)
+    avi = M.write_avi(frames, fps=12.0)
+    headless = avi[:avi.find(b"movi") - 8]   # hdrl only, no frames
     media = spark.createDataFrame(
         [(1, "video", avi), (2, "video", bytes(M.write_mp4(3.0))),
-         (3, "video", b"JUNKJUNKJUNK")],
+         (3, "video", b"JUNKJUNKJUNK"), (4, "video", headless)],
         "media_id long, kind string, payload binary") \
         .withColumn("n_bytes", F.octet_length("payload"))
     rows = {r["media_id"]: r for r in
             M.extract_features(media, mode="real").collect()}
-    assert rows[1]["decoder"] == "avimeta"
-    assert rows[1]["feat"] == [pytest.approx(1.0), 64.0, 48.0, 12.0]
+    assert rows[1]["decoder"] == "avi"
+    assert rows[1]["feat"][:2] == [64.0, 48.0]
+    want = np.mean([frames[j].reshape(-1, 3).mean(axis=0)
+                    for j in (0, 2, 3, 5, 6, 8, 9, 11)], axis=0)
+    assert rows[1]["feat"][2:] == [pytest.approx(float(m), abs=1e-4)
+                                   for m in want]
     assert rows[2]["decoder"] == "mp4meta"
     assert rows[3]["decoder"] == "fake"
+    assert rows[4]["decoder"] == "avimeta"
+    assert rows[4]["feat"] == [pytest.approx(1.0), 64.0, 48.0, 12.0]
 
 
 def test_video_containment_pairs(spark):
@@ -2344,3 +2356,69 @@ def test_avi_tier_corrupt_never_raises():
     lie = bytes(good[:40]) + (2 ** 30).to_bytes(4, "little") \
         + bytes(good[44:])
     M.parse_avi_meta(lie), M.avi_frames(lie), M.vhash64(lie)
+
+
+def test_resize_videos_real_and_fallback(spark):
+    """resize_videos: decodable AVI gets the REAL per-frame
+    nearest-neighbor resize (re-encoded DIB, round-trippable, frame
+    count and fps preserved); non-AVI payloads keep the
+    truncate-or-pad fallback; schema contract matches resize_images."""
+    import numpy as np
+
+    frames = _smooth_frames(n=6)
+    avi = M.write_avi(frames, fps=6.0)
+    media = spark.createDataFrame(
+        [(1, "video", avi, "video/avi", len(avi)),
+         (2, "video", b"\x07" * 100, "video/mp4", 100)],
+        "media_id long, kind string, payload binary, mime string,"
+        " n_bytes long")
+    rows = {r["media_id"]: r for r in
+            M.resize_videos(media, width=32, height=16).collect()}
+    out = M.avi_frames(bytes(rows[1]["payload"]), max_frames=16)
+    assert len(out) == 6
+    w, h, arr = out[0]
+    assert (w, h) == (32, 16)
+    assert M.parse_avi_meta(bytes(rows[1]["payload"]))["fps"] == \
+        pytest.approx(6.0)
+    # nearest-neighbor ground truth on the first frame
+    ri = (np.arange(16) * 48) // 16
+    ci = (np.arange(32) * 64) // 32
+    assert np.array_equal(arr, frames[0][ri][:, ci])
+    assert (rows[1]["width"], rows[1]["height"]) == (32, 16)
+    assert len(rows[2]["payload"]) == 32 * 16   # pad fallback
+
+
+def test_avi_roundtrip_property():
+    """Property fuzz: for random frame counts / dims / fps, DIB AVIs
+    round-trip exactly and MJPEG stays within JPEG tolerance; vhash64
+    of a clip equals vhash64 of its own DIB re-encode (idempotent
+    normalization)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = int(rng.integers(1, 10))
+        h = int(rng.integers(9, 40))
+        w = int(rng.integers(10, 50))
+        fps = float(rng.uniform(1.0, 30.0))
+        frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                  for _ in range(n)]
+        dib = M.write_avi(frames, fps=fps)
+        dec = M.avi_frames(dib, max_frames=4096)
+        assert len(dec) == n
+        for got, want in zip(dec, frames):
+            assert got[:2] == (w, h)
+            assert np.array_equal(got[2], want)
+        meta = M.parse_avi_meta(dib)
+        assert meta["n_frames"] == float(n)
+        assert meta["fps"] == pytest.approx(fps, rel=1e-3)
+        mj = M.write_avi(frames, fps=fps, codec="MJPG")
+        decm = M.avi_frames(mj, max_frames=4096)
+        assert len(decm) == n
+        for got, want in zip(decm, frames):
+            err = np.abs(got[2].astype(int) - want.astype(int)).mean()
+            assert err < 24, err   # random noise is JPEG's worst case
+        h1 = M.vhash64(dib)
+        if h1 is not None:
+            redo = M.write_avi([fr[2] for fr in dec], fps=fps)
+            assert M.vhash64(redo) == h1

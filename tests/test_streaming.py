@@ -1259,3 +1259,91 @@ def test_streaming_containment_flags_matches_batch(spark, tmp_path):
                .filter("shared >= 2")).collect()}
     assert rolled == {k for k in want_items}
     assert got.filter("id_new = 11").count() == 0
+
+
+def test_streaming_containment_flags_audio_modality(spark, tmp_path):
+    """The audio face of streaming containment (same shared core): an
+    arbitrary-offset TRIM of stored audio flags against the packed
+    onset-window snapshot on a drained stream, matching the batch
+    probe; modality validation rejects unknowns."""
+    import base64
+    import json as _json
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        dedup as D,
+        multimodal as M,
+    )
+
+    rate = 16000
+    rng = np.random.default_rng(3)
+    t = np.arange(rate * 20) / rate
+    tones = np.sin(2 * np.pi * np.geomspace(140, 3400, 8)[:, None]
+                   * t[None, :])
+    seg = (np.arange(len(t)) * 80) // len(t)
+    env = 0.1 + 0.9 * rng.random((80, 8))
+    pcm = (np.clip((tones * env[seg].T).sum(axis=0) / 8.0, -1, 1)
+           * 20000).astype("<i2")
+    full = bytes(M.write_wav(pcm, rate))
+    seen = spark.createDataFrame(
+        [(1, "audio", full)],
+        "media_id long, kind string, payload binary")
+    wh = M.audio_window_hashes(seen)
+    packed = wh.select((F.col("id") * 4096 + F.col("idx")).alias("id"),
+                       "sim")
+    bands_path = str(tmp_path / "aud_cont_bands")
+    D.hamming_band_keys(packed, max_hamming=6, n_blocks=8) \
+        .write.parquet(bands_path)
+    seen_banded = spark.read.parquet(bands_path)
+
+    trim = bytes(M.write_wav(pcm[int(5.3217 * rate):
+                                 int(13.77 * rate)], rate))
+    env2 = 0.1 + 0.9 * np.random.default_rng(77).random((80, 8))
+    fresh = bytes(M.write_wav(
+        (np.clip((tones * env2[seg].T).sum(axis=0) / 8.0, -1, 1)
+         * 20000).astype("<i2"), rate))
+    batch_rows = [(10, "audio", trim, "2024-01-01T00:00:00"),
+                  (11, "audio", fresh, "2024-01-01T00:01:00")]
+    batch = spark.createDataFrame(
+        [(i, k, p) for i, k, p, _ in batch_rows],
+        "media_id long, kind string, payload binary")
+    want = {(r["id_new"], r["id_seen"]) for r in
+            M.incremental_containment_pairs(
+                M.audio_window_hashes(batch), seen_banded,
+                min_shared=2, shared_col="shared_windows",
+                max_hamming=6, n_blocks=8).collect()}
+    assert want == {(10, 1)}
+
+    d = str(tmp_path / "aud_cont_stream")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "drop-0.json"), "w") as fh:
+        for i, k, p, ts in batch_rows:
+            fh.write(_json.dumps({
+                "media_id": i, "kind": k,
+                "payload": base64.b64encode(p).decode(), "ts": ts}) + "\n")
+    stream = (spark.readStream.format("json")
+              .schema("media_id long, kind string, payload string,"
+                      " ts timestamp").load(d)
+              .withColumn("payload", F.unbase64("payload")))
+    with _pytest.raises(ValueError):
+        S.streaming_containment_flags(stream, seen_banded,
+                                      modality="text")
+    out = str(tmp_path / "aud_cont_flags")
+    q = (S.streaming_containment_flags(stream, seen_banded,
+                                       modality="audio",
+                                       max_hamming=6, n_blocks=8)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_acont"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rolled = {(r["id_new"], r["id_seen"]) for r in
+              (got.groupBy("id_new", "id_seen")
+               .agg(F.least(F.countDistinct("idx_new"),
+                            F.countDistinct("idx_seen"))
+                    .alias("shared"))
+               .filter("shared >= 2")).collect()}
+    assert rolled == want
+    assert got.filter("id_new = 11").count() == 0
