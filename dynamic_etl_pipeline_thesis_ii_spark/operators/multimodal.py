@@ -15,10 +15,14 @@ Decode support is tiered by what this environment can honestly do:
   integer table math, audioop-differential-tested) — parse,
   feature-extract and nearest-neighbor resize with no external
   libraries;
+- REAL lossless-WebP decode (full VP8L bitstream: canonical prefix
+  codes, LZ77 + color cache, meta prefix codes, all four inverse
+  transforms — ``operators/vp8l.py``, provenance ``vp8l``), with the
+  metadata walk as the lossy-VP8 fallback;
 - a REAL metadata tier for MPEG audio (MP1/MP2/MP3 frame-header
   walk, provenance ``mp3meta``), FLAC (STREAMINFO, ``flacmeta``),
   Ogg Opus/Vorbis (page walk to the last granule, ``oggmeta``),
-  WebP (RIFF chunk walk over VP8/VP8L/VP8X, ``webpmeta``),
+  lossy WebP (RIFF chunk walk over VP8/VP8X, ``webpmeta``),
   ISO-BMFF video (MP4/MOV/M4A box-tree walk giving duration /
   dimensions / track census / codec fourccs, ``mp4meta``) and AVI
   (hdrl walk, ``avimeta``) — plus a REAL video SAMPLE tier for the
@@ -973,16 +977,18 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return [float(n), float(payload[0]), float(payload[-1]),
                 float(sum(payload[:16]) % 256)]
     from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import parse_jpeg
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.vp8l import parse_vp8l
     parsed = (parse_netpbm(payload) or parse_bmp(payload)
               or parse_png(payload) or parse_jpeg(payload)
-              or parse_gif(payload) or parse_tiff(payload))
+              or parse_gif(payload) or parse_tiff(payload)
+              or parse_vp8l(payload))
     if parsed is not None:
         w, h, arr = parsed
         means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
         return [float(w), float(h)] + [round(float(m), 6) for m in means]
     raise NotImplementedError(
-        "image decoding beyond netpbm/BMP/PNG/JPEG(SOF0/1/2)/GIF/TIFF "
-        "requires PIL; not available here")
+        "image decoding beyond netpbm/BMP/PNG/JPEG(SOF0/1/2)/GIF/TIFF/"
+        "VP8L requires PIL; not available here")
 
 
 FEATURE_SCHEMA = StructType([
@@ -1074,11 +1080,24 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                     return [avi["duration_sec"], avi["width"],
                             avi["height"], avi["n_frames"]], "avimeta"
                 if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                    from dynamic_etl_pipeline_thesis_ii_spark.operators.vp8l import (
+                        parse_vp8l,
+                    )
+                    v = parse_vp8l(p)
+                    if v is not None:
+                        # REAL lossless-WebP (VP8L) raster decode —
+                        # the image feature contract
+                        w0, h0, arr0 = v
+                        means = arr0.reshape(-1, arr0.shape[2]) \
+                            .mean(axis=0)
+                        return ([float(w0), float(h0)]
+                                + [round(float(m), 6)
+                                   for m in means]), "vp8l"
                     webp = parse_webp_meta(p)
                     if webp is None:
                         raise ValueError("bad WebP")  # -> fake tier
-                    # metadata tier (VP8 bitstream decode is libwebp
-                    # territory): dimensions + alpha/animation flags
+                    # metadata tier (lossy VP8 bitstream decode is
+                    # libwebp territory): dims + alpha/anim flags
                     return [webp["width"], webp["height"],
                             webp["has_alpha"], webp["has_anim"]], \
                         "webpmeta"
@@ -1857,6 +1876,17 @@ def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
         "JPEG", payload, width, height)
 
 
+def resize_webp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for lossless WebP (VP8L input and
+    output; lossy VP8 stays libwebp territory and raises the PIL-slot
+    NotImplementedError)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.vp8l import (
+        parse_vp8l, write_vp8l,
+    )
+    return _resize_via(parse_vp8l, write_vp8l, "VP8L", payload,
+                       width, height)
+
+
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   ) -> DataFrame:
     """Binary -> binary image resize kernel (1:1 rows). netpbm, 24-bit
@@ -1878,7 +1908,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
             return None
         b = bytes(p)
         for real in (resize_netpbm, resize_bmp, resize_png, resize_jpeg,
-                     resize_gif, resize_tiff):
+                     resize_gif, resize_tiff, resize_webp):
             try:
                 return real(b, width, height)
             except NotImplementedError:
@@ -1977,13 +2007,17 @@ def dhash64(payload: bytes,
     from dynamic_etl_pipeline_thesis_ii_spark.operators.jpeg import (
         parse_jpeg,
     )
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.vp8l import (
+        parse_vp8l,
+    )
     if payload is None:
         return None
     p = bytes(payload)
     parsed = decode_fn(p) if decode_fn is not None else None
     if parsed is None:
         parsed = (parse_netpbm(p) or parse_bmp(p) or parse_png(p)
-                  or parse_jpeg(p) or parse_gif(p) or parse_tiff(p))
+                  or parse_jpeg(p) or parse_gif(p) or parse_tiff(p)
+                  or parse_vp8l(p))
     if parsed is None:
         return None
     bits = _dhash_bits(*parsed)
