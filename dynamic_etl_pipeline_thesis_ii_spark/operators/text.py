@@ -360,6 +360,118 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
             .select("id", "rank", "tok", "tf", "df", "tfidf"))
 
 
+def bm25_topk(df, queries, text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k1: float = 1.2, b: float = 0.75, k: int = 10,
+              broadcast_vocab: bool = True):
+    """Per-query BM25 top-k retrieval over the corpus — the sparse
+    lexical complement of the dense ANN tier (N1-N9): quality-by-
+    retrievability scoring, retrieval-based decontamination, and
+    RAG-corpus selection all reduce to "score every document against
+    a query set and keep the best k".
+
+    Okapi BM25 with the Lucene non-negative idf:
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``, per-term
+    contribution ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    rounded to 6 dp, per-(query, doc) sum rounded to 4 dp BEFORE the
+    (bm25 desc, id asc) ranking — the same engine-exactness ladder as
+    :func:`bigram_logprob`. ``N``/``avgdl`` count documents with >= 1
+    token (empty docs can never score, so they don't dilute avgdl).
+    Distinct query terms score once each (standard qtf=1 BM25).
+
+    Scale shape: the query set is eval-sized and BROADCASTS into the
+    tf frame — the corpus never shuffles on anything but its own
+    (id, tok) aggregate; the candidate frame after that semi-join is
+    bounded by the df of the query's terms, not by N. The df side is
+    vocab-sized (broadcast by default, ``broadcast_vocab=False`` +
+    AQE for open-vocab corpora), N/avgdl ride one lazy 1-row scalar
+    broadcast, and the final top-k window partitions on query_id —
+    bounded work because only term-matching docs reach it. No
+    per-row Python anywhere."""
+    toks = token_rows(df, text_col, id_col)
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("__n_docs"),
+                   F.avg("dl").alias("__avgdl"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select("id", "tok").distinct()
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    qterms = (queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("tok"))
+        .filter(F.col("tok") != "").distinct())
+    idf = F.log(F.lit(1.0) + (F.col("__n_docs") - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0) - F.lit(b)
+                + F.lit(b) * F.col("dl") / F.col("__avgdl")))
+    contrib = F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6)
+    scored = (tf.join(F.broadcast(qterms), "tok")
+              .join(dfreq, "tok")
+              .join(dl, "id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("contrib", contrib)
+              .groupBy("query_id", "id")
+              .agg(F.round(F.sum("contrib"), 4).alias("bm25"),
+                   F.count(F.lit(1)).alias("n_terms")))
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(),
+                                               F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "id", "bm25", "n_terms"))
+
+
+def SQL_BM25_TOPK(queries: list, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    """DuckDB twin of :func:`bm25_topk` (same idf, same rounding
+    ladder, same expression association). ``queries`` is a list of
+    (query_id, query_text) literals — the broadcast side inlined as a
+    VALUES CTE."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_NORMALIZE,
+    )
+    toks = (f"SELECT {id_col} AS id, unnest(string_split("
+            f"{SQL_NORMALIZE.format(x=text_col)}, ' ')) AS tok "
+            f"FROM {table}")
+    vals = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in queries)
+    return f"""
+WITH toks AS (SELECT * FROM ({toks}) WHERE tok <> ''),
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM toks GROUP BY id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY id, tok),
+dfreq AS (SELECT tok, count(DISTINCT id)::BIGINT AS df FROM toks GROUP BY tok),
+q(query_id, query_text) AS (VALUES {vals}),
+qterms AS (
+  SELECT * FROM (
+    SELECT DISTINCT query_id, unnest(string_split(
+      {SQL_NORMALIZE.format(x='query_text')}, ' ')) AS tok FROM q
+  ) WHERE tok <> ''
+),
+scored AS (
+  SELECT qterms.query_id, tf.id,
+         round(sum(round(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r}
+              * (1.0 - {b!r} + {b!r} * dl.dl / stats.avgdl)), 6)), 4)
+           AS bm25,
+         count(*)::BIGINT AS n_terms
+  FROM tf JOIN qterms USING (tok) JOIN dfreq USING (tok)
+       JOIN dl ON tf.id = dl.id CROSS JOIN stats
+  GROUP BY qterms.query_id, tf.id
+),
+ranked AS (
+  SELECT query_id, id, bm25, n_terms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, id, bm25, n_terms FROM ranked WHERE rank <= {k}
+"""
+
+
 def vocab_oov(df, text_col: str = "text", id_col: str = "doc_id",
               vocab_size: int = 1000):
     """Vocabulary induction + per-document OOV rate: the top

@@ -1131,14 +1131,46 @@ WHERE {bucket} < floor(r.rate * 1000000)
 # corpus statistics: TF-IDF + vocabulary/OOV
 # ---------------------------------------------------------------------------
 
+# Literal query set for the BM25 arm: the broadcast side of the
+# retrieval join, inlined as a VALUES CTE in the oracle (same strings,
+# same ids) so both engines score the identical query table.
+BM25_QUERIES = [(1, "spark window agg"),
+                (2, "hash join table"),
+                (3, "stream batch merge line")]
+
+
 def q_text_tfidf(spark, sf_dir):
-    """Top-3 TF-IDF terms per document (scores rounded before ranking
-    so row selection is engine-exact)."""
+    """Term-relevance family: top-3 TF-IDF terms per document (T3) +
+    BM25 top-5 retrieval per literal query (T17), one tagged union
+    (scores rounded before ranking so row selection is engine-exact
+    in both arms)."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
-    return T.tfidf_top_terms(docs, k=3)
+    tfidf = (T.tfidf_top_terms(docs, k=3)
+             .withColumn("part", F.lit("tfidf")))
+    qset = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string")
+    bm25 = (T.bm25_topk(docs, qset, k=5)
+            .withColumn("part", F.lit("bm25")))
+    return (tfidf.unionByName(bm25, allowMissingColumns=True)
+            .select("part", "id", "rank", "tok", "tf", "df", "tfidf",
+                    "query_id", "bm25", "n_terms"))
 
 
 def _sql_tfidf() -> str:
+    return f"""
+SELECT 'tfidf' AS part, id, rank, tok, tf, df, tfidf,
+       NULL::BIGINT AS query_id, NULL::DOUBLE AS bm25,
+       NULL::BIGINT AS n_terms
+FROM ({_sql_tfidf_arm()})
+UNION ALL
+SELECT 'bm25' AS part, id, rank, NULL::VARCHAR AS tok,
+       NULL::BIGINT AS tf, NULL::BIGINT AS df, NULL::DOUBLE AS tfidf,
+       query_id, bm25, n_terms
+FROM ({T.SQL_BM25_TOPK(BM25_QUERIES, id_col='doc_id', k=5)})
+"""
+
+
+def _sql_tfidf_arm() -> str:
     toks = f"SELECT doc_id AS id, unnest(string_split({_NORM.format(x='text')}, ' ')) AS tok FROM documents"
     return f"""
 WITH toks AS (SELECT * FROM ({toks}) WHERE tok <> ''),
