@@ -997,8 +997,8 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), True),
     StructField("feat", ArrayType(DoubleType()), True),
     # decode provenance: which decoder actually produced ``feat`` —
-    # 'netpbm' / 'bmp' / 'png' / 'jpeg' / 'gif' / 'tiff' / 'wav'
-    # (real parses) or 'fake'
+    # 'netpbm' / 'bmp' / 'png' / 'jpeg' / 'gif' / 'tiff' / 'wav' /
+    # 'flac' (real parses) or 'fake'
     # (deterministic byte features: fake mode, or real mode's
     # undecodable fallback). Without this a downstream consumer cannot
     # tell a real feature from a placeholder.
@@ -1028,7 +1028,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                 p = bytes(payload)
                 if kind == "audio":
                     try:
-                        return decode_audio(p), "wav"
+                        return decode_audio(p), \
+                            ("flac" if p[:4] == b"fLaC" else "wav")
                     except NotImplementedError:
                         meta = parse_mp3_meta(p)
                         if meta is not None:
@@ -1236,11 +1237,12 @@ def _riff_chunks(payload: bytes):
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
     """Audio decode + feature extraction.
 
-    REAL for PCM WAV (stdlib ``wave``) and for the G.711 mu-law /
+    REAL for PCM WAV (stdlib ``wave``), for the G.711 mu-law /
     A-law and IMA-ADPCM WAV codecs (format tags 7/6/0x11 — pure
-    integer table math, decoded here, audioop-differential-tested):
+    integer table math, decoded here, audioop-differential-tested),
+    and for FLAC (full sample decode, ``operators/flac.py``):
     ``[duration_sec, sample_rate, n_channels, rms]`` with RMS over
-    the decoded int16 samples. Other compressed formats need librosa
+    the decoded samples. Other compressed formats need librosa
     (absent here) and raise NotImplementedError. ``fake=True``
     derives a deterministic 2-dim byte feature instead."""
     if fake:
@@ -1295,8 +1297,19 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
             rms = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
         return [round(duration, 6), float(rate), float(channels),
                 round(rms, 6)]
+    if payload is not None and payload[:4] == b"fLaC":
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.flac import (
+            parse_flac,
+        )
+        dec = parse_flac(payload)
+        if dec is not None and dec["rate"] > 0:
+            x = dec["samples"].astype(np.float64)
+            rms = (float(np.sqrt(np.mean(x.reshape(-1) ** 2)))
+                   if x.size else 0.0)
+            return [round(len(x) / dec["rate"], 6), float(dec["rate"]),
+                    float(dec["channels"]), round(rms, 6)]
     raise NotImplementedError(
-        "non-WAV audio decoding requires librosa; not available here")
+        "non-WAV/FLAC audio decoding requires librosa; not available here")
 
 
 # MPEG audio frame-header tables (ISO 11172-3 / 13818-3): bitrates in
@@ -1783,10 +1796,45 @@ def resample_wav(payload: bytes, target_rate: int) -> bytes:
     return write_wav(out, target_rate, channels)
 
 
+def resample_flac(payload: bytes, target_rate: int) -> bytes:
+    """REAL linear-interpolation resample for FLAC payloads (full
+    sample decode via ``operators/flac.py``), re-encoded as FLAC at
+    ``target_rate`` with Rice-coded FIXED frames; raises
+    NotImplementedError for non-FLAC/undecodable payloads — the same
+    contract as :func:`resample_wav`, so :func:`resample_audio`
+    chains the two before its truncate-pad fallback."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.flac import (
+        parse_flac,
+        write_flac,
+    )
+    dec = parse_flac(payload) if payload is not None \
+        and payload[:4] == b"fLaC" else None
+    if dec is None or dec["rate"] <= 0:
+        raise NotImplementedError(
+            "undecodable FLAC resample requires librosa; not available here")
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
+    x = dec["samples"].astype(np.float64)
+    n_in = x.shape[0]
+    if n_in == 0:
+        return write_flac(np.zeros((0, dec["channels"]), dtype=np.int64),
+                          target_rate, bits=dec["bits"])
+    n_out = max(1, int(round(n_in * target_rate / dec["rate"])))
+    pos = np.linspace(0.0, n_in - 1, n_out)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo)[:, None]
+    y = x[lo] * (1.0 - frac) + x[hi] * frac
+    cap = 1 << (dec["bits"] - 1)
+    out = np.clip(np.round(y), -cap, cap - 1).astype(np.int64)
+    return write_flac(out, target_rate, bits=dec["bits"], mode="fixed")
+
+
 def resample_audio(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
     """Binary -> binary audio resample kernel (1:1 rows), the audio
-    twin of :func:`resize_images`: 16-bit PCM WAV payloads get the REAL
-    linear-interp resample; anything else falls back to a deterministic
+    twin of :func:`resize_images`: 16-bit PCM WAV and FLAC payloads
+    get the REAL linear-interp resample (re-encoded in their own
+    container); anything else falls back to a deterministic
     truncate-or-pad (the librosa slot). Schema contract: payload stays
     BinaryType, the target rate is recorded as metadata."""
     out_schema = StructType(MEDIA_SCHEMA.fields + [
@@ -1799,6 +1847,10 @@ def resample_audio(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
         b = bytes(p)
         try:
             return resample_wav(b, target_rate)
+        except Exception:  # noqa: BLE001 — not 16-bit WAV, try FLAC
+            pass
+        try:
+            return resample_flac(b, target_rate)
         except Exception:  # noqa: BLE001 — undecodable: librosa slot
             return b[:target_rate] if len(b) >= target_rate \
                 else b + b"\x00" * (target_rate - len(b))
@@ -2241,6 +2293,22 @@ def wav_mono_samples(payload: bytes) -> Optional[tuple[int, "np.ndarray"]]:
         return None
 
 
+def audio_mono_samples(payload: bytes) -> Optional[tuple[int, "np.ndarray"]]:
+    """Container-independent (sample_rate, mono float64 waveform):
+    every WAV tier (:func:`wav_mono_samples`) plus real FLAC decode
+    (:func:`operators.flac.flac_mono_samples`). FLAC is lossless, so
+    the same PCM in either container yields a bit-identical mono
+    array — perceptual hashes agree EXACTLY across containers (the
+    cross-container twin of dHash's cross-format invariance)."""
+    decoded = wav_mono_samples(payload)
+    if decoded is None:
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.flac import (
+            flac_mono_samples,
+        )
+        decoded = flac_mono_samples(payload)
+    return decoded
+
+
 def _resample_mono(x: "np.ndarray", rate: int,
                    target: int) -> "np.ndarray":
     """Linear-interpolation mono resample (the :func:`resample_wav`
@@ -2279,8 +2347,10 @@ def ahash64(payload: bytes) -> Optional[int]:
     convention), or None for undecodable, too-short (< 90 ms at 8 kHz
     — below that the segment FFTs cannot resolve the 100 Hz band
     floor) or silent payloads (no gradient signal), mirroring
-    ``dhash64``'s sub-grid guard."""
-    decoded = wav_mono_samples(payload)
+    ``dhash64``'s sub-grid guard. Decodes every WAV tier AND real
+    FLAC (:func:`audio_mono_samples`) — lossless re-containering
+    WAV<->FLAC yields the IDENTICAL hash."""
+    decoded = audio_mono_samples(payload)
     if decoded is None:
         return None
     rate, x = decoded
@@ -2932,8 +3002,9 @@ def audio_anchor_hashes(payload: bytes, window_sec: float = 2.0,
     :func:`_ahash_from_samples` over ``window_sec`` starting AT the
     onset — the refine step pins the start to a 4 ms block, inside
     the ~2-bit jitter budget the windowed hash tolerates
-    (misalignment sensitivity measured: 25 ms ≈ 2 bits, 50 ms ≈ 7)."""
-    decoded = wav_mono_samples(payload)
+    (misalignment sensitivity measured: 25 ms ≈ 2 bits, 50 ms ≈ 7).
+    WAV and FLAC payloads both decode (:func:`audio_mono_samples`)."""
+    decoded = audio_mono_samples(payload)
     if decoded is None:
         return None
     rate, x = decoded
