@@ -340,6 +340,8 @@ class Pipeline:
             return self._run_data_card(plan, source_dir, output_path)
         if plan["target"] == "decontaminate":
             return self._run_decontaminate(plan, source_dir, output_path)
+        if plan["target"] == "retrieve":
+            return self._run_retrieve(plan, source_dir, output_path)
         if plan["target"] == "ann_search":
             return self._run_ann_search(plan, source_dir, output_path)
         if plan["target"] == "ann_index_build":
@@ -1647,6 +1649,55 @@ class Pipeline:
                             "rows_flagged": n_flagged,
                             "rows_kept": n_out}}
 
+    def _run_retrieve(self, plan: dict, source_dir: str,
+                      output_path: str) -> dict:
+        """'search the corpus for "hash join strategies", top 5' /
+        'retrieve the best documents for "x" and "y"': BM25 lexical
+        retrieval (:func:`operators.text.bm25_topk`) over the
+        documents table, one quoted string per query row. The sparse
+        complement of ``ann_search`` — same lifecycle conventions,
+        different similarity space. Results join back the matched
+        documents' language/source so the hit list reads standalone;
+        the report inlines per-query hit counts (eval-sized).
+
+        Scale: the query set broadcasts; the corpus shuffles only on
+        its own (id, tok) aggregate — see the operator docstring."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            bm25_topk,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("queries"):
+            return {"status": "rejected",
+                    "reason": "retrieval needs at least one quoted "
+                              "query string ('search the corpus for "
+                              "\"...\"')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        docs = Catalog(self.spark, source_dir).documents
+        qset = self.spark.createDataFrame(
+            [(i + 1, q) for i, q in enumerate(plan["queries"])],
+            "query_id bigint, query_text string")
+        hits = bm25_topk(docs, qset, k=plan["k"])
+        frame = (hits
+                 .join(F.broadcast(qset), "query_id")
+                 .join(docs.select(F.col("doc_id").alias("id"),
+                                   "lang", "source"), "id")
+                 .select("query_id", "query_text", "rank", "id",
+                         "bm25", "n_terms", "lang", "source"))
+        self.progress("retrieve", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        counts = {r["query_text"]: r["n"]
+                  for r in back.groupBy("query_text")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        self.progress("publish", {"rows": sum(counts.values()),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "hits_per_query": counts,
+                            "rows_written": sum(counts.values())}}
+
     def _run_ann_search(self, plan: dict, source_dir: str,
                         output_path: str) -> dict:
         """'find the 10 nearest neighbors for each document, with an
@@ -2014,6 +2065,7 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "containing frames", "sharing frames",
                   "sharing windows", "sharing segments",
                   "tokenize", "tokenise",
+                  "bm25", "search the corpus", "retrieve the",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
                   "ann index", "vector index", "ivf",
@@ -2041,6 +2093,13 @@ _SEMANTIC_TARGET_RE = re.compile(r"\bsemantic(?:ally)?\b|\bby embeddings?\b")
 _ANN_TARGET_RE = re.compile(
     r"\bnearest\s+neighbou?rs?\b|\bann\s+(?:search|index)\b|"
     r"\bsimilarity\s+search\b")
+# lexical (BM25) retrieval: the query text rides in quotes — 'search
+# the corpus for "hash join strategies"'. Distinct from the dense ANN
+# family above (which searches the embeddings table against itself).
+_RETRIEVE_TARGET_RE = re.compile(
+    r"\bbm25\b|\bsearch the corpus\b|"
+    r"\bretrieve\b.{0,40}\b(?:documents|docs)\b")
+_QUOTED_RE = re.compile(r"[\"']([^\"']{1,200})[\"']")
 _ANN_K_RE = re.compile(
     r"\b(\d+)\s+nearest\b|\btop\s+(\d+)\b|\bk\s*=\s*(\d+)\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
@@ -2211,7 +2270,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Fifteen targets, matched in
+    the query carries no dataops intent. Twenty-two targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -2249,6 +2308,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       search' (IVF-PQ self-kNN over the embeddings table with exact
       rerank; 'with an opq rotation' opts into the parametric OPQ
       rotation and reports its reconstruction-MSE delta);
+    - ``retrieve`` — 'search the corpus for "hash join", top 5' /
+      'retrieve the best documents for "x"' (BM25 lexical top-k over
+      the documents table, one quoted string per query; rejected
+      with an actionable reason when no quoted query is present);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -2444,6 +2507,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         nl = int(m.group(1)) if (m := _LISTS_RE.search(ql)) else None
         return {"target": "ann_index_build", "n_lists": nl,
                 "opq": "opq" in ql or "rotation" in ql}
+    if _RETRIEVE_TARGET_RE.search(ql):
+        k = 10
+        if m := _ANN_K_RE.search(ql):
+            k = int(next(g for g in m.groups() if g))
+        return {"target": "retrieve", "k": k,
+                # query strings keep their original case
+                "queries": _QUOTED_RE.findall(query)}
     if _ANN_TARGET_RE.search(ql):
         k = 10
         if m := _ANN_K_RE.search(ql):

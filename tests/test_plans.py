@@ -2685,3 +2685,59 @@ def test_pipeline_containment_lifecycle(spark, sf_dir, tmp_path):
     r = pipe.run_dataops("flag the new videos sharing frames with "
                          "the snapshot", batch3, out)
     assert r["status"] == "rejected" and "snapshot path" in r["reason"]
+
+
+def test_pipeline_dataops_retrieve_target(spark, sf_dir, tmp_path):
+    """NL 'search the corpus for "..."' routes to BM25 retrieval:
+    routing variants, NL == direct-operator parity, per-query hit
+    counts in the report, and the no-quoted-query rejection."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import bm25_topk
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    p = parse_dataops_query(
+        'search the corpus for "spark window agg", top 5')
+    assert p == {"target": "retrieve", "k": 5,
+                 "queries": ["spark window agg"]}
+    assert parse_dataops_query(
+        "retrieve the best documents for 'hash join'") == {
+        "target": "retrieve", "k": 10, "queries": ["hash join"]}
+    assert parse_dataops_query(
+        'bm25 rank the corpus against "stream batch"')["target"] \
+        == "retrieve"
+    # two quoted strings -> two query rows
+    assert parse_dataops_query(
+        'search the corpus for "a b" and "c d"')["queries"] \
+        == ["a b", "c d"]
+    # dense ANN phrasing still routes to ann_search, not retrieve
+    assert parse_dataops_query(
+        "find the 5 nearest neighbors for each document")["target"] \
+        == "ann_search"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "hits")
+    res = pipe.run_dataops(
+        'search the corpus for "spark window agg" and "hash join", '
+        "top 4", sf_dir, out)
+    assert res["status"] == "complete"
+    assert set(res["reports"]["hits_per_query"]) \
+        == {"spark window agg", "hash join"}
+    got = spark.read.parquet(out)
+    assert got.columns == ["query_id", "query_text", "rank", "id",
+                           "bm25", "n_terms", "lang", "source"]
+    # NL run == direct operator call, row for row
+    docs = Catalog(spark, sf_dir).documents
+    qset = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "hash join")],
+        "query_id bigint, query_text string")
+    direct = {(r["query_id"], r["rank"], r["id"], r["bm25"])
+              for r in bm25_topk(docs, qset, k=4).collect()}
+    assert {(r["query_id"], r["rank"], r["id"], r["bm25"])
+            for r in got.collect()} == direct
+    assert all(r["rank"] <= 4 for r in got.collect())
+
+    r = pipe.run_dataops("search the corpus for the best docs",
+                         sf_dir, out)
+    assert r["status"] == "rejected" and "quoted" in r["reason"]
