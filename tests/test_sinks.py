@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from dynamic_etl_pipeline_thesis_ii_spark.sources import sinks as S
 
 
@@ -420,3 +422,78 @@ def test_write_shards_append_manifest_skips_readback_when_unverified(
     back = spark.read.parquet(p)
     assert sorted(map(tuple, stored.collect())) == \
         sorted(map(tuple, S.shard_manifest(back).collect()))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered writes (SK4)
+# ---------------------------------------------------------------------------
+
+def _files_with_matches(spark, path, predicate):
+    df = spark.read.parquet(path).filter(predicate)
+    return {r["f"] for r in
+            df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """The Z-order layout confines a range predicate on EITHER
+    clustered column to a small fraction of the files, where a
+    single-column sort only prunes its leading column — the property
+    that buys multi-dimensional file skipping at 100 TB."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import zorder_write
+
+    n = 40_000
+    df = (spark.range(n)
+          .withColumn("x", (F.hash(F.col("id")) % 10_000 + 10_000) % 10_000)
+          .withColumn("y", (F.hash(F.col("id"), F.lit(7)) % 10_000
+                            + 10_000) % 10_000)
+          .withColumn("payload", F.col("id") * 3))
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    rep = zorder_write(df, zpath, ["x", "y"], bits=6, n_files=16)
+    assert rep["rows"] == n and rep["n_files"] == 16
+    # linear baseline: same file count, sorted by x only
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.parquet(lpath))
+
+    # row fidelity: nothing lost or duplicated
+    assert (spark.read.parquet(zpath).groupBy().sum("payload").first()[0]
+            == df.groupBy().sum("payload").first()[0])
+
+    box_y = (F.col("y") >= 4000) & (F.col("y") < 4400)
+    z_y = _files_with_matches(spark, zpath, box_y)
+    l_y = _files_with_matches(spark, lpath, box_y)
+    # x-sorted layout scatters a y-range over every file; z-order
+    # confines it to a fraction
+    assert len(l_y) == 16
+    assert len(z_y) <= 8
+    box_x = (F.col("x") >= 4000) & (F.col("x") < 4400)
+    z_x = _files_with_matches(spark, zpath, box_x)
+    assert len(z_x) <= 8          # x stays clustered too
+    # both-dimension box: tighter than either alone
+    z_xy = _files_with_matches(spark, zpath, box_x & box_y)
+    assert len(z_xy) <= min(len(z_x), len(z_y))
+
+
+def test_zorder_key_skew_robust_and_edge_cases(spark):
+    """Quantile bucketing keeps the key balanced under heavy skew,
+    and degenerate inputs (single column, constant column) don't
+    break the interleave."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import zorder_key
+    import pytest as _pytest
+
+    # 90% of mass at one value: quantile buckets still split the rest
+    skew = spark.range(10_000).withColumn(
+        "v", F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")))
+    keyed = zorder_key(skew.withColumn("w", F.col("id")), ["v", "w"],
+                       bits=4)
+    n_keys = keyed.select("__zkey").distinct().count()
+    assert n_keys > 16            # both dims contribute entropy
+    # single column degenerates to a plain quantile bucket id
+    one = zorder_key(spark.range(100).withColumn("v", F.col("id")),
+                     ["v"], bits=3)
+    assert one.select("__zkey").distinct().count() == 8
+    # constant column: every row lands in one bucket, no crash
+    const = zorder_key(spark.range(50).withColumn("v", F.lit(5)),
+                       ["v"], bits=3)
+    assert const.select("__zkey").distinct().count() == 1
+    with _pytest.raises(ValueError):
+        zorder_key(spark.range(5), [], bits=3)
