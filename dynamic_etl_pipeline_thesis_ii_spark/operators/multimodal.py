@@ -585,6 +585,189 @@ def parse_gif(payload: bytes) -> Optional[tuple[int, int, "np.ndarray"]]:
         return None
 
 
+def gif_frames(payload: bytes, max_frames: int = 8,
+               hard_cap: int = 512) -> Optional[list]:
+    """Up to ``max_frames`` evenly-spaced COMPOSITED frames of an
+    animated GIF as ``(width, height, HxWx3 uint8)`` rasters — the
+    GIF container's entry into the video tier (:func:`video_frames`).
+
+    Real GIF89a animation semantics, not per-descriptor rasters:
+    every image descriptor paints its (left, top, w, h) rect onto the
+    running canvas with GCE transparency holes leaving the underlying
+    pixels visible, and the GCE DISPOSAL method is honored between
+    frames (1/none: leave; 2: restore the rect to the background
+    color; 3: restore the whole canvas to its pre-frame state), so a
+    delta-encoded animation yields what a viewer shows at each step.
+    All frames up to ``hard_cap`` must be decoded to composite
+    correctly (deltas chain) — the cap bounds adversarial payloads;
+    sampling then picks ``max_frames`` by frame index. None for
+    non-GIF / zero decodable frames."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw = int.from_bytes(payload[6:8], "little")
+        sh = int.from_bytes(payload[8:10], "little")
+        packed = payload[10]
+        bg_index = payload[11]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            ncol = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload[i:i + 3 * ncol],
+                                dtype=np.uint8).reshape(ncol, 3)
+            i += 3 * ncol
+        bg = (gct[bg_index] if gct is not None and bg_index < len(gct)
+              else np.zeros(3, np.uint8))
+        canvas = None
+        trans_idx, disposal = None, 0
+        frames = []
+        while i < len(payload) and len(frames) < hard_cap:
+            b = payload[i]
+            if b == 0x3B:
+                break
+            if b == 0x21:
+                if (payload[i + 1] == 0xF9 and payload[i + 2] >= 4):
+                    gpacked = payload[i + 3]
+                    disposal = (gpacked >> 2) & 0x7
+                    trans_idx = (payload[i + 6] if gpacked & 0x01
+                                 else None)
+                i += 2
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                continue
+            if b != 0x2C:
+                break
+            left = int.from_bytes(payload[i + 1:i + 3], "little")
+            top = int.from_bytes(payload[i + 3:i + 5], "little")
+            w = int.from_bytes(payload[i + 5:i + 7], "little")
+            h = int.from_bytes(payload[i + 7:i + 9], "little")
+            ipacked = payload[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                ncol = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload[i:i + 3 * ncol],
+                                    dtype=np.uint8).reshape(ncol, 3)
+                i += 3 * ncol
+            cw = max(sw, left + w)
+            ch = max(sh, top + h)
+            if pal is None or w <= 0 or h <= 0 or cw * ch > 1 << 26:
+                break
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                n = payload[i]
+                data += payload[i + 1:i + 1 + n]
+                i += 1 + n
+            i += 1                              # block terminator
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                break
+            rows = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:
+                deinter = np.empty_like(rows)
+                deinter[_gif_interlace_order(h)] = rows
+                rows = deinter
+            if rows.max(initial=0) >= len(pal):
+                break
+            if canvas is None:
+                canvas = np.broadcast_to(bg, (ch, cw, 3)).copy()
+            elif canvas.shape[0] < ch or canvas.shape[1] < cw:
+                grown = np.broadcast_to(
+                    bg, (max(ch, canvas.shape[0]),
+                         max(cw, canvas.shape[1]), 3)).copy()
+                grown[:canvas.shape[0], :canvas.shape[1]] = canvas
+                canvas = grown
+            before = canvas.copy() if disposal == 3 else None
+            rect = canvas[top:top + h, left:left + w]
+            rgb = pal[rows]
+            if trans_idx is not None:
+                keep = rows == trans_idx        # holes: canvas shows
+                rect[~keep] = rgb[~keep]
+            else:
+                rect[:] = rgb
+            frames.append((canvas.shape[1], canvas.shape[0],
+                           canvas.copy()))
+            if disposal == 2:
+                canvas[top:top + h, left:left + w] = bg
+            elif disposal == 3 and before is not None:
+                canvas = before
+            trans_idx, disposal = None, 0
+        if not frames:
+            return None
+        n = len(frames)
+        if n > max_frames:
+            # identical timeline-fraction sampling to avi_frames
+            # (round, not floor) so a cross-container copy of one
+            # clip samples the SAME timeline positions
+            frames = [frames[round(k * (n - 1) / (max_frames - 1))]
+                      for k in range(max_frames)]
+        return frames
+    except (IndexError, ValueError):
+        return None
+
+
+def _gif_quantize(arr: "np.ndarray"):
+    """(palette-index rows HxW uint8, 256x3 palette) — the 6x7x6
+    uniform-cube quantization shared by :func:`write_gif` and
+    :func:`write_gif_anim` (gray input uses the exact 256-gray
+    palette)."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[2] == 1:
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        return arr[..., 0], pal
+    r = (arr[..., 0].astype(int) * 6) // 256
+    g = (arr[..., 1].astype(int) * 7) // 256
+    b = (arr[..., 2].astype(int) * 6) // 256
+    idx = (r * 42 + g * 6 + b).astype(np.uint8)
+    rr, gg, bb = np.meshgrid(np.arange(6), np.arange(7), np.arange(6),
+                             indexing="ij")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:252, 0] = (rr.ravel() * 256 + 128) // 6
+    pal[:252, 1] = (gg.ravel() * 256 + 128) // 7
+    pal[:252, 2] = (bb.ravel() * 256 + 128) // 6
+    return idx, pal
+
+
+def write_gif_anim(frames: list, delay_cs: int = 10,
+                   disposal: int = 1) -> bytes:
+    """Spec-valid ANIMATED GIF89a from equal-sized HxWx3 uint8
+    rasters — the fixture twin of :func:`gif_frames` (whole-frame
+    updates, one GCE per frame carrying ``delay_cs`` and
+    ``disposal``; the first frame's quantized palette is the global
+    color table, per-frame rasters quantize through the same cube so
+    compositing is raster-exact for decode tests)."""
+    if not frames:
+        raise ValueError("write_gif_anim needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    _, pal = _gif_quantize(np.asarray(frames[0]))
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])
+    out += pal.tobytes()
+    for fr in frames:
+        a = np.asarray(fr)
+        if a.shape[:2] != (h, w):
+            raise ValueError("write_gif_anim frames must share one size")
+        idx, _ = _gif_quantize(a)
+        out += bytes([0x21, 0xF9, 0x04, (disposal & 0x7) << 2])
+        out += int(delay_cs).to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2C" + b"\x00" * 4
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x00])
+        lzw = _gif_lzw_encode(idx.tobytes(), 8)
+        out += bytes([8])
+        for off in range(0, len(lzw), 255):
+            blockb = lzw[off:off + 255]
+            out += bytes([len(blockb)]) + blockb
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def write_gif(arr: "np.ndarray", interlace: bool = False) -> bytes:
     """Encode an HxWx3 uint8 RGB array as a single-frame GIF89a with a
     256-color uniform palette (nearest-color quantization) — the
@@ -1054,6 +1237,20 @@ def extract_features(media: DataFrame, batch_hint: int = 1024,
                                 0.0], "oggmeta"
                 if kind == "video":
                     frames_ = avi_frames(p, max_frames=8)
+                    if frames_ is None and p[:6] in (b"GIF87a",
+                                                     b"GIF89a"):
+                        # animated GIF on the same REAL sample tier
+                        # (disposal-composited frames)
+                        gf = gif_frames(p, max_frames=8)
+                        if gf:
+                            w0, h0 = gf[0][0], gf[0][1]
+                            means = np.mean(
+                                [fr.reshape(-1, fr.shape[2]).mean(
+                                    axis=0)[:3] for _, _, fr in gf],
+                                axis=0)
+                            return ([float(w0), float(h0)]
+                                    + [round(float(m), 6)
+                                       for m in means]), "gifanim"
                     if frames_:
                         # REAL sample tier (DIB/MJPEG AVI): the image
                         # contract [w, h, channel means] averaged over
@@ -2012,7 +2209,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                decoded = avi_frames(bytes(p), max_frames=max_frames)
+                decoded = video_frames(bytes(p), max_frames=max_frames)
                 if decoded:
                     for i, (_, _, arr) in enumerate(decoded):
                         ids.append(mid)
@@ -2712,6 +2909,21 @@ def write_avi(frames: list, fps: float = 10.0,
 # the real AVI decode tier, paired through the same hamming banding)
 # ---------------------------------------------------------------------------
 
+def video_frames(payload: bytes, max_frames: int = 8) -> Optional[list]:
+    """Container-independent evenly-spaced decoded video frames:
+    AVI (:func:`avi_frames` — DIB/MJPEG) then animated GIF
+    (:func:`gif_frames` — full disposal compositing). One dispatcher
+    so vHash, per-frame containment hashing and frame sampling treat
+    every decodable moving-picture container identically — the video
+    twin of :func:`audio_mono_samples`."""
+    frames = avi_frames(payload, max_frames=max_frames)
+    if frames is None and payload is not None:
+        p = bytes(payload)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            frames = gif_frames(p, max_frames=max_frames)
+    return frames
+
+
 def vhash64(payload: bytes, max_frames: int = 8,
             decode_fn: Optional[callable] = None) -> Optional[int]:
     """64-bit perceptual video hash: dHash (:func:`_dhash_bits`, the
@@ -2735,7 +2947,7 @@ def vhash64(payload: bytes, max_frames: int = 8,
     p = bytes(payload)
     frames = decode_fn(p) if decode_fn is not None else None
     if frames is None:
-        frames = avi_frames(p, max_frames=max_frames)
+        frames = video_frames(p, max_frames=max_frames)
     if not frames:
         return None
     votes = np.zeros(64, dtype=np.int64)
@@ -2831,7 +3043,7 @@ def video_frame_hashes(media: DataFrame, max_frames: int = 16,
         p = bytes(p)
         frames = decode_fn(p) if decode_fn is not None else None
         if frames is None:
-            frames = avi_frames(p, max_frames=max_frames)
+            frames = video_frames(p, max_frames=max_frames)
         if not frames:
             return None
         out, seen = [], set()

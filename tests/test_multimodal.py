@@ -2422,3 +2422,149 @@ def test_avi_roundtrip_property():
         if h1 is not None:
             redo = M.write_avi([fr[2] for fr in dec], fps=fps)
             assert M.vhash64(redo) == h1
+
+
+# ---------------------------------------------------------------------------
+# animated GIF video tier (gif_frames / video_frames dispatch)
+# ---------------------------------------------------------------------------
+
+def test_gif_frames_compositing_and_sampling():
+    """Animated GIF decode: whole-frame animations round-trip
+    raster-exactly through the shared quantizer, frame sampling
+    matches avi_frames' timeline-fraction math, and single-frame GIFs
+    agree with parse_gif."""
+    import numpy as np
+    frames = _smooth_frames(n=6)
+    anim = M.write_gif_anim(frames)
+    got = M.gif_frames(anim, max_frames=16)
+    assert len(got) == 6
+    for (w, h, arr), orig in zip(got, frames):
+        assert (w, h) == (64, 48)
+        # re-quantizing the decoded raster is a fixpoint
+        idx1, _ = M._gif_quantize(arr)
+        idx0, _ = M._gif_quantize(orig)
+        assert np.array_equal(idx1, idx0)
+    sampled = M.gif_frames(anim, max_frames=4)
+    take = [round(k * 5 / 3) for k in range(4)]
+    assert [np.array_equal(s[2], got[t][2])
+            for s, t in zip(sampled, take)] == [True] * 4
+    single = M.write_gif(frames[0])
+    w, h, a1 = M.parse_gif(single)
+    g1 = M.gif_frames(single)
+    assert len(g1) == 1 and np.array_equal(g1[0][2], a1)
+
+
+def test_gif_frames_disposal_and_delta_frames():
+    """Hand-assembled delta animation: frame 2 paints a sub-rect with
+    transparency holes (underlying pixels show through), disposal 2
+    restores the rect to background before frame 3 — the compositing
+    a per-descriptor decode would get wrong."""
+    import numpy as np
+    # 4x4 screen, GCT: 0=red bg, 1=green, 2=blue, 3=black
+    pal = bytes([200, 0, 0,  0, 200, 0,  0, 0, 200,  0, 0, 0])
+    def lzw(idx_bytes):
+        return M._gif_lzw_encode(idx_bytes, 2)
+    out = bytearray(b"GIF89a")
+    out += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    out += bytes([0x80 | 0x01, 0, 0]) + pal      # 4-entry GCT, bg=0
+    # frame 1: full 4x4 of green (index 1)
+    out += b"\x2C" + b"\x00" * 4
+    out += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    out += b"\x00\x02"
+    d = lzw(bytes([1] * 16))
+    out += bytes([len(d)]) + d + b"\x00"
+    # GCE: disposal 2 (restore to bg), transparent index 3
+    out += bytes([0x21, 0xF9, 0x04, (2 << 2) | 0x01, 0, 0, 3, 0])
+    # frame 2: 2x2 rect at (1,1): [[2, trans], [trans, 2]]
+    out += b"\x2C" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    out += b"\x00\x02"
+    d = lzw(bytes([2, 3, 3, 2]))
+    out += bytes([len(d)]) + d + b"\x00"
+    # frame 3: 1x1 rect of black at (0,0)
+    out += b"\x2C" + b"\x00" * 4
+    out += (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += b"\x00\x02"
+    d = lzw(bytes([3]))
+    out += bytes([len(d)]) + d + b"\x00"
+    out += b"\x3B"
+
+    got = M.gif_frames(bytes(out), max_frames=8)
+    assert len(got) == 3
+    green, blue, red = [0, 200, 0], [0, 0, 200], [200, 0, 0]
+    f1, f2, f3 = (g[2] for g in got)
+    assert (f1 == green).all()
+    # frame 2: blue diagonal in the rect, green shows through holes
+    assert list(f2[1, 1]) == blue and list(f2[2, 2]) == blue
+    assert list(f2[1, 2]) == green and list(f2[2, 1]) == green
+    # frame 3: disposal-2 restored the rect to RED bg, then black px
+    assert list(f3[0, 0]) == [0, 0, 0]
+    assert list(f3[1, 1]) == red and list(f3[2, 2]) == red
+    assert list(f3[3, 3]) == green               # outside the rect
+
+
+def test_vhash_gif_tier_and_dispatch():
+    """vHash rides the video_frames dispatcher: GIF re-encodes are
+    exact (the quantizer is a fixpoint), within-GIF frame-rate
+    halving stays inside a 12-bit budget (the 252-color quantization
+    costs bits the exact DIB tier doesn't), cross-container AVI<->GIF
+    matches at a wider threshold, and unrelated animations stay far
+    beyond all of them."""
+    frames = _smooth_frames(n=24)
+    anim = M.write_gif_anim(frames)
+    h_gif = M.vhash64(anim)
+    assert h_gif is not None
+    # decode -> re-encode is bit-exact
+    dec = [arr for _, _, arr in M.gif_frames(anim, max_frames=64)]
+    assert _ham64(h_gif, M.vhash64(M.write_gif_anim(dec))) == 0
+    assert _ham64(h_gif, M.vhash64(
+        M.write_gif_anim(frames[::2]))) <= 12    # half frame rate
+    h_avi = M.vhash64(M.write_avi(frames, fps=12.0))
+    cross = _ham64(h_gif, h_avi)
+    assert cross <= 16                           # quantized transcode
+    import numpy as np
+    other = [np.roll(f[::-1], 20, axis=1).copy()
+             for f in _smooth_frames(n=10, phase=7.0)]
+    far = _ham64(h_gif, M.vhash64(M.write_gif_anim(other)))
+    assert far > 20 and far > cross + 4
+
+
+def test_gif_video_dedup_and_features(spark):
+    """Animated GIFs are first-class videos in the Spark faces:
+    video_dedup collapses a GIF and its re-encode, extract_features
+    puts animations on the real 'gifanim' sample tier, and sub-clip
+    containment pairs a trimmed GIF with its source exactly (both
+    sides decode the same quantized rasters)."""
+    frames = _smooth_frames(n=24)
+    anim = M.write_gif_anim(frames)
+    re_enc = M.write_gif_anim(
+        [arr for _, _, arr in M.gif_frames(anim, max_frames=64)])
+    import numpy as np
+    other = [np.roll(f[::-1], 20, axis=1).copy()
+             for f in _smooth_frames(n=12, phase=7.0)]
+    rows = [(1, "video", bytearray(anim), "image/gif", len(anim)),
+            (2, "video", bytearray(re_enc), "image/gif", len(re_enc)),
+            (3, "video", bytearray(M.write_gif_anim(other)),
+             "image/gif", 1)]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in M.video_neardup_pairs(media).collect()}
+    assert pairs == {(1, 2): 0}
+    kept = {r["media_id"] for r in M.video_dedup(media).collect()}
+    assert kept == {1, 3}
+    feats = {r["media_id"]: (r["decoder"], r["feat"])
+             for r in M.extract_features(media, mode="real").collect()}
+    assert feats[1][0] == "gifanim"
+    assert feats[1][1][:2] == [64.0, 48.0]
+    # sub-clip containment: a 10-frame cut of the animation
+    cut = M.write_gif_anim(frames[7:17])
+    rows2 = [(1, "video", bytearray(anim), "image/gif", len(anim)),
+             (2, "video", bytearray(cut), "image/gif", len(cut)),
+             (3, "video", bytearray(M.write_gif_anim(other)),
+              "image/gif", 1)]
+    media2 = spark.createDataFrame(rows2, schema=M.MEDIA_SCHEMA)
+    cpairs = {(r["id_a"], r["id_b"])
+              for r in M.video_containment_pairs(
+                  media2, min_shared_frames=3).collect()}
+    assert (1, 2) in cpairs
+    assert not any(3 in p for p in cpairs)
