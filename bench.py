@@ -678,6 +678,43 @@ def scale_probe(spark, factors: list[int]) -> dict:
         out["annappend"].append({"factor": f, "n_docs": n,
                                  "candidates": c, "sec": round(best, 3)})
         batch.unpersist()
+
+    # zorder: multi-dimensional clustered write (SK4). Timed work is
+    # the quantile pass + the ONE range shuffle + the 16-file write;
+    # wall must be ~linear in rows. "candidates" records the number
+    # of files holding rows for a fixed 4%-of-range y-box — the
+    # pruning property itself: it must stay a FRACTION of the 16
+    # files (a plain x-sort would put it at 16/16) at every factor,
+    # because quantile bucketing re-derives the SAME relative key
+    # geometry no matter the row count.
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        zorder_write,
+    )
+    z_root = tempfile.mkdtemp(prefix="bench_zorder_")
+    try:
+        out["zorder"] = []
+        for f in factors:
+            n = 5000 * f
+            df = (spark.range(n)
+                  .withColumn("x", (F.hash(F.col("id")) % 10_000
+                                    + 10_000) % 10_000)
+                  .withColumn("y", (F.hash(F.col("id"), F.lit(7))
+                                    % 10_000 + 10_000) % 10_000))
+            dest = os.path.join(z_root, f"f{f}")
+            best = float("inf")
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                zorder_write(df, dest, ["x", "y"], bits=6, n_files=16)
+                best = min(best, time.perf_counter() - t0)
+            touched = (spark.read.parquet(dest)
+                       .filter((F.col("y") >= 4000) & (F.col("y") < 4400))
+                       .select(F.input_file_name().alias("fn"))
+                       .distinct().count())
+            out["zorder"].append({"factor": f, "n_docs": n,
+                                  "candidates": touched,
+                                  "sec": round(best, 3)})
+    finally:
+        shutil.rmtree(z_root, ignore_errors=True)
     return out
 
 
@@ -771,7 +808,8 @@ def main() -> None:
                       fh, indent=1)
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
-                "imgdedup", "auddedup", "viddedup", "vcontain")
+                "imgdedup", "auddedup", "viddedup", "vcontain",
+                "zorder")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
