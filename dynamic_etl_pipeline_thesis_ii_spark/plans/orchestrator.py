@@ -302,6 +302,8 @@ class Pipeline:
                     "outputs": [], "reports": {}}
         if plan["target"] == "ingest_crawl":
             return self._run_ingest_crawl(plan, output_path)
+        if plan["target"] == "ingest_pdfs":
+            return self._run_ingest_pdfs(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
         if plan["target"] in ("image_dedup", "audio_dedup",
@@ -1044,6 +1046,48 @@ class Pipeline:
         self.progress("publish", {"rows": n, "path": output_path})
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows": n}}
+
+    def _run_ingest_pdfs(self, plan: dict, output_path: str) -> dict:
+        """'extract text from the pdfs at /path': PDF file(s) -> one
+        row per file with extractable text (files with no text tier —
+        encrypted, image-only, unsupported codecs — are counted in
+        the report, not silently dropped into the corpus as empties).
+        ``doc_id`` is the 64-bit hash of the file path (stable across
+        re-runs); the documents-table columns are all present (lang
+        via the stopword heuristic, source = the file's directory
+        name) so a follow-up dataops query chains pdfs -> curate ->
+        select -> pack -> shard exactly like the crawl front door."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            lang_id,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.pdf import (
+            read_pdfs,
+        )
+
+        if not plan.get("pdf_path"):
+            return {"status": "rejected",
+                    "reason": "pdf ingest needs a path "
+                              "('... the pdfs at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        rows = read_pdfs(self.spark, plan["pdf_path"])
+        n_total = rows.count()
+        frame = (rows.filter(F.col("text").isNotNull())
+                 .select(F.xxhash64("path").alias("doc_id"),
+                         F.col("path").alias("url"),
+                         F.col("n_pages"),
+                         F.col("text"))
+                 .withColumn("n_chars", F.length("text"))
+                 .withColumn("lang", lang_id(F.col("text")))
+                 .withColumn("source", F.element_at(
+                     F.split(F.col("url"), "/"), -2)))
+        self.progress("ingest", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        n = self.spark.read.parquet(output_path).count()  # read-back
+        self.progress("publish", {"rows": n, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "files_seen": n_total,
+                            "rows_written": n,
+                            "files_without_text": n_total - n}}
 
     def _run_corpus_diff(self, plan: dict, source_dir: str,
                          output_path: str) -> dict:
@@ -2049,6 +2093,7 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
+                  "pdf",
                   "census", "corpus stat",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
@@ -2135,6 +2180,9 @@ _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
 _CRAWL_PATH_RE = re.compile(
     r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
     + _PATH_SHAPE, re.IGNORECASE)
+_PDF_TARGET_RE = re.compile(r"\bpdfs?\b")
+_PDF_PATH_RE = re.compile(
+    r"\bpdfs?\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 # 'generate a data card for the corpus' / 'write a datasheet'
 _DATACARD_TARGET_RE = re.compile(r"\bdata\s?card\b|\bdatasheet\b")
 # 'census the corpus' / 'report corpus statistics per language'
@@ -2270,13 +2318,17 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Twenty-two targets, matched in
+    the query carries no dataops intent. Twenty-three targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
       'ingest the warc archive at <path>' (WARC records -> rendered
       text via html_to_lines -> documents-shaped parquet; the web
       front door);
+    - ``ingest_pdfs`` — 'extract text from the pdfs at <path>'
+      (PDF files -> metadata + content-stream text ->
+      documents-shaped parquet; the document front door beside the
+      WARC one — rejected with an actionable reason without a path);
     - ``corpus_diff`` — 'diff ... against the snapshot at <path>'
       (data-versioning; requires a filesystem path, bound to
       ``snapshot_path`` — None when the phrase names no path, which
@@ -2441,6 +2493,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "incremental_dedup",
                 "snapshot_path": m.group(1) if m else None,
                 "bloom": "bloom" in ql}
+    if _PDF_TARGET_RE.search(ql):
+        m = _PDF_PATH_RE.search(query)     # paths keep their case
+        return {"target": "ingest_pdfs",
+                "pdf_path": m.group(1) if m else None}
     if _CRAWL_TARGET_RE.search(ql):
         m = _CRAWL_PATH_RE.search(query)   # paths keep their case
         return {"target": "ingest_crawl",
