@@ -500,15 +500,8 @@ PDF_SCHEMA = StructType([
 ])
 
 
-def read_pdfs(spark: SparkSession, path: str) -> DataFrame:
-    """PDF file(s) -> one row per file with metadata + extracted
-    text (null when nothing extractable). ``binaryFile`` scan + one
-    Arrow kernel; file = parallelism unit, same contract as
-    :func:`sources.warc.read_warc`."""
+def _pdf_kernel():
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(
-        path if path.endswith(".pdf") else path.rstrip("/") + "/*.pdf")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -527,5 +520,32 @@ def read_pdfs(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in PDF_SCHEMA.fields])
 
+    return kernel
+
+
+def read_pdfs(spark: SparkSession, path: str) -> DataFrame:
+    """PDF file(s) -> one row per file with metadata + extracted
+    text (null when nothing extractable). ``binaryFile`` scan + one
+    Arrow kernel; file = parallelism unit, same contract as
+    :func:`sources.warc.read_warc`."""
+    files = spark.read.format("binaryFile").load(
+        path if path.endswith(".pdf") else path.rstrip("/") + "/*.pdf")
     return (files.select("path", "content")
-            .mapInPandas(kernel, schema=PDF_SCHEMA))
+            .mapInPandas(_pdf_kernel(), schema=PDF_SCHEMA))
+
+
+def read_pdfs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous document ingestion: the same file kernel over the
+    Structured Streaming ``binaryFile`` source — point it at a
+    landing directory and every new .pdf becomes a row as it
+    arrives. The kernel is stateless (one file -> its row), so the
+    streaming plan IS the batch plan; parity is pinned in
+    ``test_streaming.py`` (the :func:`sources.warc.read_warc_stream`
+    contract)."""
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(path if path.endswith(".pdf")
+                   else path.rstrip("/") + "/*.pdf")
+             .select("path", "content"))
+    return files.mapInPandas(_pdf_kernel(), schema=PDF_SCHEMA)

@@ -137,3 +137,31 @@ def test_nl_ingest_pdfs_target(spark, sf_dir, tmp_path):
 
     r = pipe.run_dataops("extract text from the pdfs", sf_dir, out)
     assert r["status"] == "rejected" and "path" in r["reason"]
+
+
+def test_read_pdfs_stream_equals_batch(spark, tmp_path):
+    """Continuous PDF ingestion: the streaming binaryFile face must
+    produce exactly the batch reader's rows over the same landing
+    directory (stateless kernel => streaming plan IS the batch
+    plan)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.pdf import (
+        read_pdfs_stream,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(write_pdf(["stream doc a"]))
+    (d / "b.pdf").write_bytes(write_pdf(["stream doc b\nmore"],
+                                        filters=("a85", "flate")))
+    stream = read_pdfs_stream(spark, str(d))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory")
+         .queryName("stream_pdf_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["path"].rsplit("/", 1)[-1], r["text"], r["n_pages"])
+                 for r in spark.sql(
+                     "SELECT * FROM stream_pdf_test").collect())
+    want = sorted((r["path"].rsplit("/", 1)[-1], r["text"], r["n_pages"])
+                  for r in read_pdfs(spark, str(d)).collect())
+    assert got == want and len(got) == 2
