@@ -1153,8 +1153,12 @@ class Pipeline:
         BPE merge table on the corpus, encode straight to ids
         (``bpe.encode_ids``), concatenate-and-split into fixed-length
         ``input_ids`` rows (``packing.pack_sequences``) and land the
-        trainer-ready parquet. The merge table + vocab size go into
-        the report — the reusable artifacts a production run persists
+        trainer-ready parquet. 'with a unigram model' /
+        'sentencepiece' swaps in the unigram-LM tokenizer
+        (``operators/unigram.py``, TK3 — 'N merges' then budgets the
+        piece vocabulary) behind the identical packing/report
+        surface. The merge/piece table + vocab size go into the
+        report — the reusable artifacts a production run persists
         beside the shards."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
             bpe_vocab,
@@ -1176,11 +1180,27 @@ class Pipeline:
             # since bucket count is part of the deterministic output
             # identity.
             plan["n_buckets"] = derive_n_buckets(docs.count())
-        merges = train_bpe(docs, n_merges=plan["n_merges"])
-        vocab = bpe_vocab(merges)
-        self.progress("tokenize", {"params": dict(plan),
-                                   "vocab_size": len(vocab)})
-        tok = encode_ids(docs, merges)
+        if plan.get("model") == "unigram":
+            # TK3: the unigram-LM trainer behind the same target —
+            # n_merges doubles as the piece-vocabulary budget
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.unigram import (
+                apply_unigram,
+                train_unigram,
+                unigram_vocab,
+            )
+            pieces = train_unigram(docs,
+                                   vocab_size=max(plan["n_merges"], 64))
+            vocab = unigram_vocab(pieces)
+            merges = pieces          # report carries the piece table size
+            self.progress("tokenize", {"params": dict(plan),
+                                       "vocab_size": len(vocab)})
+            tok = apply_unigram(docs, pieces, ids=True)
+        else:
+            merges = train_bpe(docs, n_merges=plan["n_merges"])
+            vocab = bpe_vocab(merges)
+            self.progress("tokenize", {"params": dict(plan),
+                                       "vocab_size": len(vocab)})
+            tok = encode_ids(docs, merges)
         # eos: the id just past the vocab is the reserved per-document
         # separator (trainers size the embedding at vocab_size + 1)
         eos_id = len(vocab) if plan.get("eos") else None
@@ -2541,6 +2561,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         nb = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else None
         return {"target": "tokenize_pack", "seq_len": seq,
                 "n_merges": merges, "n_buckets": nb,
+                # 'with a unigram model' / 'sentencepiece' swaps the
+                # BPE trainer for the unigram-LM tokenizer (TK3)
+                "model": ("unigram" if ("unigram" in ql
+                                        or "sentencepiece" in ql)
+                          else "bpe"),
                 # 'with an eos separator' reserves the id just past
                 # the vocab for the per-document delimiter
                 "eos": "eos" in ql or "separator" in ql}
