@@ -161,6 +161,8 @@ def scale_probe(spark, factors: list[int]) -> dict:
         base.withColumn("label", (F.col("doc_id") % 2).cast("double")),
         n_features=1 << 16, max_iter=5)
     bpe_merges = BP.train_bpe(base, n_merges=150)
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import unigram as UG
+    uni_pieces = UG.train_unigram(base, vocab_size=150)
     # the synthetic lang labels carry no real signal — irrelevant for
     # a THROUGHPUT probe; the classify path (explode + broadcast
     # weight join + per-doc aggregate) does identical work regardless
@@ -211,6 +213,12 @@ def scale_probe(spark, factors: list[int]) -> dict:
                                                   bloom=bloom_filter),
         "quality": lambda d: Q.score_quality(d, q_model),
         "bpe": lambda d: BP.apply_bpe(d, bpe_merges, with_tokens=False),
+        # unigram: Viterbi segmentation with the piece table trained
+        # ONCE on the 1x base — the executor word cache makes per-row
+        # cost a dict lookup after warmup (the bpe probe's shape),
+        # rows EXACTLY linear
+        "unigram": lambda d: UG.apply_unigram(d, uni_pieces,
+                                              with_tokens=False),
         "langid": lambda d: T.lang_id_ngram(d, lang_w, lang_floors),
         # html: per-row regexp projection (synthetic page around each
         # doc) — rows EXACTLY linear, wall ~linear, no shuffle
