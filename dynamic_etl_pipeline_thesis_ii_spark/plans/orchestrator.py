@@ -304,6 +304,8 @@ class Pipeline:
             return self._run_ingest_crawl(plan, output_path)
         if plan["target"] == "ingest_pdfs":
             return self._run_ingest_pdfs(plan, output_path)
+        if plan["target"] == "ingest_archives":
+            return self._run_ingest_archives(plan, output_path)
         if plan["target"] == "corpus_diff":
             return self._run_corpus_diff(plan, source_dir, output_path)
         if plan["target"] in ("image_dedup", "audio_dedup",
@@ -1046,6 +1048,62 @@ class Pipeline:
         self.progress("publish", {"rows": n, "path": output_path})
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows": n}}
+
+    def _run_ingest_archives(self, plan: dict,
+                             output_path: str) -> dict:
+        """'extract text from the zip at /path' / 'ingest the tarball
+        at /path': archives explode into one row per text-bearing
+        member (txt/html/pdf/json tiers applied per kind by the
+        kernel — html members render through html_to_lines like the
+        crawl door), documents-shaped at the sink. Binary members and
+        size/count-capped skips are counted in the report, never
+        silently dropped. ``doc_id`` hashes archive#member (stable
+        across re-runs); ``source`` is the archive file name, so a
+        multi-archive corpus keeps its provenance through curation."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            html_to_lines,
+            lang_id,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.archives import (
+            read_archives,
+        )
+
+        if not plan.get("archive_path"):
+            return {"status": "rejected",
+                    "reason": "archive ingest needs a path "
+                              "('... the zip at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        rows = read_archives(self.spark, plan["archive_path"])
+        summaries = rows.filter(F.col("kind") == "__archive__")
+        stats = summaries.agg(
+            F.count(F.lit(1)).alias("archives"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("members"),
+            F.coalesce(F.sum("skipped"), F.lit(0)).alias("skipped")
+        ).first()
+        frame = (rows.filter((F.col("kind") != "__archive__")
+                             & F.col("text").isNotNull())
+                 .select(
+                     F.xxhash64(F.concat_ws("#", "archive", "member"))
+                     .alias("doc_id"),
+                     F.concat_ws("#", "archive", "member").alias("url"),
+                     F.col("kind"),
+                     F.element_at(F.split(F.col("archive"), "/"), -1)
+                     .alias("source"),
+                     F.when(F.col("kind") == "html",
+                            html_to_lines(F.col("text")))
+                     .otherwise(F.col("text")).alias("text"))
+                 .withColumn("n_chars", F.length("text"))
+                 .withColumn("lang", lang_id(F.col("text"))))
+        self.progress("ingest", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        n = self.spark.read.parquet(output_path).count()  # read-back
+        self.progress("publish", {"rows": n, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan),
+                            "archives_seen": stats["archives"],
+                            "members_seen": int(stats["members"]),
+                            "members_skipped": int(stats["skipped"]),
+                            "rows_written": n}}
 
     def _run_ingest_pdfs(self, plan: dict, output_path: str) -> dict:
         """'extract text from the pdfs at /path': PDF file(s) -> one
@@ -2113,7 +2171,7 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "training corpus", "training data", "pack",
                   "chunk", "snapshot", "temperature", "flatten",
                   "importance", "dsir", "resample", "crawl", "warc",
-                  "pdf",
+                  "pdf", "zip", "tarball", " tar ",
                   "census", "corpus stat",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
@@ -2203,6 +2261,10 @@ _CRAWL_PATH_RE = re.compile(
 _PDF_TARGET_RE = re.compile(r"\bpdfs?\b")
 _PDF_PATH_RE = re.compile(
     r"\bpdfs?\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+_ARCHIVE_TARGET_RE = re.compile(r"\bzips?\b|\btarballs?\b|\btars?\b")
+_ARCHIVE_PATH_RE = re.compile(
+    r"\b(?:zip|tarball|tar(?:\.gz)?|archive)s?\s+(?:at\s+|in\s+|from\s+)?"
+    + _PATH_SHAPE, re.IGNORECASE)
 # 'generate a data card for the corpus' / 'write a datasheet'
 _DATACARD_TARGET_RE = re.compile(r"\bdata\s?card\b|\bdatasheet\b")
 # 'census the corpus' / 'report corpus statistics per language'
@@ -2338,7 +2400,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Twenty-three targets, matched in
+    the query carries no dataops intent. Twenty-four targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -2513,6 +2575,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "incremental_dedup",
                 "snapshot_path": m.group(1) if m else None,
                 "bloom": "bloom" in ql}
+    if _ARCHIVE_TARGET_RE.search(ql):
+        # the container outranks its contents: 'the zip of pdfs at /p'
+        # routes to the archive door, whose kernel applies the pdf
+        # text tier per member anyway
+        m = _ARCHIVE_PATH_RE.search(query)  # paths keep their case
+        return {"target": "ingest_archives",
+                "archive_path": m.group(1) if m else None}
     if _PDF_TARGET_RE.search(ql):
         m = _PDF_PATH_RE.search(query)     # paths keep their case
         return {"target": "ingest_pdfs",

@@ -834,7 +834,10 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
     # single partition by construction
     single_row_aggregates = {"clean_null_profile", "dedup_cap_stats"}
     scalar_reduce_budget = {
-        "text_tfidf_topterms": 1,   # lazy n_docs scalar for idf
+        # tfidf arm: lazy n_docs scalar for idf; bm25 arm: the lazy
+        # (n_docs, avgdl) corpus-stats scalar — both 1-row reduces
+        # broadcast back into their joins
+        "text_tfidf_topterms": 2,
         # the lazy (total, |V|) unigram normalizer appears twice (the
         # score lineage feeds both the row side and the broadcast
         # cutmap side of the CCNet bucketing self-join; deployments
