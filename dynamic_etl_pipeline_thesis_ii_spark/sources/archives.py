@@ -140,17 +140,8 @@ def archive_members(payload: bytes, max_member_bytes: int = 16 << 20,
     yield (None, "__archive__", emitted, str(skipped))
 
 
-def read_archives(spark: SparkSession, path: str) -> DataFrame:
-    """Archive file(s) -> one row per member (text tier applied per
-    kind) plus one summary row per archive (``member`` null,
-    ``kind='__archive__'``, ``n_bytes`` = members emitted,
-    ``skipped`` = members dropped by the size/count caps — caps are
-    REPORTED, never silent). ``binaryFile`` scan + one Arrow kernel;
-    archive = parallelism unit (archives are not splittable — land
-    many moderate archives, not one giant one)."""
+def _archive_kernel():
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -170,5 +161,31 @@ def read_archives(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in ARCHIVE_SCHEMA.fields])
 
+    return kernel
+
+
+def read_archives(spark: SparkSession, path: str) -> DataFrame:
+    """Archive file(s) -> one row per member (text tier applied per
+    kind) plus one summary row per archive (``member`` null,
+    ``kind='__archive__'``, ``n_bytes`` = members emitted,
+    ``skipped`` = members dropped by the size/count caps — caps are
+    REPORTED, never silent). ``binaryFile`` scan + one Arrow kernel;
+    archive = parallelism unit (archives are not splittable — land
+    many moderate archives, not one giant one)."""
+    files = spark.read.format("binaryFile").load(path)
     return (files.select("path", "content")
-            .mapInPandas(kernel, schema=ARCHIVE_SCHEMA))
+            .mapInPandas(_archive_kernel(), schema=ARCHIVE_SCHEMA))
+
+
+def read_archives_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous archive ingestion: the same stateless kernel over
+    the Structured Streaming ``binaryFile`` source — every archive
+    landing in the directory becomes member rows as it arrives
+    (the ``read_warc_stream``/``read_pdfs_stream`` contract; stream
+    == batch parity pinned in the tests)."""
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_archive_kernel(), schema=ARCHIVE_SCHEMA)

@@ -148,3 +148,26 @@ def test_nl_ingest_archives_target(spark, sf_dir, tmp_path):
 
     r = pipe.run_dataops("ingest the zip", sf_dir, out)
     assert r["status"] == "rejected" and "path" in r["reason"]
+
+
+def test_read_archives_stream_equals_batch(spark, tmp_path):
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.archives import (
+        read_archives_stream,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "a.zip").write_bytes(_zip(MEMBERS))
+    (d / "b.tar").write_bytes(_tar({"x.txt": b"tar text"}))
+    stream = read_archives_stream(spark, str(d))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory")
+         .queryName("stream_archive_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    key = lambda r: (r["archive"].rsplit("/", 1)[-1], r["member"] or "",
+                     r["kind"], r["text"])
+    got = sorted(key(r) for r in spark.sql(
+        "SELECT * FROM stream_archive_test").collect())
+    want = sorted(key(r) for r in read_archives(spark, str(d)).collect())
+    assert got == want and len(got) == 8       # 6 members + 2 trailers
