@@ -423,6 +423,87 @@ def bm25_topk(df, queries, text_col: str = "text", id_col: str = "doc_id",
             .select("query_id", "rank", "id", "bm25", "n_terms"))
 
 
+def save_bm25_index(df, path: str, text_col: str = "text",
+                    id_col: str = "doc_id", n_files: int = 32) -> dict:
+    """Persist the BM25 inverted index — the retrieval twin of the
+    ANN index / Bloom / band-snapshot stores: build once (the
+    expensive corpus scan), search every later query batch at
+    QUERY cost, never corpus cost.
+
+    Layout: ``<path>/tf`` (id, tok, tf) range-partitioned AND sorted
+    on ``tok`` so parquet min/max footer stats prune a term lookup to
+    the files actually holding that term (the same layout discipline
+    as ``save_hamming_snapshot``); ``<path>/df`` (tok, df) the
+    vocab-sized table; ``<path>/dl`` (id, dl) doc lengths;
+    ``<path>/stats`` the 1-row (n_docs, avgdl) scalar. Returns
+    {n_docs, n_postings, n_terms}."""
+    toks = token_rows(df, text_col, id_col)
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    (tf.repartitionByRange(n_files, F.col("tok"))
+     .sortWithinPartitions("tok")
+     .write.mode("overwrite").parquet(path.rstrip("/") + "/tf"))
+    dfreq = (toks.select("id", "tok").distinct()
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    dfreq.write.mode("overwrite").parquet(path.rstrip("/") + "/df")
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(path.rstrip("/") + "/dl")
+    spark = df.sparkSession
+    dl_back = spark.read.parquet(path.rstrip("/") + "/dl")
+    stats = dl_back.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    stats.write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+    return {"n_docs": dl_back.count(),
+            "n_postings": spark.read.parquet(
+                path.rstrip("/") + "/tf").count(),
+            "n_terms": spark.read.parquet(
+                path.rstrip("/") + "/df").count()}
+
+
+def search_bm25_index(spark, path: str, queries,
+                      query_id_col: str = "query_id",
+                      query_text_col: str = "query_text",
+                      k1: float = 1.2, b: float = 0.75,
+                      k: int = 10):
+    """Search a :func:`save_bm25_index` store: IDENTICAL scores and
+    rounding ladder to :func:`bm25_topk` (parity pinned in tests),
+    but the corpus never rescans — the term filter pushes into the
+    tok-sorted tf parquet, so a query batch touches only the files
+    whose min/max tok range covers its terms. The df/dl/stats sides
+    broadcast (vocab-/corpus-row-sized respectively; dl is the one
+    id-keyed join and stays a shuffle join past broadcast size)."""
+    qterms = (queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("tok"))
+        .filter(F.col("tok") != "").distinct())
+    terms = [r["tok"] for r in qterms.select("tok").distinct().collect()]
+    tf = (spark.read.parquet(path.rstrip("/") + "/tf")
+          .filter(F.col("tok").isin(terms)))
+    dfreq = F.broadcast(spark.read.parquet(path.rstrip("/") + "/df"))
+    dl = spark.read.parquet(path.rstrip("/") + "/dl")
+    stats = spark.read.parquet(path.rstrip("/") + "/stats") \
+        .select(F.col("n_docs").alias("__n_docs"),
+                F.col("avgdl").alias("__avgdl"))
+    idf = F.log(F.lit(1.0) + (F.col("__n_docs") - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0) - F.lit(b)
+                + F.lit(b) * F.col("dl") / F.col("__avgdl")))
+    contrib = F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6)
+    scored = (tf.join(F.broadcast(qterms), "tok")
+              .join(dfreq, "tok")
+              .join(dl, "id")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("contrib", contrib)
+              .groupBy("query_id", "id")
+              .agg(F.round(F.sum("contrib"), 4).alias("bm25"),
+                   F.count(F.lit(1)).alias("n_terms")))
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(),
+                                               F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "id", "bm25", "n_terms"))
+
+
 def SQL_BM25_TOPK(queries: list, table: str = "documents",
                   id_col: str = "doc_id", text_col: str = "text",
                   k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:

@@ -346,6 +346,9 @@ class Pipeline:
             return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "retrieve":
             return self._run_retrieve(plan, source_dir, output_path)
+        if plan["target"] == "bm25_index_build":
+            return self._run_bm25_index_build(plan, source_dir,
+                                              output_path)
         if plan["target"] == "ann_search":
             return self._run_ann_search(plan, source_dir, output_path)
         if plan["target"] == "ann_index_build":
@@ -1783,9 +1786,16 @@ class Pipeline:
         the report inlines per-query hit counts (eval-sized).
 
         Scale: the query set broadcasts; the corpus shuffles only on
-        its own (id, tok) aggregate — see the operator docstring."""
+        its own (id, tok) aggregate — see the operator docstring.
+        With 'the index at /path' the persisted BM25 store
+        (:func:`operators.text.search_bm25_index`) answers at QUERY
+        cost instead: the term filter pushes into the tok-sorted tf
+        parquet, the corpus never rescans (the lang/source join back
+        to the documents table is a pruned two-column projection, no
+        text read)."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
             bm25_topk,
+            search_bm25_index,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
             Catalog,
@@ -1801,7 +1811,20 @@ class Pipeline:
         qset = self.spark.createDataFrame(
             [(i + 1, q) for i, q in enumerate(plan["queries"])],
             "query_id bigint, query_text string")
-        hits = bm25_topk(docs, qset, k=plan["k"])
+        if plan.get("index_path"):
+            try:
+                self.spark.read.parquet(
+                    plan["index_path"].rstrip("/") + "/stats").first()
+            except Exception as exc:
+                return {"status": "rejected",
+                        "reason": f"no retrieval index readable at "
+                                  f"{plan['index_path']}: {exc}",
+                        "outputs": [],
+                        "reports": {"plan": dict(plan)}}
+            hits = search_bm25_index(self.spark, plan["index_path"],
+                                     qset, k=plan["k"])
+        else:
+            hits = bm25_topk(docs, qset, k=plan["k"])
         frame = (hits
                  .join(F.broadcast(qset), "query_id")
                  .join(docs.select(F.col("doc_id").alias("id"),
@@ -1819,6 +1842,29 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "hits_per_query": counts,
                             "rows_written": sum(counts.values())}}
+
+    def _run_bm25_index_build(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'build a retrieval index over the corpus': persist the BM25
+        inverted index (:func:`operators.text.save_bm25_index` —
+        tok-sorted postings + df/dl/stats sidecars) at the output.
+        The lexical twin of `_run_ann_index_build`: build pays the
+        corpus scan exactly once, every later 'search the index at
+        /path for "..."' answers at query cost."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            save_bm25_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        self.progress("build_index", {"params": dict(plan)})
+        report = save_bm25_index(docs, output_path)
+        self.progress("publish", {"rows": report["n_postings"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), **report}}
 
     def _run_ann_search(self, plan: dict, source_dir: str,
                         output_path: str) -> dict:
@@ -2189,6 +2235,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "sharing windows", "sharing segments",
                   "tokenize", "tokenise",
                   "bm25", "search the corpus", "retrieve the",
+                  "search the index", "retrieval index",
+                  "inverted index", "lexical index",
                   "nearest", "neighbo", "similarity search",
                   "ann search", "decontaminat", "contamination",
                   "ann index", "vector index", "ivf",
@@ -2220,9 +2268,15 @@ _ANN_TARGET_RE = re.compile(
 # the corpus for "hash join strategies"'. Distinct from the dense ANN
 # family above (which searches the embeddings table against itself).
 _RETRIEVE_TARGET_RE = re.compile(
-    r"\bbm25\b|\bsearch the corpus\b|"
+    r"\bbm25\b|\bsearch the corpus\b|\bsearch the index\b|"
     r"\bretrieve\b.{0,40}\b(?:documents|docs)\b")
 _QUOTED_RE = re.compile(r"[\"']([^\"']{1,200})[\"']")
+# 'build a retrieval index over the corpus': the build face of the
+# persisted BM25 store ('ann/vector index' phrasings stay on the
+# dense ANN build above)
+_BM25_INDEX_BUILD_RE = re.compile(
+    r"\b(?:build|create)\b[^.]*"
+    r"\b(?:retrieval|bm25|lexical|inverted)\s+index\b")
 _ANN_K_RE = re.compile(
     r"\b(\d+)\s+nearest\b|\btop\s+(\d+)\b|\bk\s*=\s*(\d+)\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
@@ -2400,7 +2454,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Twenty-four targets, matched in
+    the query carries no dataops intent. Twenty-five targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -2445,7 +2499,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``retrieve`` — 'search the corpus for "hash join", top 5' /
       'retrieve the best documents for "x"' (BM25 lexical top-k over
       the documents table, one quoted string per query; rejected
-      with an actionable reason when no quoted query is present);
+      with an actionable reason when no quoted query is present;
+      '... the index at /path' probes the persisted BM25 store at
+      query cost instead of rescanning the corpus);
+    - ``bm25_index_build`` — 'build a retrieval index over the
+      corpus' (persist tok-sorted postings + df/dl/stats; the
+      lexical twin of the ANN index build);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -2657,11 +2716,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         nl = int(m.group(1)) if (m := _LISTS_RE.search(ql)) else None
         return {"target": "ann_index_build", "n_lists": nl,
                 "opq": "opq" in ql or "rotation" in ql}
+    if _BM25_INDEX_BUILD_RE.search(ql):
+        return {"target": "bm25_index_build"}
     if _RETRIEVE_TARGET_RE.search(ql):
         k = 10
         if m := _ANN_K_RE.search(ql):
             k = int(next(g for g in m.groups() if g))
+        mi = _INDEX_PATH_RE.search(query)    # paths keep their case
         return {"target": "retrieve", "k": k,
+                # 'search the index at /p for "..."' probes the
+                # persisted BM25 store instead of rescanning
+                "index_path": mi.group(1) if mi else None,
                 # query strings keep their original case
                 "queries": _QUOTED_RE.findall(query)}
     if _ANN_TARGET_RE.search(ql):

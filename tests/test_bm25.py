@@ -81,3 +81,93 @@ def test_degenerate_inputs(spark):
     # empty corpus → empty result
     empty = _docs(spark, []).filter(F.lit(False))
     assert bm25_topk(empty, _queries(spark, [(1, "apple")])).count() == 0
+
+
+def test_index_store_parity_and_pruning(spark, tmp_path):
+    """search_bm25_index == bm25_topk row for row, and the tok-sorted
+    postings layout confines a term lookup to the files whose min/max
+    range covers it."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        save_bm25_index,
+        search_bm25_index,
+    )
+
+    import random
+    rng = random.Random(3)
+    vocab = ["apple", "banana", "cherry", "date", "elder", "fig",
+             "grape", "kiwi", "lemon", "mango", "olive", "peach"]
+    docs = _docs(spark, [
+        (i, " ".join(rng.choices(vocab, k=12))) for i in range(400)])
+    store = str(tmp_path / "bm25idx")
+    rep = save_bm25_index(docs, store, n_files=8)
+    assert rep["n_docs"] == 400 and rep["n_terms"] <= len(vocab)
+    q = _queries(spark, [(1, "apple fig"), (2, "mango")])
+    key = lambda r: (r["query_id"], r["rank"], r["id"], r["bm25"],
+                     r["n_terms"])
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import bm25_topk
+    want = sorted(key(r) for r in bm25_topk(docs, q, k=7).collect())
+    got = sorted(key(r) for r in
+                 search_bm25_index(spark, store, q, k=7).collect())
+    assert got == want and len(got) > 0
+    # pruning: a single-term read touches a strict subset of tf files
+    from pyspark.sql import functions as F
+    tf = spark.read.parquet(store + "/tf")
+    all_files = len(tf.inputFiles())
+    touched = (tf.filter(F.col("tok") == "apple")
+               .select(F.input_file_name().alias("f"))
+               .distinct().count())
+    assert all_files == 8 and touched <= 2
+
+
+def test_nl_bm25_index_lifecycle(spark, tmp_path):
+    """'build a retrieval index' then 'search the index at /p for
+    ...': NL build/probe parity with the direct operators, plus the
+    unreadable-store rejection."""
+    import os
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                            "/root/testdata/sf0.001")
+    assert parse_dataops_query(
+        "build a retrieval index over the corpus") \
+        == {"target": "bm25_index_build"}
+    assert parse_dataops_query(
+        "create a bm25 index")["target"] == "bm25_index_build"
+    # dense phrasing stays on the ANN build
+    assert parse_dataops_query(
+        "build an ann index over the embeddings")["target"] \
+        == "ann_index_build"
+    p = parse_dataops_query(
+        'search the index at /idx for "spark window", top 3')
+    assert p["target"] == "retrieve" and p["index_path"] == "/idx"
+    assert p["queries"] == ["spark window"] and p["k"] == 3
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    store = str(tmp_path / "store")
+    res = pipe.run_dataops("build a retrieval index over the corpus",
+                           sf_dir, store)
+    assert res["status"] == "complete"
+    assert res["reports"]["n_docs"] > 0
+    out = str(tmp_path / "hits")
+    res2 = pipe.run_dataops(
+        f'search the index at {store} for "spark window agg", top 4',
+        sf_dir, out)
+    assert res2["status"] == "complete"
+    got = spark.read.parquet(out)
+    # index probe == corpus-scan retrieval, row for row
+    out2 = str(tmp_path / "hits_scan")
+    res3 = pipe.run_dataops(
+        'search the corpus for "spark window agg", top 4', sf_dir, out2)
+    assert res3["status"] == "complete"
+    key = lambda r: (r["query_text"], r["rank"], r["id"], r["bm25"])
+    assert sorted(key(r) for r in got.collect()) \
+        == sorted(key(r) for r in spark.read.parquet(out2).collect())
+
+    r = pipe.run_dataops(
+        'search the index at /nowhere for "x"', sf_dir, out)
+    assert r["status"] == "rejected" and "index" in r["reason"]
