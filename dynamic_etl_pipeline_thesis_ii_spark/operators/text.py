@@ -435,7 +435,13 @@ def save_bm25_index(df, path: str, text_col: str = "text",
     the files actually holding that term (the same layout discipline
     as ``save_hamming_snapshot``); ``<path>/df`` (tok, df) the
     vocab-sized table; ``<path>/dl`` (id, dl) doc lengths;
-    ``<path>/stats`` the 1-row (n_docs, avgdl) scalar. Returns
+    ``<path>/stats`` the 1-row (n_docs, avgdl, sum_dl) scalar.
+
+    Every sidecar is MERGEABLE by design so :func:`append_bm25_index`
+    can grow the store at batch cost: df rows fold by ``sum(df)
+    GROUP BY tok``, stats rows fold by summing ``n_docs``/``sum_dl``
+    (the integer sum makes the merged avgdl exact — avg-of-avgs
+    would not be), and tf/dl are pure per-doc appends. Returns
     {n_docs, n_postings, n_terms}."""
     toks = token_rows(df, text_col, id_col)
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -450,7 +456,8 @@ def save_bm25_index(df, path: str, text_col: str = "text",
     spark = df.sparkSession
     dl_back = spark.read.parquet(path.rstrip("/") + "/dl")
     stats = dl_back.agg(F.count(F.lit(1)).alias("n_docs"),
-                        F.avg("dl").alias("avgdl"))
+                        F.avg("dl").alias("avgdl"),
+                        F.sum("dl").alias("sum_dl"))
     stats.write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
     return {"n_docs": dl_back.count(),
             "n_postings": spark.read.parquet(
@@ -478,11 +485,21 @@ def search_bm25_index(spark, path: str, queries,
     terms = [r["tok"] for r in qterms.select("tok").distinct().collect()]
     tf = (spark.read.parquet(path.rstrip("/") + "/tf")
           .filter(F.col("tok").isin(terms)))
-    dfreq = F.broadcast(spark.read.parquet(path.rstrip("/") + "/df"))
+    # the df/stats sidecars are append-grown by append_bm25_index:
+    # fold them here (sum per tok; integer dl sums -> exact merged
+    # avgdl) so a store at epoch N answers with epoch-N corpus stats.
+    # On a fresh single-epoch store both folds are identity.
+    dfreq = F.broadcast(
+        spark.read.parquet(path.rstrip("/") + "/df")
+        .groupBy("tok").agg(F.sum("df").alias("df")))
     dl = spark.read.parquet(path.rstrip("/") + "/dl")
-    stats = spark.read.parquet(path.rstrip("/") + "/stats") \
-        .select(F.col("n_docs").alias("__n_docs"),
-                F.col("avgdl").alias("__avgdl"))
+    stats_raw = spark.read.parquet(path.rstrip("/") + "/stats")
+    if "sum_dl" not in stats_raw.columns:    # pre-append-era store
+        stats_raw = stats_raw.withColumn(
+            "sum_dl", F.col("n_docs") * F.col("avgdl"))
+    stats = stats_raw.agg(
+        F.sum("n_docs").alias("__n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("__avgdl"))
     idf = F.log(F.lit(1.0) + (F.col("__n_docs") - F.col("df")
                               + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     denom = (F.col("tf") + F.lit(k1)
@@ -502,6 +519,64 @@ def search_bm25_index(spark, path: str, queries,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "id", "bm25", "n_terms"))
+
+
+def append_bm25_index(spark, path: str, df, text_col: str = "text",
+                      id_col: str = "doc_id", n_files: int = 8) -> dict:
+    """Grow a :func:`save_bm25_index` store by one document batch —
+    the lexical epoch-N+1 step, twin of Bloom ``add_keys`` / ANN
+    ``ivfpq_append``: the batch pays ITS OWN tokenize/aggregate cost
+    and the existing corpus never rescans.
+
+    Every write is a parquet APPEND (new files only, through the
+    commit protocol — a failed job leaves the store intact): fresh
+    postings land in ``/tf`` tok-sorted like the build's (footer
+    pruning holds file-by-file), the batch's per-term df rows land in
+    ``/df`` as DELTAS and its (n_docs, avgdl, sum_dl) as one more
+    ``/stats`` row — :func:`search_bm25_index` folds both sidecars at
+    query time (vocab-sized + O(epochs) work), so a search after
+    append scores with the merged corpus statistics and equals a
+    full rebuild EXACTLY (integer df/dl sums, no avg-of-avgs; parity
+    pinned in tests). Old docs' scores legitimately move across
+    epochs — idf and avgdl are corpus-level quantities.
+
+    Already-indexed ids are skipped, not double-counted: the id-only
+    projection of ``/dl`` is semi-joined against the broadcast batch
+    id set (collision-sized output), and the batch anti-joins that —
+    the incremental-dedup broadcast-prune discipline, never a
+    corpus-side shuffle. Returns {n_batch, n_skipped_existing,
+    n_new_docs, n_new_postings}."""
+    base = path.rstrip("/")
+    batch = df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias(text_col))
+    batch_ids = batch.select("id").distinct()
+    collide = (spark.read.parquet(base + "/dl").select("id")
+               .join(F.broadcast(batch_ids), "id", "left_semi")
+               .localCheckpoint())    # pin BEFORE the store mutates
+    fresh = (batch.join(F.broadcast(collide), "id", "left_anti")
+             .localCheckpoint())
+    n_batch = batch_ids.count()
+    n_collide = collide.count()
+    toks = token_rows(fresh, text_col, "id")
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    (tf.repartitionByRange(n_files, F.col("tok"))
+     .sortWithinPartitions("tok")
+     .write.mode("append").parquet(base + "/tf"))
+    dfreq = (toks.select("id", "tok").distinct()
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    dfreq.write.mode("append").parquet(base + "/df")
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("append").parquet(base + "/dl")
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"),
+                   F.sum("dl").alias("sum_dl"))
+    n_new = stats.first()
+    if n_new["n_docs"] > 0:           # all-dup batch: no stats row
+        stats.write.mode("append").parquet(base + "/stats")
+    return {"n_batch": n_batch,
+            "n_skipped_existing": n_collide,
+            "n_new_docs": n_new["n_docs"] or 0,
+            "n_new_postings": tf.count()}
 
 
 def SQL_BM25_TOPK(queries: list, table: str = "documents",

@@ -349,6 +349,9 @@ class Pipeline:
         if plan["target"] == "bm25_index_build":
             return self._run_bm25_index_build(plan, source_dir,
                                               output_path)
+        if plan["target"] == "bm25_index_append":
+            return self._run_bm25_index_append(plan, source_dir,
+                                               output_path)
         if plan["target"] == "ann_search":
             return self._run_ann_search(plan, source_dir, output_path)
         if plan["target"] == "ann_index_build":
@@ -1866,6 +1869,50 @@ class Pipeline:
         return {"status": "complete", "outputs": [],
                 "reports": {"plan": dict(plan), **report}}
 
+    def _run_bm25_index_append(self, plan: dict, source_dir: str,
+                               output_path: str) -> dict:
+        """'add the new documents to the retrieval index at /path':
+        the lexical epoch-N+1 step, twin of `_run_ann_index_append` —
+        the source dir's documents tokenize/aggregate at BATCH cost
+        and parquet-APPEND into the store (tok-sorted postings plus
+        df/dl/stats DELTA rows; :func:`operators.text.
+        append_bm25_index`); the old corpus never rescans, and a
+        later 'search the index at /path' folds the sidecars so
+        scores equal a full rebuild exactly. Already-indexed ids are
+        broadcast-prune skipped and counted in the report."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            append_bm25_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("index_path"):
+            return {"status": "rejected",
+                    "reason": "index append needs an index path "
+                              "('... to the retrieval index at "
+                              "/path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        store = plan["index_path"].rstrip("/")
+        try:
+            self.spark.read.parquet(store + "/stats").first()
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no retrieval index readable at "
+                              f"{plan['index_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        docs = Catalog(self.spark, source_dir).documents
+        report = append_bm25_index(self.spark, store, docs)
+        self.progress("append_index", {"params": dict(plan),
+                                       **report})
+        n_after = self.spark.read.parquet(store + "/dl").count()
+        self.progress("publish", {"rows": report["n_new_postings"],
+                                  "path": store})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), **report,
+                            "docs_after": n_after}}
+
     def _run_ann_search(self, plan: dict, source_dir: str,
                         output_path: str) -> dict:
         """'find the 10 nearest neighbors for each document, with an
@@ -2362,6 +2409,14 @@ _ANN_INDEX_BUILD_RE = re.compile(
 _ANN_INDEX_APPEND_RE = re.compile(
     r"\b(?:append|add)\b[^.]*\bto\s+the\s+"
     r"(?:ann\s+|ivf(?:-?pq)?\s+|vector\s+)?index\b")
+# 'add the new documents to the retrieval index at /path': the
+# lexical epoch-grow face (append_bm25_index) — the explicit
+# retrieval/bm25/lexical/inverted qualifier keeps it disjoint from
+# the dense append above, whose regex only accepts ann/ivf/vector
+# or a bare 'the index'
+_BM25_INDEX_APPEND_RE = re.compile(
+    r"\b(?:append|add)\b[^.]*\bto\s+the\s+"
+    r"(?:retrieval|bm25|lexical|inverted)\s+index\b")
 _INDEX_PATH_RE = re.compile(
     r"\bindex\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _LISTS_RE = re.compile(r"\b(\d+)\s+(?:lists|inverted lists)\b")
@@ -2505,6 +2560,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``bm25_index_build`` — 'build a retrieval index over the
       corpus' (persist tok-sorted postings + df/dl/stats; the
       lexical twin of the ANN index build);
+    - ``bm25_index_append`` — 'add the new documents to the
+      retrieval index at /path' (batch-cost epoch grow: postings
+      append, df/stats delta rows fold at search time — scores
+      equal a full rebuild exactly);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -2708,6 +2767,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "split_corpus", "splits": splits,
                 "leak_safe": ("leak" in ql or "near-dup" in ql
                               or "near dup" in ql)}
+    if _BM25_INDEX_APPEND_RE.search(ql):
+        m = _INDEX_PATH_RE.search(query)   # paths keep their case
+        return {"target": "bm25_index_append",
+                "index_path": m.group(1) if m else None}
     if _ANN_INDEX_APPEND_RE.search(ql):
         m = _INDEX_PATH_RE.search(query)   # paths keep their case
         return {"target": "ann_index_append",

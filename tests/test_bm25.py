@@ -171,3 +171,117 @@ def test_nl_bm25_index_lifecycle(spark, tmp_path):
     r = pipe.run_dataops(
         'search the index at /nowhere for "x"', sf_dir, out)
     assert r["status"] == "rejected" and "index" in r["reason"]
+
+
+def test_append_equals_rebuild_and_skips_existing(spark, tmp_path):
+    """append_bm25_index grows the store at batch cost and a search
+    afterwards equals a full rebuild EXACTLY (merged df/avgdl move
+    old docs' scores too — corpus-level statistics); a re-append of
+    the same batch is a no-op counted as skipped."""
+    import random
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        append_bm25_index,
+        bm25_topk,
+        save_bm25_index,
+        search_bm25_index,
+    )
+
+    rng = random.Random(7)
+    vocab = ["apple", "banana", "cherry", "date", "elder", "fig",
+             "grape", "kiwi", "lemon", "mango"]
+    epoch0 = _docs(spark, [
+        (i, " ".join(rng.choices(vocab[:6], k=10))) for i in range(120)])
+    epoch1 = _docs(spark, [
+        (1000 + i, " ".join(rng.choices(vocab, k=14)))
+        for i in range(40)])
+    store = str(tmp_path / "idx")
+    save_bm25_index(epoch0, store, n_files=4)
+    rep = append_bm25_index(spark, store, epoch1, n_files=2)
+    assert rep == {"n_batch": 40, "n_skipped_existing": 0,
+                   "n_new_docs": 40,
+                   "n_new_postings": rep["n_new_postings"]}
+    assert rep["n_new_postings"] > 0
+    q = _queries(spark, [(1, "apple fig"), (2, "mango kiwi")])
+    key = lambda r: (r["query_id"], r["rank"], r["id"], r["bm25"],
+                     r["n_terms"])
+    want = sorted(key(r) for r in
+                  bm25_topk(epoch0.unionByName(epoch1), q, k=9).collect())
+    got = sorted(key(r) for r in
+                 search_bm25_index(spark, store, q, k=9).collect())
+    assert got == want and len(got) > 0
+    # all-dup re-append: skipped, no stats row, scores unchanged
+    rep2 = append_bm25_index(spark, store, epoch1)
+    assert rep2["n_new_docs"] == 0 and rep2["n_skipped_existing"] == 40
+    again = sorted(key(r) for r in
+                   search_bm25_index(spark, store, q, k=9).collect())
+    assert again == want
+
+
+def test_nl_bm25_index_append(spark, tmp_path):
+    """'add the new documents to the retrieval index at /p': NL
+    epoch-grow parity with a fresh build over the same corpus, plus
+    the missing-path and unreadable-store rejections; 'add ... to
+    the index' (no lexical qualifier) stays on the ANN append."""
+    import os
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "add the new documents to the retrieval index at /idx")
+    assert p == {"target": "bm25_index_append", "index_path": "/idx"}
+    assert parse_dataops_query(
+        "append the batch to the bm25 index at /x")["target"] \
+        == "bm25_index_append"
+    assert parse_dataops_query(
+        "append the new vectors to the index at /x")["target"] \
+        == "ann_index_append"
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                            "/root/testdata/sf0.001")
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    # seed the store with HALF the corpus via the direct operator
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        save_bm25_index,
+        search_bm25_index,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+        Catalog,
+    )
+    from pyspark.sql import functions as F
+
+    docs = Catalog(spark, sf_dir).documents
+    store = str(tmp_path / "store")
+    save_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), store,
+                    n_files=4)
+    # NL append of the FULL corpus: odd ids are fresh, even skipped
+    res = pipe.run_dataops(
+        f"add the new documents to the retrieval index at {store}",
+        sf_dir, str(tmp_path / "out"))
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["n_skipped_existing"] > 0 and rep["n_new_docs"] > 0
+    assert rep["docs_after"] == rep["n_skipped_existing"] \
+        + rep["n_new_docs"]
+    # grown store == fresh full build, row for row
+    full = str(tmp_path / "full")
+    save_bm25_index(docs, full, n_files=4)
+    q = _queries(spark, [(1, "spark window agg"), (2, "hash join")])
+    key = lambda r: (r["query_id"], r["rank"], r["id"], r["bm25"])
+    assert sorted(key(r) for r in
+                  search_bm25_index(spark, store, q, k=6).collect()) \
+        == sorted(key(r) for r in
+                  search_bm25_index(spark, full, q, k=6).collect())
+    # rejections: no path; unreadable path
+    r1 = pipe.run_dataops(
+        "add the new documents to the retrieval index", sf_dir,
+        str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"add the new documents to the retrieval index at "
+        f"{tmp_path}/nope", sf_dir, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no retrieval index" in r2["reason"]
