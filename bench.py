@@ -54,6 +54,7 @@ HEADLINE = [
     # ann_lsh_bucket queries (registry consolidated to the driver's
     # 50-entry window), so their timings cover the same work combined.
     "dedup_neardup_pairs",
+    "dedup_substring",         # ExactSubstr span detection (D18)
     "ann_topk",
     "text_metrics",
     "text_corpus_stats",       # vocab/OOV + LM score + CCNet buckets
@@ -211,6 +212,13 @@ def scale_probe(spark, factors: list[int]) -> dict:
         # snapshot: rows out = n - n_base/3, exactly linear
         "bloom": lambda d: D.bloom_snapshot_fresh(d, bloom_seen,
                                                   bloom=bloom_filter),
+        # substr: ExactSubstr span detection (D18) — replicas are
+        # word-salted so windows never collide ACROSS replicas;
+        # duplicated spans come only from each replica's own internal
+        # repetition -> spans ~linear in docs, wall ~linear (window
+        # build is one projection; only (id, pos, hash64) rows — 20
+        # bytes/token — reach the two key-partitioned shuffles)
+        "substr": lambda d: D.substring_duplicate_spans(d, w=8),
         "quality": lambda d: Q.score_quality(d, q_model),
         "bpe": lambda d: BP.apply_bpe(d, bpe_merges, with_tokens=False),
         # unigram: Viterbi segmentation with the piece table trained

@@ -943,6 +943,163 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# cross-document exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+def substring_duplicate_spans(df: DataFrame, w: int = 50,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Token spans duplicated VERBATIM anywhere else in the corpus —
+    the span-level complement of the document-level near-dup tiers:
+    MinHash/SimHash flag whole documents that look alike, this flags
+    the boilerplate/license/quote passages that repeat inside
+    otherwise-distinct documents (the ExactSubstr signal the Lee et
+    al. suffix-array pipeline computes; re-expressed here as rolling
+    ``w``-token window hashing, the shuffle-friendly equivalent — any
+    duplicated run of >= w tokens is covered by at least one
+    duplicated window, and maximal runs reassemble from overlapping
+    windows in the island merge below).
+
+    Semantics: every ``w``-token window of the normalized token
+    stream is keyed; a window occurring more than once corpus-wide
+    (across documents OR repeated within one) keeps its FIRST
+    occurrence in (id, pos) order as canonical and marks every later
+    occurrence duplicated. Per document, overlapping/adjacent
+    duplicated windows merge into maximal ``[span_start, span_end)``
+    token spans (gaps-and-islands on the running coverage maximum).
+    Returns (id, span_start, span_end, n_windows), one row per
+    maximal span; documents shorter than ``w`` tokens never flag.
+
+    Scale shape: window CONSTRUCTION is pure column expressions
+    (sequence/slice/concat_ws inside one projection — no UDF, no
+    explode of w-wide arrays); only (id, pos, xxhash64) rows ever
+    shuffle — 20 bytes per token regardless of ``w``. Two shuffles
+    total: one on the window hash (occurrence ranking), one on the
+    document id (island merge), both key-partitioned with no
+    driver state. A 64-bit key collision could merge two unrelated
+    windows (P ~ n^2/2^64 — negligible at any corpus size that fits
+    a cluster)."""
+    toks_arr = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                        lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    wins = (base.filter(F.size("toks") >= w)
+            .select("id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("toks") - F.lit(w)),
+                lambda i: F.xxhash64(F.concat_ws(
+                    " ", F.slice(F.col("toks"), i + F.lit(1),
+                                 F.lit(w))))))
+                .alias("pos", "whash")))
+    wp = Window.partitionBy("whash")
+    marked = (wins
+              .withColumn("rn", F.row_number().over(
+                  wp.orderBy("id", "pos")))
+              .withColumn("cnt", F.count(F.lit(1)).over(wp)))
+    dup = (marked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+           .select("id", "pos"))
+    ws = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w)).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "brk", F.when(prev_end.isNull()
+                      | (F.col("pos") > prev_end), 1).otherwise(0))
+    islands = flagged.withColumn("island", F.sum("brk").over(ws))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + F.lit(w)).cast("long")
+                 .alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select("id", "span_start", "span_end", "n_windows"))
+
+
+def exact_substring_dedup(df: DataFrame, w: int = 50,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Remove the duplicated spans :func:`substring_duplicate_spans`
+    finds, keeping each passage's canonical (first) occurrence — the
+    corpus-rewrite face of ExactSubstr dedup. Returns (id, text,
+    n_removed): ``text`` is the NORMALIZED token stream with span
+    tokens dropped (the Lee et al. tools operate on the token
+    stream, not original bytes — documented contract), ``n_removed``
+    the token count cut. Documents with no flagged span pass through
+    with their normalized text and n_removed = 0.
+
+    Scale: the spans table is bounded by flagged tokens, groups to
+    one small array per affected doc, and joins back broadcast-style
+    on the id — the corpus-side cost is the same one token scan."""
+    spans = substring_duplicate_spans(df, w, text_col, id_col)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end"))
+        .alias("spans"))
+    toks_arr = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                        lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.filter(F.col("toks"), lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]))))
+    return (base.join(per_doc, "id", "left")
+            .withColumn("kept", kept)
+            .select("id",
+                    F.concat_ws(" ", F.col("kept")).alias("text"),
+                    (F.coalesce(F.size("toks"), F.lit(0))
+                     - F.coalesce(F.size("kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
+def SQL_SUBSTRING_SPANS(w: int, table: str = "documents",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`substring_duplicate_spans` — groups on
+    the window STRING (no hash), same occurrence ranking and island
+    merge."""
+    norm = SQL_NORMALIZE.format(x=text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM {table}
+),
+w0 AS (
+  SELECT id, toks, unnest(generate_series(0, len(toks) - {w})) AS pos
+  FROM t WHERE len(toks) >= {w}
+),
+wn AS (
+  SELECT id, pos, array_to_string(toks[pos + 1:pos + {w}], ' ') AS win
+  FROM w0
+),
+m AS (
+  SELECT id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY id, pos) AS rn,
+         count(*) OVER (PARTITION BY win) AS cnt
+  FROM wn
+),
+d AS (SELECT id, pos FROM m WHERE cnt >= 2 AND rn > 1),
+g AS (
+  SELECT id, pos, max(pos + {w}) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM d
+),
+b AS (
+  SELECT id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end
+              THEN 1 ELSE 0 END AS brk
+  FROM g
+),
+i AS (
+  SELECT id, pos,
+         sum(brk) OVER (PARTITION BY id ORDER BY pos) AS island
+  FROM b
+)
+SELECT id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {w})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM i GROUP BY id, island
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

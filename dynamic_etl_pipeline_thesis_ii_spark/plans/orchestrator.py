@@ -326,6 +326,9 @@ class Pipeline:
         if plan["target"] == "incremental_dedup":
             return self._run_incremental_dedup(plan, source_dir,
                                                output_path)
+        if plan["target"] == "substring_dedup":
+            return self._run_substring_dedup(plan, source_dir,
+                                             output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -518,6 +521,56 @@ class Pipeline:
                                 output_path + "_snapshot",
                             "census_path_out":
                                 output_path + "_snapshot_census"}}
+
+    def _run_substring_dedup(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'remove duplicated passages across the corpus (windows of
+        50 tokens)': cross-document ExactSubstr dedup (D18 —
+        :func:`operators.dedup.exact_substring_dedup`): every token
+        run of >= w tokens that repeats anywhere in the corpus keeps
+        its first occurrence and is cut everywhere else. The cleaned
+        corpus (id, text, n_removed) lands at the sink; the report
+        counts flagged spans, affected documents and removed tokens.
+        'flag' / 'find' phrasings report the span table itself
+        without rewriting the corpus."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            exact_substring_dedup,
+            substring_duplicate_spans,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        w = plan["window"]
+        spans = substring_duplicate_spans(docs, w=w)
+        if plan.get("flag_only"):
+            spans.write.mode("overwrite").parquet(output_path)
+            back = self.spark.read.parquet(output_path)  # read-back
+            n_spans = back.count()
+            n_docs = back.select("id").distinct().count()
+            self.progress("publish", {"rows": n_spans,
+                                      "path": output_path})
+            return {"status": "complete", "outputs": [spans],
+                    "reports": {"plan": dict(plan),
+                                "spans_flagged": n_spans,
+                                "docs_affected": n_docs}}
+        cleaned = exact_substring_dedup(docs, w=w)
+        self.progress("substring_dedup", {"params": dict(plan)})
+        cleaned.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        agg = back.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+            .alias("affected"),
+            F.sum("n_removed").alias("removed")).first()
+        self.progress("publish", {"rows": agg["docs"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [cleaned],
+                "reports": {"plan": dict(plan),
+                            "docs_out": agg["docs"],
+                            "docs_affected": int(agg["affected"] or 0),
+                            "tokens_removed": int(agg["removed"] or 0)}}
 
     def _media_or_none(self, source_dir: str):
         """The source dir's optional ``media`` table, or None when the
@@ -2266,6 +2319,11 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "pdf", "zip", "tarball", " tar ",
                   "census", "corpus stat",
+                  # ExactSubstr dedup phrasings: 'remove duplicated
+                  # passages' / 'strip repeated substrings'
+                  "duplicated passage", "repeated passage",
+                  "duplicated substring", "repeated substring",
+                  "substring dedup",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2293,6 +2351,15 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "to the index", "index at ",
                   # scoped: 'stock split' must not route here
                   "split the corpus", "into train", "leakage")
+# 'remove duplicated passages across the corpus (windows of 50
+# tokens)' -> ExactSubstr dedup (D18); the verb decides rewrite vs
+# report-only
+_SUBSTR_TARGET_RE = re.compile(
+    r"\b(remove|strip|cut|flag|find)\b[^.]*\b(?:duplicat\w*|repeated)\s+"
+    r"(?:passages?|substrings?|spans?|token\s+runs?)\b"
+    r"|\bexact\s+substring\s+dedup\b")
+_SUBSTR_WINDOW_RE = re.compile(
+    r"\b(?:windows?|runs?)\s+of\s+(\d+)\s+tokens?\b")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -2509,7 +2576,7 @@ def derive_n_buckets(n_docs: int, docs_per_bucket: int = 4_000,
 
 def parse_dataops_query(query: str) -> Optional[dict]:
     """NL corpus-curation query -> typed parameter dict, or None when
-    the query carries no dataops intent. Twenty-five targets, matched in
+    the query carries no dataops intent. Targets, matched in
     priority order:
 
     - ``ingest_crawl`` — 'extract text from the crawl at <path>' /
@@ -2573,6 +2640,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       opts into the broadcast pre-filter — same answer, ~fpp of the
       batch through the anti-join; the updated snapshot lands next
       to the fresh rows);
+    - ``substring_dedup`` — 'remove duplicated passages across the
+      corpus (windows of 50 tokens)' (cross-document ExactSubstr
+      dedup: verbatim >=w-token runs keep their first occurrence and
+      are cut everywhere else; 'flag'/'find' phrasings report the
+      span table without rewriting);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -2637,6 +2709,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                                           or "recover" in ql)
                                else "drop"),
                 "update": "update" in ql or "grow" in ql}
+    if m := _SUBSTR_TARGET_RE.search(ql):
+        w = 50
+        if mw := _SUBSTR_WINDOW_RE.search(ql):
+            w = int(mw.group(1))
+        return {"target": "substring_dedup", "window": w,
+                # 'flag'/'find' report the span table; 'remove'/
+                # 'strip'/'cut' rewrite the corpus
+                "flag_only": m.group(1) in ("flag", "find")}
     if m := _CONTAIN_PROBE_RE.search(ql):
         modality = "audio" if "audio" in m.group(1) else "video"
         ms = 2

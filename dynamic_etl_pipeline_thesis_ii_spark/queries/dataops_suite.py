@@ -152,6 +152,39 @@ FROM ko FULL OUTER JOIN kn ON ko.doc_id = kn.doc_id
            h_new=_H32.format(x=_NORM.format(x="coalesce(text, '')")))
 
 
+# 12-token passage planted verbatim in front of every 17th document's
+# +700000 twin: the cross-doc duplicated substring the span detector
+# must recover (the twin's copied body text also flags — original
+# stays canonical)
+_SUBSTR_BOILER = ("this content is provided as is without warranty of "
+                  "any kind whatsoever")
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Cross-document exact-substring dedup (D18, the Lee et al.
+    ExactSubstr family): maximal duplicated >=8-token spans over
+    documents ∪ boilerplate-prefixed twins. Window hashing + island
+    merge — two key-partitioned shuffles, no UDF (operator
+    docstring has the 100 TB shape)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    copies = (docs.filter(F.col("doc_id") % 17 == 0)
+              .select((F.col("doc_id") + 700000).alias("doc_id"),
+                      F.concat(F.lit(_SUBSTR_BOILER + " "),
+                               F.col("text")).alias("text")))
+    return D.substring_duplicate_spans(docs.unionByName(copies), w=8)
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000, '{_SUBSTR_BOILER} ' || text
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT * FROM ({D.SQL_SUBSTRING_SPANS(8, table='corpus')})
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_neardup_corpus(spark, sf_dir),
                                k=3, n_hashes=16, bands=4)
@@ -1754,6 +1787,7 @@ FROM sized
 
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substring": q_dedup_substring,
     "dedup_cap_stats": q_dedup_cap_stats,
     "dedup_neardup_pairs": q_dedup_neardup_pairs,
     "dedup_components": q_dedup_components,
@@ -1770,6 +1804,7 @@ DATAOPS_QUERIES = {
 
 DATAOPS_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_cap_stats": _sql_cap_stats(),
     "dedup_neardup_pairs": _sql_neardup_pairs(),
     "dedup_components": _sql_components(),

@@ -2700,11 +2700,12 @@ def test_pipeline_dataops_retrieve_target(spark, sf_dir, tmp_path):
 
     p = parse_dataops_query(
         'search the corpus for "spark window agg", top 5')
-    assert p == {"target": "retrieve", "k": 5,
+    assert p == {"target": "retrieve", "k": 5, "index_path": None,
                  "queries": ["spark window agg"]}
     assert parse_dataops_query(
         "retrieve the best documents for 'hash join'") == {
-        "target": "retrieve", "k": 10, "queries": ["hash join"]}
+        "target": "retrieve", "k": 10, "index_path": None,
+        "queries": ["hash join"]}
     assert parse_dataops_query(
         'bm25 rank the corpus against "stream batch"')["target"] \
         == "retrieve"
