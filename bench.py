@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_neardup_pairs",
     "dedup_substring",         # ExactSubstr span detection (D18)
     "ann_topk",
+    "retrieval_hybrid",        # BM25 + dense cosine, RRF-fused (T18)
     "text_metrics",
     "text_corpus_stats",       # vocab/OOV + LM score + CCNet buckets
     "sample_deterministic",    # stratified/mix/packing/token-budget

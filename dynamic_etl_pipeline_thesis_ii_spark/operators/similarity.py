@@ -1124,3 +1124,74 @@ def assign_to_centers(emb: DataFrame, centers: DataFrame,
                         F.col("__center"),
                         F.col("__cn"), l2norm(F.col("__center"))),
                         6).alias("center_cos")))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (cosine) arms — the standard two-tower retrieval stack
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(ranked_arms: list, k: int = 10, k_rrf: int = 60,
+             query_col: str = "query_id", id_col: str = "id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    per-query ranked lists: each arm contributes ``1/(k_rrf + rank)``
+    per (query, item); contributions sum, round to 6 dp, and re-rank
+    (rrf desc, id asc) to top ``k``. ``n_arms`` counts how many lists
+    surfaced the item — the standard "found by both towers" signal.
+
+    Rank fusion deliberately ignores the arms' incomparable score
+    scales (BM25 sums vs cosine), which is exactly why RRF is the
+    robust default for hybrid search. Scale shape: each arm is
+    already top-k_pool per query, so the union is |Q|·k_pool·n_arms
+    rows — eval-sized; one groupBy + one window, both on query_id."""
+    contribs = [arm.select(F.col(query_col).alias("query_id"),
+                           F.col(id_col).alias("id"),
+                           (F.lit(1.0) / (F.lit(k_rrf)
+                                          + F.col(rank_col)))
+                           .alias("contrib"))
+                for arm in ranked_arms]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = (allc.groupBy("query_id", "id")
+             .agg(F.round(F.sum("contrib"), 6).alias("rrf"),
+                  F.count(F.lit(1)).alias("n_arms")))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(),
+                                               F.col("id").asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "id", "rrf", "n_arms"))
+
+
+def hybrid_topk(docs: DataFrame, candidates: DataFrame,
+                queries: DataFrame, k: int = 10, k_pool: int = 20,
+                k_rrf: int = 60, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hybrid retrieval: BM25 over ``docs`` + exact cosine over
+    ``candidates`` (c_id, c_vec), fused by :func:`rrf_fuse` — the
+    lexical tower catches exact-term matches the embedding space
+    blurs, the dense tower catches paraphrases BM25 cannot see; RAG
+    selection and retrieval-based decontamination both want the
+    union. ``queries`` carries (query_id, query_text, query_vec) —
+    one row per query, both representations.
+
+    Scale: the query set broadcasts into BOTH towers (the corpus
+    never shuffles on anything but its own aggregates — see
+    bm25_topk / brute_force_topk); fusion is eval-sized. Swap the
+    dense arm for the IVF-PQ searcher at billion-vector scale — the
+    fusion contract only needs (query_id, id, rank)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        bm25_topk,
+    )
+
+    lex = bm25_topk(docs, queries.select("query_id", "query_text"),
+                    text_col=text_col, id_col=id_col, k=k_pool)
+    den = brute_force_topk(
+        queries.select(F.col("query_id").alias("q_id"),
+                       F.col("query_vec").alias("q_vec")),
+        candidates, k=k_pool)
+    return rrf_fuse(
+        [lex, den.withColumnRenamed("q_id", "query_id")
+                 .withColumnRenamed("c_id", "id")],
+        k=k, k_rrf=k_rrf)

@@ -349,6 +349,9 @@ class Pipeline:
             return self._run_decontaminate(plan, source_dir, output_path)
         if plan["target"] == "retrieve":
             return self._run_retrieve(plan, source_dir, output_path)
+        if plan["target"] == "hybrid_search":
+            return self._run_hybrid_search(plan, source_dir,
+                                           output_path)
         if plan["target"] == "bm25_index_build":
             return self._run_bm25_index_build(plan, source_dir,
                                               output_path)
@@ -1899,6 +1902,70 @@ class Pipeline:
                 "reports": {"plan": dict(plan), "hits_per_query": counts,
                             "rows_written": sum(counts.values())}}
 
+    def _run_hybrid_search(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'find documents like doc 42 using both keywords and
+        embeddings, top 5': hybrid more-like-this — the named
+        documents' own text feeds the BM25 tower and their own
+        embeddings feed the dense tower, reciprocal-rank fused
+        (:func:`operators.similarity.hybrid_topk`). The query's
+        self-hit is dropped after fusion (its rank-1 slot is the
+        sanity check, not an answer). Rejects ids missing from the
+        documents or embeddings table with an actionable reason.
+
+        Scale: the query set is the handful of named ids — both
+        towers broadcast it; the corpus never shuffles on anything
+        but its own aggregates."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            hybrid_topk,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("doc_ids"):
+            return {"status": "rejected",
+                    "reason": "hybrid search needs document ids "
+                              "('like doc 42')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        cat = Catalog(self.spark, source_dir)
+        docs = cat.documents.select("doc_id", "text")
+        emb = cat.embeddings
+        ids = [int(i) for i in plan["doc_ids"]]
+        qtext = (docs.filter(F.col("doc_id").isin(ids))
+                 .select(F.col("doc_id").alias("query_id"),
+                         F.col("text").alias("query_text")))
+        qvec = (emb.filter(F.col("vec_id").isin(ids))
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec")))
+        queries = qtext.join(qvec, "query_id")
+        found = [r["query_id"] for r in
+                 queries.select("query_id").collect()]
+        missing = sorted(set(ids) - set(found))
+        if missing:
+            return {"status": "rejected",
+                    "reason": f"no document+embedding for ids "
+                              f"{missing} ('like doc N' needs both)",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        cands = emb.select(F.col("vec_id").alias("c_id"),
+                           F.col("embedding").alias("c_vec"))
+        hits = (hybrid_topk(docs, cands, queries,
+                            k=plan["k"] + 1, k_pool=plan["k"] + 10)
+                .filter(F.col("id") != F.col("query_id")))
+        self.progress("hybrid_search", {"params": dict(plan)})
+        hits.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        counts = {int(r["query_id"]): r["n"]
+                  for r in back.groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        both = back.filter(F.col("n_arms") == 2).count()
+        self.progress("publish", {"rows": sum(counts.values()),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [hits],
+                "reports": {"plan": dict(plan),
+                            "hits_per_query": counts,
+                            "hits_in_both_towers": both}}
+
     def _run_bm25_index_build(self, plan: dict, source_dir: str,
                               output_path: str) -> dict:
         """'build a retrieval index over the corpus': persist the BM25
@@ -2324,6 +2391,9 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "duplicated passage", "repeated passage",
                   "duplicated substring", "repeated substring",
                   "substring dedup",
+                  # hybrid two-tower retrieval phrasings
+                  "hybrid", "keywords and embeddings",
+                  "keywords and vectors",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2384,6 +2454,13 @@ _ANN_TARGET_RE = re.compile(
 _RETRIEVE_TARGET_RE = re.compile(
     r"\bbm25\b|\bsearch the corpus\b|\bsearch the index\b|"
     r"\bretrieve\b.{0,40}\b(?:documents|docs)\b")
+# 'find documents like doc 42 using both keywords and embeddings':
+# hybrid two-tower more-like-this (BM25 + dense cosine, RRF-fused)
+_HYBRID_TARGET_RE = re.compile(
+    r"\bhybrid\b|\bboth\s+keywords?\s+and\s+(?:embeddings?|vectors?)\b"
+    r"|\bkeywords?\s+and\s+embeddings?\b")
+_LIKE_DOCS_RE = re.compile(
+    r"\blike\s+doc(?:ument)?s?\s+(\d+(?:\s*(?:,|and)\s*\d+)*)")
 _QUOTED_RE = re.compile(r"[\"']([^\"']{1,200})[\"']")
 # 'build a retrieval index over the corpus': the build face of the
 # persisted BM25 store ('ann/vector index' phrasings stay on the
@@ -2624,6 +2701,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       with an actionable reason when no quoted query is present;
       '... the index at /path' probes the persisted BM25 store at
       query cost instead of rescanning the corpus);
+    - ``hybrid_search`` — 'find documents like doc 42 using both
+      keywords and embeddings, top 5' (two-tower more-like-this:
+      the named docs' text feeds BM25, their embeddings feed exact
+      cosine, reciprocal-rank fused; self-hits dropped);
     - ``bm25_index_build`` — 'build a retrieval index over the
       corpus' (persist tok-sorted postings + df/dl/stats; the
       lexical twin of the ANN index build);
@@ -2861,6 +2942,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "opq": "opq" in ql or "rotation" in ql}
     if _BM25_INDEX_BUILD_RE.search(ql):
         return {"target": "bm25_index_build"}
+    if _HYBRID_TARGET_RE.search(ql):
+        k = 10
+        if m := _ANN_K_RE.search(ql):
+            k = int(next(g for g in m.groups() if g))
+        ids = []
+        if m := _LIKE_DOCS_RE.search(ql):
+            ids = [int(x) for x in re.findall(r"\d+", m.group(1))]
+        return {"target": "hybrid_search", "k": k, "doc_ids": ids}
     if _RETRIEVE_TARGET_RE.search(ql):
         k = 10
         if m := _ANN_K_RE.search(ql):

@@ -1785,6 +1785,64 @@ FROM sized
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def q_retrieval_hybrid(spark, sf_dir):
+    """Hybrid two-tower retrieval (T18): the BM25_QUERIES literals as
+    the lexical arm, embeddings 0-2 as the matching dense query
+    vectors (vec_id shares the documents' 0..N id space), fused by
+    reciprocal rank — both towers broadcast the eval-sized query
+    set, fusion is |Q|·k_pool rows."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    emb = Catalog(spark, sf_dir).embeddings
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    qtext = spark.createDataFrame(
+        BM25_QUERIES, "query_id bigint, query_text string")
+    qvec = (emb.filter(F.col("vec_id") < 3)
+            .select((F.col("vec_id") + 1).alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+    return S.hybrid_topk(docs, cands, qtext.join(qvec, "query_id"),
+                         k=8, k_pool=12)
+
+
+def _sql_retrieval_hybrid() -> str:
+    return f"""
+WITH lex AS (
+  SELECT query_id, id, rank
+  FROM ({T.SQL_BM25_TOPK(BM25_QUERIES, id_col='doc_id', k=12)})
+),
+q AS (SELECT vec_id + 1 AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, c_id, {_SQL_COS} AS cos FROM q, c),
+den AS (
+  SELECT query_id, c_id AS id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, c_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= 12
+),
+contrib AS (
+  SELECT query_id, id, 1.0::DOUBLE / (60 + rank) AS contrib FROM lex
+  UNION ALL
+  SELECT query_id, id, 1.0::DOUBLE / (60 + rank) AS contrib FROM den
+),
+fused AS (
+  SELECT query_id, id, round(sum(contrib), 6) AS rrf,
+         count(*)::BIGINT AS n_arms
+  FROM contrib GROUP BY query_id, id
+)
+SELECT query_id, rank, id, rrf, n_arms FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, id ASC) AS rank
+  FROM fused
+) WHERE rank <= 8
+"""
+
+
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring": q_dedup_substring,
@@ -1792,6 +1850,7 @@ DATAOPS_QUERIES = {
     "dedup_neardup_pairs": q_dedup_neardup_pairs,
     "dedup_components": q_dedup_components,
     "ann_topk": q_ann_topk,
+    "retrieval_hybrid": q_retrieval_hybrid,
     "text_metrics": q_text_metrics,
     "text_pii_scrub": q_text_pii_scrub,
     "text_tfidf_topterms": q_text_tfidf,
@@ -1809,6 +1868,7 @@ DATAOPS_ORACLES = {
     "dedup_neardup_pairs": _sql_neardup_pairs(),
     "dedup_components": _sql_components(),
     "ann_topk": _sql_ann_topk(),
+    "retrieval_hybrid": _sql_retrieval_hybrid(),
     "text_metrics": ORACLE_TEXT_METRICS,
     "text_pii_scrub": _sql_pii_scrub(),
     "text_tfidf_topterms": _sql_tfidf(),
