@@ -732,6 +732,49 @@ def scale_probe(spark, factors: list[int]) -> dict:
                                   "sec": round(best, 3)})
     finally:
         shutil.rmtree(z_root, ignore_errors=True)
+
+    # upsert: bucketed corpus-store MERGE (SK5). A store of n = 5000·f
+    # rows is built at setup with corpus-PROPORTIONAL buckets (the
+    # save_corpus_store curve — constant ~250 rows per bucket here, so
+    # 20..320 buckets across factors); the timed work is merging a
+    # FIXED 20-row batch (10 updates + 10 inserts). The rewrite unit
+    # is buckets-touched × rows-per-bucket and both are
+    # corpus-independent (<= 20 buckets of ~250 rows), so wall time
+    # AND rewritten rows must stay ~FLAT as the store grows 16x — the
+    # mutable-corpus maintenance contract. "candidates" records rows
+    # actually rewritten (kept + batch in touched buckets).
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        merge_into_corpus,
+        save_corpus_store,
+    )
+    u_root = tempfile.mkdtemp(prefix="bench_upsert_")
+    try:
+        out["upsert"] = []
+        for f in factors:
+            n = 5000 * f
+            df = (spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("doc text "), F.col("id"))
+                .alias("text")))
+            store = os.path.join(u_root, f"f{f}")
+            save_corpus_store(df, store, rows_per_bucket=250)
+            batch = (spark.range(20).select(
+                F.when(F.col("id") < 10, F.col("id") * 13)
+                .otherwise(F.col("id") + 10_000_000)
+                .alias("doc_id"),
+                F.lit("updated").alias("text")))
+            best, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                rep = merge_into_corpus(spark, store, batch)
+                best = min(best, time.perf_counter() - t0)
+                c = rep["rows_kept"] + rep["rows_updated"] \
+                    + rep["rows_inserted"]
+            out["upsert"].append({"factor": f, "n_docs": n,
+                                  "candidates": c,
+                                  "sec": round(best, 3)})
+    finally:
+        shutil.rmtree(u_root, ignore_errors=True)
     return out
 
 
@@ -826,7 +869,7 @@ def main() -> None:
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
                 "imgdedup", "auddedup", "viddedup", "vcontain",
-                "zorder")
+                "zorder", "upsert")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:

@@ -358,6 +358,12 @@ class Pipeline:
         if plan["target"] == "bm25_index_append":
             return self._run_bm25_index_append(plan, source_dir,
                                                output_path)
+        if plan["target"] == "corpus_store_build":
+            return self._run_corpus_store_build(plan, source_dir,
+                                                output_path)
+        if plan["target"] == "corpus_upsert":
+            return self._run_corpus_upsert(plan, source_dir,
+                                           output_path)
         if plan["target"] == "ann_search":
             return self._run_ann_search(plan, source_dir, output_path)
         if plan["target"] == "ann_index_build":
@@ -1902,6 +1908,74 @@ class Pipeline:
                 "reports": {"plan": dict(plan), "hits_per_query": counts,
                             "rows_written": sum(counts.values())}}
 
+    def _run_corpus_store_build(self, plan: dict, source_dir: str,
+                                output_path: str) -> dict:
+        """'build a bucketed corpus store, 32 buckets': persist the
+        documents table hash-bucketed by doc_id
+        (:func:`sources.sinks.save_corpus_store`) so every later
+        'upsert the batch into the corpus store at /path' rewrites
+        only the buckets holding batch keys. Bucket count derives
+        corpus-proportionally when unnamed (constant rows per bucket
+        — the rewrite unit must stay batch-scale at 100 TB)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            save_corpus_store,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        self.progress("build_store", {"params": dict(plan)})
+        report = save_corpus_store(docs, output_path,
+                                   n_buckets=plan["n_buckets"])
+        self.progress("publish", {"rows": report["rows"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), **report}}
+
+    def _run_corpus_upsert(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'upsert the batch into the corpus store at /path': MERGE
+        the source dir's documents into a persisted bucketed store
+        (:func:`sources.sinks.merge_into_corpus` — batch rows replace
+        same-key rows, insert otherwise; only touched buckets
+        rewrite, untouched directories stay byte-identical). The
+        batch also lands at the run's output for lineage. Rejects a
+        missing path or a path without a store geometry sidecar."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            merge_into_corpus,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("store_path"):
+            return {"status": "rejected",
+                    "reason": "corpus upsert needs a store path "
+                              "('... into the corpus store at "
+                              "/path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        store = plan["store_path"].rstrip("/")
+        try:
+            self.spark.read.parquet(store + "_meta").first()
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no corpus store readable at "
+                              f"{plan['store_path']} (build one "
+                              f"with 'build a bucketed corpus "
+                              f"store'): {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        batch = Catalog(self.spark, source_dir).documents
+        report = merge_into_corpus(self.spark, store, batch)
+        self.progress("upsert", {"params": dict(plan), **report})
+        batch.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()
+        self.progress("publish", {"rows": n_out, "path": store})
+        return {"status": "complete", "outputs": [batch],
+                "reports": {"plan": dict(plan), **report,
+                            "batch_rows": n_out}}
+
     def _run_hybrid_search(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'find documents like doc 42 using both keywords and
@@ -2394,6 +2468,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   # hybrid two-tower retrieval phrasings
                   "hybrid", "keywords and embeddings",
                   "keywords and vectors",
+                  # bucketed corpus store lifecycle
+                  "upsert", "corpus store",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2561,6 +2637,15 @@ _ANN_INDEX_APPEND_RE = re.compile(
 _BM25_INDEX_APPEND_RE = re.compile(
     r"\b(?:append|add)\b[^.]*\bto\s+the\s+"
     r"(?:retrieval|bm25|lexical|inverted)\s+index\b")
+# bucketed corpus store lifecycle: 'build a bucketed corpus store,
+# 32 buckets' / 'upsert the batch into the corpus store at /path'
+_STORE_BUILD_RE = re.compile(
+    r"\b(?:build|create)\b[^.]*\b(?:bucketed\s+)?corpus\s+store\b")
+_UPSERT_RE = re.compile(
+    r"\b(?:upsert|merge)\b[^.]*\binto\s+the\s+corpus\s+store\b")
+_STORE_PATH_RE = re.compile(
+    r"\bstore\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+_BUCKETS_RE = re.compile(r"\b(\d+)\s+buckets?\b")
 _INDEX_PATH_RE = re.compile(
     r"\bindex\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _LISTS_RE = re.compile(r"\b(\d+)\s+(?:lists|inverted lists)\b")
@@ -2712,6 +2797,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       retrieval index at /path' (batch-cost epoch grow: postings
       append, df/stats delta rows fold at search time — scores
       equal a full rebuild exactly);
+    - ``corpus_store_build`` / ``corpus_upsert`` — 'build a
+      bucketed corpus store, 32 buckets' then 'upsert the batch
+      into the corpus store at /path' (hash-bucketed MERGE INTO:
+      batch rows replace same-key rows and insert otherwise; only
+      buckets holding batch keys rewrite — untouched directories
+      stay byte-identical);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -2932,6 +3023,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _INDEX_PATH_RE.search(query)   # paths keep their case
         return {"target": "bm25_index_append",
                 "index_path": m.group(1) if m else None}
+    if _UPSERT_RE.search(ql):
+        m = _STORE_PATH_RE.search(query)   # paths keep their case
+        return {"target": "corpus_upsert",
+                "store_path": m.group(1) if m else None}
+    if _STORE_BUILD_RE.search(ql):
+        nb = int(m.group(1)) if (m := _BUCKETS_RE.search(ql)) else None
+        return {"target": "corpus_store_build", "n_buckets": nb}
     if _ANN_INDEX_APPEND_RE.search(ql):
         m = _INDEX_PATH_RE.search(query)   # paths keep their case
         return {"target": "ann_index_append",

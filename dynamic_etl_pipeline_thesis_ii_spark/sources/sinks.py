@@ -483,3 +483,92 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
     back = df.sparkSession.read.format(fmt).load(path)
     return {"rows": back.count(), "n_files": len(back.inputFiles()),
             "cols": list(cols), "bits": bits}
+
+
+# ---------------------------------------------------------------------------
+# bucketed corpus store with MERGE INTO (SK5): the mutable-corpus
+# maintenance primitive — continuous-ingest pipelines re-crawl,
+# re-score and re-clean documents, and "replace these keys, insert
+# those" must not cost a corpus rewrite
+# ---------------------------------------------------------------------------
+
+def save_corpus_store(df: DataFrame, path: str, key_col: str = "doc_id",
+                      n_buckets: int | None = None,
+                      rows_per_bucket: int = 100_000) -> dict:
+    """Write a hash-bucketed corpus store: rows land in directory
+    partition ``bucket = pmod(xxhash64(key), n_buckets)`` so a later
+    :func:`merge_into_corpus` reads and rewrites ONLY the buckets
+    holding batch keys (Hive-style partition pruning does the file
+    skipping; everything else is never opened). ``n_buckets``
+    derives corpus-proportionally by default (constant rows per
+    bucket — the ``derive_n_buckets`` curve): at 100 TB the rewrite
+    unit must stay batch-scale, and with FIXED buckets it would grow
+    with the corpus instead. The (key_col, n_buckets) geometry lands
+    in a ``<path>_meta`` sidecar — merges must bucket with the
+    store's own geometry, exactly like the hamming-snapshot probes
+    reuse the snapshot's banding. Returns {rows, n_buckets}."""
+    n_rows = df.count()
+    if n_buckets is None:
+        n_buckets = max(8, n_rows // max(1, rows_per_bucket))
+    out = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)),
+                         F.lit(n_buckets)).cast("int"))
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark = df.sparkSession
+    spark.createDataFrame([(key_col, int(n_buckets))],
+                          "key_col string, n_buckets int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(path.rstrip("/") + "_meta")
+    return {"rows": n_rows, "n_buckets": int(n_buckets)}
+
+
+def merge_into_corpus(spark: SparkSession, path: str,
+                      batch: DataFrame) -> dict:
+    """MERGE the batch into a :func:`save_corpus_store` store by key:
+    batch rows REPLACE same-key store rows and INSERT otherwise (the
+    Delta/Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT`` shape from plain Spark + parquet).
+
+    Cost model — the 100 TB contract: the batch buckets with the
+    store's own geometry; only the TOUCHED buckets (<= batch-key
+    count, usually far fewer) are read back, anti-joined against the
+    broadcast batch key set, unioned with the batch and rewritten
+    through dynamic partition overwrite — untouched bucket
+    directories are never opened, never rewritten, byte-identical
+    after the merge (pinned in tests). Survivor rows pin via
+    localCheckpoint BEFORE the overwrite commits so the rewrite
+    never reads the files it is replacing. Returns
+    {buckets_touched, rows_updated, rows_inserted, rows_kept}."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "_meta").first()
+    key_col, n_buckets = meta["key_col"], meta["n_buckets"]
+    batchb = (batch.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)),
+                         F.lit(n_buckets)).cast("int"))
+        .localCheckpoint())
+    touched = sorted(r["bucket"] for r in
+                     batchb.select("bucket").distinct().collect())
+    batch_keys = batchb.select(key_col).distinct()
+    existing = (spark.read.parquet(base)
+                .filter(F.col("bucket").isin(touched)))
+    n_existing = existing.count()
+    keep = (existing.join(F.broadcast(batch_keys), key_col,
+                          "left_anti")
+            .localCheckpoint())       # pin BEFORE the overwrite
+    n_keep = keep.count()
+    n_batch = batchb.count()
+    merged = keep.unionByName(batchb.select(*keep.columns))
+    mode_before = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       mode_before)
+    return {"buckets_touched": len(touched),
+            "rows_updated": n_existing - n_keep,
+            "rows_inserted": n_batch - (n_existing - n_keep),
+            "rows_kept": n_keep}

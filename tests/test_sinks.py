@@ -497,3 +497,149 @@ def test_zorder_key_skew_robust_and_edge_cases(spark):
     assert const.select("__zkey").distinct().count() == 1
     with _pytest.raises(ValueError):
         zorder_key(spark.range(5), [], bits=3)
+
+
+def test_corpus_store_merge_semantics(spark, tmp_path):
+    """SK5: batch rows replace same-key store rows and insert
+    otherwise; only touched buckets rewrite and untouched bucket
+    directories stay byte-identical (path set + mtimes)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        merge_into_corpus,
+        save_corpus_store,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "v1") for i in range(1000)],
+        "doc_id bigint, text string, ver string")
+    rep = save_corpus_store(docs, store, n_buckets=16)
+    assert rep == {"rows": 1000, "n_buckets": 16}
+    before = {f: os.path.getmtime(f) for f in glob.glob(
+        store + "/bucket=*/*.parquet")}
+    batch = spark.createDataFrame(
+        [(5, "updated 5", "v2"), (999, "updated 999", "v2"),
+         (5000, "brand new", "v2")],
+        "doc_id bigint, text string, ver string")
+    rep2 = merge_into_corpus(spark, store, batch)
+    assert rep2["rows_updated"] == 2 and rep2["rows_inserted"] == 1
+    assert rep2["buckets_touched"] <= 3
+    back = spark.read.parquet(store)
+    assert back.count() == 1001
+    got = {r["doc_id"]: r["ver"] for r in back.filter(
+        F.col("doc_id").isin([5, 999, 5000, 7])).collect()}
+    assert got == {5: "v2", 999: "v2", 5000: "v2", 7: "v1"}
+    after = {f: os.path.getmtime(f) for f in glob.glob(
+        store + "/bucket=*/*.parquet")}
+    changed_buckets = {
+        f.split("bucket=")[1].split("/")[0]
+        for f in set(before) - {f for f in before
+                                if f in after
+                                and after[f] == before[f]}}
+    assert len(changed_buckets) <= rep2["buckets_touched"]
+    # a second merge of the SAME batch: pure update, no inserts
+    rep3 = merge_into_corpus(spark, store, batch)
+    assert rep3["rows_updated"] == 3 and rep3["rows_inserted"] == 0
+    assert spark.read.parquet(store).count() == 1001
+
+
+def test_corpus_store_derived_buckets_and_geometry_sidecar(spark,
+                                                          tmp_path):
+    """n_buckets derives corpus-proportionally (constant rows per
+    bucket) and the merge buckets with the STORE's geometry read
+    from the sidecar, not a recomputed one."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        merge_into_corpus,
+        save_corpus_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(400)],
+        "doc_id bigint, text string")
+    s1 = str(tmp_path / "s1")
+    rep = save_corpus_store(docs, s1, rows_per_bucket=50)
+    assert rep["n_buckets"] == 8            # 400 / 50
+    meta = spark.read.parquet(s1 + "_meta").first()
+    assert meta["key_col"] == "doc_id" and meta["n_buckets"] == 8
+    # ~10x corpus -> ~10x buckets at the same rows_per_bucket
+    big = spark.createDataFrame(
+        [(i, "x") for i in range(4000)], "doc_id bigint, text string")
+    s2 = str(tmp_path / "s2")
+    assert save_corpus_store(big, s2,
+                             rows_per_bucket=50)["n_buckets"] == 80
+    # merge against s1 must succeed using the sidecar geometry
+    rep2 = merge_into_corpus(
+        spark, s1, spark.createDataFrame(
+            [(1, "upd")], "doc_id bigint, text string"))
+    assert rep2["rows_updated"] == 1 and rep2["buckets_touched"] == 1
+
+
+def test_nl_corpus_store_lifecycle(spark, tmp_path):
+    """'build a bucketed corpus store' then 'upsert the batch into
+    the corpus store at /p': NL build/upsert flow, bucket-count
+    parsing, and the missing-path / no-store rejections."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query(
+        "build a bucketed corpus store, 12 buckets") \
+        == {"target": "corpus_store_build", "n_buckets": 12}
+    assert parse_dataops_query(
+        "create a corpus store")["n_buckets"] is None
+    p = parse_dataops_query(
+        "upsert the batch into the corpus store at /s")
+    assert p == {"target": "corpus_upsert", "store_path": "/s"}
+    assert parse_dataops_query(
+        "merge the new documents into the corpus store at /s")[
+        "target"] == "corpus_upsert"
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                            "/root/testdata/sf0.001")
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    store = str(tmp_path / "store")
+    res = pipe.run_dataops(
+        "build a bucketed corpus store, 12 buckets", sf_dir, store)
+    assert res["status"] == "complete"
+    assert res["reports"]["n_buckets"] == 12
+    n0 = res["reports"]["rows"]
+    # batch dir: 3 changed docs + 2 new ones
+    batch_dir = str(tmp_path / "batch")
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+        Catalog,
+    )
+    docs = Catalog(spark, sf_dir).documents
+    batch = (docs.filter(F.col("doc_id") < 3)
+             .withColumn("text", F.concat(F.col("text"),
+                                          F.lit(" EDITED")))
+             .unionByName(docs.filter(F.col("doc_id") < 2).select(
+                 (F.col("doc_id") + 900000).alias("doc_id"),
+                 *[c for c in docs.columns if c != "doc_id"])))
+    batch.write.parquet(batch_dir + "/documents.parquet")
+    res2 = pipe.run_dataops(
+        f"upsert the batch into the corpus store at {store}",
+        batch_dir, str(tmp_path / "out"))
+    assert res2["status"] == "complete"
+    rep = res2["reports"]
+    assert rep["rows_updated"] == 3 and rep["rows_inserted"] == 2
+    back = spark.read.parquet(store)
+    assert back.count() == n0 + 2
+    assert back.filter(F.col("text").contains("EDITED")).count() == 3
+    # rejections
+    r1 = pipe.run_dataops("upsert the batch into the corpus store",
+                          batch_dir, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "store path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"upsert the batch into the corpus store at {tmp_path}/nope",
+        batch_dir, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no corpus store" in r2["reason"]
