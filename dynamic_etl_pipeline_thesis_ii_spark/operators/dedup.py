@@ -947,6 +947,49 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # Training Data Makes Language Models Better" — the ExactSubstr family)
 # ---------------------------------------------------------------------------
 
+def substring_window_rows(df: DataFrame, w: int,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, whash) for every ``w``-token rolling window of the
+    normalized token stream — the shared first stage of the
+    ExactSubstr operators. Window construction is pure column
+    expressions (sequence/slice/concat_ws in ONE projection, then
+    posexplode of the per-token hash array); only 20-byte rows leave
+    this stage, regardless of ``w``. Docs shorter than ``w`` tokens
+    produce no rows."""
+    toks_arr = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                        lambda x: x != "")
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    return (base.filter(F.size("toks") >= w)
+            .select("id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("toks") - F.lit(w)),
+                lambda i: F.xxhash64(F.concat_ws(
+                    " ", F.slice(F.col("toks"), i + F.lit(1),
+                                 F.lit(w))))))
+                .alias("pos", "whash")))
+
+
+def merge_window_spans(dup: DataFrame, w: int) -> DataFrame:
+    """Merge flagged (id, pos) window occurrences into maximal
+    ``[span_start, span_end)`` token spans per document —
+    gaps-and-islands on the running coverage maximum (one window
+    shuffle on the id). Shared by the batch and incremental span
+    faces."""
+    ws = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w)).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "brk", F.when(prev_end.isNull()
+                      | (F.col("pos") > prev_end), 1).otherwise(0))
+    islands = flagged.withColumn("island", F.sum("brk").over(ws))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + F.lit(w)).cast("long")
+                 .alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select("id", "span_start", "span_end", "n_windows"))
+
+
 def substring_duplicate_spans(df: DataFrame, w: int = 50,
                               text_col: str = "text",
                               id_col: str = "doc_id") -> DataFrame:
@@ -980,16 +1023,7 @@ def substring_duplicate_spans(df: DataFrame, w: int = 50,
     driver state. A 64-bit key collision could merge two unrelated
     windows (P ~ n^2/2^64 — negligible at any corpus size that fits
     a cluster)."""
-    toks_arr = F.filter(F.split(normalize_text(F.col(text_col)), " "),
-                        lambda x: x != "")
-    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
-    wins = (base.filter(F.size("toks") >= w)
-            .select("id", F.posexplode(F.transform(
-                F.sequence(F.lit(0), F.size("toks") - F.lit(w)),
-                lambda i: F.xxhash64(F.concat_ws(
-                    " ", F.slice(F.col("toks"), i + F.lit(1),
-                                 F.lit(w))))))
-                .alias("pos", "whash")))
+    wins = substring_window_rows(df, w, text_col, id_col)
     wp = Window.partitionBy("whash")
     marked = (wins
               .withColumn("rn", F.row_number().over(
@@ -997,19 +1031,7 @@ def substring_duplicate_spans(df: DataFrame, w: int = 50,
               .withColumn("cnt", F.count(F.lit(1)).over(wp)))
     dup = (marked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
            .select("id", "pos"))
-    ws = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(w)).over(
-        ws.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = dup.withColumn(
-        "brk", F.when(prev_end.isNull()
-                      | (F.col("pos") > prev_end), 1).otherwise(0))
-    islands = flagged.withColumn("island", F.sum("brk").over(ws))
-    return (islands.groupBy("id", "island")
-            .agg(F.min("pos").cast("long").alias("span_start"),
-                 (F.max("pos") + F.lit(w)).cast("long")
-                 .alias("span_end"),
-                 F.count(F.lit(1)).alias("n_windows"))
-            .select("id", "span_start", "span_end", "n_windows"))
+    return merge_window_spans(dup, w)
 
 
 def exact_substring_dedup(df: DataFrame, w: int = 50,
@@ -1097,6 +1119,79 @@ SELECT id, min(pos)::BIGINT AS span_start,
        count(*)::BIGINT AS n_windows
 FROM i GROUP BY id, island
 """
+
+
+def save_window_snapshot(df: DataFrame, path: str, w: int = 50,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         n_files: int = 32) -> dict:
+    """Persist the corpus's DISTINCT window hashes — the passage
+    snapshot behind incremental ExactSubstr dedup, twin of the
+    MinHash band / hamming snapshots: build pays the corpus scan
+    once, every later batch probes at batch cost. Layout: ``whash``
+    range-partitioned AND sorted (parquet footer min/max stats prune
+    a probe to the files whose range covers its hashes — the
+    compact_snapshot discipline), with the window geometry ``w`` in
+    a ``<path>_meta`` sidecar so probes tokenize with the SNAPSHOT's
+    window size, never a caller-supplied one. Returns {n_windows,
+    w}."""
+    wins = (substring_window_rows(df, w, text_col, id_col)
+            .select("whash").distinct())
+    (wins.repartitionByRange(n_files, F.col("whash"))
+     .sortWithinPartitions("whash")
+     .write.mode("overwrite").parquet(path))
+    spark = df.sparkSession
+    spark.createDataFrame([(int(w),)], "w int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(path.rstrip("/") + "_meta")
+    return {"n_windows": spark.read.parquet(path).count(),
+            "w": int(w)}
+
+
+def incremental_substring_spans(new_docs: DataFrame, spark,
+                                path: str, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                include_batch: bool = True):
+    """Spans of batch documents duplicated against a
+    :func:`save_window_snapshot` store (and, with ``include_batch``,
+    within the batch itself) — continuous-ingest ExactSubstr: 'which
+    passages of today's crawl already exist in the corpus'. Returns
+    (spans, fresh_hashes): the maximal flagged spans per batch doc,
+    and the batch's window hashes NOT in the snapshot — parquet-
+    append ``fresh_hashes`` to grow the store at batch cost (the
+    epoch-grow step; append-only, so a failed job leaves the store
+    intact).
+
+    Scale shape — the incremental-dedup discipline: the batch's
+    window hashes broadcast-semi-join INTO the snapshot scan (the
+    snapshot never shuffles; the range layout prunes files by
+    footer stats), the collision sliver broadcasts back against the
+    batch, and only batch-sized frames reach the island merge. The
+    snapshot's own ``w`` rides the ``_meta`` sidecar."""
+    w = int(spark.read.parquet(path.rstrip("/") + "_meta")
+            .first()["w"])
+    wins = (substring_window_rows(new_docs, w, text_col, id_col)
+            .localCheckpoint())       # pin BEFORE the store grows
+    batch_hashes = wins.select("whash").distinct()
+    seen = (spark.read.parquet(path)
+            .join(F.broadcast(batch_hashes), "whash", "left_semi")
+            .localCheckpoint())
+    hits = wins.join(F.broadcast(seen), "whash", "left_semi")
+    if include_batch:
+        wp = Window.partitionBy("whash")
+        batch_dups = (wins
+                      .withColumn("rn", F.row_number().over(
+                          wp.orderBy("id", "pos")))
+                      .withColumn("cnt", F.count(F.lit(1)).over(wp))
+                      .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+                      .select("id", "pos"))
+        flagged = (hits.select("id", "pos").unionByName(batch_dups)
+                   .distinct())
+    else:
+        flagged = hits.select("id", "pos").distinct()
+    spans = merge_window_spans(flagged, w)
+    fresh = batch_hashes.join(F.broadcast(seen), "whash", "left_anti")
+    return spans, fresh
 
 
 # ---------------------------------------------------------------------------

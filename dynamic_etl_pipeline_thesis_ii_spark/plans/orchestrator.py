@@ -329,6 +329,12 @@ class Pipeline:
         if plan["target"] == "substring_dedup":
             return self._run_substring_dedup(plan, source_dir,
                                              output_path)
+        if plan["target"] == "passage_snapshot":
+            return self._run_passage_snapshot(plan, source_dir,
+                                              output_path)
+        if plan["target"] == "passage_probe":
+            return self._run_passage_probe(plan, source_dir,
+                                           output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -530,6 +536,90 @@ class Pipeline:
                                 output_path + "_snapshot",
                             "census_path_out":
                                 output_path + "_snapshot_census"}}
+
+    def _run_passage_snapshot(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'build a passage snapshot of the corpus (windows of 50
+        tokens)': persist the documents table's distinct window
+        hashes (:func:`operators.dedup.save_window_snapshot` —
+        whash-sorted parquet + window-geometry sidecar) — the build
+        face of the passage_probe target, completing the
+        build/probe/grow lifecycle for ExactSubstr exactly as the
+        band snapshot does for MinHash."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            save_window_snapshot,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        n_in = docs.count()
+        if n_in == 0:
+            return {"status": "rejected",
+                    "reason": "documents table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        report = save_window_snapshot(docs, output_path,
+                                      w=plan["window"])
+        self.progress("publish", {"rows": report["n_windows"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), "docs_in": n_in,
+                            **report}}
+
+    def _run_passage_probe(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'flag duplicated passages against the passage snapshot at
+        /path': continuous-ingest ExactSubstr — which passages of
+        the batch already exist in the seen corpus
+        (:func:`operators.dedup.incremental_substring_spans`:
+        batch-cost broadcast-prune probe of the whash-sorted store,
+        within-batch duplicates included). '... and update the
+        snapshot' APPENDS the batch's fresh window hashes — the
+        epoch-grow step. The probe tokenizes with the SNAPSHOT's own
+        window size from the geometry sidecar. Rejects a missing or
+        unreadable snapshot path with an actionable reason."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            incremental_substring_spans,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("snapshot_path"):
+            return {"status": "rejected",
+                    "reason": "passage probe needs a snapshot path "
+                              "('against the passage snapshot at "
+                              "/path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        snap = plan["snapshot_path"].rstrip("/")
+        try:
+            self.spark.read.parquet(snap + "_meta").first()["w"]
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no passage snapshot readable at "
+                              f"{plan['snapshot_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        batch = Catalog(self.spark, source_dir).documents
+        spans, fresh = incremental_substring_spans(
+            batch, self.spark, snap)
+        spans.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n_spans = back.count()
+        n_docs = back.select("id").distinct().count()
+        n_fresh = fresh.count()
+        if plan.get("update"):
+            fresh.write.mode("append").parquet(snap)
+        self.progress("publish", {"rows": n_spans,
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [spans],
+                "reports": {"plan": dict(plan),
+                            "spans_flagged": n_spans,
+                            "docs_affected": n_docs,
+                            "fresh_windows": n_fresh,
+                            "snapshot_updated":
+                                bool(plan.get("update"))}}
 
     def _run_substring_dedup(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
@@ -2506,6 +2596,11 @@ _SUBSTR_TARGET_RE = re.compile(
     r"|\bexact\s+substring\s+dedup\b")
 _SUBSTR_WINDOW_RE = re.compile(
     r"\b(?:windows?|runs?)\s+of\s+(\d+)\s+tokens?\b")
+# 'build a passage snapshot of the corpus' — the ExactSubstr build
+# face; a snapshot mention on a flag/find-passages phrasing routes
+# to the incremental probe instead of the batch span report
+_PASSAGE_BUILD_RE = re.compile(
+    r"\b(?:build|create)\b[^.]*\bpassage\s+snapshot\b")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -2817,6 +2912,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       dedup: verbatim >=w-token runs keep their first occurrence and
       are cut everywhere else; 'flag'/'find' phrasings report the
       span table without rewriting);
+    - ``passage_snapshot`` / ``passage_probe`` — 'build a passage
+      snapshot of the corpus' then 'flag duplicated passages
+      against the passage snapshot at /path' (incremental
+      ExactSubstr: batch-cost probe of the persisted distinct
+      window hashes with the snapshot's OWN window geometry;
+      '... and update the snapshot' appends the batch's fresh
+      hashes — epoch grow);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -2881,7 +2983,18 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                                           or "recover" in ql)
                                else "drop"),
                 "update": "update" in ql or "grow" in ql}
+    if _PASSAGE_BUILD_RE.search(ql):
+        w = 50
+        if mw := _SUBSTR_WINDOW_RE.search(ql):
+            w = int(mw.group(1))
+        return {"target": "passage_snapshot", "window": w}
     if m := _SUBSTR_TARGET_RE.search(ql):
+        # a snapshot mention routes to the incremental probe face
+        if "snapshot" in ql:
+            mp = _SNAPSHOT_PATH_RE.search(query)  # paths keep case
+            return {"target": "passage_probe",
+                    "snapshot_path": mp.group(1) if mp else None,
+                    "update": "update" in ql or "grow" in ql}
         w = 50
         if mw := _SUBSTR_WINDOW_RE.search(ql):
             w = int(mw.group(1))

@@ -802,3 +802,33 @@ def _streaming_fingerprint_flags(media, seen_banded, fingerprint_fn,
                 .dropDuplicatesWithinWatermark(["id_new", "id_seen"])
                 .drop(ts_col))
     return pairs.distinct()
+
+
+def streaming_passage_flags(docs: DataFrame, seen_windows: DataFrame,
+                            w: int, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Passage flagging against a window snapshot, streaming face of
+    ``operators.dedup.incremental_substring_spans``: hash every
+    ``w``-token rolling window of each stream document (the SAME
+    pure-expression kernel as the batch path —
+    ``substring_window_rows`` is stateless, so it lifts onto a
+    stream unchanged) and stream-static semi-join against the
+    persisted distinct-hash table. Output: ``(id, pos)`` per flagged
+    window occurrence — each (id, pos) is already unique within a
+    document, so the stream stays stateless end-to-end (the only
+    shuffle is the stream-static join; a whash-sorted snapshot
+    prunes by footer stats).
+
+    Span ASSEMBLY (gaps-and-islands) is a window function and so a
+    per-micro-batch concern: pipe this stream into ``foreachBatch``
+    and call ``operators.dedup.merge_window_spans`` on each batch —
+    value-identical to the batch probe, pinned in tests. ``w`` must
+    be the snapshot's own geometry (the ``_meta`` sidecar of
+    ``save_window_snapshot``)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        substring_window_rows,
+    )
+
+    wins = substring_window_rows(docs, w, text_col, id_col)
+    return wins.join(seen_windows.select("whash"), "whash",
+                     "left_semi").select("id", "pos")

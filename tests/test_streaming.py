@@ -1347,3 +1347,55 @@ def test_streaming_containment_flags_audio_modality(spark, tmp_path):
                .filter("shared >= 2")).collect()}
     assert rolled == want
     assert got.filter("id_new = 11").count() == 0
+
+
+def test_streaming_passage_flags_end_to_end(spark, tmp_path):
+    """ExactSubstr streaming face: stream docs probe the window
+    snapshot stream-static; per-micro-batch span assembly via
+    merge_window_spans in foreachBatch equals the batch incremental
+    probe's spans."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import dedup as D
+
+    boiler = ("this license text is repeated verbatim in many "
+              "documents exactly")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " + boiler + " epsilon zeta"),
+         (2, "completely different historical text body here")],
+        "doc_id long, text string")
+    snap = str(tmp_path / "snap")
+    rep = D.save_window_snapshot(corpus, snap, w=5)
+    seen = spark.read.parquet(snap)
+
+    rows = [
+        {"doc_id": 20, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "one two three four five " + boiler + " six seven"},
+        {"doc_id": 21, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "wholly unrelated fresh content words that differ"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d))
+    hits = S.streaming_passage_flags(stream, seen, w=rep["w"])
+    assert hits.isStreaming
+
+    spans_out = []
+
+    def fold(batch_df, _bid):
+        spans_out.extend(
+            tuple(r) for r in
+            D.merge_window_spans(batch_df, rep["w"]).collect())
+
+    q = (hits.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ckpt_pf"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # batch incremental probe over the same frame = same spans
+    batch = spark.createDataFrame(
+        [(20, rows[0]["text"]), (21, rows[1]["text"])],
+        "doc_id long, text string")
+    want_spans, _fresh = D.incremental_substring_spans(
+        batch, spark, snap, include_batch=False)
+    assert sorted(spans_out) == sorted(
+        tuple(r) for r in want_spans.collect())
+    assert len(spans_out) == 1 and spans_out[0][0] == 20

@@ -151,3 +151,118 @@ def test_nl_substring_dedup_target(spark, sf_dir, tmp_path):
     assert res2["status"] == "complete"
     assert res2["reports"]["spans_flagged"] == 1
     assert res2["reports"]["docs_affected"] == 1
+
+
+def test_incremental_equals_full_on_batch_ids(spark, tmp_path):
+    """Probing a batch against snapshot(corpus) reproduces EXACTLY
+    the full-corpus span computation restricted to batch ids (batch
+    ids sort after corpus ids, so every shared window's canonical
+    occurrence lives in the corpus) — the incremental face is the
+    batch-cost path to the same answer."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_substring_spans,
+        save_window_snapshot,
+    )
+
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta " + BOILER + " epsilon zeta"),
+        (2, "unrelated corpus content with nothing shared at all"),
+    ])
+    batch = _docs(spark, [
+        (100, "one two three four five " + BOILER + " six seven"),
+        (101, BOILER + " " + BOILER),          # snapshot + internal
+        (102, "clean new document without any duplicated passage"),
+        (103, "tiny"),
+    ])
+    snap = str(tmp_path / "snap")
+    rep = save_window_snapshot(corpus, snap, w=5)
+    assert rep["w"] == 5 and rep["n_windows"] > 0
+    spans, fresh = incremental_substring_spans(batch, spark, snap)
+    got = sorted(tuple(r) for r in spans.collect())
+    want = sorted(
+        tuple(r) for r in
+        substring_duplicate_spans(corpus.unionByName(batch), w=5)
+        .filter("id >= 100").collect())
+    assert got == want and len(got) >= 2
+    # fresh hashes are exactly the batch windows the store lacks:
+    # appending them then re-probing the SAME batch flags everything
+    n_fresh = fresh.count()
+    assert n_fresh > 0
+    fresh.write.mode("append").parquet(snap)
+    spans2, fresh2 = incremental_substring_spans(batch, spark, snap)
+    assert fresh2.count() == 0
+    # doc 102's windows are now all "seen" (its own from epoch 1)
+    flagged_docs = {r["id"] for r in spans2.collect()}
+    assert 102 in flagged_docs
+
+
+def test_nl_passage_snapshot_lifecycle(spark, tmp_path):
+    """'build a passage snapshot' then 'flag duplicated passages
+    against the passage snapshot at /p and update the snapshot':
+    routing, probe parity with the direct operator, the grow step,
+    and rejections."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query(
+        "build a passage snapshot of the corpus, windows of 5 tokens") \
+        == {"target": "passage_snapshot", "window": 5}
+    p = parse_dataops_query(
+        "flag duplicated passages against the passage snapshot at "
+        "/s and update the snapshot")
+    assert p == {"target": "passage_probe", "snapshot_path": "/s",
+                 "update": True}
+    # no snapshot mention stays on the batch span report
+    assert parse_dataops_query(
+        "flag duplicated passages in the corpus")["target"] \
+        == "substring_dedup"
+
+    corpus_dir = str(tmp_path / "corpus")
+    _docs(spark, [
+        (1, "alpha beta gamma delta " + BOILER + " epsilon zeta"),
+        (2, "unrelated corpus content with nothing shared at all"),
+    ]).write.parquet(corpus_dir + "/documents.parquet")
+    batch_dir = str(tmp_path / "batch")
+    _docs(spark, [
+        (100, "one two three four five " + BOILER + " six seven"),
+        (102, "clean new document without any duplicated passage"),
+    ]).write.parquet(batch_dir + "/documents.parquet")
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, corpus_dir))
+    snap = str(tmp_path / "snap")
+    res = pipe.run_dataops(
+        "build a passage snapshot of the corpus, windows of 5 tokens",
+        corpus_dir, snap)
+    assert res["status"] == "complete" and res["reports"]["w"] == 5
+    out = str(tmp_path / "spans")
+    res2 = pipe.run_dataops(
+        f"flag duplicated passages against the passage snapshot at "
+        f"{snap} and update the snapshot", batch_dir, out)
+    assert res2["status"] == "complete"
+    rep = res2["reports"]
+    assert rep["spans_flagged"] == 1 and rep["docs_affected"] == 1
+    assert rep["snapshot_updated"] and rep["fresh_windows"] > 0
+    (r,) = spark.read.parquet(out).collect()
+    assert (r["id"], r["span_start"], r["span_end"]) == (100, 5, 15)
+    # grow happened: re-probing the same batch now flags doc 102 too
+    out2 = str(tmp_path / "spans2")
+    res3 = pipe.run_dataops(
+        f"flag duplicated passages against the passage snapshot at "
+        f"{snap}", batch_dir, out2)
+    assert res3["status"] == "complete"
+    assert res3["reports"]["fresh_windows"] == 0
+    ids = {r["id"] for r in spark.read.parquet(out2).collect()}
+    assert ids == {100, 102}
+    # rejections
+    r1 = pipe.run_dataops(
+        "flag duplicated passages against the passage snapshot",
+        batch_dir, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "snapshot path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"flag duplicated passages against the passage snapshot at "
+        f"{tmp_path}/nope", batch_dir, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" \
+        and "no passage snapshot" in r2["reason"]
