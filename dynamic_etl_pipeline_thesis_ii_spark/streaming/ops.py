@@ -832,3 +832,29 @@ def streaming_passage_flags(docs: DataFrame, seen_windows: DataFrame,
     wins = substring_window_rows(docs, w, text_col, id_col)
     return wins.join(seen_windows.select("whash"), "whash",
                      "left_semi").select("id", "pos")
+
+
+def streaming_corpus_upsert_sink(docs: DataFrame, store_path: str,
+                                 checkpoint_dir: Optional[str] = None):
+    """Continuous ingest INTO a bucketed corpus store
+    (``sources.sinks.save_corpus_store``): each micro-batch MERGEs by
+    key via ``sinks.merge_into_corpus`` — batch rows replace
+    same-key store rows and insert otherwise, touching only the
+    buckets holding batch keys. Replay-safe WITHOUT a high-water
+    mark: a merge is IDEMPOTENT (re-merging a batch re-updates the
+    same keys to the same values — pinned in ``test_sinks``), so a
+    crash-replayed micro-batch converges to the identical store
+    state; the checkpoint only bounds how much work a replay
+    repeats, never correctness. The mutable-corpus streaming twin of
+    the append-only ``append_new_keys`` sink."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        merge_into_corpus,
+    )
+
+    def upsert(batch_df, batch_id):  # noqa: ARG001 — foreachBatch shape
+        if batch_df.isEmpty():
+            return
+        merge_into_corpus(batch_df.sparkSession, store_path, batch_df)
+
+    return foreach_batch_sink(docs, batch_fn=upsert,
+                              checkpoint_dir=checkpoint_dir)

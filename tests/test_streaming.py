@@ -1399,3 +1399,35 @@ def test_streaming_passage_flags_end_to_end(spark, tmp_path):
     assert sorted(spans_out) == sorted(
         tuple(r) for r in want_spans.collect())
     assert len(spans_out) == 1 and spans_out[0][0] == 20
+
+
+def test_streaming_corpus_upsert_sink(spark, tmp_path):
+    """A document stream MERGEs into the bucketed corpus store per
+    micro-batch: updates replace, inserts add, untouched rows
+    survive, and the final store equals the batch-merge result."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import sinks as SK
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)],
+        "doc_id long, text string")
+    SK.save_corpus_store(base, store, n_buckets=8)
+
+    rows = [
+        {"doc_id": 5, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "updated five"},
+        {"doc_id": 500, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "brand new"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d)
+              .select("doc_id", "text"))
+    S.streaming_corpus_upsert_sink(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt_up"))
+    back = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(store).collect()}
+    assert len(back) == 51
+    assert back[5] == "updated five" and back[500] == "brand new"
+    assert back[7] == "text 7"
