@@ -775,6 +775,36 @@ def scale_probe(spark, factors: list[int]) -> dict:
                                   "sec": round(best, 3)})
     finally:
         shutil.rmtree(u_root, ignore_errors=True)
+
+    # pagerank: domain ranking over a synthetic power-law-ish link
+    # graph of 2000·f nodes and ~6 edges/node (hash-derived targets —
+    # same generator at every factor, so edge/node ratio is constant
+    # and the per-iteration join work grows ~linearly). 5 iterations
+    # = 5 bounded shuffles; wall must be ~linear in edges, rows out =
+    # node count EXACTLY.
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+        domain_pagerank,
+    )
+    out["pagerank"] = []
+    for f in factors:
+        n_nodes = 2000 * f
+        edges = (spark.range(n_nodes * 6).select(
+            F.concat(F.lit("d"), (F.col("id") % n_nodes))
+            .alias("src"),
+            F.concat(F.lit("d"), F.pmod(
+                F.hash(F.col("id")), F.lit(n_nodes))).alias("dst"))
+            .filter(F.col("src") != F.col("dst")).distinct()
+            .persist())
+        edges.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = domain_pagerank(edges, n_iter=5).count()
+            best = min(best, time.perf_counter() - t0)
+        out["pagerank"].append({"factor": f, "n_docs": n_nodes,
+                                "candidates": c,
+                                "sec": round(best, 3)})
+        edges.unpersist()
     return out
 
 
@@ -869,7 +899,7 @@ def main() -> None:
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
                 "imgdedup", "auddedup", "viddedup", "vcontain",
-                "zorder", "upsert")
+                "zorder", "upsert", "pagerank")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:

@@ -298,3 +298,97 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             .agg(F.min(id_col).alias(id_col)))
     return (keyed.join(keep, ["_norm_url", id_col], "left_semi")
             .drop("_norm_url"))
+
+
+# ---------------------------------------------------------------------------
+# domain ranking over the link graph (W4): the crawl-curation quality
+# prior — corpus pipelines weight/filter pages by how central their
+# domain is in the web graph (the CommonCrawl harmonic/PageRank lists)
+# ---------------------------------------------------------------------------
+
+def link_edges(df: DataFrame, url_col: str = "url",
+               links_col: str = "links") -> DataFrame:
+    """Distinct (src, dst) REGISTERED-DOMAIN edges from a page table
+    carrying its outlinks as an array column — the graph-extraction
+    front of :func:`domain_pagerank`. Self-edges (intra-domain
+    navigation) drop: they carry no cross-site endorsement and at
+    web scale they dominate raw link counts. One explode + one
+    distinct; everything before the distinct is per-row column
+    expressions (the normalize/host/domain chain)."""
+    src = registered_domain(url_host(normalize_url(F.col(url_col))))
+    dst = registered_domain(url_host(normalize_url(F.col("__link"))))
+    return (df.select(src.alias("src"),
+                      F.explode(F.col(links_col)).alias("__link"))
+            .select("src", dst.alias("dst"))
+            .filter(F.col("src").isNotNull()
+                    & F.col("dst").isNotNull()
+                    & (F.col("src") != F.col("dst")))
+            .distinct())
+
+
+def domain_pagerank(edges: DataFrame, n_iter: int = 10,
+                    damping: float = 0.85) -> DataFrame:
+    """PageRank over a distinct (src, dst) domain edge table — the
+    standard power iteration with uniform teleport and dangling-mass
+    redistribution:
+
+    ``rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u)
+                                + dangling_mass/N)``
+
+    where dangling domains (no out-edges) spread their rank
+    uniformly, so total mass stays 1 every iteration (pinned in
+    tests against an independent numpy power iteration, and by the
+    mass-conservation law).
+
+    Scale shape: one prep pass computes out-degrees (a groupBy on
+    src); each iteration is ONE shuffle join (ranks ⋈ edges on src)
+    + ONE groupBy(dst) + a 1-row dangling-mass aggregate that rides
+    a broadcast — no driver-side vectors, no collect of the rank
+    table. Ranks localCheckpoint per iteration (the iterative-
+    algorithm lineage-truncation discipline of
+    ``dedup.star_components``); edges persist once and every
+    iteration reuses the same shuffle partitioning. 10 iterations =
+    10 bounded shuffles regardless of graph size. Returns
+    (domain, rank, in_degree), rank rounded to 8 dp."""
+    edges = edges.persist()
+    nodes = (edges.select(F.col("src").alias("domain"))
+             .unionByName(edges.select(F.col("dst").alias("domain")))
+             .distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "domain string, rank double, in_degree long")
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    indeg = edges.groupBy(F.col("dst").alias("domain")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        with_deg = ranks.join(outdeg,
+                              ranks["domain"] == outdeg["src"],
+                              "left")
+        # dangling domains: no out-edges -> their whole rank
+        # teleports uniformly; one scalar row, broadcast below
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        contribs = (edges.join(ranks, edges["src"] == ranks["domain"])
+                    .join(outdeg, "src")
+                    .groupBy(F.col("dst").alias("domain"))
+                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                         .alias("__in")))
+        ranks = (nodes.join(contribs, "domain", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("domain",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("__in"), F.lit(0.0))
+                             + F.col("__dm") / n)).alias("rank"))
+                 .localCheckpoint())
+    out = (ranks.join(indeg, "domain", "left")
+           .select("domain", F.round("rank", 8).alias("rank"),
+                   F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+    edges.unpersist()
+    nodes.unpersist()
+    return out

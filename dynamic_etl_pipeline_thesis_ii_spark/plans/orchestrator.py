@@ -335,6 +335,8 @@ class Pipeline:
         if plan["target"] == "passage_probe":
             return self._run_passage_probe(plan, source_dir,
                                            output_path)
+        if plan["target"] == "domain_rank":
+            return self._run_domain_rank(plan, output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -620,6 +622,54 @@ class Pipeline:
                             "fresh_windows": n_fresh,
                             "snapshot_updated":
                                 bool(plan.get("update"))}}
+
+    def _run_domain_rank(self, plan: dict,
+                         output_path: str) -> dict:
+        """'rank the domains by the link graph at /path, 10
+        iterations': PageRank over a persisted (src, dst) domain
+        edge table (:func:`operators.web.domain_pagerank`) — the
+        crawl-curation quality prior (CommonCrawl-style domain
+        ranking; join the ranks onto pages by registered domain to
+        weight or filter). The ranked table lands at the sink; the
+        report inlines the top-10 domains. Rejects a missing path or
+        a parquet without (src, dst) columns with an actionable
+        reason."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+            domain_pagerank,
+        )
+
+        if not plan.get("edges_path"):
+            return {"status": "rejected",
+                    "reason": "domain ranking needs a link graph "
+                              "path ('by the link graph at /path' — "
+                              "a parquet of (src, dst) domain "
+                              "edges)",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            edges = self.spark.read.parquet(plan["edges_path"])
+            if not {"src", "dst"} <= set(edges.columns):
+                raise ValueError(
+                    f"expected (src, dst) columns, found "
+                    f"{edges.columns}")
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no link graph readable at "
+                              f"{plan['edges_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        ranks = domain_pagerank(edges.select("src", "dst"),
+                                n_iter=plan["n_iter"])
+        self.progress("domain_rank", {"params": dict(plan)})
+        ranks.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n = back.count()
+        top = [{"domain": r["domain"], "rank": r["rank"]}
+               for r in back.orderBy(F.col("rank").desc(),
+                                     F.col("domain")).take(10)]
+        self.progress("publish", {"rows": n, "path": output_path})
+        return {"status": "complete", "outputs": [ranks],
+                "reports": {"plan": dict(plan), "n_domains": n,
+                            "top_domains": top}}
 
     def _run_substring_dedup(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
@@ -2560,6 +2610,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "keywords and vectors",
                   # bucketed corpus store lifecycle
                   "upsert", "corpus store",
+                  # domain ranking over the link graph
+                  "link graph", "pagerank", "domain rank",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2601,6 +2653,12 @@ _SUBSTR_WINDOW_RE = re.compile(
 # to the incremental probe instead of the batch span report
 _PASSAGE_BUILD_RE = re.compile(
     r"\b(?:build|create)\b[^.]*\bpassage\s+snapshot\b")
+# 'rank the domains by the link graph at /path' / 'pagerank the
+# domains' — the crawl-curation domain-quality prior (W4)
+_DOMAIN_RANK_RE = re.compile(
+    r"\b(?:rank|pagerank|score)\b[^.]*\bdomains?\b"
+    r"|\bdomain\s+rank(?:ing)?\b")
+_ITER_RE = re.compile(r"\b(\d+)\s+iterations?\b")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -2610,6 +2668,9 @@ _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
 _PATH_SHAPE = r"((?:[A-Za-z][A-Za-z0-9+.-]*://|/|\./|~/)[^\s,;]+)"
 _SNAPSHOT_PATH_RE = re.compile(
     r"\bsnapshot\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+_GRAPH_PATH_RE = re.compile(
+    r"\b(?:link\s+)?graph\s+(?:at\s+|in\s+)?" + _PATH_SHAPE,
+    re.IGNORECASE)
 _CHUNK_TARGET_RE = re.compile(r"\bchunk(?:ed|ing|s)?\b")
 _CHUNK_SIZE_RE = re.compile(r"\bsize\s+(?:of\s+)?(\d+)\b")
 _CHUNK_STRIDE_RE = re.compile(r"\b(?:stride|overlap step)\s+(?:of\s+)?(\d+)\b")
@@ -2919,6 +2980,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       window hashes with the snapshot's OWN window geometry;
       '... and update the snapshot' appends the batch's fresh
       hashes — epoch grow);
+    - ``domain_rank`` — 'rank the domains by the link graph at
+      /path, 10 iterations' (PageRank over a persisted (src, dst)
+      domain edge table — the crawl-curation quality prior; top-10
+      domains inline in the report);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -2988,6 +3053,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         if mw := _SUBSTR_WINDOW_RE.search(ql):
             w = int(mw.group(1))
         return {"target": "passage_snapshot", "window": w}
+    if _DOMAIN_RANK_RE.search(ql) and ("link graph" in ql
+                                       or "pagerank" in ql
+                                       or "domain rank" in ql):
+        m = _GRAPH_PATH_RE.search(query)     # paths keep their case
+        ni = int(mi.group(1)) if (mi := _ITER_RE.search(ql)) else 10
+        return {"target": "domain_rank",
+                "edges_path": m.group(1) if m else None,
+                "n_iter": ni}
     if m := _SUBSTR_TARGET_RE.search(ql):
         # a snapshot mention routes to the incremental probe face
         if "snapshot" in ql:

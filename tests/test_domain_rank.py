@@ -1,0 +1,122 @@
+"""Domain PageRank over the link graph (W4): numpy differential,
+mass conservation, dangling redistribution, edge extraction, and the
+NL target."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+    domain_pagerank,
+    link_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _numpy_pagerank(pairs, n_iter=10, d=0.85):
+    import numpy as np
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _t in pairs:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        for s, t in pairs:
+            nxt[idx[t]] += r[idx[s]] / out[s]
+        r = (1.0 - d) / n + d * (nxt + dangling / n)
+    return {v: round(float(r[idx[v]]), 8) for v in nodes}
+
+
+def test_numpy_differential_and_mass_conservation(spark):
+    """Spark ranks == an independent numpy power iteration to 8 dp on
+    a graph with a hub, a cycle, and a dangling node; total mass
+    stays 1."""
+    pairs = [("a.com", "b.com"), ("a.com", "c.com"),
+             ("b.com", "c.com"), ("c.com", "a.com"),
+             ("d.com", "c.com"), ("e.com", "c.com"),
+             ("c.com", "sink.com")]          # sink.com dangles
+    got = {r["domain"]: r["rank"]
+           for r in domain_pagerank(_edges(spark, pairs)).collect()}
+    want = _numpy_pagerank(pairs)
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # the hub (c.com: 4 in-links) outranks everything else
+    assert got["c.com"] == max(got.values())
+
+
+def test_in_degree_and_empty_graph(spark):
+    pairs = [("a.com", "b.com"), ("c.com", "b.com")]
+    out = {r["domain"]: (r["rank"], r["in_degree"])
+           for r in domain_pagerank(_edges(spark, pairs)).collect()}
+    assert out["b.com"][1] == 2 and out["a.com"][1] == 0
+    assert domain_pagerank(_edges(spark, [])).count() == 0
+
+
+def test_link_edges_extraction(spark):
+    """URL-normalized registered-domain edges: tracking params and
+    case fold away, self-edges and nulls drop, duplicates collapse."""
+    pages = spark.createDataFrame(
+        [("https://Blog.Example.COM/post?utm_source=x",
+          ["https://other.org/a", "https://example.com/self",
+           "https://other.org/b?utm_id=1", None]),
+         ("https://example.com/about", ["https://third.net/"]),
+         (None, ["https://nowhere.org/"])],
+        "url string, links array<string>")
+    got = {(r["src"], r["dst"]) for r in link_edges(pages).collect()}
+    assert got == {("example.com", "other.org"),
+                   ("example.com", "third.net")}
+
+
+def test_nl_domain_rank_target(spark, tmp_path):
+    """'rank the domains by the link graph at /p': routing, ranked
+    output at the sink, top-domain report, and rejections."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "rank the domains by the link graph at /g, 5 iterations")
+    assert p == {"target": "domain_rank", "edges_path": "/g",
+                 "n_iter": 5}
+    assert parse_dataops_query(
+        "pagerank the domains using the link graph at /g")["target"] \
+        == "domain_rank"
+
+    edges_dir = str(tmp_path / "graph")
+    _edges(spark, [("a.com", "b.com"), ("c.com", "b.com"),
+                   ("b.com", "a.com")]).write.parquet(edges_dir)
+    sf_dir = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x")], "doc_id bigint, text string") \
+        .write.parquet(sf_dir + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "ranks")
+    res = pipe.run_dataops(
+        f"rank the domains by the link graph at {edges_dir}",
+        sf_dir, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["n_domains"] == 3
+    back = {r["domain"]: r["rank"]
+            for r in spark.read.parquet(out).collect()}
+    assert abs(sum(back.values()) - 1.0) < 1e-6
+    # report's top domain is the argmax of the persisted ranks
+    assert rep["top_domains"][0]["domain"] \
+        == max(back, key=lambda d: back[d])
+    # rejections: no path / unreadable path
+    r1 = pipe.run_dataops("rank the domains by the link graph",
+                          sf_dir, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "graph path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"rank the domains by the link graph at {tmp_path}/nope",
+        sf_dir, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no link graph" in r2["reason"]
