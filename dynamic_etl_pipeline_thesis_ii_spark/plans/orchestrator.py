@@ -337,6 +337,8 @@ class Pipeline:
                                            output_path)
         if plan["target"] == "domain_rank":
             return self._run_domain_rank(plan, output_path)
+        if plan["target"] == "compact_store":
+            return self._run_compact_store(plan, output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -622,6 +624,54 @@ class Pipeline:
                             "fresh_windows": n_fresh,
                             "snapshot_updated":
                                 bool(plan.get("update"))}}
+
+    def _run_compact_store(self, plan: dict,
+                           output_path: str) -> dict:
+        """'compact the snapshot at /path': rewrite an append-grown
+        store (band/passage/hamming/key snapshots — N epochs of
+        parquet appends = N small file batches, the classic
+        small-file problem) through
+        :func:`sources.sinks.compact_snapshot` into the run's output
+        — never in place. Key/sort columns infer from the store's
+        own schema: (band, key) for hamming stores, (whash) for
+        passage stores, (band, id) for MinHash band tables, (key)
+        for content-key snapshots, else every column. The report
+        carries files before/after and the deduped row count."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            compact_snapshot,
+        )
+
+        if not plan.get("store_path"):
+            return {"status": "rejected",
+                    "reason": "compaction needs a store path "
+                              "('compact the snapshot at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            cols = self.spark.read.parquet(
+                plan["store_path"]).columns
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no store readable at "
+                              f"{plan['store_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        if {"band", "key"} <= set(cols):
+            key_cols = ["band", "key"]
+        elif "whash" in cols:
+            key_cols = ["whash"]
+        elif "band" in cols and "id" in cols:
+            key_cols = ["band", "id"]
+        elif "key" in cols:
+            key_cols = ["key"]
+        else:
+            key_cols = list(cols)
+        report = compact_snapshot(self.spark, plan["store_path"],
+                                  output_path, key_cols)
+        self.progress("publish", {"rows": report["rows"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan),
+                            "key_cols": key_cols, **report}}
 
     def _run_domain_rank(self, plan: dict,
                          output_path: str) -> dict:
@@ -2612,6 +2662,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "upsert", "corpus store",
                   # domain ranking over the link graph
                   "link graph", "pagerank", "domain rank",
+                  # store maintenance
+                  "compact",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2659,6 +2711,10 @@ _DOMAIN_RANK_RE = re.compile(
     r"\b(?:rank|pagerank|score)\b[^.]*\bdomains?\b"
     r"|\bdomain\s+rank(?:ing)?\b")
 _ITER_RE = re.compile(r"\b(\d+)\s+iterations?\b")
+# 'compact the snapshot/store/index at /path' — small-file rewrite
+# of any append-grown store into the run's output
+_COMPACT_RE = re.compile(
+    r"\bcompact\b[^.]*\b(?:snapshot|store|index)\b")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -2984,6 +3040,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       /path, 10 iterations' (PageRank over a persisted (src, dst)
       domain edge table — the crawl-curation quality prior; top-10
       domains inline in the report);
+    - ``compact_store`` — 'compact the snapshot at /path' (rewrite
+      an append-grown store into the run's output: distinct keys,
+      range-sorted files sized from the deduped count — key/sort
+      columns infer from the store's own schema);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -3038,6 +3098,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_diff",
                 "snapshot_path": m.group(1) if m else None}
+    if _COMPACT_RE.search(ql):
+        mp = (_SNAPSHOT_PATH_RE.search(query)
+              or _STORE_PATH_RE.search(query)
+              or _INDEX_PATH_RE.search(query))
+        return {"target": "compact_store",
+                "store_path": mp.group(1) if mp else None}
     if _BAND_SNAPSHOT_BUILD_RE.search(ql):
         return {"target": "band_snapshot"}
     if _NEARDUP_PROBE_RE.search(ql):

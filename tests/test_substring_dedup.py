@@ -266,3 +266,64 @@ def test_nl_passage_snapshot_lifecycle(spark, tmp_path):
         f"{tmp_path}/nope", batch_dir, str(tmp_path / "o2"))
     assert r2["status"] == "rejected" \
         and "no passage snapshot" in r2["reason"]
+
+
+def test_nl_compact_store_on_grown_passage_snapshot(spark, tmp_path):
+    """'compact the snapshot at /p': an epoch-grown passage snapshot
+    compacts into fewer whash-sorted files and probe answers are
+    unchanged; key-column inference and rejections."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_substring_spans,
+        save_window_snapshot,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query("compact the snapshot at /s") \
+        == {"target": "compact_store", "store_path": "/s"}
+    assert parse_dataops_query("compact the corpus store at /s")[
+        "store_path"] == "/s"
+
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta " + BOILER + " epsilon zeta")])
+    snap = str(tmp_path / "snap")
+    save_window_snapshot(corpus, snap, w=5, n_files=4)
+    # grow twice so the store holds several small file batches
+    for i, extra in enumerate(["fresh words one epoch grow now ok",
+                               "another epoch of new window text"]):
+        batch = _docs(spark, [(100 + i, extra + " " + BOILER)])
+        _spans, fresh = incremental_substring_spans(
+            batch, spark, snap)
+        fresh.write.mode("append").parquet(snap)
+    files_before = len(spark.read.parquet(snap).inputFiles())
+
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, "x")]).write.parquet(src + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, src))
+    dest = str(tmp_path / "compacted")
+    res = pipe.run_dataops(f"compact the snapshot at {snap}", src,
+                           dest)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["key_cols"] == ["whash"]
+    assert rep["files_before"] == files_before
+    assert rep["files_after"] < files_before
+    # same distinct hash set -> same probe answers; pair the meta
+    import shutil
+    shutil.copytree(snap + "_meta", dest + "_meta")
+    probe = _docs(spark, [(500, "one two " + BOILER + " tail here")])
+    spans_old, _ = incremental_substring_spans(probe, spark, snap)
+    spans_new, _ = incremental_substring_spans(probe, spark, dest)
+    assert sorted(map(tuple, spans_old.collect())) \
+        == sorted(map(tuple, spans_new.collect()))
+    # rejections
+    r1 = pipe.run_dataops("compact the snapshot", src,
+                          str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "store path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"compact the snapshot at {tmp_path}/nope", src,
+        str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no store" in r2["reason"]
