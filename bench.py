@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_topk",
     "retrieval_hybrid",        # BM25 + dense cosine, RRF-fused (T18)
     "text_metrics",
+    "text_license_scan",       # license flags + governance rollup (T19)
     "text_corpus_stats",       # vocab/OOV + LM score + CCNet buckets
     "sample_deterministic",    # stratified/mix/packing/token-budget
     # integration engine

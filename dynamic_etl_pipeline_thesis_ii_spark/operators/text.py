@@ -1607,3 +1607,93 @@ def SQL_CODE_FEATURES(x: str) -> dict[str, str]:
         "code_kw_hits": f"cast({kw} AS bigint)",
         "code_score": score,
     }
+
+
+# ---------------------------------------------------------------------------
+# license / compliance detection (T19): corpus-governance scan — code
+# and web corpora carry license markers, and training-data pipelines
+# filter or segregate by license class before anything else touches
+# the data
+# ---------------------------------------------------------------------------
+
+# (tag, lowercase regex) — deliberately restricted to the Java/RE2
+# common dialect (no lookarounds) so the Spark rlike and the DuckDB
+# oracle run the IDENTICAL pattern against lower(text)
+LICENSE_PATTERNS = [
+    ("spdx", r"spdx-license-identifier"),
+    ("cc", r"creative commons|\bcc[- ]by(?:[- ](?:sa|nc|nd))*\b"),
+    ("permissive", r"\bmit license\b|\bapache license\b"
+                   r"|\bbsd license\b|\bpublic domain\b"
+                   r"|\bunlicense\b"),
+    ("copyleft", r"\bgnu (?:general|lesser|affero) public license\b"
+                 r"|\bgpl[- ]?v?[23]\b|\bmozilla public license\b"),
+    ("rights_reserved", r"\ball rights reserved\b"),
+    ("copyright", r"(?:copyright|\(c\)|©) ?(?:19|20)\d\d"),
+]
+
+# class priority, most restrictive wins: a doc carrying both an MIT
+# grant and a GPL notice classifies copyleft — governance decisions
+# take the conservative reading
+_LICENSE_CLASS_ORDER = [
+    ("copyleft", "copyleft"),
+    ("cc", "cc"),
+    ("permissive", "permissive"),
+    ("rights_reserved", "restricted"),
+    ("copyright", "restricted"),
+    ("spdx", "permissive"),
+]
+
+
+def license_flags(col: Column) -> dict:
+    """One boolean per license marker family, matched on
+    lowercased text."""
+    low = F.lower(F.coalesce(col, F.lit("")))
+    return {f"has_{tag}": low.rlike(pat)
+            for tag, pat in LICENSE_PATTERNS}
+
+
+def license_class(col: Column) -> Column:
+    """'copyleft' | 'cc' | 'permissive' | 'restricted' | 'unmarked'
+    — most-restrictive-wins fold of :data:`LICENSE_PATTERNS` (the
+    conservative governance reading; a bare SPDX tag with no
+    recognized grant reads permissive-by-declaration)."""
+    flags = license_flags(col)
+    out = F.lit("unmarked")
+    for tag, cls in reversed(_LICENSE_CLASS_ORDER):
+        out = F.when(flags[f"has_{tag}"], F.lit(cls)).otherwise(out)
+    return out
+
+
+def license_scan(df, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Per-document license audit: one row per doc with every marker
+    flag plus the folded class — pure column expressions riding a
+    single scan (whole-stage codegen; zero shuffles), so it composes
+    into any curation DAG for free. Filter on ``license_class`` to
+    segregate corpora by license before training."""
+    flags = license_flags(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[v.alias(k) for k, v in flags.items()],
+        license_class(F.col(text_col)).alias("license_class"))
+
+
+def SQL_LICENSE_SCAN(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of :func:`license_scan` — identical patterns via
+    regexp_matches on lower(text), identical most-restrictive fold."""
+    low = f"lower(coalesce({text_col}, ''))"
+    flags = ", ".join(
+        f"regexp_matches({low}, '{pat}') AS has_{tag}"
+        for tag, pat in LICENSE_PATTERNS)
+    case = "CASE"
+    for tag, cls in _LICENSE_CLASS_ORDER:
+        case += f" WHEN has_{tag} THEN '{cls}'"
+    case += " ELSE 'unmarked' END"
+    return f"""
+WITH f AS (SELECT {id_col} AS id, {flags} FROM {table})
+SELECT id, has_spdx, has_cc, has_permissive, has_copyleft,
+       has_rights_reserved, has_copyright,
+       {case} AS license_class
+FROM f
+"""

@@ -339,6 +339,9 @@ class Pipeline:
             return self._run_domain_rank(plan, output_path)
         if plan["target"] == "compact_store":
             return self._run_compact_store(plan, output_path)
+        if plan["target"] == "license_scan":
+            return self._run_license_scan(plan, source_dir,
+                                          output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -624,6 +627,49 @@ class Pipeline:
                             "fresh_windows": n_fresh,
                             "snapshot_updated":
                                 bool(plan.get("update"))}}
+
+    def _run_license_scan(self, plan: dict, source_dir: str,
+                          output_path: str) -> dict:
+        """'license audit the corpus' / 'scan the corpus for
+        licenses, dropping copyleft and restricted documents':
+        corpus-governance scan (:func:`operators.text.license_scan`
+        — per-doc marker flags + most-restrictive class, one scan,
+        zero shuffles). Without a drop list the flag table lands at
+        the sink; with one, the KEPT documents land instead and the
+        flag pass rides the same scan. Per-class counts inline in
+        the report either way."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            license_class,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            license_scan,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        flags = license_scan(docs)
+        counts = {r["license_class"]: r["n"]
+                  for r in flags.groupBy("license_class")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if plan["drop"]:
+            kept = docs.filter(
+                ~license_class(F.col("text")).isin(plan["drop"]))
+            out_frame = kept
+        else:
+            out_frame = flags
+        self.progress("license_scan", {"params": dict(plan),
+                                       "class_counts": counts})
+        out_frame.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()
+        self.progress("publish", {"rows": n_out,
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [out_frame],
+                "reports": {"plan": dict(plan),
+                            "class_counts": counts,
+                            "rows_out": n_out,
+                            "dropped_classes": plan["drop"]}}
 
     def _run_compact_store(self, plan: dict,
                            output_path: str) -> dict:
@@ -2664,6 +2710,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "link graph", "pagerank", "domain rank",
                   # store maintenance
                   "compact",
+                  # license / compliance governance
+                  "license", "licence",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2715,6 +2763,15 @@ _ITER_RE = re.compile(r"\b(\d+)\s+iterations?\b")
 # of any append-grown store into the run's output
 _COMPACT_RE = re.compile(
     r"\bcompact\b[^.]*\b(?:snapshot|store|index)\b")
+# 'license audit the corpus' / 'scan the corpus for licenses,
+# dropping copyleft and restricted documents' (T19)
+_LICENSE_RE = re.compile(
+    r"\blicen[cs]e\s+(?:audit|scan)\b"
+    r"|\b(?:scan|audit)\b[^.]*\blicen[cs]es?\b")
+_LICENSE_DROP_RE = re.compile(
+    r"\b(?:drop|remov|filter)\w*\b[^.]*?"
+    r"\b(copyleft|restricted|cc|permissive|unmarked)\b"
+    r"(?:[^.]*?\b(copyleft|restricted|cc|permissive|unmarked)\b)?")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -3044,6 +3101,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       an append-grown store into the run's output: distinct keys,
       range-sorted files sized from the deduped count — key/sort
       columns infer from the store's own schema);
+    - ``license_scan`` — 'license audit the corpus' / 'scan the
+      corpus for licenses, dropping copyleft and restricted
+      documents' (per-doc marker flags + most-restrictive class;
+      with a drop list the kept documents land instead, per-class
+      counts inline either way);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -3104,6 +3166,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
               or _INDEX_PATH_RE.search(query))
         return {"target": "compact_store",
                 "store_path": mp.group(1) if mp else None}
+    if _LICENSE_RE.search(ql):
+        drop = []
+        if m := _LICENSE_DROP_RE.search(ql):
+            drop = sorted({g for g in m.groups() if g})
+        return {"target": "license_scan", "drop": drop}
     if _BAND_SNAPSHOT_BUILD_RE.search(ql):
         return {"target": "band_snapshot"}
     if _NEARDUP_PROBE_RE.search(ql):

@@ -1786,6 +1786,82 @@ FROM sized
 
 
 # ---------------------------------------------------------------------------
+# license / compliance scan
+# ---------------------------------------------------------------------------
+
+# deterministic license-marker plants: every k-th doc gains one marker
+# family so all classes (and the most-restrictive fold) exercise
+_LICENSE_PLANTS = [
+    (11, " SPDX-License-Identifier: MIT and this file is under the "
+         "MIT License."),
+    (13, " Licensed under the Apache License, Version 2.0."),
+    (17, " Released under the GNU General Public License v3."),
+    (19, " This work is licensed under a Creative Commons CC-BY-SA "
+         "license."),
+    (23, " Copyright 2021 Example Corp. All rights reserved."),
+]
+
+
+def q_text_license_scan(spark, sf_dir):
+    """License/compliance audit (T19): per-doc marker flags + the
+    most-restrictive class over documents with deterministic marker
+    plants, plus a per-(source, class) governance rollup — one scan,
+    zero shuffles for the flags, one groupBy for the rollup."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", "text")
+    text = F.col("text")
+    for k, marker in _LICENSE_PLANTS:
+        text = F.when(F.col("doc_id") % k == 0,
+                      F.concat(F.coalesce(F.col("text"), F.lit("")),
+                               F.lit(marker))).otherwise(text)
+    planted = docs.withColumn("text", text)
+    flags = T.license_scan(planted)
+    rollup = (flags.join(planted.select(F.col("doc_id").alias("id"),
+                                        "source"), "id")
+              .groupBy("source", "license_class")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    null_b = F.lit(None).cast("boolean")
+    return (flags.select(F.lit("doc").alias("part"), "id",
+                         "has_spdx", "has_cc", "has_permissive",
+                         "has_copyleft", "has_rights_reserved",
+                         "has_copyright", "license_class",
+                         F.lit(None).cast("string").alias("source"),
+                         F.lit(None).cast("bigint").alias("n_docs"))
+            .unionByName(rollup.select(
+                F.lit("rollup").alias("part"),
+                F.lit(None).cast("bigint").alias("id"),
+                *[null_b.alias(c) for c in
+                  ("has_spdx", "has_cc", "has_permissive",
+                   "has_copyleft", "has_rights_reserved",
+                   "has_copyright")],
+                "license_class", "source", "n_docs")))
+
+
+def _sql_license_scan() -> str:
+    plants = ""
+    for k, marker in _LICENSE_PLANTS:
+        plants = (f"CASE WHEN doc_id % {k} = 0 THEN "
+                  f"coalesce(text, '') || '{marker}' ELSE "
+                  + (plants if plants else "text") + " END")
+    return f"""
+WITH planted AS (
+  SELECT doc_id, source, {plants} AS text FROM documents
+),
+f AS ({T.SQL_LICENSE_SCAN(table='planted')}),
+j AS (SELECT f.*, p.source FROM f JOIN planted p ON f.id = p.doc_id)
+SELECT 'doc' AS part, id, has_spdx, has_cc, has_permissive,
+       has_copyleft, has_rights_reserved, has_copyright,
+       license_class, NULL::VARCHAR AS source, NULL::BIGINT AS n_docs
+FROM f
+UNION ALL
+SELECT 'rollup', NULL::BIGINT, NULL::BOOLEAN, NULL::BOOLEAN,
+       NULL::BOOLEAN, NULL::BOOLEAN, NULL::BOOLEAN, NULL::BOOLEAN,
+       license_class, source, count(*)::BIGINT
+FROM j GROUP BY source, license_class
+"""
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion
 # ---------------------------------------------------------------------------
 
@@ -1852,6 +1928,7 @@ DATAOPS_QUERIES = {
     "ann_topk": q_ann_topk,
     "retrieval_hybrid": q_retrieval_hybrid,
     "text_metrics": q_text_metrics,
+    "text_license_scan": q_text_license_scan,
     "text_pii_scrub": q_text_pii_scrub,
     "text_tfidf_topterms": q_text_tfidf,
     "text_corpus_stats": q_text_corpus_stats,
@@ -1870,6 +1947,7 @@ DATAOPS_ORACLES = {
     "ann_topk": _sql_ann_topk(),
     "retrieval_hybrid": _sql_retrieval_hybrid(),
     "text_metrics": ORACLE_TEXT_METRICS,
+    "text_license_scan": _sql_license_scan(),
     "text_pii_scrub": _sql_pii_scrub(),
     "text_tfidf_topterms": _sql_tfidf(),
     "text_corpus_stats": _sql_corpus_stats(),

@@ -542,6 +542,13 @@ def merge_into_corpus(spark: SparkSession, path: str,
     base = path.rstrip("/")
     meta = spark.read.parquet(base + "_meta").first()
     key_col, n_buckets = meta["key_col"], meta["n_buckets"]
+    store_cols = [c for c in spark.read.parquet(base).columns
+                  if c != "bucket"]
+    if set(batch.columns) != set(store_cols):
+        raise SinkError(
+            f"batch schema {sorted(batch.columns)} does not match "
+            f"the store's {sorted(store_cols)} — a silent column "
+            f"drop would corrupt merged rows")
     batchb = (batch.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key_col)),
                          F.lit(n_buckets)).cast("int"))

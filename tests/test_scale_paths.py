@@ -850,6 +850,9 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
         # reduces broadcast back; the third occurrence is the reused
         # totals exchange printed once more in the physical plan
         "sample_deterministic": 3,
+        # hybrid's BM25 tower: the lazy (n_docs, avgdl) corpus-stats
+        # scalar — the same 1-row reduce text_tfidf_topterms budgets
+        "retrieval_hybrid": 1,
     }
     violations = []
     for name, q in all_queries().items():

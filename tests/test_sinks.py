@@ -643,3 +643,24 @@ def test_nl_corpus_store_lifecycle(spark, tmp_path):
         f"upsert the batch into the corpus store at {tmp_path}/nope",
         batch_dir, str(tmp_path / "o2"))
     assert r2["status"] == "rejected" and "no corpus store" in r2["reason"]
+
+
+def test_corpus_store_merge_schema_guard(spark, tmp_path):
+    """A batch whose columns don't match the store raises an
+    actionable SinkError instead of silently dropping columns."""
+    import pytest
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        SinkError,
+        merge_into_corpus,
+        save_corpus_store,
+    )
+
+    store = str(tmp_path / "store")
+    save_corpus_store(spark.createDataFrame(
+        [(1, "a", "v1")], "doc_id bigint, text string, ver string"),
+        store, n_buckets=4)
+    bad = spark.createDataFrame([(2, "b")],
+                                "doc_id bigint, text string")
+    with pytest.raises(SinkError, match="does not match"):
+        merge_into_corpus(spark, store, bad)
