@@ -219,3 +219,133 @@ def pack_sequences(tok: DataFrame, seq_len: int, id_col: str = "id",
                 yield df_out
 
     return base.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# truncation-free bin packing (PK3): first-fit-decreasing document
+# packing — the "Fewer Truncations Improve Language Modeling" (Ding et
+# al. 2024) alternative to concatenate-and-split. pack_chunks lets a
+# document straddle a chunk boundary (it gets truncated or attended
+# across sequences); FFD packs each document WHOLE into a bin of
+# ``budget`` tokens, trading a little padding for zero truncations.
+# ---------------------------------------------------------------------------
+
+def bin_pack_documents(df: DataFrame, budget: int,
+                       id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 8,
+                       tokens_col: str | None = None,
+                       salt: str = "pack") -> DataFrame:
+    """Assign each document a ``(bucket, bin)`` slot such that NO
+    document is split and no bin exceeds ``budget`` tokens —
+    first-fit-decreasing, the classic 11/9·OPT-bounded heuristic
+    (docs sort by (n_tokens desc, id) within their bucket and each
+    takes the first bin with room). A document LARGER than the
+    budget gets a bin of its own with ``oversize = true`` — the
+    caller decides truncate-vs-reject; silently splitting it would
+    defeat the operator's whole point. Output: ``(id, bucket, bin,
+    n_tokens, oversize)``.
+
+    Scale shape — the :func:`pack_sequences` discipline exactly: docs
+    hash into ``n_buckets`` independent packing streams,
+    ``repartitionByRange(bucket)`` + ``sortWithinPartitions(bucket,
+    n_tokens desc, id)`` is the ONE shuffle, and an Arrow kernel
+    walks each bucket keeping only open-bin capacities in memory
+    (bins are append-only under FFD — with sizes descending, a
+    first-fit scan touches each bin until one fits; per-bucket work
+    is O(docs·open_bins) with open_bins bounded by bucket tokens /
+    budget). Buckets = parallelism; determinism comes from the
+    (hash, size, id) order, never from partition layout."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    ident = F.col(id_col)
+    if tokens_col:
+        raw = F.col(tokens_col)
+    else:
+        raw = F.when(F.length(normalize_text(F.col(text_col))) == 0,
+                     F.lit(0)).otherwise(token_count(F.col(text_col)))
+    n_tok = F.coalesce(raw.cast("long"), F.lit(0))
+    h = hash32(F.concat(ident.cast("string"), F.lit(salt)))
+    base = (df.select(ident.cast("string").alias("id"),
+                      n_tok.alias("n_tokens"),
+                      (h % n_buckets).alias("bucket"))
+            .repartitionByRange(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", F.col("n_tokens").desc(),
+                                  "id"))
+    schema = StructType([
+        StructField("id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("bin", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("oversize", BooleanType(), False)])
+
+    def kernel(batches):
+        cur_bucket, caps = None, []       # caps[i] = remaining room
+        out = {"id": [], "bucket": [], "bin": [], "n_tokens": [],
+               "oversize": []}
+
+        def emit(i, b, binno, n, over):
+            out["id"].append(i)
+            out["bucket"].append(b)
+            out["bin"].append(binno)
+            out["n_tokens"].append(n)
+            out["oversize"].append(over)
+
+        for pdf in batches:
+            for i, b, n in zip(pdf["id"], pdf["bucket"],
+                               pdf["n_tokens"]):
+                if b != cur_bucket:
+                    cur_bucket, caps = b, []
+                n = int(n)
+                if n > budget:
+                    caps.append(0)        # oversize: a full own bin
+                    emit(i, int(b), len(caps) - 1, n, True)
+                    continue
+                for j, c in enumerate(caps):
+                    if c >= n:
+                        caps[j] = c - n
+                        emit(i, int(b), j, n, False)
+                        break
+                else:
+                    caps.append(budget - n)
+                    emit(i, int(b), len(caps) - 1, n, False)
+            if len(out["id"]) >= 8192:
+                yield pd.DataFrame(out)
+                out = {k: [] for k in out}
+        if out["id"]:
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(kernel, schema=schema)
+
+
+def bin_pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing-efficiency report over :func:`bin_pack_documents`
+    output: per-bucket bins used, the ceil(tokens/budget) lower
+    bound, and the padding (waste) fraction — the number the FFD
+    trade is judged by. One groupBy."""
+    per_bucket = (packed.groupBy("bucket").agg(
+        (F.max("bin") + 1).alias("bins_used"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum(F.when(F.col("oversize"), F.lit(0))
+              .otherwise(F.col("n_tokens"))).alias("tokens_regular"),
+        F.sum(F.when(F.col("oversize"), 1).otherwise(0))
+        .alias("oversize_docs")))
+    # oversize docs take exactly one bin each regardless of size, so
+    # the achievable floor is ceil(regular tokens / budget) + one bin
+    # per oversize doc — a raw ceil(tokens/budget) would demand bins
+    # the packing is FORBIDDEN to merge
+    lower = (F.ceil(F.col("tokens_regular") / F.lit(budget))
+             + F.col("oversize_docs"))
+    regular_bins = F.col("bins_used") - F.col("oversize_docs")
+    waste = F.when(regular_bins > 0, F.round(
+        F.lit(1.0) - F.col("tokens_regular")
+        / (regular_bins * F.lit(budget)), 6)).otherwise(F.lit(0.0))
+    return per_bucket.select(
+        "bucket", "bins_used", lower.cast("long").alias("lower_bound"),
+        "tokens", "oversize_docs", waste.alias("waste_frac"))

@@ -342,6 +342,8 @@ class Pipeline:
         if plan["target"] == "license_scan":
             return self._run_license_scan(plan, source_dir,
                                           output_path)
+        if plan["target"] == "bin_pack":
+            return self._run_bin_pack(plan, source_dir, output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -627,6 +629,47 @@ class Pipeline:
                             "fresh_windows": n_fresh,
                             "snapshot_updated":
                                 bool(plan.get("update"))}}
+
+    def _run_bin_pack(self, plan: dict, source_dir: str,
+                      output_path: str) -> dict:
+        """'bin pack the corpus into bins of 1024 tokens without
+        truncation': truncation-free FFD packing
+        (:func:`operators.packing.bin_pack_documents` — every doc
+        whole, no bin over budget, oversize docs isolated and
+        counted). The assignment lands at the sink; the report
+        carries the per-bucket efficiency stats (bins vs the
+        oversize-aware lower bound, waste fraction) — the number the
+        FFD trade is judged by."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.packing import (
+            bin_pack_documents,
+            bin_pack_stats,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        n_docs = docs.count()
+        nb = plan["n_buckets"] or derive_n_buckets(n_docs)
+        packed = bin_pack_documents(docs, budget=plan["budget"],
+                                    n_buckets=nb)
+        self.progress("bin_pack", {"params": dict(plan),
+                                   "n_buckets": nb})
+        packed.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        stats = [r.asDict() for r in
+                 bin_pack_stats(back, plan["budget"])
+                 .orderBy("bucket").collect()]
+        total_bins = sum(s["bins_used"] for s in stats)
+        self.progress("publish", {"rows": back.count(),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [packed],
+                "reports": {"plan": dict(plan), "n_docs": n_docs,
+                            "n_buckets": nb,
+                            "total_bins": total_bins,
+                            "oversize_docs": sum(
+                                s["oversize_docs"] for s in stats),
+                            "bucket_stats": stats}}
 
     def _run_license_scan(self, plan: dict, source_dir: str,
                           output_path: str) -> dict:
@@ -2712,6 +2755,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "compact",
                   # license / compliance governance
                   "license", "licence",
+                  # truncation-free FFD packing
+                  "bin pack", "bin-pack", "without truncation",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2772,6 +2817,13 @@ _LICENSE_DROP_RE = re.compile(
     r"\b(?:drop|remov|filter)\w*\b[^.]*?"
     r"\b(copyleft|restricted|cc|permissive|unmarked)\b"
     r"(?:[^.]*?\b(copyleft|restricted|cc|permissive|unmarked)\b)?")
+# 'bin pack the corpus into bins of 1024 tokens without truncation'
+# — truncation-free FFD packing (PK3); distinct from the default
+# concatenate-and-split shard flow
+_BINPACK_RE = re.compile(
+    r"\bbin[- ]?pack\b|\bwithout\s+truncat\w+\b")
+_BIN_BUDGET_RE = re.compile(
+    r"\bbins?\s+of\s+(\d+)\s+tokens?\b|\bbudget\s+(?:of\s+)?(\d+)\b")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -3106,6 +3158,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       documents' (per-doc marker flags + most-restrictive class;
       with a drop list the kept documents land instead, per-class
       counts inline either way);
+    - ``bin_pack`` — 'bin pack the corpus into bins of 1024 tokens
+      without truncation' (truncation-free FFD packing: every doc
+      whole, no bin over budget, oversize docs isolated; per-bucket
+      bins-vs-lower-bound and waste stats in the report);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -3171,6 +3227,15 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         if m := _LICENSE_DROP_RE.search(ql):
             drop = sorted({g for g in m.groups() if g})
         return {"target": "license_scan", "drop": drop}
+    if _BINPACK_RE.search(ql):
+        budget = 1024
+        if m := _BIN_BUDGET_RE.search(ql):
+            budget = int(next(g for g in m.groups() if g))
+        nb = None
+        if m := _BUCKETS_RE.search(ql):
+            nb = int(m.group(1))
+        return {"target": "bin_pack", "budget": budget,
+                "n_buckets": nb}
     if _BAND_SNAPSHOT_BUILD_RE.search(ql):
         return {"target": "band_snapshot"}
     if _NEARDUP_PROBE_RE.search(ql):

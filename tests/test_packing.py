@@ -250,3 +250,160 @@ def test_pack_sequences_validation_and_empty_docs(spark):
     # null/empty id arrays contribute zero tokens, never poison a row
     out = PK.pack_sequences(tok, seq_len=2, n_buckets=1).collect()
     assert [r["input_ids"] for r in out] == [[1, 2]]
+
+
+def _ffd_reference(rows, budget, n_buckets, salt="pack"):
+    """Pure-python FFD over the same (hash, size desc, id) order."""
+    import hashlib
+
+    def h32(s):
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:4], "big")
+
+    by_bucket = {}
+    for rid, n in rows:
+        b = h32(f"{rid}{salt}") % n_buckets
+        by_bucket.setdefault(b, []).append((str(rid), n))
+    out = {}
+    for b, docs in by_bucket.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        caps = []
+        for rid, n in docs:
+            if n > budget:
+                caps.append(0)
+                out[rid] = (b, len(caps) - 1, True)
+                continue
+            for j, c in enumerate(caps):
+                if c >= n:
+                    caps[j] = c - n
+                    out[rid] = (b, j, False)
+                    break
+            else:
+                caps.append(budget - n)
+                out[rid] = (b, len(caps) - 1, False)
+    return out
+
+
+def test_bin_pack_matches_python_reference_and_invariants(spark):
+    """FFD assignment == the pure-python reference bucket-for-bucket;
+    no bin over budget; oversize docs isolated; stats are
+    arithmetically consistent."""
+    import random
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.packing import (
+        bin_pack_documents,
+        bin_pack_stats,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 90)) for i in range(400)]
+    rows += [(1000, 500), (1001, 120)]          # oversize at budget=100
+    docs = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    packed = bin_pack_documents(docs, budget=100, n_buckets=4,
+                                tokens_col="n").collect()
+    got = {r["id"]: (r["bucket"], r["bin"], r["oversize"])
+           for r in packed}
+    want = _ffd_reference(rows, 100, 4)
+    assert got == want
+    # no bin over budget (oversize bins hold exactly one doc)
+    fill = {}
+    for r in packed:
+        fill.setdefault((r["bucket"], r["bin"]), []).append(r)
+    for (_b, _bin), docs_in in fill.items():
+        if any(d["oversize"] for d in docs_in):
+            assert len(docs_in) == 1
+        else:
+            assert sum(d["n_tokens"] for d in docs_in) <= 100
+    stats = bin_pack_stats(
+        bin_pack_documents(docs, budget=100, n_buckets=4,
+                           tokens_col="n"), budget=100).collect()
+    assert sum(r["oversize_docs"] for r in stats) == 2
+    for r in stats:
+        assert r["bins_used"] >= r["lower_bound"]
+        assert 0.0 <= r["waste_frac"] < 1.0
+
+
+def test_bin_pack_partitioning_determinism_and_edge_cases(spark):
+    """Same corpus, different input partitioning -> identical
+    assignment (order comes from (size, id), never layout); empty/
+    null text counts as zero tokens and packs."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.packing import (
+        bin_pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i % 7)) for i in range(60)]
+        + [(100, ""), (101, None)],
+        "doc_id bigint, text string")
+    a = sorted(map(tuple, bin_pack_documents(
+        docs.repartition(1), budget=10, n_buckets=3).collect()))
+    b = sorted(map(tuple, bin_pack_documents(
+        docs.repartition(13), budget=10, n_buckets=3).collect()))
+    assert a == b and len(a) == 62
+    zero = [r for r in a if r[0] in ("100", "101")]
+    assert all(r[3] == 0 and not r[4] for r in zero)
+
+
+def test_bin_pack_beats_or_matches_stream_packing_on_waste(spark):
+    """The FFD trade: zero truncations with bounded padding — bins
+    used stays within 11/9·OPT + 1 of the lower bound on a random
+    workload (the classic FFD guarantee)."""
+    import math
+    import random
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.packing import (
+        bin_pack_documents,
+        bin_pack_stats,
+    )
+
+    rng = random.Random(5)
+    docs = spark.createDataFrame(
+        [(i, rng.randint(10, 80)) for i in range(600)],
+        "doc_id bigint, n bigint")
+    stats = bin_pack_stats(
+        bin_pack_documents(docs, budget=128, n_buckets=4,
+                           tokens_col="n"), budget=128).collect()
+    for r in stats:
+        assert r["bins_used"] <= math.ceil(11 / 9 * r["lower_bound"]) + 1
+
+
+def test_nl_bin_pack_target(spark, sf_dir, tmp_path):
+    """'bin pack the corpus into bins of 64 tokens without
+    truncation': routing, invariant-checked assignment at the sink,
+    efficiency stats in the report."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "bin pack the corpus into bins of 64 tokens, 4 buckets")
+    assert p == {"target": "bin_pack", "budget": 64, "n_buckets": 4}
+    assert parse_dataops_query(
+        "pack the documents without truncation")["target"] \
+        == "bin_pack"
+    # the default shard flow must NOT be captured
+    assert parse_dataops_query(
+        "curate the corpus and pack 512-token sequences")["target"] \
+        == "corpus_to_shards"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "bins")
+    res = pipe.run_dataops(
+        "bin pack the corpus into bins of 64 tokens, 4 buckets",
+        sf_dir, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["n_buckets"] == 4 and rep["total_bins"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == rep["n_docs"]
+    # invariant: no regular bin over budget
+    from pyspark.sql import functions as F
+    over = (back.filter(~F.col("oversize"))
+            .groupBy("bucket", "bin")
+            .agg(F.sum("n_tokens").alias("t"))
+            .filter(F.col("t") > 64).count())
+    assert over == 0
+    for s in rep["bucket_stats"]:
+        assert s["bins_used"] >= s["lower_bound"]
