@@ -740,9 +740,13 @@ def scale_probe(spark, factors: list[int]) -> dict:
     # 20..320 buckets across factors); the timed work is merging a
     # FIXED 20-row batch (10 updates + 10 inserts). The rewrite unit
     # is buckets-touched × rows-per-bucket and both are
-    # corpus-independent (<= 20 buckets of ~250 rows), so wall time
-    # AND rewritten rows must stay ~FLAT as the store grows 16x — the
-    # mutable-corpus maintenance contract. "candidates" records rows
+    # corpus-independent (<= 20 buckets of ~250 rows), so rewritten
+    # rows must stay ~FLAT as the store grows 16x — the mutable-corpus
+    # maintenance contract. Wall carries one corpus-linear sliver on
+    # top: partition DISCOVERY lists all bucket dirs (O(n_buckets)
+    # driver-side metadata — the part a metastore/manifest absorbs at
+    # production scale), so expect flat rewrite + slowly-growing
+    # listing, not a perfectly flat wall. "candidates" records rows
     # actually rewritten (kept + batch in touched buckets).
     from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
         merge_into_corpus,

@@ -392,3 +392,75 @@ def domain_pagerank(edges: DataFrame, n_iter: int = 10,
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+def domain_harmonic(edges: DataFrame, max_radius: int = 8,
+                    lg_k: int = 12,
+                    incoming: bool = True) -> DataFrame:
+    """Harmonic centrality via HyperBall (Boldi & Vigna 2013) — the
+    OTHER half of the CommonCrawl domain-ranking pair beside
+    PageRank: ``harmonic(v) = sum_{u != v} 1/d(u, v)`` rewards
+    domains many others reach in few hops, and is robust where
+    PageRank can be gamed by link farms. Exact all-pairs distances
+    are hopeless at web scale; HyperBall replaces each node's
+    r-ball with a MERGEABLE HyperLogLog sketch and grows all balls
+    one hop per round:
+
+    ``B_r(v) = B_{r-1}(v) ∪ ⋃_{(v,w) ∈ E} B_{r-1}(w)``
+
+    — i.e. per round, ONE edges ⋈ state join brings each successor's
+    sketch over, one groupBy folds them with ``hll_union_agg``, and
+    the harmonic sum accumulates ``(|B_r| - |B_{r-1}|)/r`` from the
+    sketch estimates (clamped at 0 — HLL estimates can jitter
+    down). ``incoming=True`` (default) transposes the graph so the
+    ball counts nodes that REACH v — the centrality CommonCrawl
+    ranks by.
+
+    Scale shape: per-round state is one ~2^lg_k-byte sketch per node
+    (the entire point — exact ball sets would be O(n) per node), the
+    round is one key-partitioned shuffle, and rounds localCheckpoint
+    (the iterative lineage discipline). ``max_radius`` truncates the
+    sum — contributions fall off as 1/r and real web distances
+    concentrate under ~8 hops. Estimates inherit HLL error
+    (~1.04/sqrt(2^lg_k) ≈ 1.6% at the default lg_k=12); the
+    differential test pins a 5% band against exact BFS. Returns
+    (domain, harmonic, reachable) with harmonic rounded to 4 dp."""
+    if incoming:
+        edges = edges.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+    edges = edges.select("src", "dst").distinct().persist()
+    nodes = (edges.select(F.col("src").alias("domain"))
+             .unionByName(edges.select(F.col("dst").alias("domain")))
+             .distinct())
+    state = (nodes.groupBy("domain")
+             .agg(F.hll_sketch_agg(F.col("domain"), F.lit(lg_k))
+                  .alias("sk"))
+             .withColumn("est_prev", F.lit(1.0))
+             .withColumn("harmonic", F.lit(0.0))
+             .localCheckpoint())
+    for r in range(1, max_radius + 1):
+        neigh = (edges.join(state.select(F.col("domain").alias("dst"),
+                                         F.col("sk").alias("nsk")),
+                            "dst")
+                 .select(F.col("src").alias("domain"), "nsk"))
+        grown = (state.select("domain", F.col("sk").alias("nsk"))
+                 .unionByName(neigh)
+                 .groupBy("domain")
+                 .agg(F.hll_union_agg("nsk").alias("sk")))
+        state = (grown.join(state.select("domain", "est_prev",
+                                         "harmonic"), "domain")
+                 .withColumn("est", F.hll_sketch_estimate("sk"))
+                 .withColumn("harmonic",
+                             F.col("harmonic")
+                             + F.greatest(
+                                 F.lit(0.0),
+                                 F.col("est") - F.col("est_prev"))
+                             / F.lit(float(r)))
+                 .select("domain", "sk",
+                         F.col("est").alias("est_prev"), "harmonic")
+                 .localCheckpoint())
+    out = state.select(
+        "domain", F.round("harmonic", 4).alias("harmonic"),
+        F.round(F.col("est_prev") - 1).cast("long").alias("reachable"))
+    edges.unpersist()
+    return out

@@ -774,6 +774,7 @@ class Pipeline:
         a parquet without (src, dst) columns with an actionable
         reason."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+            domain_harmonic,
             domain_pagerank,
         )
 
@@ -796,18 +797,25 @@ class Pipeline:
                               f"{plan['edges_path']}: {exc}",
                     "outputs": [],
                     "reports": {"plan": dict(plan)}}
-        ranks = domain_pagerank(edges.select("src", "dst"),
-                                n_iter=plan["n_iter"])
+        if plan.get("method") == "harmonic":
+            ranks = domain_harmonic(edges.select("src", "dst"),
+                                    max_radius=plan["n_iter"])
+            score = "harmonic"
+        else:
+            ranks = domain_pagerank(edges.select("src", "dst"),
+                                    n_iter=plan["n_iter"])
+            score = "rank"
         self.progress("domain_rank", {"params": dict(plan)})
         ranks.write.mode("overwrite").parquet(output_path)
         back = self.spark.read.parquet(output_path)      # read-back
         n = back.count()
-        top = [{"domain": r["domain"], "rank": r["rank"]}
-               for r in back.orderBy(F.col("rank").desc(),
+        top = [{"domain": r["domain"], "rank": r[score]}
+               for r in back.orderBy(F.col(score).desc(),
                                      F.col("domain")).take(10)]
         self.progress("publish", {"rows": n, "path": output_path})
         return {"status": "complete", "outputs": [ranks],
                 "reports": {"plan": dict(plan), "n_domains": n,
+                            "method": plan.get("method", "pagerank"),
                             "top_domains": top}}
 
     def _run_substring_dedup(self, plan: dict, source_dir: str,
@@ -3253,12 +3261,19 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         return {"target": "passage_snapshot", "window": w}
     if _DOMAIN_RANK_RE.search(ql) and ("link graph" in ql
                                        or "pagerank" in ql
+                                       or "harmonic" in ql
                                        or "domain rank" in ql):
         m = _GRAPH_PATH_RE.search(query)     # paths keep their case
         ni = int(mi.group(1)) if (mi := _ITER_RE.search(ql)) else 10
         return {"target": "domain_rank",
                 "edges_path": m.group(1) if m else None,
-                "n_iter": ni}
+                # 'by harmonic centrality' swaps the power iteration
+                # for the HyperBall sketch expansion (radius = the
+                # iteration knob, default 8)
+                "method": ("harmonic" if "harmonic" in ql
+                           else "pagerank"),
+                "n_iter": (ni if _ITER_RE.search(ql)
+                           else (8 if "harmonic" in ql else 10))}
     if m := _SUBSTR_TARGET_RE.search(ql):
         # a snapshot mention routes to the incremental probe face
         if "snapshot" in ql:

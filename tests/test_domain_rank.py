@@ -87,10 +87,14 @@ def test_nl_domain_rank_target(spark, tmp_path):
     p = parse_dataops_query(
         "rank the domains by the link graph at /g, 5 iterations")
     assert p == {"target": "domain_rank", "edges_path": "/g",
-                 "n_iter": 5}
+                 "method": "pagerank", "n_iter": 5}
     assert parse_dataops_query(
         "pagerank the domains using the link graph at /g")["target"] \
         == "domain_rank"
+    ph = parse_dataops_query(
+        "rank the domains by harmonic centrality using the link "
+        "graph at /g")
+    assert ph["method"] == "harmonic" and ph["n_iter"] == 8
 
     edges_dir = str(tmp_path / "graph")
     _edges(spark, [("a.com", "b.com"), ("c.com", "b.com"),
@@ -120,3 +124,93 @@ def test_nl_domain_rank_target(spark, tmp_path):
         f"rank the domains by the link graph at {tmp_path}/nope",
         sf_dir, str(tmp_path / "o2"))
     assert r2["status"] == "rejected" and "no link graph" in r2["reason"]
+
+
+def test_harmonic_hyperball_vs_exact_bfs(spark):
+    """HyperBall harmonic == exact BFS harmonic within the HLL band
+    (exact on small cardinalities) on a graph with hubs, chains and
+    unreachable nodes; reachable counts exact."""
+    from collections import defaultdict, deque
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+        domain_harmonic,
+    )
+
+    pairs = [("a", "c"), ("b", "c"), ("d", "c"), ("c", "e"),
+             ("e", "f"), ("b", "a"), ("f", "a")]
+    got = {r["domain"]: (r["harmonic"], r["reachable"])
+           for r in domain_harmonic(
+               _edges(spark, pairs), max_radius=6).collect()}
+    radj = defaultdict(list)
+    nodes = set()
+    for s, t in pairs:
+        radj[t].append(s)
+        nodes |= {s, t}
+
+    def harm(v):
+        dist, q, h = {v: 0}, deque([v]), 0.0
+        while q:
+            x = q.popleft()
+            for p in radj[x]:
+                if p not in dist:
+                    dist[p] = dist[x] + 1
+                    q.append(p)
+                    h += 1.0 / dist[p]
+        return h, len(dist) - 1
+
+    for v in sorted(nodes):
+        e_h, e_r = harm(v)
+        g_h, g_r = got[v]
+        assert abs(g_h - e_h) <= 0.05 * max(e_h, 1.0), v
+        assert g_r == e_r, v
+    # the hub (c) is the most central
+    assert max(got, key=lambda d: got[d][0]) == "c"
+
+
+def test_harmonic_radius_truncation_and_direction(spark):
+    """max_radius truncates contributions beyond r hops;
+    incoming=False measures outgoing reach instead."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+        domain_harmonic,
+    )
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    r1 = {r["domain"]: r["harmonic"] for r in domain_harmonic(
+        _edges(spark, chain), max_radius=1).collect()}
+    # radius 1: each node scores 1.0 per direct in-link only
+    assert r1 == {"a": 0.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    r3 = {r["domain"]: r["harmonic"] for r in domain_harmonic(
+        _edges(spark, chain), max_radius=3).collect()}
+    assert abs(r3["d"] - (1.0 + 0.5 + 1 / 3)) < 1e-3
+    out3 = {r["domain"]: r["harmonic"] for r in domain_harmonic(
+        _edges(spark, chain), max_radius=3,
+        incoming=False).collect()}
+    assert abs(out3["a"] - (1.0 + 0.5 + 1 / 3)) < 1e-3
+    assert out3["d"] == 0.0
+
+
+def test_nl_harmonic_rank_target(spark, tmp_path):
+    """'rank the domains by harmonic centrality ...' runs HyperBall
+    and reports the hub first."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+
+    edges_dir = str(tmp_path / "graph")
+    _edges(spark, [("a.com", "hub.com"), ("b.com", "hub.com"),
+                   ("c.com", "hub.com"), ("hub.com", "a.com")]) \
+        .write.parquet(edges_dir)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x")], "doc_id bigint, text string") \
+        .write.parquet(src + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, src))
+    out = str(tmp_path / "ranks")
+    res = pipe.run_dataops(
+        f"rank the domains by harmonic centrality using the link "
+        f"graph at {edges_dir}", src, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["method"] == "harmonic"
+    assert res["reports"]["top_domains"][0]["domain"] == "hub.com"
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"domain", "harmonic", "reachable"}
