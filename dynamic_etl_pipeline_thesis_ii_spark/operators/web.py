@@ -320,8 +320,10 @@ def link_edges(df: DataFrame, url_col: str = "url",
     return (df.select(src.alias("src"),
                       F.explode(F.col(links_col)).alias("__link"))
             .select("src", dst.alias("dst"))
-            .filter(F.col("src").isNotNull()
-                    & F.col("dst").isNotNull()
+            # empty-string domains are schemeless/relative links the
+            # host extractor could not resolve — no cross-site signal
+            .filter(F.col("src").isNotNull() & (F.col("src") != "")
+                    & F.col("dst").isNotNull() & (F.col("dst") != "")
                     & (F.col("src") != F.col("dst")))
             .distinct())
 
@@ -464,3 +466,26 @@ def domain_harmonic(edges: DataFrame, max_radius: int = 8,
         F.round(F.col("est_prev") - 1).cast("long").alias("reachable"))
     edges.unpersist()
     return out
+
+
+def html_links(col: Column) -> Column:
+    """Outlink extraction from raw HTML: every ``href=`` target as an
+    array column (double/single-quoted), one regexp projection — no
+    parser, no UDF. Relative links survive extraction and die in
+    :func:`link_edges`' normalize chain (no scheme -> null host),
+    which is the right call for DOMAIN graphs: relative links are
+    intra-site navigation, i.e. the self-edges the graph drops
+    anyway."""
+    return F.regexp_extract_all(
+        col, F.lit(r'''href\s*=\s*["']([^"'<>\s]+)["']'''), 1)
+
+
+def page_link_edges(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src, dst) registered-domain edges straight from raw pages —
+    :func:`html_links` feeding :func:`link_edges`: the front half of
+    the crawl -> graph -> rank -> weight pipeline."""
+    return link_edges(
+        pages.select(F.col(url_col).alias("url"),
+                     html_links(F.col(html_col)).alias("links")),
+        url_col="url", links_col="links")

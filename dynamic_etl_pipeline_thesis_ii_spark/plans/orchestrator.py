@@ -337,6 +337,8 @@ class Pipeline:
                                            output_path)
         if plan["target"] == "domain_rank":
             return self._run_domain_rank(plan, output_path)
+        if plan["target"] == "link_graph_build":
+            return self._run_link_graph_build(plan, output_path)
         if plan["target"] == "compact_store":
             return self._run_compact_store(plan, output_path)
         if plan["target"] == "license_scan":
@@ -761,6 +763,61 @@ class Pipeline:
         return {"status": "complete", "outputs": [],
                 "reports": {"plan": dict(plan),
                             "key_cols": key_cols, **report}}
+
+    def _run_link_graph_build(self, plan: dict,
+                              output_path: str) -> dict:
+        """'build the link graph from the crawl at /path': WARC
+        responses -> href extraction -> distinct (src, dst)
+        registered-domain edges at the sink
+        (:func:`operators.web.page_link_edges` over the RAW page
+        HTML, before any text rendering) — the front half of the
+        crawl -> graph -> rank -> weight pipeline; point a follow-up
+        'rank the domains by the link graph at <output>' at the
+        result. Rejects a missing/unreadable crawl path."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+            page_link_edges,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.warc import (
+            read_warc,
+        )
+
+        if not plan.get("crawl_path"):
+            return {"status": "rejected",
+                    "reason": "link-graph build needs a crawl path "
+                              "('from the crawl at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            recs = read_warc(self.spark, plan["crawl_path"])
+            recs.schema     # force the source to resolve
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no crawl readable at "
+                              f"{plan['crawl_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        pages = (recs.filter((F.col("warc_type") == "response")
+                             & (F.col("http_status") == 200)
+                             & F.col("http_content_type")
+                             .contains("html")
+                             & F.col("text").isNotNull())
+                 .select(F.col("target_uri").alias("url"),
+                         F.col("text").alias("html")))
+        n_pages = pages.count()
+        edges = page_link_edges(pages)
+        self.progress("link_graph", {"params": dict(plan),
+                                     "pages": n_pages})
+        edges.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n_edges = back.count()
+        n_domains = (back.select(F.col("src").alias("d"))
+                     .unionByName(back.select(F.col("dst").alias("d")))
+                     .distinct().count())
+        self.progress("publish", {"rows": n_edges,
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [edges],
+                "reports": {"plan": dict(plan), "n_pages": n_pages,
+                            "n_edges": n_edges,
+                            "n_domains": n_domains}}
 
     def _run_domain_rank(self, plan: dict,
                          output_path: str) -> dict:
@@ -2905,6 +2962,10 @@ _MANIFEST_PATH_RE = re.compile(
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
 # 'extract text from the crawl at /path' / 'ingest the warc archive'
 _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
+# 'build the link graph from the crawl at /path' — href extraction
+# into (src, dst) domain edges; checked BEFORE the bare crawl door
+_LINK_GRAPH_BUILD_RE = re.compile(
+    r"\b(?:build|extract|create)\b[^.]*\blink\s+graph\b")
 _CRAWL_PATH_RE = re.compile(
     r"\b(?:crawl|warcs?|archive)\s+(?:at\s+|in\s+|from\s+)?"
     + _PATH_SHAPE, re.IGNORECASE)
@@ -3153,10 +3214,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       window hashes with the snapshot's OWN window geometry;
       '... and update the snapshot' appends the batch's fresh
       hashes — epoch grow);
+    - ``link_graph_build`` — 'build the link graph from the crawl
+      at /path' (WARC pages -> href extraction -> distinct
+      (src, dst) registered-domain edges; feeds domain_rank);
     - ``domain_rank`` — 'rank the domains by the link graph at
       /path, 10 iterations' (PageRank over a persisted (src, dst)
-      domain edge table — the crawl-curation quality prior; top-10
-      domains inline in the report);
+      domain edge table, or HyperBall harmonic centrality with 'by
+      harmonic centrality' — the crawl-curation quality priors;
+      top-10 domains inline in the report);
     - ``compact_store`` — 'compact the snapshot at /path' (rewrite
       an append-grown store into the run's output: distinct keys,
       range-sorted files sized from the deduped count — key/sort
@@ -3355,6 +3420,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _PDF_PATH_RE.search(query)     # paths keep their case
         return {"target": "ingest_pdfs",
                 "pdf_path": m.group(1) if m else None}
+    if _LINK_GRAPH_BUILD_RE.search(ql):
+        m = _CRAWL_PATH_RE.search(query)   # paths keep their case
+        return {"target": "link_graph_build",
+                "crawl_path": m.group(1) if m else None}
     if _CRAWL_TARGET_RE.search(ql):
         m = _CRAWL_PATH_RE.search(query)   # paths keep their case
         return {"target": "ingest_crawl",

@@ -214,3 +214,104 @@ def test_nl_harmonic_rank_target(spark, tmp_path):
     assert res["reports"]["top_domains"][0]["domain"] == "hub.com"
     cols = set(spark.read.parquet(out).columns)
     assert cols == {"domain", "harmonic", "reachable"}
+
+
+def test_html_links_and_page_link_edges(spark):
+    """href extraction: double/single quotes, relative links die in
+    the normalize chain, self-domain links drop."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+        html_links,
+        page_link_edges,
+    )
+
+    html = ('<a href="https://Other.ORG/a?utm_source=x">x</a> '
+            "<a href='https://third.net/b'>y</a> "
+            '<a href="/relative/path">z</a> '
+            '<a href="https://example.com/self">s</a>')
+    pages = spark.createDataFrame(
+        [("https://example.com/page", html)], "url string, html string")
+    links = pages.select(html_links(F.col("html")).alias("l")) \
+        .first()["l"]
+    assert len(links) == 4 and "/relative/path" in links
+    got = {(r["src"], r["dst"])
+           for r in page_link_edges(pages).collect()}
+    assert got == {("example.com", "other.org"),
+                   ("example.com", "third.net")}
+
+
+def test_nl_link_graph_build_then_rank(spark, tmp_path):
+    """The crawl -> graph -> rank pipeline through nothing but
+    run_dataops: build the link graph from a synthetic WARC, then
+    rank the domains from its output."""
+    import gzip
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "build the link graph from the crawl at /c")
+    assert p == {"target": "link_graph_build", "crawl_path": "/c"}
+    # the bare crawl door keeps its route
+    assert parse_dataops_query(
+        "extract text from the crawl at /c")["target"] == "ingest_crawl"
+
+    def record(headers, block):
+        head = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        return (f"WARC/1.0\r\n{head}Content-Length: {len(block)}"
+                "\r\n\r\n".encode() + block + b"\r\n\r\n")
+
+    def response(uri, rid, body):
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+                .encode("latin-1") + body)
+        return record({"WARC-Type": "response",
+                       "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                       "WARC-Target-URI": uri,
+                       "WARC-Date": "2026-01-02T03:04:05Z",
+                       "Content-Type":
+                           "application/http; msgtype=response"},
+                      http)
+
+    warc = (
+        response("https://a.com/1", 1,
+                 b'<a href="https://hub.com/x">h</a>'
+                 b'<a href="https://b.com/y">b</a>')
+        + response("https://b.com/1", 2,
+                   b'<a href="https://hub.com/z">h</a>')
+        + response("https://c.com/1", 3,
+                   b'<a href="https://hub.com/w">h</a>'
+                   b'<a href="/self">s</a>'))
+    crawl = str(tmp_path / "crawl")
+    import os
+    os.makedirs(crawl)
+    with open(os.path.join(crawl, "part-0.warc.gz"), "wb") as fh:
+        fh.write(gzip.compress(warc))
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x")], "doc_id bigint, text string") \
+        .write.parquet(src + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, src))
+    graph = str(tmp_path / "graph")
+    res = pipe.run_dataops(
+        f"build the link graph from the crawl at {crawl}", src, graph)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["n_pages"] == 3 and rep["n_edges"] == 4
+    assert rep["n_domains"] == 4
+    got = {(r["src"], r["dst"])
+           for r in spark.read.parquet(graph).collect()}
+    assert got == {("a.com", "hub.com"), ("a.com", "b.com"),
+                   ("b.com", "hub.com"), ("c.com", "hub.com")}
+    # chain: rank the freshly-built graph
+    out = str(tmp_path / "ranks")
+    res2 = pipe.run_dataops(
+        f"rank the domains by the link graph at {graph}", src, out)
+    assert res2["status"] == "complete"
+    assert res2["reports"]["top_domains"][0]["domain"] == "hub.com"
+    # rejection: no path
+    r1 = pipe.run_dataops("build the link graph from the crawl",
+                          src, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "crawl path" in r1["reason"]
