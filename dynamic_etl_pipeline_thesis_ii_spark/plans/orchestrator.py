@@ -2064,9 +2064,20 @@ class Pipeline:
                    ("mean_quality", "gopher_pass_rate",
                     "mean_code_score", "lang_id_agreement")}
         self.progress("quality", quality)
+        # governance: the datasheet's licensing section — per-class
+        # doc counts from the T19 scan (one extra aggregate over the
+        # same text column; |classes| <= 5 driver-side)
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+            license_class,
+        )
+        licensing = {r["c"]: r["n"] for r in
+                     docs.groupBy(license_class(F.col("text"))
+                                  .alias("c"))
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
         card = {"composition": comp,
                 "length_quantiles_per_lang": lengths,
                 "duplication": dup, "quality": quality,
+                "licensing": licensing,
                 "census_path": output_path,
                 "histogram_path": output_path + "_hist"}
         # a training-data datasheet counts the MEDIA table too when

@@ -1983,6 +1983,10 @@ def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
     for k in ("mean_quality", "gopher_pass_rate", "mean_code_score",
               "lang_id_agreement"):
         assert 0.0 <= q[k] <= 1.0, k
+    # licensing section: per-class counts partition the corpus
+    assert sum(card["licensing"].values()) == n
+    assert set(card["licensing"]) <= {"unmarked", "permissive", "cc",
+                                      "copyleft", "restricted"}
     # the artifact round-trips and matches the report
     with open(res["reports"]["card_path"]) as fh:
         on_disk = _json.load(fh)["data_card"]
