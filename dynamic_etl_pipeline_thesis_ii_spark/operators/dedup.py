@@ -1129,12 +1129,16 @@ def save_window_snapshot(df: DataFrame, path: str, w: int = 50,
     snapshot behind incremental ExactSubstr dedup, twin of the
     MinHash band / hamming snapshots: build pays the corpus scan
     once, every later batch probes at batch cost. Layout: ``whash``
-    range-partitioned AND sorted (parquet footer min/max stats prune
-    a probe to the files whose range covers its hashes — the
-    compact_snapshot discipline), with the window geometry ``w`` in
-    a ``<path>_meta`` sidecar so probes tokenize with the SNAPSHOT's
-    window size, never a caller-supplied one. Returns {n_windows,
-    w}."""
+    range-partitioned AND sorted — the compact_snapshot discipline.
+    Honest scale note: xxhash64 values are UNIFORM, so a probe's
+    hash set spans the whole range and parquet min/max stats cannot
+    skip files the way the tok-sorted BM25 postings can; what the
+    probe actually buys is that the snapshot NEVER SHUFFLES (one
+    broadcast semi-join over this narrow 8-byte column scan) and
+    that epoch-grown stores stay dedup-compactable on a sorted key.
+    The window geometry ``w`` rides a ``<path>_meta`` sidecar so
+    probes tokenize with the SNAPSHOT's window size, never a
+    caller-supplied one. Returns {n_windows, w}."""
     wins = (substring_window_rows(df, w, text_col, id_col)
             .select("whash").distinct())
     (wins.repartitionByRange(n_files, F.col("whash"))

@@ -329,7 +329,8 @@ def link_edges(df: DataFrame, url_col: str = "url",
 
 
 def domain_pagerank(edges: DataFrame, n_iter: int = 10,
-                    damping: float = 0.85) -> DataFrame:
+                    damping: float = 0.85,
+                    weight_col: str | None = None) -> DataFrame:
     """PageRank over a distinct (src, dst) domain edge table — the
     standard power iteration with uniform teleport and dangling-mass
     redistribution:
@@ -350,9 +351,19 @@ def domain_pagerank(edges: DataFrame, n_iter: int = 10,
     algorithm lineage-truncation discipline of
     ``dedup.star_components``); edges persist once and every
     iteration reuses the same shuffle partitioning. 10 iterations =
-    10 bounded shuffles regardless of graph size. Returns
-    (domain, rank, in_degree), rank rounded to 8 dp."""
-    edges = edges.persist()
+    10 bounded shuffles regardless of graph size. ``weight_col``
+    splits rank by edge weight / out-STRENGTH instead of
+    1/outdegree (weight w == the same edge repeated w times — pinned
+    in tests); duplicate edge rows therefore also act as integer
+    weights. Returns (domain, rank, in_degree), rank rounded to
+    8 dp."""
+    # weighted variant: contributions split rank by edge weight /
+    # out-strength instead of 1/outdegree (real link graphs weigh by
+    # link count — pass the multiplicity column). A None weight is a
+    # uniform split, exactly the classic formulation.
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    edges = edges.select("src", "dst", w.alias("__w")).persist()
     nodes = (edges.select(F.col("src").alias("domain"))
              .unionByName(edges.select(F.col("dst").alias("domain")))
              .distinct().persist())
@@ -363,7 +374,7 @@ def domain_pagerank(edges: DataFrame, n_iter: int = 10,
         return spark.createDataFrame(
             [], "domain string, rank double, in_degree long")
     outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg"))
+        F.sum("__w").alias("outdeg"))
     indeg = edges.groupBy(F.col("dst").alias("domain")).agg(
         F.count(F.lit(1)).alias("in_degree"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -378,7 +389,8 @@ def domain_pagerank(edges: DataFrame, n_iter: int = 10,
         contribs = (edges.join(ranks, edges["src"] == ranks["domain"])
                     .join(outdeg, "src")
                     .groupBy(F.col("dst").alias("domain"))
-                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                    .agg(F.sum(F.col("rank") * F.col("__w")
+                               / F.col("outdeg"))
                          .alias("__in")))
         ranks = (nodes.join(contribs, "domain", "left")
                  .crossJoin(F.broadcast(dangling))

@@ -555,6 +555,9 @@ def merge_into_corpus(spark: SparkSession, path: str,
         .localCheckpoint())
     touched = sorted(r["bucket"] for r in
                      batchb.select("bucket").distinct().collect())
+    if not touched:          # empty batch: nothing to read or write
+        return {"buckets_touched": 0, "rows_updated": 0,
+                "rows_inserted": 0, "rows_kept": 0}
     batch_keys = batchb.select(key_col).distinct()
     existing = (spark.read.parquet(base)
                 .filter(F.col("bucket").isin(touched)))

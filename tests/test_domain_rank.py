@@ -315,3 +315,27 @@ def test_nl_link_graph_build_then_rank(spark, tmp_path):
     r1 = pipe.run_dataops("build the link graph from the crawl",
                           src, str(tmp_path / "o1"))
     assert r1["status"] == "rejected" and "crawl path" in r1["reason"]
+
+
+def test_weighted_pagerank(spark):
+    """A weight column splits rank by out-strength: tripling one
+    edge's weight must pull rank toward its target, and the weighted
+    run equals an unweighted run over multiplied edge rows."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.web import (
+        domain_pagerank,
+    )
+
+    w = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+         ("c", "a", 1.0)],
+        "src string, dst string, weight double")
+    got = {r["domain"]: r["rank"]
+           for r in domain_pagerank(w, weight_col="weight").collect()}
+    assert got["b"] > got["c"]
+    # equivalence: weight 3 == the same edge repeated 3 times
+    multi = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"),
+         ("b", "a"), ("c", "a")], "src string, dst string")
+    want = {r["domain"]: r["rank"]
+            for r in domain_pagerank(multi).collect()}
+    assert got == want
