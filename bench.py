@@ -781,6 +781,52 @@ def scale_probe(spark, factors: list[int]) -> dict:
     finally:
         shutil.rmtree(u_root, ignore_errors=True)
 
+    # substrinc: incremental ExactSubstr probe — passage snapshot
+    # built over the factor-f corpus at setup; timed work probes a
+    # FIXED 100-doc batch. The batch's shuffle work is flat, but the
+    # snapshot SCAN is honestly linear (uniform hashes defeat footer
+    # skipping — see save_window_snapshot's scale note), so expect a
+    # shallow linear slope dominated by the narrow 8-byte hash scan,
+    # far under the full-corpus recompute the probe replaces.
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        incremental_substring_spans,
+        save_window_snapshot,
+    )
+    si_root = tempfile.mkdtemp(prefix="bench_substrinc_")
+    try:
+        out["substrinc"] = []
+        base_docs = Catalog(spark, SF_DIR).documents \
+            .select("doc_id", "text")
+        probe_batch = (base_docs.limit(100)
+                       .select((F.col("doc_id") + 10_000_000)
+                               .alias("doc_id"), "text").persist())
+        probe_batch.count()
+        for f in factors:
+            reps = [base_docs.select(
+                        (F.col("doc_id") * f + i).alias("doc_id"),
+                        (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+                         if i else F.col("text")).alias("text"))
+                    for i in range(f)]
+            corpus = reps[0]
+            for r in reps[1:]:
+                corpus = corpus.unionAll(r)
+            snap = os.path.join(si_root, f"f{f}")
+            rep = save_window_snapshot(corpus, snap, w=8)
+            best, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                spans, _fresh = incremental_substring_spans(
+                    probe_batch, spark, snap, include_batch=False)
+                c = spans.count()
+                best = min(best, time.perf_counter() - t0)
+            out["substrinc"].append({"factor": f,
+                                     "n_docs": rep["n_windows"],
+                                     "candidates": c,
+                                     "sec": round(best, 3)})
+        probe_batch.unpersist()
+    finally:
+        shutil.rmtree(si_root, ignore_errors=True)
+
     # pagerank: domain ranking over a synthetic power-law-ish link
     # graph of 2000·f nodes and ~6 edges/node (hash-derived targets —
     # same generator at every factor, so edge/node ratio is constant
@@ -904,7 +950,7 @@ def main() -> None:
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
                 "imgdedup", "auddedup", "viddedup", "vcontain",
-                "zorder", "upsert", "pagerank")
+                "zorder", "upsert", "substrinc", "pagerank")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
