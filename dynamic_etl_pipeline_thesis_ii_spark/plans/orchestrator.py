@@ -294,6 +294,23 @@ class Pipeline:
             write_shards,
         )
 
+        # dry-run face: 'explain: <query>' returns the typed plan the
+        # engine WOULD execute — no Spark job, no sink write. The
+        # reference exposes plan validation as a first-class stage;
+        # this is its ask-before-you-run face.
+        if m := re.match(r"^\s*explain\s*[:,]?\s+(.*)$", query,
+                         re.IGNORECASE | re.DOTALL):
+            inner = parse_dataops_query(m.group(1))
+            self.progress("plan", {"proceed": False,
+                                   "explain": True,
+                                   "target": (inner or {}).get("target")})
+            if inner is None:
+                return {"status": "explained", "outputs": [],
+                        "reports": {"plan": None,
+                                    "note": "not a dataops query — "
+                                            "would be rejected"}}
+            return {"status": "explained", "outputs": [],
+                    "reports": {"plan": inner}}
         plan = parse_dataops_query(query)
         self.progress("plan", {"proceed": plan is not None,
                                "target": plan["target"] if plan else None})

@@ -2747,3 +2747,32 @@ def test_pipeline_dataops_retrieve_target(spark, sf_dir, tmp_path):
     r = pipe.run_dataops("search the corpus for the best docs",
                          sf_dir, out)
     assert r["status"] == "rejected" and "quoted" in r["reason"]
+
+
+def test_explain_dry_run_face(spark, sf_dir, tmp_path):
+    """'explain: <query>' returns the typed plan without executing —
+    no sink write, non-dataops queries note the would-be rejection."""
+    import os
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "never")
+    res = pipe.run_dataops(
+        "explain: remove duplicated passages across the corpus, "
+        "windows of 9 tokens", sf_dir, out)
+    assert res["status"] == "explained"
+    assert res["reports"]["plan"] == {"target": "substring_dedup",
+                                      "window": 9,
+                                      "flag_only": False}
+    assert not os.path.exists(out)          # nothing executed
+    res2 = pipe.run_dataops("explain: what time is it", sf_dir, out)
+    assert res2["status"] == "explained"
+    assert res2["reports"]["plan"] is None
+    # the bare query still executes normally
+    res3 = pipe.run_dataops("license audit the corpus", sf_dir,
+                            str(tmp_path / "flags"))
+    assert res3["status"] == "complete"
