@@ -1195,3 +1195,86 @@ def hybrid_topk(docs: DataFrame, candidates: DataFrame,
         [lex, den.withColumnRenamed("q_id", "query_id")
                  .withColumnRenamed("c_id", "id")],
         k=k, k_rrf=k_rrf)
+
+
+# ---------------------------------------------------------------------------
+# built-in document embedding (N12): hashed random projection — the
+# featurizer that makes the whole dense tier (N1-N11, SemDeDup,
+# semantic decontamination, hybrid retrieval) self-sufficient on
+# text-only corpora, no external embedding model required
+# ---------------------------------------------------------------------------
+
+def hash_embed(df: DataFrame, dim: int = 64,
+               text_col: str = "text", id_col: str = "doc_id",
+               seed: str = "embed") -> DataFrame:
+    """Deterministic bag-of-words embedding by signed random
+    projection (the SimHash construction kept DENSE instead of
+    collapsed to sign bits): every token hashes to a fixed
+    Rademacher ±1 vector, a document is the tf-weighted sum of its
+    tokens' vectors, L2-normalized. Johnson-Lindenstrauss gives the
+    usual guarantee — token-overlap cosine is approximately
+    preserved at ``dim`` dimensions — which is exactly the geometry
+    MinHash/Jaccard already measure, now in the shape the dense tier
+    consumes: the output is a drop-in ``embeddings`` table
+    (id, embedding float array) for IVF-PQ/SemDeDup/hybrid search.
+    NOT a semantic model (paraphrases with disjoint vocabulary stay
+    far apart) — it is the deterministic, dependency-free baseline,
+    and the contract (id + array<float>) is what a real encoder
+    plugs into.
+
+    Scale shape: the ``apply_bpe`` kernel discipline — one Arrow
+    ``mapInPandas`` scan, a per-EXECUTOR token-vector cache (md5 of
+    ``token || seed`` seeds the ±1 pattern, so vectors are identical
+    on every executor and every run with no broadcast model), per
+    document O(tokens · dim) adds. No shuffle at all: embed is a
+    projection, partition-for-partition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False)])
+    norm_re = r"\s+"
+
+    def kernel(batches):
+        import hashlib
+
+        cache: dict = {}
+
+        def tok_vec(tok: str):
+            v = cache.get(tok)
+            if v is None:
+                # md5(token||seed) -> 16 bytes -> seed a generator
+                # for dim Rademacher signs; deterministic everywhere
+                h = hashlib.md5((tok + seed).encode()).digest()
+                rng = np.random.default_rng(
+                    int.from_bytes(h[:8], "big"))
+                v = rng.integers(0, 2, size=dim).astype(
+                    np.float32) * 2.0 - 1.0
+                if len(cache) < 200_000:     # bounded executor cache
+                    cache[tok] = v
+            return v
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                acc = np.zeros(dim, dtype=np.float32)
+                if isinstance(text, str) and text.strip():
+                    import re as _re
+                    for tok in _re.split(norm_re,
+                                         text.strip().lower()):
+                        if tok:
+                            acc += tok_vec(tok)
+                n = float(np.linalg.norm(acc))
+                if n > 0:
+                    acc = acc / n
+                ids.append(int(rid))
+                vecs.append(acc.tolist())
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("text"))
+            .mapInPandas(kernel, schema=schema))

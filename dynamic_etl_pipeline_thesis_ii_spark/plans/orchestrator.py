@@ -363,6 +363,9 @@ class Pipeline:
                                           output_path)
         if plan["target"] == "bin_pack":
             return self._run_bin_pack(plan, source_dir, output_path)
+        if plan["target"] == "embed_documents":
+            return self._run_embed_documents(plan, source_dir,
+                                             output_path)
         if plan["target"] == "chunk_documents":
             return self._run_chunk_documents(plan, source_dir, output_path)
         if plan["target"] == "corpus_census":
@@ -648,6 +651,40 @@ class Pipeline:
                             "fresh_windows": n_fresh,
                             "snapshot_updated":
                                 bool(plan.get("update"))}}
+
+    def _run_embed_documents(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'embed the documents, 128 dimensions': deterministic
+        hashed random-projection embeddings
+        (:func:`operators.similarity.hash_embed`) written
+        embeddings-table-shaped (vec_id, embedding) — write to
+        ``<dir>/embeddings.parquet`` and every dense target (ann
+        index build/search, semantic dedup, clustering, hybrid
+        search) chains off the output dir with no external encoder.
+        The report carries the dim and a norm sanity check."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            hash_embed,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        emb = (hash_embed(docs, dim=plan["dim"])
+               .select(F.col("id").alias("vec_id"), "embedding"))
+        self.progress("embed", {"params": dict(plan)})
+        emb.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        n = back.count()
+        norms = back.select(F.aggregate(
+            F.col("embedding").cast("array<double>"), F.lit(0.0),
+            lambda a, x: a + x * x).alias("sq")) \
+            .agg(F.round(F.avg("sq"), 4).alias("mean_sq")).first()
+        self.progress("publish", {"rows": n, "path": output_path})
+        return {"status": "complete", "outputs": [emb],
+                "reports": {"plan": dict(plan), "n_vectors": n,
+                            "dim": plan["dim"],
+                            "mean_sq_norm": norms["mean_sq"]}}
 
     def _run_bin_pack(self, plan: dict, source_dir: str,
                       output_path: str) -> dict:
@@ -2850,6 +2887,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "license", "licence",
                   # truncation-free FFD packing
                   "bin pack", "bin-pack", "without truncation",
+                  # built-in document embedding
+                  "embed",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -2917,6 +2956,12 @@ _BINPACK_RE = re.compile(
     r"\bbin[- ]?pack\b|\bwithout\s+truncat\w+\b")
 _BIN_BUDGET_RE = re.compile(
     r"\bbins?\s+of\s+(\d+)\s+tokens?\b|\bbudget\s+(?:of\s+)?(\d+)\b")
+# 'embed the documents, 128 dimensions' — built-in hashed
+# random-projection featurizer; the output chains into every dense
+# target as the embeddings table
+_EMBED_RE = re.compile(
+    r"\bembed\b[^.]*\b(?:documents|corpus|docs)\b")
+_DIM_RE = re.compile(r"\b(\d+)\s+dim(?:ension)?s?\b")
 # target routing: 'diff ... snapshot/previous' -> corpus_diff;
 # 'chunk' -> chunk_documents; everything else -> corpus_to_shards
 _DIFF_TARGET_RE = re.compile(r"\bdiff\b")
@@ -3263,6 +3308,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       without truncation' (truncation-free FFD packing: every doc
       whole, no bin over budget, oversize docs isolated; per-bucket
       bins-vs-lower-bound and waste stats in the report);
+    - ``embed_documents`` — 'embed the documents, 128 dimensions'
+      (deterministic hashed random-projection embeddings; write to
+      <dir>/embeddings.parquet and every dense target chains off
+      the output dir with no external encoder);
     - ``dsir_select`` — 'importance resample toward src18' / 'dsir
       select docs like <source>' (hashed-n-gram importance weights
       against an in-pool target domain; 'select'/'keep' narrows the
@@ -3337,6 +3386,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
             nb = int(m.group(1))
         return {"target": "bin_pack", "budget": budget,
                 "n_buckets": nb}
+    if _EMBED_RE.search(ql):
+        dim = int(m.group(1)) if (m := _DIM_RE.search(ql)) else 64
+        return {"target": "embed_documents", "dim": dim}
     if _BAND_SNAPSHOT_BUILD_RE.search(ql):
         return {"target": "band_snapshot"}
     if _NEARDUP_PROBE_RE.search(ql):
