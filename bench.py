@@ -214,6 +214,12 @@ def scale_probe(spark, factors: list[int]) -> dict:
         # snapshot: rows out = n - n_base/3, exactly linear
         "bloom": lambda d: D.bloom_snapshot_fresh(d, bloom_seen,
                                                   bloom=bloom_filter),
+        # embed: hashed random-projection document embedding (N12) —
+        # one Arrow scan, per-executor token-vector cache, NO
+        # shuffle; rows out EXACTLY linear, wall ~linear (the token
+        # loop dominates; replica word-salting grows the cache but
+        # lookups stay O(1))
+        "embed": lambda d: S.hash_embed(d, dim=64),
         # substr: ExactSubstr span detection (D18) — replicas are
         # word-salted so windows never collide ACROSS replicas;
         # duplicated spans come only from each replica's own internal
