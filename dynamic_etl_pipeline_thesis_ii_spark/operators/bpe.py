@@ -279,3 +279,21 @@ def encode_ids(df: DataFrame, merges: Iterable[tuple[str, str]],
                                 "n_tokens": counts})
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def save_bpe(spark, merges, path: str) -> dict:
+    """Persist a :func:`train_bpe` merge table — the tokenizer is THE
+    canonical train-once artifact of a data pipeline (retraining per
+    epoch would change every token id downstream): (rank, a, b)
+    parquet, rank = merge priority. Returns {model, n_merges}."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, a string, b string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    return {"model": "bpe", "n_merges": len(rows)}
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Reload a :func:`save_bpe` store; apply/encode over the loaded
+    table is bit-identical to the fresh trainer (pinned)."""
+    return [(r["a"], r["b"]) for r in
+            spark.read.parquet(path).orderBy("rank").collect()]

@@ -213,3 +213,22 @@ def apply_unigram(df: DataFrame, pieces: Iterable[tuple],
             yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def save_unigram(spark, pieces, path: str) -> dict:
+    """Persist a :func:`train_unigram` piece table — (piece, logprob,
+    rank) parquet, rank preserving the trainer's deterministic
+    (-logprob, piece) order. Returns {model, n_pieces}."""
+    rows = [(i, p, float(lp)) for i, (p, lp) in enumerate(pieces)]
+    spark.createDataFrame(
+        rows, "rank int, piece string, logprob double") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    return {"model": "unigram", "n_pieces": len(rows)}
+
+
+def load_unigram(spark, path: str) -> list:
+    """Reload a :func:`save_unigram` store; Viterbi segmentation over
+    the loaded table is bit-identical to the fresh trainer
+    (pinned)."""
+    return [(r["piece"], r["logprob"]) for r in
+            spark.read.parquet(path).orderBy("rank").collect()]

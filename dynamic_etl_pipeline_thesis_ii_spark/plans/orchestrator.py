@@ -372,6 +372,9 @@ class Pipeline:
             return self._run_corpus_census(plan, source_dir, output_path)
         if plan["target"] == "tokenize_pack":
             return self._run_tokenize_pack(plan, source_dir, output_path)
+        if plan["target"] == "tokenizer_train":
+            return self._run_tokenizer_train(plan, source_dir,
+                                             output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
         if plan["target"] == "cluster_corpus":
@@ -1671,6 +1674,44 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows_written": n}}
 
+    def _run_tokenizer_train(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'train a bpe tokenizer on the corpus, 300 merges, and save
+        it' / 'train a unigram tokenizer, vocab 500': the tokenizer
+        is THE canonical train-once artifact — every downstream token
+        id depends on it, so production trains once and reuses across
+        epochs and corpora. The merge/piece table persists at the
+        output (``bpe.save_bpe`` / ``unigram.save_unigram``); a later
+        'tokenize the corpus with the tokenizer at /path and pack
+        ...' loads it instead of retraining (bit-identical encoding,
+        pinned in tests)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+            save_bpe,
+            train_bpe,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.unigram import (
+            save_unigram,
+            train_unigram,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        self.progress("train_tokenizer", {"params": dict(plan)})
+        if plan["model"] == "unigram":
+            pieces = train_unigram(docs,
+                                   vocab_size=max(plan["n_merges"],
+                                                  64))
+            report = save_unigram(self.spark, pieces, output_path)
+        else:
+            merges = train_bpe(docs, n_merges=plan["n_merges"])
+            report = save_bpe(self.spark, merges, output_path)
+        self.progress("publish", {"path": output_path, **report})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), **report,
+                            "tokenizer_path": output_path}}
+
     def _run_tokenize_pack(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'tokenize the corpus and pack 512-token sequences': train a
@@ -1704,6 +1745,41 @@ class Pipeline:
             # since bucket count is part of the deterministic output
             # identity.
             plan["n_buckets"] = derive_n_buckets(docs.count())
+        loaded_bpe = loaded_pieces = None
+        if plan.get("tokenizer_path"):
+            # the train-once reuse face: load the persisted artifact,
+            # kind inferred from its own columns — never retrain
+            try:
+                cols = set(self.spark.read.parquet(
+                    plan["tokenizer_path"]).columns)
+            except Exception as exc:
+                return {"status": "rejected",
+                        "reason": f"no tokenizer readable at "
+                                  f"{plan['tokenizer_path']}: {exc}",
+                        "outputs": [],
+                        "reports": {"plan": dict(plan)}}
+            if {"rank", "a", "b"} <= cols:
+                from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+                    load_bpe,
+                )
+                loaded_bpe = load_bpe(self.spark,
+                                      plan["tokenizer_path"])
+                plan["model"] = "bpe"
+            elif {"rank", "piece", "logprob"} <= cols:
+                from dynamic_etl_pipeline_thesis_ii_spark.operators.unigram import (
+                    load_unigram,
+                )
+                loaded_pieces = load_unigram(self.spark,
+                                             plan["tokenizer_path"])
+                plan["model"] = "unigram"
+            else:
+                return {"status": "rejected",
+                        "reason": f"parquet at "
+                                  f"{plan['tokenizer_path']} is not "
+                                  f"a tokenizer store (columns "
+                                  f"{sorted(cols)})",
+                        "outputs": [],
+                        "reports": {"plan": dict(plan)}}
         if plan.get("model") == "unigram":
             # TK3: the unigram-LM trainer behind the same target —
             # n_merges doubles as the piece-vocabulary budget
@@ -1712,15 +1788,17 @@ class Pipeline:
                 train_unigram,
                 unigram_vocab,
             )
-            pieces = train_unigram(docs,
-                                   vocab_size=max(plan["n_merges"], 64))
+            pieces = (loaded_pieces if loaded_pieces is not None
+                      else train_unigram(
+                          docs, vocab_size=max(plan["n_merges"], 64)))
             vocab = unigram_vocab(pieces)
             merges = pieces          # report carries the piece table size
             self.progress("tokenize", {"params": dict(plan),
                                        "vocab_size": len(vocab)})
             tok = apply_unigram(docs, pieces, ids=True)
         else:
-            merges = train_bpe(docs, n_merges=plan["n_merges"])
+            merges = (loaded_bpe if loaded_bpe is not None
+                      else train_bpe(docs, n_merges=plan["n_merges"]))
             vocab = bpe_vocab(merges)
             self.progress("tokenize", {"params": dict(plan),
                                        "vocab_size": len(vocab)})
@@ -3057,6 +3135,14 @@ _CENSUS_TARGET_RE = re.compile(
     r"|\bcorpus .*length distribution\b")
 # 'tokenize the corpus and pack 512-token sequences'
 _TOKENIZE_TARGET_RE = re.compile(r"\btokeni[sz]e\b")
+# 'train a bpe tokenizer on the corpus, 300 merges, and save it' —
+# the train-once artifact face; 'tokenize ... with the tokenizer at
+# /path' is the reuse face
+_TOKENIZER_TRAIN_RE = re.compile(
+    r"\btrain\b[^.]*\btokeni[sz]er\b")
+_TOKENIZER_PATH_RE = re.compile(
+    r"\btokeni[sz]er\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE,
+    re.IGNORECASE)
 _MERGES_RE = re.compile(r"\b(\d+)\s+merges?\b")
 # 'importance resample toward src18' / 'dsir select docs like src3'
 _DSIR_TARGET_RE = re.compile(r"\bdsir\b|\bimportance\b|\bresampl")
@@ -3228,7 +3314,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``tokenize_pack`` — 'tokenize the corpus and pack 512-token
       sequences' (train BPE → encode to ids → fixed-length
       input_ids rows; optional 'N merges', 'N shards' for the
-      bucket count);
+      bucket count; 'with the tokenizer at /path' loads the
+      persisted artifact instead of retraining);
+    - ``tokenizer_train`` — 'train a bpe|unigram tokenizer on the
+      corpus, 300 merges, and save it' (the train-once artifact:
+      merge/piece table persists at the output, reloads
+      bit-identically into tokenize_pack);
     - ``split_corpus`` — 'split the corpus into train/val/test
       80/10/10 without leakage' (deterministic salted-hash split;
       'leakage' upgrades to near-dup-component-atomic assignment);
@@ -3536,6 +3627,16 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "benchmark_path": m.group(1) if m else None,
                 "semantic": bool(_SEMANTIC_TARGET_RE.search(ql)),
                 "threshold": thr, "min_overlap": ov}
+    if _TOKENIZER_TRAIN_RE.search(ql):
+        merges = int(m.group(1)) if (m := _MERGES_RE.search(ql)) \
+            else 200
+        if m := re.search(r"\bvocab(?:ulary)?\s+(?:of\s+)?(\d+)\b",
+                          ql):
+            merges = int(m.group(1))
+        return {"target": "tokenizer_train", "n_merges": merges,
+                "model": ("unigram" if ("unigram" in ql
+                                        or "sentencepiece" in ql)
+                          else "bpe")}
     if _TOKENIZE_TARGET_RE.search(ql):
         seq = int(m.group(1)) if (m := _SEQ_LEN_RE.search(ql)) else None
         if seq is None:  # '512-token sequences' phrasing
@@ -3546,8 +3647,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         # shuffle's task count IS n_buckets; a fixed default is a
         # 100x-scale trap — see derive_n_buckets)
         nb = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else None
+        mt = _TOKENIZER_PATH_RE.search(query)  # paths keep their case
         return {"target": "tokenize_pack", "seq_len": seq,
                 "n_merges": merges, "n_buckets": nb,
+                # 'with the tokenizer at /path' loads the persisted
+                # artifact (kind inferred from its columns) instead
+                # of retraining — the train-once contract
+                "tokenizer_path": mt.group(1) if mt else None,
                 # 'with a unigram model' / 'sentencepiece' swaps the
                 # BPE trainer for the unigram-LM tokenizer (TK3)
                 "model": ("unigram" if ("unigram" in ql

@@ -190,3 +190,87 @@ def test_bpe_vocab_and_encode_ids_round_trip(spark):
         assert n == len(tokens) == len(seq)
         assert [inv[i] for i in seq] == tokens     # exact round trip
         assert 0 not in seq                        # nothing fell to unk
+
+
+def test_tokenizer_store_roundtrip_and_nl_lifecycle(spark, sf_dir,
+                                                    tmp_path):
+    """save/load round-trips both tokenizers bit-identically, and the
+    NL train->reuse chain encodes exactly like the in-run trainer;
+    unreadable/wrong stores reject."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+        encode_ids,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.unigram import (
+        load_unigram,
+        save_unigram,
+        train_unigram,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+        Catalog,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = train_bpe(docs, n_merges=60)
+    store = str(tmp_path / "tok")
+    rep = save_bpe(spark, merges, store)
+    assert rep == {"model": "bpe", "n_merges": len(merges)}
+    assert load_bpe(spark, store) == merges
+    pieces = train_unigram(docs, vocab_size=80)
+    ustore = str(tmp_path / "utok")
+    save_unigram(spark, pieces, ustore)
+    assert load_unigram(spark, ustore) == \
+        [(p, float(lp)) for p, lp in pieces]
+
+    # NL: train-and-save, then tokenize-with-the-artifact
+    assert parse_dataops_query(
+        "train a bpe tokenizer on the corpus, 60 merges, and save "
+        "it") == {"target": "tokenizer_train", "n_merges": 60,
+                  "model": "bpe"}
+    assert parse_dataops_query(
+        "train a unigram tokenizer, vocab 80")["model"] == "unigram"
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    nlstore = str(tmp_path / "nltok")
+    res = pipe.run_dataops(
+        "train a bpe tokenizer on the corpus, 60 merges, and save it",
+        sf_dir, nlstore)
+    assert res["status"] == "complete"
+    assert res["reports"]["n_merges"] == len(merges)
+    assert load_bpe(spark, nlstore) == merges   # same corpus, same table
+
+    p = parse_dataops_query(
+        f"tokenize the corpus with the tokenizer at {nlstore} and "
+        f"pack 32-token sequences, 4 shards")
+    assert p["tokenizer_path"] == nlstore and p["seq_len"] == 32
+    out = str(tmp_path / "packed")
+    res2 = pipe.run_dataops(
+        f"tokenize the corpus with the tokenizer at {nlstore} and "
+        f"pack 32-token sequences, 4 shards", sf_dir, out)
+    assert res2["status"] == "complete"
+    # reuse == retrain: identical packed sequences
+    out2 = str(tmp_path / "packed_fresh")
+    res3 = pipe.run_dataops(
+        "tokenize the corpus and pack 32-token sequences, 60 merges, "
+        "4 shards", sf_dir, out2)
+    assert res3["status"] == "complete"
+    key = lambda r: (r["bucket"], r["seq_idx"], tuple(r["input_ids"]))
+    assert sorted(map(key, spark.read.parquet(out).collect())) == \
+        sorted(map(key, spark.read.parquet(out2).collect()))
+    # rejections: unreadable store; non-tokenizer parquet
+    r1 = pipe.run_dataops(
+        f"tokenize the corpus with the tokenizer at {tmp_path}/nope "
+        f"and pack 32-token sequences", sf_dir, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "no tokenizer" in r1["reason"]
+    docs.limit(1).write.parquet(str(tmp_path / "nottok"))
+    r2 = pipe.run_dataops(
+        f"tokenize the corpus with the tokenizer at {tmp_path}/nottok "
+        f"and pack 32-token sequences", sf_dir, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" \
+        and "not a tokenizer store" in r2["reason"]

@@ -738,7 +738,7 @@ def test_pipeline_dataops_tokenize_pack_target(spark, sf_dir, tmp_path):
     # shuffle's parallelism at any corpus size)
     assert p == {"target": "tokenize_pack", "seq_len": 32,
                  "n_merges": 50, "n_buckets": None, "model": "bpe",
-                 "eos": False}
+                 "tokenizer_path": None, "eos": False}
     assert parse_dataops_query(
         "tokenize and pack 64-token sequences, 12 shards")["n_buckets"] == 12
     assert parse_dataops_query(
