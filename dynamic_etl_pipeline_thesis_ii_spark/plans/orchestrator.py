@@ -375,6 +375,12 @@ class Pipeline:
         if plan["target"] == "tokenizer_train":
             return self._run_tokenizer_train(plan, source_dir,
                                              output_path)
+        if plan["target"] == "classifier_train":
+            return self._run_classifier_train(plan, source_dir,
+                                              output_path)
+        if plan["target"] == "classifier_score":
+            return self._run_classifier_score(plan, source_dir,
+                                              output_path)
         if plan["target"] == "semantic_dedup":
             return self._run_semantic_dedup(plan, source_dir, output_path)
         if plan["target"] == "cluster_corpus":
@@ -1674,6 +1680,93 @@ class Pipeline:
         return {"status": "complete", "outputs": [frame],
                 "reports": {"plan": dict(plan), "rows_written": n}}
 
+    def _run_classifier_train(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'train a quality classifier on the corpus and save it':
+        gopher weak labels -> hashed-ngram logistic pipeline
+        (Q7, ``operators/quality.py``), persisted with Spark ML's
+        native writer at the output — the train-on-sample /
+        score-everywhere artifact. The report carries the label
+        balance and the model's training accuracy on its own weak
+        labels (a sanity floor, not an eval)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.quality import (
+            score_quality,
+            train_quality_classifier,
+            weak_labels_from_gopher,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        labeled = weak_labels_from_gopher(docs)
+        pos = labeled.agg(F.avg("label").alias("p")).first()["p"]
+        if pos is None or pos in (0.0, 1.0):
+            return {"status": "rejected",
+                    "reason": f"weak labels are degenerate "
+                              f"(positive rate {pos}) — a one-class "
+                              f"corpus cannot train a classifier",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        self.progress("train_classifier", {"params": dict(plan),
+                                           "positive_rate":
+                                               round(pos, 4)})
+        model = train_quality_classifier(labeled)
+        model.write().overwrite().save(output_path)
+        scored = score_quality(labeled, model).join(
+            labeled.select(F.col("doc_id").alias("id"), "label"), "id")
+        acc = scored.agg(F.avg(
+            (((F.col("quality_prob") >= 0.5).cast("double"))
+             == F.col("label")).cast("double")).alias("a")) \
+            .first()["a"]
+        self.progress("publish", {"path": output_path})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan),
+                            "positive_rate": round(pos, 4),
+                            "train_accuracy": round(acc, 4),
+                            "model_path": output_path}}
+
+    def _run_classifier_score(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'score the corpus with the classifier at /path': reload
+        the persisted Q7 model (Spark ML native loader) and write
+        (id, quality_prob) per document — one scan, the
+        score-everywhere half of the lifecycle. Rejects a missing or
+        unloadable model path."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.quality import (
+            score_quality,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("model_path"):
+            return {"status": "rejected",
+                    "reason": "scoring needs a model path ('with "
+                              "the classifier at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            from pyspark.ml import PipelineModel
+            model = PipelineModel.load(plan["model_path"])
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no classifier loadable at "
+                              f"{plan['model_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        docs = Catalog(self.spark, source_dir).documents
+        scores = score_quality(docs, model)
+        self.progress("score", {"params": dict(plan)})
+        scores.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        agg = back.agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.avg("quality_prob"), 4)
+                       .alias("mean")).first()
+        self.progress("publish", {"rows": agg["n"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [scores],
+                "reports": {"plan": dict(plan), "rows": agg["n"],
+                            "mean_quality_prob": agg["mean"]}}
+
     def _run_tokenizer_train(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
         """'train a bpe tokenizer on the corpus, 300 merges, and save
@@ -2967,6 +3060,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "bin pack", "bin-pack", "without truncation",
                   # built-in document embedding
                   "embed",
+                  # Q7 quality-classifier lifecycle
+                  "classifier",
                   # scoped so 'show the token length distribution of
                   # replies' / 'cluster the user sessions' never pass
                   # the gate and fall through to corpus_to_shards —
@@ -3142,6 +3237,15 @@ _TOKENIZER_TRAIN_RE = re.compile(
     r"\btrain\b[^.]*\btokeni[sz]er\b")
 _TOKENIZER_PATH_RE = re.compile(
     r"\btokeni[sz]er\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE,
+    re.IGNORECASE)
+# 'train a quality classifier on the corpus and save it' / 'score
+# the corpus with the classifier at /path' — the Q7 model lifecycle
+_CLASSIFIER_TRAIN_RE = re.compile(
+    r"\btrain\b[^.]*\b(?:quality\s+)?classifier\b")
+_CLASSIFIER_SCORE_RE = re.compile(
+    r"\bscore\b[^.]*\bwith\s+the\s+(?:quality\s+)?classifier\b")
+_CLASSIFIER_PATH_RE = re.compile(
+    r"\bclassifier\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE,
     re.IGNORECASE)
 _MERGES_RE = re.compile(r"\b(\d+)\s+merges?\b")
 # 'importance resample toward src18' / 'dsir select docs like src3'
@@ -3320,6 +3424,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       corpus, 300 merges, and save it' (the train-once artifact:
       merge/piece table persists at the output, reloads
       bit-identically into tokenize_pack);
+    - ``classifier_train`` / ``classifier_score`` — 'train a
+      quality classifier on the corpus and save it' then 'score
+      the corpus with the classifier at /path' (Q7 gopher-weak-label
+      logistic pipeline, Spark ML native save/load; degenerate
+      one-class corpora reject);
     - ``split_corpus`` — 'split the corpus into train/val/test
       80/10/10 without leakage' (deterministic salted-hash split;
       'leakage' upgrades to near-dup-component-atomic assignment);
@@ -3627,6 +3736,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "benchmark_path": m.group(1) if m else None,
                 "semantic": bool(_SEMANTIC_TARGET_RE.search(ql)),
                 "threshold": thr, "min_overlap": ov}
+    if _CLASSIFIER_SCORE_RE.search(ql):
+        m = _CLASSIFIER_PATH_RE.search(query)  # paths keep their case
+        return {"target": "classifier_score",
+                "model_path": m.group(1) if m else None}
+    if _CLASSIFIER_TRAIN_RE.search(ql):
+        return {"target": "classifier_train"}
     if _TOKENIZER_TRAIN_RE.search(ql):
         merges = int(m.group(1)) if (m := _MERGES_RE.search(ql)) \
             else 200

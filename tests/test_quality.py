@@ -141,3 +141,72 @@ def test_code_features_discriminate_code_from_prose(spark):
     assert rows[1]["indent_ratio"] > rows[2]["indent_ratio"]
     assert rows[1]["code_kw_hits"] >= 3 and rows[2]["code_kw_hits"] == 0
     assert rows[3]["code_score"] == 0.0
+
+
+def test_nl_classifier_lifecycle(spark, sf_dir, tmp_path):
+    """'train a quality classifier ... and save it' then 'score the
+    corpus with the classifier at /path': Spark-ML-native round
+    trip, scores in [0,1] for every doc, rejections actionable."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+        Catalog,
+    )
+
+    assert parse_dataops_query(
+        "train a quality classifier on the corpus and save it") \
+        == {"target": "classifier_train"}
+    p = parse_dataops_query("score the corpus with the classifier at /m")
+    assert p == {"target": "classifier_score", "model_path": "/m"}
+
+    # the sf fixture corpus is all-gopher-fail (degenerate labels):
+    # the train target must REJECT it with an actionable reason
+    pipe0 = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    r0 = pipe0.run_dataops(
+        "train a quality classifier on the corpus and save it",
+        sf_dir, str(tmp_path / "never"))
+    assert r0["status"] == "rejected" and "degenerate" in r0["reason"]
+
+    # mixed-label corpus: natural prose passes gopher, junk fails
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs to the river where many animals drink water "
+            "in the morning because they are thirsty. ") * 8
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, good + f"extra sentence number {i} closes it out.")
+         for i in range(30)]
+        + [(100 + i, f"x@@ ## $$$ {i} !!") for i in range(30)],
+        "doc_id bigint, text string").write.parquet(
+        src + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, src))
+    model_dir = str(tmp_path / "model")
+    res = pipe.run_dataops(
+        "train a quality classifier on the corpus and save it",
+        src, model_dir)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert 0.0 < rep["positive_rate"] < 1.0
+    assert rep["train_accuracy"] >= 0.9     # separable by design
+    out = str(tmp_path / "scores")
+    res2 = pipe.run_dataops(
+        f"score the corpus with the classifier at {model_dir}",
+        src, out)
+    assert res2["status"] == "complete"
+    back = spark.read.parquet(out)
+    n = 60
+    assert back.count() == n == res2["reports"]["rows"]
+    from pyspark.sql import functions as F
+    bad = back.filter((F.col("quality_prob") < 0)
+                      | (F.col("quality_prob") > 1)).count()
+    assert bad == 0
+    # rejections
+    r1 = pipe.run_dataops("score the corpus with the classifier",
+                          src, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "model path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"score the corpus with the classifier at {tmp_path}/nope",
+        src, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no classifier" in r2["reason"]
