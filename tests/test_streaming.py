@@ -1431,3 +1431,36 @@ def test_streaming_corpus_upsert_sink(spark, tmp_path):
     assert len(back) == 51
     assert back[5] == "updated five" and back[500] == "brand new"
     assert back[7] == "text 7"
+
+
+def test_streaming_hash_embed_parity(spark, tmp_path):
+    """hash_embed is one stateless Arrow scan, so it lifts onto a
+    stream unchanged — streaming vectors == batch vectors
+    bit-for-bit."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        hash_embed,
+    )
+
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "completely different words here now"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d)
+              .select("doc_id", "text"))
+    out = hash_embed(stream, dim=32)
+    assert out.isStreaming
+    S.run_available_now(out, "embed_stream_test",
+                        checkpoint_dir=str(tmp_path / "ckpt_he"))
+    got = {r["id"]: tuple(r["embedding"])
+           for r in spark.table("embed_stream_test").collect()}
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows],
+        "doc_id long, text string")
+    want = {r["id"]: tuple(r["embedding"])
+            for r in hash_embed(batch, dim=32).collect()}
+    assert got == want and len(got) == 2
