@@ -1050,6 +1050,19 @@ def exact_substring_dedup(df: DataFrame, w: int = 50,
     one small array per affected doc, and joins back broadcast-style
     on the id — the corpus-side cost is the same one token scan."""
     spans = substring_duplicate_spans(df, w, text_col, id_col)
+    return apply_span_removal(df, spans, text_col, id_col)
+
+
+def apply_span_removal(df: DataFrame, spans: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cut ``[span_start, span_end)`` token spans out of each
+    document — the shared rewrite face behind ExactSubstr dedup and
+    span-level decontamination. Returns (id, text, n_removed) over
+    the NORMALIZED token stream; docs without spans pass through
+    with n_removed = 0. The spans table groups to one small array
+    per affected doc and joins back on the id; corpus-side cost is
+    one token scan."""
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("span_start", "span_end"))
         .alias("spans"))
@@ -1067,6 +1080,96 @@ def exact_substring_dedup(df: DataFrame, w: int = 50,
                     (F.coalesce(F.size("toks"), F.lit(0))
                      - F.coalesce(F.size("kept"), F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def benchmark_span_flags(corpus: DataFrame, benchmark: DataFrame,
+                         w: int = 20, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Span-LEVEL benchmark contamination (D19): every corpus token
+    run of >= w tokens that appears VERBATIM in the benchmark, as
+    maximal (id, span_start, span_end, n_windows) spans — the
+    surgical complement of document-level decontamination (D7 drops
+    whole documents; a 50k-token book quoting one eval question
+    should lose the quote, not the book).
+
+    Scale shape — the inverse of the snapshot probes: the BENCHMARK
+    is eval-sized, so its window-hash set broadcasts; the corpus
+    pays ONE window-hash projection (the substring_window_rows
+    kernel, 20-byte rows) and a broadcast semi-join — no corpus
+    shuffle at all before the island merge, which only sees flagged
+    occurrences."""
+    bench_hashes = (substring_window_rows(benchmark, w, text_col,
+                                          id_col)
+                    .select("whash").distinct())
+    hits = (substring_window_rows(corpus, w, text_col, id_col)
+            .join(F.broadcast(bench_hashes), "whash", "left_semi")
+            .select("id", "pos"))
+    return merge_window_spans(hits, w)
+
+
+def remove_benchmark_spans(corpus: DataFrame, benchmark: DataFrame,
+                           w: int = 20, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Rewrite face of :func:`benchmark_span_flags`: corpus documents
+    with every benchmark-leaked span cut (id, text, n_removed) —
+    decontamination that keeps the document."""
+    spans = benchmark_span_flags(corpus, benchmark, w, text_col,
+                                 id_col)
+    return apply_span_removal(corpus, spans, text_col, id_col)
+
+
+def SQL_BENCH_SPANS(w: int, corpus_table: str = "documents",
+                    bench_table: str = "bench",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`benchmark_span_flags` — windows matched
+    on the STRING, same island merge."""
+    norm = SQL_NORMALIZE.format(x=text_col)
+    return f"""
+WITH ct AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM {corpus_table}
+),
+bt AS (
+  SELECT list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM {bench_table}
+),
+bw AS (
+  SELECT DISTINCT array_to_string(toks[pos + 1:pos + {w}], ' ') AS win
+  FROM (SELECT toks, unnest(generate_series(0, len(toks) - {w}))
+               AS pos
+        FROM bt WHERE len(toks) >= {w})
+),
+cw AS (
+  SELECT id, pos, array_to_string(toks[pos + 1:pos + {w}], ' ') AS win
+  FROM (SELECT id, toks,
+               unnest(generate_series(0, len(toks) - {w})) AS pos
+        FROM ct WHERE len(toks) >= {w})
+),
+d AS (SELECT id, pos FROM cw WHERE win IN (SELECT win FROM bw)),
+g AS (
+  SELECT id, pos, max(pos + {w}) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM d
+),
+b AS (
+  SELECT id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end
+              THEN 1 ELSE 0 END AS brk
+  FROM g
+),
+i AS (
+  SELECT id, pos,
+         sum(brk) OVER (PARTITION BY id ORDER BY pos) AS island
+  FROM b
+)
+SELECT id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {w})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM i GROUP BY id, island
+"""
 
 
 def SQL_SUBSTRING_SPANS(w: int, table: str = "documents",

@@ -393,6 +393,9 @@ class Pipeline:
             return self._run_data_card(plan, source_dir, output_path)
         if plan["target"] == "decontaminate":
             return self._run_decontaminate(plan, source_dir, output_path)
+        if plan["target"] == "decontaminate_spans":
+            return self._run_decontaminate_spans(plan, source_dir,
+                                                 output_path)
         if plan["target"] == "retrieve":
             return self._run_retrieve(plan, source_dir, output_path)
         if plan["target"] == "hybrid_search":
@@ -2419,6 +2422,70 @@ class Pipeline:
                             "rows_flagged": n_flagged,
                             "rows_kept": n_out}}
 
+    def _run_decontaminate_spans(self, plan: dict, source_dir: str,
+                                 output_path: str) -> dict:
+        """'remove benchmark passages from the corpus against the
+        benchmark at /path (windows of 20 tokens)': span-surgical
+        decontamination (D19 — :func:`operators.dedup.
+        remove_benchmark_spans`): every corpus token run of >= w
+        tokens appearing verbatim in the benchmark is CUT, the
+        document survives — the fix for D7's bluntness on long
+        documents quoting one eval item. 'flag'/'find' phrasings
+        report the span table without rewriting. Rejects a missing
+        or unreadable benchmark path."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            apply_span_removal,
+            benchmark_span_flags,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("benchmark_path"):
+            return {"status": "rejected",
+                    "reason": "span decontamination needs a "
+                              "benchmark path ('against the "
+                              "benchmark at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            bench = self.spark.read.parquet(plan["benchmark_path"])
+            bench.schema
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no benchmark readable at "
+                              f"{plan['benchmark_path']}: {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        corpus = Catalog(self.spark, source_dir).documents
+        spans = benchmark_span_flags(corpus, bench, w=plan["window"])
+        if plan.get("flag_only"):
+            spans.write.mode("overwrite").parquet(output_path)
+            back = self.spark.read.parquet(output_path)  # read-back
+            n_spans = back.count()
+            n_docs = back.select("id").distinct().count()
+            self.progress("publish", {"rows": n_spans,
+                                      "path": output_path})
+            return {"status": "complete", "outputs": [spans],
+                    "reports": {"plan": dict(plan),
+                                "spans_flagged": n_spans,
+                                "docs_affected": n_docs}}
+        cleaned = apply_span_removal(corpus, spans)
+        self.progress("decontaminate_spans", {"params": dict(plan)})
+        cleaned.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        agg = back.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+            .alias("affected"),
+            F.sum("n_removed").alias("removed")).first()
+        self.progress("publish", {"rows": agg["docs"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [cleaned],
+                "reports": {"plan": dict(plan),
+                            "docs_out": agg["docs"],
+                            "docs_affected": int(agg["affected"] or 0),
+                            "tokens_removed": int(agg["removed"] or 0)}}
+
     def _run_retrieve(self, plan: dict, source_dir: str,
                       output_path: str) -> dict:
         """'search the corpus for "hash join strategies", top 5' /
@@ -3045,6 +3112,9 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "duplicated passage", "repeated passage",
                   "duplicated substring", "repeated substring",
                   "substring dedup",
+                  # span-surgical decontamination phrasings
+                  "benchmark passage", "benchmark span",
+                  "benchmark quote",
                   # hybrid two-tower retrieval phrasings
                   "hybrid", "keywords and embeddings",
                   "keywords and vectors",
@@ -3269,6 +3339,11 @@ _EPOCH_RE = re.compile(r"\bepoch\s+(\d+)\b")
 # 'decontaminate the corpus against the benchmark at /path';
 # 'semantically' / 'by embedding' opts into the embedding-space path
 _DECONTAM_TARGET_RE = re.compile(r"\bdecontaminat|\bcontamination\b")
+# 'remove benchmark passages from the corpus against the benchmark
+# at /p' — the span-surgical decontamination phrasing (D19)
+_BENCH_SPAN_RE = re.compile(
+    r"\b(?:remove|strip|cut|flag|find)\b[^.]*\bbenchmark\s+"
+    r"(?:passages?|spans?|quotes?)\b")
 _BENCH_PATH_RE = re.compile(
     r"\b(?:benchmark|eval(?:uation)?\s+set|test\s+set)s?\s+"
     r"(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE, re.IGNORECASE)
@@ -3415,6 +3490,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       cosine-threshold path over the embeddings table; requires a
       benchmark path, rejected with an actionable reason without
       one);
+    - ``decontaminate_spans`` — 'remove benchmark passages from the
+      corpus against the benchmark at <path> (windows of 20
+      tokens)' (span-surgical: the leaked run is cut, the document
+      survives; 'flag'/'find' report the span table);
     - ``tokenize_pack`` — 'tokenize the corpus and pack 512-token
       sequences' (train BPE → encode to ids → fixed-length
       input_ids rows; optional 'N merges', 'N shards' for the
@@ -3727,11 +3806,23 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "histogram": ("histogram" in ql
                               or "distribution" in ql),
                 "distinct": "distinct" in ql}
-    if _DECONTAM_TARGET_RE.search(ql):
+    if _DECONTAM_TARGET_RE.search(ql) or _BENCH_SPAN_RE.search(ql):
         m = _BENCH_PATH_RE.search(query)   # paths keep their case
         thr = (float(t.group(1))
                if (t := _SEM_THRESHOLD_RE.search(ql)) else 0.95)
         ov = int(t.group(1)) if (t := _OVERLAP_RE.search(ql)) else 3
+        # 'at the passage level' / 'remove benchmark passages' ->
+        # span-surgical decontamination: cut the leaked run, keep
+        # the document (D19)
+        if ("passage" in ql or "span" in ql
+                or _BENCH_SPAN_RE.search(ql)):
+            w = 20
+            if mw := _SUBSTR_WINDOW_RE.search(ql):
+                w = int(mw.group(1))
+            return {"target": "decontaminate_spans",
+                    "benchmark_path": m.group(1) if m else None,
+                    "window": w,
+                    "flag_only": ("flag" in ql or "find" in ql)}
         return {"target": "decontaminate",
                 "benchmark_path": m.group(1) if m else None,
                 "semantic": bool(_SEMANTIC_TARGET_RE.search(ql)),

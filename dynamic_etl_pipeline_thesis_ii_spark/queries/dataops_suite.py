@@ -1785,6 +1785,24 @@ FROM sized
 """
 
 
+def q_decon_spans(spark, sf_dir):
+    """Span-level benchmark decontamination (D19): maximal corpus
+    spans appearing verbatim in an eval set built from every 13th
+    document — the surgical face of D7 (flag the quote, keep the
+    book). Benchmark windows broadcast; the corpus pays one window
+    projection, no shuffle before the island merge."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return D.benchmark_span_flags(docs, bench, w=8)
+
+
+ORACLE_DECON_SPANS = f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0)
+SELECT * FROM ({D.SQL_BENCH_SPANS(8, corpus_table='documents',
+                                  bench_table='bench')})
+"""
+
+
 # ---------------------------------------------------------------------------
 # license / compliance scan
 # ---------------------------------------------------------------------------
@@ -1922,6 +1940,7 @@ SELECT query_id, rank, id, rrf, n_arms FROM (
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring": q_dedup_substring,
+    "decon_spans": q_decon_spans,
     "dedup_cap_stats": q_dedup_cap_stats,
     "dedup_neardup_pairs": q_dedup_neardup_pairs,
     "dedup_components": q_dedup_components,
@@ -1941,6 +1960,7 @@ DATAOPS_QUERIES = {
 DATAOPS_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_substring": ORACLE_DEDUP_SUBSTRING,
+    "decon_spans": ORACLE_DECON_SPANS,
     "dedup_cap_stats": _sql_cap_stats(),
     "dedup_neardup_pairs": _sql_neardup_pairs(),
     "dedup_components": _sql_components(),

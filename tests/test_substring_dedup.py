@@ -327,3 +327,101 @@ def test_nl_compact_store_on_grown_passage_snapshot(spark, tmp_path):
         f"compact the snapshot at {tmp_path}/nope", src,
         str(tmp_path / "o2"))
     assert r2["status"] == "rejected" and "no store" in r2["reason"]
+
+
+def test_benchmark_span_flags_and_rewrite(spark):
+    """D19: a corpus doc quoting a benchmark passage flags exactly
+    that span; the rewrite cuts the quote and keeps the document;
+    clean docs untouched; DuckDB twin matches."""
+    import duckdb
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+        SQL_BENCH_SPANS,
+        benchmark_span_flags,
+        remove_benchmark_spans,
+    )
+
+    bench = _docs(spark, [(900, BOILER)])
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta " + BOILER + " epsilon zeta"),
+        (2, "clean document with entirely original content today"),
+        (3, BOILER),                             # pure leak
+    ])
+    spans = sorted(tuple(r) for r in
+                   benchmark_span_flags(corpus, bench, w=5).collect())
+    assert spans == [(1, 4, 14, 6), (3, 0, 10, 6)]
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    con.register("bench", bench.toPandas())
+    want = sorted(tuple(r) for r in con.execute(
+        SQL_BENCH_SPANS(5, corpus_table="documents",
+                        bench_table="bench")).fetchall())
+    assert spans == want
+    out = {r["id"]: (r["text"], r["n_removed"])
+           for r in remove_benchmark_spans(corpus, bench,
+                                           w=5).collect()}
+    assert BOILER not in out[1][0] and out[1][1] == 10
+    assert out[1][0] == "alpha beta gamma delta epsilon zeta"
+    assert out[2][1] == 0
+    assert out[3] == ("", 10)
+
+
+def test_nl_decontaminate_spans_target(spark, tmp_path):
+    """'remove benchmark passages ... against the benchmark at /p':
+    routing (doc-level decontamination keeps its route), rewrite +
+    flag faces, rejections."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "remove benchmark passages from the corpus against the "
+        "benchmark at /b, windows of 5 tokens")
+    assert p == {"target": "decontaminate_spans",
+                 "benchmark_path": "/b", "window": 5,
+                 "flag_only": False}
+    assert parse_dataops_query(
+        "decontaminate the corpus against the benchmark at /b, at "
+        "the passage level")["target"] == "decontaminate_spans"
+    # doc-level stays on D7
+    assert parse_dataops_query(
+        "decontaminate the corpus against the benchmark at /b")[
+        "target"] == "decontaminate"
+
+    bench_dir = str(tmp_path / "bench")
+    _docs(spark, [(900, BOILER)]).write.parquet(bench_dir)
+    src = str(tmp_path / "src")
+    _docs(spark, [
+        (1, "alpha beta gamma delta " + BOILER + " epsilon zeta"),
+        (2, "clean document with entirely original content today"),
+    ]).write.parquet(src + "/documents.parquet")
+    pipe = Pipeline(spark, FixtureFetcher(spark, src))
+    out = str(tmp_path / "clean")
+    res = pipe.run_dataops(
+        f"remove benchmark passages from the corpus against the "
+        f"benchmark at {bench_dir}, windows of 5 tokens", src, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["docs_out"] == 2 and rep["docs_affected"] == 1
+    assert rep["tokens_removed"] == 10
+    back = {r["id"]: r["text"]
+            for r in spark.read.parquet(out).collect()}
+    assert BOILER not in back[1] and "alpha beta" in back[1]
+    # flag face
+    out2 = str(tmp_path / "spans")
+    res2 = pipe.run_dataops(
+        f"flag benchmark passages in the corpus against the "
+        f"benchmark at {bench_dir}, windows of 5 tokens", src, out2)
+    assert res2["status"] == "complete"
+    assert res2["reports"]["spans_flagged"] == 1
+    # rejections
+    r1 = pipe.run_dataops(
+        "remove benchmark passages from the corpus", src,
+        str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "benchmark path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"remove benchmark passages from the corpus against the "
+        f"benchmark at {tmp_path}/nope", src, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no benchmark" in r2["reason"]
