@@ -3484,6 +3484,18 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``corpus_census`` — 'census the corpus' / 'report corpus
       statistics' (mergeable per-stratum doc/token/char counts —
       the standalone face of the snapshot-store telemetry);
+    - ``ingest_archives`` — 'extract text from the zip at <path>' /
+      'ingest the tarball at <path>' (per-member text tiers,
+      zip-bomb caps counted in the report);
+    - ``data_card`` — 'generate a data card for the corpus'
+      (Datasheets-for-Datasets: composition/lengths/duplication/
+      quality/licensing/media in one nested report + artifact);
+    - ``verify_shards`` — 'verify the shards at <path> against the
+      manifest at <path>' (order-insensitive integrity check);
+    - ``cluster_corpus`` / ``cluster_assign`` — 'cluster the
+      embeddings into 12 topics' / 'assign the batch to the
+      clusters at <path>' (k-means data map + frozen-centers
+      assign lifecycle);
     - ``decontaminate`` — 'decontaminate the corpus against the
       benchmark at <path>' (n-gram shingle-overlap removal by
       default; 'semantically' / 'by embedding' swaps in the
