@@ -55,6 +55,7 @@ HEADLINE = [
     # 50-entry window), so their timings cover the same work combined.
     "dedup_neardup_pairs",
     "dedup_substring",         # ExactSubstr span detection (D18)
+    "decon_spans",             # span-level decontamination (D19)
     "ann_topk",
     "retrieval_hybrid",        # BM25 + dense cosine, RRF-fused (T18)
     "text_metrics",
