@@ -54,18 +54,23 @@ HEADLINE = [
     # ann_lsh_bucket queries (registry consolidated to the driver's
     # 50-entry window), so their timings cover the same work combined.
     "dedup_neardup_pairs",
-    "dedup_substring",         # ExactSubstr span detection (D18)
-    "decon_spans",             # span-level decontamination (D19)
+    "dedup_spans",             # ExactSubstr detection + span decon —
+                               # tagged union of r11's dedup_substring
+                               # + decon_spans (registry window fold,
+                               # r12); timing covers both combined
     "ann_topk",
     "retrieval_hybrid",        # BM25 + dense cosine, RRF-fused (T18)
     "text_metrics",
     "text_license_scan",       # license flags + governance rollup (T19)
     "text_corpus_stats",       # vocab/OOV + LM score + CCNet buckets
     "sample_deterministic",    # stratified/mix/packing/token-budget
-    # integration engine
+    # integration engine (union_schema_match now also carries the
+    # version-split arm — registry window fold, r12)
     "union_schema_match",
     "simjoin_matches_topk",
     # full NL-query lifecycle + corpus curation composition
+    # (pipeline_e2e left the registry in r12 — rows-only, pytest-covered
+    # — but stays a bench headline via the direct import in main())
     "pipeline_e2e",
     "corpus_curation",
     # curate -> budget-select -> pack -> shard as one lazy DAG
@@ -899,6 +904,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    # rows-only ex-registry queries that remain bench headlines
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.integration_suite import (
+        q_greedy_tail,
+        q_pipeline_e2e,
+    )
+    qs.setdefault("pipeline_e2e", q_pipeline_e2e)
+    if os.environ.get("BENCH_ALL"):
+        qs.setdefault("greedy_tail", q_greedy_tail)
     names = list(qs) if os.environ.get("BENCH_ALL") else [n for n in HEADLINE if n in qs]
 
     # Warm the JVM + parquet footers with one tiny action, and the

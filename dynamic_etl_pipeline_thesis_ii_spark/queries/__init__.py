@@ -37,15 +37,21 @@ from dynamic_etl_pipeline_thesis_ii_spark.queries.sources_suite import (
 )
 
 
+MAX_REGISTRY = 49
+
+
 def all_queries():
     """Registry order matters: the driver's correctness gate records only
     the FIRST 50 entries, so oracle-backed queries are listed before the
     (few) rows-only ones, and the total registry is kept at <= 49 to leave
     headroom (round 6 briefly hit 51 and `integrate_pipeline` silently
-    dropped out of CORRECTNESS_r06). When adding an operator, prefer a
-    branch-tagged arm on an existing family union (`dedup_neardup_pairs`,
+    dropped out of CORRECTNESS_r06; round 11 hit 54 and the driver dropped
+    both source entries — the budget is now ENFORCED by the assert below,
+    so an overflow fails loudly at import instead of silently shrinking
+    the driver record). When adding an operator, prefer a branch-tagged
+    arm on an existing family union (`dedup_neardup_pairs`, `dedup_spans`,
     `text_pii_scrub`, `text_corpus_stats`, `sample_deterministic`,
-    `src_parse_normalize`, `greedy_tail`) over a new entry. The
+    `src_parse_normalize`, `union_schema_match`) over a new entry. The
     bench-side twin of this budget lives in bench.py: the driver also
     records only the last ~2,000 chars of stdout, so bench's FINAL
     printed line must stay small (round 7 lost every per-query timing
@@ -64,6 +70,11 @@ def all_queries():
     oracles = all_oracles()
     ordered = {k: v for k, v in out.items() if k in oracles}
     ordered.update({k: v for k, v in out.items() if k not in oracles})
+    assert len(ordered) <= MAX_REGISTRY, (
+        f"query registry has {len(ordered)} entries — the driver records "
+        f"only the first 50, so keep <= {MAX_REGISTRY}. Fold the new "
+        f"query into an existing branch-tagged family union instead "
+        f"(see this docstring).")
     return ordered
 
 

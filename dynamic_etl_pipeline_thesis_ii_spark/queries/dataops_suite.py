@@ -1803,6 +1803,24 @@ SELECT * FROM ({D.SQL_BENCH_SPANS(8, corpus_table='documents',
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """D18 + D19 as ONE branch-tagged entry (identical span schemas;
+    folded in round 12 for the registry's 50-row driver window —
+    see ``queries/__init__.all_queries``): part='substr' is the
+    cross-document ExactSubstr detection, part='decon' the span-level
+    benchmark decontamination."""
+    sub = q_dedup_substring(spark, sf_dir).withColumn("part", F.lit("substr"))
+    dec = q_decon_spans(spark, sf_dir).withColumn("part", F.lit("decon"))
+    return sub.unionByName(dec)
+
+
+ORACLE_DEDUP_SPANS = f"""
+SELECT 'substr' AS part, * FROM ({ORACLE_DEDUP_SUBSTRING})
+UNION ALL
+SELECT 'decon', * FROM ({ORACLE_DECON_SPANS})
+"""
+
+
 # ---------------------------------------------------------------------------
 # license / compliance scan
 # ---------------------------------------------------------------------------
@@ -1939,8 +1957,7 @@ SELECT query_id, rank, id, rrf, n_arms FROM (
 
 DATAOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
-    "dedup_substring": q_dedup_substring,
-    "decon_spans": q_decon_spans,
+    "dedup_spans": q_dedup_spans,
     "dedup_cap_stats": q_dedup_cap_stats,
     "dedup_neardup_pairs": q_dedup_neardup_pairs,
     "dedup_components": q_dedup_components,
@@ -1959,8 +1976,7 @@ DATAOPS_QUERIES = {
 
 DATAOPS_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
-    "dedup_substring": ORACLE_DEDUP_SUBSTRING,
-    "decon_spans": ORACLE_DECON_SPANS,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
     "dedup_cap_stats": _sql_cap_stats(),
     "dedup_neardup_pairs": _sql_neardup_pairs(),
     "dedup_components": _sql_components(),

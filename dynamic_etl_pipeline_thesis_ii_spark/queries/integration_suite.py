@@ -45,25 +45,16 @@ def _union_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 
 
 def q_union_schema_match(spark, sf_dir):
+    """U1-U6 as ONE branch-tagged entry (registry window discipline,
+    see ``queries/__init__.all_queries``): part='union' is the hybrid
+    name-similarity schema-matched union (U1-U5); part='split' is the
+    joined-shape _x/_y version split (U6, formerly its own
+    `union_version_split` entry, folded in round 12)."""
     a, b = _union_fixture(spark, sf_dir)
     groups, ops = U.sequential_union([a, b], CFG)
     assert len(groups) == 1, f"expected one union group, got {len(groups)}"
-    return groups[0]
+    matched = groups[0].withColumn("part", F.lit("union"))
 
-
-ORACLE_UNION_SCHEMA_MATCH = """
-SELECT c_custkey, c_name, c_acctbal, c_nationkey, c_mktsegment,
-       NULL AS loyalty_tier
-FROM customer
-UNION
-SELECT c_custkey + 500000, c_name, c_acctbal + 1.0, c_nationkey,
-       NULL AS c_mktsegment, 'tier_' || cast(c_custkey % 4 AS varchar)
-FROM customer WHERE c_custkey % 3 = 0
-"""
-
-
-def q_union_version_split(spark, sf_dir):
-    """A joined-shaped frame with _x/_y pairs splits into two versions."""
     orders = Catalog(spark, sf_dir).orders
     joined_shape = orders.select(
         "o_orderkey",
@@ -71,16 +62,36 @@ def q_union_version_split(spark, sf_dir):
         F.col("o_totalprice").alias("totalprice_x"),
         (F.col("o_totalprice") * 2).alias("totalprice_y"))
     vx, vy = U.version_split(joined_shape)
-    return (vx.withColumn("version", F.lit("x"))
-            .unionByName(vy.withColumn("version", F.lit("y"))))
+    split = (vx.withColumn("version", F.lit("x"))
+             .unionByName(vy.withColumn("version", F.lit("y")))
+             .withColumn("part", F.lit("split")))
+    return matched.unionByName(split, allowMissingColumns=True)
 
 
-ORACLE_UNION_VERSION_SPLIT = """
-SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS totalprice,
-       'x' AS version
-FROM orders
+ORACLE_UNION_SCHEMA_MATCH = """
+SELECT 'union' AS part, c_custkey, c_name, c_acctbal, c_nationkey,
+       c_mktsegment, loyalty_tier,
+       NULL::BIGINT AS o_orderkey, NULL::VARCHAR AS status,
+       NULL::DOUBLE AS totalprice, NULL::VARCHAR AS version
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey, c_mktsegment,
+         NULL AS loyalty_tier
+  FROM customer
+  UNION
+  SELECT c_custkey + 500000, c_name, c_acctbal + 1.0, c_nationkey,
+         NULL AS c_mktsegment, 'tier_' || cast(c_custkey % 4 AS varchar)
+  FROM customer WHERE c_custkey % 3 = 0
+)
 UNION ALL
-SELECT o_orderkey, o_orderstatus, o_totalprice * 2, 'y' FROM orders
+SELECT 'split', NULL, NULL, NULL, NULL, NULL, NULL,
+       o_orderkey, status, totalprice, version
+FROM (
+  SELECT o_orderkey, o_orderstatus AS status,
+         o_totalprice AS totalprice, 'x' AS version
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2, 'y' FROM orders
+)
 """
 
 
@@ -264,18 +275,25 @@ def q_pipeline_e2e(spark, sf_dir):
                       "rsi_close_14")
 
 
+# `pipeline_e2e` and `greedy_tail` are deliberately NOT registry
+# entries: both are rows-only (order-dependent greedy / driver-side
+# orchestration — no SQL oracle), so a driver row adds nothing beyond
+# the pytest coverage they already have (`test_greedy_differential.py`
+# pins greedy pair-for-pair against a line-faithful reference
+# re-implementation; `tests/test_integration_engine.py::
+# test_pipeline_e2e_query_face` / `test_greedy_tail_query_face` run
+# both query faces end-to-end). Keeping them out leaves the
+# registry at 49 so every ORACLE-backed entry lands inside the
+# driver's 50-row CORRECTNESS window. bench.py still times
+# pipeline_e2e as a headline (it imports q_pipeline_e2e directly).
 INTEGRATION_QUERIES = {
-    "pipeline_e2e": q_pipeline_e2e,
     "union_schema_match": q_union_schema_match,
-    "union_version_split": q_union_version_split,
     "simjoin_pair_features": q_simjoin_pair_features,
     "simjoin_matches_topk": q_simjoin_matches_topk,
-    "greedy_tail": q_greedy_tail,
 }
 
 INTEGRATION_ORACLES = {
     "union_schema_match": ORACLE_UNION_SCHEMA_MATCH,
-    "union_version_split": ORACLE_UNION_VERSION_SPLIT,
     "simjoin_pair_features": _oracle_pair_features(),
     "simjoin_matches_topk": _oracle_matches_topk(),
 }

@@ -176,18 +176,27 @@ FROM events WHERE event_type = 'signup'
 
 def q_src_parse_normalize(spark, sf_dir):
     """S3 (Polygon bar parse) + F4 (AV header clean) + S5 (indicator
-    normalize) + S4 (snapshot flatten) + S9 (statement prefixing) — one
-    result, tagged by `part`, schemas unioned by name. The former
-    `src_flatten_prefix` entry's two parts were folded in here so the
-    registry stays under the driver's 50-entry recording window (see
+    normalize) + S4 (snapshot flatten) + S9 (statement prefixing) +
+    S8/P9/O3 (the three requested-window trim modes) — one result,
+    tagged by `part`, schemas unioned by name. The former
+    `src_flatten_prefix` and `src_window_trim` entries' parts were
+    folded in here so the registry stays under the driver's 50-entry
+    recording window (round 11 grew the registry to 54 and the driver
+    silently dropped BOTH source entries — see
     ``queries/__init__.all_queries``)."""
     bars = q_src_parse_bars(spark, sf_dir).withColumn("part", F.lit("bars"))
     av = q_src_av_headers(spark, sf_dir).withColumn("part", F.lit("av"))
     ind = q_src_indicator_normalize(spark, sf_dir).withColumn("part", F.lit("indicator"))
     snap = q_src_snapshot_flatten(spark, sf_dir).withColumn("part", F.lit("snapshot"))
     stmt = q_src_statement_prefix(spark, sf_dir).withColumn("part", F.lit("statement"))
+    trims = [fn(spark, sf_dir)
+             .select(F.col("timestamp"), F.col("value"))
+             .withColumn("part", F.lit(tag))
+             for tag, fn in (("trim_range", q_src_window_trim_range),
+                             ("trim_tail", q_src_window_trim_tail),
+                             ("trim_freq", q_src_window_trim_freq))]
     out = bars
-    for piece in (av, ind, snap, stmt):
+    for piece in (av, ind, snap, stmt, *trims):
         out = out.unionByName(piece, allowMissingColumns=True)
     return out
 
@@ -221,34 +230,26 @@ FROM (
          NULL, NULL, NULL, NULL, NULL, income_statement_totalRevenue,
          income_statement_netIncome, reportedCurrency, period
   FROM ({ORACLE_SRC_STATEMENT_PREFIX})
+  UNION ALL
+  SELECT 'trim_range', NULL, timestamp, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, value, NULL, NULL, NULL, NULL, NULL
+  FROM ({ORACLE_SRC_WINDOW_RANGE})
+  UNION ALL
+  SELECT 'trim_tail', NULL, timestamp, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, value, NULL, NULL, NULL, NULL, NULL
+  FROM ({ORACLE_SRC_WINDOW_TAIL})
+  UNION ALL
+  SELECT 'trim_freq', NULL, timestamp, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, value, NULL, NULL, NULL, NULL, NULL
+  FROM ({ORACLE_SRC_WINDOW_FREQ})
 )
-"""
-
-
-def q_src_window_trim(spark, sf_dir):
-    """S8/P9/O3: the three requested-window trim modes (explicit range,
-    tail-N, frequency map), tagged by `mode`."""
-    rng = q_src_window_trim_range(spark, sf_dir).withColumn("mode", F.lit("range"))
-    tail = q_src_window_trim_tail(spark, sf_dir).withColumn("mode", F.lit("tail"))
-    freq = q_src_window_trim_freq(spark, sf_dir).withColumn("mode", F.lit("freq"))
-    return rng.unionByName(tail).unionByName(freq)
-
-
-ORACLE_SRC_WINDOW_TRIM = f"""
-SELECT 'range' AS mode, timestamp, value FROM ({ORACLE_SRC_WINDOW_RANGE})
-UNION ALL
-SELECT 'tail', timestamp, value FROM ({ORACLE_SRC_WINDOW_TAIL})
-UNION ALL
-SELECT 'freq', timestamp, value FROM ({ORACLE_SRC_WINDOW_FREQ})
 """
 
 
 SOURCES_QUERIES = {
     "src_parse_normalize": q_src_parse_normalize,
-    "src_window_trim": q_src_window_trim,
 }
 
 SOURCES_ORACLES = {
     "src_parse_normalize": ORACLE_SRC_PARSE_NORMALIZE,
-    "src_window_trim": ORACLE_SRC_WINDOW_TRIM,
 }

@@ -293,3 +293,32 @@ def test_execute_union_skips_rename_colliding_with_existing_column(spark):
     assert out.columns.count("price") == 1
     assert out.columns.count("cost") == 1  # rename skipped, kept as-is
     out.collect()
+
+
+# ---------------------------------------------------------------------------
+# ex-registry rows-only query faces (moved to pytest-only in round 12 so
+# the driver registry stays inside its 50-row CORRECTNESS window — see
+# queries/__init__.all_queries)
+# ---------------------------------------------------------------------------
+
+def test_pipeline_e2e_query_face(spark, sf_dir):
+    """The full NL lifecycle query face still runs end-to-end and
+    produces the enriched OHLCV+SMA+RSI frame."""
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.integration_suite import (
+        q_pipeline_e2e,
+    )
+    out = q_pipeline_e2e(spark, sf_dir)
+    assert out.columns == ["ticker", "timestamp", "close",
+                           "sma_close_20", "rsi_close_14"]
+    assert out.count() > 0
+
+
+def test_greedy_tail_query_face(spark, sf_dir):
+    """Both rows-only branches (exact greedy simjoin + integrate
+    orchestration) still execute and contribute rows."""
+    from dynamic_etl_pipeline_thesis_ii_spark.queries.integration_suite import (
+        q_greedy_tail,
+    )
+    out = q_greedy_tail(spark, sf_dir)
+    branches = {r["branch"] for r in out.select("branch").distinct().collect()}
+    assert branches == {"simjoin_full", "integrate"}
