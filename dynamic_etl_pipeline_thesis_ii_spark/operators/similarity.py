@@ -43,15 +43,102 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
+def _lloyd_numpy(X, k: int, iters: int = 20):
+    """Deterministic driver-side Lloyd over a bounded training sample
+    (the :func:`pq_train` discipline, applied to the coarse
+    quantizer): init takes evenly-spaced points in lexicographic
+    order, distances go through one BLAS GEMM per iteration, empty
+    clusters keep their previous center. Cost is sample·k·d per
+    iteration — independent of the corpus size."""
+    import numpy as np
+
+    order = np.lexsort(X.T[::-1])
+    init_idx = order[np.linspace(0, len(X) - 1, k).astype(int)]
+    cent = X[init_idx].copy()
+    for _ in range(iters):
+        # ||x||^2 constant per row — can't change the argmin, skip it
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
 def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
-              c_vec: str = "c_vec") -> tuple[DataFrame, DataFrame]:
+              c_vec: str = "c_vec", max_fit_per_cluster: int = 64,
+              max_fit_vectors: int = 262_144) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index ONCE: k-means coarse quantizer over the
     candidate set. Returns ``(centers, bucketed)`` — a tiny
     (__cluster, __center) frame and the candidate frame with its
     assigned ``__cluster`` and precomputed ``__cn`` norm. Both are
     plain DataFrames: write them to parquet and reload for later query
     batches instead of refitting (index build is the expensive step at
-    100 TB; searches should amortize it)."""
+    100 TB; searches should amortize it).
+
+    Scale shape (the r11 carve-out, closed): consumers hold cluster
+    SIZE roughly constant (``derive_n_clusters`` sets k ∝ n/2000), so
+    an unbounded distributed fit is O(n·k·d) = O(n²·d/2000) per Lloyd
+    iteration — quadratic in the corpus, probe-confirmed superlinear.
+    The fit is therefore TRAINED on a bounded sample of
+    ``min(n, max_fit_per_cluster·k, max_fit_vectors)`` vectors (the
+    faiss convention — it, too, trains its quantizers on a sample):
+
+    - ``n <= cap``: the full-corpus ``pyspark.ml`` KMeans fit, exactly
+      as before (bit-identical to the unbounded behavior);
+    - ``n > cap``: the sample is drawn by a content-hash threshold
+      (``pmod(hash(vec, seed), 1e6)`` — one narrow filter, no sort/
+      shuffle; reproducible across runs, partitionings and cluster
+      sizes, independent draws per ``seed``), collected to the driver
+      (≤ max_fit_vectors·d doubles — index-build metadata, the
+      :func:`pq_train` precedent) and fit with :func:`_lloyd_numpy`;
+      the FULL corpus is then assigned in ONE narrow Arrow pass via
+      the :func:`ivfpq_assign` broadcast-GEMM kernel (same squared-L2
+      argmin KMeans assigns by). No iteration ever scans the corpus,
+      so index build is one filter + one assignment pass — linear.
+
+    ``max_fit_per_cluster=64`` keeps the sample above faiss's 39-
+    points-per-centroid training floor; ``max_fit_vectors`` bounds
+    driver memory when k itself is huge (2^18 × d=64 doubles ≈ 128 MB
+    — raise it on a fat driver if k·64 exceeds it, or accept the
+    gracefully-degraded per-cluster sample). Pass
+    ``max_fit_per_cluster=0`` to force the full-corpus fit."""
+    cap = (min(max_fit_per_cluster * n_clusters,
+               max_fit_vectors or float("inf"))
+           if max_fit_per_cluster else float("inf"))
+    n = candidates.count() if cap != float("inf") else 0
+    spark = candidates.sparkSession
+
+    if n > max(cap, n_clusters):
+        import numpy as np
+
+        mod = 1_000_000
+        sample = (candidates
+                  .filter(F.pmod(F.hash(F.col(c_vec), F.lit(seed)),
+                                 F.lit(mod)) < int(cap / n * mod))
+                  .select(F.col(c_vec).cast("array<double>").alias("v"))
+                  .collect())
+        if len(sample) >= n_clusters:
+            X = np.array([r["v"] for r in sample])
+            # collect order follows partitioning — lexsort the sample
+            # so float summation order (hence the centers) is
+            # bit-stable across layouts of the same content
+            X = X[np.lexsort(X.T[::-1])]
+            cent = _lloyd_numpy(X, n_clusters)
+            centers_df = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+                ["__cluster", "__center"])
+            bucketed = (ivfpq_assign(candidates, centers_df,
+                                     vec_col=c_vec)
+                        .withColumn("__cn", l2norm(
+                            F.col(c_vec).cast("array<double>"))))
+            return centers_df, bucketed
+        # hash-threshold sampling is approximate; Lloyd needs at least
+        # k points, so a short draw (possible only on tiny/degenerate
+        # inputs — the cap is >> k by construction) falls through to
+        # the full fit
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -64,7 +151,7 @@ def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
                 .withColumn("__cn",
                             l2norm(F.col(c_vec).cast("array<double>"))))
     centers = model.clusterCenters()
-    centers_df = candidates.sparkSession.createDataFrame(
+    centers_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         ["__cluster", "__center"])
     return centers_df, bucketed
