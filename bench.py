@@ -789,9 +789,54 @@ def scale_probe(spark, factors: list[int]) -> dict:
                     + rep["rows_inserted"]
             out["upsert"].append({"factor": f, "n_docs": n,
                                   "candidates": c,
+                                  "rows_per_bucket":
+                                      rep["est_rows_per_bucket"],
                                   "sec": round(best, 3)})
     finally:
         shutil.rmtree(u_root, ignore_errors=True)
+
+    # bm25: persisted-index search (T17). The index over the factor-f
+    # word-salted corpus is built at SETUP (the expensive corpus scan,
+    # paid once — like the other trained artifacts); the timed work is
+    # search_bm25_index with a FIXED 3-query batch. Salted replica
+    # tokens ("word~i") never match the base-vocabulary query terms,
+    # so the tok-sorted tf store's footer stats prune the lookup to
+    # the base corpus's postings at every factor — wall must stay
+    # ~FLAT as the corpus grows 16x (search-at-query-cost, the store's
+    # whole point). candidates = scored (query, doc) rows, flat by the
+    # same argument.
+    bm_root = tempfile.mkdtemp(prefix="bench_bm25_")
+    bm_queries = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "hash join table"),
+         (3, "stream batch merge line")],
+        "query_id bigint, query_text string").persist()
+    bm_queries.count()
+    try:
+        out["bm25"] = []
+        for f in factors:
+            reps = [base.select(
+                        (F.col("doc_id") * f + i).alias("doc_id"),
+                        (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+                         if i else F.col("text")).alias("text"))
+                    for i in range(f)]
+            corpus = reps[0]
+            for r in reps[1:]:
+                corpus = corpus.unionAll(r)
+            n = corpus.count()
+            idx = os.path.join(bm_root, f"f{f}")
+            T.save_bm25_index(corpus, idx)
+            best, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                c = T.search_bm25_index(spark, idx, bm_queries,
+                                        k=10).count()
+                best = min(best, time.perf_counter() - t0)
+            out["bm25"].append({"factor": f, "n_docs": n,
+                                "candidates": c,
+                                "sec": round(best, 3)})
+    finally:
+        bm_queries.unpersist()
+        shutil.rmtree(bm_root, ignore_errors=True)
 
     # substrinc: incremental ExactSubstr probe — passage snapshot
     # built over the factor-f corpus at setup; timed work probes a
@@ -970,7 +1015,7 @@ def main() -> None:
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
                 "imgdedup", "auddedup", "viddedup", "vcontain",
-                "zorder", "upsert", "substrinc", "pagerank")
+                "zorder", "upsert", "bm25", "substrinc", "pagerank")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:

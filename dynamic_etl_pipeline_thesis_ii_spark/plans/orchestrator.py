@@ -410,6 +410,8 @@ class Pipeline:
         if plan["target"] == "corpus_store_build":
             return self._run_corpus_store_build(plan, source_dir,
                                                 output_path)
+        if plan["target"] == "corpus_rebucket":
+            return self._run_corpus_rebucket(plan, output_path)
         if plan["target"] == "corpus_upsert":
             return self._run_corpus_upsert(plan, source_dir,
                                            output_path)
@@ -2623,6 +2625,46 @@ class Pipeline:
                 "reports": {"plan": dict(plan), **report,
                             "batch_rows": n_out}}
 
+    def _run_corpus_rebucket(self, plan: dict,
+                             output_path: str) -> dict:
+        """'rebucket the corpus store at /path': re-derive the
+        store's bucket count from its CURRENT rows and rewrite to the
+        run's output (:func:`sources.sinks.rebucket_corpus_store` —
+        never in place, the compact_store discipline). The SK5
+        geometry-growth fix: merges honor frozen save-time geometry,
+        so a store grown far past its save-time size rewrites
+        corpus-proportional bucket units per merge; one rebucket pass
+        restores constant rows/bucket and later merges against the
+        new path are batch-cost again. Rejects a missing path or a
+        path without the store's geometry sidecar."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            rebucket_corpus_store,
+        )
+
+        if not plan.get("store_path"):
+            return {"status": "rejected",
+                    "reason": "rebucket needs a store path "
+                              "('rebucket the corpus store at "
+                              "/path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        store = plan["store_path"].rstrip("/")
+        try:
+            self.spark.read.parquet(store + "_meta").first()
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no corpus store readable at "
+                              f"{plan['store_path']} (build one "
+                              f"with 'build a bucketed corpus "
+                              f"store'): {exc}",
+                    "outputs": [],
+                    "reports": {"plan": dict(plan)}}
+        report = rebucket_corpus_store(self.spark, store, output_path)
+        self.progress("rebucket", {"params": dict(plan), **report})
+        self.progress("publish", {"rows": report["rows"],
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), **report}}
+
     def _run_hybrid_search(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'find documents like doc 42 using both keywords and
@@ -3371,6 +3413,9 @@ _STORE_BUILD_RE = re.compile(
     r"\b(?:build|create)\b[^.]*\b(?:bucketed\s+)?corpus\s+store\b")
 _UPSERT_RE = re.compile(
     r"\b(?:upsert|merge)\b[^.]*\binto\s+the\s+corpus\s+store\b")
+_REBUCKET_RE = re.compile(
+    r"\brebucket\b[^.]*\b(?:corpus\s+)?store\b"
+    r"|\bre-?derive\b[^.]*\bbucket\b[^.]*\bstore\b")
 _STORE_PATH_RE = re.compile(
     r"\bstore\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _BUCKETS_RE = re.compile(r"\b(\d+)\s+buckets?\b")
@@ -3556,7 +3601,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       into the corpus store at /path' (hash-bucketed MERGE INTO:
       batch rows replace same-key rows and insert otherwise; only
       buckets holding batch keys rewrite — untouched directories
-      stay byte-identical);
+      stay byte-identical; the merge report flags geometry growth
+      past ~4x the derive curve);
+    - ``corpus_rebucket`` — 'rebucket the corpus store at /path'
+      (re-derive the bucket count from CURRENT rows and rewrite to
+      the run's output — never in place; restores constant
+      rows/bucket after merge-driven growth so merges stay
+      batch-cost);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -3895,6 +3946,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _INDEX_PATH_RE.search(query)   # paths keep their case
         return {"target": "bm25_index_append",
                 "index_path": m.group(1) if m else None}
+    if _REBUCKET_RE.search(ql):
+        m = _STORE_PATH_RE.search(query)   # paths keep their case
+        return {"target": "corpus_rebucket",
+                "store_path": m.group(1) if m else None}
     if _UPSERT_RE.search(ql):
         m = _STORE_PATH_RE.search(query)   # paths keep their case
         return {"target": "corpus_upsert",

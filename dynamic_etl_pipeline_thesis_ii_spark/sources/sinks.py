@@ -515,8 +515,12 @@ def save_corpus_store(df: DataFrame, path: str, key_col: str = "doc_id",
                          F.lit(n_buckets)).cast("int"))
     out.write.mode("overwrite").partitionBy("bucket").parquet(path)
     spark = df.sparkSession
-    spark.createDataFrame([(key_col, int(n_buckets))],
-                          "key_col string, n_buckets int") \
+    # rows_per_bucket rides along so later merges can estimate
+    # geometry growth against the store's own derive curve (older
+    # 2-column metas read fine — merge falls back to the default)
+    spark.createDataFrame(
+        [(key_col, int(n_buckets), int(rows_per_bucket))],
+        "key_col string, n_buckets int, rows_per_bucket int") \
         .coalesce(1).write.mode("overwrite") \
         .parquet(path.rstrip("/") + "_meta")
     return {"rows": n_rows, "n_buckets": int(n_buckets)}
@@ -578,7 +582,56 @@ def merge_into_corpus(spark: SparkSession, path: str,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        mode_before)
-    return {"buckets_touched": len(touched),
-            "rows_updated": n_existing - n_keep,
-            "rows_inserted": n_batch - (n_existing - n_keep),
-            "rows_kept": n_keep}
+    report = {"buckets_touched": len(touched),
+              "rows_updated": n_existing - n_keep,
+              "rows_inserted": n_batch - (n_existing - n_keep),
+              "rows_kept": n_keep}
+    # Geometry-growth advisory: the store's bucket count is frozen at
+    # save time, so a store grown far past its save-time size carries
+    # per-bucket rewrite units that grow with the corpus. Estimate
+    # rows/bucket from the buckets THIS merge already read (batch-cost
+    # — no full-store scan) and flag when it exceeds 4x the derive
+    # curve; the fix is :func:`rebucket_corpus_store`.
+    rows_per_bucket = (meta["rows_per_bucket"]
+                       if "rows_per_bucket" in meta.__fields__
+                       and meta["rows_per_bucket"] is not None
+                       else 100_000)
+    est = (n_keep + report["rows_updated"]) / len(touched)
+    report["est_rows_per_bucket"] = int(est)
+    if est > 4 * rows_per_bucket:
+        report["geometry_advisory"] = (
+            f"store averages ~{int(est)} rows/bucket across the "
+            f"{len(touched)} buckets this merge touched — over 4x the "
+            f"~{rows_per_bucket}/bucket derive curve. Merge rewrite "
+            f"units grow with the corpus under frozen geometry; run "
+            f"rebucket_corpus_store to restore constant-size buckets.")
+    return report
+
+
+def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
+                          rows_per_bucket: int = 100_000) -> dict:
+    """Re-derive a :func:`save_corpus_store` store's bucket geometry
+    from its CURRENT row count and rewrite it to ``dest`` (never in
+    place — the :func:`compact_snapshot` discipline: a failed
+    in-place rewrite would eat the store; callers swap paths on the
+    returned success). The SK2-for-SK5 face: ``merge_into_corpus``
+    honors frozen save-time geometry — correct per merge, but a store
+    grown N× through merges keeps its stale bucket count, so
+    per-bucket rewrite units grow N×. One full-store pass restores
+    the constant rows/bucket contract; afterwards merges against
+    ``dest`` are batch-cost again. Returns the new geometry plus the
+    before/after rows-per-bucket so callers can verify the ratio
+    dropped."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "_meta").first()
+    key_col, old_buckets = meta["key_col"], meta["n_buckets"]
+    df = spark.read.parquet(base).drop("bucket")
+    report = save_corpus_store(df, dest.rstrip("/"), key_col=key_col,
+                               rows_per_bucket=rows_per_bucket)
+    return {"rows": report["rows"],
+            "n_buckets_before": int(old_buckets),
+            "n_buckets_after": report["n_buckets"],
+            "rows_per_bucket_before": report["rows"] // max(1, old_buckets),
+            "rows_per_bucket_after":
+                report["rows"] // max(1, report["n_buckets"]),
+            "path": dest}

@@ -664,3 +664,100 @@ def test_corpus_store_merge_schema_guard(spark, tmp_path):
                                 "doc_id bigint, text string")
     with pytest.raises(SinkError, match="does not match"):
         merge_into_corpus(spark, store, bad)
+
+
+def test_corpus_store_rebucket_restores_geometry(spark, tmp_path):
+    """SK5 geometry-growth fix: a store grown ~16x through merges
+    keeps its stale save-time bucket count (the merge report says
+    so via the advisory); rebucket to a NEW path restores constant
+    rows/bucket, preserves content exactly, and merges against the
+    rebucketed store bucket with the NEW geometry."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        merge_into_corpus,
+        rebucket_corpus_store,
+        save_corpus_store,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)],
+        "doc_id bigint, text string")
+    rep = save_corpus_store(docs, store, rows_per_bucket=25)
+    assert rep["n_buckets"] == 8
+    # grow the store ~16x through merges (insert-only batches)
+    for e in range(1, 16):
+        batch = spark.createDataFrame(
+            [(e * 10000 + i, f"epoch {e} doc {i}") for i in range(200)],
+            "doc_id bigint, text string")
+        last = merge_into_corpus(spark, store, batch)
+    assert spark.read.parquet(store).count() == 3200
+    # frozen geometry: still 8 buckets -> ~400 rows/bucket, 16x the
+    # derive curve -> the advisory fires with the fix's name
+    assert last["est_rows_per_bucket"] > 4 * 25
+    assert "rebucket_corpus_store" in last["geometry_advisory"]
+
+    dest = str(tmp_path / "rebucketed")
+    rrep = rebucket_corpus_store(spark, store, dest,
+                                 rows_per_bucket=25)
+    assert rrep["rows"] == 3200
+    assert rrep["n_buckets_before"] == 8
+    assert rrep["n_buckets_after"] == 128          # 3200 / 25
+    assert rrep["rows_per_bucket_after"] == 25
+    assert rrep["rows_per_bucket_before"] == 400
+    # content parity: same (key, text) set, nothing lost or dup'd
+    a = sorted((r["doc_id"], r["text"]) for r in
+               spark.read.parquet(store).drop("bucket").collect())
+    b = sorted((r["doc_id"], r["text"]) for r in
+               spark.read.parquet(dest).drop("bucket").collect())
+    assert a == b
+    # merges against the rebucketed store use the NEW sidecar
+    # geometry and stay quiet (no advisory at the restored ratio)
+    m = merge_into_corpus(spark, dest, spark.createDataFrame(
+        [(0, "updated 0")], "doc_id bigint, text string"))
+    assert m["rows_updated"] == 1
+    assert "geometry_advisory" not in m
+    back = spark.read.parquet(dest)
+    assert back.count() == 3200
+    assert back.filter(F.col("doc_id") == 0).first()["text"] == "updated 0"
+
+
+def test_nl_corpus_rebucket(spark, tmp_path):
+    """'rebucket the corpus store at /path' routes, runs, and
+    rejects a missing path / missing store."""
+    import os
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        save_corpus_store,
+    )
+
+    assert parse_dataops_query("rebucket the corpus store at /s") \
+        == {"target": "corpus_rebucket", "store_path": "/s"}
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                            "/root/testdata/sf0.001")
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(300)],
+        "doc_id bigint, text string")
+    save_corpus_store(docs, store, rows_per_bucket=25)
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    dest = str(tmp_path / "out")
+    res = pipe.run_dataops(
+        f"rebucket the corpus store at {store}", sf_dir, dest)
+    assert res["status"] == "complete"
+    assert res["reports"]["n_buckets_before"] == 12
+    assert res["reports"]["rows"] == 300
+    assert spark.read.parquet(dest).count() == 300
+    r1 = pipe.run_dataops("rebucket the corpus store", sf_dir,
+                          str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "store path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"rebucket the corpus store at {tmp_path}/nope", sf_dir,
+        str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no corpus store" in r2["reason"]
