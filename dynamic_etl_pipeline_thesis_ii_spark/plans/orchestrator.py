@@ -934,9 +934,26 @@ class Pipeline:
         ranks.write.mode("overwrite").parquet(output_path)
         back = self.spark.read.parquet(output_path)      # read-back
         n = back.count()
-        top = [{"domain": r["domain"], "rank": r[score]}
-               for r in back.orderBy(F.col(score).desc(),
-                                     F.col("domain")).take(10)]
+        # mirrored report shape across both methods — (domain, score,
+        # in_degree) — so users can compare the two rankings from one
+        # target. PageRank's output carries in_degree already; the
+        # harmonic arm looks it up for just the top rows (one groupBy
+        # over the edges filtered to <= 10 domains — never the graph).
+        top_rows = back.orderBy(F.col(score).desc(),
+                                F.col("domain")).take(10)
+        if score == "harmonic":
+            doms = [r["domain"] for r in top_rows]
+            indeg = {r["dst"]: r["n"] for r in
+                     edges.filter(F.col("dst").isin(doms))
+                     .groupBy("dst")
+                     .agg(F.count(F.lit(1)).alias("n")).collect()}
+            top = [{"domain": r["domain"], "score": r[score],
+                    "in_degree": indeg.get(r["domain"], 0)}
+                   for r in top_rows]
+        else:
+            top = [{"domain": r["domain"], "score": r[score],
+                    "in_degree": r["in_degree"]}
+                   for r in top_rows]
         self.progress("publish", {"rows": n, "path": output_path})
         return {"status": "complete", "outputs": [ranks],
                 "reports": {"plan": dict(plan), "n_domains": n,
