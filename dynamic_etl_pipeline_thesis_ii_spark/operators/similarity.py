@@ -1045,6 +1045,74 @@ def ivfpq_append(centers_df: DataFrame, codebooks: list,
                         pq_codes(F.col("__resid"), codebooks).alias("codes"))
 
 
+def exact_l2_topk(queries: DataFrame, candidates: DataFrame, k: int,
+                  q_id: str = "q_id", c_id: str = "c_id",
+                  q_vec: str = "q_vec", c_vec: str = "c_vec",
+                  broadcast_queries: bool = True) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth an ANN tier is
+    judged against (IVF-PQ probes and ranks by squared L2, so its
+    recall must be measured against the same metric, not cosine).
+    The :func:`brute_force_topk` plan shape: candidates stream
+    through a broadcast of the (small) query set, the scored stream
+    pre-truncates per partition (:func:`_partition_topk` — vectors
+    never leave the scan), then one constant-size rank window."""
+    q = queries.select(q_id,
+                       F.col(q_vec).cast("array<double>").alias("__qv"))
+    c = candidates.select(c_id,
+                          F.col(c_vec).cast("array<double>").alias("__cv"))
+    j = c.join(F.broadcast(q) if broadcast_queries else q)
+    scored = j.select(F.col(q_id), F.col(c_id),
+                      F.round(_sq_l2(F.col("__qv"), F.col("__cv")), 6)
+                      .alias("dist"))
+    w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(),
+                                         F.col(c_id).asc())
+    return (_partition_topk(scored, k, by="dist", ascending=True,
+                            tie=c_id, q=q_id)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ann_recall_estimate(centers_df: DataFrame, codebooks: list,
+                        coded: DataFrame, queries: DataFrame,
+                        candidates: DataFrame, k: int = 10,
+                        n_probe: int = 2,
+                        rotation: list | None = None,
+                        rerank: int | None = None) -> dict:
+    """Recall@k telemetry for a prebuilt IVF-PQ index: the fraction
+    of the exact squared-L2 top-k the index search returns over a
+    QUERY SAMPLE — the production drift monitor that says when to
+    raise ``n_probe`` or rebuild, pairing with
+    :func:`pq_reconstruction_mse` exactly as faiss users watch
+    recall alongside quantization error. The measured pipeline is
+    the SERVED one — ADC pre-ranking plus the exact rerank tier
+    (``rerank`` defaults to 4·k, the ``_run_ann_search`` shape;
+    pass ``rerank=0`` to grade raw ADC ranking instead), so the
+    number answers "of the true top-k, how many does a user see".
+    The sample should be small (tens of queries): exact ground truth
+    costs one corpus scan per batch (|Q| broadcast), so the estimate
+    is cheap while the index keeps serving at codes-only cost.
+    Returns ``{recall_at_k, k, n_probe, rerank, n_queries,
+    pairs_exact, pairs_hit}`` — pairs_exact can fall short of |Q|·k
+    on corpora smaller than k."""
+    if rerank is None:
+        rerank = 4 * k
+    approx = ivfpq_search(centers_df, codebooks, coded, queries,
+                          k=k, n_probe=n_probe, rotation=rotation,
+                          rerank=rerank,
+                          candidates=candidates if rerank else None)
+    exact = exact_l2_topk(queries, candidates, k)
+    pairs_hit = (approx.select("q_id", "c_id")
+                 .join(exact.select("q_id", "c_id"),
+                       ["q_id", "c_id"]).count())
+    pairs_exact = exact.count()
+    n_queries = queries.select("q_id").distinct().count()
+    return {"recall_at_k": round(pairs_hit / pairs_exact, 4)
+            if pairs_exact else None,
+            "k": k, "n_probe": n_probe, "rerank": rerank,
+            "n_queries": n_queries,
+            "pairs_exact": pairs_exact, "pairs_hit": pairs_hit}
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space decontamination: the semantic complement of the
 # n-gram contamination_pairs/decontaminate in operators/dedup.py —

@@ -423,6 +423,8 @@ class Pipeline:
         if plan["target"] == "ann_index_append":
             return self._run_ann_index_append(plan, source_dir,
                                               output_path)
+        if plan["target"] == "ann_recall":
+            return self._run_ann_recall(plan, source_dir, output_path)
         if plan["target"] == "split_corpus":
             return self._run_split_corpus(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
@@ -3007,6 +3009,73 @@ class Pipeline:
                             "codes_appended": n_appended,
                             "codes_after": n_after}}
 
+    def _run_ann_recall(self, plan: dict, source_dir: str,
+                        output_path: str) -> dict:
+        """'estimate the recall of the ann index at /path, top 10,
+        probing 4 lists': recall@k telemetry for a persisted IVF-PQ
+        store (:func:`operators.similarity.ann_recall_estimate`) —
+        the drift monitor that says when to raise n_probe or rebuild
+        (quantizer drift loosens ADC as epochs append; this is the
+        recall-side twin of the reconstruction-MSE watch). A
+        deterministic hash-ordered sample of the source dir's
+        embeddings (assumed to be the indexed corpus, the same
+        contract the append target runs under) queries BOTH the
+        index and the exact scan; the sampled approximate hits land
+        at the sink and the report carries the recall. Cost: one
+        corpus scan against |sample| broadcast queries — cheap by
+        construction; the sample size caps it."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ann_recall_estimate,
+            ivfpq_search,
+            load_ivfpq_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("index_path"):
+            return {"status": "rejected",
+                    "reason": "recall estimation needs an index path "
+                              "('... of the ann index at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            centers, books, coded, rotation = load_ivfpq_index(
+                self.spark, plan["index_path"])
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no loadable index store at "
+                              f"{plan['index_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        emb = Catalog(self.spark, source_dir).embeddings
+        if emb.count() == 0:
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        # deterministic content-hash sample order (a bare limit would
+        # take whichever partitions answered first); limit = TakeOrdered
+        sample = (emb.orderBy(F.pmod(F.xxhash64("vec_id"),
+                                     F.lit(1_000_003)), "vec_id")
+                  .limit(plan["n_queries"]))
+        queries = sample.select(F.col("vec_id").alias("q_id"),
+                                F.col("embedding").alias("q_vec"))
+        cand = emb.select(F.col("vec_id").alias("c_id"),
+                          F.col("embedding").alias("c_vec"))
+        report = ann_recall_estimate(centers, books, coded, queries,
+                                     cand, k=plan["k"],
+                                     n_probe=plan["n_probe"],
+                                     rotation=rotation)
+        self.progress("recall", {"params": dict(plan), **report})
+        hits = ivfpq_search(centers, books, coded, queries,
+                            k=plan["k"], n_probe=plan["n_probe"],
+                            rotation=rotation,
+                            rerank=report["rerank"], candidates=cand)
+        hits.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()
+        self.progress("publish", {"rows": n_out, "path": output_path})
+        return {"status": "complete", "outputs": [hits],
+                "reports": {"plan": dict(plan), **report,
+                            "rows_written": n_out}}
+
     def _run_split_corpus(self, plan: dict, source_dir: str,
                           output_path: str) -> dict:
         """'split the corpus into train/val/test 80/10/10 without
@@ -3416,6 +3485,15 @@ _ANN_INDEX_BUILD_RE = re.compile(
 _ANN_INDEX_APPEND_RE = re.compile(
     r"\b(?:append|add)\b[^.]*\bto\s+the\s+"
     r"(?:ann\s+|ivf(?:-?pq)?\s+|vector\s+)?index\b")
+# 'estimate the recall of the ann index at /path, top 10, probing 4
+# lists, sampling 64 queries' — the index drift monitor
+_ANN_RECALL_RE = re.compile(
+    r"\brecall\s+of\s+the\s+(?:ann\s+|ivf(?:-?pq)?\s+|vector\s+)?"
+    r"index\b"
+    r"|\b(?:estimate|measure|check|report)\b[^.]*\bindex\b[^.]*"
+    r"\brecall\b")
+_PROBES_RE = re.compile(r"\bprobing\s+(\d+)\b|\b(\d+)\s+probes\b")
+_SAMPLE_Q_RE = re.compile(r"\bsampl(?:e|ing)\s+(\d+)\s+quer")
 # 'add the new documents to the retrieval index at /path': the
 # lexical epoch-grow face (append_bm25_index) — the explicit
 # retrieval/bm25/lexical/inverted qualifier keeps it disjoint from
@@ -3592,6 +3670,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       64 lists, with an opq rotation' (fit once, persist the complete
       centers/books/codes/rotation store; list count derives as
       sqrt(n) when unnamed);
+    - ``ann_recall`` — 'estimate the recall of the ann index at
+      /path, top 10, probing 4 lists, sampling 64 queries' (recall@k
+      of the persisted store against the exact squared-L2 scan over
+      a deterministic query sample — the drift monitor for when to
+      raise n_probe or rebuild; requires an index path);
     - ``ann_search`` — 'find the 10 nearest neighbors' / 'similarity
       search' (IVF-PQ self-kNN over the embeddings table with exact
       rerank; 'with an opq rotation' opts into the parametric OPQ
@@ -3974,6 +4057,20 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     if _STORE_BUILD_RE.search(ql):
         nb = int(m.group(1)) if (m := _BUCKETS_RE.search(ql)) else None
         return {"target": "corpus_store_build", "n_buckets": nb}
+    if _ANN_RECALL_RE.search(ql):
+        k = 10
+        if m := _ANN_K_RE.search(ql):
+            k = int(next(g for g in m.groups() if g))
+        n_probe = 2
+        if m := _PROBES_RE.search(ql):
+            n_probe = int(next(g for g in m.groups() if g))
+        nq = 32
+        if m := _SAMPLE_Q_RE.search(ql):
+            nq = int(m.group(1))
+        mi = _INDEX_PATH_RE.search(query)  # paths keep their case
+        return {"target": "ann_recall", "k": k, "n_probe": n_probe,
+                "n_queries": nq,
+                "index_path": mi.group(1) if mi else None}
     if _ANN_INDEX_APPEND_RE.search(ql):
         m = _INDEX_PATH_RE.search(query)   # paths keep their case
         return {"target": "ann_index_append",

@@ -1,0 +1,124 @@
+"""Recall@k telemetry for the persisted IVF-PQ store: the exact-L2
+ground-truth scan, the estimate's math, and the NL drift-monitor face
+('estimate the recall of the ann index at /path')."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_thesis_ii_spark.operators import similarity as SIM
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+    return Catalog(spark, SF).embeddings.persist()
+
+
+def test_exact_l2_topk_matches_numpy(spark, emb):
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    got = {(r["q_id"], r["rank"]): r["c_id"]
+           for r in SIM.exact_l2_topk(queries, cands, k=3).collect()}
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    for qi in range(5):
+        d = np.round(((X - X[qi]) ** 2).sum(axis=1), 6)
+        order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))
+        for rank, j in enumerate(order[:3], start=1):
+            assert got[(qi, rank)] == ids[j], (qi, rank)
+
+
+def test_recall_estimate_bounds_and_probe_monotonicity(spark, emb):
+    """The estimate grades the SERVED pipeline (ADC pre-rank + exact
+    rerank tier): with every list probed the search is exhaustive and
+    the rerank makes the top-k exact — recall 1.0; recall must never
+    DROP as n_probe grows, and the arithmetic must be consistent.
+    rerank=0 grades raw ADC, which can only be <= the served
+    number."""
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    centers, books, coded = SIM.ivfpq_build(cands, n_clusters=8, m=8,
+                                            k=16)
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    reps = {p: SIM.ann_recall_estimate(centers, books, coded, queries,
+                                       cands, k=5, n_probe=p)
+            for p in (1, 8)}
+    for p, r in reps.items():
+        assert r["n_queries"] == 8 and r["n_probe"] == p
+        assert r["rerank"] == 20                 # default 4k
+        assert r["pairs_exact"] == 40            # 8 queries x k=5
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["recall_at_k"] == round(
+            r["pairs_hit"] / r["pairs_exact"], 4)
+    assert reps[8]["recall_at_k"] >= reps[1]["recall_at_k"]
+    # raw ADC (rerank=0) can only be <= the served pipeline's number
+    raw = SIM.ann_recall_estimate(centers, books, coded, queries,
+                                  cands, k=5, n_probe=8, rerank=0)
+    assert raw["rerank"] == 0
+    assert raw["recall_at_k"] <= reps[8]["recall_at_k"]
+    # exactness pin: every list probed AND a rerank pool covering the
+    # whole corpus makes the search exhaustive-exact -> recall 1.0
+    full = SIM.ann_recall_estimate(centers, books, coded, queries,
+                                   cands, k=5, n_probe=8,
+                                   rerank=cands.count())
+    assert full["recall_at_k"] == 1.0
+
+
+def test_nl_ann_recall_lifecycle(spark, tmp_path):
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query(
+        "estimate the recall of the ann index at /idx, top 5, "
+        "probing 4 lists, sampling 16 queries") \
+        == {"target": "ann_recall", "k": 5, "n_probe": 4,
+            "n_queries": 16, "index_path": "/idx"}
+    # defaults
+    p = parse_dataops_query("measure the ann index recall")
+    assert p["target"] == "ann_recall" and p["k"] == 10 \
+        and p["n_probe"] == 2 and p["n_queries"] == 32
+    # the append target must not shadow it
+    assert parse_dataops_query(
+        "add the new vectors to the index at /idx")["target"] \
+        == "ann_index_append"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, SF))
+    idx = str(tmp_path / "idx")
+    res = pipe.run_dataops(
+        "build an ann index over the embeddings, 8 lists", SF, idx)
+    assert res["status"] == "complete"
+    out = str(tmp_path / "out")
+    res2 = pipe.run_dataops(
+        f"estimate the recall of the ann index at {idx}, top 5, "
+        f"probing 8 lists, sampling 16 queries", SF, out)
+    assert res2["status"] == "complete"
+    rep = res2["reports"]
+    assert rep["n_queries"] == 16 and rep["pairs_exact"] == 80
+    assert 0.0 < rep["recall_at_k"] <= 1.0
+    assert rep["rerank"] == 20                   # served shape: 4k
+    assert spark.read.parquet(out).count() == rep["rows_written"]
+    # rejections: no path / not an index store
+    r1 = pipe.run_dataops("estimate the recall of the ann index",
+                          SF, str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "index path" in r1["reason"]
+    r2 = pipe.run_dataops(
+        f"estimate the recall of the ann index at {tmp_path}/nope",
+        SF, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" \
+        and "no loadable index" in r2["reason"]
