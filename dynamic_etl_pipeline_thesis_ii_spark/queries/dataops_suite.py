@@ -808,6 +808,42 @@ def q_ann_pq(spark, sf_dir):
                       "rank")
 
 
+def q_ann_l2(spark, sf_dir):
+    """Exact squared-L2 top-k (N13's ground-truth scan as its own
+    oracle-checked arm): same 10 queries, k=3; the ``cos`` slot
+    carries -dist so the union schema and DESC ranking direction line
+    up with the cosine branches (the pq-arm convention)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    out = S.exact_l2_topk(queries, cands, k=3)
+    return out.select("q_id", "c_id",
+                      (F.round(-F.col("dist"), 6) + F.lit(0.0))
+                      .alias("cos"), "rank")
+
+
+# elementwise (qv-cv)^2 fold — the SAME per-element ops in the SAME
+# left-to-right order as the engine's F.aggregate/zip_with _sq_l2, so
+# the 6-dp-rounded doubles are engine-identical
+_SQL_SQL2 = ("round(list_aggregate(list_transform(list_zip(qv, cv), "
+             "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6)")
+
+ORACLE_ANN_L2 = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT q_id, c_id, {_SQL_SQL2} AS d FROM q, c)
+SELECT q_id, c_id, round(-d, 6) + 0.0 AS cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY d ASC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force, LSH-bucketed and PQ/ADC search in one tagged union
     (N1/N2/N4); bucket is null off the lsh branch. The three arms each
@@ -829,7 +865,11 @@ def q_ann_topk(spark, sf_dir):
           .select(F.lit("pq").alias("method"), "q_id",
                   F.lit(None).cast("long").alias("bucket"),
                   "c_id", "cos", "rank"))
-    return br.unionByName(ls).unionByName(pq)
+    l2 = (q_ann_l2(spark, sf_dir)
+          .select(F.lit("l2").alias("method"), "q_id",
+                  F.lit(None).cast("long").alias("bucket"),
+                  "c_id", "cos", "rank"))
+    return br.unionByName(ls).unionByName(pq).unionByName(l2)
 
 
 def _sql_pq_branch() -> str:
@@ -891,6 +931,9 @@ FROM ({ORACLE_ANN_LSH_BUCKET})
 UNION ALL
 SELECT 'pq', q_id, CAST(NULL AS BIGINT), c_id, cos, rank
 FROM ({_sql_pq_branch()})
+UNION ALL
+SELECT 'l2', q_id, CAST(NULL AS BIGINT), c_id, cos, rank
+FROM ({ORACLE_ANN_L2})
 """
 
 
