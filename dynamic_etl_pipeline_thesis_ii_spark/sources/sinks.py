@@ -623,6 +623,12 @@ def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
     before/after rows-per-bucket so callers can verify the ratio
     dropped."""
     base = path.rstrip("/")
+    if dest.rstrip("/") == base:
+        raise SinkError(
+            "rebucket must write to a NEW path — an in-place rewrite "
+            "would read the files it is replacing and eat the store "
+            "on failure; pass a fresh dest and swap pointers on "
+            "success")
     meta = spark.read.parquet(base + "_meta").first()
     key_col, old_buckets = meta["key_col"], meta["n_buckets"]
     df = spark.read.parquet(base).drop("bucket")

@@ -761,3 +761,19 @@ def test_nl_corpus_rebucket(spark, tmp_path):
         f"rebucket the corpus store at {tmp_path}/nope", sf_dir,
         str(tmp_path / "o2"))
     assert r2["status"] == "rejected" and "no corpus store" in r2["reason"]
+
+
+def test_rebucket_rejects_in_place(spark, tmp_path):
+    import pytest as _pytest
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        SinkError,
+        rebucket_corpus_store,
+        save_corpus_store,
+    )
+
+    store = str(tmp_path / "s")
+    save_corpus_store(spark.createDataFrame(
+        [(1, "a")], "doc_id bigint, text string"), store)
+    with _pytest.raises(SinkError, match="NEW path"):
+        rebucket_corpus_store(spark, store, store + "/")
