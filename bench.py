@@ -58,7 +58,9 @@ HEADLINE = [
                                # tagged union of r11's dedup_substring
                                # + decon_spans (registry window fold,
                                # r12); timing covers both combined
-    "ann_topk",
+    "ann_topk",                # gained the exact-L2 oracle arm in r12
+                               # (4 branches now — compare r-over-r
+                               # with that extra ~0.5s in mind)
     "retrieval_hybrid",        # BM25 + dense cosine, RRF-fused (T18)
     "text_metrics",
     "text_license_scan",       # license flags + governance rollup (T19)
