@@ -777,3 +777,26 @@ def test_rebucket_rejects_in_place(spark, tmp_path):
         [(1, "a")], "doc_id bigint, text string"), store)
     with _pytest.raises(SinkError, match="NEW path"):
         rebucket_corpus_store(spark, store, store + "/")
+
+
+def test_merge_advisory_tolerates_legacy_two_column_meta(spark, tmp_path):
+    """Stores saved before the rows_per_bucket sidecar column still
+    merge fine — the advisory falls back to the default curve."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        merge_into_corpus,
+        save_corpus_store,
+    )
+
+    store = str(tmp_path / "s")
+    save_corpus_store(spark.createDataFrame(
+        [(i, f"t {i}") for i in range(100)],
+        "doc_id bigint, text string"), store, n_buckets=4)
+    # rewrite the sidecar in the pre-r12 2-column shape
+    spark.createDataFrame([("doc_id", 4)],
+                          "key_col string, n_buckets int") \
+        .coalesce(1).write.mode("overwrite").parquet(store + "_meta")
+    rep = merge_into_corpus(spark, store, spark.createDataFrame(
+        [(1, "upd")], "doc_id bigint, text string"))
+    assert rep["rows_updated"] == 1
+    assert rep["est_rows_per_bucket"] > 0
+    assert "geometry_advisory" not in rep   # 25 rows/bucket << 4x100k
