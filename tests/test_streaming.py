@@ -1464,3 +1464,40 @@ def test_streaming_hash_embed_parity(spark, tmp_path):
     want = {r["id"]: tuple(r["embedding"])
             for r in hash_embed(batch, dim=32).collect()}
     assert got == want and len(got) == 2
+
+
+def test_streaming_license_scan_parity(spark, tmp_path):
+    """license_scan (T19) is pure column expressions — it lifts onto
+    a stream unchanged: per-doc flags + most-restrictive class match
+    the batch run row-for-row."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
+        license_scan,
+    )
+
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "code under the MIT License, see LICENSE"},
+        {"doc_id": 2, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "GNU General Public License v3 applies"},
+        {"doc_id": 3, "ts": "2024-01-01T10:02:00.000Z",
+         "text": "plain prose with no markers at all"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    stream = (spark.readStream.format("json")
+              .schema(S.DOC_STREAM_SCHEMA).load(d)
+              .select("doc_id", "text"))
+    out = license_scan(stream)
+    assert out.isStreaming
+    S.run_available_now(out, "license_stream_test",
+                        checkpoint_dir=str(tmp_path / "ckpt_lic"))
+    got = {tuple(r) for r in spark.table("license_stream_test").collect()}
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows],
+        "doc_id long, text string")
+    want = {tuple(r) for r in license_scan(batch).collect()}
+    assert got == want and len(got) == 3
+    classes = {r[0]: r for r in spark.table("license_stream_test")
+               .select("id", "license_class").collect()}
+    assert classes[1]["license_class"] == "permissive"
+    assert classes[2]["license_class"] == "copyleft"
