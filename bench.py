@@ -840,6 +840,55 @@ def scale_probe(spark, factors: list[int]) -> dict:
         bm_queries.unpersist()
         shutil.rmtree(bm_root, ignore_errors=True)
 
+    # hybrid: two-tower retrieval (T18) — 3 fixed (text, vector)
+    # queries against the factor-f corpus (word-salted docs + sign-
+    # flip-decorrelated embeddings). Both towers broadcast the query
+    # set and scan the corpus ONCE each (BM25's own (id, tok) agg +
+    # the brute cosine scan), fusion is |Q|·k_pool rows — wall must
+    # stay ~linear in the corpus with rows out FLAT at |Q|·k.
+    hy_q = (emb.filter(F.col("vec_id") < 3)
+            .select((F.col("vec_id") + 1).alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+    hy_qtext = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "hash join table"),
+         (3, "stream batch merge line")],
+        "query_id bigint, query_text string")
+    hy_queries = hy_qtext.join(hy_q, "query_id").persist()
+    hy_queries.count()
+    out["hybrid"] = []
+    for f in factors:
+        dreps = [base.select(
+                     (F.col("doc_id") * f + i).alias("doc_id"),
+                     (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+                      if i else F.col("text")).alias("text"))
+                 for i in range(f)]
+        docs_f = dreps[0]
+        for r in dreps[1:]:
+            docs_f = docs_f.unionAll(r)
+        ereps = []
+        for i in range(f):
+            v = (F.col("embedding") if i == 0 else
+                 F.transform("embedding", _flip(i)))
+            ereps.append(emb.select(
+                (F.col("vec_id") * f + i).alias("c_id"),
+                v.alias("c_vec")))
+        cand_f = ereps[0]
+        for r in ereps[1:]:
+            cand_f = cand_f.unionAll(r)
+        docs_f, cand_f = docs_f.persist(), cand_f.persist()
+        n = docs_f.count() + cand_f.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = S.hybrid_topk(docs_f, cand_f, hy_queries,
+                              k=8, k_pool=12).count()
+            best = min(best, time.perf_counter() - t0)
+        out["hybrid"].append({"factor": f, "n_docs": n,
+                              "candidates": c, "sec": round(best, 3)})
+        docs_f.unpersist()
+        cand_f.unpersist()
+    hy_queries.unpersist()
+
     # substrinc: incremental ExactSubstr probe — passage snapshot
     # built over the factor-f corpus at setup; timed work probes a
     # FIXED 100-doc batch. The batch's shuffle work is flat, but the
@@ -1017,7 +1066,8 @@ def main() -> None:
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
                 "imgdedup", "auddedup", "viddedup", "vcontain",
-                "zorder", "upsert", "bm25", "substrinc", "pagerank")
+                "zorder", "upsert", "bm25", "hybrid", "substrinc",
+                "pagerank")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:
