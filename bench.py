@@ -295,20 +295,25 @@ def scale_probe(spark, factors: list[int]) -> dict:
                 .alias("input_ids")),
             seq_len=256, id_col="doc_id", n_buckets=32),
     }
-    out: dict[str, list] = {m: [] for m in methods}
-    for f in factors:
-        # replica i appends "~i" to every word: replicas share no
-        # shingles with each other, so the corpus at factor f has ~f x
-        # the base corpus's near-dup structure — linear, not quadratic
+    def _salted_docs(f: int):
+        """factor-f corpus: replica i appends "~i" to every word, so
+        replicas share no shingles with each other and the corpus at
+        factor f has ~f x the base corpus's near-dup structure —
+        linear, not quadratic. ONE recipe shared by the main method
+        loop and the bm25/hybrid store probes."""
         reps = [base.select(
                     (F.col("doc_id") * f + i).alias("doc_id"),
                     (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
                      if i else F.col("text")).alias("text"))
                 for i in range(f)]
-        corpus = reps[0]
+        out_df = reps[0]
         for r in reps[1:]:
-            corpus = corpus.unionAll(r)
-        corpus = corpus.persist()
+            out_df = out_df.unionAll(r)
+        return out_df
+
+    out: dict[str, list] = {m: [] for m in methods}
+    for f in factors:
+        corpus = _salted_docs(f).persist()
         n = corpus.count()
         # min-of-N (default 2): a single timing at the 16x tier is
         # vulnerable to box contention — a one-off 3x outlier reads as
@@ -371,27 +376,32 @@ def scale_probe(spark, factors: list[int]) -> dict:
         return lambda x, j: (x * (1 - 2 * F.pmod(
             F.hash(j, F.lit(i)), F.lit(2)))).cast("float")
 
-    out["semdedup"] = []
-    # cluster: standalone corpus clustering (N11) over the same
-    # decorrelated replicas — n_clusters scales 16*f (constant target
-    # cluster size), rows out EXACTLY linear (one assignment per
-    # vector), wall ~linear: the distributed k-means fit dominates and
-    # Lloyd's per-iteration cost is n*k*d with k growing as f only
-    # because we hold cluster SIZE constant; the scoring join
-    # broadcasts the centers.
-    out["cluster"] = []
-    for f in factors:
+    def _flipped_embs(f: int, id_name: str, vec_name: str):
+        """factor-f embeddings with sign-flip-decorrelated replicas
+        (within-replica cosines preserved exactly, cross-replica ~0)
+        — the ONE recipe shared by the semdedup/cluster and hybrid
+        probes."""
         reps = []
         for i in range(f):
             v = (F.col("embedding") if i == 0 else
                  F.transform("embedding", _flip(i)))
             reps.append(emb.select(
-                (F.col("vec_id") * f + i).alias("vec_id"),
-                v.alias("embedding")))
-        cand = reps[0]
+                (F.col("vec_id") * f + i).alias(id_name),
+                v.alias(vec_name)))
+        out_df = reps[0]
         for r in reps[1:]:
-            cand = cand.unionAll(r)
-        cand = cand.persist()
+            out_df = out_df.unionAll(r)
+        return out_df
+
+    out["semdedup"] = []
+    # cluster: standalone corpus clustering (N11) over the same
+    # decorrelated replicas — n_clusters scales 16*f (constant target
+    # cluster size), rows out EXACTLY linear (one assignment per
+    # vector), wall ~linear: the k-means fit is sample-bounded (r12)
+    # and the scoring join broadcasts the centers.
+    out["cluster"] = []
+    for f in factors:
+        cand = _flipped_embs(f, "vec_id", "embedding").persist()
         n = cand.count()
         best, c = float("inf"), 0
         for _ in range(probe_rep):
@@ -816,14 +826,7 @@ def scale_probe(spark, factors: list[int]) -> dict:
     try:
         out["bm25"] = []
         for f in factors:
-            reps = [base.select(
-                        (F.col("doc_id") * f + i).alias("doc_id"),
-                        (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
-                         if i else F.col("text")).alias("text"))
-                    for i in range(f)]
-            corpus = reps[0]
-            for r in reps[1:]:
-                corpus = corpus.unionAll(r)
+            corpus = _salted_docs(f)
             n = corpus.count()
             idx = os.path.join(bm_root, f"f{f}")
             T.save_bm25_index(corpus, idx)
@@ -857,25 +860,8 @@ def scale_probe(spark, factors: list[int]) -> dict:
     hy_queries.count()
     out["hybrid"] = []
     for f in factors:
-        dreps = [base.select(
-                     (F.col("doc_id") * f + i).alias("doc_id"),
-                     (F.regexp_replace("text", r"(\S+)", f"$1~{i}")
-                      if i else F.col("text")).alias("text"))
-                 for i in range(f)]
-        docs_f = dreps[0]
-        for r in dreps[1:]:
-            docs_f = docs_f.unionAll(r)
-        ereps = []
-        for i in range(f):
-            v = (F.col("embedding") if i == 0 else
-                 F.transform("embedding", _flip(i)))
-            ereps.append(emb.select(
-                (F.col("vec_id") * f + i).alias("c_id"),
-                v.alias("c_vec")))
-        cand_f = ereps[0]
-        for r in ereps[1:]:
-            cand_f = cand_f.unionAll(r)
-        docs_f, cand_f = docs_f.persist(), cand_f.persist()
+        docs_f = _salted_docs(f).persist()
+        cand_f = _flipped_embs(f, "c_id", "c_vec").persist()
         n = docs_f.count() + cand_f.count()
         best, c = float("inf"), 0
         for _ in range(probe_rep):

@@ -46,15 +46,23 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
 def _lloyd_numpy(X, k: int, iters: int = 20):
     """Deterministic driver-side Lloyd over a bounded training sample
     (the :func:`pq_train` discipline, applied to the coarse
-    quantizer): init takes evenly-spaced points in lexicographic
-    order, distances go through one BLAS GEMM per iteration, empty
-    clusters keep their previous center. Cost is sample·k·d per
-    iteration — independent of the corpus size."""
+    quantizer): maximin (farthest-point) init — the first point in
+    lexicographic order seeds, each next center is the sample point
+    farthest from its nearest chosen center (deterministic, and
+    unlike evenly-spaced-in-sort-order it cannot seed two centers
+    inside one dense cluster and merge blobs) — then Lloyd with one
+    BLAS GEMM per iteration; empty clusters keep their previous
+    center. Cost is sample·k·d per iteration (init is one extra
+    Lloyd-iteration equivalent) — independent of the corpus size."""
     import numpy as np
 
     order = np.lexsort(X.T[::-1])
-    init_idx = order[np.linspace(0, len(X) - 1, k).astype(int)]
-    cent = X[init_idx].copy()
+    cent = np.empty((k, X.shape[1]), dtype=X.dtype)
+    cent[0] = X[order[0]]
+    d2min = ((X - cent[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        cent[j] = X[d2min.argmax()]
+        d2min = np.minimum(d2min, ((X - cent[j]) ** 2).sum(axis=1))
     for _ in range(iters):
         # ||x||^2 constant per row — can't change the argmin, skip it
         d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
@@ -107,16 +115,27 @@ def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
     cap = (min(max_fit_per_cluster * n_clusters,
                max_fit_vectors or float("inf"))
            if max_fit_per_cluster else float("inf"))
+    if cap != float("inf"):
+        # keep the expected sample meaningfully above k even when a
+        # small max_fit_vectors collides with a huge n_clusters —
+        # ~1 point/cluster would be a degenerate fit, not a bounded one
+        cap = max(cap, 4 * n_clusters)
     n = candidates.count() if cap != float("inf") else 0
     spark = candidates.sparkSession
 
     if n > max(cap, n_clusters):
         import numpy as np
 
-        mod = 1_000_000
+        # 31-bit modulus: a 10^6 modulus underflows the threshold to
+        # 0 (empty sample -> silent fall-through to the quadratic
+        # full fit) once n > cap*10^6; 2^31 pushes that past 10^14
+        # vectors, and the max(1, ...) keeps the draw non-empty even
+        # there (expected size then degrades toward n/2^31 ~ cap/2)
+        mod = 1 << 31
         sample = (candidates
                   .filter(F.pmod(F.hash(F.col(c_vec), F.lit(seed)),
-                                 F.lit(mod)) < int(cap / n * mod))
+                                 F.lit(mod))
+                          < max(1, int(cap / n * mod)))
                   .select(F.col(c_vec).cast("array<double>").alias("v"))
                   .collect())
         if len(sample) >= n_clusters:
@@ -134,10 +153,18 @@ def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
                         .withColumn("__cn", l2norm(
                             F.col(c_vec).cast("array<double>"))))
             return centers_df, bucketed
-        # hash-threshold sampling is approximate; Lloyd needs at least
-        # k points, so a short draw (possible only on tiny/degenerate
-        # inputs — the cap is >> k by construction) falls through to
-        # the full fit
+        if n > 16 * cap:
+            # a short draw on a HUGE corpus means the sampling is
+            # misconfigured (e.g. max_fit_vectors << k) — falling
+            # through would silently run the O(n²·d) full fit the
+            # bound exists to prevent
+            raise ValueError(
+                f"ivf_build sample drew {len(sample)} < k={n_clusters}"
+                f" vectors from n={n} (cap={int(cap)}); raise "
+                f"max_fit_vectors/max_fit_per_cluster instead of "
+                f"falling back to the full-corpus fit")
+        # short draw on a smallish corpus (n <= 16*cap): the full
+        # distributed fit is affordable — fall through
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1077,7 +1104,8 @@ def ann_recall_estimate(centers_df: DataFrame, codebooks: list,
                         candidates: DataFrame, k: int = 10,
                         n_probe: int = 2,
                         rotation: list | None = None,
-                        rerank: int | None = None) -> dict:
+                        rerank: int | None = None,
+                        return_hits: bool = False):
     """Recall@k telemetry for a prebuilt IVF-PQ index: the fraction
     of the exact squared-L2 top-k the index search returns over a
     QUERY SAMPLE — the production drift monitor that says when to
@@ -1093,24 +1121,40 @@ def ann_recall_estimate(centers_df: DataFrame, codebooks: list,
     is cheap while the index keeps serving at codes-only cost.
     Returns ``{recall_at_k, k, n_probe, rerank, n_queries,
     pairs_exact, pairs_hit}`` — pairs_exact can fall short of |Q|·k
-    on corpora smaller than k."""
+    on corpora smaller than k. With ``return_hits=True`` returns
+    ``(report, hits)`` where hits is the (cached) index-search frame
+    the estimate graded — callers that also want to persist the
+    sampled answers reuse it instead of re-running the search."""
     if rerank is None:
         rerank = 4 * k
+    # both frames feed two actions each (the hit join + their own
+    # counts) — cache so the corpus pays ONE exact scan and ONE index
+    # search, as the docstring prices it
     approx = ivfpq_search(centers_df, codebooks, coded, queries,
                           k=k, n_probe=n_probe, rotation=rotation,
                           rerank=rerank,
-                          candidates=candidates if rerank else None)
-    exact = exact_l2_topk(queries, candidates, k)
-    pairs_hit = (approx.select("q_id", "c_id")
-                 .join(exact.select("q_id", "c_id"),
-                       ["q_id", "c_id"]).count())
-    pairs_exact = exact.count()
-    n_queries = queries.select("q_id").distinct().count()
-    return {"recall_at_k": round(pairs_hit / pairs_exact, 4)
-            if pairs_exact else None,
-            "k": k, "n_probe": n_probe, "rerank": rerank,
-            "n_queries": n_queries,
-            "pairs_exact": pairs_exact, "pairs_hit": pairs_hit}
+                          candidates=candidates if rerank else None
+                          ).persist()
+    exact = exact_l2_topk(queries, candidates, k).persist()
+    try:
+        pairs_hit = (approx.select("q_id", "c_id")
+                     .join(exact.select("q_id", "c_id"),
+                           ["q_id", "c_id"]).count())
+        pairs_exact = exact.count()
+        n_queries = queries.select("q_id").distinct().count()
+        report = {"recall_at_k": round(pairs_hit / pairs_exact, 4)
+                  if pairs_exact else None,
+                  "k": k, "n_probe": n_probe, "rerank": rerank,
+                  "n_queries": n_queries,
+                  "pairs_exact": pairs_exact, "pairs_hit": pairs_hit}
+        if return_hits:
+            # caller takes ownership of the cached hits frame
+            return report, approx
+        return report
+    finally:
+        exact.unpersist()
+        if not return_hits:
+            approx.unpersist()
 
 
 # ---------------------------------------------------------------------------

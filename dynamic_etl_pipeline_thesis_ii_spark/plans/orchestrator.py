@@ -3026,7 +3026,6 @@ class Pipeline:
         construction; the sample size caps it."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
             ann_recall_estimate,
-            ivfpq_search,
             load_ivfpq_index,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
@@ -3060,16 +3059,16 @@ class Pipeline:
                                 F.col("embedding").alias("q_vec"))
         cand = emb.select(F.col("vec_id").alias("c_id"),
                           F.col("embedding").alias("c_vec"))
-        report = ann_recall_estimate(centers, books, coded, queries,
-                                     cand, k=plan["k"],
-                                     n_probe=plan["n_probe"],
-                                     rotation=rotation)
+        report, hits = ann_recall_estimate(centers, books, coded,
+                                           queries, cand, k=plan["k"],
+                                           n_probe=plan["n_probe"],
+                                           rotation=rotation,
+                                           return_hits=True)
         self.progress("recall", {"params": dict(plan), **report})
-        hits = ivfpq_search(centers, books, coded, queries,
-                            k=plan["k"], n_probe=plan["n_probe"],
-                            rotation=rotation,
-                            rerank=report["rerank"], candidates=cand)
+        # hits is the CACHED frame the estimate graded — write it
+        # instead of re-running the identical index search
         hits.write.mode("overwrite").parquet(output_path)
+        hits.unpersist()
         n_out = self.spark.read.parquet(output_path).count()
         self.progress("publish", {"rows": n_out, "path": output_path})
         return {"status": "complete", "outputs": [hits],

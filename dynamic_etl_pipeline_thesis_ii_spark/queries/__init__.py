@@ -70,11 +70,15 @@ def all_queries():
     oracles = all_oracles()
     ordered = {k: v for k, v in out.items() if k in oracles}
     ordered.update({k: v for k, v in out.items() if k not in oracles})
-    assert len(ordered) <= MAX_REGISTRY, (
-        f"query registry has {len(ordered)} entries — the driver records "
-        f"only the first 50, so keep <= {MAX_REGISTRY}. Fold the new "
-        f"query into an existing branch-tagged family union instead "
-        f"(see this docstring).")
+    if len(ordered) > MAX_REGISTRY:
+        # a raise, not an assert: asserts vanish under python -O and
+        # the overflow would go back to silently truncating the
+        # driver record
+        raise RuntimeError(
+            f"query registry has {len(ordered)} entries — the driver "
+            f"records only the first 50, so keep <= {MAX_REGISTRY}. "
+            f"Fold the new query into an existing branch-tagged "
+            f"family union instead (see this docstring).")
     return ordered
 
 

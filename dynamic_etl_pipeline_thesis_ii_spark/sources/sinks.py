@@ -561,7 +561,8 @@ def merge_into_corpus(spark: SparkSession, path: str,
                      batchb.select("bucket").distinct().collect())
     if not touched:          # empty batch: nothing to read or write
         return {"buckets_touched": 0, "rows_updated": 0,
-                "rows_inserted": 0, "rows_kept": 0}
+                "rows_inserted": 0, "rows_kept": 0,
+                "est_rows_per_bucket": 0}
     batch_keys = batchb.select(key_col).distinct()
     existing = (spark.read.parquet(base)
                 .filter(F.col("bucket").isin(touched)))
@@ -609,7 +610,7 @@ def merge_into_corpus(spark: SparkSession, path: str,
 
 
 def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
-                          rows_per_bucket: int = 100_000) -> dict:
+                          rows_per_bucket: int | None = None) -> dict:
     """Re-derive a :func:`save_corpus_store` store's bucket geometry
     from its CURRENT row count and rewrite it to ``dest`` (never in
     place — the :func:`compact_snapshot` discipline: a failed
@@ -619,11 +620,20 @@ def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
     grown N× through merges keeps its stale bucket count, so
     per-bucket rewrite units grow N×. One full-store pass restores
     the constant rows/bucket contract; afterwards merges against
-    ``dest`` are batch-cost again. Returns the new geometry plus the
-    before/after rows-per-bucket so callers can verify the ratio
-    dropped."""
+    ``dest`` are batch-cost again. ``rows_per_bucket`` defaults to the
+    STORE's own saved derive curve (the meta sidecar) so the rebucket
+    restores the geometry the store was built with, not a generic
+    default. Returns the new geometry plus the before/after
+    rows-per-bucket so callers can verify the ratio dropped."""
+    import os as _os
+
     base = path.rstrip("/")
-    if dest.rstrip("/") == base:
+    # compare RESOLVED paths, not strings: '/data//store', a relative
+    # alias or a symlink would slip past a string check and the
+    # overwrite would eat the very files the lazy read still needs
+    if (dest.rstrip("/") == base
+            or _os.path.realpath(dest.rstrip("/"))
+            == _os.path.realpath(base)):
         raise SinkError(
             "rebucket must write to a NEW path — an in-place rewrite "
             "would read the files it is replacing and eat the store "
@@ -631,6 +641,11 @@ def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
             "success")
     meta = spark.read.parquet(base + "_meta").first()
     key_col, old_buckets = meta["key_col"], meta["n_buckets"]
+    if rows_per_bucket is None:
+        rows_per_bucket = (meta["rows_per_bucket"]
+                           if "rows_per_bucket" in meta.__fields__
+                           and meta["rows_per_bucket"] is not None
+                           else 100_000)
     df = spark.read.parquet(base).drop("bucket")
     report = save_corpus_store(df, dest.rstrip("/"), key_col=key_col,
                                rows_per_bucket=rows_per_bucket)
