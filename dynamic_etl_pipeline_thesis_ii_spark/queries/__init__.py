@@ -46,9 +46,10 @@ def all_queries():
     (few) rows-only ones, and the total registry is kept at <= 49 to leave
     headroom (round 6 briefly hit 51 and `integrate_pipeline` silently
     dropped out of CORRECTNESS_r06; round 11 hit 54 and the driver dropped
-    both source entries — the budget is now ENFORCED by the assert below,
-    so an overflow fails loudly at import instead of silently shrinking
-    the driver record). When adding an operator, prefer a branch-tagged
+    both source entries — the budget is now ENFORCED by the RuntimeError
+    below, so an overflow fails loudly at import instead of silently
+    shrinking the driver record). When adding an operator, prefer a
+    branch-tagged
     arm on an existing family union (`dedup_neardup_pairs`, `dedup_spans`,
     `text_pii_scrub`, `text_corpus_stats`, `sample_deterministic`,
     `src_parse_normalize`, `union_schema_match`) over a new entry. The
