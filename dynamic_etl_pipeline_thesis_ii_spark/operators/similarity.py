@@ -1157,6 +1157,61 @@ def ann_recall_estimate(centers_df: DataFrame, codebooks: list,
             approx.unpersist()
 
 
+def ann_nprobe_tune(centers_df: DataFrame, codebooks: list,
+                    coded: DataFrame, queries: DataFrame,
+                    candidates: DataFrame, k: int = 10,
+                    target_recall: float = 0.9,
+                    rotation: list | None = None,
+                    rerank: int | None = None) -> dict:
+    """Auto-tune ``n_probe`` for a recall target — the knob faiss
+    users turn by hand, closed into a loop: double n_probe
+    (1, 2, 4, … up to the list count) measuring recall@k against ONE
+    exact ground-truth scan (computed once, cached, shared by every
+    step — each extra step costs only a codes-only index search over
+    the query sample), stop at the first n_probe meeting
+    ``target_recall``. Returns ``{chosen_n_probe, target_recall,
+    achieved_recall, target_met, curve}`` with the full
+    (n_probe → recall) curve so callers see the marginal gain per
+    doubling; when even exhaustive probing misses the target (ADC
+    quantization is the ceiling — raise ``rerank`` or rebuild with
+    more lists/finer codebooks) ``target_met`` is False and the
+    exhaustive setting is returned."""
+    if rerank is None:
+        rerank = 4 * k
+    n_lists = centers_df.count()
+    exact = exact_l2_topk(queries, candidates, k).persist()
+    try:
+        pairs_exact = exact.count()
+        curve = []
+        chosen, achieved = None, None
+        p = 1
+        while True:
+            p = min(p, n_lists)
+            approx = ivfpq_search(
+                centers_df, codebooks, coded, queries, k=k,
+                n_probe=p, rotation=rotation, rerank=rerank,
+                candidates=candidates if rerank else None)
+            hit = (approx.select("q_id", "c_id")
+                   .join(exact.select("q_id", "c_id"),
+                         ["q_id", "c_id"]).count())
+            rec = round(hit / pairs_exact, 4) if pairs_exact else None
+            curve.append({"n_probe": p, "recall": rec})
+            chosen, achieved = p, rec
+            if rec is not None and rec >= target_recall:
+                break
+            if p >= n_lists:
+                break
+            p *= 2
+        return {"chosen_n_probe": chosen,
+                "target_recall": target_recall,
+                "achieved_recall": achieved,
+                "target_met": achieved is not None
+                and achieved >= target_recall,
+                "k": k, "rerank": rerank, "curve": curve}
+    finally:
+        exact.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space decontamination: the semantic complement of the
 # n-gram contamination_pairs/decontaminate in operators/dedup.py —

@@ -425,6 +425,8 @@ class Pipeline:
                                               output_path)
         if plan["target"] == "ann_recall":
             return self._run_ann_recall(plan, source_dir, output_path)
+        if plan["target"] == "ann_tune":
+            return self._run_ann_tune(plan, source_dir, output_path)
         if plan["target"] == "split_corpus":
             return self._run_split_corpus(plan, source_dir, output_path)
         if plan["target"] == "dsir_select":
@@ -3009,23 +3011,14 @@ class Pipeline:
                             "codes_appended": n_appended,
                             "codes_after": n_after}}
 
-    def _run_ann_recall(self, plan: dict, source_dir: str,
-                        output_path: str) -> dict:
-        """'estimate the recall of the ann index at /path, top 10,
-        probing 4 lists': recall@k telemetry for a persisted IVF-PQ
-        store (:func:`operators.similarity.ann_recall_estimate`) —
-        the drift monitor that says when to raise n_probe or rebuild
-        (quantizer drift loosens ADC as epochs append; this is the
-        recall-side twin of the reconstruction-MSE watch). A
-        deterministic hash-ordered sample of the source dir's
-        embeddings (assumed to be the indexed corpus, the same
-        contract the append target runs under) queries BOTH the
-        index and the exact scan; the sampled approximate hits land
-        at the sink and the report carries the recall. Cost: one
-        corpus scan against |sample| broadcast queries — cheap by
-        construction; the sample size caps it."""
+    def _load_index_and_query_sample(self, plan: dict,
+                                     source_dir: str, noun: str):
+        """Shared front door of the index-telemetry targets
+        (`ann_recall`, `ann_tune`): load the persisted IVF-PQ store
+        and draw the deterministic query sample from the source
+        dir's embeddings. Returns the rejection dict on failure,
+        else ``(centers, books, coded, rotation, queries, cand)``."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
-            ann_recall_estimate,
             load_ivfpq_index,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
@@ -3034,8 +3027,8 @@ class Pipeline:
 
         if not plan.get("index_path"):
             return {"status": "rejected",
-                    "reason": "recall estimation needs an index path "
-                              "('... of the ann index at /path')",
+                    "reason": f"{noun} needs an index path "
+                              f"('... the ann index at /path')",
                     "outputs": [], "reports": {"plan": dict(plan)}}
         try:
             centers, books, coded, rotation = load_ivfpq_index(
@@ -3059,6 +3052,70 @@ class Pipeline:
                                 F.col("embedding").alias("q_vec"))
         cand = emb.select(F.col("vec_id").alias("c_id"),
                           F.col("embedding").alias("c_vec"))
+        return centers, books, coded, rotation, queries, cand
+
+    def _run_ann_tune(self, plan: dict, source_dir: str,
+                      output_path: str) -> dict:
+        """'tune the ann index at /path for recall 0.9': close the
+        n_probe knob into a loop against the recall telemetry
+        (:func:`operators.similarity.ann_nprobe_tune`) — double
+        n_probe until the sampled recall@k meets the target or
+        probing is exhaustive. The (n_probe, recall) curve lands at
+        the sink and in the report; when even exhaustive probing
+        misses the target the report says so (target_met=false — the
+        ADC quantization is the ceiling; raise rerank or rebuild
+        with more lists) instead of pretending a setting exists."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ann_nprobe_tune,
+        )
+
+        loaded = self._load_index_and_query_sample(plan, source_dir,
+                                                   "index tuning")
+        if isinstance(loaded, dict):
+            return loaded
+        centers, books, coded, rotation, queries, cand = loaded
+        report = ann_nprobe_tune(centers, books, coded, queries, cand,
+                                 k=plan["k"],
+                                 target_recall=plan["target_recall"],
+                                 rotation=rotation)
+        self.progress("tune", {"params": dict(plan), **report})
+        curve = self.spark.createDataFrame(
+            [(c["n_probe"], c["recall"]) for c in report["curve"]],
+            "n_probe int, recall double")
+        curve.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()
+        self.progress("publish", {"rows": n_out, "path": output_path})
+        return {"status": "complete", "outputs": [curve],
+                "reports": {"plan": dict(plan), **report}}
+
+    def _run_ann_recall(self, plan: dict, source_dir: str,
+                        output_path: str) -> dict:
+        """'estimate the recall of the ann index at /path, top 10,
+        probing 4 lists': recall@k telemetry for a persisted IVF-PQ
+        store (:func:`operators.similarity.ann_recall_estimate`) —
+        the drift monitor that says when to raise n_probe or rebuild
+        (quantizer drift loosens ADC as epochs append; this is the
+        recall-side twin of the reconstruction-MSE watch). A
+        deterministic hash-ordered sample of the source dir's
+        embeddings (assumed to be the indexed corpus, the same
+        contract the append target runs under) queries BOTH the
+        index and the exact scan; the sampled approximate hits land
+        at the sink and the report carries the recall. Cost: one
+        corpus scan against |sample| broadcast queries — cheap by
+        construction; the sample size caps it."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ann_recall_estimate,
+            load_ivfpq_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        loaded = self._load_index_and_query_sample(plan, source_dir,
+                                                   "recall estimation")
+        if isinstance(loaded, dict):
+            return loaded
+        centers, books, coded, rotation, queries, cand = loaded
         report, hits = ann_recall_estimate(centers, books, coded,
                                            queries, cand, k=plan["k"],
                                            n_probe=plan["n_probe"],
@@ -3493,6 +3550,11 @@ _ANN_RECALL_RE = re.compile(
     r"\brecall\b")
 _PROBES_RE = re.compile(r"\bprobing\s+(\d+)\b|\b(\d+)\s+probes\b")
 _SAMPLE_Q_RE = re.compile(r"\bsampl(?:e|ing)\s+(\d+)\s+quer")
+# 'tune the ann index at /path for recall 0.9, top 10' — close the
+# n_probe knob into a loop against the recall telemetry
+_ANN_TUNE_RE = re.compile(
+    r"\btune\b[^.]*\b(?:ann\s+|ivf(?:-?pq)?\s+|vector\s+)?index\b")
+_TARGET_RECALL_RE = re.compile(r"\brecall\s+(?:of\s+)?(0?\.\d+|1\.0|1)\b")
 # 'add the new documents to the retrieval index at /path': the
 # lexical epoch-grow face (append_bm25_index) — the explicit
 # retrieval/bm25/lexical/inverted qualifier keeps it disjoint from
@@ -3674,6 +3736,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       of the persisted store against the exact squared-L2 scan over
       a deterministic query sample — the drift monitor for when to
       raise n_probe or rebuild; requires an index path);
+    - ``ann_tune`` — 'tune the ann index at /path for recall 0.9'
+      (double n_probe against the recall telemetry until the sampled
+      recall@k meets the target or probing is exhaustive; the
+      (n_probe, recall) curve lands at the sink, target_met=false
+      when ADC quantization caps below the target);
     - ``ann_search`` — 'find the 10 nearest neighbors' / 'similarity
       search' (IVF-PQ self-kNN over the embeddings table with exact
       rerank; 'with an opq rotation' opts into the parametric OPQ
@@ -4056,6 +4123,20 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     if _STORE_BUILD_RE.search(ql):
         nb = int(m.group(1)) if (m := _BUCKETS_RE.search(ql)) else None
         return {"target": "corpus_store_build", "n_buckets": nb}
+    if _ANN_TUNE_RE.search(ql):
+        k = 10
+        if m := _ANN_K_RE.search(ql):
+            k = int(next(g for g in m.groups() if g))
+        target = 0.9
+        if m := _TARGET_RECALL_RE.search(ql):
+            target = float(m.group(1))
+        nq = 32
+        if m := _SAMPLE_Q_RE.search(ql):
+            nq = int(m.group(1))
+        mi = _INDEX_PATH_RE.search(query)  # paths keep their case
+        return {"target": "ann_tune", "k": k,
+                "target_recall": target, "n_queries": nq,
+                "index_path": mi.group(1) if mi else None}
     if _ANN_RECALL_RE.search(ql):
         k = 10
         if m := _ANN_K_RE.search(ql):

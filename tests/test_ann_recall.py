@@ -122,3 +122,73 @@ def test_nl_ann_recall_lifecycle(spark, tmp_path):
         SF, str(tmp_path / "o2"))
     assert r2["status"] == "rejected" \
         and "no loadable index" in r2["reason"]
+
+
+def test_nprobe_tuner_curve_and_stop(spark, emb):
+    """The tuner doubles n_probe sharing ONE exact scan, stops at the
+    first setting meeting the target, and reports honestly when even
+    exhaustive probing cannot reach it."""
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    centers, books, coded = SIM.ivfpq_build(cands, n_clusters=8, m=8,
+                                            k=16)
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    # corpus-wide rerank -> exhaustive probing is exact, so a 1.0
+    # target is reachable and the tuner must stop AT it
+    rep = SIM.ann_nprobe_tune(centers, books, coded, queries, cands,
+                              k=5, target_recall=1.0,
+                              rerank=cands.count())
+    assert rep["target_met"] and rep["achieved_recall"] == 1.0
+    probes = [c["n_probe"] for c in rep["curve"]]
+    assert probes == sorted(set(probes))          # strictly doubling
+    assert rep["chosen_n_probe"] == probes[-1] <= 8
+    recalls = [c["recall"] for c in rep["curve"]]
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+    # tight default rerank: ADC caps recall below 1.0 -> honest miss
+    miss = SIM.ann_nprobe_tune(centers, books, coded, queries, cands,
+                               k=5, target_recall=1.0, rerank=0)
+    assert not miss["target_met"]
+    assert miss["chosen_n_probe"] == 8            # exhaustive setting
+    assert miss["achieved_recall"] < 1.0
+
+
+def test_nl_ann_tune_lifecycle(spark, tmp_path):
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    assert parse_dataops_query(
+        "tune the ann index at /idx for recall 0.8, top 5, "
+        "sampling 16 queries") \
+        == {"target": "ann_tune", "k": 5, "target_recall": 0.8,
+            "n_queries": 16, "index_path": "/idx"}
+    p = parse_dataops_query("tune the vector index for recall 0.95")
+    assert p["target"] == "ann_tune" and p["target_recall"] == 0.95
+    # the recall-ESTIMATE face still routes when no tune verb appears
+    assert parse_dataops_query(
+        "estimate the recall of the ann index at /idx")["target"] \
+        == "ann_recall"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, SF))
+    idx = str(tmp_path / "idx")
+    assert pipe.run_dataops(
+        "build an ann index over the embeddings, 8 lists",
+        SF, idx)["status"] == "complete"
+    out = str(tmp_path / "curve")
+    res = pipe.run_dataops(
+        f"tune the ann index at {idx} for recall 0.5, top 5, "
+        f"sampling 16 queries", SF, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["target_recall"] == 0.5
+    assert rep["curve"][-1]["recall"] == rep["achieved_recall"]
+    back = {r["n_probe"]: r["recall"]
+            for r in spark.read.parquet(out).collect()}
+    assert back == {c["n_probe"]: c["recall"] for c in rep["curve"]}
+    r1 = pipe.run_dataops("tune the ann index for recall 0.9", SF,
+                          str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "index path" in r1["reason"]
