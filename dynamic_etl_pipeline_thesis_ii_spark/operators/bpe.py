@@ -297,3 +297,58 @@ def load_bpe(spark, path: str) -> list[tuple[str, str]]:
     table is bit-identical to the fresh trainer (pinned)."""
     return [(r["a"], r["b"]) for r in
             spark.read.parquet(path).orderBy("rank").collect()]
+
+
+def tokenizer_stats(df: DataFrame, merges=None, pieces=None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    lang_col: str | None = None) -> DataFrame:
+    """Fertility / compression telemetry for a trained tokenizer —
+    the numbers a data team validates a tokenizer WITH before
+    committing a corpus to it: ``fertility`` (subword tokens per
+    word — the standard cross-lingual coverage metric; a language
+    far above the corpus average is being shredded into chars and
+    will train poorly at the same sequence budget) and
+    ``chars_per_token`` (compression — how much text a fixed token
+    budget actually buys), per ``lang_col`` stratum (one overall
+    'all' row when None). Pass exactly one of ``merges`` (BPE table)
+    or ``pieces`` (unigram-LM table).
+
+    The word denominator uses the SAME ``[^a-z0-9']+`` lowercase
+    splitter as the tokenizers' own kernels, so fertility is exactly
+    tokens-per-input-word, not an artifact of mismatched word
+    definitions. Scale shape: one count-only Arrow pass (tokens
+    never ship out of the kernel) + one strata-bounded aggregate —
+    no shuffle beyond the groupBy. Degenerate strata with zero words
+    report null fertility rather than exploding."""
+    from pyspark.sql import functions as F
+
+    if (merges is None) == (pieces is None):
+        raise ValueError(
+            "pass exactly one of merges= (BPE) or pieces= (unigram)")
+    if merges is not None:
+        counted = apply_bpe(df, merges, text_col=text_col,
+                            id_col=id_col, with_tokens=False)
+    else:
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.unigram import (
+            apply_unigram,
+        )
+        counted = apply_unigram(df, pieces, text_col=text_col,
+                                id_col=id_col, with_tokens=False)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(F.filter(
+        F.split(F.lower(text), r"[^a-z0-9']+"), lambda x: x != ""))
+    cols = [F.col(id_col).alias("id"), words.alias("n_words"),
+            F.length(text).alias("n_chars")]
+    group = (F.col(lang_col) if lang_col else F.lit("all")).alias("lang")
+    base = df.select(*cols, group)
+    return (base.join(counted, "id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_words").alias("n_words"),
+                 F.round(F.sum("n_tokens")
+                         / F.nullif(F.sum("n_words"), F.lit(0)), 4)
+                 .alias("fertility"),
+                 F.round(F.sum("n_chars")
+                         / F.nullif(F.sum("n_tokens"), F.lit(0)), 4)
+                 .alias("chars_per_token")))

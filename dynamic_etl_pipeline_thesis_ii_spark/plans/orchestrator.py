@@ -375,6 +375,9 @@ class Pipeline:
         if plan["target"] == "tokenizer_train":
             return self._run_tokenizer_train(plan, source_dir,
                                              output_path)
+        if plan["target"] == "tokenizer_stats":
+            return self._run_tokenizer_stats(plan, source_dir,
+                                             output_path)
         if plan["target"] == "classifier_train":
             return self._run_classifier_train(plan, source_dir,
                                               output_path)
@@ -1792,6 +1795,71 @@ class Pipeline:
         return {"status": "complete", "outputs": [scores],
                 "reports": {"plan": dict(plan), "rows": agg["n"],
                             "mean_quality_prob": agg["mean"]}}
+
+    def _run_tokenizer_stats(self, plan: dict, source_dir: str,
+                             output_path: str) -> dict:
+        """'report tokenizer stats with the tokenizer at /path': the
+        artifact-validation telemetry — per-language fertility
+        (subword tokens per word; a language far above the corpus
+        average is being shredded into characters and will train
+        poorly at the same sequence budget) and chars-per-token
+        compression over the source dir's documents, from the
+        persisted tokenizer store (kind inferred from its own
+        columns, the tokenize_pack convention). The per-language
+        table lands at the sink; the report inlines it (strata-
+        bounded) plus the corpus-wide roll-up. One count-only Arrow
+        pass + one strata-bounded aggregate."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+            tokenizer_stats,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if not plan.get("tokenizer_path"):
+            return {"status": "rejected",
+                    "reason": "tokenizer stats need a tokenizer path "
+                              "('... with the tokenizer at /path')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        try:
+            store = self.spark.read.parquet(plan["tokenizer_path"])
+            cols = set(store.columns)
+            if {"rank", "a", "b"} <= cols:
+                kw = {"merges": [(r["a"], r["b"]) for r in
+                                 store.orderBy("rank").collect()]}
+                kind = "bpe"
+            elif {"piece", "logprob"} <= cols:
+                kw = {"pieces": [(r["piece"], r["logprob"]) for r in
+                                 store.orderBy("rank").collect()]}
+                kind = "unigram"
+            else:
+                raise ValueError(
+                    f"columns {sorted(cols)} are neither a BPE "
+                    f"(rank,a,b) nor a unigram (rank,piece,logprob) "
+                    f"store")
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no tokenizer readable at "
+                              f"{plan['tokenizer_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        docs = Catalog(self.spark, source_dir).documents
+        per_lang = tokenizer_stats(docs, lang_col="lang", **kw)
+        self.progress("tokenizer_stats", {"params": dict(plan),
+                                          "kind": kind})
+        per_lang.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)    # read-back
+        rows = sorted((r.asDict() for r in back.collect()),
+                      key=lambda r: r["lang"])
+        tot_toks = sum(r["n_tokens"] for r in rows)
+        tot_words = sum(r["n_words"] for r in rows)
+        overall = {"n_docs": sum(r["n_docs"] for r in rows),
+                   "fertility": round(tot_toks / tot_words, 4)
+                   if tot_words else None}
+        self.progress("publish", {"rows": len(rows),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [per_lang],
+                "reports": {"plan": dict(plan), "kind": kind,
+                            "per_lang": rows, "overall": overall}}
 
     def _run_tokenizer_train(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
@@ -3489,6 +3557,11 @@ _TOKENIZE_TARGET_RE = re.compile(r"\btokeni[sz]e\b")
 # /path' is the reuse face
 _TOKENIZER_TRAIN_RE = re.compile(
     r"\btrain\b[^.]*\btokeni[sz]er\b")
+# 'report tokenizer stats with the tokenizer at /path' / 'tokenizer
+# fertility per language' — the artifact-validation telemetry
+_TOKSTATS_RE = re.compile(
+    r"\btokeni[sz]er\b[^.]*\b(?:stats|statistics|fertility|"
+    r"compression)\b|\bfertility\b")
 _TOKENIZER_PATH_RE = re.compile(
     r"\btokeni[sz]er\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE,
     re.IGNORECASE)
@@ -3736,6 +3809,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       of the persisted store against the exact squared-L2 scan over
       a deterministic query sample — the drift monitor for when to
       raise n_probe or rebuild; requires an index path);
+    - ``tokenizer_stats`` — 'report tokenizer stats with the
+      tokenizer at /path' / 'tokenizer fertility per language'
+      (per-language fertility = subword tokens per word + chars-per-
+      token compression from the persisted BPE/unigram store — the
+      artifact-validation numbers; kind inferred from the store's
+      own columns, path required);
     - ``ann_tune`` — 'tune the ann index at /path for recall 0.9'
       (double n_probe against the recall telemetry until the sampled
       recall@k meets the target or probing is exhaustive; the
@@ -4062,6 +4141,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "model_path": m.group(1) if m else None}
     if _CLASSIFIER_TRAIN_RE.search(ql):
         return {"target": "classifier_train"}
+    if _TOKSTATS_RE.search(ql):
+        mt = _TOKENIZER_PATH_RE.search(query)  # paths keep their case
+        return {"target": "tokenizer_stats",
+                "tokenizer_path": mt.group(1) if mt else None}
     if _TOKENIZER_TRAIN_RE.search(ql):
         merges = int(m.group(1)) if (m := _MERGES_RE.search(ql)) \
             else 200

@@ -274,3 +274,111 @@ def test_tokenizer_store_roundtrip_and_nl_lifecycle(spark, sf_dir,
         f"and pack 32-token sequences", sf_dir, str(tmp_path / "o2"))
     assert r2["status"] == "rejected" \
         and "not a tokenizer store" in r2["reason"]
+
+
+def test_tokenizer_stats_math_and_strata(spark):
+    """fertility = tokens/words with the kernels' own word splitter;
+    per-lang strata; zero-word strata report null, not a crash."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+        apply_bpe,
+        tokenizer_stats,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"),
+         (2, "the the the quick", "en"),
+         (3, "unwords 12345 mix'd", "xx"),
+         (4, "!!! ???", "zz")],                  # zero words
+        "doc_id bigint, text string, lang string")
+    merges = train_bpe(docs, n_merges=10)
+    stats = {r["lang"]: r for r in
+             tokenizer_stats(docs, merges=merges,
+                             lang_col="lang").collect()}
+    counted = {r["id"]: r["n_tokens"] for r in
+               apply_bpe(docs, merges, with_tokens=False).collect()}
+    # en: 4 + 4 words; tokens from the same kernel the stats use
+    assert stats["en"]["n_words"] == 8
+    assert stats["en"]["n_tokens"] == counted[1] + counted[2]
+    assert stats["en"]["fertility"] == round(
+        stats["en"]["n_tokens"] / 8, 4)
+    assert stats["en"]["fertility"] >= 1.0       # >= one token/word
+    assert stats["xx"]["n_docs"] == 1 and stats["xx"]["n_words"] == 3
+    assert stats["zz"]["n_words"] == 0
+    assert stats["zz"]["fertility"] is None      # null, not a crash
+    # overall row when no strata column is given
+    allrow = tokenizer_stats(docs, merges=merges).collect()
+    assert len(allrow) == 1 and allrow[0]["lang"] == "all"
+    # exactly one of merges/pieces
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        tokenizer_stats(docs)
+
+
+def test_nl_tokenizer_stats_lifecycle(spark, sf_dir, tmp_path):
+    """'report tokenizer stats with the tokenizer at /path' routes,
+    reads both store kinds, and rejects missing/garbage paths."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+        save_bpe,
+        train_bpe,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.unigram import (
+        save_unigram,
+        train_unigram,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+        Catalog,
+    )
+
+    assert parse_dataops_query(
+        "report tokenizer stats with the tokenizer at /t") \
+        == {"target": "tokenizer_stats", "tokenizer_path": "/t"}
+    assert parse_dataops_query(
+        "tokenizer fertility per language, tokenizer at /t")[
+        "target"] == "tokenizer_stats"
+    # the train/tokenize faces must not be shadowed
+    assert parse_dataops_query(
+        "train a bpe tokenizer on the corpus and save it")[
+        "target"] == "tokenizer_train"
+
+    docs = Catalog(spark, sf_dir).documents
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    bstore = str(tmp_path / "bpe")
+    save_bpe(spark, train_bpe(docs, n_merges=30), bstore)
+    res = pipe.run_dataops(
+        f"report tokenizer stats with the tokenizer at {bstore}",
+        sf_dir, str(tmp_path / "out"))
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["kind"] == "bpe"
+    assert rep["overall"]["n_docs"] == docs.count()
+    assert rep["overall"]["fertility"] >= 1.0
+    langs = {r["lang"] for r in rep["per_lang"]}
+    assert langs == {r["lang"] for r in
+                     docs.select("lang").distinct().collect()}
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == len(rep["per_lang"])
+    # unigram store: kind inferred from its own columns
+    ustore = str(tmp_path / "uni")
+    save_unigram(spark, train_unigram(docs, vocab_size=80), ustore)
+    res2 = pipe.run_dataops(
+        f"tokenizer fertility with the tokenizer at {ustore}",
+        sf_dir, str(tmp_path / "out2"))
+    assert res2["status"] == "complete"
+    assert res2["reports"]["kind"] == "unigram"
+    # rejections
+    r1 = pipe.run_dataops("report tokenizer stats", sf_dir,
+                          str(tmp_path / "o1"))
+    assert r1["status"] == "rejected" and "tokenizer path" in r1["reason"]
+    docs.limit(1).write.parquet(str(tmp_path / "junk"))
+    r2 = pipe.run_dataops(
+        f"report tokenizer stats with the tokenizer at "
+        f"{tmp_path}/junk", sf_dir, str(tmp_path / "o2"))
+    assert r2["status"] == "rejected" and "no tokenizer" in r2["reason"]
