@@ -10,6 +10,22 @@ MINIMUM — run-to-run variance on a shared box swamps real deltas
 otherwise; min-of-N is the standard stable estimator for wall-clock
 microbenchmarks. The headline total is the sum of per-query minimums.
 
+The record is self-flagging against box contention (the r12 artifact
+was recorded on a loaded machine and read +32% slower than an
+independent quiet rerun): the final JSON carries ``load`` (1-min
+loadavg at start/end) and ``spread_max`` (worst max/min repeat ratio
+over >=0.2 s queries), and a ``# bench-health`` line right before it
+carries the full per-query [min, max] spreads plus the queries whose
+ratio exceeded 1.5 — the contention fingerprint. Spreads cover the
+WARM repeats only (run 1 carries planning + codegen JIT, a
+legitimate >1.5x on sub-second queries even on an idle box). Read
+``load[0]`` (start) as the quiet-box indicator; ``load[1]`` (end)
+includes the bench's own local[32] executor threads and is high by
+construction — it bounds what OTHER work joined mid-run only
+relative to that. A run with
+spread_max >> 1.5 or loadavg far above zero at start is not a valid
+round-over-round signal.
+
 The output also carries a ``scale_probe`` section (disable with
 BENCH_SCALE=0): the near-dup detectors' CANDIDATE generation measured
 on the documents corpus replicated 1x/2x/4x (replica texts re-salted
@@ -1005,21 +1021,40 @@ def main() -> None:
         lambda pdf: pdf, schema=region.schema).count()
 
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
+    # Contention telemetry (r12 judge finding: a loaded box recorded a
+    # +32% phantom regression). Loadavg at start/end bounds the load
+    # window; the per-query (min, max) over the repeats is the direct
+    # fingerprint — max/min >> 1.5 on a sub-second query means the box
+    # was contended and the artifact is not a valid r-over-r signal.
+    load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        best, n = float("inf"), 0
+        times = []
         for _ in range(repeat):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times), 3)
+        # spread over the WARM repeats only (run 1 carries Catalyst
+        # planning + codegen JIT — a legitimate >1.5x on sub-second
+        # queries even on an idle box, which would permanently
+        # self-flag quiet runs); warm-run variance is the contention
+        # signal
+        warm = times[1:] if len(times) > 1 else times
+        spreads[name] = [round(min(warm), 2), round(max(warm), 2)]
         # drop any shared frames the query persisted — executor memory
         # stays flat across the headline instead of accumulating caches
         release_shared_caches()
         print(f"# {name}: {timings[name]}s min-of-{repeat} ({n} rows)",
               file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    load_end = round(os.getloadavg()[0], 2)
+    # worst max/min ratio across queries slower than 0.2 s (sub-0.2 s
+    # queries see JIT/GC jitter that is real but not contention)
+    ratios = {q: s[1] / s[0] for q, s in spreads.items() if s[0] >= 0.2}
+    spread_max = round(max(ratios.values()), 2) if ratios else 1.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result: dict = {
@@ -1028,6 +1063,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load": [load_start, load_end],
+        "spread_max": spread_max,
     }
 
     if os.environ.get("BENCH_SCALE", "1") != "0":
@@ -1080,6 +1117,16 @@ def main() -> None:
     # (probe series, plan dumps) goes on earlier '#' lines. This is the
     # bench-side twin of the 50-entry registry budget documented in
     # queries/__init__.py.
+    # bench-health: the full per-query [min, max] record plus the load
+    # window, one '#' line before the final JSON so both land in the
+    # driver's ~2,000-char tail capture. A contended run is visibly
+    # invalid from the artifact alone: loadavg far above the query's
+    # own cores, or max/min >> 1.5 on >=0.2 s queries.
+    flagged = sorted(q for q, r in ratios.items() if r > 1.5)
+    print("# bench-health " + json.dumps(
+        {"load": [load_start, load_end], "spread_max": spread_max,
+         "contended": flagged, "spreads": spreads},
+        separators=(",", ":")))
     line = json.dumps(result)
     assert len(line) < 1800, (
         f"final bench line {len(line)} chars — trim HEADLINE or move "

@@ -98,9 +98,11 @@ def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
     - ``n > cap``: the sample is drawn by a content-hash threshold
       (``pmod(hash(vec, seed), 1e6)`` — one narrow filter, no sort/
       shuffle; reproducible across runs, partitionings and cluster
-      sizes, independent draws per ``seed``), collected to the driver
-      (≤ max_fit_vectors·d doubles — index-build metadata, the
-      :func:`pq_train` precedent) and fit with :func:`_lloyd_numpy`;
+      sizes, independent draws per ``seed``), landed on the driver
+      via Arrow ``toPandas`` (≤ max_fit_vectors·d doubles of REAL
+      footprint — numpy buffers, not boxed Row floats; index-build
+      metadata, the :func:`pq_train` precedent) and fit with
+      :func:`_lloyd_numpy`;
       the FULL corpus is then assigned in ONE narrow Arrow pass via
       the :func:`ivfpq_assign` broadcast-GEMM kernel (same squared-L2
       argmin KMeans assigns by). No iteration ever scans the corpus,
@@ -132,14 +134,21 @@ def ivf_build(candidates: DataFrame, n_clusters: int = 16, seed: int = 42,
         # vectors, and the max(1, ...) keeps the draw non-empty even
         # there (expected size then degrades toward n/2^31 ~ cap/2)
         mod = 1 << 31
+        # Arrow toPandas, NOT collect(): Row objects wrap each vector
+        # as a Python list of boxed floats (~10-20x the raw doubles —
+        # 262,144 x d=64 would be gigabytes of driver heap, not the
+        # ~128 MB the cap prices). Arrow lands the sample as numpy
+        # buffers, so driver cost is ~max_fit_vectors*d*8 bytes plus
+        # small constant overhead.
         sample = (candidates
                   .filter(F.pmod(F.hash(F.col(c_vec), F.lit(seed)),
                                  F.lit(mod))
                           < max(1, int(cap / n * mod)))
                   .select(F.col(c_vec).cast("array<double>").alias("v"))
-                  .collect())
+                  .toPandas())
         if len(sample) >= n_clusters:
-            X = np.array([r["v"] for r in sample])
+            X = np.stack(sample["v"].to_numpy()).astype(np.float64,
+                                                        copy=False)
             # collect order follows partitioning — lexsort the sample
             # so float summation order (hence the centers) is
             # bit-stable across layouts of the same content
@@ -1311,6 +1320,38 @@ def load_ivfpq_index(spark, path: str):
     except Exception:
         rotation = None
     return centers, books, coded, rotation
+
+
+def save_index_tuning(spark, path: str, tuning: dict) -> None:
+    """Persist an :func:`ann_nprobe_tune` outcome into the index
+    store's ``_meta`` sidecar (one-row parquet at ``path + "/_meta"``)
+    — the tuner's whole point is closing the loop, so the chosen
+    ``n_probe`` must OUTLIVE the tuning run: a later search of the
+    same store defaults to the tuned setting instead of a static
+    guess. Plain parquet like the rest of the store (no pickle; any
+    reader reloads it); overwrite-on-retune, so the sidecar always
+    reflects the latest tuning."""
+    spark.createDataFrame(
+        [(int(tuning["chosen_n_probe"]),
+          float(tuning["achieved_recall"])
+          if tuning.get("achieved_recall") is not None else None,
+          float(tuning["target_recall"]), int(tuning["k"]),
+          bool(tuning["target_met"]))],
+        "tuned_n_probe int, achieved_recall double, "
+        "target_recall double, k int, target_met boolean") \
+        .write.mode("overwrite").parquet(path + "/_meta")
+
+
+def load_index_tuning(spark, path: str) -> dict | None:
+    """Reload the :func:`save_index_tuning` sidecar; ``None`` when the
+    store has never been tuned (callers fall back to their static
+    default and say so — an untuned store is a normal state, not an
+    error)."""
+    try:
+        row = spark.read.parquet(path + "/_meta").first()
+    except Exception:
+        return None
+    return dict(row.asDict()) if row is not None else None
 
 
 def cluster_embeddings(emb: DataFrame, n_clusters: int, seed: int = 42,

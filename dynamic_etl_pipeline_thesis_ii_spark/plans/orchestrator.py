@@ -1796,6 +1796,27 @@ class Pipeline:
                 "reports": {"plan": dict(plan), "rows": agg["n"],
                             "mean_quality_prob": agg["mean"]}}
 
+    def _load_tokenizer_store(self, path: str):
+        """Load a persisted tokenizer store, inferring its kind from
+        its own columns (the tokenize_pack convention). Returns
+        ``(kind, kw)`` where kw feeds straight into
+        :func:`operators.bpe.tokenizer_stats`; raises on an
+        unreadable/unrecognized store — callers turn that into their
+        own actionable rejection."""
+        store = self.spark.read.parquet(path)
+        cols = set(store.columns)
+        if {"rank", "a", "b"} <= cols:
+            return "bpe", {"merges": [(r["a"], r["b"]) for r in
+                                      store.orderBy("rank").collect()]}
+        if {"piece", "logprob"} <= cols:
+            return "unigram", {"pieces": [(r["piece"], r["logprob"])
+                                          for r in
+                                          store.orderBy("rank")
+                                          .collect()]}
+        raise ValueError(
+            f"columns {sorted(cols)} are neither a BPE (rank,a,b) nor "
+            f"a unigram (rank,piece,logprob) store")
+
     def _run_tokenizer_stats(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
         """'report tokenizer stats with the tokenizer at /path': the
@@ -1822,28 +1843,18 @@ class Pipeline:
                               "('... with the tokenizer at /path')",
                     "outputs": [], "reports": {"plan": dict(plan)}}
         try:
-            store = self.spark.read.parquet(plan["tokenizer_path"])
-            cols = set(store.columns)
-            if {"rank", "a", "b"} <= cols:
-                kw = {"merges": [(r["a"], r["b"]) for r in
-                                 store.orderBy("rank").collect()]}
-                kind = "bpe"
-            elif {"piece", "logprob"} <= cols:
-                kw = {"pieces": [(r["piece"], r["logprob"]) for r in
-                                 store.orderBy("rank").collect()]}
-                kind = "unigram"
-            else:
-                raise ValueError(
-                    f"columns {sorted(cols)} are neither a BPE "
-                    f"(rank,a,b) nor a unigram (rank,piece,logprob) "
-                    f"store")
+            kind, kw = self._load_tokenizer_store(plan["tokenizer_path"])
         except Exception as exc:
             return {"status": "rejected",
                     "reason": f"no tokenizer readable at "
                               f"{plan['tokenizer_path']}: {exc}",
                     "outputs": [], "reports": {"plan": dict(plan)}}
         docs = Catalog(self.spark, source_dir).documents
-        per_lang = tokenizer_stats(docs, lang_col="lang", **kw)
+        # a source whose documents table carries no lang column still
+        # gets the corpus-wide telemetry (the 'all' stratum) instead
+        # of an uncaught AnalysisException
+        lang_col = "lang" if "lang" in docs.columns else None
+        per_lang = tokenizer_stats(docs, lang_col=lang_col, **kw)
         self.progress("tokenizer_stats", {"params": dict(plan),
                                           "kind": kind})
         per_lang.write.mode("overwrite").parquet(output_path)
@@ -2399,6 +2410,47 @@ class Pipeline:
                 "licensing": licensing,
                 "census_path": output_path,
                 "histogram_path": output_path + "_hist"}
+        # tokenizer section (TK4): when the query names a tokenizer
+        # store ('... with the tokenizer at /path'), per-language
+        # fertility + chars-per-token join the datasheet — fertility
+        # is exactly the per-language coverage number a training-data
+        # card should carry (a language far above the corpus average
+        # is being shredded into characters). Driver-side rows are
+        # strata-bounded (|langs| + 1), the corpus cost is one
+        # count-only Arrow pass. A NAMED-but-unreadable store rejects
+        # (the user asked for a section the run cannot produce).
+        if plan.get("tokenizer_path"):
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+                tokenizer_stats,
+            )
+            try:
+                kind, kw = self._load_tokenizer_store(
+                    plan["tokenizer_path"])
+            except Exception as exc:
+                return {"status": "rejected",
+                        "reason": f"no tokenizer readable at "
+                                  f"{plan['tokenizer_path']}: {exc}",
+                        "outputs": [],
+                        "reports": {"plan": dict(plan)}}
+            lang_col = "lang" if "lang" in docs.columns else None
+            t_rows = sorted(
+                (r.asDict() for r in
+                 tokenizer_stats(docs, lang_col=lang_col,
+                                 **kw).collect()),
+                key=lambda r: r["lang"])
+            t_toks = sum(r["n_tokens"] for r in t_rows)
+            t_words = sum(r["n_words"] for r in t_rows)
+            card["tokenizer"] = {
+                "kind": kind, "path": plan["tokenizer_path"],
+                "fertility_per_lang": {
+                    r["lang"]: r["fertility"] for r in t_rows},
+                "chars_per_token_per_lang": {
+                    r["lang"]: r["chars_per_token"] for r in t_rows},
+                "overall_fertility": round(t_toks / t_words, 4)
+                if t_words else None,
+                "n_tokens": t_toks}
+            self.progress("tokenizer", {"kind": kind,
+                                        "langs": len(t_rows)})
         # a training-data datasheet counts the MEDIA table too when
         # the source dir carries one: items/bytes per kind (one
         # aggregate) plus per-modality decodable fractions — real
@@ -3132,9 +3184,14 @@ class Pipeline:
         the sink and in the report; when even exhaustive probing
         misses the target the report says so (target_met=false — the
         ADC quantization is the ceiling; raise rerank or rebuild
-        with more lists) instead of pretending a setting exists."""
+        with more lists) instead of pretending a setting exists.
+        The chosen ``n_probe`` also persists into the store's
+        ``_meta`` sidecar (:func:`save_index_tuning`) so a later
+        recall/search run against the same store defaults to the
+        tuned setting — the loop stays closed across runs."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
             ann_nprobe_tune,
+            save_index_tuning,
         )
 
         loaded = self._load_index_and_query_sample(plan, source_dir,
@@ -3146,6 +3203,8 @@ class Pipeline:
                                  k=plan["k"],
                                  target_recall=plan["target_recall"],
                                  rotation=rotation)
+        save_index_tuning(self.spark, plan["index_path"], report)
+        report["meta_saved"] = True
         self.progress("tune", {"params": dict(plan), **report})
         curve = self.spark.createDataFrame(
             [(c["n_probe"], c["recall"]) for c in report["curve"]],
@@ -3184,11 +3243,26 @@ class Pipeline:
         if isinstance(loaded, dict):
             return loaded
         centers, books, coded, rotation, queries, cand = loaded
+        # n_probe resolution order: explicit in the query ('probing 4
+        # lists') > the store's tuned _meta sidecar (a prior 'tune the
+        # ann index at /path' run) > static default 2. The report says
+        # which source won, so an untuned store is visible, not silent.
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            load_index_tuning,
+        )
+        n_probe, probe_source = plan.get("n_probe"), "query"
+        if n_probe is None:
+            tuned = load_index_tuning(self.spark, plan["index_path"])
+            if tuned and tuned.get("tuned_n_probe") is not None:
+                n_probe, probe_source = tuned["tuned_n_probe"], "tuned"
+            else:
+                n_probe, probe_source = 2, "default"
         report, hits = ann_recall_estimate(centers, books, coded,
                                            queries, cand, k=plan["k"],
-                                           n_probe=plan["n_probe"],
+                                           n_probe=n_probe,
                                            rotation=rotation,
                                            return_hits=True)
+        report["n_probe_source"] = probe_source
         self.progress("recall", {"params": dict(plan), **report})
         # hits is the CACHED frame the estimate graded — write it
         # instead of re-running the identical index search
@@ -3558,10 +3632,13 @@ _TOKENIZE_TARGET_RE = re.compile(r"\btokeni[sz]e\b")
 _TOKENIZER_TRAIN_RE = re.compile(
     r"\btrain\b[^.]*\btokeni[sz]er\b")
 # 'report tokenizer stats with the tokenizer at /path' / 'tokenizer
-# fertility per language' — the artifact-validation telemetry
+# fertility per language' — the artifact-validation telemetry.
+# 'fertility' alone is NOT enough: it must sit in the same sentence
+# as a token/tokenizer word, else any dataops query that merely
+# mentions the word would be hijacked ahead of every later target.
 _TOKSTATS_RE = re.compile(
     r"\btokeni[sz]er\b[^.]*\b(?:stats|statistics|fertility|"
-    r"compression)\b|\bfertility\b")
+    r"compression)\b|\bfertility\b[^.]*\btoken\w*\b")
 _TOKENIZER_PATH_RE = re.compile(
     r"\btokeni[sz]er\s+(?:at\s+|in\s+|from\s+)?" + _PATH_SHAPE,
     re.IGNORECASE)
@@ -4105,7 +4182,12 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 "shards_path": sp.group(1) if sp else None,
                 "manifest_path": mp.group(1) if mp else None}
     if _DATACARD_TARGET_RE.search(ql):
-        return {"target": "data_card"}
+        # 'generate a data card ... with the tokenizer at /path' adds
+        # the TK4 fertility section: per-language tokens-per-word is
+        # exactly the per-language coverage number a datasheet carries
+        mt = _TOKENIZER_PATH_RE.search(query)  # paths keep their case
+        return {"target": "data_card",
+                "tokenizer_path": mt.group(1) if mt else None}
     if _CENSUS_TARGET_RE.search(ql):
         # 'with a length histogram' / 'length distribution' adds the
         # power-of-two token-length histogram sidecar; 'distinct'
@@ -4224,7 +4306,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         k = 10
         if m := _ANN_K_RE.search(ql):
             k = int(next(g for g in m.groups() if g))
-        n_probe = 2
+        # None when the query names no probe count: the handler then
+        # prefers the store's tuned _meta sidecar over the static
+        # default — an explicit 'probing N lists' always wins
+        n_probe = None
         if m := _PROBES_RE.search(ql):
             n_probe = int(next(g for g in m.groups() if g))
         nq = 32

@@ -630,15 +630,22 @@ def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
     base = path.rstrip("/")
     # compare RESOLVED paths, not strings: '/data//store', a relative
     # alias or a symlink would slip past a string check and the
-    # overwrite would eat the very files the lazy read still needs
-    if (dest.rstrip("/") == base
-            or _os.path.realpath(dest.rstrip("/"))
-            == _os.path.realpath(base)):
+    # overwrite would eat the very files the lazy read still needs.
+    # A dest NESTED inside the store is just as fatal in a different
+    # way: it plants a non-'bucket=' directory inside the partitioned
+    # layout, breaking every later partition-discovery read of the
+    # original store — reject descendants too (commonpath).
+    real_base = _os.path.realpath(base)
+    real_dest = _os.path.realpath(dest.rstrip("/"))
+    if (dest.rstrip("/") == base or real_dest == real_base
+            or _os.path.commonpath([real_dest, real_base]) == real_base):
         raise SinkError(
-            "rebucket must write to a NEW path — an in-place rewrite "
-            "would read the files it is replacing and eat the store "
-            "on failure; pass a fresh dest and swap pointers on "
-            "success")
+            "rebucket must write to a NEW path outside the store — an "
+            "in-place rewrite would read the files it is replacing "
+            "and eat the store on failure, and a dest nested inside "
+            "the store plants a foreign directory in the partitioned "
+            "layout that breaks later partition-discovery reads; pass "
+            "a fresh sibling dest and swap pointers on success")
     meta = spark.read.parquet(base + "_meta").first()
     key_col, old_buckets = meta["key_col"], meta["n_buckets"]
     if rows_per_bucket is None:

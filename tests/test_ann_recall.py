@@ -89,10 +89,12 @@ def test_nl_ann_recall_lifecycle(spark, tmp_path):
         "probing 4 lists, sampling 16 queries") \
         == {"target": "ann_recall", "k": 5, "n_probe": 4,
             "n_queries": 16, "index_path": "/idx"}
-    # defaults
+    # defaults: n_probe None = 'resolve from the store's tuned _meta
+    # sidecar, else 2' (the handler decides; an explicit 'probing N
+    # lists' pins it in the plan)
     p = parse_dataops_query("measure the ann index recall")
     assert p["target"] == "ann_recall" and p["k"] == 10 \
-        and p["n_probe"] == 2 and p["n_queries"] == 32
+        and p["n_probe"] is None and p["n_queries"] == 32
     # the append target must not shadow it
     assert parse_dataops_query(
         "add the new vectors to the index at /idx")["target"] \
@@ -192,3 +194,47 @@ def test_nl_ann_tune_lifecycle(spark, tmp_path):
     r1 = pipe.run_dataops("tune the ann index for recall 0.9", SF,
                           str(tmp_path / "o1"))
     assert r1["status"] == "rejected" and "index path" in r1["reason"]
+
+    # the tuned n_probe persists into the store's _meta sidecar and a
+    # later recall run (no explicit 'probing N') defaults to it —
+    # the tuner's loop stays closed across runs
+    assert rep["meta_saved"]
+    meta = SIM.load_index_tuning(spark, idx)
+    assert meta["tuned_n_probe"] == rep["chosen_n_probe"]
+    assert meta["target_recall"] == 0.5
+    assert meta["target_met"] == rep["target_met"]
+    res_t = pipe.run_dataops(
+        f"estimate the recall of the ann index at {idx}, top 5, "
+        f"sampling 16 queries", SF, str(tmp_path / "rt"))
+    assert res_t["status"] == "complete"
+    assert res_t["reports"]["n_probe"] == rep["chosen_n_probe"]
+    assert res_t["reports"]["n_probe_source"] == "tuned"
+    # an explicit 'probing N lists' always wins over the sidecar
+    res_q = pipe.run_dataops(
+        f"estimate the recall of the ann index at {idx}, top 5, "
+        f"probing 8 lists, sampling 16 queries", SF,
+        str(tmp_path / "rq"))
+    assert res_q["reports"]["n_probe"] == 8
+    assert res_q["reports"]["n_probe_source"] == "query"
+
+
+def test_recall_default_on_untuned_store(spark, tmp_path):
+    """A store that has never been tuned has no _meta sidecar: the
+    recall run falls back to the static default and SAYS so."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, SF))
+    idx = str(tmp_path / "idx")
+    assert pipe.run_dataops(
+        "build an ann index over the embeddings, 8 lists",
+        SF, idx)["status"] == "complete"
+    assert SIM.load_index_tuning(spark, idx) is None
+    res = pipe.run_dataops(
+        f"estimate the recall of the ann index at {idx}, top 5, "
+        f"sampling 16 queries", SF, str(tmp_path / "out"))
+    assert res["status"] == "complete"
+    assert res["reports"]["n_probe"] == 2
+    assert res["reports"]["n_probe_source"] == "default"

@@ -347,6 +347,15 @@ def test_nl_tokenizer_stats_lifecycle(spark, sf_dir, tmp_path):
     assert parse_dataops_query(
         "train a bpe tokenizer on the corpus and save it")[
         "target"] == "tokenizer_train"
+    # 'fertility' alone (no token context in the sentence) must NOT
+    # hijack queries bound for later targets (r13 routing guard)
+    assert parse_dataops_query(
+        "split the corpus into train/val/test, stratified by the "
+        "fertility rate column")["target"] == "split_corpus"
+    # ...while fertility-then-tokenizer in one sentence still routes
+    assert parse_dataops_query(
+        "report fertility per language with the tokenizer at /t")[
+        "target"] == "tokenizer_stats"
 
     docs = Catalog(spark, sf_dir).documents
     pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
@@ -373,6 +382,17 @@ def test_nl_tokenizer_stats_lifecycle(spark, sf_dir, tmp_path):
         sf_dir, str(tmp_path / "out2"))
     assert res2["status"] == "complete"
     assert res2["reports"]["kind"] == "unigram"
+    # a documents table without a lang column still gets the
+    # corpus-wide 'all' stratum instead of an AnalysisException (r13)
+    nolang = str(tmp_path / "nolang")
+    docs.select("doc_id", "text").limit(50) \
+        .write.parquet(nolang + "/documents.parquet")
+    res3 = pipe.run_dataops(
+        f"report tokenizer stats with the tokenizer at {bstore}",
+        nolang, str(tmp_path / "out3"))
+    assert res3["status"] == "complete"
+    assert [r["lang"] for r in res3["reports"]["per_lang"]] == ["all"]
+    assert res3["reports"]["overall"]["n_docs"] == 50
     # rejections
     r1 = pipe.run_dataops("report tokenizer stats", sf_dir,
                           str(tmp_path / "o1"))

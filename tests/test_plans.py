@@ -1959,7 +1959,8 @@ def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
     from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
 
     assert parse_dataops_query(
-        "generate a data card for the corpus") == {"target": "data_card"}
+        "generate a data card for the corpus") \
+        == {"target": "data_card", "tokenizer_path": None}
     assert parse_dataops_query(
         "write a datasheet for the training data")["target"] == "data_card"
 
@@ -2000,6 +2001,69 @@ def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
     hb = spark.read.parquet(card["histogram_path"])
     assert hb.filter("kind = '__total__'") \
         .agg({"n_docs": "sum"}).first()[0] == n
+
+
+def test_data_card_tokenizer_section(spark, sf_dir, tmp_path):
+    """'generate a data card ... with the tokenizer at /path' (r13):
+    the TK4 fertility telemetry joins the datasheet — per-language
+    fertility/chars-per-token strata-consistent with the composition
+    section and numerically identical to a direct tokenizer_stats
+    run; a named-but-unreadable store rejects actionably."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.bpe import (
+        load_bpe,
+        tokenizer_stats,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    p = parse_dataops_query(
+        "generate a data card for the corpus with the tokenizer at /tok")
+    assert p == {"target": "data_card", "tokenizer_path": "/tok"}
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    tok = str(tmp_path / "tok")
+    assert pipe.run_dataops(
+        "train a bpe tokenizer on the corpus, 50 merges, and save it",
+        sf_dir, tok)["status"] == "complete"
+    out = str(tmp_path / "card")
+    res = pipe.run_dataops(
+        f"generate a data card for the corpus with the tokenizer "
+        f"at {tok}", sf_dir, out)
+    assert res["status"] == "complete"
+    card = res["reports"]["data_card"]
+    sec = card["tokenizer"]
+    assert sec["kind"] == "bpe" and sec["path"] == tok
+    # strata-consistent with the composition section
+    assert set(sec["fertility_per_lang"]) == \
+        set(card["composition"]["docs_per_lang"])
+    # numerically identical to a direct tokenizer_stats run
+    direct = {r["lang"]: (r["fertility"], r["chars_per_token"],
+                          r["n_tokens"], r["n_words"])
+              for r in tokenizer_stats(
+                  Catalog(spark, sf_dir).documents,
+                  merges=load_bpe(spark, tok),
+                  lang_col="lang").collect()}
+    for lang, (fert, cpt, _, _) in direct.items():
+        assert sec["fertility_per_lang"][lang] == fert
+        assert sec["chars_per_token_per_lang"][lang] == cpt
+        assert fert >= 1.0          # every word is >= 1 subword token
+    t_toks = sum(v[2] for v in direct.values())
+    t_words = sum(v[3] for v in direct.values())
+    assert sec["n_tokens"] == t_toks
+    assert sec["overall_fertility"] == round(t_toks / t_words, 4)
+    # a named-but-unreadable store rejects (the user asked for a
+    # section the run cannot produce)
+    r = pipe.run_dataops(
+        f"generate a data card for the corpus with the tokenizer "
+        f"at {tmp_path}/nope", sf_dir, str(tmp_path / "c2"))
+    assert r["status"] == "rejected" \
+        and "no tokenizer readable" in r["reason"]
+    # ...and the plain card (no tokenizer named) carries no section
+    res0 = pipe.run_dataops("generate a data card for the corpus",
+                            sf_dir, str(tmp_path / "card0"))
+    assert "tokenizer" not in res0["reports"]["data_card"]
 
 
 def test_round10_router_scoping_regressions(spark, sf_dir, tmp_path):

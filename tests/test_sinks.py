@@ -721,6 +721,23 @@ def test_corpus_store_rebucket_restores_geometry(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 3200
     assert back.filter(F.col("doc_id") == 0).first()["text"] == "updated 0"
+    # a dest NESTED inside the store is as fatal as in-place: it
+    # plants a non-'bucket=' dir inside the partitioned layout and
+    # breaks later partition-discovery reads — rejected (r13)
+    import pytest as _pytest
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        SinkError,
+    )
+    with _pytest.raises(SinkError, match="outside the store"):
+        rebucket_corpus_store(spark, store, store + "/rebucketed")
+    # in-place (same path, and a `//`-aliased same path) still rejects
+    with _pytest.raises(SinkError, match="outside the store"):
+        rebucket_corpus_store(spark, store, store)
+    with _pytest.raises(SinkError, match="outside the store"):
+        rebucket_corpus_store(spark, store,
+                              store.rsplit("/", 1)[0] + "//"
+                              + store.rsplit("/", 1)[1])
 
 
 def test_nl_corpus_rebucket(spark, tmp_path):
