@@ -737,21 +737,18 @@ def q_dedup_neardup_pairs(spark, sf_dir):
     both its 'pair' hits and its 'semantic_kept' survivors so the
     anti-join end of semantic_decontaminate is oracle-checked too."""
     null_metric = F.lit(None).cast("double").alias("metric")
-    # Shared-scan discipline (the corpus_curation r12 pattern): the
-    # six arms otherwise EACH re-read the documents/embeddings parquet
-    # and re-derive the perturbed corpus union. Persist the three base
-    # frames once (tracked — harnesses release via
-    # release_shared_caches between queries); Spark's CacheManager
-    # substitutes by analyzed-plan identity, so the arms' own
-    # Catalog/_neardup_corpus/_contam_corpora re-derivations hit these
-    # caches without signature changes. Composite-only: each arm
-    # standalone stays cache-free.
-    _persist_tracked(Catalog(spark, sf_dir).documents
-                     .select("doc_id", "text"))
-    _persist_tracked(Catalog(spark, sf_dir).embeddings)
-    corpus = _persist_tracked(_neardup_corpus(spark, sf_dir))
+    # Shared-scan note (r13, measured): persisting the base
+    # documents/embeddings/corpus frames here made the composite
+    # SLOWER (7.6->8.1 s at sf0.1) — the parquet scans are cheap and
+    # a full-row cache defeats column pruning. The r12 curation win
+    # came from persisting an expensive COMPUTED intermediate; the
+    # only such intermediate the arms share is the k=3 shingle table
+    # below. Per-arm profile: simhash 4.0 s, mh+ja 2.8 s, the other
+    # four arms ~2.5 s combined.
+    corpus = _neardup_corpus(spark, sf_dir)
     # minhash and jaccard both consume k=3 shingles of the same corpus:
-    # explode + NGram once, persist, feed both branches.
+    # explode + NGram once, persist (tracked — harnesses release via
+    # release_shared_caches between queries), feed both branches.
     sh3 = _persist_tracked(D.shingle_rows(corpus, "text", "doc_id", 3))
     mh = (D.minhash_lsh_pairs(corpus, k=3, n_hashes=16, bands=4,
                               shingles=sh3)
@@ -1391,13 +1388,13 @@ def q_sample_deterministic(spark, sf_dir):
     the budget branch's token count and the dsir branch's exact integer
     micro-weight (null on the sampling/split branches); the split
     branch's ``stratum`` is the assigned split name."""
-    # Shared-scan discipline (the corpus_curation r12 pattern): nine
-    # arms, each re-reading the documents parquet under its own
-    # projection. Persist the FULL table once (tracked); the arms'
-    # Catalog reads hit it by analyzed-plan identity, projections
-    # prune above the cache. Composite-only, released by the harness
-    # via release_shared_caches.
-    _persist_tracked(Catalog(spark, sf_dir).documents)
+    # Shared-scan note (r13, measured): persisting the documents table
+    # for the nine arms made the composite SLOWER (3.7->4.7 s at
+    # sf0.1) — full-row caching defeats column pruning and the scans
+    # were never the cost. Per-arm profile: dsir 2.6 s + leak 2.2 s
+    # dominate; the other seven arms are ~0.2-0.4 s each. The dsir
+    # weights frame (consumed twice) is already tracked-persisted
+    # below — the one expensive shared intermediate.
     null_val = F.lit(None).cast("long").alias("val")
     st = (q_sample_stratified(spark, sf_dir)
           .select(F.lit("stratified").alias("tag"), "doc_id",
