@@ -90,6 +90,10 @@ HEADLINE = [
     # (pipeline_e2e left the registry in r12 — rows-only, pytest-covered
     # — but stays a bench headline via the direct import in main())
     "pipeline_e2e",
+    # greedy limited-assignment tail (J4-J6): rows-only (order-
+    # dependent greedy, differential-fuzz-covered in pytest) but a
+    # standing headline since r13 so every BENCH_rN records it
+    "greedy_tail",
     "corpus_curation",
     # curate -> budget-select -> pack -> shard as one lazy DAG
     "corpus_to_shards",
@@ -716,12 +720,24 @@ def scale_probe(spark, factors: list[int]) -> dict:
     # index already holds (the epoch-N+1 contract).
     cand0 = emb.select(F.col("vec_id").alias("c_id"),
                        F.col("embedding").alias("c_vec"))
-    idx_centers, idx_books, _idx_coded = S.ivfpq_build(
+    idx_centers, idx_books, idx_coded = S.ivfpq_build(
         cand0, n_clusters=16, m=4)
+    ann_q = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec")).persist())
+    ann_q.count()
     out["annappend"] = []
     for f in factors:
-        reps = [emb.select((F.col("vec_id") * f + i).alias("c_id"),
-                           F.col("embedding").alias("c_vec"))
+        # every replica sign-flip-decorrelated (mask i+1, so even the
+        # first is distinct from the base corpus): the grown-store
+        # recall grading below needs appended vectors that are neither
+        # exact duplicates of base vectors (ties between identical
+        # vectors under different ids would undercount recall) nor
+        # near-dups of each other
+        reps = [emb.select((F.col("vec_id") * f + i
+                            + 1_000_000).alias("c_id"),
+                           F.transform("embedding", _flip(i + 1))
+                           .alias("c_vec"))
                 for i in range(f)]
         batch = reps[0]
         for r in reps[1:]:
@@ -729,13 +745,29 @@ def scale_probe(spark, factors: list[int]) -> dict:
         batch = batch.persist()
         n = batch.count()
         best, c = float("inf"), 0
+        appended = None
         for _ in range(probe_rep):
             t0 = time.perf_counter()
-            c = S.ivfpq_append(idx_centers, idx_books, batch).count()
+            appended = S.ivfpq_append(idx_centers, idx_books, batch)
+            c = appended.count()
             best = min(best, time.perf_counter() - t0)
+        # drift telemetry (untimed — the append IS the probe cost):
+        # recall@10 of the GROWN store at the fixed default n_probe,
+        # so the quantizer-drift story is measured per factor, not
+        # just documented. The frozen coarse centers serve f x the
+        # corpus they were fit on; a collapsing recall here is the
+        # 'raise n_probe or rebuild' trigger the N13 telemetry exists
+        # for.
+        grown_codes = idx_coded.unionByName(appended)
+        grown_cand = cand0.unionByName(batch)
+        rep_r = S.ann_recall_estimate(idx_centers, idx_books,
+                                      grown_codes, ann_q, grown_cand,
+                                      k=10, n_probe=2)
         out["annappend"].append({"factor": f, "n_docs": n,
-                                 "candidates": c, "sec": round(best, 3)})
+                                 "candidates": c, "sec": round(best, 3),
+                                 "recall_at_10": rep_r["recall_at_k"]})
         batch.unpersist()
+    ann_q.unpersist()
 
     # zorder: multi-dimensional clustered write (SK4). Timed work is
     # the quantile pass + the ONE range shuffle + the 16-file write;
@@ -1008,8 +1040,7 @@ def main() -> None:
         q_pipeline_e2e,
     )
     qs.setdefault("pipeline_e2e", q_pipeline_e2e)
-    if os.environ.get("BENCH_ALL"):
-        qs.setdefault("greedy_tail", q_greedy_tail)
+    qs.setdefault("greedy_tail", q_greedy_tail)
     names = list(qs) if os.environ.get("BENCH_ALL") else [n for n in HEADLINE if n in qs]
 
     # Warm the JVM + parquet footers with one tiny action, and the

@@ -354,19 +354,40 @@ def _gram_explode(df: DataFrame, text_col: str,
 
 
 def _gram_buckets(df: DataFrame, text_col: str, id_col: str,
-                  n_buckets: int) -> DataFrame:
-    """(id, bucket) rows: every uni/bigram hashed into ``n_buckets``
-    with the engine-portable md5-based :func:`~.dedup.hash32`. One
-    narrow scan; the explode is the only expansion."""
+                  n_buckets: int, carry: tuple = ()) -> DataFrame:
+    """(id, *carry, bucket) rows: every uni/bigram hashed into
+    ``n_buckets`` with the engine-portable md5-based
+    :func:`~.dedup.hash32`. One narrow scan; the explode is the only
+    expansion. ``carry`` names extra ``df`` columns to thread through
+    the explode (the shared-grams face: a caller persisting ONE gram
+    frame for both the :func:`dsir_logratio_table` fit and the
+    :func:`dsir_weights` scoring carries the fit's flag column here)."""
     g = _gram_explode(df.select(F.col(id_col).alias("id"),
-                                F.col(text_col)), text_col, [F.col("id")])
-    return g.select("id", (hash32(F.col("gram")) % n_buckets).alias("bucket"))
+                                *[F.col(c) for c in carry],
+                                F.col(text_col)), text_col,
+                      [F.col("id"), *[F.col(c) for c in carry]])
+    return g.select("id", *carry,
+                    (hash32(F.col("gram")) % n_buckets).alias("bucket"))
+
+
+def dsir_gram_buckets(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_buckets: int = DSIR_BUCKETS,
+                      carry: tuple = ()) -> DataFrame:
+    """Public face of the DSIR gram explode — build it ONCE, persist,
+    and feed BOTH :func:`dsir_logratio_table` (pass the fit's flag
+    column via ``carry``) and :func:`dsir_weights` through their
+    ``grams=`` parameter; the corpus then pays one explode + one
+    md5-hash pass instead of two (the ``shingles=`` convention of
+    ``dedup.minhash_lsh_pairs``)."""
+    return _gram_buckets(df, text_col, id_col, n_buckets, carry=carry)
 
 
 def dsir_logratio_table(raw: DataFrame, target: DataFrame | None = None,
                         text_col: str = "text", id_col: str = "doc_id",
                         n_buckets: int = DSIR_BUCKETS,
-                        target_flag: str | None = None) -> DataFrame:
+                        target_flag: str | None = None,
+                        grams: DataFrame | None = None) -> DataFrame:
     """The DSIR importance model (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): fit hashed bag-of-
     n-gram (uni+bi) models on the TARGET domain and the RAW pool, and
@@ -414,6 +435,15 @@ def dsir_logratio_table(raw: DataFrame, target: DataFrame | None = None,
                         .cast("long").alias("logratio_micro")))
 
     if target_flag is not None:
+        if grams is not None:
+            # shared-grams fast path: a :func:`dsir_gram_buckets`
+            # frame carrying the flag column (persisted by the caller,
+            # also feeding dsir_weights) — no second corpus explode
+            cnt = (grams.groupBy("bucket")
+                   .agg(F.count(F.lit(1)).alias("n_r"),
+                        F.sum(F.col(target_flag).cast("long"))
+                        .alias("n_t")))
+            return ratio(cnt)
         g = _gram_explode(
             raw.select(F.col(target_flag).alias("__t"), F.col(text_col)),
             text_col, [F.col("__t")])
@@ -433,7 +463,8 @@ def dsir_logratio_table(raw: DataFrame, target: DataFrame | None = None,
 
 def dsir_weights(df: DataFrame, logratio: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+                 n_buckets: int = DSIR_BUCKETS,
+                 grams: DataFrame | None = None) -> DataFrame:
     """Score every document of ``df`` against a fitted
     :func:`dsir_logratio_table`: ``weight_micro`` = exact BIGINT sum of
     the log-ratio micros over the doc's hashed uni+bigrams, ``n_grams``
@@ -445,9 +476,11 @@ def dsir_weights(df: DataFrame, logratio: DataFrame,
     One explode scan + a broadcast join against the ``n_buckets``-row
     table + one groupBy(id) — the lang-ID shape; nothing here grows
     faster than the corpus. Docs with no grams (empty text) emit no
-    row, mirroring the SQL twin."""
-    grams = _gram_buckets(df, text_col, id_col, n_buckets)
-    return (grams.join(F.broadcast(logratio), "bucket")
+    row, mirroring the SQL twin. Pass ``grams`` (a persisted
+    :func:`dsir_gram_buckets` frame) to reuse the fit's explode."""
+    if grams is None:
+        grams = _gram_buckets(df, text_col, id_col, n_buckets)
+    return (grams.select("id", "bucket").join(F.broadcast(logratio), "bucket")
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.sum("logratio_micro").alias("weight_micro")))

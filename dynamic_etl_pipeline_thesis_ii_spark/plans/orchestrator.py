@@ -2966,6 +2966,9 @@ class Pipeline:
             Catalog,
         )
 
+        if plan.get("index_path"):
+            return self._run_ann_search_store(plan, source_dir,
+                                              output_path)
         emb = Catalog(self.spark, source_dir).embeddings
         n = emb.count()
         if n == 0:
@@ -3026,6 +3029,75 @@ class Pipeline:
                 "reports": {"plan": dict(plan), "n_vectors": n,
                             "n_clusters": n_clusters,
                             "opq": opq_report, "rows_written": n_out}}
+
+    def _run_ann_search_store(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'find the 10 nearest neighbors for each document using the
+        ann index at /path': search the PERSISTED IVF-PQ store
+        instead of rebuilding — the serve face that closes the
+        build → append → tune → search lifecycle against one
+        artifact. The source dir's embeddings are the query batch;
+        ``n_probe`` defaults to the store's tuned ``_meta`` sidecar
+        (a prior 'tune the ann index at /path' run), else the static
+        default, and the report says which source won. Ranking is
+        ADC (the store holds codes, not vectors, so there is no
+        exact-rerank tier here — results carry the ``adc`` column
+        the index serves by); self matches drop by id when the store
+        indexes the querying corpus itself."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+            ivfpq_search,
+            load_index_tuning,
+            load_ivfpq_index,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        try:
+            centers, books, coded, rotation = load_ivfpq_index(
+                self.spark, plan["index_path"])
+        except Exception as exc:
+            return {"status": "rejected",
+                    "reason": f"no loadable index store at "
+                              f"{plan['index_path']}: {exc}",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        emb = Catalog(self.spark, source_dir).embeddings
+        n = emb.count()
+        if n == 0:
+            return {"status": "rejected",
+                    "reason": "embeddings table is empty",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        tuned = load_index_tuning(self.spark, plan["index_path"])
+        if tuned and tuned.get("tuned_n_probe") is not None:
+            n_probe, probe_source = tuned["tuned_n_probe"], "tuned"
+        else:
+            n_probe, probe_source = 2, "default"
+        k = plan["k"]
+        qry = emb.select(F.col("vec_id").alias("q_id"),
+                         F.col("embedding").alias("q_vec"))
+        self.progress("search_index", {"params": dict(plan),
+                                       "n_probe": n_probe,
+                                       "n_probe_source": probe_source})
+        # corpus-sized query batches must not broadcast their LUTs
+        # (the self-kNN rule in _run_ann_search)
+        hits = ivfpq_search(centers, books, coded, qry, k=k + 1,
+                            n_probe=n_probe, rotation=rotation,
+                            broadcast_queries=n <= 100_000)
+        from pyspark.sql import Window
+        w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(),
+                                               F.col("c_id").asc())
+        frame = (hits.filter(F.col("q_id") != F.col("c_id"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k))
+        frame.write.mode("overwrite").parquet(output_path)
+        n_out = self.spark.read.parquet(output_path).count()
+        self.progress("publish", {"rows": n_out, "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "n_queries": n,
+                            "n_probe": n_probe,
+                            "n_probe_source": probe_source,
+                            "ranking": "adc",
+                            "rows_written": n_out}}
 
     def _run_ann_index_build(self, plan: dict, source_dir: str,
                              output_path: str) -> dict:
@@ -4354,9 +4426,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
             k = int(next(g for g in m.groups() if g))
         # 'with an opq rotation' opts the index into the parametric
         # OPQ rotation — same exact-tier answers, tighter ADC; the
-        # run reports the rotation's reconstruction-MSE delta
+        # run reports the rotation's reconstruction-MSE delta.
+        # '... using the ann index at /path' searches the PERSISTED
+        # store instead of rebuilding (tuned n_probe from its _meta)
+        mi = _INDEX_PATH_RE.search(query)  # paths keep their case
         return {"target": "ann_search", "k": k,
-                "opq": "opq" in ql or "rotation" in ql}
+                "opq": "opq" in ql or "rotation" in ql,
+                "index_path": mi.group(1) if mi else None}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)

@@ -1442,12 +1442,20 @@ def q_sample_deterministic(spark, sf_dir):
     # and val the EXACT integer micro-weight — the whole weight
     # vector, not just the kept set, is inside the hash check
     docs = Catalog(spark, sf_dir).documents
+    # ONE gram explode feeds both the logratio fit and the scoring
+    # pass (r13 — the md5-per-gram hash made the second explode the
+    # arm's dominant cost; dsir_gram_buckets carries the fit's flag
+    # so neither side needs another corpus scan or an id join)
+    dsir_grams = _persist_tracked(SA.dsir_gram_buckets(
+        docs.withColumn("__t", F.col("source") == "src18"),
+        carry=("__t",)))
     dsir_tbl = SA.dsir_logratio_table(
         docs.withColumn("__t", F.col("source") == "src18"),
-        target_flag="__t")
+        target_flag="__t", grams=dsir_grams)
     # the weights frame feeds BOTH the rows and the pool-mean totals:
     # tracked-persist it, or the gram explodes + table build run twice
-    dsir_w = _persist_tracked(SA.dsir_weights(docs, dsir_tbl))
+    dsir_w = _persist_tracked(SA.dsir_weights(docs, dsir_tbl,
+                                              grams=dsir_grams))
     # decimal(38,0) comparison: micro-weights (~1e11) times a 1e9+
     # doc count overflows BIGINT, which Spark wraps silently in
     # non-ANSI mode while the DuckDB twin raises — decimal keeps the

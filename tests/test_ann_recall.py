@@ -218,6 +218,60 @@ def test_nl_ann_tune_lifecycle(spark, tmp_path):
     assert res_q["reports"]["n_probe_source"] == "query"
 
 
+def test_nl_ann_search_from_store(spark, tmp_path):
+    """'find the k nearest neighbors ... using the ann index at
+    /path' (r13): the serve face — searches the PERSISTED store
+    instead of rebuilding, defaults n_probe to the tuned _meta
+    sidecar once a tune run has landed one, and reports ADC ranking
+    (codes-only store, no exact tier)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "find the 5 nearest neighbors for each document using the "
+        "ann index at /idx")
+    assert p == {"target": "ann_search", "k": 5, "opq": False,
+                 "index_path": "/idx"}
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, SF))
+    idx = str(tmp_path / "idx")
+    assert pipe.run_dataops(
+        "build an ann index over the embeddings, 8 lists",
+        SF, idx)["status"] == "complete"
+    n = spark.read.parquet(SF + "/embeddings.parquet").count()
+    # untuned store: static default, and the report says so
+    out1 = str(tmp_path / "s1")
+    r1 = pipe.run_dataops(
+        f"find the 5 nearest neighbors for each document using the "
+        f"ann index at {idx}", SF, out1)
+    assert r1["status"] == "complete"
+    assert r1["reports"]["n_probe_source"] == "default"
+    assert r1["reports"]["n_probe"] == 2
+    assert r1["reports"]["ranking"] == "adc"
+    assert r1["reports"]["rows_written"] == 5 * n
+    back = spark.read.parquet(out1)
+    assert back.filter("q_id = c_id").count() == 0    # no self matches
+    # after a tune run, search defaults to the tuned n_probe
+    rt = pipe.run_dataops(
+        f"tune the ann index at {idx} for recall 0.5, top 5, "
+        f"sampling 16 queries", SF, str(tmp_path / "curve"))
+    assert rt["status"] == "complete"
+    r2 = pipe.run_dataops(
+        f"find the 5 nearest neighbors for each document using the "
+        f"ann index at {idx}", SF, str(tmp_path / "s2"))
+    assert r2["reports"]["n_probe_source"] == "tuned"
+    assert r2["reports"]["n_probe"] == rt["reports"]["chosen_n_probe"]
+    # unreadable store rejects actionably
+    rb = pipe.run_dataops(
+        f"find the 5 nearest neighbors for each document using the "
+        f"ann index at {tmp_path}/nope", SF, str(tmp_path / "s3"))
+    assert rb["status"] == "rejected" \
+        and "no loadable index" in rb["reason"]
+
+
 def test_recall_default_on_untuned_store(spark, tmp_path):
     """A store that has never been tuned has no _meta sidecar: the
     recall run falls back to the static default and SAYS so."""

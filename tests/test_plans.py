@@ -789,7 +789,8 @@ def test_pipeline_dataops_ann_search_target(spark, sf_dir, tmp_path):
     p = parse_dataops_query(
         "find the 5 nearest neighbors for each document "
         "with an opq rotation")
-    assert p == {"target": "ann_search", "k": 5, "opq": True}
+    assert p == {"target": "ann_search", "k": 5, "opq": True,
+                 "index_path": None}
     assert parse_dataops_query(
         "run a similarity search, top 3")["k"] == 3
     assert parse_dataops_query(

@@ -364,6 +364,31 @@ def test_dsir_gram_counts_and_empty_docs(spark):
     assert out == {1: 5, 2: 1}
 
 
+def test_dsir_shared_grams_parity(spark):
+    """The shared-grams convention (ONE persisted dsir_gram_buckets
+    explode feeding both the flag-path fit and the scoring pass) must
+    produce bit-identical tables and weights to the per-call explodes
+    — it is a plan-sharing face, never a semantic one."""
+    rows = ([(i, "science physics theorem proof") for i in range(4)]
+            + [(100 + i, "spam casino winner click") for i in range(4)])
+    raw = _dsir_frame(spark, rows).withColumn(
+        "__t", F.col("doc_id") < 50)
+    tbl0 = SA.dsir_logratio_table(raw, target_flag="__t")
+    w0 = {r["id"]: (r["n_grams"], r["weight_micro"])
+          for r in SA.dsir_weights(raw, tbl0).collect()}
+    grams = SA.dsir_gram_buckets(raw, carry=("__t",)).persist()
+    try:
+        tbl1 = SA.dsir_logratio_table(raw, target_flag="__t",
+                                      grams=grams)
+        assert sorted(map(tuple, tbl0.collect())) \
+            == sorted(map(tuple, tbl1.collect()))
+        w1 = {r["id"]: (r["n_grams"], r["weight_micro"])
+              for r in SA.dsir_weights(raw, tbl1, grams=grams).collect()}
+        assert w1 == w0
+    finally:
+        grams.unpersist()
+
+
 def test_dsir_flag_path_equals_two_frame_path(spark):
     """The one-scan target_flag convention must produce the IDENTICAL
     log-ratio table (hence weights) as the two-DataFrame convention
