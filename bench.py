@@ -1127,15 +1127,18 @@ def main() -> None:
         for m in order:
             lines.append(f"# probe {m} " + " ".join(
                 f"{r['sec']}/{r['candidates']}" for r in probe[m]))
-        # hard budget: compact block + headline must fit the ~2,000-
-        # char tail with margin. Any over-long INDIVIDUAL line is
-        # truncated (never asserted on — the full series is already
-        # durable in SCALE_PROBE.json, and an abort here would throw
-        # away every computed result); then drop OLDEST series while
-        # the block is over budget, stopping once one line remains so
-        # the newest series always survives.
-        lines = [x if len(x) <= 1200 else x[:1197] + "..." for x in lines]
-        while sum(len(x) + 1 for x in lines) > 1300 and len(lines) > 1:
+        # hard budget: the bench-health line (~900 chars, r13) + the
+        # final JSON (~850) now claim most of the driver's ~2,000-char
+        # tail, so the probe block gets only the remainder — the FULL
+        # series is durable in SCALE_PROBE.json (committed with the
+        # round; the tail lines are a courtesy preview, newest last).
+        # Any over-long INDIVIDUAL line is truncated (never asserted
+        # on — an abort here would throw away every computed result);
+        # then drop OLDEST series while the block is over budget,
+        # stopping once one line remains so the newest series always
+        # survives.
+        lines = [x if len(x) <= 150 else x[:147] + "..." for x in lines]
+        while sum(len(x) + 1 for x in lines) > 160 and len(lines) > 1:
             lines.pop(0)
         for x in lines:
             print(x)

@@ -3067,11 +3067,13 @@ class Pipeline:
             return {"status": "rejected",
                     "reason": "embeddings table is empty",
                     "outputs": [], "reports": {"plan": dict(plan)}}
-        tuned = load_index_tuning(self.spark, plan["index_path"])
-        if tuned and tuned.get("tuned_n_probe") is not None:
-            n_probe, probe_source = tuned["tuned_n_probe"], "tuned"
-        else:
-            n_probe, probe_source = 2, "default"
+        n_probe, probe_source = plan.get("n_probe"), "query"
+        if n_probe is None:
+            tuned = load_index_tuning(self.spark, plan["index_path"])
+            if tuned and tuned.get("tuned_n_probe") is not None:
+                n_probe, probe_source = tuned["tuned_n_probe"], "tuned"
+            else:
+                n_probe, probe_source = 2, "default"
         k = plan["k"]
         qry = emb.select(F.col("vec_id").alias("q_id"),
                          F.col("embedding").alias("q_vec"))
@@ -4428,11 +4430,16 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         # OPQ rotation — same exact-tier answers, tighter ADC; the
         # run reports the rotation's reconstruction-MSE delta.
         # '... using the ann index at /path' searches the PERSISTED
-        # store instead of rebuilding (tuned n_probe from its _meta)
+        # store instead of rebuilding (tuned n_probe from its _meta;
+        # an explicit 'probing N lists' wins, the recall-face rule)
         mi = _INDEX_PATH_RE.search(query)  # paths keep their case
+        n_probe = None
+        if m := _PROBES_RE.search(ql):
+            n_probe = int(next(g for g in m.groups() if g))
         return {"target": "ann_search", "k": k,
                 "opq": "opq" in ql or "rotation" in ql,
-                "index_path": mi.group(1) if mi else None}
+                "index_path": mi.group(1) if mi else None,
+                "n_probe": n_probe}
     if _SEMANTIC_TARGET_RE.search(ql):
         thr = (float(m.group(1))
                if (m := _SEM_THRESHOLD_RE.search(ql)) else 0.95)

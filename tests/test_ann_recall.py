@@ -234,7 +234,10 @@ def test_nl_ann_search_from_store(spark, tmp_path):
         "find the 5 nearest neighbors for each document using the "
         "ann index at /idx")
     assert p == {"target": "ann_search", "k": 5, "opq": False,
-                 "index_path": "/idx"}
+                 "index_path": "/idx", "n_probe": None}
+    assert parse_dataops_query(
+        "find the 5 nearest neighbors for each document using the "
+        "ann index at /idx, probing 4 lists")["n_probe"] == 4
 
     pipe = Pipeline(spark, FixtureFetcher(spark, SF))
     idx = str(tmp_path / "idx")
@@ -264,6 +267,13 @@ def test_nl_ann_search_from_store(spark, tmp_path):
         f"ann index at {idx}", SF, str(tmp_path / "s2"))
     assert r2["reports"]["n_probe_source"] == "tuned"
     assert r2["reports"]["n_probe"] == rt["reports"]["chosen_n_probe"]
+    # an explicit 'probing N lists' beats the sidecar
+    r3 = pipe.run_dataops(
+        f"find the 5 nearest neighbors for each document using the "
+        f"ann index at {idx}, probing 8 lists", SF,
+        str(tmp_path / "s4"))
+    assert r3["reports"]["n_probe"] == 8
+    assert r3["reports"]["n_probe_source"] == "query"
     # unreadable store rejects actionably
     rb = pipe.run_dataops(
         f"find the 5 nearest neighbors for each document using the "

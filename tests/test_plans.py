@@ -790,7 +790,7 @@ def test_pipeline_dataops_ann_search_target(spark, sf_dir, tmp_path):
         "find the 5 nearest neighbors for each document "
         "with an opq rotation")
     assert p == {"target": "ann_search", "k": 5, "opq": True,
-                 "index_path": None}
+                 "index_path": None, "n_probe": None}
     assert parse_dataops_query(
         "run a similarity search, top 3")["k"] == 3
     assert parse_dataops_query(
