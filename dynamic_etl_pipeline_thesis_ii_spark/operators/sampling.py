@@ -588,3 +588,155 @@ def weighted_hash_topk(df: DataFrame, weight_col: str, k: int,
                             tie=key_col, q=group_col)
     return (local.withColumn("__rk", F.row_number().over(win))
             .filter(F.col("__rk") <= k).drop("__r", "__rk"))
+
+
+def unimax_allocation(df: DataFrame, budget_tokens: int, max_epochs: int,
+                      strata_col: str = "lang", text_col: str = "text",
+                      key_col: str = "doc_id", salt: str = "unimax",
+                      mod: int = DEFAULT_MOD,
+                      token_counts: Optional[Mapping[str, int]] = None,
+                      ) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a total token budget across languages as
+    uniformly as possible while capping every language at
+    ``max_epochs`` passes over its data. Small languages keep their
+    full (epoch-capped) corpus; the rest of the budget splits EQUALLY
+    among the others — one interpretable knob (the epoch cap) instead
+    of temperature sampling's tuned alpha, and no language is ever
+    repeated past the cap where memorization outpaces transfer.
+
+    The paper's allocation walks languages smallest-first, granting
+    ``min(cap_g, remaining / langs_left)``. Ascending caps make the
+    saturated languages a PREFIX of that order, and the equal share is
+    invariant once a language stops saturating (granting ``B_i/r_i``
+    leaves ``B_{i+1}/r_{i+1}`` unchanged), so the loop collapses to a
+    closed form this implementation computes exactly: sort languages
+    by ``cap = toks_g * max_epochs`` ascending (id tie-break), take
+    the longest prefix k with ``cap_i*(L-i) + cumsum_i <= B`` in
+    EXACT integer arithmetic (the condition is monotone — the
+    increment is ``(L-i)*(cap_{i+1}-cap_i) >= 0``), and give every
+    later language the equal share ``t = (B - cumsum_k)/(L-k)``.
+
+    Per-document output ``(key, strata, epochs, n_copies)``:
+    ``epochs = alloc_g / toks_g`` (the language's pass count over its
+    data, <= max_epochs) and ``n_copies`` the document's multiplicity
+    in the mixed corpus — ``floor(epochs)`` full passes plus one more
+    when the document's deterministic content hash falls under the
+    fractional-epoch share. The fractional draw reuses the module's
+    md5 bucket primitive, so the full multiplicity VECTOR (not just
+    per-language totals) is reproducible across runs, engines and
+    partitionings, and exactly oracle-checkable
+    (:func:`SQL_UNIMAX_COPIES`).
+
+    Scale shape: one tiny per-language token-sum aggregate (collected
+    to the driver — language cardinality is small), then one
+    shuffle-free projection scan; the standard sampling shape. The
+    prefix arithmetic runs in Python ints (no overflow); the SQL twin
+    runs it in BIGINT, whose ``cap*(L-i)+cumsum`` bound stays inside
+    int64 up to ~1e14 tokens x 4 epochs x 10k languages.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if not isinstance(max_epochs, int) or max_epochs <= 0:
+        raise ValueError(
+            f"max_epochs must be a positive int (exact integer caps keep "
+            f"the allocation engine-exact), got {max_epochs!r}")
+    if token_counts is None:
+        rows = (df.filter(F.col(strata_col).isNotNull())
+                .groupBy(strata_col)
+                .agg(F.sum(F.size(F.split(normalize_text(F.col(text_col)),
+                                          " ")).cast("long")).alias("n"))
+                .collect())
+        token_counts = {r[strata_col]: r["n"] for r in rows}
+    toks = {g: int(n) for g, n in token_counts.items()
+            if g is not None and n}
+    if not toks:
+        return df.filter(F.lit(False)).select(
+            F.col(key_col), F.col(strata_col),
+            F.lit(0.0).alias("epochs"),
+            F.lit(0).cast("long").alias("n_copies"))
+    order = sorted(toks.items(), key=lambda kv: (kv[1] * max_epochs,
+                                                 str(kv[0])))
+    big_l, budget = len(order), int(budget_tokens)
+    csum = k = csum_k = 0
+    for i, (_, n) in enumerate(order, 1):
+        cap = n * max_epochs
+        csum += cap
+        if cap * (big_l - i) + csum <= budget:
+            k, csum_k = i, csum
+        else:
+            break  # condition is monotone in i — the prefix ends here
+    t = (budget - csum_k) / (big_l - k) if k < big_l else 0.0
+    epochs: dict = {}
+    for i, (g, n) in enumerate(order, 1):
+        alloc = float(n * max_epochs) if i <= k else t
+        epochs[g] = alloc / n
+    # compile the per-language plan into CASE literals (the
+    # stratified_hash_sample convention): floor/threshold math happens
+    # ONCE here on the same IEEE doubles the SQL twin derives, so the
+    # projection scan is pure codegen expressions
+    ep_col: Column = F.lit(0.0)
+    nf_col: Column = F.lit(0).cast("long")
+    th_col: Column = F.lit(0)
+    for g in sorted(epochs, key=str):
+        e = epochs[g]
+        nfull = int(math.floor(e))
+        thr = int(math.floor((e - nfull) * mod))
+        ep_col = F.when(F.col(strata_col) == g, F.lit(e)).otherwise(ep_col)
+        nf_col = F.when(F.col(strata_col) == g,
+                        F.lit(nfull).cast("long")).otherwise(nf_col)
+        th_col = F.when(F.col(strata_col) == g, F.lit(thr)).otherwise(th_col)
+    return (df.filter(F.col(strata_col).isin(list(epochs)))
+            .select(F.col(key_col), F.col(strata_col),
+                    F.round(ep_col, 6).alias("epochs"),
+                    (nf_col + F.when(
+                        _bucket(F.col(key_col), salt, mod) < th_col,
+                        F.lit(1)).otherwise(F.lit(0))).cast("long")
+                    .alias("n_copies")))
+
+
+def SQL_UNIMAX_COPIES(table: str, budget_tokens: int, max_epochs: int,
+                      strata: str = "lang", text: str = "text",
+                      key: str = "doc_id", salt: str = "unimax",
+                      mod: int = DEFAULT_MOD) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — the waterfill prefix
+    in BIGINT window arithmetic, the equal share and per-doc
+    fractional-epoch draw with the same IEEE operations in the same
+    order, so rows, epochs AND multiplicities are engine-exact."""
+    ntoks = f"len(string_split({SQL_NORMALIZE.format(x=text)}, ' '))"
+    bucket = SQL_BUCKET(key, salt, mod)
+    return f"""
+WITH toks AS (
+  SELECT {strata} AS g, sum(({ntoks})::BIGINT) AS n
+  FROM {table} WHERE {strata} IS NOT NULL
+  GROUP BY {strata} HAVING sum(({ntoks})::BIGINT) > 0
+),
+ord AS (
+  SELECT g, n, n * {max_epochs} AS cap,
+         row_number() OVER (ORDER BY n * {max_epochs}, g) AS i,
+         sum(n * {max_epochs}) OVER (
+             ORDER BY n * {max_epochs}, g
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+         count(*) OVER () AS l
+  FROM toks
+),
+pfx AS (
+  SELECT coalesce(max(i), 0) AS k, coalesce(max(csum), 0) AS csum_k
+  FROM ord WHERE cap * (l - i) + csum <= {budget_tokens}
+),
+eps AS (
+  SELECT o.g,
+         CASE WHEN o.i <= p.k THEN o.cap::DOUBLE / o.n
+              ELSE (({budget_tokens} - p.csum_k)::DOUBLE
+                    / nullif(o.l - p.k, 0)) / o.n
+         END AS epochs
+  FROM ord o CROSS JOIN pfx p
+)
+SELECT d.{key} AS {key}, d.{strata} AS {strata},
+       round(e.epochs, 6) AS epochs,
+       (floor(e.epochs)::BIGINT
+        + CASE WHEN {bucket} < floor((e.epochs - floor(e.epochs)) * {mod})
+               THEN 1 ELSE 0 END) AS n_copies
+FROM {table} d JOIN eps e ON d.{strata} = e.g
+"""

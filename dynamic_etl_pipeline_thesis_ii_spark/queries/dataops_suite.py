@@ -1376,14 +1376,21 @@ def q_sample_token_budget(spark, sf_dir):
 
 
 _SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+# UniMax arm: a budget below the corpus' epoch-capped total so the
+# waterfill lands mixed — small languages saturate at the epoch cap,
+# the dominant one gets the fractional equal share (at sf0.01: four
+# languages at 2.0 epochs, en at ~1.63)
+_UNIMAX_BUDGET = 50_000
+_UNIMAX_EPOCHS = 2
 
 
 def q_sample_deterministic(spark, sf_dir):
     """Stratified hash sampling + domain-mix rebalancing + token-budget
     packing + per-language token-budget selection + train/valid/test
     split assignment + alpha=0.5 temperature sampling + DSIR
-    importance weighting as one tagged union
-    (SM2+SM3+PK1+SM4+SM5+SM6+SM7); each branch is the unchanged
+    importance weighting + UniMax epoch-capped language allocation as
+    one tagged union
+    (SM2+SM3+PK1+SM4+SM5+SM6+SM7+SM10); each branch is the unchanged
     single-op pipeline. ``val`` carries the pack branch's token offset,
     the budget branch's token count and the dsir branch's exact integer
     micro-weight (null on the sampling/split branches); the split
@@ -1487,9 +1494,18 @@ def q_sample_deterministic(spark, sf_dir):
           .select(F.lit("leak").alias("tag"), "doc_id",
                   F.col("split").alias("stratum"),
                   F.col("component").alias("val")))
+    # unimax branch (SM10): UniMax epoch-capped uniform language
+    # allocation (Chung et al. 2023) — val is the doc's multiplicity in
+    # the mixed corpus (floor(epochs) full passes + the deterministic
+    # fractional-epoch draw), so the whole per-language waterfill AND
+    # the per-doc hash draws sit inside the hash check
+    um = (SA.unimax_allocation(docs, _UNIMAX_BUDGET, _UNIMAX_EPOCHS)
+          .select(F.lit("unimax").alias("tag"), "doc_id",
+                  F.col("lang").alias("stratum"),
+                  F.col("n_copies").alias("val")))
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
             .unionByName(sp).unionByName(ck).unionByName(tm)
-            .unionByName(ds).unionByName(lk))
+            .unionByName(ds).unionByName(lk).unionByName(um))
 
 
 def _sql_sample_token_budget() -> str:
@@ -1568,6 +1584,9 @@ SELECT 'leak', doc_id,
        {SA.SQL_SPLIT_ASSIGN(_SPLIT_WEIGHTS, "component", salt="leak")},
        component
 FROM lk
+UNION ALL
+SELECT 'unimax', doc_id, lang, n_copies
+FROM ({SA.SQL_UNIMAX_COPIES("documents", _UNIMAX_BUDGET, _UNIMAX_EPOCHS)})
 """
 
 

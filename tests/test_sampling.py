@@ -497,3 +497,104 @@ def test_leakage_safe_split_components_never_straddle(spark):
     other = {r["doc_id"]: r["split"] for r in
              SA.leakage_safe_split(docs, w, pairs, salt="s2").collect()}
     assert other != again
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped language allocation (SM10)
+# ---------------------------------------------------------------------------
+
+def _naive_unimax(toks: dict, budget: int, max_epochs: int) -> dict:
+    """Line-faithful smallest-first sequential allocation from the
+    UniMax paper (Chung et al. 2023, Algorithm 1): walk languages in
+    ascending epoch-capped size, grant min(cap, remaining/langs_left)."""
+    order = sorted(toks.items(), key=lambda kv: (kv[1] * max_epochs,
+                                                 str(kv[0])))
+    rem, out = float(budget), {}
+    for i, (g, n) in enumerate(order):
+        alloc = min(float(n * max_epochs), rem / (len(order) - i))
+        out[g] = alloc / n
+        rem -= alloc
+    return out
+
+
+def test_unimax_closed_form_matches_sequential(spark):
+    """The windowed waterfill closed form == the paper's sequential
+    loop, across saturation regimes (tiny budget / mixed / everything
+    saturated) and adversarial size patterns (ties, dominant head,
+    singletons)."""
+    cases = [
+        ({"a": 10, "b": 10, "c": 10}, 5, 2),         # nothing saturates
+        ({"a": 10, "b": 10, "c": 10}, 60, 2),        # all saturate
+        ({"a": 5, "b": 50, "c": 500}, 200, 2),       # mixed
+        ({"a": 5, "b": 5, "c": 500, "d": 499}, 600, 3),  # tie + near-tie
+        ({"a": 1}, 7, 4),                            # single language
+        ({"a": 3, "b": 7, "c": 1000000}, 1000, 1),   # dominant head
+    ]
+    for toks, budget, epochs in cases:
+        rows = [(f"{g}{i}", g, "w " * n) for g, n in toks.items()
+                for i, n in [(0, n)]]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        got = {r["lang"]: r["epochs"]
+               for r in SA.unimax_allocation(df, budget, epochs,
+                                             token_counts=toks).collect()}
+        want = {g: round(e, 6) for g, e in
+                _naive_unimax(toks, budget, epochs).items()}
+        assert got == pytest.approx(want, abs=1e-6), (toks, budget, epochs)
+        # the allocation exhausts min(budget, total capped supply)
+        # (checked on the UNROUNDED sequential allocation — the
+        # operator's 6-dp display rounding would drift the sum)
+        raw = _naive_unimax(toks, budget, epochs)
+        total = sum(raw[g] * n for g, n in toks.items())
+        assert total == pytest.approx(
+            min(budget, sum(n * epochs for n in toks.values())), rel=1e-9)
+
+
+def test_unimax_fixture_invariants(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    out = SA.unimax_allocation(docs, 50_000, 2)
+    rows = out.collect()
+    assert rows and len(rows) == docs.filter(F.col("lang").isNotNull()).count()
+    for r in rows:
+        assert 0.0 <= r["epochs"] <= 2.0
+        assert r["n_copies"] in (int(r["epochs"]), int(r["epochs"]) + 1)
+    # per-language: epochs constant within a language; the fractional
+    # draw keeps ~frac of docs at floor+1
+    import collections
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        assert len({r["epochs"] for r in rs}) == 1
+        frac = rs[0]["epochs"] - int(rs[0]["epochs"])
+        extra = sum(1 for r in rs if r["n_copies"] == int(r["epochs"]) + 1)
+        if frac == 0.0:
+            assert extra == 0
+        elif len(rs) >= 50:
+            assert abs(extra / len(rs) - frac) < 0.2
+    # ample budget -> every language pinned at the epoch cap
+    full = SA.unimax_allocation(docs, 10**12, 3)
+    assert {r["epochs"] for r in full.collect()} == {3.0}
+    assert {r["n_copies"] for r in full.collect()} == {3}
+
+
+def test_unimax_determinism_and_validation(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    a = sorted((r["doc_id"], r["n_copies"])
+               for r in SA.unimax_allocation(docs, 50_000, 2).collect())
+    b = sorted((r["doc_id"], r["n_copies"])
+               for r in SA.unimax_allocation(
+                   docs.repartition(13), 50_000, 2).collect())
+    assert a == b  # partition-invariant
+    with pytest.raises(ValueError, match="budget"):
+        SA.unimax_allocation(docs, -1, 2)
+    with pytest.raises(ValueError, match="max_epochs"):
+        SA.unimax_allocation(docs, 100, 0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        SA.unimax_allocation(docs, 100, 2.5)
+    # all-null strata -> empty frame with the contract schema
+    empty = SA.unimax_allocation(
+        spark.createDataFrame([("x", None, "t")],
+                              "doc_id string, lang string, text string"),
+        100, 2)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "lang", "epochs", "n_copies"]
