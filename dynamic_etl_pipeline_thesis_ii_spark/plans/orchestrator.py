@@ -436,6 +436,8 @@ class Pipeline:
             return self._run_dsir_select(plan, source_dir, output_path)
         if plan["target"] == "temperature_mix":
             return self._run_temperature_mix(plan, source_dir, output_path)
+        if plan["target"] == "unimax_mix":
+            return self._run_unimax_mix(plan, source_dir, output_path)
 
         if plan["n_buckets"] is None:
             # corpus-derived bucket count (one cheap count): the
@@ -3425,6 +3427,56 @@ class Pipeline:
                             "counts_before": before,
                             "counts_after": after}}
 
+    def _run_unimax_mix(self, plan: dict, source_dir: str,
+                        output_path: str) -> dict:
+        """'unimax the language mix with a budget of 50000 tokens, at
+        most 2 epochs': UniMax epoch-capped allocation
+        (:func:`operators.sampling.unimax_allocation`) of the token
+        budget across languages (or sources when the query says so),
+        writing the per-doc (id, stratum, epochs, n_copies)
+        multiplicity table. The report inlines the per-stratum
+        allocation — epochs granted, tokens available, saturated or
+        equal-share — which is the number a mixing decision actually
+        reads; a missing budget rejects actionably (the epoch cap
+        alone does not determine an allocation)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+            unimax_allocation,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        if plan.get("budget") is None:
+            return {"status": "rejected",
+                    "reason": "unimax needs a token budget "
+                              "('... with a budget of 1000000 tokens')",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        docs = Catalog(self.spark, source_dir).documents
+        strata = plan["strata"]
+        if strata not in docs.columns:
+            return {"status": "rejected",
+                    "reason": f"documents table has no {strata!r} column",
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        frame = unimax_allocation(docs, plan["budget"],
+                                  plan["max_epochs"], strata_col=strata)
+        self.progress("allocate", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        per = (back.groupBy(strata)
+               .agg(F.first("epochs").alias("epochs"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_copies").alias("copies"))
+               .collect())
+        alloc = {r[strata]: {"epochs": r["epochs"], "n_docs": r["n_docs"],
+                             "copies": r["copies"],
+                             "saturated": r["epochs"] >= plan["max_epochs"]}
+                 for r in per}
+        self.progress("publish", {"rows": sum(a["n_docs"]
+                                              for a in alloc.values()),
+                                  "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "allocation": alloc}}
+
     def _run_dsir_select(self, plan: dict, source_dir: str,
                          output_path: str) -> dict:
         """'importance resample toward src18': fit the DSIR log-ratio
@@ -3507,6 +3559,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "pdf", "zip", "tarball", " tar ",
                   "census", "corpus stat",
+                  # UniMax epoch-capped language allocation
+                  "unimax", "epoch-capped", "epoch capped", "epoch cap",
                   # ExactSubstr dedup phrasings: 'remove duplicated
                   # passages' / 'strip repeated substrings'
                   "duplicated passage", "repeated passage",
@@ -3676,6 +3730,16 @@ _SHARDS_PATH_RE = re.compile(
 _MANIFEST_PATH_RE = re.compile(
     r"\bmanifest\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
+# 'unimax the language mix, budget 50000 tokens, at most 2 epochs':
+# epoch-capped uniform allocation — keyword-gated (unimax / epoch-cap
+# phrasing) so 'budget'/'epochs' alone never hijack other targets
+_UNIMAX_TARGET_RE = re.compile(r"\bunimax\b|\bepoch[- ]capp?(?:ed|ing)?\b")
+_UNIMAX_BUDGET_RE = re.compile(
+    r"\bbudget\s+(?:of\s+)?([\d][\d,_]*)|([\d][\d,_]*)[\s-]token\s+budget"
+    r"|\ballocate\s+([\d][\d,_]*)\s+tokens\b")
+_UNIMAX_EPOCHS_RE = re.compile(
+    r"\b(?:at\s+most|max(?:imum)?(?:\s+of)?)\s+(\d+)\s+epochs?\b"
+    r"|\b(\d+)\s+epochs?\s+(?:cap|max)\b|\bepoch\s+cap\s+(?:of\s+)?(\d+)\b")
 # 'extract text from the crawl at /path' / 'ingest the warc archive'
 _CRAWL_TARGET_RE = re.compile(r"\bcrawl\b|\bwarc\b")
 # 'build the link graph from the crawl at /path' — href extraction
@@ -4057,6 +4121,10 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     - ``temperature_mix`` — 'flatten the language mix' /
       'temperature 0.3' (alpha sampling; strata = source when the
       query says source/domain, else lang);
+    - ``unimax_mix`` — 'unimax the language mix with a budget of
+      50000 tokens, at most 2 epochs' (epoch-capped uniform
+      allocation; budget required, epoch cap defaults to 2, strata
+      follows the temperature convention);
     - ``chunk_documents`` — 'chunk for RAG, size 256 stride 192'
       (RAG splitting; size/stride default to the operator's 128/96);
     - ``image_dedup`` / ``audio_dedup`` / ``video_dedup`` — 'dedup
@@ -4472,6 +4540,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 # — the absolute zero point shifts with smoothing
                 # mass); otherwise the full weight vector ships
                 "select": ("select" in ql or "keep" in ql)}
+    if _UNIMAX_TARGET_RE.search(ql):
+        budget = None
+        if m := _UNIMAX_BUDGET_RE.search(ql):
+            budget = int(next(g for g in m.groups() if g)
+                         .replace(",", "").replace("_", ""))
+        ep = 2
+        if m := _UNIMAX_EPOCHS_RE.search(ql):
+            ep = int(next(g for g in m.groups() if g))
+        strata = "source" if ("source" in ql or "domain" in ql) else "lang"
+        return {"target": "unimax_mix", "budget": budget,
+                "max_epochs": ep, "strata": strata}
     if _TEMP_TARGET_RE.search(ql):
         alpha = float(m.group(1)) if (m := _ALPHA_RE.search(ql)) else 0.5
         strata = "source" if ("source" in ql or "domain" in ql) else "lang"

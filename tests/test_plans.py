@@ -1009,6 +1009,54 @@ def test_pipeline_dataops_temperature_target(spark, sf_dir, tmp_path):
     assert got == want
 
 
+
+def test_pipeline_dataops_unimax_target(spark, sf_dir, tmp_path):
+    """NL 'unimax the language mix' routes to the epoch-capped
+    allocator: plan parse (budget with separators, epoch cap, strata
+    convention), run parity with the direct operator, per-stratum
+    allocation report, and the missing-budget rejection."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    p = parse_dataops_query(
+        "unimax the language mix with a budget of 50,000 tokens, "
+        "at most 2 epochs")
+    assert p == {"target": "unimax_mix", "budget": 50_000,
+                 "max_epochs": 2, "strata": "lang"}
+    assert parse_dataops_query(
+        "epoch-capped allocation across sources, 100000-token budget"
+    ) == {"target": "unimax_mix", "budget": 100_000,
+          "max_epochs": 2, "strata": "source"}
+    # temperature phrasing still routes to temperature, not unimax
+    assert parse_dataops_query(
+        "flatten the language mix, temperature 0.3")["target"]         == "temperature_mix"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "unimax")
+    result = pipe.run_dataops(
+        "unimax the language mix with a budget of 50000 tokens, "
+        "at most 2 epochs", sf_dir, out)
+    assert result["status"] == "complete"
+    alloc = result["reports"]["allocation"]
+    assert alloc and all(0.0 <= a["epochs"] <= 2.0 for a in alloc.values())
+    assert any(a["saturated"] for a in alloc.values())
+    docs = Catalog(spark, sf_dir).documents
+    want = sorted((r["doc_id"], r["n_copies"]) for r in
+                  unimax_allocation(docs, 50_000, 2).collect())
+    got = sorted((r["doc_id"], r["n_copies"]) for r in
+                 spark.read.parquet(out).collect())
+    assert got == want
+    # no budget -> actionable rejection
+    rej = pipe.run_dataops("unimax the language mix", sf_dir,
+                           str(tmp_path / "u2"))
+    assert rej["status"] == "rejected" and "budget" in rej["reason"]
+
+
 # ---------------------------------------------------------------------------
 # LLM rim (prompt contract + strict parse + fallback)
 # ---------------------------------------------------------------------------
