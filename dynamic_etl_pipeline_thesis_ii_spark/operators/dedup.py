@@ -318,11 +318,17 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     Documents with zero shingles drop out (no rows after explode).
     """
     ex = shingle_rows(df, text_col, id_col, k)
-    hashed = ex.select(
+    # md5 ONCE per shingle: both 32-bit halves derive from one hex
+    # column in a separate projection. Inlining hash32(s) + an
+    # explicit md5 for the high half leaves TWO md5 calls that
+    # whole-stage codegen does not subexpression-eliminate across the
+    # conv/substring wrappers — measured ~20% of the fingerprint
+    # stage at sf0.1 (1.83 s -> 1.47 s warm).
+    hexed = ex.select("id", F.md5(F.col("s").cast("binary")).alias("h"))
+    hashed = hexed.select(
         "id",
-        hash32(F.col("s")).alias("lo"),
-        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 9, 8), 16, 10)
-         .cast("long").alias("hi"))
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("hi"))
     bit_sums = [
         F.sum(F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
               .bitwiseAND(F.lit(1))).alias(f"c{j}")
