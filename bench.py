@@ -40,6 +40,7 @@ of ~f.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -907,6 +908,7 @@ def scale_probe(spark, factors: list[int]) -> dict:
     hy_queries = hy_qtext.join(hy_q, "query_id").persist()
     hy_queries.count()
     out["hybrid"] = []
+    out["hybridivf"] = []
     for f in factors:
         docs_f = _salted_docs(f).persist()
         cand_f = _flipped_embs(f, "c_id", "c_vec").persist()
@@ -919,6 +921,29 @@ def scale_probe(spark, factors: list[int]) -> dict:
             best = min(best, time.perf_counter() - t0)
         out["hybrid"].append({"factor": f, "n_docs": n,
                               "candidates": c, "sec": round(best, 3)})
+        # hybridivf: the store-backed dense tower (T18's documented
+        # scale swap) — index build is SETUP (the persisted-store
+        # lifecycle pays it once); timed work is bm25 + probed-lists
+        # ADC + k_pool exact rerank. The brute series above grows
+        # with the corpus scan; this one must stay near-flat — the
+        # direct evidence the swap matters at 100 TB.
+        centers_f, books_f, coded_f = S.ivfpq_build(
+            cand_f, n_clusters=max(4, int(math.sqrt(n))), m=4, k=8)
+        coded_f = coded_f.persist()
+        coded_f.count()
+        best, c = float("inf"), 0
+        for _ in range(probe_rep):
+            t0 = time.perf_counter()
+            c = S.hybrid_topk(docs_f, cand_f, hy_queries,
+                              k=8, k_pool=12,
+                              dense_index=(centers_f, books_f,
+                                           coded_f, None),
+                              n_probe=2).count()
+            best = min(best, time.perf_counter() - t0)
+        out["hybridivf"].append({"factor": f, "n_docs": n,
+                                 "candidates": c,
+                                 "sec": round(best, 3)})
+        coded_f.unpersist()
         docs_f.unpersist()
         cand_f.unpersist()
     hy_queries.unpersist()
@@ -1120,8 +1145,8 @@ def main() -> None:
         lines = []
         last = ("pq", "semdedup", "dsir", "bloom", "crawl", "cluster",
                 "imgdedup", "auddedup", "viddedup", "vcontain",
-                "zorder", "upsert", "bm25", "hybrid", "substrinc",
-                "pagerank")
+                "zorder", "upsert", "bm25", "hybrid", "hybridivf",
+                "substrinc", "pagerank")
         order = ([m for m in probe if m not in last] +
                  [m for m in last if m in probe])
         for m in order:

@@ -1475,8 +1475,9 @@ def rrf_fuse(ranked_arms: list, k: int = 10, k_rrf: int = 60,
 def hybrid_topk(docs: DataFrame, candidates: DataFrame,
                 queries: DataFrame, k: int = 10, k_pool: int = 20,
                 k_rrf: int = 60, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Hybrid retrieval: BM25 over ``docs`` + exact cosine over
+                id_col: str = "doc_id", dense_index=None,
+                n_probe: int = 2) -> DataFrame:
+    """Hybrid retrieval: BM25 over ``docs`` + a dense tower over
     ``candidates`` (c_id, c_vec), fused by :func:`rrf_fuse` — the
     lexical tower catches exact-term matches the embedding space
     blurs, the dense tower catches paraphrases BM25 cannot see; RAG
@@ -1484,21 +1485,37 @@ def hybrid_topk(docs: DataFrame, candidates: DataFrame,
     union. ``queries`` carries (query_id, query_text, query_vec) —
     one row per query, both representations.
 
+    ``dense_index`` swaps the dense tower's exact cosine scan for a
+    prebuilt IVF-PQ store (the :func:`load_ivfpq_index` tuple) — the
+    billion-vector scale path the fusion contract was designed for
+    (it only needs (query_id, id, rank)): the search probes
+    ``n_probe`` inverted lists with codes-only ADC and exact-reranks
+    the top ``k_pool`` against the TRUE vectors in ``candidates``,
+    so dense cost is probed-lists-sized, not corpus-sized. On
+    L2-normalized vectors the exact-rerank ordering (squared L2)
+    equals the brute arm's cosine ordering, so a full-probe search
+    reproduces the brute ranking exactly; un-normalized vectors rank
+    by distance, the standard ANN-store contract.
+
     Scale: the query set broadcasts into BOTH towers (the corpus
     never shuffles on anything but its own aggregates — see
-    bm25_topk / brute_force_topk); fusion is eval-sized. Swap the
-    dense arm for the IVF-PQ searcher at billion-vector scale — the
-    fusion contract only needs (query_id, id, rank)."""
+    bm25_topk / brute_force_topk / ivfpq_search); fusion is
+    eval-sized."""
     from dynamic_etl_pipeline_thesis_ii_spark.operators.text import (
         bm25_topk,
     )
 
     lex = bm25_topk(docs, queries.select("query_id", "query_text"),
                     text_col=text_col, id_col=id_col, k=k_pool)
-    den = brute_force_topk(
-        queries.select(F.col("query_id").alias("q_id"),
-                       F.col("query_vec").alias("q_vec")),
-        candidates, k=k_pool)
+    qv = queries.select(F.col("query_id").alias("q_id"),
+                       F.col("query_vec").alias("q_vec"))
+    if dense_index is not None:
+        centers, books, coded, rotation = dense_index
+        den = ivfpq_search(centers, books, coded, qv, k=k_pool,
+                           n_probe=n_probe, rerank=k_pool,
+                           candidates=candidates, rotation=rotation)
+    else:
+        den = brute_force_topk(qv, candidates, k=k_pool)
     return rrf_fuse(
         [lex, den.withColumnRenamed("q_id", "query_id")
                  .withColumnRenamed("c_id", "id")],

@@ -2819,11 +2819,20 @@ class Pipeline:
         sanity check, not an answer). Rejects ids missing from the
         documents or embeddings table with an actionable reason.
 
+        '... using the ann index at /path' swaps the dense tower's
+        corpus scan for the persisted IVF-PQ store (probed-lists ADC
+        + exact rerank of the pool — see :func:`hybrid_topk`);
+        n_probe resolves like the store-search face — explicit
+        'probing N lists' > tuned ``_meta`` sidecar > default — and
+        the report names the dense arm and the winning source.
+
         Scale: the query set is the handful of named ids — both
         towers broadcast it; the corpus never shuffles on anything
-        but its own aggregates."""
+        but its own aggregates (store-backed: the probed lists)."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
             hybrid_topk,
+            load_index_tuning,
+            load_ivfpq_index,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
             Catalog,
@@ -2834,6 +2843,24 @@ class Pipeline:
                     "reason": "hybrid search needs document ids "
                               "('like doc 42')",
                     "outputs": [], "reports": {"plan": dict(plan)}}
+        dense_index, n_probe, probe_source = None, None, None
+        if plan.get("index_path"):
+            try:
+                dense_index = load_ivfpq_index(self.spark,
+                                               plan["index_path"])
+            except Exception as exc:
+                return {"status": "rejected",
+                        "reason": f"no loadable index store at "
+                                  f"{plan['index_path']}: {exc}",
+                        "outputs": [], "reports": {"plan": dict(plan)}}
+            n_probe, probe_source = plan.get("n_probe"), "query"
+            if n_probe is None:
+                tuned = load_index_tuning(self.spark,
+                                          plan["index_path"])
+                if tuned and tuned.get("tuned_n_probe") is not None:
+                    n_probe, probe_source = tuned["tuned_n_probe"], "tuned"
+                else:
+                    n_probe, probe_source = 2, "default"
         cat = Catalog(self.spark, source_dir)
         docs = cat.documents.select("doc_id", "text")
         emb = cat.embeddings
@@ -2856,9 +2883,13 @@ class Pipeline:
         cands = emb.select(F.col("vec_id").alias("c_id"),
                            F.col("embedding").alias("c_vec"))
         hits = (hybrid_topk(docs, cands, queries,
-                            k=plan["k"] + 1, k_pool=plan["k"] + 10)
+                            k=plan["k"] + 1, k_pool=plan["k"] + 10,
+                            dense_index=dense_index,
+                            n_probe=n_probe or 2)
                 .filter(F.col("id") != F.col("query_id")))
-        self.progress("hybrid_search", {"params": dict(plan)})
+        self.progress("hybrid_search", {"params": dict(plan),
+                                        "dense_arm": ("ivf" if dense_index
+                                                      else "brute")})
         hits.write.mode("overwrite").parquet(output_path)
         back = self.spark.read.parquet(output_path)      # read-back
         counts = {int(r["query_id"]): r["n"]
@@ -2870,7 +2901,12 @@ class Pipeline:
         return {"status": "complete", "outputs": [hits],
                 "reports": {"plan": dict(plan),
                             "hits_per_query": counts,
-                            "hits_in_both_towers": both}}
+                            "hits_in_both_towers": both,
+                            "dense_arm": ("ivf" if dense_index
+                                          else "brute"),
+                            **({"n_probe": n_probe,
+                                "n_probe_source": probe_source}
+                               if dense_index else {})}}
 
     def _run_bm25_index_build(self, plan: dict, source_dir: str,
                               output_path: str) -> dict:
@@ -4478,7 +4514,17 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         ids = []
         if m := _LIKE_DOCS_RE.search(ql):
             ids = [int(x) for x in re.findall(r"\d+", m.group(1))]
-        return {"target": "hybrid_search", "k": k, "doc_ids": ids}
+        # '... using the ann index at /path' rides the PERSISTED
+        # IVF-PQ store as the dense tower (probed-lists cost instead
+        # of a corpus scan); n_probe resolves like the search face —
+        # explicit 'probing N lists' > tuned _meta > default
+        mi = _INDEX_PATH_RE.search(query)    # paths keep their case
+        n_probe = None
+        if m := _PROBES_RE.search(ql):
+            n_probe = int(next(g for g in m.groups() if g))
+        return {"target": "hybrid_search", "k": k, "doc_ids": ids,
+                "index_path": mi.group(1) if mi else None,
+                "n_probe": n_probe}
     if _RETRIEVE_TARGET_RE.search(ql):
         k = 10
         if m := _ANN_K_RE.search(ql):

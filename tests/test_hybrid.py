@@ -94,7 +94,8 @@ def test_nl_hybrid_search_target(spark, sf_dir, tmp_path):
     p = parse_dataops_query(
         "find documents like doc 42 using both keywords and "
         "embeddings, top 5")
-    assert p == {"target": "hybrid_search", "k": 5, "doc_ids": [42]}
+    assert p == {"target": "hybrid_search", "k": 5, "doc_ids": [42],
+                 "index_path": None, "n_probe": None}
     assert parse_dataops_query(
         "hybrid search for documents like docs 3 and 7")["doc_ids"] \
         == [3, 7]
@@ -143,3 +144,95 @@ def test_nl_hybrid_search_target(spark, sf_dir, tmp_path):
         "find documents like doc 999999 using both keywords and "
         "embeddings", sf_dir, str(tmp_path / "o2"))
     assert r2["status"] == "rejected" and "999999" in r2["reason"]
+
+
+def test_hybrid_dense_index_full_probe_equals_brute(spark):
+    """Store-backed dense tower at full probe width + exact rerank
+    reproduces the brute arm's fused ranking on L2-NORMALIZED
+    vectors (squared-L2 rerank order == cosine order there), so the
+    IVF swap is a pure scale substitution, not a semantics change."""
+    import math
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.similarity import (
+        ivfpq_build,
+    )
+
+    rows = []
+    for i in range(60):
+        v = [math.cos(0.37 * i + d) for d in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    cands = spark.createDataFrame(rows, "c_id bigint, c_vec array<double>")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} filler") for i in range(60)],
+        "doc_id bigint, text string")
+    queries = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3}", rows[i][1]) for i in (0, 11, 23)],
+        "query_id bigint, query_text string, query_vec array<double>")
+    idx = ivfpq_build(cands, n_clusters=4, m=4, k=8)
+    brute = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in hybrid_topk(docs, cands, queries, k=8,
+                             k_pool=12).collect())
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in hybrid_topk(docs, cands, queries, k=8, k_pool=12,
+                             dense_index=(*idx, None),
+                             n_probe=4).collect())
+    assert ivf == brute and len(ivf) > 0
+
+
+def test_nl_hybrid_search_with_store(spark, sf_dir, tmp_path):
+    """'find documents like doc 42 ... using the ann index at /path':
+    the dense tower rides the persisted store — n_probe resolution
+    (explicit > tuned > default) named in the report, unloadable
+    store rejects actionably, fused output still drops the self-hit."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "find documents like doc 42 using both keywords and "
+        "embeddings, top 5, using the ann index at /idx, "
+        "probing 3 lists")
+    assert p["index_path"] == "/idx" and p["n_probe"] == 3
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    idx = str(tmp_path / "idx")
+    built = pipe.run_dataops(
+        "build an ann index over the embeddings, 4 lists",
+        sf_dir, idx)
+    assert built["status"] == "complete"
+    out = str(tmp_path / "hits")
+    res = pipe.run_dataops(
+        f"find documents like doc 42 using both keywords and "
+        f"embeddings, top 5, using the ann index at {idx}",
+        sf_dir, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["dense_arm"] == "ivf"
+    assert rep["n_probe_source"] == "default" and rep["n_probe"] == 2
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert back.filter(F.col("id") == 42).count() == 0   # self dropped
+    # explicit probe width wins
+    res2 = pipe.run_dataops(
+        f"find documents like doc 42 using both keywords and "
+        f"embeddings, top 5, using the ann index at {idx}, "
+        f"probing 4 lists", sf_dir, str(tmp_path / "h2"))
+    assert res2["reports"]["n_probe"] == 4
+    assert res2["reports"]["n_probe_source"] == "query"
+    # brute path still reports its arm
+    res3 = pipe.run_dataops(
+        "find documents like doc 42 using both keywords and "
+        "embeddings, top 5", sf_dir, str(tmp_path / "h3"))
+    assert res3["reports"]["dense_arm"] == "brute"
+    assert "n_probe" not in res3["reports"]
+    # unloadable store
+    bad = pipe.run_dataops(
+        f"find documents like doc 42 using both keywords and "
+        f"embeddings using the ann index at {tmp_path / 'nope'}",
+        sf_dir, str(tmp_path / "h4"))
+    assert bad["status"] == "rejected" and "index store" in bad["reason"]
