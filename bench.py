@@ -480,6 +480,72 @@ def scale_probe(spark, factors: list[int]) -> dict:
     finally:
         shutil.rmtree(crawl_root, ignore_errors=True)
 
+    # pdf / archive: the W4/W5 ingestion front doors at growing file
+    # counts. Both readers ride binaryFile + one Arrow kernel with
+    # FILE as the parallelism unit (same contract as crawl), so rows
+    # out are exactly linear in files and wall ~linear once files
+    # exceed cores — any superlinear growth here would mean listing /
+    # driver overhead creeping in, which is precisely what the probe
+    # guards. Setup writes the fixtures once per factor (8 multi-page
+    # PDFs and 4 multi-member zips per replica, wrapping real corpus
+    # texts); only the read is timed.
+    import io
+    import zipfile
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import (
+        archives as AR,
+        pdf as PDF,
+    )
+
+    pdf_texts = [t[:400] for t in texts[:24]]
+    pdf_bytes = [PDF.write_pdf([pdf_texts[3 * i], pdf_texts[3 * i + 1],
+                                pdf_texts[3 * i + 2]])
+                 for i in range(8)]
+    zip_bytes = []
+    for i in range(4):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for j in range(6):
+                t = texts[(6 * i + j) % len(texts)]
+                z.writestr(f"doc{i}_{j}.txt", t)
+            z.writestr(f"meta{i}.json", '{"k": %d}' % i)
+        zip_bytes.append(buf.getvalue())
+    ing_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        out["pdf"] = []
+        out["archive"] = []
+        for f in factors:
+            dp = os.path.join(ing_root, f"pdf_f{f}")
+            da = os.path.join(ing_root, f"zip_f{f}")
+            os.makedirs(dp, exist_ok=True)
+            os.makedirs(da, exist_ok=True)
+            for i in range(f):
+                for j, b in enumerate(pdf_bytes):
+                    with open(os.path.join(dp, f"r{i}_{j}.pdf"),
+                              "wb") as fh:
+                        fh.write(b)
+                for j, b in enumerate(zip_bytes):
+                    with open(os.path.join(da, f"r{i}_{j}.zip"),
+                              "wb") as fh:
+                        fh.write(b)
+            best, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                c = PDF.read_pdfs(spark, dp).count()
+                best = min(best, time.perf_counter() - t0)
+            out["pdf"].append({"factor": f, "n_docs": 8 * f,
+                               "candidates": c, "sec": round(best, 3)})
+            best, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                c = AR.read_archives(spark, da).count()
+                best = min(best, time.perf_counter() - t0)
+            out["archive"].append({"factor": f, "n_docs": 4 * f,
+                                   "candidates": c,
+                                   "sec": round(best, 3)})
+    finally:
+        shutil.rmtree(ing_root, ignore_errors=True)
+
     # imgdedup: perceptual-hash image near-dup (dhash -> Manku
     # banding) at REAL scale: 625 synthetic gradient-noise BMPs per
     # replica puts factor 16 past 10^4 images — enough corpus that
