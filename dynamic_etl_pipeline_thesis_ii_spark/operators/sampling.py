@@ -590,6 +590,50 @@ def weighted_hash_topk(df: DataFrame, weight_col: str, k: int,
             .filter(F.col("__rk") <= k).drop("__r", "__rk"))
 
 
+def _validate_unimax(budget_tokens: int, max_epochs: int) -> None:
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if not isinstance(max_epochs, int) or max_epochs <= 0:
+        raise ValueError(
+            f"max_epochs must be a positive int (exact integer caps keep "
+            f"the allocation engine-exact), got {max_epochs!r}")
+
+
+def unimax_epochs(token_counts: Mapping[str, int], budget_tokens: int,
+                  max_epochs: int) -> dict:
+    """The UniMax waterfill closed form on a per-stratum token-count
+    dict — the pure-arithmetic core of :func:`unimax_allocation`,
+    exposed so consumers that ALREADY hold the counts (the data-card
+    census, a mixing report) can derive the allocation without
+    another corpus scan. Returns ``{stratum: epochs}`` (<= max_epochs,
+    empty when no stratum has tokens); exact integer prefix
+    arithmetic, one IEEE division for the equal share — identical to
+    what the operator compiles into its scan and what
+    :func:`SQL_UNIMAX_COPIES` recomputes in SQL."""
+    _validate_unimax(budget_tokens, max_epochs)
+    toks = {g: int(n) for g, n in token_counts.items()
+            if g is not None and n}
+    if not toks:
+        return {}
+    order = sorted(toks.items(), key=lambda kv: (kv[1] * max_epochs,
+                                                 str(kv[0])))
+    big_l, budget = len(order), int(budget_tokens)
+    csum = k = csum_k = 0
+    for i, (_, n) in enumerate(order, 1):
+        cap = n * max_epochs
+        csum += cap
+        if cap * (big_l - i) + csum <= budget:
+            k, csum_k = i, csum
+        else:
+            break  # condition is monotone in i — the prefix ends here
+    t = (budget - csum_k) / (big_l - k) if k < big_l else 0.0
+    epochs: dict = {}
+    for i, (g, n) in enumerate(order, 1):
+        alloc = float(n * max_epochs) if i <= k else t
+        epochs[g] = alloc / n
+    return epochs
+
+
 def unimax_allocation(df: DataFrame, budget_tokens: int, max_epochs: int,
                       strata_col: str = "lang", text_col: str = "text",
                       key_col: str = "doc_id", salt: str = "unimax",
@@ -636,12 +680,7 @@ def unimax_allocation(df: DataFrame, budget_tokens: int, max_epochs: int,
     runs it in BIGINT, whose ``cap*(L-i)+cumsum`` bound stays inside
     int64 up to ~1e14 tokens x 4 epochs x 10k languages.
     """
-    if budget_tokens < 0:
-        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
-    if not isinstance(max_epochs, int) or max_epochs <= 0:
-        raise ValueError(
-            f"max_epochs must be a positive int (exact integer caps keep "
-            f"the allocation engine-exact), got {max_epochs!r}")
+    _validate_unimax(budget_tokens, max_epochs)
     if token_counts is None:
         rows = (df.filter(F.col(strata_col).isNotNull())
                 .groupBy(strata_col)
@@ -649,29 +688,12 @@ def unimax_allocation(df: DataFrame, budget_tokens: int, max_epochs: int,
                                           " ")).cast("long")).alias("n"))
                 .collect())
         token_counts = {r[strata_col]: r["n"] for r in rows}
-    toks = {g: int(n) for g, n in token_counts.items()
-            if g is not None and n}
-    if not toks:
+    epochs = unimax_epochs(token_counts, budget_tokens, max_epochs)
+    if not epochs:
         return df.filter(F.lit(False)).select(
             F.col(key_col), F.col(strata_col),
             F.lit(0.0).alias("epochs"),
             F.lit(0).cast("long").alias("n_copies"))
-    order = sorted(toks.items(), key=lambda kv: (kv[1] * max_epochs,
-                                                 str(kv[0])))
-    big_l, budget = len(order), int(budget_tokens)
-    csum = k = csum_k = 0
-    for i, (_, n) in enumerate(order, 1):
-        cap = n * max_epochs
-        csum += cap
-        if cap * (big_l - i) + csum <= budget:
-            k, csum_k = i, csum
-        else:
-            break  # condition is monotone in i — the prefix ends here
-    t = (budget - csum_k) / (big_l - k) if k < big_l else 0.0
-    epochs: dict = {}
-    for i, (g, n) in enumerate(order, 1):
-        alloc = float(n * max_epochs) if i <= k else t
-        epochs[g] = alloc / n
     # compile the per-language plan into CASE literals (the
     # stratified_hash_sample convention): floor/threshold math happens
     # ONCE here on the same IEEE doubles the SQL twin derives, so the

@@ -2412,6 +2412,40 @@ class Pipeline:
                 "licensing": licensing,
                 "census_path": output_path,
                 "histogram_path": output_path + "_hist"}
+        # suggested mix (SM10): when the query names a token budget
+        # ('... with a budget of 1000000 tokens, at most 2 epochs'),
+        # the card carries the UniMax epoch-capped allocation derived
+        # from the census's per-language token sums — pure driver
+        # arithmetic over numbers this run already collected, zero
+        # extra scans, and the datasheet becomes actionable: it says
+        # not just what the corpus IS but how a budgeted training run
+        # would draw from it.
+        if plan.get("mix_budget") is not None:
+            from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+                unimax_epochs,
+            )
+            toks_per_lang = {
+                r["stratum"]: r["n_tokens"]
+                for r in back.filter((F.col("kind") == "lang")
+                                     & (F.col("stratum") != "__null__"))
+                .collect()}
+            eps = unimax_epochs(toks_per_lang, plan["mix_budget"],
+                                plan["mix_epochs"])
+            card["suggested_mix"] = {
+                "budget_tokens": plan["mix_budget"],
+                "max_epochs": plan["mix_epochs"],
+                "epochs_per_lang": {g: round(e, 4)
+                                    for g, e in eps.items()},
+                "allocated_tokens_per_lang": {
+                    g: int(round(e * toks_per_lang[g]))
+                    for g, e in eps.items()},
+                "saturated_langs": sorted(
+                    g for g, e in eps.items()
+                    if e >= plan["mix_epochs"]),
+            }
+            self.progress("suggested_mix",
+                          {"langs": len(eps),
+                           "budget": plan["mix_budget"]})
         # tokenizer section (TK4): when the query names a tokenizer
         # store ('... with the tokenizer at /path'), per-language
         # fertility + chars-per-token join the datasheet — fertility
@@ -4362,10 +4396,21 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     if _DATACARD_TARGET_RE.search(ql):
         # 'generate a data card ... with the tokenizer at /path' adds
         # the TK4 fertility section: per-language tokens-per-word is
-        # exactly the per-language coverage number a datasheet carries
+        # exactly the per-language coverage number a datasheet carries.
+        # A named token budget ('... with a budget of 1000000 tokens,
+        # at most 2 epochs') adds the SM10 suggested-mix section —
+        # pure driver math over the census the card already collects.
         mt = _TOKENIZER_PATH_RE.search(query)  # paths keep their case
+        budget = None
+        if m := _UNIMAX_BUDGET_RE.search(ql):
+            budget = int(next(g for g in m.groups() if g)
+                         .replace(",", "").replace("_", ""))
+        ep = 2
+        if m := _UNIMAX_EPOCHS_RE.search(ql):
+            ep = int(next(g for g in m.groups() if g))
         return {"target": "data_card",
-                "tokenizer_path": mt.group(1) if mt else None}
+                "tokenizer_path": mt.group(1) if mt else None,
+                "mix_budget": budget, "mix_epochs": ep}
     if _CENSUS_TARGET_RE.search(ql):
         # 'with a length histogram' / 'length distribution' adds the
         # power-of-two token-length histogram sidecar; 'distinct'

@@ -2009,7 +2009,8 @@ def test_pipeline_dataops_data_card_target(spark, sf_dir, tmp_path):
 
     assert parse_dataops_query(
         "generate a data card for the corpus") \
-        == {"target": "data_card", "tokenizer_path": None}
+        == {"target": "data_card", "tokenizer_path": None,
+            "mix_budget": None, "mix_epochs": 2}
     assert parse_dataops_query(
         "write a datasheet for the training data")["target"] == "data_card"
 
@@ -2069,7 +2070,8 @@ def test_data_card_tokenizer_section(spark, sf_dir, tmp_path):
 
     p = parse_dataops_query(
         "generate a data card for the corpus with the tokenizer at /tok")
-    assert p == {"target": "data_card", "tokenizer_path": "/tok"}
+    assert p == {"target": "data_card", "tokenizer_path": "/tok",
+                 "mix_budget": None, "mix_epochs": 2}
 
     pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
     tok = str(tmp_path / "tok")
@@ -2889,3 +2891,54 @@ def test_explain_dry_run_face(spark, sf_dir, tmp_path):
     res3 = pipe.run_dataops("license audit the corpus", sf_dir,
                             str(tmp_path / "flags"))
     assert res3["status"] == "complete"
+
+
+def test_data_card_suggested_mix_section(spark, sf_dir, tmp_path):
+    """'generate a data card ... with a budget of 50000 tokens, at
+    most 2 epochs': the SM10 suggested-mix section joins the card —
+    derived from the census's own per-language token sums (zero
+    extra scans), numerically consistent with the census and with
+    the standalone allocator's closed form."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        unimax_epochs,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query(
+        "generate a data card for the corpus with a budget of "
+        "50,000 tokens, at most 2 epochs")
+    assert p["mix_budget"] == 50_000 and p["mix_epochs"] == 2
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "card")
+    res = pipe.run_dataops(
+        "generate a data card for the corpus with a budget of "
+        "50000 tokens, at most 2 epochs", sf_dir, out)
+    assert res["status"] == "complete"
+    card = res["reports"]["data_card"]
+    mix = card["suggested_mix"]
+    assert mix["budget_tokens"] == 50_000 and mix["max_epochs"] == 2
+    langs = set(card["composition"]["docs_per_lang"])
+    assert set(mix["epochs_per_lang"]) == langs
+    assert all(0.0 <= e <= 2.0 for e in mix["epochs_per_lang"].values())
+    # allocation totals: sum of allocated tokens == min(budget, supply)
+    census = spark.read.parquet(out)
+    toks = {r["stratum"]: r["n_tokens"] for r in
+            census.filter(census.kind == "lang").collect()}
+    total_alloc = sum(mix["allocated_tokens_per_lang"].values())
+    supply = 2 * sum(toks.values())
+    assert abs(total_alloc - min(50_000, supply)) <= len(toks)  # rounding
+    # consistency with the pure closed form on the same counts
+    want = {g: round(e, 4)
+            for g, e in unimax_epochs(toks, 50_000, 2).items()}
+    assert mix["epochs_per_lang"] == want
+    assert mix["saturated_langs"] == sorted(
+        g for g, e in want.items() if e >= 2)
+    # no budget named -> no section
+    res0 = pipe.run_dataops("generate a data card for the corpus",
+                            sf_dir, str(tmp_path / "c0"))
+    assert "suggested_mix" not in res0["reports"]["data_card"]
