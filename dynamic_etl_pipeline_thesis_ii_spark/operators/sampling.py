@@ -762,3 +762,70 @@ SELECT d.{key} AS {key}, d.{strata} AS {strata},
                THEN 1 ELSE 0 END) AS n_copies
 FROM {table} d JOIN eps e ON d.{strata} = e.g
 """
+
+
+def shuffle_order(df: DataFrame, key_col: str = "doc_id",
+                  salt: str = "shuffle", epoch: int = 0,
+                  n_buckets: int = 1024,
+                  mod: int = DEFAULT_MOD) -> DataFrame:
+    """Deterministic global training order — the tokenize-and-shuffle
+    stage every LLM data pipeline ends with: examples must reach the
+    trainer in a shuffled order that is REPRODUCIBLE (re-runs, other
+    engines, elastic restarts all see the same sequence) and cheap to
+    compute at corpus scale. The order key is the salted content hash
+    (``hash(key || salt || epoch)``), so each ``epoch`` value is an
+    independent permutation of the same corpus with no RNG state.
+
+    Returns ``(key, epoch, bucket, rank)`` with ``rank`` the 0-based
+    GLOBAL position in the shuffled order. A single window over the
+    whole corpus would compute it in one partition; instead the rank
+    is assembled scalably in two phases: hash-RANGE buckets
+    (``bucket = h * n_buckets / mod`` in exact integer arithmetic —
+    monotone in ``h``, so per-bucket order concatenates to the global
+    order), per-bucket counts -> cumulative offsets on the
+    |n_buckets|-row aggregate, broadcast back, plus an intra-bucket
+    row_number. One narrow shuffle on the bucket key + one tiny
+    aggregate; per-bucket window memory is corpus/n_buckets rows —
+    size ``n_buckets`` so a bucket fits an executor (65k buckets at
+    100 TB keeps buckets ~1.5 GB).
+
+    Engine-exact: rank equals DuckDB's
+    ``row_number() OVER (ORDER BY h, key) - 1``
+    (:func:`SQL_SHUFFLE_ORDER`), hash ties broken by key."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    h = _bucket(F.col(key_col), f"{salt}e{epoch}", mod)
+    base = df.select(F.col(key_col), h.alias("__h"),
+                     ((h * n_buckets) / mod).cast("long")
+                     .alias("bucket"))
+    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (Window.orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        .alias("__off"))
+    w_in = Window.partitionBy("bucket").orderBy(F.col("__h").asc(),
+                                                F.col(key_col).asc())
+    return (base.join(F.broadcast(offsets), "bucket")
+            .select(F.col(key_col), F.lit(epoch).alias("epoch"),
+                    F.col("bucket"),
+                    (F.col("__off") + F.row_number().over(w_in) - 1)
+                    .cast("long").alias("rank")))
+
+
+def SQL_SHUFFLE_ORDER(table: str, key: str = "doc_id",
+                      salt: str = "shuffle", epoch: int = 0,
+                      n_buckets: int = 1024,
+                      mod: int = DEFAULT_MOD) -> str:
+    """DuckDB twin of :func:`shuffle_order` — the single global
+    row_number the engine's two-phase offsets+window assembly must
+    reproduce exactly."""
+    h = SQL_BUCKET(key, f"{salt}e{epoch}", mod)
+    return f"""
+SELECT {key}, {epoch} AS epoch,
+       (({h}) * {n_buckets}) // {mod} AS bucket,
+       row_number() OVER (ORDER BY {h}, {key}) - 1 AS rank
+FROM {table}
+"""

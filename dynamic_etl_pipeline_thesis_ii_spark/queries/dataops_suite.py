@@ -1388,9 +1388,10 @@ def q_sample_deterministic(spark, sf_dir):
     """Stratified hash sampling + domain-mix rebalancing + token-budget
     packing + per-language token-budget selection + train/valid/test
     split assignment + alpha=0.5 temperature sampling + DSIR
-    importance weighting + UniMax epoch-capped language allocation as
-    one tagged union
-    (SM2+SM3+PK1+SM4+SM5+SM6+SM7+SM10); each branch is the unchanged
+    importance weighting + UniMax epoch-capped language allocation +
+    deterministic global training order as one tagged union
+    (SM2+SM3+PK1+SM4+SM5+SM6+SM7+SM10+SM11); each branch is the
+    unchanged
     single-op pipeline. ``val`` carries the pack branch's token offset,
     the budget branch's token count and the dsir branch's exact integer
     micro-weight (null on the sampling/split branches); the split
@@ -1503,9 +1504,22 @@ def q_sample_deterministic(spark, sf_dir):
           .select(F.lit("unimax").alias("tag"), "doc_id",
                   F.col("lang").alias("stratum"),
                   F.col("n_copies").alias("val")))
+    # order branch (SM11): deterministic global training order for
+    # two epochs — stratum carries the epoch + hash-range bucket,
+    # val the 0-based GLOBAL rank, so the full permutation (not just
+    # membership) sits inside the hash check, per epoch
+    od = None
+    for epc in (0, 1):
+        o = (SA.shuffle_order(docs.select("doc_id"), epoch=epc)
+             .select(F.lit("order").alias("tag"), "doc_id",
+                     F.format_string("e%d/b%d", "epoch", "bucket")
+                     .alias("stratum"),
+                     F.col("rank").alias("val")))
+        od = o if od is None else od.unionByName(o)
     return (st.unionByName(mx).unionByName(pk).unionByName(bg)
             .unionByName(sp).unionByName(ck).unionByName(tm)
-            .unionByName(ds).unionByName(lk).unionByName(um))
+            .unionByName(ds).unionByName(lk).unionByName(um)
+            .unionByName(od))
 
 
 def _sql_sample_token_budget() -> str:
@@ -1587,6 +1601,12 @@ FROM lk
 UNION ALL
 SELECT 'unimax', doc_id, lang, n_copies
 FROM ({SA.SQL_UNIMAX_COPIES("documents", _UNIMAX_BUDGET, _UNIMAX_EPOCHS)})
+UNION ALL
+SELECT 'order', doc_id, printf('e%d/b%d', epoch, bucket), rank
+FROM ({SA.SQL_SHUFFLE_ORDER("documents", epoch=0)})
+UNION ALL
+SELECT 'order', doc_id, printf('e%d/b%d', epoch, bucket), rank
+FROM ({SA.SQL_SHUFFLE_ORDER("documents", epoch=1)})
 """
 
 

@@ -598,3 +598,57 @@ def test_unimax_determinism_and_validation(spark, sf_dir):
         100, 2)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "lang", "epochs", "n_copies"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic global training order (SM11)
+# ---------------------------------------------------------------------------
+
+def test_shuffle_order_is_a_permutation(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    n = docs.count()
+    out = SA.shuffle_order(docs, epoch=0).collect()
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(n))               # 0-based, gap-free
+    # epochs are independent permutations of the same id set
+    e1 = {r["doc_id"]: r["rank"]
+          for r in SA.shuffle_order(docs, epoch=1).collect()}
+    e0 = {r["doc_id"]: r["rank"] for r in out}
+    assert set(e0) == set(e1)
+    assert any(e0[k] != e1[k] for k in e0)
+    # salts draw independent orders too
+    s2 = {r["doc_id"]: r["rank"]
+          for r in SA.shuffle_order(docs, salt="other").collect()}
+    assert any(e0[k] != s2[k] for k in e0)
+
+
+def test_shuffle_order_two_phase_equals_global_window(spark):
+    """The offsets + intra-bucket assembly == one global row_number
+    over (h, key) — pinned directly on a frame small enough for the
+    single-window formulation."""
+    from pyspark.sql import Window
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r["rank"]
+           for r in SA.shuffle_order(df, n_buckets=7).collect()}
+    h = SA._bucket(F.col("doc_id"), "shufflee0", SA.DEFAULT_MOD)
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    want = {r["doc_id"]: r["rank"]
+            for r in df.select("doc_id",
+                               (F.row_number().over(w) - 1)
+                               .alias("rank")).collect()}
+    assert got == want
+
+
+def test_shuffle_order_partition_invariance_and_validation(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    a = sorted((r["doc_id"], r["rank"])
+               for r in SA.shuffle_order(docs).collect())
+    b = sorted((r["doc_id"], r["rank"])
+               for r in SA.shuffle_order(docs.repartition(13)).collect())
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_buckets"):
+        SA.shuffle_order(docs, n_buckets=0)
+    with _pt.raises(ValueError, match="epoch"):
+        SA.shuffle_order(docs, epoch=-1)
