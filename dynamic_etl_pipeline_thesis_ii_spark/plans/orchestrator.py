@@ -438,6 +438,8 @@ class Pipeline:
             return self._run_temperature_mix(plan, source_dir, output_path)
         if plan["target"] == "unimax_mix":
             return self._run_unimax_mix(plan, source_dir, output_path)
+        if plan["target"] == "shuffle_order":
+            return self._run_shuffle_order(plan, source_dir, output_path)
 
         if plan["n_buckets"] is None:
             # corpus-derived bucket count (one cheap count): the
@@ -3497,6 +3499,40 @@ class Pipeline:
                             "counts_before": before,
                             "counts_after": after}}
 
+    def _run_shuffle_order(self, plan: dict, source_dir: str,
+                           output_path: str) -> dict:
+        """'shuffle the corpus for training, epoch 3': write the
+        deterministic global training order
+        (:func:`operators.sampling.shuffle_order`) — (doc_id, epoch,
+        bucket, rank) with the 0-based global rank; re-running lands
+        the identical permutation, a different epoch an independent
+        one. The report pins the contract a trainer relies on:
+        rank range is gap-free 0..n-1 (max rank + count from one
+        aggregate over the read-back — no corpus-sized driver
+        state)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+            shuffle_order,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents.select("doc_id")
+        frame = shuffle_order(docs, epoch=plan["epoch"])
+        self.progress("shuffle", {"params": dict(plan)})
+        frame.write.mode("overwrite").parquet(output_path)
+        back = self.spark.read.parquet(output_path)      # read-back
+        agg = back.agg(F.count(F.lit(1)).alias("n"),
+                       F.max("rank").alias("max_rank"),
+                       F.countDistinct("bucket").alias("n_buckets")) \
+            .first()
+        self.progress("publish", {"rows": agg["n"], "path": output_path})
+        return {"status": "complete", "outputs": [frame],
+                "reports": {"plan": dict(plan), "n_docs": agg["n"],
+                            "max_rank": agg["max_rank"],
+                            "buckets_used": agg["n_buckets"],
+                            "gap_free": agg["max_rank"] == agg["n"] - 1}}
+
     def _run_unimax_mix(self, plan: dict, source_dir: str,
                         output_path: str) -> dict:
         """'unimax the language mix with a budget of 50000 tokens, at
@@ -3631,6 +3667,14 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "census", "corpus stat",
                   # UniMax epoch-capped language allocation
                   "unimax", "epoch-capped", "epoch capped", "epoch cap",
+                  # deterministic global training order — FULL phrases
+                  # only: a bare 'shuffle' would drag any query
+                  # containing the word into the dataops fallthrough
+                  # (the corpus_to_shards default), the routing hijack
+                  # the fertility advisory warned about
+                  "shuffle the corpus", "shuffle the documents",
+                  "shuffle the examples", "shuffle for training",
+                  "training order",
                   # ExactSubstr dedup phrasings: 'remove duplicated
                   # passages' / 'strip repeated substrings'
                   "duplicated passage", "repeated passage",
@@ -3804,6 +3848,13 @@ _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
 # epoch-capped uniform allocation — keyword-gated (unimax / epoch-cap
 # phrasing) so 'budget'/'epochs' alone never hijack other targets
 _UNIMAX_TARGET_RE = re.compile(r"\bunimax\b|\bepoch[- ]capp?(?:ed|ing)?\b")
+# 'shuffle the corpus for training, epoch 3' / 'write the training
+# order': the deterministic global permutation (SM11). 'shard' wins —
+# corpus_to_shards already shuffles as part of sharding.
+_SHUFFLE_TARGET_RE = re.compile(
+    r"\bshuffle\b.{0,40}\b(?:corpus|training|examples|documents)\b"
+    r"|\btraining\s+order\b")
+_EPOCH_N_RE = re.compile(r"\bepoch\s+(\d+)\b")
 _UNIMAX_BUDGET_RE = re.compile(
     r"\bbudget\s+(?:of\s+)?([\d][\d,_]*)|([\d][\d,_]*)[\s-]token\s+budget"
     r"|\ballocate\s+([\d][\d,_]*)\s+tokens\b")
@@ -4195,6 +4246,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       50000 tokens, at most 2 epochs' (epoch-capped uniform
       allocation; budget required, epoch cap defaults to 2, strata
       follows the temperature convention);
+    - ``shuffle_order`` — 'shuffle the corpus for training, epoch 3'
+      (deterministic global training order; epoch defaults to 0,
+      'shard' phrasing stays on corpus_to_shards);
     - ``chunk_documents`` — 'chunk for RAG, size 256 stride 192'
       (RAG splitting; size/stride default to the operator's 128/96);
     - ``image_dedup`` / ``audio_dedup`` / ``video_dedup`` — 'dedup
@@ -4631,6 +4685,9 @@ def parse_dataops_query(query: str) -> Optional[dict]:
                 # — the absolute zero point shifts with smoothing
                 # mass); otherwise the full weight vector ships
                 "select": ("select" in ql or "keep" in ql)}
+    if _SHUFFLE_TARGET_RE.search(ql) and "shard" not in ql:
+        ep = int(m.group(1)) if (m := _EPOCH_N_RE.search(ql)) else 0
+        return {"target": "shuffle_order", "epoch": ep}
     if _UNIMAX_TARGET_RE.search(ql):
         budget = None
         if m := _UNIMAX_BUDGET_RE.search(ql):

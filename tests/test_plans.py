@@ -2942,3 +2942,40 @@ def test_data_card_suggested_mix_section(spark, sf_dir, tmp_path):
     res0 = pipe.run_dataops("generate a data card for the corpus",
                             sf_dir, str(tmp_path / "c0"))
     assert "suggested_mix" not in res0["reports"]["data_card"]
+
+
+def test_pipeline_dataops_shuffle_order_target(spark, sf_dir, tmp_path):
+    """NL 'shuffle the corpus for training' writes the deterministic
+    global order: routing (epoch capture, shard precedence), gap-free
+    rank contract in the report, parity with the direct operator."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.sampling import (
+        shuffle_order,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import Catalog
+
+    assert parse_dataops_query(
+        "shuffle the corpus for training, epoch 3") \
+        == {"target": "shuffle_order", "epoch": 3}
+    assert parse_dataops_query(
+        "write the training order")["target"] == "shuffle_order"
+    # shard phrasing stays on the sharding pipeline
+    assert parse_dataops_query(
+        "shuffle the corpus and write 8 shards")["target"] \
+        != "shuffle_order"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "order")
+    res = pipe.run_dataops("shuffle the corpus for training, epoch 3",
+                           sf_dir, out)
+    assert res["status"] == "complete"
+    rep = res["reports"]
+    assert rep["gap_free"] and rep["max_rank"] == rep["n_docs"] - 1
+    docs = Catalog(spark, sf_dir).documents.select("doc_id")
+    want = sorted((r["doc_id"], r["rank"])
+                  for r in shuffle_order(docs, epoch=3).collect())
+    got = sorted((r["doc_id"], r["rank"])
+                 for r in spark.read.parquet(out).collect())
+    assert got == want
