@@ -413,6 +413,9 @@ class Pipeline:
         if plan["target"] == "corpus_store_build":
             return self._run_corpus_store_build(plan, source_dir,
                                                 output_path)
+        if plan["target"] == "webdataset_write":
+            return self._run_webdataset_write(plan, source_dir,
+                                              output_path)
         if plan["target"] == "corpus_rebucket":
             return self._run_corpus_rebucket(plan, output_path)
         if plan["target"] == "corpus_upsert":
@@ -2761,6 +2764,40 @@ class Pipeline:
         return {"status": "complete", "outputs": [],
                 "reports": {"plan": dict(plan), **report}}
 
+    def _run_webdataset_write(self, plan: dict, source_dir: str,
+                              output_path: str) -> dict:
+        """'export the corpus as webdataset, 8 shards' / 'write the
+        corpus to webdataset shards at 64 mb': tar-shard export for
+        streaming training loaders (:func:`sources.sinks.
+        write_webdataset` — ``{key}.json``/``{key}.txt`` members in
+        byte-deterministic ``shard-%06d.tar`` files, per-shard sha256
+        manifest beside them). Shard count derives from corpus bytes
+        against the mb target when unnamed; a duplicate-key corpus is
+        rejected actionably (WebDataset keys must be unique)."""
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
+            Catalog,
+        )
+        from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+            SinkError,
+            write_webdataset,
+        )
+
+        docs = Catalog(self.spark, source_dir).documents
+        self.progress("export", {"params": dict(plan)})
+        dest = output_path.rstrip("/") + "/webdataset"
+        try:
+            report = write_webdataset(
+                docs, dest, key_col="doc_id",
+                n_shards=plan["n_shards"],
+                target_shard_mb=plan["target_shard_mb"])
+        except SinkError as exc:
+            return {"status": "rejected", "reason": str(exc),
+                    "outputs": [], "reports": {"plan": dict(plan)}}
+        self.progress("publish", {"rows": report["rows_written"],
+                                  "path": dest})
+        return {"status": "complete", "outputs": [],
+                "reports": {"plan": dict(plan), **report}}
+
     def _run_corpus_upsert(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
         """'upsert the batch into the corpus store at /path': MERGE
@@ -3665,6 +3702,8 @@ _DATAOPS_HINTS = ("curate", "curation", "dedup", "deduplicate", "shard",
                   "importance", "dsir", "resample", "crawl", "warc",
                   "pdf", "zip", "tarball", " tar ",
                   "census", "corpus stat",
+                  # WebDataset tar-shard export
+                  "webdataset", "web dataset", "tar shard",
                   # UniMax epoch-capped language allocation
                   "unimax", "epoch-capped", "epoch capped", "epoch cap",
                   # deterministic global training order — FULL phrases
@@ -3843,6 +3882,12 @@ _SHARDS_PATH_RE = re.compile(
     r"\bshards?\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
 _MANIFEST_PATH_RE = re.compile(
     r"\bmanifest\s+(?:at\s+|in\s+)?" + _PATH_SHAPE, re.IGNORECASE)
+# WebDataset tar-shard export — the delivery format streaming training
+# loaders consume ('export the corpus as webdataset, 8 shards' /
+# 'write the corpus to webdataset shards at 64 mb'); the verify verb
+# stays on the manifest-check route
+_WDS_RE = re.compile(r"\bweb\s?dataset\b|\btar\s+shards?\b")
+_WDS_MB_RE = re.compile(r"\b(\d+)\s*mb\b")
 _TEMP_TARGET_RE = re.compile(r"\btemperature\b|\bflatten\b")
 # 'unimax the language mix, budget 50000 tokens, at most 2 epochs':
 # epoch-capped uniform allocation — keyword-gated (unimax / epoch-cap
@@ -4189,6 +4234,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       the run's output — never in place; restores constant
       rows/bucket after merge-driven growth so merges stay
       batch-cost);
+    - ``webdataset_write`` — 'export the corpus as webdataset, 8
+      shards' / 'write the corpus to webdataset shards at 64 mb'
+      (tar-shard export for streaming training loaders:
+      ``{key}.json``/``{key}.txt`` members in byte-deterministic
+      ``shard-%06d.tar`` files with a per-shard sha256 manifest;
+      shard count derives from corpus bytes when unnamed; 'verify
+      ... shards' stays on the manifest-check route);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -4438,6 +4490,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         m = _CRAWL_PATH_RE.search(query)   # paths keep their case
         return {"target": "ingest_crawl",
                 "crawl_path": m.group(1) if m else None}
+    if _WDS_RE.search(ql) and not _SHARD_VERIFY_RE.search(ql):
+        ns = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else None
+        mb = int(m.group(1)) if (m := _WDS_MB_RE.search(ql)) else 256
+        return {"target": "webdataset_write", "n_shards": ns,
+                "target_shard_mb": mb}
     if _SHARD_VERIFY_RE.search(ql) and not _DECONTAM_TARGET_RE.search(ql):
         # the decontam exclusion keeps 'check the corpus shards for
         # contamination against the benchmark at /b' on its intended

@@ -663,3 +663,213 @@ def rebucket_corpus_store(spark: SparkSession, path: str, dest: str,
             "rows_per_bucket_after":
                 report["rows"] // max(1, report["n_buckets"]),
             "path": dest}
+
+
+WDS_MANIFEST_SCHEMA = ("shard int, file string, rows long, "
+                       "members long, n_bytes long, sha256 string")
+
+
+def write_webdataset(df: DataFrame, path: str, key_col: str = "doc_id",
+                     n_shards: Optional[int] = None,
+                     text_col: Optional[str] = "text",
+                     binary_col: Optional[str] = None,
+                     ext_col: Optional[str] = None,
+                     meta_cols: Optional[list[str]] = None,
+                     target_shard_mb: float = 256,
+                     check_unique: bool = True,
+                     if_exists: str = "replace") -> dict:
+    """WebDataset tar-shard sink — the delivery format multimodal
+    training loaders (webdataset/torchdata-style) stream: ``path/
+    shard-%06d.tar`` files whose members group by key — ``{key}.json``
+    (metadata, always present so every row survives a read-back),
+    ``{key}.txt`` (``text_col``, when non-null) and ``{key}.{ext}``
+    (``binary_col`` bytes with the per-row ``ext_col`` extension,
+    when non-null). The write-side twin of the ZIP/TAR ingestion door
+    (``sources/archives.py`` reads these shards back member-per-row).
+
+    Scale design, the 100 TB contract:
+
+    - **One shuffle.** ``shard = hash32(key) % n_shards`` (the
+      :func:`write_shards` discipline — uniform, reproducible,
+      reader-recomputable), ``repartition(n_shards, shard)`` then a
+      ``sortWithinPartitions`` — shards arrive CONTIGUOUS and sorted
+      inside each task, so the tar kernel streams rows through open
+      file handles at O(arrow-batch) memory, never holding a shard.
+    - **JVM-side serialization.** The metadata member is built with
+      ``F.to_json(F.struct(...))`` in whole-stage codegen; the Python
+      kernel only moves bytes into tars.
+    - **Deterministic bytes.** Member order is fixed (json, txt,
+      payload; rows sorted by key), tar metadata is zeroed
+      (mtime=0, uid/gid=0, mode 0644), so the same corpus produces
+      byte-identical shards under ANY input partitioning — re-runs
+      and elastic retries converge, and the manifest sha256 is a
+      meaningful shipment fingerprint.
+    - **Atomic shards.** Each tar lands via write-to-temp +
+      ``os.replace`` (temp name carries the pid so speculative
+      attempts never clobber each other mid-write); a killed job
+      leaves no half-written ``.tar``. Assumes a POSIX-renameable
+      shared filesystem at ``path`` (local/NFS/fuse-mounted object
+      store); for raw object stores, stage locally and upload.
+    - **Sized shards.** ``n_shards=None`` derives from corpus bytes
+      (one column-pruned aggregate) to hit ``target_shard_mb`` per
+      shard — loader-friendly units that stay constant as the corpus
+      grows, the ``derive_n_buckets`` philosophy.
+    - **Manifest.** Per-shard (rows, members, bytes, sha256) lands at
+      ``<path>_manifest`` (parquet) — the receiving side proves a
+      shipment complete file-by-file without opening tars.
+
+    WebDataset keys must be unique (a duplicate silently merges two
+    rows' members into one sample); ``check_unique=True`` spends one
+    key-only aggregate to reject duplicates actionably. Keys are
+    sanitized (path separators → ``_``) since the key is a tar member
+    basename. Writer parallelism is ≤ ``n_shards`` (hash collisions
+    can co-locate shard ids in one task — same caveat as
+    ``write_shards``).
+    """
+    import glob as _glob
+    import os as _os
+
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import hash32
+
+    if if_exists not in ("replace", "fail"):
+        raise SinkError(f"invalid if_exists: {if_exists!r} (replace|fail)")
+    cols = df.columns
+    for c, label in ((key_col, "key_col"), (text_col, "text_col"),
+                     (binary_col, "binary_col"), (ext_col, "ext_col")):
+        if c is not None and c not in cols:
+            raise SinkError(f"{label} {c!r} not in frame columns {cols}")
+    t0 = time.perf_counter()
+    key = F.regexp_replace(F.col(key_col).cast("string"), r"[/\\]", "_")
+    if check_unique:
+        dups = (df.select(key.alias("k"))
+                .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1))
+        bad = dups.limit(3).collect()
+        if bad:
+            raise SinkError(
+                "duplicate webdataset keys (keys must be unique per "
+                "sample): e.g. "
+                + ", ".join(f"{r['k']!r}×{r['n']}" for r in bad)
+                + " — dedup on the key column first, or disable "
+                  "check_unique if pre-validated")
+    if meta_cols is None:
+        meta_cols = [c for c in cols
+                     if c not in (key_col, text_col, binary_col, ext_col)]
+    meta_cols = sorted(meta_cols)
+    if n_shards is None:
+        sz = [F.sum(F.coalesce(F.octet_length(F.col(text_col)),
+                               F.lit(0)))] if text_col else []
+        if binary_col:
+            sz.append(F.sum(F.coalesce(
+                F.octet_length(F.col(binary_col)), F.lit(0))))
+        # + ~256 B/row of json+tar-header overhead so metadata-only
+        # corpora still split; the count also caps n_shards (a shard
+        # per row is the most a derive can usefully ask for)
+        sz.append(F.count(F.lit(1)).alias("n_rows__"))
+        agg = df.agg(*sz).first()
+        n_rows = int(agg["n_rows__"] or 0)
+        total = sum(r or 0 for r in agg[:-1]) + 256 * n_rows
+        per_shard = max(1, int(float(target_shard_mb) * (1 << 20)))
+        n_shards = min(max(1, -(-int(total) // per_shard)),
+                       max(1, n_rows))
+    mjson = (F.to_json(F.struct(*[F.col(c) for c in meta_cols]))
+             if meta_cols else F.lit("{}"))
+    sel = [(hash32(key) % n_shards).cast("int").alias("shard"),
+           key.alias("key__"), F.coalesce(mjson, F.lit("{}")).alias("mjson")]
+    has_text = text_col is not None
+    has_bin = binary_col is not None
+    if has_text:
+        sel.append(F.col(text_col).alias("wtext"))
+    if has_bin:
+        sel.append(F.col(binary_col).alias("payload"))
+        pext = (F.coalesce(F.col(ext_col), F.lit("bin")) if ext_col
+                else F.lit("bin"))
+        sel.append(F.lower(F.regexp_replace(pext.cast("string"),
+                                            r"[^0-9A-Za-z]", "")
+                           ).alias("pext"))
+    sharded = (df.select(*sel)
+               .repartition(n_shards, "shard")
+               .sortWithinPartitions("shard", "key__"))
+
+    base = path.rstrip("/")
+    _os.makedirs(base, exist_ok=True)
+    stale = _glob.glob(_os.path.join(base, "shard-*.tar"))
+    if stale and if_exists == "fail":
+        raise SinkError(f"webdataset shards already exist at {base}")
+    for p in stale:
+        _os.remove(p)
+
+    def _kernel(batches):
+        import hashlib
+        import tarfile
+
+        import pandas as pd
+
+        state = {"shard": None, "tar": None, "tmp": None, "final": None,
+                 "rows": 0, "members": 0}
+        done = []
+
+        def _close():
+            if state["tar"] is None:
+                return
+            state["tar"].close()
+            _os.replace(state["tmp"], state["final"])
+            h = hashlib.sha256()
+            with open(state["final"], "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            done.append({
+                "shard": state["shard"],
+                "file": _os.path.basename(state["final"]),
+                "rows": state["rows"], "members": state["members"],
+                "n_bytes": _os.path.getsize(state["final"]),
+                "sha256": h.hexdigest()})
+            state.update(shard=None, tar=None, rows=0, members=0)
+
+        def _add(name, data):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.mode = 0o644
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            state["tar"].addfile(info, io.BytesIO(data))
+            state["members"] += 1
+
+        import io
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                sh = int(row.shard)
+                if sh != state["shard"]:
+                    _close()
+                    final = _os.path.join(base, f"shard-{sh:06d}.tar")
+                    tmp = f"{final}.{_os.getpid()}.inprogress"
+                    state.update(shard=sh,
+                                 tar=tarfile.open(tmp, "w"),
+                                 tmp=tmp, final=final)
+                k = row.key__
+                _add(k + ".json", row.mjson.encode("utf-8"))
+                if has_text and isinstance(row.wtext, str):
+                    _add(k + ".txt", row.wtext.encode("utf-8"))
+                if has_bin and row.payload is not None:
+                    _add(f"{k}.{row.pext or 'bin'}", bytes(row.payload))
+                state["rows"] += 1
+        _close()
+        yield pd.DataFrame(
+            done, columns=["shard", "file", "rows", "members",
+                           "n_bytes", "sha256"])
+
+    manifest = sharded.mapInPandas(_kernel, WDS_MANIFEST_SCHEMA)
+    rows = manifest.collect()                 # n_shards-bounded
+    spark = df.sparkSession
+    man_path = base + "_manifest"
+    man = spark.createDataFrame(rows, WDS_MANIFEST_SCHEMA) \
+        if rows else spark.createDataFrame([], WDS_MANIFEST_SCHEMA)
+    man.coalesce(1).write.mode("overwrite").parquet(man_path)
+    return {"path": base, "manifest_path": man_path,
+            "n_shards": int(n_shards),
+            "shards_written": len(rows),
+            "rows_written": int(sum(r["rows"] for r in rows)),
+            "members_written": int(sum(r["members"] for r in rows)),
+            "bytes_written": int(sum(r["n_bytes"] for r in rows)),
+            "elapsed_sec": round(time.perf_counter() - t0, 3)}

@@ -2979,3 +2979,40 @@ def test_pipeline_dataops_shuffle_order_target(spark, sf_dir, tmp_path):
     got = sorted((r["doc_id"], r["rank"])
                  for r in spark.read.parquet(out).collect())
     assert got == want
+
+
+def test_webdataset_nl_face(spark, sf_dir, tmp_path):
+    """'export the corpus as webdataset' routes to the tar-shard
+    sink: shard-count / mb-target capture, the verify verb staying
+    on the manifest-check route, and the end-to-end run landing
+    byte-real tars + manifest under the run's output."""
+    import glob
+
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        parse_dataops_query,
+    )
+
+    p = parse_dataops_query("export the corpus as webdataset, 3 shards")
+    assert p == {"target": "webdataset_write", "n_shards": 3,
+                 "target_shard_mb": 256}
+    p2 = parse_dataops_query(
+        "write the corpus to webdataset shards at 64 mb")
+    assert p2["target"] == "webdataset_write"
+    assert p2["n_shards"] is None and p2["target_shard_mb"] == 64
+    # the verify verb stays on the manifest-check route
+    v = parse_dataops_query(
+        "verify the webdataset shards at /tmp/x against the manifest")
+    assert v["target"] == "verify_shards"
+
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "run")
+    result = pipe.run_dataops(
+        "export the corpus as webdataset, 2 shards", sf_dir, out)
+    assert result["status"] == "complete"
+    rep = result["reports"]
+    assert rep["rows_written"] > 0
+    tars = glob.glob(out + "/webdataset/shard-*.tar")
+    assert len(tars) == rep["shards_written"] == 2
+    man = spark.read.parquet(rep["manifest_path"])
+    assert man.count() == 2
+    assert man.agg(F.sum("rows")).first()[0] == rep["rows_written"]
