@@ -38,13 +38,17 @@ from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["archive_members", "read_archives", "ARCHIVE_SCHEMA"]
+__all__ = ["archive_members", "read_archives", "ARCHIVE_SCHEMA",
+           "webdataset_samples", "read_webdataset",
+           "read_webdataset_stream", "WDS_SAMPLE_SCHEMA"]
 
 ARCHIVE_SCHEMA = StructType([
     StructField("archive", StringType(), True),
@@ -189,3 +193,118 @@ def read_archives_stream(spark: SparkSession, path: str) -> DataFrame:
              .load(path)
              .select("path", "content"))
     return files.mapInPandas(_archive_kernel(), schema=ARCHIVE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset sample reader: the loader-shaped face of the tar door.
+# ---------------------------------------------------------------------------
+
+WDS_SAMPLE_SCHEMA = StructType([
+    StructField("archive", StringType(), True),
+    StructField("key", StringType(), True),
+    StructField("meta", StringType(), True),      # {key}.json member
+    StructField("text", StringType(), True),      # {key}.txt member
+    StructField("payloads", MapType(StringType(), BinaryType()), True),
+    StructField("n_members", LongType(), True),
+])
+
+
+def webdataset_samples(payload: bytes, archive: str = "",
+                       max_member_bytes: int = 64 << 20):
+    """Yield one dict per SAMPLE from a WebDataset-style tar payload:
+    members sharing a basename prefix (``{key}.json`` metadata,
+    ``{key}.txt`` text, anything else into the ``payloads`` ext→bytes
+    map) group into one training sample — the pivot of
+    :func:`archive_members`'s member-per-row view, and exactly what a
+    webdataset/torchdata loader would assemble.
+
+    Samples are assumed CONTIGUOUS in the tar (the WebDataset layout
+    contract, which :func:`...sinks.write_webdataset` guarantees and
+    streaming loaders rely on): a sample flushes when the key prefix
+    changes, so memory is one sample, never the shard. A foreign tar
+    that interleaves keys yields one partial sample per contiguous
+    run — the same behavior as the reference loaders, not an error.
+    Corrupt tars yield their readable prefix; never raises."""
+    cur_key = None
+    cur = None
+
+    def _flush():
+        nonlocal cur, cur_key
+        if cur is not None:
+            yield cur
+        cur, cur_key = None, None
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
+            while True:
+                try:
+                    info = tf.next()
+                except Exception:
+                    break                           # corrupt tail
+                if info is None:
+                    break
+                if not info.isfile() or info.size > max_member_bytes:
+                    continue
+                fh = tf.extractfile(info)
+                if fh is None:
+                    continue
+                data = fh.read(max_member_bytes)
+                name = info.name.rsplit("/", 1)[-1]
+                key, _, ext = name.rpartition(".")
+                if not key:                         # extension-less
+                    key, ext = name, ""
+                if key != cur_key:
+                    yield from _flush()
+                    cur_key = key
+                    cur = {"archive": archive, "key": key,
+                           "meta": None, "text": None,
+                           "payloads": {}, "n_members": 0}
+                cur["n_members"] += 1
+                if ext == "json":
+                    cur["meta"] = _member_text("json", data)
+                elif ext == "txt":
+                    cur["text"] = _member_text("text", data)
+                else:
+                    cur["payloads"][ext] = data
+    except Exception:
+        pass                                        # unreadable tar
+    yield from _flush()
+
+
+def _wds_kernel():
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in WDS_SAMPLE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(webdataset_samples(bytes(content), archive=p))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return kernel
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """WebDataset tar shard(s) -> one row per SAMPLE (``key``, json
+    ``meta``, ``text``, ext→bytes ``payloads`` map) — the read-back
+    twin of ``sinks.write_webdataset`` and the row shape a training
+    loader consumes. Same scale contract as :func:`read_archives`:
+    ``binaryFile`` scan + one Arrow kernel, shard = parallelism unit,
+    one-sample memory (contiguous-sample layout)."""
+    files = spark.read.format("binaryFile").load(path)
+    return (files.select("path", "content")
+            .mapInPandas(_wds_kernel(), schema=WDS_SAMPLE_SCHEMA))
+
+
+def read_webdataset_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous sample ingestion: the same stateless kernel over the
+    Structured Streaming ``binaryFile`` source — every shard landing
+    in the directory becomes sample rows as it arrives (stream ==
+    batch parity, the ``read_archives_stream`` contract)."""
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_wds_kernel(), schema=WDS_SAMPLE_SCHEMA)

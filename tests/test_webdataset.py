@@ -183,3 +183,88 @@ def test_key_sanitization(spark, tmp_path):
     write_webdataset(df, out, key_col="doc_id", n_shards=1)
     members = _tar_members(out)
     assert "a_b_c.txt" in members and "a_b_c.json" in members
+
+
+# -- read side: sample-shaped ingestion (archives.read_webdataset) ----------
+
+
+def test_read_webdataset_round_trip(spark, tmp_path):
+    """write_webdataset -> read_webdataset is identity on (key, meta,
+    text, payload) — the loader-shaped pivot of the tar door."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.archives import (
+        read_webdataset,
+    )
+
+    out = str(tmp_path / "wds")
+    rows = [("a", "alpha", b"\x89PNGdata", "png", "s1"),
+            ("b", None, b"RIFFaudio", "wav", "s2"),
+            ("c", "gamma", None, None, "s1")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, payload binary, "
+              "ext string, source string")
+    write_webdataset(df, out, key_col="doc_id", n_shards=2,
+                     binary_col="payload", ext_col="ext")
+    back = {r["key"]: r for r in
+            read_webdataset(spark, out + "/shard-*.tar").collect()}
+    assert set(back) == {"a", "b", "c"}
+    assert back["a"]["text"] == "alpha"
+    assert bytes(back["a"]["payloads"]["png"]) == b"\x89PNGdata"
+    assert json.loads(back["a"]["meta"]) == {"source": "s1"}
+    assert back["a"]["n_members"] == 3
+    assert back["b"]["text"] is None
+    assert bytes(back["b"]["payloads"]["wav"]) == b"RIFFaudio"
+    assert back["c"]["payloads"] == {} and back["c"]["text"] == "gamma"
+
+
+def test_read_webdataset_foreign_tar(spark, tmp_path):
+    """A hand-built (foreign) tar: contiguous prefixes group into
+    samples; an interleaved key yields one partial sample per
+    contiguous run (the reference-loader behavior, not an error);
+    corrupt payloads yield their readable prefix."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.archives import (
+        webdataset_samples,
+    )
+    import io as _io
+
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("s1.txt", b"one"), ("s1.cls", b"7"),
+                           ("s2.txt", b"two"),
+                           ("s1.jpg", b"late")]:   # interleaved!
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    samples = list(webdataset_samples(buf.getvalue()))
+    keys = [s["key"] for s in samples]
+    assert keys == ["s1", "s2", "s1"]              # per contiguous run
+    assert samples[0]["text"] == "one"
+    assert samples[0]["payloads"]["cls"] == b"7"
+    assert samples[2]["payloads"]["jpg"] == b"late"
+    # corrupt tail: readable prefix survives
+    trunc = buf.getvalue()[:800]
+    got = list(webdataset_samples(trunc))
+    assert [s["key"] for s in got] <= keys
+    assert list(webdataset_samples(b"not a tar")) == []
+
+
+def test_read_webdataset_stream_equals_batch(spark, tmp_path):
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.archives import (
+        read_webdataset,
+        read_webdataset_stream,
+    )
+
+    out = str(tmp_path / "wds")
+    write_webdataset(_docs(spark, 12), out, key_col="doc_id",
+                     n_shards=2)
+    stream = read_webdataset_stream(spark, out)
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory")
+         .queryName("wds_stream_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    key = lambda r: (r["key"], r["meta"], r["text"], r["n_members"])
+    got = sorted(key(r) for r in spark.sql(
+        "SELECT * FROM wds_stream_test").collect())
+    want = sorted(key(r) for r in
+                  read_webdataset(spark, out + "/shard-*.tar").collect())
+    assert got == want and len(got) == 12
