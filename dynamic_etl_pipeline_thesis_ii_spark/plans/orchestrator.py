@@ -2287,9 +2287,19 @@ class Pipeline:
                     "outputs": [], "reports": {"plan": dict(plan)}}
         self.progress("verify", {"params": dict(plan),
                                  "manifest_path": mpath})
+        # a sha256 column marks a write_webdataset manifest — verify
+        # the tar files byte-for-byte (distributed sha2 scan) instead
+        # of recomputing parquet row fingerprints
+        is_wds = "sha256" in manifest.columns
         try:
-            chk = verify_shard_manifest(self.spark, plan["shards_path"],
-                                        manifest)
+            if is_wds:
+                from dynamic_etl_pipeline_thesis_ii_spark.sources. \
+                    sinks import verify_webdataset
+                chk = verify_webdataset(self.spark,
+                                        plan["shards_path"], manifest)
+            else:
+                chk = verify_shard_manifest(
+                    self.spark, plan["shards_path"], manifest)
         except Exception:
             return {"status": "rejected",
                     "reason": ("no shard set readable at "
@@ -2298,11 +2308,19 @@ class Pipeline:
         bad = set(chk["mismatched"])
         # union so an EXTRA shard directory (present on disk, absent
         # from the manifest) still gets a status row
-        shard_ids = {int(r["shard"]) for r in manifest.collect()} | bad
-        status_frame = self.spark.createDataFrame(
-            [(s, "mismatch" if s in bad else "ok")
-             for s in sorted(shard_ids)],
-            "shard int, status string")
+        if is_wds:
+            shard_ids = {r["file"] for r in manifest.collect()} | bad
+            status_frame = self.spark.createDataFrame(
+                [(s, "mismatch" if s in bad else "ok")
+                 for s in sorted(shard_ids)],
+                "file string, status string")
+        else:
+            shard_ids = ({int(r["shard"]) for r in manifest.collect()}
+                         | bad)
+            status_frame = self.spark.createDataFrame(
+                [(s, "mismatch" if s in bad else "ok")
+                 for s in sorted(shard_ids)],
+                "shard int, status string")
         status_frame.write.mode("overwrite").parquet(output_path)
         self.progress("publish", {"rows": chk["n_shards"],
                                   "path": output_path})

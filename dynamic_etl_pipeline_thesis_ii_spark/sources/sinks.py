@@ -873,3 +873,36 @@ def write_webdataset(df: DataFrame, path: str, key_col: str = "doc_id",
             "members_written": int(sum(r["members"] for r in rows)),
             "bytes_written": int(sum(r["n_bytes"] for r in rows)),
             "elapsed_sec": round(time.perf_counter() - t0, 3)}
+
+
+def verify_webdataset(spark: SparkSession, path: str,
+                      manifest: DataFrame) -> dict:
+    """Receiving-side check for a WebDataset shipment: recompute each
+    tar shard's (size, sha256) and diff against the stored
+    :func:`write_webdataset` manifest. Returns ``{ok, n_shards,
+    mismatched}`` where ``mismatched`` lists shard FILES whose bytes
+    disagree — including files present on only one side (a lost or
+    extra tar is a mismatch, not a skip).
+
+    Scale shape: the hashing is DISTRIBUTED and JVM-side — one
+    ``binaryFile`` scan with ``F.sha2(content, 256)`` in the
+    projection (no Python in the loop, no driver I/O); the driver
+    compares |shards| tiny tuples. Verifying a 100 TB shipment costs
+    one parallel read of the tars, nothing else."""
+    want = {r["file"]: (int(r["n_bytes"]), r["sha256"])
+            for r in manifest.collect()}
+    try:
+        files = spark.read.format("binaryFile") \
+            .load(path.rstrip("/") + "/shard-*.tar")
+        got = {r["f"]: (int(r["length"]), r["h"]) for r in
+               files.select(
+                   F.element_at(F.split("path", "/"), -1).alias("f"),
+                   "length",
+                   F.lower(F.sha2(F.col("content"), 256)).alias("h"))
+               .collect()}
+    except Exception:
+        got = {}                       # no tars at path: every
+        # manifest entry below reports as mismatched (lost shipment)
+    bad = sorted(f for f in set(got) | set(want)
+                 if got.get(f) != want.get(f))
+    return {"ok": not bad, "n_shards": len(want), "mismatched": bad}

@@ -268,3 +268,69 @@ def test_read_webdataset_stream_equals_batch(spark, tmp_path):
     want = sorted(key(r) for r in
                   read_webdataset(spark, out + "/shard-*.tar").collect())
     assert got == want and len(got) == 12
+
+
+def test_verify_webdataset(spark, tmp_path):
+    """Receiving-side shipment check: intact shards verify ok; a
+    flipped byte, a lost tar, and an extra tar are each flagged by
+    file name."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        verify_webdataset,
+    )
+
+    out = str(tmp_path / "wds")
+    rep = write_webdataset(_docs(spark), out, key_col="doc_id",
+                           n_shards=3)
+    man = spark.read.parquet(rep["manifest_path"])
+    assert verify_webdataset(spark, out, man) == {
+        "ok": True, "n_shards": 3, "mismatched": []}
+    # flip one byte mid-file
+    victim = sorted(glob.glob(out + "/shard-*.tar"))[0]
+    data = bytearray(open(victim, "rb").read())
+    data[600] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    chk = verify_webdataset(spark, out, man)
+    assert not chk["ok"]
+    assert chk["mismatched"] == [os.path.basename(victim)]
+    # lost shard
+    os.remove(victim)
+    chk2 = verify_webdataset(spark, out, man)
+    assert os.path.basename(victim) in chk2["mismatched"]
+    # extra un-manifested tar is a mismatch too
+    open(out + "/shard-000099.tar", "wb").write(b"stray")
+    chk3 = verify_webdataset(spark, out, man)
+    assert "shard-000099.tar" in chk3["mismatched"]
+
+
+def test_verify_webdataset_nl(spark, sf_dir, tmp_path):
+    """'verify the webdataset shards at /p against the manifest'
+    detects the sha256 manifest kind and verifies tar bytes; the
+    status frame is keyed by file."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+
+    out = str(tmp_path / "wds")
+    write_webdataset(_docs(spark), out, key_col="doc_id", n_shards=2)
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    res = pipe.run_dataops(
+        f"verify the shards at {out} against the manifest",
+        sf_dir, str(tmp_path / "status"))
+    assert res["status"] == "complete"
+    assert res["reports"]["ok"] is True
+    assert res["reports"]["n_shards"] == 2
+    status = spark.read.parquet(str(tmp_path / "status"))
+    assert status.columns == ["file", "status"]
+    assert {r["status"] for r in status.collect()} == {"ok"}
+    # corrupt a shard -> the run reports the mismatch by file
+    victim = sorted(glob.glob(out + "/shard-*.tar"))[1]
+    data = bytearray(open(victim, "rb").read())
+    data[500] ^= 0x01
+    open(victim, "wb").write(bytes(data))
+    res2 = pipe.run_dataops(
+        f"verify the shards at {out} against the manifest",
+        sf_dir, str(tmp_path / "status2"))
+    assert res2["reports"]["ok"] is False
+    assert res2["reports"]["mismatched_shards"] == \
+        [os.path.basename(victim)]
