@@ -848,8 +848,13 @@ def test_no_cartesian_or_singlepartition_windows_registry_wide(spark, sf_dir):
         # dsir arm: the log-ratio table's (tot_t, tot_r) smoothing
         # totals and the pool-mean (sum, n) verdict totals — 1-row
         # reduces broadcast back; the third occurrence is the reused
-        # totals exchange printed once more in the physical plan
-        "sample_deterministic": 3,
+        # totals exchange printed once more in the physical plan.
+        # order arm (SM11): TWO cumulative-offset windows (one per
+        # epoch in the registry arm) — each runs over the |n_buckets|-
+        # row per-bucket COUNTS frame, never the corpus (that is the
+        # whole point of the two-phase rank), so the single partition
+        # sees n_buckets rows by construction
+        "sample_deterministic": 5,
         # hybrid's BM25 tower: the lazy (n_docs, avgdl) corpus-stats
         # scalar — the same 1-row reduce text_tfidf_topterms budgets
         "retrieval_hybrid": 1,
