@@ -546,6 +546,46 @@ def scale_probe(spark, factors: list[int]) -> dict:
     finally:
         shutil.rmtree(ing_root, ignore_errors=True)
 
+    # wds: the SK6 tar-shard export door + its sample read-back. An
+    # export is linear in bytes by nature — the probe's signal is the
+    # PER-ROW cost staying flat as the corpus grows (derived shard
+    # count keeps shard SIZE constant, so writer parallelism grows
+    # with the corpus; superlinear wall here would mean driver-side
+    # listing/manifest overhead creeping in). check_unique=False: the
+    # salted-replica construction guarantees key uniqueness, and the
+    # probe times the export, not the validation aggregate.
+    from dynamic_etl_pipeline_thesis_ii_spark.sources import (
+        sinks as SK,
+    )
+
+    out["wds"] = []
+    wds_root = tempfile.mkdtemp(prefix="bench_wds_")
+    try:
+        for f in factors:
+            corpus = _salted_docs(f)
+            dest = os.path.join(wds_root, f"f{f}")
+            best_w, rep = float("inf"), {}
+            for _ in range(probe_rep):
+                rep = SK.write_webdataset(
+                    corpus, dest, key_col="doc_id", n_shards=None,
+                    target_shard_mb=1, check_unique=False)
+                best_w = min(best_w, rep["elapsed_sec"])
+            best_r, c = float("inf"), 0
+            for _ in range(probe_rep):
+                t0 = time.perf_counter()
+                c = AR.read_webdataset(
+                    spark, dest + "/shard-*.tar").count()
+                best_r = min(best_r, time.perf_counter() - t0)
+            # 'candidates' = samples read back (the every-series rows-
+            # out convention the compact stdout line keys on)
+            out["wds"].append(
+                {"factor": f, "n_docs": rep["rows_written"],
+                 "n_shards": rep["shards_written"], "candidates": c,
+                 "sec": round(best_w, 3),
+                 "sec_read": round(best_r, 3)})
+    finally:
+        shutil.rmtree(wds_root, ignore_errors=True)
+
     # imgdedup: perceptual-hash image near-dup (dhash -> Manku
     # banding) at REAL scale: 625 synthetic gradient-noise BMPs per
     # replica puts factor 16 past 10^4 images — enough corpus that
