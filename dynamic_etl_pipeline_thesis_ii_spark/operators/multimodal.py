@@ -3408,3 +3408,47 @@ def resize_videos(media: DataFrame, width: int = 64,
             yield out
 
     return media.mapInPandas(kernel, schema=out_schema)
+
+
+def container_ext(payload, kind=None):
+    """Pure column expression: the payload's container FORMAT as a
+    file extension, sniffed from magic bytes — entirely JVM-side
+    (a ``hex(substring)`` prefix compare, no UDF), so deriving
+    extensions for a 100 TB media export costs nothing beyond the
+    scan that reads the payloads anyway. Covers every container the
+    engine's decode tier speaks (netpbm/BMP/PNG/JPEG/GIF/TIFF/WebP,
+    WAV/FLAC/Ogg/MP4, AVI) plus the RIFF subtype split; anything
+    unrecognized falls back to the ``kind`` column's coarse class
+    (``image``→``img`` etc.) or ``bin`` — a wrong-but-honest generic
+    extension, never a misleading specific one. Built for
+    :func:`...sinks.write_webdataset`'s ``ext_col``."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    h8 = F.upper(F.hex(F.substring(p, 1, 4)))
+    riff_sub = F.upper(F.hex(F.substring(p, 9, 4)))
+    ftyp = F.upper(F.hex(F.substring(p, 5, 4)))
+    k = (F.col(kind) if isinstance(kind, str)
+         else (kind if kind is not None else F.lit(None)))
+    fallback = (F.when(k == "image", F.lit("img"))
+                .when(k == "audio", F.lit("aud"))
+                .when(k == "video", F.lit("vid"))
+                .otherwise(F.lit("bin")))
+    return (
+        F.when(h8.startswith("FFD8"), F.lit("jpg"))
+        .when(h8 == "89504E47", F.lit("png"))
+        .when(h8.startswith("474946"), F.lit("gif"))
+        .when(h8.startswith("424D"), F.lit("bmp"))
+        .when(h8 == "664C6143", F.lit("flac"))
+        .when(h8 == "4F676753", F.lit("ogg"))
+        .when(h8.startswith("494433") | h8.startswith("FFFB")
+              | h8.startswith("FFF3"), F.lit("mp3"))
+        .when((h8 == "49492A00") | (h8 == "4D4D002A"), F.lit("tif"))
+        # netpbm: 'P5'/'P6' + whitespace
+        .when(h8.startswith("5035"), F.lit("pgm"))
+        .when(h8.startswith("5036"), F.lit("ppm"))
+        .when(h8 == "52494646",                       # RIFF subtype
+              F.when(riff_sub == "57415645", F.lit("wav"))
+              .when(riff_sub == "41564920", F.lit("avi"))
+              .when(riff_sub == "57454250", F.lit("webp"))
+              .otherwise(fallback))
+        .when(ftyp == "66747970", F.lit("mp4"))       # ISO-BMFF ftyp
+        .otherwise(fallback))

@@ -2800,14 +2800,31 @@ class Pipeline:
             write_webdataset,
         )
 
-        docs = Catalog(self.spark, source_dir).documents
         self.progress("export", {"params": dict(plan)})
         dest = output_path.rstrip("/") + "/webdataset"
+        if plan.get("table") == "media":
+            from dynamic_etl_pipeline_thesis_ii_spark.operators. \
+                multimodal import container_ext
+            media = self._media_or_none(source_dir)
+            if media is None:
+                return {"status": "rejected",
+                        "reason": f"no media table readable at "
+                                  f"{source_dir}/media.parquet",
+                        "outputs": [], "reports": {"plan": dict(plan)}}
+            frame = media.withColumn(
+                "__ext", container_ext("payload", "kind")
+                if "kind" in media.columns
+                else container_ext("payload"))
+            kwargs = dict(key_col="media_id", text_col=None,
+                          binary_col="payload", ext_col="__ext")
+        else:
+            frame = Catalog(self.spark, source_dir).documents
+            kwargs = dict(key_col="doc_id")
         try:
             report = write_webdataset(
-                docs, dest, key_col="doc_id",
+                frame, dest,
                 n_shards=plan["n_shards"],
-                target_shard_mb=plan["target_shard_mb"])
+                target_shard_mb=plan["target_shard_mb"], **kwargs)
         except SinkError as exc:
             return {"status": "rejected", "reason": str(exc),
                     "outputs": [], "reports": {"plan": dict(plan)}}
@@ -4257,8 +4274,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       (tar-shard export for streaming training loaders:
       ``{key}.json``/``{key}.txt`` members in byte-deterministic
       ``shard-%06d.tar`` files with a per-shard sha256 manifest;
-      shard count derives from corpus bytes when unnamed; 'verify
-      ... shards' stays on the manifest-check route);
+      shard count derives from corpus bytes when unnamed; 'export
+      the images/media as webdataset' ships the media table's
+      payload bytes instead, extensions sniffed from container
+      magic; 'verify ... shards' stays on the manifest-check
+      route);
     - ``semantic_dedup`` — 'semantically dedup ...' / 'dedup by
       embedding' (SemDeDup over the embeddings table; optional
       'threshold 0.9', 'N clusters', 'lowest id' keep policy);
@@ -4511,8 +4531,13 @@ def parse_dataops_query(query: str) -> Optional[dict]:
     if _WDS_RE.search(ql) and not _SHARD_VERIFY_RE.search(ql):
         ns = int(m.group(1)) if (m := _SHARDS_RE.search(ql)) else None
         mb = int(m.group(1)) if (m := _WDS_MB_RE.search(ql)) else 256
+        # 'export the images/media/clips as webdataset' ships the
+        # media table's payload bytes instead of document text
+        media = bool(re.search(
+            r"\b(?:images?|media|audio|clips?|videos?)\b", ql))
         return {"target": "webdataset_write", "n_shards": ns,
-                "target_shard_mb": mb}
+                "target_shard_mb": mb,
+                "table": "media" if media else "documents"}
     if _SHARD_VERIFY_RE.search(ql) and not _DECONTAM_TARGET_RE.search(ql):
         # the decontam exclusion keeps 'check the corpus shards for
         # contamination against the benchmark at /b' on its intended

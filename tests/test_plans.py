@@ -2994,7 +2994,10 @@ def test_webdataset_nl_face(spark, sf_dir, tmp_path):
 
     p = parse_dataops_query("export the corpus as webdataset, 3 shards")
     assert p == {"target": "webdataset_write", "n_shards": 3,
-                 "target_shard_mb": 256}
+                 "target_shard_mb": 256, "table": "documents"}
+    # media nouns ship the media table's payload bytes
+    pm = parse_dataops_query("export the images as webdataset")
+    assert pm["table"] == "media"
     p2 = parse_dataops_query(
         "write the corpus to webdataset shards at 64 mb")
     assert p2["target"] == "webdataset_write"

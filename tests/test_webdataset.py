@@ -334,3 +334,74 @@ def test_verify_webdataset_nl(spark, sf_dir, tmp_path):
     assert res2["reports"]["ok"] is False
     assert res2["reports"]["mismatched_shards"] == \
         [os.path.basename(victim)]
+
+
+def test_container_ext_sniffing(spark):
+    """Magic-byte -> extension column: every container the decode
+    tier speaks, RIFF subtype split, kind-class fallback."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.multimodal import (
+        container_ext,
+    )
+
+    rows = [(1, "image", b"\xff\xd8\xff\xe0jpeg"),
+            (2, "image", b"\x89PNG\r\n\x1a\n"),
+            (3, "image", b"GIF89a...."),
+            (4, "image", b"BMxxxxxx"),
+            (5, "image", b"P6\n2 2\n255\n"),
+            (6, "audio", b"RIFF\x00\x00\x00\x00WAVEfmt "),
+            (7, "video", b"RIFF\x00\x00\x00\x00AVI LIST"),
+            (8, "image", b"RIFF\x00\x00\x00\x00WEBPVP8L"),
+            (9, "audio", b"fLaC\x00\x00\x00\x22"),
+            (10, "audio", b"ID3\x04\x00tag"),
+            (11, "video", b"\x00\x00\x00\x18ftypisom"),
+            (12, "image", b"II\x2a\x00tiff"),
+            (13, "audio", b"JUNKJUNK"),
+            (14, None, b"JUNKJUNK")]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r["e"] for r in
+           df.select("media_id",
+                     container_ext("payload", "kind").alias("e"))
+           .collect()}
+    assert got == {1: "jpg", 2: "png", 3: "gif", 4: "bmp", 5: "ppm",
+                   6: "wav", 7: "avi", 8: "webp", 9: "flac",
+                   10: "mp3", 11: "mp4", 12: "tif",
+                   13: "aud", 14: "bin"}
+
+
+def test_media_export_nl(spark, sf_dir, tmp_path):
+    """'export the images as webdataset': media payload bytes become
+    {media_id}.{sniffed-ext} members with exact byte parity; a dir
+    without a media table rejects actionably."""
+    from dynamic_etl_pipeline_thesis_ii_spark.plans.orchestrator import (
+        FixtureFetcher,
+        Pipeline,
+    )
+
+    src = str(tmp_path / "media_src")
+    os.makedirs(src, exist_ok=True)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x01" * 40
+    wav = b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x02" * 24
+    spark.createDataFrame(
+        [(1, "image", png), (2, "audio", wav), (3, "image", b"JUNK")],
+        "media_id long, kind string, payload binary") \
+        .write.parquet(src + "/media.parquet")
+    # the documents table must exist for Catalog? no — media face
+    # reads only media.parquet
+    pipe = Pipeline(spark, FixtureFetcher(spark, sf_dir))
+    out = str(tmp_path / "run")
+    res = pipe.run_dataops("export the images as webdataset, 1 shards",
+                           src, out)
+    assert res["status"] == "complete"
+    assert res["reports"]["rows_written"] == 3
+    members = _tar_members(out + "/webdataset")
+    assert members["1.png"] == png
+    assert members["2.wav"] == wav
+    assert members["3.img"] == b"JUNK"        # kind-class fallback
+    assert json.loads(members["1.json"])["kind"] == "image"
+    # no media table -> actionable rejection
+    res2 = pipe.run_dataops("export the images as webdataset",
+                            str(tmp_path / "empty_src"),
+                            str(tmp_path / "run2"))
+    assert res2["status"] == "rejected"
+    assert "media" in res2["reason"]
