@@ -1818,3 +1818,79 @@ def load_hamming_snapshot(spark, path: str):
     return banded, {"max_hamming": m["max_hamming"],
                     "n_blocks": m["n_blocks"],
                     "key_blocks": m["key_blocks"]}
+
+
+def minhash_band_plan(threshold: float, max_hashes: int = 64,
+                      fp_weight: float = 1.0, fn_weight: float = 1.0,
+                      grid: int = 200) -> dict:
+    """LSH parameter advisor: choose ``(bands b, rows-per-band r)``
+    for a target Jaccard ``threshold`` — the knob users actually
+    think in — instead of hand-picking banding geometry. The banded
+    collision probability is the classic S-curve
+    ``P(s) = 1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman, MMDS
+    §3.4); the advisor scores every ``(b, r)`` with ``b·r ≤
+    max_hashes`` by the weighted error area — false-positive mass
+    ``∫₀ᵗ P(s) ds`` (pairs below the threshold that still collide →
+    wasted verification work) plus false-negative mass ``∫ₜ¹ (1-P(s))
+    ds`` (true near-dups the banding misses → recall loss) — and
+    returns the minimizer. Raise ``fp_weight`` when verification is
+    the 100 TB cost center (candidate volume is the thing banding
+    exists to bound); raise ``fn_weight`` for recall-critical decon.
+
+    Pure driver arithmetic (≤ ``max_hashes²/2`` candidates × ``grid``
+    trapezoid points — milliseconds); nothing touches the corpus.
+    Returns ``{bands, rows_per_band, n_hashes, threshold,
+    est_threshold, fp_area, fn_area, curve}`` where ``est_threshold =
+    (1/b)^(1/r)`` is the curve's inflection and ``curve`` samples
+    P(s) at s = 0.1..0.9 so a report can show what the chosen
+    geometry actually does."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(
+            f"threshold must be in (0, 1), got {threshold}")
+    if max_hashes < 2:
+        raise ValueError(f"max_hashes must be >= 2, got {max_hashes}")
+    best = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            fp = fn = 0.0
+            for i in range(grid):
+                s = (i + 0.5) / grid
+                p = 1.0 - (1.0 - s ** r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp /= grid
+            fn /= grid
+            cost = fp_weight * fp + fn_weight * fn
+            # ties (exact cost match) break toward the cheaper
+            # signature, then toward fewer bands (fewer shufflekeys)
+            key = (cost, b * r, b)
+            if best is None or key < best[0]:
+                best = (key, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {"bands": b, "rows_per_band": r, "n_hashes": b * r,
+            "threshold": threshold,
+            "est_threshold": round((1.0 / b) ** (1.0 / r), 4),
+            "fp_area": round(fp, 4), "fn_area": round(fn, 4),
+            "curve": {round(0.1 * i, 1):
+                      round(1.0 - (1.0 - (0.1 * i) ** r) ** b, 4)
+                      for i in range(1, 10)}}
+
+
+def band_table_geometry(bands: DataFrame) -> tuple[int, int]:
+    """Infer ``(bands, n_hashes)`` from a persisted band table's OWN
+    rows — rows-per-band is the stored slice length, band count is
+    ``max(band) + 1``. Probes and epoch-grow appends MUST band their
+    batch with the snapshot's geometry (a mismatched banding silently
+    collides with nothing), and inferring it from the data means a
+    tuned-geometry snapshot (:func:`minhash_band_plan`) needs no
+    sidecar and an old default-geometry snapshot keeps working. One
+    column-pruned aggregate over two small columns of the snapshot —
+    the probe's semi-join scans the same table anyway."""
+    row = bands.agg(F.max(F.size("slice")).alias("r"),
+                    F.max("band").alias("bmax")).first()
+    if row["r"] is None:
+        return 4, 16                      # empty table: the defaults
+    b = int(row["bmax"]) + 1
+    return b, b * int(row["r"])

@@ -1406,6 +1406,7 @@ class Pipeline:
         why the probe path prunes by semi-join, not footer stats)."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
             minhash_band_keys,
+            minhash_band_plan,
         )
         from dynamic_etl_pipeline_thesis_ii_spark.sources.registry import (
             Catalog,
@@ -1417,19 +1418,31 @@ class Pipeline:
             return {"status": "rejected",
                     "reason": "documents table is empty",
                     "outputs": [], "reports": {"plan": dict(plan)}}
+        # 'at similarity 0.8' derives the banding geometry from the
+        # advisor's S-curve fit instead of the default 16x4; later
+        # probes infer the geometry from the snapshot's own rows
+        # (band_table_geometry), so no sidecar is needed
+        geo_kw, band_plan = {}, None
+        if plan.get("threshold"):
+            band_plan = minhash_band_plan(plan["threshold"])
+            geo_kw = {"n_hashes": band_plan["n_hashes"],
+                      "bands": band_plan["bands"]}
         # represent mode: a boilerplate flood stores one row per band
         # (flood-proof snapshot — probes/streams still collide with
         # the representative, fan-out stays cap-bounded)
         bands = minhash_band_keys(docs, max_bucket=2000,
-                                  cap_mode="represent")
+                                  cap_mode="represent", **geo_kw)
         (bands.repartitionByRange("band", "id")
          .sortWithinPartitions("band", "id")
          .write.mode("overwrite").parquet(output_path))
         n_rows = self.spark.read.parquet(output_path).count()
         self.progress("publish", {"rows": n_rows, "path": output_path})
+        reports = {"plan": dict(plan), "docs_in": n_in,
+                   "band_rows": n_rows}
+        if band_plan is not None:
+            reports["band_plan"] = band_plan
         return {"status": "complete", "outputs": [bands],
-                "reports": {"plan": dict(plan), "docs_in": n_in,
-                            "band_rows": n_rows}}
+                "reports": reports}
 
     def _run_neardup_probe(self, plan: dict, source_dir: str,
                            output_path: str) -> dict:
@@ -1448,6 +1461,7 @@ class Pipeline:
         (unflagged, within-batch-deduped) band keys — the text twin
         of the media epoch-grow step."""
         from dynamic_etl_pipeline_thesis_ii_spark.operators.dedup import (
+            band_table_geometry,
             dedup_exact,
             incremental_neardup_pairs,
             minhash_band_keys,
@@ -1475,8 +1489,14 @@ class Pipeline:
         batch = Catalog(self.spark, source_dir).documents
         n_in = batch.count()
         cap: dict = {}
+        # band the batch with the SNAPSHOT's own geometry (inferred
+        # from its rows) — a threshold-tuned snapshot probes
+        # correctly, and a mismatched banding would silently collide
+        # with nothing
+        n_bands, n_hashes = band_table_geometry(bands)
         pairs = incremental_neardup_pairs(
-            batch, bands, cap_report=cap,
+            batch, bands, n_hashes=n_hashes, bands=n_bands,
+            cap_report=cap,
             hot_policy=plan.get("hot_policy", "drop"))
         self.progress("neardup_probe", {"params": dict(plan),
                                         "cap": cap})
@@ -1492,7 +1512,10 @@ class Pipeline:
             fresh = (dedup_exact(batch)
                      .join(back.select(F.col("id_new").alias("doc_id"))
                            .distinct(), "doc_id", "left_anti"))
-            new_bands = minhash_band_keys(fresh)
+            # append with the snapshot's geometry, not the default —
+            # a tuned store must grow homogeneous
+            new_bands = minhash_band_keys(fresh, n_hashes=n_hashes,
+                                          bands=n_bands)
             new_bands.write.mode("append").parquet(
                 plan["snapshot_path"])
             n_after = self.spark.read.parquet(
@@ -3891,6 +3914,7 @@ _BM25_INDEX_BUILD_RE = re.compile(
 _ANN_K_RE = re.compile(
     r"\b(\d+)\s+nearest\b|\btop\s+(\d+)\b|\bk\s*=\s*(\d+)\b")
 _SEM_THRESHOLD_RE = re.compile(r"\bthreshold\s+(?:of\s+)?(0?\.\d+)\b")
+_SIMILARITY_RE = re.compile(r"\bsimilarity\s+(?:of\s+)?(0?\.\d+)\b")
 _CLUSTERS_RE = re.compile(r"\b(\d+)\s+clusters?\b")
 # 'cluster the embeddings into 12 topics' — standalone corpus
 # clustering (data-map view); scoped to the cluster VERB + a corpus
@@ -4364,7 +4388,11 @@ def parse_dataops_query(query: str) -> Optional[dict]:
       batch's fresh packed hashes);
     - ``band_snapshot`` — 'build a near-dup band snapshot of the
       corpus' (persist the documents table's MinHash band table in
-      flood-proof represent mode — the text build face);
+      flood-proof represent mode — the text build face; 'at
+      similarity 0.8' derives the banding geometry from the LSH
+      parameter advisor's S-curve fit instead of the default 16x4,
+      and later probes infer the geometry from the snapshot's own
+      rows);
     - ``neardup_probe`` — 'flag near-duplicate documents against the
       band snapshot at /path' (batch-cost MinHash probe with cap
       telemetry; 'recovering hot buckets' → star policy; '... and
@@ -4410,7 +4438,14 @@ def parse_dataops_query(query: str) -> Optional[dict]:
         dim = int(m.group(1)) if (m := _DIM_RE.search(ql)) else 64
         return {"target": "embed_documents", "dim": dim}
     if _BAND_SNAPSHOT_BUILD_RE.search(ql):
-        return {"target": "band_snapshot"}
+        # 'at similarity 0.8' / 'threshold 0.8' opts into the LSH
+        # parameter advisor (minhash_band_plan) instead of the
+        # default 16x4 banding
+        thr = None
+        if m := (_SEM_THRESHOLD_RE.search(ql)
+                 or _SIMILARITY_RE.search(ql)):
+            thr = float(m.group(1))
+        return {"target": "band_snapshot", "threshold": thr}
     if _NEARDUP_PROBE_RE.search(ql):
         m = _SNAPSHOT_PATH_RE.search(query)   # paths keep their case
         return {"target": "neardup_probe",
