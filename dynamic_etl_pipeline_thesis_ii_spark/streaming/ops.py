@@ -858,3 +858,45 @@ def streaming_corpus_upsert_sink(docs: DataFrame, store_path: str,
 
     return foreach_batch_sink(docs, batch_fn=upsert,
                               checkpoint_dir=checkpoint_dir)
+
+
+def streaming_webdataset_sink(docs: DataFrame, path: str,
+                              key_col: str = "doc_id",
+                              text_col: str = "text",
+                              target_shard_mb: float = 256,
+                              checkpoint_dir: Optional[str] = None):
+    """Continuous WebDataset export: each micro-batch lands as its
+    own tar-shard set under ``path/batch-<id>/`` via
+    ``sinks.write_webdataset`` — the streaming face of the SK6 export
+    door, for pipelines that hand landed documents straight to a
+    training loader as they arrive.
+
+    Batch isolation is the replay story: a micro-batch owns its
+    ``batch-<id>`` directory outright, shard bytes are DETERMINISTIC
+    for a given batch content, and the writer replaces the directory's
+    tars — so a crash-replayed batch (same checkpointed id, same
+    source offsets → same rows) rewrites byte-identical files and the
+    sink converges, the ``streaming_corpus_upsert_sink`` idempotence
+    contract without a high-water mark. Shard count derives per batch
+    from the mb target; each batch dir carries its own sha256
+    manifest, so ``verify_webdataset`` covers a shipment batch-by-
+    batch, and the read face consumes the whole sink with one glob
+    (``read_webdataset(spark, path + '/batch-*/shard-*.tar')``).
+    Keys must be unique WITHIN a batch (checked); cross-batch
+    repeats are the caller's dedup story — run the stream through
+    ``streaming_dedup``/``incremental_dedup`` first if exactly-once
+    keys matter downstream."""
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        write_webdataset,
+    )
+
+    def export(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        write_webdataset(
+            batch_df, f"{path.rstrip('/')}/batch-{batch_id:08d}",
+            key_col=key_col, text_col=text_col,
+            n_shards=None, target_shard_mb=target_shard_mb)
+
+    return foreach_batch_sink(docs, batch_fn=export,
+                              checkpoint_dir=checkpoint_dir)

@@ -1501,3 +1501,60 @@ def test_streaming_license_scan_parity(spark, tmp_path):
                .select("id", "license_class").collect()}
     assert classes[1]["license_class"] == "permissive"
     assert classes[2]["license_class"] == "copyleft"
+
+
+def test_streaming_webdataset_sink(spark, tmp_path):
+    """A document stream exports per-micro-batch tar shards: members
+    land under batch-<id>/ with exact text parity through the sample
+    read face, each batch dir carries a verifiable manifest, and a
+    replayed batch (same checkpoint, rerun over the same source)
+    leaves the sink byte-identical."""
+    import glob
+    import hashlib
+
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.archives import (
+        read_webdataset,
+    )
+    from dynamic_etl_pipeline_thesis_ii_spark.sources.sinks import (
+        verify_webdataset,
+    )
+
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00.000Z",
+         "text": "streamed alpha"},
+        {"doc_id": 2, "ts": "2024-01-01T10:01:00.000Z",
+         "text": "streamed beta"},
+    ]
+    d = str(tmp_path / "docs")
+    _write_json(os.path.join(d, "part-0.json"), rows)
+    sink = str(tmp_path / "wds_sink")
+
+    def _run(ckpt):
+        stream = (spark.readStream.format("json")
+                  .schema(S.DOC_STREAM_SCHEMA).load(d)
+                  .select("doc_id", "text"))
+        S.streaming_webdataset_sink(
+            stream, sink, checkpoint_dir=ckpt)
+
+    _run(str(tmp_path / "ckpt1"))
+    tars = glob.glob(sink + "/batch-*/shard-*.tar")
+    assert len(tars) >= 1
+    back = {r["key"]: r["text"] for r in
+            read_webdataset(spark, sink + "/batch-*/shard-*.tar")
+            .collect()}
+    assert back == {"1": "streamed alpha", "2": "streamed beta"}
+    # every batch dir's manifest verifies against its tars
+    for bdir in glob.glob(sink + "/batch-*"):
+        if bdir.endswith("_manifest"):
+            continue
+        man = spark.read.parquet(bdir + "_manifest")
+        chk = verify_webdataset(spark, bdir, man)
+        assert chk["ok"], (bdir, chk)
+    digest = {f: hashlib.sha256(open(f, "rb").read()).hexdigest()
+              for f in tars}
+    # replay with a FRESH checkpoint (same source offsets -> same
+    # batch rows and ids): the sink converges byte-identically
+    _run(str(tmp_path / "ckpt2"))
+    digest2 = {f: hashlib.sha256(open(f, "rb").read()).hexdigest()
+               for f in glob.glob(sink + "/batch-*/shard-*.tar")}
+    assert digest == digest2
