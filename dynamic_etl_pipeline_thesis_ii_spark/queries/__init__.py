@@ -52,10 +52,11 @@ def all_queries():
     branch-tagged
     arm on an existing family union (`dedup_neardup_pairs`, `dedup_spans`,
     `text_pii_scrub`, `text_corpus_stats`, `sample_deterministic`,
-    `src_parse_normalize`, `union_schema_match`, `semi_anti_join`) over
-    a new entry. Current headroom: 48/49 after the r13 semi+anti fold
-    — ONE free slot; the next two additions must bring a fold with
-    them or spend it. The
+    `src_parse_normalize`, `union_schema_match`) over
+    a new entry. Current headroom: 49/49 — ZERO free slots (a r13
+    semi+anti fold was reverted: optimization rounds must keep the
+    declared set identical, a disappeared query is a REGRESSION); any
+    addition must bring a fold with it. The
     bench-side twin of this budget lives in bench.py: the driver also
     records only the last ~2,000 chars of stdout, so bench's FINAL
     printed line must stay small (round 7 lost every per-query timing

@@ -259,39 +259,6 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Branch-tagged union of the two existence joins (registry window
-    fold, r13 — the driver records only 50 entries, so single-operator
-    queries fold into family unions; see queries/__init__.py). The
-    ``part`` tag keeps each arm's rows separable; the ``detail``
-    column carries the arm-specific third column (mktsegment for the
-    semi arm, acctbal rendered exactly for the anti arm) so the union
-    is schema-aligned without dropping either arm's payload. Both arms
-    stay broadcast/shuffled hash SEMI joins in the physical plan — the
-    union does not change either side's join strategy."""
-    semi = (q_semi_join(spark, sf_dir)
-            .select(F.lit("semi").alias("part"), "c_custkey", "c_name",
-                    F.col("c_mktsegment").alias("detail")))
-    anti = (q_anti_join(spark, sf_dir)
-            .select(F.lit("anti").alias("part"), "c_custkey", "c_name",
-                    F.col("c_acctbal").cast("decimal(12,2)")
-                    .cast("string").alias("detail")))
-    return semi.unionByName(anti)
-
-
-ORACLE_SEMI_ANTI_JOIN = """
-SELECT 'semi' AS part, c_custkey, c_name, c_mktsegment AS detail
-FROM customer
-WHERE EXISTS (SELECT 1 FROM orders
-              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
-UNION ALL
-SELECT 'anti', c_custkey, c_name,
-       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-"""
-
-
 # ---------------------------------------------------------------------------
 # q_set_ops — INTERSECT/EXCEPT set ops (SURVEY.md §2.7 "Absent").
 # ---------------------------------------------------------------------------
@@ -597,10 +564,8 @@ RELATIONAL_QUERIES = {
     "rollup_segment_nation": q_rollup_segment_nation,
     "cube_priority_status": q_cube_priority_status,
     "distinct_agg": q_distinct_agg,
-    # semi_join + anti_join folded into the branch-tagged
-    # semi_anti_join (registry window fold, r13); the standalone
-    # callables remain importable for tests and direct use
-    "semi_anti_join": q_semi_anti_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "set_ops": q_set_ops,
     "rank_orders": q_rank_orders,
     "window_rank_functions": q_window_rank_functions,
@@ -621,7 +586,8 @@ RELATIONAL_ORACLES = {
     "rollup_segment_nation": ORACLE_ROLLUP_SEGMENT_NATION,
     "cube_priority_status": ORACLE_CUBE_PRIORITY_STATUS,
     "distinct_agg": ORACLE_DISTINCT_AGG,
-    "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
     "rank_orders": ORACLE_RANK_ORDERS,
     "window_rank_functions": ORACLE_WINDOW_RANK,
