@@ -19,9 +19,26 @@ from dynamic_etl_pipeline_thesis_ii_spark.queries import all_oracles, all_querie
 _SMOKE_SF = "/root/testdata/sf0.001"
 
 
+def _quiet_df_debugging(spark: SparkSession) -> None:
+    """Disable PySpark 4's per-method call-site capture (2 py4j round
+    trips + a Python stack walk on EVERY DataFrame/Column call — ~2.5 s
+    of pure plan-construction overhead across the headline set at
+    sf0.1). ``spark.python.sql.dataFrameDebugging.enabled`` is a STATIC
+    conf, unsettable on the live session the driver hands us, but the
+    flag is only consulted through a module-level cache on the Python
+    side — prime that instead (guarded: if the private name moves in a
+    future PySpark, behavior just reverts to the default capture)."""
+    try:
+        from pyspark.errors import utils as _eu
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _quiet_df_debugging(spark)
     from dynamic_etl_pipeline_thesis_ii_spark.queries.relational_suite import q_pricing_summary
     return q_pricing_summary(spark, _SMOKE_SF)
 
@@ -45,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+            _quiet_df_debugging(spark)
             return fn(spark, sf_dir)
         return run
 

@@ -187,12 +187,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     ex = shingles if shingles is not None \
         else shingle_rows(df, text_col, id_col, k)
-    hashed = ex.select("id", hash32(F.col("s")).alias("h"))
-    mins = [F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(12345 * i + 17))
-                  % F.lit(H32_PRIME)).alias(f"m{i}")
+    # SQL-string expressions: one py4j round trip per aggregate instead
+    # of ~6 Column-method calls each (r13 — driver plan-construction
+    # latency; the resolved trees are identical)
+    hashed = ex.selectExpr(
+        "id",
+        "cast(conv(substring(md5(cast(s as binary)), 1, 8), 16, 10) "
+        "as bigint) as h")
+    mins = [F.expr(f"min(({2 * i + 1} * h + {12345 * i + 17}) "
+                   f"% {H32_PRIME})").alias(f"m{i}")
             for i in range(n_hashes)]
     sigs = hashed.groupBy("id").agg(*mins)
-    return sigs.select("id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
+    return sigs.selectExpr(
+        "id",
+        f"array({', '.join(f'm{i}' for i in range(n_hashes))}) as sig")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -324,22 +332,31 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     # whole-stage codegen does not subexpression-eliminate across the
     # conv/substring wrappers — measured ~20% of the fingerprint
     # stage at sf0.1 (1.83 s -> 1.47 s warm).
-    hexed = ex.select("id", F.md5(F.col("s").cast("binary")).alias("h"))
-    hashed = hexed.select(
+    # Expressions are built as SQL strings (one py4j round trip each
+    # via expr/selectExpr, parsed JVM-side) — the Column-method
+    # formulation made ~450 py4j calls for the 64 bit counters + the
+    # 64-term majority fold, ~1 s of pure driver latency per
+    # invocation at default py4j throughput (r13, measured; the
+    # resolved expression trees are identical either way).
+    hexed = ex.selectExpr("id", "md5(cast(s as binary)) as h")
+    hashed = hexed.selectExpr(
         "id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("lo"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("hi"))
+        "cast(conv(substring(h, 1, 8), 16, 10) as bigint) as lo",
+        "cast(conv(substring(h, 9, 8), 16, 10) as bigint) as hi")
     bit_sums = [
-        F.sum(F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
-              .bitwiseAND(F.lit(1))).alias(f"c{j}")
+        F.expr(f"sum(shiftright({'lo' if j < 32 else 'hi'}, {j % 32}) & 1)")
+        .alias(f"c{j}")
         for j in range(64)
     ]
-    counts = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
-    signed_bit = lambda j: (F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j))
-    sim = F.lit(0).cast("long")
-    for j in range(64):
-        sim = sim + F.when(F.col(f"c{j}") * 2 > F.col("n"), signed_bit(j)).otherwise(F.lit(0))
-    return counts.select("id", sim.alias("sim"))
+    counts = hashed.groupBy("id").agg(F.expr("count(1)").alias("n"),
+                                      *bit_sums)
+    # bit 63 via shiftleft(1L, 63) = Long.MIN_VALUE (two's complement);
+    # the literal -9223372036854775808 does not parse as one token
+    signed_bit = lambda j: (f"shiftleft(cast(1 as bigint), 63)"
+                            if j == 63 else f"{1 << j}")
+    sim = " + ".join(f"if(c{j} * 2 > n, cast({signed_bit(j)} as bigint), "
+                     f"cast(0 as bigint))" for j in range(64))
+    return counts.selectExpr("id", f"({sim}) as sim")
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -508,23 +525,25 @@ def hamming_band_keys(docs: DataFrame, max_hamming: int = 3,
     widths, offsets, combos = _band_geometry(n_blocks, max_hamming,
                                              key_blocks)
 
-    def block_val(b: int) -> Column:
-        return (F.shiftright(F.col("sim"), offsets[b])
-                .bitwiseAND(F.lit((1 << widths[b]) - 1)))
+    # One SQL string for the whole band table (r13): inline() explodes
+    # the array-of-structs straight into (band, key) columns in a
+    # single py4j round trip; the per-band Column-method loop cost
+    # ~100 round trips of driver latency per invocation.
+    def block_val(b: int) -> str:
+        return (f"(shiftright(sim, {offsets[b]}) & "
+                f"{(1 << widths[b]) - 1})")
 
     entries = []
     for i, combo in enumerate(combos):
-        key: Column | None = None
+        key: str | None = None
         for b in combo:
             key = block_val(b) if key is None else (
-                F.shiftleft(key, widths[b]).bitwiseOR(block_val(b)))
-        entries.append(F.struct(F.lit(i).alias("band"),
-                                key.cast("long").alias("key")))
+                f"(shiftleft({key}, {widths[b]}) | {block_val(b)})")
+        entries.append(f"struct({i} as band, cast({key} as bigint) as key)")
     extras = [c for c in docs.columns if c not in ("id", "sim")]
-    banded = docs.select(
-        "id", "sim", *extras, F.explode(F.array(*entries)).alias("bk"),
-    ).select("id", "sim", *extras, F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
+    banded = docs.selectExpr(
+        "id", "sim", *[f"`{c}`" for c in extras],
+        f"inline(array({', '.join(entries)}))")
     if cap_mode not in ("drop", "mark", "represent"):
         raise ValueError(f"cap_mode must be 'drop', 'mark' or "
                          f"'represent', got {cap_mode!r}")
@@ -1470,15 +1489,11 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
                          f"got {cap_mode!r}")
     r = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, shingles)
-    out = sigs.select(
+    out = sigs.selectExpr(
         "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.slice("sig", b * r + 1, r).alias("slice"))
-            for b in range(bands)
-        ])).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"),
-             F.col("bs.slice").alias("slice"))
+        "inline(array({}))".format(", ".join(
+            f"struct({b} as band, slice(sig, {b * r + 1}, {r}) as slice)"
+            for b in range(bands))))
     if cap_mode == "represent" and max_bucket is not None:
         w = Window.partitionBy("band", "slice")
         out = (out.withColumn("__bn", F.count(F.lit(1)).over(w))

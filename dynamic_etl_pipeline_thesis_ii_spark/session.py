@@ -48,6 +48,15 @@ _DEFAULTS: dict[str, str] = {
     # same interpretation DuckDB applies to the same file. The Catalog
     # additionally normalizes NTZ for sessions built without this conf.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # PySpark 4 wraps every DataFrame/Column method to ship the Python
+    # call site to the JVM for error context (PySparkCurrentOrigin.set +
+    # clear = 2 py4j round trips + a Python stack walk PER METHOD CALL).
+    # Plan construction for the wide composite queries makes tens of
+    # thousands of such calls; disabling the capture cut headline plan
+    # construction ~2.5 s (dedup_neardup_pairs build 4.1->3.0 s,
+    # ann_topk 1.3->0.75 s measured at sf0.1). Driver-side latency only;
+    # errors lose the "called from <file>:<line>" frame, nothing else.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
