@@ -355,9 +355,20 @@ def assign_greedy(cands: DataFrame, max_matches: int,
     """Exact reference semantics (``join.py:724-767``): sort by prob
     desc (id asc tie-break for determinism — the reference relies on
     Python sort stability), scan sequentially, accept while both rows
-    are under the cap. Driver-side over the thresholded candidate set."""
-    rows = (cands.select(id1, id2, "prob")
-            .orderBy(F.col("prob").desc(), F.col(id1), F.col(id2)).collect())
+    are under the cap. Driver-side over the thresholded candidate set.
+
+    The sort happens on the DRIVER after an unsorted collect: a Spark
+    ``orderBy(...).collect()`` range-partitions first, and the range
+    partitioner's sampling job re-executes the entire upstream
+    candidate pipeline (scan -> pair join -> 26 features -> score ->
+    threshold) a second time just to pick split points (r13, measured
+    ~2x on this path). The candidate set is driver-sized by
+    construction (it feeds a sequential Python scan either way), and
+    the sort keys are total and engine-independent (prob is NaN-free
+    post-threshold; ids are ints or ASCII strings on every call site),
+    so the ordering is identical."""
+    rows = cands.select(id1, id2, "prob").collect()
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
     if max_matches == 0:
         return [(r[0], r[1], r[2]) for r in rows]
     out, c1, c2 = [], {}, {}
