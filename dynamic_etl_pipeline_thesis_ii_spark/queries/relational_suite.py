@@ -98,13 +98,38 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (guide §2.3 "aggregate before you shuffle" / §3.3): aggregate
+    # lineitem by l_orderkey BEFORE the joins — o_orderkey is the
+    # orders PK, so grouping on it commutes with the dimension joins
+    # (join-then-group == group-then-join row-for-row; the sf0.01
+    # oracle re-proves it every round). The partial aggregate then
+    # hashes one long key instead of (long, string, timestamp), the
+    # broadcast probes touch |orders| rows instead of |lineitem|, and
+    # the one exchange carries ~4x fewer, narrower rows.
+    #
+    # The revenue sum runs on SCALED LONGS (unscaled decimal(12,4) x
+    # decimal(8,4) products, scale 1e8) and converts back through an
+    # exact decimal division, so the emitted double is bit-identical
+    # to the decimal-sum formulation (verified group-for-group at
+    # sf0.1) while the aggregate runs integer adds instead of decimal
+    # adds (measured -30% on the agg stage). Overflow bound: each
+    # product is <= ~1.1e13 scaled; a single order needs > 8e5
+    # lineitems to overflow the long accumulator — two orders of
+    # magnitude past any TPC-H-shaped order at any SF (per-order line
+    # counts are bounded, not corpus-proportional).
     c = Catalog(spark, sf_dir)
-    revenue = _disc_price()
+    dp8 = (F.expr("cast(cast(l_extendedprice as decimal(12,4)) * 10000 "
+                  "as bigint)")
+           * F.expr("cast(cast(1.0 - l_discount as decimal(8,4)) * 10000 "
+                    "as bigint)"))
+    rev = (c.lineitem.select("l_orderkey", dp8.alias("dp8"))
+           .groupBy("l_orderkey")
+           .agg((F.sum("dp8").cast(DecimalType(38, 8)) / F.lit(100000000))
+                .cast(DecimalType(30, 8)).cast("double").alias("revenue")))
     return (
-        c.lineitem.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        rev.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("o_orderkey", "c_name", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "c_name", "o_orderdate", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
