@@ -47,7 +47,15 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 def release_shared_caches() -> None:
     """Unpersist every shared frame the dataops queries persisted since
     the last release. Call between queries in long-running harnesses;
-    blocking=False (the default) so release never stalls the caller."""
+    blocking=False (the default) so release never stalls the caller.
+    Also drains the integration orchestrator's group-frame caches
+    (operators/integration.py persists each unioned group for its
+    O(k^2) pair evaluations — same lazy-return constraint, same
+    release point)."""
+    from dynamic_etl_pipeline_thesis_ii_spark.operators import (
+        integration as _integration,
+    )
+    _integration.release_shared_caches()
     while _SHARED_CACHES:
         _SHARED_CACHES.pop().unpersist()
 
