@@ -417,51 +417,61 @@ def pq_grid_codebooks(dim: int, m: int = 4, k: int = 8,
     return [[[v] * dsub for v in vals] for _ in range(m)]
 
 
-def _subdist(sub: Column, centroid: list[float]) -> Column:
+def _subdist(sub: str, centroid: list[float]) -> str:
     """Squared L2 distance of a subvector to a literal centroid,
     rounded to 6 dp (the same cross-engine granularity the cosine
-    oracles use) so argmin choices are engine-portable."""
-    cvec = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.round(F.aggregate(
-        F.zip_with(sub, cvec, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x), 6)
+    oracles use) so argmin choices are engine-portable. Emits SQL
+    text (see :func:`pq_codes` for why)."""
+    cvec = "array(" + ", ".join(f"{float(c)!r}D" for c in centroid) + ")"
+    return (f"round(aggregate(zip_with({sub}, {cvec}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), 6)")
 
 
-def _subdists(vec: Column, codebooks: list, s: int) -> list[Column]:
-    """All k centroid distances for subspace ``s``. CONSTANT-vector
-    centroids (the grid codebook) share the subvector's sum and
-    sum-of-squares — 2 array passes instead of k, via
-    ||x - c·1||² = q - 2c·s + dsub·c². The DuckDB twin uses the SAME
-    formula so the 6-dp-rounded doubles stay engine-identical.
-    Trained (non-constant) codebooks take the general pass."""
+def _subdists(vec: str, codebooks: list, s: int) -> list[str]:
+    """All k centroid distances for subspace ``s``, as SQL text.
+    CONSTANT-vector centroids (the grid codebook) share the
+    subvector's sum and sum-of-squares — 2 array passes instead of k,
+    via ||x - c·1||² = q - 2c·s + dsub·c². The DuckDB twin uses the
+    SAME formula so the 6-dp-rounded doubles stay engine-identical
+    (the constants are Python floats formatted with repr, which
+    round-trips exactly). Trained (non-constant) codebooks take the
+    general pass."""
     dsub = len(codebooks[0][0])
-    sub = F.slice(vec, s * dsub + 1, dsub)
+    sub = f"slice({vec}, {s * dsub + 1}, {dsub})"
     if all(len(set(c)) == 1 for c in codebooks[s]):
-        ssum = F.aggregate(sub, F.lit(0.0), lambda a, x: a + x)
-        qsum = F.aggregate(F.transform(sub, lambda x: x * x),
-                           F.lit(0.0), lambda a, x: a + x)
-        return [F.round(qsum - 2.0 * c[0] * ssum
-                        + F.lit(dsub * c[0] * c[0]), 6)
+        ssum = f"aggregate({sub}, 0.0D, (a, x) -> a + x)"
+        qsum = (f"aggregate(transform({sub}, x -> x * x), 0.0D, "
+                f"(a, x) -> a + x)")
+        return [f"round({qsum} - ({2.0 * c[0]!r}D) * {ssum} "
+                f"+ ({dsub * c[0] * c[0]!r}D), 6)"
                 for c in codebooks[s]]
     return [_subdist(sub, c) for c in codebooks[s]]
 
 
-def pq_codes(vec: Column, codebooks: list) -> Column:
+def pq_codes(vec: str, codebooks: list) -> Column:
     """array<int> of per-subspace nearest-centroid indexes (0-based;
-    ties take the lowest index on every engine)."""
+    ties take the lowest index on every engine). ``vec`` is a SQL
+    expression string (a column name or e.g. ``cast(v as
+    array<double>)``): the whole m-subspace expression tree is built
+    as ONE SQL string parsed JVM-side in a single py4j round trip —
+    the Column-method formulation made ~400 round trips per call
+    (~0.5 s of driver latency per invocation at this box's py4j RTT;
+    r13, measured — the resolved trees are identical)."""
     codes = []
     for s in range(len(codebooks)):
-        dists = F.array(*_subdists(vec, codebooks, s))
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
-    return F.array(*codes)
+        dists = "array(" + ", ".join(_subdists(vec, codebooks, s)) + ")"
+        codes.append(f"cast(array_position({dists}, array_min({dists})) "
+                     f"- 1 as int)")
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
-def pq_lut(qvec: Column, codebooks: list) -> Column:
+def pq_lut(qvec: str, codebooks: list) -> Column:
     """Per-query ADC lookup table: array<array<double>> of
-    [m][k] subspace-to-centroid squared distances."""
-    return F.array(*[F.array(*_subdists(qvec, codebooks, s))
-                     for s in range(len(codebooks))])
+    [m][k] subspace-to-centroid squared distances. ``qvec`` is a SQL
+    expression string (see :func:`pq_codes`)."""
+    subs = ["array(" + ", ".join(_subdists(qvec, codebooks, s)) + ")"
+            for s in range(len(codebooks))]
+    return F.expr("array(" + ", ".join(subs) + ")")
 
 
 def _partition_topk(scored: DataFrame, k: int, by: str = "adc",
@@ -516,11 +526,11 @@ def pq_topk(queries: DataFrame, candidates: DataFrame, codebooks: list,
     (q_id, c_id, adc) scalars cross into the Arrow kernel."""
     cand = candidates.select(
         F.col(c_id).alias("c_id"),
-        pq_codes(F.col(c_vec).cast("array<double>"), codebooks)
+        pq_codes(f"cast(`{c_vec}` as array<double>)", codebooks)
         .alias("codes"))
     qs = queries.select(
         F.col(q_id).alias("q_id"),
-        pq_lut(F.col(q_vec).cast("array<double>"), codebooks).alias("lut"))
+        pq_lut(f"cast(`{q_vec}` as array<double>)", codebooks).alias("lut"))
     adc = F.round(F.aggregate(
         F.zip_with(F.col("lut"), F.col("codes"),
                    lambda l, c: F.element_at(l, c + 1)),
@@ -646,7 +656,7 @@ def ivfpq_build(candidates: DataFrame, n_clusters: int = 16, m: int = 4,
     books = pq_train(resid, vec_col="__resid", m=m, k=k,
                      sample=sample, iters=iters)
     coded = resid.select(F.col(c_id).alias("c_id"), "__cluster",
-                         pq_codes(F.col("__resid"), books).alias("codes"))
+                         pq_codes("__resid", books).alias("codes"))
     return centers_df, books, coded
 
 
@@ -705,7 +715,7 @@ def ivfpq_search(centers_df: DataFrame, codebooks: list, coded: DataFrame,
                   qd, F.col("__center").cast("array<double>"),
                   lambda x, c: x - c))
               .select(F.col(q_id).alias("q_id"), "__cluster",
-                      pq_lut(F.col("__qres"), codebooks).alias("lut")))
+                      pq_lut("__qres", codebooks).alias("lut")))
     adc = F.round(F.aggregate(
         F.zip_with(F.col("lut"), F.col("codes"),
                    lambda l, c: F.element_at(l, c + 1)),
@@ -1091,7 +1101,7 @@ def ivfpq_append(centers_df: DataFrame, codebooks: list,
                  F.col("__center").cast("array<double>"),
                  lambda x, c: x - c)))
     return resid.select(F.col(c_id).alias("c_id"), "__cluster",
-                        pq_codes(F.col("__resid"), codebooks).alias("codes"))
+                        pq_codes("__resid", codebooks).alias("codes"))
 
 
 def exact_l2_topk(queries: DataFrame, candidates: DataFrame, k: int,

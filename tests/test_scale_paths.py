@@ -196,7 +196,7 @@ def test_pq_codes_train_and_adc_search(spark, sf_dir):
 
     # codes bounded + deterministic
     codes = emb.select(
-        SIM.pq_codes(F.col("embedding").cast("array<double>"),
+        SIM.pq_codes("cast(embedding as array<double>)",
                      grid).alias("c")).collect()
     assert all(0 <= v < 8 for r in codes for v in r["c"])
 
@@ -253,11 +253,11 @@ def test_pq_topk_two_stage_no_full_shuffle(spark, sf_dir):
     # exact equality vs the one-stage global window over the full product
     scored = (cands.select(
         "c_id",
-        SIM.pq_codes(F.col("c_vec").cast("array<double>"), books)
+        SIM.pq_codes("cast(c_vec as array<double>)", books)
         .alias("codes"))
         .join(F.broadcast(queries.select(
             "q_id",
-            SIM.pq_lut(F.col("q_vec").cast("array<double>"), books)
+            SIM.pq_lut("cast(q_vec as array<double>)", books)
             .alias("lut")))))
     adc = F.round(F.aggregate(
         F.zip_with(F.col("lut"), F.col("codes"),
