@@ -1639,6 +1639,26 @@ GROUP BY t.id
 # corpus curation (flagship composition)
 # ---------------------------------------------------------------------------
 
+def _curation_scored(spark, sf_dir) -> DataFrame:
+    """The curation pipeline's shared scored-corpus frame, persisted
+    (tracked). Three curation branches consume it — the kept-filter,
+    the LSH pair generation, and the component ranking's quality score
+    — so the regex-heavy quality/lang pass (the most expensive scan in
+    the DAG) runs exactly once instead of once per branch (r12: −15%
+    wall at sf0.1; at 100 TB it's a full corpus scan saved). It also
+    carries ``n_tokens`` (a field of the SAME quality_features struct,
+    zero extra scan work) so ``corpus_to_shards`` can feed its
+    token-budget selection off this cache instead of paying a SECOND
+    full quality_features pass over the corpus (r13)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    return _persist_tracked(
+        corpus.select("doc_id", "text",
+                      feats["quality_score"].alias("quality_score"),
+                      T.lang_id(F.col("text")).alias("pred_lang"),
+                      feats["n_tokens"].alias("n_tokens")))
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation over the near-dup corpus:
     quality-score filter -> predicted-language filter -> benchmark
@@ -1648,18 +1668,7 @@ def q_corpus_curation(spark, sf_dir):
     cluster, ties to the lowest id). One lazy composition of the text,
     dedup and graph operators; the only iterative part is the component
     loop."""
-    # three branches consume the corpus: the kept-filter, the LSH pair
-    # generation, and the component ranking's quality score. Persist
-    # the SCORED frame (not the bare text) so the regex-heavy
-    # quality/lang pass — the most expensive scan in the DAG — runs
-    # exactly once instead of once per branch (r12: −15% wall at
-    # sf0.1; at 100 TB it's a full corpus scan saved).
-    corpus = _neardup_corpus(spark, sf_dir)
-    feats = T.quality_features(F.col("text"))
-    scored = _persist_tracked(
-        corpus.select("doc_id", "text",
-                      feats["quality_score"].alias("quality_score"),
-                      T.lang_id(F.col("text")).alias("pred_lang")))
+    scored = _curation_scored(spark, sf_dir)
     kept = scored.filter((F.col("quality_score") >= 0.5)
                          & (F.col("pred_lang") == "en"))
     bench = (Catalog(spark, sf_dir).documents
@@ -1804,8 +1813,11 @@ def corpus_to_shards_frame(spark, sf_dir, *, token_budget: int = 15_000,
         toks = (B.apply_bpe(corpus, merges, with_tokens=False)
                 .select(F.col("id").alias("doc_id"), "n_tokens"))
     elif tokenizer == "whitespace":
-        feats = T.quality_features(F.col("text"))
-        toks = corpus.select("doc_id", feats["n_tokens"].alias("n_tokens"))
+        # the curation call above already persisted the scored corpus
+        # WITH n_tokens (same quality_features struct) — plan-identity
+        # cache hit, so this costs zero extra corpus scans instead of
+        # a second full regex pass (r13, guide §5 caching)
+        toks = _curation_scored(spark, sf_dir).select("doc_id", "n_tokens")
     else:
         raise ValueError(
             f"tokenizer must be 'whitespace' or 'bpe', got {tokenizer!r}")
