@@ -102,6 +102,28 @@ def with_row_id(df: DataFrame, id_col: str = _ROW_ID) -> DataFrame:
         id_col, F.format_string("%d#%d", h, F.row_number().over(w)))
 
 
+def group_counts(groups: list[DataFrame]) -> list[int]:
+    """Row counts of several (persisted) frames in ONE Spark job: a
+    union of per-frame count() aggregates instead of k sequential
+    ``g.count()`` actions — each action is a full driver→scheduler
+    round trip (~0.2 s of fixed latency locally, and a cluster round
+    trip at scale), and the k subtrees read the group caches
+    concurrently instead of one after another (guide §5 driver /
+    §2.6 overlap). Counts are identical to ``g.count()`` by
+    construction."""
+    if not groups:
+        return []
+    if len(groups) == 1:
+        return [groups[0].count()]
+    counted = None
+    for i, g in enumerate(groups):
+        c = g.groupBy().agg(F.count(F.lit(1)).alias("__n")) \
+             .select(F.lit(i).alias("__gi"), "__n")
+        counted = c if counted is None else counted.unionByName(c)
+    by_idx = {r["__gi"]: r["__n"] for r in counted.collect()}
+    return [by_idx[i] for i in range(len(groups))]
+
+
 def _join_pair(gi: DataFrame, gj: DataFrame, cfg: EngineConfig,
                denominator: Optional[int] = None,
                ) -> tuple[Optional[DataFrame], dict]:
@@ -213,6 +235,14 @@ def integrate(dfs: list[DataFrame], cfg: Optional[EngineConfig] = None,
     if len(dfs) > cfg.max_dataframes:
         raise ValueError(f"too many DataFrames: {len(dfs)} > {cfg.max_dataframes}")
 
+    # Drain the PREVIOUS invocation's group caches: direct library
+    # callers rarely know about release_shared_caches(), and without
+    # this a long-lived driver accumulates one persisted frame per
+    # group per call until storage-memory eviction churn. Unpersisting
+    # is correctness-neutral (a still-held frame from an earlier call
+    # simply recomputes), and harness release points are unaffected.
+    release_shared_caches()
+
     reports: list[dict] = []
     groups, union_ops = U.sequential_union(dfs, cfg)
     reports.extend(union_ops)
@@ -236,7 +266,7 @@ def integrate(dfs: list[DataFrame], cfg: Optional[EngineConfig] = None,
     # so one empty group disables every join. Faithful but surprising:
     # surface it loudly in the report instead of leaving only silently
     # pass-through groups.
-    denominator = min(g.count() for g in groups)
+    denominator = min(group_counts(groups))
     reports.append({"operation": "join_denominator", "rows": denominator})
     if denominator == 0:
         reports.append({

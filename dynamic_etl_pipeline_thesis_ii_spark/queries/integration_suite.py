@@ -220,8 +220,15 @@ def q_integrate_pipeline(spark, sf_dir):
     outputs, reports = integrate([a.filter(F.col("c_custkey") < 200),
                                   b.filter(F.col("custkey") < 500200),
                                   orders], CFG)
-    # stable summary: one row per output frame with row/col counts
-    rows = [(i, out.count(), len(out.columns)) for i, out in enumerate(outputs)]
+    # stable summary: one row per output frame with row/col counts —
+    # all counts in ONE job (union of aggregates over the persisted
+    # groups) instead of one action per frame (guide §5 driver)
+    from dynamic_etl_pipeline_thesis_ii_spark.operators.integration import (
+        group_counts,
+    )
+    counts = group_counts(outputs)
+    rows = [(i, counts[i], len(out.columns))
+            for i, out in enumerate(outputs)]
     return spark.createDataFrame(rows, ["output_idx", "n_rows", "n_cols"])
 
 
