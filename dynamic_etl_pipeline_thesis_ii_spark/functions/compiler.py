@@ -375,6 +375,14 @@ def apply_features(df: DataFrame, dsl: dict, entity_col: str | None = "ticker",
             # mix balanced without making buckets too small.
             width = out.sparkSession.sparkContext.defaultParallelism
             fn = _make_bucketed_pandas_fn(via_pandas, entity, orders, schema)
+            if "__b" in out.columns:
+                # withColumn would silently REPLACE a user column named
+                # __b, and the output schema above was captured before
+                # the bucket column — the kernel would return bucket
+                # hashes in place of the user's data. Fail loudly.
+                raise ValueError(
+                    "input column name '__b' collides with the feature "
+                    "compiler's internal bucket column — rename it")
             out = out.withColumn(
                 "__b", F.pmod(F.xxhash64(F.col(entity)), F.lit(width * 4)))
             out = out.repartition(width, F.col("__b"))

@@ -16,6 +16,8 @@ flipping low-margin bits.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -417,12 +419,26 @@ def pq_grid_codebooks(dim: int, m: int = 4, k: int = 8,
     return [[[v] * dsub for v in vals] for _ in range(m)]
 
 
+def _flit(x: float) -> str:
+    """A float as a SQL double literal. repr() round-trips exactly for
+    finite doubles; NaN/inf (a trained centroid inherits them from any
+    NaN input vector through pq_train's mean) would render as nanD/infD
+    and raise an opaque ParseException JVM-side — fail loudly here with
+    the actual cause instead."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite codebook constant {x!r}: PQ centroids must be "
+            f"finite (check the training vectors for NaN/inf components)")
+    return f"{x!r}D"
+
+
 def _subdist(sub: str, centroid: list[float]) -> str:
     """Squared L2 distance of a subvector to a literal centroid,
     rounded to 6 dp (the same cross-engine granularity the cosine
     oracles use) so argmin choices are engine-portable. Emits SQL
     text (see :func:`pq_codes` for why)."""
-    cvec = "array(" + ", ".join(f"{float(c)!r}D" for c in centroid) + ")"
+    cvec = "array(" + ", ".join(_flit(c) for c in centroid) + ")"
     return (f"round(aggregate(zip_with({sub}, {cvec}, "
             f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), 6)")
 
@@ -442,8 +458,8 @@ def _subdists(vec: str, codebooks: list, s: int) -> list[str]:
         ssum = f"aggregate({sub}, 0.0D, (a, x) -> a + x)"
         qsum = (f"aggregate(transform({sub}, x -> x * x), 0.0D, "
                 f"(a, x) -> a + x)")
-        return [f"round({qsum} - ({2.0 * c[0]!r}D) * {ssum} "
-                f"+ ({dsub * c[0] * c[0]!r}D), 6)"
+        return [f"round({qsum} - ({_flit(2.0 * c[0])}) * {ssum} "
+                f"+ ({_flit(dsub * c[0] * c[0])}), 6)"
                 for c in codebooks[s]]
     return [_subdist(sub, c) for c in codebooks[s]]
 
