@@ -9,6 +9,39 @@ from dynamic_etl_pipeline_thesis_ii_spark.session import get_spark
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_TEST_SF2", "/root/testdata/sf0.01")
 
+# ---------------------------------------------------------------------------
+# Slow-test tier (r14): the full suite outgrew the CI verify window
+# (r13 driver run was cut at ~82% with zero failures), so the ~70
+# slowest tests — measured per-test with --durations, list committed in
+# slow_tests.txt — carry a `slow` marker and the DEFAULT profile
+# (pytest.ini addopts) deselects them. Nothing is deleted: run the
+# slow tier with `python -m pytest tests/ -m slow`, or everything with
+# `-m ""`. Membership is by exact nodeid so a renamed/split test
+# silently rejoins the default profile (fail-open: new code is tested
+# by default until it is explicitly re-marked).
+# ---------------------------------------------------------------------------
+
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def _slow_ids() -> frozenset[str]:
+    try:
+        with open(_SLOW_FILE) as fh:
+            return frozenset(ln.strip() for ln in fh
+                             if ln.strip() and not ln.startswith("#"))
+    except OSError:
+        return frozenset()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_ids()
+    if not slow:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow or f"tests/{nodeid}" in slow:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
