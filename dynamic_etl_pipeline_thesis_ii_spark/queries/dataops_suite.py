@@ -912,23 +912,36 @@ def q_ann_topk(spark, sf_dir):
     times (plan-identity cache hit for the arms' own Catalog reads).
     Composite-only: each arm standalone stays cache-free, and in
     production the arms are independent queries."""
-    _persist_tracked(Catalog(spark, sf_dir).embeddings)
-    br = (q_ann_cosine_topk(spark, sf_dir)
-          .select(F.lit("brute").alias("method"), "q_id",
-                  F.lit(None).cast("long").alias("bucket"),
-                  "c_id", "cos", "rank"))
-    ls = (q_ann_lsh_bucket(spark, sf_dir)
-          .select(F.lit("lsh").alias("method"), "q_id",
-                  F.col("bucket").cast("long").alias("bucket"),
-                  "c_id", "cos", "rank"))
-    pq = (q_ann_pq(spark, sf_dir)
-          .select(F.lit("pq").alias("method"), "q_id",
-                  F.lit(None).cast("long").alias("bucket"),
-                  "c_id", "cos", "rank"))
-    l2 = (q_ann_l2(spark, sf_dir)
-          .select(F.lit("l2").alias("method"), "q_id",
-                  F.lit(None).cast("long").alias("bucket"),
-                  "c_id", "cos", "rank"))
+    emb = _persist_tracked(Catalog(spark, sf_dir).embeddings)
+    # fill the shared embeddings cache ONCE up front (tiny table), then
+    # run the four arms as independent concurrent jobs (guide §2.6 —
+    # the same overlap as q_dedup_neardup_pairs: each arm's
+    # driver-side planning/codegen, dominated by the PQ literal
+    # expression trees, no longer serializes behind the previous
+    # arm's). Eager localCheckpoint per arm — recomputed from the
+    # parquet inputs on every invocation; rows/schema/union order
+    # unchanged.
+    emb.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _arm(fn, method, bucket_col):
+        def run():
+            df = fn(spark, sf_dir)
+            bucket = (F.col("bucket").cast("long") if bucket_col
+                      else F.lit(None).cast("long"))
+            return (df.select(F.lit(method).alias("method"), "q_id",
+                              bucket.alias("bucket"), "c_id", "cos",
+                              "rank")
+                    .localCheckpoint(eager=True))
+        return run
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fs = [pool.submit(_arm(fn, m, b)) for fn, m, b in
+              ((q_ann_cosine_topk, "brute", False),
+               (q_ann_lsh_bucket, "lsh", True),
+               (q_ann_pq, "pq", False),
+               (q_ann_l2, "l2", False))]
+        br, ls, pq, l2 = [f.result() for f in fs]
     return br.unionByName(ls).unionByName(pq).unionByName(l2)
 
 
@@ -2028,8 +2041,25 @@ def q_dedup_spans(spark, sf_dir):
     see ``queries/__init__.all_queries``): part='substr' is the
     cross-document ExactSubstr detection, part='decon' the span-level
     benchmark decontamination."""
-    sub = q_dedup_substring(spark, sf_dir).withColumn("part", F.lit("substr"))
-    dec = q_decon_spans(spark, sf_dir).withColumn("part", F.lit("decon"))
+    # the two span detectors are independent corpus pipelines — overlap
+    # them as concurrent jobs (guide §2.6, the q_dedup_neardup_pairs
+    # pattern): eager localCheckpoint per branch, recomputed on every
+    # invocation; rows/schema/union order unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _sub():
+        return (q_dedup_substring(spark, sf_dir)
+                .withColumn("part", F.lit("substr"))
+                .localCheckpoint(eager=True))
+
+    def _dec():
+        return (q_decon_spans(spark, sf_dir)
+                .withColumn("part", F.lit("decon"))
+                .localCheckpoint(eager=True))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sub_f, dec_f = pool.submit(_sub), pool.submit(_dec)
+        sub, dec = sub_f.result(), dec_f.result()
     return sub.unionByName(dec)
 
 
