@@ -881,6 +881,28 @@ def min_label_components(pairs: DataFrame, max_iter: int = 20,
     return labels.select("id", "comp")
 
 
+def component_drop_set(pairs: DataFrame,
+                       score: DataFrame | None = None) -> DataFrame:
+    """The ``(id)`` drop set of :func:`dedup_by_components`, factored
+    out so callers can overlap the component resolution (which runs an
+    eager pair collect, :func:`min_label_components`) with other
+    independent jobs (guide §2.6) and attach the anti-join themselves."""
+    comp = min_label_components(pairs)
+    if score is None:
+        return comp.filter(F.col("id") != F.col("comp")).select("id")
+    # collapse to one score per clustered id BEFORE ranking: a score
+    # frame with duplicate ids (e.g. built by a fanning-out join)
+    # would otherwise rank the same id twice and the rn>1 copy would
+    # drop the cluster WINNER too; max() makes the collapse
+    # deterministic
+    scored = (comp.join(score, "id", "left")
+              .groupBy("id", "comp").agg(F.max("score").alias("score")))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("score").desc_nulls_last(), F.col("id").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1).select("id"))
+
+
 def dedup_by_components(df: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
                         score: DataFrame | None = None) -> DataFrame:
@@ -896,21 +918,7 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     window partitions by component — cluster-sized groups, never a
     global sort — and the drop set is component-membership-sized, tiny
     next to the corpus the anti-join prunes."""
-    comp = min_label_components(pairs)
-    if score is None:
-        drop = comp.filter(F.col("id") != F.col("comp")).select("id")
-    else:
-        # collapse to one score per clustered id BEFORE ranking: a score
-        # frame with duplicate ids (e.g. built by a fanning-out join)
-        # would otherwise rank the same id twice and the rn>1 copy would
-        # drop the cluster WINNER too; max() makes the collapse
-        # deterministic
-        scored = (comp.join(score, "id", "left")
-                  .groupBy("id", "comp").agg(F.max("score").alias("score")))
-        w = Window.partitionBy("comp").orderBy(
-            F.col("score").desc_nulls_last(), F.col("id").asc())
-        drop = (scored.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") > 1).select("id"))
+    drop = component_drop_set(pairs, score=score)
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
 
 

@@ -1763,14 +1763,33 @@ def q_corpus_curation(spark, sf_dir):
                          & (F.col("pred_lang") == "en"))
     bench = (Catalog(spark, sf_dir).documents
              .filter(F.col("doc_id") % 13 == 0).select("doc_id", "text"))
-    decon = D.decontaminate(kept, bench, k=5, min_overlap=3)
     pairs = D.minhash_lsh_pairs(scored.select("doc_id", "text"),
                                 k=3, n_hashes=16, bands=4)
     # quality-aware keep: score every corpus doc (clusters may span the
     # quality/lang filter, so the ranking sees pre-filter scores too)
     score = scored.select(F.col("doc_id").alias("id"),
                           F.col("quality_score").alias("score"))
-    canonical = D.dedup_by_components(decon, pairs, score=score)
+    # The decontamination branch (kept ⨝ broadcast bench 5-gram
+    # overlap) and the near-dup drop set (LSH pairs → eager collect →
+    # driver union-find → rank window) are INDEPENDENT until the final
+    # anti-join — overlap them as concurrent jobs (guide §2.6, the
+    # q_dedup_neardup_pairs pattern). Both read the same persisted
+    # scored frame; concurrent first-fill is handled by the block
+    # manager's per-partition get-or-compute. The decon branch is
+    # eager-checkpointed (recomputed every invocation), the drop set
+    # stays lazy over the driver-built component frame — rows and the
+    # final anti-join are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        decon_f = pool.submit(
+            lambda: D.decontaminate(kept, bench, k=5, min_overlap=3)
+            .localCheckpoint(eager=True))
+        drop_f = pool.submit(
+            lambda: D.component_drop_set(pairs, score=score))
+        decon, drop = decon_f.result(), drop_f.result()
+    canonical = decon.join(drop, decon["doc_id"] == drop["id"],
+                           "left_anti")
     return canonical.select("doc_id", "quality_score", "pred_lang")
 
 
