@@ -248,20 +248,38 @@ def q_greedy_tail(spark, sf_dir):
     Pair-for-pair fidelity of both branches is pinned by
     ``tests/test_greedy_differential.py`` against a line-faithful
     re-implementation of the reference algorithm."""
-    sj = q_simjoin_full(spark, sf_dir).select(
-        F.lit("simjoin_full").alias("branch"),
-        F.concat_ws(":", F.col("id_a"), F.col("id_b")).alias("key"),
-        F.col("cust_x").cast("double").alias("v1"),
-        F.col("cust_y").cast("double").alias("v2"),
-        F.col("price_x").cast("double").alias("v3"),
-        F.col("price_y").cast("double").alias("v4"))
-    integ = q_integrate_pipeline(spark, sf_dir).select(
-        F.lit("integrate").alias("branch"),
-        F.col("output_idx").cast("string").alias("key"),
-        F.col("n_rows").cast("double").alias("v1"),
-        F.col("n_cols").cast("double").alias("v2"),
-        F.lit(None).cast("double").alias("v3"),
-        F.lit(None).cast("double").alias("v4"))
+    # The two branches are independent driver-orchestrated pipelines,
+    # each with its own eager actions (simjoin: the greedy-assignment
+    # collect; integrate: union counts + pair evaluation + summary) —
+    # overlap them as concurrent jobs (guide §2.6, the dataops-suite
+    # pattern). The simjoin branch is eager-checkpointed (recomputed
+    # every invocation); the integrate branch's summary is a 3-row
+    # driver frame already. Rows, schema and union order unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _sj_branch():
+        return (q_simjoin_full(spark, sf_dir).select(
+            F.lit("simjoin_full").alias("branch"),
+            F.concat_ws(":", F.col("id_a"), F.col("id_b")).alias("key"),
+            F.col("cust_x").cast("double").alias("v1"),
+            F.col("cust_y").cast("double").alias("v2"),
+            F.col("price_x").cast("double").alias("v3"),
+            F.col("price_y").cast("double").alias("v4"))
+            .localCheckpoint(eager=True))
+
+    def _integ_branch():
+        return q_integrate_pipeline(spark, sf_dir).select(
+            F.lit("integrate").alias("branch"),
+            F.col("output_idx").cast("string").alias("key"),
+            F.col("n_rows").cast("double").alias("v1"),
+            F.col("n_cols").cast("double").alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+            F.lit(None).cast("double").alias("v4"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sj_f = pool.submit(_sj_branch)
+        integ_f = pool.submit(_integ_branch)
+        sj, integ = sj_f.result(), integ_f.result()
     return sj.unionByName(integ)
 
 
